@@ -1,0 +1,289 @@
+"""Table scans: nulls, orphans, duplicates, completeness, health check.
+
+Spark-first re-expression of the reference scanners:
+
+- ``scan_nulls``    ← ``quality_scanner.py:46-128`` (C1) — but ONE fused agg
+  per table instead of one query per (table, column).
+- ``scan_orphans``  ← ``quality_scanner.py:131-209,448-467`` (C2/J1/J2) —
+  left-anti join; Catalyst broadcasts small parents automatically and AQE
+  rewrites to broadcast at runtime when the dim side turns out small.
+- ``scan_duplicates``       ← ``quality_scanner.py:470-569`` (C3/A7)
+  distinct-diff counts (counts *extra rows*).
+- ``scan_duplicate_groups`` ← ``safe_scanners.py:144-190`` (A8)
+  grouped HAVING count (counts *groups*) — deliberately kept distinct from
+  A7; they are different operators (SURVEY.md §7.3).
+- ``completeness`` ← ``advanced_analysis.py:300-368`` (A9-A11): the reference
+  issues THREE queries per column; here all 3×N counters come out of a single
+  scan.
+- ``health_check`` ← ``quality_scanner.py:212-271`` (C4): lazy unionByName of
+  the three scans — one Spark job when the caller finally acts.
+
+Key-column inference (P1/P2) mirrors the reference's name patterns
+(``quality_scanner.py:343-348``, ``null_scan.py:15``).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import reduce
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.report import HealthReport, severity_rank_col
+from ..plans.schemas import ISSUE_SCHEMA, Severity
+from .rules import Rule, compile_rules, null_severity
+
+__all__ = [
+    "key_columns",
+    "unique_candidate_columns",
+    "scan_nulls",
+    "scan_orphans",
+    "scan_duplicates",
+    "scan_duplicate_groups",
+    "completeness",
+    "health_check",
+    "severity_summary",
+    "empty_issues",
+]
+
+# P1: key-ish name patterns, ref quality_scanner.py:343-348 / null_scan.py:15
+KEY_PATTERNS = ("id", "key", "isrc", "email", "_code", "_number")
+# P2: unique-candidate patterns, ref quality_scanner.py:511-551
+UNIQUE_PATTERNS = ("isrc", "_code", "_number", "_id")
+
+
+def empty_issues(spark) -> DataFrame:
+    return spark.createDataFrame([], ISSUE_SCHEMA)
+
+
+def key_columns(df: DataFrame) -> list[str]:
+    return [
+        c for c in df.columns if any(p in c.lower() for p in KEY_PATTERNS)
+    ]
+
+
+def unique_candidate_columns(df: DataFrame) -> list[str]:
+    return [
+        c for c in df.columns if any(p in c.lower() for p in UNIQUE_PATTERNS)
+    ]
+
+
+def scan_nulls(
+    df: DataFrame, table: str, columns: Sequence[str] | None = None
+) -> DataFrame:
+    """Null counts on key-ish columns → issues (one fused agg pass)."""
+    cols = list(columns) if columns is not None else key_columns(df)
+    rules = [
+        Rule(
+            name="nulls",
+            column=c,
+            predicate=lambda d, c=c: d[c].isNull(),
+            severity=null_severity(c),
+            description=f"{c} has NULL values",
+        )
+        for c in cols
+    ]
+    return compile_rules(df, table, rules)
+
+
+def scan_orphans(
+    tables: Mapping[str, DataFrame],
+    fk_map: Mapping[str, Sequence[tuple[str, str, str]]],
+) -> DataFrame:
+    """FK orphan counts via left-anti joins → critical issues.
+
+    ``fk_map``: child table → [(fk_col, parent_table, parent_col), ...]
+    (Spark has no FK metadata, so the map is declared — ref discovers it from
+    information_schema, quality_scanner.py:421-445).
+
+    Each check is `child ⟕̸ parent` on the equi key with the reference's
+    NOT NULL guard (quality_scanner.py:453-461).  At scale the parent side of
+    a real FK is the small dim — Catalyst broadcast-hash-joins it, so the scan
+    is shuffle-free; the count aggregate is map-side partial.
+    """
+    parts: list[DataFrame] = []
+    for child_name, fks in fk_map.items():
+        child = tables[child_name]
+        total = child.count()  # one cheap parquet-metadata count per table
+        for fk_col, parent_name, parent_col in fks:
+            parent = tables[parent_name].select(F.col(parent_col).alias("__pk__"))
+            orphans = (
+                child.filter(F.col(fk_col).isNotNull())
+                .join(F.broadcast(parent), F.col(fk_col) == F.col("__pk__"), "left_anti")
+                .agg(F.count(F.lit(1)).cast("long").alias("count"))
+                .select(
+                    F.lit(child_name).alias("table"),
+                    F.lit(fk_col).cast("string").alias("column"),
+                    F.lit("orphan").alias("issue_type"),
+                    F.col("count"),
+                    F.lit(total).cast("long").alias("total"),
+                    F.when(F.lit(total) > 0, F.col("count") * 100.0 / total)
+                    .otherwise(F.lit(0.0))
+                    .cast("double")
+                    .alias("percent"),
+                    F.when(F.col("count") > 0, F.lit(Severity.CRITICAL.value))
+                    .otherwise(F.lit(Severity.INFO.value))
+                    .alias("severity"),
+                    F.lit(
+                        f"{fk_col} references missing {parent_name}.{parent_col}"
+                    ).alias("description"),
+                )
+            )
+            parts.append(orphans.filter(F.col("count") > 0))
+    if not parts:
+        raise ValueError("empty fk_map")
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def scan_duplicates(
+    df: DataFrame, table: str, columns: Sequence[str] | None = None
+) -> DataFrame:
+    """Duplicate *extra-row* counts per unique-candidate column:
+    COUNT(col) - COUNT(DISTINCT col) over non-null rows (A7,
+    quality_scanner.py:554-569). One fused agg for all columns."""
+    cols = list(columns) if columns is not None else unique_candidate_columns(df)
+    rules = [
+        Rule(
+            name="duplicate",
+            column=c,
+            agg=lambda d, c=c: F.count(d[c]) - F.count_distinct(d[c]),
+            severity=Severity.WARNING.value,
+            description=f"{c} has duplicate values",
+        )
+        for c in cols
+    ]
+    return compile_rules(df, table, rules)
+
+
+def scan_duplicate_groups(
+    df: DataFrame, table: str, key_cols: Sequence[str]
+) -> DataFrame:
+    """Duplicate *group* count over a (composite) unique constraint (A8,
+    safe_scanners.py:170-175): #groups with >1 row. Shuffles once on the
+    key; partial agg makes the shuffle carry one row per key per mapper."""
+    total = df.count()
+    dup_groups = (
+        df.groupBy(*[F.col(c) for c in key_cols])
+        .agg(F.count(F.lit(1)).alias("__n__"))
+        .filter(F.col("__n__") > 1)
+        .agg(F.count(F.lit(1)).cast("long").alias("count"))
+    )
+    return dup_groups.select(
+        F.lit(table).alias("table"),
+        F.lit(",".join(key_cols)).cast("string").alias("column"),
+        F.lit("duplicate").alias("issue_type"),
+        F.col("count"),
+        F.lit(total).cast("long").alias("total"),
+        F.when(F.lit(total) > 0, F.col("count") * 100.0 / total)
+        .otherwise(F.lit(0.0))
+        .cast("double")
+        .alias("percent"),
+        F.when(F.col("count") > 0, F.lit(Severity.WARNING.value))
+        .otherwise(F.lit(Severity.INFO.value))
+        .alias("severity"),
+        F.lit(f"unique constraint ({','.join(key_cols)}) violated").alias(
+            "description"
+        ),
+    ).filter(F.col("count") > 0)
+
+
+def completeness(df: DataFrame, table: str) -> DataFrame:
+    """Per-column completeness triple in ONE scan (A9): filled / null /
+    empty-string counts + fill% + category bucket
+    (ref advanced_analysis.py:300-368; buckets 331-339).
+
+    Returns one row per column:
+    (table, column, total_rows, filled_count, null_count,
+     empty_string_count, fill_percentage, category).
+    """
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__total__")]
+    string_cols = {f.name for f in df.schema.fields if f.dataType.simpleString() == "string"}
+    for i, c in enumerate(df.columns):
+        is_empty = (
+            (df[c] == F.lit("")) if c in string_cols else F.lit(False)
+        )
+        aggs.append(
+            F.sum(F.when(df[c].isNull(), 1).otherwise(0)).cast("long").alias(f"__n{i}__")
+        )
+        aggs.append(
+            F.sum(F.when(df[c].isNotNull() & ~is_empty, 1).otherwise(0))
+            .cast("long")
+            .alias(f"__f{i}__")
+        )
+        aggs.append(
+            F.sum(F.when(is_empty, 1).otherwise(0)).cast("long").alias(f"__e{i}__")
+        )
+    wide = df.agg(*aggs)
+    structs = []
+    for i, c in enumerate(df.columns):
+        total = F.col("__total__")
+        filled = F.coalesce(F.col(f"__f{i}__"), F.lit(0))
+        fill_pct = F.when(total > 0, filled * 100.0 / total).otherwise(F.lit(0.0))
+        category = (
+            F.when(fill_pct >= 100.0, F.lit("perfect"))
+            .when(fill_pct >= 90.0, F.lit("good"))
+            .when(fill_pct >= 50.0, F.lit("poor"))
+            .otherwise(F.lit("critical"))
+        )
+        structs.append(
+            F.struct(
+                F.lit(table).alias("table"),
+                F.lit(c).alias("column"),
+                total.cast("long").alias("total_rows"),
+                filled.alias("filled_count"),
+                F.coalesce(F.col(f"__n{i}__"), F.lit(0)).alias("null_count"),
+                F.coalesce(F.col(f"__e{i}__"), F.lit(0)).alias("empty_string_count"),
+                fill_pct.cast("double").alias("fill_percentage"),
+                category.alias("category"),
+            )
+        )
+    return wide.select(F.explode(F.array(*structs)).alias("c")).select("c.*")
+
+
+def health_check(
+    tables: Mapping[str, DataFrame],
+    fk_map: Mapping[str, Sequence[tuple[str, str, str]]] | None = None,
+    collect: bool = True,
+) -> HealthReport | DataFrame:
+    """Compose null + orphan + duplicate scans (C4, quality_scanner.py:212-271).
+
+    The three scans union *lazily*; with ``collect=False`` returns the sorted
+    issues DataFrame (one Spark job for the caller to act on), else collects
+    into a ``HealthReport`` with wall-clock timing like the reference.
+    """
+    t0 = time.perf_counter()
+    parts: list[DataFrame] = []
+    for name, df in tables.items():
+        parts.append(scan_nulls(df, name))
+        parts.append(scan_duplicates(df, name))
+    if fk_map:
+        parts.append(scan_orphans(tables, fk_map))
+    issues = reduce(lambda a, b: a.unionByName(b), parts)
+    issues = issues.orderBy(
+        severity_rank_col("severity"), F.col("table"), F.col("column")
+    )
+    if not collect:
+        return issues
+    rows = [r.asDict() for r in issues.collect()]
+    by_sev: dict[str, int] = {}
+    for r in rows:
+        by_sev[r["severity"]] = by_sev.get(r["severity"], 0) + 1
+    real = {k: v for k, v in by_sev.items() if k != Severity.INFO.value}
+    return HealthReport(
+        all_good=not real,
+        total_issues=len(rows),
+        issues_by_severity=by_sev,
+        scan_time_ms=(time.perf_counter() - t0) * 1000.0,
+        issues=rows,
+    )
+
+
+def severity_summary(issues: DataFrame) -> DataFrame:
+    """Issues per severity (A12, quality_scanner.py:258-262)."""
+    return (
+        issues.groupBy("severity")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_issues"))
+        .orderBy(severity_rank_col("severity"))
+    )
