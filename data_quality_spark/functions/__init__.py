@@ -1,0 +1,3 @@
+from . import audio, text
+
+__all__ = ["audio", "text"]

@@ -1,0 +1,272 @@
+"""Text kernels: language-ID, perplexity, quality heuristics, PII/toxicity scrub.
+
+Built from scratch on public techniques:
+
+- **langid** — fastText-style hashed character-n-gram linear scorer (Joulin et
+  al. 2016's bag-of-char-ngrams idea, reduced to a deterministic per-language
+  trigram log-probability table with CRC32 feature hashing — no training
+  dependency, weights derived from the in-repo lexicons at import time).
+- **perplexity** — KenLM-style character bigram log-prob tables with add-one
+  smoothing; ppl = exp(−mean log P(cᵢ|cᵢ₋₁)).
+- **scrub** — regex PII/toxicity replacement.  Patterns are written in the
+  dialect subset common to java.util.regex and Python ``re`` (explicit ASCII
+  classes, no lookbehind) so the JVM `regexp_replace` chain in the Spark
+  pipeline and the pure-Python oracle produce byte-identical output
+  (SURVEY.md §7.3 risk item).  Reference analog: regex deny-lists at
+  ``/root/reference/src/data_quality/checkpoints.py:407-581``.
+
+Everything here is deterministic: CRC32 hashing (not the salted builtin
+``hash``), float64, fixed iteration order.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+
+__all__ = [
+    "LEXICONS",
+    "STOPWORD_MARKERS",
+    "PII_PATTERNS",
+    "TOXICITY_WORDS",
+    "SCRUB_CHAIN",
+    "scrub_text",
+    "LangIdModel",
+    "PerplexityModel",
+    "LANGID",
+    "PPLM",
+    "token_count",
+    "rep_ratio",
+    "charclass_frac",
+]
+
+# ------------------------------------------------------------------ lexicons
+# Small per-language lexicons. They serve three purposes: (1) the synthetic
+# transcript generator samples from them, (2) the langid trigram profiles are
+# built from them, (3) the perplexity tables are built from them. All public
+# everyday vocabulary.
+
+LEXICONS: dict[str, list[str]] = {
+    "en": (
+        "the and for with this that from have what when where which their "
+        "about would there could people think good great time year day way "
+        "thing world life hand part child eye woman place work week case "
+        "point company number house water room mother area money story fact "
+        "month right study book job word business issue side kind head"
+    ).split(),
+    "es": (
+        "el la los las una que con por para como pero más este esta cuando "
+        "donde quién también muy bien año día tiempo vida mundo país casa "
+        "parte trabajo mujer niño ojo lugar semana caso punto empresa número "
+        "agua cuarto madre dinero historia hecho mes derecho estudio libro "
+        "palabra negocio lado cabeza señor gobierno ciudad noche corazón"
+    ).split(),
+    "de": (
+        "der die das und für mit diese jene von haben was wann wo welche ihre "
+        "über würde dort könnte menschen denken gut groß zeit jahr tag weg "
+        "ding welt leben hand teil kind auge frau platz arbeit woche fall "
+        "punkt firma nummer haus wasser zimmer mutter bereich geld geschichte "
+        "tatsache monat recht studie buch wort geschäft seite kopf straße"
+    ).split(),
+    "fr": (
+        "le la les une que avec pour par comme mais plus cette quand où qui "
+        "aussi très bien année jour temps vie monde pays maison partie "
+        "travail femme enfant œil lieu semaine cas point entreprise nombre "
+        "eau chambre mère argent histoire fait mois droit étude livre mot "
+        "affaire côté tête monsieur gouvernement ville nuit cœur être avoir"
+    ).split(),
+}
+
+# junk "language" used for defect rows in the synthetic corpus
+JUNK_TOKENS = ["xq", "zzz", "qqq", "xkcd9", "vvvv", "##", "@@", "zxzx", "0x0x"]
+
+# Marker stopwords for the SQL-expressible langid heuristic (must stay
+# disjoint across languages so the argmax is well-defined in plain SQL).
+STOPWORD_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "with", "that", "this", "from", "have"],
+    "es": ["el", "los", "las", "que", "por", "como", "pero"],
+    "de": ["der", "die", "das", "und", "für", "von", "nicht"],
+    "fr": ["le", "les", "une", "avec", "pour", "mais", "dans"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我"],
+}
+
+# ------------------------------------------------------------------ scrub
+# ASCII-explicit classes only: identical semantics in java.util.regex
+# (Spark regexp_replace) and Python re (oracle).  Order is part of the spec.
+
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    # (name, pattern, replacement)
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    (
+        "phone",
+        r"\b(\+[0-9]{1,2}[ -])?(\([0-9]{3}\)|[0-9]{3})[ -][0-9]{3}[ -][0-9]{4}\b",
+        "<PHONE>",
+    ),
+]
+
+# Mild placeholder deny-list (configurable in practice; reference analog is
+# the garbage-name list, checkpoints.py:530-545).
+TOXICITY_WORDS: list[str] = ["damnit", "hellspawn", "craphead", "scumbag", "moron"]
+
+_TOX_PATTERN = r"(?i)\b(" + "|".join(TOXICITY_WORDS) + r")\b"
+
+# Full chain, applied in order on both engines.
+SCRUB_CHAIN: list[tuple[str, str]] = [
+    (p, r) for _, p, r in PII_PATTERNS
+] + [(_TOX_PATTERN, "<TOX>")]
+
+_COMPILED_CHAIN = [(re.compile(p), r) for p, r in SCRUB_CHAIN]
+
+
+def scrub_text(text: str | None) -> str | None:
+    """Python-side scrub (oracle twin of the Spark regexp_replace chain)."""
+    if text is None:
+        return None
+    out = text
+    for pat, repl in _COMPILED_CHAIN:
+        out = pat.sub(repl, out)
+    return out
+
+
+def pii_hit_count(text: str | None) -> int:
+    if not text:
+        return 0
+    return sum(len(re.findall(p, text)) for _, p, _ in PII_PATTERNS)
+
+
+# ------------------------------------------------------------------ langid
+
+_HASH_DIM = 1 << 15
+
+
+def _crc_idx(gram: str) -> int:
+    return zlib.crc32(gram.encode("utf-8")) % _HASH_DIM
+
+
+def _char_ngrams(text: str, n: int) -> list[str]:
+    padded = f" {text.strip().lower()} "
+    if len(padded) < n:
+        return [padded]
+    return [padded[i : i + n] for i in range(len(padded) - n + 1)]
+
+
+class LangIdModel:
+    """Hashed char-trigram multinomial scorer (fastText-style, no training
+    file: profiles derive deterministically from LEXICONS)."""
+
+    def __init__(self, lexicons: dict[str, list[str]], n: int = 3) -> None:
+        self.n = n
+        self.langs = sorted(lexicons)
+        tables = []
+        for lang in self.langs:
+            counts = np.zeros(_HASH_DIM, dtype=np.float64)
+            for word in lexicons[lang]:
+                for g in _char_ngrams(word, n):
+                    counts[_crc_idx(g)] += 1.0
+            total = counts.sum()
+            # add-one smoothing over the hashed vocabulary
+            logp = np.log((counts + 1.0) / (total + _HASH_DIM))
+            tables.append(logp)
+        self.tables = np.stack(tables)  # (L, DIM)
+
+    def score_one(self, text: str | None) -> tuple[str, float]:
+        if not text or not text.strip():
+            return "und", 0.0
+        idx = np.fromiter(
+            (_crc_idx(g) for g in _char_ngrams(text, self.n)),
+            dtype=np.int64,
+        )
+        # mean log-prob per language, then softmax over languages
+        scores = self.tables[:, idx].mean(axis=1)
+        z = scores - scores.max()
+        probs = np.exp(z * 20.0)  # temperature sharpens the margin
+        probs = probs / probs.sum()
+        best = int(np.argmax(probs))
+        return self.langs[best], float(probs[best])
+
+    def score_batch(self, texts) -> tuple[list[str], list[float]]:
+        langs: list[str] = []
+        confs: list[float] = []
+        for t in texts:
+            lang, conf = self.score_one(t)
+            langs.append(lang)
+            confs.append(conf)
+        return langs, confs
+
+
+class PerplexityModel:
+    """Per-language char-bigram log-prob tables (KenLM-style, order 2)."""
+
+    def __init__(self, lexicons: dict[str, list[str]]) -> None:
+        self.langs = sorted(lexicons)
+        self.tables: dict[str, np.ndarray] = {}
+        for lang in self.langs:
+            counts = np.zeros(_HASH_DIM, dtype=np.float64)
+            corpus = " ".join(lexicons[lang])
+            for g in _char_ngrams(corpus, 2):
+                counts[_crc_idx(g)] += 1.0
+            total = counts.sum()
+            # Lidstone α=0.01: keeps unseen-bigram mass small so ppl
+            # magnitudes are interpretable (seen ≈ c/total, unseen tiny)
+            alpha = 0.01
+            self.tables[lang] = np.log(
+                (counts + alpha) / (total + alpha * _HASH_DIM)
+            )
+
+    def ppl_one(self, text: str | None, lang: str) -> float:
+        table = self.tables.get(lang)
+        if table is None or not text or not text.strip():
+            return float(_HASH_DIM)  # max surprise
+        idx = np.fromiter(
+            (_crc_idx(g) for g in _char_ngrams(text, 2)), dtype=np.int64
+        )
+        return float(np.exp(-table[idx].mean()))
+
+    def ppl_batch(self, texts, langs) -> list[float]:
+        return [self.ppl_one(t, l) for t, l in zip(texts, langs)]
+
+
+# module singletons — built once per process (executors build them on first
+# task; ~50 ms, then reused for every Arrow batch)
+LANGID = LangIdModel(LEXICONS)
+PPLM = PerplexityModel(LEXICONS)
+
+
+# ------------------------------------------------------ oracle-side heuristics
+# Python twins of the JVM Column expressions in pipeline.py. The formulas are
+# deliberately restricted to constructs with identical semantics in Spark SQL,
+# DuckDB SQL, and Python (ASCII classes, whitespace split).
+
+_WS = re.compile(r"\s+")
+_SPECIAL = re.compile(r"[A-Za-z0-9À-ÿ\s]")
+
+
+def token_count(text: str | None) -> int:
+    if text is None:
+        return 0
+    t = text.strip()
+    if not t:
+        return 0
+    return len(_WS.split(t))
+
+
+def rep_ratio(text: str | None) -> float:
+    """1 − distinct/total tokens: repetition detector."""
+    if text is None:
+        return 0.0
+    t = text.strip()
+    if not t:
+        return 0.0
+    toks = _WS.split(t)
+    return 1.0 - len(set(toks)) / len(toks)
+
+
+def charclass_frac(text: str | None) -> float:
+    """Fraction of chars outside [A-Za-z0-9, Latin-1 letters, whitespace]."""
+    if not text:
+        return 0.0
+    kept = _SPECIAL.sub("", text)
+    return len(kept) / len(text)

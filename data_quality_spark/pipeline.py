@@ -1,0 +1,251 @@
+"""The flagship north-rule pipeline: audio-clip + transcript quality gate.
+
+Stages (one narrow Spark plan per partition batch — zero shuffles until the
+tiny gate aggregate):
+
+1. **featurize** — ONE Arrow-vectorized pandas UDF computes PCM decode +
+   RMS/peak/silence/clipping stats + hashed-ngram langid + char-bigram
+   perplexity per clip.  A single UDF (not one per feature) means the binary
+   payload crosses the JVM↔Python boundary exactly once per row.
+2. **text heuristics** — token/repetition/char-class/digit/length-ratio
+   rules stay JVM-side as Catalyst Column expressions (whole-stage codegen,
+   no Python).
+3. **scrub** — chained `regexp_replace` with the shared dialect-safe patterns
+   (`functions.text.SCRUB_CHAIN`); byte-identical to the Python oracle.
+4. **decide** — `when` cascade over `GateThresholds` → ``decision`` ∈
+   {keep, drop} (+ per-rule boolean flags for issue aggregation).  Mirrors the
+   reference's rule → conditional-count → gate shape
+   (``/root/reference/src/data_quality/checkpoints.py:61-137``).
+
+At 100 TB the whole per-row section is embarrassingly parallel: partition
+pruning on ``ingest_day`` bounds each incremental run, Arrow batch size
+bounds pandas memory, and the only shuffle is the salted gate aggregate over
+low-cardinality (lang, codec) keys (``operators/gate.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .synth import ALLOWED_SR, GateThresholds
+
+FEATURES_TYPE = T.StructType(
+    [
+        T.StructField("decode_ok", T.BooleanType(), False),
+        T.StructField("rms_db", T.DoubleType(), True),
+        T.StructField("peak_db", T.DoubleType(), True),
+        T.StructField("silence_frac", T.DoubleType(), True),
+        T.StructField("clip_frac", T.DoubleType(), True),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("lang_pred", T.StringType(), False),
+        T.StructField("lang_conf", T.DoubleType(), False),
+        T.StructField("ppl", T.DoubleType(), False),
+    ]
+)
+
+# rule name -> severity; used to compile gate issues (QualityIssue relation)
+DROP_RULES: dict[str, str] = {
+    "decode_failed": "critical",
+    "bad_sample_rate": "critical",
+    "bad_duration": "critical",
+    "duration_mismatch": "warning",
+    "mostly_silence": "warning",
+    "clipping": "warning",
+    "too_quiet": "warning",
+    "empty_transcript": "critical",
+    "low_lang_confidence": "warning",
+    "high_perplexity": "warning",
+    "repetitive": "warning",
+    "length_ratio": "warning",
+    "charclass": "warning",
+    "digit_flood": "warning",
+}
+
+
+def _featurize_udf():
+    """Build the pandas UDF lazily so importing this module never touches
+    Spark (the kernels import numpy only)."""
+
+    @F.pandas_udf(FEATURES_TYPE)
+    def featurize(
+        it: Iterator[tuple[pd.Series, pd.Series, pd.Series, pd.Series]]
+    ) -> Iterator[pd.DataFrame]:
+        # iterator form: the langid/ppl tables are built once per worker
+        # process and reused across Arrow batches
+        import numpy as np
+
+        from .functions import audio as A
+        from .functions import text as X
+
+        for payload, codec, sr_hz, transcript in it:
+            n = len(payload)
+            out = {
+                "decode_ok": np.zeros(n, dtype=bool),
+                "rms_db": np.full(n, np.nan),
+                "peak_db": np.full(n, np.nan),
+                "silence_frac": np.full(n, np.nan),
+                "clip_frac": np.full(n, np.nan),
+                "n_samples": np.zeros(n, dtype=np.int64),
+            }
+            for i in range(n):
+                data = payload.iloc[i]
+                cdc = codec.iloc[i]
+                sr = sr_hz.iloc[i]
+                try:
+                    pcm = A.decode_clip(
+                        bytes(data) if data is not None else None,
+                        cdc,
+                        int(sr) if sr is not None else None,
+                    )
+                except (ValueError, TypeError):
+                    continue
+                out["decode_ok"][i] = True
+                st = A.clip_stats(pcm, int(sr) if sr and sr > 0 else 1)
+                out["rms_db"][i] = st["rms_db"]
+                out["peak_db"][i] = st["peak_db"]
+                out["silence_frac"][i] = st["silence_frac"]
+                out["clip_frac"][i] = st["clip_frac"]
+                out["n_samples"][i] = int(st["n_samples"])
+            langs, confs = X.LANGID.score_batch(transcript)
+            ppls = X.PPLM.ppl_batch(transcript, langs)
+            pdf = pd.DataFrame(out)
+            pdf["lang_pred"] = langs
+            pdf["lang_conf"] = confs
+            pdf["ppl"] = ppls
+            yield pdf[[f.name for f in FEATURES_TYPE.fields]]
+
+    return featurize
+
+
+def featurize(df: DataFrame) -> DataFrame:
+    """Attach the per-clip feature struct and expand it to top-level cols."""
+    udf = _featurize_udf()
+    return df.withColumn(
+        "__f", udf(F.col("bytes"), F.col("codec"), F.col("sr_hz"), F.col("transcript"))
+    ).select("*", "__f.*").drop("__f")
+
+
+def _text_heuristics(df: DataFrame) -> DataFrame:
+    """JVM-side Column twins of functions.text.{token_count,rep_ratio,...} —
+    formulas restricted to the Spark/Python-identical dialect subset."""
+    trimmed = F.trim(F.col("transcript"))
+    toks = F.split(trimmed, r"\s+")
+    n_tok = F.when(
+        F.col("transcript").isNull() | (F.length(trimmed) == 0), F.lit(0)
+    ).otherwise(F.size(toks))
+    n_chars = F.length(F.coalesce(F.col("transcript"), F.lit("")))
+    specials = F.length(
+        F.regexp_replace(
+            F.coalesce(F.col("transcript"), F.lit("")), r"[A-Za-z0-9À-ÿ\s]", ""
+        )
+    )
+    digits = n_chars - F.length(
+        F.regexp_replace(F.coalesce(F.col("transcript"), F.lit("")), r"[0-9]", "")
+    )
+    dur_s = F.col("dur_ms").cast("double") / 1000.0
+    return (
+        df.withColumn("token_count", n_tok.cast("int"))
+        .withColumn(
+            "rep_ratio",
+            F.when(n_tok > 0, 1.0 - F.size(F.array_distinct(toks)) / n_tok.cast("double"))
+            .otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "charclass_frac",
+            F.when(n_chars > 0, specials.cast("double") / n_chars).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "digit_frac",
+            F.when(n_chars > 0, digits.cast("double") / n_chars).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "len_ratio",
+            F.when(dur_s > 0, n_chars.cast("double") / dur_s).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def scrub_col(col: Column) -> Column:
+    """Chained regexp_replace over the shared PII/toxicity patterns."""
+    from .functions.text import SCRUB_CHAIN
+
+    out = col
+    for pattern, repl in SCRUB_CHAIN:
+        out = F.regexp_replace(out, pattern, repl)
+    return out
+
+
+def rule_flags(df: DataFrame) -> dict[str, Column]:
+    """Per-rule violation predicates over a featurized frame — the same
+    booleans drive the keep/drop decision AND the issue counts, so the two
+    can never disagree."""
+    th = GateThresholds
+    actual_ms = F.col("n_samples").cast("double") * 1000.0 / F.when(
+        F.col("sr_hz") > 0, F.col("sr_hz").cast("double")
+    ).otherwise(F.lit(1.0))
+    dur_mismatch = F.when(
+        F.col("dur_ms") > 0,
+        F.abs(actual_ms - F.col("dur_ms").cast("double"))
+        / F.greatest(F.col("dur_ms").cast("double"), F.lit(1.0)),
+    ).otherwise(F.lit(1.0))
+    return {
+        "decode_failed": ~F.col("decode_ok"),
+        "bad_sample_rate": ~F.col("sr_hz").isin(list(ALLOWED_SR)),
+        "bad_duration": F.col("dur_ms") <= 0,
+        "duration_mismatch": dur_mismatch > th.DUR_MISMATCH_FRAC,
+        "mostly_silence": F.coalesce(F.col("silence_frac"), F.lit(1.0)) > th.SILENCE_MAX,
+        "clipping": F.coalesce(F.col("clip_frac"), F.lit(0.0)) > th.CLIP_MAX,
+        "too_quiet": F.coalesce(F.col("rms_db"), F.lit(-120.0)) < th.RMS_MIN_DB,
+        "empty_transcript": F.col("token_count") == 0,
+        "low_lang_confidence": F.col("lang_conf") < th.LANG_CONF_MIN,
+        "high_perplexity": F.col("ppl") > th.PPL_MAX,
+        "repetitive": F.col("rep_ratio") > th.REP_MAX,
+        "length_ratio": (F.col("len_ratio") < th.LEN_RATIO_MIN)
+        | (F.col("len_ratio") > th.LEN_RATIO_MAX),
+        "charclass": F.col("charclass_frac") > th.CHARCLASS_MAX,
+        "digit_flood": F.col("digit_frac") > th.DIGIT_MAX,
+    }
+
+
+def decide(df: DataFrame) -> DataFrame:
+    """decision ∈ {keep, drop} + scrubbed transcript (3-way graylist of the
+    reference's decision enum, checkpoints.py:216-252, collapses to binary
+    keep/drop per the north rule)."""
+    flags = rule_flags(df)
+    drop = None
+    for c in flags.values():
+        drop = c if drop is None else (drop | c)
+    return (
+        df.withColumn("decision", F.when(drop, "drop").otherwise("keep"))
+        .withColumn("scrubbed", scrub_col(F.col("transcript")))
+    )
+
+
+def gate(df: DataFrame) -> DataFrame:
+    """Full per-row pipeline: featurize → heuristics → decide/scrub."""
+    return decide(_text_heuristics(featurize(df)))
+
+
+def gate_issues(decided: DataFrame, table: str = "clips") -> DataFrame:
+    """Compile the per-rule violation counts into the QualityIssue relation
+    (one fused agg pass — same machinery as operators.rules)."""
+    from .operators.rules import Rule, compile_rules
+
+    flags = rule_flags(decided)
+    rules = [
+        Rule(
+            name=name,
+            column=None,
+            predicate=lambda d, c=col: c,
+            severity=DROP_RULES[name],
+            description=f"gate rule {name} violated",
+        )
+        for name, col in flags.items()
+    ]
+    return compile_rules(decided, table, rules)

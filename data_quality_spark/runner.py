@@ -1,0 +1,137 @@
+"""End-to-end gate job: partition-incremental, resumable, metric-emitting.
+
+``run_gate_pipeline`` is what ``spark-submit --py-files dq.zip`` launches on a
+cluster (see bench.py for the sandbox harness).  Execution contract per the
+north rule:
+
+- work is scheduled per input partition (``ingest_day``) — parquet partition
+  pruning limits each job to the pending days, so a killed run resumes
+  without recomputing finished partitions (lineage ledger, ``sources/io.py``);
+- kept rows land partitioned by (ingest_day, lang_pred) — downstream training
+  jobs prune by language;
+- per-partition metrics (clips in/kept, throughput) append to the metrics
+  table, mirroring the reference's benchmark persistence
+  (``/root/reference/src/data_quality/benchmark_storage.py:75-170``).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .pipeline import gate
+from .plans.schemas import CLIPS_SCHEMA
+from .sources.io import LineageLedger, append_metrics, write_partitioned
+
+__all__ = ["write_clips", "run_gate_pipeline", "list_ingest_days"]
+
+OUTPUT_COLS = [
+    "clip_id", "bytes", "sr_hz", "dur_ms", "codec", "scrubbed",
+    "rms_db", "peak_db", "silence_frac", "clip_frac", "lang_pred",
+    "lang_conf", "ppl", "token_count", "len_ratio", "decision", "ingest_day",
+]
+
+
+def write_clips(spark: SparkSession, pdf: pd.DataFrame, path: str) -> None:
+    """Write a synthetic pandas clips frame as ingest_day-partitioned parquet
+    (the Iceberg-shaped bronze table)."""
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    df = spark.createDataFrame(pdf[cols], CLIPS_SCHEMA)
+    df.write.mode("overwrite").partitionBy("ingest_day").parquet(path)
+
+
+def list_ingest_days(spark: SparkSession, input_path: str) -> list[str]:
+    """Partition values from the directory layout — an Iceberg catalog would
+    serve these from metadata; for parquet the listing is equally metadata-only."""
+    days = [
+        d.split("=", 1)[1]
+        for d in os.listdir(input_path)
+        if d.startswith("ingest_day=")
+    ]
+    return sorted(days)
+
+
+def run_gate_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    output_root: str,
+    resume: bool = True,
+    days_per_batch: int = 0,
+    fail_after_batches: int | None = None,
+) -> dict:
+    """Gate all pending ingest_day partitions.
+
+    ``days_per_batch=0`` processes all pending days in one Spark job (fastest
+    wall-clock); >0 chunks them so the lineage ledger advances incrementally
+    (finer-grained resume).  ``fail_after_batches`` simulates a mid-run kill
+    for the resume test.
+    """
+    run_id = uuid.uuid4().hex[:12]
+    ledger = LineageLedger(output_root, "gate")
+    all_days = list_ingest_days(spark, input_path)
+    days = ledger.pending(all_days) if resume else all_days
+    batches = (
+        [days]
+        if days_per_batch <= 0
+        else [days[i : i + days_per_batch] for i in range(0, len(days), days_per_batch)]
+    )
+    totals = {"rows_in": 0, "rows_kept": 0, "days": 0, "skipped": len(all_days) - len(days)}
+    t_start = time.perf_counter()
+    for bi, batch in enumerate(b for b in batches if b):
+        if fail_after_batches is not None and bi >= fail_after_batches:
+            return {**totals, "run_id": run_id, "completed": False}
+        for d in batch:
+            ledger.mark(d, "running", run_id=run_id)
+        t0 = time.perf_counter()
+        src = spark.read.parquet(input_path).filter(F.col("ingest_day").isin(batch))
+        decided = gate(src).select(*OUTPUT_COLS)
+        # one pass: write all rows (kept + dropped flag) for the silver table;
+        # count per day from the write-side aggregate
+        day_counts = (
+            decided.groupBy("ingest_day")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum((F.col("decision") == "keep").cast("long")).alias("kept"),
+            )
+            .collect()
+        )
+        write_partitioned(
+            decided.filter(F.col("decision") == "keep"),
+            os.path.join(output_root, "silver"),
+            ["ingest_day", "lang_pred"],
+        )
+        dt = time.perf_counter() - t0
+        metric_rows = []
+        for r in day_counts:
+            ledger.mark(
+                str(r["ingest_day"]), "done",
+                rows_in=r["n"], rows_kept=r["kept"], run_id=run_id,
+            )
+            totals["rows_in"] += r["n"]
+            totals["rows_kept"] += r["kept"]
+            totals["days"] += 1
+            metric_rows.append(
+                (run_id, f"ingest_day={r['ingest_day']}", "rows_in", float(r["n"]), "")
+            )
+            metric_rows.append(
+                (run_id, f"ingest_day={r['ingest_day']}", "rows_kept", float(r["kept"]), "")
+            )
+        batch_rows = sum(r["n"] for r in day_counts)
+        metric_rows.append(
+            (run_id, "batch", "clips_per_sec", batch_rows / dt if dt > 0 else 0.0,
+             f"batch={bi} days={len(batch)}")
+        )
+        append_metrics(spark, output_root, metric_rows)
+    totals["run_id"] = run_id
+    totals["completed"] = True
+    totals["wall_s"] = time.perf_counter() - t_start
+    totals["clips_per_sec"] = (
+        totals["rows_in"] / totals["wall_s"] if totals["wall_s"] > 0 else 0.0
+    )
+    return totals

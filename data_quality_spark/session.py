@@ -25,6 +25,9 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
     "spark.sql.files.maxPartitionBytes": "134217728",  # 128 MB splits
     "spark.sql.session.timeZone": "UTC",  # duckdb-oracle comparability
+    # keep partition columns (ingest_day=...) as strings — stable schema vs
+    # CLIPS_SCHEMA and ledger keys
+    "spark.sql.sources.partitionColumnTypeInference.enabled": "false",
     "spark.sql.shuffle.partitions": "32",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",

@@ -1,0 +1,271 @@
+"""Deterministic synthetic clips corpus + pure-pandas oracle pipeline.
+
+BASELINE.json ``input_hint`` defines the input shape: an Iceberg/Parquet table
+``(clip_id, bytes, sr_hz, dur_ms, codec, transcript)`` of audio clip +
+transcript pairs.  No such data exists in the sandbox, so this module
+synthesises it deterministically (seeded numpy, no wall-clock) with injected
+defects covering every rule the gate checks, then runs a **pandas-only
+reference pipeline** over the same rows to produce the oracle labels
+(keep/drop + scrubbed transcript + decoded PCM) that the Spark pipeline is
+differentially tested against (keep/drop F1 ≥ 0.99, scrub byte-equality,
+PCM SNR ≥ 30 dB).
+
+Defect classes mirror FIXTURES.md group B and the reference's seeded-defect
+test style (``/root/reference/tests/test_quality_scanner.py:85-150``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .functions import audio as A
+from .functions import text as X
+from .functions.text import JUNK_TOKENS, LEXICONS
+
+__all__ = ["generate_clips", "oracle_gate", "GateThresholds"]
+
+LANG_WEIGHTS = {"en": 0.6, "es": 0.2, "de": 0.15, "fr": 0.05}  # skewed on purpose
+CODEC_WEIGHTS = {"pcm16": 0.7, "wav": 0.2, "mulaw": 0.1}  # skew/salting fixture
+ALLOWED_SR = (8000, 16000)
+
+PII_SNIPPETS = [
+    "contact bob.smith@example.com now",
+    "call +1 555-123-4567 today",
+    "ssn is 123-45-6789 ok",
+]
+
+
+class GateThresholds:
+    """Single source of truth for the keep/drop rules — imported by both the
+    Spark pipeline (pipeline.py) and the pandas oracle below."""
+
+    SILENCE_MAX = 0.80
+    CLIP_MAX = 0.02
+    RMS_MIN_DB = -45.0
+    DUR_MISMATCH_FRAC = 0.20
+    LANG_CONF_MIN = 0.50
+    PPL_MAX = 2000.0
+    REP_MAX = 0.50
+    LEN_RATIO_MIN = 5.0     # chars per second of audio
+    LEN_RATIO_MAX = 40.0
+    CHARCLASS_MAX = 0.20
+    DIGIT_MAX = 0.50
+
+
+def _make_signal(rng: np.random.Generator, sr: int, dur_s: float) -> np.ndarray:
+    n = int(sr * dur_s)
+    t = np.arange(n, dtype=np.float64) / sr
+    sig = np.zeros(n)
+    for _ in range(rng.integers(1, 4)):
+        f = float(rng.uniform(80, min(3500, sr / 2 - 100)))
+        sig += rng.uniform(0.1, 0.5) * np.sin(2 * np.pi * f * t + rng.uniform(0, 6.28))
+    sig += rng.normal(0, 0.01, n)
+    peak = np.max(np.abs(sig))
+    if peak > 0:
+        sig = sig / peak * rng.uniform(0.3, 0.8)
+    return sig
+
+
+def _make_transcript(rng: np.random.Generator, lang: str, dur_s: float) -> str:
+    words = max(int(round(dur_s * 3.0)), 2) + int(rng.integers(0, 3))
+    lex = LEXICONS[lang]
+    idx = rng.integers(0, len(lex), words)
+    return " ".join(lex[i] for i in idx)
+
+
+def generate_clips(
+    n: int, seed: int = 42, defect_frac: float = 0.35
+) -> pd.DataFrame:
+    """Seeded corpus of n clips; ~defect_frac rows carry exactly one injected
+    defect class (uniformly chosen), the rest are clean."""
+    rng = np.random.default_rng(seed)
+    langs = list(LANG_WEIGHTS)
+    lang_p = np.array(list(LANG_WEIGHTS.values()))
+    codecs = list(CODEC_WEIGHTS)
+    codec_p = np.array(list(CODEC_WEIGHTS.values()))
+    defects = [
+        "none", "codec_unknown", "corrupt_wav", "sr_zero", "sr_mismatch",
+        "dur_mismatch", "mostly_silence", "clipped", "near_silent",
+        "empty_transcript", "junk_lang", "repetition", "digit_flood",
+        "punct_flood", "pii", "toxic", "ratio_high", "ratio_low",
+    ]
+    rows: list[dict] = []
+    for i in range(n):
+        lang = langs[rng.choice(len(langs), p=lang_p)]
+        codec = codecs[rng.choice(len(codecs), p=codec_p)]
+        sr = int(rng.choice(ALLOWED_SR, p=[0.7, 0.3]))
+        dur_s = float(rng.uniform(0.5, 3.0))
+        defect = (
+            defects[1 + rng.integers(0, len(defects) - 1)]
+            if rng.random() < defect_frac
+            else "none"
+        )
+
+        sig = _make_signal(rng, sr, dur_s)
+        transcript = _make_transcript(rng, lang, dur_s)
+        dur_ms = int(round(dur_s * 1000))
+        declared_sr = sr
+
+        if defect == "mostly_silence":
+            k = int(len(sig) * rng.uniform(0.85, 0.98))
+            start = int(rng.integers(0, max(len(sig) - k, 1)))
+            sig = sig.copy()
+            sig[start : start + k] = 0.0
+        elif defect == "clipped":
+            sig = np.clip(sig * rng.uniform(4.0, 8.0), -1.0, 1.0)
+        elif defect == "near_silent":
+            sig = sig * (10 ** (rng.uniform(-60, -50) / 20))
+        elif defect == "sr_zero":
+            declared_sr = 0
+        elif defect == "sr_mismatch":
+            declared_sr = 44100  # not in ALLOWED_SR; also breaks wav header match
+        elif defect == "dur_mismatch":
+            dur_ms = int(dur_ms * rng.uniform(1.5, 3.0))
+        elif defect == "empty_transcript":
+            transcript = "" if rng.random() < 0.5 else "   "
+        elif defect == "junk_lang":
+            k = max(int(round(dur_s * 3.0)), 3)
+            transcript = " ".join(
+                JUNK_TOKENS[int(j)] for j in rng.integers(0, len(JUNK_TOKENS), k)
+            )
+        elif defect == "repetition":
+            w = LEXICONS[lang][int(rng.integers(0, len(LEXICONS[lang])))]
+            k = max(int(round(dur_s * 3.0)), 4)
+            transcript = " ".join([w] * k)
+        elif defect == "digit_flood":
+            transcript = " ".join(
+                str(int(v)) for v in rng.integers(10000, 999999, max(int(dur_s * 3), 3))
+            )
+        elif defect == "punct_flood":
+            base = _make_transcript(rng, lang, dur_s * 0.4)
+            transcript = base + " " + "!?#$%&*" * max(int(dur_s * 4), 3)
+        elif defect == "pii":
+            transcript = (
+                transcript + " " + PII_SNIPPETS[int(rng.integers(0, len(PII_SNIPPETS)))]
+            )
+        elif defect == "toxic":
+            w = X.TOXICITY_WORDS[int(rng.integers(0, len(X.TOXICITY_WORDS)))]
+            toks = transcript.split()
+            toks.insert(int(rng.integers(0, len(toks) + 1)), w)
+            transcript = " ".join(toks)
+        elif defect == "ratio_high":
+            transcript = " ".join(
+                [transcript] * int(np.ceil(60.0 / max(len(transcript) / dur_s, 1)) + 1)
+            )
+        elif defect == "ratio_low":
+            transcript = LEXICONS[lang][int(rng.integers(0, len(LEXICONS[lang])))][:2]
+            dur_ms = max(dur_ms, 2500)
+
+        # encode payload
+        if defect == "codec_unknown":
+            codec = "opus"
+            payload = rng.bytes(256)
+        elif defect == "corrupt_wav":
+            codec = "wav"
+            payload = A.encode_wav(sig, sr)[: int(rng.integers(8, 40))]
+        elif codec == "pcm16":
+            payload = A.encode_pcm16(sig)
+        elif codec == "mulaw":
+            payload = A.encode_mulaw(sig)
+        else:  # wav — header carries the TRUE sr; sr_mismatch breaks the match
+            payload = A.encode_wav(sig, sr)
+
+        rows.append(
+            {
+                "clip_id": f"clip{i:08d}",
+                "bytes": payload,
+                "sr_hz": int(declared_sr),
+                "dur_ms": int(dur_ms),
+                "codec": codec,
+                "transcript": transcript,
+                "ingest_day": f"2026-01-{(i % 7) + 1:02d}",
+                "defect": defect,  # kept for test introspection; dropped by pipeline
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# -------------------------------------------------------------- oracle
+
+
+def _features_one(row) -> dict:
+    th = GateThresholds
+    try:
+        pcm = A.decode_clip(row["bytes"], row["codec"], row["sr_hz"])
+        decode_ok = True
+    except (ValueError, Exception):
+        pcm = np.zeros(0)
+        decode_ok = False
+    sr = row["sr_hz"] if row["sr_hz"] and row["sr_hz"] > 0 else 1
+    st = A.clip_stats(pcm, sr) if decode_ok else {
+        "rms_db": None, "peak_db": None, "silence_frac": None,
+        "clip_frac": None, "n_samples": 0.0,
+    }
+    lang, conf = X.LANGID.score_one(row["transcript"])
+    ppl = X.PPLM.ppl_one(row["transcript"], lang)
+    return {
+        "decode_ok": decode_ok,
+        "rms_db": st["rms_db"],
+        "peak_db": st["peak_db"],
+        "silence_frac": st["silence_frac"],
+        "clip_frac": st["clip_frac"],
+        "n_samples": int(st["n_samples"]),
+        "lang_pred": lang,
+        "lang_conf": conf,
+        "ppl": ppl,
+    }
+
+
+def oracle_gate(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Pandas reference pipeline: features → decision → scrubbed transcript.
+
+    This produces the 'reference labels' of BASELINE.md: the Spark pipeline
+    must match ``decision`` at F1≥0.99 and ``scrubbed`` byte-for-byte.
+    """
+    th = GateThresholds
+    feats = pd.DataFrame([_features_one(r) for _, r in pdf.iterrows()])
+    out = pd.concat([pdf.reset_index(drop=True), feats], axis=1)
+
+    tok = out["transcript"].map(X.token_count)
+    rep = out["transcript"].map(X.rep_ratio)
+    ccf = out["transcript"].map(X.charclass_frac)
+    n_chars = out["transcript"].fillna("").str.len()
+    digits = out["transcript"].fillna("").str.count(r"[0-9]")
+    digit_frac = np.where(n_chars > 0, digits / n_chars, 0.0)
+    dur_s = out["dur_ms"] / 1000.0
+    len_ratio = np.where(dur_s > 0, n_chars / np.where(dur_s > 0, dur_s, 1.0), 0.0)
+    actual_ms = np.where(
+        out["sr_hz"] > 0, out["n_samples"] * 1000.0 / np.where(out["sr_hz"] > 0, out["sr_hz"], 1), 0.0
+    )
+    dur_mismatch = np.where(
+        out["dur_ms"] > 0,
+        np.abs(actual_ms - out["dur_ms"]) / out["dur_ms"].clip(lower=1),
+        1.0,
+    )
+
+    drop = (
+        (~out["decode_ok"])
+        | (~out["sr_hz"].isin(ALLOWED_SR))
+        | (out["dur_ms"] <= 0)
+        | (dur_mismatch > th.DUR_MISMATCH_FRAC)
+        | (out["silence_frac"].fillna(1.0) > th.SILENCE_MAX)
+        | (out["clip_frac"].fillna(0.0) > th.CLIP_MAX)
+        | (out["rms_db"].fillna(-120.0) < th.RMS_MIN_DB)
+        | (tok == 0)
+        | (out["lang_conf"] < th.LANG_CONF_MIN)
+        | (out["ppl"] > th.PPL_MAX)
+        | (rep > th.REP_MAX)
+        | (len_ratio < th.LEN_RATIO_MIN)
+        | (len_ratio > th.LEN_RATIO_MAX)
+        | (ccf > th.CHARCLASS_MAX)
+        | (digit_frac > th.DIGIT_MAX)
+    )
+    out["token_count"] = tok
+    out["rep_ratio"] = rep
+    out["charclass_frac"] = ccf
+    out["digit_frac"] = digit_frac
+    out["len_ratio"] = len_ratio
+    out["decision"] = np.where(drop, "drop", "keep")
+    out["scrubbed"] = out["transcript"].map(X.scrub_text)
+    return out
