@@ -1,38 +1,626 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship composed scan over /root/testdata/sf0.001.
+``queries()`` — one callable per implemented operator (SURVEY.md §2 + the
+training-pipeline extensions: dedup, similarity search, text analysis, and
+the north-rule clips gate).
+``oracle_sql()`` — DuckDB twins for every SQL-expressible query; clip-gate /
+LSH / SimHash queries rely on kernels or hash families DuckDB lacks and are
+rows-only checked.
+
+Column-naming discipline: every aggregate/computed column is aliased
+identically in the Spark code and the SQL so the driver's order-insensitive
+value-hash compares like with like.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_quality_spark.functions.text import SCRUB_CHAIN, STOPWORD_MARKERS
+from data_quality_spark.operators.rules import Rule, compile_rules
+from data_quality_spark.operators import scans
+from data_quality_spark.operators import dedup as dd
+from data_quality_spark.operators import docs as dq_docs
+from data_quality_spark.operators import similarity as sim
+from data_quality_spark.plans.report import severity_rank_col
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ------------------------------------------------------------------ clips
+# The north-rule input table does not exist in /root/testdata; it is
+# synthesised deterministically (BASELINE.json input_hint) and cached per
+# process so the three gate queries share one corpus.
+
+_CLIPS_CACHE: dict[tuple[int, int], object] = {}
+
+
+def _clips_df(spark: SparkSession, n: int = 1200, seed: int = 42) -> DataFrame:
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import generate_clips
+
+    key = (n, seed)
+    if key not in _CLIPS_CACHE:
+        _CLIPS_CACHE[key] = generate_clips(n, seed=seed)
+    pdf = _CLIPS_CACHE[key]
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    return spark.createDataFrame(pdf[cols], CLIPS_SCHEMA).repartition(8, "clip_id")
+
+
+# ------------------------------------------------------------------ queries
+
+NULL_SCAN_TABLES: dict[str, list[str]] = {
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey", "c_nationkey"],
+    "events": ["event_id", "user_id"],
+}
+
+DUP_COLS = ["l_orderkey", "l_partkey", "l_suppkey"]
+
+
+def q_scan_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = [
+        scans.scan_nulls(_t(spark, sf_dir, tbl), tbl, cols, keep_zero=True)
+        for tbl, cols in NULL_SCAN_TABLES.items()
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def q_scan_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scans.scan_duplicates(
+        _t(spark, sf_dir, "lineitem"), "lineitem", DUP_COLS, keep_zero=True
+    )
+
+
+def q_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scans.scan_duplicate_groups(
+        _t(spark, sf_dir, "lineitem"), "lineitem", ["l_orderkey", "l_linenumber"]
+    )
+
+
+def q_orphan_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # testdata is referentially clean, so one synthetic orphan row is unioned
+    # in (both here and in the oracle) to prove the anti-join actually fires
+    events = _t(spark, sf_dir, "events").select("user_id")
+    child = events.unionByName(
+        spark.createDataFrame([(-999,)], events.schema)
+    )
+    return scans.scan_orphans(
+        {"events": child, "customer": _t(spark, sf_dir, "customer")},
+        {"events": [("user_id", "customer", "c_custkey")]},
+    )
+
+
+def q_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scans.completeness(_t(spark, sf_dir, "documents"), "documents")
+
+
+def q_range_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rule = Rule(
+        name="range",
+        column="c_acctbal",
+        predicate=lambda d: d.c_acctbal < 0,
+        scope=lambda d: d.c_acctbal.isNotNull(),
+        severity="warning",
+        description="c_acctbal out of range [0, inf)",
+    )
+    return compile_rules(_t(spark, sf_dir, "customer"), "customer", [rule])
+
+
+def q_enum_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rule = Rule(
+        name="enum",
+        column="o_orderstatus",
+        predicate=lambda d: ~d.o_orderstatus.isin(["O", "F"]),
+        severity="warning",
+        description="o_orderstatus not in allowed set",
+    )
+    return compile_rules(_t(spark, sf_dir, "orders"), "orders", [rule])
+
+
+def q_regex_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rules = [
+        Rule(
+            name="format",
+            column="c_name",
+            predicate=lambda d: ~d.c_name.rlike(r"^Customer#[0-9]{9}$"),
+            severity="critical",
+            description="c_name violates Customer#NNNNNNNNN format",
+        ),
+        Rule(
+            name="low_range_name",
+            column="c_name",
+            predicate=lambda d: d.c_name.rlike(r"#0000000[0-9]{2}$"),
+            severity="info",
+            description="c_name in reserved low id range",
+        ),
+    ]
+    return compile_rules(
+        _t(spark, sf_dir, "customer"), "customer", rules, keep_zero=True
+    )
+
+
+def q_trend_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count_distinct(F.col("user_id")).cast("long").alias("n_users"),
+            F.sum((F.col("event_type") == "error").cast("long"))
+            .cast("long")
+            .alias("n_errors"),
+        )
+        .orderBy("day")
+    )
+
+
+def q_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .orderBy(F.desc("n_events"), F.asc("event_type"))
+        .limit(3)
+    )
+
+
+def q_distinct_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("lang")
+        .distinct()
+        .orderBy("lang")
+        .limit(10)
+    )
+
+
+def q_severity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    issues = q_scan_duplicates(spark, sf_dir).unionByName(
+        q_range_rule(spark, sf_dir)
+    )
+    return scans.severity_summary(issues)
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dq_docs.token_stats_by_lang(_t(spark, sf_dir, "documents"))
+
+
+def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dq_docs.quality_buckets(_t(spark, sf_dir, "documents"))
+
+
+def q_langid_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dq_docs.langid_sql(_t(spark, sf_dir, "documents"))
+
+
+def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dq_docs.fingerprint_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dq_docs.scrub_audit(_t(spark, sf_dir, "documents"), inject_every=50)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dd.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", ["lang"], threshold=0.5
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.min("jaccard"), 6).alias("min_jaccard"),
+        F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+    )
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
+
+
+# ------------------------- rows-only (non-SQL-expressible) -------------------
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dd.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", verify_threshold=0.5
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.min("jaccard"), 6).alias("min_jaccard"),
+        F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+    )
+
+
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = dd.simhash64(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    pairs = dd.simhash_near_pairs(sigs, "doc_id", max_hamming=3)
+    return (
+        pairs.groupBy("hamming")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("hamming")
+    )
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.hyperplane_lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=3, bits=8
+    )
+
+
+def q_clips_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_quality_spark.pipeline import gate
+
+    decided = gate(_clips_df(spark))
+    return decided.select(
+        "clip_id",
+        "decision",
+        "lang_pred",
+        F.round(F.col("lang_conf"), 4).alias("lang_conf_r"),
+        F.round(F.coalesce(F.col("rms_db"), F.lit(-999.0)), 2).alias("rms_db_r"),
+        "token_count",
+        "scrubbed",
+    ).orderBy("clip_id")
+
+
+def q_clips_gate_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_quality_spark.operators.gate import salted_gate_aggregate
+    from data_quality_spark.pipeline import gate
+
+    decided = gate(_clips_df(spark))
+    agg = salted_gate_aggregate(decided, keys=("lang_pred", "codec"))
+    return agg.select(
+        "lang_pred",
+        "codec",
+        "n_clips",
+        "n_keep",
+        F.round(F.col("keep_rate"), 4).alias("keep_rate_r"),
+        F.round(F.col("audio_seconds"), 1).alias("audio_seconds_r"),
+    )
+
+
+def q_clips_gate_issues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_quality_spark.pipeline import gate, gate_issues
+
+    decided = gate(_clips_df(spark))
+    return gate_issues(decided)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: composed health-check relation over /root/testdata/sf0.001 —
+    null scan + duplicate scan + orphan anti-join, fused per table, unioned
+    lazily, severity-ranked (ref health_check, quality_scanner.py:212-271)."""
+    sf_dir = "/root/testdata/sf0.001"
+    issues = (
+        q_scan_nulls(spark, sf_dir)
+        .unionByName(q_scan_duplicates(spark, sf_dir))
+        .unionByName(q_orphan_scan(spark, sf_dir))
+    )
+    return issues.orderBy(
+        severity_rank_col("severity"), F.col("table"), F.col("column"),
+        F.col("issue_type"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "scan_nulls": q_scan_nulls,
+        "scan_duplicates": q_scan_duplicates,
+        "duplicate_groups": q_duplicate_groups,
+        "orphan_scan": q_orphan_scan,
+        "completeness": q_completeness,
+        "range_rule": q_range_rule,
+        "enum_rule": q_enum_rule,
+        "regex_rule": q_regex_rule,
+        "trend_rollup": q_trend_rollup,
+        "topk_event_types": q_topk_event_types,
+        "distinct_probe": q_distinct_probe,
+        "severity_summary": q_severity_summary,
+        "token_stats": q_token_stats,
+        "quality_buckets": q_quality_buckets,
+        "langid_sql": q_langid_sql,
+        "fingerprint_dedup": q_fingerprint_dedup,
+        "scrub_audit": q_scrub_audit,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        # rows-only: hash families / Arrow kernels DuckDB can't reproduce
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_near_dup": q_simhash_near_dup,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "clips_gate": q_clips_gate,
+        "clips_gate_rollup": q_clips_gate_rollup,
+        "clips_gate_issues": q_clips_gate_issues,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------------ oracles
+
+
+def _null_scan_sql() -> str:
+    parts = []
+    for tbl, cols in NULL_SCAN_TABLES.items():
+        for c in cols:
+            parts.append(
+                f"""
+SELECT '{tbl}' AS "table", '{c}' AS "column", 'nulls' AS issue_type,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS "count",
+       CAST(count(*) AS BIGINT) AS total,
+       CASE WHEN count(*) > 0
+            THEN sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) * 100.0 / count(*)
+            ELSE 0.0 END AS percent,
+       CASE WHEN sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) > 0
+            THEN 'critical' ELSE 'info' END AS severity,
+       '{c} has NULL values' AS description
+FROM {tbl}"""
+            )
+    return " UNION ALL ".join(parts)
+
+
+def _dup_scan_sql() -> str:
+    parts = []
+    for c in DUP_COLS:
+        parts.append(
+            f"""
+SELECT 'lineitem' AS "table", '{c}' AS "column", 'duplicate' AS issue_type,
+       CAST(count({c}) - count(DISTINCT {c}) AS BIGINT) AS "count",
+       CAST(count(*) AS BIGINT) AS total,
+       CASE WHEN count(*) > 0
+            THEN (count({c}) - count(DISTINCT {c})) * 100.0 / count(*)
+            ELSE 0.0 END AS percent,
+       CASE WHEN count({c}) - count(DISTINCT {c}) > 0
+            THEN 'warning' ELSE 'info' END AS severity,
+       '{c} has duplicate values' AS description
+FROM lineitem"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+_TOKS = "list_distinct(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+'))"
+
+
+def _langid_sql_oracle() -> str:
+    langs = sorted(STOPWORD_MARKERS)
+    votes = []
+    for lang in langs:
+        markers = ", ".join(f"'{m}'" for m in STOPWORD_MARKERS[lang])
+        votes.append(f"len(list_intersect(toks, [{markers}])) AS v_{lang}")
+    best = "greatest(" + ", ".join(f"v_{lang}" for lang in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN best > 0 AND v_{lang} = best THEN '{lang}'" for lang in langs
+    ) + " ELSE 'und' END"
+    return f"""
+WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+v AS (SELECT {', '.join(votes)} FROM t),
+p AS (SELECT {best} AS best, * FROM v)
+SELECT {case} AS pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM p GROUP BY 1 ORDER BY 1"""
+
+
+def _scrub_expr(col: str) -> str:
+    out = col
+    for pattern, repl in SCRUB_CHAIN:
+        pat = pattern.replace("'", "''")
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "scan_nulls": _null_scan_sql(),
+        "scan_duplicates": _dup_scan_sql(),
+        "duplicate_groups": """
+WITH g AS (
+  SELECT CAST(count(*) AS BIGINT) AS "count"
+  FROM (SELECT 1 FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)
+), t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM lineitem)
+SELECT 'lineitem' AS "table", 'l_orderkey,l_linenumber' AS "column",
+       'duplicate' AS issue_type, g."count", t.total,
+       CASE WHEN t.total > 0 THEN g."count" * 100.0 / t.total ELSE 0.0 END AS percent,
+       CASE WHEN g."count" > 0 THEN 'warning' ELSE 'info' END AS severity,
+       'unique constraint (l_orderkey,l_linenumber) violated' AS description
+FROM g, t WHERE g."count" > 0""",
+        "orphan_scan": """
+WITH child AS (SELECT user_id FROM events UNION ALL SELECT -999),
+o AS (
+  SELECT CAST(count(*) AS BIGINT) AS "count"
+  FROM child LEFT JOIN customer ON child.user_id = customer.c_custkey
+  WHERE child.user_id IS NOT NULL AND customer.c_custkey IS NULL
+), t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM child)
+SELECT 'events' AS "table", 'user_id' AS "column", 'orphan' AS issue_type,
+       o."count", t.total,
+       CASE WHEN t.total > 0 THEN o."count" * 100.0 / t.total ELSE 0.0 END AS percent,
+       CASE WHEN o."count" > 0 THEN 'critical' ELSE 'info' END AS severity,
+       'user_id references missing customer.c_custkey' AS description
+FROM o, t WHERE o."count" > 0""",
+        "completeness": """
+WITH base AS (
+  SELECT CAST(count(*) AS BIGINT) AS total,
+    CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+    CAST(sum(CASE WHEN doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS f0,
+    CAST(0 AS BIGINT) AS e0,
+    CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN text IS NOT NULL AND text <> '' THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+    CAST(sum(CASE WHEN text = '' THEN 1 ELSE 0 END) AS BIGINT) AS e1,
+    CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+    CAST(sum(CASE WHEN lang IS NOT NULL AND lang <> '' THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+    CAST(sum(CASE WHEN lang = '' THEN 1 ELSE 0 END) AS BIGINT) AS e2,
+    CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+    CAST(sum(CASE WHEN source IS NOT NULL AND source <> '' THEN 1 ELSE 0 END) AS BIGINT) AS f3,
+    CAST(sum(CASE WHEN source = '' THEN 1 ELSE 0 END) AS BIGINT) AS e3,
+    CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+    CAST(sum(CASE WHEN n_chars IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS f4,
+    CAST(0 AS BIGINT) AS e4
+  FROM documents
+),
+cols(idx, colname) AS (VALUES (0,'doc_id'),(1,'text'),(2,'lang'),(3,'source'),(4,'n_chars')),
+rows AS (
+  SELECT 'documents' AS "table", colname AS "column", total AS total_rows,
+    CASE idx WHEN 0 THEN f0 WHEN 1 THEN f1 WHEN 2 THEN f2 WHEN 3 THEN f3 ELSE f4 END AS filled_count,
+    CASE idx WHEN 0 THEN n0 WHEN 1 THEN n1 WHEN 2 THEN n2 WHEN 3 THEN n3 ELSE n4 END AS null_count,
+    CASE idx WHEN 0 THEN e0 WHEN 1 THEN e1 WHEN 2 THEN e2 WHEN 3 THEN e3 ELSE e4 END AS empty_string_count
+  FROM base, cols
+)
+SELECT "table", "column", total_rows, filled_count, null_count, empty_string_count,
+  CASE WHEN total_rows > 0 THEN filled_count * 100.0 / total_rows ELSE 0.0 END AS fill_percentage,
+  CASE WHEN (CASE WHEN total_rows > 0 THEN filled_count * 100.0 / total_rows ELSE 0.0 END) >= 100.0 THEN 'perfect'
+       WHEN (CASE WHEN total_rows > 0 THEN filled_count * 100.0 / total_rows ELSE 0.0 END) >= 90.0 THEN 'good'
+       WHEN (CASE WHEN total_rows > 0 THEN filled_count * 100.0 / total_rows ELSE 0.0 END) >= 50.0 THEN 'poor'
+       ELSE 'critical' END AS category
+FROM rows""",
+        "range_rule": """
+SELECT 'customer' AS "table", 'c_acctbal' AS "column", 'range' AS issue_type,
+  CAST(sum(CASE WHEN c_acctbal IS NOT NULL AND c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS "count",
+  CAST(sum(CASE WHEN c_acctbal IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS total,
+  CASE WHEN sum(CASE WHEN c_acctbal IS NOT NULL THEN 1 ELSE 0 END) > 0
+       THEN sum(CASE WHEN c_acctbal IS NOT NULL AND c_acctbal < 0 THEN 1 ELSE 0 END) * 100.0
+            / sum(CASE WHEN c_acctbal IS NOT NULL THEN 1 ELSE 0 END)
+       ELSE 0.0 END AS percent,
+  CASE WHEN sum(CASE WHEN c_acctbal IS NOT NULL AND c_acctbal < 0 THEN 1 ELSE 0 END) > 0
+       THEN 'warning' ELSE 'info' END AS severity,
+  'c_acctbal out of range [0, inf)' AS description
+FROM customer
+HAVING sum(CASE WHEN c_acctbal IS NOT NULL AND c_acctbal < 0 THEN 1 ELSE 0 END) > 0""",
+        "enum_rule": """
+SELECT 'orders' AS "table", 'o_orderstatus' AS "column", 'enum' AS issue_type,
+  CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F') THEN 1 ELSE 0 END) AS BIGINT) AS "count",
+  CAST(count(*) AS BIGINT) AS total,
+  CASE WHEN count(*) > 0
+       THEN sum(CASE WHEN o_orderstatus NOT IN ('O','F') THEN 1 ELSE 0 END) * 100.0 / count(*)
+       ELSE 0.0 END AS percent,
+  CASE WHEN sum(CASE WHEN o_orderstatus NOT IN ('O','F') THEN 1 ELSE 0 END) > 0
+       THEN 'warning' ELSE 'info' END AS severity,
+  'o_orderstatus not in allowed set' AS description
+FROM orders
+HAVING sum(CASE WHEN o_orderstatus NOT IN ('O','F') THEN 1 ELSE 0 END) > 0""",
+        "regex_rule": """
+SELECT 'customer' AS "table", 'c_name' AS "column", 'format' AS issue_type,
+  CAST(sum(CASE WHEN NOT regexp_matches(c_name, '^Customer#[0-9]{9}$') THEN 1 ELSE 0 END) AS BIGINT) AS "count",
+  CAST(count(*) AS BIGINT) AS total,
+  CASE WHEN count(*) > 0
+       THEN sum(CASE WHEN NOT regexp_matches(c_name, '^Customer#[0-9]{9}$') THEN 1 ELSE 0 END) * 100.0 / count(*)
+       ELSE 0.0 END AS percent,
+  CASE WHEN sum(CASE WHEN NOT regexp_matches(c_name, '^Customer#[0-9]{9}$') THEN 1 ELSE 0 END) > 0
+       THEN 'critical' ELSE 'info' END AS severity,
+  'c_name violates Customer#NNNNNNNNN format' AS description
+FROM customer
+UNION ALL
+SELECT 'customer' AS "table", 'c_name' AS "column", 'low_range_name' AS issue_type,
+  CAST(sum(CASE WHEN regexp_matches(c_name, '#0000000[0-9]{2}$') THEN 1 ELSE 0 END) AS BIGINT) AS "count",
+  CAST(count(*) AS BIGINT) AS total,
+  CASE WHEN count(*) > 0
+       THEN sum(CASE WHEN regexp_matches(c_name, '#0000000[0-9]{2}$') THEN 1 ELSE 0 END) * 100.0 / count(*)
+       ELSE 0.0 END AS percent,
+  'info' AS severity,
+  'c_name in reserved low id range' AS description
+FROM customer""",
+        "trend_rollup": """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+FROM events GROUP BY 1 ORDER BY 1""",
+        "topk_event_types": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1 ORDER BY n_events DESC, event_type LIMIT 3""",
+        "distinct_probe": "SELECT DISTINCT lang FROM documents ORDER BY lang LIMIT 10",
+        "severity_summary": """
+WITH iss AS (
+  SELECT CASE WHEN count(l_orderkey) - count(DISTINCT l_orderkey) > 0 THEN 'warning' ELSE 'info' END AS severity FROM lineitem
+  UNION ALL
+  SELECT CASE WHEN count(l_partkey) - count(DISTINCT l_partkey) > 0 THEN 'warning' ELSE 'info' END FROM lineitem
+  UNION ALL
+  SELECT CASE WHEN count(l_suppkey) - count(DISTINCT l_suppkey) > 0 THEN 'warning' ELSE 'info' END FROM lineitem
+  UNION ALL
+  SELECT 'warning' FROM customer
+  HAVING sum(CASE WHEN c_acctbal IS NOT NULL AND c_acctbal < 0 THEN 1 ELSE 0 END) > 0
+)
+SELECT severity, CAST(count(*) AS BIGINT) AS n_issues FROM iss GROUP BY 1
+ORDER BY CASE severity WHEN 'critical' THEN 0 WHEN 'warning' THEN 1 WHEN 'info' THEN 2 ELSE 3 END""",
+        "token_stats": """
+WITH t AS (
+  SELECT lang,
+    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS nt
+  FROM documents
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(nt) AS BIGINT) AS total_tokens,
+  CAST(min(nt) AS INTEGER) AS min_tokens,
+  CAST(max(nt) AS INTEGER) AS max_tokens
+FROM t GROUP BY lang ORDER BY lang""",
+        "quality_buckets": """
+WITH t AS (
+  SELECT lang, coalesce(text, '') AS x,
+    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS nt
+  FROM documents
+), m AS (
+  SELECT lang, nt, length(x) AS nc,
+    length(x) - length(regexp_replace(x, '[0-9]', '', 'g')) AS nd,
+    length(regexp_replace(x, '[A-Za-z0-9\\s]', '', 'g')) AS ns
+  FROM t
+), b AS (
+  SELECT lang,
+    CASE WHEN nt < 5 THEN 'too_short'
+         WHEN (CASE WHEN nc > 0 THEN nd * 1.0 / nc ELSE 0.0 END) > 0.3 THEN 'digit_heavy'
+         WHEN (CASE WHEN nc > 0 THEN ns * 1.0 / nc ELSE 0.0 END) > 0.2 THEN 'symbol_heavy'
+         WHEN nt >= 40 THEN 'long_form'
+         ELSE 'ok' END AS quality_bucket
+  FROM m
+)
+SELECT lang, quality_bucket, CAST(count(*) AS BIGINT) AS n_docs
+FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
+        "langid_sql": _langid_sql_oracle(),
+        "fingerprint_dedup": """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+  CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dup_extra
+FROM documents GROUP BY source ORDER BY source""",
+        "scrub_audit": f"""
+WITH t AS (
+  SELECT lang,
+    CASE WHEN doc_id % 50 = 0 THEN text || ' reach me at jane.doe@example.com'
+         ELSE text END AS x
+  FROM documents
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN {_scrub_expr('x')} <> x THEN 1 ELSE 0 END) AS BIGINT) AS n_scrubbed
+FROM t GROUP BY lang ORDER BY lang""",
+        "ngram_jaccard": f"""
+WITH t AS (
+  SELECT doc_id, lang,
+    list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS toks
+  FROM documents
+), pairs AS (
+  SELECT CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+  ROUND(min(jaccard), 6) AS min_jaccard,
+  ROUND(max(jaccard), 6) AS max_jaccard
+FROM pairs WHERE jaccard >= 0.5""",
+        "ann_cosine_topk": """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 10),
+scored AS (
+  SELECT q.q_id, v.vec_id AS n_id,
+    list_dot_product(q.qe, v.e)
+      / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(v.e, v.e))) AS c
+  FROM q, v WHERE v.vec_id <> q.q_id
+), ranked AS (
+  SELECT q_id, n_id, c,
+    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk
+  FROM scored
+)
+SELECT q_id, CAST(rnk AS INTEGER) AS rank, n_id, ROUND(c, 6) AS cosine
+FROM ranked WHERE rnk <= 3""",
+    }

@@ -1,0 +1,340 @@
+"""Document deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+The reference's duplicate detection is `COUNT(*) - COUNT(DISTINCT col)` /
+grouped-HAVING over scalar columns (``/root/reference/src/data_quality/
+quality_scanner.py:554-569``, ``safe_scanners.py:144-190``).  A web-scale
+training-data pipeline additionally needs *near*-duplicate detection over
+text; these operators provide the standard ladder, each expressed purely in
+JVM-side Catalyst expressions (split / transform / xxhash64 / array ops — no
+Python in the hot path):
+
+- **exact_dedup**        — md5 fingerprint → hash-groupBy.  One shuffle on the
+  digest; at 100 TB the digest (16 bytes) shuffles instead of the document.
+- **ngram_jaccard_pairs** — token-set Jaccard over blocked candidate pairs.
+  Exact but O(n²) within a block: use only inside small blocks (lang, length
+  bucket) or as the *verify* stage after LSH candidate generation.
+- **minhash_lsh_pairs**  — shingle → K minhashes → b bands × r rows →
+  bucket-join (Broder 1997 / Leskovec MMDS ch.3).  The only shuffle is on
+  (band, band_hash) — candidates collide into tiny buckets and the quadratic
+  blowup is bounded per bucket.  This is the 10^12-row path.
+- **simhash64**          — Charikar 2002 bitwise-majority fingerprint +
+  chunk-banded Hamming pairs (Manku et al. WWW'07): 4×16-bit chunks guarantee
+  recall for Hamming distance ≤ 3 by pigeonhole.
+
+All hash families derive from ``xxhash64(col, seed)`` — deterministic across
+sessions/executors (unlike ``F.hash``'s salted murmur in some contexts, the
+xxhash64 expression is seed-stable and documented).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens_col",
+    "exact_dedup_stats",
+    "exact_dedup_keep_first",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash64",
+    "simhash_near_pairs",
+]
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens of the trimmed, lower-cased text (empty → [])."""
+    t = F.trim(F.lower(text))
+    return F.when(
+        text.isNull() | (F.length(t) == 0), F.array().cast("array<string>")
+    ).otherwise(F.split(t, r"\s+"))
+
+
+def exact_dedup_stats(df: DataFrame, text_col: str, group_cols: list[str] | None = None) -> DataFrame:
+    """Exact-duplicate profile via md5 fingerprint: per group (or global)
+    doc count, distinct fingerprints, extra (removable) rows."""
+    keyed = df.withColumn("__fp", F.md5(F.col(text_col)))
+    gb = keyed.groupBy(*group_cols) if group_cols else keyed.groupBy()
+    return gb.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct(F.col("__fp")).cast("long").alias("n_unique"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("__fp")))
+        .cast("long")
+        .alias("n_dup_extra"),
+    )
+
+
+def exact_dedup_keep_first(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per exact fingerprint (the dedup *transform*).
+
+    groupBy-min instead of a window: one shuffle on the 16-byte digest and no
+    full sort within groups — the cheapest distributed formulation.
+    """
+    keyed = df.withColumn("__fp", F.md5(F.col(text_col)))
+    winners = keyed.groupBy("__fp").agg(F.min(F.col(id_col)).alias(id_col))
+    return keyed.join(winners, ["__fp", id_col], "inner").drop("__fp")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Token-set Jaccard ≥ threshold over within-block pairs.
+
+    ``block_cols`` is the blocking key (e.g. ``[lang]`` or ``[lang,
+    length_bucket]``): the self-join shuffles once on the block key and the
+    quadratic comparison is confined to each block.  Output:
+    (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    toks = F.array_distinct(tokens_col(F.col(text_col)))
+    slim = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("__id"),
+        toks.alias("__toks"),
+    )
+    a = slim.select(
+        *[F.col(c) for c in block_cols],
+        F.col("__id").alias("id_a"),
+        F.col("__toks").alias("__ta"),
+    )
+    b = slim.select(
+        *[F.col(c) for c in block_cols],
+        F.col("__id").alias("id_b"),
+        F.col("__toks").alias("__tb"),
+    )
+    inter = F.size(F.array_intersect(F.col("__ta"), F.col("__tb")))
+    union = F.size(F.array_union(F.col("__ta"), F.col("__tb")))
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        a.join(b, on=block_cols)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _shingles(toks: Column, k: int) -> Column:
+    """k-token shingles joined with spaces; shorter docs collapse to one
+    whole-document shingle so every non-empty doc has ≥1 shingle."""
+    n = F.size(toks)
+    sliding = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(k)]
+        ),
+    )
+    return (
+        F.when(n == 0, F.array().cast("array<string>"))
+        .when(n < k, F.array(F.concat_ws(" ", toks)))
+        .otherwise(sliding)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, sig: array<long>) of ``num_hashes`` minhash values per document.
+
+    Formulation matters: evaluating 64 ``array_min(transform(...))`` column
+    expressions re-instantiates the shingle-construction tree per hash
+    function (Catalyst does not CSE across higher-order-function lambdas),
+    which measured ~60× slower.  Instead shingles explode to rows ONCE and a
+    single fused aggregate takes 64 mins — map-side partial agg means the
+    shuffle carries one 64-long row per document, and the hash work is
+    exactly |shingles| × num_hashes.
+    """
+    sh_rows = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(_shingles(tokens_col(F.col(text_col)), shingle_k)).alias("__sh"),
+    )
+    wide = sh_rows.groupBy("__id").agg(
+        *[
+            F.min(F.xxhash64(F.col("__sh"), F.lit(i))).alias(f"__h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return wide.select(
+        F.col("__id").alias(id_col),
+        F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    verify_threshold: float | None = 0.5,
+    max_bucket_size: int = 64,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash banding, optionally verified
+    with exact token-set Jaccard.
+
+    With 64 hashes in 16 bands of 4 rows, the S-curve midpoint sits at
+    J ≈ (1/16)^(1/4) ≈ 0.5.  Scale shape: signatures are computed in a single
+    narrow projection; the ONLY shuffle is the explode→groupBy on
+    (band, band_hash).
+
+    ``max_bucket_size`` is the hot-bucket skew guard: a band bucket with more
+    than this many members contributes O(bucket²) candidate pairs, so
+    oversized buckets are dropped (their members still pair up through their
+    other bands — with 16 bands, only documents hot in *every* band are
+    lost, and a bucket that large signals boilerplate better handled by
+    exact dedup first).  This is what keeps the operator alive at 10^12 rows
+    on skew-heavy corpora.
+
+    Returns (id_a, id_b [, jaccard]) with id_a < id_b, deduped across bands.
+    """
+    rows_per_band = num_hashes // bands
+    keyed = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k).select(
+        F.col(id_col).alias("__id"), F.col("sig").alias("__sig")
+    )
+    band_entries = keyed.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band)
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("e"),
+    ).select("__id", "e.band", "e.bh")
+    small_buckets = (
+        band_entries.groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter((F.col("__bn") > 1) & (F.col("__bn") <= max_bucket_size))
+        .select("band", "bh")
+    )
+    pruned = band_entries.join(small_buckets, ["band", "bh"])
+    left = pruned.select("band", "bh", F.col("__id").alias("id_a"))
+    right = pruned.select("band", "bh", F.col("__id").alias("id_b"))
+    cand = (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    if verify_threshold is None:
+        return cand
+    toks = df.select(
+        F.col(id_col).alias("__vid"),
+        F.array_distinct(tokens_col(F.col(text_col))).alias("__vt"),
+    )
+    inter = F.size(F.array_intersect(F.col("__ta"), F.col("__tb")))
+    union = F.size(F.array_union(F.col("__ta"), F.col("__tb")))
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        cand.join(
+            toks.select(F.col("__vid").alias("id_a"), F.col("__vt").alias("__ta")),
+            "id_a",
+        )
+        .join(
+            toks.select(F.col("__vid").alias("id_b"), F.col("__vt").alias("__tb")),
+            "id_b",
+        )
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= F.lit(verify_threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document (Charikar 2002).
+
+    (doc, token) explode → per-bit ±1 votes summed in ONE fused aggregate (64
+    conditional sums — same fused-agg machinery as the rule compiler) →
+    signature reassembled bitwise.  One shuffle on the doc id.
+    """
+    tok = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("__tok"),
+    ).withColumn("__h", F.xxhash64(F.col("__tok")))
+    votes = tok.groupBy("__id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"__b{i}")
+            for i in range(64)
+        ]
+    )
+    sig = None
+    for i in range(64):
+        bit = F.when(F.col(f"__b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return votes.select(F.col("__id").alias(id_col), sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    sigs: DataFrame, id_col: str, max_hamming: int = 3, max_bucket_size: int = 256
+) -> DataFrame:
+    """Pairs with Hamming(simhash) ≤ max_hamming via 4×16-bit chunk banding
+    (Manku et al. 2007): any pair within distance 3 shares ≥1 exact chunk, so
+    the bucket-join on (chunk_idx, chunk_value) has full recall — up to the
+    ``max_bucket_size`` hot-bucket guard (same skew rationale as
+    ``minhash_lsh_pairs``; oversized chunk buckets are near-identical
+    boilerplate that exact dedup should have removed).
+    """
+    chunks = sigs.select(
+        F.col(id_col).alias("__id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("ci"),
+                        F.shiftright(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cv"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("e"),
+    ).select("__id", "simhash", "e.ci", "e.cv")
+    small = (
+        chunks.groupBy("ci", "cv")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter((F.col("__bn") > 1) & (F.col("__bn") <= max_bucket_size))
+        .select("ci", "cv")
+    )
+    chunks = chunks.join(small, ["ci", "cv"])
+    a = chunks.select(
+        "ci", "cv", F.col("__id").alias("id_a"), F.col("simhash").alias("__sa")
+    )
+    b = chunks.select(
+        "ci", "cv", F.col("__id").alias("id_b"), F.col("simhash").alias("__sb")
+    )
+    ham = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
+    return (
+        a.join(b, ["ci", "cv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= F.lit(max_hamming))
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )

@@ -1,0 +1,184 @@
+"""Text-analysis operators over a documents table: token stats, quality
+scoring, SQL-expressible language-ID, fingerprinting, PII scrub audit.
+
+These are the training-data text layer of the engine.  The *kernels* for
+langid/perplexity live in ``functions.text`` (Arrow pandas UDFs via
+``pipeline.py``); the operators here are the pure-Catalyst subset whose
+semantics are deliberately restricted to constructs with identical behavior
+in Spark SQL and ANSI SQL (DuckDB) so each has a differential oracle:
+whitespace `split`, ASCII regex classes, exact integer counts, and divisions
+of exact integers (bit-stable across engines).
+
+Reference analogs: garbage-text deny-lists and format rules
+(``/root/reference/src/data_quality/checkpoints.py:407-581``), threshold
+bucketing (``advanced_analysis.py:331-339``).
+
+Scale notes: every operator here is a single scan + one (or zero) shuffle on
+a low-cardinality group key; token arrays never shuffle — aggregates are
+computed before the exchange (map-side partial agg).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import SCRUB_CHAIN, STOPWORD_MARKERS
+
+__all__ = [
+    "token_count_col",
+    "token_stats_by_lang",
+    "quality_buckets",
+    "langid_sql",
+    "fingerprint_stats",
+    "scrub_audit",
+]
+
+
+def token_count_col(text: Column) -> Column:
+    """Whitespace token count; NULL/blank → 0.  Twin of
+    functions.text.token_count and of the SQL
+    ``len(regexp_split_to_array(trim(text), '\\s+'))``."""
+    t = F.trim(text)
+    return (
+        F.when(text.isNull() | (F.length(t) == 0), F.lit(0))
+        .otherwise(F.size(F.split(t, r"\s+")))
+        .cast("int")
+    )
+
+
+def token_stats_by_lang(docs: DataFrame) -> DataFrame:
+    """Per-language token statistics (exact-integer aggregates only)."""
+    toks = token_count_col(F.col("text"))
+    return (
+        docs.withColumn("__nt", toks)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__nt").cast("long").alias("total_tokens"),
+            F.min("__nt").cast("int").alias("min_tokens"),
+            F.max("__nt").cast("int").alias("max_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def quality_buckets(docs: DataFrame) -> DataFrame:
+    """Heuristic doc quality score → bucket counts per language.
+
+    Signals (all exact-int ratios): token count, mean token length, digit
+    fraction, special-char fraction.  Bucketing mirrors the reference's
+    threshold categories (advanced_analysis.py:331-339).
+    """
+    text = F.coalesce(F.col("text"), F.lit(""))
+    n_chars = F.length(text)
+    n_tok = token_count_col(F.col("text"))
+    digits = n_chars - F.length(F.regexp_replace(text, r"[0-9]", ""))
+    specials = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    digit_frac = F.when(n_chars > 0, digits.cast("double") / n_chars).otherwise(
+        F.lit(0.0)
+    )
+    special_frac = F.when(n_chars > 0, specials.cast("double") / n_chars).otherwise(
+        F.lit(0.0)
+    )
+    bucket = (
+        F.when(n_tok < 5, F.lit("too_short"))
+        .when(digit_frac > 0.3, F.lit("digit_heavy"))
+        .when(special_frac > 0.2, F.lit("symbol_heavy"))
+        .when(n_tok >= 40, F.lit("long_form"))
+        .otherwise(F.lit("ok"))
+    )
+    return (
+        docs.withColumn("quality_bucket", bucket)
+        .groupBy("lang", "quality_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("lang", "quality_bucket")
+    )
+
+
+def langid_sql(docs: DataFrame) -> DataFrame:
+    """SQL-expressible language-ID: distinct-marker-stopword voting.
+
+    For each language, the vote is |distinct tokens ∩ marker set|; prediction
+    is the argmax with a fixed tie order (alphabetical), 'und' when all votes
+    are 0.  This is the cheap JVM-only prefilter; the hashed-n-gram model
+    (functions.text.LangIdModel) is the real scorer in the clips pipeline.
+    Returns (pred_lang, n_docs).
+    """
+    toks = F.array_distinct(
+        F.split(F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+")
+    )
+    langs = sorted(STOPWORD_MARKERS)
+    votes = {
+        lang: F.size(
+            F.array_intersect(
+                toks, F.array(*[F.lit(m) for m in STOPWORD_MARKERS[lang]])
+            )
+        )
+        for lang in langs
+    }
+    best = F.greatest(*votes.values()) if len(votes) > 1 else list(votes.values())[0]
+    pred = F.lit("und")
+    # build the when-chain in reverse alphabetical order so earlier languages
+    # win ties (the chain's first match is the last .when applied here)
+    for lang in reversed(langs):
+        pred = F.when(
+            (best > 0) & (votes[lang] == best), F.lit(lang)
+        ).otherwise(pred)
+    return (
+        docs.withColumn("pred_lang", pred)
+        .groupBy("pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("pred_lang")
+    )
+
+
+def fingerprint_stats(docs: DataFrame) -> DataFrame:
+    """Per-source exact-duplicate fingerprint profile (md5 digest)."""
+    return (
+        docs.withColumn("__fp", F.md5(F.col("text")))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_distinct(F.col("__fp")).cast("long").alias("n_unique"),
+            (F.count(F.lit(1)) - F.count_distinct(F.col("__fp")))
+            .cast("long")
+            .alias("n_dup_extra"),
+        )
+        .orderBy("source")
+    )
+
+
+def scrub_col(col: Column) -> Column:
+    """Chained regexp_replace over the shared PII/toxicity patterns
+    (same chain as pipeline.scrub_col; patterns in the Java↔RE2↔Python
+    common dialect)."""
+    out = col
+    for pattern, repl in SCRUB_CHAIN:
+        out = F.regexp_replace(out, pattern, repl)
+    return out
+
+
+def scrub_audit(docs: DataFrame, inject_every: int | None = None) -> DataFrame:
+    """Run the scrub chain and report per-language counts of changed docs.
+
+    ``inject_every=N`` appends a synthetic PII snippet to every Nth doc_id
+    first — used by the differential tests to prove the chain fires (the
+    testdata corpus contains no natural PII).
+    """
+    text = F.col("text")
+    if inject_every:
+        text = F.when(
+            F.col("doc_id") % inject_every == 0,
+            F.concat(F.col("text"), F.lit(" reach me at jane.doe@example.com")),
+        ).otherwise(F.col("text"))
+    scrubbed = scrub_col(text)
+    return (
+        docs.withColumn("__changed", (scrubbed != text).cast("long"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__changed").cast("long").alias("n_scrubbed"),
+        )
+        .orderBy("lang")
+    )

@@ -71,9 +71,16 @@ def unique_candidate_columns(df: DataFrame) -> list[str]:
 
 
 def scan_nulls(
-    df: DataFrame, table: str, columns: Sequence[str] | None = None
+    df: DataFrame,
+    table: str,
+    columns: Sequence[str] | None = None,
+    keep_zero: bool = False,
 ) -> DataFrame:
-    """Null counts on key-ish columns → issues (one fused agg pass)."""
+    """Null counts on key-ish columns → issues (one fused agg pass).
+
+    ``keep_zero=True`` emits a row per checked column even when clean
+    (count=0, severity=info) — the auditable "what was checked" relation.
+    """
     cols = list(columns) if columns is not None else key_columns(df)
     rules = [
         Rule(
@@ -85,7 +92,7 @@ def scan_nulls(
         )
         for c in cols
     ]
-    return compile_rules(df, table, rules)
+    return compile_rules(df, table, rules, keep_zero=keep_zero)
 
 
 def scan_orphans(
@@ -138,7 +145,10 @@ def scan_orphans(
 
 
 def scan_duplicates(
-    df: DataFrame, table: str, columns: Sequence[str] | None = None
+    df: DataFrame,
+    table: str,
+    columns: Sequence[str] | None = None,
+    keep_zero: bool = False,
 ) -> DataFrame:
     """Duplicate *extra-row* counts per unique-candidate column:
     COUNT(col) - COUNT(DISTINCT col) over non-null rows (A7,
@@ -154,7 +164,7 @@ def scan_duplicates(
         )
         for c in cols
     ]
-    return compile_rules(df, table, rules)
+    return compile_rules(df, table, rules, keep_zero=keep_zero)
 
 
 def scan_duplicate_groups(

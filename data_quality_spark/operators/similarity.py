@@ -1,0 +1,154 @@
+"""Similarity search over embedding columns: brute-force cosine top-k and a
+random-hyperplane-LSH bucketed variant.
+
+No reference analog (the reference handles only DBMS scalars); this is the
+training-pipeline capability layer over ``array<float>`` columns.
+
+Scale shape:
+
+- ``cosine_topk`` — the exact baseline.  The query set is broadcast (it is
+  small by construction); each executor scores its partition of the corpus
+  locally, then a partial top-k per partition feeds one tiny final top-k
+  shuffle (window over ≤ #queries × #partitions × k rows after AQE).  Linear
+  scan, no quadratic blow-up, no data movement of the corpus.
+- ``hyperplane_lsh_topk`` — sign-of-projection bucketing (Charikar 2002
+  SRP-LSH): 16 deterministic hyperplanes → 16-bit bucket; queries only score
+  candidates in their bucket.  The corpus shuffles once on the bucket id; at
+  10^12 rows the per-bucket candidate lists are what makes top-k tractable.
+  (A full IVF would learn centroids; SRP needs no training pass and keeps the
+  whole operator deterministic.)
+
+All dot products run in float64 inside Catalyst higher-order functions
+(``zip_with`` + ``aggregate``) — sequential index-order folds, so results are
+bit-stable across partitionings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["dot64", "norm64", "cosine_topk", "hyperplane_lsh_topk"]
+
+
+def dot64(a: Column, b: Column) -> Column:
+    """Float64 dot product of two array columns (sequential left fold)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm64(a: Column) -> Column:
+    return F.sqrt(dot64(a, a))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbours for each query vector.
+
+    Output: (q_id, rank, n_id, cosine) — self-matches excluded; ties broken
+    by neighbour id for determinism.
+    """
+    from pyspark.sql import Window
+
+    c = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("__cv"),
+        norm64(F.col(vec_col)).alias("__cn"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("__qv"),
+        norm64(F.col(vec_col)).alias("__qn"),
+    )
+    sim = dot64(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
+    scored = (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
+        .withColumn("cosine", sim)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "n_id", "cosine")
+    )
+    if round_to is not None:
+        out = out.withColumn("cosine", F.round(F.col("cosine"), round_to))
+    return out
+
+
+def _hyperplanes(dim: int, bits: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((bits, dim))
+
+
+def bucket_col(vec: Column, planes: np.ndarray) -> Column:
+    """SRP bucket id: sign bits of the vector's projection on each plane."""
+    out = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(w)) for w in plane]),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(proj >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        out = out.bitwiseOR(F.shiftleft(bit, i))
+    return out
+
+
+def hyperplane_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    bits: int = 8,
+    seed: int = 7,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors sharing the query's SRP
+    bucket.  Recall < 1 by design; the scale path when a linear scan per query
+    is too expensive.  Output schema matches ``cosine_topk``.
+    """
+    from pyspark.sql import Window
+
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, bits, seed)
+    c = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("__cv"),
+        norm64(F.col(vec_col)).alias("__cn"),
+        bucket_col(F.col(vec_col), planes).alias("__bkt"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("__qv"),
+        norm64(F.col(vec_col)).alias("__qn"),
+        bucket_col(F.col(vec_col), planes).alias("__bkt"),
+    )
+    sim = dot64(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
+    scored = (
+        c.join(F.broadcast(q), "__bkt")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("cosine", sim)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "n_id", "cosine")
+    )
+    if round_to is not None:
+        out = out.withColumn("cosine", F.round(F.col("cosine"), round_to))
+    return out

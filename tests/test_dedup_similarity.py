@@ -1,0 +1,168 @@
+"""Tests for dedup (exact / Jaccard / MinHash-LSH / SimHash), similarity
+search, and the docs text-analysis operators — seeded-defect style mirroring
+the reference's test strategy (/root/reference/tests/test_quality_scanner.py:
+85-150: inject a known defect, assert the scanner finds exactly it)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_spark.operators import dedup as dd
+from data_quality_spark.operators import docs as dq_docs
+from data_quality_spark.operators import similarity as sim
+
+BASE = "the quick brown fox jumps over the lazy dog near the river bank today"
+NEAR = "the quick brown fox jumps over the lazy dog near the river bank yesterday"
+OTHER = "completely different words about spark catalyst optimizer and shuffles"
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [
+        (0, BASE, "en", "s0"),
+        (1, BASE, "en", "s0"),          # exact dup of 0
+        (2, NEAR, "en", "s1"),          # near dup of 0 (1 token differs)
+        (3, OTHER, "en", "s1"),
+        (4, "palabras distintas sobre el mundo y la vida", "es", "s2"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+
+
+def test_exact_dedup_stats(docs_df):
+    row = dd.exact_dedup_stats(docs_df, "text").collect()[0]
+    assert row.n_docs == 5
+    assert row.n_unique == 4
+    assert row.n_dup_extra == 1
+
+
+def test_exact_dedup_keep_first(docs_df):
+    kept = dd.exact_dedup_keep_first(docs_df, "text", "doc_id")
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert ids == [0, 2, 3, 4]  # doc 1 (dup of 0) removed, lowest id wins
+
+
+def test_ngram_jaccard_pairs(docs_df):
+    pairs = dd.ngram_jaccard_pairs(
+        docs_df, "doc_id", "text", ["lang"], threshold=0.5
+    ).collect()
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert got[(0, 1)] == 1.0                      # exact dup
+    assert (0, 2) in got and got[(0, 2)] > 0.8     # near dup
+    assert (0, 3) not in got                       # dissimilar
+
+
+def test_minhash_signatures_shape(docs_df):
+    sigs = dd.minhash_signatures(docs_df, "doc_id", "text", num_hashes=16)
+    rows = {r.doc_id: r.sig for r in sigs.collect()}
+    assert len(rows) == 5 and all(len(s) == 16 for s in rows.values())
+    assert rows[0] == rows[1]          # identical text → identical signature
+    shared = sum(a == b for a, b in zip(rows[0], rows[2]))
+    assert shared > 8                  # near dup shares most minhashes
+
+
+def test_minhash_lsh_pairs(docs_df):
+    pairs = dd.minhash_lsh_pairs(
+        docs_df, "doc_id", "text", num_hashes=64, bands=16, verify_threshold=0.5
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in got
+    assert (0, 2) in got
+    assert (0, 3) not in got and (3, 4) not in got
+
+
+def test_simhash_near_pairs(docs_df):
+    sigs = dd.simhash64(docs_df, "doc_id", "text")
+    pairs = dd.simhash_near_pairs(sigs, "doc_id", max_hamming=10).collect()
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert got.get((0, 1)) == 0        # identical text → identical simhash
+    assert (0, 3) not in got
+
+
+def test_simhash_hot_bucket_guard(spark):
+    # 300 identical docs: every chunk bucket has 300 members → guard drops
+    # them all (exact dedup's job), so no quadratic pair blow-up
+    df = spark.createDataFrame(
+        [(i, BASE) for i in range(300)], ["doc_id", "text"]
+    )
+    sigs = dd.simhash64(df, "doc_id", "text")
+    n = dd.simhash_near_pairs(sigs, "doc_id", max_bucket_size=256).count()
+    assert n == 0
+
+
+@pytest.fixture(scope="module")
+def vectors_df(spark):
+    # vec 0/1 nearly parallel, 2 orthogonal-ish, 3 anti-parallel to 0
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),
+        (4, [0.7, 0.7, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_cosine_topk(vectors_df):
+    out = sim.cosine_topk(
+        vectors_df, vectors_df.filter(F.col("vec_id") == 0), k=2
+    ).collect()
+    ranked = sorted(out, key=lambda r: r.rank)
+    assert [r.n_id for r in ranked] == [1, 4]
+    assert ranked[0].cosine > 0.99
+    assert all(r.q_id == 0 for r in ranked)
+
+
+def test_hyperplane_lsh_topk_finds_parallel(vectors_df):
+    out = sim.hyperplane_lsh_topk(
+        vectors_df, vectors_df.filter(F.col("vec_id") == 0), k=2, bits=4
+    ).collect()
+    # vec 1 is nearly parallel to vec 0 → same SRP bucket w.h.p. for any
+    # hyperplane set; it must appear among the in-bucket neighbours
+    assert any(r.n_id == 1 for r in out)
+
+
+def test_token_stats_and_quality(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "one two three four five six", "en", "s"),
+            (1, "short", "en", "s"),
+            (2, "1 2 3 4 5 6 7 8 9 10 11 12", "de", "s"),
+        ],
+        ["doc_id", "text", "lang", "source"],
+    )
+    stats = {r.lang: r for r in dq_docs.token_stats_by_lang(df).collect()}
+    assert stats["en"].n_docs == 2
+    assert stats["en"].total_tokens == 7
+    assert stats["de"].max_tokens == 12
+    buckets = {
+        (r.lang, r.quality_bucket): r.n_docs
+        for r in dq_docs.quality_buckets(df).collect()
+    }
+    assert buckets[("en", "too_short")] == 1
+    assert buckets[("de", "digit_heavy")] == 1
+
+
+def test_langid_sql_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog went with me", "x", "s"),
+            (1, "el perro y los gatos que veo", "x", "s"),
+            (2, "zzz qqq xx yy", "x", "s"),
+        ],
+        ["doc_id", "text", "lang", "source"],
+    )
+    out = {r.pred_lang: r.n_docs for r in dq_docs.langid_sql(df).collect()}
+    assert out.get("en") == 1
+    assert out.get("es") == 1
+    assert out.get("und") == 1
+
+
+def test_scrub_audit_injection(spark):
+    df = spark.createDataFrame(
+        [(i, "hello world", "en", "s") for i in range(100)],
+        ["doc_id", "text", "lang", "source"],
+    )
+    row = dq_docs.scrub_audit(df, inject_every=50).collect()[0]
+    assert row.n_docs == 100
+    assert row.n_scrubbed == 2  # doc_id 0 and 50 got the injected email
