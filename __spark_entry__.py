@@ -102,6 +102,33 @@ def q_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scans.completeness(_t(spark, sf_dir, "documents"), "documents")
 
 
+def q_table_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = [
+        scans.completeness(_t(spark, sf_dir, tbl), tbl)
+        for tbl in ("documents", "orders", "customer")
+    ]
+    return scans.table_completeness(reduce(lambda a, b: a.unionByName(b), parts))
+
+
+def q_database_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = [
+        scans.completeness(_t(spark, sf_dir, tbl), tbl)
+        for tbl in ("documents", "orders", "customer")
+    ]
+    return scans.database_completeness(reduce(lambda a, b: a.unionByName(b), parts))
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = sim.cosine_near_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.45
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.min("cosine"), 6).alias("min_cosine"),
+        F.round(F.max("cosine"), 6).alias("max_cosine"),
+    )
+
+
 def q_range_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule = Rule(
         name="range",
@@ -256,6 +283,26 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_quality_spark.functions import multimodal as M
+
+    clips = _clips_df(spark, n=300)
+    media = clips.select(
+        F.col("clip_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.col("bytes").alias("payload"),
+        F.create_map(
+            F.lit("codec"), F.col("codec"),
+            F.lit("sr_hz"), F.col("sr_hz").cast("string"),
+        ).alias("meta"),
+    )
+    feats = M.extract_media_features(media, fake_decode=True)
+    return feats.groupBy("kind", "ok").agg(
+        F.count(F.lit(1)).cast("long").alias("n_media"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+    ).orderBy("kind", "ok")
+
+
 def q_clips_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_quality_spark.pipeline import gate
 
@@ -317,6 +364,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_groups": q_duplicate_groups,
         "orphan_scan": q_orphan_scan,
         "completeness": q_completeness,
+        "table_completeness": q_table_completeness,
+        "database_completeness": q_database_completeness,
+        "embedding_near_dup": q_embedding_near_dup,
         "range_rule": q_range_rule,
         "enum_rule": q_enum_rule,
         "regex_rule": q_regex_rule,
@@ -335,6 +385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash_near_dup": q_simhash_near_dup,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "media_features": q_media_features,
         "clips_gate": q_clips_gate,
         "clips_gate_rollup": q_clips_gate_rollup,
         "clips_gate_issues": q_clips_gate_issues,
@@ -475,6 +526,78 @@ SELECT "table", "column", total_rows, filled_count, null_count, empty_string_cou
        WHEN (CASE WHEN total_rows > 0 THEN filled_count * 100.0 / total_rows ELSE 0.0 END) >= 50.0 THEN 'poor'
        ELSE 'critical' END AS category
 FROM rows""",
+        "table_completeness": """
+WITH f AS (
+  SELECT 'documents' AS "table", * FROM (
+    SELECT sum(CASE WHEN doc_id IS NOT NULL THEN 1 ELSE 0 END) * 100.0 / count(*) AS p FROM documents
+    UNION ALL SELECT sum(CASE WHEN text IS NOT NULL AND text <> '' THEN 1 ELSE 0 END) * 100.0 / count(*) FROM documents
+    UNION ALL SELECT sum(CASE WHEN lang IS NOT NULL AND lang <> '' THEN 1 ELSE 0 END) * 100.0 / count(*) FROM documents
+    UNION ALL SELECT sum(CASE WHEN source IS NOT NULL AND source <> '' THEN 1 ELSE 0 END) * 100.0 / count(*) FROM documents
+    UNION ALL SELECT sum(CASE WHEN n_chars IS NOT NULL THEN 1 ELSE 0 END) * 100.0 / count(*) FROM documents
+  )
+  UNION ALL
+  SELECT 'orders', * FROM (
+    SELECT sum(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END) * 100.0 / count(*) FROM orders
+    UNION ALL SELECT sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) * 100.0 / count(*) FROM orders
+    UNION ALL SELECT sum(CASE WHEN o_orderstatus IS NOT NULL AND o_orderstatus <> '' THEN 1 ELSE 0 END) * 100.0 / count(*) FROM orders
+    UNION ALL SELECT sum(CASE WHEN o_totalprice IS NOT NULL THEN 1 ELSE 0 END) * 100.0 / count(*) FROM orders
+    UNION ALL SELECT sum(CASE WHEN o_orderdate IS NOT NULL THEN 1 ELSE 0 END) * 100.0 / count(*) FROM orders
+    UNION ALL SELECT sum(CASE WHEN o_orderpriority IS NOT NULL AND o_orderpriority <> '' THEN 1 ELSE 0 END) * 100.0 / count(*) FROM orders
+  )
+  UNION ALL
+  SELECT 'customer', * FROM (
+    SELECT sum(CASE WHEN c_custkey IS NOT NULL THEN 1 ELSE 0 END) * 100.0 / count(*) FROM customer
+    UNION ALL SELECT sum(CASE WHEN c_name IS NOT NULL AND c_name <> '' THEN 1 ELSE 0 END) * 100.0 / count(*) FROM customer
+    UNION ALL SELECT sum(CASE WHEN c_nationkey IS NOT NULL THEN 1 ELSE 0 END) * 100.0 / count(*) FROM customer
+    UNION ALL SELECT sum(CASE WHEN c_acctbal IS NOT NULL THEN 1 ELSE 0 END) * 100.0 / count(*) FROM customer
+    UNION ALL SELECT sum(CASE WHEN c_mktsegment IS NOT NULL AND c_mktsegment <> '' THEN 1 ELSE 0 END) * 100.0 / count(*) FROM customer
+  )
+)
+SELECT "table", CAST(count(*) AS BIGINT) AS n_columns,
+  ROUND(avg(p), 6) AS completeness_score
+FROM f GROUP BY "table" ORDER BY "table" """,
+        "database_completeness": """
+WITH f AS (
+  SELECT 'documents' AS "table", * FROM (
+    SELECT sum(CASE WHEN doc_id IS NOT NULL THEN 1 ELSE 0 END) * 100.0 / count(*) AS p FROM documents
+    UNION ALL SELECT sum(CASE WHEN text IS NOT NULL AND text <> '' THEN 1 ELSE 0 END) * 100.0 / count(*) FROM documents
+    UNION ALL SELECT sum(CASE WHEN lang IS NOT NULL AND lang <> '' THEN 1 ELSE 0 END) * 100.0 / count(*) FROM documents
+    UNION ALL SELECT sum(CASE WHEN source IS NOT NULL AND source <> '' THEN 1 ELSE 0 END) * 100.0 / count(*) FROM documents
+    UNION ALL SELECT sum(CASE WHEN n_chars IS NOT NULL THEN 1 ELSE 0 END) * 100.0 / count(*) FROM documents
+  )
+  UNION ALL
+  SELECT 'orders', * FROM (
+    SELECT sum(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END) * 100.0 / count(*) FROM orders
+    UNION ALL SELECT sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) * 100.0 / count(*) FROM orders
+    UNION ALL SELECT sum(CASE WHEN o_orderstatus IS NOT NULL AND o_orderstatus <> '' THEN 1 ELSE 0 END) * 100.0 / count(*) FROM orders
+    UNION ALL SELECT sum(CASE WHEN o_totalprice IS NOT NULL THEN 1 ELSE 0 END) * 100.0 / count(*) FROM orders
+    UNION ALL SELECT sum(CASE WHEN o_orderdate IS NOT NULL THEN 1 ELSE 0 END) * 100.0 / count(*) FROM orders
+    UNION ALL SELECT sum(CASE WHEN o_orderpriority IS NOT NULL AND o_orderpriority <> '' THEN 1 ELSE 0 END) * 100.0 / count(*) FROM orders
+  )
+  UNION ALL
+  SELECT 'customer', * FROM (
+    SELECT sum(CASE WHEN c_custkey IS NOT NULL THEN 1 ELSE 0 END) * 100.0 / count(*) FROM customer
+    UNION ALL SELECT sum(CASE WHEN c_name IS NOT NULL AND c_name <> '' THEN 1 ELSE 0 END) * 100.0 / count(*) FROM customer
+    UNION ALL SELECT sum(CASE WHEN c_nationkey IS NOT NULL THEN 1 ELSE 0 END) * 100.0 / count(*) FROM customer
+    UNION ALL SELECT sum(CASE WHEN c_acctbal IS NOT NULL THEN 1 ELSE 0 END) * 100.0 / count(*) FROM customer
+    UNION ALL SELECT sum(CASE WHEN c_mktsegment IS NOT NULL AND c_mktsegment <> '' THEN 1 ELSE 0 END) * 100.0 / count(*) FROM customer
+  )
+)
+SELECT CAST(count(DISTINCT "table") AS BIGINT) AS n_tables,
+  CAST(count(*) AS BIGINT) AS n_columns,
+  ROUND(avg(p), 6) AS completeness_score
+FROM f""",
+        "embedding_near_dup": """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+p AS (
+  SELECT list_dot_product(a.e, b.e)
+    / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS c
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+  ROUND(min(c), 6) AS min_cosine,
+  ROUND(max(c), 6) AS max_cosine
+FROM p WHERE c >= 0.45""",
         "range_rule": """
 SELECT 'customer' AS "table", 'c_acctbal' AS "column", 'range' AS issue_type,
   CAST(sum(CASE WHEN c_acctbal IS NOT NULL AND c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS "count",

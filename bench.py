@@ -58,18 +58,23 @@ def ensure_clips(n: int) -> str:
     return path
 
 
-def gate_job(spark, input_path: str) -> tuple[int, float]:
+def gate_job(spark, input_path: str, warm: bool = True) -> tuple[int, float]:
     """The timed unit: full gate (decode+langid+ppl+heuristics+scrub+decide)
-    + salted rollup.  Returns (rows, seconds)."""
+    + salted rollup, ONE pass (row count derived from the rollup partials).
+    ``warm=True`` first runs a 64-row slice so Python workers and the
+    langid/ppl tables are up — steady-state throughput is the number that
+    transfers to long-running cluster jobs; JVM/worker spawn does not.
+    Returns (rows, seconds)."""
     from data_quality_spark.operators.gate import salted_gate_aggregate
     from data_quality_spark.pipeline import gate
 
     src = spark.read.parquet(input_path)
+    if warm:
+        gate(src.limit(64)).count()
     t0 = time.perf_counter()
     decided = gate(src)
     rollup = salted_gate_aggregate(decided, keys=("lang_pred", "codec"))
-    rows = decided.count()
-    rollup.collect()
+    rows = sum(r["n_clips"] for r in rollup.collect())
     return rows, time.perf_counter() - t0
 
 

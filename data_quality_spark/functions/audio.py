@@ -112,6 +112,10 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
 
     Raises ValueError on malformed containers (drives decode_ok=False).
     """
+    if not isinstance(data, (bytes, bytearray)):
+        # zero-copy numpy views arrive from the Arrow path; the chunked
+        # header walk needs bytes semantics, so wav (only) pays one copy
+        data = bytes(data)
     if len(data) < 44 or data[0:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos = 12
@@ -143,7 +147,9 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
 def decode_clip(data: bytes | None, codec: str | None, sr_hz: int | None) -> np.ndarray:
     """Decode per declared codec; raises on unknown codec / malformed payload.
 
-    For ``wav`` the container's own sample rate must match the declared
+    ``data`` may be ``bytes`` or any buffer-like (e.g. a zero-copy
+    ``np.uint8`` view into an Arrow data buffer — the hot path).  For
+    ``wav`` the container's own sample rate must match the declared
     ``sr_hz`` metadata (a mismatch is a data-quality defect, not a decode
     parameter).
     """

@@ -43,6 +43,8 @@ __all__ = [
     "scan_duplicates",
     "scan_duplicate_groups",
     "completeness",
+    "table_completeness",
+    "database_completeness",
     "health_check",
     "severity_summary",
     "empty_issues",
@@ -250,6 +252,31 @@ def completeness(df: DataFrame, table: str) -> DataFrame:
             )
         )
     return wide.select(F.explode(F.array(*structs)).alias("c")).select("c.*")
+
+
+def table_completeness(completeness_df: DataFrame) -> DataFrame:
+    """Table score = unweighted mean of column fill% (A10,
+    ref advanced_analysis.py:268-274), computed in Spark so many tables'
+    completeness relations can union and roll up in one job."""
+    return (
+        completeness_df.groupBy("table")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_columns"),
+            F.round(F.avg("fill_percentage"), 6).alias("completeness_score"),
+        )
+        .orderBy("table")
+    )
+
+
+def database_completeness(completeness_df: DataFrame) -> DataFrame:
+    """Database score = column-count-weighted mean of table scores, which is
+    exactly the plain mean over all column fill% (A11,
+    ref advanced_analysis.py:121-131)."""
+    return completeness_df.agg(
+        F.count_distinct(F.col("table")).cast("long").alias("n_tables"),
+        F.count(F.lit(1)).cast("long").alias("n_columns"),
+        F.round(F.avg("fill_percentage"), 6).alias("completeness_score"),
+    )
 
 
 def health_check(

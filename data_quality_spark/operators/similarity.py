@@ -30,7 +30,13 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["dot64", "norm64", "cosine_topk", "hyperplane_lsh_topk"]
+__all__ = [
+    "dot64",
+    "norm64",
+    "cosine_topk",
+    "cosine_near_pairs",
+    "hyperplane_lsh_topk",
+]
 
 
 def dot64(a: Column, b: Column) -> Column:
@@ -82,6 +88,46 @@ def cosine_topk(
     if round_to is not None:
         out = out.withColumn("cosine", F.round(F.col("cosine"), round_to))
     return out
+
+
+def cosine_near_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine ≥ threshold).
+
+    Exact all-pairs within a block — O(n²) per block, so ``block_col``
+    (a label, a coarse cluster id, or an SRP bucket from ``bucket_col``) is
+    mandatory at scale; None means one global block (small corpora /
+    verification only).  The LSH-bucketed scale path is
+    ``hyperplane_lsh_topk``'s bucketing composed with this as the verifier.
+    """
+    cols = [F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
+            norm64(F.col(vec_col)).alias("__n")]
+    if block_col is not None:
+        cols.append(F.col(block_col).alias("__blk"))
+    slim = corpus.select(*cols)
+    a = slim.select(
+        *([F.col("__blk")] if block_col else []),
+        F.col("__id").alias("id_a"), F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = slim.select(
+        *([F.col("__blk")] if block_col else []),
+        F.col("__id").alias("id_b"), F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    joined = a.join(b, on="__blk") if block_col else a.crossJoin(b)
+    sim = dot64(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", sim)
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("id_a", "id_b", "cosine")
+    )
 
 
 def _hyperplanes(dim: int, bits: int, seed: int) -> np.ndarray:

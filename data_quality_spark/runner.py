@@ -31,8 +31,11 @@ from .sources.io import LineageLedger, append_metrics, write_partitioned
 
 __all__ = ["write_clips", "run_gate_pipeline", "list_ingest_days"]
 
+# Silver rows reference bronze by clip_id instead of duplicating the audio
+# payload: at 10^12-clip scale re-storing `bytes` would double the corpus
+# footprint and force the payload through every downstream shuffle/write.
 OUTPUT_COLS = [
-    "clip_id", "bytes", "sr_hz", "dur_ms", "codec", "scrubbed",
+    "clip_id", "sr_hz", "dur_ms", "codec", "scrubbed",
     "rms_db", "peak_db", "silence_frac", "clip_frac", "lang_pred",
     "lang_conf", "ppl", "token_count", "len_ratio", "decision", "ingest_day",
 ]
