@@ -9,9 +9,11 @@ synthetic codecs are implemented from their public specs:
 
 These kernels are shared by the Spark pandas-UDF stage (``pipeline.py``) and
 the pandas oracle (``synth.py``) so the decoded-PCM SNR≥30dB / allclose
-invariant (BASELINE.json input_hint) holds by construction.  All math is
-float64 with fixed operation order for bit-identical results on driver and
-executors.
+invariant (BASELINE.json input_hint) holds by construction.  Decoded arrays
+are float32 (the decode+stats path is DRAM-bandwidth-bound at high core
+counts; float32 halves traffic and int16 provenance caps useful precision at
+~96 dB anyway) while every reduction accumulates in float64, with fixed
+operation order for bit-identical results on driver and executors.
 
 Reference analog: the reference has *no* audio path — its closest shapes are
 the per-row range/regex sanity rules (``/root/reference/src/data_quality/
@@ -56,12 +58,16 @@ def encode_pcm16(x: np.ndarray) -> bytes:
 
 
 def decode_pcm16(data: bytes) -> np.ndarray:
-    """little-endian int16 bytes → float64 in [-1,1]; truncates odd tail."""
+    """little-endian int16 bytes → float32 in [-1,1]; truncates odd tail."""
     n = len(data) // 2
     if n == 0:
-        return np.zeros(0, dtype=np.float64)
+        return np.zeros(0, dtype=np.float32)
     q = np.frombuffer(data[: n * 2], dtype="<i2")
-    return q.astype(np.float64) / 32767.0
+    # float32 halves memory traffic vs float64 — the decode+stats path is
+    # DRAM-bandwidth-bound at high core counts (measured 2.7x per-clip cost
+    # inflation from 1 to 16 workers before this change); reductions below
+    # still accumulate in float64
+    return (q.astype(np.float32) / np.float32(32767.0))
 
 
 # ---------------------------------------------------------------- µ-law
@@ -82,16 +88,16 @@ def encode_mulaw(x: np.ndarray) -> bytes:
 
 
 def decode_mulaw(data: bytes) -> np.ndarray:
-    """G.711 µ-law bytes → float64 in [-1,1]."""
+    """G.711 µ-law bytes → float32 in [-1,1]."""
     if len(data) == 0:
-        return np.zeros(0, dtype=np.float64)
+        return np.zeros(0, dtype=np.float32)
     u = (~np.frombuffer(data, dtype=np.uint8).astype(np.int64)) & 0xFF
     sign = u & 0x80
     exp = (u >> 4) & 0x07
     mant = u & 0x0F
     mag = (((mant << 3) + _MULAW_BIAS) << exp) - _MULAW_BIAS
     pcm = np.where(sign != 0, -mag, mag)
-    return pcm.astype(np.float64) / 32767.0
+    return (pcm.astype(np.float32) / np.float32(32767.0))
 
 
 # ---------------------------------------------------------------- wav
@@ -108,7 +114,7 @@ def encode_wav(x: np.ndarray, sr_hz: int) -> bytes:
 
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
-    """Minimal RIFF parser → (float64 samples, sample_rate).
+    """Minimal RIFF parser → (float32 samples, sample_rate).
 
     Raises ValueError on malformed containers (drives decode_ok=False).
     """
@@ -180,19 +186,26 @@ def clip_stats(x: np.ndarray, sr_hz: int) -> dict[str, float]:
             "n_samples": float(n),
         }
     eps = 1e-12
-    rms = float(np.sqrt(np.mean(np.square(x))))
-    peak = float(np.max(np.abs(x)))
+    # one |x| pass (peak + clipping) and one x**2 pass (rms + frame rms,
+    # reused) — the stats stage streams each sample ~3x instead of ~6x;
+    # reductions accumulate in float64 regardless of input dtype
+    a = np.abs(x)
+    x2 = np.square(x)
+    rms = float(np.sqrt(np.mean(x2, dtype=np.float64)))
+    peak = float(a.max())
     rms_db = 20.0 * np.log10(max(rms, eps))
     peak_db = 20.0 * np.log10(max(peak, eps))
-    clip_frac = float(np.mean(np.abs(x) >= (32766.0 / 32767.0)))
+    clip_frac = float(np.mean(a >= (32766.0 / 32767.0), dtype=np.float64))
     frame = max(int(sr_hz * FRAME_MS / 1000), 1)
     n_frames = n // frame
     if n_frames == 0:
         silence_frac = 1.0 if rms_db < SILENCE_DB else 0.0
     else:
-        frames = x[: n_frames * frame].reshape(n_frames, frame)
-        frame_rms = np.sqrt(np.mean(np.square(frames), axis=1))
-        frame_db = 20.0 * np.log10(np.maximum(frame_rms, eps))
+        frame_ms2 = np.mean(
+            x2[: n_frames * frame].reshape(n_frames, frame),
+            axis=1, dtype=np.float64,
+        )
+        frame_db = 10.0 * np.log10(np.maximum(frame_ms2, eps * eps))
         silence_frac = float(np.mean(frame_db < SILENCE_DB))
     return {
         "rms_db": float(max(rms_db, -120.0)),
