@@ -51,7 +51,9 @@ def ensure_clips(n: int) -> str:
     log(f"generating {n} clips → {path}")
     spark = get_spark("bench-gen")
     df = generate_clips_distributed(spark, n, seed=BENCH_SEED, partitions=128)
-    df.write.mode("overwrite").parquet(path)
+    # audio payloads are high-entropy: snappy saves ~nothing but costs a
+    # full decompress pass of the corpus per read — store uncompressed
+    df.write.mode("overwrite").option("compression", "none").parquet(path)
     spark.stop()
     with open(marker, "w") as f:
         f.write("ok")

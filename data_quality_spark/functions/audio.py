@@ -186,16 +186,17 @@ def clip_stats(x: np.ndarray, sr_hz: int) -> dict[str, float]:
             "n_samples": float(n),
         }
     eps = 1e-12
-    # one |x| pass (peak + clipping) and one x**2 pass (rms + frame rms,
-    # reused) — the stats stage streams each sample ~3x instead of ~6x;
-    # reductions accumulate in float64 regardless of input dtype
-    a = np.abs(x)
+    # ONE x**2 pass feeds everything: rms, peak (sqrt of max), clipping
+    # (threshold squared), and the frame-RMS reuse below — the stats stage
+    # streams each sample ~2x instead of ~6x (this path is DRAM-bandwidth
+    # bound at high core counts); reductions accumulate in float64
     x2 = np.square(x)
     rms = float(np.sqrt(np.mean(x2, dtype=np.float64)))
-    peak = float(a.max())
+    peak = float(np.sqrt(x2.max()))
     rms_db = 20.0 * np.log10(max(rms, eps))
     peak_db = 20.0 * np.log10(max(peak, eps))
-    clip_frac = float(np.mean(a >= (32766.0 / 32767.0), dtype=np.float64))
+    clip_thr2 = np.float32((32766.0 / 32767.0) ** 2)
+    clip_frac = float(np.mean(x2 >= clip_thr2, dtype=np.float64))
     frame = max(int(sr_hz * FRAME_MS / 1000), 1)
     n_frames = n // frame
     if n_frames == 0:

@@ -257,7 +257,9 @@ def featurize_files(
                 for path, rg_start, rg_end in zip(
                     row["paths"], row["rg_starts"], row["rg_ends"]
                 ):
-                    pf = _pq.ParquetFile(path)
+                    # memory_map: uncompressed audio columns read zero-copy
+                    # from page cache instead of through a decompress pass
+                    pf = _pq.ParquetFile(path, memory_map=True)
                     for rg in range(rg_start, rg_end):
                         table = pf.read_row_group(rg, columns=col_idx_names)
                         for batch in table.to_batches(max_chunksize=batch_rows):

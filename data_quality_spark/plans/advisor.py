@@ -1,0 +1,153 @@
+"""Schema advisor + backfill suggester (reference C15/C16, trimmed to the
+useful core).
+
+Mirrors the reference's heuristics over ``df.schema`` plus a handful of
+cheap Spark probes:
+
+- natural-key candidates — name patterns + uniqueness ratio
+  (``/root/reference/src/data_quality/schema_analyzer.py:185-201,400-425``);
+- boolean candidates — bool-ish names or ≤2 distinct values
+  (``schema_analyzer.py:204-238,428-520``);
+- fact-table detection — share of numeric + fk-ish columns
+  (``schema_analyzer.py:264-278,644-692``);
+- backfill suggestions — null gaps joined against a declared lookup map
+  (``smart_backfill_suggester.py:196-264``): emits the J4-style join plan
+  as data, the actual repair being `df.join(lookup, key, 'left')` +
+  `coalesce`.
+
+All probes are fused per table: ONE agg computes every uniqueness /
+null counter (same single-scan law as the rule compiler).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "TableAdvice",
+    "advise_table",
+    "suggest_backfills",
+    "backfill_with_lookup",
+]
+
+KEY_NAME_PATTERNS = ("id", "key", "code", "isrc", "number")
+BOOL_NAME_PATTERNS = ("is_", "has_", "_flag", "enabled", "active")
+
+
+@dataclass
+class TableAdvice:
+    table: str
+    n_rows: int
+    natural_keys: list[str] = field(default_factory=list)
+    boolean_candidates: list[str] = field(default_factory=list)
+    looks_like_fact: bool = False
+    notes: list[str] = field(default_factory=list)
+
+
+def advise_table(df: DataFrame, table: str) -> TableAdvice:
+    """One fused probe pass + driver-side heuristics."""
+    cols = df.columns
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for i, c in enumerate(cols):
+        aggs.append(F.approx_count_distinct(F.col(c), 0.01).alias(f"__d{i}"))
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"__z{i}")
+        )
+    row = df.agg(*aggs).collect()[0]
+    n = row["__n"]
+    advice = TableAdvice(table=table, n_rows=n)
+    numericish = 0
+    for i, f_ in enumerate(df.schema.fields):
+        c = f_.name
+        distinct = row[f"__d{i}"]
+        nulls = row[f"__z{i}"]
+        dt = f_.dataType.simpleString()
+        if dt in ("int", "bigint", "double", "float", "decimal"):
+            numericish += 1
+        name = c.lower()
+        # natural key: key-ish name, near-unique, no nulls
+        # 0.93: leaves headroom for approx_count_distinct's ±1% rsd
+        if (
+            any(p in name for p in KEY_NAME_PATTERNS)
+            and n > 0
+            and distinct >= n * 0.93
+            and nulls == 0
+        ):
+            advice.natural_keys.append(c)
+        # boolean candidate: bool-ish name or tiny domain on a non-key col
+        if dt == "boolean" or any(name.startswith(p) or p in name for p in BOOL_NAME_PATTERNS):
+            advice.boolean_candidates.append(c)
+        elif distinct <= 2 and n > 10 and not any(p in name for p in KEY_NAME_PATTERNS):
+            advice.boolean_candidates.append(c)
+            advice.notes.append(f"{c}: ≤2 distinct values — consider boolean/enum")
+    # fact table: mostly numeric measures + at least 2 key-ish columns
+    fk_ish = sum(1 for c in cols if any(p in c.lower() for p in ("id", "key")))
+    advice.looks_like_fact = fk_ish >= 2 and numericish >= len(cols) / 2
+    return advice
+
+
+def suggest_backfills(
+    df: DataFrame,
+    table: str,
+    lookup_map: dict[str, tuple[str, str, str]],
+) -> list[dict]:
+    """Null-gap scan + join-plan suggestions.
+
+    ``lookup_map``: column → (lookup_table, match_col, value_col); a
+    suggestion is emitted when the column has nulls AND the declared lookup
+    could fill them (ref smart_backfill_suggester.py:196-264 emits UPDATE
+    SQL; here the suggestion carries the equivalent DataFrame join plan).
+    """
+    cols = [c for c in lookup_map if c in df.columns]
+    if not cols:
+        return []
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")] + [
+        F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"__z{i}")
+        for i, c in enumerate(cols)
+    ]
+    row = df.agg(*aggs).collect()[0]
+    out = []
+    for i, c in enumerate(cols):
+        nulls = row[f"__z{i}"]
+        if nulls == 0:
+            continue
+        lk_table, match_col, value_col = lookup_map[c]
+        out.append(
+            {
+                "table": table,
+                "column": c,
+                "null_count": int(nulls),
+                "total": int(row["__n"]),
+                "strategy": "lookup_join",
+                "plan": (
+                    f"{table}.join({lk_table}, on {table}.{match_col} == "
+                    f"{lk_table}.{match_col}, 'left').withColumn('{c}', "
+                    f"coalesce({c}, {lk_table}.{value_col}))"
+                ),
+            }
+        )
+    return out
+
+
+def backfill_with_lookup(
+    df: DataFrame,
+    column: str,
+    lookup: DataFrame,
+    match_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Execute the J4-style repair: left join on the match key, fill NULLs
+    from the lookup value (broadcast the lookup — it is the small dim)."""
+    lk = F.broadcast(
+        lookup.select(
+            F.col(match_col).alias("__mk"), F.col(value_col).alias("__mv")
+        ).dropDuplicates(["__mk"])
+    )
+    return (
+        df.join(lk, df[match_col] == F.col("__mk"), "left")
+        .withColumn(column, F.coalesce(F.col(column), F.col("__mv")))
+        .drop("__mk", "__mv")
+    )

@@ -1,0 +1,44 @@
+"""Tests for the schema advisor + backfill suggester (reference C15/C16)."""
+
+from __future__ import annotations
+
+from data_quality_spark.plans.advisor import (
+    advise_table,
+    backfill_with_lookup,
+    suggest_backfills,
+)
+
+
+def test_advise_table(spark):
+    rows = [
+        (i, f"code{i}", i % 2 == 0, float(i), None if i % 5 == 0 else i)
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(
+        rows, "row_id int, item_code string, is_active boolean, amount double, ref_id int"
+    )
+    a = advise_table(df, "t")
+    assert a.n_rows == 100
+    assert "row_id" in a.natural_keys and "item_code" in a.natural_keys
+    assert "ref_id" not in a.natural_keys  # has nulls
+    assert "is_active" in a.boolean_candidates
+    assert a.looks_like_fact  # 2 key-ish cols + numeric majority
+
+
+def test_suggest_and_apply_backfill(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha", None), (2, "beta", 20), (3, "alpha", None), (4, "gamma", 40)],
+        "pk int, name string, ext_id int",
+    )
+    lookup = spark.createDataFrame(
+        [("alpha", 100), ("beta", 200)], "name string, ext_id int"
+    )
+    sugg = suggest_backfills(df, "t", {"ext_id": ("lk", "name", "ext_id")})
+    assert len(sugg) == 1
+    assert sugg[0]["null_count"] == 2 and sugg[0]["strategy"] == "lookup_join"
+
+    fixed = backfill_with_lookup(df, "ext_id", lookup, "name", "ext_id")
+    got = {r.pk: r.ext_id for r in fixed.collect()}
+    # nulls filled from lookup; existing values untouched
+    assert got == {1: 100, 2: 20, 3: 100, 4: 40}
+    assert fixed.filter("ext_id IS NULL").count() == 0
