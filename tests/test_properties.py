@@ -1,0 +1,90 @@
+"""Property-based tests (hypothesis) for the pure kernels — no Spark session,
+so these run in milliseconds and fuzz the corners the seeded corpus misses."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from data_quality_spark.functions import audio as A
+from data_quality_spark.functions import text as X
+
+signals = st.lists(
+    st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+    min_size=0,
+    max_size=2000,
+).map(lambda xs: np.asarray(xs, dtype=np.float64))
+
+
+@settings(max_examples=50, deadline=None)
+@given(signals)
+def test_pcm16_roundtrip_bounded_error(x):
+    y = A.decode_pcm16(A.encode_pcm16(x))
+    assert len(y) == len(x)
+    if len(x):
+        # int16 quantization: worst-case error ~ 1/32767 (+ rounding)
+        assert float(np.max(np.abs(y - x))) <= 1.0 / 32767.0 + 1e-6
+
+
+@settings(max_examples=50, deadline=None)
+@given(signals)
+def test_mulaw_roundtrip_snr(x):
+    y = A.decode_mulaw(A.encode_mulaw(x))
+    assert len(y) == len(x)
+    power = float(np.sum(np.square(x)))
+    if power > 1e-3:  # SNR is only meaningful for non-silent signals
+        err = float(np.sum(np.square(y - x)))
+        assert 10 * np.log10(power / max(err, 1e-30)) >= 25.0
+
+
+@settings(max_examples=50, deadline=None)
+@given(signals, st.sampled_from([8000, 16000, 44100]))
+def test_wav_roundtrip_preserves_sr(x, sr):
+    y, got_sr = A.decode_wav(A.encode_wav(x, sr))
+    assert got_sr == sr and len(y) == len(x)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=512))
+def test_decoders_never_crash_on_garbage(payload):
+    # decode either succeeds or raises ValueError — never another exception
+    for codec in ("pcm16", "mulaw", "wav"):
+        try:
+            out = A.decode_clip(payload, codec, 16000)
+            assert isinstance(out, np.ndarray)
+        except ValueError:
+            pass
+
+
+@settings(max_examples=100, deadline=None)
+@given(signals, st.sampled_from([0, 1, 8000, 16000]))
+def test_clip_stats_invariants(x, sr):
+    st_ = A.clip_stats(x, sr)
+    assert 0.0 <= st_["silence_frac"] <= 1.0
+    assert 0.0 <= st_["clip_frac"] <= 1.0
+    assert st_["rms_db"] <= st_["peak_db"] + 1e-9
+    assert st_["n_samples"] == float(len(x)) or (sr <= 0)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=300))
+def test_scrub_idempotent_and_safe(t):
+    once = X.scrub_text(t)
+    assert X.scrub_text(once) == once  # scrubbing is idempotent
+    # scrubbed text never contains an email-shaped token
+    import re
+
+    assert not re.search(X.PII_PATTERNS[0][1], once)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=200))
+def test_token_metrics_bounds(t):
+    n = X.token_count(t)
+    assert n >= 0
+    assert 0.0 <= X.rep_ratio(t) <= 1.0
+    assert 0.0 <= X.charclass_frac(t) <= 1.0
+    lang, conf = X.LANGID.score_one(t)
+    assert 0.0 <= conf <= 1.0
+    assert X.PPLM.ppl_one(t, lang) >= 0.0
