@@ -166,9 +166,16 @@ def main() -> None:
     ]
     qs = entrymod.queries()
     for name in bench_queries:
-        t0 = time.perf_counter()
-        n = qs[name](spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        # two passes, min: the first pay whole-stage-codegen JIT for the
+        # generated classes (64-agg minhash etc.); steady state is what a
+        # long-running cluster job sees
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = qs[name](spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         log(f"{name}: {n} rows in {timings[name]}s")
     spark.stop()
 

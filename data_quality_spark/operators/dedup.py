@@ -122,14 +122,21 @@ def ngram_jaccard_pairs(
 
 def _shingles(toks: Column, k: int) -> Column:
     """k-token shingles joined with spaces; shorter docs collapse to one
-    whole-document shingle so every non-empty doc has ≥1 shingle."""
+    whole-document shingle so every non-empty doc has ≥1 shingle.
+
+    Built by zip_with-ing the token array against its own shifted slices —
+    O(k) evaluations of the token expression per row.  (The naive
+    ``transform(sequence, i -> element_at(toks, i+j))`` form re-evaluates
+    the tokenization per element access — measured ~30× slower on sf0.1.)
+    """
     n = F.size(toks)
-    sliding = F.transform(
-        F.sequence(F.lit(1), n - (k - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(k)]
-        ),
-    )
+    sh = toks
+    for j in range(1, k):
+        shifted = F.slice(toks, j + 1, F.greatest(n - j, F.lit(0)))
+        # zip_with pads to the longer input; tail entries get null parts that
+        # concat_ws skips, producing short shingles — sliced off below
+        sh = F.zip_with(sh, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    sliding = F.slice(sh, 1, F.greatest(n - (k - 1), F.lit(1)))
     return (
         F.when(n == 0, F.array().cast("array<string>"))
         .when(n < k, F.array(F.concat_ws(" ", toks)))
@@ -154,9 +161,15 @@ def minhash_signatures(
     shuffle carries one 64-long row per document, and the hash work is
     exactly |shingles| × num_hashes.
     """
-    sh_rows = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(_shingles(tokens_col(F.col(text_col)), shingle_k)).alias("__sh"),
+    # CPU-heavy per-row work: force task parallelism ≥ cores even when the
+    # source is one small file (the shuffle moves only (id, text) rows)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    slim = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__tx"))
+    if slim.rdd.getNumPartitions() < par:
+        slim = slim.repartition(par)
+    sh_rows = slim.select(
+        "__id",
+        F.explode(_shingles(tokens_col(F.col("__tx")), shingle_k)).alias("__sh"),
     )
     wide = sh_rows.groupBy("__id").agg(
         *[
@@ -266,9 +279,13 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     conditional sums — same fused-agg machinery as the rule compiler) →
     signature reassembled bitwise.  One shuffle on the doc id.
     """
-    tok = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("__tok"),
+    par = df.sparkSession.sparkContext.defaultParallelism
+    slim = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__tx"))
+    if slim.rdd.getNumPartitions() < par:
+        slim = slim.repartition(par)
+    tok = slim.select(
+        "__id",
+        F.explode(F.array_distinct(tokens_col(F.col("__tx")))).alias("__tok"),
     ).withColumn("__h", F.xxhash64(F.col("__tok")))
     votes = tok.groupBy("__id").agg(
         *[
