@@ -34,6 +34,7 @@ from ..plans.schemas import LINEAGE_SCHEMA, METRICS_SCHEMA
 __all__ = [
     "iceberg_available",
     "write_partitioned",
+    "write_bucketed",
     "LineageLedger",
     "append_metrics",
     "read_metrics",
@@ -63,6 +64,30 @@ def write_partitioned(
         )
     )
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed managed table (Hive-style bucketing; Iceberg's
+    ``bucket(N, col)`` partition transform on a real catalog).
+
+    The 100 TB join pattern: two tables bucketed on the same key with the
+    same bucket count join with ZERO exchange on either side — Catalyst
+    recognizes the co-located output partitioning (see the bucketed-join
+    test, which asserts no Exchange in the plan).  Repeated scan→join
+    pipelines (clips ⋈ transcript-corrections, clips ⋈ per-clip labels)
+    amortize one bucketed write into every downstream shuffle-free join.
+    """
+    writer = df.write.mode(mode).bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.format("parquet").saveAsTable(table)
 
 
 class LineageLedger:
