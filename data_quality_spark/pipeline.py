@@ -174,12 +174,26 @@ def featurize(df: DataFrame) -> DataFrame:
     return df.mapInArrow(run, out_schema)
 
 
+def _hive_partition_values(input_path: str, file_path: str) -> dict[str, str]:
+    """Parse hive-style ``key=value`` directory segments between the dataset
+    root and the file — the partition columns a native Spark scan would
+    reconstruct."""
+    rel = os.path.relpath(os.path.dirname(file_path), input_path)
+    out: dict[str, str] = {}
+    for seg in rel.split(os.sep):
+        if "=" in seg:
+            k, v = seg.split("=", 1)
+            out[k] = v
+    return out
+
+
 def featurize_files(
     spark,
     input_path: str,
     tasks_per_file: int = 1,
     batch_rows: int = 2048,
     waves: int = 3,
+    partition_filter=None,
 ) -> DataFrame:
     """Storage-direct featurize: Python workers read their parquet splits
     with pyarrow, so clip payloads flow storage → Python and NEVER cross the
@@ -191,8 +205,12 @@ def featurize_files(
     This is the 100 TB pattern for media tables: Spark plans file/row-group
     splits, the columnar read happens inside the worker at full parallelism,
     and task granularity follows parquet row groups exactly like the native
-    scan would.  Semantics are identical to ``featurize(spark.read.parquet
-    (input_path))`` minus column-order (same kernels, same rows).
+    scan would.  Hive-style partition directories (``ingest_day=.../``) are
+    reconstructed as string columns, and ``partition_filter`` (a predicate
+    over the partition-value dict) prunes whole files before any IO — the
+    manifest analog of partition pruning.  Semantics are identical to
+    ``featurize(spark.read.parquet(input_path))`` minus column order (same
+    kernels, same rows).
     """
     import pyarrow.parquet as pq
 
@@ -201,8 +219,16 @@ def featurize_files(
         for name in sorted(names):
             if name.endswith(".parquet") and not name.startswith("_"):
                 files.append(os.path.join(root, name))
+    if partition_filter is not None:
+        files = [
+            f for f in files
+            if partition_filter(_hive_partition_values(input_path, f))
+        ]
     if not files:
         raise ValueError(f"no parquet files under {input_path}")
+    part_keys = sorted(
+        {k for f in files for k in _hive_partition_values(input_path, f)}
+    )
     # one row per (file, row-group slice): row-group granularity mirrors the
     # native reader's split planning
     manifest: list[tuple[str, int, int]] = []
@@ -239,10 +265,14 @@ def featurize_files(
             T.StructField(name, from_arrow_type(sample.field(name).type), True)
             for name in carried
         ]
+        + [T.StructField(k, T.StringType(), True) for k in part_keys]
         + list(FEATURES_TYPE.fields)
     )
-    out_names = carried + [f.name for f in FEATURES_TYPE.fields]
+    out_names = (
+        carried + part_keys + [f.name for f in FEATURES_TYPE.fields]
+    )
     col_idx = {name: i for i, name in enumerate(col_idx_names)}
+    root_path = input_path
 
     mdf = spark.createDataFrame(
         rows, "paths array<string>, rg_starts array<int>, rg_ends array<int>"
@@ -260,13 +290,20 @@ def featurize_files(
                     # memory_map: uncompressed audio columns read zero-copy
                     # from page cache instead of through a decompress pass
                     pf = _pq.ParquetFile(path, memory_map=True)
+                    pvals = _hive_partition_values(root_path, path)
                     for rg in range(rg_start, rg_end):
                         table = pf.read_row_group(rg, columns=col_idx_names)
                         for batch in table.to_batches(max_chunksize=batch_rows):
                             feats = _feature_batch(batch, col_idx)
-                            arrays = [
-                                batch.column(col_idx[name]) for name in carried
-                            ] + feats
+                            parts = [
+                                pa.array([pvals.get(k)] * len(batch), type=pa.string())
+                                for k in part_keys
+                            ]
+                            arrays = (
+                                [batch.column(col_idx[name]) for name in carried]
+                                + parts
+                                + feats
+                            )
                             yield pa.RecordBatch.from_arrays(
                                 arrays, names=out_names
                             )
@@ -376,14 +413,24 @@ def gate(df: DataFrame) -> DataFrame:
 
 
 def gate_files(
-    spark, input_path: str, tasks_per_file: int = 1, waves: int = 3
+    spark,
+    input_path: str,
+    tasks_per_file: int = 1,
+    waves: int = 3,
+    partition_filter=None,
 ) -> DataFrame:
     """``gate`` over a parquet directory via the storage-direct featurize
     path (payload bytes never cross the JVM) — the throughput/scaling
     configuration; results are identical to ``gate(spark.read.parquet(...))``."""
     return decide(
         _text_heuristics(
-            featurize_files(spark, input_path, tasks_per_file, waves=waves)
+            featurize_files(
+                spark,
+                input_path,
+                tasks_per_file,
+                waves=waves,
+                partition_filter=partition_filter,
+            )
         )
     )
 

@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .pipeline import gate
+from .pipeline import gate_files
 from .plans.schemas import CLIPS_SCHEMA
 from .sources.io import LineageLedger, append_metrics, write_partitioned
 
@@ -92,8 +92,15 @@ def run_gate_pipeline(
         for d in batch:
             ledger.mark(d, "running", run_id=run_id)
         t0 = time.perf_counter()
-        src = spark.read.parquet(input_path).filter(F.col("ingest_day").isin(batch))
-        decided = gate(src).select(*OUTPUT_COLS)
+        # storage-direct gate: payload bytes go storage → python worker and
+        # never cross the JVM; the partition_filter prunes whole day
+        # directories before any IO (manifest-level partition pruning)
+        days = set(batch)
+        decided = gate_files(
+            spark,
+            input_path,
+            partition_filter=lambda pv: pv.get("ingest_day") in days,
+        ).select(*OUTPUT_COLS)
         # one pass: write all rows (kept + dropped flag) for the silver table;
         # count per day from the write-side aggregate
         day_counts = (
@@ -104,8 +111,15 @@ def run_gate_pipeline(
             )
             .collect()
         )
+        # repartition on the partition keys first: without it every task
+        # writes a file into every (day, lang) directory — task_count × dirs
+        # small files; with it, one file per output partition.  Cheap here:
+        # the payload column is already gone.
+        kept = decided.filter(F.col("decision") == "keep").repartition(
+            "ingest_day", "lang_pred"
+        )
         write_partitioned(
-            decided.filter(F.col("decision") == "keep"),
+            kept,
             os.path.join(output_root, "silver"),
             ["ingest_day", "lang_pred"],
         )

@@ -47,6 +47,29 @@ def test_gate_files_drops_payload(spark, bronze_path):
     assert {"decision", "scrubbed", "lang_pred", "rms_db"} <= set(out.columns)
 
 
+def test_featurize_files_partition_columns(spark, tmp_path):
+    from data_quality_spark.pipeline import featurize_files
+
+    pdf = generate_clips(120, seed=6)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    path = str(tmp_path / "part_bronze")
+    spark.createDataFrame(pdf[cols], CLIPS_SCHEMA).write.partitionBy(
+        "ingest_day"
+    ).parquet(path)
+
+    out = featurize_files(spark, path)
+    assert "ingest_day" in out.columns          # reconstructed from dir names
+    assert out.count() == 120
+    days = {r.ingest_day for r in out.select("ingest_day").distinct().collect()}
+    assert days == set(pdf["ingest_day"].unique())
+
+    one_day = sorted(days)[0]
+    pruned = featurize_files(
+        spark, path, partition_filter=lambda pv: pv.get("ingest_day") == one_day
+    )
+    assert pruned.count() == int((pdf["ingest_day"] == one_day).sum())
+
+
 def test_generate_clips_distributed_deterministic(spark):
     a = generate_clips_distributed(spark, 101, seed=9, partitions=4)
     b = generate_clips_distributed(spark, 101, seed=9, partitions=4)
