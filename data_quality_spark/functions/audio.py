@@ -35,7 +35,9 @@ __all__ = [
     "encode_wav",
     "decode_wav",
     "decode_clip",
+    "decode_stats",
     "clip_stats",
+    "clip_stats_i16",
     "SILENCE_DB",
     "FRAME_MS",
 ]
@@ -215,3 +217,143 @@ def clip_stats(x: np.ndarray, sr_hz: int) -> dict[str, float]:
         "clip_frac": clip_frac,
         "n_samples": float(n),
     }
+
+
+# --------------------------------------------- fused int16-domain fast path
+
+
+def _empty_stats(n: int = 0) -> dict[str, float]:
+    return {
+        "rms_db": -120.0,
+        "peak_db": -120.0,
+        "silence_frac": 1.0,
+        "clip_frac": 0.0,
+        "n_samples": float(n),
+    }
+
+
+def clip_stats_i16(q: np.ndarray, sr_hz: int) -> dict[str, float]:
+    """``clip_stats`` computed directly on int16 PCM in cache-sized chunks.
+
+    No float waveform is ever materialized: squares are exact int64 within a
+    chunk that fits L2, so DRAM traffic ≈ the int16 payload itself (the
+    float path streams ~5× the payload).  Clipping compares in the integer
+    domain (q² ≥ 32766² ⇔ |x| ≥ 32766/32767, exactly).  Numerically this
+    matches ``clip_stats(decode_pcm16(...))`` to ~1e-7 relative (float64
+    reductions; dB thresholds are far coarser).
+    """
+    n = int(q.size)
+    if n == 0 or sr_hz is None or sr_hz <= 0:
+        return _empty_stats(n)
+    eps = 1e-12
+    inv = 1.0 / 32767.0
+    frame = max(int(sr_hz * FRAME_MS / 1000), 1)
+    n_frames = n // frame
+    chunk_frames = max(1, 16384 // frame)
+    step = chunk_frames * frame
+    sum2 = 0.0
+    max2 = 0
+    clip_n = 0
+    thr2_i = 32766 * 32766
+    frame_parts: list[np.ndarray] = []
+    framed_end = n_frames * frame
+    for off in range(0, framed_end, step):
+        qc = q[off : min(off + step, framed_end)]
+        c2 = qc.astype(np.int64)
+        np.multiply(c2, c2, out=c2)
+        sum2 += float(c2.sum())
+        max2 = max(max2, int(c2.max()))
+        clip_n += int(np.count_nonzero(c2 >= thr2_i))
+        frame_parts.append(
+            c2.reshape(-1, frame).mean(axis=1, dtype=np.float64)
+        )
+    tail = q[framed_end:]
+    if tail.size:
+        t2 = tail.astype(np.int64)
+        np.multiply(t2, t2, out=t2)
+        sum2 += float(t2.sum())
+        max2 = max(max2, int(t2.max()))
+        clip_n += int(np.count_nonzero(t2 >= thr2_i))
+    rms = np.sqrt(sum2 / n) * inv
+    peak = np.sqrt(float(max2)) * inv
+    rms_db = 20.0 * np.log10(max(rms, eps))
+    peak_db = 20.0 * np.log10(max(peak, eps))
+    if n_frames == 0:
+        silence_frac = 1.0 if rms_db < SILENCE_DB else 0.0
+    else:
+        frame_ms2 = np.concatenate(frame_parts) * (inv * inv)
+        frame_db = 10.0 * np.log10(np.maximum(frame_ms2, eps * eps))
+        silence_frac = float(np.mean(frame_db < SILENCE_DB))
+    return {
+        "rms_db": float(max(rms_db, -120.0)),
+        "peak_db": float(max(peak_db, -120.0)),
+        "silence_frac": silence_frac,
+        "clip_frac": float(clip_n) / n,
+        "n_samples": float(n),
+    }
+
+
+def _decode_i16(data, codec: str | None, sr_hz: int | None) -> np.ndarray:
+    """Decode to int16 PCM without a float conversion.
+
+    pcm16 and the wav data chunk are zero-copy views; µ-law expands through
+    its integer formula.  Raises ValueError exactly where ``decode_clip``
+    does (unknown codec, malformed wav, header/metadata sr mismatch).
+    """
+    if data is None or codec is None:
+        raise ValueError("missing bytes/codec")
+    if codec == "pcm16":
+        buf = np.frombuffer(data, dtype=np.uint8)
+        n = (buf.size // 2) * 2
+        return buf[:n].view("<i2")
+    if codec == "mulaw":
+        if len(data) == 0:
+            return np.zeros(0, dtype=np.int16)
+        u = (~np.frombuffer(data, dtype=np.uint8).astype(np.int64)) & 0xFF
+        sign = u & 0x80
+        exp = (u >> 4) & 0x07
+        mant = u & 0x0F
+        mag = (((mant << 3) + _MULAW_BIAS) << exp) - _MULAW_BIAS
+        return np.where(sign != 0, -mag, mag).astype(np.int16)
+    if codec == "wav":
+        buf = np.frombuffer(data, dtype=np.uint8)
+        if buf.size < 44 or bytes(buf[0:4]) != b"RIFF" or bytes(buf[8:12]) != b"WAVE":
+            raise ValueError("not a RIFF/WAVE file")
+        pos = 12
+        sr = None
+        samples: np.ndarray | None = None
+        while pos + 8 <= buf.size:
+            cid = bytes(buf[pos : pos + 4])
+            (size,) = struct.unpack("<I", bytes(buf[pos + 4 : pos + 8]))
+            body_start = pos + 8
+            body_end = min(body_start + size, buf.size)
+            if cid == b"fmt " and size >= 16:
+                fmt_code, channels, sr = struct.unpack(
+                    "<HHI", bytes(buf[body_start : body_start + 8])
+                )
+                bits = struct.unpack(
+                    "<H", bytes(buf[body_start + 14 : body_start + 16])
+                )[0]
+                if fmt_code != 1 or channels != 1 or bits != 16:
+                    raise ValueError(
+                        f"unsupported wav format fmt={fmt_code} ch={channels} bits={bits}"
+                    )
+            elif cid == b"data":
+                nb = ((body_end - body_start) // 2) * 2
+                samples = buf[body_start : body_start + nb].view("<i2")
+            pos += 8 + size + (size & 1)
+        if sr is None or samples is None:
+            raise ValueError("missing fmt/data chunk")
+        if sr_hz is not None and int(sr) != int(sr_hz):
+            raise ValueError(f"wav header sr {sr} != declared {sr_hz}")
+        return samples
+    raise ValueError(f"unknown codec {codec!r}")
+
+
+def decode_stats(data, codec: str | None, sr_hz: int | None) -> dict[str, float]:
+    """Decode + per-clip stats in one fused, float-free hot path — the
+    pipeline's (and the oracle's) stats entry point.  Equivalent to
+    ``clip_stats(decode_clip(data, codec, sr_hz), sr_hz)`` with the same
+    error behavior, at ~1/5 the memory traffic."""
+    q = _decode_i16(data, codec, sr_hz)
+    return clip_stats_i16(q, sr_hz if sr_hz and sr_hz > 0 else 1)

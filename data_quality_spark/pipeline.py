@@ -117,7 +117,9 @@ def _feature_batch(batch, col_idx: dict[str, int]):
                 continue
             sr = srs[i]
             try:
-                pcm = A.decode_clip(
+                # fused int16-domain decode+stats: no float waveform is
+                # materialized, DRAM traffic ≈ the payload itself
+                st = A.decode_stats(
                     data[offsets[i]:offsets[i + 1]],
                     codecs[i],
                     int(sr) if sr is not None else None,
@@ -125,7 +127,6 @@ def _feature_batch(batch, col_idx: dict[str, int]):
             except (ValueError, TypeError):
                 continue
             out["decode_ok"][i] = True
-            st = A.clip_stats(pcm, int(sr) if sr and sr > 0 else 1)
             out["rms_db"][i] = st["rms_db"]
             out["peak_db"][i] = st["peak_db"]
             out["silence_frac"][i] = st["silence_frac"]

@@ -241,16 +241,14 @@ def generate_clips_distributed(
 def _features_one(row) -> dict:
     th = GateThresholds
     try:
-        pcm = A.decode_clip(row["bytes"], row["codec"], row["sr_hz"])
+        st = A.decode_stats(row["bytes"], row["codec"], row["sr_hz"])
         decode_ok = True
-    except (ValueError, Exception):
-        pcm = np.zeros(0)
+    except (ValueError, TypeError):
         decode_ok = False
-    sr = row["sr_hz"] if row["sr_hz"] and row["sr_hz"] > 0 else 1
-    st = A.clip_stats(pcm, sr) if decode_ok else {
-        "rms_db": None, "peak_db": None, "silence_frac": None,
-        "clip_frac": None, "n_samples": 0.0,
-    }
+        st = {
+            "rms_db": None, "peak_db": None, "silence_frac": None,
+            "clip_frac": None, "n_samples": 0.0,
+        }
     lang, conf = X.LANGID.score_one(row["transcript"])
     ppl = X.PPLM.ppl_one(row["transcript"], lang)
     return {
