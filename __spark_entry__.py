@@ -209,6 +209,24 @@ def q_distinct_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_health_check_issues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship composed health-check relation (entry's shape) with a
+    full differential oracle: nulls ∪ duplicates ∪ orphans."""
+    return (
+        q_scan_nulls(spark, sf_dir)
+        .unionByName(q_scan_duplicates(spark, sf_dir))
+        .unionByName(q_orphan_scan(spark, sf_dir))
+    )
+
+
+def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kept = dd.exact_dedup_keep_first(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    return kept.agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("sum_kept_ids"),
+    )
+
+
 def q_severity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     issues = q_scan_duplicates(spark, sf_dir).unionByName(
         q_range_rule(spark, sf_dir)
@@ -374,6 +392,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_event_types": q_topk_event_types,
         "distinct_probe": q_distinct_probe,
         "severity_summary": q_severity_summary,
+        "health_check_issues": q_health_check_issues,
+        "dedup_keep_first": q_dedup_keep_first,
         "token_stats": q_token_stats,
         "quality_buckets": q_quality_buckets,
         "langid_sql": q_langid_sql,
@@ -644,6 +664,33 @@ SELECT 'customer' AS "table", 'c_name' AS "column", 'low_range_name' AS issue_ty
   'info' AS severity,
   'c_name in reserved low id range' AS description
 FROM customer""",
+        "health_check_issues": (
+            _null_scan_sql()
+            + " UNION ALL "
+            + _dup_scan_sql()
+            + """ UNION ALL
+SELECT * FROM (
+  WITH child AS (SELECT user_id FROM events UNION ALL SELECT -999),
+  o AS (
+    SELECT CAST(count(*) AS BIGINT) AS "count"
+    FROM child LEFT JOIN customer ON child.user_id = customer.c_custkey
+    WHERE child.user_id IS NOT NULL AND customer.c_custkey IS NULL
+  ), t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM child)
+  SELECT 'events' AS "table", 'user_id' AS "column", 'orphan' AS issue_type,
+         o."count", t.total,
+         CASE WHEN t.total > 0 THEN o."count" * 100.0 / t.total ELSE 0.0 END AS percent,
+         CASE WHEN o."count" > 0 THEN 'critical' ELSE 'info' END AS severity,
+         'user_id references missing customer.c_custkey' AS description
+  FROM o, t WHERE o."count" > 0
+)"""
+        ),
+        "dedup_keep_first": """
+WITH kept AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(doc_id) AS BIGINT) AS sum_kept_ids
+FROM kept""",
         "trend_rollup": """
 SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
   CAST(count(*) AS BIGINT) AS n_events,
