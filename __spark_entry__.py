@@ -189,6 +189,20 @@ def q_trend_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_quality_spark.operators.events import user_session_counts
+
+    counts = user_session_counts(
+        _t(spark, sf_dir, "events"), gap_minutes=30
+    )
+    return counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("n_sessions").cast("long").alias("total_sessions"),
+        F.max("n_sessions").cast("long").alias("max_sessions"),
+        F.sum("n_events").cast("long").alias("total_events"),
+    )
+
+
 def q_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _t(spark, sf_dir, "events")
@@ -389,6 +403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enum_rule": q_enum_rule,
         "regex_rule": q_regex_rule,
         "trend_rollup": q_trend_rollup,
+        "event_sessions": q_event_sessions,
         "topk_event_types": q_topk_event_types,
         "distinct_probe": q_distinct_probe,
         "severity_summary": q_severity_summary,
@@ -697,6 +712,24 @@ SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
 FROM events GROUP BY 1 ORDER BY 1""",
+        "event_sessions": """
+WITH s AS (
+  SELECT user_id,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+           OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                + INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+), per_user AS (
+  SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM s GROUP BY user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(n_sessions) AS BIGINT) AS total_sessions,
+       CAST(max(n_sessions) AS BIGINT) AS max_sessions,
+       CAST(sum(n_events) AS BIGINT) AS total_events
+FROM per_user""",
         "topk_event_types": """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
 FROM events GROUP BY 1 ORDER BY n_events DESC, event_type LIMIT 3""",
