@@ -719,7 +719,7 @@ WITH s AS (
            OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
                 + INTERVAL 30 MINUTE
          THEN 1 ELSE 0 END AS new_s
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ), per_user AS (
   SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
          CAST(count(*) AS BIGINT) AS n_events

@@ -27,15 +27,21 @@ def sessionize(
     gap_minutes: int = 30,
 ) -> DataFrame:
     """Append ``session_idx`` (1-based per user): a new session starts when
-    the gap to the previous event exceeds ``gap_minutes``."""
+    the gap to the previous event exceeds ``gap_minutes``.
+
+    Rows with a NULL timestamp are dropped first — an event that cannot be
+    placed in time belongs to no session, and without the filter Spark's
+    NULLS FIRST vs DuckDB's NULLS LAST window ordering would make the two
+    engines disagree.
+    """
     w = Window.partitionBy(user_col).orderBy(ts_col)
     prev = F.lag(F.col(ts_col)).over(w)
+    gap = F.make_dt_interval(mins=F.lit(gap_minutes))
     new_session = F.when(
-        prev.isNull()
-        | (F.col(ts_col) > prev + F.expr(f"INTERVAL {gap_minutes} MINUTES")),
+        prev.isNull() | (F.col(ts_col) > prev + gap),
         F.lit(1),
     ).otherwise(F.lit(0))
-    return df.withColumn(
+    return df.filter(F.col(ts_col).isNotNull()).withColumn(
         "session_idx",
         F.sum(new_session).over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -71,11 +77,9 @@ def user_session_counts(
     """Per-user session count + event count (the compact verification
     relation: exact integers only)."""
     s = sessionize(df, user_col, ts_col, gap_minutes)
-    return (
-        s.groupBy(user_col)
-        .agg(
-            F.max("session_idx").cast("long").alias("n_sessions"),
-            F.count(F.lit(1)).cast("long").alias("n_events"),
-        )
-        .orderBy(user_col)
+    # no orderBy: keeps the operator at exactly one shuffle (the user key);
+    # callers that need sorted output sort the small result themselves
+    return s.groupBy(user_col).agg(
+        F.max("session_idx").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
     )

@@ -40,6 +40,15 @@ def test_exact_gap_is_same_session(spark):
     assert counts.n_sessions == 1
 
 
+def test_null_timestamps_excluded(spark):
+    # NULL-ts events belong to no session; without the filter Spark's
+    # NULLS FIRST vs DuckDB's NULLS LAST window ordering diverges
+    rows = [(1, _ts(0)), (1, None), (1, None), (1, _ts(10))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    r = user_session_counts(df, gap_minutes=30).collect()[0]
+    assert (r.n_sessions, r.n_events) == (1, 2)
+
+
 def test_session_stats(spark):
     rows = [(1, _ts(0)), (1, _ts(10)), (1, _ts(45))]
     df = spark.createDataFrame(rows, "user_id long, ts timestamp")
