@@ -1,0 +1,80 @@
+"""CLI tests: check/gate/completeness commands and the reference's exit-code
+policy (deployment_gate.py:168-184 / cli_clean.py:109-117 semantics)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from data_quality_spark.plans.report import HealthReport, Report, exit_code_for
+
+
+def test_exit_code_policy():
+    crit = Report("1.0", "s", [{"severity": "critical"}])
+    warn = Report("1.0", "s", [{"severity": "warning"}])
+    clean = Report("1.0", "s", [])
+    assert exit_code_for(crit) == 2
+    assert exit_code_for(warn) == 0                      # default fail_on=critical
+    assert exit_code_for(warn, strict=True) == 1
+    assert exit_code_for(warn, fail_on="warning") == 1
+    assert exit_code_for(crit, fail_on="none") == 0
+    assert exit_code_for(clean, strict=True) == 0
+    hr = HealthReport(False, 1, {"critical": 1}, 1.0)
+    assert exit_code_for(hr) == 2
+
+
+@pytest.mark.slow
+def test_cli_check_and_completeness(spark, tmp_path, capsys, monkeypatch):
+    # spark fixture keeps the session; cli.get_spark returns the same active
+    # session via getOrCreate, and we stop main() from killing it
+    import data_quality_spark.cli as cli
+
+    monkeypatch.setattr(
+        "pyspark.sql.SparkSession.stop", lambda self: None
+    )
+    tables = tmp_path / "tables"
+    tables.mkdir()
+    df = spark.createDataFrame(
+        [(1, "a@b.com"), (2, None), (3, None)], "user_id long, email string"
+    )
+    df.coalesce(1).write.parquet(str(tables / "users.parquet"))
+
+    out_file = tmp_path / "report.json"
+    code = cli.main(
+        ["check", "--tables", str(tables), "--format", "json",
+         "--fail-on", "warning", "--output", str(out_file)]
+    )
+    captured = capsys.readouterr().out
+    payload = json.loads(out_file.read_text())
+    assert any(i["issue_type"] == "nulls" for i in payload["issues"])
+    assert "users" in captured
+    # 'email' is scanned (P1 name pattern) but is not in the narrower
+    # id/key/isrc severity list → 66% nulls ⇒ warning ⇒ exit 1 under
+    # fail_on=warning (ref null-severity law, quality_scanner.py:572-585)
+    assert code == 1
+
+    code2 = cli.main(["completeness", "--tables", str(tables)])
+    out2 = capsys.readouterr().out
+    assert code2 == 0 and "DATABASE:" in out2
+
+
+@pytest.mark.slow
+def test_cli_gate_roundtrip(spark, tmp_path, capsys, monkeypatch):
+    import data_quality_spark.cli as cli
+    from data_quality_spark.runner import write_clips
+    from data_quality_spark.synth import generate_clips
+
+    monkeypatch.setattr("pyspark.sql.SparkSession.stop", lambda self: None)
+    bronze = str(tmp_path / "bronze")
+    out = str(tmp_path / "out")
+    write_clips(spark, generate_clips(100, seed=13), bronze)
+
+    code = cli.main(["gate", "--input", bronze, "--output", out])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert code == 0 and res["completed"] and res["rows_in"] == 100
+
+    # second run: everything done → zero rows reprocessed
+    code2 = cli.main(["gate", "--input", bronze, "--output", out])
+    res2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert code2 == 0 and res2["rows_in"] == 0 and res2["skipped"] == 7
