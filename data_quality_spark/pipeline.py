@@ -395,15 +395,21 @@ def rule_flags(df: DataFrame) -> dict[str, Column]:
 
 
 def decide(df: DataFrame) -> DataFrame:
-    """decision ∈ {keep, drop} + scrubbed transcript (3-way graylist of the
+    """decision ∈ {keep, drop} + first-violated-rule ``decision_reason``
+    (NULL for kept rows) + scrubbed transcript.  (3-way graylist of the
     reference's decision enum, checkpoints.py:216-252, collapses to binary
-    keep/drop per the north rule)."""
+    keep/drop per the north rule; the reason column is the per-row audit
+    trail the reference keeps only in aggregate issue counts.)"""
     flags = rule_flags(df)
     drop = None
+    reason = F.lit(None).cast("string")
+    for name in reversed(list(flags)):
+        reason = F.when(flags[name], F.lit(name)).otherwise(reason)
     for c in flags.values():
         drop = c if drop is None else (drop | c)
     return (
         df.withColumn("decision", F.when(drop, "drop").otherwise("keep"))
+        .withColumn("decision_reason", reason)
         .withColumn("scrubbed", scrub_col(F.col("transcript")))
     )
 

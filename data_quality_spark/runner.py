@@ -37,7 +37,8 @@ __all__ = ["write_clips", "run_gate_pipeline", "list_ingest_days"]
 OUTPUT_COLS = [
     "clip_id", "sr_hz", "dur_ms", "codec", "scrubbed",
     "rms_db", "peak_db", "silence_frac", "clip_frac", "lang_pred",
-    "lang_conf", "ppl", "token_count", "len_ratio", "decision", "ingest_day",
+    "lang_conf", "ppl", "token_count", "len_ratio", "decision",
+    "decision_reason", "ingest_day",
 ]
 
 

@@ -133,3 +133,22 @@ def test_medallion_checkpoints(corpus, spark_result):
     g = res["silver_to_gold"]
     # gate dropped everything the gold rules would flag → gold gate passes
     assert g.success, g.issues
+
+
+def test_decision_reason_audit_trail(spark):
+    from data_quality_spark.pipeline import gate
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import generate_clips
+
+    pdf = generate_clips(300, seed=29)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    decided = gate(spark.createDataFrame(pdf[cols], CLIPS_SCHEMA)).select(
+        "decision", "decision_reason"
+    )
+    rows = decided.collect()
+    # every dropped row names its first violated rule; kept rows carry NULL
+    assert all((r.decision == "drop") == (r.decision_reason is not None) for r in rows)
+    from data_quality_spark.pipeline import DROP_RULES
+
+    reasons = {r.decision_reason for r in rows if r.decision_reason}
+    assert reasons and reasons <= set(DROP_RULES)
