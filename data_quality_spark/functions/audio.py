@@ -259,7 +259,9 @@ def clip_stats_i16(q: np.ndarray, sr_hz: int) -> dict[str, float]:
     framed_end = n_frames * frame
     for off in range(0, framed_end, step):
         qc = q[off : min(off + step, framed_end)]
-        c2 = qc.astype(np.int64)
+        # int32 holds 32767^2 exactly and halves the hot chunk's footprint
+        # vs int64 (the chunk must stay cache-resident across 4 reductions)
+        c2 = qc.astype(np.int32)
         np.multiply(c2, c2, out=c2)
         sum2 += float(c2.sum())
         max2 = max(max2, int(c2.max()))
@@ -269,7 +271,7 @@ def clip_stats_i16(q: np.ndarray, sr_hz: int) -> dict[str, float]:
         )
     tail = q[framed_end:]
     if tail.size:
-        t2 = tail.astype(np.int64)
+        t2 = tail.astype(np.int32)
         np.multiply(t2, t2, out=t2)
         sum2 += float(t2.sum())
         max2 = max(max2, int(t2.max()))
