@@ -414,6 +414,28 @@ def decide(df: DataFrame) -> DataFrame:
     )
 
 
+def decide3(df: DataFrame) -> DataFrame:
+    """The reference's 3-way decision enum (checkpoints.py:216-252) over a
+    featurized frame: critical-severity rule violations → ``reject``,
+    warning-only violations → ``graylist``, clean → ``accept``.  The binary
+    north-rule gate is ``decide`` (graylist collapses into drop)."""
+    flags = rule_flags(df)
+    crit = None
+    warn = None
+    for name, col in flags.items():
+        if DROP_RULES[name] == "critical":
+            crit = col if crit is None else (crit | col)
+        else:
+            warn = col if warn is None else (warn | col)
+    return (
+        df.withColumn(
+            "decision",
+            F.when(crit, "reject").when(warn, "graylist").otherwise("accept"),
+        )
+        .withColumn("scrubbed", scrub_col(F.col("transcript")))
+    )
+
+
 def gate(df: DataFrame) -> DataFrame:
     """Full per-row pipeline: featurize → heuristics → decide/scrub."""
     return decide(_text_heuristics(featurize(df)))

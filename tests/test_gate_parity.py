@@ -152,3 +152,25 @@ def test_decision_reason_audit_trail(spark):
 
     reasons = {r.decision_reason for r in rows if r.decision_reason}
     assert reasons and reasons <= set(DROP_RULES)
+
+
+def test_three_way_decision(spark):
+    from data_quality_spark.pipeline import _text_heuristics, decide, decide3, featurize
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import generate_clips
+
+    pdf = generate_clips(300, seed=37)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    feat = _text_heuristics(
+        featurize(spark.createDataFrame(pdf[cols], CLIPS_SCHEMA))
+    ).cache()
+    try:
+        d3 = {r.clip_id: r.decision for r in decide3(feat).collect()}
+        d2 = {r.clip_id: r.decision for r in decide(feat).collect()}
+        assert set(d3.values()) <= {"accept", "graylist", "reject"}
+        # 3-way collapses onto the binary gate: accept ⇔ keep
+        for cid, dec in d3.items():
+            assert (dec == "accept") == (d2[cid] == "keep")
+        assert "reject" in d3.values() and "graylist" in d3.values()
+    finally:
+        feat.unpersist()
