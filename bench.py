@@ -60,7 +60,7 @@ def ensure_clips(n: int) -> str:
     return path
 
 
-def ensure_wide_table(spark, n_rows: int = 50_000_000) -> str:
+def ensure_wide_table(spark, n_rows: int = 25_000_000) -> str:
     """Cache a large scalar table for the rows/s scan benchmark (the
     reference's headline metric is health-check rows/s on scalar tables).
     Uses the caller's session — getOrCreate would return the live one and
@@ -221,11 +221,11 @@ def main() -> None:
     log(f"clips_gate: {rows} clips in {dt:.2f}s = {clips_per_sec:.0f} clips/s")
 
     # reference-comparable scalar scan throughput (their headline: 9.6M
-    # rows/s health check): fused rules over a 50M-row table, steady state
+    # rows/s health check): fused rules over a 25M-row table, steady state
     wide_path = ensure_wide_table(spark)
     health_scan_job(spark, wide_path)  # warm (codegen + page cache)
     wrows, wdt = health_scan_job(spark, wide_path)
-    timings["health_scan_50m"] = round(wdt, 3)
+    timings["health_scan_25m"] = round(wdt, 3)
     scan_rows_per_sec = wrows / wdt if wdt > 0 else 0.0
     log(f"health_scan: {wrows} rows in {wdt:.2f}s = {scan_rows_per_sec/1e6:.1f}M rows/s")
 
@@ -275,7 +275,7 @@ def main() -> None:
                 f"- scalar health-scan throughput (reference-comparable "
                 "shape — null/enum/range/duplicate rules fused into one "
                 f"scan): **{scan_rows_per_sec / 1e6:.1f}M rows/s** over a "
-                "50M-row table (reference's claimed best: 9.6M rows/s on "
+                "25M-row table (reference's claimed best: 9.6M rows/s on "
                 "100k rows, BENCHMARKS.md:15-18)\n"
                 "- scaling, N → 4N cores on the same input (taskset-pinned "
                 "4 → 16 cores, local[N] slots matched to the pin; best-of-3 "
