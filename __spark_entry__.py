@@ -241,6 +241,17 @@ def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prof = scans.profile_numeric(
+        _t(spark, sf_dir, "lineitem"), "lineitem", ["l_quantity", "l_discount"]
+    )
+    # exact-aggregate slice only (percentiles are approx by design)
+    return prof.select(
+        "table", "column", "non_null", "nulls", "min", "max",
+        F.round(F.col("mean"), 6).alias("mean_r"),
+    )
+
+
 def q_severity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     issues = q_scan_duplicates(spark, sf_dir).unionByName(
         q_range_rule(spark, sf_dir)
@@ -409,6 +420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "severity_summary": q_severity_summary,
         "health_check_issues": q_health_check_issues,
         "dedup_keep_first": q_dedup_keep_first,
+        "profile_numeric": q_profile_numeric,
         "token_stats": q_token_stats,
         "quality_buckets": q_quality_buckets,
         "langid_sql": q_langid_sql,
@@ -699,6 +711,22 @@ SELECT * FROM (
   FROM o, t WHERE o."count" > 0
 )"""
         ),
+        "profile_numeric": """
+SELECT 'lineitem' AS "table", 'l_quantity' AS "column",
+  CAST(count(l_quantity) AS BIGINT) AS non_null,
+  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+  CAST(min(l_quantity) AS DOUBLE) AS "min",
+  CAST(max(l_quantity) AS DOUBLE) AS "max",
+  ROUND(avg(l_quantity), 6) AS mean_r
+FROM lineitem
+UNION ALL
+SELECT 'lineitem', 'l_discount',
+  CAST(count(l_discount) AS BIGINT),
+  CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+  CAST(min(l_discount) AS DOUBLE),
+  CAST(max(l_discount) AS DOUBLE),
+  ROUND(avg(l_discount), 6)
+FROM lineitem""",
         "dedup_keep_first": """
 WITH kept AS (
   SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)

@@ -41,6 +41,8 @@ __all__ = [
     "scan_nulls",
     "scan_orphans",
     "scan_duplicates",
+    "scan_duplicates_approx",
+    "profile_numeric",
     "scan_duplicate_groups",
     "completeness",
     "table_completeness",
@@ -167,6 +169,72 @@ def scan_duplicates(
         for c in cols
     ]
     return compile_rules(df, table, rules, keep_zero=keep_zero)
+
+
+def scan_duplicates_approx(
+    df: DataFrame,
+    table: str,
+    columns: Sequence[str] | None = None,
+    rsd: float = 0.01,
+    keep_zero: bool = False,
+) -> DataFrame:
+    """A7 at 10^12 scale: HyperLogLog++ distinct-diff (no exact
+    count-distinct expansion; error bounded by ``rsd``).  The exact scan is
+    the correctness tool; this is the monitoring tool — the reference's
+    trend tables only need the magnitude (SURVEY A7 note)."""
+    cols = list(columns) if columns is not None else unique_candidate_columns(df)
+    rules = [
+        Rule(
+            name="duplicate_approx",
+            column=c,
+            agg=lambda d, c=c: F.greatest(
+                F.count(d[c]) - F.approx_count_distinct(d[c], rsd), F.lit(0)
+            ),
+            severity=Severity.WARNING.value,
+            description=f"{c} approx duplicate count (rsd={rsd})",
+        )
+        for c in cols
+    ]
+    return compile_rules(df, table, rules, keep_zero=keep_zero)
+
+
+def profile_numeric(
+    df: DataFrame, table: str, columns: Sequence[str]
+) -> DataFrame:
+    """One-pass numeric profile per column: count/nulls/min/max/mean/stddev
+    + approx p50/p95/p99 — the data-profiling relation every quality
+    dashboard needs; all aggregates fuse into a single scan."""
+    aggs: list[Column] = []
+    for i, c in enumerate(columns):
+        aggs += [
+            F.count(df[c]).cast("long").alias(f"__n{i}"),
+            F.sum(F.when(df[c].isNull(), 1).otherwise(0)).cast("long").alias(f"__z{i}"),
+            F.min(df[c]).cast("double").alias(f"__mn{i}"),
+            F.max(df[c]).cast("double").alias(f"__mx{i}"),
+            F.avg(df[c]).cast("double").alias(f"__av{i}"),
+            F.stddev_samp(df[c]).cast("double").alias(f"__sd{i}"),
+            F.percentile_approx(
+                df[c].cast("double"), [0.5, 0.95, 0.99], 10_000
+            ).alias(f"__pq{i}"),
+        ]
+    wide = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(table).alias("table"),
+            F.lit(c).alias("column"),
+            F.col(f"__n{i}").alias("non_null"),
+            F.col(f"__z{i}").alias("nulls"),
+            F.col(f"__mn{i}").alias("min"),
+            F.col(f"__mx{i}").alias("max"),
+            F.col(f"__av{i}").alias("mean"),
+            F.col(f"__sd{i}").alias("stddev"),
+            F.col(f"__pq{i}")[0].alias("p50"),
+            F.col(f"__pq{i}")[1].alias("p95"),
+            F.col(f"__pq{i}")[2].alias("p99"),
+        )
+        for i, c in enumerate(columns)
+    ]
+    return wide.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
 
 
 def scan_duplicate_groups(

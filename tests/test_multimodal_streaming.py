@@ -91,3 +91,48 @@ def test_analysis_report():
     assert a.confidence_score < 1.0
     clean = analyze_issues([])
     assert clean.severity_assessment == "none" and clean.confidence_score == 1.0
+
+
+def test_windowed_counts_stream_matches_batch(spark, tmp_path):
+    from datetime import datetime, timedelta
+
+    from data_quality_spark.streaming.windowed import windowed_counts
+
+    base = datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (base + timedelta(seconds=s), kind)
+        for s in range(0, 300, 7)
+        for kind in (["click"] if s % 3 else ["view"])
+    ]
+    src_dir = str(tmp_path / "ev")
+    out_dir = str(tmp_path / "ev_out")
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    df.write.parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(df.schema).parquet(src_dir)
+    )
+    q = (
+        windowed_counts(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        (r.window_start, r.event_type): r.n_events
+        for r in windowed_counts(df).collect()
+    }
+    # append mode emits only windows the watermark closed; every emitted
+    # window must match the batch result exactly, and most windows close
+    # (stream end advances the watermark past all but the last windows)
+    assert got
+    assert all(want[k] == v for k, v in got.items())

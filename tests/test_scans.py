@@ -145,3 +145,36 @@ def test_severity_summary(spark):
     s = {r["severity"]: r["n_issues"] for r in severity_summary(issues).collect()}
     # email 100% null → >50% → warning (F9); some_id has no nulls → no issue
     assert s.get("warning", 0) == 1 and len(s) == 1
+
+
+def test_scan_duplicates_approx_close_to_exact(spark, sf_dir):
+    from data_quality_spark.operators.scans import scan_duplicates, scan_duplicates_approx
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = {
+        r["column"]: r["count"]
+        for r in scan_duplicates(df, "lineitem", ["l_orderkey"], keep_zero=True).collect()
+    }
+    approx = {
+        r["column"]: r["count"]
+        for r in scan_duplicates_approx(df, "lineitem", ["l_orderkey"], keep_zero=True).collect()
+    }
+    ex, ap = exact["l_orderkey"], approx["l_orderkey"]
+    assert ex > 0
+    assert abs(ap - ex) <= max(0.05 * ex, 10)   # HLL++ within a few % + slack
+
+
+def test_profile_numeric_one_pass(spark, sf_dir):
+    from data_quality_spark.operators.scans import profile_numeric
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    prof = {
+        r["column"]: r
+        for r in profile_numeric(df, "lineitem", ["l_quantity", "l_discount"]).collect()
+    }
+    q = prof["l_quantity"]
+    assert q["nulls"] == 0 and q["non_null"] == df.count()
+    assert 1.0 <= q["min"] < q["p50"] < q["p99"] <= q["max"] <= 50.0
+    assert q["min"] <= q["mean"] <= q["max"] and q["stddev"] > 0
+    d = prof["l_discount"]
+    assert 0.0 <= d["min"] <= d["max"] <= 0.1 + 1e-9
