@@ -241,6 +241,13 @@ def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fixed as_of keeps the check deterministic (never wall-clock)
+    return scans.scan_freshness(
+        _t(spark, sf_dir, "events"), "events", "ts", "2024-03-01 00:00:00"
+    ).select("table", "column", "issue_type", "total", "percent", "severity")
+
+
 def q_profile_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     prof = scans.profile_numeric(
         _t(spark, sf_dir, "lineitem"), "lineitem", ["l_quantity", "l_discount"]
@@ -421,6 +428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "health_check_issues": q_health_check_issues,
         "dedup_keep_first": q_dedup_keep_first,
         "profile_numeric": q_profile_numeric,
+        "freshness": q_freshness,
         "token_stats": q_token_stats,
         "quality_buckets": q_quality_buckets,
         "langid_sql": q_langid_sql,
@@ -711,6 +719,17 @@ SELECT * FROM (
   FROM o, t WHERE o."count" > 0
 )"""
         ),
+        "freshness": """
+WITH m AS (
+  SELECT count(ts) AS n,
+    date_diff('microsecond', max(ts), TIMESTAMP '2024-03-01 00:00:00') / 3600000000.0 AS lag_h
+  FROM events
+)
+SELECT 'events' AS "table", 'ts' AS "column", 'freshness' AS issue_type,
+  CAST(n AS BIGINT) AS total, ROUND(lag_h, 6) AS percent,
+  CASE WHEN lag_h > 72.0 THEN 'critical'
+       WHEN lag_h > 24.0 THEN 'warning' ELSE 'info' END AS severity
+FROM m""",
         "profile_numeric": """
 SELECT 'lineitem' AS "table", 'l_quantity' AS "column",
   CAST(count(l_quantity) AS BIGINT) AS non_null,

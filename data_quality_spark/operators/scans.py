@@ -42,6 +42,7 @@ __all__ = [
     "scan_orphans",
     "scan_duplicates",
     "scan_duplicates_approx",
+    "scan_freshness",
     "profile_numeric",
     "scan_duplicate_groups",
     "completeness",
@@ -235,6 +236,51 @@ def profile_numeric(
         for i, c in enumerate(columns)
     ]
     return wide.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def scan_freshness(
+    df: DataFrame,
+    table: str,
+    ts_col: str,
+    as_of: str,
+    warn_hours: float = 24.0,
+    crit_hours: float = 72.0,
+) -> DataFrame:
+    """Staleness check: hours between the newest event and ``as_of``
+    (an explicit ISO timestamp — never wall-clock, so results are
+    deterministic and reproducible; the caller passes "now").
+    Reference analog: the DATE_SUB(CURDATE(), ...) trend windows
+    (benchmark_storage.py:308-311) turned into a gate-able issue row.
+    """
+    # timestamp_diff works on TIMESTAMP_NTZ and is timezone-free — results
+    # are identical under any session timezone
+    # microsecond precision: whole-second variants truncate differently
+    # across engines (boundary counting vs difference truncation)
+    lag_h = F.timestamp_diff(
+        "MICROSECOND", F.max(df[ts_col]), F.to_timestamp_ntz(F.lit(as_of))
+    ).cast("double") / F.lit(3_600_000_000.0)
+    wide = df.agg(
+        F.count(df[ts_col]).cast("long").alias("__n"),
+        lag_h.cast("double").alias("__lag_h"),
+    )
+    severity = (
+        F.when(F.col("__lag_h") > crit_hours, F.lit(Severity.CRITICAL.value))
+        .when(F.col("__lag_h") > warn_hours, F.lit(Severity.WARNING.value))
+        .otherwise(F.lit(Severity.INFO.value))
+    )
+    return wide.select(
+        F.lit(table).alias("table"),
+        F.lit(ts_col).cast("string").alias("column"),
+        F.lit("freshness").alias("issue_type"),
+        F.lit(0).cast("long").alias("count"),
+        F.col("__n").alias("total"),
+        F.round(F.col("__lag_h"), 6).alias("percent"),  # lag hours, not %
+        severity.alias("severity"),
+        F.concat(
+            F.lit("newest "), F.lit(ts_col), F.lit(" lags as_of by "),
+            F.round(F.col("__lag_h"), 1).cast("string"), F.lit("h"),
+        ).alias("description"),
+    )
 
 
 def scan_duplicate_groups(

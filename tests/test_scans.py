@@ -178,3 +178,18 @@ def test_profile_numeric_one_pass(spark, sf_dir):
     assert q["min"] <= q["mean"] <= q["max"] and q["stddev"] > 0
     d = prof["l_discount"]
     assert 0.0 <= d["min"] <= d["max"] <= 0.1 + 1e-9
+
+
+def test_scan_freshness(spark, sf_dir):
+    from data_quality_spark.operators.scans import scan_freshness
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # events span Jan-Feb 2024; as_of a few hours after the max → info
+    fresh = scan_freshness(df, "events", "ts", "2024-03-01 00:00:00",
+                           warn_hours=24 * 60, crit_hours=24 * 365).collect()[0]
+    assert fresh["issue_type"] == "freshness"
+    assert fresh["percent"] > 0          # lag hours
+    assert fresh["severity"] == "info"
+    stale = scan_freshness(df, "events", "ts", "2024-03-01 00:00:00",
+                           warn_hours=1.0, crit_hours=2.0).collect()[0]
+    assert stale["severity"] == "critical"
