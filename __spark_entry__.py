@@ -4,9 +4,13 @@
 ``queries()`` — one callable per implemented operator (SURVEY.md §2 + the
 training-pipeline extensions: dedup, similarity search, text analysis, and
 the north-rule clips gate).
-``oracle_sql()`` — DuckDB twins for every SQL-expressible query; clip-gate /
-LSH / SimHash queries rely on kernels or hash families DuckDB lacks and are
-rows-only checked.
+``oracle_sql()`` — DuckDB twins for every SQL-expressible query.  The
+clip-gate / LSH / SimHash / media queries rely on kernels or hash families
+DuckDB lacks, so their expected outputs are materialized by independent
+pure-Python/numpy differential oracles (``data_quality_spark.oracles``,
+including a from-spec XXH64 that bit-matches Spark's ``xxhash64``) into
+``expected/*.parquet``; their oracle SQL SELECTs those files — every query
+is rows+schema+hash checked.
 
 Column-naming discipline: every aggregate/computed column is aliased
 identically in the Spark code and the SQL so the driver's order-insensitive
@@ -27,6 +31,7 @@ from data_quality_spark.operators import scans
 from data_quality_spark.operators import dedup as dd
 from data_quality_spark.operators import docs as dq_docs
 from data_quality_spark.operators import similarity as sim
+from data_quality_spark.oracles import ensure_expected, expected_path
 from data_quality_spark.plans.report import severity_rank_col
 
 
@@ -119,8 +124,10 @@ def q_database_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # allow_cross: 500-vector verification corpus; the scale path passes
+    # block_col (an SRP bucket or cluster id) instead
     pairs = sim.cosine_near_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.45
+        _t(spark, sf_dir, "embeddings"), threshold=0.45, allow_cross=True
     )
     return pairs.agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
@@ -302,10 +309,11 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
 
 
-# ------------------------- rows-only (non-SQL-expressible) -------------------
+# ------------- differential-oracle queries (expected/*.parquet twins) --------
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_expected("minhash_lsh", sf_dir)
     pairs = dd.minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text", verify_threshold=0.5
     )
@@ -317,6 +325,7 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_expected("simhash_near_dup", sf_dir)
     sigs = dd.simhash64(_t(spark, sf_dir, "documents"), "doc_id", "text")
     pairs = dd.simhash_near_pairs(sigs, "doc_id", max_hamming=3)
     return (
@@ -327,15 +336,19 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_expected("ann_lsh_topk", sf_dir)
     emb = _t(spark, sf_dir, "embeddings")
+    # dim=64 is a schema fact of the embeddings table (TESTDATA.md); passing
+    # it avoids the first() probe job
     return sim.hyperplane_lsh_topk(
-        emb, emb.filter(F.col("vec_id") < 10), k=3, bits=8
+        emb, emb.filter(F.col("vec_id") < 10), k=3, bits=8, dim=64
     )
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_quality_spark.functions import multimodal as M
 
+    ensure_expected("media_features", sf_dir)
     clips = _clips_df(spark, n=300)
     media = clips.select(
         F.col("clip_id").alias("media_id"),
@@ -356,6 +369,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_clips_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_quality_spark.pipeline import gate
 
+    ensure_expected("clips_gate", sf_dir)
     decided = gate(_clips_df(spark))
     return decided.select(
         "clip_id",
@@ -372,6 +386,7 @@ def q_clips_gate_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_quality_spark.operators.gate import salted_gate_aggregate
     from data_quality_spark.pipeline import gate
 
+    ensure_expected("clips_gate_rollup", sf_dir)
     decided = gate(_clips_df(spark))
     agg = salted_gate_aggregate(decided, keys=("lang_pred", "codec"))
     return agg.select(
@@ -387,6 +402,7 @@ def q_clips_gate_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_clips_gate_issues(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_quality_spark.pipeline import gate, gate_issues
 
+    ensure_expected("clips_gate_issues", sf_dir)
     decided = gate(_clips_df(spark))
     return gate_issues(decided)
 
@@ -436,7 +452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_audit": q_scrub_audit,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
-        # rows-only: hash families / Arrow kernels DuckDB can't reproduce
+        # differential-oracle checked (expected/*.parquet twins)
         "minhash_lsh": q_minhash_lsh,
         "simhash_near_dup": q_simhash_near_dup,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -508,6 +524,10 @@ v AS (SELECT {', '.join(votes)} FROM t),
 p AS (SELECT {best} AS best, * FROM v)
 SELECT {case} AS pred_lang, CAST(count(*) AS BIGINT) AS n_docs
 FROM p GROUP BY 1 ORDER BY 1"""
+
+
+def _expected_sql(name: str) -> str:
+    return f"SELECT * FROM read_parquet('{expected_path(name)}')"
 
 
 def _scrub_expr(col: str) -> str:
@@ -727,7 +747,8 @@ WITH m AS (
 )
 SELECT 'events' AS "table", 'ts' AS "column", 'freshness' AS issue_type,
   CAST(n AS BIGINT) AS total, ROUND(lag_h, 6) AS percent,
-  CASE WHEN lag_h > 72.0 THEN 'critical'
+  CASE WHEN lag_h IS NULL THEN 'critical'
+       WHEN lag_h > 72.0 THEN 'critical'
        WHEN lag_h > 24.0 THEN 'warning' ELSE 'info' END AS severity
 FROM m""",
         "profile_numeric": """
@@ -748,7 +769,9 @@ SELECT 'lineitem', 'l_discount',
 FROM lineitem""",
         "dedup_keep_first": """
 WITH kept AS (
-  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+  -- NULL texts are not duplicates of each other: per-row sentinel keeps each
+  SELECT min(doc_id) AS doc_id FROM documents
+  GROUP BY CASE WHEN text IS NULL THEN 'null:' || doc_id ELSE md5(text) END
 )
 SELECT CAST(count(*) AS BIGINT) AS n_kept,
        CAST(sum(doc_id) AS BIGINT) AS sum_kept_ids
@@ -873,4 +896,16 @@ scored AS (
 )
 SELECT q_id, CAST(rnk AS INTEGER) AS rank, n_id, ROUND(c, 6) AS cosine
 FROM ranked WHERE rnk <= 3""",
+        # ---- differential-oracle twins: expected outputs computed by the
+        # independent pure-Python/numpy implementations in
+        # data_quality_spark/oracles.py (XXH64 reimplemented from the public
+        # spec; Spark round/NaN semantics replicated; see module docstring),
+        # materialized to expected/*.parquet at query-build time.
+        "minhash_lsh": _expected_sql("minhash_lsh"),
+        "simhash_near_dup": _expected_sql("simhash_near_dup"),
+        "ann_lsh_topk": _expected_sql("ann_lsh_topk"),
+        "media_features": _expected_sql("media_features"),
+        "clips_gate": _expected_sql("clips_gate"),
+        "clips_gate_rollup": _expected_sql("clips_gate_rollup"),
+        "clips_gate_issues": _expected_sql("clips_gate_issues"),
     }

@@ -70,8 +70,19 @@ def exact_dedup_keep_first(df: DataFrame, text_col: str, id_col: str) -> DataFra
 
     groupBy-min instead of a window: one shuffle on the 16-byte digest and no
     full sort within groups — the cheapest distributed formulation.
+
+    NULL texts are not duplicates of each other (``md5(NULL)`` is NULL and a
+    plain groupBy would silently collapse every NULL-text row into one
+    survivor), so NULL rows get a per-row sentinel fingerprint and all pass
+    through unchanged.
     """
-    keyed = df.withColumn("__fp", F.md5(F.col(text_col)))
+    keyed = df.withColumn(
+        "__fp",
+        F.when(
+            F.col(text_col).isNull(),
+            F.concat(F.lit("null:"), F.col(id_col).cast("string")),
+        ).otherwise(F.md5(F.col(text_col))),
+    )
     winners = keyed.groupBy("__fp").agg(F.min(F.col(id_col)).alias(id_col))
     return keyed.join(winners, ["__fp", id_col], "inner").drop("__fp")
 

@@ -60,7 +60,11 @@ def salted_gate_aggregate(
         F.sum(F.coalesce(F.col("rms_db"), F.lit(0.0))).alias("rms_sum"),
         F.sum(F.when(F.col("rms_db").isNotNull(), 1).otherwise(0)).alias("rms_n"),
         F.sum(F.col("ppl")).alias("ppl_sum"),
-        F.sum(F.col("dur_ms").cast("double") / 1000.0).alias("audio_s"),
+        # exact integer partial: the final seconds value is then ONE double
+        # division, independent of partial-agg merge order (a float partial
+        # sum would make the last-ulp — and any rounded report built on it —
+        # depend on shuffle arrival order)
+        F.sum(F.col("dur_ms").cast("long")).alias("audio_ms"),
     )
     return (
         partial.groupBy(*keys)
@@ -72,7 +76,7 @@ def salted_gate_aggregate(
             .cast("double")
             .alias("avg_rms_db"),
             (F.sum("ppl_sum") / F.sum("n")).cast("double").alias("avg_ppl"),
-            F.sum("audio_s").cast("double").alias("audio_seconds"),
+            (F.sum("audio_ms").cast("double") / 1000.0).alias("audio_seconds"),
         )
         .orderBy(*keys)
     )

@@ -4,9 +4,10 @@ Spark-first re-expression of the reference scanners:
 
 - ``scan_nulls``    ← ``quality_scanner.py:46-128`` (C1) — but ONE fused agg
   per table instead of one query per (table, column).
-- ``scan_orphans``  ← ``quality_scanner.py:131-209,448-467`` (C2/J1/J2) —
-  left-anti join; Catalyst broadcasts small parents automatically and AQE
-  rewrites to broadcast at runtime when the dim side turns out small.
+- ``scan_orphans``  ← ``quality_scanner.py:131-209,448-467`` (C2/J1) +
+  composite keys ← ``safe_scanners.py:71-79`` (J2) — one chained-left-join
+  pass per child with a fused total+orphan-counts aggregate; join strategy
+  left to Catalyst/AQE (broadcast picked at runtime when a parent is small).
 - ``scan_duplicates``       ← ``quality_scanner.py:470-569`` (C3/A7)
   distinct-diff counts (counts *extra rows*).
 - ``scan_duplicate_groups`` ← ``safe_scanners.py:144-190`` (A8)
@@ -100,50 +101,110 @@ def scan_nulls(
     return compile_rules(df, table, rules, keep_zero=keep_zero)
 
 
+def _normalize_fk(entry) -> tuple[tuple[str, ...], str, tuple[str, ...], bool]:
+    """fk_map entry → (fk_cols, parent_table, parent_cols, is_composite)."""
+    fk, parent_name, pk = entry
+    if isinstance(fk, str):
+        return (fk,), parent_name, (pk,), False
+    return tuple(fk), parent_name, tuple(pk), True
+
+
 def scan_orphans(
     tables: Mapping[str, DataFrame],
-    fk_map: Mapping[str, Sequence[tuple[str, str, str]]],
+    fk_map: Mapping[str, Sequence[tuple]],
 ) -> DataFrame:
-    """FK orphan counts via left-anti joins → critical issues.
+    """FK orphan counts → critical issues, one join pass per child table.
 
-    ``fk_map``: child table → [(fk_col, parent_table, parent_col), ...]
-    (Spark has no FK metadata, so the map is declared — ref discovers it from
-    information_schema, quality_scanner.py:421-445).
+    ``fk_map``: child table → list of FK declarations, each either
 
-    Each check is `child ⟕̸ parent` on the equi key with the reference's
-    NOT NULL guard (quality_scanner.py:453-461).  At scale the parent side of
-    a real FK is the small dim — Catalyst broadcast-hash-joins it, so the scan
-    is shuffle-free; the count aggregate is map-side partial.
+    - ``(fk_col, parent_table, parent_col)`` — single-column FK with the
+      reference's child-NOT-NULL guard (quality_scanner.py:453-461): orphans
+      are non-null fks with no parent; ``total`` counts all child rows;
+    - ``((fk_col, ...), parent_table, (parent_col, ...))`` — composite FK
+      mirroring the reference's multi-column outer-join scan
+      (safe_scanners.py:71-79): plain LEFT OUTER JOIN on the AND of the key
+      pairs, orphan ⇔ every referred parent column is NULL (no child guard —
+      a NULL component fails the join and counts, exactly as the reference's
+      ``and_(*[parent.c[r].is_(None)])`` does).
+
+    (Spark has no FK metadata, so the map is declared — the reference
+    discovers it from information_schema, quality_scanner.py:421-445.)
+
+    Scale shape: ALL of a child's FKs resolve in one chained-left-join pass
+    over deduped parent keys, and the total + every orphan count come out of
+    a single fused aggregate — no per-FK rescan of the child, no eager
+    driver-side ``count()`` jobs.  Join strategy is left to Catalyst/AQE: a
+    real FK parent is usually the small dim and AQE converts the join to
+    broadcast at runtime from observed sizes; forcing the hint here would
+    OOM every executor the day a parent is 10^9 rows.
     """
     parts: list[DataFrame] = []
     for child_name, fks in fk_map.items():
-        child = tables[child_name]
-        total = child.count()  # one cheap parquet-metadata count per table
-        for fk_col, parent_name, parent_col in fks:
-            parent = tables[parent_name].select(F.col(parent_col).alias("__pk__"))
-            orphans = (
-                child.filter(F.col(fk_col).isNotNull())
-                .join(F.broadcast(parent), F.col(fk_col) == F.col("__pk__"), "left_anti")
-                .agg(F.count(F.lit(1)).cast("long").alias("count"))
-                .select(
+        entries = [_normalize_fk(e) for e in fks]
+        if not entries:
+            continue
+        base = tables[child_name]
+        for j, (fk_cols, parent_name, pk_cols, _comp) in enumerate(entries):
+            pk_alias = [f"__pk{j}_{i}__" for i in range(len(pk_cols))]
+            parent = (
+                tables[parent_name]
+                .select(*[F.col(pc).alias(a) for pc, a in zip(pk_cols, pk_alias)])
+                .dropDuplicates()
+            )
+            cond = reduce(
+                lambda a, b: a & b,
+                [F.col(fc) == F.col(a) for fc, a in zip(fk_cols, pk_alias)],
+            )
+            base = base.join(parent, cond, "left")
+        aggs: list[Column] = [F.count(F.lit(1)).cast("long").alias("__total__")]
+        for j, (fk_cols, _pn, pk_cols, comp) in enumerate(entries):
+            missing = reduce(
+                lambda a, b: a & b,
+                [
+                    F.col(f"__pk{j}_{i}__").isNull()
+                    for i in range(len(pk_cols))
+                ],
+            )
+            guard = F.lit(True) if comp else F.col(fk_cols[0]).isNotNull()
+            aggs.append(
+                F.sum(F.when(guard & missing, 1).otherwise(0))
+                .cast("long")
+                .alias(f"__o{j}__")
+            )
+        wide = base.agg(*aggs)
+        structs = []
+        for j, (fk_cols, parent_name, pk_cols, comp) in enumerate(entries):
+            count = F.col(f"__o{j}__")
+            total = F.col("__total__")
+            if comp:
+                desc = (
+                    f"({','.join(fk_cols)}) references missing "
+                    f"{parent_name}({','.join(pk_cols)})"
+                )
+            else:
+                desc = f"{fk_cols[0]} references missing {parent_name}.{pk_cols[0]}"
+            structs.append(
+                F.struct(
                     F.lit(child_name).alias("table"),
-                    F.lit(fk_col).cast("string").alias("column"),
+                    F.lit(",".join(fk_cols)).cast("string").alias("column"),
                     F.lit("orphan").alias("issue_type"),
-                    F.col("count"),
-                    F.lit(total).cast("long").alias("total"),
-                    F.when(F.lit(total) > 0, F.col("count") * 100.0 / total)
+                    count.alias("count"),
+                    total.alias("total"),
+                    F.when(total > 0, count * 100.0 / total)
                     .otherwise(F.lit(0.0))
                     .cast("double")
                     .alias("percent"),
-                    F.when(F.col("count") > 0, F.lit(Severity.CRITICAL.value))
+                    F.when(count > 0, F.lit(Severity.CRITICAL.value))
                     .otherwise(F.lit(Severity.INFO.value))
                     .alias("severity"),
-                    F.lit(
-                        f"{fk_col} references missing {parent_name}.{parent_col}"
-                    ).alias("description"),
+                    F.lit(desc).alias("description"),
                 )
             )
-            parts.append(orphans.filter(F.col("count") > 0))
+        parts.append(
+            wide.select(F.explode(F.array(*structs)).alias("i"))
+            .select("i.*")
+            .filter(F.col("count") > 0)
+        )
     if not parts:
         raise ValueError("empty fk_map")
     return reduce(lambda a, b: a.unionByName(b), parts)
@@ -263,8 +324,12 @@ def scan_freshness(
         F.count(df[ts_col]).cast("long").alias("__n"),
         lag_h.cast("double").alias("__lag_h"),
     )
+    # NULL lag (empty table / all-NULL ts) is the WORST staleness case — no
+    # data at all — and must gate critical, not fall through both thresholds
+    # to info
     severity = (
-        F.when(F.col("__lag_h") > crit_hours, F.lit(Severity.CRITICAL.value))
+        F.when(F.col("__lag_h").isNull(), F.lit(Severity.CRITICAL.value))
+        .when(F.col("__lag_h") > crit_hours, F.lit(Severity.CRITICAL.value))
         .when(F.col("__lag_h") > warn_hours, F.lit(Severity.WARNING.value))
         .otherwise(F.lit(Severity.INFO.value))
     )
@@ -276,10 +341,17 @@ def scan_freshness(
         F.col("__n").alias("total"),
         F.round(F.col("__lag_h"), 6).alias("percent"),  # lag hours, not %
         severity.alias("severity"),
-        F.concat(
-            F.lit("newest "), F.lit(ts_col), F.lit(" lags as_of by "),
-            F.round(F.col("__lag_h"), 1).cast("string"), F.lit("h"),
-        ).alias("description"),
+        F.when(
+            F.col("__lag_h").isNull(),
+            F.lit(f"no timestamped rows in {table}.{ts_col}"),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("newest "), F.lit(ts_col), F.lit(" lags as_of by "),
+                F.round(F.col("__lag_h"), 1).cast("string"), F.lit("h"),
+            )
+        )
+        .alias("description"),
     )
 
 
@@ -288,21 +360,28 @@ def scan_duplicate_groups(
 ) -> DataFrame:
     """Duplicate *group* count over a (composite) unique constraint (A8,
     safe_scanners.py:170-175): #groups with >1 row. Shuffles once on the
-    key; partial agg makes the shuffle carry one row per key per mapper."""
-    total = df.count()
+    key; partial agg makes the shuffle carry one row per key per mapper.
+
+    The table total folds out of the same grouped relation (Σ group sizes)
+    instead of a separate eager ``df.count()`` — one job, one scan."""
     dup_groups = (
         df.groupBy(*[F.col(c) for c in key_cols])
         .agg(F.count(F.lit(1)).alias("__n__"))
-        .filter(F.col("__n__") > 1)
-        .agg(F.count(F.lit(1)).cast("long").alias("count"))
+        .agg(
+            F.sum(F.when(F.col("__n__") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("count"),
+            F.sum(F.col("__n__")).cast("long").alias("__tot__"),
+        )
     )
+    total = F.col("__tot__")
     return dup_groups.select(
         F.lit(table).alias("table"),
         F.lit(",".join(key_cols)).cast("string").alias("column"),
         F.lit("duplicate").alias("issue_type"),
         F.col("count"),
-        F.lit(total).cast("long").alias("total"),
-        F.when(F.lit(total) > 0, F.col("count") * 100.0 / total)
+        total.alias("total"),
+        F.when(total > 0, F.col("count") * 100.0 / total)
         .otherwise(F.lit(0.0))
         .cast("double")
         .alias("percent"),

@@ -96,15 +96,23 @@ def cosine_near_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     block_col: str | None = None,
+    allow_cross: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine ≥ threshold).
 
     Exact all-pairs within a block — O(n²) per block, so ``block_col``
     (a label, a coarse cluster id, or an SRP bucket from ``bucket_col``) is
-    mandatory at scale; None means one global block (small corpora /
-    verification only).  The LSH-bucketed scale path is
-    ``hyperplane_lsh_topk``'s bucketing composed with this as the verifier.
+    mandatory at scale.  The unblocked path is a cartesian product and is a
+    hard error unless ``allow_cross=True`` is passed explicitly (small
+    corpora / verification only) — one forgotten argument must not become a
+    10^24-pair job.  The LSH-bucketed scale path is ``hyperplane_lsh_topk``'s
+    bucketing composed with this as the verifier.
     """
+    if block_col is None and not allow_cross:
+        raise ValueError(
+            "cosine_near_pairs without block_col is a cartesian product; "
+            "pass block_col (scale path) or allow_cross=True (small/verify)"
+        )
     cols = [F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
             norm64(F.col(vec_col)).alias("__n")]
     if block_col is not None:
@@ -162,14 +170,20 @@ def hyperplane_lsh_topk(
     bits: int = 8,
     seed: int = 7,
     round_to: int | None = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors sharing the query's SRP
     bucket.  Recall < 1 by design; the scale path when a linear scan per query
     is too expensive.  Output schema matches ``cosine_topk``.
+
+    Pass ``dim`` (the embedding width) explicitly — it is a schema fact the
+    caller knows; the ``first()`` fallback exists for exploratory use but
+    costs one extra Spark job just to learn the vector length.
     """
     from pyspark.sql import Window
 
-    dim = len(corpus.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     planes = _hyperplanes(dim, bits, seed)
     c = corpus.select(
         F.col(id_col).alias("n_id"),

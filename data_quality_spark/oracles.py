@@ -1,0 +1,498 @@
+"""Driver-side differential oracles for the non-SQL-expressible queries.
+
+The DuckDB correctness gate can hash-check any query whose twin is
+expressible in SQL.  The MinHash-LSH / SimHash / SRP-ANN / media / clips-gate
+queries depend on hash families (Spark ``xxhash64``) or Arrow kernels DuckDB
+doesn't have — so this module computes their expected outputs with
+**independent pure-Python/numpy implementations** (plus ``functions.xxh64``,
+a from-spec XXH64 that bit-matches Spark's expression) and materializes them
+as parquet under ``<repo>/expected/``.  ``oracle_sql()`` then SELECTs from
+those files, turning every remaining rows-only check into a full
+rows+schema+value-hash check.
+
+Determinism contract: every generator here is seeded / input-driven (no
+wall-clock, no unseeded RNG).  Floating-point replication rules used
+throughout (verified empirically against Spark 4.x):
+
+- Spark ``round(x, d)`` == ``Decimal(repr(x))`` quantized ROUND_HALF_UP
+  (Java ``BigDecimal.valueOf`` uses the shortest decimal repr, same as
+  Python ``repr``);
+- Spark double comparisons are NaN-greatest (``nanSafeCompareDoubles``):
+  ``NaN > x`` is true, ``NaN < x`` is false;
+- ``coalesce`` passes NaN through (NaN is a value, not NULL);
+- sequential Catalyst HOF folds (``aggregate``) are replicated with
+  explicit left-to-right float64 loops.
+
+Expected files regenerate automatically when the source data or generator
+version changes (sidecar ``.meta.json`` key); generation is skipped for
+inputs larger than the correctness scale (the bench at sf0.1 never pays
+for it, and the committed sf0.01 files stay valid).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import re
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+
+from .functions.xxh64 import xxh64_int, xxh64_long, xxh64_string
+
+__all__ = ["ensure_expected", "expected_path", "spark_round"]
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+EXPECTED_DIR = os.path.join(_REPO, "expected")
+# bump to invalidate every committed expected file after a generator change
+_VERSION = 3
+# generation guard: differential oracles only run at correctness scale
+_MAX_ORACLE_ROWS = 2500
+
+_WS = re.compile(r"\s+")
+
+
+def spark_round(x, d: int):
+    """Replicate Spark's ``round`` on doubles (HALF_UP over shortest repr)."""
+    if x is None:
+        return None
+    x = float(x)
+    if math.isnan(x) or math.isinf(x):
+        return x
+    q = Decimal(1).scaleb(-d)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def _nan_gt(x: float, t: float) -> bool:
+    """Spark double ``x > t`` (NaN-greatest)."""
+    return True if math.isnan(x) else x > t
+
+
+def _nan_lt(x: float, t: float) -> bool:
+    return False if math.isnan(x) else x < t
+
+
+def _tokens(text) -> list[str]:
+    """Twin of ``dedup.tokens_col``: trim+lower then split on \\s+."""
+    if text is None:
+        return []
+    t = text.strip().lower()
+    if not t:
+        return []
+    return _WS.split(t)
+
+
+def _shingles(toks: list[str], k: int) -> list[str]:
+    """Twin of ``dedup._shingles``."""
+    n = len(toks)
+    if n == 0:
+        return []
+    if n < k:
+        return [" ".join(toks)]
+    return [" ".join(toks[i : i + k]) for i in range(n - k + 1)]
+
+
+def _fold_dot(a, b) -> float:
+    """Sequential left fold of sum(a_i * b_i) in float64 — the exact
+    associativity of ``similarity.dot64`` (zip_with + aggregate)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+# ------------------------------------------------------------------ sources
+
+
+def _read_documents(sf_dir: str) -> list[tuple[int, str | None]]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return list(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+
+
+def _read_embeddings(sf_dir: str) -> list[tuple[int, list[float]]]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    # elements may be float32 on disk; Spark casts per element to double —
+    # exact widening, replicated via float() below in the folds
+    return list(
+        zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist())
+    )
+
+
+# ------------------------------------------------------------------ minhash
+
+
+def _minhash_lsh_agg(docs, num_hashes=64, bands=16, shingle_k=3,
+                     verify_threshold=0.5, max_bucket_size=64) -> dict:
+    """Twin of ``dedup.minhash_lsh_pairs`` + the (n_pairs, min, max) agg."""
+    rows_per_band = num_hashes // bands
+    tokset: dict[int, set] = {}
+    sigs: dict[int, list[int]] = {}
+    for doc_id, text in docs:
+        toks = _tokens(text)
+        tokset[doc_id] = set(toks)
+        sh = set(_shingles(toks, shingle_k))
+        if not sh:
+            continue  # no shingle rows -> doc absent from the signature agg
+        bases = [xxh64_string(s, 42) for s in sh]
+        sigs[doc_id] = [
+            min(xxh64_int(i, b) for b in bases) for i in range(num_hashes)
+        ]
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for doc_id, sig in sigs.items():
+        for b in range(bands):
+            h = 42
+            for v in sig[b * rows_per_band : (b + 1) * rows_per_band]:
+                h = xxh64_long(v, h)
+            buckets.setdefault((b, h), []).append(doc_id)
+    cand: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        if 1 < len(members) <= max_bucket_size:
+            ms = sorted(members)
+            for i in range(len(ms)):
+                for j in range(i + 1, len(ms)):
+                    cand.add((ms[i], ms[j]))
+    jacs = []
+    for a, b in cand:
+        ta, tb = tokset[a], tokset[b]
+        union = len(ta | tb)
+        jac = (len(ta & tb) / union) if union > 0 else 0.0
+        if jac >= verify_threshold:
+            jacs.append(jac)
+    if not jacs:
+        return {"n_pairs": [0], "min_jaccard": [None], "max_jaccard": [None]}
+    return {
+        "n_pairs": [len(jacs)],
+        "min_jaccard": [spark_round(min(jacs), 6)],
+        "max_jaccard": [spark_round(max(jacs), 6)],
+    }
+
+
+# ------------------------------------------------------------------ simhash
+
+
+def _simhash_agg(docs, max_hamming=3, max_bucket_size=256) -> dict:
+    """Twin of ``dedup.simhash64`` + ``simhash_near_pairs`` + hamming agg."""
+    sigs: dict[int, int] = {}
+    for doc_id, text in docs:
+        toks = set(_tokens(text))
+        if not toks:
+            continue  # no token rows -> absent from the vote aggregate
+        votes = [0] * 64
+        for tok in toks:
+            h = xxh64_string(tok, 42)
+            for i in range(64):
+                votes[i] += 1 if (h >> i) & 1 else -1
+        sig = 0
+        for i in range(64):
+            if votes[i] > 0:
+                sig |= 1 << i
+        if sig >= 1 << 63:
+            sig -= 1 << 64  # to signed, matching the LongType column
+        sigs[doc_id] = sig
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for doc_id, sig in sigs.items():
+        for ci in range(4):
+            cv = (sig >> (ci * 16)) & 0xFFFF
+            buckets.setdefault((ci, cv), []).append(doc_id)
+    pairs: set[tuple[int, int, int]] = set()
+    for members in buckets.values():
+        if 1 < len(members) <= max_bucket_size:
+            ms = sorted(members)
+            for i in range(len(ms)):
+                for j in range(i + 1, len(ms)):
+                    a, b = ms[i], ms[j]
+                    ham = bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+                    if ham <= max_hamming:
+                        pairs.add((a, b, ham))
+    counts: dict[int, int] = {}
+    for _a, _b, ham in pairs:
+        counts[ham] = counts.get(ham, 0) + 1
+    hams = sorted(counts)
+    return {"hamming": hams, "n_pairs": [counts[h] for h in hams]}
+
+
+# ------------------------------------------------------------------ SRP ANN
+
+
+def _ann_lsh_topk(vecs, k=3, bits=8, seed=7, round_to=6) -> dict:
+    """Twin of ``similarity.hyperplane_lsh_topk`` (queries = vec_id < 10)."""
+    dim = len(vecs[0][1])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((bits, dim))
+
+    def bucket(v) -> int:
+        out = 0
+        for i in range(bits):
+            proj = _fold_dot(v, planes[i])
+            if proj >= 0:
+                out |= 1 << i
+        return out
+
+    norms = {vid: math.sqrt(_fold_dot(v, v)) for vid, v in vecs}
+    bkt = {vid: bucket(v) for vid, v in vecs}
+    vmap = dict(vecs)
+    out = {"q_id": [], "rank": [], "n_id": [], "cosine": []}
+    for q_id, qv in vecs:
+        if q_id >= 10:
+            continue
+        scored = []
+        for n_id, cv in vecs:
+            if n_id == q_id or bkt[n_id] != bkt[q_id]:
+                continue
+            c = _fold_dot(qv, cv) / (norms[q_id] * norms[n_id])
+            scored.append((c, n_id))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (c, n_id) in enumerate(scored[:k], start=1):
+            out["q_id"].append(q_id)
+            out["rank"].append(rank)
+            out["n_id"].append(n_id)
+            out["cosine"].append(spark_round(c, round_to))
+    _ = vmap
+    return out
+
+
+# ------------------------------------------------------------------ clips
+
+
+def _clips_oracle_frame(n: int, seed: int):
+    from .synth import generate_clips, oracle_gate
+
+    return oracle_gate(generate_clips(n, seed=seed))
+
+
+def _clips_gate_expected(n=1200, seed=42) -> dict:
+    pdf = _clips_oracle_frame(n, seed)
+    rms_r = [
+        float("nan") if (v is None or (isinstance(v, float) and math.isnan(v)))
+        else spark_round(v, 2)
+        for v in pdf["rms_db"]
+    ]
+    return {
+        "clip_id": list(pdf["clip_id"]),
+        "decision": list(pdf["decision"]),
+        "lang_pred": list(pdf["lang_pred"]),
+        "lang_conf_r": [spark_round(v, 4) for v in pdf["lang_conf"]],
+        "rms_db_r": rms_r,
+        "token_count": [int(v) for v in pdf["token_count"]],
+        "scrubbed": list(pdf["scrubbed"]),
+    }
+
+
+def _clips_gate_rollup_expected(n=1200, seed=42) -> dict:
+    pdf = _clips_oracle_frame(n, seed)
+    groups: dict[tuple[str, str], list] = {}
+    for _, r in pdf.iterrows():
+        key = (r["lang_pred"], r["codec"])
+        g = groups.setdefault(key, [0, 0, 0])
+        g[0] += 1
+        g[1] += 1 if r["decision"] == "keep" else 0
+        g[2] += int(r["dur_ms"])  # exact integer sum -> deterministic double
+    out = {"lang_pred": [], "codec": [], "n_clips": [], "n_keep": [],
+           "keep_rate_r": [], "audio_seconds_r": []}
+    for (lang, codec) in sorted(groups):
+        n_clips, n_keep, dur_ms = groups[(lang, codec)]
+        out["lang_pred"].append(lang)
+        out["codec"].append(codec)
+        out["n_clips"].append(n_clips)
+        out["n_keep"].append(n_keep)
+        out["keep_rate_r"].append(spark_round(n_keep / n_clips, 4))
+        out["audio_seconds_r"].append(spark_round(dur_ms / 1000.0, 1))
+    return out
+
+
+def _clips_gate_issues_expected(n=1200, seed=42) -> dict:
+    """Twin of ``pipeline.gate_issues`` (rule_flags with Spark NaN semantics
+    + the fused-agg issue relation)."""
+    from .pipeline import DROP_RULES
+    from .synth import ALLOWED_SR, GateThresholds
+
+    th = GateThresholds
+    pdf = _clips_oracle_frame(n, seed)
+
+    def f(v) -> float:
+        return float("nan") if v is None else float(v)
+
+    counts = {name: 0 for name in DROP_RULES}
+    for _, r in pdf.iterrows():
+        sr = int(r["sr_hz"])
+        dur_ms = int(r["dur_ms"])
+        n_samples = float(int(r["n_samples"]))
+        actual_ms = n_samples * 1000.0 / (float(sr) if sr > 0 else 1.0)
+        mismatch = (
+            abs(actual_ms - float(dur_ms)) / max(float(dur_ms), 1.0)
+            if dur_ms > 0
+            else 1.0
+        )
+        flags = {
+            "decode_failed": not bool(r["decode_ok"]),
+            "bad_sample_rate": sr not in ALLOWED_SR,
+            "bad_duration": dur_ms <= 0,
+            "duration_mismatch": mismatch > th.DUR_MISMATCH_FRAC,
+            "mostly_silence": _nan_gt(f(r["silence_frac"]), th.SILENCE_MAX),
+            "clipping": _nan_gt(f(r["clip_frac"]), th.CLIP_MAX),
+            "too_quiet": _nan_lt(f(r["rms_db"]), th.RMS_MIN_DB),
+            "empty_transcript": int(r["token_count"]) == 0,
+            "low_lang_confidence": f(r["lang_conf"]) < th.LANG_CONF_MIN,
+            "high_perplexity": f(r["ppl"]) > th.PPL_MAX,
+            "repetitive": f(r["rep_ratio"]) > th.REP_MAX,
+            "length_ratio": (f(r["len_ratio"]) < th.LEN_RATIO_MIN)
+            or (f(r["len_ratio"]) > th.LEN_RATIO_MAX),
+            "charclass": f(r["charclass_frac"]) > th.CHARCLASS_MAX,
+            "digit_flood": f(r["digit_frac"]) > th.DIGIT_MAX,
+        }
+        for name, hit in flags.items():
+            if hit:
+                counts[name] += 1
+    total = len(pdf)
+    out = {"table": [], "column": [], "issue_type": [], "count": [],
+           "total": [], "percent": [], "severity": [], "description": []}
+    for name, sev in DROP_RULES.items():
+        c = counts[name]
+        if c == 0:
+            continue  # compile_rules default: emit only count > 0
+        out["table"].append("clips")
+        out["column"].append(None)
+        out["issue_type"].append(name)
+        out["count"].append(c)
+        out["total"].append(total)
+        out["percent"].append(c * 100.0 / total)
+        out["severity"].append(sev)
+        out["description"].append(f"gate rule {name} violated")
+    return out
+
+
+def _media_features_expected(n=300, seed=42) -> dict:
+    from .functions import audio as A
+    from .synth import generate_clips
+
+    pdf = generate_clips(n, seed=seed)
+    groups: dict[tuple[str, bool], list] = {}
+    for _, r in pdf.iterrows():
+        payload = r["bytes"] if r["bytes"] is not None else b""
+        try:
+            pcm = A.decode_clip(payload, r["codec"], int(r["sr_hz"]))
+            A.clip_stats(pcm, int(r["sr_hz"]))
+            ok = True
+        except (ValueError, TypeError):
+            ok = False
+        g = groups.setdefault(("audio", ok), [0, 0])
+        g[0] += 1
+        g[1] += len(payload)
+    out = {"kind": [], "ok": [], "n_media": [], "total_bytes": []}
+    for key in sorted(groups):
+        out["kind"].append(key[0])
+        out["ok"].append(key[1])
+        out["n_media"].append(groups[key][0])
+        out["total_bytes"].append(groups[key][1])
+    return out
+
+
+# ------------------------------------------------------------------ registry
+
+import pyarrow as pa  # noqa: E402
+
+_SCHEMAS: dict[str, pa.Schema] = {
+    "minhash_lsh": pa.schema(
+        [("n_pairs", pa.int64()), ("min_jaccard", pa.float64()),
+         ("max_jaccard", pa.float64())]
+    ),
+    "simhash_near_dup": pa.schema(
+        [("hamming", pa.int32()), ("n_pairs", pa.int64())]
+    ),
+    "ann_lsh_topk": pa.schema(
+        [("q_id", pa.int64()), ("rank", pa.int32()), ("n_id", pa.int64()),
+         ("cosine", pa.float64())]
+    ),
+    "media_features": pa.schema(
+        [("kind", pa.string()), ("ok", pa.bool_()), ("n_media", pa.int64()),
+         ("total_bytes", pa.int64())]
+    ),
+    "clips_gate": pa.schema(
+        [("clip_id", pa.string()), ("decision", pa.string()),
+         ("lang_pred", pa.string()), ("lang_conf_r", pa.float64()),
+         ("rms_db_r", pa.float64()), ("token_count", pa.int32()),
+         ("scrubbed", pa.string())]
+    ),
+    "clips_gate_rollup": pa.schema(
+        [("lang_pred", pa.string()), ("codec", pa.string()),
+         ("n_clips", pa.int64()), ("n_keep", pa.int64()),
+         ("keep_rate_r", pa.float64()), ("audio_seconds_r", pa.float64())]
+    ),
+    "clips_gate_issues": pa.schema(
+        [("table", pa.string()), ("column", pa.string()),
+         ("issue_type", pa.string()), ("count", pa.int64()),
+         ("total", pa.int64()), ("percent", pa.float64()),
+         ("severity", pa.string()), ("description", pa.string())]
+    ),
+}
+
+
+def expected_path(name: str) -> str:
+    return os.path.join(EXPECTED_DIR, f"{name}.parquet")
+
+
+def _src_key(name: str, sf_dir: str | None) -> dict | None:
+    """Cache key + size guard; None means 'skip generation' (too large)."""
+    if name in ("minhash_lsh", "simhash_near_dup", "ann_lsh_topk"):
+        table = "embeddings" if name == "ann_lsh_topk" else "documents"
+        path = os.path.join(sf_dir, f"{table}.parquet")
+        import pyarrow.parquet as pq
+
+        n = pq.ParquetFile(path).metadata.num_rows
+        if n > _MAX_ORACLE_ROWS:
+            return None
+        return {"v": _VERSION, "src": os.path.abspath(path), "rows": n}
+    return {"v": _VERSION, "src": f"synthetic-clips-seed42:{name}"}
+
+
+def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
+    """Materialize ``expected/<name>.parquet`` if missing or stale.
+
+    Returns True when the file is present and current for this input."""
+    key = _src_key(name, sf_dir)
+    if key is None:
+        return False
+    os.makedirs(EXPECTED_DIR, exist_ok=True)
+    meta_path = os.path.join(EXPECTED_DIR, f"{name}.meta.json")
+    out_path = expected_path(name)
+    if os.path.exists(meta_path) and os.path.exists(out_path):
+        try:
+            with open(meta_path) as fh:
+                if json.load(fh) == key:
+                    return True
+        except (json.JSONDecodeError, OSError):
+            pass
+    if name == "minhash_lsh":
+        data = _minhash_lsh_agg(_read_documents(sf_dir))
+    elif name == "simhash_near_dup":
+        data = _simhash_agg(_read_documents(sf_dir))
+    elif name == "ann_lsh_topk":
+        data = _ann_lsh_topk(_read_embeddings(sf_dir))
+    elif name == "media_features":
+        data = _media_features_expected()
+    elif name == "clips_gate":
+        data = _clips_gate_expected()
+    elif name == "clips_gate_rollup":
+        data = _clips_gate_rollup_expected()
+    elif name == "clips_gate_issues":
+        data = _clips_gate_issues_expected()
+    else:
+        raise ValueError(f"unknown expected table {name!r}")
+    import pyarrow.parquet as pq
+
+    table = pa.Table.from_pydict(data, schema=_SCHEMAS[name])
+    pq.write_table(table, out_path)
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(key, fh)
+    os.replace(tmp, meta_path)
+    return True
