@@ -147,10 +147,14 @@ def _feature_batch(batch, col_idx: dict[str, int]):
     ]
 
 
-def featurize(df: DataFrame) -> DataFrame:
+def featurize(df: DataFrame, counter=None) -> DataFrame:
     """Attach per-clip features via one ``mapInArrow`` pass; the payload
     column does NOT survive the stage (silver references bronze by clip_id —
-    bytes are read once, never re-shipped downstream)."""
+    bytes are read once, never re-shipped downstream).
+
+    ``counter`` (an optional Spark accumulator) counts every clip actually
+    decoded — the instrumentation hook the execute-once tests use to prove
+    the featurize stage runs exactly one pass per job."""
     in_names = [f.name for f in df.schema.fields]
     col_idx = {name: i for i, name in enumerate(in_names)}
     carried = [name for name in in_names if name != "bytes"]
@@ -169,6 +173,8 @@ def featurize(df: DataFrame) -> DataFrame:
 
         for batch in batches:
             feats = _feature_batch(batch, col_idx)
+            if counter is not None:
+                counter.add(batch.num_rows)
             arrays = [batch.column(col_idx[name]) for name in carried] + feats
             yield pa.RecordBatch.from_arrays(arrays, names=out_names)
 
@@ -195,6 +201,7 @@ def featurize_files(
     batch_rows: int = 2048,
     waves: int = 3,
     partition_filter=None,
+    counter=None,
 ) -> DataFrame:
     """Storage-direct featurize: Python workers read their parquet splits
     with pyarrow, so clip payloads flow storage → Python and NEVER cross the
@@ -296,6 +303,8 @@ def featurize_files(
                         table = pf.read_row_group(rg, columns=col_idx_names)
                         for batch in table.to_batches(max_chunksize=batch_rows):
                             feats = _feature_batch(batch, col_idx)
+                            if counter is not None:
+                                counter.add(batch.num_rows)
                             parts = [
                                 pa.array([pvals.get(k)] * len(batch), type=pa.string())
                                 for k in part_keys
@@ -447,6 +456,7 @@ def gate_files(
     tasks_per_file: int = 1,
     waves: int = 3,
     partition_filter=None,
+    counter=None,
 ) -> DataFrame:
     """``gate`` over a parquet directory via the storage-direct featurize
     path (payload bytes never cross the JVM) — the throughput/scaling
@@ -459,6 +469,7 @@ def gate_files(
                 tasks_per_file,
                 waves=waves,
                 partition_filter=partition_filter,
+                counter=counter,
             )
         )
     )

@@ -22,7 +22,7 @@ import uuid
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from .pipeline import gate_files
@@ -68,13 +68,16 @@ def run_gate_pipeline(
     resume: bool = True,
     days_per_batch: int = 0,
     fail_after_batches: int | None = None,
+    decode_counter=None,
 ) -> dict:
     """Gate all pending ingest_day partitions.
 
     ``days_per_batch=0`` processes all pending days in one Spark job (fastest
     wall-clock); >0 chunks them so the lineage ledger advances incrementally
     (finer-grained resume).  ``fail_after_batches`` simulates a mid-run kill
-    for the resume test.
+    for the resume test.  ``decode_counter`` (optional Spark accumulator)
+    counts decoded clips — the execute-once test passes it to prove the
+    featurize stage runs exactly one pass per batch.
     """
     run_id = uuid.uuid4().hex[:12]
     ledger = LineageLedger(output_root, "gate")
@@ -101,22 +104,30 @@ def run_gate_pipeline(
             spark,
             input_path,
             partition_filter=lambda pv: pv.get("ingest_day") in days,
+            counter=decode_counter,
         ).select(*OUTPUT_COLS)
-        # one pass: write all rows (kept + dropped flag) for the silver table;
-        # count per day from the write-side aggregate
-        day_counts = (
-            decided.groupBy("ingest_day")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum((F.col("decision") == "keep").cast("long")).alias("kept"),
+        # ONE action per batch: the kept-rows write.  Per-day in/kept counts
+        # ride along as observe() metrics on the pre-filter frame (the batch's
+        # day list is known, so per-day totals are plain conditional sums) —
+        # a separate collect() here would re-execute the featurize stage,
+        # doubling the most expensive work of the whole system.
+        day_list = sorted(days)
+        obs = Observation(f"gate_{run_id}_b{bi}")
+        metrics = []
+        for di, d in enumerate(day_list):
+            is_day = F.col("ingest_day") == d
+            metrics.append(F.sum(is_day.cast("long")).alias(f"n_{di}"))
+            metrics.append(
+                F.sum(
+                    (is_day & (F.col("decision") == "keep")).cast("long")
+                ).alias(f"k_{di}")
             )
-            .collect()
-        )
+        observed = decided.observe(obs, *metrics)
         # repartition on the partition keys first: without it every task
         # writes a file into every (day, lang) directory — task_count × dirs
         # small files; with it, one file per output partition.  Cheap here:
         # the payload column is already gone.
-        kept = decided.filter(F.col("decision") == "keep").repartition(
+        kept = observed.filter(F.col("decision") == "keep").repartition(
             "ingest_day", "lang_pred"
         )
         write_partitioned(
@@ -124,23 +135,25 @@ def run_gate_pipeline(
             os.path.join(output_root, "silver"),
             ["ingest_day", "lang_pred"],
         )
+        vals = obs.get  # available once the write action finishes
         dt = time.perf_counter() - t0
         metric_rows = []
-        for r in day_counts:
-            ledger.mark(
-                str(r["ingest_day"]), "done",
-                rows_in=r["n"], rows_kept=r["kept"], run_id=run_id,
-            )
-            totals["rows_in"] += r["n"]
-            totals["rows_kept"] += r["kept"]
+        for di, d in enumerate(day_list):
+            n = int(vals[f"n_{di}"] or 0)
+            kept_n = int(vals[f"k_{di}"] or 0)
+            ledger.mark(d, "done", rows_in=n, rows_kept=kept_n, run_id=run_id)
+            totals["rows_in"] += n
+            totals["rows_kept"] += kept_n
             totals["days"] += 1
             metric_rows.append(
-                (run_id, f"ingest_day={r['ingest_day']}", "rows_in", float(r["n"]), "")
+                (run_id, f"ingest_day={d}", "rows_in", float(n), "")
             )
             metric_rows.append(
-                (run_id, f"ingest_day={r['ingest_day']}", "rows_kept", float(r["kept"]), "")
+                (run_id, f"ingest_day={d}", "rows_kept", float(kept_n), "")
             )
-        batch_rows = sum(r["n"] for r in day_counts)
+        batch_rows = sum(
+            int(vals[f"n_{di}"] or 0) for di in range(len(day_list))
+        )
         metric_rows.append(
             (run_id, "batch", "clips_per_sec", batch_rows / dt if dt > 0 else 0.0,
              f"batch={bi} days={len(batch)}")

@@ -10,8 +10,12 @@ exactly-once file-source progress tracking (complementing the
 partition-level LineageLedger used by the batch runner).
 
 ``foreachBatch`` (not a direct streaming sink) because the gate ends in a
-salted aggregate + dynamic-partition overwrite — batch-only operations; this
-is the standard escape hatch and keeps one code path for both modes.
+salted aggregate + partitioned batch writes — batch-only operations; this
+is the standard escape hatch and keeps one code path for both modes.  Each
+micro-batch writes into its own ``batch_id=N`` subdirectory, which makes
+replays idempotent (a retried batch overwrites itself) and multi-batch runs
+loss-free (dynamic partition overwrite on a SHARED directory would let a
+later batch replace an earlier batch's rows for the same ingest_day).
 
 Trigger ``availableNow`` drains the backlog then stops — the offline analog
 of a long-running micro-batch stream, and what the tests use.
@@ -46,20 +50,35 @@ def stream_gate(
     counters = {"batches": 0, "rows_in": 0, "rows_kept": 0}
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        decided = gate(batch_df)
-        day_counts = (
-            decided.groupBy("ingest_day")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum((F.col("decision") == "keep").cast("long")).alias("kept"),
+        # Featurize executes ONCE per micro-batch: the gated frame (payload
+        # already dropped, so rows are small) is persisted, the day-count
+        # aggregate and the kept-rows write both read the cache, and the
+        # cache is released before the next batch.  Without the persist the
+        # collect + write would each re-run the decode stage.
+        decided = gate(batch_df).persist()
+        try:
+            day_counts = (
+                decided.groupBy("ingest_day")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum((F.col("decision") == "keep").cast("long")).alias("kept"),
+                )
+                .collect()
             )
-            .collect()
-        )
-        write_partitioned(
-            decided.filter(F.col("decision") == "keep").drop("bytes"),
-            os.path.join(output_root, "silver_stream"),
-            ["ingest_day"],
-        )
+            # Each micro-batch owns its own batch_id=N subdirectory: a batch
+            # REPLAY (failure recovery) overwrites only its own directory —
+            # idempotent exactly-once output — while a LATER batch that
+            # happens to carry the same ingest_day can never clobber an
+            # earlier batch's rows (a shared dynamic-partition-overwrite
+            # sink silently loses them).  Readers see batch_id as one more
+            # hive partition column under silver_stream/.
+            write_partitioned(
+                decided.filter(F.col("decision") == "keep"),
+                os.path.join(output_root, "silver_stream", f"batch_id={batch_id}"),
+                ["ingest_day"],
+            )
+        finally:
+            decided.unpersist()
         rows = [
             (
                 f"stream-{batch_id}",

@@ -76,6 +76,37 @@ def test_stream_gate_availablenow(spark, tmp_path):
     assert res2["rows_in"] == 0
 
 
+def test_stream_gate_multi_batch_no_partition_loss(spark, tmp_path):
+    """A run spanning several micro-batches must keep every batch's rows:
+    the same ingest_day arrives in multiple batches, so a shared
+    dynamic-partition-overwrite sink would silently drop all but the last
+    batch's rows for that day (per-batch subdirectories prevent it)."""
+    from data_quality_spark.pipeline import gate
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.streaming.gate_stream import stream_gate
+    from data_quality_spark.synth import generate_clips
+
+    pdf = generate_clips(160, seed=13)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    src = str(tmp_path / "bronze")
+    out = str(tmp_path / "out")
+    bronze = spark.createDataFrame(pdf[cols], CLIPS_SCHEMA)
+    # 4 source files, 1 file per trigger → 4 micro-batches, every batch
+    # carrying every ingest_day
+    bronze.repartition(4).write.parquet(src)
+
+    res = stream_gate(spark, src, out, max_files_per_trigger=1)
+    assert res["batches"] >= 2
+    assert res["rows_in"] == 160
+
+    want_kept = gate(spark.read.parquet(src)).filter("decision = 'keep'").count()
+    silver = spark.read.parquet(f"{out}/silver_stream")
+    assert res["rows_kept"] == want_kept
+    assert silver.count() == want_kept  # no batch overwrote another
+    assert silver.select("clip_id").distinct().count() == want_kept
+    assert "batch_id" in silver.columns
+
+
 def test_analysis_report():
     from data_quality_spark.plans.analysis import analyze_issues
 

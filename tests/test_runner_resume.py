@@ -47,6 +47,17 @@ def test_full_run_then_noop_resume(spark, clips_path, tmp_path_factory):
     assert int(m[m["metric"] == "rows_in"]["value"].sum()) == 600
 
 
+def test_featurize_executes_once_per_batch(spark, clips_path, tmp_path_factory):
+    """The gate DAG must run ONE pass per batch: per-day counts come from
+    observe() metrics on the write action, not a second collect() that would
+    re-decode every clip (the 100-TB double-compute trap)."""
+    out = str(tmp_path_factory.mktemp("out") / "gate_once")
+    decoded = spark.sparkContext.accumulator(0)
+    r = run_gate_pipeline(spark, clips_path, out, decode_counter=decoded)
+    assert r["completed"] and r["rows_in"] == 600
+    assert decoded.value == 600  # would be 1200 if the DAG executed twice
+
+
 def test_kill_and_resume_without_recompute(spark, clips_path, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("out") / "gate2")
     # process 3 days per batch, die after the first batch
