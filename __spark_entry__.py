@@ -103,6 +103,53 @@ def q_orphan_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orphan_scan_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-key FK orphan scan (J2, ref safe_scanners.py:71-79): the
+    parent is the distinct (l_orderkey, l_suppkey) pair set; three injected
+    child rows — a fully-absent pair, a half-valid pair, and a NULL-component
+    pair — must ALL count (reference semantics: outer join, orphan ⇔ all
+    referred cols NULL, no child-side NOT NULL guard)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = li.select("l_orderkey", "l_suppkey")
+    child = pairs.unionByName(
+        spark.createDataFrame([(-1, -1), (1, -5), (None, 7)], pairs.schema)
+    )
+    return scans.scan_orphans(
+        {"lineitem": child, "lineitem_pairs": pairs},
+        {
+            "lineitem": [
+                (
+                    ("l_orderkey", "l_suppkey"),
+                    "lineitem_pairs",
+                    ("l_orderkey", "l_suppkey"),
+                )
+            ]
+        },
+    )
+
+
+def q_url_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 URL validation (ref validation.py:33-35) over a derived homepage
+    column; every 37th doc gets a deliberately malformed value."""
+    from data_quality_spark.operators.reference_rules import url_format_rule
+
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.select(
+        F.when(
+            F.col("doc_id") % 37 == 0,
+            F.concat(F.lit("not a url "), F.col("doc_id").cast("string")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://example.com/"), F.col("source"),
+                F.lit("/"), F.col("doc_id").cast("string"),
+            )
+        )
+        .alias("homepage")
+    )
+    return compile_rules(urls, "documents", [url_format_rule("homepage")])
+
+
 def q_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scans.completeness(_t(spark, sf_dir, "documents"), "documents")
 
@@ -429,6 +476,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_duplicates": q_scan_duplicates,
         "duplicate_groups": q_duplicate_groups,
         "orphan_scan": q_orphan_scan,
+        "orphan_scan_composite": q_orphan_scan_composite,
+        "url_rule": q_url_rule,
         "completeness": q_completeness,
         "table_completeness": q_table_completeness,
         "database_completeness": q_database_completeness,
@@ -530,11 +579,19 @@ def _expected_sql(name: str) -> str:
     return f"SELECT * FROM read_parquet('{expected_path(name)}')"
 
 
+from data_quality_spark.operators.reference_rules import URL_REGEX as _URL_RX
+
+URL_REGEX_SQL = _URL_RX.replace("'", "''")
+
+
 def _scrub_expr(col: str) -> str:
+    from data_quality_spark.functions.text import _render_repl
+
     out = col
     for pattern, repl in SCRUB_CHAIN:
         pat = pattern.replace("'", "''")
-        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+        rep = _render_repl(repl, "duckdb")  # RE2 consumes \1, not $1
+        out = f"regexp_replace({out}, '{pat}', '{rep}', 'g')"
     return out
 
 
@@ -566,6 +623,50 @@ SELECT 'events' AS "table", 'user_id' AS "column", 'orphan' AS issue_type,
        CASE WHEN o."count" > 0 THEN 'critical' ELSE 'info' END AS severity,
        'user_id references missing customer.c_custkey' AS description
 FROM o, t WHERE o."count" > 0""",
+        "orphan_scan_composite": """
+WITH child AS (
+  SELECT l_orderkey, l_suppkey FROM lineitem
+  UNION ALL SELECT -1, -1 UNION ALL SELECT 1, -5 UNION ALL SELECT NULL, 7
+), parent AS (
+  SELECT DISTINCT l_orderkey AS pa, l_suppkey AS pb FROM lineitem
+), o AS (
+  SELECT CAST(count(*) AS BIGINT) AS "count"
+  FROM child LEFT JOIN parent
+    ON child.l_orderkey = parent.pa AND child.l_suppkey = parent.pb
+  WHERE parent.pa IS NULL AND parent.pb IS NULL
+), t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM child)
+SELECT 'lineitem' AS "table", 'l_orderkey,l_suppkey' AS "column",
+  'orphan' AS issue_type, o."count", t.total,
+  CASE WHEN t.total > 0 THEN o."count" * 100.0 / t.total ELSE 0.0 END AS percent,
+  CASE WHEN o."count" > 0 THEN 'critical' ELSE 'info' END AS severity,
+  '(l_orderkey,l_suppkey) references missing lineitem_pairs(l_orderkey,l_suppkey)' AS description
+FROM o, t WHERE o."count" > 0""",
+        "url_rule": f"""
+WITH u AS (
+  SELECT CASE WHEN doc_id % 37 = 0 THEN 'not a url ' || doc_id
+              ELSE 'https://example.com/' || source || '/' || doc_id END AS homepage
+  FROM documents
+)
+SELECT 'documents' AS "table", 'homepage' AS "column", 'url_format' AS issue_type,
+  CAST(sum(CASE WHEN homepage IS NOT NULL
+                 AND NOT regexp_matches(homepage, '{URL_REGEX_SQL}')
+            THEN 1 ELSE 0 END) AS BIGINT) AS "count",
+  CAST(sum(CASE WHEN homepage IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS total,
+  CASE WHEN sum(CASE WHEN homepage IS NOT NULL THEN 1 ELSE 0 END) > 0
+       THEN sum(CASE WHEN homepage IS NOT NULL
+                      AND NOT regexp_matches(homepage, '{URL_REGEX_SQL}')
+                 THEN 1 ELSE 0 END) * 100.0
+            / sum(CASE WHEN homepage IS NOT NULL THEN 1 ELSE 0 END)
+       ELSE 0.0 END AS percent,
+  CASE WHEN sum(CASE WHEN homepage IS NOT NULL
+                      AND NOT regexp_matches(homepage, '{URL_REGEX_SQL}')
+                 THEN 1 ELSE 0 END) > 0
+       THEN 'warning' ELSE 'info' END AS severity,
+  'homepage is not a valid http(s) URL' AS description
+FROM u
+HAVING sum(CASE WHEN homepage IS NOT NULL
+                 AND NOT regexp_matches(homepage, '{URL_REGEX_SQL}')
+            THEN 1 ELSE 0 END) > 0""",
         "completeness": """
 WITH base AS (
   SELECT CAST(count(*) AS BIGINT) AS total,

@@ -41,7 +41,9 @@ def ensure_clips(n: int) -> str:
     """Generate (once, distributed) and cache the synthetic corpus as
     parquet: 128 files so every parallelism level up to local[32] has ≥4
     tasks per slot."""
-    path = os.path.join(CACHE, f"clips_n{n}_s{BENCH_SEED}")
+    from data_quality_spark.synth import CORPUS_VERSION
+
+    path = os.path.join(CACHE, f"clips_n{n}_s{BENCH_SEED}_v{CORPUS_VERSION}")
     marker = os.path.join(path, "_SUCCESS_LOCAL")
     if os.path.exists(marker):
         return path

@@ -32,6 +32,7 @@ __all__ = [
     "PII_PATTERNS",
     "TOXICITY_WORDS",
     "SCRUB_CHAIN",
+    "_render_repl",
     "scrub_text",
     "LangIdModel",
     "PerplexityModel",
@@ -77,6 +78,30 @@ LEXICONS: dict[str, list[str]] = {
         "eau chambre mère argent histoire fait mois droit étude livre mot "
         "affaire côté tête monsieur gouvernement ville nuit cœur être avoir"
     ).split(),
+    # round-2 widening: the synthetic corpus still samples only the four
+    # languages above (LANG_WEIGHTS), but the langid/perplexity models score
+    # against all seven — adding a language is just adding a lexicon.
+    "it": (
+        "il gli della delle questo quella perché anche molto bene anno "
+        "giorno tempo vita mondo paese casa parte lavoro donna bambino "
+        "occhio posto settimana caso punto azienda numero acqua stanza "
+        "madre soldi storia fatto mese diritto studio libro parola affare "
+        "lato testa signore governo città notte cuore essere avere fare "
+        "dire andare vedere sapere volere dovere potere grande piccolo nuovo"
+    ).split(),
+    "pt": (
+        "você não são uma para porque também muito bem ano dia tempo vida "
+        "mundo país casa parte trabalho mulher criança olho lugar semana "
+        "caso ponto empresa número água quarto mãe dinheiro história fato "
+        "mês direito estudo livro palavra negócio lado cabeça senhor "
+        "governo cidade noite coração ser ter fazer dizer ir ver saber "
+        "querer dever poder grande pequeno novo velho bom melhor depois"
+    ).split(),
+    "zh": (
+        "的 是 了 在 和 有 我 你 他 们 这 那 不 人 大 小 中 国 年 月 日 时 "
+        "分 家 水 火 山 天 地 上 下 学 生 老 师 好 来 去 看 说 话 书 车 电 "
+        "脑 音 乐 歌 声 工 作 朋 友 时 间 世 界 生 活 孩 子 地 方 公 司"
+    ).split(),
 }
 
 # junk "language" used for defect rows in the synthetic corpus
@@ -97,7 +122,21 @@ STOPWORD_MARKERS: dict[str, list[str]] = {
 # (Spark regexp_replace) and Python re (oracle).  Order is part of the spec.
 
 PII_PATTERNS: list[tuple[str, str, str]] = [
-    # (name, pattern, replacement)
+    # (name, pattern, replacement) — replacement uses Spark/Java `$n` group
+    # syntax as the canonical form; `_render_repl` converts to `\n` for
+    # Python re / DuckDB RE2.  ORDER IS PART OF THE SPEC: url_credential must
+    # run before email, else the email rule consumes `password@host` first
+    # and the credential is never redacted as such.
+    (
+        # F12, ref secure_db.py:265-268 (_redact_database_url): keep user,
+        # mask password.  The reference's `[^:]+`/`[^@]+` classes are applied
+        # to lone URL strings; inside free-running transcripts they would
+        # match across spaces, so the classes here additionally exclude
+        # whitespace (and '/' in the user part) — same behavior on URLs.
+        "url_credential",
+        r"://([^:/@\s]+):([^@\s]+)@",
+        "://$1:***@",
+    ),
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
     (
@@ -107,18 +146,29 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
     ),
 ]
 
+
+def _render_repl(repl: str, dialect: str) -> str:
+    """Replacement-string dialect: Spark/Java regexp_replace consumes `$1`;
+    Python ``re.sub`` and DuckDB (RE2) consume `\\1`."""
+    if dialect == "spark":
+        return repl
+    return re.sub(r"\$(\d)", r"\\\1", repl)
+
 # Mild placeholder deny-list (configurable in practice; reference analog is
 # the garbage-name list, checkpoints.py:530-545).
 TOXICITY_WORDS: list[str] = ["damnit", "hellspawn", "craphead", "scumbag", "moron"]
 
 _TOX_PATTERN = r"(?i)\b(" + "|".join(TOXICITY_WORDS) + r")\b"
 
-# Full chain, applied in order on both engines.
+# Full chain, applied in order on every engine (replacements in canonical
+# `$n` form — render per dialect with `_render_repl`).
 SCRUB_CHAIN: list[tuple[str, str]] = [
     (p, r) for _, p, r in PII_PATTERNS
 ] + [(_TOX_PATTERN, "<TOX>")]
 
-_COMPILED_CHAIN = [(re.compile(p), r) for p, r in SCRUB_CHAIN]
+_COMPILED_CHAIN = [
+    (re.compile(p), _render_repl(r, "python")) for p, r in SCRUB_CHAIN
+]
 
 
 def scrub_text(text: str | None) -> str | None:

@@ -362,12 +362,13 @@ def _text_heuristics(df: DataFrame) -> DataFrame:
 
 
 def scrub_col(col: Column) -> Column:
-    """Chained regexp_replace over the shared PII/toxicity patterns."""
-    from .functions.text import SCRUB_CHAIN
+    """Chained regexp_replace over the shared PII/toxicity patterns
+    (replacements are already in Spark's `$n` group syntax)."""
+    from .functions.text import SCRUB_CHAIN, _render_repl
 
     out = col
     for pattern, repl in SCRUB_CHAIN:
-        out = F.regexp_replace(out, pattern, repl)
+        out = F.regexp_replace(out, pattern, _render_repl(repl, "spark"))
     return out
 
 

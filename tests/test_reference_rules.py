@@ -26,6 +26,7 @@ def music_tables(spark):
             (2, "Unknown Artist", None),      # garbage + null spotify_id
             (3, "DJ 🎵 Mix", "sp3"),          # emoji
             (4, "N/A", None),                 # garbage + null
+            (5, "My Test Artist", "sp5"),     # garbage via contains('test')
         ],
         "id long, name string, spotify_id string",
     )
@@ -34,7 +35,7 @@ def music_tables(spark):
             (10, "Creep", 1, 100, "US-AAA-92-00001", "s1", 500),
             (11, "Karma", 1, 100, "US-AAA-92-00001", "s2", 400),   # dup isrc
             (12, "Lost", 99, 100, "bad-isrc", None, 300),          # orphan artist + bad isrc
-            (13, "Gone", 1, None, None, "s4", 200),                # null label + null isrc
+            (13, "Gone", 1, None, "", "s4", 200),                  # null label; '' isrc out of scope
         ],
         "id long, title string, artist_id long, label_id long, isrc string, spotify_id string, play_count long",
     )
@@ -54,6 +55,28 @@ def test_orphan_golden_counts(spark, music_tables):
     assert "label_id" not in got  # 0 orphans → filtered
 
 
+def test_composite_fk_orphan_counts(spark, music_tables):
+    """Composite-key FK (ref safe_scanners.py:71-79 semantics): plain outer
+    join on the AND of pairs, orphan ⇔ all referred cols NULL — a NULL fk
+    component counts (no child guard), unlike the single-column scan."""
+    _, songs, labels = music_tables
+    pairs = songs.selectExpr(
+        "id", "artist_id AS a", "label_id AS l"
+    )
+    parent = spark.createDataFrame(
+        [(1, 100), (99, 100)], "pa long, pl long"
+    )
+    issues = scan_orphans(
+        {"songs": pairs, "pairs": parent},
+        {"songs": [(("a", "l"), "pairs", ("pa", "pl"))]},
+    ).collect()
+    assert len(issues) == 1
+    r = issues[0]
+    # song 13 has (1, NULL): join fails ⇒ counted (reference semantics)
+    assert r["column"] == "a,l" and r["count"] == 1 and r["total"] == 4
+    assert r["severity"] == "critical"
+
+
 def test_name_rules_golden_counts(spark, music_tables):
     artists, _, _ = music_tables
     issues = {
@@ -63,16 +86,18 @@ def test_name_rules_golden_counts(spark, music_tables):
         ).collect()
     }
     assert issues["emoji_in_name"]["count"] == 1
-    assert issues["garbage_name"]["count"] == 2       # "Unknown Artist", "N/A"
-    assert issues["garbage_name"]["total"] == 4       # scope: non-null names
+    assert issues["emoji_in_name"]["severity"] == "critical"  # ref checkpoints.py:440
+    # contains-any: "Unknown Artist", "N/A", "My Test Artist" (ref :538-545)
+    assert issues["garbage_name"]["count"] == 3
+    assert issues["garbage_name"]["total"] == 5       # scope: non-null names
 
 
 def test_isrc_rule_golden_counts(spark, music_tables):
     _, songs, _ = music_tables
     row = compile_rules(songs, "songs", [isrc_format_rule()]).collect()[0]
-    assert row["count"] == 1     # "bad-isrc"; NULL isrc excluded by scope
-    assert row["total"] == 3     # 3 non-null isrcs
-    assert row["severity"] == "critical"
+    assert row["count"] == 1     # "bad-isrc"; NULL and '' isrc out of scope
+    assert row["total"] == 3     # 3 non-null, non-empty isrcs
+    assert row["severity"] == "warning"  # ref checkpoints.py:520
 
 
 def test_health_check_on_music_fixture(spark, music_tables):
@@ -122,4 +147,36 @@ def test_gold_checkpoint_accept_scope(spark, parsed_table):
     assert got["emoji_in_name"] == (1, 2)
     assert "garbage_name" not in got       # garbage row is decision='maybe'
     assert "isrc_format" not in got        # both accept isrcs valid
-    assert res.success                     # warnings only ⇒ success
+    # artist emoji is CRITICAL (ref checkpoints.py:440) ⇒ gate fails
+    assert not res.success
+
+
+def test_bronze_checkpoint_null_parser_version_fails(spark):
+    """All-NULL parser_version must FAIL bronze (ref _check_parser_version
+    runs _check_not_null first, critical) — previously it slipped through."""
+    df = spark.createDataFrame(
+        [(1, 0.5, "accept", None, "2026-01-01")],
+        "raw_id long, confidence double, decision string, parser_version string, parsed_at string",
+    )
+    res = MedallionBronzeToSilver().run(df, "spotify_parsed")
+    got = {i["issue_type"]: i["severity"] for i in res.issues}
+    assert got["null_parser_version"] == "critical"
+    assert not res.success
+
+
+def test_url_format_rule(spark):
+    from data_quality_spark.operators.reference_rules import url_format_rule
+
+    df = spark.createDataFrame(
+        [
+            ("https://example.com/a/b?x=1#frag",),
+            ("http://sub.example.co:8080/",),
+            ("ftp://example.com",),        # wrong scheme
+            ("not a url",),
+            (None,),                        # out of scope
+        ],
+        "homepage string",
+    )
+    row = compile_rules(df, "sites", [url_format_rule("homepage")]).collect()[0]
+    assert row["count"] == 2 and row["total"] == 4
+    assert row["severity"] == "warning"
