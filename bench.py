@@ -149,6 +149,135 @@ def gate_job(spark, input_path: str, warm: bool = True) -> tuple[int, float]:
     return rows, time.perf_counter() - t0
 
 
+def _shard_files(input_path: str, shards: int) -> list[list[str]]:
+    files = []
+    for root, _dirs, names in os.walk(input_path):
+        for name in sorted(names):
+            if name.endswith(".parquet") and not name.startswith("_"):
+                files.append(os.path.join(root, name))
+    return [files[i::shards] for i in range(shards)]
+
+
+def _kernel_pass(paths: list[str]) -> int:
+    """The gate's per-clip kernel work (decode+stats+langid+ppl) with NO
+    engine around it — the multiprocessing control reuses the exact
+    ``pipeline._feature_batch`` the Spark job runs, so any throughput gap
+    between this and Spark is engine overhead, and any scaling gap shared by
+    BOTH is the host (memory system / shared cores), not Spark."""
+    import pyarrow.parquet as pq
+
+    from data_quality_spark.pipeline import _feature_batch
+
+    n = 0
+    for path in paths:
+        pf = pq.ParquetFile(path, memory_map=True)
+        cols = ["bytes", "codec", "sr_hz", "transcript"]
+        col_idx = {c: i for i, c in enumerate(cols)}
+        for rg in range(pf.metadata.num_row_groups):
+            t = pf.read_row_group(rg, columns=cols)
+            for batch in t.to_batches(max_chunksize=2048):
+                _feature_batch(batch, col_idx)
+                n += batch.num_rows
+    return n
+
+
+def mp_worker(procs: int, input_path: str) -> None:
+    """No-Spark control: `procs` forked python processes each run the gate
+    kernels over their file shard.  Two passes, min (page cache + allocator
+    warm-up on the first)."""
+    import multiprocessing as mp
+
+    shards = [s for s in _shard_files(input_path, procs) if s]
+    best = None
+    rows = 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        with mp.get_context("fork").Pool(len(shards)) as pool:
+            rows = sum(pool.map(_kernel_pass, shards))
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    print(json.dumps({"procs": procs, "rows": rows, "seconds": best}))
+
+
+def _cache_pass(seconds: float) -> int:
+    """Cache-resident compute: clip_stats over ONE in-memory int16 second of
+    audio, repeatedly.  Fits L2, no parquet IO, ~no DRAM traffic — per-core
+    throughput here is the pure-CPU baseline; if it holds flat from 1 to N
+    processes the cores aren't frequency-throttling and any gate-scaling
+    loss is memory-system pressure."""
+    import numpy as np
+
+    from data_quality_spark.functions.audio import clip_stats_i16
+
+    rng = np.random.default_rng(0)
+    q = (rng.standard_normal(16000) * 8000).astype(np.int16)
+    n = 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < seconds:
+        clip_stats_i16(q, 16000)
+        n += 1
+    return n
+
+
+def cache_worker(procs: int) -> None:
+    import multiprocessing as mp
+
+    with mp.get_context("fork").Pool(procs) as pool:
+        t0 = time.perf_counter()
+        counts = pool.map(_cache_pass, [3.0] * procs)
+        dt = time.perf_counter() - t0
+    per_core = sum(counts) / procs / 3.0
+    print(json.dumps({"procs": procs, "clips_per_core_sec": round(per_core, 1),
+                      "wall": round(dt, 2)}))
+
+
+def _pinned_cmd(cpus: int, args: list[str]) -> list[str]:
+    import shutil
+
+    cmd = [sys.executable, os.path.abspath(__file__)] + args
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    return cmd
+
+
+def run_controls(input_path: str, levels: tuple[int, int] = (4, 16)) -> dict:
+    """Machine-readable scaling controls next to the Spark numbers:
+
+    - ``mp_N_clips_per_sec``: the no-Spark multiprocessing gate-kernel
+      throughput at each pinned core count, same input, same kernels;
+    - ``mp_efficiency``: its N→4N scaling efficiency — the HOST's scaling
+      ceiling for this workload, engine excluded;
+    - ``cache_per_core_*``: cache-resident per-core compute at 1 vs max
+      procs — flat ⇒ no frequency throttling, so a sub-1 mp_efficiency is
+      memory-bandwidth, not clocks.
+    """
+    out: dict = {"loadavg": {}}
+    for procs in levels:
+        out["loadavg"][str(procs)] = round(os.getloadavg()[0], 2)
+        log(f"mp control: {procs} procs (loadavg {out['loadavg'][str(procs)]})")
+        proc = subprocess.run(
+            _pinned_cmd(procs, ["--mp-worker", str(procs), input_path]),
+            capture_output=True, text=True, timeout=900,
+        )
+        r = json.loads(proc.stdout.strip().splitlines()[-1])
+        out[f"mp_{procs}_clips_per_sec"] = round(r["rows"] / r["seconds"], 1)
+    n, m = levels
+    out["mp_efficiency"] = round(
+        (out[f"mp_{m}_clips_per_sec"] / out[f"mp_{n}_clips_per_sec"]) / (m / n), 3
+    )
+    for procs in (1, levels[1]):
+        proc = subprocess.run(
+            _pinned_cmd(max(procs, 1), ["--cache-worker", str(procs)]),
+            capture_output=True, text=True, timeout=300,
+        )
+        r = json.loads(proc.stdout.strip().splitlines()[-1])
+        out[f"cache_per_core_{procs}"] = r["clips_per_core_sec"]
+    out["cache_per_core_ratio"] = round(
+        out[f"cache_per_core_{levels[1]}"] / out["cache_per_core_1"], 3
+    )
+    return out
+
+
 def scale_worker(cpus: int, input_path: str) -> None:
     """One fresh-process gate run at local[cpus].  Two timed passes after the
     warm-up; the MIN is reported — this sandbox is a shared host (external
@@ -200,6 +329,12 @@ def run_scaling(input_path: str, levels: tuple[int, int] = (4, 16)) -> dict:
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--scale-worker":
         scale_worker(int(sys.argv[2]), sys.argv[3])
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--mp-worker":
+        mp_worker(int(sys.argv[2]), sys.argv[3])
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--cache-worker":
+        cache_worker(int(sys.argv[2]))
         return
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -253,6 +388,9 @@ def main() -> None:
     spark.stop()
 
     scaling = run_scaling(clips_path) if do_scaling else {}
+    if scaling:
+        # machine-readable DRAM/throttle controls next to the Spark numbers
+        scaling["controls"] = run_controls(clips_path)
 
     total = sum(timings.values())
     result = {
@@ -290,17 +428,35 @@ def main() -> None:
                 f"{scaling['ideal_speedup']}× → "
                 f"**efficiency {scaling['efficiency']}** "
                 "(north-rule target ≥ 0.8)\n\n"
-                "Scaling analysis: per-clip core cost inflates with worker "
-                "count even for plain multiprocessing with NO Spark (16 "
-                "independent python processes running the same kernels top "
-                "out at ~12k clips/s on this VM vs ~2k/s/core solo), i.e. "
-                "the ceiling is the shared host's memory subsystem, not "
-                "engine orchestration — Spark's pipelined gate at 16 slots "
-                "(~24k clips/s) actually exceeds the 16-process raw-python "
-                "baseline. On dedicated cluster nodes with per-executor "
-                "memory bandwidth the same job shape (independent row-group "
-                "splits, no shuffle until the tiny salted rollup) scales "
-                "with executor count.\n\n"
+                "Scaling controls (machine-readable copy in "
+                "`BENCH_r*.json` → `scaling.controls`), same pinned cores, "
+                "same input, run back-to-back with the Spark levels:\n"
+                f"  - no-Spark multiprocessing gate kernels "
+                f"(`pipeline._feature_batch` in N forked python processes): "
+                f"{scaling['controls']['mp_4_clips_per_sec']} clips/s @4p → "
+                f"{scaling['controls']['mp_16_clips_per_sec']} clips/s @16p "
+                f"= host scaling ceiling "
+                f"**{scaling['controls']['mp_efficiency']}** with zero "
+                "engine involved\n"
+                f"  - cache-resident per-core compute (L2-sized clip_stats "
+                f"loop, no DRAM/IO): {scaling['controls']['cache_per_core_1']} "
+                f"clips/core/s @1p vs "
+                f"{scaling['controls']['cache_per_core_16']} @16p — ratio "
+                f"**{scaling['controls']['cache_per_core_ratio']}** (flat ⇒ "
+                "no frequency throttling)\n"
+                f"  - 1-min loadavg per level: "
+                f"{json.dumps(scaling['controls']['loadavg'])}\n\n"
+                "Reading the controls: if Spark's N→4N efficiency ≈ the "
+                "no-Spark multiprocessing efficiency, the shortfall is the "
+                "shared host's memory system (DRAM bandwidth is per-socket, "
+                "not per-core), not engine orchestration; a flat "
+                "cache-resident ratio rules out clock throttling.  On a "
+                "real cluster the north-rule axis is N→4N *executors on "
+                "separate nodes* — per-node memory bandwidth scales with "
+                "node count, and this job shape (independent row-group "
+                "splits, payload never crossing the JVM, no shuffle before "
+                "the tiny salted rollup) has no cross-executor "
+                "serialization to lose it.\n\n"
                 f"Per-query seconds at sf{sf}: "
                 + json.dumps(timings)
                 + "\n"
