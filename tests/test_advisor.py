@@ -25,6 +25,41 @@ def test_advise_table(spark):
     assert a.looks_like_fact  # 2 key-ish cols + numeric majority
 
 
+def test_binary_pair_and_timestamp_boolean_suggestions(spark):
+    """Ref schema_analyzer.py:459-514: 2-value string columns matching a
+    binary pair → suggested replacement; <prefix>*_at timestamps with a null
+    gap → is_<x>ed suggestion."""
+    rows = [
+        (i, "active" if i % 2 else "inactive",
+         None if i % 3 == 0 else "2026-01-01")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "pk int, status string, fetch_at string"
+    )
+    a = advise_table(df, "t")
+    assert a.suggested_booleans.get("status") == "active/inactive"
+    assert a.suggested_booleans.get("fetch_at") == "is_fetched"
+
+
+def test_denormalization_prefix_detection(spark):
+    """Ref schema_analyzer.py:517-560: repeated artist_* prefix → extract
+    into an artists table; created_*/is_* prefixes exempt."""
+    df = spark.createDataFrame(
+        [(1, "a", "US", "rock", "2026-01-01", "2026-01-02")],
+        "id int, artist_name string, artist_country string, artist_genre string, "
+        "created_at string, created_by string",
+    )
+    a = advise_table(df, "songs")
+    prefixes = {d["prefix"]: d for d in a.denormalization}
+    assert "artist" in prefixes
+    assert prefixes["artist"]["suggested_table"] == "artists"
+    assert set(prefixes["artist"]["columns"]) == {
+        "artist_name", "artist_country", "artist_genre"
+    }
+    assert "created" not in prefixes
+
+
 def test_suggest_and_apply_backfill(spark):
     df = spark.createDataFrame(
         [(1, "alpha", None), (2, "beta", 20), (3, "alpha", None), (4, "gamma", 40)],
