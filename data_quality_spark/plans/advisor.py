@@ -39,6 +39,9 @@ __all__ = [
     "advise_table",
     "suggest_backfills",
     "backfill_with_lookup",
+    "IMPOSSIBLE_COLUMN_PATTERNS",
+    "is_column_likely_impossible",
+    "identify_impossible_columns",
 ]
 
 # ref schema_analyzer.py:409-423 natural_key_patterns + the id/key/number core
@@ -58,6 +61,45 @@ BINARY_VALUE_PAIRS = [
     ("on", "off"), ("completed", "pending"), ("paid", "unpaid"),
     ("success", "failure"), ("approved", "rejected"), ("open", "closed"),
 ]
+# P3: the reference's full impossible-to-fill column pattern list, verbatim
+# (ref advanced_analysis.py:166-196) — columns whose nulls no backfill can
+# realistically fix (derived/cached/external/secret fields).  Matched with
+# unanchored case-insensitive search, exactly like the reference's
+# re.compile(..., IGNORECASE).search.
+IMPOSSIBLE_COLUMN_PATTERNS = [
+    r"sentiment_score", r"analysis_.*", r"processed_.*", r"cached_.*",
+    r"external_.*", r"metadata_.*", r"raw_response", r"additional_.*",
+    r"extended_.*", r"custom_.*", r"user_.*", r"recommendation_.*",
+    r"trend_.*", r"updated_by", r"approved_by", r"notes", r"description",
+    r"biography", r"website", r"social_.*", r"label_.*", r"contract_.*",
+    r".*_hash", r".*_token", r".*_secret", r".*_key", r"temp_.*",
+    r"debug_.*", r"test_.*",
+]
+
+import re as _re
+
+_IMPOSSIBLE_COMPILED = [
+    _re.compile(p, _re.IGNORECASE) for p in IMPOSSIBLE_COLUMN_PATTERNS
+]
+
+
+def is_column_likely_impossible(column: str) -> bool:
+    """Ref advanced_analysis.py:342 (_is_column_likely_impossible)."""
+    return any(p.search(column) for p in _IMPOSSIBLE_COMPILED)
+
+
+def identify_impossible_columns(schemas: dict[str, list[str]]) -> dict[str, list[str]]:
+    """table → impossible column names (ref advanced_analysis.py:150-219;
+    the reference walks information_schema, here the caller passes
+    ``{table: df.columns}`` — pure driver-side name classification)."""
+    out: dict[str, list[str]] = {}
+    for table, columns in schemas.items():
+        hit = [c for c in columns if is_column_likely_impossible(c)]
+        if hit:
+            out[table] = hit
+    return out
+
+
 # ref schema_analyzer.py:648-670 metric_patterns (fact-table measures)
 METRIC_NAME_PATTERNS = (
     "count", "total", "sum", "amount", "revenue", "cost", "price",

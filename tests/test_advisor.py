@@ -60,6 +60,30 @@ def test_denormalization_prefix_detection(spark):
     assert "created" not in prefixes
 
 
+def test_impossible_column_patterns():
+    """P3: the reference's full 29-pattern list (advanced_analysis.py:166-196),
+    unanchored case-insensitive search semantics."""
+    from data_quality_spark.plans.advisor import (
+        identify_impossible_columns,
+        is_column_likely_impossible,
+    )
+
+    assert is_column_likely_impossible("sentiment_score")
+    assert is_column_likely_impossible("raw_response")
+    assert is_column_likely_impossible("api_key")          # .*_key
+    assert is_column_likely_impossible("Analysis_Result")  # IGNORECASE prefix
+    assert is_column_likely_impossible("session_token")
+    assert not is_column_likely_impossible("name")
+    assert not is_column_likely_impossible("isrc")
+    got = identify_impossible_columns(
+        {
+            "songs": ["id", "title", "cached_plays", "debug_info"],
+            "artists": ["id", "name"],
+        }
+    )
+    assert got == {"songs": ["cached_plays", "debug_info"]}
+
+
 def test_suggest_and_apply_backfill(spark):
     df = spark.createDataFrame(
         [(1, "alpha", None), (2, "beta", 20), (3, "alpha", None), (4, "gamma", 40)],
