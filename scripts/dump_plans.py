@@ -42,18 +42,29 @@ def main() -> None:
             e.q_range_rule(spark, sf),
         ),
         (
-            "Orphan scan (anti join)",
-            "The parent side is broadcast (BroadcastHashJoin ... LeftAnti, "
-            "BroadcastExchange) — the fact side never shuffles. With a large "
-            "parent, AQE would pick a shuffled hash join; the NOT NULL guard "
-            "is pushed into the child scan (PushedFilters: IsNotNull).",
+            "Orphan scan (chained left join + fused aggregate)",
+            "ONE pass over the child resolves every declared FK: deduped "
+            "parent keys left-join in a chain and a single partial/final "
+            "HashAggregate computes the table total plus every orphan count "
+            "— NO separate count() jobs and NO forced broadcast hint (the "
+            "join strategy is AQE's call: with a small parent it converts "
+            "to broadcast at runtime; a 10^9-row parent degrades to a "
+            "shuffled hash join instead of OOMing every executor).",
             e.q_orphan_scan(spark, sf),
+        ),
+        (
+            "Composite-key FK orphan scan (J2)",
+            "Same single-pass shape with a multi-column equi-join condition "
+            "(ref safe_scanners semantics: plain outer join, orphan ⇔ all "
+            "referred columns NULL, no child-side guard).",
+            e.q_orphan_scan_composite(spark, sf),
         ),
         (
             "Duplicate-group scan (A8)",
             "groupBy on the composite key with partial aggregation before "
             "the exchange: the shuffle carries one row per key per mapper, "
-            "not the raw rows.",
+            "not the raw rows. The table total is Σ group sizes from the "
+            "SAME grouped relation — no separate eager count() job.",
             e.q_duplicate_groups(spark, sf),
         ),
         (
@@ -105,14 +116,24 @@ def main() -> None:
 
     clips = e._clips_df(spark, n=400)
     decided = gate(clips)
-    sections[3] = (*sections[3][:2], salted_gate_aggregate(decided))
+    from data_quality_spark.synth import CORPUS_VERSION
+
+    salted_i = next(i for i, s in enumerate(sections) if s[0].startswith("Salted"))
+    minhash_i = next(i for i, s in enumerate(sections) if s[0].startswith("MinHash"))
+    files_i = next(i for i, s in enumerate(sections) if s[0].startswith("Storage"))
+    sections[salted_i] = (*sections[salted_i][:2], salted_gate_aggregate(decided))
     from data_quality_spark.operators.dedup import minhash_lsh_pairs
 
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    sections[4] = (*sections[4][:2], minhash_lsh_pairs(docs, "doc_id", "text"))
-    sections[7] = (
-        *sections[7][:2],
-        gate_files(spark, "/root/repo/.bench_cache/clips_n100000_s42"),
+    sections[minhash_i] = (
+        *sections[minhash_i][:2], minhash_lsh_pairs(docs, "doc_id", "text")
+    )
+    sections[files_i] = (
+        *sections[files_i][:2],
+        gate_files(
+            spark,
+            f"/root/repo/.bench_cache/clips_n100000_s42_v{CORPUS_VERSION}",
+        ),
     )
 
     out = ["# PLANS — physical-plan evidence for the core operators\n"]
