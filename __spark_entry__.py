@@ -437,6 +437,18 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (Schleimer et al. SIGMOD'03):
+    per-doc selected-hash counts + global distinct fingerprints."""
+    ensure_expected("winnow_fingerprints", sf_dir)
+    fps = dd.winnow_fingerprints(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return fps.agg(
+        F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("total_fps"),
+        F.count_distinct("fp").cast("long").alias("distinct_fps"),
+    )
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_expected("ann_lsh_topk", sf_dir)
     emb = _t(spark, sf_dir, "embeddings")
@@ -561,6 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # differential-oracle checked (expected/*.parquet twins)
         "minhash_lsh": q_minhash_lsh,
         "simhash_near_dup": q_simhash_near_dup,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "ann_lsh_topk": q_ann_lsh_topk,
         "media_features": q_media_features,
         "clips_gate": q_clips_gate,
@@ -1098,6 +1111,7 @@ FROM ranked WHERE rnk <= 3""",
         # materialized to expected/*.parquet at query-build time.
         "minhash_lsh": _expected_sql("minhash_lsh"),
         "simhash_near_dup": _expected_sql("simhash_near_dup"),
+        "winnow_fingerprints": _expected_sql("winnow_fingerprints"),
         "ann_lsh_topk": _expected_sql("ann_lsh_topk"),
         "media_features": _expected_sql("media_features"),
         "clips_gate": _expected_sql("clips_gate"),

@@ -33,7 +33,13 @@ def build_parser() -> argparse.ArgumentParser:
     c = sub.add_parser("check", help="health scan: nulls + duplicates + orphans")
     c.add_argument("--tables", required=True, help="directory of <name>.parquet tables")
     c.add_argument("--pattern", default=None, help="only tables containing this substring")
-    c.add_argument("--format", choices=["text", "json"], default="text")
+    # CI-system formats mirror the reference's runner outputs
+    # (ref scripts/ci_cd_data_quality.py:325 choices + format functions)
+    c.add_argument(
+        "--format",
+        choices=["text", "json", "github", "gitlab", "slack", "jenkins"],
+        default="text",
+    )
     c.add_argument(
         "--fail-on", choices=["none", "warning", "critical"], default="critical"
     )

@@ -40,6 +40,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash64",
     "simhash_near_pairs",
+    "winnow_fingerprints",
 ]
 
 
@@ -281,6 +282,57 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= F.lit(verify_threshold))
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS local fingerprinting algorithm): hash every
+    k-token shingle, slide a window of ``window`` consecutive hashes, keep
+    each window's minimum, emit the distinct selected hashes per document.
+    Guarantees: any shared run of ``window + shingle_k - 1`` tokens between
+    two documents yields at least one shared fingerprint (the winnowing
+    coverage property), while storing only ~2/(window+1) of the hashes.
+
+    Spark shape: shingles posexplode once; the windowed min and the per-doc
+    length share ONE partitioning (doc id) so the whole operator costs a
+    single shuffle + per-doc local sort; the output carries (id, fp) rows —
+    at 10^12 docs fingerprints shuffle, never documents.  Documents shorter
+    than one full window contribute their global-min hash (standard
+    short-document degeneration).
+    """
+    from pyspark.sql import Window as W
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    slim = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__tx"))
+    if slim.rdd.getNumPartitions() < par:
+        slim = slim.repartition(par)
+    sh = slim.select(
+        "__id",
+        F.posexplode(_shingles(tokens_col(F.col("__tx")), shingle_k)).alias(
+            "__pos", "__sh"
+        ),
+    ).select("__id", "__pos", F.xxhash64(F.col("__sh")).alias("__h"))
+    w_roll = (
+        W.partitionBy("__id").orderBy("__pos").rowsBetween(-(window - 1), 0)
+    )
+    w_all = W.partitionBy("__id")
+    picked = (
+        sh.withColumn("__wmin", F.min("__h").over(w_roll))
+        .withColumn("__m", F.count(F.lit(1)).over(w_all))
+        .filter(
+            (F.col("__pos") >= window - 1)
+            | ((F.col("__m") < window) & (F.col("__pos") == F.col("__m") - 1))
+        )
+    )
+    return picked.select(
+        F.col("__id").alias(id_col), F.col("__wmin").alias("fp")
+    ).distinct()
 
 
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -176,6 +176,39 @@ def _minhash_lsh_agg(docs, num_hashes=64, bands=16, shingle_k=3,
     }
 
 
+# ------------------------------------------------------------------ winnowing
+
+
+def _winnow_fps_one(text, shingle_k=5, window=4) -> set[int]:
+    """Twin of ``dedup.winnow_fingerprints`` for one document."""
+    sh = _shingles(_tokens(text), shingle_k)
+    if not sh:
+        return set()
+    hs = [xxh64_string(s, 42) for s in sh]
+    m = len(hs)
+    if m < window:
+        return {min(hs)}
+    return {min(hs[p - window + 1 : p + 1]) for p in range(window - 1, m)}
+
+
+def _winnow_stats(docs, shingle_k=5, window=4) -> dict:
+    n_docs = 0
+    total = 0
+    all_fps: set[int] = set()
+    for _doc_id, text in docs:
+        fps = _winnow_fps_one(text, shingle_k, window)
+        if not fps:
+            continue
+        n_docs += 1
+        total += len(fps)
+        all_fps |= fps
+    return {
+        "n_docs": [n_docs],
+        "total_fps": [total],
+        "distinct_fps": [len(all_fps)],
+    }
+
+
 # ------------------------------------------------------------------ simhash
 
 
@@ -408,6 +441,10 @@ _SCHEMAS: dict[str, pa.Schema] = {
     "simhash_near_dup": pa.schema(
         [("hamming", pa.int32()), ("n_pairs", pa.int64())]
     ),
+    "winnow_fingerprints": pa.schema(
+        [("n_docs", pa.int64()), ("total_fps", pa.int64()),
+         ("distinct_fps", pa.int64())]
+    ),
     "ann_lsh_topk": pa.schema(
         [("q_id", pa.int64()), ("rank", pa.int32()), ("n_id", pa.int64()),
          ("cosine", pa.float64())]
@@ -442,7 +479,9 @@ def expected_path(name: str) -> str:
 
 def _src_key(name: str, sf_dir: str | None) -> dict | None:
     """Cache key + size guard; None means 'skip generation' (too large)."""
-    if name in ("minhash_lsh", "simhash_near_dup", "ann_lsh_topk"):
+    if name in (
+        "minhash_lsh", "simhash_near_dup", "ann_lsh_topk", "winnow_fingerprints"
+    ):
         table = "embeddings" if name == "ann_lsh_topk" else "documents"
         path = os.path.join(sf_dir, f"{table}.parquet")
         import pyarrow.parquet as pq
@@ -473,6 +512,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
             pass
     if name == "minhash_lsh":
         data = _minhash_lsh_agg(_read_documents(sf_dir))
+    elif name == "winnow_fingerprints":
+        data = _winnow_stats(_read_documents(sf_dir))
     elif name == "simhash_near_dup":
         data = _simhash_agg(_read_documents(sf_dir))
     elif name == "ann_lsh_topk":

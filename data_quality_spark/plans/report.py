@@ -71,7 +71,17 @@ class Report:
     def has_warnings(self) -> bool:
         return any(i.get("severity") == "warning" for i in self.issues)
 
+    def _severity_counts(self) -> tuple[int, int, int]:
+        crit = sum(1 for i in self.issues if i.get("severity") == "critical")
+        warn = sum(1 for i in self.issues if i.get("severity") == "warning")
+        info = sum(1 for i in self.issues if i.get("severity") == "info")
+        return crit, warn, info
+
     def render(self, fmt: str = "text") -> str:
+        """Render formats: text / json plus the reference CI/CD runner's
+        per-system outputs (ref scripts/ci_cd_data_quality.py:153-290,325):
+        github (PR-comment markdown), gitlab (same, one heading level down),
+        slack (attachment-JSON payload), jenkins (console log block)."""
         if fmt == "json":
             return json.dumps(
                 {
@@ -82,6 +92,12 @@ class Report:
                 default=str,
                 indent=2,
             )
+        if fmt in ("github", "gitlab"):
+            return self._render_github(gitlab=(fmt == "gitlab"))
+        if fmt == "slack":
+            return self._render_slack()
+        if fmt == "jenkins":
+            return self._render_jenkins()
         if fmt != "text":
             raise ValueError(f"unsupported format: {fmt!r}")
         if not self.issues:
@@ -95,6 +111,98 @@ class Report:
                 f"({i.get('count', 0)}/{i.get('total', 0)})"
             )
         return "\n".join(lines)
+
+    def _render_github(self, gitlab: bool = False) -> str:
+        """GitHub PR comment (ref ci_cd_data_quality.py:153-196); GitLab is
+        the same body one heading level down (ref :276)."""
+        crit, warn, info = self._severity_counts()
+        if not self.issues:
+            title = "Data Quality: PASSED"
+        elif crit == 0:
+            title = "Data Quality: WARNINGS"
+        else:
+            title = "Data Quality: CRITICAL ISSUES"
+        lines = [
+            f"## {title}",
+            "",
+            "### Scan Results",
+            f"- **Total Issues**: {len(self.issues):,}",
+            f"- **Critical**: {crit}",
+            f"- **Warning**: {warn}",
+            f"- **Info**: {info}",
+            "",
+            "### Deployment Status",
+            "**SAFE TO DEPLOY** - no critical issues found"
+            if crit == 0
+            else "**DEPLOYMENT BLOCKED** - critical issues must be resolved",
+        ]
+        if self.issues:
+            lines += ["", "### Top Issues"]
+            for i in self.issues[:5]:
+                lines.append(
+                    f"- **{i.get('table', '?')}.{i.get('column') or '*'}**"
+                    f" [{i.get('severity', '?')}]: {i.get('description') or i.get('issue_type', '')}"
+                )
+        lines += ["", "---", "*Automated data quality check*"]
+        out = "\n".join(lines)
+        return out.replace("## ", "### ") if gitlab else out
+
+    def _render_slack(self) -> str:
+        """Slack attachment payload (ref ci_cd_data_quality.py:198-250)."""
+        crit, warn, info = self._severity_counts()
+        if not self.issues:
+            color, title = "good", "Data Quality Check Passed"
+        elif crit == 0:
+            color, title = "warning", "Data Quality Issues Found"
+        else:
+            color, title = "danger", "Critical Data Quality Issues"
+        return json.dumps(
+            {
+                "attachments": [
+                    {
+                        "color": color,
+                        "title": title,
+                        "fields": [
+                            {
+                                "title": "Issues Found",
+                                "value": f"Critical: {crit} | Warning: {warn} | Info: {info}",
+                                "short": True,
+                            },
+                            {
+                                "title": "Deployment Status",
+                                "value": "Safe" if crit == 0 else "Blocked",
+                                "short": True,
+                            },
+                        ],
+                        "footer": f"source: {self.source}",
+                    }
+                ]
+            }
+        )
+
+    def _render_jenkins(self) -> str:
+        """Jenkins console block (ref ci_cd_data_quality.py:252-274)."""
+        crit, warn, info = self._severity_counts()
+        bar = "=" * 60
+        if not self.issues:
+            status = "STATUS: PASSED"
+        elif crit == 0:
+            status = "STATUS: WARNINGS FOUND"
+        else:
+            status = "STATUS: CRITICAL ISSUES FOUND"
+        return "\n".join(
+            [
+                bar,
+                "DATA QUALITY CHECK RESULTS",
+                bar,
+                status,
+                f"Total Issues: {len(self.issues)}",
+                f"Critical: {crit}",
+                f"Warning: {warn}",
+                f"Info: {info}",
+                bar,
+            ]
+        )
 
 
 @dataclass

@@ -78,3 +78,33 @@ def test_cli_gate_roundtrip(spark, tmp_path, capsys, monkeypatch):
     code2 = cli.main(["gate", "--input", bronze, "--output", out])
     res2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert code2 == 0 and res2["rows_in"] == 0 and res2["skipped"] == 7
+
+
+def test_report_ci_formats():
+    """C11: the reference CI runner's per-system outputs
+    (ref scripts/ci_cd_data_quality.py:153-290)."""
+    import json as _json
+
+    from data_quality_spark.plans.report import Report
+
+    issues = [
+        {"table": "t", "column": "id", "issue_type": "nulls",
+         "severity": "critical", "description": "id has NULL values",
+         "count": 5, "total": 100},
+        {"table": "t", "column": "code", "issue_type": "duplicate",
+         "severity": "warning", "description": "dups", "count": 2, "total": 100},
+    ]
+    rep = Report(tool_version="x", source="unit", issues=issues)
+    gh = rep.render("github")
+    assert "CRITICAL ISSUES" in gh and "DEPLOYMENT BLOCKED" in gh
+    assert "**t.id**" in gh
+    gl = rep.render("gitlab")
+    assert gl.startswith("### ") and "DEPLOYMENT BLOCKED" in gl
+    slack = _json.loads(rep.render("slack"))
+    assert slack["attachments"][0]["color"] == "danger"
+    assert "Critical: 1 | Warning: 1" in slack["attachments"][0]["fields"][0]["value"]
+    jenkins = rep.render("jenkins")
+    assert "CRITICAL ISSUES FOUND" in jenkins and "Total Issues: 2" in jenkins
+    clean = Report(tool_version="x", source="unit", issues=[])
+    assert "PASSED" in clean.render("github")
+    assert _json.loads(clean.render("slack"))["attachments"][0]["color"] == "good"

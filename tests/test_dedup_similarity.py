@@ -166,3 +166,37 @@ def test_scrub_audit_injection(spark):
     row = dq_docs.scrub_audit(df, inject_every=50).collect()[0]
     assert row.n_docs == 100
     assert row.n_scrubbed == 2  # doc_id 0 and 50 got the injected email
+
+
+def test_winnow_fingerprints(spark):
+    """Winnowing (Schleimer et al. SIGMOD'03): determinism, the coverage
+    guarantee (shared run of window+k-1 tokens ⇒ shared fingerprint), and a
+    differential check against the pure-Python twin."""
+    from data_quality_spark.operators.dedup import winnow_fingerprints
+    from data_quality_spark.oracles import _winnow_fps_one
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        (1, base + " lambda mu nu xi"),
+        (2, "prefix words here " + base + " different tail words"),  # shares run
+        (3, "totally unrelated content with other tokens entirely"),
+        (4, "short doc"),                         # < one shingle of 5 tokens
+        (5, None),                                # null text -> no fps
+        (6, base + " lambda mu nu xi"),           # identical to 1
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fps = winnow_fingerprints(df, "doc_id", "text", shingle_k=5, window=4)
+    got: dict[int, set] = {}
+    for r in fps.collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    # differential: every doc matches the pure-Python twin exactly
+    for doc_id, text in docs:
+        assert got.get(doc_id, set()) == _winnow_fps_one(text, 5, 4), doc_id
+    # identical docs -> identical fingerprint sets
+    assert got[1] == got[6]
+    # coverage: docs 1 and 2 share a 10-token run >= window+k-1 = 8 tokens
+    assert got[1] & got[2]
+    # unrelated doc shares nothing with doc 1
+    assert not (got[1] & got[3])
+    # short doc degenerates to its single whole-doc shingle hash
+    assert len(got[4]) == 1
