@@ -238,6 +238,26 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for embedding near-dup: SRP hyperplane buckets as the
+    blocking key, exact cosine confined to each bucket — per-bucket O(n²)
+    instead of a global cartesian product.  Recall < 1 by design (pairs
+    split across buckets are missed); the differential oracle replicates
+    the bucketing, so the recall trade-off itself is verified."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ensure_expected("embedding_near_dup_blocked", sf_dir)
+    planes = sim._hyperplanes(64, bits=6, seed=11)
+    blocked = emb.withColumn(
+        "bkt", sim.bucket_col(F.col("embedding"), planes)
+    )
+    pairs = sim.cosine_near_pairs(blocked, threshold=0.3, block_col="bkt")
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.min("cosine"), 6).alias("min_cosine"),
+        F.round(F.max("cosine"), 6).alias("max_cosine"),
+    )
+
+
 def q_range_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule = Rule(
         name="range",
@@ -551,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_completeness": q_table_completeness,
         "database_completeness": q_database_completeness,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_blocked": q_embedding_near_dup_blocked,
         "range_rule": q_range_rule,
         "enum_rule": q_enum_rule,
         "regex_rule": q_regex_rule,
@@ -1112,6 +1133,7 @@ FROM ranked WHERE rnk <= 3""",
         "minhash_lsh": _expected_sql("minhash_lsh"),
         "simhash_near_dup": _expected_sql("simhash_near_dup"),
         "winnow_fingerprints": _expected_sql("winnow_fingerprints"),
+        "embedding_near_dup_blocked": _expected_sql("embedding_near_dup_blocked"),
         "ann_lsh_topk": _expected_sql("ann_lsh_topk"),
         "media_features": _expected_sql("media_features"),
         "clips_gate": _expected_sql("clips_gate"),

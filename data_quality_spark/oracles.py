@@ -293,6 +293,47 @@ def _ann_lsh_topk(vecs, k=3, bits=8, seed=7, round_to=6) -> dict:
     return out
 
 
+# ------------------------------------------ blocked embedding near-dup
+
+
+def _near_dup_blocked_agg(vecs, bits=6, seed=11, threshold=0.3) -> dict:
+    """Twin of SRP-bucketed ``similarity.cosine_near_pairs`` (the scale
+    path: all-pairs confined to each hyperplane bucket) + the
+    (n_pairs, min, max) aggregate."""
+    dim = len(vecs[0][1])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((bits, dim))
+
+    def bucket(v) -> int:
+        out = 0
+        for i in range(bits):
+            if _fold_dot(v, planes[i]) >= 0:
+                out |= 1 << i
+        return out
+
+    norms = {vid: math.sqrt(_fold_dot(v, v)) for vid, v in vecs}
+    buckets: dict[int, list[int]] = {}
+    vmap = dict(vecs)
+    for vid, v in vecs:
+        buckets.setdefault(bucket(v), []).append(vid)
+    cos = []
+    for members in buckets.values():
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                a, b = ms[i], ms[j]
+                c = _fold_dot(vmap[a], vmap[b]) / (norms[a] * norms[b])
+                if c >= threshold:
+                    cos.append(c)
+    if not cos:
+        return {"n_pairs": [0], "min_cosine": [None], "max_cosine": [None]}
+    return {
+        "n_pairs": [len(cos)],
+        "min_cosine": [spark_round(min(cos), 6)],
+        "max_cosine": [spark_round(max(cos), 6)],
+    }
+
+
 # ------------------------------------------------------------------ clips
 
 
@@ -449,6 +490,10 @@ _SCHEMAS: dict[str, pa.Schema] = {
         [("q_id", pa.int64()), ("rank", pa.int32()), ("n_id", pa.int64()),
          ("cosine", pa.float64())]
     ),
+    "embedding_near_dup_blocked": pa.schema(
+        [("n_pairs", pa.int64()), ("min_cosine", pa.float64()),
+         ("max_cosine", pa.float64())]
+    ),
     "media_features": pa.schema(
         [("kind", pa.string()), ("ok", pa.bool_()), ("n_media", pa.int64()),
          ("total_bytes", pa.int64())]
@@ -480,9 +525,14 @@ def expected_path(name: str) -> str:
 def _src_key(name: str, sf_dir: str | None) -> dict | None:
     """Cache key + size guard; None means 'skip generation' (too large)."""
     if name in (
-        "minhash_lsh", "simhash_near_dup", "ann_lsh_topk", "winnow_fingerprints"
+        "minhash_lsh", "simhash_near_dup", "ann_lsh_topk",
+        "winnow_fingerprints", "embedding_near_dup_blocked",
     ):
-        table = "embeddings" if name == "ann_lsh_topk" else "documents"
+        table = (
+            "embeddings"
+            if name in ("ann_lsh_topk", "embedding_near_dup_blocked")
+            else "documents"
+        )
         path = os.path.join(sf_dir, f"{table}.parquet")
         import pyarrow.parquet as pq
 
@@ -518,6 +568,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _simhash_agg(_read_documents(sf_dir))
     elif name == "ann_lsh_topk":
         data = _ann_lsh_topk(_read_embeddings(sf_dir))
+    elif name == "embedding_near_dup_blocked":
+        data = _near_dup_blocked_agg(_read_embeddings(sf_dir))
     elif name == "media_features":
         data = _media_features_expected()
     elif name == "clips_gate":
