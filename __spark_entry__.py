@@ -541,6 +541,20 @@ def q_clips_gate_issues(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gate_issues(decided)
 
 
+def q_clips_gate_decide3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's 3-way decision enum over the gate (decide3:
+    critical → reject, warning-only → graylist, clean → accept)."""
+    from data_quality_spark.pipeline import _text_heuristics, decide3, featurize
+
+    ensure_expected("clips_gate_decide3", sf_dir)
+    decided = decide3(_text_heuristics(featurize(_clips_df(spark))))
+    return (
+        decided.groupBy("decision")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clips"))
+        .orderBy("decision")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: composed health-check relation over /root/testdata/sf0.001 —
     null scan + duplicate scan + orphan anti-join, fused per table, unioned
@@ -600,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_gate": q_clips_gate,
         "clips_gate_rollup": q_clips_gate_rollup,
         "clips_gate_issues": q_clips_gate_issues,
+        "clips_gate_decide3": q_clips_gate_decide3,
     }
 
 
@@ -1139,4 +1154,5 @@ FROM ranked WHERE rnk <= 3""",
         "clips_gate": _expected_sql("clips_gate"),
         "clips_gate_rollup": _expected_sql("clips_gate_rollup"),
         "clips_gate_issues": _expected_sql("clips_gate_issues"),
+        "clips_gate_decide3": _expected_sql("clips_gate_decide3"),
     }

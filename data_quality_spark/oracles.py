@@ -383,9 +383,8 @@ def _clips_gate_rollup_expected(n=1200, seed=42) -> dict:
     return out
 
 
-def _clips_gate_issues_expected(n=1200, seed=42) -> dict:
-    """Twin of ``pipeline.gate_issues`` (rule_flags with Spark NaN semantics
-    + the fused-agg issue relation)."""
+def _clips_row_flags(n=1200, seed=42) -> list[dict[str, bool]]:
+    """Per-row twin of ``pipeline.rule_flags`` (Spark NaN semantics)."""
     from .pipeline import DROP_RULES
     from .synth import ALLOWED_SR, GateThresholds
 
@@ -395,7 +394,7 @@ def _clips_gate_issues_expected(n=1200, seed=42) -> dict:
     def f(v) -> float:
         return float("nan") if v is None else float(v)
 
-    counts = {name: 0 for name in DROP_RULES}
+    rows: list[dict[str, bool]] = []
     for _, r in pdf.iterrows():
         sr = int(r["sr_hz"])
         dur_ms = int(r["dur_ms"])
@@ -423,10 +422,18 @@ def _clips_gate_issues_expected(n=1200, seed=42) -> dict:
             "charclass": f(r["charclass_frac"]) > th.CHARCLASS_MAX,
             "digit_flood": f(r["digit_frac"]) > th.DIGIT_MAX,
         }
-        for name, hit in flags.items():
-            if hit:
-                counts[name] += 1
-    total = len(pdf)
+        assert set(flags) == set(DROP_RULES)
+        rows.append(flags)
+    return rows
+
+
+def _clips_gate_issues_expected(n=1200, seed=42) -> dict:
+    """Twin of ``pipeline.gate_issues`` (rule_flags + fused-agg relation)."""
+    from .pipeline import DROP_RULES
+
+    rows = _clips_row_flags(n, seed)
+    counts = {name: sum(r[name] for r in rows) for name in DROP_RULES}
+    total = len(rows)
     out = {"table": [], "column": [], "issue_type": [], "count": [],
            "total": [], "percent": [], "severity": [], "description": []}
     for name, sev in DROP_RULES.items():
@@ -442,6 +449,22 @@ def _clips_gate_issues_expected(n=1200, seed=42) -> dict:
         out["severity"].append(sev)
         out["description"].append(f"gate rule {name} violated")
     return out
+
+
+def _clips_gate_decide3_expected(n=1200, seed=42) -> dict:
+    """Twin of ``pipeline.decide3`` (reference 3-way decision enum,
+    checkpoints.py:216-252): critical rule hit → reject, warning-only →
+    graylist, clean → accept; grouped counts."""
+    from .pipeline import DROP_RULES
+
+    rows = _clips_row_flags(n, seed)
+    counts = {"accept": 0, "graylist": 0, "reject": 0}
+    for flags in rows:
+        crit = any(flags[k] for k, sev in DROP_RULES.items() if sev == "critical")
+        warn = any(flags[k] for k, sev in DROP_RULES.items() if sev != "critical")
+        counts["reject" if crit else "graylist" if warn else "accept"] += 1
+    keys = sorted(k for k in counts if counts[k] > 0)
+    return {"decision": keys, "n_clips": [counts[k] for k in keys]}
 
 
 def _media_features_expected(n=300, seed=42) -> dict:
@@ -503,6 +526,9 @@ _SCHEMAS: dict[str, pa.Schema] = {
          ("lang_pred", pa.string()), ("lang_conf_r", pa.float64()),
          ("rms_db_r", pa.float64()), ("token_count", pa.int32()),
          ("scrubbed", pa.string())]
+    ),
+    "clips_gate_decide3": pa.schema(
+        [("decision", pa.string()), ("n_clips", pa.int64())]
     ),
     "clips_gate_rollup": pa.schema(
         [("lang_pred", pa.string()), ("codec", pa.string()),
@@ -578,6 +604,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _clips_gate_rollup_expected()
     elif name == "clips_gate_issues":
         data = _clips_gate_issues_expected()
+    elif name == "clips_gate_decide3":
+        data = _clips_gate_decide3_expected()
     else:
         raise ValueError(f"unknown expected table {name!r}")
     import pyarrow.parquet as pq

@@ -193,3 +193,17 @@ def test_scan_freshness(spark, sf_dir):
     stale = scan_freshness(df, "events", "ts", "2024-03-01 00:00:00",
                            warn_hours=1.0, crit_hours=2.0).collect()[0]
     assert stale["severity"] == "critical"
+
+
+def test_freshness_null_lag_is_critical(spark):
+    """An empty table / all-NULL ts is the WORST staleness case and must
+    gate critical, not fall through the thresholds to info."""
+    from data_quality_spark.operators.scans import scan_freshness
+
+    empty = spark.createDataFrame([], "ts timestamp")
+    r = scan_freshness(empty, "t", "ts", "2024-01-01 00:00:00").collect()[0]
+    assert r["severity"] == "critical"
+    assert "no timestamped rows" in r["description"]
+    allnull = spark.createDataFrame([(None,), (None,)], "ts timestamp")
+    r2 = scan_freshness(allnull, "t", "ts", "2024-01-01 00:00:00").collect()[0]
+    assert r2["severity"] == "critical" and r2["total"] == 0
