@@ -403,6 +403,14 @@ def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dq_docs.quality_buckets(_t(spark, sf_dir, "documents"))
 
 
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dq_docs.bpe_token_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_stopword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dq_docs.stopword_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_langid_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dq_docs.langid_sql(_t(spark, sf_dir, "documents"))
 
@@ -599,6 +607,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_numeric": q_profile_numeric,
         "freshness": q_freshness,
         "token_stats": q_token_stats,
+        "bpe_token_stats": q_bpe_token_stats,
+        "stopword_stats": q_stopword_stats,
         "quality_buckets": q_quality_buckets,
         "langid_sql": q_langid_sql,
         "fingerprint_dedup": q_fingerprint_dedup,
@@ -683,6 +693,27 @@ FROM p GROUP BY 1 ORDER BY 1"""
 
 def _expected_sql(name: str) -> str:
     return f"SELECT * FROM read_parquet('{expected_path(name)}')"
+
+
+def _stopword_stats_oracle() -> str:
+    from data_quality_spark.operators.docs import _ALL_STOPWORDS
+
+    stops = ", ".join(f"'{m}'" for m in _ALL_STOPWORDS)
+    toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+    return f"""
+WITH t AS (
+  SELECT lang,
+    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+         ELSE len({toks}) END AS nt,
+    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+         ELSE len(list_filter({toks}, x -> list_contains([{stops}], x))) END AS ns
+  FROM documents
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(nt) AS BIGINT) AS total_tokens,
+  CAST(sum(ns) AS BIGINT) AS stopword_tokens,
+  CAST(sum(CASE WHEN nt >= 5 AND ns = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_stopword_free
+FROM t GROUP BY lang ORDER BY lang"""
 
 
 from data_quality_spark.operators.reference_rules import URL_REGEX as _URL_RX
@@ -1096,6 +1127,24 @@ WITH t AS (
 SELECT lang, quality_bucket, CAST(count(*) AS BIGINT) AS n_docs
 FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
         "langid_sql": _langid_sql_oracle(),
+        "bpe_token_stats": """
+WITH t AS (
+  SELECT lang,
+    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ws,
+    len(regexp_extract_all(coalesce(text, ''),
+        '\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]+')) AS bpe
+  FROM documents
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(ws) AS BIGINT) AS total_ws_tokens,
+  CAST(sum(bpe) AS BIGINT) AS total_subwords,
+  CAST(max(bpe) AS INTEGER) AS max_subwords,
+  CASE WHEN sum(ws) > 0
+       THEN CAST(sum(bpe) AS DOUBLE) / CAST(sum(ws) AS DOUBLE) END
+    AS subwords_per_token
+FROM t GROUP BY lang ORDER BY lang""",
+        "stopword_stats": _stopword_stats_oracle(),
         "fingerprint_dedup": """
 SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,

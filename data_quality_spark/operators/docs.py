@@ -28,11 +28,21 @@ from ..functions.text import SCRUB_CHAIN, STOPWORD_MARKERS
 __all__ = [
     "token_count_col",
     "token_stats_by_lang",
+    "BPE_PRETOKEN_REGEX",
+    "bpe_token_stats",
+    "stopword_stats",
     "quality_buckets",
     "langid_sql",
     "fingerprint_stats",
     "scrub_audit",
 ]
+
+# BPE-style pre-tokenization units (the GPT-2 pre-tokenizer's shape, minus
+# the lookahead RE2 lacks): a letter run, a digit run, or a punctuation run
+# each count as one unit — the subword-budget estimator a training pipeline
+# sizes batches with.  \p{L}/\p{N} behave identically in java.util.regex
+# (Spark) and RE2 (DuckDB), keeping the operator oracle-checkable.
+BPE_PRETOKEN_REGEX = r"\p{L}+|\p{N}+|[^\p{L}\p{N}\s]+"
 
 
 def token_count_col(text: Column) -> Column:
@@ -58,6 +68,72 @@ def token_stats_by_lang(docs: DataFrame) -> DataFrame:
             F.sum("__nt").cast("long").alias("total_tokens"),
             F.min("__nt").cast("int").alias("min_tokens"),
             F.max("__nt").cast("int").alias("max_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def bpe_token_stats(docs: DataFrame) -> DataFrame:
+    """Token counting, BPE-ish: whitespace tokens AND regex pre-token units
+    per language (exact-integer aggregates).  ``subwords_per_token`` is the
+    fragmentation signal — prose sits near 1, digit/punct floods blow it up.
+    """
+    text = F.coalesce(F.col("text"), F.lit(""))
+    n_ws = token_count_col(F.col("text"))
+    n_bpe = F.regexp_count(text, F.lit(BPE_PRETOKEN_REGEX)).cast("int")
+    return (
+        docs.withColumn("__ws", n_ws)
+        .withColumn("__bpe", n_bpe)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__ws").cast("long").alias("total_ws_tokens"),
+            F.sum("__bpe").cast("long").alias("total_subwords"),
+            F.max("__bpe").cast("int").alias("max_subwords"),
+            # exact-integer division: identical double in any engine; NULL
+            # for token-free groups (ANSI mode raises on x/0 otherwise)
+            F.when(
+                F.sum("__ws") > 0,
+                F.sum("__bpe").cast("double") / F.sum("__ws").cast("double"),
+            )
+            .alias("subwords_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
+# one global marker union: per-row stopword membership without branching on
+# the (possibly wrong) declared language column
+_ALL_STOPWORDS = sorted({m for ms in STOPWORD_MARKERS.values() for m in ms})
+
+
+def stopword_stats(docs: DataFrame) -> DataFrame:
+    """Stopword-ratio quality signal per language: total tokens, stopword
+    token FREQUENCY (not distinct hits), and the count of stopword-free
+    docs with ≥5 tokens — natural prose virtually always carries function
+    words, so zero stopwords over a non-trivial length flags junk/generated
+    text (the third leg of the length/punct/stopword quality triad)."""
+    toks = F.split(
+        F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+"
+    )
+    stop_arr = F.array(*[F.lit(m) for m in _ALL_STOPWORDS])
+    n_tok = token_count_col(F.col("text"))
+    n_stop = F.when(n_tok == 0, F.lit(0)).otherwise(
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    )
+    return (
+        docs.withColumn("__nt", n_tok)
+        .withColumn("__ns", n_stop)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__nt").cast("long").alias("total_tokens"),
+            F.sum("__ns").cast("long").alias("stopword_tokens"),
+            F.sum(
+                F.when((F.col("__nt") >= 5) & (F.col("__ns") == 0), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_stopword_free"),
         )
         .orderBy("lang")
     )
