@@ -487,6 +487,18 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (inverted-file ANN, Jégou et al.): spherical
+    k-means coarse quantizer fit on a deterministic sample, corpus shuffled
+    once on the list id, queries probe their 2 nearest lists."""
+    ensure_expected("ann_ivf_topk", sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = sim.fit_ivf_centroids(emb)
+    return sim.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), cents, k=3, nprobe=2
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_quality_spark.functions import multimodal as M
 
@@ -620,6 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": q_simhash_near_dup,
         "winnow_fingerprints": q_winnow_fingerprints,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "media_features": q_media_features,
         "clips_gate": q_clips_gate,
         "clips_gate_rollup": q_clips_gate_rollup,
@@ -1199,6 +1212,7 @@ FROM ranked WHERE rnk <= 3""",
         "winnow_fingerprints": _expected_sql("winnow_fingerprints"),
         "embedding_near_dup_blocked": _expected_sql("embedding_near_dup_blocked"),
         "ann_lsh_topk": _expected_sql("ann_lsh_topk"),
+        "ann_ivf_topk": _expected_sql("ann_ivf_topk"),
         "media_features": _expected_sql("media_features"),
         "clips_gate": _expected_sql("clips_gate"),
         "clips_gate_rollup": _expected_sql("clips_gate_rollup"),

@@ -26,6 +26,7 @@ bit-stable across partitionings.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd  # module-level: pandas_udf resolves stringized hints here
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -36,6 +37,9 @@ __all__ = [
     "cosine_topk",
     "cosine_near_pairs",
     "hyperplane_lsh_topk",
+    "fit_ivf_centroids",
+    "ivf_assign",
+    "ivf_topk",
 ]
 
 
@@ -136,6 +140,140 @@ def cosine_near_pairs(
         .filter(F.col("cosine") >= F.lit(threshold))
         .select("id_a", "id_b", "cosine")
     )
+
+
+def fit_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_lists: int = 16,
+    iters: int = 10,
+    seed: int = 7,
+    sample: int = 2048,
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer for IVF (the inverted-file ANN
+    family, Jégou et al. PAMI'11): unit-norm centroids fit by Lloyd
+    iterations with cosine assignment.
+
+    Deterministic by construction: the training sample is the ``sample``
+    lowest-id vectors (an order-free predicate at scale — at 10^12 rows a
+    seeded hash filter plays the same role), the init draws from a seeded
+    RNG, and iteration count is fixed.  Driver-side numpy over the sample
+    only — the CORPUS is never collected.
+    """
+    rows = (
+        corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .orderBy("__id")
+        .limit(sample)
+        .collect()
+    )
+    x = np.array([r["__v"] for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=n_lists, replace=False)]
+    for _i in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(n_lists):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.sum(axis=0)
+        cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    return cent
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "ivf_list",
+) -> DataFrame:
+    """Append the nearest-centroid list id (cosine / max dot on unit-norm
+    centroids).  One vectorized pandas-UDF pass: each Arrow batch is a
+    float64 matmul against the broadcast centroid matrix — no per-row
+    Python, no shuffle; at 10^12 rows this is a map-only stage."""
+    from pyspark.sql import types as T
+
+    cent = centroids
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = np.array(list(vecs), dtype=np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(m @ cent.T, axis=1).astype(np.int32))
+
+    return df.withColumn(out_col, assign(F.col(vec_col)))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    nprobe: int = 2,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """IVF approximate top-k: queries probe their ``nprobe`` nearest
+    inverted lists and score only those lists' members.
+
+    Scale shape: the corpus is assigned + shuffled ONCE on the list id; the
+    (tiny) query set explodes to ``nprobe`` rows and broadcasts; scoring is
+    the exact float64 sequential-fold cosine.  Recall < 1 by design — the
+    quantizer bounds how much of the corpus any query touches
+    (|list| ≈ N/n_lists per probe instead of N).  Output matches
+    ``cosine_topk``: (q_id, rank, n_id, cosine).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    cent = centroids
+    nb = int(nprobe)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probes(vecs: pd.Series) -> pd.Series:
+        m = np.array(list(vecs), dtype=np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ cent.T
+        # top-nprobe lists, deterministic ties by list id
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :nb]
+        return pd.Series(list(order.astype(np.int32)))
+
+    c = ivf_assign(
+        corpus.select(
+            F.col(id_col).alias("n_id"),
+            F.col(vec_col).alias("__cv"),
+            norm64(F.col(vec_col)).alias("__cn"),
+        ),
+        cent,
+        vec_col="__cv",
+        out_col="__list",
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("__qv"),
+            norm64(F.col(vec_col)).alias("__qn"),
+            probes(F.col(vec_col)).alias("__probes"),
+        )
+        .withColumn("__list", F.explode("__probes"))
+        .drop("__probes")
+    )
+    sim = dot64(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
+    scored = (
+        c.join(F.broadcast(q), "__list")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("cosine", sim)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "n_id", "cosine")
+    )
+    if round_to is not None:
+        out = out.withColumn("cosine", F.round(F.col("cosine"), round_to))
+    return out
 
 
 def _hyperplanes(dim: int, bits: int, seed: int) -> np.ndarray:

@@ -293,6 +293,61 @@ def _ann_lsh_topk(vecs, k=3, bits=8, seed=7, round_to=6) -> dict:
     return out
 
 
+# ------------------------------------------------------------------ IVF
+
+
+def _ivf_topk_expected(vecs, n_lists=16, iters=10, seed=7, sample=2048,
+                       k=3, nprobe=2) -> dict:
+    """Twin of ``similarity.fit_ivf_centroids`` + ``ivf_topk`` (queries =
+    vec_id < 10) — identical numpy ops in the same order, so the learned
+    centroids and list assignments match the pandas-UDF path."""
+    vmap = {vid: np.asarray(v, dtype=np.float64) for vid, v in vecs}
+    train_ids = sorted(vmap)[:sample]
+    x = np.array([vmap[i] for i in train_ids], dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=n_lists, replace=False)]
+    for _i in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(n_lists):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.sum(axis=0)
+        cent = cent / np.maximum(
+            np.linalg.norm(cent, axis=1, keepdims=True), 1e-12
+        )
+    ids = sorted(vmap)
+    m = np.array([vmap[i] for i in ids], dtype=np.float64)
+    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    sims = mn @ cent.T
+    lists = {vid: int(a) for vid, a in zip(ids, np.argmax(sims, axis=1))}
+    members: dict[int, list[int]] = {}
+    for vid, li in lists.items():
+        members.setdefault(li, []).append(vid)
+    norms = {vid: math.sqrt(_fold_dot(vmap[vid], vmap[vid])) for vid in ids}
+    out = {"q_id": [], "rank": [], "n_id": [], "cosine": []}
+    for qi, q_id in enumerate(ids):
+        if q_id >= 10:
+            continue
+        order = np.argsort(-sims[qi], kind="stable")[:nprobe]
+        scored = []
+        for li in order:
+            for n_id in members.get(int(li), []):
+                if n_id == q_id:
+                    continue
+                c = _fold_dot(vmap[q_id], vmap[n_id]) / (
+                    norms[q_id] * norms[n_id]
+                )
+                scored.append((c, n_id))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (c, n_id) in enumerate(scored[:k], start=1):
+            out["q_id"].append(q_id)
+            out["rank"].append(rank)
+            out["n_id"].append(n_id)
+            out["cosine"].append(spark_round(c, 6))
+    return out
+
+
 # ------------------------------------------ blocked embedding near-dup
 
 
@@ -517,6 +572,10 @@ _SCHEMAS: dict[str, pa.Schema] = {
         [("n_pairs", pa.int64()), ("min_cosine", pa.float64()),
          ("max_cosine", pa.float64())]
     ),
+    "ann_ivf_topk": pa.schema(
+        [("q_id", pa.int64()), ("rank", pa.int32()), ("n_id", pa.int64()),
+         ("cosine", pa.float64())]
+    ),
     "media_features": pa.schema(
         [("kind", pa.string()), ("ok", pa.bool_()), ("n_media", pa.int64()),
          ("total_bytes", pa.int64())]
@@ -552,11 +611,13 @@ def _src_key(name: str, sf_dir: str | None) -> dict | None:
     """Cache key + size guard; None means 'skip generation' (too large)."""
     if name in (
         "minhash_lsh", "simhash_near_dup", "ann_lsh_topk",
-        "winnow_fingerprints", "embedding_near_dup_blocked",
+        "winnow_fingerprints", "embedding_near_dup_blocked", "ann_ivf_topk",
     ):
         table = (
             "embeddings"
-            if name in ("ann_lsh_topk", "embedding_near_dup_blocked")
+            if name in (
+                "ann_lsh_topk", "embedding_near_dup_blocked", "ann_ivf_topk"
+            )
             else "documents"
         )
         path = os.path.join(sf_dir, f"{table}.parquet")
@@ -596,6 +657,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _ann_lsh_topk(_read_embeddings(sf_dir))
     elif name == "embedding_near_dup_blocked":
         data = _near_dup_blocked_agg(_read_embeddings(sf_dir))
+    elif name == "ann_ivf_topk":
+        data = _ivf_topk_expected(_read_embeddings(sf_dir))
     elif name == "media_features":
         data = _media_features_expected()
     elif name == "clips_gate":

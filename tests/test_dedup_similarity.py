@@ -200,3 +200,44 @@ def test_winnow_fingerprints(spark):
     assert not (got[1] & got[3])
     # short doc degenerates to its single whole-doc shingle hash
     assert len(got[4]) == 1
+
+
+def test_ivf_topk_recall_and_determinism(spark):
+    """IVF ANN: deterministic quantizer (same seed → same output) and
+    useful recall of the exact top-k on a clustered corpus."""
+    import numpy as np
+
+    from data_quality_spark.operators.similarity import (
+        cosine_topk,
+        fit_ivf_centroids,
+        ivf_topk,
+    )
+
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((4, 16)) * 3
+    rows = [
+        (int(i), (centers[i % 4] + rng.standard_normal(16) * 0.3).tolist())
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = fit_ivf_centroids(df, n_lists=4, sample=200)
+    queries = df.filter("vec_id < 8")
+    got = {
+        (r.q_id, r.rank): r.n_id
+        for r in ivf_topk(df, queries, cents, k=3, nprobe=2).collect()
+    }
+    again = {
+        (r.q_id, r.rank): r.n_id
+        for r in ivf_topk(
+            df, queries, fit_ivf_centroids(df, n_lists=4, sample=200),
+            k=3, nprobe=2,
+        ).collect()
+    }
+    assert got == again  # deterministic end to end
+    exact = {
+        (r.q_id, r.rank): r.n_id
+        for r in cosine_topk(df, queries, k=3).collect()
+    }
+    overlap = sum(1 for k_ in exact if got.get(k_) == exact[k_])
+    # tight clusters + nprobe=2 of 4 lists: near-perfect recall expected
+    assert overlap / len(exact) >= 0.9
