@@ -368,9 +368,11 @@ def main() -> None:
 
     bench_queries = [
         "scan_nulls", "scan_duplicates", "duplicate_groups", "orphan_scan",
-        "completeness", "trend_rollup", "token_stats", "quality_buckets",
-        "langid_sql", "fingerprint_dedup", "scrub_audit", "minhash_lsh",
-        "simhash_near_dup", "ann_cosine_topk", "ann_lsh_topk",
+        "completeness", "trend_rollup", "token_stats", "bpe_token_stats",
+        "stopword_stats", "quality_buckets", "langid_sql",
+        "fingerprint_dedup", "winnow_fingerprints", "scrub_audit",
+        "minhash_lsh", "simhash_near_dup", "ann_cosine_topk", "ann_lsh_topk",
+        "ann_ivf_topk",
     ]
     qs = entrymod.queries()
     for name in bench_queries:

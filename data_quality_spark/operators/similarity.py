@@ -1,5 +1,5 @@
-"""Similarity search over embedding columns: brute-force cosine top-k and a
-random-hyperplane-LSH bucketed variant.
+"""Similarity search over embedding columns: brute-force cosine top-k plus
+two approximate scale paths (SRP-LSH buckets and IVF inverted lists).
 
 No reference analog (the reference handles only DBMS scalars); this is the
 training-pipeline capability layer over ``array<float>`` columns.
@@ -12,15 +12,19 @@ Scale shape:
   shuffle (window over ≤ #queries × #partitions × k rows after AQE).  Linear
   scan, no quadratic blow-up, no data movement of the corpus.
 - ``hyperplane_lsh_topk`` — sign-of-projection bucketing (Charikar 2002
-  SRP-LSH): 16 deterministic hyperplanes → 16-bit bucket; queries only score
-  candidates in their bucket.  The corpus shuffles once on the bucket id; at
-  10^12 rows the per-bucket candidate lists are what makes top-k tractable.
-  (A full IVF would learn centroids; SRP needs no training pass and keeps the
-  whole operator deterministic.)
+  SRP-LSH): deterministic hyperplanes → bit bucket; queries only score
+  candidates in their bucket.  The corpus shuffles once on the bucket id;
+  no training pass needed.
+- ``fit_ivf_centroids`` / ``ivf_topk`` — the inverted-file family (Jégou et
+  al. PAMI'11): a spherical k-means coarse quantizer fit on a bounded
+  deterministic sample, corpus shuffled once on its list id, queries
+  probing their ``nprobe`` nearest lists.  Better recall/cost control than
+  SRP when the corpus is clustered, at the price of a training pass.
 
-All dot products run in float64 inside Catalyst higher-order functions
-(``zip_with`` + ``aggregate``) — sequential index-order folds, so results are
-bit-stable across partitionings.
+All scoring dot products run in float64 inside Catalyst higher-order
+functions (``zip_with`` + ``aggregate``) — sequential index-order folds, so
+scores are bit-stable across partitionings (bucketing/assignment uses
+vectorized numpy where a training pass is already numpy-side).
 """
 
 from __future__ import annotations

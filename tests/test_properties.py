@@ -88,3 +88,36 @@ def test_token_metrics_bounds(t):
     lang, conf = X.LANGID.score_one(t)
     assert 0.0 <= conf <= 1.0
     assert X.PPLM.ppl_one(t, lang) >= 0.0
+
+
+def test_xxh64_twin_matches_spark(spark):
+    """The pure-Python XXH64 (driver-side differential oracles) must
+    bit-match Spark's xxhash64 on arbitrary strings, multi-column folds,
+    and long arrays — one Spark job over a generated corpus of edge-ish
+    inputs (unicode, empties, long strings, block boundaries)."""
+    from pyspark.sql import functions as F
+
+    from data_quality_spark.functions.xxh64 import xxh64_fold, xxh64_string
+
+    strings = [
+        "", "a", " ", "hello world", "ünïcode ☂ test", "你好世界",
+        "x" * 31, "y" * 32, "z" * 33, "w" * 100, "\x00\x01", "末 " * 40,
+        "tab\tand\nnewline", "🎵🎶", "a" * 7 + "b", "mixed 123 !@# ünits",
+    ]
+    df = spark.createDataFrame([(s, i) for i, s in enumerate(strings)],
+                               "s string, i long")
+    got = df.select(
+        F.xxhash64("s").alias("h1"),
+        F.xxhash64("s", F.lit(5)).alias("h2"),
+        F.xxhash64("s", F.col("i")).alias("h3"),
+    ).collect()
+    for (s, i), r in zip([(s, i) for i, s in enumerate(strings)], got):
+        assert r.h1 == xxh64_string(s, 42), s
+        assert r.h2 == xxh64_fold([s, ("int", 5)]), s
+        assert r.h3 == xxh64_fold([s, i]), s
+    adf = spark.createDataFrame(
+        [([1, -5, 2**40, 0, -(2**62)],), ([],)], "a array<long>"
+    )
+    ah = [r[0] for r in adf.select(F.xxhash64("a")).collect()]
+    assert ah[0] == xxh64_fold([1, -5, 2**40, 0, -(2**62)])
+    assert ah[1] == 42  # empty array: seed passes through
