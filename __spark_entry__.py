@@ -31,8 +31,21 @@ from data_quality_spark.operators import scans
 from data_quality_spark.operators import dedup as dd
 from data_quality_spark.operators import docs as dq_docs
 from data_quality_spark.operators import similarity as sim
-from data_quality_spark.oracles import ensure_expected, expected_path
+from data_quality_spark.oracles import expected_path
+from data_quality_spark.oracles import ensure_expected as _ensure_expected_impl
 from data_quality_spark.plans.report import severity_rank_col
+
+
+def ensure_expected(name: str, sf_dir: str) -> None:
+    """Refresh the differential-oracle expected file for this input;
+    NEVER fail the Spark query over it — the committed expected/*.parquet
+    (kept current for sf0.01, the driver's correctness scale) remains
+    authoritative if regeneration is impossible, and a stale file then
+    surfaces as a visible hash mismatch rather than a query error."""
+    try:
+        _ensure_expected_impl(name, sf_dir)
+    except Exception:  # noqa: BLE001 - deliberate: oracle prep must not kill the query
+        pass
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
