@@ -394,6 +394,33 @@ def main() -> None:
         # machine-readable DRAM/throttle controls next to the Spark numbers
         scaling["controls"] = run_controls(clips_path)
 
+    # memory profile (reference's C13 reports peak memory per run,
+    # BENCHMARKS.md:65-70): driver-python peak RSS via getrusage (KiB on
+    # Linux) + the largest LIVE descendant's peak (VmHWM from /proc — the
+    # py4j JVM is still running here, so RUSAGE_CHILDREN would miss it)
+    import resource
+
+    peak_self_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+    peak_children_mb = (
+        resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss / 1024.0
+    )
+    me = str(os.getpid())
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/status") as fh:
+                st = fh.read()
+            if f"\nPPid:\t{me}\n" not in st:
+                continue
+            for line in st.splitlines():
+                if line.startswith("VmHWM:"):
+                    peak_children_mb = max(
+                        peak_children_mb, int(line.split()[1]) / 1024.0
+                    )
+        except OSError:
+            continue
+
     total = sum(timings.values())
     result = {
         "metric": "end_to_end_bench_seconds (headline: clips-gate throughput)",
@@ -404,6 +431,8 @@ def main() -> None:
         "clips_per_sec": round(clips_per_sec, 1),
         "n_clips": n_clips,
         "health_scan_rows_per_sec": round(scan_rows_per_sec, 0),
+        "peak_rss_driver_mb": round(peak_self_mb, 1),
+        "peak_rss_largest_child_mb": round(peak_children_mb, 1),
         "scaling": scaling,
     }
     if scaling:
