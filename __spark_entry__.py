@@ -163,6 +163,19 @@ def q_url_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_rules(urls, "documents", [url_format_rule("homepage")])
 
 
+def q_empty_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 all-key-fields-NULL scan (ref real_data_checker.py:134-158); two
+    injected hollow rows prove the conjunction fires, one partially-null
+    row proves it doesn't over-fire."""
+    orders = _t(spark, sf_dir, "orders")
+    hollow = spark.createDataFrame(
+        [tuple(None for _ in orders.columns)] * 2
+        + [tuple(None if i else -1 for i, _ in enumerate(orders.columns))],
+        orders.schema,
+    )
+    return scans.scan_empty_records(orders.unionByName(hollow), "orders")
+
+
 def q_orphan_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 orphan repair (ref fix_critical_issues.py:43-97): placeholder
     parents for distinct orphaned fks; two injected orphans sharing one
@@ -614,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_rule": q_url_rule,
         "orphan_repair": q_orphan_repair,
         "isrc_repair": q_isrc_repair,
+        "empty_records": q_empty_records,
         "completeness": q_completeness,
         "table_completeness": q_table_completeness,
         "database_completeness": q_database_completeness,
@@ -830,6 +844,29 @@ FROM u
 HAVING sum(CASE WHEN homepage IS NOT NULL
                  AND NOT regexp_matches(homepage, '{URL_REGEX_SQL}')
             THEN 1 ELSE 0 END) > 0""",
+        "empty_records": """
+WITH aug AS (
+  SELECT * FROM orders
+  UNION ALL SELECT NULL, NULL, NULL, NULL, NULL, NULL
+  UNION ALL SELECT NULL, NULL, NULL, NULL, NULL, NULL
+  UNION ALL SELECT -1, NULL, NULL, NULL, NULL, NULL
+)
+SELECT 'orders' AS "table",
+  'o_orderkey,o_custkey,o_orderstatus,o_totalprice,o_orderdate' AS "column",
+  'empty_records' AS issue_type,
+  CAST(sum(CASE WHEN o_orderkey IS NULL AND o_custkey IS NULL
+                 AND o_orderstatus IS NULL AND o_totalprice IS NULL
+                 AND o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS "count",
+  CAST(count(*) AS BIGINT) AS total,
+  sum(CASE WHEN o_orderkey IS NULL AND o_custkey IS NULL
+            AND o_orderstatus IS NULL AND o_totalprice IS NULL
+            AND o_orderdate IS NULL THEN 1 ELSE 0 END) * 100.0 / count(*) AS percent,
+  'warning' AS severity,
+  'records with all key fields NULL' AS description
+FROM aug
+HAVING sum(CASE WHEN o_orderkey IS NULL AND o_custkey IS NULL
+                 AND o_orderstatus IS NULL AND o_totalprice IS NULL
+                 AND o_orderdate IS NULL THEN 1 ELSE 0 END) > 0""",
         "orphan_repair": """
 WITH child AS (
   SELECT o_custkey AS artist_id FROM orders

@@ -41,6 +41,7 @@ __all__ = [
     "unique_candidate_columns",
     "scan_nulls",
     "scan_orphans",
+    "scan_empty_records",
     "scan_duplicates",
     "scan_duplicates_approx",
     "scan_freshness",
@@ -208,6 +209,31 @@ def scan_orphans(
     if not parts:
         raise ValueError("empty fk_map")
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def scan_empty_records(
+    df: DataFrame,
+    table: str,
+    exclude: Sequence[str] = ("id", "created_at", "updated_at"),
+    max_cols: int = 5,
+) -> DataFrame:
+    """P6: rows whose key fields are ALL NULL — structurally present but
+    informationally empty records (ref real_data_checker.py:134-158:
+    conjunction of the first ``max_cols`` non-id/non-audit columns IS NULL,
+    severity warning).  One fused-aggregate pass like every other rule."""
+    cols = [c for c in df.columns if c.lower() not in exclude][:max_cols]
+    if not cols:
+        return empty_issues(df.sparkSession)
+    rule = Rule(
+        name="empty_records",
+        column=",".join(cols),
+        predicate=lambda d: reduce(
+            lambda a, b: a & b, [d[c].isNull() for c in cols]
+        ),
+        severity=Severity.WARNING.value,
+        description="records with all key fields NULL",
+    )
+    return compile_rules(df, table, [rule])
 
 
 def scan_duplicates(
