@@ -435,10 +435,14 @@ def main() -> None:
         "peak_rss_largest_child_mb": round(peak_children_mb, 1),
         "scaling": scaling,
     }
+    # machine-written snapshot of THIS run; BENCH.md is the curated
+    # multi-run evidence document and is maintained by hand
     if scaling:
-        with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+        with open(os.path.join(REPO, "BENCH_LAST_RUN.md"), "w") as f:
             f.write(
-                "# BENCH — clips-gate throughput & scaling\n\n"
+                "# BENCH_LAST_RUN — machine-written snapshot of the most "
+                "recent full bench (see BENCH.md for curated multi-run "
+                "evidence)\n\n"
                 f"- corpus: {n_clips} synthetic clips (seed {BENCH_SEED}, "
                 "BASELINE.json input_hint schema)\n"
                 f"- gate throughput at local[{cpus}]: "

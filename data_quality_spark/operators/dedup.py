@@ -20,6 +20,9 @@ Python in the hot path):
 - **simhash64**          — Charikar 2002 bitwise-majority fingerprint +
   chunk-banded Hamming pairs (Manku et al. WWW'07): 4×16-bit chunks guarantee
   recall for Hamming distance ≤ 3 by pigeonhole.
+- **winnow_fingerprints** — rolling-hash local fingerprints (Schleimer et
+  al. SIGMOD'03 / MOSS): windowed-min shingle hashes with the coverage
+  guarantee; one posexplode + one doc-id shuffle.
 
 All hash families derive from ``xxhash64(col, seed)`` — deterministic across
 sessions/executors (unlike ``F.hash``'s salted murmur in some contexts, the

@@ -228,10 +228,12 @@ def fingerprint_stats(docs: DataFrame) -> DataFrame:
 def scrub_col(col: Column) -> Column:
     """Chained regexp_replace over the shared PII/toxicity patterns
     (same chain as pipeline.scrub_col; patterns in the Java↔RE2↔Python
-    common dialect)."""
+    common dialect, replacements rendered for Spark's `$n` group syntax)."""
+    from ..functions.text import _render_repl
+
     out = col
     for pattern, repl in SCRUB_CHAIN:
-        out = F.regexp_replace(out, pattern, repl)
+        out = F.regexp_replace(out, pattern, _render_repl(repl, "spark"))
     return out
 
 
