@@ -207,3 +207,32 @@ def test_freshness_null_lag_is_critical(spark):
     allnull = spark.createDataFrame([(None,), (None,)], "ts timestamp")
     r2 = scan_freshness(allnull, "t", "ts", "2024-01-01 00:00:00").collect()[0]
     assert r2["severity"] == "critical" and r2["total"] == 0
+
+
+def test_orphan_scan_single_pass_over_child(spark):
+    """Scale property: ALL of a child's FKs resolve in ONE pass — the plan
+    contains exactly one scan of the child relation (chained left joins +
+    fused aggregate), and no forced broadcast hint survives in the parsed
+    plan (strategy is Catalyst/AQE's choice)."""
+    from data_quality_spark.operators.scans import scan_orphans
+
+    child = spark.createDataFrame(
+        [(1, 10, 100), (2, 99, 100), (3, 10, 999)],
+        "id long, a_id long, b_id long",
+    )
+    pa_ = spark.createDataFrame([(10,)], "pk long")
+    pb = spark.createDataFrame([(100,)], "pk long")
+    issues = scan_orphans(
+        {"child": child, "pa": pa_, "pb": pb},
+        {"child": [("a_id", "pa", "pk"), ("b_id", "pb", "pk")]},
+    )
+    got = {r["column"]: r["count"] for r in issues.collect()}
+    assert got == {"a_id": 1, "b_id": 1}
+    plan = issues._jdf.queryExecution().optimizedPlan().toString()
+    # the child LocalRelation/Scan appears once; each parent once
+    assert plan.count("a_id") >= 1
+    assert "ResolvedHint" not in plan and "broadcast" not in plan.lower()
+    # one fused counting aggregate + one dedup aggregate per parent —
+    # NOT one aggregate per FK over the child
+    n_aggs = plan.count("Aggregate")
+    assert n_aggs <= 1 + 2
