@@ -121,3 +121,51 @@ def test_xxh64_twin_matches_spark(spark):
     ah = [r[0] for r in adf.select(F.xxhash64("a")).collect()]
     assert ah[0] == xxh64_fold([1, -5, 2**40, 0, -(2**62)])
     assert ah[1] == 42  # empty array: seed passes through
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+            max_size=60,
+        ),
+        min_size=1, max_size=20,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_langid_batch_composition_tolerance(texts):
+    """Scoring a text alone vs inside any batch agrees to ~1e-12 in
+    confidence and exactly in predicted language except measure-zero ties
+    (reduceat SIMD alignment, see functions.text._segment_sums)."""
+    from data_quality_spark.functions.text import LANGID, PPLM
+
+    langs_b, confs_b = LANGID.score_batch(texts)
+    ppls_b = PPLM.ppl_batch(texts, langs_b)
+    for t, lb, cb, pb in zip(texts, langs_b, confs_b, ppls_b):
+        l1, c1 = LANGID.score_one(t)
+        assert l1 == lb
+        assert abs(c1 - cb) < 1e-9
+        p1 = PPLM.ppl_one(t, l1)
+        assert abs(p1 - pb) <= 1e-9 * max(abs(pb), 1.0)
+
+
+@given(
+    st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=40),
+    st.integers(min_value=0, max_value=30),
+)
+@settings(max_examples=80, deadline=None)
+def test_winnowing_coverage_property(tokens, extra):
+    """Winnowing guarantee (Schleimer et al. §2): two documents sharing a
+    run of ≥ window + k - 1 tokens share at least one fingerprint."""
+    from data_quality_spark.oracles import _winnow_fps_one
+
+    k, w = 3, 4
+    doc_a = " ".join(tokens)
+    # doc_b embeds doc_a's token run between unrelated prefixes/suffixes
+    doc_b = " ".join(["zz%d" % i for i in range(extra)] + tokens + ["qq", "rr"])
+    fa = _winnow_fps_one(doc_a, k, w)
+    fb = _winnow_fps_one(doc_b, k, w)
+    if len(tokens) >= w + k - 1:
+        assert fa & fb, (doc_a, doc_b)
+    # determinism
+    assert fa == _winnow_fps_one(doc_a, k, w)
