@@ -337,6 +337,9 @@ def main() -> None:
         cache_worker(int(sys.argv[2]))
         return
 
+    # bench measures throughput, not correctness: leave the committed
+    # sf0.01 differential-oracle artifacts alone
+    os.environ.setdefault("DQ_SKIP_EXPECTED", "1")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
