@@ -348,6 +348,86 @@ def q_trend_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# two fixed scan timestamps for the issue-pattern MERGE simulation
+_SCAN_TS1 = "2024-01-05 10:00:00"
+_SCAN_TS2 = "2024-01-06 10:00:00"
+
+
+def _customer_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer plus 7 injected rows: 5 with both keys NULL, 2 with only
+    c_custkey NULL — scan 2 sees strictly more nulls than scan 1."""
+    cust = _t(spark, sf_dir, "customer")
+    inj = spark.createDataFrame(
+        [(None, "inj", None, 0.0, "BUILDING")] * 5
+        + [(None, "inj", 5, 0.0, "BUILDING")] * 2,
+        cust.schema,
+    )
+    return cust.unionByName(inj)
+
+
+def q_issue_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Issue-pattern MERGE history (ref benchmark_storage.py:173-279): scan 1
+    (three columns, keep_zero) then scan 2 over a null-injected frame (two
+    columns, detected-only) upserted into one pattern relation — one union +
+    keyed aggregate, no per-issue driver loop.  Exercises re-detected
+    patterns (detection_count=2, current=max=scan-2 values) and a
+    scan-1-only pattern (c_mktsegment: detection_count=1, last=ts1)."""
+    from data_quality_spark.operators.history import upsert_issue_patterns
+
+    s1 = scans.scan_nulls(
+        _t(spark, sf_dir, "customer"), "customer",
+        ["c_custkey", "c_nationkey", "c_mktsegment"], keep_zero=True,
+    )
+    s2 = scans.scan_nulls(
+        _customer_aug(spark, sf_dir), "customer",
+        ["c_custkey", "c_nationkey"],
+    )
+    pat = upsert_issue_patterns(
+        upsert_issue_patterns(None, s1, _SCAN_TS1), s2, _SCAN_TS2
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return pat.select(
+        "table", "column", "issue_type",
+        F.date_format("first_detected", fmt).alias("first_detected_s"),
+        F.date_format("last_detected", fmt).alias("last_detected_s"),
+        "detection_count", "current_severity", "max_severity_seen",
+        "current_count", "max_count_seen",
+        F.round("current_percentage", 6).alias("current_percentage_r"),
+        F.round("max_percentage_seen", 6).alias("max_percentage_r"),
+        "resolved",
+    ).orderBy("table", "column", "issue_type")
+
+
+def q_trend_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily trend rollup with the reference's piecewise 0-100 quality score
+    (benchmark_storage.py:282-346) over a deterministic scan-benchmarks
+    relation derived from events (each event = one 'scan')."""
+    from data_quality_spark.operators.history import daily_trends
+
+    ev = _t(spark, sf_dir, "events")
+    crit = (
+        F.when(F.col("event_type") == "error", F.col("event_id") % 3)
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    bench = ev.select(
+        F.col("ts").alias("scan_timestamp"),
+        crit.alias("critical_issues"),
+        (F.col("event_id") % 7).cast("long").alias("warning_issues"),
+        (F.col("event_id") % 900 + 100).cast("long").alias("scan_duration_ms"),
+        (crit == 0).alias("deployment_safe"),
+    )
+    dt = daily_trends(bench)
+    return dt.select(
+        "date_recorded", "scans_performed",
+        F.round("avg_critical_issues", 6).alias("avg_critical_issues"),
+        F.round("avg_warning_issues", 6).alias("avg_warning_issues"),
+        F.round("avg_scan_time_ms", 6).alias("avg_scan_time_ms"),
+        F.round("deployment_success_rate", 6).alias("deployment_success_rate"),
+        F.round("quality_score", 6).alias("quality_score"),
+    )
+
+
 def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_quality_spark.operators.events import user_session_counts
 
@@ -641,6 +721,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enum_rule": q_enum_rule,
         "regex_rule": q_regex_rule,
         "trend_rollup": q_trend_rollup,
+        "issue_patterns": q_issue_patterns,
+        "trend_quality_score": q_trend_quality_score,
         "event_sessions": q_event_sessions,
         "topk_event_types": q_topk_event_types,
         "distinct_probe": q_distinct_probe,
@@ -758,6 +840,97 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(ns) AS BIGINT) AS stopword_tokens,
   CAST(sum(CASE WHEN nt >= 5 AND ns = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_stopword_free
 FROM t GROUP BY lang ORDER BY lang"""
+
+
+def _issue_patterns_oracle() -> str:
+    """DuckDB twin of q_issue_patterns: same two simulated scans, the MERGE
+    expressed as the same union + keyed aggregate (arg_max = max_by)."""
+
+    def null_rows(from_name: str, cols: list[tuple[str, bool]]) -> str:
+        parts = []
+        for c, key_like in cols:
+            if key_like:  # null_severity key law (ref quality_scanner.py:572-585)
+                sev = "CASE WHEN s.cnt > 0 THEN 'critical' ELSE 'info' END"
+            else:
+                sev = ("CASE WHEN s.cnt = 0 THEN 'info' "
+                       "WHEN s.pct > 50.0 THEN 'warning' ELSE 'info' END")
+            parts.append(f"""
+  SELECT 'customer' AS "table", '{c}' AS "column", 'nulls' AS issue_type,
+         s.cnt, s.tot, s.pct, {sev} AS sev
+  FROM (
+    SELECT CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS cnt,
+           CAST(count(*) AS BIGINT) AS tot,
+           CASE WHEN count(*) > 0
+                THEN sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) * 100.0 / count(*)
+                ELSE 0.0 END AS pct
+    FROM {from_name}
+  ) s""")
+        return " UNION ALL ".join(parts)
+
+    s1 = null_rows(
+        "customer",
+        [("c_custkey", True), ("c_nationkey", True), ("c_mktsegment", False)],
+    )
+    s2 = null_rows("aug", [("c_custkey", True), ("c_nationkey", True)])
+    inj1 = " UNION ALL ".join(["SELECT NULL, 'inj', NULL, 0.0, 'BUILDING'"] * 5)
+    inj2 = " UNION ALL ".join(["SELECT NULL, 'inj', 5, 0.0, 'BUILDING'"] * 2)
+    return f"""
+WITH aug AS (
+  SELECT * FROM customer
+  UNION ALL {inj1}
+  UNION ALL {inj2}
+),
+s1 AS ({s1}),
+s2 AS (SELECT * FROM ({s2}) u WHERE u.cnt > 0),
+pat AS (
+  SELECT "table", "column", issue_type,
+         TIMESTAMP '{_SCAN_TS1}' AS fd, TIMESTAMP '{_SCAN_TS1}' AS ld,
+         CAST(1 AS BIGINT) AS dc, sev AS cs, sev AS ms,
+         cnt AS cc, cnt AS mc, pct AS cp, pct AS mp, FALSE AS res
+  FROM s1
+  UNION ALL
+  SELECT "table", "column", issue_type,
+         TIMESTAMP '{_SCAN_TS2}', TIMESTAMP '{_SCAN_TS2}',
+         CAST(1 AS BIGINT), sev, sev, cnt, cnt, pct, pct, FALSE
+  FROM s2
+)
+SELECT "table", "column", issue_type,
+  strftime(min(fd), '%Y-%m-%d %H:%M:%S') AS first_detected_s,
+  strftime(max(ld), '%Y-%m-%d %H:%M:%S') AS last_detected_s,
+  CAST(sum(dc) AS BIGINT) AS detection_count,
+  arg_max(cs, ld) AS current_severity,
+  CASE max(CASE ms WHEN 'critical' THEN 3 WHEN 'warning' THEN 2 ELSE 1 END)
+       WHEN 3 THEN 'critical' WHEN 2 THEN 'warning' ELSE 'info' END
+    AS max_severity_seen,
+  CAST(arg_max(cc, ld) AS BIGINT) AS current_count,
+  CAST(max(mc) AS BIGINT) AS max_count_seen,
+  ROUND(arg_max(cp, ld), 6) AS current_percentage_r,
+  ROUND(max(mp), 6) AS max_percentage_r,
+  arg_max(res, ld) AS resolved
+FROM pat
+GROUP BY "table", "column", issue_type
+ORDER BY "table", "column", issue_type"""
+
+
+_TREND_QUALITY_SQL = """
+WITH b AS (
+  SELECT ts AS st,
+    CASE WHEN event_type = 'error' THEN event_id % 3 ELSE 0 END AS crit,
+    event_id % 7 AS warn,
+    event_id % 900 + 100 AS dur
+  FROM events
+)
+SELECT strftime(st, '%Y-%m-%d') AS date_recorded,
+  CAST(count(*) AS BIGINT) AS scans_performed,
+  ROUND(CAST(sum(crit) AS DOUBLE) / count(*), 6) AS avg_critical_issues,
+  ROUND(CAST(sum(warn) AS DOUBLE) / count(*), 6) AS avg_warning_issues,
+  ROUND(CAST(sum(dur) AS DOUBLE) / count(*), 6) AS avg_scan_time_ms,
+  ROUND(CAST(sum(CASE WHEN crit = 0 THEN 1 ELSE 0 END) AS DOUBLE) * 100.0
+        / count(*), 6) AS deployment_success_rate,
+  ROUND(sum(CASE WHEN crit = 0 AND warn = 0 THEN 100.0
+                 WHEN crit = 0 THEN 80.0 - warn * 2.0
+                 ELSE 50.0 - crit * 10.0 END) / count(*), 6) AS quality_score
+FROM b GROUP BY 1 ORDER BY 1"""
 
 
 from data_quality_spark.operators.reference_rules import URL_REGEX as _URL_RX
@@ -1124,6 +1297,8 @@ SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
 FROM events GROUP BY 1 ORDER BY 1""",
+        "issue_patterns": _issue_patterns_oracle(),
+        "trend_quality_score": _TREND_QUALITY_SQL,
         "event_sessions": """
 WITH s AS (
   SELECT user_id,

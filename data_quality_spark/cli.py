@@ -55,6 +55,46 @@ def build_parser() -> argparse.ArgumentParser:
     m = sub.add_parser("completeness", help="per-column completeness analysis")
     m.add_argument("--tables", required=True)
     m.add_argument("--pattern", default=None)
+
+    # ref cli.py:148-213 nulls / orphans — first-class thin commands
+    n = sub.add_parser("nulls", help="scan for NULLs in key columns")
+    n.add_argument("--tables", required=True, help="directory of <name>.parquet tables")
+    n.add_argument("--pattern", default=None, help="only tables containing this substring")
+    n.add_argument("--format", choices=["text", "json"], default="text")
+
+    o = sub.add_parser("orphans", help="scan for broken FK references")
+    o.add_argument("--tables", required=True)
+    o.add_argument("--pattern", default=None)
+    o.add_argument(
+        "--fk",
+        action="append",
+        default=[],
+        metavar="child.col=parent.col",
+        help="declared FK (repeatable); without any, *_id/*key name "
+        "heuristics are tried",
+    )
+    o.add_argument("--format", choices=["text", "json"], default="text")
+
+    # ref cli.py:215-348 analyze
+    a = sub.add_parser("analyze", help="schema analysis for one table")
+    a.add_argument("--tables", required=True)
+    a.add_argument("--table", required=True, help="table name to analyze")
+    a.add_argument("--no-normalization", action="store_true")
+    a.add_argument("--no-boolean-suggestions", action="store_true")
+    a.add_argument("--no-fact-analysis", action="store_true")
+    a.add_argument(
+        "--generate-sql", action="store_true",
+        help="emit executable Spark DDL for recommendations",
+    )
+
+    # ref cli.py:351-427 suggest
+    s = sub.add_parser("suggest", help="improvement suggestions for tables")
+    s.add_argument("--tables", required=True)
+    s.add_argument("--pattern", default=None)
+    s.add_argument("--format", choices=["text", "json"], default="text")
+
+    # ref cli_clean.py:124-130 schema
+    sub.add_parser("schema", help="output JSON Schema for reports")
     return p
 
 
@@ -69,8 +109,69 @@ def _discover(tables_dir: str, pattern: str | None) -> list[str]:
     return names
 
 
+def _parse_fk_specs(specs: list[str]) -> dict[str, list[tuple[str, str, str]]]:
+    """'child.col=parent.col' declarations → scan_orphans fk_map."""
+    fk_map: dict[str, list[tuple[str, str, str]]] = {}
+    for spec in specs:
+        try:
+            child_part, parent_part = spec.split("=", 1)
+            child_tbl, child_col = child_part.rsplit(".", 1)
+            parent_tbl, parent_col = parent_part.rsplit(".", 1)
+        except ValueError:
+            raise SystemExit(f"bad --fk spec {spec!r}; want child.col=parent.col")
+        fk_map.setdefault(child_tbl, []).append((child_col, parent_tbl, parent_col))
+    return fk_map
+
+
+def _heuristic_fk_map(
+    tables: dict[str, object],
+) -> dict[str, list[tuple[str, str, str]]]:
+    """J5 name-based FK candidates when none are declared (the reference
+    reads information_schema FKs, quality_scanner.py:421-445; parquet has
+    none, so '<x>_id' → table '<x>'/'<x>s'(id) is the best-effort analog)."""
+    fk_map: dict[str, list[tuple[str, str, str]]] = {}
+    for child, df in tables.items():
+        for c in df.columns:
+            low = c.lower()
+            if not low.endswith("_id") or low == "id":
+                continue
+            stem = low[:-3]
+            for parent in (stem, stem + "s"):
+                if parent in tables and parent != child:
+                    pcols = {pc.lower(): pc for pc in tables[parent].columns}
+                    for pk in ("id", low):
+                        if pk in pcols:
+                            fk_map.setdefault(child, []).append(
+                                (c, parent, pcols[pk])
+                            )
+                            break
+                    break
+    return fk_map
+
+
+def _print_issues(issues: list[dict], fmt: str, empty_msg: str) -> None:
+    if fmt == "json":
+        print(json.dumps(issues, default=str, indent=2))
+        return
+    if not issues:
+        print(empty_msg)
+        return
+    print(f"Found {len(issues)} issue(s):")
+    for i in issues:
+        print(
+            f"  [{i.get('severity', '?').upper():8s}] "
+            f"{i['table']}.{i.get('column') or '*'} {i['issue_type']}: "
+            f"{i.get('description') or ''} ({i['count']}/{i['total']})"
+        )
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.cmd == "schema":  # pure contract dump, no Spark session needed
+        from .plans.report import get_json_schema
+
+        print(json.dumps(get_json_schema(), indent=2))
+        return 0
     from .session import get_spark
 
     spark = get_spark("dq-cli", master=args.master)
@@ -133,6 +234,103 @@ def main(argv: list[str] | None = None) -> int:
                 f"DATABASE: {db['completeness_score']:.2f}% "
                 f"({db['n_tables']} tables, {db['n_columns']} columns)"
             )
+            return 0
+        if args.cmd == "nulls":
+            from functools import reduce
+
+            from .operators.scans import scan_nulls
+
+            names = _discover(args.tables, args.pattern)
+            parts = [
+                scan_nulls(
+                    spark.read.parquet(os.path.join(args.tables, f"{n}.parquet")), n
+                )
+                for n in names
+            ]
+            union = reduce(lambda a, b: a.unionByName(b), parts)
+            issues = [r.asDict() for r in union.collect()]
+            _print_issues(issues, args.format, "No null value issues found.")
+            return 0
+        if args.cmd == "orphans":
+            from .operators.scans import scan_orphans
+
+            names = _discover(args.tables, args.pattern)
+            tables = {
+                n: spark.read.parquet(os.path.join(args.tables, f"{n}.parquet"))
+                for n in names
+            }
+            fk_map = (
+                _parse_fk_specs(args.fk) if args.fk else _heuristic_fk_map(tables)
+            )
+            if not fk_map:
+                print("No FK declarations and no *_id naming matches; "
+                      "pass --fk child.col=parent.col")
+                return 0
+            issues = [r.asDict() for r in scan_orphans(tables, fk_map).collect()]
+            _print_issues(issues, args.format, "No orphaned records found.")
+            return 0
+        if args.cmd == "analyze":
+            from .plans.advisor import advise_table, boolean_ddl
+
+            df = spark.read.parquet(
+                os.path.join(args.tables, f"{args.table}.parquet")
+            )
+            advice = advise_table(df, args.table)
+            print(f"Schema Analysis for table: {args.table}")
+            print("=" * 50)
+            keys = ", ".join(advice.natural_keys) or "None detected"
+            print(f"Natural Keys: {keys}")
+            if advice.boolean_candidates:
+                print(f"Boolean Columns: {', '.join(advice.boolean_candidates)}")
+            if not args.no_boolean_suggestions and advice.suggested_booleans:
+                print("Suggested Boolean Conversions:")
+                ddls = boolean_ddl(args.table, advice.suggested_booleans)
+                for (col, sug), ddl in zip(
+                    advice.suggested_booleans.items(), ddls
+                ):
+                    print(f"   - {col} (currently: {sug})")
+                    if args.generate_sql:
+                        print(f"     SQL: {ddl}")
+            if not args.no_normalization and advice.denormalization:
+                print("Normalization Opportunities:")
+                for d in advice.denormalization:
+                    print(f"   - {d['description']} ({', '.join(d['columns'])})")
+            if not args.no_fact_analysis and advice.looks_like_fact:
+                print("Fact Table Candidate - consider dimensional modeling")
+            for note in advice.notes:
+                print(f"note: {note}")
+            return 0
+        if args.cmd == "suggest":
+            from dataclasses import asdict
+
+            from .plans.advisor import suggest_improvements
+
+            names = _discover(args.tables, args.pattern)
+            tables = {
+                n: spark.read.parquet(os.path.join(args.tables, f"{n}.parquet"))
+                for n in names
+            }
+            recs = suggest_improvements(tables)
+            if args.format == "json":
+                print(json.dumps([asdict(r) for r in recs], indent=2))
+                return 0
+            if not recs:
+                print("No suggestions - your schema looks great!")
+                return 0
+            print(f"Improvement Suggestions for {len(tables)} table(s)")
+            print("=" * 50)
+            for priority in ("high", "medium", "low"):
+                group = [r for r in recs if r.priority == priority]
+                if not group:
+                    continue
+                print(f"\n{priority.upper()} PRIORITY")
+                print("-" * 30)
+                for i, rec in enumerate(group, 1):
+                    print(f"{i}. {rec.description}")
+                    if rec.benefits:
+                        print(f"   Benefits: {', '.join(rec.benefits)}")
+                    print(f"   Effort: {rec.effort_level}")
+                    print(f"   SQL: {rec.sql_example}")
             return 0
         return 2
     finally:

@@ -69,10 +69,14 @@ GARBAGE_NAME_PATTERNS = [
 ]
 SEMVER_REGEX = r"^v?[0-9]+\.[0-9]+\.[0-9]+"
 # ref validation.py:33-35 (_URL_PATTERN), dialect-safe in java.util.regex,
-# RE2 (DuckDB) and Python re
+# RE2 (DuckDB) and Python re: \w spelled out as [A-Za-z0-9_] because
+# Python's \w is Unicode-aware by default while Java/RE2 default to ASCII
+# (ADVICE r2 — with \w a non-ASCII-letter URL would pass a Python-side
+# check but fail in Spark/DuckDB)
 URL_REGEX = (
-    r"^https?://(?:[-\w.])+(?:[:\d]+)?"
-    r"(?:/(?:[\w/_.])*(?:\?(?:[\w&=%.])*)?(?:#(?:\w*))?)?$"
+    r"^https?://(?:[-A-Za-z0-9_.])+(?:[:\d]+)?"
+    r"(?:/(?:[A-Za-z0-9_/.])*(?:\?(?:[A-Za-z0-9_&=%.])*)?"
+    r"(?:#(?:[A-Za-z0-9_]*))?)?$"
 )
 VALID_DECISIONS = ["accept", "graylist", "reject"]
 
@@ -190,26 +194,10 @@ def not_null_rule(column: str, severity: str = Severity.CRITICAL.value) -> Rule:
 
 
 def _run_checkpoint(name: str, df: DataFrame, table: str, rules: list[Rule]):
-    import time
+    # single-pass fused checkpoint (sentinel row carries total; no df.count())
+    from .gate import run_fused_checkpoint
 
-    from ..plans.report import CheckpointResult
-    from .rules import compile_rules
-
-    t0 = time.perf_counter()
-    issues = [r.asDict() for r in compile_rules(df, table, rules).collect()]
-    total = df.count()
-    failed = sum(i["count"] for i in issues)
-    criticals = [i for i in issues if i["severity"] == Severity.CRITICAL.value]
-    return CheckpointResult(
-        checkpoint_name=name,
-        success=not criticals,
-        issues=issues,
-        total_records=total,
-        passed_records=max(total - failed, 0),
-        failed_records=failed,
-        execution_time_ms=(time.perf_counter() - t0) * 1000.0,
-        summary=f"{len(issues)} issue type(s), {len(criticals)} critical",
-    )
+    return run_fused_checkpoint(name, df, table, rules)
 
 
 class MedallionBronzeToSilver:

@@ -54,13 +54,17 @@ def repair_orphans_with_placeholders(
     parent_id_col: str,
     parent_name_col: str,
     name_prefix: str = "Unknown Artist ",
+    extra_defaults: dict[str, object] | None = None,
 ) -> DataFrame:
     """Return the parent table augmented with one placeholder row per
     distinct orphaned fk value (fix_critical_issues.py:50-70's
     ``INSERT OR IGNORE``): after the repair the child has zero orphans.
 
-    Extra parent columns beyond (id, name) are NULL on placeholder rows —
-    the same shape the reference's INSERT produces for unlisted columns.
+    Extra parent columns beyond (id, name) default to NULL on placeholder
+    rows.  The reference's INSERT also pins ``country='Unknown'``
+    (fix_critical_issues.py:68-70) — pass
+    ``extra_defaults={"country": "Unknown"}`` to reproduce that exactly;
+    any column not listed stays NULL (ADVICE r2).
     """
     orphan_ids = (
         child.select(F.col(fk_col).alias(parent_id_col))
@@ -72,12 +76,15 @@ def repair_orphans_with_placeholders(
         )
         .dropDuplicates()
     )
-    placeholders = orphan_ids.select(
+    cols = [
         F.col(parent_id_col),
         F.concat(
             F.lit(name_prefix), F.col(parent_id_col).cast("string")
         ).alias(parent_name_col),
-    )
+    ]
+    for name, value in (extra_defaults or {}).items():
+        cols.append(F.lit(value).alias(name))
+    placeholders = orphan_ids.select(*cols)
     return parent.unionByName(placeholders, allowMissingColumns=True)
 
 

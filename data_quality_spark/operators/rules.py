@@ -26,7 +26,34 @@ from pyspark.sql import functions as F
 
 from ..plans.schemas import ISSUE_SCHEMA, Severity
 
-__all__ = ["Rule", "RuleSet", "compile_rules", "null_severity", "percent_severity"]
+__all__ = [
+    "Rule",
+    "RuleSet",
+    "TOTAL_SENTINEL",
+    "compile_rules",
+    "null_severity",
+    "percent_severity",
+    "total_sentinel_rule",
+]
+
+#: issue_type of the synthetic row emitted by :func:`total_sentinel_rule`.
+TOTAL_SENTINEL = "__checkpoint_total__"
+
+
+def total_sentinel_rule() -> "Rule":
+    """A zero-count rule whose emitted row's ``total`` column carries the
+    fused aggregate's ``__total__`` — checkpoint runners recover the table
+    row count from the SAME single-scan collect instead of paying a second
+    ``df.count()`` pass (2× IO at 100 TB).  ``emit_when_zero`` guarantees
+    the row survives the count>0 filter even on a clean table."""
+    return Rule(
+        TOTAL_SENTINEL,
+        None,
+        predicate=lambda d: F.lit(False),
+        severity=Severity.INFO.value,
+        emit_when_zero=True,
+        description="row-count sentinel (no extra scan)",
+    )
 
 # severity spec: fixed string, or builder (count, total, percent) -> Column
 SeveritySpec = str | Callable[[Column, Column, Column], Column]

@@ -298,7 +298,14 @@ def bucket_col(vec: Column, planes: np.ndarray) -> Column:
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        bit = F.when(proj >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        # NaN guard: Spark's NaN-greatest ordering makes `NaN >= 0` TRUE,
+        # while the numpy/Python differential oracles evaluate it False — a
+        # NaN projection must take the 0 bit on BOTH sides (ADVICE r2)
+        bit = (
+            F.when(F.isnan(proj), F.lit(0).cast("long"))
+            .when(proj >= 0, F.lit(1).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
         out = out.bitwiseOR(F.shiftleft(bit, i))
     return out
 

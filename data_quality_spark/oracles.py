@@ -398,8 +398,29 @@ def _clips_oracle_frame(n: int, seed: int):
     return oracle_gate(generate_clips(n, seed=seed))
 
 
+def _assert_off_rounding_boundary(values, d: int, tol: float = 1e-9) -> None:
+    """Langid/ppl sums are batch-composition-stable only to ~1e-14 (numpy
+    reduceat SIMD association), and the gate hash compares conf rounded to
+    ``d`` dp against these committed artifacts.  Guard at GENERATION time
+    that no raw value sits within ``tol`` of a half-step rounding boundary,
+    so a corpus change that would make the hash gate flake between Spark
+    batch layouts fails loudly here instead (ADVICE r2)."""
+    step = 10.0 ** (-d)
+    for v in values:
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            continue
+        frac = math.remainder(float(v) / step - 0.5, 1.0)
+        if abs(frac) < tol / step:
+            raise AssertionError(
+                f"expected-value {v!r} is within {tol} of a {d}dp rounding "
+                "boundary; the hash gate would depend on last-ulp batch "
+                "composition — perturb the corpus seed/version"
+            )
+
+
 def _clips_gate_expected(n=1200, seed=42) -> dict:
     pdf = _clips_oracle_frame(n, seed)
+    _assert_off_rounding_boundary(list(pdf["lang_conf"]), 4)
     rms_r = [
         float("nan") if (v is None or (isinstance(v, float) and math.isnan(v)))
         else spark_round(v, 2)

@@ -36,9 +36,15 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "TableAdvice",
+    "SchemaRecommendation",
     "advise_table",
     "suggest_backfills",
     "backfill_with_lookup",
+    "recommend_indexes",
+    "recommend_industry_patterns",
+    "general_recommendations",
+    "suggest_improvements",
+    "boolean_ddl",
     "IMPOSSIBLE_COLUMN_PATTERNS",
     "is_column_likely_impossible",
     "identify_impossible_columns",
@@ -211,6 +217,261 @@ def advise_table(df: DataFrame, table: str) -> TableAdvice:
             "(dimension tables per fk, ref schema_analyzer.py:606-640)"
         )
     return advice
+
+
+@dataclass
+class SchemaRecommendation:
+    """One advisor recommendation (ref schema_analyzer.py SchemaRecommendation
+    shape): priority high/medium/low, an executable ``sql_example``, benefit
+    and effort annotations.  The reference renders MySQL DDL (CREATE INDEX /
+    ALTER TABLE); here every ``sql_example`` is **Spark SQL** the user can run
+    verbatim — the Spark-native analog of a B-tree index is clustering the
+    data for the access path (bucketing for join keys, sort-within-bucket for
+    point lookups, partition transforms for time pruning)."""
+
+    type: str
+    priority: str
+    description: str
+    sql_example: str
+    benefits: list[str] = field(default_factory=list)
+    effort_level: str = "low"
+
+
+def recommend_indexes(table: str, columns: list[str]) -> list[SchemaRecommendation]:
+    """Index-opportunity rules (ref schema_analyzer.py:746-798), re-expressed
+    Spark-first: a '*_id' fk column benefits from bucketing (shuffle-free
+    co-located joins), an email column from a sorted layout (row-group
+    min/max pruning for point lookups)."""
+    recs = []
+    fk_cols = [
+        c for c in columns if c.lower().endswith("_id") and c.lower() != "id"
+    ]
+    for c in fk_cols:
+        recs.append(
+            SchemaRecommendation(
+                type="indexing",
+                priority="high",
+                description=(
+                    f"Bucket '{table}' on foreign-key column '{c}' for "
+                    "shuffle-free JOINs (ref: CREATE INDEX on fk columns)"
+                ),
+                sql_example=(
+                    f"CREATE TABLE {table}_bucketed USING parquet "
+                    f"CLUSTERED BY ({c}) INTO 64 BUCKETS "
+                    f"AS SELECT * FROM {table};"
+                ),
+                benefits=[
+                    "Faster JOINs",
+                    "Improved query performance",
+                    "Better foreign key lookups",
+                ],
+                effort_level="low",
+            )
+        )
+    for c in (c for c in columns if "email" in c.lower()):
+        recs.append(
+            SchemaRecommendation(
+                type="indexing",
+                priority="medium",
+                description=(
+                    f"Sort '{table}' by email column '{c}' so parquet "
+                    "row-group min/max stats prune point lookups "
+                    "(ref: CREATE INDEX on email columns)"
+                ),
+                sql_example=(
+                    f"CREATE TABLE {table}_by_{c} USING parquet "
+                    f"CLUSTERED BY ({c}) SORTED BY ({c}) INTO 64 BUCKETS "
+                    f"AS SELECT * FROM {table};"
+                ),
+                benefits=[
+                    "Faster user authentication",
+                    "Improved search performance",
+                ],
+                effort_level="low",
+            )
+        )
+    return recs
+
+
+def recommend_industry_patterns(
+    table: str, columns: list[str]
+) -> list[SchemaRecommendation]:
+    """Industry-pattern rules (ref schema_analyzer.py:801-876): music-table
+    platform ids, metrics-table date partitioning, user-table email
+    verification — each with executable Spark DDL."""
+    recs = []
+    low = [c.lower() for c in columns]
+    if any(c in low for c in ("isrc", "artist", "song", "track", "album")):
+        if "isrc" in low and "spotify_id" not in low:
+            recs.append(
+                SchemaRecommendation(
+                    type="industry",
+                    priority="medium",
+                    description=(
+                        "Music table detected - consider adding streaming "
+                        "platform IDs"
+                    ),
+                    sql_example=(
+                        f"ALTER TABLE {table} ADD COLUMNS "
+                        "(spotify_id STRING, apple_music_id STRING);"
+                    ),
+                    benefits=[
+                        "Better platform integration",
+                        "Enhanced data linking",
+                        "Industry standard compliance",
+                    ],
+                    effort_level="low",
+                )
+            )
+        if "play_count" in low or "streams" in low:
+            date_col = next(
+                (c for c in columns if "date" in c.lower() or c.lower().endswith("_at")),
+                "event_date",
+            )
+            recs.append(
+                SchemaRecommendation(
+                    type="industry",
+                    priority="high",
+                    description=(
+                        "Metrics table detected - partition by date for "
+                        "pruned scans"
+                    ),
+                    sql_example=(
+                        f"CREATE TABLE {table}_partitioned USING parquet "
+                        f"PARTITIONED BY ({date_col}) "
+                        f"AS SELECT * FROM {table};"
+                    ),
+                    benefits=[
+                        "Better query performance",
+                        "Easier data archiving",
+                        "Improved maintenance",
+                    ],
+                    effort_level="high",
+                )
+            )
+    if any(c in low for c in ("user", "email", "password", "login")) or any(
+        "email" in c for c in low
+    ):
+        if any("email" in c for c in low) and "email_verified" not in low:
+            recs.append(
+                SchemaRecommendation(
+                    type="security",
+                    priority="high",
+                    description=(
+                        "User table should track email verification for "
+                        "security"
+                    ),
+                    sql_example=(
+                        f"ALTER TABLE {table} ADD COLUMNS "
+                        "(email_verified BOOLEAN, email_verified_at TIMESTAMP);"
+                    ),
+                    benefits=[
+                        "Better security",
+                        "Email validation",
+                        "User onboarding tracking",
+                    ],
+                    effort_level="low",
+                )
+            )
+    return recs
+
+
+def general_recommendations(table: str = "your_table") -> list[SchemaRecommendation]:
+    """Fallback best-practice recommendations (ref schema_analyzer.py:
+    879-910)."""
+    return [
+        SchemaRecommendation(
+            type="general",
+            priority="medium",
+            description="Consider adding audit timestamps to all tables",
+            sql_example=(
+                f"ALTER TABLE {table} ADD COLUMNS "
+                "(created_at TIMESTAMP, updated_at TIMESTAMP);"
+            ),
+            benefits=[
+                "Better audit trails",
+                "Data lineage tracking",
+                "Debugging capabilities",
+            ],
+            effort_level="low",
+        ),
+        SchemaRecommendation(
+            type="general",
+            priority="high",
+            description="Ensure all tables have a stable primary key",
+            sql_example=(
+                f"CREATE TABLE {table}_keyed USING parquet AS "
+                f"SELECT monotonically_increasing_id() AS id, * FROM {table};"
+            ),
+            benefits=[
+                "Better replication",
+                "Improved performance",
+                "Data integrity",
+            ],
+            effort_level="medium",
+        ),
+    ]
+
+
+def boolean_ddl(table: str, suggested_booleans: dict[str, str]) -> list[str]:
+    """Render advise_table's boolean suggestions as executable Spark DDL
+    (the reference's --generate-sql flag, cli.py:289-293)."""
+    out = []
+    for col, suggestion in suggested_booleans.items():
+        first = suggestion.split("/")[0]
+        name = first if first.startswith("is_") else f"is_{first}"
+        out.append(f"ALTER TABLE {table} ADD COLUMNS ({name} BOOLEAN);")
+    return out
+
+
+def suggest_improvements(
+    tables: dict[str, "DataFrame"]
+) -> list[SchemaRecommendation]:
+    """Comprehensive multi-table suggestions (ref cli.py:361-427 suggest):
+    per-table index + industry rules plus the schema-derived boolean /
+    denormalization advice, priority-tagged for the CLI's grouping.  Only
+    ``advise_table`` touches data (one fused agg per table); the
+    recommendation rules are driver-side name heuristics."""
+    recs: list[SchemaRecommendation] = []
+    for name, df in tables.items():
+        cols = df.columns
+        recs.extend(recommend_indexes(name, cols))
+        recs.extend(recommend_industry_patterns(name, cols))
+        advice = advise_table(df, name)
+        for col, suggestion in advice.suggested_booleans.items():
+            recs.append(
+                SchemaRecommendation(
+                    type="boolean",
+                    priority="low",
+                    description=(
+                        f"Column '{col}' is binary ({suggestion}) - consider "
+                        "an explicit boolean"
+                    ),
+                    sql_example=boolean_ddl(name, {col: suggestion})[0],
+                    benefits=["Smaller storage", "Clearer semantics"],
+                    effort_level="low",
+                )
+            )
+        for d in advice.denormalization:
+            # suggested name can collide with the source (prefix 'event' on
+            # table 'events' pluralizes back) — the DDL must stay executable
+            target = d["suggested_table"]
+            if target == name:
+                target = f"{target}_dim"
+            recs.append(
+                SchemaRecommendation(
+                    type="normalization",
+                    priority="medium",
+                    description=d["description"],
+                    sql_example=(
+                        f"CREATE TABLE {target} USING parquet AS "
+                        f"SELECT DISTINCT {', '.join(d['columns'])} FROM {name};"
+                    ),
+                    benefits=["Reduced duplication", "Single source of truth"],
+                    effort_level="medium",
+                )
+            )
+    return recs
 
 
 def suggest_backfills(

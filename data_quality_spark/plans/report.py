@@ -205,6 +205,43 @@ class Report:
         )
 
 
+def get_json_schema() -> dict:
+    """JSON Schema for the ``Report`` serialization contract (ref
+    cli_clean.py:124-130 ``schema`` command / models.get_json_schema) —
+    hand-maintained so it stays the stable external contract even if the
+    dataclasses grow internal fields."""
+    return {
+        "$schema": "https://json-schema.org/draft/2020-12/schema",
+        "title": "DataQualityReport",
+        "type": "object",
+        "required": ["tool_version", "source", "issues"],
+        "properties": {
+            "tool_version": {"type": "string"},
+            "source": {"type": "string"},
+            "issues": {
+                "type": "array",
+                "items": {
+                    "type": "object",
+                    "required": ["table", "issue_type", "count", "severity"],
+                    "properties": {
+                        "table": {"type": "string"},
+                        "column": {"type": ["string", "null"]},
+                        "issue_type": {"type": "string"},
+                        "count": {"type": "integer", "minimum": 0},
+                        "total": {"type": "integer", "minimum": 0},
+                        "percent": {"type": "number"},
+                        "severity": {
+                            "type": "string",
+                            "enum": ["critical", "warning", "info"],
+                        },
+                        "description": {"type": "string"},
+                    },
+                },
+            },
+        },
+    }
+
+
 @dataclass
 class CheckpointResult:
     """Gate result, ref checkpoints.py:23-34; success ⇔ zero criticals

@@ -80,6 +80,75 @@ def test_cli_gate_roundtrip(spark, tmp_path, capsys, monkeypatch):
     assert code2 == 0 and res2["rows_in"] == 0 and res2["skipped"] == 7
 
 
+@pytest.mark.slow
+def test_cli_parity_subcommands(spark, tmp_path, capsys, monkeypatch):
+    """Reference CLI parity (cli.py:148-448, cli_clean.py:124): nulls /
+    orphans / analyze / suggest / schema as first-class commands."""
+    import data_quality_spark.cli as cli
+
+    monkeypatch.setattr("pyspark.sql.SparkSession.stop", lambda self: None)
+    tables = tmp_path / "tables"
+    tables.mkdir()
+    # >10 rows so the ≤2-distinct binary probe engages (advisor n>10 guard)
+    users = spark.createDataFrame(
+        [(i, None if i % 3 == 0 else f"u{i}@x.com",
+          "active" if i % 2 == 0 else "inactive") for i in range(12)],
+        "user_id long, email string, status string",
+    )
+    users.coalesce(1).write.parquet(str(tables / "users.parquet"))
+    posts = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 99)], "post_id long, user_id long"
+    )
+    posts.coalesce(1).write.parquet(str(tables / "posts.parquet"))
+
+    # nulls (ref cli.py:148-179)
+    assert cli.main(["nulls", "--tables", str(tables)]) == 0
+    out = capsys.readouterr().out
+    assert "users.email nulls" in out
+
+    # orphans with a declared FK (ref cli.py:182-213)
+    assert cli.main(
+        ["orphans", "--tables", str(tables),
+         "--fk", "posts.user_id=users.user_id", "--format", "json"]
+    ) == 0
+    issues = json.loads(capsys.readouterr().out)
+    assert issues[0]["issue_type"] == "orphan" and issues[0]["count"] == 1
+
+    # orphans via the *_id naming heuristic: posts.user_id → users table?
+    # 'user'/'users' both exist as stems only if table named so — declared
+    # case above is the contract; heuristic path just must not crash
+    assert cli.main(["orphans", "--tables", str(tables)]) == 0
+    capsys.readouterr()
+
+    # analyze (+ --generate-sql DDL, ref cli.py:215-348)
+    assert cli.main(
+        ["analyze", "--tables", str(tables), "--table", "users",
+         "--generate-sql"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "Natural Keys" in out and "user_id" in out
+    # status is an exact binary pair (active/inactive) → boolean suggestion
+    assert "status" in out and "ALTER TABLE users ADD COLUMNS (is_active" in out
+
+    # suggest (ref cli.py:351-427): email column → medium-priority layout rec
+    assert cli.main(
+        ["suggest", "--tables", str(tables), "--pattern", "users",
+         "--format", "json"]
+    ) == 0
+    recs = json.loads(capsys.readouterr().out)
+    assert any(r["type"] == "indexing" and "email" in r["description"]
+               for r in recs)
+    assert all(r["sql_example"].rstrip().endswith(";") for r in recs)
+
+    # schema: pure JSON-Schema dump, no Spark needed (ref cli_clean.py:124)
+    assert cli.main(["schema"]) == 0
+    schema = json.loads(capsys.readouterr().out)
+    assert schema["title"] == "DataQualityReport"
+    assert schema["properties"]["issues"]["items"]["required"] == [
+        "table", "issue_type", "count", "severity"
+    ]
+
+
 def test_report_ci_formats():
     """C11: the reference CI runner's per-system outputs
     (ref scripts/ci_cd_data_quality.py:153-290)."""

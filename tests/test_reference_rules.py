@@ -164,6 +164,29 @@ def test_bronze_checkpoint_null_parser_version_fails(spark):
     assert not res.success
 
 
+def test_checkpoint_single_pass(spark):
+    """A checkpoint run must scan its input exactly ONCE: total_records
+    comes off the fused aggregate's sentinel row, not a second df.count()
+    (the r2 verdict's 2×-IO finding).  The accumulator bumps once per row
+    per materialization — the old collect()+count() path read 400."""
+    from data_quality_spark.operators.gate import BronzeToSilverCheckpoint
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(i):
+        acc.add(1)
+        return (f"c{i}", bytearray(b"\x00\x01"), 16000, 1000, "pcm16")
+
+    rdd = spark.sparkContext.parallelize(range(200), 4).map(bump)
+    df = spark.createDataFrame(
+        rdd, "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string"
+    )
+    res = BronzeToSilverCheckpoint().run(df)
+    assert res.total_records == 200
+    assert res.success and res.issues == []
+    assert acc.value == 200
+
+
 def test_url_format_rule(spark):
     from data_quality_spark.operators.reference_rules import url_format_rule
 
