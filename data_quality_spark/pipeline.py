@@ -446,9 +446,11 @@ def decide3(df: DataFrame) -> DataFrame:
     )
 
 
-def gate(df: DataFrame) -> DataFrame:
-    """Full per-row pipeline: featurize → heuristics → decide/scrub."""
-    return decide(_text_heuristics(featurize(df)))
+def gate(df: DataFrame, counter=None) -> DataFrame:
+    """Full per-row pipeline: featurize → heuristics → decide/scrub.
+    ``counter`` threads through to :func:`featurize` for execute-once
+    proofs."""
+    return decide(_text_heuristics(featurize(df, counter=counter)))
 
 
 def gate_files(

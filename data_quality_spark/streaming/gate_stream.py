@@ -42,58 +42,64 @@ def stream_gate(
     output_root: str,
     max_files_per_trigger: int | None = None,
     await_seconds: float = 300.0,
+    decode_counter=None,
 ) -> dict:
     """Gate all clip files under ``input_path`` as a micro-batch stream.
 
     Returns {batches, rows_in, rows_kept} after the availableNow drain.
+    ``decode_counter`` (optional accumulator) proves one featurize pass per
+    micro-batch, mirroring the batch runner's execute-once law.
     """
+    from pyspark.sql import Observation
+
     counters = {"batches": 0, "rows_in": 0, "rows_kept": 0}
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        # Featurize executes ONCE per micro-batch: the gated frame (payload
-        # already dropped, so rows are small) is persisted, the day-count
-        # aggregate and the kept-rows write both read the cache, and the
-        # cache is released before the next batch.  Without the persist the
-        # collect + write would each re-run the decode stage.
-        decided = gate(batch_df).persist()
-        try:
-            day_counts = (
-                decided.groupBy("ingest_day")
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.sum((F.col("decision") == "keep").cast("long")).alias("kept"),
-                )
-                .collect()
-            )
-            # Each micro-batch owns its own batch_id=N subdirectory: a batch
-            # REPLAY (failure recovery) overwrites only its own directory —
-            # idempotent exactly-once output — while a LATER batch that
-            # happens to carry the same ingest_day can never clobber an
-            # earlier batch's rows (a shared dynamic-partition-overwrite
-            # sink silently loses them).  Readers see batch_id as one more
-            # hive partition column under silver_stream/.
-            write_partitioned(
-                decided.filter(F.col("decision") == "keep"),
-                os.path.join(output_root, "silver_stream", f"batch_id={batch_id}"),
-                ["ingest_day"],
-            )
-        finally:
-            decided.unpersist()
-        rows = [
-            (
-                f"stream-{batch_id}",
-                f"ingest_day={r['ingest_day']}",
-                "rows_in",
-                float(r["n"]),
-                "",
-            )
-            for r in day_counts
-        ]
-        if rows:
-            append_metrics(spark, output_root, rows)
+        # ONE action per micro-batch, same law as the batch runner
+        # (runner.py:109-138): in/kept totals and the day set ride along as
+        # observe() metrics on the kept-rows write — no persist crutch, no
+        # second collect re-running the decode stage.  (The batch runner
+        # gets per-DAY counts because it chooses the day list up front; a
+        # micro-batch's day set is data, so the stream records per-BATCH
+        # totals plus the observed day set in the metric detail.)
+        decided = gate(batch_df, counter=decode_counter)
+        obs = Observation(f"stream_{batch_id}")
+        observed = decided.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_in"),
+            F.sum((F.col("decision") == "keep").cast("long")).alias("rows_kept"),
+            # O(#distinct days) — bounded by the ingest-day universe, not rows
+            F.collect_set("ingest_day").alias("days"),
+        )
+        # Each micro-batch owns its own batch_id=N subdirectory: a batch
+        # REPLAY (failure recovery) overwrites only its own directory —
+        # idempotent exactly-once output — while a LATER batch that
+        # happens to carry the same ingest_day can never clobber an
+        # earlier batch's rows (a shared dynamic-partition-overwrite
+        # sink silently loses them).  Readers see batch_id as one more
+        # hive partition column under silver_stream/.
+        write_partitioned(
+            observed.filter(F.col("decision") == "keep"),
+            os.path.join(output_root, "silver_stream", f"batch_id={batch_id}"),
+            ["ingest_day"],
+        )
+        vals = obs.get  # available once the write action finishes
+        rows_in = int(vals["rows_in"] or 0)
+        rows_kept = int(vals["rows_kept"] or 0)
+        days = ",".join(sorted(vals["days"] or []))
+        append_metrics(
+            spark,
+            output_root,
+            [
+                (f"stream-{batch_id}", "batch", "rows_in", float(rows_in),
+                 f"days={days}"),
+                (f"stream-{batch_id}", "batch", "rows_kept", float(rows_kept),
+                 f"days={days}"),
+            ],
+        )
         counters["batches"] += 1
-        counters["rows_in"] += sum(r["n"] for r in day_counts)
-        counters["rows_kept"] += sum(r["kept"] for r in day_counts)
+        counters["rows_in"] += rows_in
+        counters["rows_kept"] += rows_kept
 
     reader = (
         spark.readStream.schema(CLIPS_SCHEMA)

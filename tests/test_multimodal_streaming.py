@@ -76,6 +76,27 @@ def test_stream_gate_availablenow(spark, tmp_path):
     assert res2["rows_in"] == 0
 
 
+def test_stream_gate_featurize_once_per_batch(spark, tmp_path):
+    """The stream sink obeys the batch runner's one-action law: in/kept
+    counts come from observe() on the write action, so featurize (decode —
+    the expensive stage) runs exactly ONE pass per micro-batch with no
+    persist crutch."""
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.streaming.gate_stream import stream_gate
+    from data_quality_spark.synth import generate_clips
+
+    pdf = generate_clips(100, seed=17)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    src = str(tmp_path / "bronze")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(pdf[cols], CLIPS_SCHEMA).write.parquet(src)
+
+    decoded = spark.sparkContext.accumulator(0)
+    res = stream_gate(spark, src, out, decode_counter=decoded)
+    assert res["rows_in"] == 100
+    assert decoded.value == 100  # 200 would mean a second featurize pass
+
+
 def test_stream_gate_multi_batch_no_partition_loss(spark, tmp_path):
     """A run spanning several micro-batches must keep every batch's rows:
     the same ingest_day arrives in multiple batches, so a shared
