@@ -609,6 +609,40 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the LSH and IVF ANN paths vs exact cosine top-k — the
+    accuracy trade-off itself is driver-hash-checked against a pure-Python
+    differential oracle (r2 verdict item #9).  All three result sets are
+    tiny (10 queries × k), so the semi-joins and the final cross of the
+    per-method hit counts with the exact total are driver-negligible."""
+    from data_quality_spark.oracles import ANN_RECALL_POINTS
+
+    ensure_expected("ann_recall", sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = sim.cosine_topk(emb, queries, k=3).select("q_id", "n_id")
+    cents = sim.fit_ivf_centroids(emb)
+    approx = {}
+    for method, kind, params in ANN_RECALL_POINTS:
+        if kind == "ivf":
+            df = sim.ivf_topk(emb, queries, cents, k=3, **params)
+        else:
+            df = sim.hyperplane_lsh_topk(emb, queries, k=3, dim=64, **params)
+        approx[method] = df.select("q_id", "n_id")
+    total = exact.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    parts = [
+        df.join(exact, ["q_id", "n_id"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+        .select(F.lit(method).alias("method"), "hits")
+        for method, df in approx.items()
+    ]
+    merged = reduce(lambda a, b: a.unionByName(b), parts).crossJoin(total)
+    return merged.select(
+        "method", "hits", "total",
+        F.round(F.col("hits") / F.col("total"), 6).alias("recall_r"),
+    ).orderBy("method")
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_quality_spark.functions import multimodal as M
 
@@ -746,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_recall": q_ann_recall,
         "media_features": q_media_features,
         "clips_gate": q_clips_gate,
         "clips_gate_rollup": q_clips_gate_rollup,
@@ -1442,6 +1477,7 @@ FROM ranked WHERE rnk <= 3""",
         "embedding_near_dup_blocked": _expected_sql("embedding_near_dup_blocked"),
         "ann_lsh_topk": _expected_sql("ann_lsh_topk"),
         "ann_ivf_topk": _expected_sql("ann_ivf_topk"),
+        "ann_recall": _expected_sql("ann_recall"),
         "media_features": _expected_sql("media_features"),
         "clips_gate": _expected_sql("clips_gate"),
         "clips_gate_rollup": _expected_sql("clips_gate_rollup"),

@@ -46,7 +46,7 @@ __all__ = ["ensure_expected", "expected_path", "spark_round"]
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EXPECTED_DIR = os.path.join(_REPO, "expected")
 # bump to invalidate every committed expected file after a generator change
-_VERSION = 5
+_VERSION = 6
 # generation guard: differential oracles only run at correctness scale
 _MAX_ORACLE_ROWS = 2500
 
@@ -348,6 +348,60 @@ def _ivf_topk_expected(vecs, n_lists=16, iters=10, seed=7, sample=2048,
     return out
 
 
+def _exact_topk_pairs(vecs, k=3) -> set:
+    """Exact cosine top-k (q,n) pair set for queries vec_id < 10 — the
+    ground truth the recall curve is measured against."""
+    norms = {vid: math.sqrt(_fold_dot(v, v)) for vid, v in vecs}
+    out = set()
+    for q_id, qv in vecs:
+        if q_id >= 10:
+            continue
+        scored = []
+        for n_id, cv in vecs:
+            if n_id == q_id:
+                continue
+            c = _fold_dot(qv, cv) / (norms[q_id] * norms[n_id])
+            scored.append((c, n_id))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for _c, n_id in scored[:k]:
+            out.add((q_id, n_id))
+    return out
+
+
+#: the recall-curve parameter points, shared by the Spark query and the twin
+ANN_RECALL_POINTS = (
+    ("ivf_nprobe2", "ivf", {"nprobe": 2}),
+    ("ivf_nprobe4", "ivf", {"nprobe": 4}),
+    ("lsh_bits4", "lsh", {"bits": 4}),
+    ("lsh_bits8", "lsh", {"bits": 8}),
+)
+
+
+def _ann_recall_expected(vecs, k=3) -> dict:
+    """recall@k CURVE of the LSH and IVF approximations vs exact top-k (two
+    parameter points per method), computed entirely by the pure-Python
+    twins — the driver then hash-checks the ACCURACY TRADE-OFF itself, not
+    just each method's raw output.  On near-orthogonal random embeddings the
+    curve is steep (fine buckets recall ~0), which is exactly the behaviour
+    the oracle should pin."""
+    exact = _exact_topk_pairs(vecs, k=k)
+    out = {"method": [], "hits": [], "total": [], "recall_r": []}
+    for method, kind, params in sorted(ANN_RECALL_POINTS):
+        if kind == "ivf":
+            res = _ivf_topk_expected(vecs, k=k, **params)
+        else:
+            res = _ann_lsh_topk(vecs, k=k, **params)
+        pairs = set(zip(res["q_id"], res["n_id"]))
+        hits = len(pairs & exact)
+        out["method"].append(method)
+        out["hits"].append(hits)
+        out["total"].append(len(exact))
+        out["recall_r"].append(
+            spark_round(hits / len(exact), 6) if exact else 0.0
+        )
+    return out
+
+
 # ------------------------------------------ blocked embedding near-dup
 
 
@@ -597,6 +651,10 @@ _SCHEMAS: dict[str, pa.Schema] = {
         [("q_id", pa.int64()), ("rank", pa.int32()), ("n_id", pa.int64()),
          ("cosine", pa.float64())]
     ),
+    "ann_recall": pa.schema(
+        [("method", pa.string()), ("hits", pa.int64()),
+         ("total", pa.int64()), ("recall_r", pa.float64())]
+    ),
     "media_features": pa.schema(
         [("kind", pa.string()), ("ok", pa.bool_()), ("n_media", pa.int64()),
          ("total_bytes", pa.int64())]
@@ -633,11 +691,13 @@ def _src_key(name: str, sf_dir: str | None) -> dict | None:
     if name in (
         "minhash_lsh", "simhash_near_dup", "ann_lsh_topk",
         "winnow_fingerprints", "embedding_near_dup_blocked", "ann_ivf_topk",
+        "ann_recall",
     ):
         table = (
             "embeddings"
             if name in (
-                "ann_lsh_topk", "embedding_near_dup_blocked", "ann_ivf_topk"
+                "ann_lsh_topk", "embedding_near_dup_blocked", "ann_ivf_topk",
+                "ann_recall",
             )
             else "documents"
         )
@@ -680,6 +740,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _near_dup_blocked_agg(_read_embeddings(sf_dir))
     elif name == "ann_ivf_topk":
         data = _ivf_topk_expected(_read_embeddings(sf_dir))
+    elif name == "ann_recall":
+        data = _ann_recall_expected(_read_embeddings(sf_dir))
     elif name == "media_features":
         data = _media_features_expected()
     elif name == "clips_gate":
