@@ -101,6 +101,27 @@ LEXICONS: dict[str, list[str]] = {
         "分 家 水 火 山 天 地 上 下 学 生 老 师 好 来 去 看 说 话 书 车 电 "
         "脑 音 乐 歌 声 工 作 朋 友 时 间 世 界 生 活 孩 子 地 方 公 司"
     ).split(),
+    # round-3 widening: ru/ja/ko (distinct scripts, so the byte-trigram
+    # profiles separate cleanly and the SQL marker sets stay disjoint)
+    "ru": (
+        "это что как она они быть весь этот мочь человек год время дело "
+        "жизнь день рука работа слово место вопрос дом сторона страна мир "
+        "город вода мать друг книга ночь сердце правительство компания "
+        "неделя месяц история деньги голова бизнес точка номер комната "
+        "область факт право учёба глаз ребёнок женщина народ земля свет"
+    ).split(),
+    "ja": (
+        "これ それ です ます する ある いる こと もの ひと とき 私 あなた "
+        "彼 彼女 日本 時間 世界 生活 仕事 会社 学校 先生 学生 友達 家族 "
+        "水 火 山 空 海 年 月 日 今日 明日 昨日 言葉 本 話 音楽 歌 声 "
+        "子供 場所 週 お金 物語 事実 権利 勉強 目 女 部屋 母 頭 側"
+    ).split(),
+    "ko": (
+        "이것 그것 있다 없다 하다 되다 사람 시간 세계 생활 일 회사 학교 "
+        "선생님 학생 친구 가족 물 불 산 하늘 바다 년 월 일 오늘 내일 어제 "
+        "말 책 이야기 음악 노래 소리 아이 장소 주 돈 사실 권리 공부 눈 "
+        "여자 방 어머니 머리 쪽 나라 도시 밤 마음 정부 회사 번호 점"
+    ).split(),
 }
 
 # junk "language" used for defect rows in the synthetic corpus
@@ -114,6 +135,9 @@ STOPWORD_MARKERS: dict[str, list[str]] = {
     "de": ["der", "die", "das", "und", "für", "von", "nicht"],
     "fr": ["le", "les", "une", "avec", "pour", "mais", "dans"],
     "zh": ["的", "是", "了", "在", "和", "有", "我"],
+    "ru": ["это", "что", "как", "быть", "весь", "они", "она"],
+    "ja": ["これ", "それ", "です", "ます", "する", "ある", "いる"],
+    "ko": ["이것", "그것", "있다", "없다", "하다", "되다", "사람"],
 }
 
 # ------------------------------------------------------------------ scrub

@@ -428,10 +428,15 @@ def decide3(df: DataFrame) -> DataFrame:
     """The reference's 3-way decision enum (checkpoints.py:216-252) over a
     featurized frame: critical-severity rule violations → ``reject``,
     warning-only violations → ``graylist``, clean → ``accept``.  The binary
-    north-rule gate is ``decide`` (graylist collapses into drop)."""
+    north-rule gate is ``decide`` (graylist collapses into drop).  Carries
+    the same first-violated ``decision_reason`` audit column as ``decide``
+    so the runner's 3-way mode emits the identical output schema."""
     flags = rule_flags(df)
     crit = None
     warn = None
+    reason = F.lit(None).cast("string")
+    for name in reversed(list(flags)):
+        reason = F.when(flags[name], F.lit(name)).otherwise(reason)
     for name, col in flags.items():
         if DROP_RULES[name] == "critical":
             crit = col if crit is None else (crit | col)
@@ -442,6 +447,7 @@ def decide3(df: DataFrame) -> DataFrame:
             "decision",
             F.when(crit, "reject").when(warn, "graylist").otherwise("accept"),
         )
+        .withColumn("decision_reason", reason)
         .withColumn("scrubbed", scrub_col(F.col("transcript")))
     )
 
@@ -460,11 +466,14 @@ def gate_files(
     waves: int = 3,
     partition_filter=None,
     counter=None,
+    decider=None,
 ) -> DataFrame:
     """``gate`` over a parquet directory via the storage-direct featurize
     path (payload bytes never cross the JVM) — the throughput/scaling
-    configuration; results are identical to ``gate(spark.read.parquet(...))``."""
-    return decide(
+    configuration; results are identical to ``gate(spark.read.parquet(...))``.
+    ``decider`` swaps the decision stage (default binary :func:`decide`;
+    pass :func:`decide3` for the reference's accept/graylist/reject enum)."""
+    return (decider or decide)(
         _text_heuristics(
             featurize_files(
                 spark,

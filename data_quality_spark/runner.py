@@ -69,6 +69,7 @@ def run_gate_pipeline(
     days_per_batch: int = 0,
     fail_after_batches: int | None = None,
     decode_counter=None,
+    three_way: bool = False,
 ) -> dict:
     """Gate all pending ingest_day partitions.
 
@@ -78,6 +79,14 @@ def run_gate_pipeline(
     for the resume test.  ``decode_counter`` (optional Spark accumulator)
     counts decoded clips — the execute-once test passes it to prove the
     featurize stage runs exactly one pass per batch.
+
+    ``three_way=True`` surfaces the reference's decision enum
+    (checkpoints.py:216-252) as output partitions: accept AND graylist rows
+    land under ``output_root/gated/decision=…/ingest_day=…/lang_pred=…`` in
+    the SAME single write action (decision is just one more partition
+    column, so the one-pass law holds), with per-day graylist counts in the
+    metrics.  Default binary mode writes accepted rows to ``silver/``
+    exactly as before.
     """
     run_id = uuid.uuid4().hex[:12]
     ledger = LineageLedger(output_root, "gate")
@@ -100,11 +109,14 @@ def run_gate_pipeline(
         # never cross the JVM; the partition_filter prunes whole day
         # directories before any IO (manifest-level partition pruning)
         days = set(batch)
+        from .pipeline import decide3
+
         decided = gate_files(
             spark,
             input_path,
             partition_filter=lambda pv: pv.get("ingest_day") in days,
             counter=decode_counter,
+            decider=decide3 if three_way else None,
         ).select(*OUTPUT_COLS)
         # ONE action per batch: the kept-rows write.  Per-day in/kept counts
         # ride along as observe() metrics on the pre-filter frame (the batch's
@@ -112,6 +124,7 @@ def run_gate_pipeline(
         # a separate collect() here would re-execute the featurize stage,
         # doubling the most expensive work of the whole system.
         day_list = sorted(days)
+        keep_value = "accept" if three_way else "keep"
         obs = Observation(f"gate_{run_id}_b{bi}")
         metrics = []
         for di, d in enumerate(day_list):
@@ -119,22 +132,38 @@ def run_gate_pipeline(
             metrics.append(F.sum(is_day.cast("long")).alias(f"n_{di}"))
             metrics.append(
                 F.sum(
-                    (is_day & (F.col("decision") == "keep")).cast("long")
+                    (is_day & (F.col("decision") == keep_value)).cast("long")
                 ).alias(f"k_{di}")
             )
+            if three_way:
+                metrics.append(
+                    F.sum(
+                        (is_day & (F.col("decision") == "graylist")).cast("long")
+                    ).alias(f"g_{di}")
+                )
         observed = decided.observe(obs, *metrics)
         # repartition on the partition keys first: without it every task
         # writes a file into every (day, lang) directory — task_count × dirs
         # small files; with it, one file per output partition.  Cheap here:
         # the payload column is already gone.
-        kept = observed.filter(F.col("decision") == "keep").repartition(
-            "ingest_day", "lang_pred"
-        )
-        write_partitioned(
-            kept,
-            os.path.join(output_root, "silver"),
-            ["ingest_day", "lang_pred"],
-        )
+        if three_way:
+            kept = observed.filter(
+                F.col("decision").isin("accept", "graylist")
+            ).repartition("decision", "ingest_day", "lang_pred")
+            write_partitioned(
+                kept,
+                os.path.join(output_root, "gated"),
+                ["decision", "ingest_day", "lang_pred"],
+            )
+        else:
+            kept = observed.filter(F.col("decision") == "keep").repartition(
+                "ingest_day", "lang_pred"
+            )
+            write_partitioned(
+                kept,
+                os.path.join(output_root, "silver"),
+                ["ingest_day", "lang_pred"],
+            )
         vals = obs.get  # available once the write action finishes
         dt = time.perf_counter() - t0
         metric_rows = []
@@ -151,6 +180,12 @@ def run_gate_pipeline(
             metric_rows.append(
                 (run_id, f"ingest_day={d}", "rows_kept", float(kept_n), "")
             )
+            if three_way:
+                gl = int(vals[f"g_{di}"] or 0)
+                totals["rows_graylist"] = totals.get("rows_graylist", 0) + gl
+                metric_rows.append(
+                    (run_id, f"ingest_day={d}", "rows_graylist", float(gl), "")
+                )
         batch_rows = sum(
             int(vals[f"n_{di}"] or 0) for di in range(len(day_list))
         )

@@ -6,6 +6,7 @@ from __future__ import annotations
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from data_quality_spark.runner import (
     list_ingest_days,
@@ -56,6 +57,44 @@ def test_featurize_executes_once_per_batch(spark, clips_path, tmp_path_factory):
     r = run_gate_pipeline(spark, clips_path, out, decode_counter=decoded)
     assert r["completed"] and r["rows_in"] == 600
     assert decoded.value == 600  # would be 1200 if the DAG executed twice
+
+
+def test_three_way_graylist_partitions(spark, clips_path, tmp_path_factory):
+    """three_way=True surfaces decide3's graylist as an output partition in
+    the SAME single write (decision is one more partition column), with
+    per-day graylist metrics; accept+graylist+reject partitions the input."""
+    from data_quality_spark.pipeline import _text_heuristics, decide3, featurize
+
+    out = str(tmp_path_factory.mktemp("out") / "gate3")
+    decoded = spark.sparkContext.accumulator(0)
+    r = run_gate_pipeline(
+        spark, clips_path, out, decode_counter=decoded, three_way=True
+    )
+    assert r["completed"] and r["rows_in"] == 600
+    assert decoded.value == 600  # one featurize pass despite two outputs
+    gated = spark.read.parquet(os.path.join(out, "gated"))
+    got = {
+        row["decision"]: row["n"]
+        for row in gated.groupBy("decision")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(got) <= {"accept", "graylist"} and "accept" in got
+    assert got["accept"] == r["rows_kept"]
+    assert got.get("graylist", 0) == r.get("rows_graylist", 0)
+    # batch-path equivalence: same decide3 over the same bronze
+    want = (
+        decide3(_text_heuristics(featurize(spark.read.parquet(clips_path))))
+        .groupBy("decision")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    want_map = {row["decision"]: row["n"] for row in want}
+    assert want_map.get("accept", 0) == got["accept"]
+    assert want_map.get("graylist", 0) == got.get("graylist", 0)
+    # metrics carry the graylist series
+    m = read_metrics(spark, out).toPandas()
+    assert (m["metric"] == "rows_graylist").any()
 
 
 def test_kill_and_resume_without_recompute(spark, clips_path, tmp_path_factory):
