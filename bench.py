@@ -428,7 +428,8 @@ def main() -> None:
 
     bench_queries = [
         "scan_nulls", "scan_duplicates", "duplicate_groups", "orphan_scan",
-        "completeness", "trend_rollup", "token_stats", "bpe_token_stats",
+        "completeness", "trend_rollup", "issue_patterns",
+        "trend_quality_score", "token_stats", "bpe_token_stats",
         "stopword_stats", "quality_buckets", "langid_sql",
         "fingerprint_dedup", "winnow_fingerprints", "scrub_audit",
         "minhash_lsh", "simhash_near_dup", "ann_cosine_topk", "ann_lsh_topk",

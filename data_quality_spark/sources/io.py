@@ -36,6 +36,7 @@ __all__ = [
     "write_partitioned",
     "write_bucketed",
     "LineageLedger",
+    "PatternStore",
     "append_metrics",
     "read_metrics",
 ]
@@ -168,6 +169,47 @@ class LineageLedger:
             for k, v in sorted(state.items())
         ]
         return spark.createDataFrame(rows, LINEAGE_SCHEMA)
+
+
+class PatternStore:
+    """Persisted issue-pattern history (ref ``data_quality_issue_patterns``
+    table, benchmark_storage.py:173-279): each ``record_scan`` MERGEs one
+    scan's issues into the stored relation via
+    ``operators.history.upsert_issue_patterns`` and swaps the parquet
+    directory atomically (write-to-temp + rename — same fallback discipline
+    as the ledger; on an Iceberg catalog this is a single ``MERGE INTO``).
+
+    The stored relation is O(#distinct issue patterns) — thousands of rows
+    for thousands of monitored columns — so the read-merge-rewrite cycle is
+    metadata-scale work no matter how big the scanned tables are."""
+
+    def __init__(self, root: str, name: str = "issue_patterns") -> None:
+        self.root = root
+        self.path = os.path.join(root, name)
+        os.makedirs(root, exist_ok=True)
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        if not os.path.exists(os.path.join(self.path, "_SUCCESS")):
+            return None
+        return spark.read.parquet(self.path)
+
+    def record_scan(
+        self, spark: SparkSession, issues: DataFrame, scan_ts: str
+    ) -> DataFrame:
+        """MERGE one scan in; returns the post-merge pattern relation."""
+        from ..operators.history import upsert_issue_patterns
+
+        merged = upsert_issue_patterns(self.read(spark), issues, scan_ts)
+        tmp = self.path + f".tmp.{uuid.uuid4().hex}"
+        # patterns are tiny — one file keeps the store readable at a glance
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        old = self.path + f".old.{uuid.uuid4().hex}"
+        if os.path.exists(self.path):
+            os.replace(self.path, old)
+        os.replace(tmp, self.path)
+        if os.path.exists(old):
+            shutil.rmtree(old, ignore_errors=True)
+        return self.read(spark)
 
 
 def append_metrics(

@@ -71,6 +71,29 @@ def test_upsert_severity_max_is_sticky(spark):
     assert row["max_percentage_seen"] == 90.0
 
 
+def test_pattern_store_roundtrip(spark, tmp_path):
+    """PatternStore persists the MERGE across process-style boundaries:
+    scan 1 recorded, scan 2 merged on re-read, atomic directory swap."""
+    from data_quality_spark.sources.io import PatternStore
+
+    store = PatternStore(str(tmp_path))
+    assert store.read(spark) is None
+    s1 = _issues(spark, [("t", "a", "nulls", 10, 100, 10.0, "warning", "d")])
+    p1 = store.record_scan(spark, s1, "2024-01-01 00:00:00")
+    assert p1.count() == 1
+    # fresh read (as a new run would) then merge scan 2
+    s2 = _issues(spark, [("t", "a", "nulls", 2, 100, 2.0, "critical", "d"),
+                         ("t", "b", "orphan", 1, 100, 1.0, "warning", "d")])
+    p2 = store.record_scan(spark, s2, "2024-01-02 00:00:00")
+    got = {(r["table"], r["column"]): r.asDict() for r in p2.collect()}
+    a = got[("t", "a")]
+    assert a["detection_count"] == 2 and a["max_count_seen"] == 10
+    assert a["current_count"] == 2 and a["max_severity_seen"] == "critical"
+    assert got[("t", "b")]["detection_count"] == 1
+    # store survives a re-open
+    assert PatternStore(str(tmp_path)).read(spark).count() == 2
+
+
 def test_daily_trends_piecewise_score(spark):
     bench = spark.createDataFrame(
         [
