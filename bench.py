@@ -455,6 +455,20 @@ def main() -> None:
     if scaling:
         # machine-readable DRAM/throttle controls next to the Spark numbers
         scaling["controls"] = run_controls(clips_path, levels=scale_levels)
+        # fold in the opportunistic quiet-window captures (loadavg < 2 at
+        # every level; scripts/quiet_scaling.py + quiet_matched_pair.py) so
+        # the driver's snapshot carries the decisive same-window evidence
+        quiet = {}
+        for key, fname in (
+            ("runs", "scaling_quiet.json"),
+            ("matched_pair", "scaling_quiet_matched.json"),
+        ):
+            p = os.path.join(REPO, ".bench_cache", fname)
+            if os.path.exists(p):
+                with open(p) as fh:
+                    quiet[key] = json.load(fh)
+        if quiet:
+            scaling["quiet"] = quiet
 
     # memory profile (reference's C13 reports peak memory per run,
     # BENCHMARKS.md:65-70): driver-python peak RSS via getrusage (KiB on
