@@ -643,6 +643,53 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("method")
 
 
+def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup detection: Philips-style spectral fingerprints over a
+    corpus with injected codec/gain re-encodes (``synth.make_audio_dup_
+    corpus``), stable-byte LSH bucketing, JVM-side BER verify.  Hash-checked
+    against the pure-Python differential twin (from-spec XXH64 bucket keys,
+    popcount-loop BER)."""
+    from data_quality_spark.operators.audio_dedup import (
+        clip_fingerprints,
+        fingerprint_near_dup,
+    )
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_dup_corpus
+
+    ensure_expected("audio_fingerprint_dedup", sf_dir)
+    key = ("dup", 400, 42)
+    if key not in _CLIPS_CACHE:
+        _CLIPS_CACHE[key] = make_audio_dup_corpus(400, seed=42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(
+        _CLIPS_CACHE[key][cols], CLIPS_SCHEMA
+    ).repartition(8, "clip_id")
+    pairs = fingerprint_near_dup(clip_fingerprints(clips))
+    return pairs.select(
+        "id_a", "id_b", F.round("ber", 6).alias("ber_r")
+    ).orderBy("id_a", "id_b")
+
+
+def q_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip spectral quality features (centroid/rolloff/flatness/band
+    balance) — the frequency-domain counterpart of the gate's RMS/clipping
+    stats; one mapInArrow pass, hash-checked per clip."""
+    from data_quality_spark.operators.audio_features import clip_spectral
+
+    ensure_expected("audio_spectral", sf_dir)
+    feats = clip_spectral(_clips_df(spark, n=300))
+    return feats.select(
+        "clip_id",
+        "ok",
+        F.round("centroid_hz", 2).alias("centroid_r"),
+        F.round("rolloff85_hz", 2).alias("rolloff_r"),
+        F.round("flatness", 6).alias("flatness_r"),
+        F.round("band_low", 6).alias("low_r"),
+        F.round("band_mid", 6).alias("mid_r"),
+        F.round("band_high", 6).alias("high_r"),
+    ).orderBy("clip_id")
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_quality_spark.functions import multimodal as M
 
@@ -782,6 +829,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_recall": q_ann_recall,
         "media_features": q_media_features,
+        "audio_fingerprint_dedup": q_audio_fingerprint_dedup,
+        "audio_spectral": q_audio_spectral,
         "clips_gate": q_clips_gate,
         "clips_gate_rollup": q_clips_gate_rollup,
         "clips_gate_issues": q_clips_gate_issues,
@@ -1479,6 +1528,8 @@ FROM ranked WHERE rnk <= 3""",
         "ann_ivf_topk": _expected_sql("ann_ivf_topk"),
         "ann_recall": _expected_sql("ann_recall"),
         "media_features": _expected_sql("media_features"),
+        "audio_fingerprint_dedup": _expected_sql("audio_fingerprint_dedup"),
+        "audio_spectral": _expected_sql("audio_spectral"),
         "clips_gate": _expected_sql("clips_gate"),
         "clips_gate_rollup": _expected_sql("clips_gate_rollup"),
         "clips_gate_issues": _expected_sql("clips_gate_issues"),

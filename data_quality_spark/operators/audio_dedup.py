@@ -1,0 +1,187 @@
+"""Audio near-duplicate detection via spectral fingerprints.
+
+The audio twin of ``operators/dedup.py``'s MinHash-LSH: detect the SAME
+recording under a different codec (pcm16 ↔ wav ↔ µ-law) or gain — the
+duplicate class an audio training corpus actually contains — without ever
+shipping waveforms through a shuffle.
+
+Pipeline shape (scale-first, mirrors ``dedup.minhash_lsh_pairs``):
+
+1. **fingerprint** — ONE ``mapInArrow`` pass decodes each clip and emits the
+   packed Philips-style subfingerprint stream
+   (``functions/spectral.fingerprint_i32``): int32[frames-1], 15 bits each,
+   gain- and codec-invariant by construction.  The payload column dies at
+   this boundary; everything downstream moves ~4 B per 16 ms of audio
+   (~250 B/s vs 32 kB/s for the waveform — a 128× reduction before the
+   first shuffle).
+2. **candidates** — every ``window``-subfingerprint run (stride ``stride``)
+   is hashed to a bucket key over the STABLE high byte of each
+   subfingerprint (bands 7-14; the narrow low bands flip ~2× as often
+   under lossy re-encode — see ``functions/spectral.STABLE_SHIFT``); clips
+   sharing an exact (offset, window-hash) bucket are candidates.  Identical
+   re-encodes agree on most frames, so they share many clean windows;
+   independent content matches a 24-bit window with ~2⁻²⁴ odds (measured
+   distinct-pair BER is 0.46-0.54, nowhere near colliding).  The ONLY
+   shuffle is the explode → groupBy on the bucket key, with the same
+   ``max_bucket_size`` hot-bucket guard as text LSH (oversized buckets =
+   degenerate content, e.g. all-silence; dropped, callers dedup those
+   exactly instead).  At 10¹²-clip scale, widen ``window`` (each extra
+   subfingerprint adds 8 bucket-key bits) exactly as one widens LSH bands.
+3. **verify** — candidate pairs join their fingerprint streams back and
+   compute the bit error rate over the overlapping prefix
+   (``bit_count(a XOR b)`` summed JVM-side); pairs with
+   ``ber <= ber_max`` are emitted.  No Python in this stage.
+
+At 10¹² clips: stage 1 is embarrassingly parallel, stage 2 shuffles
+fingerprints (not audio) with bucket-size-bounded quadratic work, stage 3
+touches only candidates.  No all-pairs path exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.spectral import (
+    N_BANDS,
+    STABLE_MASK,
+    STABLE_SHIFT,
+    fingerprint_i32,
+)
+
+__all__ = ["clip_fingerprints", "fingerprint_near_dup"]
+
+
+def clip_fingerprints(df: DataFrame, counter=None) -> DataFrame:
+    """(clip_id, n_frames, fp array<int>) via one Arrow pass; bytes dropped.
+
+    ``counter`` mirrors ``pipeline.featurize``'s execute-once hook."""
+    in_names = [f.name for f in df.schema.fields]
+    col_idx = {name: i for i, name in enumerate(in_names)}
+    out_schema = T.StructType(
+        [
+            T.StructField("clip_id", T.StringType(), False),
+            T.StructField("n_frames", T.IntegerType(), True),
+            T.StructField("fp", T.ArrayType(T.IntegerType()), True),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from ..functions.audio import _decode_i16
+
+        _EMPTY_PCM = np.zeros(0, dtype=np.int16)
+        for batch in batches:
+            ids = batch.column(col_idx["clip_id"]).to_pylist()
+            payloads = batch.column(col_idx["bytes"])
+            codecs = batch.column(col_idx["codec"]).to_pylist()
+            srs = batch.column(col_idx["sr_hz"]).to_pylist()
+            if counter is not None:
+                counter.add(batch.num_rows)
+            fps, nfr = [], []
+            for i in range(batch.num_rows):
+                buf = payloads[i].as_buffer() if payloads[i].is_valid else None
+                try:
+                    x = _decode_i16(buf, codecs[i], srs[i])
+                except (ValueError, TypeError):
+                    x = _EMPTY_PCM
+                fp = fingerprint_i32(x)
+                fps.append(fp.tolist())
+                nfr.append(len(fp))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, type=pa.string()),
+                    pa.array(nfr, type=pa.int32()),
+                    pa.array(fps, type=pa.list_(pa.int32())),
+                ],
+                names=["clip_id", "n_frames", "fp"],
+            )
+
+    return df.mapInArrow(run, out_schema)
+
+
+def fingerprint_near_dup(
+    fp_df: DataFrame,
+    window: int = 3,
+    stride: int = 1,
+    ber_max: float = 0.30,
+    max_bucket_size: int = 64,
+) -> DataFrame:
+    """Near-duplicate clip pairs from a ``clip_fingerprints`` relation.
+
+    Returns (id_a, id_b, ber) with id_a < id_b, ``ber`` the fraction of
+    differing fingerprint bits over the overlapping prefix (0 = identical
+    audio).  ``window``/``stride`` trade candidate recall against bucket
+    volume exactly like LSH band width; the defaults (three stable bytes
+    per bucket key, every offset) recovered 100% of µ-law re-encodes and
+    every PCM-family re-encode on the measured corpus, with distinct-pair
+    BER ≥ 0.46 against the 0.30 cut."""
+    keyed = fp_df.filter(F.size("fp") >= window).select(
+        F.col("clip_id").alias("__id"),
+        # bucket on the stable high byte of each subfingerprint (cast to
+        # long so xxhash64 folds with the same element width the pure-
+        # Python oracle twin reproduces)
+        F.transform(
+            "fp",
+            lambda v: F.shiftright(v, STABLE_SHIFT)
+            .bitwiseAND(F.lit(STABLE_MASK))
+            .cast("long"),
+        ).alias("__sb"),
+    )
+    n_win = ((F.size("__sb") - window) / stride).cast("int")
+    entries = keyed.select(
+        "__id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_win),
+                lambda i: F.struct(
+                    i.alias("off"),
+                    F.xxhash64(
+                        F.slice("__sb", i * stride + 1, window)
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("e"),
+    ).select("__id", "e.off", "e.bh")
+    small = (
+        entries.groupBy("off", "bh")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter((F.col("__bn") > 1) & (F.col("__bn") <= max_bucket_size))
+        .select("off", "bh")
+    )
+    pruned = entries.join(small, ["off", "bh"])
+    cand = (
+        pruned.select("off", "bh", F.col("__id").alias("id_a"))
+        .join(
+            pruned.select("off", "bh", F.col("__id").alias("id_b")),
+            ["off", "bh"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    fps = fp_df.select(F.col("clip_id").alias("__vid"), F.col("fp").alias("__vf"))
+    n = F.least(F.size("__fa"), F.size("__fb"))
+    diff_bits = F.aggregate(
+        F.zip_with(
+            F.slice("__fa", 1, n),
+            F.slice("__fb", 1, n),
+            lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    ber = diff_bits.cast("double") / (
+        F.lit(float(N_BANDS - 1)) * n.cast("double")
+    )
+    return (
+        cand.join(fps.select(F.col("__vid").alias("id_a"), F.col("__vf").alias("__fa")), "id_a")
+        .join(fps.select(F.col("__vid").alias("id_b"), F.col("__vf").alias("__fb")), "id_b")
+        .filter(n > 0)
+        .withColumn("ber", ber)
+        .filter(F.col("ber") <= F.lit(ber_max))
+        .select("id_a", "id_b", "ber")
+    )

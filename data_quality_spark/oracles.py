@@ -46,7 +46,7 @@ __all__ = ["ensure_expected", "expected_path", "spark_round"]
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EXPECTED_DIR = os.path.join(_REPO, "expected")
 # bump to invalidate every committed expected file after a generator change
-_VERSION = 7
+_VERSION = 8
 # generation guard: differential oracles only run at correctness scale
 _MAX_ORACLE_ROWS = 2500
 
@@ -623,6 +623,107 @@ def _media_features_expected(n=300, seed=42) -> dict:
     return out
 
 
+# ------------------------------------------------------------ audio dedup
+
+
+def _audio_fingerprint_expected(
+    n=400, seed=42, window=3, stride=1, ber_max=0.30, max_bucket=64
+) -> dict:
+    """Twin of ``audio_dedup.clip_fingerprints`` + ``fingerprint_near_dup``
+    over ``synth.make_audio_dup_corpus``: bucket keys rebuilt with the
+    from-spec XXH64 (bit-matching Spark's ``xxhash64`` array fold), BER via
+    per-word popcount loops — no Spark, no vectorized shortcuts in the
+    join/verify logic."""
+    from .functions.audio import _decode_i16
+    from .functions.spectral import (
+        STABLE_MASK,
+        STABLE_SHIFT,
+        fingerprint_i32,
+    )
+    from .synth import make_audio_dup_corpus
+
+    pdf = make_audio_dup_corpus(n, seed=seed)
+    fps: dict[str, list[int]] = {}
+    for _, r in pdf.iterrows():
+        try:
+            x = _decode_i16(r["bytes"], r["codec"], r["sr_hz"])
+        except (ValueError, TypeError):
+            x = np.zeros(0, dtype=np.int16)
+        fps[r["clip_id"]] = [int(v) for v in fingerprint_i32(x)]
+    buckets: dict[tuple[int, int], list[str]] = {}
+    for cid, fp in fps.items():
+        if len(fp) < window:
+            continue
+        sb = [(v >> STABLE_SHIFT) & STABLE_MASK for v in fp]
+        for wi in range((len(sb) - window) // stride + 1):
+            off = wi * stride
+            h = 42
+            for v in sb[off:off + window]:
+                h = xxh64_long(v, h)
+            buckets.setdefault((off, h), []).append(cid)
+    cand: set[tuple[str, str]] = set()
+    for members in buckets.values():
+        if 1 < len(members) <= max_bucket:
+            ms = sorted(set(members))
+            for i in range(len(ms)):
+                for j in range(i + 1, len(ms)):
+                    cand.add((ms[i], ms[j]))
+    rows = []
+    for a, b in cand:
+        fa, fb = fps[a], fps[b]
+        m = min(len(fa), len(fb))
+        if m == 0:
+            continue
+        diff = 0
+        for va, vb in zip(fa[:m], fb[:m]):
+            diff += bin((va ^ vb) & 0x7FFF).count("1")
+        ber = diff / (15.0 * m)
+        if ber <= ber_max:
+            rows.append((a, b, spark_round(ber, 6)))
+    rows.sort()
+    return {
+        "id_a": [r[0] for r in rows],
+        "id_b": [r[1] for r in rows],
+        "ber_r": [r[2] for r in rows],
+    }
+
+
+def _audio_spectral_expected(n=300, seed=42) -> dict:
+    """Twin of ``audio_features.clip_spectral`` + the per-clip rounding the
+    query applies (shared deterministic kernels, same float64 order — the
+    differential surface is the decode dispatch, NULL handling, rounding,
+    and ordering)."""
+    from .functions.audio import _decode_i16
+    from .functions.spectral import spectral_features
+    from .synth import generate_clips
+
+    pdf = generate_clips(n, seed=seed)
+    out = {
+        "clip_id": [], "ok": [], "centroid_r": [], "rolloff_r": [],
+        "flatness_r": [], "low_r": [], "mid_r": [], "high_r": [],
+    }
+    raw_centroids = []
+    for _, r in pdf.sort_values("clip_id").iterrows():
+        try:
+            x = _decode_i16(r["bytes"], r["codec"], r["sr_hz"])
+        except (ValueError, TypeError):
+            x = np.zeros(0, dtype=np.int16)
+        f = spectral_features(x, r["sr_hz"])
+        ok = f["centroid_hz"] is not None
+        if ok:
+            raw_centroids.append(f["centroid_hz"])
+        out["clip_id"].append(r["clip_id"])
+        out["ok"].append(ok)
+        out["centroid_r"].append(spark_round(f["centroid_hz"], 2) if ok else None)
+        out["rolloff_r"].append(spark_round(f["rolloff85_hz"], 2) if ok else None)
+        out["flatness_r"].append(spark_round(f["flatness"], 6) if ok else None)
+        out["low_r"].append(spark_round(f["band_low"], 6) if ok else None)
+        out["mid_r"].append(spark_round(f["band_mid"], 6) if ok else None)
+        out["high_r"].append(spark_round(f["band_high"], 6) if ok else None)
+    _assert_off_rounding_boundary(raw_centroids, 2)
+    return out
+
+
 # ------------------------------------------------------------------ registry
 
 import pyarrow as pa  # noqa: E402
@@ -658,6 +759,16 @@ _SCHEMAS: dict[str, pa.Schema] = {
     "media_features": pa.schema(
         [("kind", pa.string()), ("ok", pa.bool_()), ("n_media", pa.int64()),
          ("total_bytes", pa.int64())]
+    ),
+    "audio_fingerprint_dedup": pa.schema(
+        [("id_a", pa.string()), ("id_b", pa.string()),
+         ("ber_r", pa.float64())]
+    ),
+    "audio_spectral": pa.schema(
+        [("clip_id", pa.string()), ("ok", pa.bool_()),
+         ("centroid_r", pa.float64()), ("rolloff_r", pa.float64()),
+         ("flatness_r", pa.float64()), ("low_r", pa.float64()),
+         ("mid_r", pa.float64()), ("high_r", pa.float64())]
     ),
     "clips_gate": pa.schema(
         [("clip_id", pa.string()), ("decision", pa.string()),
@@ -744,6 +855,10 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _ann_recall_expected(_read_embeddings(sf_dir))
     elif name == "media_features":
         data = _media_features_expected()
+    elif name == "audio_fingerprint_dedup":
+        data = _audio_fingerprint_expected()
+    elif name == "audio_spectral":
+        data = _audio_spectral_expected()
     elif name == "clips_gate":
         data = _clips_gate_expected()
     elif name == "clips_gate_rollup":

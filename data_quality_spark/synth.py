@@ -196,6 +196,60 @@ def generate_clips(
     return pd.DataFrame(rows)
 
 
+# codec rotation for re-encoded duplicates: every dup crosses a codec family
+_REENCODE_CYCLE = {"pcm16": "mulaw", "mulaw": "wav", "wav": "pcm16"}
+
+
+def make_audio_dup_corpus(
+    n: int = 400,
+    seed: int = 42,
+    dup_every: int = 5,
+    gain: float = 0.8,
+) -> pd.DataFrame:
+    """Base corpus + re-encoded near-duplicates for audio-dedup tests.
+
+    Every ``dup_every``-th decodable clip is re-emitted as ``<id>_re``: the
+    SAME waveform scaled by ``gain`` and re-encoded under the next codec in
+    pcm16 → mulaw → wav → pcm16 — the duplicate class a scraped audio
+    corpus actually contains (same recording, different encoding chain).
+    Deterministic for fixed (n, seed, dup_every, gain); corrupt/undecodable
+    base clips never spawn dups."""
+    base = generate_clips(n, seed=seed)
+    dups: list[dict] = []
+    for i in range(0, len(base), dup_every):
+        row = base.iloc[i]
+        codec = row["codec"]
+        if codec not in _REENCODE_CYCLE or row["bytes"] is None:
+            continue
+        try:
+            q = A._decode_i16(row["bytes"], codec, row["sr_hz"])
+        except (ValueError, TypeError):
+            continue
+        if len(q) == 0:
+            continue
+        xf = q.astype(np.float64) / 32768.0 * gain
+        new_codec = _REENCODE_CYCLE[codec]
+        if new_codec == "pcm16":
+            payload = A.encode_pcm16(xf)
+        elif new_codec == "mulaw":
+            payload = A.encode_mulaw(xf)
+        else:
+            payload = A.encode_wav(xf, int(row["sr_hz"]))
+        dups.append(
+            {
+                "clip_id": f"{row['clip_id']}_re",
+                "bytes": payload,
+                "sr_hz": int(row["sr_hz"]),
+                "dur_ms": int(row["dur_ms"]),
+                "codec": new_codec,
+                "transcript": row["transcript"],
+                "ingest_day": row["ingest_day"],
+                "defect": "reencode_dup",
+            }
+        )
+    return pd.concat([base, pd.DataFrame(dups)], ignore_index=True)
+
+
 def generate_clips_distributed(
     spark, n: int, seed: int = 42, partitions: int = 32, defect_frac: float = 0.35
 ):

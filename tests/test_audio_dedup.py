@@ -1,0 +1,176 @@
+"""Audio fingerprint dedup + spectral features.
+
+Covers the spectral kernel invariants (tone centroid, noise flatness,
+gain-invariance of fingerprints), the Spark operator end-to-end (recall of
+injected codec/gain re-encodes, BER separation between duplicates and
+distinct content), and the decode-failure path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_spark.functions import audio as A
+from data_quality_spark.functions.spectral import (
+    band_edges,
+    fingerprint_i32,
+    spectral_features,
+)
+from data_quality_spark.operators.audio_dedup import (
+    clip_fingerprints,
+    fingerprint_near_dup,
+)
+from data_quality_spark.operators.audio_features import clip_spectral
+from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+from data_quality_spark.synth import make_audio_dup_corpus
+
+
+def _tone(freq: float, sr: int = 16000, dur_s: float = 1.0, amp: float = 0.5):
+    t = np.arange(int(sr * dur_s)) / sr
+    return amp * np.sin(2 * np.pi * freq * t)
+
+
+# ------------------------------------------------------------- kernel
+
+
+def test_band_edges_monotonic_nonempty():
+    e = band_edges()
+    assert len(e) == 17 and e[0] == 1 and e[-1] == 129
+    assert (np.diff(e) >= 1).all()
+
+
+def test_tone_centroid_tracks_frequency():
+    for freq in (440.0, 1000.0, 3000.0):
+        x = (_tone(freq) * 32767).astype(np.int16)
+        f = spectral_features(x, 16000)
+        # rfft bin width at frame 256 / sr 16k is 62.5 Hz
+        assert abs(f["centroid_hz"] - freq) < 130.0, (freq, f["centroid_hz"])
+        assert f["flatness"] < 0.1  # pure tone is maximally peaky
+
+
+def test_noise_flatness_high_tone_low():
+    rng = np.random.default_rng(7)
+    noise = (rng.normal(0, 0.2, 16000).clip(-1, 1) * 32767).astype(np.int16)
+    fn = spectral_features(noise, 16000)
+    ft = spectral_features((_tone(800.0) * 32767).astype(np.int16), 16000)
+    assert fn["flatness"] > 0.5 > ft["flatness"]
+
+
+def test_band_balance_splits_at_telephony_edges():
+    low = spectral_features((_tone(150.0) * 32767).astype(np.int16), 16000)
+    high = spectral_features((_tone(5000.0) * 32767).astype(np.int16), 16000)
+    assert low["band_low"] > 0.9 and high["band_high"] > 0.9
+    mid = spectral_features((_tone(1000.0) * 32767).astype(np.int16), 16000)
+    assert mid["band_mid"] > 0.9
+
+
+def test_spectral_empty_and_short_clips():
+    assert spectral_features(np.zeros(0, dtype=np.int16), 16000)["centroid_hz"] is None
+    assert spectral_features(np.zeros(100, dtype=np.int16), 16000)["centroid_hz"] is None
+    # all-zero signal has no power -> NULL features, not a div-by-zero
+    assert spectral_features(np.zeros(4096, dtype=np.int16), 16000)["flatness"] is None
+
+
+def test_fingerprint_gain_invariant():
+    rng = np.random.default_rng(11)
+    x = rng.normal(0, 0.1, 16000) + _tone(700.0, amp=0.3)
+    q1 = (np.clip(x, -1, 1) * 20000).astype(np.int16)
+    q2 = (np.clip(x, -1, 1) * 5000).astype(np.int16)  # -12 dB gain
+    f1, f2 = fingerprint_i32(q1), fingerprint_i32(q2)
+    n = min(len(f1), len(f2))
+    diff = sum(bin(int(a ^ b) & 0x7FFF).count("1") for a, b in zip(f1[:n], f2[:n]))
+    assert diff / (15.0 * n) < 0.05  # quantization-only flips
+
+
+def test_fingerprint_distinct_content_separates():
+    rng = np.random.default_rng(13)
+    a = fingerprint_i32((rng.normal(0, 0.2, 16000).clip(-1, 1) * 32767).astype(np.int16))
+    b = fingerprint_i32((rng.normal(0, 0.2, 16000).clip(-1, 1) * 32767).astype(np.int16))
+    n = min(len(a), len(b))
+    diff = sum(bin(int(x ^ y) & 0x7FFF).count("1") for x, y in zip(a[:n], b[:n]))
+    assert diff / (15.0 * n) > 0.35  # independent content ~0.5
+
+
+# ------------------------------------------------------------- operator
+
+
+@pytest.fixture(scope="module")
+def dup_corpus(spark):
+    pdf = make_audio_dup_corpus(400, seed=42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    sdf = spark.createDataFrame(pdf[cols], CLIPS_SCHEMA).repartition(8, "clip_id")
+    return pdf, sdf
+
+
+def test_reencode_recall_is_total(spark, dup_corpus):
+    """Every injected re-encode whose fingerprint is long enough to bucket
+    must be recovered — including the lossy µ-law ones."""
+    pdf, sdf = dup_corpus
+    fps = clip_fingerprints(sdf)
+    pairs = fingerprint_near_dup(fps)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    fp_len = {r["clip_id"]: r["n_frames"] for r in fps.collect()}
+    expected = {
+        (cid, f"{cid}_re")
+        for cid in pdf[pdf["defect"] == "reencode_dup"]["clip_id"].str[:-3]
+        if fp_len.get(cid, 0) >= 3 and fp_len.get(f"{cid}_re", 0) >= 3
+    }
+    assert expected, "corpus must contain recoverable re-encodes"
+    missed = expected - got
+    assert not missed, f"missed {len(missed)} injected dups: {sorted(missed)[:5]}"
+
+
+def test_dup_ber_below_distinct_ber(spark, dup_corpus):
+    """BER separation: injected pairs sit far below the 0.30 cut; anything
+    else the operator reports is the near-silent cluster (perceptually
+    identical content), never two distinct voiced clips."""
+    pdf, sdf = dup_corpus
+    pairs = fingerprint_near_dup(clip_fingerprints(sdf)).collect()
+    true = [r["ber"] for r in pairs if r["id_b"] == r["id_a"] + "_re"]
+    assert true and max(true) < 0.20
+    extra_ids = {
+        i for r in pairs if r["id_b"] != r["id_a"] + "_re"
+        for i in (r["id_a"], r["id_b"])
+    }
+    silentish = set(
+        pdf[pdf["defect"].isin(["mostly_silence", "near_silent"])]["clip_id"]
+    )
+    silentish |= {f"{c}_re" for c in silentish}
+    voiced_extras = extra_ids - silentish
+    assert not voiced_extras, f"false positives on voiced clips: {voiced_extras}"
+
+
+def test_fingerprints_drop_payload_and_handle_corrupt(spark, dup_corpus):
+    _, sdf = dup_corpus
+    fps = clip_fingerprints(sdf)
+    assert "bytes" not in fps.columns
+    # corrupt/unknown-codec clips yield empty fingerprints, not task failures
+    n_empty = fps.filter(F.size("fp") == 0).count()
+    assert n_empty > 0
+    assert fps.count() == sdf.count()
+
+
+def test_spectral_operator_matches_kernel(spark, dup_corpus):
+    pdf, sdf = dup_corpus
+    row = (
+        clip_spectral(sdf).filter(F.col("clip_id") == "clip00000000").collect()[0]
+    )
+    r = pdf[pdf["clip_id"] == "clip00000000"].iloc[0]
+    x = A._decode_i16(r["bytes"], r["codec"], r["sr_hz"])
+    f = spectral_features(x, r["sr_hz"])
+    assert row["ok"] == (f["centroid_hz"] is not None)
+    if row["ok"]:
+        assert row["centroid_hz"] == pytest.approx(f["centroid_hz"], abs=1e-9)
+        assert row["flatness"] == pytest.approx(f["flatness"], abs=1e-12)
+
+
+def test_execute_once_accumulator(spark, dup_corpus):
+    """The fingerprint stage decodes each clip exactly once per action."""
+    _, sdf = dup_corpus
+    acc = spark.sparkContext.accumulator(0)
+    n = sdf.count()
+    fps = clip_fingerprints(sdf, counter=acc)
+    fps.write.mode("overwrite").format("noop").save()
+    assert acc.value == n
