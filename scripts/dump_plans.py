@@ -86,6 +86,18 @@ def main() -> None:
             None,
         ),
         (
+            "Audio fingerprint near-dup (stable-byte LSH + BER verify)",
+            "ONE MapInArrow fingerprint pass — audio payload bytes appear "
+            "in NO exchange; every shuffle downstream moves (offset, "
+            "bucket-hash) entries or int32 fingerprint arrays (~128x "
+            "smaller than the waveforms). The bucket self-join is guarded "
+            "by the small_buckets relation (hot-bucket skew bound) and the "
+            "BER verify is JVM-side higher-order functions (zip_with + "
+            "bit_count) on the joined arrays — no Python after the "
+            "fingerprint stage, no cartesian path anywhere.",
+            e.q_audio_fingerprint_dedup(spark, sf),
+        ),
+        (
             "Cosine top-k (similarity search)",
             "The query set is broadcast (BroadcastNestedLoopJoin/"
             "BroadcastExchange) so the corpus is scanned exactly once, "
