@@ -41,7 +41,13 @@ def main() -> None:
     n_clips = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     dup_every = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     clips_path = bench.ensure_clips(n_clips)
-    spark = get_spark("audio-dedup-scale-smoke")
+    # this path scans the binary payload through the JVM vectorized reader
+    # (unlike the storage-direct gate): cap the columnar batch row count so
+    # 32 concurrent tasks of ~100 KB clips stay well under the heap
+    spark = get_spark(
+        "audio-dedup-scale-smoke",
+        extra_confs={"spark.sql.parquet.columnarReaderBatchSize": "512"},
+    )
     clips = spark.read.parquet(clips_path)
 
     # re-encode every dup_every-th decodable clip on the cluster
@@ -104,12 +110,66 @@ def main() -> None:
     fp_seconds = round(time.time() - t0, 2)
 
     t1 = time.time()
-    pairs = fingerprint_near_dup(clip_fingerprints(corpus)).persist()
+    all_fps = clip_fingerprints(corpus).persist()
+    pairs = fingerprint_near_dup(all_fps).persist()
     n_pairs = pairs.count()
     recovered = pairs.filter(
         F.col("id_b") == F.concat(F.col("id_a"), F.lit("_re"))
     ).count()
     join_seconds = round(time.time() - t1, 2)
+
+    # classify the misses: a "degenerate" base is one whose fingerprint is
+    # mostly zero words (near-silence — thousands of clips share these
+    # patterns, so their buckets exceed max_bucket_size and are deliberately
+    # dropped by the skew guard; bit-identical silence belongs to EXACT
+    # dedup).  A miss outside this class would be a real recall bug.
+    zero_frac = (
+        F.size(F.filter("fp", lambda v: v == 0)).cast("double")
+        / F.greatest(F.size("fp"), F.lit(1)).cast("double")
+    )
+    marks = all_fps.select(
+        F.col("clip_id").alias("id_a"),
+        (zero_frac > 0.5).alias("degenerate"),
+    )
+    # base-clip RMS via the gate's own featurize pass: misses below the
+    # gate's RMS floor are clips the pipeline drops as near-silent anyway
+    from data_quality_spark.pipeline import featurize
+    from data_quality_spark.synth import GateThresholds
+
+    rms = featurize(
+        clips.join(
+            dups.select(
+                F.expr(
+                    "substring(clip_id, 1, length(clip_id) - 3)"
+                ).alias("clip_id")
+            ),
+            "clip_id",
+            "semi",
+        )
+    ).select(F.col("clip_id").alias("id_a"), "rms_db")
+    injected = (
+        dups.select(
+            F.expr("substring(clip_id, 1, length(clip_id) - 3)").alias("id_a")
+        )
+        .join(
+            pairs.filter(
+                F.col("id_b") == F.concat(F.col("id_a"), F.lit("_re"))
+            ).select("id_a").withColumn("__hit", F.lit(True)),
+            "id_a",
+            "left",
+        )
+        .join(marks, "id_a", "left")
+        .join(rms, "id_a", "left")
+    )
+    missed = injected.filter(F.col("__hit").isNull()).persist()
+    n_missed_degenerate = missed.filter(F.col("degenerate")).count()
+    n_missed_subgate = missed.filter(
+        ~F.coalesce("degenerate", F.lit(False))
+        & (F.coalesce("rms_db", F.lit(-999.0)) < GateThresholds.RMS_MIN_DB)
+    ).count()
+    n_missed_other = (
+        missed.count() - n_missed_degenerate - n_missed_subgate
+    )
 
     total = n_clips + n_dups
     print(json.dumps({
@@ -121,6 +181,9 @@ def main() -> None:
         "pairs_found": n_pairs,
         "injected_recovered": recovered,
         "recall": round(recovered / n_dups, 4) if n_dups else None,
+        "missed_degenerate_silence": n_missed_degenerate,
+        "missed_below_gate_rms_floor": n_missed_subgate,
+        "missed_other": n_missed_other,
         "loadavg_1m": round(os.getloadavg()[0], 2),
     }))
 
