@@ -53,10 +53,21 @@ from ..functions.spectral import (
 __all__ = ["clip_fingerprints", "fingerprint_near_dup"]
 
 
-def clip_fingerprints(df: DataFrame, counter=None) -> DataFrame:
+def clip_fingerprints(
+    df: DataFrame, counter=None, shuffle: bool = True
+) -> DataFrame:
     """(clip_id, n_frames, fp array<int>) via one Arrow pass; bytes dropped.
 
-    ``counter`` mirrors ``pipeline.featurize``'s execute-once hook."""
+    ``counter`` mirrors ``pipeline.featurize``'s execute-once hook.
+
+    ``shuffle`` (default on) ends the stage with a repartition on clip_id.
+    Two scale reasons: (a) ``fingerprint_near_dup`` references this relation
+    four times (bucket entries, bucket-size guard, and both verify sides) —
+    without an Exchange above the MapInArrow, Catalyst re-executes the
+    decode+FFT per reference (measured: FOUR MapInArrow nodes in the plan);
+    with it, ReuseExchange collapses them to one executed stage.  (b) the
+    shuffle moves fingerprints (~250 B/s of audio), not payloads, and
+    decouples downstream join parallelism from the payload file splits."""
     in_names = [f.name for f in df.schema.fields]
     col_idx = {name: i for i, name in enumerate(in_names)}
     out_schema = T.StructType(
@@ -100,7 +111,11 @@ def clip_fingerprints(df: DataFrame, counter=None) -> DataFrame:
                 names=["clip_id", "n_frames", "fp"],
             )
 
-    return df.mapInArrow(run, out_schema)
+    out = df.mapInArrow(run, out_schema)
+    if shuffle:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        out = out.repartition(par, "clip_id")
+    return out
 
 
 def fingerprint_near_dup(
@@ -109,6 +124,7 @@ def fingerprint_near_dup(
     stride: int = 1,
     ber_max: float = 0.30,
     max_bucket_size: int = 64,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate clip pairs from a ``clip_fingerprints`` relation.
 
@@ -118,7 +134,22 @@ def fingerprint_near_dup(
     volume exactly like LSH band width; the defaults (three stable bytes
     per bucket key, every offset) recovered 100% of µ-law re-encodes and
     every PCM-family re-encode on the measured corpus, with distinct-pair
-    BER ≥ 0.46 against the 0.30 cut."""
+    BER ≥ 0.46 against the 0.30 cut.
+
+    ``materialize`` persists ``fp_df`` (MEMORY_AND_DISK) before the DAG
+    references it four times (bucket entries, bucket-size guard, both
+    verify sides).  Without it the fingerprint stage — i.e. the full
+    decode+FFT over every payload byte — re-executes per divergently-pruned
+    reference (accumulator-measured: 4× unpersisted/unshuffled, 2× with
+    only the exchange-reuse shuffle, 1× persisted).  Fingerprints are
+    ~250 B per second of audio, so the cache is ~0.8% of corpus size; at a
+    scale where even that doesn't fit, write the fingerprint relation to a
+    table and pass the scan in with ``materialize=False``.  The caller may
+    ``unpersist()`` the input after collecting results."""
+    if materialize:
+        from pyspark.storagelevel import StorageLevel
+
+        fp_df = fp_df.persist(StorageLevel.MEMORY_AND_DISK)
     keyed = fp_df.filter(F.size("fp") >= window).select(
         F.col("clip_id").alias("__id"),
         # bucket on the stable high byte of each subfingerprint (cast to

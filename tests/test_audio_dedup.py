@@ -174,3 +174,17 @@ def test_execute_once_accumulator(spark, dup_corpus):
     fps = clip_fingerprints(sdf, counter=acc)
     fps.write.mode("overwrite").format("noop").save()
     assert acc.value == n
+
+
+def test_near_dup_decodes_each_clip_once(spark, dup_corpus):
+    """The full near-dup DAG references the fingerprint relation four times
+    (bucket entries, size guard, both verify sides); the persist inside
+    ``fingerprint_near_dup`` must keep the decode+FFT at exactly ONE pass
+    (it re-executes 4x without it — a 100-TB-scale bug, r3 plan audit)."""
+    _, sdf = dup_corpus
+    acc = spark.sparkContext.accumulator(0)
+    n = sdf.count()
+    fps = clip_fingerprints(sdf, counter=acc)
+    fingerprint_near_dup(fps).count()
+    assert acc.value == n
+    fps.unpersist()
