@@ -670,6 +670,36 @@ def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_audio_excerpt_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-tolerant audio dedup: hop-aligned excerpts (trims/splits,
+    half of them ALSO re-encoded) recovered via bucket-vote shift alignment
+    + aligned-overlap BER.  Hash-checked against the pure-Python twin
+    including the vote tiebreak and every (shift, votes, overlap) value."""
+    from data_quality_spark.operators.audio_dedup import (
+        clip_fingerprints,
+        fingerprint_shift_match,
+    )
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_excerpt_corpus
+
+    ensure_expected("audio_excerpt_match", sf_dir)
+    key = ("ex", 400, 42)
+    if key not in _CLIPS_CACHE:
+        _CLIPS_CACHE[key] = make_audio_excerpt_corpus(400, seed=42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(
+        _CLIPS_CACHE[key][cols], CLIPS_SCHEMA
+    ).repartition(8, "clip_id")
+    pairs = fingerprint_shift_match(clip_fingerprints(clips))
+    return pairs.select(
+        "id_a", "id_b",
+        F.col("shift").cast("int").alias("shift"),
+        "votes",
+        F.col("overlap").cast("int").alias("overlap"),
+        F.round("ber", 6).alias("ber_r"),
+    ).orderBy("id_a", "id_b")
+
+
 def q_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-clip spectral quality features (centroid/rolloff/flatness/band
     balance) — the frequency-domain counterpart of the gate's RMS/clipping
@@ -830,6 +860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "media_features": q_media_features,
         "audio_fingerprint_dedup": q_audio_fingerprint_dedup,
+        "audio_excerpt_match": q_audio_excerpt_match,
         "audio_spectral": q_audio_spectral,
         "clips_gate": q_clips_gate,
         "clips_gate_rollup": q_clips_gate_rollup,
@@ -1529,6 +1560,7 @@ FROM ranked WHERE rnk <= 3""",
         "ann_recall": _expected_sql("ann_recall"),
         "media_features": _expected_sql("media_features"),
         "audio_fingerprint_dedup": _expected_sql("audio_fingerprint_dedup"),
+        "audio_excerpt_match": _expected_sql("audio_excerpt_match"),
         "audio_spectral": _expected_sql("audio_spectral"),
         "clips_gate": _expected_sql("clips_gate"),
         "clips_gate_rollup": _expected_sql("clips_gate_rollup"),

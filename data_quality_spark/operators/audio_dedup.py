@@ -50,7 +50,11 @@ from ..functions.spectral import (
     fingerprint_i32,
 )
 
-__all__ = ["clip_fingerprints", "fingerprint_near_dup"]
+__all__ = [
+    "clip_fingerprints",
+    "fingerprint_near_dup",
+    "fingerprint_shift_match",
+]
 
 
 def clip_fingerprints(
@@ -215,4 +219,135 @@ def fingerprint_near_dup(
         .withColumn("ber", ber)
         .filter(F.col("ber") <= F.lit(ber_max))
         .select("id_a", "id_b", "ber")
+    )
+
+
+def fingerprint_shift_match(
+    fp_df: DataFrame,
+    window: int = 3,
+    stride: int = 1,
+    ber_max: float = 0.30,
+    max_bucket_size: int = 64,
+    min_votes: int = 2,
+    min_overlap: int = 8,
+    materialize: bool = True,
+) -> DataFrame:
+    """Offset-tolerant duplicate detection: clip b is a (hop-aligned)
+    excerpt of clip a, or the two share a shifted overlap — trims, splits,
+    and concatenation edits rather than whole-clip re-encodes.
+
+    Same bucket construction as ``fingerprint_near_dup`` but keyed on the
+    window hash ALONE (offset becomes payload, not key): two clips sharing
+    window content at ANY offset pair become a candidate with a proposed
+    alignment ``shift = off_a - off_b``.  A vote stage keeps, per pair, the
+    shift proposed by the most independent windows (``max_by``; ties break
+    to the smaller shift for determinism, ``min_votes`` kills one-window
+    coincidences), then ONE JVM-side pass verifies the bit error rate over
+    the aligned overlap (≥ ``min_overlap`` frames).
+
+    Alignment granularity is the analysis hop (128 samples = 8 ms at
+    16 kHz): excerpts cut at arbitrary sample offsets decorrelate the
+    frame grid, so recovering them needs a denser hop (the standard
+    Haitsma-Kalker densification), not a different algorithm — documented
+    limitation, hop is a ``functions.spectral`` constant.
+
+    Scale shape: identical to the aligned path (bucket explode → guarded
+    self-join → tiny vote aggregate → verify join); the only new shuffle is
+    the vote groupBy on (id_a, id_b) pairs, which is candidate-sized.
+    Returns (id_a, id_b, shift, votes, overlap, ber)."""
+    if materialize:
+        from pyspark.storagelevel import StorageLevel
+
+        fp_df = fp_df.persist(StorageLevel.MEMORY_AND_DISK)
+    keyed = fp_df.filter(F.size("fp") >= window).select(
+        F.col("clip_id").alias("__id"),
+        F.transform(
+            "fp",
+            lambda v: F.shiftright(v, STABLE_SHIFT)
+            .bitwiseAND(F.lit(STABLE_MASK))
+            .cast("long"),
+        ).alias("__sb"),
+    )
+    n_win = ((F.size("__sb") - window) / stride).cast("int")
+    entries = keyed.select(
+        "__id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_win),
+                lambda i: F.struct(
+                    (i * stride).alias("off"),
+                    F.xxhash64(
+                        F.slice("__sb", i * stride + 1, window)
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("e"),
+    ).select("__id", "e.off", "e.bh")
+    small = (
+        entries.groupBy("bh")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter((F.col("__bn") > 1) & (F.col("__bn") <= max_bucket_size))
+        .select("bh")
+    )
+    pruned = entries.join(small, ["bh"])
+    votes = (
+        pruned.select("bh", F.col("__id").alias("id_a"), F.col("off").alias("__oa"))
+        .join(
+            pruned.select(
+                "bh", F.col("__id").alias("id_b"), F.col("off").alias("__ob")
+            ),
+            ["bh"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", (F.col("__oa") - F.col("__ob")).alias("shift"))
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    best = (
+        votes.groupBy("id_a", "id_b")
+        .agg(
+            F.max_by(
+                F.struct("shift", "votes"),
+                # most votes; ties -> smallest |shift|, then larger shift
+                F.struct(
+                    F.col("votes").alias("v"),
+                    (-F.abs(F.col("shift"))).alias("t"),
+                    F.col("shift").alias("s"),
+                ),
+            ).alias("b")
+        )
+        .select("id_a", "id_b", F.col("b.shift").alias("shift"),
+                F.col("b.votes").alias("votes"))
+        .filter(F.col("votes") >= F.lit(min_votes))
+    )
+    fps = fp_df.select(F.col("clip_id").alias("__vid"), F.col("fp").alias("__vf"))
+    s = F.col("shift")
+    la, lb = F.size("__fa"), F.size("__fb")
+    # fp_a[i + shift] aligns with fp_b[i]
+    a_start = F.greatest(s, F.lit(0))            # 0-based
+    b_start = F.greatest(-s, F.lit(0))
+    m = F.least(la - a_start, lb - b_start)
+    diff_bits = F.aggregate(
+        F.zip_with(
+            F.slice("__fa", a_start + 1, m),
+            F.slice("__fb", b_start + 1, m),
+            lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    ber = diff_bits.cast("double") / (F.lit(float(N_BANDS - 1)) * m.cast("double"))
+    return (
+        best.join(
+            fps.select(F.col("__vid").alias("id_a"), F.col("__vf").alias("__fa")),
+            "id_a",
+        )
+        .join(
+            fps.select(F.col("__vid").alias("id_b"), F.col("__vf").alias("__fb")),
+            "id_b",
+        )
+        .filter(m >= F.lit(min_overlap))
+        .withColumn("overlap", m)
+        .withColumn("ber", ber)
+        .filter(F.col("ber") <= F.lit(ber_max))
+        .select("id_a", "id_b", "shift", "votes", "overlap", "ber")
     )

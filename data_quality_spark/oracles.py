@@ -688,6 +688,82 @@ def _audio_fingerprint_expected(
     }
 
 
+def _audio_excerpt_expected(
+    n=400, seed=42, window=3, stride=1, ber_max=0.30, max_bucket=64,
+    min_votes=2, min_overlap=8,
+) -> dict:
+    """Twin of ``audio_dedup.fingerprint_shift_match`` over
+    ``synth.make_audio_excerpt_corpus``: buckets keyed on the window hash
+    alone, per-pair shift voting with the (votes, -|shift|, shift)
+    lexicographic tiebreak, aligned-overlap BER by popcount loop."""
+    from .functions.audio import _decode_i16
+    from .functions.spectral import (
+        STABLE_MASK,
+        STABLE_SHIFT,
+        fingerprint_i32,
+    )
+    from .synth import make_audio_excerpt_corpus
+
+    pdf = make_audio_excerpt_corpus(n, seed=seed)
+    fps: dict[str, list[int]] = {}
+    for _, r in pdf.iterrows():
+        try:
+            x = _decode_i16(r["bytes"], r["codec"], r["sr_hz"])
+        except (ValueError, TypeError):
+            x = np.zeros(0, dtype=np.int16)
+        fps[r["clip_id"]] = [int(v) for v in fingerprint_i32(x)]
+    buckets: dict[int, list[tuple[str, int]]] = {}
+    for cid, fp in fps.items():
+        if len(fp) < window:
+            continue
+        sb = [(v >> STABLE_SHIFT) & STABLE_MASK for v in fp]
+        for wi in range((len(sb) - window) // stride + 1):
+            off = wi * stride
+            h = 42
+            for v in sb[off:off + window]:
+                h = xxh64_long(v, h)
+            buckets.setdefault(h, []).append((cid, off))
+    votes: dict[tuple[str, str, int], int] = {}
+    for members in buckets.values():
+        if not (1 < len(members) <= max_bucket):
+            continue
+        for a, oa in members:
+            for b, ob in members:
+                if a < b:
+                    key = (a, b, oa - ob)
+                    votes[key] = votes.get(key, 0) + 1
+    best: dict[tuple[str, str], tuple] = {}
+    for (a, b, shift), v in votes.items():
+        rank = (v, -abs(shift), shift)
+        cur = best.get((a, b))
+        if cur is None or rank > cur[0]:
+            best[(a, b)] = (rank, shift, v)
+    rows = []
+    for (a, b), (_, shift, v) in best.items():
+        if v < min_votes:
+            continue
+        fa, fb = fps[a], fps[b]
+        a0, b0 = max(shift, 0), max(-shift, 0)
+        m = min(len(fa) - a0, len(fb) - b0)
+        if m < min_overlap:
+            continue
+        diff = 0
+        for va, vb in zip(fa[a0:a0 + m], fb[b0:b0 + m]):
+            diff += bin((va ^ vb) & 0x7FFF).count("1")
+        ber = diff / (15.0 * m)
+        if ber <= ber_max:
+            rows.append((a, b, shift, v, m, spark_round(ber, 6)))
+    rows.sort()
+    return {
+        "id_a": [r[0] for r in rows],
+        "id_b": [r[1] for r in rows],
+        "shift": [r[2] for r in rows],
+        "votes": [r[3] for r in rows],
+        "overlap": [r[4] for r in rows],
+        "ber_r": [r[5] for r in rows],
+    }
+
+
 def _audio_spectral_expected(n=300, seed=42) -> dict:
     """Twin of ``audio_features.clip_spectral`` + the per-clip rounding the
     query applies (shared deterministic kernels, same float64 order — the
@@ -763,6 +839,11 @@ _SCHEMAS: dict[str, pa.Schema] = {
     "audio_fingerprint_dedup": pa.schema(
         [("id_a", pa.string()), ("id_b", pa.string()),
          ("ber_r", pa.float64())]
+    ),
+    "audio_excerpt_match": pa.schema(
+        [("id_a", pa.string()), ("id_b", pa.string()),
+         ("shift", pa.int32()), ("votes", pa.int64()),
+         ("overlap", pa.int32()), ("ber_r", pa.float64())]
     ),
     "audio_spectral": pa.schema(
         [("clip_id", pa.string()), ("ok", pa.bool_()),
@@ -857,6 +938,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _media_features_expected()
     elif name == "audio_fingerprint_dedup":
         data = _audio_fingerprint_expected()
+    elif name == "audio_excerpt_match":
+        data = _audio_excerpt_expected()
     elif name == "audio_spectral":
         data = _audio_spectral_expected()
     elif name == "clips_gate":

@@ -250,6 +250,66 @@ def make_audio_dup_corpus(
     return pd.concat([base, pd.DataFrame(dups)], ignore_index=True)
 
 
+def make_audio_excerpt_corpus(
+    n: int = 400,
+    seed: int = 42,
+    excerpt_every: int = 7,
+    hop: int = 128,
+) -> pd.DataFrame:
+    """Base corpus + hop-aligned excerpts for shift-match tests.
+
+    Every ``excerpt_every``-th decodable clip long enough to leave ≥ 16
+    analysis frames is re-emitted as ``<id>_ex``: a contiguous cut of the
+    SAME waveform starting at a (seeded) multiple of the analysis hop and
+    spanning roughly the middle half, alternately kept in the source codec
+    or re-encoded under the next one (the excerpt+re-encode combo).  The
+    ground-truth alignment is ``shift = start // hop`` fingerprint words.
+    """
+    base = generate_clips(n, seed=seed)
+    rng = np.random.default_rng(seed + 1)
+    outs: list[dict] = []
+    for j, i in enumerate(range(0, len(base), excerpt_every)):
+        row = base.iloc[i]
+        codec = row["codec"]
+        if (
+            codec not in _REENCODE_CYCLE
+            or row["bytes"] is None
+            or int(row["sr_hz"]) <= 0
+        ):
+            continue
+        try:
+            q = A._decode_i16(row["bytes"], codec, row["sr_hz"])
+        except (ValueError, TypeError):
+            continue
+        n_hops = len(q) // hop
+        if n_hops < 24:  # need headroom for a >=16-frame excerpt
+            continue
+        start_h = int(rng.integers(2, max(3, n_hops // 4)))
+        len_h = max(18, n_hops // 2)
+        cut = q[start_h * hop: min((start_h + len_h) * hop, len(q))]
+        xf = cut.astype(np.float64) / 32768.0
+        new_codec = codec if j % 2 == 0 else _REENCODE_CYCLE[codec]
+        if new_codec == "pcm16":
+            payload = A.encode_pcm16(xf)
+        elif new_codec == "mulaw":
+            payload = A.encode_mulaw(xf)
+        else:
+            payload = A.encode_wav(xf, int(row["sr_hz"]))
+        outs.append(
+            {
+                "clip_id": f"{row['clip_id']}_ex",
+                "bytes": payload,
+                "sr_hz": int(row["sr_hz"]),
+                "dur_ms": int(round(len(cut) / row["sr_hz"] * 1000)),
+                "codec": new_codec,
+                "transcript": row["transcript"],
+                "ingest_day": row["ingest_day"],
+                "defect": f"excerpt_shift_{start_h}",
+            }
+        )
+    return pd.concat([base, pd.DataFrame(outs)], ignore_index=True)
+
+
 def generate_clips_distributed(
     spark, n: int, seed: int = 42, partitions: int = 32, defect_frac: float = 0.35
 ):

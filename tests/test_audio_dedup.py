@@ -176,6 +176,42 @@ def test_execute_once_accumulator(spark, dup_corpus):
     assert acc.value == n
 
 
+def test_shift_match_recovers_excerpts_with_exact_alignment(spark):
+    """Hop-aligned excerpts (half also re-encoded) are recovered with the
+    EXACT ground-truth shift, zero false positives on this corpus, and
+    BER 0 for codec-identical cuts."""
+    from data_quality_spark.operators.audio_dedup import (
+        fingerprint_shift_match,
+    )
+    from data_quality_spark.synth import make_audio_excerpt_corpus
+
+    pdf = make_audio_excerpt_corpus(400, seed=42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    sdf = spark.createDataFrame(pdf[cols], CLIPS_SCHEMA).repartition(8, "clip_id")
+    pairs = fingerprint_shift_match(clip_fingerprints(sdf)).collect()
+    truth = {
+        r["clip_id"]: (int(r["defect"].split("_")[-1]), r["codec"])
+        for _, r in pdf[pdf["clip_id"].str.endswith("_ex")].iterrows()
+    }
+    base_codec = {
+        r["clip_id"]: r["codec"]
+        for _, r in pdf[~pdf["clip_id"].str.endswith("_ex")].iterrows()
+    }
+    got = {r["id_b"]: r for r in pairs if r["id_b"] == r["id_a"] + "_ex"}
+    assert not [r for r in pairs if r["id_b"] != r["id_a"] + "_ex"]
+    assert len(got) >= 0.95 * len(truth)
+    for ex_id, r in got.items():
+        shift, ex_codec = truth[ex_id]
+        assert r["shift"] == shift, ex_id
+        if ex_codec == base_codec[ex_id[:-3]]:
+            # pure cut: only the ±1-LSB encode round trip (decode /32768,
+            # encode *32767) can touch bits — essentially zero BER
+            assert r["ber"] < 0.02, (ex_id, r["ber"])
+    # every miss must be a lossy re-encode, never a pure cut
+    for ex_id in set(truth) - set(got):
+        assert truth[ex_id][1] != base_codec[ex_id[:-3]], ex_id
+
+
 def test_near_dup_decodes_each_clip_once(spark, dup_corpus):
     """The full near-dup DAG references the fingerprint relation four times
     (bucket entries, size guard, both verify sides); the persist inside
