@@ -700,6 +700,37 @@ def q_audio_excerpt_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_audio_constellation_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARBITRARY-offset audio dedup (Shazam-style constellation hashing):
+    excerpts cut at non-frame-aligned sample offsets — which defeat the
+    Philips bit-stream matcher by construction — recovered by voting on
+    landmark-hash offset deltas.  Hash-checked against the pure-Python twin
+    including every (offset_frames, votes) value."""
+    from data_quality_spark.operators.audio_dedup import (
+        clip_landmarks,
+        landmark_match,
+    )
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_excerpt_corpus
+
+    ensure_expected("audio_constellation_match", sf_dir)
+    key = ("exs", 400, 42)
+    if key not in _CLIPS_CACHE:
+        _CLIPS_CACHE[key] = make_audio_excerpt_corpus(
+            400, seed=42, align_hop=False
+        )
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(
+        _CLIPS_CACHE[key][cols], CLIPS_SCHEMA
+    ).repartition(8, "clip_id")
+    pairs = landmark_match(clip_landmarks(clips))
+    return pairs.select(
+        "id_a", "id_b",
+        F.col("offset_frames").cast("int").alias("offset_frames"),
+        "votes",
+    ).orderBy("id_a", "id_b")
+
+
 def q_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-clip spectral quality features (centroid/rolloff/flatness/band
     balance) — the frequency-domain counterpart of the gate's RMS/clipping
@@ -861,6 +892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "audio_fingerprint_dedup": q_audio_fingerprint_dedup,
         "audio_excerpt_match": q_audio_excerpt_match,
+        "audio_constellation_match": q_audio_constellation_match,
         "audio_spectral": q_audio_spectral,
         "clips_gate": q_clips_gate,
         "clips_gate_rollup": q_clips_gate_rollup,
@@ -1561,6 +1593,7 @@ FROM ranked WHERE rnk <= 3""",
         "media_features": _expected_sql("media_features"),
         "audio_fingerprint_dedup": _expected_sql("audio_fingerprint_dedup"),
         "audio_excerpt_match": _expected_sql("audio_excerpt_match"),
+        "audio_constellation_match": _expected_sql("audio_constellation_match"),
         "audio_spectral": _expected_sql("audio_spectral"),
         "clips_gate": _expected_sql("clips_gate"),
         "clips_gate_rollup": _expected_sql("clips_gate_rollup"),

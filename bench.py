@@ -432,7 +432,8 @@ def main() -> None:
         "trend_quality_score", "token_stats", "bpe_token_stats",
         "stopword_stats", "quality_buckets", "langid_sql",
         "fingerprint_dedup", "winnow_fingerprints", "scrub_audit",
-        "audio_fingerprint_dedup", "audio_excerpt_match", "audio_spectral",
+        "audio_fingerprint_dedup", "audio_excerpt_match",
+        "audio_constellation_match", "audio_spectral",
         "minhash_lsh", "simhash_near_dup", "ann_cosine_topk", "ann_lsh_topk",
         "ann_ivf_topk",
     ]

@@ -54,6 +54,8 @@ __all__ = [
     "clip_fingerprints",
     "fingerprint_near_dup",
     "fingerprint_shift_match",
+    "clip_landmarks",
+    "landmark_match",
 ]
 
 
@@ -350,4 +352,167 @@ def fingerprint_shift_match(
         .withColumn("ber", ber)
         .filter(F.col("ber") <= F.lit(ber_max))
         .select("id_a", "id_b", "shift", "votes", "overlap", "ber")
+    )
+
+
+def clip_landmarks(df: DataFrame, counter=None) -> DataFrame:
+    """(clip_id, n_landmarks, lm array<struct<h:int, t1:int>>) via one
+    Arrow pass; bytes dropped (same boundary discipline as
+    ``clip_fingerprints``).  ``h`` is the packed Shazam-style (f1, f2, dt)
+    peak-pair hash, ``t1`` the anchor frame — see
+    ``functions.spectral.constellation_landmarks``."""
+    in_names = [f.name for f in df.schema.fields]
+    col_idx = {name: i for i, name in enumerate(in_names)}
+    lm_type = T.ArrayType(
+        T.StructType(
+            [T.StructField("h", T.IntegerType()),
+             T.StructField("t1", T.IntegerType())]
+        )
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("clip_id", T.StringType(), False),
+            T.StructField("n_landmarks", T.IntegerType(), True),
+            T.StructField("lm", lm_type, True),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from ..functions.audio import _decode_i16
+        from ..functions.spectral import constellation_landmarks
+
+        _EMPTY_PCM = np.zeros(0, dtype=np.int16)
+        pa_lm = pa.list_(
+            pa.struct([("h", pa.int32()), ("t1", pa.int32())])
+        )
+        for batch in batches:
+            ids = batch.column(col_idx["clip_id"]).to_pylist()
+            payloads = batch.column(col_idx["bytes"])
+            codecs = batch.column(col_idx["codec"]).to_pylist()
+            srs = batch.column(col_idx["sr_hz"]).to_pylist()
+            if counter is not None:
+                counter.add(batch.num_rows)
+            lms, nlm = [], []
+            for i in range(batch.num_rows):
+                buf = payloads[i].as_buffer() if payloads[i].is_valid else None
+                try:
+                    x = _decode_i16(buf, codecs[i], srs[i])
+                except (ValueError, TypeError):
+                    x = _EMPTY_PCM
+                hs, ts = constellation_landmarks(x)
+                lms.append(
+                    [{"h": int(h), "t1": int(t)} for h, t in zip(hs, ts)]
+                )
+                nlm.append(len(hs))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, type=pa.string()),
+                    pa.array(nlm, type=pa.int32()),
+                    pa.array(lms, type=pa_lm),
+                ],
+                names=["clip_id", "n_landmarks", "lm"],
+            )
+
+    out = df.mapInArrow(run, out_schema)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return out.repartition(par, "clip_id")
+
+
+def landmark_match(
+    lm_df: DataFrame,
+    min_votes: int = 45,
+    max_bucket_size: int = 64,
+) -> DataFrame:
+    """Arbitrary-offset duplicate detection via constellation-hash voting
+    (Wang, ISMIR'03): clips sharing ``min_votes``+ landmark hashes at ONE
+    consistent frame-offset delta are duplicates/excerpts of each other —
+    no alignment assumption at all, because the hash carries no absolute
+    time and the vote is on ``t1_a - t1_b``.
+
+    Complements ``fingerprint_shift_match`` (which needs hop-aligned cuts):
+    landmarks survive arbitrary sample offsets since peak FREQUENCIES
+    persist across frames and the ±1-frame time jitter folds into adjacent
+    offset bins, never splitting the winning bin's majority.
+
+    A true match's offset is generally FRACTIONAL in frames, splitting its
+    votes across two adjacent integer bins, while coincidental matches of
+    stationary tones spread votes uniformly over every offset — so each
+    bin is scored as its own votes plus its best neighbour's (``votes`` in
+    the output).  On the synthetic corpus — adversarial for this scheme,
+    being pure stationary sinusoids — the paired score separates cleanly
+    (true ≥ 52, coincidence ≤ 41); real audio's transients widen the gap.
+
+    Scale shape: explode landmarks → self-join keyed on the hash value
+    (``max_bucket_size`` guards degenerate hashes) → count votes per
+    (pair, offset) → two tiny self-joins for neighbour pairing → ``max_by``
+    keeps each pair's best offset.  Shuffles move (hash, t1) pairs — ~8
+    bytes per landmark, ~30 landmarks/s of audio.
+    Returns (id_a, id_b, offset_frames, votes)."""
+    entries = lm_df.filter(F.size("lm") > 0).select(
+        F.col("clip_id").alias("__id"),
+        F.explode("lm").alias("e"),
+    ).select("__id", "e.h", "e.t1")
+    small = (
+        entries.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter((F.col("__bn") > 1) & (F.col("__bn") <= max_bucket_size))
+        .select("h")
+    )
+    pruned = entries.join(small, ["h"])
+    votes = (
+        pruned.select("h", F.col("__id").alias("id_a"), F.col("t1").alias("__ta"))
+        .join(
+            pruned.select(
+                "h", F.col("__id").alias("id_b"), F.col("t1").alias("__tb")
+            ),
+            ["h"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy(
+            "id_a", "id_b", (F.col("__ta") - F.col("__tb")).alias("offset_frames")
+        )
+        .agg(F.count(F.lit(1)).alias("__v"))
+    )
+    # paired score via two linear equi-joins: each bin sees the vote count
+    # of offset-1 and offset+1 (missing neighbour -> 0)
+    def _nb(delta: int, name: str) -> DataFrame:
+        return votes.select(
+            "id_a", "id_b",
+            (F.col("offset_frames") + delta).alias("offset_frames"),
+            F.col("__v").alias(name),
+        )
+
+    paired = (
+        votes.join(_nb(1, "__vm"), ["id_a", "id_b", "offset_frames"], "left")
+        .join(_nb(-1, "__vp"), ["id_a", "id_b", "offset_frames"], "left")
+        .withColumn(
+            "votes",
+            F.col("__v")
+            + F.greatest(
+                F.coalesce("__vm", F.lit(0)), F.coalesce("__vp", F.lit(0))
+            ),
+        )
+    )
+    return (
+        paired.groupBy("id_a", "id_b")
+        .agg(
+            F.max_by(
+                F.struct("offset_frames", "votes"),
+                # best paired score; ties -> smallest |offset|, then larger
+                F.struct(
+                    F.col("votes").alias("v"),
+                    (-F.abs(F.col("offset_frames"))).alias("t"),
+                    F.col("offset_frames").alias("s"),
+                ),
+            ).alias("b")
+        )
+        .select(
+            "id_a", "id_b",
+            F.col("b.offset_frames").alias("offset_frames"),
+            F.col("b.votes").alias("votes"),
+        )
+        .filter(F.col("votes") >= F.lit(min_votes))
     )

@@ -764,6 +764,58 @@ def _audio_excerpt_expected(
     }
 
 
+def _audio_constellation_expected(
+    n=400, seed=42, min_votes=45, max_bucket=64
+) -> dict:
+    """Twin of ``audio_dedup.clip_landmarks`` + ``landmark_match`` over the
+    ARBITRARY-offset excerpt corpus: hash buckets as plain dicts, vote
+    counting, adjacent-bin paired scoring, and the (votes, -|offset|,
+    offset) tiebreak in pure Python."""
+    from .functions.audio import _decode_i16
+    from .functions.spectral import constellation_landmarks
+    from .synth import make_audio_excerpt_corpus
+
+    pdf = make_audio_excerpt_corpus(n, seed=seed, align_hop=False)
+    buckets: dict[int, list[tuple[str, int]]] = {}
+    for _, r in pdf.iterrows():
+        try:
+            x = _decode_i16(r["bytes"], r["codec"], r["sr_hz"])
+        except (ValueError, TypeError):
+            x = np.zeros(0, dtype=np.int16)
+        hs, ts = constellation_landmarks(x)
+        for h, t in zip(hs, ts):
+            buckets.setdefault(int(h), []).append((r["clip_id"], int(t)))
+    votes: dict[tuple[str, str, int], int] = {}
+    for members in buckets.values():
+        if not (1 < len(members) <= max_bucket):
+            continue
+        for a, ta in members:
+            for b, tb in members:
+                if a < b:
+                    key = (a, b, ta - tb)
+                    votes[key] = votes.get(key, 0) + 1
+    best: dict[tuple[str, str], tuple] = {}
+    for (a, b, off), v in votes.items():
+        paired = v + max(
+            votes.get((a, b, off - 1), 0), votes.get((a, b, off + 1), 0)
+        )
+        rank = (paired, -abs(off), off)
+        cur = best.get((a, b))
+        if cur is None or rank > cur[0]:
+            best[(a, b)] = (rank, off, paired)
+    rows = sorted(
+        (a, b, off, v)
+        for (a, b), (_, off, v) in best.items()
+        if v >= min_votes
+    )
+    return {
+        "id_a": [r[0] for r in rows],
+        "id_b": [r[1] for r in rows],
+        "offset_frames": [r[2] for r in rows],
+        "votes": [r[3] for r in rows],
+    }
+
+
 def _audio_spectral_expected(n=300, seed=42) -> dict:
     """Twin of ``audio_features.clip_spectral`` + the per-clip rounding the
     query applies (shared deterministic kernels, same float64 order — the
@@ -844,6 +896,10 @@ _SCHEMAS: dict[str, pa.Schema] = {
         [("id_a", pa.string()), ("id_b", pa.string()),
          ("shift", pa.int32()), ("votes", pa.int64()),
          ("overlap", pa.int32()), ("ber_r", pa.float64())]
+    ),
+    "audio_constellation_match": pa.schema(
+        [("id_a", pa.string()), ("id_b", pa.string()),
+         ("offset_frames", pa.int32()), ("votes", pa.int64())]
     ),
     "audio_spectral": pa.schema(
         [("clip_id", pa.string()), ("ok", pa.bool_()),
@@ -940,6 +996,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_fingerprint_expected()
     elif name == "audio_excerpt_match":
         data = _audio_excerpt_expected()
+    elif name == "audio_constellation_match":
+        data = _audio_constellation_expected()
     elif name == "audio_spectral":
         data = _audio_spectral_expected()
     elif name == "clips_gate":

@@ -255,15 +255,19 @@ def make_audio_excerpt_corpus(
     seed: int = 42,
     excerpt_every: int = 7,
     hop: int = 128,
+    align_hop: bool = True,
 ) -> pd.DataFrame:
-    """Base corpus + hop-aligned excerpts for shift-match tests.
+    """Base corpus + excerpts for shift-match / constellation tests.
 
     Every ``excerpt_every``-th decodable clip long enough to leave ≥ 16
     analysis frames is re-emitted as ``<id>_ex``: a contiguous cut of the
-    SAME waveform starting at a (seeded) multiple of the analysis hop and
-    spanning roughly the middle half, alternately kept in the source codec
-    or re-encoded under the next one (the excerpt+re-encode combo).  The
-    ground-truth alignment is ``shift = start // hop`` fingerprint words.
+    SAME waveform spanning roughly the middle half, alternately kept in the
+    source codec or re-encoded under the next one (the excerpt+re-encode
+    combo).  With ``align_hop`` the cut starts at a multiple of the
+    analysis hop (ground truth ``shift = start // hop`` fingerprint words,
+    defect tag ``excerpt_shift_<hops>``); without it the cut starts at an
+    ARBITRARY seeded sample offset (defect tag ``excerpt_samp_<samples>``)
+    — the case only the constellation matcher can recover.
     """
     base = generate_clips(n, seed=seed)
     rng = np.random.default_rng(seed + 1)
@@ -286,7 +290,13 @@ def make_audio_excerpt_corpus(
             continue
         start_h = int(rng.integers(2, max(3, n_hops // 4)))
         len_h = max(18, n_hops // 2)
-        cut = q[start_h * hop: min((start_h + len_h) * hop, len(q))]
+        if align_hop:
+            start = start_h * hop
+            tag = f"excerpt_shift_{start_h}"
+        else:
+            start = start_h * hop + int(rng.integers(1, hop))
+            tag = f"excerpt_samp_{start}"
+        cut = q[start: min(start + len_h * hop, len(q))]
         xf = cut.astype(np.float64) / 32768.0
         new_codec = codec if j % 2 == 0 else _REENCODE_CYCLE[codec]
         if new_codec == "pcm16":
@@ -304,7 +314,7 @@ def make_audio_excerpt_corpus(
                 "codec": new_codec,
                 "transcript": row["transcript"],
                 "ingest_day": row["ingest_day"],
-                "defect": f"excerpt_shift_{start_h}",
+                "defect": tag,
             }
         )
     return pd.concat([base, pd.DataFrame(outs)], ignore_index=True)

@@ -212,6 +212,57 @@ def test_shift_match_recovers_excerpts_with_exact_alignment(spark):
         assert truth[ex_id][1] != base_codec[ex_id[:-3]], ex_id
 
 
+def test_constellation_recovers_arbitrary_offsets(spark):
+    """Excerpts cut at NON-hop-aligned sample offsets: the landmark matcher
+    recovers every one with the offset within ±1 frame and zero false
+    positives — on a corpus of stationary sinusoids, the adversarial case
+    for constellation hashing."""
+    from data_quality_spark.functions.spectral import CONST_HOP
+    from data_quality_spark.operators.audio_dedup import (
+        clip_landmarks,
+        landmark_match,
+    )
+    from data_quality_spark.synth import make_audio_excerpt_corpus
+
+    pdf = make_audio_excerpt_corpus(400, seed=42, align_hop=False)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    sdf = spark.createDataFrame(pdf[cols], CLIPS_SCHEMA).repartition(8, "clip_id")
+    pairs = landmark_match(clip_landmarks(sdf)).collect()
+    truth = {
+        r["clip_id"]: int(r["defect"].split("_")[-1])
+        for _, r in pdf[pdf["clip_id"].str.endswith("_ex")].iterrows()
+    }
+    got = {r["id_b"]: r for r in pairs if r["id_b"] == r["id_a"] + "_ex"}
+    assert not [r for r in pairs if r["id_b"] != r["id_a"] + "_ex"]
+    assert set(got) == set(truth)
+    for ex_id, r in got.items():
+        expected = truth[ex_id] / CONST_HOP
+        # adjacent-bin pairing lets a fractional offset's neighbour bin win
+        # a tie, so the reported offset is exact to within ±1.5 frames
+        assert abs(r["offset_frames"] - expected) <= 1.5, (
+            ex_id, r["offset_frames"], expected,
+        )
+
+
+def test_shift_match_cannot_recover_arbitrary_offsets(spark):
+    """Negative control: the Philips bit-stream matcher is hop-aligned by
+    construction — non-aligned cuts decorrelate its frame grid, so it must
+    recover almost none of them (this is exactly why landmark_match
+    exists)."""
+    from data_quality_spark.operators.audio_dedup import (
+        fingerprint_shift_match,
+    )
+    from data_quality_spark.synth import make_audio_excerpt_corpus
+
+    pdf = make_audio_excerpt_corpus(400, seed=42, align_hop=False)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    sdf = spark.createDataFrame(pdf[cols], CLIPS_SCHEMA).repartition(8, "clip_id")
+    pairs = fingerprint_shift_match(clip_fingerprints(sdf)).collect()
+    n_ex = int(pdf["clip_id"].str.endswith("_ex").sum())
+    found = sum(1 for r in pairs if r["id_b"] == r["id_a"] + "_ex")
+    assert found < 0.2 * n_ex, (found, n_ex)
+
+
 def test_near_dup_decodes_each_clip_once(spark, dup_corpus):
     """The full near-dup DAG references the fingerprint relation four times
     (bucket entries, size guard, both verify sides); the persist inside
