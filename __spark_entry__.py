@@ -751,6 +751,46 @@ def q_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+def q_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip voice-activity summary (energy VAD, hangover + debounce
+    smoothing): speech_ratio and silence/speech run-length stats the
+    whole-clip silence_frac cannot express.  One mapInArrow pass, no
+    shuffle; hash-checked per clip against a state-machine oracle."""
+    from data_quality_spark.operators.audio_vad import clip_vad
+
+    ensure_expected("audio_vad", sf_dir)
+    vad = clip_vad(_clips_df(spark, n=300))
+    return vad.select(
+        "clip_id",
+        "ok",
+        "n_frames",
+        F.round("speech_ratio", 6).alias("speech_ratio_r"),
+        "n_segments",
+        "longest_speech_ms",
+        "longest_silence_ms",
+        "leading_silence_ms",
+        "trailing_silence_ms",
+    ).orderBy("clip_id")
+
+
+def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence-split segmentation: one row per active segment (the chunking
+    step that turns raw clips into per-utterance training rows).  Variable
+    fan-out map — clips with no usable activity emit zero rows."""
+    from data_quality_spark.operators.audio_vad import clip_segments
+
+    ensure_expected("audio_segments", sf_dir)
+    segs = clip_segments(_clips_df(spark, n=300))
+    return segs.select(
+        "clip_id",
+        "seg_idx",
+        "start_ms",
+        "end_ms",
+        "dur_ms",
+        F.round("rms_db", 4).alias("rms_db_r"),
+    ).orderBy("clip_id", "seg_idx")
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_quality_spark.functions import multimodal as M
 
@@ -894,6 +934,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_excerpt_match": q_audio_excerpt_match,
         "audio_constellation_match": q_audio_constellation_match,
         "audio_spectral": q_audio_spectral,
+        "audio_vad": q_audio_vad,
+        "audio_segments": q_audio_segments,
         "clips_gate": q_clips_gate,
         "clips_gate_rollup": q_clips_gate_rollup,
         "clips_gate_issues": q_clips_gate_issues,
@@ -1595,6 +1637,8 @@ FROM ranked WHERE rnk <= 3""",
         "audio_excerpt_match": _expected_sql("audio_excerpt_match"),
         "audio_constellation_match": _expected_sql("audio_constellation_match"),
         "audio_spectral": _expected_sql("audio_spectral"),
+        "audio_vad": _expected_sql("audio_vad"),
+        "audio_segments": _expected_sql("audio_segments"),
         "clips_gate": _expected_sql("clips_gate"),
         "clips_gate_rollup": _expected_sql("clips_gate_rollup"),
         "clips_gate_issues": _expected_sql("clips_gate_issues"),

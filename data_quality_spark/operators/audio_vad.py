@@ -1,0 +1,149 @@
+"""Voice-activity summary and silence-split segmentation as operators.
+
+Two shapes over the same ``functions.vad`` kernel:
+
+- ``clip_vad``      — one row per clip: speech_ratio, run-length stats.
+  Feeds drop rules the whole-clip ``silence_frac`` cannot express (a clip
+  that is 50% silence in one contiguous block vs speech with natural gaps).
+- ``clip_segments`` — one row per *active segment* (variable fan-out): the
+  chunking step that turns raw clips into per-utterance training rows.
+
+Both are single ``mapInArrow`` passes: zero-copy Arrow buffer → numpy,
+payload dropped at the boundary, no shuffle — pure maps that scale with
+input splits at 10^12 rows exactly like ``pipeline.featurize``.  The
+segment fan-out multiplies row count but each output row is ~50 bytes of
+scalars (the audio bytes never leave the stage), so the downstream exchange
+is tiny regardless of corpus size.
+
+Reference analog: no audio path in the reference; nearest shape is its
+row-level predicate rules (``/root/reference/src/data_quality/
+checkpoints.py:178-296``) — these operators mint the rows those predicates
+then judge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+__all__ = ["clip_vad", "clip_segments", "VAD_FIELDS"]
+
+VAD_FIELDS = [
+    ("n_frames", T.IntegerType(), "int32"),
+    ("speech_ratio", T.DoubleType(), "float64"),
+    ("n_segments", T.IntegerType(), "int32"),
+    ("longest_speech_ms", T.IntegerType(), "int32"),
+    ("longest_silence_ms", T.IntegerType(), "int32"),
+    ("leading_silence_ms", T.IntegerType(), "int32"),
+    ("trailing_silence_ms", T.IntegerType(), "int32"),
+]
+
+
+def clip_vad(df: DataFrame, counter=None) -> DataFrame:
+    """(clip_id, ok, n_frames, speech_ratio, n_segments, longest_speech_ms,
+    longest_silence_ms, leading_silence_ms, trailing_silence_ms); ``ok`` is
+    False when the clip fails to decode (stats then describe a zero-length
+    signal: all-silence, zero frames)."""
+    col_idx = {f.name: i for i, f in enumerate(df.schema.fields)}
+    out_schema = T.StructType(
+        [T.StructField("clip_id", T.StringType(), False),
+         T.StructField("ok", T.BooleanType(), False)]
+        + [T.StructField(name, dt, False) for name, dt, _ in VAD_FIELDS]
+    )
+
+    def run(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from ..functions.audio import _decode_i16
+        from ..functions.vad import vad_stats
+
+        for batch in batches:
+            ids = batch.column(col_idx["clip_id"]).to_pylist()
+            payloads = batch.column(col_idx["bytes"])
+            codecs = batch.column(col_idx["codec"]).to_pylist()
+            srs = batch.column(col_idx["sr_hz"]).to_pylist()
+            if counter is not None:
+                counter.add(batch.num_rows)
+            oks: list[bool] = []
+            cols: dict[str, list] = {name: [] for name, _, _ in VAD_FIELDS}
+            for i in range(batch.num_rows):
+                buf = payloads[i].as_buffer() if payloads[i].is_valid else None
+                try:
+                    q = _decode_i16(buf, codecs[i], srs[i])
+                    ok = True
+                except (ValueError, TypeError):
+                    q = np.zeros(0, dtype=np.int16)
+                    ok = False
+                stats = vad_stats(q.astype(np.float32) / np.float32(32767.0), srs[i] or 0)
+                oks.append(ok)
+                for name, _, _ in VAD_FIELDS:
+                    cols[name].append(stats[name])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.string()),
+                 pa.array(oks, type=pa.bool_())]
+                + [pa.array(cols[name], type=getattr(pa, pat)())
+                   for name, _, pat in VAD_FIELDS],
+                names=["clip_id", "ok"] + [n for n, _, _ in VAD_FIELDS],
+            )
+
+    return df.mapInArrow(run, out_schema)
+
+
+def clip_segments(df: DataFrame, counter=None) -> DataFrame:
+    """One row per silence-split active segment: (clip_id, seg_idx,
+    start_ms, end_ms, dur_ms, rms_db).  Clips with no activity (or that
+    fail to decode) contribute zero rows — the chunker's contract is
+    'emit only usable training segments'."""
+    col_idx = {f.name: i for i, f in enumerate(df.schema.fields)}
+    out_schema = T.StructType([
+        T.StructField("clip_id", T.StringType(), False),
+        T.StructField("seg_idx", T.IntegerType(), False),
+        T.StructField("start_ms", T.IntegerType(), False),
+        T.StructField("end_ms", T.IntegerType(), False),
+        T.StructField("dur_ms", T.IntegerType(), False),
+        T.StructField("rms_db", T.DoubleType(), False),
+    ])
+
+    def run(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from ..functions.audio import _decode_i16
+        from ..functions.vad import vad_segments
+
+        for batch in batches:
+            ids = batch.column(col_idx["clip_id"]).to_pylist()
+            payloads = batch.column(col_idx["bytes"])
+            codecs = batch.column(col_idx["codec"]).to_pylist()
+            srs = batch.column(col_idx["sr_hz"]).to_pylist()
+            if counter is not None:
+                counter.add(batch.num_rows)
+            out = {k: [] for k in
+                   ("clip_id", "seg_idx", "start_ms", "end_ms", "dur_ms",
+                    "rms_db")}
+            for i in range(batch.num_rows):
+                buf = payloads[i].as_buffer() if payloads[i].is_valid else None
+                try:
+                    q = _decode_i16(buf, codecs[i], srs[i])
+                except (ValueError, TypeError):
+                    continue
+                for seg in vad_segments(q.astype(np.float32) / np.float32(32767.0),
+                                        srs[i] or 0):
+                    out["clip_id"].append(ids[i])
+                    out["seg_idx"].append(seg["seg_idx"])
+                    out["start_ms"].append(seg["start_ms"])
+                    out["end_ms"].append(seg["end_ms"])
+                    out["dur_ms"].append(seg["dur_ms"])
+                    out["rms_db"].append(seg["rms_db"])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out["clip_id"], type=pa.string()),
+                 pa.array(out["seg_idx"], type=pa.int32()),
+                 pa.array(out["start_ms"], type=pa.int32()),
+                 pa.array(out["end_ms"], type=pa.int32()),
+                 pa.array(out["dur_ms"], type=pa.int32()),
+                 pa.array(out["rms_db"], type=pa.float64())],
+                names=list(out),
+            )
+
+    return df.mapInArrow(run, out_schema)

@@ -852,6 +852,169 @@ def _audio_spectral_expected(n=300, seed=42) -> dict:
     return out
 
 
+def _vad_state_machine(frame_db, thr: float, hang: int, min_speech: int) -> list[bool]:
+    """Independently-structured replay of ``functions.vad.smooth_active``:
+    an explicit per-frame streaming pass (gap-fill on re-entry, then a
+    run-counter debounce) instead of the kernel's vectorized RLE surgery.
+    Frame energies are shared (``frame_mean_squares``) so the threshold
+    compare cannot flake; THIS logic is the differential surface."""
+    n = len(frame_db)
+    raw = [bool(frame_db[i] >= thr) for i in range(n)]
+    out = list(raw)
+    # hangover: when activity resumes after a short interior gap, back-fill
+    last_active = -1
+    for i in range(n):
+        if raw[i]:
+            gap = i - last_active - 1
+            if last_active >= 0 and 0 < gap <= hang:
+                for j in range(last_active + 1, i):
+                    out[j] = True
+            last_active = i
+    # debounce: erase active runs shorter than min_speech
+    run_start = None
+    for i in range(n + 1):
+        a = out[i] if i < n else False
+        if a and run_start is None:
+            run_start = i
+        elif not a and run_start is not None:
+            if i - run_start < min_speech:
+                for j in range(run_start, i):
+                    out[j] = False
+            run_start = None
+    return out
+
+
+def _vad_decode(r):
+    from .functions.audio import _decode_i16
+
+    try:
+        q = _decode_i16(r["bytes"], r["codec"], r["sr_hz"])
+        ok = True
+    except (ValueError, TypeError):
+        q = np.zeros(0, dtype=np.int16)
+        ok = False
+    return q.astype(np.float32) / np.float32(32767.0), ok
+
+
+def _audio_vad_expected(n=300, seed=42) -> dict:
+    """Twin of ``audio_vad.clip_vad``: shared frame energies + decode
+    dispatch, independent smoothing state machine, independent stats
+    accounting (explicit loops over the smoothed mask — the kernel derives
+    everything from RLE start/end arrays)."""
+    from .functions.audio import SILENCE_DB
+    from .functions.vad import HANG_FRAMES, MIN_SPEECH_FRAMES, frame_mean_squares
+    from .synth import generate_clips
+
+    pdf = generate_clips(n, seed=seed)
+    cols = ("n_frames", "speech_ratio_r", "n_segments", "longest_speech_ms",
+            "longest_silence_ms", "leading_silence_ms", "trailing_silence_ms")
+    out: dict[str, list] = {"clip_id": [], "ok": []}
+    out.update({c: [] for c in cols})
+    for _, r in pdf.sort_values("clip_id").iterrows():
+        x, ok = _vad_decode(r)
+        sr = r["sr_hz"] or 0
+        ms2, frame = (frame_mean_squares(x, sr) if sr > 0
+                      else (np.zeros(0), 1))
+        nf = int(ms2.size)
+        to_ms = (lambda k: int(round(k * frame * 1000 / sr))) if sr > 0 else (lambda k: 0)
+        if nf == 0:
+            act = []
+        else:
+            frame_db = 10.0 * np.log10(np.maximum(ms2, 1e-24))
+            act = _vad_state_machine(frame_db, SILENCE_DB, HANG_FRAMES,
+                                     MIN_SPEECH_FRAMES)
+        # stats by explicit scan
+        speech = sum(act)
+        segs = 0
+        longest_sp = longest_sil = cur = 0
+        lead = trail = 0
+        prev = False
+        for i, a in enumerate(act):
+            if a and not prev:
+                segs += 1
+                cur = 0
+            if a:
+                cur += 1
+                longest_sp = max(longest_sp, cur)
+            prev = a
+        # silence runs (leading/trailing included)
+        cur = 0
+        seen_speech = False
+        for a in act:
+            if not a:
+                cur += 1
+                longest_sil = max(longest_sil, cur)
+                if not seen_speech:
+                    lead += 1
+            else:
+                seen_speech = True
+                cur = 0
+        for a in reversed(act):
+            if a:
+                break
+            trail += 1
+        out["clip_id"].append(r["clip_id"])
+        out["ok"].append(ok)
+        out["n_frames"].append(nf)
+        out["speech_ratio_r"].append(
+            spark_round(speech / nf if nf else 0.0, 6))
+        out["n_segments"].append(segs)
+        out["longest_speech_ms"].append(to_ms(longest_sp))
+        out["longest_silence_ms"].append(to_ms(longest_sil))
+        out["leading_silence_ms"].append(to_ms(lead))
+        out["trailing_silence_ms"].append(to_ms(trail))
+    return out
+
+
+def _audio_segments_expected(n=300, seed=42) -> dict:
+    """Twin of ``audio_vad.clip_segments``: same state machine as above,
+    segment boundaries read off the smoothed mask with an explicit scan;
+    per-segment RMS from the shared frame mean-squares."""
+    from .functions.audio import SILENCE_DB
+    from .functions.vad import HANG_FRAMES, MIN_SPEECH_FRAMES, frame_mean_squares
+    from .synth import generate_clips
+
+    pdf = generate_clips(n, seed=seed)
+    out: dict[str, list] = {k: [] for k in
+                            ("clip_id", "seg_idx", "start_ms", "end_ms",
+                             "dur_ms", "rms_db_r")}
+    raw_rms: list[float] = []
+    for _, r in pdf.sort_values("clip_id").iterrows():
+        x, ok = _vad_decode(r)
+        sr = r["sr_hz"] or 0
+        if not ok or sr <= 0 or x.size == 0:
+            continue
+        ms2, frame = frame_mean_squares(x, sr)
+        if ms2.size == 0:
+            continue
+        frame_db = 10.0 * np.log10(np.maximum(ms2, 1e-24))
+        act = _vad_state_machine(frame_db, SILENCE_DB, HANG_FRAMES,
+                                 MIN_SPEECH_FRAMES)
+        seg_idx = 0
+        i = 0
+        nf = len(act)
+        while i < nf:
+            if act[i]:
+                j = i
+                while j < nf and act[j]:
+                    j += 1
+                seg_ms2 = float(np.mean(ms2[i:j], dtype=np.float64))
+                rms_db = max(10.0 * math.log10(max(seg_ms2, 1e-24)), -120.0)
+                raw_rms.append(rms_db)
+                out["clip_id"].append(r["clip_id"])
+                out["seg_idx"].append(seg_idx)
+                out["start_ms"].append(int(round(i * frame * 1000 / sr)))
+                out["end_ms"].append(int(round(j * frame * 1000 / sr)))
+                out["dur_ms"].append(int(round((j - i) * frame * 1000 / sr)))
+                out["rms_db_r"].append(spark_round(rms_db, 4))
+                seg_idx += 1
+                i = j
+            else:
+                i += 1
+    _assert_off_rounding_boundary(raw_rms, 4)
+    return out
+
+
 # ------------------------------------------------------------------ registry
 
 import pyarrow as pa  # noqa: E402
@@ -906,6 +1069,19 @@ _SCHEMAS: dict[str, pa.Schema] = {
          ("centroid_r", pa.float64()), ("rolloff_r", pa.float64()),
          ("flatness_r", pa.float64()), ("low_r", pa.float64()),
          ("mid_r", pa.float64()), ("high_r", pa.float64())]
+    ),
+    "audio_vad": pa.schema(
+        [("clip_id", pa.string()), ("ok", pa.bool_()),
+         ("n_frames", pa.int32()), ("speech_ratio_r", pa.float64()),
+         ("n_segments", pa.int32()), ("longest_speech_ms", pa.int32()),
+         ("longest_silence_ms", pa.int32()),
+         ("leading_silence_ms", pa.int32()),
+         ("trailing_silence_ms", pa.int32())]
+    ),
+    "audio_segments": pa.schema(
+        [("clip_id", pa.string()), ("seg_idx", pa.int32()),
+         ("start_ms", pa.int32()), ("end_ms", pa.int32()),
+         ("dur_ms", pa.int32()), ("rms_db_r", pa.float64())]
     ),
     "clips_gate": pa.schema(
         [("clip_id", pa.string()), ("decision", pa.string()),
@@ -1000,6 +1176,10 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_constellation_expected()
     elif name == "audio_spectral":
         data = _audio_spectral_expected()
+    elif name == "audio_vad":
+        data = _audio_vad_expected()
+    elif name == "audio_segments":
+        data = _audio_segments_expected()
     elif name == "clips_gate":
         data = _clips_gate_expected()
     elif name == "clips_gate_rollup":
