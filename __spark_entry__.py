@@ -791,6 +791,26 @@ def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id", "seg_idx")
 
 
+def q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SR-normalization audit: per-clip in/out length and RMS through the
+    polyphase resampler (functions/resample.py).  The oracle resamples via
+    the literal zero-stuff→convolve→decimate definition, so the hash match
+    verifies the polyphase index math itself, not just plumbing."""
+    from data_quality_spark.operators.audio_resample import resample_stats
+
+    ensure_expected("audio_resample", sf_dir)
+    stats = resample_stats(_clips_df(spark, n=300))
+    return stats.select(
+        "clip_id",
+        "ok",
+        "sr_in",
+        "n_in",
+        "n_out",
+        F.round("rms_in", 6).alias("rms_in_r"),
+        F.round("rms_out", 6).alias("rms_out_r"),
+    ).orderBy("clip_id")
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_quality_spark.functions import multimodal as M
 
@@ -936,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_spectral": q_audio_spectral,
         "audio_vad": q_audio_vad,
         "audio_segments": q_audio_segments,
+        "audio_resample": q_audio_resample,
         "clips_gate": q_clips_gate,
         "clips_gate_rollup": q_clips_gate_rollup,
         "clips_gate_issues": q_clips_gate_issues,
@@ -1639,6 +1660,7 @@ FROM ranked WHERE rnk <= 3""",
         "audio_spectral": _expected_sql("audio_spectral"),
         "audio_vad": _expected_sql("audio_vad"),
         "audio_segments": _expected_sql("audio_segments"),
+        "audio_resample": _expected_sql("audio_resample"),
         "clips_gate": _expected_sql("clips_gate"),
         "clips_gate_rollup": _expected_sql("clips_gate_rollup"),
         "clips_gate_issues": _expected_sql("clips_gate_issues"),

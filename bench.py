@@ -434,7 +434,7 @@ def main() -> None:
         "fingerprint_dedup", "winnow_fingerprints", "scrub_audit",
         "audio_fingerprint_dedup", "audio_excerpt_match",
         "audio_constellation_match", "audio_spectral", "audio_vad",
-        "audio_segments",
+        "audio_segments", "audio_resample",
         "minhash_lsh", "simhash_near_dup", "ann_cosine_topk", "ann_lsh_topk",
         "ann_ivf_topk",
     ]

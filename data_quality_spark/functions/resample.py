@@ -1,0 +1,112 @@
+"""Pure-numpy polyphase windowed-sinc resampler (sample-rate normalizer).
+
+A 10^12-clip training corpus mixes sample rates (this corpus: 8 kHz and
+16 kHz); models consume ONE rate, so SR normalization is a core transform
+stage.  No resampling library exists in this sandbox, so the classic
+polyphase rational resampler is implemented from its textbook definition
+(Crochiere & Rabiner, "Multirate Digital Signal Processing"; same design
+scipy.signal.resample_poly uses):
+
+1. rational ratio L/M = sr_out/sr_in reduced by gcd;
+2. one lowpass prototype: windowed sinc (Kaiser β=5.0) with cutoff at the
+   narrower of the two Nyquists, 10·max(L,M) half-taps, gain L;
+3. conceptually: zero-stuff by L → filter → take every M-th sample.
+   Executed per-phase instead (the polyphase identity): output phase
+   p ∈ [0,L) uses taps ``h[p::L]`` correlated against x at stride M —
+   never materializing the L× zero-stuffed signal.
+
+Everything is float64 and fully deterministic: output positions use exact
+integer arithmetic (k·M split into base index + phase), taps are a pure
+function of (L, M) and cached per ratio.  ``tests/test_resample.py`` pins
+the polyphase execution against the literal zero-stuff-convolve-decimate
+definition (SNR > 120 dB) and against analytically synthesized tones at
+the target rate (SNR ≥ 30 dB, the BASELINE.json per-row invariant bar).
+
+Per-clip cost is O(n · taps/L) multiply-adds with numpy inner kernels —
+batch-friendly inside mapInArrow; the taps table is computed once per
+(sr_in, sr_out) pair per executor and shared across every clip in the
+partition.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+
+import numpy as np
+
+__all__ = ["design_lowpass", "resample_poly", "output_length", "KAISER_BETA", "HALF_LOBES"]
+
+KAISER_BETA = 5.0
+HALF_LOBES = 10  # half-width of the prototype in units of max(L, M) taps
+
+
+@lru_cache(maxsize=64)
+def design_lowpass(L: int, M: int) -> np.ndarray:
+    """Prototype lowpass for an L-up / M-down stage: windowed sinc, cutoff
+    ``1/(2·max(L,M))`` of the upsampled rate, Kaiser β=5, gain L (so a DC
+    input keeps its level through zero-stuffing).  Length ``2·10·max(L,M)+1``
+    — odd, symmetric, linear phase."""
+    mx = max(L, M)
+    half = HALF_LOBES * mx
+    n = np.arange(-half, half + 1, dtype=np.float64)
+    fc = 1.0 / (2.0 * mx)  # normalized to the L-upsampled rate
+    h = 2.0 * fc * np.sinc(2.0 * fc * n)
+    h *= np.kaiser(2 * half + 1, KAISER_BETA)
+    # normalize the polyphase gain exactly: sum over each phase ≈ 1/L of
+    # total; scale so total = L (zero-stuffed signal has 1/L the energy)
+    h *= L / h.sum()
+    return h
+
+
+def output_length(n_in: int, L: int, M: int) -> int:
+    """ceil(n_in · L / M) — scipy.resample_poly's output-length convention."""
+    return -(-n_in * L // M)
+
+
+def resample_poly(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Resample float input from sr_in to sr_out; float64 out.
+
+    Identity (no filter) when the rates already match.  Raises ValueError
+    on non-positive rates — callers translate that to their ok=False path.
+
+    Derivation pinned by ``tests/test_resample.py`` against the literal
+    definition: with ``xu`` = x zero-stuffed by L and ``half`` = (len(h)-1)/2,
+
+        y[k] = conv(xu, h)[k·M + half]            (group delay consumed)
+             = Σ_j h[p + j·L] · x[m0 − j]
+
+    where ``c = k·M + half``, ``p = c mod L``, ``m0 = (c − p) / L`` — all
+    exact integers, so output positions never drift.  Outputs sharing
+    ``k mod L`` share a phase (L, M coprime), giving L strided
+    gather-plus-GEMV passes over one zero-copy window view.
+    """
+    if sr_in <= 0 or sr_out <= 0:
+        raise ValueError(f"bad rates {sr_in}->{sr_out}")
+    x = np.asarray(x, dtype=np.float64)
+    if sr_in == sr_out or x.size == 0:
+        return x.copy()
+    g = math.gcd(sr_in, sr_out)
+    L, M = sr_out // g, sr_in // g
+    h = design_lowpass(L, M)
+    half = (h.size - 1) // 2
+    n = x.size
+    n_out = output_length(n, L, M)
+
+    pad_left = (2 * half) // L + 2
+    m0_max = ((n_out - 1) * M + half) // L
+    pad_right = max(m0_max - (n - 1), 0) + 1
+    xp = np.concatenate(
+        [np.zeros(pad_left), x, np.zeros(pad_right)])
+
+    out = np.empty(n_out, dtype=np.float64)
+    for r in range(min(L, n_out)):
+        ks = np.arange(r, n_out, L)
+        p = int((r * M + half) % L)
+        taps = h[p::L][::-1].copy()  # reversed: correlation as one dot
+        T = taps.size
+        m0 = (ks * M + half - p) // L
+        starts = m0 - T + 1 + pad_left
+        win = np.lib.stride_tricks.sliding_window_view(xp, T)
+        out[ks] = win[starts] @ taps
+    return out

@@ -1015,6 +1015,70 @@ def _audio_segments_expected(n=300, seed=42) -> dict:
     return out
 
 
+def _resample_definition(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Literal zero-stuff → convolve → decimate resampler (the definition
+    the polyphase kernel optimizes).  Shares only the tap design with
+    ``functions.resample.resample_poly``; execution is entirely different
+    (materialized L× upsample + full convolution), so agreement is evidence
+    about the polyphase index math, not a tautology.  Float64 outputs agree
+    with polyphase to ~1e-15 relative (reduction order differs); rounded
+    stats are guarded off rounding boundaries at generation time."""
+    from .functions.resample import design_lowpass, output_length
+
+    x = np.asarray(x, dtype=np.float64)
+    if sr_in == sr_out or x.size == 0:
+        return x.copy()
+    g = math.gcd(sr_in, sr_out)
+    L, M = sr_out // g, sr_in // g
+    h = design_lowpass(L, M)
+    half = (h.size - 1) // 2
+    xu = np.zeros(x.size * L, dtype=np.float64)
+    xu[::L] = x
+    y_full = np.convolve(xu, h)
+    n_out = output_length(x.size, L, M)
+    return y_full[half: half + n_out * M: M][:n_out]
+
+
+def _audio_resample_expected(n=300, seed=42, target_hz=16000) -> dict:
+    """Twin of ``audio_resample.resample_stats``: shared decode + tap
+    design, independent resample execution (definition vs polyphase) and
+    independent plumbing."""
+    from .synth import generate_clips
+
+    pdf = generate_clips(n, seed=seed)
+    out: dict[str, list] = {k: [] for k in
+                            ("clip_id", "ok", "sr_in", "n_in", "n_out",
+                             "rms_in_r", "rms_out_r")}
+    raw_rms: list[float] = []
+    for _, r in pdf.sort_values("clip_id").iterrows():
+        x, ok = _vad_decode(r)
+        sr = r["sr_hz"]
+        out["clip_id"].append(r["clip_id"])
+        if not ok or sr is None or sr <= 0:
+            out["ok"].append(False)
+            out["sr_in"].append(None if sr is None else int(sr))
+            out["n_in"].append(0)
+            out["n_out"].append(0)
+            out["rms_in_r"].append(None)
+            out["rms_out_r"].append(None)
+            continue
+        x64 = x.astype(np.float64)
+        y = _resample_definition(x64, int(sr), target_hz)
+        rms_in = float(np.sqrt(np.mean(np.square(x64)))) if x64.size else None
+        rms_out = float(np.sqrt(np.mean(np.square(y)))) if y.size else None
+        for v in (rms_in, rms_out):
+            if v is not None:
+                raw_rms.append(v)
+        out["ok"].append(True)
+        out["sr_in"].append(int(sr))
+        out["n_in"].append(int(x64.size))
+        out["n_out"].append(int(y.size))
+        out["rms_in_r"].append(spark_round(rms_in, 6))
+        out["rms_out_r"].append(spark_round(rms_out, 6))
+    _assert_off_rounding_boundary(raw_rms, 6)
+    return out
+
+
 # ------------------------------------------------------------------ registry
 
 import pyarrow as pa  # noqa: E402
@@ -1082,6 +1146,12 @@ _SCHEMAS: dict[str, pa.Schema] = {
         [("clip_id", pa.string()), ("seg_idx", pa.int32()),
          ("start_ms", pa.int32()), ("end_ms", pa.int32()),
          ("dur_ms", pa.int32()), ("rms_db_r", pa.float64())]
+    ),
+    "audio_resample": pa.schema(
+        [("clip_id", pa.string()), ("ok", pa.bool_()),
+         ("sr_in", pa.int32()), ("n_in", pa.int32()),
+         ("n_out", pa.int32()), ("rms_in_r", pa.float64()),
+         ("rms_out_r", pa.float64())]
     ),
     "clips_gate": pa.schema(
         [("clip_id", pa.string()), ("decision", pa.string()),
@@ -1180,6 +1250,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_vad_expected()
     elif name == "audio_segments":
         data = _audio_segments_expected()
+    elif name == "audio_resample":
+        data = _audio_resample_expected()
     elif name == "clips_gate":
         data = _clips_gate_expected()
     elif name == "clips_gate_rollup":
