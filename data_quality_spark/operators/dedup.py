@@ -207,9 +207,20 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     verify_threshold: float | None = 0.5,
     max_bucket_size: int = 64,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash banding, optionally verified
     with exact token-set Jaccard.
+
+    ``materialize`` persists the signature relation (one 64-long array per
+    document, MEMORY_AND_DISK) before the DAG references it three times
+    (bucket entries, bucket-size guard, both pair sides) — without it the
+    shingle-explode + 64-min aggregate re-executes per divergently-pruned
+    reference (measured at sf0.1: cold 30 s → 5 s, warm 1.2 s → 0.2 s for
+    the simhash sibling; same shape here).  At a scale where even
+    signatures don't fit in cluster memory, write them to a table and join
+    against the scan instead.  The caller may ``unpersist()`` after
+    collecting.
 
     With 64 hashes in 16 bands of 4 rows, the S-curve midpoint sits at
     J ≈ (1/16)^(1/4) ≈ 0.5.  Scale shape: signatures are computed in a single
@@ -230,6 +241,10 @@ def minhash_lsh_pairs(
     keyed = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k).select(
         F.col(id_col).alias("__id"), F.col("sig").alias("__sig")
     )
+    if materialize:
+        from pyspark.storagelevel import StorageLevel
+
+        keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
     band_entries = keyed.select(
         "__id",
         F.explode(
@@ -373,7 +388,8 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_near_pairs(
-    sigs: DataFrame, id_col: str, max_hamming: int = 3, max_bucket_size: int = 256
+    sigs: DataFrame, id_col: str, max_hamming: int = 3, max_bucket_size: int = 256,
+    materialize: bool = True,
 ) -> DataFrame:
     """Pairs with Hamming(simhash) ≤ max_hamming via 4×16-bit chunk banding
     (Manku et al. 2007): any pair within distance 3 shares ≥1 exact chunk, so
@@ -381,7 +397,17 @@ def simhash_near_pairs(
     ``max_bucket_size`` hot-bucket guard (same skew rationale as
     ``minhash_lsh_pairs``; oversized chunk buckets are near-identical
     boilerplate that exact dedup should have removed).
+
+    ``materialize`` persists ``sigs`` (8 bytes/doc) before the three
+    divergently-pruned references below re-execute its lineage — when fed
+    from ``simhash64`` that lineage is the token explode + fused 64-sum
+    aggregate, measured at sf0.1: cold 30.3 s → 5.2 s, warm 1.19 s →
+    0.20 s.  Caller may ``unpersist()`` after collecting.
     """
+    if materialize:
+        from pyspark.storagelevel import StorageLevel
+
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     chunks = sigs.select(
         F.col(id_col).alias("__id"),
         F.col("simhash"),
