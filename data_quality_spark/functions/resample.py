@@ -107,6 +107,15 @@ def resample_poly(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
         T = taps.size
         m0 = (ks * M + half - p) // L
         starts = m0 - T + 1 + pad_left
-        win = np.lib.stride_tricks.sliding_window_view(xp, T)
-        out[ks] = win[starts] @ taps
+        if M == 1:
+            # pure upsample: successive outputs of a phase need successive
+            # windows, so the per-phase dots ARE np.correlate — x is read
+            # once per phase instead of gathered into a T×-amplified window
+            # copy (measured 15-30× on the 8→16 kHz corpus path, which is
+            # DRAM-bound at 32 concurrent executor threads)
+            out[ks] = np.correlate(
+                xp[starts[0]: starts[-1] + T], taps, mode="valid")
+        else:
+            win = np.lib.stride_tricks.sliding_window_view(xp, T)
+            out[ks] = win[starts] @ taps
     return out

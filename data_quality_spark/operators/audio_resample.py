@@ -62,33 +62,45 @@ def normalize_sr(df: DataFrame, target_hz: int = TARGET_HZ,
         from ..functions.audio import encode_pcm16
 
         for batch in batches:
+            n = batch.num_rows
             payloads = batch.column(col_idx["bytes"])
             codecs = batch.column(col_idx["codec"]).to_pylist()
             srs = batch.column(col_idx["sr_hz"]).to_pylist()
             if counter is not None:
-                counter.add(batch.num_rows)
-            cols = {name: batch.column(col_idx[name]).to_pylist()
-                    for name in names}
-            flags: list[bool] = []
-            for i in range(batch.num_rows):
-                buf = payloads[i].as_buffer() if payloads[i].is_valid else None
+                counter.add(n)
+            # Only the four mutated columns are rebuilt; every other column
+            # (including any wide passthrough payloads a caller attached) is
+            # re-emitted as the original Arrow array, zero-copy.  Passthrough
+            # payload rows go out as memoryviews over the input buffer — one
+            # memcpy into the output array, never a Python-bytes detour.
+            vals: list = [None] * n
+            flags = [False] * n
+            durs = batch.column(col_idx["dur_ms"]).to_pylist()
+            for i in range(n):
+                valid = payloads[i].is_valid
+                buf = payloads[i].as_buffer() if valid else None
                 sr = srs[i]
                 try:
                     if sr is None or sr <= 0:
                         raise ValueError("bad sr")
                     _, y = _resampled_f64(buf, codecs[i], sr, target_hz)
                 except (ValueError, TypeError):
-                    flags.append(False)
+                    if valid:
+                        vals[i] = memoryview(buf)
                     continue
-                cols["bytes"][i] = encode_pcm16(y)
-                cols["sr_hz"][i] = int(target_hz)
-                cols["codec"][i] = "pcm16"
-                cols["dur_ms"][i] = int(round(y.size * 1000 / target_hz))
-                flags.append(True)
-            arrays = []
-            for f in in_fields:
-                arrays.append(pa.array(cols[f.name],
-                                       type=batch.column(col_idx[f.name]).type))
+                vals[i] = encode_pcm16(y)
+                flags[i] = True
+                srs[i] = int(target_hz)
+                codecs[i] = "pcm16"
+                durs[i] = int(round(y.size * 1000 / target_hz))
+            arrays = [batch.column(j) for j in range(batch.num_columns)]
+            arrays[col_idx["bytes"]] = pa.array(vals, type=payloads.type)
+            arrays[col_idx["sr_hz"]] = pa.array(
+                srs, type=batch.column(col_idx["sr_hz"]).type)
+            arrays[col_idx["codec"]] = pa.array(
+                codecs, type=batch.column(col_idx["codec"]).type)
+            arrays[col_idx["dur_ms"]] = pa.array(
+                durs, type=batch.column(col_idx["dur_ms"]).type)
             arrays.append(pa.array(flags, type=pa.bool_()))
             yield pa.RecordBatch.from_arrays(arrays, names=names + ["resampled"])
 

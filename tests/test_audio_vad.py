@@ -132,6 +132,35 @@ class TestOperators:
         mostly = out[defects.reindex(out.index) == "mostly_silence"]
         assert len(mostly) and (mostly["speech_ratio"] < 0.5).all()
 
+    def test_vad_stream_equals_batch(self, spark, tmp_path):
+        """clip_vad is a pure map, so it composes with Structured Streaming
+        unchanged: an availableNow drain over the same files must produce
+        bit-identical rows to the batch pass (same kernel, same floats)."""
+        from data_quality_spark.operators.audio_vad import clip_vad
+        from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+        from data_quality_spark.synth import generate_clips
+
+        pdf = generate_clips(80, seed=19)
+        cols = [f.name for f in CLIPS_SCHEMA.fields]
+        src = str(tmp_path / "bronze")
+        out = str(tmp_path / "vad_out")
+        cp = str(tmp_path / "cp")
+        spark.createDataFrame(pdf[cols], CLIPS_SCHEMA).write.parquet(src)
+
+        batch = clip_vad(spark.read.parquet(src)).orderBy("clip_id").collect()
+        stream = spark.readStream.schema(CLIPS_SCHEMA).parquet(src)
+        q = (
+            clip_vad(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.read.parquet(out).orderBy("clip_id").collect()
+        assert got == batch
+
     def test_clip_segments_matches_kernel(self, spark):
         from data_quality_spark.operators.audio_vad import clip_segments
         from data_quality_spark.functions.audio import _decode_i16
