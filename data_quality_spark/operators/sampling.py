@@ -1,0 +1,223 @@
+"""Deterministic sampling + key-skew audit for training-corpus curation.
+
+A 10^12-row corpus is never trained on raw: it is *rebalanced* (cap the
+dominant language/source keys), *downsampled* (hold-out and ablation cuts),
+and *audited for skew* (which keys need salting before the big joins).
+These operators make all three reproducible — every sample is a pure
+function of (row id, seed), never of partitioning, task order, or Spark's
+`rand()` — so a resumed or re-run job selects byte-identical rows.
+
+Two hash orders:
+
+- **fast** (default): ``xxhash64(id, seed)`` — one JVM-side 64-bit hash,
+  whole-stage-codegen friendly; the production path.
+- **portable**: ``md5(cast(id as string) || ':' || seed)`` — bit-identical
+  lowercase hex in Spark, DuckDB, and Python ``hashlib``, so the sample
+  membership itself is differential-oracle-checkable across engines.
+
+Scale notes (the part that matters at 10^12 rows):
+
+- ``capped_sample`` is a per-key top-``cap`` by hash order.  The naive
+  formulation shuffles EVERY row to its key's window.  With
+  ``presample_factor`` set, a first pass aggregates per-key counts (partial
+  agg, tiny relation), every row is filtered by ``uniform(hash) <
+  factor*cap/n_key`` BEFORE the shuffle, and the exact window runs on the
+  ~``factor*cap``-per-key survivor set.  Because the *threshold* and the
+  *order* use the same hash, the result is bit-identical to the exact path
+  whenever >= min(cap, n_key) rows survive per key (the top-cap smallest
+  hashes are below any threshold that admits >= cap rows); undershoot odds
+  decay like exp(-cap*(factor-1)^2/(2*factor)) per key and
+  ``capped_sample_audit`` makes the exactness machine-checkable.
+- ``deterministic_sample`` is a pure filter — ZERO shuffle, no count pass:
+  membership is ``md5_hex < threshold_hex`` with the threshold literal
+  precomputed from the fraction.  This is the only sampler shape that is
+  free at any scale, and it composes with partition pruning untouched.
+- ``skew_audit`` is one groupBy on the audited keys (map-side partials,
+  |keys| output rows) + one scalar summary joined back broadcast-style.
+
+Reference analog: none (the reference samples via SQL ``LIMIT`` probes,
+``cli.py:148-234``); the deterministic-membership design is what its
+row-sample scan (S4) needs to become at cluster scale.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "sample_order_col",
+    "fraction_threshold_hex",
+    "capped_sample",
+    "capped_sample_audit",
+    "stratified_sample",
+    "deterministic_sample",
+    "skew_audit",
+]
+
+
+def sample_order_col(id_col: Column, seed: int, portable: bool) -> Column:
+    """The deterministic pseudo-random sort key for one row.
+
+    fast: xxhash64 over (id, seed) — int64.
+    portable: md5 hex of ``coalesce(cast(id as string),'') || ':seed'`` —
+    the same lowercase-hex string DuckDB's ``md5()`` and Python's
+    ``hashlib.md5`` produce, so lexicographic order agrees everywhere.
+    """
+    if portable:
+        key = F.concat(F.coalesce(id_col.cast("string"), F.lit("")),
+                       F.lit(f":{seed}"))
+        return F.md5(key)
+    return F.xxhash64(id_col, F.lit(seed))
+
+
+def fraction_threshold_hex(fraction: float) -> str:
+    """32-char lowercase hex literal h such that P[md5_hex < h] ==
+    floor(fraction * 16^32) / 16^32 under a uniform md5.  String comparison
+    on lowercase hex is numeric comparison, identically in Spark, DuckDB,
+    and Python."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return format(int(fraction * (1 << 128)), "032x")
+
+
+def capped_sample(
+    df: DataFrame,
+    keys: Sequence[str],
+    cap: int,
+    id_col: str,
+    seed: int = 0,
+    portable: bool = False,
+    presample_factor: float | None = None,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per distinct ``keys`` value, chosen by
+    deterministic hash order; adds ``sample_rank`` (1-based within key).
+
+    ``presample_factor`` (e.g. 2.0) enables the pre-shuffle Bernoulli
+    filter described in the module docstring — same result, ~cap*factor
+    rows per key through the shuffle instead of all of them."""
+    if cap <= 0:
+        raise ValueError(f"cap must be positive, got {cap}")
+    order = sample_order_col(F.col(id_col), seed, portable)
+    src = df
+    if presample_factor is not None:
+        if presample_factor < 1.0:
+            raise ValueError("presample_factor must be >= 1")
+        if portable:
+            raise ValueError("presample is the fast-path optimization; "
+                             "portable mode keeps the exact formulation")
+        counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n_key"))
+        # uniform in [0,1) from the signed xxhash64
+        u = (order.cast("double") / F.lit(float(1 << 64))) + F.lit(0.5)
+        thresh = F.least(
+            F.lit(1.0), F.lit(presample_factor * cap) / F.col("__n_key"))
+        src = (
+            df.join(counts, list(keys), "inner")
+            .where(u < thresh)
+            .select(*df.columns)  # joins put key cols first; keep schema
+        )
+    w = Window.partitionBy(*keys).orderBy(order.asc(), F.col(id_col).asc())
+    return (
+        src.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= cap)
+    )
+
+
+def capped_sample_audit(
+    df: DataFrame,
+    sampled: DataFrame,
+    keys: Sequence[str],
+    cap: int,
+) -> DataFrame:
+    """Per-key exactness check for a (presampled) capped sample:
+    ``exact`` is true iff the key kept ``min(cap, n_rows)`` rows — the
+    machine-checkable guarantee that the presample shortcut lost nothing."""
+    n_all = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    n_got = sampled.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_sampled"))
+    return (
+        n_all.join(n_got, list(keys), "left")
+        .select(
+            *keys,
+            "n_rows",
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            (F.coalesce("n_sampled", F.lit(0))
+             == F.least(F.lit(cap), F.col("n_rows"))).alias("exact"),
+        )
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    keys: Sequence[str],
+    caps: Mapping[tuple, int] | int,
+    id_col: str,
+    seed: int = 0,
+    portable: bool = False,
+) -> DataFrame:
+    """Per-key caps from a mapping (key-tuple -> cap; keys absent from the
+    mapping are dropped), or a single int for uniform rebalancing.  Same
+    deterministic-order contract as ``capped_sample``."""
+    if isinstance(caps, int):
+        return capped_sample(df, keys, caps, id_col, seed, portable)
+    if not caps:
+        raise ValueError("caps mapping is empty")
+    spark = df.sparkSession
+    rows = [tuple(k) + (int(v),) for k, v in caps.items()]
+    cap_df = spark.createDataFrame(rows, list(keys) + ["__cap"])
+    order = sample_order_col(F.col(id_col), seed, portable)
+    w = Window.partitionBy(*keys).orderBy(order.asc(), F.col(id_col).asc())
+    return (
+        df.join(F.broadcast(cap_df), list(keys), "inner")
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= F.col("__cap"))
+        .drop("__cap")
+    )
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    id_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Shuffle-free Bernoulli(fraction) sample with portable membership:
+    keep row iff ``md5(id || ':seed') < fraction_threshold_hex(fraction)``.
+    Reproducible across engines, partitionings, and reruns; NULL ids hash
+    as the empty string (kept or dropped deterministically, never lost to
+    NULL-comparison semantics)."""
+    thresh = fraction_threshold_hex(fraction)
+    return df.where(
+        sample_order_col(F.col(id_col), seed, portable=True) < F.lit(thresh))
+
+
+def skew_audit(
+    df: DataFrame,
+    keys: Sequence[str],
+    top_n: int = 20,
+) -> DataFrame:
+    """Top-``top_n`` heaviest key values with their share of all rows and
+    ratio to the mean key weight — the relation that decides which join /
+    aggregation keys need salting (ratio_to_mean >> 1) before a big
+    shuffle.  One groupBy (map-side partials) + one 1-row summary cross
+    join; never moves base rows."""
+    per_key = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+    summary = per_key.agg(
+        F.sum("cnt").alias("__total"),
+        F.count(F.lit(1)).alias("__n_keys"),
+    )
+    w = Window.orderBy(F.col("cnt").desc(), *[F.col(k).asc() for k in keys])
+    return (
+        per_key.crossJoin(F.broadcast(summary))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .select(
+            *keys,
+            "cnt",
+            (F.col("cnt") / F.col("__total")).alias("share"),
+            (F.col("cnt") * F.col("__n_keys") / F.col("__total"))
+            .alias("ratio_to_mean"),
+            "rank",
+        )
+    )

@@ -1,0 +1,176 @@
+"""Deterministic sampling + skew audit.
+
+Correctness model: sample membership must be a pure function of
+(row id, seed) — never of partitioning or task order — so every test
+doubles as a reproducibility proof: re-running or repartitioning the input
+must select byte-identical rows.  The portable order is additionally
+checked against Python's hashlib.md5, the third engine after Spark and the
+DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_spark.operators.sampling import (
+    capped_sample,
+    capped_sample_audit,
+    deterministic_sample,
+    fraction_threshold_hex,
+    sample_order_col,
+    skew_audit,
+    stratified_sample,
+)
+
+
+def _docs(spark, n=500, n_langs=5, seed=11):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    langs = [f"l{i}" for i in range(n_langs)]
+    # zipf-ish skew: lang l0 dominates
+    p = np.array([1.0 / (i + 1) for i in range(n_langs)])
+    p /= p.sum()
+    pdf = pd.DataFrame({
+        "doc_id": range(n),
+        "lang": rng.choice(langs, size=n, p=p),
+        "val": rng.integers(0, 1000, size=n),
+    })
+    return spark.createDataFrame(pdf), pdf
+
+
+def _md5_twin(doc_id, seed):
+    return hashlib.md5(f"{doc_id}:{seed}".encode()).hexdigest()
+
+
+class TestPortableOrder:
+    def test_md5_order_matches_hashlib(self, spark):
+        df, pdf = _docs(spark, 50)
+        got = df.select(
+            "doc_id",
+            sample_order_col(F.col("doc_id"), 7, portable=True).alias("h"),
+        ).toPandas().set_index("doc_id")["h"]
+        for did in pdf["doc_id"]:
+            assert got[did] == _md5_twin(did, 7)
+
+    def test_threshold_hex(self):
+        assert fraction_threshold_hex(0.25) == "4" + "0" * 31
+        assert fraction_threshold_hex(0.0) == "0" * 32
+        assert len(fraction_threshold_hex(0.1)) == 32
+        with pytest.raises(ValueError):
+            fraction_threshold_hex(1.5)
+
+
+class TestCappedSample:
+    def test_per_key_counts(self, spark):
+        df, pdf = _docs(spark)
+        out = capped_sample(df, ["lang"], 30, "doc_id", seed=1).toPandas()
+        per_key_in = pdf.groupby("lang").size()
+        per_key_out = out.groupby("lang").size()
+        for lang, n_in in per_key_in.items():
+            assert per_key_out.get(lang, 0) == min(30, n_in)
+        assert (out["sample_rank"] >= 1).all()
+        assert (out["sample_rank"] <= 30).all()
+
+    def test_partitioning_invariance(self, spark):
+        df, _ = _docs(spark)
+        a = capped_sample(df, ["lang"], 20, "doc_id", seed=5)
+        b = capped_sample(df.repartition(17, "val"), ["lang"], 20,
+                          "doc_id", seed=5)
+        ids_a = sorted(r.doc_id for r in a.select("doc_id").collect())
+        ids_b = sorted(r.doc_id for r in b.select("doc_id").collect())
+        assert ids_a == ids_b
+
+    def test_seed_changes_membership(self, spark):
+        df, _ = _docs(spark)
+        a = {r.doc_id for r in
+             capped_sample(df, ["lang"], 20, "doc_id", seed=1)
+             .select("doc_id").collect()}
+        b = {r.doc_id for r in
+             capped_sample(df, ["lang"], 20, "doc_id", seed=2)
+             .select("doc_id").collect()}
+        assert a != b
+
+    def test_presample_bit_identical_to_exact(self, spark):
+        # cap 50, factor 2: per-key undershoot odds ~exp(-50/4) — the
+        # threshold and order share one hash, so survival of the cap-th
+        # smallest hash implies identical output
+        df, _ = _docs(spark, n=2000)
+        exact = capped_sample(df, ["lang"], 50, "doc_id", seed=3)
+        fast = capped_sample(df, ["lang"], 50, "doc_id", seed=3,
+                             presample_factor=2.0)
+        rows_e = sorted(map(tuple, exact.collect()))
+        rows_f = sorted(map(tuple, fast.collect()))
+        assert rows_e == rows_f
+
+    def test_audit_all_exact(self, spark):
+        df, _ = _docs(spark, n=2000)
+        out = capped_sample(df, ["lang"], 50, "doc_id", seed=3,
+                            presample_factor=2.0)
+        audit = capped_sample_audit(df, out, ["lang"], 50).toPandas()
+        assert audit["exact"].all()
+
+    def test_portable_matches_python_selection(self, spark):
+        df, pdf = _docs(spark, n=400)
+        out = capped_sample(df, ["lang"], 10, "doc_id", seed=7,
+                            portable=True).toPandas()
+        # independent pure-pandas twin
+        pdf = pdf.assign(h=[_md5_twin(d, 7) for d in pdf["doc_id"]])
+        want = (
+            pdf.sort_values(["h", "doc_id"])
+            .groupby("lang").head(10)
+        )
+        assert set(out["doc_id"]) == set(want["doc_id"])
+
+
+class TestStratified:
+    def test_mapping_caps(self, spark):
+        df, pdf = _docs(spark)
+        caps = {("l0",): 5, ("l1",): 10}
+        out = stratified_sample(df, ["lang"], caps, "doc_id").toPandas()
+        assert set(out["lang"]) <= {"l0", "l1"}
+        sizes = out.groupby("lang").size()
+        assert sizes["l0"] == min(5, (pdf["lang"] == "l0").sum())
+        assert sizes["l1"] == min(10, (pdf["lang"] == "l1").sum())
+
+    def test_empty_caps_raises(self, spark):
+        df, _ = _docs(spark, 50)
+        with pytest.raises(ValueError):
+            stratified_sample(df, ["lang"], {}, "doc_id")
+
+
+class TestDeterministicSample:
+    def test_membership_matches_md5_twin(self, spark):
+        df, pdf = _docs(spark, n=1000)
+        out = deterministic_sample(df, 0.25, "doc_id", seed=3)
+        got = {r.doc_id for r in out.select("doc_id").collect()}
+        thresh = fraction_threshold_hex(0.25)
+        want = {d for d in pdf["doc_id"] if _md5_twin(d, 3) < thresh}
+        assert got == want
+        # ~25% within binomial noise
+        assert abs(len(want) / 1000 - 0.25) < 0.06
+
+    def test_no_shuffle_in_plan(self, spark):
+        df, _ = _docs(spark, 100)
+        plan = deterministic_sample(df, 0.5, "doc_id")._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestSkewAudit:
+    def test_values_against_pandas(self, spark):
+        df, pdf = _docs(spark, n=1500)
+        out = skew_audit(df, ["lang"], top_n=3).toPandas()
+        counts = pdf.groupby("lang").size().sort_values(ascending=False)
+        total, n_keys = counts.sum(), len(counts)
+        assert list(out["lang"]) == list(counts.index[:3])
+        for _, row in out.iterrows():
+            c = counts[row["lang"]]
+            assert row["cnt"] == c
+            assert row["share"] == c / total
+            assert row["ratio_to_mean"] == (c * n_keys) / total
+        assert list(out["rank"]) == [1, 2, 3]
