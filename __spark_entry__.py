@@ -30,6 +30,7 @@ from data_quality_spark.operators.rules import Rule, compile_rules
 from data_quality_spark.operators import scans
 from data_quality_spark.operators import dedup as dd
 from data_quality_spark.operators import docs as dq_docs
+from data_quality_spark.operators import sampling as smp
 from data_quality_spark.operators import similarity as sim
 from data_quality_spark.oracles import expected_path
 from data_quality_spark.oracles import ensure_expected as _ensure_expected_impl
@@ -529,6 +530,35 @@ def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dq_docs.fingerprint_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_sample_balanced_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalanced corpus cut: <= 40 docs per lang, membership a
+    pure function of (doc_id, seed) via the portable md5 order — the same
+    rows DuckDB's ROW_NUMBER-over-md5 twin selects."""
+    docs = _t(spark, sf_dir, "documents")
+    out = smp.capped_sample(
+        docs, ["lang"], cap=40, id_col="doc_id", seed=7, portable=True)
+    return out.select("doc_id", "lang", "sample_rank").orderBy(
+        "lang", "sample_rank")
+
+
+def q_sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free deterministic 25% cut (md5-threshold membership);
+    zero-shuffle scan-side filter at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        smp.deterministic_sample(docs, 0.25, "doc_id", seed=3)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaviest event_type keys with share + ratio-to-mean — the relation
+    that decides which keys get salted before a big shuffle."""
+    return smp.skew_audit(_t(spark, sf_dir, "events"), ["event_type"],
+                          top_n=10)
+
+
 def q_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dq_docs.scrub_audit(_t(spark, sf_dir, "documents"), inject_every=50)
 
@@ -811,6 +841,27 @@ def q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+def q_audio_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loudness-normalization audit: per-clip gain, in/out RMS dBFS and
+    rail-clip count through the two-constraint (RMS target, peak ceiling)
+    normalizer.  The oracle derives the gain via the sqrt-RMS/20*log10
+    formulation vs the kernel's mean-square/10*log10, so the hash match
+    verifies the loudness math, not just plumbing."""
+    from data_quality_spark.operators.audio_gain import gain_stats
+
+    ensure_expected("audio_gain", sf_dir)
+    stats = gain_stats(_clips_df(spark, n=300))
+    return stats.select(
+        "clip_id",
+        "ok",
+        "gained",
+        F.round("gain", 5).alias("gain_r"),
+        F.round("rms_in_db", 5).alias("rms_in_db_r"),
+        F.round("rms_out_db", 5).alias("rms_out_db_r"),
+        "n_clipped",
+    ).orderBy("clip_id")
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_quality_spark.functions import multimodal as M
 
@@ -939,6 +990,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_buckets": q_quality_buckets,
         "langid_sql": q_langid_sql,
         "fingerprint_dedup": q_fingerprint_dedup,
+        "sample_balanced_lang": q_sample_balanced_lang,
+        "sample_fraction": q_sample_fraction,
+        "skew_audit": q_skew_audit,
         "scrub_audit": q_scrub_audit,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -957,6 +1011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_vad": q_audio_vad,
         "audio_segments": q_audio_segments,
         "audio_resample": q_audio_resample,
+        "audio_gain": q_audio_gain,
         "clips_gate": q_clips_gate,
         "clips_gate_rollup": q_clips_gate_rollup,
         "clips_gate_issues": q_clips_gate_issues,
@@ -1602,6 +1657,32 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
   CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dup_extra
 FROM documents GROUP BY source ORDER BY source""",
+        "sample_balanced_lang": """
+SELECT doc_id, lang, sample_rank FROM (
+  SELECT doc_id, lang,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY lang
+      ORDER BY md5(coalesce(CAST(doc_id AS VARCHAR), '') || ':7') ASC,
+               doc_id ASC) AS INTEGER) AS sample_rank
+  FROM documents) t
+WHERE sample_rank <= 40 ORDER BY lang, sample_rank""",
+        "sample_fraction": """
+SELECT doc_id, lang, source FROM documents
+WHERE md5(coalesce(CAST(doc_id AS VARCHAR), '') || ':3')
+      < '40000000000000000000000000000000'
+ORDER BY doc_id""",
+        "skew_audit": """
+WITH per_key AS (
+  SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type),
+s AS (SELECT sum(cnt) AS total, count(*) AS n_keys FROM per_key),
+r AS (
+  SELECT event_type, CAST(cnt AS BIGINT) AS cnt,
+    cnt / CAST(total AS DOUBLE) AS share,
+    (cnt * n_keys) / CAST(total AS DOUBLE) AS ratio_to_mean,
+    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, event_type ASC) AS INTEGER)
+      AS "rank"
+  FROM per_key, s)
+SELECT * FROM r WHERE "rank" <= 10 ORDER BY "rank\"""",
         "scrub_audit": f"""
 WITH t AS (
   SELECT lang,
@@ -1661,6 +1742,7 @@ FROM ranked WHERE rnk <= 3""",
         "audio_vad": _expected_sql("audio_vad"),
         "audio_segments": _expected_sql("audio_segments"),
         "audio_resample": _expected_sql("audio_resample"),
+        "audio_gain": _expected_sql("audio_gain"),
         "clips_gate": _expected_sql("clips_gate"),
         "clips_gate_rollup": _expected_sql("clips_gate_rollup"),
         "clips_gate_issues": _expected_sql("clips_gate_issues"),

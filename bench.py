@@ -432,6 +432,8 @@ def main() -> None:
         "trend_quality_score", "token_stats", "bpe_token_stats",
         "stopword_stats", "quality_buckets", "langid_sql",
         "fingerprint_dedup", "winnow_fingerprints", "scrub_audit",
+        "sample_balanced_lang", "sample_fraction", "skew_audit",
+        "audio_gain",
         "audio_fingerprint_dedup", "audio_excerpt_match",
         "audio_constellation_match", "audio_spectral", "audio_vad",
         "audio_segments", "audio_resample",
@@ -472,6 +474,14 @@ def main() -> None:
                     quiet[key] = json.load(fh)
         if quiet:
             scaling["quiet"] = quiet
+        # the compute-bound counter-measurement (resample job, ~15x the
+        # gate's arithmetic intensity; scripts/compute_scaling.py): if the
+        # engine scaled poorly it would too, if only the DRAM ceiling binds
+        # the gate it should scale near-linearly on the same axes
+        p = os.path.join(REPO, ".bench_cache", "scaling_compute.json")
+        if os.path.exists(p):
+            with open(p) as fh:
+                scaling["compute_bound"] = json.load(fh)
 
     # memory profile (reference's C13 reports peak memory per run,
     # BENCHMARKS.md:65-70): driver-python peak RSS via getrusage (KiB on

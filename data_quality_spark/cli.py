@@ -95,6 +95,29 @@ def build_parser() -> argparse.ArgumentParser:
 
     # ref cli_clean.py:124-130 schema
     sub.add_parser("schema", help="output JSON Schema for reports")
+
+    # deterministic corpus sampling (operators/sampling.py); the scale-out
+    # analog of the reference's LIMIT row probes (ref cli.py:148-234)
+    sa = sub.add_parser("sample", help="deterministic corpus sample")
+    sa.add_argument("--tables", required=True)
+    sa.add_argument("--table", required=True, help="table name to sample")
+    sa.add_argument("--id-col", required=True, help="stable row-id column")
+    sa.add_argument("--key", default=None,
+                    help="comma-separated key columns for per-key caps")
+    group = sa.add_mutually_exclusive_group(required=True)
+    group.add_argument("--cap", type=int, help="max rows per key (needs --key)")
+    group.add_argument("--fraction", type=float,
+                       help="shuffle-free Bernoulli fraction")
+    sa.add_argument("--seed", type=int, default=0)
+    sa.add_argument("--output", default=None,
+                    help="write sampled parquet here (default: print count)")
+
+    sk = sub.add_parser("skew", help="key-skew audit (salting advisor input)")
+    sk.add_argument("--tables", required=True)
+    sk.add_argument("--table", required=True)
+    sk.add_argument("--key", required=True, help="comma-separated key columns")
+    sk.add_argument("--top", type=int, default=20)
+    sk.add_argument("--format", choices=["text", "json"], default="text")
     return p
 
 
@@ -331,6 +354,55 @@ def main(argv: list[str] | None = None) -> int:
                         print(f"   Benefits: {', '.join(rec.benefits)}")
                     print(f"   Effort: {rec.effort_level}")
                     print(f"   SQL: {rec.sql_example}")
+            return 0
+        if args.cmd == "sample":
+            from .operators.sampling import capped_sample, deterministic_sample
+
+            df = spark.read.parquet(
+                os.path.join(args.tables, f"{args.table}.parquet")
+            )
+            if args.cap is not None:
+                if not args.key:
+                    print("--cap requires --key")
+                    return 2
+                keys = args.key.split(",")
+                out = capped_sample(
+                    df, keys, args.cap, args.id_col, seed=args.seed
+                )
+            else:
+                out = deterministic_sample(
+                    df, args.fraction, args.id_col, seed=args.seed
+                )
+            if args.output:
+                out.write.mode("overwrite").parquet(args.output)
+                print(f"wrote {args.output}")
+            else:
+                print(f"sampled {out.count()} of {df.count()} rows")
+            return 0
+        if args.cmd == "skew":
+            from .operators.sampling import skew_audit
+
+            df = spark.read.parquet(
+                os.path.join(args.tables, f"{args.table}.parquet")
+            )
+            rows = [
+                r.asDict()
+                for r in skew_audit(
+                    df, args.key.split(","), top_n=args.top
+                ).collect()
+            ]
+            if args.format == "json":
+                print(json.dumps(rows, indent=2))
+            else:
+                for r in rows:
+                    keyval = ",".join(
+                        str(r[k]) for k in args.key.split(",")
+                    )
+                    print(
+                        f"{r['rank']:3d}. {keyval}: {r['cnt']} rows "
+                        f"({100 * r['share']:.2f}%, "
+                        f"{r['ratio_to_mean']:.2f}x mean)"
+                    )
             return 0
         return 2
     finally:

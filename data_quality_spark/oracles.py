@@ -1039,6 +1039,68 @@ def _resample_definition(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
     return y_full[half: half + n_out * M: M][:n_out]
 
 
+def _audio_gain_expected(n=300, seed=42,
+                         target_rms_db=-20.0, peak_ceiling_db=-1.0) -> dict:
+    """Twin of ``audio_gain.gain_stats``: shared int16 decode, independent
+    gain derivation (sqrt-RMS / 20*log10 formulation vs the kernel's
+    mean-square / 10*log10) and independent quantize/clip accounting."""
+    from .functions.audio import _decode_i16
+    from .synth import generate_clips
+
+    pdf = generate_clips(n, seed=seed)
+    out: dict[str, list] = {k: [] for k in
+                            ("clip_id", "ok", "gained", "gain_r",
+                             "rms_in_db_r", "rms_out_db_r", "n_clipped")}
+    raw: list[float] = []
+    for _, r in pdf.sort_values("clip_id").iterrows():
+        out["clip_id"].append(r["clip_id"])
+        try:
+            q = _decode_i16(r["bytes"], r["codec"], r["sr_hz"])
+        except (ValueError, TypeError):
+            out["ok"].append(False)
+            out["gained"].append(False)
+            out["gain_r"].append(None)
+            out["rms_in_db_r"].append(None)
+            out["rms_out_db_r"].append(None)
+            out["n_clipped"].append(0)
+            continue
+        out["ok"].append(True)
+        x = q.astype(np.float64) / 32767.0
+        rms = float(np.sqrt(np.mean(np.square(x)))) if x.size else 0.0
+        if rms == 0.0:
+            out["gained"].append(False)
+            out["gain_r"].append(None)
+            out["rms_in_db_r"].append(None)
+            out["rms_out_db_r"].append(None)
+            out["n_clipped"].append(0)
+            continue
+        rms_in_db = 20.0 * math.log10(rms)
+        g = 10.0 ** ((target_rms_db - rms_in_db) / 20.0)
+        peak = float(np.max(np.abs(x)))
+        ceiling = 10.0 ** (peak_ceiling_db / 20.0)
+        if peak * g > ceiling:
+            g = ceiling / peak
+        y_raw = np.rint(q.astype(np.float64) * g)
+        n_clip = int(((y_raw < -32768) | (y_raw > 32767)).sum())
+        y = np.clip(y_raw, -32768, 32767)
+        rms_out = float(np.sqrt(np.mean(np.square(y / 32767.0))))
+        rms_out_db = 20.0 * math.log10(rms_out) if rms_out > 0 else None
+        for v in (g, rms_in_db, rms_out_db):
+            if v is not None:
+                raw.append(v)
+        out["gained"].append(True)
+        # 5dp, not 6: at 6dp three corpus values sit within 1e-9 of a
+        # half-step boundary (e.g. -12.0794654990725) and the guard below
+        # rejects the table; 5dp has full 1e-9 margin on every value.
+        out["gain_r"].append(spark_round(g, 5))
+        out["rms_in_db_r"].append(spark_round(rms_in_db, 5))
+        out["rms_out_db_r"].append(
+            None if rms_out_db is None else spark_round(rms_out_db, 5))
+        out["n_clipped"].append(n_clip)
+    _assert_off_rounding_boundary(raw, 5)
+    return out
+
+
 def _audio_resample_expected(n=300, seed=42, target_hz=16000) -> dict:
     """Twin of ``audio_resample.resample_stats``: shared decode + tap
     design, independent resample execution (definition vs polyphase) and
@@ -1153,6 +1215,12 @@ _SCHEMAS: dict[str, pa.Schema] = {
          ("n_out", pa.int32()), ("rms_in_r", pa.float64()),
          ("rms_out_r", pa.float64())]
     ),
+    "audio_gain": pa.schema(
+        [("clip_id", pa.string()), ("ok", pa.bool_()),
+         ("gained", pa.bool_()), ("gain_r", pa.float64()),
+         ("rms_in_db_r", pa.float64()), ("rms_out_db_r", pa.float64()),
+         ("n_clipped", pa.int32())]
+    ),
     "clips_gate": pa.schema(
         [("clip_id", pa.string()), ("decision", pa.string()),
          ("lang_pred", pa.string()), ("lang_conf_r", pa.float64()),
@@ -1252,6 +1320,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_segments_expected()
     elif name == "audio_resample":
         data = _audio_resample_expected()
+    elif name == "audio_gain":
+        data = _audio_gain_expected()
     elif name == "clips_gate":
         data = _clips_gate_expected()
     elif name == "clips_gate_rollup":

@@ -6,6 +6,7 @@ from __future__ import annotations
 import json
 
 import pytest
+from pyspark.sql import functions as F
 
 from data_quality_spark.plans.report import HealthReport, Report, exit_code_for
 
@@ -147,6 +148,58 @@ def test_cli_parity_subcommands(spark, tmp_path, capsys, monkeypatch):
     assert schema["properties"]["issues"]["items"]["required"] == [
         "table", "issue_type", "count", "severity"
     ]
+
+
+def test_cli_sample_and_skew(spark, tmp_path, capsys, monkeypatch):
+    """sample/skew subcommands: deterministic membership (same seed → same
+    rows across invocations) and the skew relation's text/json renderings."""
+    import data_quality_spark.cli as cli
+
+    monkeypatch.setattr("pyspark.sql.SparkSession.stop", lambda self: None)
+    tables = tmp_path / "tables"
+    tables.mkdir()
+    rows = [(i, "hot" if i % 10 else "cold") for i in range(200)]
+    spark.createDataFrame(rows, "row_id long, kind string").coalesce(
+        1
+    ).write.parquet(str(tables / "events.parquet"))
+
+    # fraction sample → deterministic count, repeatable
+    args = ["sample", "--tables", str(tables), "--table", "events",
+            "--id-col", "row_id", "--fraction", "0.25", "--seed", "3"]
+    assert cli.main(args) == 0
+    first = capsys.readouterr().out
+    assert cli.main(args) == 0
+    assert capsys.readouterr().out == first
+    n = int(first.split()[1])
+    assert 20 <= n <= 80  # ~50 expected of 200
+
+    # capped sample written to parquet: exactly cap rows for the big key
+    out_dir = tmp_path / "sampled"
+    assert cli.main(
+        ["sample", "--tables", str(tables), "--table", "events",
+         "--id-col", "row_id", "--key", "kind", "--cap", "5",
+         "--output", str(out_dir)]
+    ) == 0
+    capsys.readouterr()
+    got = spark.read.parquet(str(out_dir))
+    counts = {r["kind"]: r["n"] for r in
+              got.groupBy("kind").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"hot": 5, "cold": 5}
+
+    # skew audit: 'hot' is 90% of rows → rank 1, ratio ~1.8x over 2 keys
+    assert cli.main(
+        ["skew", "--tables", str(tables), "--table", "events",
+         "--key", "kind", "--format", "json"]
+    ) == 0
+    recs = json.loads(capsys.readouterr().out)
+    assert recs[0]["kind"] == "hot" and recs[0]["rank"] == 1
+    assert abs(recs[0]["share"] - 0.9) < 1e-9
+    assert cli.main(
+        ["skew", "--tables", str(tables), "--table", "events",
+         "--key", "kind"]
+    ) == 0
+    text = capsys.readouterr().out
+    assert "hot" in text and "x mean" in text
 
 
 def test_report_ci_formats():
