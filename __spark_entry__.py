@@ -594,6 +594,37 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster closure: minhash pairs -> large-star/small-star
+    connected components (operators/cluster.py).  The oracle closes the
+    same pair graph with an independent pure-Python union-find, so the
+    hash match verifies the iterative star algorithm itself."""
+    from data_quality_spark.operators.cluster import cluster_members
+
+    ensure_expected("dedup_clusters", sf_dir)
+    pairs = dd.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", verify_threshold=0.5
+    )
+    return (
+        cluster_members(pairs)
+        .select(F.col("node").alias("doc_id"), "component", "cluster_size")
+        .orderBy("component", "doc_id")
+    )
+
+
+def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-per-cluster decision: longest text survives, ties to the
+    smallest doc_id — deterministic under any partitioning."""
+    from data_quality_spark.operators.cluster import resolve_duplicates
+
+    ensure_expected("dedup_resolve", sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs, "doc_id", "text", verify_threshold=0.5)
+    return resolve_duplicates(docs, "doc_id", pairs).orderBy(
+        "component", "doc_id"
+    )
+
+
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_expected("simhash_near_dup", sf_dir)
     sigs = dd.simhash64(_t(spark, sf_dir, "documents"), "doc_id", "text")
@@ -998,6 +1029,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         # differential-oracle checked (expected/*.parquet twins)
         "minhash_lsh": q_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_resolve": q_dedup_resolve,
         "simhash_near_dup": q_simhash_near_dup,
         "winnow_fingerprints": q_winnow_fingerprints,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1728,6 +1761,8 @@ FROM ranked WHERE rnk <= 3""",
         # spec; Spark round/NaN semantics replicated; see module docstring),
         # materialized to expected/*.parquet at query-build time.
         "minhash_lsh": _expected_sql("minhash_lsh"),
+        "dedup_clusters": _expected_sql("dedup_clusters"),
+        "dedup_resolve": _expected_sql("dedup_resolve"),
         "simhash_near_dup": _expected_sql("simhash_near_dup"),
         "winnow_fingerprints": _expected_sql("winnow_fingerprints"),
         "embedding_near_dup_blocked": _expected_sql("embedding_near_dup_blocked"),

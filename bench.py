@@ -437,7 +437,7 @@ def main() -> None:
         "audio_fingerprint_dedup", "audio_excerpt_match",
         "audio_constellation_match", "audio_spectral", "audio_vad",
         "audio_segments", "audio_resample",
-        "minhash_lsh", "simhash_near_dup", "ann_cosine_topk", "ann_lsh_topk",
+        "minhash_lsh", "dedup_clusters", "simhash_near_dup", "ann_cosine_topk", "ann_lsh_topk",
         "ann_ivf_topk",
     ]
     qs = entrymod.queries()

@@ -1,0 +1,190 @@
+"""Duplicate-cluster resolution: connected components over near-dup pairs.
+
+The dedup ladder (``operators/dedup.py``, ``operators/audio_dedup.py``)
+emits verified near-duplicate PAIRS.  A corpus cut needs CLUSTERS: if A~B
+and B~C, exactly one of {A, B, C} survives even though (A, C) was never
+emitted as a pair.  That closure is connected components over the pair
+graph.
+
+Algorithm: alternating **large-star / small-star** (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14).  Unlike naive
+label propagation — whose round count is the graph DIAMETER, unbounded on
+chain-shaped duplicate runs (crawl mirrors A~B~C~...~Z) — the star
+operations contract every component onto its minimum node in
+O(log n) rounds regardless of shape:
+
+- large-star(u): connect every neighbor v > u to m = min(N(u) ∪ {u})
+- small-star(u): connect every neighbor v < u, and u itself, to
+  m = min(N<(u))
+
+Each round is two self-joins + a groupBy on node id — shuffles carry only
+(node, node) edges, never documents.  The edge relation shrinks toward one
+edge per non-root node, so rounds get CHEAPER as they converge; lineage is
+truncated with ``localCheckpoint`` so Catalyst never sees an
+iteration-deep plan.  Convergence is detected by a per-round
+(count, xxhash64-XOR) fingerprint of the canonicalized (distinct) edge
+set — one action per round over the edge relation only.
+
+At 10^12 documents the pair graph is orders smaller than the corpus (only
+near-dup members appear), and this formulation is exactly the published
+MapReduce one — no driver-side union-find, no collect.
+
+Reference analog: none (the reference counts exact duplicate groups,
+``quality_scanner.py:554-569``); this is the closure its duplicate family
+needs at corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "connected_components",
+    "cluster_members",
+    "resolve_duplicates",
+]
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    """Canonical undirected edge set: (a, b) with a < b, distinct, no
+    self-loops."""
+    a, b = F.col("a"), F.col("b")
+    return (
+        edges.where(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+    )
+
+
+def _sym(edges: DataFrame) -> DataFrame:
+    """Both directions: each undirected edge as (u, v) and (v, u)."""
+    return edges.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    nbr = _sym(edges)
+    mins = nbr.groupBy("u").agg(F.min("v").alias("__mn"))
+    m = F.least(F.col("u"), F.col("__mn"))
+    return _canon(
+        nbr.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("a"), m.alias("b"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    nbr = _sym(edges).where(F.col("v") < F.col("u"))
+    mins = nbr.groupBy("u").agg(F.min("v").alias("__mn"))
+    linked = nbr.join(mins, "u").select(
+        F.col("v").alias("a"), F.col("__mn").alias("b")
+    )
+    self_link = mins.select(F.col("u").alias("a"), F.col("__mn").alias("b"))
+    return _canon(linked.union(self_link))
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``pairs``; the
+    component label is the minimum node id in the component.
+
+    ``max_rounds`` is a safety rail, not a tuning knob: large-star /
+    small-star needs O(log n) rounds, so 25 covers far beyond 10^12 nodes.
+    Raises if the fixed point is somehow not reached (never silently
+    returns a partial clustering).
+    """
+    edges = _canon(pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")))
+    edges = edges.localCheckpoint(eager=True)
+
+    def fingerprint(e: DataFrame) -> tuple[int, int]:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.bit_xor(F.xxhash64(F.col("a"), F.col("b"))), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    prev = fingerprint(edges)
+    for _ in range(max_rounds):
+        # checkpoint EVERY round: each star references its input 2-3
+        # times, so an unmaterialized k-round tree re-executes O(6^k)
+        # scans under the convergence action — materializing first makes
+        # the fingerprint a flat scan of the new edge set
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        cur = fingerprint(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+
+    # fixed point is a star forest in canonical (a < b) form: a is the
+    # root (= min of component), b the child; roots label themselves
+    return (
+        edges.select(F.col("b").alias("node"), F.col("a").alias("__c"))
+        .union(
+            edges.select(F.col("a").alias("node"), F.col("a").alias("__c"))
+        )
+        .groupBy("node")
+        .agg(F.min("__c").alias("component"))
+    )
+
+
+def cluster_members(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """(node, component, cluster_size) — per-member cluster assignment.
+    The size join is component-keyed: the heavy side never re-shuffles on
+    anything wider than the component label."""
+    comp = connected_components(pairs, src, dst)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return comp.join(sizes, "component").select(
+        "node", "component", "cluster_size"
+    )
+
+
+def resolve_duplicates(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    prefer: Column | None = None,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Keep-one-per-cluster decision relation: (id, component,
+    cluster_size, keep).
+
+    ``prefer`` ranks survivors (higher wins; default: longest ``text``),
+    ties broken by smallest id so the choice is deterministic under any
+    partitioning.  Rows of ``df`` that are in no cluster are absent —
+    callers keep them unconditionally (anti-join on this relation's
+    ``keep = false`` slice is the drop list)."""
+    if prefer is None:
+        prefer = F.length(F.coalesce(F.col("text"), F.lit("")))
+    members = cluster_members(pairs, src, dst)
+    ranked = (
+        df.select(F.col(id_col).alias("node"), prefer.alias("__pref"))
+        .join(members, "node")
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("__pref").desc(), F.col("node").asc()
+    )
+    return ranked.select(
+        F.col("node").alias(id_col),
+        "component",
+        "cluster_size",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )

@@ -130,9 +130,11 @@ def _read_embeddings(sf_dir: str) -> list[tuple[int, list[float]]]:
 # ------------------------------------------------------------------ minhash
 
 
-def _minhash_lsh_agg(docs, num_hashes=64, bands=16, shingle_k=3,
-                     verify_threshold=0.5, max_bucket_size=64) -> dict:
-    """Twin of ``dedup.minhash_lsh_pairs`` + the (n_pairs, min, max) agg."""
+def _minhash_verified_pairs(docs, num_hashes=64, bands=16, shingle_k=3,
+                            verify_threshold=0.5, max_bucket_size=64,
+                            ) -> list[tuple[int, int, float]]:
+    """Twin of ``dedup.minhash_lsh_pairs``: verified (id_a, id_b, jaccard)
+    with id_a < id_b, sorted."""
     rows_per_band = num_hashes // bands
     tokset: dict[int, set] = {}
     sigs: dict[int, list[int]] = {}
@@ -160,13 +162,19 @@ def _minhash_lsh_agg(docs, num_hashes=64, bands=16, shingle_k=3,
             for i in range(len(ms)):
                 for j in range(i + 1, len(ms)):
                     cand.add((ms[i], ms[j]))
-    jacs = []
-    for a, b in cand:
+    pairs = []
+    for a, b in sorted(cand):
         ta, tb = tokset[a], tokset[b]
         union = len(ta | tb)
         jac = (len(ta & tb) / union) if union > 0 else 0.0
         if jac >= verify_threshold:
-            jacs.append(jac)
+            pairs.append((a, b, jac))
+    return pairs
+
+
+def _minhash_lsh_agg(docs, **kw) -> dict:
+    """``minhash_lsh_pairs`` + the (n_pairs, min, max) agg."""
+    jacs = [j for _, _, j in _minhash_verified_pairs(docs, **kw)]
     if not jacs:
         return {"n_pairs": [0], "min_jaccard": [None], "max_jaccard": [None]}
     return {
@@ -174,6 +182,65 @@ def _minhash_lsh_agg(docs, num_hashes=64, bands=16, shingle_k=3,
         "min_jaccard": [spark_round(min(jacs), 6)],
         "max_jaccard": [spark_round(max(jacs), 6)],
     }
+
+
+# ------------------------------------------------------- duplicate clusters
+
+
+def _uf_min_components(pairs) -> dict[int, int]:
+    """Union-find closure of the pair graph; node -> min id in component."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _dedup_clusters_expected(docs) -> dict:
+    """Twin of the ``dedup_clusters`` query: large-star/small-star closure
+    of the minhash pair graph, via an independent union-find."""
+    pairs = [(a, b) for a, b, _ in _minhash_verified_pairs(docs)]
+    comp = _uf_min_components(pairs)
+    sizes: dict[int, int] = {}
+    for c in comp.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    out = {"doc_id": [], "component": [], "cluster_size": []}
+    for n in sorted(comp, key=lambda n: (comp[n], n)):
+        out["doc_id"].append(n)
+        out["component"].append(comp[n])
+        out["cluster_size"].append(sizes[comp[n]])
+    return out
+
+
+def _dedup_resolve_expected(docs) -> dict:
+    """Twin of ``dedup_resolve``: longest-text survivor per cluster,
+    ties to the smallest doc_id."""
+    pairs = [(a, b) for a, b, _ in _minhash_verified_pairs(docs)]
+    comp = _uf_min_components(pairs)
+    text_len = {d: len(t) if t is not None else 0 for d, t in docs}
+    by_comp: dict[int, list[int]] = {}
+    for n, c in comp.items():
+        by_comp.setdefault(c, []).append(n)
+    out = {"doc_id": [], "component": [], "cluster_size": [], "keep": []}
+    for c in sorted(by_comp):
+        members = by_comp[c]
+        winner = min(members, key=lambda n: (-text_len[n], n))
+        for n in sorted(members):
+            out["doc_id"].append(n)
+            out["component"].append(c)
+            out["cluster_size"].append(len(members))
+            out["keep"].append(n == winner)
+    return out
 
 
 # ------------------------------------------------------------------ winnowing
@@ -1153,6 +1220,14 @@ _SCHEMAS: dict[str, pa.Schema] = {
     "simhash_near_dup": pa.schema(
         [("hamming", pa.int32()), ("n_pairs", pa.int64())]
     ),
+    "dedup_clusters": pa.schema(
+        [("doc_id", pa.int64()), ("component", pa.int64()),
+         ("cluster_size", pa.int64())]
+    ),
+    "dedup_resolve": pa.schema(
+        [("doc_id", pa.int64()), ("component", pa.int64()),
+         ("cluster_size", pa.int64()), ("keep", pa.bool_())]
+    ),
     "winnow_fingerprints": pa.schema(
         [("n_docs", pa.int64()), ("total_fps", pa.int64()),
          ("distinct_fps", pa.int64())]
@@ -1253,7 +1328,7 @@ def _src_key(name: str, sf_dir: str | None) -> dict | None:
     if name in (
         "minhash_lsh", "simhash_near_dup", "ann_lsh_topk",
         "winnow_fingerprints", "embedding_near_dup_blocked", "ann_ivf_topk",
-        "ann_recall",
+        "ann_recall", "dedup_clusters", "dedup_resolve",
     ):
         table = (
             "embeddings"
@@ -1292,6 +1367,10 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
             pass
     if name == "minhash_lsh":
         data = _minhash_lsh_agg(_read_documents(sf_dir))
+    elif name == "dedup_clusters":
+        data = _dedup_clusters_expected(_read_documents(sf_dir))
+    elif name == "dedup_resolve":
+        data = _dedup_resolve_expected(_read_documents(sf_dir))
     elif name == "winnow_fingerprints":
         data = _winnow_stats(_read_documents(sf_dir))
     elif name == "simhash_near_dup":

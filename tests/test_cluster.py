@@ -1,0 +1,129 @@
+"""Connected components + duplicate resolution.
+
+Correctness model: the star algorithm's fixed point must equal the closure
+an independent union-find computes, on adversarial shapes — long chains
+(where naive label propagation needs diameter rounds), stars, cliques, and
+random graphs — and the result must be invariant to input partitioning and
+edge orientation.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_spark.operators.cluster import (
+    cluster_members,
+    connected_components,
+    resolve_duplicates,
+)
+
+
+def _uf(pairs):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _got(spark, pairs, **kw):
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    out = connected_components(df, **kw)
+    return {r["node"]: r["component"] for r in out.collect()}
+
+
+class TestConnectedComponents:
+    def test_long_chain(self, spark):
+        # diameter 59: label propagation would need ~59 rounds; the star
+        # algorithm must close it within the O(log n) budget
+        pairs = [(i, i + 1) for i in range(59)]
+        got = _got(spark, pairs)
+        assert got == {i: 0 for i in range(60)}
+
+    def test_two_cliques_and_a_bridgeless_star(self, spark):
+        pairs = (
+            [(a, b) for a in range(5) for b in range(a + 1, 5)]
+            + [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+            + [(100, x) for x in (101, 102, 103)]
+        )
+        got = _got(spark, pairs)
+        want = _uf(pairs)
+        assert got == want
+        assert set(got.values()) == {0, 10, 100}
+
+    def test_random_graph_vs_union_find(self, spark):
+        rng = random.Random(7)
+        nodes = list(range(0, 400, 3))  # non-contiguous ids
+        pairs = [
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(180)
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        assert _got(spark, pairs) == _uf(pairs)
+
+    def test_orientation_and_partitioning_invariance(self, spark):
+        pairs = [(i, i + 1) for i in range(30)] + [(50, 31), (31, 30)]
+        flipped = [(b, a) for a, b in pairs]
+        df = spark.createDataFrame(flipped, "id_a long, id_b long")
+        a = {r["node"]: r["component"]
+             for r in connected_components(df).collect()}
+        b = {r["node"]: r["component"]
+             for r in connected_components(df.repartition(13)).collect()}
+        assert a == b == _uf(pairs)
+
+    def test_nonconvergence_raises(self, spark):
+        df = spark.createDataFrame(
+            [(i, i + 1) for i in range(59)], "id_a long, id_b long"
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(df, max_rounds=1)
+
+
+class TestClusterMembers:
+    def test_sizes(self, spark):
+        pairs = [(1, 2), (2, 3), (10, 11)]
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        got = {
+            r["node"]: (r["component"], r["cluster_size"])
+            for r in cluster_members(df).collect()
+        }
+        assert got == {1: (1, 3), 2: (1, 3), 3: (1, 3),
+                       10: (10, 2), 11: (10, 2)}
+
+
+class TestResolve:
+    def test_longest_text_wins_ties_to_min_id(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "aa"), (2, "aaaa"), (3, "aaaa"), (10, "z"), (11, "zz"),
+             (99, "untouched")],
+            "doc_id long, text string",
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+        )
+        out = resolve_duplicates(docs, "doc_id", pairs).collect()
+        keep = {r["doc_id"]: r["keep"] for r in out}
+        # 2 and 3 tie on length 4 -> min id 2 wins; 11 beats 10 on length
+        assert keep == {1: False, 2: True, 3: False, 10: False, 11: True}
+        # unclustered docs are absent (kept unconditionally by the caller)
+        assert 99 not in keep
+
+    def test_custom_preference(self, spark):
+        docs = spark.createDataFrame(
+            [(1, 5.0), (2, 9.0), (3, 1.0)], "doc_id long, score double"
+        )
+        pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+        out = resolve_duplicates(
+            docs, "doc_id", pairs, prefer=F.col("score")
+        ).collect()
+        assert {r["doc_id"]: r["keep"] for r in out} == {
+            1: False, 2: True, 3: False}
