@@ -526,6 +526,32 @@ def q_langid_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dq_docs.langid_sql(_t(spark, sf_dir, "documents"))
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rules (Rae et al. 2021 A1.1) with word-count
+    bounds scaled to the sandbox corpus; other thresholds canonical."""
+    from data_quality_spark.operators import quality_filters as qf
+
+    return qf.gopher_quality(
+        _t(spark, sf_dir, "documents"), min_words=15, max_words=90
+    )
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_quality_spark.operators import quality_filters as qf
+
+    return qf.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination treating source 'src0' as the eval set:
+    per-source count of docs sharing a word 4-gram with it."""
+    from data_quality_spark.operators import quality_filters as qf
+
+    return qf.decontamination_report(
+        _t(spark, sf_dir, "documents"), "src0", n=4
+    )
+
+
 def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dq_docs.fingerprint_stats(_t(spark, sf_dir, "documents"))
 
@@ -1020,6 +1046,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stopword_stats": q_stopword_stats,
         "quality_buckets": q_quality_buckets,
         "langid_sql": q_langid_sql,
+        "gopher_quality": q_gopher_quality,
+        "repetition_stats": q_repetition_stats,
+        "decontamination": q_decontamination,
         "fingerprint_dedup": q_fingerprint_dedup,
         "sample_balanced_lang": q_sample_balanced_lang,
         "sample_fraction": q_sample_fraction,
@@ -1138,6 +1167,124 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(ns) AS BIGINT) AS stopword_tokens,
   CAST(sum(CASE WHEN nt >= 5 AND ns = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_stopword_free
 FROM t GROUP BY lang ORDER BY lang"""
+
+
+def _gopher_quality_oracle() -> str:
+    """DuckDB twin of q_gopher_quality: same exact-integer signals and
+    cross-multiplied thresholds (min_words=15, max_words=90)."""
+    from data_quality_spark.operators.docs import _ALL_STOPWORDS
+
+    stops = ", ".join(f"'{m}'" for m in _ALL_STOPWORDS)
+    return rf"""
+WITH t AS (
+  SELECT lang,
+    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nt,
+    length(regexp_replace(coalesce(text, ''), '\s', '', 'g')) AS nns,
+    len(regexp_extract_all(coalesce(text, ''), '[^\s]*[A-Za-z][^\s]*')) AS alpha,
+    len(regexp_extract_all(coalesce(text, ''), '#|\.\.\.')) AS sym,
+    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+         ELSE len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                              x -> list_contains([{stops}], x))) END AS ns
+  FROM documents
+), f AS (
+  SELECT lang,
+    (nt < 15 OR nt > 90) AS f_wc,
+    (nns < 3 * nt OR nns > 10 * nt) AS f_mwl,
+    (10 * sym > 1 * nt) AS f_sym,
+    (5 * alpha < 4 * nt) AS f_alpha,
+    (ns < 2) AS f_stop
+  FROM t
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN f_wc THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_count,
+  CAST(sum(CASE WHEN f_mwl THEN 1 ELSE 0 END) AS BIGINT) AS fail_mean_word_len,
+  CAST(sum(CASE WHEN f_sym THEN 1 ELSE 0 END) AS BIGINT) AS fail_symbol_ratio,
+  CAST(sum(CASE WHEN f_alpha THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha_frac,
+  CAST(sum(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopword,
+  CAST(sum(CASE WHEN NOT (f_wc OR f_mwl OR f_sym OR f_alpha OR f_stop)
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+FROM f GROUP BY lang ORDER BY lang"""
+
+
+# shared CTE prefix: per-doc word stream with ordinal position, lowercased
+_WORDS_CTE = r"""
+words AS (
+  SELECT doc_id, u.unnest AS w, u.ord FROM (
+    SELECT doc_id,
+      unnest(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+')) AS unnest,
+      generate_subscripts(
+        regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), 1) AS ord
+    FROM documents
+    WHERE text IS NOT NULL AND length(trim(text)) > 0
+  ) u
+)"""
+
+
+def _repetition_stats_oracle() -> str:
+    """DuckDB twin of q_repetition_stats: bigrams via lead() over the word
+    stream; dup-token mass via list_distinct; identical integer laws."""
+    return rf"""
+WITH {_WORDS_CTE},
+g AS (
+  SELECT doc_id, w, lead(w, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS l1
+  FROM words
+), cnts AS (
+  SELECT doc_id, w || ' ' || l1 AS gram, count(*) AS c
+  FROM g WHERE l1 IS NOT NULL GROUP BY doc_id, gram HAVING count(*) > 1
+), top AS (
+  SELECT doc_id, max(c * length(gram)) AS tc FROM cnts GROUP BY doc_id
+), base AS (
+  SELECT doc_id, lang,
+    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nt,
+    length(coalesce(text, '')) AS nc,
+    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+'))
+              - len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')))
+    END AS dup
+  FROM documents
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(nt) AS BIGINT) AS total_tokens,
+  CAST(sum(dup) AS BIGINT) AS total_dup_extra,
+  CAST(sum(CASE WHEN 10 * dup > 3 * nt THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_fail_dup_tokens,
+  CAST(sum(CASE WHEN 5 * coalesce(tc, 0) > nc THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_fail_top_gram
+FROM base LEFT JOIN top USING (doc_id)
+GROUP BY lang ORDER BY lang"""
+
+
+def _decontamination_oracle() -> str:
+    """DuckDB twin of q_decontamination: word 4-grams via lead(), src0 as
+    the benchmark slice, distinct-gram hit counts per doc."""
+    return rf"""
+WITH {_WORDS_CTE},
+g AS (
+  SELECT doc_id, w,
+    lead(w, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS l1,
+    lead(w, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS l2,
+    lead(w, 3) OVER (PARTITION BY doc_id ORDER BY ord) AS l3
+  FROM words
+), grams AS (
+  SELECT DISTINCT doc_id, w || ' ' || l1 || ' ' || l2 || ' ' || l3 AS gram
+  FROM g WHERE l3 IS NOT NULL
+), bench AS (
+  SELECT DISTINCT gram FROM grams JOIN documents USING (doc_id)
+  WHERE source = 'src0'
+), hits AS (
+  SELECT grams.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM grams JOIN documents d USING (doc_id) JOIN bench USING (gram)
+  WHERE d.source <> 'src0' GROUP BY grams.doc_id
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN n_hits IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_contaminated,
+  CAST(sum(coalesce(n_hits, 0)) AS BIGINT) AS total_shared_grams
+FROM (SELECT doc_id, source FROM documents WHERE source <> 'src0') r
+LEFT JOIN hits USING (doc_id)
+GROUP BY source ORDER BY source"""
 
 
 def _issue_patterns_oracle() -> str:
@@ -1685,6 +1832,9 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
     AS subwords_per_token
 FROM t GROUP BY lang ORDER BY lang""",
         "stopword_stats": _stopword_stats_oracle(),
+        "gopher_quality": _gopher_quality_oracle(),
+        "repetition_stats": _repetition_stats_oracle(),
+        "decontamination": _decontamination_oracle(),
         "fingerprint_dedup": """
 SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,

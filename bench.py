@@ -439,6 +439,7 @@ def main() -> None:
         "audio_segments", "audio_resample",
         "minhash_lsh", "dedup_clusters", "simhash_near_dup", "ann_cosine_topk", "ann_lsh_topk",
         "ann_ivf_topk",
+        "gopher_quality", "repetition_stats", "decontamination",
     ]
     qs = entrymod.queries()
     for name in bench_queries:

@@ -1,0 +1,314 @@
+"""Web-scale document quality filters: Gopher-style rules, repetition
+filters, and benchmark decontamination.
+
+These are the standard pre-training corpus gates (Rae et al. 2021 "Scaling
+Language Models" appendix A1.1; Raffel et al. 2020 C4; Brown et al. 2020
+appendix C decontamination), re-expressed as one-pass Catalyst relations in
+the same dialect discipline as ``operators/docs.py``: every per-doc signal
+is an exact integer, every threshold a cross-multiplied integer comparison
+(never a per-row float division), so each operator has a bit-stable DuckDB
+twin for the differential gate.
+
+Reference analogs: threshold bucketing / garbage deny-lists
+(``/root/reference/src/data_quality/advanced_analysis.py:331-339``,
+``checkpoints.py:407-581``) — same shape (per-row predicate → conditional
+count → gate), widened to the published corpus-filter rule sets.
+
+Scale notes
+-----------
+- ``gopher_flags`` is pure map-side column arithmetic: one scan, zero
+  shuffles before the per-lang aggregate (map-side partials on a
+  5-ish-cardinality key).
+- ``repetition_stats`` explodes tokens once; the only shuffles carry
+  (doc_id, gram) pairs and per-doc partial rows — never documents.  The
+  per-lang rollup keys the SAME doc_id partitioning Catalyst already has,
+  so AQE coalesces rather than re-exchanges.
+- ``decontaminate`` broadcasts the benchmark n-gram set (eval suites are
+  KBs-to-MBs against a 100 TB corpus); the corpus side is one explode +
+  one broadcast-hash semi-join + one doc-keyed count — no corpus shuffle
+  on anything wider than doc_id.  Grams join on their string value (exact,
+  collision-free); at petabyte scale pass ``hash_grams=True`` to join on
+  ``xxhash64(gram)`` and shrink shuffle/broadcast width to 8 bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .docs import _ALL_STOPWORDS, token_count_col
+
+__all__ = [
+    "gopher_flags",
+    "gopher_quality",
+    "word_ngrams",
+    "repetition_stats",
+    "decontaminate",
+    "decontamination_report",
+]
+
+# Gopher A1.1 defaults (word-soup sandbox corpora pass scaled-down bounds
+# via parameters; the semantics stay the published ones).
+MIN_WORDS = 50
+MAX_WORDS = 100_000
+MIN_MEAN_WORD_LEN = 3  # mean word length in [3, 10]
+MAX_MEAN_WORD_LEN = 10
+# symbol-to-word ratio ≤ 0.1 for '#' / '...'; fraction of words with an
+# alphabetic character ≥ 0.8; ≥ 2 stop words present
+SYMBOL_RATIO_NUM, SYMBOL_RATIO_DEN = 1, 10
+ALPHA_FRAC_NUM, ALPHA_FRAC_DEN = 4, 5
+MIN_STOP_HITS = 2
+
+# A token counts as "alphabetic" if it contains ≥1 ASCII letter.  The
+# scanning regex consumes whole tokens (greedy \S* on both sides, matches
+# cannot cross whitespace), so regexp_count == number of such tokens —
+# identical in java.util.regex (Spark) and RE2 (DuckDB), no lookarounds.
+_ALPHA_WORD_REGEX = r"[^\s]*[A-Za-z][^\s]*"
+_SYMBOL_REGEX = r"#|\.\.\."
+
+
+def gopher_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = MIN_WORDS,
+    max_words: int = MAX_WORDS,
+) -> DataFrame:
+    """Per-doc Gopher rule outcomes: the input relation plus one boolean
+    ``fail_*`` column per rule and a ``gopher_pass`` conjunction.
+
+    All signals are exact integers; thresholds are integer
+    cross-multiplications, so the flags are bit-identical in any engine.
+    One scan, zero shuffles.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    nt = token_count_col(F.col(text_col))
+    # total non-whitespace chars (numerator of mean word length)
+    nns = F.length(F.regexp_replace(text, r"\s", ""))
+    alpha = F.regexp_count(text, F.lit(_ALPHA_WORD_REGEX))
+    sym = F.regexp_count(text, F.lit(_SYMBOL_REGEX))
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    stop_arr = F.array(*[F.lit(m) for m in _ALL_STOPWORDS])
+    n_stop = F.when(nt == 0, F.lit(0)).otherwise(
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    )
+    fails = {
+        # word count outside [min_words, max_words]
+        "fail_word_count": (nt < min_words) | (nt > max_words),
+        # mean word length outside [3, 10]  ⇔  nns outside [3·nt, 10·nt]
+        "fail_mean_word_len": (nns < F.lit(MIN_MEAN_WORD_LEN) * nt)
+        | (nns > F.lit(MAX_MEAN_WORD_LEN) * nt),
+        # '#'/'...' per word > 1/10
+        "fail_symbol_ratio": F.lit(SYMBOL_RATIO_DEN) * sym
+        > F.lit(SYMBOL_RATIO_NUM) * nt,
+        # words containing a letter < 4/5 of words
+        "fail_alpha_frac": F.lit(ALPHA_FRAC_DEN) * alpha
+        < F.lit(ALPHA_FRAC_NUM) * nt,
+        "fail_stopword": n_stop < MIN_STOP_HITS,
+    }
+    out = docs
+    for name, cond in fails.items():
+        out = out.withColumn(name, cond)
+    gopher_pass = ~fails["fail_word_count"]
+    for name in list(fails)[1:]:
+        gopher_pass = gopher_pass & ~F.col(name)
+    return out.withColumn("gopher_pass", gopher_pass)
+
+
+def gopher_quality(
+    docs: DataFrame,
+    min_words: int = MIN_WORDS,
+    max_words: int = MAX_WORDS,
+) -> DataFrame:
+    """Per-language Gopher rule tally: n_docs, one failure count per rule,
+    and the count of docs passing every rule.  Map-side partial aggregate
+    into a low-cardinality exchange — the only shuffle."""
+    flagged = gopher_flags(docs, min_words=min_words, max_words=max_words)
+    cnt = lambda c: F.sum(F.col(c).cast("int")).cast("long").alias(c)  # noqa: E731
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            cnt("fail_word_count"),
+            cnt("fail_mean_word_len"),
+            cnt("fail_symbol_ratio"),
+            cnt("fail_alpha_frac"),
+            cnt("fail_stopword"),
+            F.sum(F.col("gopher_pass").cast("int")).cast("long").alias("n_pass"),
+        )
+        .orderBy("lang")
+    )
+
+
+def word_ngrams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    carry: list[str] | None = None,
+) -> DataFrame:
+    """(id, gram [, carry...]) — every word ``n``-gram per row, lowercased,
+    space-joined, NOT deduplicated.  Docs with < n tokens emit nothing.
+
+    One posexplode (map-side) + one window over doc_id: tokens shuffle
+    exactly once, on the id — the partitioning every downstream per-doc
+    aggregate reuses.  ``carry`` columns ride along to avoid a join back
+    against the (heavy) source relation.
+    """
+    carry = carry or []
+    toks = F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+    base = (
+        df.where(token_count_col(F.col(text_col)) >= n)
+        .select(F.col(id_col).alias("__id"), *carry, F.posexplode(toks))
+        .withColumnsRenamed({"pos": "__pos", "col": "__w"})
+    )
+    w = Window.partitionBy("__id").orderBy("__pos")
+    parts = [F.col("__w")] + [
+        F.lead("__w", k).over(w).alias(f"__l{k}") for k in range(1, n)
+    ]
+    grammed = base.select("__id", *carry, *parts)
+    gram = F.concat_ws(
+        " ", F.col("__w"), *[F.col(f"__l{k}") for k in range(1, n)]
+    )
+    return (
+        grammed.where(F.col(f"__l{n - 1}").isNotNull())
+        .select(F.col("__id").alias(id_col), gram.alias("gram"), *carry)
+    )
+
+
+def repetition_stats(docs: DataFrame, top_gram_n: int = 2) -> DataFrame:
+    """Per-language repetition-filter tally (Gopher A1.1 repetition family,
+    integer-exact formulation):
+
+    - ``total_tokens`` / ``total_dup_extra``: corpus-level duplicated-token
+      mass (dup_extra = n_tokens − n_distinct_tokens per doc); the ratio is
+      one exact division for the reader.
+    - ``n_fail_dup_tokens``: docs whose duplicated-token fraction exceeds
+      3/10  ⇔  10·dup_extra > 3·n_tokens.
+    - ``n_fail_top_gram``: docs where characters covered by the single most
+      character-covering repeated ``top_gram_n``-gram (occurrences × gram
+      length, the deterministic max over grams of count·len) exceed 1/5 of
+      the doc's characters  ⇔  5·top_chars > n_chars.
+
+    Shuffle budget: tokens exchange once on doc_id (the window), gram
+    counts aggregate on (doc_id, gram) then doc_id — both partial-agg
+    before exchanging; documents themselves never move.
+    """
+    nt = token_count_col(F.col("text"))
+    toks = F.split(F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+")
+    base = docs.select(
+        F.col("doc_id").alias("__id"),
+        "lang",
+        nt.alias("__nt"),
+        F.length(F.coalesce(F.col("text"), F.lit(""))).alias("__nc"),
+        F.when(nt == 0, F.lit(0))
+        .otherwise(nt - F.size(F.array_distinct(toks)))
+        .alias("__dup"),
+    )
+    top = (
+        word_ngrams(docs, "doc_id", "text", top_gram_n)
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .where(F.col("__cnt") > 1)  # a gram seen once is not repetition
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.col("__cnt") * F.length("gram")).alias("__top_chars")
+        )
+    )
+    joined = base.join(
+        top, base["__id"] == top["doc_id"], "left"
+    ).select(
+        "lang",
+        "__nt",
+        "__nc",
+        "__dup",
+        F.coalesce(F.col("__top_chars"), F.lit(0)).alias("__tc"),
+    )
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__nt").cast("long").alias("total_tokens"),
+            F.sum("__dup").cast("long").alias("total_dup_extra"),
+            F.sum(
+                F.when(F.lit(10) * F.col("__dup") > F.lit(3) * F.col("__nt"), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_fail_dup_tokens"),
+            F.sum(
+                F.when(F.lit(5) * F.col("__tc") > F.col("__nc"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_fail_top_gram"),
+        )
+        .orderBy("lang")
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C shape): flag corpus docs
+    sharing any word ``n``-gram with an evaluation set.
+
+    Returns (id_col, n_hits) for contaminated docs only — ``n_hits`` is the
+    number of DISTINCT benchmark n-grams the doc contains.  Callers
+    anti-join this relation to cut the corpus.
+
+    The benchmark gram set is deduplicated and **broadcast** (eval suites
+    are tiny against the corpus); the corpus side explodes once and
+    semi-joins map-side, so the only exchange carries (doc_id) partial
+    counts.  ``hash_grams=True`` swaps the join key for ``xxhash64(gram)``
+    (8 bytes instead of the string; collision odds ~2⁻⁶⁴ per pair).
+    """
+    bench_grams = word_ngrams(benchmark, id_col, text_col, n).select(
+        "gram"
+    ).distinct()
+    doc_grams = word_ngrams(docs, id_col, text_col, n).distinct()
+    if hash_grams:
+        key = lambda d: d.withColumn("__k", F.xxhash64("gram")).drop("gram")  # noqa: E731
+        bench_grams, doc_grams = key(bench_grams), key(doc_grams)
+        cond = "__k"
+    else:
+        cond = "gram"
+    return (
+        doc_grams.join(F.broadcast(bench_grams), cond, "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+
+
+def decontamination_report(
+    docs: DataFrame,
+    benchmark_source: str,
+    n: int = 4,
+) -> DataFrame:
+    """Per-source contamination tally treating one ``source`` slice of the
+    corpus as the held-out benchmark: for every OTHER source, how many docs
+    share an ``n``-gram with it and how many distinct shared grams.
+
+    Exact-integer output; the join back to ``source`` is doc_id-keyed
+    against the already-filtered contaminated relation (tiny)."""
+    bench = docs.where(F.col("source") == benchmark_source)
+    rest = docs.where(F.col("source") != benchmark_source)
+    hits = decontaminate(rest, bench, n=n)
+    return (
+        rest.select("doc_id", "source")
+        .join(hits, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("n_hits").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_contaminated"),
+            F.sum(F.coalesce(F.col("n_hits"), F.lit(0)))
+            .cast("long")
+            .alias("total_shared_grams"),
+        )
+        .orderBy("source")
+    )

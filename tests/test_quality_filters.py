@@ -1,0 +1,246 @@
+"""Gopher rules, repetition filters, and decontamination.
+
+Style per the reference's test strategy (SURVEY.md §5): seed tiny frames
+with KNOWN defects, assert each rule fires exactly where intended, and
+differential-check the heavier operators against a hand-computed or pure-
+Python twin.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_spark.operators.quality_filters import (
+    decontaminate,
+    decontamination_report,
+    gopher_flags,
+    gopher_quality,
+    repetition_stats,
+    word_ngrams,
+)
+
+PASSING = (
+    "the quick brown fox jumps over a lazy dog near the old river bank "
+    "and keeps running while birds watch from tall trees in the morning"
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "s0") for i, t in enumerate(rows)],
+        "doc_id long, text string, lang string, source string",
+    )
+
+
+class TestGopherFlags:
+    def _flags(self, spark, text, **kw):
+        kw.setdefault("min_words", 5)
+        kw.setdefault("max_words", 50)
+        row = gopher_flags(_docs(spark, [text]), **kw).collect()[0]
+        return {k: row[k] for k in row.asDict() if k.startswith(("fail_", "gopher"))}
+
+    def test_clean_doc_passes_every_rule(self, spark):
+        f = self._flags(spark, PASSING)
+        assert not any(v for k, v in f.items() if k.startswith("fail_"))
+        assert f["gopher_pass"]
+
+    def test_word_count_bounds(self, spark):
+        assert self._flags(spark, "too few words here")["fail_word_count"]
+        assert self._flags(spark, " ".join(["w"] * 60))["fail_word_count"]
+        assert not self._flags(spark, PASSING)["fail_word_count"]
+
+    def test_mean_word_length_bounds(self, spark):
+        # mean 1 char/word < 3
+        short = self._flags(spark, " ".join(["a b c d e"] * 2))
+        assert short["fail_mean_word_len"]
+        # mean 12 chars/word > 10
+        longw = self._flags(spark, " ".join(["antidisestabl"] * 6))
+        assert longw["fail_mean_word_len"]
+
+    def test_symbol_ratio(self, spark):
+        # 3 symbols over 8 words > 1/10
+        t = "the code # uses # tags and ... more"
+        assert self._flags(spark, t)["fail_symbol_ratio"]
+        assert not self._flags(spark, PASSING)["fail_symbol_ratio"]
+
+    def test_alpha_word_fraction(self, spark):
+        t = "1 2 3 4 5 6 7 8 the end"  # 2/10 alpha words < 4/5
+        assert self._flags(spark, t)["fail_alpha_frac"]
+        assert not self._flags(spark, PASSING)["fail_alpha_frac"]
+
+    def test_stopword_rule(self, spark):
+        t = "quantum flux capacitor reverses polarity instantly everywhere"
+        assert self._flags(spark, t)["fail_stopword"]
+        assert not self._flags(spark, PASSING)["fail_stopword"]
+
+    def test_null_and_empty_text_are_total(self, spark):
+        df = spark.createDataFrame(
+            [(0, None, "en", "s"), (1, "   ", "en", "s")],
+            "doc_id long, text string, lang string, source string",
+        )
+        rows = gopher_flags(df, min_words=5, max_words=50).collect()
+        for r in rows:
+            assert r["fail_word_count"] and not r["gopher_pass"]
+
+    def test_aggregate_counts(self, spark):
+        docs = _docs(spark, [PASSING, "tiny doc", " ".join(["a b"] * 10)])
+        got = {
+            r["lang"]: r.asDict()
+            for r in gopher_quality(docs, min_words=5, max_words=50).collect()
+        }["en"]
+        assert got["n_docs"] == 3
+        assert got["fail_word_count"] == 1  # "tiny doc"
+        assert got["fail_mean_word_len"] == 1  # the a-b doc
+        assert got["n_pass"] == 1
+
+
+class TestWordNgrams:
+    def test_exact_grams(self, spark):
+        df = _docs(spark, ["A b c d"])
+        got = sorted(
+            r["gram"] for r in word_ngrams(df, "doc_id", "text", 2).collect()
+        )
+        assert got == ["a b", "b c", "c d"]
+
+    def test_short_docs_emit_nothing(self, spark):
+        df = _docs(spark, ["one two three"])
+        assert word_ngrams(df, "doc_id", "text", 4).count() == 0
+
+    def test_partitioning_invariance(self, spark):
+        df = _docs(spark, ["a b c d e f g h"] * 3)
+        one = word_ngrams(df.coalesce(1), "doc_id", "text", 3).collect()
+        many = word_ngrams(df.repartition(7), "doc_id", "text", 3).collect()
+        assert sorted(map(tuple, one)) == sorted(map(tuple, many))
+
+
+class TestRepetitionStats:
+    def test_dup_token_and_top_gram_laws(self, spark):
+        # doc 0: "x y x y x y" → nt=6, dup=4 (10·4>3·6 fails dup rule);
+        # top bigram "x y" occurs 3 times, chars 3·3=9 > nc=11/5 → fails
+        # doc 1: all-distinct tokens, no repeated bigram → clean
+        docs = _docs(spark, ["x y x y x y", "q w e r t u i o p"])
+        got = repetition_stats(docs).collect()[0].asDict()
+        assert got["n_docs"] == 2
+        assert got["total_tokens"] == 6 + 9
+        assert got["total_dup_extra"] == 4
+        assert got["n_fail_dup_tokens"] == 1
+        assert got["n_fail_top_gram"] == 1
+
+    def test_single_occurrence_grams_dont_count(self, spark):
+        # every bigram unique → top_chars 0 → cannot fail the gram rule
+        docs = _docs(spark, ["a b c d a"])  # dup token 'a' but no dup bigram
+        got = repetition_stats(docs).collect()[0].asDict()
+        assert got["n_fail_top_gram"] == 0
+
+    def test_python_twin_on_random_docs(self, spark):
+        import random
+
+        rng = random.Random(7)
+        vocab = ["red", "blue", "green", "dot", "line"]
+        rows = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randrange(2, 30)))
+            for _ in range(40)
+        ]
+        docs = _docs(spark, rows)
+        got = repetition_stats(docs).collect()[0].asDict()
+
+        tot = dup = f_dup = f_top = 0
+        for t in rows:
+            toks = t.lower().split()
+            nt, nc = len(toks), len(t)
+            d = nt - len(set(toks))
+            grams: dict[str, int] = {}
+            for i in range(nt - 1):
+                g = toks[i] + " " + toks[i + 1]
+                grams[g] = grams.get(g, 0) + 1
+            tc = max(
+                (c * len(g) for g, c in grams.items() if c > 1), default=0
+            )
+            tot += nt
+            dup += d
+            f_dup += 10 * d > 3 * nt
+            f_top += 5 * tc > nc
+        assert (
+            got["total_tokens"],
+            got["total_dup_extra"],
+            got["n_fail_dup_tokens"],
+            got["n_fail_top_gram"],
+        ) == (tot, dup, f_dup, f_top)
+
+
+class TestDecontaminate:
+    def test_flags_only_overlapping_docs(self, spark):
+        bench = _docs(spark, ["alpha beta gamma delta epsilon"])
+        corpus = spark.createDataFrame(
+            [
+                (10, "xx alpha beta gamma delta yy", "en", "s1"),  # 1 shared 4-gram
+                (11, "beta gamma delta epsilon tail here", "en", "s1"),  # 1
+                (12, "totally unrelated words in this doc", "en", "s1"),
+            ],
+            "doc_id long, text string, lang string, source string",
+        )
+        got = {r["doc_id"]: r["n_hits"] for r in decontaminate(corpus, bench).collect()}
+        assert got == {10: 1, 11: 1}
+
+    def test_distinct_grams_counted_once(self, spark):
+        bench = _docs(spark, ["a b c d"])
+        corpus = spark.createDataFrame(
+            [(10, "a b c d and a b c d again", "en", "s1")],
+            "doc_id long, text string, lang string, source string",
+        )
+        got = decontaminate(corpus, bench).collect()
+        assert [(r["doc_id"], r["n_hits"]) for r in got] == [(10, 1)]
+
+    def test_hash_grams_variant_matches_exact(self, spark):
+        bench = _docs(spark, ["alpha beta gamma delta epsilon zeta"])
+        corpus = spark.createDataFrame(
+            [
+                (i, txt, "en", "s1")
+                for i, txt in enumerate(
+                    [
+                        "alpha beta gamma delta trailing",
+                        "gamma delta epsilon zeta more",
+                        "no overlap at all right here",
+                    ]
+                )
+            ],
+            "doc_id long, text string, lang string, source string",
+        )
+        exact = sorted(map(tuple, decontaminate(corpus, bench).collect()))
+        hashed = sorted(
+            map(tuple, decontaminate(corpus, bench, hash_grams=True).collect())
+        )
+        assert exact == hashed
+
+    def test_report_excludes_benchmark_source(self, spark):
+        df = spark.createDataFrame(
+            [
+                (0, "one two three four five", "en", "src0"),
+                (1, "one two three four shared", "en", "srcA"),
+                (2, "nothing in common whatsoever here", "en", "srcB"),
+            ],
+            "doc_id long, text string, lang string, source string",
+        )
+        got = {r["source"]: r.asDict() for r in decontamination_report(df, "src0").collect()}
+        assert set(got) == {"srcA", "srcB"}
+        assert got["srcA"]["n_contaminated"] == 1
+        assert got["srcB"]["n_contaminated"] == 0
+
+
+class TestPlanShape:
+    def test_gopher_flags_has_no_exchange(self, spark):
+        df = _docs(spark, [PASSING] * 4)
+        plan = gopher_flags(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_decontaminate_broadcasts_benchmark(self, spark):
+        bench = _docs(spark, ["a b c d e"])
+        corpus = _docs(spark, ["a b c d x", "u v w x y"])
+        plan = (
+            decontaminate(corpus, bench)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
