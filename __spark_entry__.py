@@ -838,6 +838,22 @@ def q_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+def q_audio_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip transport/DAC defect stats (interior-zero-run dropouts,
+    stuck-sample plateaus, DC offset) — exact-integer outputs, one
+    mapInArrow pass; hash-checked against a naive per-sample state-machine
+    oracle."""
+    from data_quality_spark.operators.audio_dropout import (
+        clip_dropout,
+        dropout_flags,
+    )
+
+    ensure_expected("audio_dropout", sf_dir)
+    return dropout_flags(clip_dropout(_clips_df(spark, n=300))).orderBy(
+        "clip_id"
+    )
+
+
 def q_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-clip voice-activity summary (energy VAD, hangover + debounce
     smoothing): speech_ratio and silence/speech run-length stats the
@@ -1070,6 +1086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_excerpt_match": q_audio_excerpt_match,
         "audio_constellation_match": q_audio_constellation_match,
         "audio_spectral": q_audio_spectral,
+        "audio_dropout": q_audio_dropout,
         "audio_vad": q_audio_vad,
         "audio_segments": q_audio_segments,
         "audio_resample": q_audio_resample,
@@ -1924,6 +1941,7 @@ FROM ranked WHERE rnk <= 3""",
         "audio_excerpt_match": _expected_sql("audio_excerpt_match"),
         "audio_constellation_match": _expected_sql("audio_constellation_match"),
         "audio_spectral": _expected_sql("audio_spectral"),
+        "audio_dropout": _expected_sql("audio_dropout"),
         "audio_vad": _expected_sql("audio_vad"),
         "audio_segments": _expected_sql("audio_segments"),
         "audio_resample": _expected_sql("audio_resample"),

@@ -435,7 +435,7 @@ def main() -> None:
         "sample_balanced_lang", "sample_fraction", "skew_audit",
         "audio_gain",
         "audio_fingerprint_dedup", "audio_excerpt_match",
-        "audio_constellation_match", "audio_spectral", "audio_vad",
+        "audio_constellation_match", "audio_spectral", "audio_dropout", "audio_vad",
         "audio_segments", "audio_resample",
         "minhash_lsh", "dedup_clusters", "simhash_near_dup", "ann_cosine_topk", "ann_lsh_topk",
         "ann_ivf_topk",

@@ -963,6 +963,82 @@ def _vad_decode(r):
     return q.astype(np.float32) / np.float32(32767.0), ok
 
 
+def _dropout_naive(q, sr_hz, dropout_ms=30):
+    """Independently-structured replay of ``dropout.dropout_stats_i16``:
+    one explicit per-sample streaming pass tracking the current zero run
+    and constant run, instead of the kernel's vectorized diff-boundary
+    arithmetic.  THIS loop is the differential surface."""
+    n = len(q)
+    st = {"n_samples": n, "max_zero_run": 0, "n_dropouts": 0,
+          "dropout_samples": 0, "max_const_run": 0, "dc_sum": 0}
+    if n == 0:
+        return st
+    min_len = (int(sr_hz) * int(dropout_ms)) // 1000 if sr_hz and sr_hz > 0 else 1
+    min_len = max(min_len, 1)
+    zero_start = None
+    const_start, const_val = 0, int(q[0])
+    for i in range(n + 1):
+        v = int(q[i]) if i < n else None
+        st["dc_sum"] += v if v is not None else 0
+        if v == 0:
+            if zero_start is None:
+                zero_start = i
+        else:
+            if zero_start is not None:
+                run = i - zero_start
+                st["max_zero_run"] = max(st["max_zero_run"], run)
+                if zero_start > 0 and i < n and run >= min_len:
+                    st["n_dropouts"] += 1
+                    st["dropout_samples"] += run
+                zero_start = None
+        if v != const_val:
+            if const_val != 0:
+                st["max_const_run"] = max(
+                    st["max_const_run"], (i if i < n else n) - const_start
+                )
+            const_start, const_val = i, v
+    return st
+
+
+def _audio_dropout_expected(n=300, seed=42) -> dict:
+    """Twin of ``audio_dropout.clip_dropout`` + ``dropout_flags``: shared
+    decode dispatch, independent per-sample run accounting, and the same
+    exact-integer flag laws."""
+    from .functions.audio import _decode_i16
+    from .operators.audio_dropout import DC_DEN, DC_NUM, STUCK_MIN_DEFAULT
+    from .synth import generate_clips
+
+    pdf = generate_clips(n, seed=seed)
+    names = ["n_samples", "max_zero_run", "n_dropouts", "dropout_samples",
+             "max_const_run", "dc_sum"]
+    out: dict[str, list] = {"clip_id": [], "ok": []}
+    out.update({k: [] for k in names})
+    out.update({"has_dropout": [], "has_stuck": [], "has_dc_offset": []})
+    for _, r in pdf.sort_values("clip_id").iterrows():
+        try:
+            q, ok = _decode_i16(r["bytes"], r["codec"], r["sr_hz"]), True
+        except (ValueError, TypeError):
+            q, ok = np.zeros(0, dtype=np.int16), False
+        out["clip_id"].append(r["clip_id"])
+        out["ok"].append(ok)
+        if not ok:
+            for k in names:
+                out[k].append(None)
+            out["has_dropout"].append(None)
+            out["has_stuck"].append(None)
+            out["has_dc_offset"].append(None)
+            continue
+        st = _dropout_naive(q, r["sr_hz"])
+        for k in names:
+            out[k].append(st[k])
+        out["has_dropout"].append(st["n_dropouts"] > 0)
+        out["has_stuck"].append(st["max_const_run"] >= STUCK_MIN_DEFAULT)
+        out["has_dc_offset"].append(
+            abs(st["dc_sum"]) * DC_DEN > DC_NUM * st["n_samples"] * 32768
+        )
+    return out
+
+
 def _audio_vad_expected(n=300, seed=42) -> dict:
     """Twin of ``audio_vad.clip_vad``: shared frame energies + decode
     dispatch, independent smoothing state machine, independent stats
@@ -1271,6 +1347,14 @@ _SCHEMAS: dict[str, pa.Schema] = {
          ("flatness_r", pa.float64()), ("low_r", pa.float64()),
          ("mid_r", pa.float64()), ("high_r", pa.float64())]
     ),
+    "audio_dropout": pa.schema(
+        [("clip_id", pa.string()), ("ok", pa.bool_()),
+         ("n_samples", pa.int64()), ("max_zero_run", pa.int64()),
+         ("n_dropouts", pa.int64()), ("dropout_samples", pa.int64()),
+         ("max_const_run", pa.int64()), ("dc_sum", pa.int64()),
+         ("has_dropout", pa.bool_()), ("has_stuck", pa.bool_()),
+         ("has_dc_offset", pa.bool_())]
+    ),
     "audio_vad": pa.schema(
         [("clip_id", pa.string()), ("ok", pa.bool_()),
          ("n_frames", pa.int32()), ("speech_ratio_r", pa.float64()),
@@ -1393,6 +1477,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_constellation_expected()
     elif name == "audio_spectral":
         data = _audio_spectral_expected()
+    elif name == "audio_dropout":
+        data = _audio_dropout_expected()
     elif name == "audio_vad":
         data = _audio_vad_expected()
     elif name == "audio_segments":
