@@ -121,6 +121,38 @@ def main() -> None:
             "cover the post-featurize projections.",
             None,
         ),
+        (
+            "Connected-components star round (dedup_clusters)",
+            "ONE large-star + small-star round over the canonical edge set "
+            "(shown below on the minhash pair graph): each star is a "
+            "groupBy-min on node id plus a node-keyed join — every exchange "
+            "carries (node, node) pairs, never documents. Across rounds the "
+            "driver truncates lineage with localCheckpoint, so THIS plan's "
+            "depth is the per-round cost regardless of iteration count; "
+            "without it the k-th round would re-execute O(6^k) scans (each "
+            "star references its input 2-3 times).",
+            None,
+        ),
+        (
+            "Benchmark decontamination (broadcast n-gram semi-join)",
+            "The eval-set gram relation builds once and broadcasts "
+            "(BroadcastExchange feeding a BroadcastHashJoin LeftSemi); the "
+            "corpus side is one posexplode + window (its ONLY wide exchange "
+            "is on doc_id) and the hit counts partial-aggregate before the "
+            "final doc-keyed exchange. A 100 TB corpus is scanned exactly "
+            "once and never shuffles on anything wider than doc_id.",
+            None,
+        ),
+        (
+            "Gopher quality rules (zero-shuffle flag pass)",
+            "Every rule signal (token count, non-space chars, alpha-word "
+            "count, symbol count, stopword hits) is column arithmetic "
+            "inside ONE WholeStageCodegen span over one FileScan — the "
+            "only Exchange in the per-lang tally is the low-cardinality "
+            "hash aggregate with map-side partials. Adding a rule adds an "
+            "expression, not a pass (same law as compile_rules).",
+            None,
+        ),
     ]
 
     from data_quality_spark.operators.gate import salted_gate_aggregate
@@ -146,6 +178,32 @@ def main() -> None:
             spark,
             f"/root/repo/.bench_cache/clips_n100000_s42_v{CORPUS_VERSION}",
         ),
+    )
+
+    from data_quality_spark.operators.cluster import (
+        _canon,
+        _large_star,
+        _small_star,
+    )
+    from data_quality_spark.operators.quality_filters import (
+        decontamination_report,
+        gopher_quality,
+    )
+
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", verify_threshold=0.5)
+    edges = _canon(
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    ).localCheckpoint(eager=True)
+    star_i = next(i for i, s in enumerate(sections) if s[0].startswith("Connected"))
+    decon_i = next(i for i, s in enumerate(sections) if s[0].startswith("Benchmark"))
+    gopher_i = next(i for i, s in enumerate(sections) if s[0].startswith("Gopher"))
+    sections[star_i] = (*sections[star_i][:2], _small_star(_large_star(edges)))
+    sections[decon_i] = (
+        *sections[decon_i][:2], decontamination_report(docs, "src0", n=4)
+    )
+    sections[gopher_i] = (
+        *sections[gopher_i][:2],
+        gopher_quality(docs, min_words=15, max_words=90),
     )
 
     out = ["# PLANS — physical-plan evidence for the core operators\n"]
