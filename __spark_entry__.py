@@ -526,6 +526,21 @@ def q_langid_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dq_docs.langid_sql(_t(spark, sf_dir, "documents"))
 
 
+def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality-filter funnel: per-language survivor counts through
+    exact dedup → Gopher rules → repetition rules → benchmark
+    decontamination (src0 as the eval set), monotone by construction.
+    Word-count bounds and the dup-token threshold are scaled to the
+    synthetic word-soup corpus (15-90 words, 6/10) — the operator defaults
+    stay the canonical Gopher values."""
+    from data_quality_spark.operators import quality_filters as qf
+
+    return qf.corpus_funnel(
+        _t(spark, sf_dir, "documents"), "src0", n=4,
+        min_words=15, max_words=90, dup_num=6, dup_den=10,
+    )
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style quality rules (Rae et al. 2021 A1.1) with word-count
     bounds scaled to the sandbox corpus; other thresholds canonical."""
@@ -1065,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "repetition_stats": q_repetition_stats,
         "decontamination": q_decontamination,
+        "corpus_funnel": q_corpus_funnel,
         "fingerprint_dedup": q_fingerprint_dedup,
         "sample_balanced_lang": q_sample_balanced_lang,
         "sample_fraction": q_sample_fraction,
@@ -1302,6 +1318,85 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
 FROM (SELECT doc_id, source FROM documents WHERE source <> 'src0') r
 LEFT JOIN hits USING (doc_id)
 GROUP BY source ORDER BY source"""
+
+
+def _corpus_funnel_oracle() -> str:
+    """DuckDB twin of q_corpus_funnel: the component twins (gopher,
+    repetition, decontamination) composed over the non-src0 scope, plus a
+    window-min exact-dedup keep with the same NULL-text sentinel."""
+    from data_quality_spark.operators.docs import _ALL_STOPWORDS
+
+    stops = ", ".join(f"'{m}'" for m in _ALL_STOPWORDS)
+    return rf"""
+WITH scope AS (SELECT * FROM documents WHERE source <> 'src0'),
+sig AS (
+  SELECT doc_id, lang,
+    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nt,
+    length(regexp_replace(coalesce(text, ''), '\s', '', 'g')) AS nns,
+    len(regexp_extract_all(coalesce(text, ''), '[^\s]*[A-Za-z][^\s]*')) AS alpha,
+    len(regexp_extract_all(coalesce(text, ''), '#|\.\.\.')) AS sym,
+    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+         ELSE len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                              x -> list_contains([{stops}], x))) END AS ns,
+    length(coalesce(text, '')) AS nc,
+    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+'))
+              - len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')))
+    END AS dup
+  FROM scope
+), {_WORDS_CTE.lstrip()},
+g2 AS (
+  SELECT doc_id, w, lead(w, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS l1
+  FROM words
+), cnts AS (
+  SELECT doc_id, w || ' ' || l1 AS gram, count(*) AS c
+  FROM g2 WHERE l1 IS NOT NULL GROUP BY doc_id, gram HAVING count(*) > 1
+), top AS (
+  SELECT doc_id, max(c * length(gram)) AS tc FROM cnts GROUP BY doc_id
+), g4 AS (
+  SELECT doc_id, w,
+    lead(w, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS l1,
+    lead(w, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS l2,
+    lead(w, 3) OVER (PARTITION BY doc_id ORDER BY ord) AS l3
+  FROM words
+), grams4 AS (
+  SELECT DISTINCT doc_id, w || ' ' || l1 || ' ' || l2 || ' ' || l3 AS gram
+  FROM g4 WHERE l3 IS NOT NULL
+), bench AS (
+  SELECT DISTINCT gram FROM grams4 JOIN documents USING (doc_id)
+  WHERE source = 'src0'
+), hits AS (
+  SELECT grams4.doc_id FROM grams4 JOIN documents d USING (doc_id)
+  JOIN bench USING (gram)
+  WHERE d.source <> 'src0' GROUP BY grams4.doc_id
+), keep AS (
+  SELECT doc_id,
+    (doc_id = min(doc_id) OVER (
+      PARTITION BY coalesce(md5(text), '~' || CAST(doc_id AS VARCHAR))
+    )) AS k
+  FROM scope
+), perdoc AS (
+  SELECT s.lang, k.k,
+    NOT (s.nt < 15 OR s.nt > 90)
+      AND NOT (s.nns < 3 * s.nt OR s.nns > 10 * s.nt)
+      AND NOT (10 * s.sym > 1 * s.nt)
+      AND NOT (5 * s.alpha < 4 * s.nt)
+      AND NOT (s.ns < 2) AS gp,
+    NOT (10 * s.dup > 6 * s.nt)
+      AND NOT (5 * coalesce(t.tc, 0) > s.nc) AS rep_ok,
+    (h.doc_id IS NULL) AS clean
+  FROM sig s JOIN keep k USING (doc_id)
+  LEFT JOIN top t USING (doc_id) LEFT JOIN hits h USING (doc_id)
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_raw,
+  CAST(sum(CASE WHEN k THEN 1 ELSE 0 END) AS BIGINT) AS n_after_dedup,
+  CAST(sum(CASE WHEN k AND gp THEN 1 ELSE 0 END) AS BIGINT) AS n_after_gopher,
+  CAST(sum(CASE WHEN k AND gp AND rep_ok THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_after_repetition,
+  CAST(sum(CASE WHEN k AND gp AND rep_ok AND clean THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_clean
+FROM perdoc GROUP BY lang ORDER BY lang"""
 
 
 def _issue_patterns_oracle() -> str:
@@ -1852,6 +1947,7 @@ FROM t GROUP BY lang ORDER BY lang""",
         "gopher_quality": _gopher_quality_oracle(),
         "repetition_stats": _repetition_stats_oracle(),
         "decontamination": _decontamination_oracle(),
+        "corpus_funnel": _corpus_funnel_oracle(),
         "fingerprint_dedup": """
 SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,

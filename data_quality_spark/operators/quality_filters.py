@@ -42,9 +42,11 @@ __all__ = [
     "gopher_flags",
     "gopher_quality",
     "word_ngrams",
+    "repetition_flags",
     "repetition_stats",
     "decontaminate",
     "decontamination_report",
+    "corpus_funnel",
 ]
 
 # Gopher A1.1 defaults (word-soup sandbox corpora pass scaled-down bounds
@@ -175,29 +177,31 @@ def word_ngrams(
     )
 
 
-def repetition_stats(docs: DataFrame, top_gram_n: int = 2) -> DataFrame:
-    """Per-language repetition-filter tally (Gopher A1.1 repetition family,
-    integer-exact formulation):
+def repetition_flags(
+    docs: DataFrame,
+    top_gram_n: int = 2,
+    dup_num: int = 3,
+    dup_den: int = 10,
+) -> DataFrame:
+    """Per-doc repetition signals and rule outcomes: every ``docs`` column
+    plus ``__nt/__nc/__dup/__tc`` (exact integers) and two booleans —
 
-    - ``total_tokens`` / ``total_dup_extra``: corpus-level duplicated-token
-      mass (dup_extra = n_tokens − n_distinct_tokens per doc); the ratio is
-      one exact division for the reader.
-    - ``n_fail_dup_tokens``: docs whose duplicated-token fraction exceeds
-      3/10  ⇔  10·dup_extra > 3·n_tokens.
-    - ``n_fail_top_gram``: docs where characters covered by the single most
-      character-covering repeated ``top_gram_n``-gram (occurrences × gram
-      length, the deterministic max over grams of count·len) exceed 1/5 of
-      the doc's characters  ⇔  5·top_chars > n_chars.
+    - ``fail_dup_tokens``: duplicated-token fraction > dup_num/dup_den
+      (default 3/10, the Gopher value)
+      ⇔ dup_den·dup_extra > dup_num·n_tokens (dup = n_tokens − n_distinct);
+    - ``fail_top_gram``: characters covered by the most character-covering
+      repeated ``top_gram_n``-gram (the deterministic max over grams of
+      count·len, counting only grams seen ≥ 2×) > 1/5 of the doc's chars
+      ⇔ 5·top_chars > n_chars.
 
     Shuffle budget: tokens exchange once on doc_id (the window), gram
     counts aggregate on (doc_id, gram) then doc_id — both partial-agg
-    before exchanging; documents themselves never move.
+    before exchanging; document text itself never moves.
     """
     nt = token_count_col(F.col("text"))
     toks = F.split(F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+")
     base = docs.select(
-        F.col("doc_id").alias("__id"),
-        "lang",
+        "*",
         nt.alias("__nt"),
         F.length(F.coalesce(F.col("text"), F.lit(""))).alias("__nc"),
         F.when(nt == 0, F.lit(0))
@@ -214,32 +218,101 @@ def repetition_stats(docs: DataFrame, top_gram_n: int = 2) -> DataFrame:
             F.max(F.col("__cnt") * F.length("gram")).alias("__top_chars")
         )
     )
-    joined = base.join(
-        top, base["__id"] == top["doc_id"], "left"
-    ).select(
-        "lang",
-        "__nt",
-        "__nc",
-        "__dup",
-        F.coalesce(F.col("__top_chars"), F.lit(0)).alias("__tc"),
-    )
     return (
-        joined.groupBy("lang")
+        base.join(top, "doc_id", "left")
+        .withColumn("__tc", F.coalesce(F.col("__top_chars"), F.lit(0)))
+        .drop("__top_chars")
+        .withColumn(
+            "fail_dup_tokens",
+            F.lit(dup_den) * F.col("__dup") > F.lit(dup_num) * F.col("__nt"),
+        )
+        .withColumn(
+            "fail_top_gram", F.lit(5) * F.col("__tc") > F.col("__nc")
+        )
+    )
+
+
+def repetition_stats(docs: DataFrame, top_gram_n: int = 2) -> DataFrame:
+    """Per-language repetition-filter tally over ``repetition_flags``:
+    corpus-level duplicated-token mass plus per-rule failure counts (see
+    the flag docstring for the exact integer laws)."""
+    return (
+        repetition_flags(docs, top_gram_n)
+        .groupBy("lang")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("__nt").cast("long").alias("total_tokens"),
             F.sum("__dup").cast("long").alias("total_dup_extra"),
-            F.sum(
-                F.when(F.lit(10) * F.col("__dup") > F.lit(3) * F.col("__nt"), 1)
-                .otherwise(0)
-            )
+            F.sum(F.col("fail_dup_tokens").cast("int"))
             .cast("long")
             .alias("n_fail_dup_tokens"),
-            F.sum(
-                F.when(F.lit(5) * F.col("__tc") > F.col("__nc"), 1).otherwise(0)
-            )
+            F.sum(F.col("fail_top_gram").cast("int"))
             .cast("long")
             .alias("n_fail_top_gram"),
+        )
+        .orderBy("lang")
+    )
+
+
+def corpus_funnel(
+    docs: DataFrame,
+    benchmark_source: str,
+    n: int = 4,
+    min_words: int = MIN_WORDS,
+    max_words: int = MAX_WORDS,
+    dup_num: int = 3,
+    dup_den: int = 10,
+) -> DataFrame:
+    """The quality-filter product in one relation: per-language survivor
+    counts through the successive corpus cuts a training pipeline applies —
+
+    ``n_raw`` → ``n_after_dedup`` (exact text dedup, first doc_id per md5
+    fingerprint wins; NULL texts get a per-row sentinel so they never
+    collapse) → ``n_after_gopher`` (also passes every Gopher rule) →
+    ``n_after_repetition`` (also passes both repetition rules) →
+    ``n_clean`` (also shares no word ``n``-gram with the benchmark slice).
+
+    Each stage is a conjunction, so the columns are monotonically
+    non-increasing by construction.  Execution cost = the union of the
+    component costs: one md5-key exchange (the dedup window), one doc_id
+    exchange (repetition grams), the broadcast decontamination semi-join,
+    and the final low-cardinality rollup — document text never shuffles.
+    """
+    bench = docs.where(F.col("source") == benchmark_source)
+    scope = docs.where(F.col("source") != benchmark_source)
+    flagged = repetition_flags(
+        gopher_flags(scope, min_words=min_words, max_words=max_words),
+        dup_num=dup_num,
+        dup_den=dup_den,
+    )
+    fp = F.coalesce(
+        F.md5(F.col("text")),
+        F.concat(F.lit("~"), F.col("doc_id").cast("string")),
+    )
+    keep = F.col("doc_id") == F.min("doc_id").over(
+        Window.partitionBy(fp)
+    )
+    hits = decontaminate(scope, bench, n=n).withColumnRenamed(
+        "n_hits", "__hits"
+    )
+    full = (
+        flagged.withColumn("__keep", keep)
+        .join(hits, "doc_id", "left")
+    )
+    rep_ok = ~F.col("fail_dup_tokens") & ~F.col("fail_top_gram")
+    s1 = F.col("__keep")
+    s2 = s1 & F.col("gopher_pass")
+    s3 = s2 & rep_ok
+    s4 = s3 & F.col("__hits").isNull()
+    cnt = lambda c, name: F.sum(c.cast("int")).cast("long").alias(name)  # noqa: E731
+    return (
+        full.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_raw"),
+            cnt(s1, "n_after_dedup"),
+            cnt(s2, "n_after_gopher"),
+            cnt(s3, "n_after_repetition"),
+            cnt(s4, "n_clean"),
         )
         .orderBy("lang")
     )

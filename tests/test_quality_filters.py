@@ -244,3 +244,68 @@ class TestPlanShape:
             .toString()
         )
         assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+class TestCorpusFunnel:
+    """Each funnel stage must cut exactly the doc seeded to fail it, and
+    the stage columns must be monotonically non-increasing."""
+
+    def _corpus(self, spark):
+        contaminated = "alpha beta gamma delta " + PASSING
+        rows = [
+            # (doc_id, text, lang, source)
+            (0, "alpha beta gamma delta epsilon", "en", "src0"),  # benchmark
+            (1, PASSING, "en", "sA"),                 # survives everything
+            (2, PASSING, "en", "sA"),                 # exact dup of 1 → dedup cut
+            (3, "tiny doc", "en", "sA"),              # gopher word-count cut
+            (4, " ".join(["the quick brown fox jumps"] * 5), "en", "sA"),  # repetition cut
+            (5, contaminated, "en", "sA"),            # decontamination cut
+            (6, None, "en", "sA"),                    # NULL text: sentinel keeps it
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        )
+
+    def test_stage_by_stage(self, spark):
+        from data_quality_spark.operators.quality_filters import corpus_funnel
+
+        got = corpus_funnel(
+            self._corpus(spark), "src0", n=4, min_words=5, max_words=50
+        ).collect()
+        assert len(got) == 1
+        r = got[0].asDict()
+        # 6 non-benchmark docs; doc 2 collapses into 1; docs 3,6 fail gopher
+        # (NULL text has 0 words); doc 4 fails repetition; doc 5 is contaminated.
+        assert r == {
+            "lang": "en",
+            "n_raw": 6,
+            "n_after_dedup": 5,
+            "n_after_gopher": 3,
+            "n_after_repetition": 2,
+            "n_clean": 1,
+        }
+
+    def test_monotone_and_null_sentinel(self, spark):
+        from data_quality_spark.operators.quality_filters import corpus_funnel
+
+        # two NULL-text docs must NOT collapse in the dedup stage
+        df = spark.createDataFrame(
+            [(0, "b x", "en", "src0"), (1, None, "en", "s"), (2, None, "en", "s")],
+            "doc_id long, text string, lang string, source string",
+        )
+        r = corpus_funnel(df, "src0", n=4, min_words=1, max_words=9).collect()[0]
+        assert r["n_after_dedup"] == 2  # sentinels keep both NULL rows
+        vals = [
+            r["n_raw"], r["n_after_dedup"], r["n_after_gopher"],
+            r["n_after_repetition"], r["n_clean"],
+        ]
+        assert vals == sorted(vals, reverse=True)
+
+    def test_repetition_flags_threshold_parameter(self, spark):
+        from data_quality_spark.operators.quality_filters import repetition_flags
+
+        # "x y x y x y": nt=6, dup=4 → fraction 2/3. Fails at 3/10, passes at 7/10.
+        docs = _docs(spark, ["x y x y x y"])
+        strict = repetition_flags(docs).collect()[0]
+        loose = repetition_flags(docs, dup_num=7, dup_den=10).collect()[0]
+        assert strict["fail_dup_tokens"] and not loose["fail_dup_tokens"]
