@@ -541,6 +541,17 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel's product: the surviving documents themselves (original
+    columns), same stage parameters as q_corpus_funnel."""
+    from data_quality_spark.operators import quality_filters as qf
+
+    return qf.corpus_clean(
+        _t(spark, sf_dir, "documents"), "src0", n=4,
+        min_words=15, max_words=90, dup_num=6, dup_den=10,
+    ).orderBy("doc_id")
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style quality rules (Rae et al. 2021 A1.1) with word-count
     bounds scaled to the sandbox corpus; other thresholds canonical."""
@@ -1081,6 +1092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "decontamination": q_decontamination,
         "corpus_funnel": q_corpus_funnel,
+        "corpus_clean": q_corpus_clean,
         "fingerprint_dedup": q_fingerprint_dedup,
         "sample_balanced_lang": q_sample_balanced_lang,
         "sample_fraction": q_sample_fraction,
@@ -1320,10 +1332,11 @@ LEFT JOIN hits USING (doc_id)
 GROUP BY source ORDER BY source"""
 
 
-def _corpus_funnel_oracle() -> str:
-    """DuckDB twin of q_corpus_funnel: the component twins (gopher,
-    repetition, decontamination) composed over the non-src0 scope, plus a
-    window-min exact-dedup keep with the same NULL-text sentinel."""
+def _corpus_funnel_ctes() -> str:
+    """Shared WITH-block for the funnel twins: the component oracles
+    (gopher, repetition, decontamination) composed over the non-src0 scope,
+    plus a window-min exact-dedup keep with the same NULL-text sentinel,
+    ending in a per-doc stage-flag relation ``perdoc``."""
     from data_quality_spark.operators.docs import _ALL_STOPWORDS
 
     stops = ", ".join(f"'{m}'" for m in _ALL_STOPWORDS)
@@ -1377,7 +1390,7 @@ g2 AS (
     )) AS k
   FROM scope
 ), perdoc AS (
-  SELECT s.lang, k.k,
+  SELECT s.doc_id, s.lang, k.k,
     NOT (s.nt < 15 OR s.nt > 90)
       AND NOT (s.nns < 3 * s.nt OR s.nns > 10 * s.nt)
       AND NOT (10 * s.sym > 1 * s.nt)
@@ -1388,7 +1401,15 @@ g2 AS (
     (h.doc_id IS NULL) AS clean
   FROM sig s JOIN keep k USING (doc_id)
   LEFT JOIN top t USING (doc_id) LEFT JOIN hits h USING (doc_id)
-)
+)"""
+
+
+def _corpus_funnel_oracle() -> str:
+    """DuckDB twin of q_corpus_funnel: the shared funnel CTEs rolled up to
+    per-language survivor counts."""
+    return (
+        _corpus_funnel_ctes()
+        + """
 SELECT lang, CAST(count(*) AS BIGINT) AS n_raw,
   CAST(sum(CASE WHEN k THEN 1 ELSE 0 END) AS BIGINT) AS n_after_dedup,
   CAST(sum(CASE WHEN k AND gp THEN 1 ELSE 0 END) AS BIGINT) AS n_after_gopher,
@@ -1397,6 +1418,20 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_raw,
   CAST(sum(CASE WHEN k AND gp AND rep_ok AND clean THEN 1 ELSE 0 END) AS BIGINT)
     AS n_clean
 FROM perdoc GROUP BY lang ORDER BY lang"""
+    )
+
+
+def _corpus_clean_oracle() -> str:
+    """DuckDB twin of q_corpus_clean: the shared funnel CTEs filtered to
+    every-stage survivors, original document columns."""
+    return (
+        _corpus_funnel_ctes()
+        + """
+SELECT sc.doc_id, sc.text, sc.lang, sc.source, sc.n_chars
+FROM perdoc p JOIN scope sc USING (doc_id)
+WHERE p.k AND p.gp AND p.rep_ok AND p.clean
+ORDER BY sc.doc_id"""
+    )
 
 
 def _issue_patterns_oracle() -> str:
@@ -1948,6 +1983,7 @@ FROM t GROUP BY lang ORDER BY lang""",
         "repetition_stats": _repetition_stats_oracle(),
         "decontamination": _decontamination_oracle(),
         "corpus_funnel": _corpus_funnel_oracle(),
+        "corpus_clean": _corpus_clean_oracle(),
         "fingerprint_dedup": """
 SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,

@@ -46,7 +46,9 @@ __all__ = [
     "repetition_stats",
     "decontaminate",
     "decontamination_report",
+    "funnel_flags",
     "corpus_funnel",
+    "corpus_clean",
 ]
 
 # Gopher A1.1 defaults (word-soup sandbox corpora pass scaled-down bounds
@@ -254,7 +256,7 @@ def repetition_stats(docs: DataFrame, top_gram_n: int = 2) -> DataFrame:
     )
 
 
-def corpus_funnel(
+def funnel_flags(
     docs: DataFrame,
     benchmark_source: str,
     n: int = 4,
@@ -263,20 +265,22 @@ def corpus_funnel(
     dup_num: int = 3,
     dup_den: int = 10,
 ) -> DataFrame:
-    """The quality-filter product in one relation: per-language survivor
-    counts through the successive corpus cuts a training pipeline applies —
-
-    ``n_raw`` → ``n_after_dedup`` (exact text dedup, first doc_id per md5
+    """Per-doc stage booleans for the quality-filter funnel over the
+    non-``benchmark_source`` slice: every input column plus the cumulative
+    survival flags ``pass_dedup`` (exact text dedup, first doc_id per md5
     fingerprint wins; NULL texts get a per-row sentinel so they never
-    collapse) → ``n_after_gopher`` (also passes every Gopher rule) →
-    ``n_after_repetition`` (also passes both repetition rules) →
-    ``n_clean`` (also shares no word ``n``-gram with the benchmark slice).
+    collapse) → ``pass_gopher`` (also passes every Gopher rule) →
+    ``pass_repetition`` (also passes both repetition rules) →
+    ``pass_clean`` (also shares no word ``n``-gram with the benchmark
+    slice).  Each stage is a conjunction of the previous, so the flags are
+    monotone per row by construction.
 
-    Each stage is a conjunction, so the columns are monotonically
-    non-increasing by construction.  Execution cost = the union of the
-    component costs: one md5-key exchange (the dedup window), one doc_id
-    exchange (repetition grams), the broadcast decontamination semi-join,
-    and the final low-cardinality rollup — document text never shuffles.
+    Execution cost = the union of the component costs: one md5-key exchange
+    (the dedup window — Catalyst projects the fingerprint before the
+    exchange, so raw text stays put), one doc_id exchange for the
+    repetition gram counts (broadcast back onto the unshuffled base), the
+    broadcast decontamination semi-join.  Document text never shuffles
+    (plan audit in PLANS.md §corpus-funnel).
     """
     bench = docs.where(F.col("source") == benchmark_source)
     scope = docs.where(F.col("source") != benchmark_source)
@@ -295,27 +299,80 @@ def corpus_funnel(
     hits = decontaminate(scope, bench, n=n).withColumnRenamed(
         "n_hits", "__hits"
     )
-    full = (
+    rep_ok = ~F.col("fail_dup_tokens") & ~F.col("fail_top_gram")
+    return (
         flagged.withColumn("__keep", keep)
         .join(hits, "doc_id", "left")
+        .withColumn("pass_dedup", F.col("__keep"))
+        .withColumn("pass_gopher", F.col("pass_dedup") & F.col("gopher_pass"))
+        .withColumn("pass_repetition", F.col("pass_gopher") & rep_ok)
+        .withColumn(
+            "pass_clean", F.col("pass_repetition") & F.col("__hits").isNull()
+        )
     )
-    rep_ok = ~F.col("fail_dup_tokens") & ~F.col("fail_top_gram")
-    s1 = F.col("__keep")
-    s2 = s1 & F.col("gopher_pass")
-    s3 = s2 & rep_ok
-    s4 = s3 & F.col("__hits").isNull()
-    cnt = lambda c, name: F.sum(c.cast("int")).cast("long").alias(name)  # noqa: E731
+
+
+def corpus_funnel(
+    docs: DataFrame,
+    benchmark_source: str,
+    n: int = 4,
+    min_words: int = MIN_WORDS,
+    max_words: int = MAX_WORDS,
+    dup_num: int = 3,
+    dup_den: int = 10,
+) -> DataFrame:
+    """Per-language survivor counts through the successive corpus cuts a
+    training pipeline applies: ``n_raw`` → ``n_after_dedup`` →
+    ``n_after_gopher`` → ``n_after_repetition`` → ``n_clean`` — the
+    low-cardinality rollup of :func:`funnel_flags` (see there for stage
+    semantics and the shuffle budget).  Columns are monotonically
+    non-increasing by construction."""
+    full = funnel_flags(
+        docs,
+        benchmark_source,
+        n=n,
+        min_words=min_words,
+        max_words=max_words,
+        dup_num=dup_num,
+        dup_den=dup_den,
+    )
+    cnt = lambda c, name: F.sum(F.col(c).cast("int")).cast("long").alias(name)  # noqa: E731
     return (
         full.groupBy("lang")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_raw"),
-            cnt(s1, "n_after_dedup"),
-            cnt(s2, "n_after_gopher"),
-            cnt(s3, "n_after_repetition"),
-            cnt(s4, "n_clean"),
+            cnt("pass_dedup", "n_after_dedup"),
+            cnt("pass_gopher", "n_after_gopher"),
+            cnt("pass_repetition", "n_after_repetition"),
+            cnt("pass_clean", "n_clean"),
         )
         .orderBy("lang")
     )
+
+
+def corpus_clean(
+    docs: DataFrame,
+    benchmark_source: str,
+    n: int = 4,
+    min_words: int = MIN_WORDS,
+    max_words: int = MAX_WORDS,
+    dup_num: int = 3,
+    dup_den: int = 10,
+) -> DataFrame:
+    """The funnel's product: the surviving documents themselves — rows of
+    ``docs`` (original columns only) outside ``benchmark_source`` that pass
+    every funnel stage.  This is the relation a training pipeline writes
+    out; :func:`corpus_funnel` is its audit trail."""
+    flags = funnel_flags(
+        docs,
+        benchmark_source,
+        n=n,
+        min_words=min_words,
+        max_words=max_words,
+        dup_num=dup_num,
+        dup_den=dup_den,
+    )
+    return flags.where(F.col("pass_clean")).select(*docs.columns)
 
 
 def decontaminate(

@@ -309,3 +309,13 @@ class TestCorpusFunnel:
         strict = repetition_flags(docs).collect()[0]
         loose = repetition_flags(docs, dup_num=7, dup_den=10).collect()[0]
         assert strict["fail_dup_tokens"] and not loose["fail_dup_tokens"]
+
+    def test_corpus_clean_returns_survivors(self, spark):
+        from data_quality_spark.operators.quality_filters import corpus_clean
+
+        docs = self._corpus(spark)
+        got = corpus_clean(
+            docs, "src0", n=4, min_words=5, max_words=50
+        ).collect()
+        assert [r["doc_id"] for r in got] == [1]
+        assert [c for c in got[0].asDict()] == docs.columns
