@@ -552,6 +552,18 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_boilerplate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate n-gram mass per source (the frequent-line
+    -removal analog for the line-less sandbox corpus): 3-grams in ≥5
+    distinct docs, coverage flag at 1/20 of a doc's gram positions."""
+    from data_quality_spark.operators import quality_filters as qf
+
+    return qf.boilerplate_stats(
+        _t(spark, sf_dir, "documents"), n=3, min_docs=5,
+        flag_num=1, flag_den=20,
+    )
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style quality rules (Rae et al. 2021 A1.1) with word-count
     bounds scaled to the sandbox corpus; other thresholds canonical."""
@@ -1093,6 +1105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": q_decontamination,
         "corpus_funnel": q_corpus_funnel,
         "corpus_clean": q_corpus_clean,
+        "boilerplate_stats": q_boilerplate_stats,
         "fingerprint_dedup": q_fingerprint_dedup,
         "sample_balanced_lang": q_sample_balanced_lang,
         "sample_fraction": q_sample_fraction,
@@ -1432,6 +1445,38 @@ FROM perdoc p JOIN scope sc USING (doc_id)
 WHERE p.k AND p.gp AND p.rep_ok AND p.clean
 ORDER BY sc.doc_id"""
     )
+
+
+def _boilerplate_stats_oracle() -> str:
+    """DuckDB twin of q_boilerplate_stats: word 3-grams via lead(), the
+    ≥5-distinct-doc lexicon, per-doc occurrence counts, per-source rollup
+    with the same 1/20 integer coverage flag."""
+    return rf"""
+WITH {_WORDS_CTE},
+g AS (
+  SELECT doc_id, w,
+    lead(w, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS l1,
+    lead(w, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS l2
+  FROM words
+), grams AS (
+  SELECT doc_id, w || ' ' || l1 || ' ' || l2 AS gram
+  FROM g WHERE l2 IS NOT NULL
+), freq AS (
+  SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS c FROM grams GROUP BY gram)
+  WHERE c >= 5
+), tot AS (
+  SELECT doc_id, count(*) AS np FROM grams GROUP BY doc_id
+), boil AS (
+  SELECT doc_id, count(*) AS nb FROM grams JOIN freq USING (gram) GROUP BY doc_id
+), perdoc AS (
+  SELECT d.source, coalesce(np, 0) AS np, coalesce(nb, 0) AS nb
+  FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN boil USING (doc_id)
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(np) AS BIGINT) AS total_grams,
+  CAST(sum(nb) AS BIGINT) AS boiler_grams,
+  CAST(sum(CASE WHEN 20 * nb > np THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+FROM perdoc GROUP BY source ORDER BY source"""
 
 
 def _issue_patterns_oracle() -> str:
@@ -1984,6 +2029,7 @@ FROM t GROUP BY lang ORDER BY lang""",
         "decontamination": _decontamination_oracle(),
         "corpus_funnel": _corpus_funnel_oracle(),
         "corpus_clean": _corpus_clean_oracle(),
+        "boilerplate_stats": _boilerplate_stats_oracle(),
         "fingerprint_dedup": """
 SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,

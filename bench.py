@@ -440,7 +440,7 @@ def main() -> None:
         "minhash_lsh", "dedup_clusters", "simhash_near_dup", "ann_cosine_topk", "ann_lsh_topk",
         "ann_ivf_topk",
         "gopher_quality", "repetition_stats", "decontamination",
-        "corpus_funnel", "corpus_clean",
+        "corpus_funnel", "corpus_clean", "boilerplate_stats",
     ]
     qs = entrymod.queries()
     for name in bench_queries:

@@ -46,6 +46,8 @@ __all__ = [
     "repetition_stats",
     "decontaminate",
     "decontamination_report",
+    "boilerplate_ngrams",
+    "boilerplate_stats",
     "funnel_flags",
     "corpus_funnel",
     "corpus_clean",
@@ -373,6 +375,88 @@ def corpus_clean(
         dup_den=dup_den,
     )
     return flags.where(F.col("pass_clean")).select(*docs.columns)
+
+
+def boilerplate_ngrams(
+    docs: DataFrame,
+    n: int = 3,
+    min_docs: int = 5,
+) -> DataFrame:
+    """Cross-document boilerplate vocabulary: every word ``n``-gram that
+    appears in ≥ ``min_docs`` DISTINCT documents, with its document
+    frequency — the n-gram analog of CCNet/C4-style frequent-line removal
+    for corpora without line structure.  Returns ``(gram, gram_docs)``.
+
+    Shuffle budget: gram occurrences exchange once on gram; the distinct
+    doc-count is a partial-deduped two-phase aggregate, so the exchange
+    carries (gram, doc_id) pairs already deduplicated map-side — never the
+    documents.  The survivor set shrinks with ``min_docs``; at corpus scale
+    it is the (small) boilerplate lexicon itself.
+    """
+    return (
+        word_ngrams(docs, "doc_id", "text", n)
+        .groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("gram_docs"))
+        .where(F.col("gram_docs") >= F.lit(min_docs))
+    )
+
+
+def boilerplate_stats(
+    docs: DataFrame,
+    n: int = 3,
+    min_docs: int = 5,
+    flag_num: int = 1,
+    flag_den: int = 2,
+) -> DataFrame:
+    """Per-source boilerplate mass: how much of each source's token stream
+    is covered by cross-document boilerplate ``n``-grams (document
+    frequency ≥ ``min_docs``), and how many docs exceed the coverage flag
+    threshold ``flag_num/flag_den`` (integer-exact:
+    flag_den·boiler_positions > flag_num·total_positions; docs shorter than
+    ``n`` words have zero positions and can never flag).
+
+    Columns: ``source, n_docs, total_grams, boiler_grams, n_flagged``.
+
+    Shuffle budget: one gram-keyed exchange for the boilerplate lexicon
+    (see :func:`boilerplate_ngrams`), one doc_id-keyed exchange shared by
+    both per-doc counts (word_ngrams already partitions the token stream by
+    doc_id), a gram-keyed join back (left to AQE — the lexicon is usually
+    broadcast-sized but is corpus-derived, so nothing is forced), and the
+    tiny per-source rollup.  Document text never shuffles.
+    """
+    grams = word_ngrams(docs, "doc_id", "text", n, carry=["source"])
+    lexicon = boilerplate_ngrams(docs, n=n, min_docs=min_docs).select("gram")
+    total = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("__npos")
+    )
+    boiler = (
+        grams.join(lexicon, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("__nboiler"))
+    )
+    perdoc = (
+        docs.select("doc_id", "source")
+        .join(total, "doc_id", "left")
+        .join(boiler, "doc_id", "left")
+        .select(
+            "source",
+            F.coalesce(F.col("__npos"), F.lit(0)).alias("__npos"),
+            F.coalesce(F.col("__nboiler"), F.lit(0)).alias("__nboiler"),
+        )
+    )
+    flagged = F.lit(flag_den) * F.col("__nboiler") > F.lit(flag_num) * F.col(
+        "__npos"
+    )
+    return (
+        perdoc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__npos").cast("long").alias("total_grams"),
+            F.sum("__nboiler").cast("long").alias("boiler_grams"),
+            F.sum(flagged.cast("int")).cast("long").alias("n_flagged"),
+        )
+        .orderBy("source")
+    )
 
 
 def decontaminate(

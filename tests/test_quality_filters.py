@@ -319,3 +319,68 @@ class TestCorpusFunnel:
         ).collect()
         assert [r["doc_id"] for r in got] == [1]
         assert [c for c in got[0].asDict()] == docs.columns
+
+
+class TestBoilerplate:
+    def _corpus(self, spark):
+        boiler = "call now to subscribe today"
+        rows = [
+            (0, boiler + " alpha beta gamma", "en", "sA"),
+            (1, boiler + " delta epsilon zeta", "en", "sA"),
+            (2, "unique words only in this document", "en", "sA"),
+            (3, boiler, "en", "sB"),
+            (4, "an other fully distinct text body", "en", "sB"),
+            (5, "xy", "en", "sB"),  # < n tokens: zero positions
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        )
+
+    def test_lexicon_is_cross_doc_frequent_grams(self, spark):
+        from data_quality_spark.operators.quality_filters import boilerplate_ngrams
+
+        got = {
+            r["gram"]: r["gram_docs"]
+            for r in boilerplate_ngrams(self._corpus(spark), n=3, min_docs=3).collect()
+        }
+        # exactly the 3 grams of the shared boilerplate sentence, in 3 docs each
+        assert got == {
+            "call now to": 3,
+            "now to subscribe": 3,
+            "to subscribe today": 3,
+        }
+
+    def test_per_source_stats(self, spark):
+        from data_quality_spark.operators.quality_filters import boilerplate_stats
+
+        got = {
+            r["source"]: r.asDict()
+            for r in boilerplate_stats(
+                self._corpus(spark), n=3, min_docs=3, flag_num=1, flag_den=2
+            ).collect()
+        }
+        # doc0/doc1: 6 grams, 3 boiler → exactly half, not > 1/2 → no flag;
+        # doc3: 3 grams, all boiler → flagged; doc5: 0 positions → never flags
+        assert got["sA"] == {
+            "source": "sA", "n_docs": 3, "total_grams": 6 + 6 + 4,
+            "boiler_grams": 6, "n_flagged": 0,
+        }
+        assert got["sB"] == {
+            "source": "sB", "n_docs": 3, "total_grams": 3 + 4 + 0,
+            "boiler_grams": 3, "n_flagged": 1,
+        }
+
+    def test_occurrences_counted_not_distinct(self, spark):
+        from data_quality_spark.operators.quality_filters import boilerplate_stats
+
+        # the boiler gram occurs twice in doc 0: both positions count
+        docs = spark.createDataFrame(
+            [
+                (0, "spam spam spam spam", "en", "s"),
+                (1, "spam spam spam other", "en", "s"),
+            ],
+            "doc_id long, text string, lang string, source string",
+        )
+        r = boilerplate_stats(docs, n=3, min_docs=2).collect()[0]
+        # grams doc0: (spam spam spam)x2; doc1: (spam spam spam), (spam spam other)
+        assert r["total_grams"] == 4 and r["boiler_grams"] == 3
