@@ -552,6 +552,26 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing budget cut: per-language selection in portable md5 hash
+    order until 8000 chars of budget is reached (boundary row included),
+    rolled up per language."""
+    from data_quality_spark.operators.sampling import token_budget_sample
+
+    sel = token_budget_sample(
+        _t(spark, sf_dir, "documents"), "n_chars", 8000,
+        strata=["lang"], id_col="doc_id", seed=7, portable=True,
+    )
+    return (
+        sel.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars_sel"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_boilerplate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document boilerplate n-gram mass per source (the frequent-line
     -removal analog for the line-less sandbox corpus): 3-grams in ≥5
@@ -676,6 +696,28 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val split: near-dup clusters assigned as a unit
+    via the portable md5 of the component representative (val_frac 0.2,
+    seed 11), rolled up per (lang, split).  The twin re-derives clusters
+    with a union-find and re-hashes with hashlib against the same 128-bit
+    threshold literal."""
+    from data_quality_spark.operators.cluster import split_by_cluster
+
+    ensure_expected("cluster_split", sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs, "doc_id", "text", verify_threshold=0.5)
+    assigned = split_by_cluster(docs, "doc_id", pairs, val_frac=0.2, seed=11)
+    return (
+        assigned.groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
 def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-one-per-cluster decision: longest text survives, ties to the
     smallest doc_id — deterministic under any partitioning."""
@@ -793,6 +835,34 @@ def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a", "id_b", F.round("ber", 6).alias("ber_r")
     ).orderBy("id_a", "id_b")
+
+
+def q_audio_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level audio dedup: the verified fingerprint near-dup pairs
+    closed into duplicate clusters via the large-star/small-star rounds
+    (a re-encode chain A→B→C is ONE cluster even if the A–C pair was never
+    proposed).  Hash-checked against an independent union-find over the
+    pure-Python pair twin."""
+    from data_quality_spark.operators.audio_dedup import (
+        clip_fingerprints,
+        fingerprint_near_dup,
+    )
+    from data_quality_spark.operators.cluster import cluster_members
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_dup_corpus
+
+    ensure_expected("audio_dedup_clusters", sf_dir)
+    key = ("dup", 400, 42)
+    if key not in _CLIPS_CACHE:
+        _CLIPS_CACHE[key] = make_audio_dup_corpus(400, seed=42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(
+        _CLIPS_CACHE[key][cols], CLIPS_SCHEMA
+    ).repartition(8, "clip_id")
+    pairs = fingerprint_near_dup(clip_fingerprints(clips))
+    return cluster_members(pairs, "id_a", "id_b").select(
+        F.col("node").alias("clip_id"), "component", "cluster_size"
+    ).orderBy("clip_id")
 
 
 def q_audio_excerpt_match(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1035,6 +1105,16 @@ def q_clips_gate_issues(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gate_issues(decided)
 
 
+def q_clips_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio quality funnel: per-codec survivor counts through the
+    gate's stages (decode sanity → signal stats → transcript heuristics →
+    language ID); tail column n_keep is the gate's keep count exactly."""
+    from data_quality_spark.pipeline import _text_heuristics, clips_funnel, featurize
+
+    ensure_expected("clips_funnel", sf_dir)
+    return clips_funnel(_text_heuristics(featurize(_clips_df(spark))))
+
+
 def q_clips_gate_decide3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's 3-way decision enum over the gate (decide3:
     critical → reject, warning-only → graylist, clean → accept)."""
@@ -1106,6 +1186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_funnel": q_corpus_funnel,
         "corpus_clean": q_corpus_clean,
         "boilerplate_stats": q_boilerplate_stats,
+        "token_budget": q_token_budget,
         "fingerprint_dedup": q_fingerprint_dedup,
         "sample_balanced_lang": q_sample_balanced_lang,
         "sample_fraction": q_sample_fraction,
@@ -1116,6 +1197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # differential-oracle checked (expected/*.parquet twins)
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
+        "cluster_split": q_cluster_split,
         "dedup_resolve": q_dedup_resolve,
         "simhash_near_dup": q_simhash_near_dup,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -1124,6 +1206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "media_features": q_media_features,
         "audio_fingerprint_dedup": q_audio_fingerprint_dedup,
+        "audio_dedup_clusters": q_audio_dedup_clusters,
         "audio_excerpt_match": q_audio_excerpt_match,
         "audio_constellation_match": q_audio_constellation_match,
         "audio_spectral": q_audio_spectral,
@@ -1133,6 +1216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_resample": q_audio_resample,
         "audio_gain": q_audio_gain,
         "clips_gate": q_clips_gate,
+        "clips_funnel": q_clips_funnel,
         "clips_gate_rollup": q_clips_gate_rollup,
         "clips_gate_issues": q_clips_gate_issues,
         "clips_gate_decide3": q_clips_gate_decide3,
@@ -2030,6 +2114,18 @@ FROM t GROUP BY lang ORDER BY lang""",
         "corpus_funnel": _corpus_funnel_oracle(),
         "corpus_clean": _corpus_clean_oracle(),
         "boilerplate_stats": _boilerplate_stats_oracle(),
+        "token_budget": """
+WITH c AS (
+  SELECT lang, n_chars,
+    sum(n_chars) OVER (
+      PARTITION BY lang
+      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':7'), doc_id
+    ) - n_chars AS cum_before
+  FROM documents
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS chars_sel
+FROM c WHERE cum_before < 8000 GROUP BY lang ORDER BY lang""",
         "fingerprint_dedup": """
 SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
@@ -2107,6 +2203,7 @@ FROM ranked WHERE rnk <= 3""",
         # materialized to expected/*.parquet at query-build time.
         "minhash_lsh": _expected_sql("minhash_lsh"),
         "dedup_clusters": _expected_sql("dedup_clusters"),
+        "cluster_split": _expected_sql("cluster_split"),
         "dedup_resolve": _expected_sql("dedup_resolve"),
         "simhash_near_dup": _expected_sql("simhash_near_dup"),
         "winnow_fingerprints": _expected_sql("winnow_fingerprints"),
@@ -2116,6 +2213,7 @@ FROM ranked WHERE rnk <= 3""",
         "ann_recall": _expected_sql("ann_recall"),
         "media_features": _expected_sql("media_features"),
         "audio_fingerprint_dedup": _expected_sql("audio_fingerprint_dedup"),
+        "audio_dedup_clusters": _expected_sql("audio_dedup_clusters"),
         "audio_excerpt_match": _expected_sql("audio_excerpt_match"),
         "audio_constellation_match": _expected_sql("audio_constellation_match"),
         "audio_spectral": _expected_sql("audio_spectral"),
@@ -2125,6 +2223,7 @@ FROM ranked WHERE rnk <= 3""",
         "audio_resample": _expected_sql("audio_resample"),
         "audio_gain": _expected_sql("audio_gain"),
         "clips_gate": _expected_sql("clips_gate"),
+        "clips_funnel": _expected_sql("clips_funnel"),
         "clips_gate_rollup": _expected_sql("clips_gate_rollup"),
         "clips_gate_issues": _expected_sql("clips_gate_issues"),
         "clips_gate_decide3": _expected_sql("clips_gate_decide3"),

@@ -441,6 +441,7 @@ def main() -> None:
         "ann_ivf_topk",
         "gopher_quality", "repetition_stats", "decontamination",
         "corpus_funnel", "corpus_clean", "boilerplate_stats",
+        "token_budget", "cluster_split",
     ]
     qs = entrymod.queries()
     for name in bench_queries:

@@ -43,6 +43,7 @@ __all__ = [
     "connected_components",
     "cluster_members",
     "resolve_duplicates",
+    "split_by_cluster",
 ]
 
 
@@ -187,4 +188,54 @@ def resolve_duplicates(
         "component",
         "cluster_size",
         (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
+def split_by_cluster(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    val_frac: float,
+    seed: int = 0,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Leakage-safe train/val assignment: every row gets ``split`` ∈
+    {'train', 'val'} decided by the portable md5 hash of its duplicate
+    CLUSTER representative (the component min-id), so near-duplicates can
+    never straddle the split — the per-row i.i.d. coin that leaks eval
+    data through surviving near-dups is exactly what this replaces.
+    Rows in no cluster are their own representative.
+
+    Membership is a pure function of (representative, seed) via
+    ``sampling.fraction_threshold_hex``, so the same corpus + seed yields
+    byte-identical splits on any partitioning, engine (DuckDB/Python twins
+    hash identically), or rerun — and adding new singleton documents never
+    reassigns existing ones.
+
+    Shuffle budget: the star rounds on the (tiny) pair graph, one
+    component-keyed join of the assignment relation back onto ``df``'s
+    ids; the document rows themselves exchange once on id for that join.
+    """
+    from .sampling import fraction_threshold_hex, sample_order_col
+
+    comp = connected_components(pairs, src, dst).withColumnRenamed(
+        "node", id_col
+    )
+    rep = F.coalesce(
+        F.col("component").cast("string"), F.col(id_col).cast("string")
+    )
+    thresh = fraction_threshold_hex(val_frac)
+    return (
+        df.join(comp, id_col, "left")
+        .withColumn("__rep", rep)
+        .withColumn(
+            "split",
+            F.when(
+                sample_order_col(F.col("__rep"), seed, portable=True)
+                < F.lit(thresh),
+                F.lit("val"),
+            ).otherwise(F.lit("train")),
+        )
+        .drop("component", "__rep")
     )

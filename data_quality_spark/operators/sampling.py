@@ -54,6 +54,8 @@ __all__ = [
     "capped_sample_audit",
     "stratified_sample",
     "deterministic_sample",
+    "token_budget_sample",
+    "token_budget_audit",
     "skew_audit",
 ]
 
@@ -190,6 +192,97 @@ def deterministic_sample(
     thresh = fraction_threshold_hex(fraction)
     return df.where(
         sample_order_col(F.col(id_col), seed, portable=True) < F.lit(thresh))
+
+
+def token_budget_sample(
+    df: DataFrame,
+    weight_col: str,
+    budget: int,
+    strata: Sequence[str],
+    id_col: str,
+    seed: int = 0,
+    portable: bool = False,
+    presample_factor: float | None = None,
+) -> DataFrame:
+    """Per-stratum token budgeting: walk each stratum in deterministic hash
+    order and keep rows while the running ``weight_col`` total BEFORE the
+    row is < ``budget`` (so the boundary row that crosses the budget is
+    included — the selection always reaches the budget when the stratum
+    can).  This is the data-mixing primitive: "max N tokens per language /
+    source" as a pure function of (id, seed).
+
+    Adds ``cum_before`` (the exact running total before the row) so the
+    caller can trim the boundary row's overshoot if partial documents are
+    acceptable.
+
+    Scale: the exact path is one exchange + sort per ``strata`` value (the
+    window).  For 10^12-row strata, ``presample_factor`` (fast path only)
+    first aggregates per-stratum total weight (tiny relation), then filters
+    rows by ``uniform(hash) < factor * budget / total_weight`` BEFORE the
+    shuffle — the kept set is a hash-order prefix, so the result is
+    bit-identical whenever the survivors' weight reaches the budget
+    (``token_budget_audit`` makes that machine-checkable, exactly like
+    ``capped_sample_audit``)."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    order = sample_order_col(F.col(id_col), seed, portable)
+    src = df
+    if presample_factor is not None:
+        if presample_factor < 1.0:
+            raise ValueError("presample_factor must be >= 1")
+        if portable:
+            raise ValueError("presample is the fast-path optimization; "
+                             "portable mode keeps the exact formulation")
+        totals = df.groupBy(*strata).agg(
+            F.sum(weight_col).alias("__w_total"))
+        u = (order.cast("double") / F.lit(float(1 << 64))) + F.lit(0.5)
+        thresh = F.least(
+            F.lit(1.0),
+            F.lit(presample_factor * budget) / F.col("__w_total"))
+        src = (
+            df.join(totals, list(strata), "inner")
+            .where(u < thresh)
+            .select(*df.columns)
+        )
+    w = Window.partitionBy(*strata).orderBy(order.asc(), F.col(id_col).asc())
+    cum_before = (
+        F.sum(F.col(weight_col)).over(w) - F.col(weight_col)
+    ).alias("cum_before")
+    return (
+        src.select("*", cum_before)
+        .where(F.col("cum_before") < F.lit(budget))
+    )
+
+
+def token_budget_audit(
+    df: DataFrame,
+    sampled: DataFrame,
+    weight_col: str,
+    budget: int,
+    strata: Sequence[str],
+) -> DataFrame:
+    """Per-stratum exactness check for a (presampled) token-budget sample:
+    ``exact`` is true iff the stratum's selected weight reached
+    ``min(budget, stratum_total_weight)`` — i.e. the presample filter did
+    not starve the prefix.  (The boundary row may overshoot the budget;
+    reaching it is the guarantee, matching it exactly is not possible with
+    whole documents.)"""
+    w_all = df.groupBy(*strata).agg(F.sum(weight_col).alias("w_total"))
+    w_got = sampled.groupBy(*strata).agg(
+        F.sum(weight_col).alias("w_sampled"),
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+    )
+    return (
+        w_all.join(w_got, list(strata), "left")
+        .select(
+            *strata,
+            "w_total",
+            F.coalesce("w_sampled", F.lit(0)).alias("w_sampled"),
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            (F.coalesce("w_sampled", F.lit(0))
+             >= F.least(F.lit(budget), F.col("w_total"))).alias("exact"),
+        )
+    )
 
 
 def skew_audit(

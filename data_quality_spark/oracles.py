@@ -222,6 +222,47 @@ def _dedup_clusters_expected(docs) -> dict:
     return out
 
 
+def _cluster_split_expected(sf_dir: str) -> dict:
+    """Twin of the ``cluster_split`` query: union-find closure of the
+    minhash pair graph, split decided by hashlib-md5 of the component
+    representative against the same 128-bit threshold literal Spark uses
+    (``sampling.fraction_threshold_hex``), grouped per (lang, split)."""
+    import hashlib
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    from .operators.sampling import fraction_threshold_hex
+
+    docs = _read_documents(sf_dir)
+    pairs = [(a, b) for a, b, _ in _minhash_verified_pairs(docs)]
+    comp = _uf_min_components(pairs)
+    thresh = fraction_threshold_hex(0.2)
+    t = pq.read_table(
+        _os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    groups: dict[tuple[str, str], list[int]] = {}
+    for did, lang, nch in zip(
+        t.column("doc_id").to_pylist(),
+        t.column("lang").to_pylist(),
+        t.column("n_chars").to_pylist(),
+    ):
+        rep = str(comp.get(did, did))
+        h = hashlib.md5(f"{rep}:11".encode()).hexdigest()
+        split = "val" if h < thresh else "train"
+        g = groups.setdefault((lang, split), [0, 0])
+        g[0] += 1
+        g[1] += int(nch)
+    out = {"lang": [], "split": [], "n_docs": [], "total_chars": []}
+    for lang, split in sorted(groups):
+        out["lang"].append(lang)
+        out["split"].append(split)
+        out["n_docs"].append(groups[(lang, split)][0])
+        out["total_chars"].append(groups[(lang, split)][1])
+    return out
+
+
 def _dedup_resolve_expected(docs) -> dict:
     """Twin of ``dedup_resolve``: longest-text survivor per cluster,
     ties to the smallest doc_id."""
@@ -624,6 +665,39 @@ def _clips_row_flags(n=1200, seed=42) -> list[dict[str, bool]]:
     return rows
 
 
+def _clips_funnel_expected(n=1200, seed=42) -> dict:
+    """Twin of ``pipeline.clips_funnel``: the per-row flag twin grouped by
+    codec with cumulative stage conjunctions (stage order = FUNNEL_STAGES
+    insertion order; final column must equal the gate keep count)."""
+    from .pipeline import FUNNEL_STAGES
+
+    pdf = _clips_oracle_frame(n, seed)
+    rows = _clips_row_flags(n, seed)
+    stages = list(FUNNEL_STAGES.items())
+    groups: dict[str, list[int]] = {}
+    keep_check = 0
+    for (_, r), flags in zip(pdf.iterrows(), rows):
+        g = groups.setdefault(r["codec"], [0] * (1 + len(stages)))
+        g[0] += 1
+        ok = True
+        for i, (_stage, names) in enumerate(stages, start=1):
+            ok = ok and not any(flags[k] for k in names)
+            g[i] += 1 if ok else 0
+        keep_check += 1 if r["decision"] == "keep" else 0
+    cols = ["n_raw", "n_decode_ok", "n_signal_ok", "n_transcript_ok",
+            "n_keep"]
+    out: dict[str, list] = {"codec": []}
+    for c in cols:
+        out[c] = []
+    for codec in sorted(groups):
+        out["codec"].append(codec)
+        for i, c in enumerate(cols):
+            out[c].append(groups[codec][i])
+    # internal law: the funnel adds no predicates — its tail IS the gate
+    assert sum(out["n_keep"]) == keep_check
+    return out
+
+
 def _clips_gate_issues_expected(n=1200, seed=42) -> dict:
     """Twin of ``pipeline.gate_issues`` (rule_flags + fused-agg relation)."""
     from .pipeline import DROP_RULES
@@ -693,14 +767,15 @@ def _media_features_expected(n=300, seed=42) -> dict:
 # ------------------------------------------------------------ audio dedup
 
 
-def _audio_fingerprint_expected(
+def _audio_verified_pairs(
     n=400, seed=42, window=3, stride=1, ber_max=0.30, max_bucket=64
-) -> dict:
-    """Twin of ``audio_dedup.clip_fingerprints`` + ``fingerprint_near_dup``
-    over ``synth.make_audio_dup_corpus``: bucket keys rebuilt with the
-    from-spec XXH64 (bit-matching Spark's ``xxhash64`` array fold), BER via
-    per-word popcount loops — no Spark, no vectorized shortcuts in the
-    join/verify logic."""
+) -> list[tuple[str, str, float]]:
+    """Pure-Python twin of ``audio_dedup.clip_fingerprints`` +
+    ``fingerprint_near_dup`` over ``synth.make_audio_dup_corpus``: bucket
+    keys rebuilt with the from-spec XXH64 (bit-matching Spark's
+    ``xxhash64`` array fold), BER via per-word popcount loops — no Spark,
+    no vectorized shortcuts in the join/verify logic.  Sorted (a, b,
+    ber_rounded) triples; shared by the pair and cluster twins."""
     from .functions.audio import _decode_i16
     from .functions.spectral import (
         STABLE_MASK,
@@ -748,11 +823,33 @@ def _audio_fingerprint_expected(
         if ber <= ber_max:
             rows.append((a, b, spark_round(ber, 6)))
     rows.sort()
+    return rows
+
+
+def _audio_fingerprint_expected(n=400, seed=42) -> dict:
+    rows = _audio_verified_pairs(n, seed)
     return {
         "id_a": [r[0] for r in rows],
         "id_b": [r[1] for r in rows],
         "ber_r": [r[2] for r in rows],
     }
+
+
+def _audio_dedup_clusters_expected(n=400, seed=42) -> dict:
+    """Twin of the ``audio_dedup_clusters`` query: union-find closure of
+    the verified audio near-dup pair graph (component label = min clip_id,
+    lexicographic — same as the star rounds' canonical order)."""
+    pairs = [(a, b) for a, b, _ in _audio_verified_pairs(n, seed)]
+    comp = _uf_min_components(pairs)
+    sizes: dict[str, int] = {}
+    for c in comp.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    out = {"clip_id": [], "component": [], "cluster_size": []}
+    for node in sorted(comp):
+        out["clip_id"].append(node)
+        out["component"].append(comp[node])
+        out["cluster_size"].append(sizes[comp[node]])
+    return out
 
 
 def _audio_excerpt_expected(
@@ -1328,6 +1425,14 @@ _SCHEMAS: dict[str, pa.Schema] = {
         [("kind", pa.string()), ("ok", pa.bool_()), ("n_media", pa.int64()),
          ("total_bytes", pa.int64())]
     ),
+    "cluster_split": pa.schema(
+        [("lang", pa.string()), ("split", pa.string()),
+         ("n_docs", pa.int64()), ("total_chars", pa.int64())]
+    ),
+    "audio_dedup_clusters": pa.schema(
+        [("clip_id", pa.string()), ("component", pa.string()),
+         ("cluster_size", pa.int64())]
+    ),
     "audio_fingerprint_dedup": pa.schema(
         [("id_a", pa.string()), ("id_b", pa.string()),
          ("ber_r", pa.float64())]
@@ -1394,6 +1499,11 @@ _SCHEMAS: dict[str, pa.Schema] = {
          ("n_clips", pa.int64()), ("n_keep", pa.int64()),
          ("keep_rate_r", pa.float64()), ("audio_seconds_r", pa.float64())]
     ),
+    "clips_funnel": pa.schema(
+        [("codec", pa.string()), ("n_raw", pa.int64()),
+         ("n_decode_ok", pa.int64()), ("n_signal_ok", pa.int64()),
+         ("n_transcript_ok", pa.int64()), ("n_keep", pa.int64())]
+    ),
     "clips_gate_issues": pa.schema(
         [("table", pa.string()), ("column", pa.string()),
          ("issue_type", pa.string()), ("count", pa.int64()),
@@ -1453,6 +1563,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _minhash_lsh_agg(_read_documents(sf_dir))
     elif name == "dedup_clusters":
         data = _dedup_clusters_expected(_read_documents(sf_dir))
+    elif name == "cluster_split":
+        data = _cluster_split_expected(sf_dir)
     elif name == "dedup_resolve":
         data = _dedup_resolve_expected(_read_documents(sf_dir))
     elif name == "winnow_fingerprints":
@@ -1471,6 +1583,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _media_features_expected()
     elif name == "audio_fingerprint_dedup":
         data = _audio_fingerprint_expected()
+    elif name == "audio_dedup_clusters":
+        data = _audio_dedup_clusters_expected()
     elif name == "audio_excerpt_match":
         data = _audio_excerpt_expected()
     elif name == "audio_constellation_match":
@@ -1491,6 +1605,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _clips_gate_expected()
     elif name == "clips_gate_rollup":
         data = _clips_gate_rollup_expected()
+    elif name == "clips_funnel":
+        data = _clips_funnel_expected()
     elif name == "clips_gate_issues":
         data = _clips_gate_issues_expected()
     elif name == "clips_gate_decide3":

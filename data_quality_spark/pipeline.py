@@ -504,3 +504,55 @@ def gate_issues(decided: DataFrame, table: str = "clips") -> DataFrame:
         for name, col in flags.items()
     ]
     return compile_rules(decided, table, rules)
+
+
+# the gate's rules grouped into the pipeline's stages, in gate order:
+# decode/container sanity → signal statistics → transcript heuristics →
+# language identification.  The stages PARTITION DROP_RULES (asserted in
+# clips_funnel), so the funnel's final column is exactly the gate's keep set.
+FUNNEL_STAGES: dict[str, tuple[str, ...]] = {
+    "decode": (
+        "decode_failed", "bad_sample_rate", "bad_duration",
+        "duration_mismatch",
+    ),
+    "signal": ("mostly_silence", "clipping", "too_quiet"),
+    "transcript": (
+        "empty_transcript", "high_perplexity", "repetitive",
+        "length_ratio", "charclass", "digit_flood",
+    ),
+    "language": ("low_lang_confidence",),
+}
+
+
+def clips_funnel(df: DataFrame, group_col: str = "codec") -> DataFrame:
+    """Per-``group_col`` survivor counts through the gate's stages —
+    the audio twin of ``operators.quality_filters.corpus_funnel``:
+
+    ``n_raw`` → ``n_decode_ok`` (container/codec/sr/duration sanity) →
+    ``n_signal_ok`` (also no silence/clipping/too-quiet defect) →
+    ``n_transcript_ok`` (also passes every transcript heuristic) →
+    ``n_keep`` (also confident language ID).
+
+    Stage columns are monotone by construction, and because the stages
+    partition ``DROP_RULES``, ``n_keep`` is bit-identical to the gate's
+    keep count (``sum(decision = 'keep')``) — the funnel adds ZERO new
+    predicates, only attributes the drops to pipeline stages.  One fused
+    aggregate over the already-featurized frame: no extra scan, no extra
+    shuffle beyond the ~#groups rollup.
+    """
+    flags = rule_flags(df)
+    staged = [name for names in FUNNEL_STAGES.values() for name in names]
+    assert sorted(staged) == sorted(DROP_RULES), (
+        "FUNNEL_STAGES must partition DROP_RULES"
+    )
+    cum = F.lit(True)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_raw")]
+    names = {"decode": "n_decode_ok", "signal": "n_signal_ok",
+             "transcript": "n_transcript_ok", "language": "n_keep"}
+    for stage, rules in FUNNEL_STAGES.items():
+        ok = F.lit(True)
+        for r in rules:
+            ok = ok & ~flags[r]
+        cum = cum & ok
+        aggs.append(F.sum(cum.cast("int")).cast("long").alias(names[stage]))
+    return df.groupBy(group_col).agg(*aggs).orderBy(group_col)

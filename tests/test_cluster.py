@@ -127,3 +127,59 @@ class TestResolve:
         ).collect()
         assert {r["doc_id"]: r["keep"] for r in out} == {
             1: False, 2: True, 3: False}
+
+
+class TestSplitByCluster:
+    def _docs(self, spark, n=60):
+        return spark.createDataFrame(
+            [(i, f"text {i}", "en", "s") for i in range(n)],
+            "doc_id long, text string, lang string, source string",
+        )
+
+    def _pairs(self, spark):
+        # two chains: 0-1-2 and 10-11; plus isolated pair 20-21
+        return spark.createDataFrame(
+            [(0, 1), (1, 2), (10, 11), (20, 21)], "id_a long, id_b long"
+        )
+
+    def test_no_pair_straddles_the_split(self, spark):
+        from data_quality_spark.operators.cluster import split_by_cluster
+
+        got = split_by_cluster(
+            self._docs(spark), "doc_id", self._pairs(spark), 0.5, seed=3
+        )
+        by_id = {r["doc_id"]: r["split"] for r in got.collect()}
+        for a, b in [(0, 1), (1, 2), (0, 2), (10, 11), (20, 21)]:
+            assert by_id[a] == by_id[b], (a, b)
+
+    def test_portable_twin_and_singleton_stability(self, spark):
+        import hashlib
+
+        from data_quality_spark.operators.cluster import split_by_cluster
+        from data_quality_spark.operators.sampling import (
+            fraction_threshold_hex,
+        )
+
+        docs = self._docs(spark)
+        got = {
+            r["doc_id"]: r["split"]
+            for r in split_by_cluster(
+                docs, "doc_id", self._pairs(spark), 0.3, seed=7
+            ).collect()
+        }
+        comp = {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 20: 20, 21: 20}
+        th = fraction_threshold_hex(0.3)
+        for did in range(60):
+            rep = str(comp.get(did, did))
+            want = (
+                "val"
+                if hashlib.md5(f"{rep}:7".encode()).hexdigest() < th
+                else "train"
+            )
+            assert got[did] == want, did
+        # growing the corpus never reassigns existing singleton docs
+        bigger = split_by_cluster(
+            self._docs(spark, n=90), "doc_id", self._pairs(spark), 0.3, seed=7
+        )
+        got2 = {r["doc_id"]: r["split"] for r in bigger.collect()}
+        assert all(got2[d] == got[d] for d in got), "existing rows reassigned"

@@ -14,6 +14,8 @@ from data_quality_spark.operators.gate import (
     run_medallion_checkpoints,
     salted_gate_aggregate,
 )
+from pyspark.sql import functions as F
+
 from data_quality_spark.pipeline import gate, gate_issues
 from data_quality_spark.synth import generate_clips, oracle_gate
 
@@ -174,3 +176,36 @@ def test_three_way_decision(spark):
         assert "reject" in d3.values() and "graylist" in d3.values()
     finally:
         feat.unpersist()
+
+
+def test_clips_funnel_monotone_and_ties_to_gate(spark, corpus):
+    """The funnel attributes drops to stages without changing the decision:
+    columns non-increasing left-to-right, and the tail equals the gate's
+    keep count per codec."""
+    from data_quality_spark.pipeline import (
+        _text_heuristics,
+        clips_funnel,
+        featurize,
+    )
+
+    pdf, _ = corpus
+    df = spark.createDataFrame(
+        pdf[["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript",
+             "ingest_day"]]
+    )
+    feats = _text_heuristics(featurize(df))
+    fun = {r["codec"]: r.asDict() for r in clips_funnel(feats).collect()}
+    keep = {
+        r["codec"]: r["n"]
+        for r in gate(df)
+        .where("decision = 'keep'")
+        .groupBy("codec")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert fun  # corpus covers several codecs
+    for codec, row in fun.items():
+        seq = [row["n_raw"], row["n_decode_ok"], row["n_signal_ok"],
+               row["n_transcript_ok"], row["n_keep"]]
+        assert seq == sorted(seq, reverse=True), codec
+        assert row["n_keep"] == keep.get(codec, 0), codec

@@ -174,3 +174,82 @@ class TestSkewAudit:
             assert row["share"] == c / total
             assert row["ratio_to_mean"] == (c * n_keys) / total
         assert list(out["rank"]) == [1, 2, 3]
+
+
+class TestTokenBudget:
+    def test_budget_law(self, spark):
+        from data_quality_spark.operators.sampling import token_budget_sample
+
+        df, pdf = _docs(spark)
+        sel = token_budget_sample(
+            df, "val", 900, strata=["lang"], id_col="doc_id", seed=3
+        ).toPandas()
+        assert (sel["cum_before"] < 900).all()
+        totals = pdf.groupby("lang")["val"].sum()
+        for lang, g in sel.groupby("lang"):
+            # reaches the budget whenever the stratum can (boundary row in)
+            assert int(g["val"].sum()) >= min(900, int(totals[lang]))
+
+    def test_partitioning_invariance(self, spark):
+        from data_quality_spark.operators.sampling import token_budget_sample
+
+        df, _ = _docs(spark)
+        a = token_budget_sample(
+            df.coalesce(1), "val", 700, ["lang"], "doc_id", seed=5
+        ).select("doc_id").toPandas()
+        b = token_budget_sample(
+            df.repartition(13), "val", 700, ["lang"], "doc_id", seed=5
+        ).select("doc_id").toPandas()
+        assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+
+    def test_presample_exactness_audited(self, spark):
+        from data_quality_spark.operators.sampling import (
+            token_budget_audit,
+            token_budget_sample,
+        )
+
+        df, _ = _docs(spark)
+        exact = token_budget_sample(df, "val", 800, ["lang"], "doc_id", seed=9)
+        e_ids = sorted(r["doc_id"] for r in exact.collect())
+
+        # generous factor: survivor prefix reaches the budget in every
+        # stratum -> bit-identical to the exact path, audit green
+        fast = token_budget_sample(
+            df, "val", 800, ["lang"], "doc_id", seed=9, presample_factor=8.0
+        )
+        assert e_ids == sorted(r["doc_id"] for r in fast.collect())
+        audit = token_budget_audit(df, fast, "val", 800, ["lang"])
+        assert all(r["exact"] for r in audit.collect())
+
+        # tight factor: this seed truncates one stratum's prefix under
+        # budget — the result is still a PREFIX subset of the exact
+        # selection (never reordered, never overshot) and the audit is
+        # exactly the detector that flags the starved stratum
+        tight = token_budget_sample(
+            df, "val", 800, ["lang"], "doc_id", seed=9, presample_factor=3.0
+        )
+        t_ids = sorted(r["doc_id"] for r in tight.collect())
+        assert set(t_ids) < set(e_ids)
+        a2 = {r["lang"]: r["exact"]
+              for r in token_budget_audit(df, tight, "val", 800,
+                                          ["lang"]).collect()}
+        assert not all(a2.values()) and any(a2.values())
+
+    def test_portable_matches_hashlib_order(self, spark):
+        from data_quality_spark.operators.sampling import token_budget_sample
+
+        df, pdf = _docs(spark, n=120)
+        sel = token_budget_sample(
+            df, "val", 600, ["lang"], "doc_id", seed=4, portable=True
+        ).toPandas()
+        for lang, g in pdf.groupby("lang"):
+            g = g.copy()
+            g["h"] = [_md5_twin(i, 4) for i in g["doc_id"]]
+            g = g.sort_values(["h", "doc_id"])
+            cum, want = 0, []
+            for _, r in g.iterrows():
+                if cum < 600:
+                    want.append(int(r["doc_id"]))
+                cum += int(r["val"])
+            got = sorted(int(v) for v in sel[sel["lang"] == lang]["doc_id"])
+            assert got == sorted(want), lang
