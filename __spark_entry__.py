@@ -962,6 +962,26 @@ def q_audio_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_snr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip speech-SNR: speech vs noise-floor energy ratio over the
+    VAD's smoothed frame partition — the in-clip noise reference the
+    whole-clip rms_db cannot express.  One mapInArrow pass, no shuffle;
+    hash-checked per clip against a state-machine + fsum oracle."""
+    from data_quality_spark.operators.audio_snr import clip_snr
+
+    ensure_expected("audio_snr", sf_dir)
+    snr = clip_snr(_clips_df(spark, n=300))
+    return snr.select(
+        "clip_id",
+        "ok",
+        "n_frames",
+        "speech_frames",
+        F.round("snr_db", 2).alias("snr_r"),
+        F.round("speech_db", 2).alias("speech_r"),
+        F.round("noise_db", 2).alias("noise_r"),
+    ).orderBy("clip_id")
+
+
 def q_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-clip voice-activity summary (energy VAD, hangover + debounce
     smoothing): speech_ratio and silence/speech run-length stats the
@@ -1211,6 +1231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_constellation_match": q_audio_constellation_match,
         "audio_spectral": q_audio_spectral,
         "audio_dropout": q_audio_dropout,
+        "audio_snr": q_audio_snr,
         "audio_vad": q_audio_vad,
         "audio_segments": q_audio_segments,
         "audio_resample": q_audio_resample,
@@ -2218,6 +2239,7 @@ FROM ranked WHERE rnk <= 3""",
         "audio_constellation_match": _expected_sql("audio_constellation_match"),
         "audio_spectral": _expected_sql("audio_spectral"),
         "audio_dropout": _expected_sql("audio_dropout"),
+        "audio_snr": _expected_sql("audio_snr"),
         "audio_vad": _expected_sql("audio_vad"),
         "audio_segments": _expected_sql("audio_segments"),
         "audio_resample": _expected_sql("audio_resample"),

@@ -1206,6 +1206,61 @@ def _audio_vad_expected(n=300, seed=42) -> dict:
     return out
 
 
+def _audio_snr_expected(n=300, seed=42) -> dict:
+    """Twin of ``audio_snr.clip_snr``: shared frame energies + decode
+    dispatch, independent smoothing state machine, independent mean
+    accounting (explicit ``math.fsum`` over the labelled frames — the
+    kernel uses numpy masked pairwise means), 2dp rounding guarded off
+    half-step boundaries at generation time."""
+    from .functions.audio import SILENCE_DB
+    from .functions.snr import SNR_CAP_DB, SNR_FLOOR_DB
+    from .functions.vad import HANG_FRAMES, MIN_SPEECH_FRAMES, frame_mean_squares
+    from .synth import generate_clips
+
+    eps2 = 1e-24
+    pdf = generate_clips(n, seed=seed)
+    out: dict[str, list] = {
+        "clip_id": [], "ok": [], "n_frames": [], "speech_frames": [],
+        "snr_r": [], "speech_r": [], "noise_r": [],
+    }
+    raw: list[float] = []
+    for _, r in pdf.sort_values("clip_id").iterrows():
+        x, ok = _vad_decode(r)
+        sr = r["sr_hz"] or 0
+        ms2, _frame = (frame_mean_squares(x, sr) if sr > 0
+                       else (np.zeros(0), 1))
+        nf = int(ms2.size)
+        if nf == 0:
+            act = []
+        else:
+            frame_db = 10.0 * np.log10(np.maximum(ms2, eps2))
+            act = _vad_state_machine(frame_db, SILENCE_DB, HANG_FRAMES,
+                                     MIN_SPEECH_FRAMES)
+        sp = [float(ms2[i]) for i in range(nf) if act[i]]
+        nz = [float(ms2[i]) for i in range(nf) if not act[i]]
+        speech_ms = math.fsum(sp) / len(sp) if sp else None
+        noise_ms = math.fsum(nz) / len(nz) if nz else None
+        to_db = lambda m: max(10.0 * math.log10(max(m, eps2)), SNR_FLOOR_DB)
+        snr = (min(10.0 * math.log10(max(speech_ms, eps2) / max(noise_ms, eps2)),
+                   SNR_CAP_DB)
+               if (speech_ms is not None and noise_ms is not None) else None)
+        for v in (snr, to_db(speech_ms) if speech_ms is not None else None,
+                  to_db(noise_ms) if noise_ms is not None else None):
+            if v is not None:
+                raw.append(v)
+        out["clip_id"].append(r["clip_id"])
+        out["ok"].append(ok)
+        out["n_frames"].append(nf)
+        out["speech_frames"].append(len(sp))
+        out["snr_r"].append(spark_round(snr, 2))
+        out["speech_r"].append(
+            spark_round(to_db(speech_ms), 2) if speech_ms is not None else None)
+        out["noise_r"].append(
+            spark_round(to_db(noise_ms), 2) if noise_ms is not None else None)
+    _assert_off_rounding_boundary(raw, 2)
+    return out
+
+
 def _audio_segments_expected(n=300, seed=42) -> dict:
     """Twin of ``audio_vad.clip_segments``: same state machine as above,
     segment boundaries read off the smoothed mask with an explicit scan;
@@ -1460,6 +1515,12 @@ _SCHEMAS: dict[str, pa.Schema] = {
          ("has_dropout", pa.bool_()), ("has_stuck", pa.bool_()),
          ("has_dc_offset", pa.bool_())]
     ),
+    "audio_snr": pa.schema(
+        [("clip_id", pa.string()), ("ok", pa.bool_()),
+         ("n_frames", pa.int32()), ("speech_frames", pa.int32()),
+         ("snr_r", pa.float64()), ("speech_r", pa.float64()),
+         ("noise_r", pa.float64())]
+    ),
     "audio_vad": pa.schema(
         [("clip_id", pa.string()), ("ok", pa.bool_()),
          ("n_frames", pa.int32()), ("speech_ratio_r", pa.float64()),
@@ -1595,6 +1656,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_dropout_expected()
     elif name == "audio_vad":
         data = _audio_vad_expected()
+    elif name == "audio_snr":
+        data = _audio_snr_expected()
     elif name == "audio_segments":
         data = _audio_segments_expected()
     elif name == "audio_resample":
