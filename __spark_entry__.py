@@ -982,6 +982,27 @@ def q_audio_snr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+def q_audio_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip K-weighted gated loudness (BS.1770-style LUFS): 400 ms /
+    75 %-overlap blocks, frequency-domain K-weighting, absolute −70 LUFS +
+    relative −10 LU two-stage gate — the presentation-level statistic the
+    whole-clip rms_db cannot express (hum and pauses are discounted).
+    One mapInArrow pass, no shuffle; hash-checked per clip against an
+    irfft + fsum + explicit-gate-loop differential oracle."""
+    from data_quality_spark.operators.audio_loudness import clip_lufs
+
+    ensure_expected("audio_loudness", sf_dir)
+    lufs = clip_lufs(_clips_df(spark, n=300))
+    return lufs.select(
+        "clip_id",
+        "ok",
+        "n_blocks",
+        "n_gated",
+        F.round("lufs_i", 2).alias("lufs_i_r"),
+        F.round("lufs_max_m", 2).alias("lufs_max_r"),
+    ).orderBy("clip_id")
+
+
 def q_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-clip voice-activity summary (energy VAD, hangover + debounce
     smoothing): speech_ratio and silence/speech run-length stats the
@@ -1232,6 +1253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_spectral": q_audio_spectral,
         "audio_dropout": q_audio_dropout,
         "audio_snr": q_audio_snr,
+        "audio_loudness": q_audio_loudness,
         "audio_vad": q_audio_vad,
         "audio_segments": q_audio_segments,
         "audio_resample": q_audio_resample,
@@ -2240,6 +2262,7 @@ FROM ranked WHERE rnk <= 3""",
         "audio_spectral": _expected_sql("audio_spectral"),
         "audio_dropout": _expected_sql("audio_dropout"),
         "audio_snr": _expected_sql("audio_snr"),
+        "audio_loudness": _expected_sql("audio_loudness"),
         "audio_vad": _expected_sql("audio_vad"),
         "audio_segments": _expected_sql("audio_segments"),
         "audio_resample": _expected_sql("audio_resample"),

@@ -1,0 +1,199 @@
+"""K-weighted gated loudness (ITU-R BS.1770-inspired, LUFS).
+
+Plain RMS treats a 50 Hz hum and on-mic speech as the same energy; the
+broadcast loudness standard weights the spectrum by the K-filter (head-
+related high shelf + rumble high-pass) and *gates* silence out of the
+average, which is exactly the level statistic a speech-corpus normalizer
+wants ("is this clip at a sane presentation level", robustly to pauses).
+
+Definition implemented here (mono, from the public BS.1770-4 text):
+
+1. 400 ms analysis blocks with 75 % overlap (100 ms hop), rectangular;
+2. per-block K-weighted mean square, computed in the FREQUENCY domain:
+   ``ms_j = (1/N) · Σ_f |H(f)|² · P_xx(f)`` via Parseval over the block's
+   DFT — exact for circular filtering, and deterministic (no IIR state
+   crossing block edges).  |H(f)|² is the cascade response of the two
+   BS.1770 biquads, redesigned at the clip's sample rate from the spec's
+   analog prototype (same published redesign the open-source
+   implementations use: shelf f0 = 1681.97 Hz / +4 dB / Q 0.7072,
+   high-pass f0 = 38.135 Hz / Q 0.5003);
+3. block loudness ``l_j = −0.691 + 10·log10(ms_j)``;
+4. two-stage gate: absolute −70 LUFS, then relative −10 LU below the
+   mean power of absolutely-gated blocks; integrated loudness is the
+   power mean of surviving blocks.
+
+A clip shorter than one block, or with every block gated out (digital
+silence), reports NULL rather than a sentinel number.
+
+The differential oracle computes step 2 through ``irfft`` (zero-phase
+amplitude weighting back to the time domain, fsum of squares) and replays
+the gate as an explicit per-block loop — the Parseval bookkeeping and the
+gate logic are the differential surface; 2 dp rounding guarded off
+half-step boundaries at generation time.
+
+Scale shape: pure per-clip map (vectorized one-shot ``rfft`` over a
+strided block view) — no shuffle, composes into the same single
+``mapInArrow`` pass as every kernel here.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+__all__ = [
+    "BLOCK_S",
+    "HOP_S",
+    "ABS_GATE_LUFS",
+    "REL_GATE_LU",
+    "k_weight_power",
+    "block_loudness",
+    "gated_loudness",
+    "clip_loudness",
+]
+
+BLOCK_S = 0.400
+HOP_S = 0.100
+ABS_GATE_LUFS = -70.0
+REL_GATE_LU = -10.0
+_OFFSET = -0.691  # BS.1770 mono channel term
+_EPS2 = 1e-24
+
+# BS.1770 prototype parameters (public constants; exact values from the
+# de-facto reference redesign used across open implementations)
+_SHELF_F0 = 1681.974450955533
+_SHELF_GAIN_DB = 3.999843853973347
+_SHELF_Q = 0.7071752369554196
+_HP_F0 = 38.13547087602444
+_HP_Q = 0.5003270373238773
+
+
+# Vb = Vh ** _VB_EXP: the published redesign's shelf mid-band term,
+# fitted so the bilinear prototype reproduces the spec's 48 kHz table
+_VB_EXP = 0.4996667741545416
+
+
+def _biquad_shelf(fs: float) -> tuple[np.ndarray, np.ndarray]:
+    """High-shelf stage at fs (tan-prototype bilinear redesign; at
+    fs = 48 kHz this reproduces the BS.1770 table coefficients exactly,
+    so the 997 Hz / −3.01 LUFS anchor holds by construction)."""
+    K = math.tan(math.pi * _SHELF_F0 / fs)
+    Vh = 10.0 ** (_SHELF_GAIN_DB / 20.0)
+    Vb = Vh ** _VB_EXP
+    a0 = 1.0 + K / _SHELF_Q + K * K
+    b = np.array([(Vh + Vb * K / _SHELF_Q + K * K) / a0,
+                  2.0 * (K * K - Vh) / a0,
+                  (Vh - Vb * K / _SHELF_Q + K * K) / a0])
+    a = np.array([1.0,
+                  2.0 * (K * K - 1.0) / a0,
+                  (1.0 - K / _SHELF_Q + K * K) / a0])
+    return b, a
+
+
+def _biquad_highpass(fs: float) -> tuple[np.ndarray, np.ndarray]:
+    """RLB high-pass stage at fs (same prototype family; spec-exact
+    at 48 kHz, numerator left at [1, −2, 1] as published)."""
+    K = math.tan(math.pi * _HP_F0 / fs)
+    a0 = 1.0 + K / _HP_Q + K * K
+    b = np.array([1.0, -2.0, 1.0])
+    a = np.array([1.0,
+                  2.0 * (K * K - 1.0) / a0,
+                  (1.0 - K / _HP_Q + K * K) / a0])
+    return b, a
+
+
+def _response2(b: np.ndarray, a: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """|H(e^{jw})|² of one biquad on angular-frequency grid w (float64)."""
+    z1 = np.exp(-1j * w)
+    z2 = np.exp(-2j * w)
+    num = b[0] + b[1] * z1 + b[2] * z2
+    den = a[0] + a[1] * z1 + a[2] * z2
+    h = num / den
+    return (h.real * h.real + h.imag * h.imag).astype(np.float64)
+
+
+_WEIGHT_CACHE: dict[tuple[int, int], np.ndarray] = {}
+
+
+def k_weight_power(sr_hz: int, n: int) -> np.ndarray:
+    """|H_K(f)|² on the rfft bin grid for block length n at sr_hz."""
+    key = (int(sr_hz), int(n))
+    got = _WEIGHT_CACHE.get(key)
+    if got is None:
+        w = 2.0 * math.pi * np.arange(n // 2 + 1, dtype=np.float64) / n
+        bs, as_ = _biquad_shelf(float(sr_hz))
+        bh, ah = _biquad_highpass(float(sr_hz))
+        got = _response2(bs, as_, w) * _response2(bh, ah, w)
+        _WEIGHT_CACHE[key] = got
+    return got
+
+
+def block_loudness(x: np.ndarray, sr_hz: int) -> np.ndarray:
+    """Per-block loudness l_j (LUFS, float64) over 400 ms / 100 ms-hop
+    blocks of normalized float PCM; empty array when the clip is shorter
+    than one block."""
+    n = int(round(sr_hz * BLOCK_S))
+    hop = int(round(sr_hz * HOP_S))
+    if x.size < n or n <= 0 or hop <= 0:
+        return np.zeros(0, dtype=np.float64)
+    n_blocks = 1 + (int(x.size) - n) // hop
+    x64 = np.ascontiguousarray(x, dtype=np.float64)
+    blocks = np.lib.stride_tricks.as_strided(
+        x64, shape=(n_blocks, n),
+        strides=(x64.strides[0] * hop, x64.strides[0]))
+    spec = np.fft.rfft(blocks, axis=1)
+    p = spec.real * spec.real + spec.imag * spec.imag
+    wgt = k_weight_power(sr_hz, n)
+    # Parseval for rfft: DC and (even-n) Nyquist bins count once, the rest
+    # twice; mean square = sum / n².
+    scale = np.full(wgt.shape, 2.0)
+    scale[0] = 1.0
+    if n % 2 == 0:
+        scale[-1] = 1.0
+    ms = (p * (wgt * scale)).sum(axis=1, dtype=np.float64) / (float(n) * n)
+    return _OFFSET + 10.0 * np.log10(np.maximum(ms, _EPS2))
+
+
+def gated_loudness(lj: np.ndarray) -> tuple[float | None, int]:
+    """(integrated LUFS | None, number of blocks surviving both gates)."""
+    if lj.size == 0:
+        return None, 0
+    abs_mask = lj > ABS_GATE_LUFS
+    if not abs_mask.any():
+        return None, 0
+    # back to power domain for the means (the gate thresholds are defined
+    # on power means, not on dB means)
+    pw = 10.0 ** ((lj - _OFFSET) / 10.0)
+    rel_thr = (
+        _OFFSET + 10.0 * np.log10(
+            float(np.mean(pw[abs_mask], dtype=np.float64)))
+        + REL_GATE_LU
+    )
+    mask = abs_mask & (lj > rel_thr)
+    k = int(np.count_nonzero(mask))
+    if k == 0:
+        return None, 0
+    return (
+        float(_OFFSET + 10.0 * np.log10(
+            float(np.mean(pw[mask], dtype=np.float64)))),
+        k,
+    )
+
+
+def clip_loudness(x: np.ndarray, sr_hz: int) -> dict:
+    """Whole-clip summary: ``{"n_blocks", "n_gated", "lufs_i",
+    "lufs_max_m"}``; LUFS fields are None when unmeasurable."""
+    if x.size == 0 or sr_hz is None or sr_hz <= 0:
+        return {"n_blocks": 0, "n_gated": 0, "lufs_i": None, "lufs_max_m": None}
+    lj = block_loudness(x, sr_hz)
+    if lj.size == 0:
+        return {"n_blocks": 0, "n_gated": 0, "lufs_i": None, "lufs_max_m": None}
+    li, k = gated_loudness(lj)
+    mx = float(lj.max())
+    return {
+        "n_blocks": int(lj.size),
+        "n_gated": k,
+        "lufs_i": li,
+        "lufs_max_m": mx if mx > ABS_GATE_LUFS else None,
+    }

@@ -1261,6 +1261,93 @@ def _audio_snr_expected(n=300, seed=42) -> dict:
     return out
 
 
+def _audio_loudness_expected(n=300, seed=42) -> dict:
+    """Twin of ``audio_loudness.clip_lufs``: shared decode dispatch and
+    biquad coefficient formulas (spec constants), but the per-block
+    K-weighted mean square goes the OTHER way round Parseval — amplitude-
+    weight the spectrum, ``irfft`` back to the time domain, ``math.fsum``
+    of squares — and blocks come from explicit Python slicing instead of
+    the kernel's strided view.  The two-stage gate is replayed as an
+    explicit per-block loop with fsum power means.  2dp rounding guarded
+    off half-step boundaries at generation time."""
+    from .functions.loudness import (
+        ABS_GATE_LUFS,
+        BLOCK_S,
+        HOP_S,
+        REL_GATE_LU,
+        _biquad_highpass,
+        _biquad_shelf,
+    )
+    from .synth import generate_clips
+
+    off = -0.691
+    eps2 = 1e-24
+    pdf = generate_clips(n, seed=seed)
+    out: dict[str, list] = {
+        "clip_id": [], "ok": [], "n_blocks": [], "n_gated": [],
+        "lufs_i_r": [], "lufs_max_r": [],
+    }
+    raw: list[float] = []
+    amp_cache: dict[tuple[int, int], np.ndarray] = {}
+
+    def k_amp(sr: int, nblk: int) -> np.ndarray:
+        got = amp_cache.get((sr, nblk))
+        if got is None:
+            w = 2.0 * math.pi * np.arange(nblk // 2 + 1) / nblk
+            h = np.ones(w.size, dtype=np.complex128)
+            for b, a in (_biquad_shelf(float(sr)), _biquad_highpass(float(sr))):
+                z1, z2 = np.exp(-1j * w), np.exp(-2j * w)
+                h *= (b[0] + b[1] * z1 + b[2] * z2) / (
+                    a[0] + a[1] * z1 + a[2] * z2)
+            got = np.abs(h)
+            amp_cache[(sr, nblk)] = got
+        return got
+
+    for _, r in pdf.sort_values("clip_id").iterrows():
+        x, ok = _vad_decode(r)
+        sr = int(r["sr_hz"] or 0)
+        nblk = int(round(sr * BLOCK_S)) if sr > 0 else 0
+        hop = int(round(sr * HOP_S)) if sr > 0 else 0
+        lj: list[float] = []
+        if nblk > 0 and hop > 0 and x.size >= nblk:
+            amp = k_amp(sr, nblk)
+            x64 = x.astype(np.float64)
+            j = 0
+            while j + nblk <= x.size:
+                spec = np.fft.rfft(x64[j:j + nblk])
+                y = np.fft.irfft(spec * amp, n=nblk)
+                ms = math.fsum(float(v) * float(v) for v in y) / nblk
+                lj.append(off + 10.0 * math.log10(max(ms, eps2)))
+                j += hop
+        abs_pass = [l for l in lj if l > ABS_GATE_LUFS]
+        lufs_i = None
+        n_gated = 0
+        if abs_pass:
+            pw = lambda l: 10.0 ** ((l - off) / 10.0)
+            rel_thr = (off + 10.0 * math.log10(
+                math.fsum(pw(l) for l in abs_pass) / len(abs_pass))
+                + REL_GATE_LU)
+            keep = [l for l in lj if l > ABS_GATE_LUFS and l > rel_thr]
+            n_gated = len(keep)
+            if keep:
+                lufs_i = off + 10.0 * math.log10(
+                    math.fsum(pw(l) for l in keep) / len(keep))
+        lufs_max = max(lj) if lj else None
+        if lufs_max is not None and lufs_max <= ABS_GATE_LUFS:
+            lufs_max = None
+        for v in (lufs_i, lufs_max):
+            if v is not None:
+                raw.append(v)
+        out["clip_id"].append(r["clip_id"])
+        out["ok"].append(ok)
+        out["n_blocks"].append(len(lj))
+        out["n_gated"].append(n_gated)
+        out["lufs_i_r"].append(spark_round(lufs_i, 2))
+        out["lufs_max_r"].append(spark_round(lufs_max, 2))
+    _assert_off_rounding_boundary(raw, 2)
+    return out
+
+
 def _audio_segments_expected(n=300, seed=42) -> dict:
     """Twin of ``audio_vad.clip_segments``: same state machine as above,
     segment boundaries read off the smoothed mask with an explicit scan;
@@ -1521,6 +1608,11 @@ _SCHEMAS: dict[str, pa.Schema] = {
          ("snr_r", pa.float64()), ("speech_r", pa.float64()),
          ("noise_r", pa.float64())]
     ),
+    "audio_loudness": pa.schema(
+        [("clip_id", pa.string()), ("ok", pa.bool_()),
+         ("n_blocks", pa.int32()), ("n_gated", pa.int32()),
+         ("lufs_i_r", pa.float64()), ("lufs_max_r", pa.float64())]
+    ),
     "audio_vad": pa.schema(
         [("clip_id", pa.string()), ("ok", pa.bool_()),
          ("n_frames", pa.int32()), ("speech_ratio_r", pa.float64()),
@@ -1658,6 +1750,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_vad_expected()
     elif name == "audio_snr":
         data = _audio_snr_expected()
+    elif name == "audio_loudness":
+        data = _audio_loudness_expected()
     elif name == "audio_segments":
         data = _audio_segments_expected()
     elif name == "audio_resample":
