@@ -1017,12 +1017,73 @@ def q_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ok",
         "n_frames",
         F.round("speech_ratio", 6).alias("speech_ratio_r"),
+        "speech_ms",
         "n_segments",
         "longest_speech_ms",
         "longest_silence_ms",
         "leading_silence_ms",
         "trailing_silence_ms",
     ).orderBy("clip_id")
+
+
+def q_speaking_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript↔audio alignment sanity: characters per *speech* second
+    (VAD speech time, not clip duration — a misaligned transcript cannot
+    hide behind pauses) plus a flag ladder (silent_with_text /
+    speech_without_text / too_fast / too_slow / …).  One mapInArrow pass
+    with Arrow-vectorized char counting, flags as a JVM projection, no
+    shuffle; hash-checked against a state-machine + re.sub + explicit
+    if/elif oracle."""
+    from data_quality_spark.operators.audio_vad import speaking_rate
+
+    ensure_expected("speaking_rate", sf_dir)
+    rate = speaking_rate(_clips_df(spark, n=300))
+    return rate.select(
+        "clip_id",
+        "ok",
+        "speech_ms",
+        "chars",
+        F.round("cps", 4).alias("cps_r"),
+        "flag",
+    ).orderBy("clip_id")
+
+
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column statistical profile of documents (row/null/distinct
+    counts, numeric min/max/mean, string length stats) — ONE aggregate
+    over one scan (exact count-distinct; the HLL++ approx variant keeps
+    the plan Expand-free at scale and is tested separately).  Integer
+    sums make every emitted mean bit-identical across engines."""
+    from data_quality_spark.operators.profiling import profile_columns
+
+    docs = _t(spark, sf_dir, "documents")
+    return profile_columns(docs).orderBy("column")
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (added/removed/changed/unchanged + per-column change
+    counts) between orders and a deterministically perturbed copy —
+    ONE null-safe full-outer join and ONE fused aggregate; the DuckDB
+    twin rebuilds the same perturbation and diff in SQL."""
+    from data_quality_spark.operators.snapshot import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    new = (
+        orders.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_custkey",
+            F.when(F.col("o_orderkey") % 83 == 0,
+                   F.col("o_custkey") + 1).otherwise(F.col("o_custkey")))
+        .withColumn(
+            "o_orderpriority",
+            F.when(F.col("o_orderkey") % 89 == 0,
+                   F.lit("X-DRIFT")).otherwise(F.col("o_orderpriority")))
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 101 == 0)
+            .withColumn("o_orderkey",
+                        F.col("o_orderkey") + F.lit(100000000)))
+    )
+    return snapshot_diff(orders, new, ["o_orderkey"]).orderBy("metric")
 
 
 def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1255,6 +1316,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_snr": q_audio_snr,
         "audio_loudness": q_audio_loudness,
         "audio_vad": q_audio_vad,
+        "speaking_rate": q_speaking_rate,
+        "profile_columns": q_profile_columns,
+        "snapshot_diff": q_snapshot_diff,
         "audio_segments": q_audio_segments,
         "audio_resample": q_audio_resample,
         "audio_gain": q_audio_gain,
@@ -1327,6 +1391,86 @@ v AS (SELECT {', '.join(votes)} FROM t),
 p AS (SELECT {best} AS best, * FROM v)
 SELECT {case} AS pred_lang, CAST(count(*) AS BIGINT) AS n_docs
 FROM p GROUP BY 1 ORDER BY 1"""
+
+
+def _profile_col_sql(c: str, kind: str) -> str:
+    base = (f"SELECT '{c}' AS \"column\", '{kind}' AS dtype, "
+            f"CAST(count(*) AS BIGINT) AS n_rows, "
+            f"CAST(count(*) - count({c}) AS BIGINT) AS n_null, "
+            f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, ")
+    if kind == "numeric":
+        base += (f"CAST(min({c}) AS DOUBLE) AS min_num, "
+                 f"CAST(max({c}) AS DOUBLE) AS max_num, "
+                 f"sum(CAST({c} AS DOUBLE)) / count({c}) AS mean, "
+                 f"CAST(NULL AS INTEGER) AS min_len, "
+                 f"CAST(NULL AS INTEGER) AS max_len, "
+                 f"CAST(NULL AS DOUBLE) AS avg_len")
+    else:
+        base += (f"CAST(NULL AS DOUBLE) AS min_num, "
+                 f"CAST(NULL AS DOUBLE) AS max_num, "
+                 f"CAST(NULL AS DOUBLE) AS mean, "
+                 f"CAST(min(length({c})) AS INTEGER) AS min_len, "
+                 f"CAST(max(length({c})) AS INTEGER) AS max_len, "
+                 f"CAST(sum(length({c})) AS DOUBLE) / count({c}) AS avg_len")
+    return base + " FROM documents"
+
+
+_PROFILE_COLUMNS_SQL = " UNION ALL ".join(
+    _profile_col_sql(c, k)
+    for c, k in [("doc_id", "numeric"), ("text", "string"),
+                 ("lang", "string"), ("source", "string"),
+                 ("n_chars", "numeric")]
+) + " ORDER BY \"column\""
+
+
+_SNAPSHOT_DIFF_SQL = """
+WITH newt AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 83 = 0 THEN o_custkey + 1
+              ELSE o_custkey END AS o_custkey,
+         o_orderstatus, o_totalprice, o_orderdate,
+         CASE WHEN o_orderkey % 89 = 0 THEN 'X-DRIFT'
+              ELSE o_orderpriority END AS o_orderpriority
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 101 = 0
+),
+j AS (
+  SELECT o.o_orderkey IS NOT NULL AS in_old,
+         n.o_orderkey IS NOT NULL AS in_new,
+         (o.o_custkey IS DISTINCT FROM n.o_custkey) AS c_custkey,
+         (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus) AS c_status,
+         (o.o_totalprice IS DISTINCT FROM n.o_totalprice) AS c_price,
+         (o.o_orderdate IS DISTINCT FROM n.o_orderdate) AS c_date,
+         (o.o_orderpriority IS DISTINCT FROM n.o_orderpriority) AS c_prio
+  FROM orders o FULL OUTER JOIN newt n ON o.o_orderkey = n.o_orderkey
+),
+m AS (
+  SELECT 'status:added' AS metric,
+         count(*) FILTER (WHERE NOT in_old) AS n_rows FROM j
+  UNION ALL SELECT 'status:removed',
+         count(*) FILTER (WHERE in_old AND NOT in_new) FROM j
+  UNION ALL SELECT 'status:changed',
+         count(*) FILTER (WHERE in_old AND in_new AND
+           (c_custkey OR c_status OR c_price OR c_date OR c_prio)) FROM j
+  UNION ALL SELECT 'status:unchanged',
+         count(*) FILTER (WHERE in_old AND in_new AND NOT
+           (c_custkey OR c_status OR c_price OR c_date OR c_prio)) FROM j
+  UNION ALL SELECT 'column:o_custkey',
+         count(*) FILTER (WHERE in_old AND in_new AND c_custkey) FROM j
+  UNION ALL SELECT 'column:o_orderstatus',
+         count(*) FILTER (WHERE in_old AND in_new AND c_status) FROM j
+  UNION ALL SELECT 'column:o_totalprice',
+         count(*) FILTER (WHERE in_old AND in_new AND c_price) FROM j
+  UNION ALL SELECT 'column:o_orderdate',
+         count(*) FILTER (WHERE in_old AND in_new AND c_date) FROM j
+  UNION ALL SELECT 'column:o_orderpriority',
+         count(*) FILTER (WHERE in_old AND in_new AND c_prio) FROM j
+)
+SELECT metric, CAST(n_rows AS BIGINT) AS n_rows FROM m ORDER BY metric
+"""
 
 
 def _expected_sql(name: str) -> str:
@@ -2264,6 +2408,9 @@ FROM ranked WHERE rnk <= 3""",
         "audio_snr": _expected_sql("audio_snr"),
         "audio_loudness": _expected_sql("audio_loudness"),
         "audio_vad": _expected_sql("audio_vad"),
+        "speaking_rate": _expected_sql("speaking_rate"),
+        "profile_columns": _PROFILE_COLUMNS_SQL,
+        "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "audio_segments": _expected_sql("audio_segments"),
         "audio_resample": _expected_sql("audio_resample"),
         "audio_gain": _expected_sql("audio_gain"),

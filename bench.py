@@ -436,12 +436,14 @@ def main() -> None:
         "audio_gain",
         "audio_fingerprint_dedup", "audio_excerpt_match",
         "audio_constellation_match", "audio_spectral", "audio_dropout", "audio_vad",
-        "audio_segments", "audio_resample",
+        "audio_segments", "audio_resample", "audio_snr", "audio_loudness",
+        "speaking_rate",
         "minhash_lsh", "dedup_clusters", "simhash_near_dup", "ann_cosine_topk", "ann_lsh_topk",
         "ann_ivf_topk",
         "gopher_quality", "repetition_stats", "decontamination",
         "corpus_funnel", "corpus_clean", "boilerplate_stats",
         "token_budget", "cluster_split",
+        "profile_columns", "snapshot_diff",
     ]
     qs = entrymod.queries()
     for name in bench_queries:

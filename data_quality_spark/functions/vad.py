@@ -136,7 +136,8 @@ def vad_stats(x: np.ndarray, sr_hz: int) -> dict:
     smoothing (0.0 for a clip shorter than one frame)."""
     if x.size == 0 or sr_hz is None or sr_hz <= 0:
         return {
-            "n_frames": 0, "speech_ratio": 0.0, "n_segments": 0,
+            "n_frames": 0, "speech_ratio": 0.0, "speech_ms": 0,
+            "n_segments": 0,
             "longest_speech_ms": 0, "longest_silence_ms": 0,
             "leading_silence_ms": 0, "trailing_silence_ms": 0,
         }
@@ -144,7 +145,8 @@ def vad_stats(x: np.ndarray, sr_hz: int) -> dict:
     n_frames = int(frame_db.size)
     if n_frames == 0:
         return {
-            "n_frames": 0, "speech_ratio": 0.0, "n_segments": 0,
+            "n_frames": 0, "speech_ratio": 0.0, "speech_ms": 0,
+            "n_segments": 0,
             "longest_speech_ms": 0, "longest_silence_ms": 0,
             "leading_silence_ms": 0, "trailing_silence_ms": 0,
         }
@@ -162,6 +164,7 @@ def vad_stats(x: np.ndarray, sr_hz: int) -> dict:
     return {
         "n_frames": n_frames,
         "speech_ratio": float(speech_frames / n_frames),
+        "speech_ms": _frames_to_ms(speech_frames, frame, sr_hz),
         "n_segments": int(s.size),
         "longest_speech_ms": _frames_to_ms(longest_speech, frame, sr_hz),
         "longest_silence_ms": _frames_to_ms(longest_sil, frame, sr_hz),

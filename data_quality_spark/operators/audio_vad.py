@@ -26,11 +26,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-__all__ = ["clip_vad", "clip_segments", "VAD_FIELDS"]
+__all__ = ["clip_vad", "clip_segments", "speaking_rate", "VAD_FIELDS"]
 
 VAD_FIELDS = [
     ("n_frames", T.IntegerType(), "int32"),
     ("speech_ratio", T.DoubleType(), "float64"),
+    ("speech_ms", T.IntegerType(), "int32"),
     ("n_segments", T.IntegerType(), "int32"),
     ("longest_speech_ms", T.IntegerType(), "int32"),
     ("longest_silence_ms", T.IntegerType(), "int32"),
@@ -147,3 +148,99 @@ def clip_segments(df: DataFrame, counter=None) -> DataFrame:
             )
 
     return df.mapInArrow(run, out_schema)
+
+
+def speaking_rate(
+    df: DataFrame,
+    *,
+    min_cps: float = 4.0,
+    max_cps: float = 30.0,
+    min_speech_ms: int = 200,
+    counter=None,
+) -> DataFrame:
+    """Transcript↔audio alignment sanity: characters per *speech* second.
+
+    The gate's ``length_ratio`` rule divides transcript length by clip
+    DURATION — a clip that is half silence passes with a transcript twice
+    too long.  This operator divides by the VAD's speech time instead, so
+    a misaligned transcript cannot hide behind pauses.
+
+    One ``mapInArrow`` pass (decode → VAD speech_ms; non-whitespace char
+    count via vectorized Arrow compute on the transcript column — no
+    per-row Python string work), then a JVM projection for the rate and
+    flag.  NO join, NO shuffle: at 10^12 rows the clip_vad-then-join
+    formulation would shuffle ~50 TB of scalar rows; this ships nothing.
+
+    Flags (first match wins):
+      undecodable | silent_with_text | speech_without_text | empty |
+      insufficient_speech (< min_speech_ms of speech: rate unreliable) |
+      too_fast | too_slow | ok
+    """
+    from pyspark.sql import functions as F
+
+    col_idx = {f.name: i for i, f in enumerate(df.schema.fields)}
+    out_schema = T.StructType([
+        T.StructField("clip_id", T.StringType(), False),
+        T.StructField("ok", T.BooleanType(), False),
+        T.StructField("speech_ms", T.IntegerType(), False),
+        T.StructField("chars", T.IntegerType(), False),
+    ])
+
+    def run(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from ..functions.audio import _decode_i16
+        from ..functions.vad import vad_stats
+
+        for batch in batches:
+            ids = batch.column(col_idx["clip_id"]).to_pylist()
+            payloads = batch.column(col_idx["bytes"])
+            codecs = batch.column(col_idx["codec"]).to_pylist()
+            srs = batch.column(col_idx["sr_hz"]).to_pylist()
+            txt = pc.fill_null(batch.column(col_idx["transcript"]), "")
+            chars = pc.utf8_length(
+                pc.replace_substring_regex(txt, pattern="[ \\t\\n\\r]+",
+                                           replacement=""))
+            if counter is not None:
+                counter.add(batch.num_rows)
+            oks: list[bool] = []
+            sp_ms: list[int] = []
+            for i in range(batch.num_rows):
+                buf = payloads[i].as_buffer() if payloads[i].is_valid else None
+                try:
+                    q = _decode_i16(buf, codecs[i], srs[i])
+                    ok = True
+                except (ValueError, TypeError):
+                    q = np.zeros(0, dtype=np.int16)
+                    ok = False
+                st = vad_stats(
+                    q.astype(np.float32) / np.float32(32767.0), srs[i] or 0)
+                oks.append(ok)
+                sp_ms.append(st["speech_ms"])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.string()),
+                 pa.array(oks, type=pa.bool_()),
+                 pa.array(sp_ms, type=pa.int32()),
+                 chars.cast(pa.int32())],
+                names=["clip_id", "ok", "speech_ms", "chars"],
+            )
+
+    base = df.mapInArrow(run, out_schema)
+    speech_s = F.col("speech_ms").cast("double") / 1000.0
+    cps = F.when(F.col("speech_ms") > 0,
+                 F.col("chars").cast("double") / speech_s)
+    flag = (
+        F.when(~F.col("ok"), "undecodable")
+        .when((F.col("speech_ms") == 0) & (F.col("chars") > 0),
+              "silent_with_text")
+        .when((F.col("speech_ms") > 0) & (F.col("chars") == 0),
+              "speech_without_text")
+        .when((F.col("speech_ms") == 0) & (F.col("chars") == 0), "empty")
+        .when(F.col("speech_ms") < min_speech_ms, "insufficient_speech")
+        .when(F.col("cps") > max_cps, "too_fast")
+        .when(F.col("cps") < min_cps, "too_slow")
+        .otherwise("ok")
+    )
+    return base.withColumn("cps", cps).withColumn("flag", flag)

@@ -1146,7 +1146,8 @@ def _audio_vad_expected(n=300, seed=42) -> dict:
     from .synth import generate_clips
 
     pdf = generate_clips(n, seed=seed)
-    cols = ("n_frames", "speech_ratio_r", "n_segments", "longest_speech_ms",
+    cols = ("n_frames", "speech_ratio_r", "speech_ms", "n_segments",
+            "longest_speech_ms",
             "longest_silence_ms", "leading_silence_ms", "trailing_silence_ms")
     out: dict[str, list] = {"clip_id": [], "ok": []}
     out.update({c: [] for c in cols})
@@ -1198,11 +1199,78 @@ def _audio_vad_expected(n=300, seed=42) -> dict:
         out["n_frames"].append(nf)
         out["speech_ratio_r"].append(
             spark_round(speech / nf if nf else 0.0, 6))
+        out["speech_ms"].append(to_ms(speech))
         out["n_segments"].append(segs)
         out["longest_speech_ms"].append(to_ms(longest_sp))
         out["longest_silence_ms"].append(to_ms(longest_sil))
         out["leading_silence_ms"].append(to_ms(lead))
         out["trailing_silence_ms"].append(to_ms(trail))
+    return out
+
+
+def _speaking_rate_expected(n=300, seed=42) -> dict:
+    """Twin of ``audio_vad.speaking_rate``: decode + independent VAD state
+    machine → speech_ms by explicit frame count; chars by Python
+    ``re.sub('[ \\t\\n\\r]+','')`` (the kernel uses Arrow RE2 compute);
+    the flag ladder replayed as literal if/elif with the operator's
+    default thresholds.  cps is bit-identical float64 arithmetic on two
+    exact integers — both engines compute chars/(speech_ms/1000.0) on the
+    same bits, so half-step rounding landings (e.g. 28.90625, common for
+    integer ratios) are deterministic and SAFE; the
+    ``_assert_off_rounding_boundary`` guard exists for noisy float
+    kernels and is deliberately not applied here."""
+    import re
+
+    from .functions.audio import SILENCE_DB
+    from .functions.vad import HANG_FRAMES, MIN_SPEECH_FRAMES, frame_mean_squares
+    from .synth import generate_clips
+
+    min_cps, max_cps, min_speech_ms = 4.0, 30.0, 200
+    pdf = generate_clips(n, seed=seed)
+    out: dict[str, list] = {
+        "clip_id": [], "ok": [], "speech_ms": [], "chars": [],
+        "cps_r": [], "flag": [],
+    }
+    for _, r in pdf.sort_values("clip_id").iterrows():
+        x, ok = _vad_decode(r)
+        sr = r["sr_hz"] or 0
+        ms2, frame = (frame_mean_squares(x, sr) if sr > 0
+                      else (np.zeros(0), 1))
+        nf = int(ms2.size)
+        if nf == 0:
+            act = []
+        else:
+            frame_db = 10.0 * np.log10(np.maximum(ms2, 1e-24))
+            act = _vad_state_machine(frame_db, SILENCE_DB, HANG_FRAMES,
+                                     MIN_SPEECH_FRAMES)
+        speech_ms = (int(round(sum(act) * frame * 1000 / sr))
+                     if sr > 0 else 0)
+        t = r["transcript"]
+        chars = len(re.sub("[ \t\n\r]+", "", t)) if t is not None else 0
+        cps = (float(chars) / (float(speech_ms) / 1000.0)
+               if speech_ms > 0 else None)
+        if not ok:
+            flag = "undecodable"
+        elif speech_ms == 0 and chars > 0:
+            flag = "silent_with_text"
+        elif speech_ms > 0 and chars == 0:
+            flag = "speech_without_text"
+        elif speech_ms == 0 and chars == 0:
+            flag = "empty"
+        elif speech_ms < min_speech_ms:
+            flag = "insufficient_speech"
+        elif cps > max_cps:
+            flag = "too_fast"
+        elif cps < min_cps:
+            flag = "too_slow"
+        else:
+            flag = "ok"
+        out["clip_id"].append(r["clip_id"])
+        out["ok"].append(ok)
+        out["speech_ms"].append(speech_ms)
+        out["chars"].append(chars)
+        out["cps_r"].append(spark_round(cps, 4))
+        out["flag"].append(flag)
     return out
 
 
@@ -1616,10 +1684,16 @@ _SCHEMAS: dict[str, pa.Schema] = {
     "audio_vad": pa.schema(
         [("clip_id", pa.string()), ("ok", pa.bool_()),
          ("n_frames", pa.int32()), ("speech_ratio_r", pa.float64()),
+         ("speech_ms", pa.int32()),
          ("n_segments", pa.int32()), ("longest_speech_ms", pa.int32()),
          ("longest_silence_ms", pa.int32()),
          ("leading_silence_ms", pa.int32()),
          ("trailing_silence_ms", pa.int32())]
+    ),
+    "speaking_rate": pa.schema(
+        [("clip_id", pa.string()), ("ok", pa.bool_()),
+         ("speech_ms", pa.int32()), ("chars", pa.int32()),
+         ("cps_r", pa.float64()), ("flag", pa.string())]
     ),
     "audio_segments": pa.schema(
         [("clip_id", pa.string()), ("seg_idx", pa.int32()),
@@ -1752,6 +1826,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_snr_expected()
     elif name == "audio_loudness":
         data = _audio_loudness_expected()
+    elif name == "speaking_rate":
+        data = _speaking_rate_expected()
     elif name == "audio_segments":
         data = _audio_segments_expected()
     elif name == "audio_resample":
