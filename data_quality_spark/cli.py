@@ -112,6 +112,25 @@ def build_parser() -> argparse.ArgumentParser:
     sa.add_argument("--output", default=None,
                     help="write sampled parquet here (default: print count)")
 
+    pr = sub.add_parser("profile", help="per-column statistical profile")
+    pr.add_argument("--tables", required=True)
+    pr.add_argument("--table", required=True, help="table name to profile")
+    pr.add_argument("--columns", default=None,
+                    help="comma-separated subset (default: all)")
+    pr.add_argument("--approx", action="store_true",
+                    help="HLL++ distinct counts (Expand-free plan)")
+    pr.add_argument("--format", choices=["text", "json"], default="text")
+
+    d = sub.add_parser("diff", help="snapshot diff between two tables")
+    d.add_argument("--tables", required=True)
+    d.add_argument("--old", required=True, help="old snapshot table name")
+    d.add_argument("--new", required=True, help="new snapshot table name")
+    d.add_argument("--key", required=True, help="comma-separated key columns")
+    d.add_argument("--compare", default=None,
+                   help="comma-separated compared columns "
+                   "(default: shared non-key)")
+    d.add_argument("--format", choices=["text", "json"], default="text")
+
     sk = sub.add_parser("skew", help="key-skew audit (salting advisor input)")
     sk.add_argument("--tables", required=True)
     sk.add_argument("--table", required=True)
@@ -378,6 +397,59 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"wrote {args.output}")
             else:
                 print(f"sampled {out.count()} of {df.count()} rows")
+            return 0
+        if args.cmd == "profile":
+            from .operators.profiling import profile_columns
+
+            df = spark.read.parquet(
+                os.path.join(args.tables, f"{args.table}.parquet")
+            )
+            cols = args.columns.split(",") if args.columns else None
+            rows = [
+                r.asDict()
+                for r in profile_columns(df, cols, approx=args.approx)
+                .orderBy("column").collect()
+            ]
+            if args.format == "json":
+                print(json.dumps(rows, indent=2))
+            else:
+                for r in rows:
+                    extra = (
+                        f"min={r['min_num']} max={r['max_num']} "
+                        f"mean={r['mean']:.4g}"
+                        if r["dtype"] == "numeric" and r["mean"] is not None
+                        else f"len {r['min_len']}..{r['max_len']} "
+                        f"avg {r['avg_len']:.1f}"
+                        if r["dtype"] == "string" and r["avg_len"] is not None
+                        else ""
+                    )
+                    print(
+                        f"{r['column']:20s} {r['dtype']:8s} "
+                        f"nulls {r['n_null']}/{r['n_rows']} "
+                        f"distinct {r['n_distinct']} {extra}"
+                    )
+            return 0
+        if args.cmd == "diff":
+            from .operators.snapshot import snapshot_diff
+
+            old = spark.read.parquet(
+                os.path.join(args.tables, f"{args.old}.parquet")
+            )
+            new = spark.read.parquet(
+                os.path.join(args.tables, f"{args.new}.parquet")
+            )
+            compare = args.compare.split(",") if args.compare else None
+            rows = [
+                r.asDict()
+                for r in snapshot_diff(
+                    old, new, args.key.split(","), compare
+                ).orderBy("metric").collect()
+            ]
+            if args.format == "json":
+                print(json.dumps(rows, indent=2))
+            else:
+                for r in rows:
+                    print(f"{r['metric']:30s} {r['n_rows']}")
             return 0
         if args.cmd == "skew":
             from .operators.sampling import skew_audit

@@ -230,3 +230,52 @@ def test_report_ci_formats():
     clean = Report(tool_version="x", source="unit", issues=[])
     assert "PASSED" in clean.render("github")
     assert _json.loads(clean.render("slack"))["attachments"][0]["color"] == "good"
+
+
+def test_cli_profile_and_diff(spark, tmp_path, capsys, monkeypatch):
+    """profile / diff subcommands over the profiling and snapshot ops."""
+    import data_quality_spark.cli as cli
+
+    monkeypatch.setattr("pyspark.sql.SparkSession.stop", lambda self: None)
+    tables = tmp_path / "tables"
+    tables.mkdir()
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, None, 30)],
+        "k long, v string, w long",
+    )
+    old.coalesce(1).write.parquet(str(tables / "t_old.parquet"))
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (4, "d", 40)],
+        "k long, v string, w long",
+    )
+    new.coalesce(1).write.parquet(str(tables / "t_new.parquet"))
+
+    assert cli.main(
+        ["profile", "--tables", str(tables), "--table", "t_old",
+         "--format", "json"]
+    ) == 0
+    rows = {r["column"]: r for r in json.loads(capsys.readouterr().out)}
+    assert rows["v"]["n_null"] == 1 and rows["v"]["n_distinct"] == 2
+    assert rows["w"]["mean"] == 20.0
+
+    assert cli.main(
+        ["diff", "--tables", str(tables), "--old", "t_old",
+         "--new", "t_new", "--key", "k", "--format", "json"]
+    ) == 0
+    metrics = {r["metric"]: r["n_rows"]
+               for r in json.loads(capsys.readouterr().out)}
+    assert metrics["status:added"] == 1
+    assert metrics["status:removed"] == 1
+    assert metrics["status:changed"] == 1
+    assert metrics["column:v"] == 1
+
+    # text renderings don't crash and carry the headline numbers
+    assert cli.main(
+        ["profile", "--tables", str(tables), "--table", "t_old"]
+    ) == 0
+    assert "distinct" in capsys.readouterr().out
+    assert cli.main(
+        ["diff", "--tables", str(tables), "--old", "t_old",
+         "--new", "t_new", "--key", "k"]
+    ) == 0
+    assert "status:unchanged" in capsys.readouterr().out
