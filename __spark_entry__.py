@@ -1086,6 +1086,51 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(orders, new, ["o_orderkey"]).orderBy("metric")
 
 
+def q_audio_bandwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective-bandwidth audit composed with SR normalization: upsample
+    everything to 16 kHz, then measure whether the top octave carries
+    native content — flags exactly the clips whose content did not fill
+    the target rate (the upsampled-telephony defect a container sr can't
+    see).  Two chained mapInArrow passes, no shuffle; hash-checked
+    against a shared-resample + independent fsum-accounting oracle."""
+    from data_quality_spark.operators.audio_bandwidth import (
+        bandwidth_flags,
+        clip_bandwidth,
+    )
+    from data_quality_spark.operators.audio_resample import normalize_sr
+
+    ensure_expected("audio_bandwidth", sf_dir)
+    bw = bandwidth_flags(
+        clip_bandwidth(normalize_sr(_clips_df(spark, n=300), 16000)))
+    return bw.select(
+        "clip_id",
+        "ok",
+        "sr_hz",
+        "n_frames",
+        F.round("rms", 6).alias("rms_r"),
+        F.round("rolloff99_hz", 2).alias("rolloff99_r"),
+        F.round("hf_db", 2).alias("hf_db_r"),
+        "upsampled",
+    ).orderBy("clip_id")
+
+
+def q_audio_audit_issues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused audio audit folded into the reference's issue schema: one
+    decode runs stats/dropout/VAD/SNR/LUFS kernels per clip (the
+    featurize-once shape — decode dominates at 100 TB), then ONE fused
+    aggregate counts all nine defect rules; hash-checked against an
+    explicit Python flag-ladder + counter replay."""
+    from data_quality_spark.operators.audio_audit import (
+        audio_audit,
+        audit_issues,
+    )
+
+    ensure_expected("audio_audit_issues", sf_dir)
+    return audit_issues(audio_audit(_clips_df(spark, n=300))).orderBy(
+        "issue_type"
+    )
+
+
 def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Silence-split segmentation: one row per active segment (the chunking
     step that turns raw clips into per-utterance training rows).  Variable
@@ -1315,6 +1360,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_dropout": q_audio_dropout,
         "audio_snr": q_audio_snr,
         "audio_loudness": q_audio_loudness,
+        "audio_bandwidth": q_audio_bandwidth,
+        "audio_audit_issues": q_audio_audit_issues,
         "audio_vad": q_audio_vad,
         "speaking_rate": q_speaking_rate,
         "profile_columns": q_profile_columns,
@@ -2407,6 +2454,8 @@ FROM ranked WHERE rnk <= 3""",
         "audio_dropout": _expected_sql("audio_dropout"),
         "audio_snr": _expected_sql("audio_snr"),
         "audio_loudness": _expected_sql("audio_loudness"),
+        "audio_bandwidth": _expected_sql("audio_bandwidth"),
+        "audio_audit_issues": _expected_sql("audio_audit_issues"),
         "audio_vad": _expected_sql("audio_vad"),
         "speaking_rate": _expected_sql("speaking_rate"),
         "profile_columns": _PROFILE_COLUMNS_SQL,

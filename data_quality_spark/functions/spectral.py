@@ -39,6 +39,8 @@ __all__ = [
     "band_edges",
     "frame_band_energies",
     "spectral_features",
+    "bandwidth_stats",
+    "HF_FLOOR_DB",
     "fingerprint_i32",
     "constellation_landmarks",
     "CONST_FRAME",
@@ -151,6 +153,76 @@ def spectral_features(x: np.ndarray, sr_hz: int, frame: int = FRAME) -> dict:
         "band_mid": 1.0 - low - high,
         "band_high": high,
     }
+
+
+_EMPTY_BANDWIDTH = {
+    "n_frames": 0,
+    "rms": None,
+    "rolloff99_hz": None,
+    "hf_frac": None,
+    "hf_db": None,
+}
+
+HF_FLOOR_DB = -120.0
+HF_BAND_FRAC = 0.4  # deep band starts at 0.4·sr (clear of resampler
+                    # transition leakage around sr/4; measured: upsampled
+                    # ≤ −64 dB here, native noise floor ≥ −41 dB)
+
+
+def _hann(frame: int) -> np.ndarray:
+    # periodic Hann by explicit formula — both engines build the same
+    # float64 vector, no scipy dependency
+    k = np.arange(frame, dtype=np.float64)
+    return 0.5 - 0.5 * np.cos(2.0 * np.pi * k / frame)
+
+
+_HANN_CACHE: dict[int, np.ndarray] = {}
+
+
+def bandwidth_stats(x: np.ndarray, sr_hz: int, frame: int = FRAME) -> dict:
+    """Effective-bandwidth measurement: is there native content up to the
+    claimed Nyquist, or was this clip upsampled / low-pass-mangled?
+
+    rms           over the framed region (gates measurability: near-
+                  silent clips measure their own quantization noise,
+                  which is flat at the CONTAINER rate — meaningless)
+    rolloff99_hz  lowest frequency below which 99% of the power sits
+    hf_frac       power fraction at [HF_BAND_FRAC·sr, sr/2] — the deep
+                  band a polyphase upsample cannot reach (its transition
+                  leakage stays near sr/4) but any native noise floor
+                  fills
+    hf_db         10·log10(hf_frac) floored at HF_FLOOR_DB
+
+    Frames are Hann-windowed: a rectangular window's 1/f² sidelobes of a
+    strong near-Nyquist tone floor the whole spectrum at ~−32 dB and
+    destroy the measurement (observed before windowing was added).
+    Fixed float64 operation order; DC dropped."""
+    n = (len(x) // frame) * frame
+    if n == 0 or sr_hz is None or sr_hz <= 0:
+        return dict(_EMPTY_BANDWIDTH)
+    win = _HANN_CACHE.get(frame)
+    if win is None:
+        win = _hann(frame)
+        _HANN_CACHE[frame] = win
+    frames = np.asarray(x[:n], dtype=np.float64).reshape(-1, frame)
+    out = dict(_EMPTY_BANDWIDTH)
+    out["n_frames"] = n // frame
+    out["rms"] = float(np.sqrt((frames * frames).sum() / n))
+    spec = np.fft.rfft(frames * win, axis=1)
+    power = (spec.real * spec.real) + (spec.imag * spec.imag)
+    psum = power.sum(axis=0)
+    psum[0] = 0.0
+    total = float(psum.sum())
+    if total <= 0.0:
+        return out
+    freqs = np.arange(len(psum), dtype=np.float64) * (float(sr_hz) / frame)
+    cum = np.cumsum(psum)
+    roll_idx = int(np.searchsorted(cum, 0.99 * total))
+    out["rolloff99_hz"] = float(freqs[min(roll_idx, len(freqs) - 1)])
+    hf = float(psum[freqs >= HF_BAND_FRAC * sr_hz].sum()) / total
+    out["hf_frac"] = hf
+    out["hf_db"] = max(10.0 * np.log10(max(hf, 1e-15)), HF_FLOOR_DB)
+    return out
 
 
 # bits 0-6 come from the narrow low-frequency bands (1-2 rfft bins wide)

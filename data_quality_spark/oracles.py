@@ -1274,6 +1274,195 @@ def _speaking_rate_expected(n=300, seed=42) -> dict:
     return out
 
 
+def _audio_bandwidth_expected(n=300, seed=42) -> dict:
+    """Twin of the ``normalize_sr → clip_bandwidth → bandwidth_flags``
+    composition: shared codec + polyphase-resample kernels (the resampler
+    has its own definition-differential oracle in ``audio_resample``),
+    INDEPENDENT bandwidth accounting — per-frame rfft in an explicit
+    Python loop, per-bin ``math.fsum`` across frames (the kernel does one
+    vectorized rfft + pairwise sums), explicit running-total rolloff scan
+    (the kernel uses cumsum + searchsorted), and an explicit flag
+    replay.  Rolloff crossings and 2dp roundings are guarded off
+    boundaries at generation time."""
+    from .functions.audio import _decode_i16, encode_pcm16
+    from .functions.resample import resample_poly
+    from .functions.spectral import (
+        FRAME,
+        HF_BAND_FRAC,
+        HF_FLOOR_DB,
+        _hann,
+    )
+    from .operators.audio_bandwidth import (
+        MAX_UPSAMPLED_HF_DB,
+        MIN_MEASURABLE_RMS,
+    )
+    from .synth import generate_clips
+
+    target = 16000
+    win = _hann(FRAME)  # explicit shared formula, both engines
+    pdf = generate_clips(n, seed=seed)
+    out: dict[str, list] = {
+        "clip_id": [], "ok": [], "sr_hz": [], "n_frames": [], "rms_r": [],
+        "rolloff99_r": [], "hf_db_r": [], "upsampled": [],
+    }
+    raw2: list[float] = []
+    raw6: list[float] = []
+    for _, r in pdf.sort_values("clip_id").iterrows():
+        sr = r["sr_hz"]
+        # replay normalize_sr: decode → float64 → resample → pcm16
+        try:
+            if sr is None or sr <= 0:
+                raise ValueError("bad sr")
+            q0 = _decode_i16(r["bytes"], r["codec"], sr)
+            x64 = (q0.astype(np.float32) / np.float32(32767.0)).astype(
+                np.float64)
+            payload = encode_pcm16(resample_poly(x64, int(sr), target))
+            codec, sr2 = "pcm16", target
+        except (ValueError, TypeError):
+            payload, codec, sr2 = r["bytes"], r["codec"], sr
+        # replay clip_bandwidth's decode
+        try:
+            q = _decode_i16(payload, codec, sr2)
+            ok = True
+        except (ValueError, TypeError):
+            q = np.zeros(0, dtype=np.int16)
+            ok = False
+        x = q.astype(np.float32) / np.float32(32767.0)
+        srv = sr2 or 0
+        nfr = (len(x) // FRAME) if srv > 0 else 0
+        rms = rolloff = hfrac = hf = None
+        if nfr > 0:
+            x64f = np.asarray(x[:nfr * FRAME], dtype=np.float64)
+            rms = math.sqrt(
+                math.fsum(float(v) * float(v) for v in x64f)
+                / (nfr * FRAME))
+            pframes = []
+            for j in range(nfr):
+                spec = np.fft.rfft(x64f[j * FRAME:(j + 1) * FRAME] * win)
+                pframes.append(spec.real * spec.real + spec.imag * spec.imag)
+            nbins = FRAME // 2 + 1
+            psum = [math.fsum(p[k] for p in pframes) for k in range(nbins)]
+            psum[0] = 0.0
+            total = math.fsum(psum)
+            if total > 0.0:
+                t99 = 0.99 * total
+                running = 0.0
+                idx = nbins - 1
+                for k in range(nbins):
+                    prev = running
+                    running += psum[k]
+                    if running >= t99:
+                        # generation-time guard: the crossing must be
+                        # decisive, or cumsum-vs-fsum could flip the bin
+                        assert abs(running - t99) > 1e-9 * total
+                        assert abs(prev - t99) > 1e-9 * total
+                        idx = k
+                        break
+                rolloff = idx * (float(srv) / FRAME)
+                hsum = math.fsum(
+                    psum[k] for k in range(nbins)
+                    if k * (float(srv) / FRAME) >= HF_BAND_FRAC * srv)
+                hfrac = hsum / total
+                hf = max(10.0 * np.log10(max(hfrac, 1e-15)), HF_FLOOR_DB)
+                raw2.append(hf)
+            raw6.append(rms)
+        # the flag compares UNROUNDED values in both engines: guard that
+        # no clip sits so close to a threshold that last-ulp kernel/oracle
+        # differences could flip the boolean
+        if rms is not None:
+            assert abs(rms - MIN_MEASURABLE_RMS) > 1e-9
+        if hf is not None:
+            assert abs(hf - MAX_UPSAMPLED_HF_DB) > 1e-9
+        ups = bool(rms is not None and hf is not None
+                   and rms >= MIN_MEASURABLE_RMS
+                   and hf < MAX_UPSAMPLED_HF_DB)
+        out["clip_id"].append(r["clip_id"])
+        out["ok"].append(ok)
+        out["sr_hz"].append(int(sr2) if sr2 is not None else None)
+        out["n_frames"].append(nfr)
+        out["rms_r"].append(spark_round(rms, 6))
+        out["rolloff99_r"].append(spark_round(rolloff, 2))
+        out["hf_db_r"].append(spark_round(hf, 2))
+        out["upsampled"].append(ups)
+    _assert_off_rounding_boundary(raw2, 2)
+    _assert_off_rounding_boundary(raw6, 6)
+    return out
+
+
+def _audio_audit_issues_expected(n=300, seed=42) -> dict:
+    """Twin of ``audio_audit.audit_issues(audio_audit(clips))``: the
+    kernels are SHARED (each is hash-verified by its own per-clip
+    differential query — audio_snr, audio_loudness, audio_dropout,
+    audio_vad, clips_gate's stats), so every float here is bit-identical
+    to the operator's; the differential surface is the flag ladder
+    (explicit Python booleans vs JVM when-chains, including None/NULL
+    semantics) and the fused aggregation (explicit counters vs one
+    partial/final count(CASE) aggregate)."""
+    from .functions.audio import _decode_i16, clip_stats_i16
+    from .functions.dropout import dropout_stats_i16
+    from .functions.loudness import clip_loudness
+    from .functions.snr import speech_snr
+    from .functions.vad import vad_stats
+    from .operators.audio_audit import (
+        AUDIT_RULES,
+        LUFS_MAX,
+        LUFS_MIN,
+        SNR_MIN_DB,
+    )
+    from .operators.audio_dropout import DC_DEN, DC_NUM, STUCK_MIN_DEFAULT
+    from .synth import GateThresholds as TH
+    from .synth import generate_clips
+
+    pdf = generate_clips(n, seed=seed)
+    counts = {name: 0 for name in AUDIT_RULES}
+    total = 0
+    for _, r in pdf.iterrows():
+        total += 1
+        try:
+            q = _decode_i16(r["bytes"], r["codec"], r["sr_hz"])
+            ok = True
+        except (ValueError, TypeError):
+            q = np.zeros(0, dtype=np.int16)
+            ok = False
+        sr = r["sr_hz"] or 0
+        x = q.astype(np.float32) / np.float32(32767.0)
+        st = clip_stats_i16(q, sr)
+        dp = dropout_stats_i16(q, sr)
+        vd = vad_stats(x, sr)
+        sn = speech_snr(x, sr)
+        lf = clip_loudness(x, sr)
+        del vd  # speech stats are carried by the wide relation, no flag
+        flags = {
+            "undecodable": not ok,
+            "mostly_silence": ok and st["silence_frac"] > TH.SILENCE_MAX,
+            "clipping": ok and st["clip_frac"] > TH.CLIP_MAX,
+            "too_quiet": ok and st["rms_db"] < TH.RMS_MIN_DB,
+            "low_snr": sn["snr_db"] is not None and sn["snr_db"] < SNR_MIN_DB,
+            "loudness_range": lf["lufs_i"] is not None
+            and (lf["lufs_i"] < LUFS_MIN or lf["lufs_i"] > LUFS_MAX),
+            "dropout": dp["n_dropouts"] > 0,
+            "stuck_samples": dp["max_const_run"] >= STUCK_MIN_DEFAULT,
+            "dc_offset": abs(dp["dc_sum"]) * DC_DEN
+            > DC_NUM * int(q.size) * 32768,
+        }
+        for name, hit in flags.items():
+            if hit:
+                counts[name] += 1
+    out: dict[str, list] = {k: [] for k in
+                            ("table", "column", "issue_type", "count",
+                             "total", "percent", "severity", "description")}
+    for name, (_, sev, column, desc) in AUDIT_RULES.items():
+        out["table"].append("clips")
+        out["column"].append(column)
+        out["issue_type"].append(name)
+        out["count"].append(counts[name])
+        out["total"].append(total)
+        out["percent"].append(counts[name] * 100.0 / total if total else 0.0)
+        out["severity"].append(sev if counts[name] > 0 else "info")
+        out["description"].append(desc)
+    return out
+
+
 def _audio_snr_expected(n=300, seed=42) -> dict:
     """Twin of ``audio_snr.clip_snr``: shared frame energies + decode
     dispatch, independent smoothing state machine, independent mean
@@ -1695,6 +1884,19 @@ _SCHEMAS: dict[str, pa.Schema] = {
          ("speech_ms", pa.int32()), ("chars", pa.int32()),
          ("cps_r", pa.float64()), ("flag", pa.string())]
     ),
+    "audio_bandwidth": pa.schema(
+        [("clip_id", pa.string()), ("ok", pa.bool_()),
+         ("sr_hz", pa.int32()), ("n_frames", pa.int32()),
+         ("rms_r", pa.float64()),
+         ("rolloff99_r", pa.float64()), ("hf_db_r", pa.float64()),
+         ("upsampled", pa.bool_())]
+    ),
+    "audio_audit_issues": pa.schema(
+        [("table", pa.string()), ("column", pa.string()),
+         ("issue_type", pa.string()), ("count", pa.int64()),
+         ("total", pa.int64()), ("percent", pa.float64()),
+         ("severity", pa.string()), ("description", pa.string())]
+    ),
     "audio_segments": pa.schema(
         [("clip_id", pa.string()), ("seg_idx", pa.int32()),
          ("start_ms", pa.int32()), ("end_ms", pa.int32()),
@@ -1828,6 +2030,10 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_loudness_expected()
     elif name == "speaking_rate":
         data = _speaking_rate_expected()
+    elif name == "audio_bandwidth":
+        data = _audio_bandwidth_expected()
+    elif name == "audio_audit_issues":
+        data = _audio_audit_issues_expected()
     elif name == "audio_segments":
         data = _audio_segments_expected()
     elif name == "audio_resample":
