@@ -1048,6 +1048,25 @@ def q_speaking_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+def q_trend_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-count anomaly flags per event_type via an exact integer
+    z-test: |x−μ|>kσ rewritten as (n·x−S)² > k²·(n·Q−S²) so no float
+    ever decides a flag; mean/z are single float64 expressions over
+    exact integers (bit-identical across engines, reported unrounded).
+    One groupBy per series + a broadcast join back — the anomaly pass
+    adds no data shuffle beyond the rollup's."""
+    from data_quality_spark.operators.anomaly import count_anomalies
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"),
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    return count_anomalies(
+        daily, ["event_type"], "n_events", k=2
+    ).orderBy("event_type", "day")
+
+
 def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column statistical profile of documents (row/null/distinct
     counts, numeric min/max/mean, string length stats) — ONE aggregate
@@ -1366,6 +1385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "speaking_rate": q_speaking_rate,
         "profile_columns": q_profile_columns,
         "snapshot_diff": q_snapshot_diff,
+        "trend_anomaly": q_trend_anomaly,
         "audio_segments": q_audio_segments,
         "audio_resample": q_audio_resample,
         "audio_gain": q_audio_gain,
@@ -1517,6 +1537,32 @@ m AS (
          count(*) FILTER (WHERE in_old AND in_new AND c_prio) FROM j
 )
 SELECT metric, CAST(n_rows AS BIGINT) AS n_rows FROM m ORDER BY metric
+"""
+
+
+_TREND_ANOMALY_SQL = """
+WITH d AS (
+  SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n_events) AS BIGINT) AS s,
+         CAST(sum(n_events * n_events) AS BIGINT) AS q
+  FROM d GROUP BY 1
+)
+SELECT d.event_type, d.day, d.n_events, st.n AS n_days,
+  CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE) AS mean,
+  CASE WHEN st.n * st.q - st.s * st.s > 0 THEN
+    CAST(st.n * d.n_events - st.s AS DOUBLE)
+      / sqrt(CAST(st.n * st.q - st.s * st.s AS DOUBLE))
+  END AS z,
+  ((st.n * d.n_events - st.s) * (st.n * d.n_events - st.s)
+     > 4 * (st.n * st.q - st.s * st.s))
+    AND (st.n * st.q - st.s * st.s > 0) AS is_anomaly
+FROM d JOIN st USING (event_type)
+ORDER BY event_type, day
 """
 
 
@@ -2460,6 +2506,7 @@ FROM ranked WHERE rnk <= 3""",
         "speaking_rate": _expected_sql("speaking_rate"),
         "profile_columns": _PROFILE_COLUMNS_SQL,
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
+        "trend_anomaly": _TREND_ANOMALY_SQL,
         "audio_segments": _expected_sql("audio_segments"),
         "audio_resample": _expected_sql("audio_resample"),
         "audio_gain": _expected_sql("audio_gain"),

@@ -443,7 +443,7 @@ def main() -> None:
         "gopher_quality", "repetition_stats", "decontamination",
         "corpus_funnel", "corpus_clean", "boilerplate_stats",
         "token_budget", "cluster_split",
-        "profile_columns", "snapshot_diff",
+        "profile_columns", "snapshot_diff", "trend_anomaly",
     ]
     qs = entrymod.queries()
     for name in bench_queries:
