@@ -1133,6 +1133,28 @@ def q_audio_bandwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+def q_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized chunker: one output clip per ≥200 ms active
+    segment with its own pcm16 payload sliced on exact frame-grid sample
+    bounds — the rows a training pipeline actually ingests.  Variable
+    fan-out map, one decode, no shuffle; payloads are hash-checked
+    byte-for-byte (Spark xxhash64 vs the from-spec Python XXH64 over an
+    independently-derived slice)."""
+    from data_quality_spark.operators.audio_vad import extract_segments
+
+    ensure_expected("audio_chunks", sf_dir)
+    segs = extract_segments(_clips_df(spark, n=300), min_dur_ms=200)
+    return segs.select(
+        "clip_id",
+        "seg_idx",
+        "sr_hz",
+        "start_ms",
+        "dur_ms",
+        F.xxhash64("bytes").alias("payload_h"),
+        F.round("rms_db", 4).alias("rms_db_r"),
+    ).orderBy("clip_id", "seg_idx")
+
+
 def q_audio_audit_issues(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused audio audit folded into the reference's issue schema: one
     decode runs stats/dropout/VAD/SNR/LUFS kernels per clip (the
@@ -1381,6 +1403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_loudness": q_audio_loudness,
         "audio_bandwidth": q_audio_bandwidth,
         "audio_audit_issues": q_audio_audit_issues,
+        "audio_chunks": q_audio_chunks,
         "audio_vad": q_audio_vad,
         "speaking_rate": q_speaking_rate,
         "profile_columns": q_profile_columns,
@@ -2502,6 +2525,7 @@ FROM ranked WHERE rnk <= 3""",
         "audio_loudness": _expected_sql("audio_loudness"),
         "audio_bandwidth": _expected_sql("audio_bandwidth"),
         "audio_audit_issues": _expected_sql("audio_audit_issues"),
+        "audio_chunks": _expected_sql("audio_chunks"),
         "audio_vad": _expected_sql("audio_vad"),
         "speaking_rate": _expected_sql("speaking_rate"),
         "profile_columns": _PROFILE_COLUMNS_SQL,

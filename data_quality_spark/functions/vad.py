@@ -195,6 +195,10 @@ def vad_segments(x: np.ndarray, sr_hz: int) -> list[dict]:
             "start_ms": _frames_to_ms(s[i], frame, sr_hz),
             "end_ms": _frames_to_ms(e[i], frame, sr_hz),
             "dur_ms": _frames_to_ms(e[i] - s[i], frame, sr_hz),
+            # exact sample bounds on the frame grid — the chunk extractor
+            # slices on these, never on the (rounded) ms fields
+            "start_sample": int(s[i]) * frame,
+            "end_sample": int(e[i]) * frame,
             "rms_db": float(max(10.0 * np.log10(max(seg_ms2, _EPS * _EPS)),
                                 -120.0)),
         })

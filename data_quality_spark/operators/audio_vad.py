@@ -26,7 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-__all__ = ["clip_vad", "clip_segments", "speaking_rate", "VAD_FIELDS"]
+__all__ = ["clip_vad", "clip_segments", "speaking_rate",
+           "extract_segments", "VAD_FIELDS"]
 
 VAD_FIELDS = [
     ("n_frames", T.IntegerType(), "int32"),
@@ -244,3 +245,79 @@ def speaking_rate(
         .otherwise("ok")
     )
     return base.withColumn("cps", cps).withColumn("flag", flag)
+
+
+def extract_segments(
+    df: DataFrame, *, min_dur_ms: int = 0, counter=None
+) -> DataFrame:
+    """The materialized chunker: one OUTPUT CLIP per active segment, with
+    the segment's own pcm16 payload sliced out of the decoded waveform on
+    exact frame-grid sample bounds (never the rounded ms fields).
+
+    ``clip_segments`` is the audit relation (metadata only, payload never
+    leaves the stage); this is the PRODUCT relation — the rows a training
+    pipeline actually ingests.  Variable fan-out map, one decode per
+    input clip, no shuffle; segments shorter than ``min_dur_ms`` are
+    dropped (clicks and stray frames are not training data).  Output
+    payloads are always pcm16 little-endian regardless of input codec,
+    so downstream stages never re-dispatch on codec.
+    """
+    col_idx = {f.name: i for i, f in enumerate(df.schema.fields)}
+    out_schema = T.StructType([
+        T.StructField("clip_id", T.StringType(), False),
+        T.StructField("seg_idx", T.IntegerType(), False),
+        T.StructField("sr_hz", T.IntegerType(), False),
+        T.StructField("start_ms", T.IntegerType(), False),
+        T.StructField("dur_ms", T.IntegerType(), False),
+        T.StructField("bytes", T.BinaryType(), False),
+        T.StructField("rms_db", T.DoubleType(), False),
+    ])
+
+    def run(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from ..functions.audio import _decode_i16
+        from ..functions.vad import vad_segments
+
+        for batch in batches:
+            ids = batch.column(col_idx["clip_id"]).to_pylist()
+            payloads = batch.column(col_idx["bytes"])
+            codecs = batch.column(col_idx["codec"]).to_pylist()
+            srs = batch.column(col_idx["sr_hz"]).to_pylist()
+            if counter is not None:
+                counter.add(batch.num_rows)
+            out = {k: [] for k in ("clip_id", "seg_idx", "sr_hz",
+                                   "start_ms", "dur_ms", "bytes", "rms_db")}
+            for i in range(batch.num_rows):
+                buf = payloads[i].as_buffer() if payloads[i].is_valid else None
+                try:
+                    q = _decode_i16(buf, codecs[i], srs[i])
+                except (ValueError, TypeError):
+                    continue
+                sr = srs[i] or 0
+                for seg in vad_segments(
+                        q.astype(np.float32) / np.float32(32767.0), sr):
+                    if seg["dur_ms"] < min_dur_ms:
+                        continue
+                    sl = np.ascontiguousarray(
+                        q[seg["start_sample"]:seg["end_sample"]], dtype="<i2")
+                    out["clip_id"].append(ids[i])
+                    out["seg_idx"].append(seg["seg_idx"])
+                    out["sr_hz"].append(sr)
+                    out["start_ms"].append(seg["start_ms"])
+                    out["dur_ms"].append(seg["dur_ms"])
+                    out["bytes"].append(sl.tobytes())
+                    out["rms_db"].append(seg["rms_db"])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out["clip_id"], type=pa.string()),
+                 pa.array(out["seg_idx"], type=pa.int32()),
+                 pa.array(out["sr_hz"], type=pa.int32()),
+                 pa.array(out["start_ms"], type=pa.int32()),
+                 pa.array(out["dur_ms"], type=pa.int32()),
+                 pa.array(out["bytes"], type=pa.binary()),
+                 pa.array(out["rms_db"], type=pa.float64())],
+                names=list(out),
+            )
+
+    return df.mapInArrow(run, out_schema)

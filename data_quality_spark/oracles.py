@@ -1654,6 +1654,70 @@ def _audio_segments_expected(n=300, seed=42) -> dict:
     return out
 
 
+def _audio_chunks_expected(n=300, seed=42, min_dur_ms=200) -> dict:
+    """Twin of ``audio_vad.extract_segments`` hashed by the driver query:
+    shared decode, INDEPENDENT state machine + explicit segment scan
+    (same differential surface as ``_audio_segments_expected``), payload
+    sliced on the scan's own frame bounds and hashed with the from-spec
+    pure-Python XXH64 (bit-matching Spark's ``xxhash64`` at seed 42)."""
+    from .functions.audio import SILENCE_DB, _decode_i16
+    from .functions.vad import HANG_FRAMES, MIN_SPEECH_FRAMES, frame_mean_squares
+    from .functions.xxh64 import xxh64_bytes
+    from .synth import generate_clips
+
+    def signed(h: int) -> int:
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    pdf = generate_clips(n, seed=seed)
+    out: dict[str, list] = {k: [] for k in
+                            ("clip_id", "seg_idx", "sr_hz", "start_ms",
+                             "dur_ms", "payload_h", "rms_db_r")}
+    raw_rms: list[float] = []
+    for _, r in pdf.sort_values("clip_id").iterrows():
+        sr = r["sr_hz"] or 0
+        try:
+            q = _decode_i16(r["bytes"], r["codec"], r["sr_hz"])
+        except (ValueError, TypeError):
+            continue
+        x = q.astype(np.float32) / np.float32(32767.0)
+        if sr <= 0 or x.size == 0:
+            continue
+        ms2, frame = frame_mean_squares(x, sr)
+        if ms2.size == 0:
+            continue
+        frame_db = 10.0 * np.log10(np.maximum(ms2, 1e-24))
+        act = _vad_state_machine(frame_db, SILENCE_DB, HANG_FRAMES,
+                                 MIN_SPEECH_FRAMES)
+        seg_idx = 0
+        i = 0
+        nf = len(act)
+        while i < nf:
+            if not act[i]:
+                i += 1
+                continue
+            j = i
+            while j < nf and act[j]:
+                j += 1
+            dur_ms = int(round((j - i) * frame * 1000 / sr))
+            if dur_ms >= min_dur_ms:
+                seg_ms2 = float(np.mean(ms2[i:j], dtype=np.float64))
+                rms_db = max(10.0 * math.log10(max(seg_ms2, 1e-24)), -120.0)
+                payload = np.ascontiguousarray(
+                    q[i * frame:j * frame], dtype="<i2").tobytes()
+                raw_rms.append(rms_db)
+                out["clip_id"].append(r["clip_id"])
+                out["seg_idx"].append(seg_idx)
+                out["sr_hz"].append(int(sr))
+                out["start_ms"].append(int(round(i * frame * 1000 / sr)))
+                out["dur_ms"].append(dur_ms)
+                out["payload_h"].append(signed(xxh64_bytes(payload, 42)))
+                out["rms_db_r"].append(spark_round(rms_db, 4))
+            seg_idx += 1
+            i = j
+    _assert_off_rounding_boundary(raw_rms, 4)
+    return out
+
+
 def _resample_definition(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
     """Literal zero-stuff → convolve → decimate resampler (the definition
     the polyphase kernel optimizes).  Shares only the tap design with
@@ -1891,6 +1955,12 @@ _SCHEMAS: dict[str, pa.Schema] = {
          ("rolloff99_r", pa.float64()), ("hf_db_r", pa.float64()),
          ("upsampled", pa.bool_())]
     ),
+    "audio_chunks": pa.schema(
+        [("clip_id", pa.string()), ("seg_idx", pa.int32()),
+         ("sr_hz", pa.int32()), ("start_ms", pa.int32()),
+         ("dur_ms", pa.int32()), ("payload_h", pa.int64()),
+         ("rms_db_r", pa.float64())]
+    ),
     "audio_audit_issues": pa.schema(
         [("table", pa.string()), ("column", pa.string()),
          ("issue_type", pa.string()), ("count", pa.int64()),
@@ -2034,6 +2104,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_bandwidth_expected()
     elif name == "audio_audit_issues":
         data = _audio_audit_issues_expected()
+    elif name == "audio_chunks":
+        data = _audio_chunks_expected()
     elif name == "audio_segments":
         data = _audio_segments_expected()
     elif name == "audio_resample":
