@@ -1048,6 +1048,22 @@ def q_speaking_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: new batch anti-joined against a stored
+    fingerprint index (here: the even-doc_id half of the corpus plays
+    yesterday's index) — content never shuffles, only 16-byte digests;
+    NULL-text rows always survive.  Strict DuckDB twin."""
+    from data_quality_spark.operators.dedup import (
+        build_dedup_index,
+        dedup_against_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    index = build_dedup_index(docs.filter(F.col("doc_id") % 2 == 0))
+    survivors = dedup_against_index(docs, index)
+    return survivors.select("doc_id", "lang").orderBy("doc_id")
+
+
 def q_trend_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-count anomaly flags per event_type via an exact integer
     z-test: |x−μ|>kσ rewritten as (n·x−S)² > k²·(n·Q−S²) so no float
@@ -1409,6 +1425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_columns": q_profile_columns,
         "snapshot_diff": q_snapshot_diff,
         "trend_anomaly": q_trend_anomaly,
+        "dedup_incremental": q_dedup_incremental,
         "audio_segments": q_audio_segments,
         "audio_resample": q_audio_resample,
         "audio_gain": q_audio_gain,
@@ -2531,6 +2548,12 @@ FROM ranked WHERE rnk <= 3""",
         "profile_columns": _PROFILE_COLUMNS_SQL,
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "trend_anomaly": _TREND_ANOMALY_SQL,
+        "dedup_incremental": """
+SELECT d.doc_id, d.lang FROM documents d
+WHERE d.text IS NULL OR md5(d.text) NOT IN (
+  SELECT md5(text) FROM documents
+  WHERE doc_id % 2 = 0 AND text IS NOT NULL)
+ORDER BY d.doc_id""",
         "audio_segments": _expected_sql("audio_segments"),
         "audio_resample": _expected_sql("audio_resample"),
         "audio_gain": _expected_sql("audio_gain"),

@@ -445,6 +445,7 @@ def main() -> None:
         "corpus_funnel", "corpus_clean", "boilerplate_stats",
         "token_budget", "cluster_split",
         "profile_columns", "snapshot_diff", "trend_anomaly",
+        "dedup_incremental",
     ]
     qs = entrymod.queries()
     for name in bench_queries:

@@ -44,6 +44,8 @@ __all__ = [
     "simhash64",
     "simhash_near_pairs",
     "winnow_fingerprints",
+    "dedup_against_index",
+    "build_dedup_index",
 ]
 
 
@@ -445,5 +447,41 @@ def simhash_near_pairs(
         .withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= F.lit(max_hamming))
         .select("id_a", "id_b", "hamming")
+        .distinct()
+    )
+
+
+def dedup_against_index(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    *,
+    text_col: str = "text",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Incremental exact dedup: drop NEW documents whose content already
+    exists in a historical fingerprint index (yesterday's corpus), keep
+    everything else.  Returns the surviving rows of ``new_df`` unchanged.
+
+    ``index_df`` carries one md5-hex ``fp_col`` per known document (build
+    it with :func:`build_dedup_index`; at scale it is a stored table that
+    only ever grows by appending the survivors' fingerprints).  The match
+    is a LEFT ANTI join on the 16-byte digest — document text never
+    shuffles, and a small index broadcasts automatically under AQE.
+    NULL-text rows always survive (md5(NULL) is NULL; an anti-join on a
+    NULL key can never match — the engine's semantics, and the intended
+    ones: an absent document is not "already indexed").
+    """
+    keyed = new_df.withColumn("__fp", F.md5(F.col(text_col)))
+    idx = index_df.select(F.col(fp_col).alias("__fp")).distinct()
+    return keyed.join(idx, "__fp", "left_anti").drop("__fp")
+
+
+def build_dedup_index(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Distinct md5 fingerprints of a corpus — the relation
+    :func:`dedup_against_index` matches against.  NULL texts contribute
+    no fingerprint."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("fp"))
+        .where(F.col("fp").isNotNull())
         .distinct()
     )
