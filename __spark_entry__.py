@@ -1149,6 +1149,39 @@ def q_audio_bandwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+def q_audio_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio eval-set decontamination: corpus clips flagged when their
+    spectral fingerprints near-match any eval clip (here the corpus's
+    own codec/gain re-encodes play the eval set, so ground truth is
+    exact).  Eval entries + fingerprints broadcast; the corpus side is
+    a fingerprint map with NO corpus shuffle.  Hash-checked against a
+    cross-set bucket-probe + popcount-BER differential oracle."""
+    from data_quality_spark.operators.audio_dedup import (
+        audio_decontaminate,
+        clip_fingerprints,
+    )
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_dup_corpus
+
+    ensure_expected("audio_decontaminate", sf_dir)
+    key = ("dup", 400, 42)
+    if key not in _CLIPS_CACHE:
+        _CLIPS_CACHE[key] = make_audio_dup_corpus(400, seed=42)
+    pdf = _CLIPS_CACHE[key]
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    is_re = pdf["clip_id"].str.endswith("_re")
+    corpus = spark.createDataFrame(pdf[~is_re][cols], CLIPS_SCHEMA)
+    evals = spark.createDataFrame(pdf[is_re][cols], CLIPS_SCHEMA)
+    out = audio_decontaminate(
+        clip_fingerprints(corpus), clip_fingerprints(evals, shuffle=False))
+    return out.select(
+        "clip_id",
+        "contaminated",
+        "n_matches",
+        F.round("min_ber", 4).alias("min_ber_r"),
+    ).orderBy("clip_id")
+
+
 def q_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The materialized chunker: one output clip per ≥200 ms active
     segment with its own pcm16 payload sliced on exact frame-grid sample
@@ -1420,6 +1453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_bandwidth": q_audio_bandwidth,
         "audio_audit_issues": q_audio_audit_issues,
         "audio_chunks": q_audio_chunks,
+        "audio_decontaminate": q_audio_decontaminate,
         "audio_vad": q_audio_vad,
         "speaking_rate": q_speaking_rate,
         "profile_columns": q_profile_columns,
@@ -2543,6 +2577,7 @@ FROM ranked WHERE rnk <= 3""",
         "audio_bandwidth": _expected_sql("audio_bandwidth"),
         "audio_audit_issues": _expected_sql("audio_audit_issues"),
         "audio_chunks": _expected_sql("audio_chunks"),
+        "audio_decontaminate": _expected_sql("audio_decontaminate"),
         "audio_vad": _expected_sql("audio_vad"),
         "speaking_rate": _expected_sql("speaking_rate"),
         "profile_columns": _PROFILE_COLUMNS_SQL,

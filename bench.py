@@ -438,7 +438,7 @@ def main() -> None:
         "audio_constellation_match", "audio_spectral", "audio_dropout", "audio_vad",
         "audio_segments", "audio_resample", "audio_snr", "audio_loudness",
         "speaking_rate", "audio_bandwidth", "audio_audit_issues",
-        "audio_chunks",
+        "audio_chunks", "audio_decontaminate",
         "minhash_lsh", "dedup_clusters", "simhash_near_dup", "ann_cosine_topk", "ann_lsh_topk",
         "ann_ivf_topk",
         "gopher_quality", "repetition_stats", "decontamination",

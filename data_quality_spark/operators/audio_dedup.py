@@ -56,6 +56,7 @@ __all__ = [
     "fingerprint_shift_match",
     "clip_landmarks",
     "landmark_match",
+    "audio_decontaminate",
 ]
 
 
@@ -515,4 +516,106 @@ def landmark_match(
             F.col("b.votes").alias("votes"),
         )
         .filter(F.col("votes") >= F.lit(min_votes))
+    )
+
+
+def audio_decontaminate(
+    corpus_fp: DataFrame,
+    eval_fp: DataFrame,
+    *,
+    window: int = 3,
+    stride: int = 1,
+    ber_max: float = 0.30,
+) -> DataFrame:
+    """Eval-set leakage removal for AUDIO: flag corpus clips whose
+    fingerprints near-match ANY eval-set clip — the waveform analog of
+    the text pipeline's n-gram benchmark decontamination
+    (``quality_filters.decontaminate``), robust to the codec/gain
+    re-encodes that would defeat an exact-bytes check.
+
+    Returns one row per corpus clip: (clip_id, contaminated, n_matches,
+    min_ber) — ``min_ber`` NULL when clean.  Downstream drops with a
+    trivial filter, keeping the evidence relation queryable.
+
+    Scale shape: the eval set is the small side by construction
+    (benchmarks are thousands of clips, the corpus 10^12), so its bucket
+    entries AND its fingerprints broadcast — the corpus side stays a
+    fingerprint map plus two broadcast joins with NO corpus shuffle at
+    all; corpus payload bytes never leave their stage.  Unlike the
+    self-join path there is no bucket-size>1 requirement (a lone eval
+    entry must still catch its copy) and no skew guard is needed on the
+    broadcast side.
+    """
+    def entries(fp_df: DataFrame, idname: str) -> DataFrame:
+        keyed = fp_df.filter(F.size("fp") >= window).select(
+            F.col("clip_id").alias(idname),
+            F.transform(
+                "fp",
+                lambda v: F.shiftright(v, STABLE_SHIFT)
+                .bitwiseAND(F.lit(STABLE_MASK))
+                .cast("long"),
+            ).alias("__sb"),
+        )
+        n_win = ((F.size("__sb") - window) / stride).cast("int")
+        return keyed.select(
+            idname,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_win),
+                    lambda i: F.struct(
+                        i.alias("off"),
+                        F.xxhash64(
+                            F.slice("__sb", i * stride + 1, window)
+                        ).alias("bh"),
+                    ),
+                )
+            ).alias("e"),
+        ).select(idname, "e.off", "e.bh")
+
+    cand = (
+        entries(corpus_fp, "__cid")
+        .join(F.broadcast(entries(eval_fp, "__eid").distinct()),
+              ["off", "bh"])
+        .select("__cid", "__eid")
+        .distinct()
+    )
+    cfp = corpus_fp.select(F.col("clip_id").alias("__cid"),
+                           F.col("fp").alias("__fa"))
+    efp = eval_fp.select(F.col("clip_id").alias("__eid"),
+                         F.col("fp").alias("__fb"))
+    n = F.least(F.size("__fa"), F.size("__fb"))
+    diff_bits = F.aggregate(
+        F.zip_with(
+            F.slice("__fa", 1, n),
+            F.slice("__fb", 1, n),
+            lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    ber = diff_bits.cast("double") / (
+        F.lit(float(N_BANDS - 1)) * n.cast("double")
+    )
+    matches = (
+        cand.join(cfp, "__cid")
+        .join(F.broadcast(efp), "__eid")
+        .filter(n > 0)
+        .withColumn("__ber", ber)
+        .filter(F.col("__ber") <= F.lit(ber_max))
+        .groupBy("__cid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matches"),
+             F.min("__ber").alias("__minber"))
+    )
+    return (
+        corpus_fp.select("clip_id")
+        .join(matches.withColumnRenamed("__cid", "clip_id"),
+              "clip_id", "left")
+        .select(
+            "clip_id",
+            F.coalesce(F.col("n_matches") > 0, F.lit(False))
+            .alias("contaminated"),
+            F.coalesce("n_matches", F.lit(0).cast("long"))
+            .alias("n_matches"),
+            F.col("__minber").alias("min_ber"),
+        )
     )

@@ -835,6 +835,78 @@ def _audio_fingerprint_expected(n=400, seed=42) -> dict:
     }
 
 
+def _audio_decontaminate_expected(
+    n=400, seed=42, window=3, stride=1, ber_max=0.30
+) -> dict:
+    """Twin of ``audio_dedup.audio_decontaminate`` over
+    ``synth.make_audio_dup_corpus`` split into corpus (base ids) vs eval
+    (the ``_re`` re-encodes): cross-set bucket probe rebuilt with the
+    from-spec XXH64, BER via per-word popcount loops, per-corpus-clip
+    aggregation as explicit dict bookkeeping."""
+    from .functions.audio import _decode_i16
+    from .functions.spectral import (
+        N_BANDS,
+        STABLE_MASK,
+        STABLE_SHIFT,
+        fingerprint_i32,
+    )
+    from .synth import make_audio_dup_corpus
+
+    pdf = make_audio_dup_corpus(n, seed=seed)
+    fps: dict[str, list[int]] = {}
+    for _, r in pdf.iterrows():
+        try:
+            x = _decode_i16(r["bytes"], r["codec"], r["sr_hz"])
+        except (ValueError, TypeError):
+            x = np.zeros(0, dtype=np.int16)
+        fps[r["clip_id"]] = [int(v) for v in fingerprint_i32(x)]
+    corpus = sorted(c for c in fps if not c.endswith("_re"))
+    evals = sorted(c for c in fps if c.endswith("_re"))
+
+    def bucket_keys(fp: list[int]) -> set[tuple[int, int]]:
+        if len(fp) < window:
+            return set()
+        sb = [(v >> STABLE_SHIFT) & STABLE_MASK for v in fp]
+        keys = set()
+        for wi in range((len(sb) - window) // stride + 1):
+            off = wi * stride
+            h = 42
+            for v in sb[off:off + window]:
+                h = xxh64_long(v, h)
+            keys.add((off, h))
+        return keys
+
+    eval_buckets: dict[tuple[int, int], set[str]] = {}
+    for eid in evals:
+        for k in bucket_keys(fps[eid]):
+            eval_buckets.setdefault(k, set()).add(eid)
+    out = {"clip_id": [], "contaminated": [], "n_matches": [],
+           "min_ber_r": []}
+    for cid in corpus:
+        hits: set[str] = set()
+        for k in bucket_keys(fps[cid]):
+            hits |= eval_buckets.get(k, set())
+        n_matches = 0
+        min_ber = None
+        for eid in sorted(hits):
+            fa, fb = fps[cid], fps[eid]
+            m = min(len(fa), len(fb))
+            if m == 0:
+                continue
+            diff = 0
+            for a, b in zip(fa[:m], fb[:m]):
+                diff += bin((a ^ b) & 0x7FFF).count("1")
+            ber = diff / ((N_BANDS - 1) * m)
+            if ber <= ber_max:
+                n_matches += 1
+                min_ber = ber if min_ber is None else min(min_ber, ber)
+        out["clip_id"].append(cid)
+        out["contaminated"].append(n_matches > 0)
+        out["n_matches"].append(n_matches)
+        out["min_ber_r"].append(spark_round(min_ber, 4))
+    return out
+
+
 def _audio_dedup_clusters_expected(n=400, seed=42) -> dict:
     """Twin of the ``audio_dedup_clusters`` query: union-find closure of
     the verified audio near-dup pair graph (component label = min clip_id,
@@ -1955,6 +2027,10 @@ _SCHEMAS: dict[str, pa.Schema] = {
          ("rolloff99_r", pa.float64()), ("hf_db_r", pa.float64()),
          ("upsampled", pa.bool_())]
     ),
+    "audio_decontaminate": pa.schema(
+        [("clip_id", pa.string()), ("contaminated", pa.bool_()),
+         ("n_matches", pa.int64()), ("min_ber_r", pa.float64())]
+    ),
     "audio_chunks": pa.schema(
         [("clip_id", pa.string()), ("seg_idx", pa.int32()),
          ("sr_hz", pa.int32()), ("start_ms", pa.int32()),
@@ -2106,6 +2182,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_audit_issues_expected()
     elif name == "audio_chunks":
         data = _audio_chunks_expected()
+    elif name == "audio_decontaminate":
+        data = _audio_decontaminate_expected()
     elif name == "audio_segments":
         data = _audio_segments_expected()
     elif name == "audio_resample":
