@@ -1352,6 +1352,21 @@ def q_clips_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clips_funnel(_text_heuristics(featurize(_clips_df(spark))))
 
 
+def q_clips_gate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate v2 (audio-metric profile): one-decode wide featurize (VAD /
+    speech-SNR / LUFS / dropout / bandwidth + the v1 features bit-identical)
+    and the extended drop ladder — v1 rules first, so every v1 drop keeps
+    its v1 decision_reason.  Twin: pandas reference pipeline for the v1
+    flags + shared audio kernels + explicit Python ladder."""
+    from data_quality_spark.pipeline import gate_v2
+
+    ensure_expected("clips_gate_v2", sf_dir)
+    decided = gate_v2(_clips_df(spark, n=400))
+    return decided.select("clip_id", "decision", "decision_reason").orderBy(
+        "clip_id"
+    )
+
+
 def q_clips_gate_decide3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's 3-way decision enum over the gate (decide3:
     critical → reject, warning-only → graylist, clean → accept)."""
@@ -1468,6 +1483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_gate_rollup": q_clips_gate_rollup,
         "clips_gate_issues": q_clips_gate_issues,
         "clips_gate_decide3": q_clips_gate_decide3,
+        "clips_gate_v2": q_clips_gate_v2,
     }
 
 
@@ -2597,4 +2613,5 @@ ORDER BY d.doc_id""",
         "clips_gate_rollup": _expected_sql("clips_gate_rollup"),
         "clips_gate_issues": _expected_sql("clips_gate_issues"),
         "clips_gate_decide3": _expected_sql("clips_gate_decide3"),
+        "clips_gate_v2": _expected_sql("clips_gate_v2"),
     }

@@ -722,6 +722,91 @@ def _clips_gate_issues_expected(n=1200, seed=42) -> dict:
     return out
 
 
+def _clips_gate_v2_expected(n=400, seed=42) -> dict:
+    """Twin of ``pipeline.gate_v2``: v1 flags from the pandas reference
+    pipeline (same per-row twin as clips_gate*), extended audio flags from
+    the SHARED kernels (each hash-verified by its own differential query —
+    audio_snr, audio_loudness, audio_dropout, audio_vad, audio_bandwidth),
+    explicit Python ladder in DROP_RULES_V2 order vs the Spark when-chain.
+    The differential surface is the flag ladder composition, the NULL→False
+    coalesce semantics, and the one-decode wide featurization."""
+    import re as _re
+
+    from .functions.audio import _decode_i16
+    from .functions.dropout import dropout_stats_i16
+    from .functions.loudness import clip_loudness
+    from .functions.snr import speech_snr
+    from .functions.spectral import bandwidth_stats
+    from .functions.vad import vad_stats
+    from .operators.audio_audit import LUFS_MAX, LUFS_MIN, SNR_MIN_DB
+    from .operators.audio_bandwidth import (
+        MAX_UPSAMPLED_HF_DB,
+        MIN_MEASURABLE_RMS,
+    )
+    from .operators.audio_dropout import DC_DEN, DC_NUM, STUCK_MIN_DEFAULT
+    from .pipeline import (
+        DROP_RULES_V2,
+        SPEAK_MAX_CPS,
+        SPEAK_MIN_CPS,
+        SPEAK_MIN_SPEECH_MS,
+    )
+    from .synth import generate_clips
+
+    pdf = generate_clips(n, seed=seed)
+    v1_rows = _clips_row_flags(n, seed)
+    out = {"clip_id": [], "decision": [], "decision_reason": []}
+    for (_, r), v1 in zip(pdf.iterrows(), v1_rows):
+        try:
+            q = _decode_i16(r["bytes"], r["codec"], r["sr_hz"])
+            ok = True
+        except (ValueError, TypeError):
+            q = np.zeros(0, dtype=np.int16)
+            ok = False
+        sr = int(r["sr_hz"]) if r["sr_hz"] else 0
+        x = q.astype(np.float32) / np.float32(32767.0)
+        vd = vad_stats(x, sr)
+        sn = speech_snr(x, sr)
+        lf = clip_loudness(x, sr)
+        dp = dropout_stats_i16(q, sr)
+        bw = bandwidth_stats(x, sr)
+        n_samples_v1 = int(q.size) if ok else 0
+        nws = len(_re.sub(r"[ \t\n\r]+", "", r["transcript"] or ""))
+        speech_ms = int(vd["speech_ms"])
+        cps = (nws * 1000.0 / speech_ms) if speech_ms > 0 else None
+        flags = dict(v1)
+        flags["dropout"] = dp["n_dropouts"] > 0
+        flags["stuck_samples"] = dp["max_const_run"] >= STUCK_MIN_DEFAULT
+        flags["low_snr"] = (
+            sn["snr_db"] is not None and sn["snr_db"] < SNR_MIN_DB
+        )
+        flags["loudness_range"] = lf["lufs_i"] is not None and (
+            lf["lufs_i"] < LUFS_MIN or lf["lufs_i"] > LUFS_MAX
+        )
+        flags["dc_offset"] = (
+            abs(dp["dc_sum"]) * DC_DEN > DC_NUM * n_samples_v1 * 32768
+        )
+        flags["upsampled"] = (
+            bw["rms"] is not None
+            and bw["rms"] >= MIN_MEASURABLE_RMS
+            and bw["hf_db"] is not None
+            and bw["hf_db"] < MAX_UPSAMPLED_HF_DB
+        )
+        flags["speaking_rate"] = (
+            speech_ms >= SPEAK_MIN_SPEECH_MS
+            and nws > 0
+            and cps is not None
+            and (cps < SPEAK_MIN_CPS or cps > SPEAK_MAX_CPS)
+        )
+        assert set(flags) == set(DROP_RULES_V2)
+        reason = next(
+            (name for name in DROP_RULES_V2 if flags[name]), None
+        )
+        out["clip_id"].append(r["clip_id"])
+        out["decision"].append("drop" if reason is not None else "keep")
+        out["decision_reason"].append(reason)
+    return out
+
+
 def _clips_gate_decide3_expected(n=1200, seed=42) -> dict:
     """Twin of ``pipeline.decide3`` (reference 3-way decision enum,
     checkpoints.py:216-252): critical rule hit → reject, warning-only →
@@ -2069,6 +2154,10 @@ _SCHEMAS: dict[str, pa.Schema] = {
     "clips_gate_decide3": pa.schema(
         [("decision", pa.string()), ("n_clips", pa.int64())]
     ),
+    "clips_gate_v2": pa.schema(
+        [("clip_id", pa.string()), ("decision", pa.string()),
+         ("decision_reason", pa.string())]
+    ),
     "clips_gate_rollup": pa.schema(
         [("lang_pred", pa.string()), ("codec", pa.string()),
          ("n_clips", pa.int64()), ("n_keep", pa.int64()),
@@ -2200,6 +2289,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _clips_gate_issues_expected()
     elif name == "clips_gate_decide3":
         data = _clips_gate_decide3_expected()
+    elif name == "clips_gate_v2":
+        data = _clips_gate_v2_expected()
     else:
         raise ValueError(f"unknown expected table {name!r}")
     import pyarrow.parquet as pq

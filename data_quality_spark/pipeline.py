@@ -404,13 +404,9 @@ def rule_flags(df: DataFrame) -> dict[str, Column]:
     }
 
 
-def decide(df: DataFrame) -> DataFrame:
-    """decision ∈ {keep, drop} + first-violated-rule ``decision_reason``
-    (NULL for kept rows) + scrubbed transcript.  (3-way graylist of the
-    reference's decision enum, checkpoints.py:216-252, collapses to binary
-    keep/drop per the north rule; the reason column is the per-row audit
-    trail the reference keeps only in aggregate issue counts.)"""
-    flags = rule_flags(df)
+def _decide_with(df: DataFrame, flags: dict[str, Column]) -> DataFrame:
+    """Shared decision builder: OR of the flag ladder → decision, first
+    flag in insertion order → decision_reason, scrub always applied."""
     drop = None
     reason = F.lit(None).cast("string")
     for name in reversed(list(flags)):
@@ -422,6 +418,15 @@ def decide(df: DataFrame) -> DataFrame:
         .withColumn("decision_reason", reason)
         .withColumn("scrubbed", scrub_col(F.col("transcript")))
     )
+
+
+def decide(df: DataFrame) -> DataFrame:
+    """decision ∈ {keep, drop} + first-violated-rule ``decision_reason``
+    (NULL for kept rows) + scrubbed transcript.  (3-way graylist of the
+    reference's decision enum, checkpoints.py:216-252, collapses to binary
+    keep/drop per the north rule; the reason column is the per-row audit
+    trail the reference keeps only in aggregate issue counts.)"""
+    return _decide_with(df, rule_flags(df))
 
 
 def decide3(df: DataFrame) -> DataFrame:
@@ -522,6 +527,253 @@ FUNNEL_STAGES: dict[str, tuple[str, ...]] = {
     ),
     "language": ("low_lang_confidence",),
 }
+
+
+# ---------------------------------------------------------------------------
+# gate v2: the audio-metric profile.  Same pipeline shape (ONE decode pass,
+# zero shuffles), wider featurization: the round-3 per-clip audio metrics
+# (VAD speech time, speech-SNR, BS.1770 LUFS, dropout/stuck/DC, effective
+# bandwidth) become first-class drop rules alongside the reference-parity v1
+# set.  The v1 profile stays bit-stable: featurize_v2 emits the v1 feature
+# columns from the SAME kernels (decode_stats ≡ clip_stats_i16∘_decode_i16),
+# and DROP_RULES_V2 lists the v1 rules first, so any clip the v1 gate drops
+# gets the identical decision_reason under v2.
+# ---------------------------------------------------------------------------
+
+FEATURES_V2_EXT_TYPE = T.StructType(
+    [
+        T.StructField("speech_ratio", T.DoubleType(), True),
+        T.StructField("speech_ms", T.IntegerType(), True),
+        T.StructField("snr_db", T.DoubleType(), True),
+        T.StructField("lufs_i", T.DoubleType(), True),
+        T.StructField("n_dropouts", T.LongType(), True),
+        T.StructField("max_const_run", T.LongType(), True),
+        T.StructField("dc_sum", T.LongType(), True),
+        T.StructField("bw_rms", T.DoubleType(), True),
+        T.StructField("hf_db", T.DoubleType(), True),
+        T.StructField("nws_chars", T.IntegerType(), True),
+    ]
+)
+
+# v1 rules FIRST (ladder prefix = v1 ladder), then the audio-metric rules.
+# Severities follow operators.audio_audit.AUDIT_RULES where a twin exists.
+DROP_RULES_V2: dict[str, str] = {
+    **DROP_RULES,
+    "dropout": "critical",
+    "stuck_samples": "critical",
+    "low_snr": "warning",
+    "loudness_range": "warning",
+    "dc_offset": "warning",
+    "upsampled": "warning",
+    "speaking_rate": "warning",
+}
+
+# speaking-rate band over VAD speech time — mirrors the defaults of
+# operators.audio_vad.speaking_rate (kept in sync by test_gate_v2)
+SPEAK_MIN_CPS = 4.0
+SPEAK_MAX_CPS = 30.0
+SPEAK_MIN_SPEECH_MS = 200
+
+
+def _feature_batch_v2(batch, col_idx: dict[str, int]):
+    """v1 feature arrays + the extended audio metrics, ONE decode per clip.
+
+    The v1 fields are computed with the same kernels as ``_feature_batch``
+    (``decode_stats`` is ``clip_stats_i16(_decode_i16(...))``), so they are
+    bit-identical; the extended kernels run on the shared int16 buffer the
+    way ``operators.audio_audit`` does.  Non-whitespace char counts come
+    from vectorized Arrow compute, not per-row Python."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .functions import text as X
+    from .functions.audio import _decode_i16, clip_stats_i16
+    from .functions.dropout import dropout_stats_i16
+    from .functions.loudness import clip_loudness
+    from .functions.snr import speech_snr
+    from .functions.spectral import bandwidth_stats
+    from .functions.vad import vad_stats
+
+    n = batch.num_rows
+    payload = batch.column(col_idx["bytes"])
+    codecs = batch.column(col_idx["codec"]).to_pylist()
+    srs = batch.column(col_idx["sr_hz"]).to_pylist()
+    texts = batch.column(col_idx["transcript"]).to_pylist()
+    out = {
+        "decode_ok": np.zeros(n, dtype=bool),
+        "rms_db": np.full(n, np.nan),
+        "peak_db": np.full(n, np.nan),
+        "silence_frac": np.full(n, np.nan),
+        "clip_frac": np.full(n, np.nan),
+        "n_samples": np.zeros(n, dtype=np.int64),
+    }
+    ext: dict[str, list] = {f.name: [] for f in FEATURES_V2_EXT_TYPE.fields
+                            if f.name != "nws_chars"}
+    txt = pc.fill_null(batch.column(col_idx["transcript"]).cast(pa.string()), "")
+    nws = pc.utf8_length(
+        pc.replace_substring_regex(txt, pattern="[ \\t\\n\\r]+", replacement="")
+    ).cast(pa.int32())
+    for i in range(n):
+        sr = srs[i]
+        buf = payload[i].as_buffer() if payload[i].is_valid else None
+        try:
+            q = _decode_i16(buf, codecs[i], int(sr) if sr is not None else None)
+            ok = True
+        except (ValueError, TypeError):
+            q = np.zeros(0, dtype=np.int16)
+            ok = False
+        if ok:
+            st = clip_stats_i16(q, int(sr) if sr and sr > 0 else 1)
+            out["decode_ok"][i] = True
+            out["rms_db"][i] = st["rms_db"]
+            out["peak_db"][i] = st["peak_db"]
+            out["silence_frac"][i] = st["silence_frac"]
+            out["clip_frac"][i] = st["clip_frac"]
+            out["n_samples"][i] = int(st["n_samples"])
+        sr0 = int(sr) if sr else 0
+        x = q.astype(np.float32) / np.float32(32767.0)
+        vd = vad_stats(x, sr0)
+        sn = speech_snr(x, sr0)
+        lf = clip_loudness(x, sr0)
+        dp = dropout_stats_i16(q, sr0)
+        bw = bandwidth_stats(x, sr0)
+        ext["speech_ratio"].append(vd["speech_ratio"])
+        ext["speech_ms"].append(vd["speech_ms"])
+        ext["snr_db"].append(sn["snr_db"])
+        ext["lufs_i"].append(lf["lufs_i"])
+        ext["n_dropouts"].append(dp["n_dropouts"])
+        ext["max_const_run"].append(dp["max_const_run"])
+        ext["dc_sum"].append(dp["dc_sum"])
+        ext["bw_rms"].append(bw["rms"])
+        ext["hf_db"].append(bw["hf_db"])
+    langs, confs = X.LANGID.score_batch(texts)
+    ppls = X.PPLM.ppl_batch(texts, langs)
+    pa_types = {
+        "speech_ratio": pa.float64(), "speech_ms": pa.int32(),
+        "snr_db": pa.float64(), "lufs_i": pa.float64(),
+        "n_dropouts": pa.int64(), "max_const_run": pa.int64(),
+        "dc_sum": pa.int64(), "bw_rms": pa.float64(), "hf_db": pa.float64(),
+    }
+    return [
+        pa.array(out["decode_ok"]),
+        pa.array(out["rms_db"]),
+        pa.array(out["peak_db"]),
+        pa.array(out["silence_frac"]),
+        pa.array(out["clip_frac"]),
+        pa.array(out["n_samples"]),
+        pa.array(langs, type=pa.string()),
+        pa.array(confs, type=pa.float64()),
+        pa.array(ppls, type=pa.float64()),
+    ] + [pa.array(ext[k], type=pa_types[k]) for k in pa_types] + [nws]
+
+
+def featurize_v2(df: DataFrame, counter=None) -> DataFrame:
+    """One ``mapInArrow`` pass emitting the v1 features (bit-identical)
+    plus the extended audio metrics; payload bytes dropped on output."""
+    in_names = [f.name for f in df.schema.fields]
+    col_idx = {name: i for i, name in enumerate(in_names)}
+    carried = [name for name in in_names if name != "bytes"]
+    out_schema = T.StructType(
+        [
+            T.StructField(f.name, f.dataType, True)
+            for f in df.schema.fields
+            if f.name != "bytes"
+        ]
+        + list(FEATURES_TYPE.fields)
+        + list(FEATURES_V2_EXT_TYPE.fields)
+    )
+    out_names = (
+        carried
+        + [f.name for f in FEATURES_TYPE.fields]
+        + [f.name for f in FEATURES_V2_EXT_TYPE.fields]
+    )
+
+    def run(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            feats = _feature_batch_v2(batch, col_idx)
+            if counter is not None:
+                counter.add(batch.num_rows)
+            arrays = [batch.column(col_idx[name]) for name in carried] + feats
+            yield pa.RecordBatch.from_arrays(arrays, names=out_names)
+
+    return df.mapInArrow(run, out_schema)
+
+
+def rule_flags_v2(df: DataFrame) -> dict[str, Column]:
+    """v1 flags (identical Column expressions) + the audio-metric rules.
+
+    Every v2 flag is wrapped in ``coalesce(·, False)``: a NULL metric
+    (undecodable clip, unmeasurable SNR/LUFS/bandwidth) never fires an
+    audio rule — decode failures are owned by ``decode_failed``."""
+    from .operators.audio_audit import LUFS_MAX, LUFS_MIN, SNR_MIN_DB
+    from .operators.audio_bandwidth import (
+        MAX_UPSAMPLED_HF_DB,
+        MIN_MEASURABLE_RMS,
+    )
+    from .operators.audio_dropout import DC_DEN, DC_NUM, STUCK_MIN_DEFAULT
+
+    flags = rule_flags(df)
+    # ANSI-safe: cps is NULL (not an error) when speech_ms == 0 — the
+    # measurable guard already excludes those rows from the flag
+    cps = (
+        F.col("nws_chars").cast("double")
+        * 1000.0
+        / F.when(F.col("speech_ms") > 0, F.col("speech_ms").cast("double"))
+    )
+    measurable = (
+        (F.col("speech_ms") >= F.lit(SPEAK_MIN_SPEECH_MS))
+        & (F.col("nws_chars") > 0)
+    )
+    v2 = {
+        "dropout": F.col("n_dropouts") > 0,
+        "stuck_samples": F.col("max_const_run") >= F.lit(STUCK_MIN_DEFAULT),
+        "low_snr": F.col("snr_db") < F.lit(SNR_MIN_DB),
+        "loudness_range": (F.col("lufs_i") < F.lit(LUFS_MIN))
+        | (F.col("lufs_i") > F.lit(LUFS_MAX)),
+        "dc_offset": F.abs(F.col("dc_sum")) * F.lit(DC_DEN)
+        > F.lit(DC_NUM) * F.col("n_samples") * F.lit(32768),
+        "upsampled": (F.col("bw_rms") >= F.lit(MIN_MEASURABLE_RMS))
+        & (F.col("hf_db") < F.lit(MAX_UPSAMPLED_HF_DB)),
+        "speaking_rate": measurable
+        & ((cps < F.lit(SPEAK_MIN_CPS)) | (cps > F.lit(SPEAK_MAX_CPS))),
+    }
+    for name, col in v2.items():
+        flags[name] = F.coalesce(col, F.lit(False))
+    return flags
+
+
+def decide_v2(df: DataFrame) -> DataFrame:
+    """The v2 decision over a ``featurize_v2``-featurized frame: v1 ladder
+    first (bit-stable reasons for v1 drops), audio-metric rules after."""
+    return _decide_with(df, rule_flags_v2(df))
+
+
+def gate_v2(df: DataFrame, counter=None) -> DataFrame:
+    """Full v2 per-row pipeline: one-decode wide featurize → text
+    heuristics → extended decide/scrub.  Same shuffle profile as ``gate``
+    (none until a downstream rollup)."""
+    return decide_v2(_text_heuristics(featurize_v2(df, counter=counter)))
+
+
+def gate_v2_issues(decided: DataFrame, table: str = "clips") -> DataFrame:
+    """QualityIssue relation for the v2 rule set — one fused agg pass."""
+    from .operators.rules import Rule, compile_rules
+
+    flags = rule_flags_v2(decided)
+    rules = [
+        Rule(
+            name=name,
+            column=None,
+            predicate=lambda d, c=col: c,
+            severity=DROP_RULES_V2[name],
+            description=f"gate rule {name} violated",
+        )
+        for name, col in flags.items()
+    ]
+    return compile_rules(decided, table, rules)
 
 
 def clips_funnel(df: DataFrame, group_col: str = "codec") -> DataFrame:

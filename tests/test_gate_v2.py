@@ -1,0 +1,178 @@
+"""Gate v2 (audio-metric profile) laws.
+
+1. v1-parity: ``featurize_v2`` emits the v1 feature columns from the same
+   kernels, bit-identically for the decode-derived fields; every clip the
+   v1 gate drops keeps its v1 ``decision_reason`` under v2 (the v2 ladder
+   lists the v1 rules first); the v2 keep set is a subset of the v1 keep
+   set (monotone: v2 only adds rules).
+2. Defect detection: seeded interior-dropout / DC-bias / stuck-sample
+   defects that the v1 gate cannot see are dropped by v2 with the right
+   reason, while the unmutated clip stays kept under both profiles.
+3. Constant sync: the pipeline's speaking-rate band equals the
+   ``audio_vad.speaking_rate`` defaults (they are documented as mirrors).
+4. Execute-once: gate_v2 decodes each clip exactly once per job.
+"""
+
+from __future__ import annotations
+
+import inspect
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_spark.pipeline import (
+    DROP_RULES,
+    DROP_RULES_V2,
+    FEATURES_TYPE,
+    SPEAK_MAX_CPS,
+    SPEAK_MIN_CPS,
+    SPEAK_MIN_SPEECH_MS,
+    featurize,
+    featurize_v2,
+    gate,
+    gate_v2,
+)
+from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+from data_quality_spark.synth import generate_clips
+
+N = 300
+COLS = [f.name for f in CLIPS_SCHEMA.fields]
+
+
+@pytest.fixture(scope="module")
+def corpus_pdf():
+    return generate_clips(N, seed=42)
+
+
+@pytest.fixture(scope="module")
+def clips(spark, corpus_pdf):
+    return spark.createDataFrame(corpus_pdf[COLS], CLIPS_SCHEMA).repartition(
+        4, "clip_id"
+    )
+
+
+def test_rule_order_is_v1_prefix():
+    assert list(DROP_RULES_V2)[: len(DROP_RULES)] == list(DROP_RULES)
+    assert all(DROP_RULES_V2[k] == v for k, v in DROP_RULES.items())
+    assert set(DROP_RULES_V2.values()) <= {"critical", "warning"}
+
+
+def test_speaking_rate_constants_match_operator():
+    from data_quality_spark.operators.audio_vad import speaking_rate
+
+    sig = inspect.signature(speaking_rate)
+    assert sig.parameters["min_cps"].default == SPEAK_MIN_CPS
+    assert sig.parameters["max_cps"].default == SPEAK_MAX_CPS
+    assert sig.parameters["min_speech_ms"].default == SPEAK_MIN_SPEECH_MS
+
+
+def test_v1_feature_parity(spark, clips):
+    names = [f.name for f in FEATURES_TYPE.fields]
+    v1 = (
+        featurize(clips).select("clip_id", *names).toPandas()
+        .set_index("clip_id").sort_index()
+    )
+    v2 = (
+        featurize_v2(clips).select("clip_id", *names).toPandas()
+        .set_index("clip_id").sort_index()
+    )
+    # decode-derived fields share the exact kernel path: bit-identical
+    for c in ("decode_ok", "rms_db", "peak_db", "silence_frac", "clip_frac",
+              "n_samples", "lang_pred"):
+        a, b = v1[c].to_numpy(), v2[c].to_numpy()
+        if a.dtype.kind == "f":
+            assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), c
+        else:
+            assert (a == b).all(), c
+    # langid/ppl sums are batch-composition-stable to ~1e-14 only
+    for c in ("lang_conf", "ppl"):
+        a, b = v1[c].to_numpy(), v2[c].to_numpy()
+        assert np.allclose(a, b, rtol=0, atol=1e-9, equal_nan=True), c
+
+
+def test_v2_monotone_and_v1_reason_stable(spark, clips):
+    v1 = (
+        gate(clips).select("clip_id", "decision", "decision_reason")
+        .toPandas().set_index("clip_id").sort_index()
+    )
+    v2 = (
+        gate_v2(clips).select("clip_id", "decision", "decision_reason")
+        .toPandas().set_index("clip_id").sort_index()
+    )
+    drop1 = v1["decision"] == "drop"
+    assert (v2.loc[drop1, "decision"] == "drop").all()
+    assert (
+        v2.loc[drop1, "decision_reason"] == v1.loc[drop1, "decision_reason"]
+    ).all()
+    extra = (v2["decision"] == "drop") & ~drop1
+    v2_only = set(DROP_RULES_V2) - set(DROP_RULES)
+    assert set(v2.loc[extra, "decision_reason"]) <= v2_only
+
+
+def _first_kept_pcm16(spark, pdf):
+    """A pcm16 clip both gates keep — the mutation canvas."""
+    df = spark.createDataFrame(pdf[COLS], CLIPS_SCHEMA)
+    kept = set(
+        r["clip_id"]
+        for r in gate_v2(df).filter(F.col("decision") == "keep")
+        .select("clip_id").collect()
+    )
+    sel = pdf[(pdf["codec"] == "pcm16") & pdf["clip_id"].isin(kept)]
+    assert len(sel) > 0, "no kept pcm16 clip in the seeded corpus"
+    return sel.iloc[[0]].copy()
+
+
+def _decisions(spark, mutated):
+    mdf = spark.createDataFrame(mutated[COLS], CLIPS_SCHEMA)
+    r1 = gate(mdf).select("decision", "decision_reason").first()
+    r2 = gate_v2(mdf).select("decision", "decision_reason").first()
+    return r1, r2
+
+
+class TestSeededDefects:
+    def test_interior_dropout_only_v2_catches(self, spark, corpus_pdf):
+        row = _first_kept_pcm16(spark, corpus_pdf)
+        q = np.frombuffer(row["bytes"].iloc[0], dtype="<i2").copy()
+        sr = int(row["sr_hz"].iloc[0])
+        run = (sr * 30) // 1000 + 64  # just past the 30 ms dropout law
+        mid = q.size // 2
+        q[mid : mid + run] = 0
+        row["bytes"] = [q.tobytes()]
+        r1, r2 = _decisions(spark, row)
+        assert r1["decision"] == "keep"
+        assert r2["decision"] == "drop"
+        assert r2["decision_reason"] == "dropout"
+
+    def test_dc_bias_only_v2_catches(self, spark, corpus_pdf):
+        row = _first_kept_pcm16(spark, corpus_pdf)
+        q = np.frombuffer(row["bytes"].iloc[0], dtype="<i2").astype(np.int32)
+        q = np.clip(q + 1500, -32768, 32767).astype(np.int16)  # >2% FS bias
+        row["bytes"] = [q.tobytes()]
+        r1, r2 = _decisions(spark, row)
+        assert r1["decision"] == "keep"
+        assert r2["decision"] == "drop"
+        assert r2["decision_reason"] == "dc_offset"
+
+    def test_stuck_plateau_only_v2_catches(self, spark, corpus_pdf):
+        from data_quality_spark.operators.audio_dropout import (
+            STUCK_MIN_DEFAULT,
+        )
+
+        row = _first_kept_pcm16(spark, corpus_pdf)
+        q = np.frombuffer(row["bytes"].iloc[0], dtype="<i2").copy()
+        mid = q.size // 2
+        q[mid : mid + STUCK_MIN_DEFAULT + 8] = 7777
+        row["bytes"] = [q.tobytes()]
+        r1, r2 = _decisions(spark, row)
+        assert r1["decision"] == "keep"
+        assert r2["decision"] == "drop"
+        assert r2["decision_reason"] == "stuck_samples"
+
+
+def test_gate_v2_single_decode_pass(spark, clips):
+    acc = spark.sparkContext.accumulator(0)
+    decided = gate_v2(clips, counter=acc)
+    n = decided.count()
+    assert n == N
+    assert acc.value == N
