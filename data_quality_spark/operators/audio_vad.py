@@ -248,7 +248,8 @@ def speaking_rate(
 
 
 def extract_segments(
-    df: DataFrame, *, min_dur_ms: int = 0, counter=None
+    df: DataFrame, *, min_dur_ms: int = 0, carry_cols: tuple[str, ...] = (),
+    counter=None,
 ) -> DataFrame:
     """The materialized chunker: one OUTPUT CLIP per active segment, with
     the segment's own pcm16 payload sliced out of the decoded waveform on
@@ -261,9 +262,13 @@ def extract_segments(
     dropped (clicks and stray frames are not training data).  Output
     payloads are always pcm16 little-endian regardless of input codec,
     so downstream stages never re-dispatch on codec.
+
+    ``carry_cols`` names input columns to repeat onto every segment row
+    (e.g. ``("ingest_day",)`` so the segment product can be written
+    partitioned without a join back to the source clip).
     """
     col_idx = {f.name: i for i, f in enumerate(df.schema.fields)}
-    out_schema = T.StructType([
+    base_fields = [
         T.StructField("clip_id", T.StringType(), False),
         T.StructField("seg_idx", T.IntegerType(), False),
         T.StructField("sr_hz", T.IntegerType(), False),
@@ -271,7 +276,10 @@ def extract_segments(
         T.StructField("dur_ms", T.IntegerType(), False),
         T.StructField("bytes", T.BinaryType(), False),
         T.StructField("rms_db", T.DoubleType(), False),
-    ])
+    ]
+    out_schema = T.StructType(
+        base_fields + [df.schema[c] for c in carry_cols]
+    )
 
     def run(batches):
         import numpy as np
@@ -285,10 +293,15 @@ def extract_segments(
             payloads = batch.column(col_idx["bytes"])
             codecs = batch.column(col_idx["codec"]).to_pylist()
             srs = batch.column(col_idx["sr_hz"]).to_pylist()
+            carry_vals = {
+                c: batch.column(col_idx[c]).to_pylist() for c in carry_cols
+            }
+            carry_types = {c: batch.column(col_idx[c]).type for c in carry_cols}
             if counter is not None:
                 counter.add(batch.num_rows)
             out = {k: [] for k in ("clip_id", "seg_idx", "sr_hz",
                                    "start_ms", "dur_ms", "bytes", "rms_db")}
+            carried: dict[str, list] = {c: [] for c in carry_cols}
             for i in range(batch.num_rows):
                 buf = payloads[i].as_buffer() if payloads[i].is_valid else None
                 try:
@@ -309,6 +322,8 @@ def extract_segments(
                     out["dur_ms"].append(seg["dur_ms"])
                     out["bytes"].append(sl.tobytes())
                     out["rms_db"].append(seg["rms_db"])
+                    for c in carry_cols:
+                        carried[c].append(carry_vals[c][i])
             yield pa.RecordBatch.from_arrays(
                 [pa.array(out["clip_id"], type=pa.string()),
                  pa.array(out["seg_idx"], type=pa.int32()),
@@ -316,8 +331,10 @@ def extract_segments(
                  pa.array(out["start_ms"], type=pa.int32()),
                  pa.array(out["dur_ms"], type=pa.int32()),
                  pa.array(out["bytes"], type=pa.binary()),
-                 pa.array(out["rms_db"], type=pa.float64())],
-                names=list(out),
+                 pa.array(out["rms_db"], type=pa.float64())]
+                + [pa.array(carried[c], type=carry_types[c])
+                   for c in carry_cols],
+                names=list(out) + list(carry_cols),
             )
 
     return df.mapInArrow(run, out_schema)

@@ -29,7 +29,10 @@ from .pipeline import gate_files
 from .plans.schemas import CLIPS_SCHEMA
 from .sources.io import LineageLedger, append_metrics, write_partitioned
 
-__all__ = ["write_clips", "run_gate_pipeline", "list_ingest_days"]
+__all__ = [
+    "write_clips", "run_gate_pipeline", "run_segment_pipeline",
+    "list_ingest_days",
+]
 
 # Silver rows reference bronze by clip_id instead of duplicating the audio
 # payload: at 10^12-clip scale re-storing `bytes` would double the corpus
@@ -200,4 +203,125 @@ def run_gate_pipeline(
     totals["clips_per_sec"] = (
         totals["rows_in"] / totals["wall_s"] if totals["wall_s"] > 0 else 0.0
     )
+    return totals
+
+
+def run_segment_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    output_root: str,
+    min_dur_ms: int = 200,
+    resume: bool = True,
+    days_per_batch: int = 0,
+    fail_after_batches: int | None = None,
+    decode_counter=None,
+) -> dict:
+    """Training-manifest writer: VAD-chunk every pending ``ingest_day`` into
+    per-segment pcm16 clips (``operators.audio_vad.extract_segments``) and
+    write them partitioned by ``ingest_day`` under ``output_root/segments``,
+    with the same lineage/resume law as the gate runner — a killed run
+    resumes on the pending days only, finished days are never re-chunked.
+
+    Execution shape per batch: partition-pruned parquet scan (the
+    ``ingest_day IN (…)`` predicate reaches the scan as a PartitionFilter)
+    → ONE variable-fan-out ``mapInArrow`` (decode once, slice segments,
+    ``ingest_day`` carried so no join back to the source) → ONE write
+    action.  No repartition before the write: each scan task reads rows of
+    exactly one day directory, so tasks already write into a single output
+    partition — repartitioning here would shuffle the segment payloads for
+    nothing.  Per-day clip/segment/audio-second counts ride along as
+    ``observe()`` metrics on the input and output frames of the same
+    action (the runner's one-action law: a separate count would re-decode
+    the corpus).
+
+    The input payload crosses JVM→Python once (the product payload must
+    cross back anyway, so storage-direct reading would save at most half
+    the transport, not the decode); at 100 TB the bound is decode + write,
+    both embarrassingly parallel per day partition.
+    """
+    from .operators.audio_vad import extract_segments
+
+    run_id = uuid.uuid4().hex[:12]
+    ledger = LineageLedger(output_root, "segments")
+    all_days = list_ingest_days(spark, input_path)
+    days = ledger.pending(all_days) if resume else all_days
+    batches = (
+        [days]
+        if days_per_batch <= 0
+        else [days[i : i + days_per_batch]
+              for i in range(0, len(days), days_per_batch)]
+    )
+    totals = {
+        "clips_in": 0, "segments_out": 0, "days": 0,
+        "skipped": len(all_days) - len(days),
+    }
+    t_start = time.perf_counter()
+    for bi, batch in enumerate(b for b in batches if b):
+        if fail_after_batches is not None and bi >= fail_after_batches:
+            return {**totals, "run_id": run_id, "completed": False}
+        for d in batch:
+            ledger.mark(d, "running", run_id=run_id)
+        t0 = time.perf_counter()
+        day_list = sorted(batch)
+        scan = spark.read.parquet(input_path).where(
+            F.col("ingest_day").isin(day_list)
+        )
+        obs_in = Observation(f"seg_in_{run_id}_b{bi}")
+        in_metrics = [
+            F.sum((F.col("ingest_day") == d).cast("long")).alias(f"n_{di}")
+            for di, d in enumerate(day_list)
+        ]
+        observed_in = scan.observe(obs_in, *in_metrics)
+        segs = extract_segments(
+            observed_in,
+            min_dur_ms=min_dur_ms,
+            carry_cols=("ingest_day",),
+            counter=decode_counter,
+        )
+        obs_out = Observation(f"seg_out_{run_id}_b{bi}")
+        out_metrics = []
+        for di, d in enumerate(day_list):
+            is_day = F.col("ingest_day") == d
+            out_metrics.append(F.sum(is_day.cast("long")).alias(f"s_{di}"))
+            out_metrics.append(
+                F.sum(F.when(is_day, F.col("dur_ms")).otherwise(0).cast("long"))
+                .alias(f"ms_{di}")
+            )
+        observed = segs.observe(obs_out, *out_metrics)
+        write_partitioned(
+            observed, os.path.join(output_root, "segments"), ["ingest_day"]
+        )
+        vals_in = obs_in.get
+        vals_out = obs_out.get
+        dt = time.perf_counter() - t0
+        metric_rows = []
+        batch_segs = 0
+        for di, d in enumerate(day_list):
+            n = int(vals_in[f"n_{di}"] or 0)
+            s = int(vals_out[f"s_{di}"] or 0)
+            ms = int(vals_out[f"ms_{di}"] or 0)
+            batch_segs += s
+            ledger.mark(d, "done", rows_in=n, rows_kept=s, run_id=run_id)
+            totals["clips_in"] += n
+            totals["segments_out"] += s
+            totals["days"] += 1
+            metric_rows.append(
+                (run_id, f"ingest_day={d}", "clips_in", float(n), "")
+            )
+            metric_rows.append(
+                (run_id, f"ingest_day={d}", "segments_out", float(s), "")
+            )
+            metric_rows.append(
+                (run_id, f"ingest_day={d}", "audio_seconds_out",
+                 ms / 1000.0, "")
+            )
+        metric_rows.append(
+            (run_id, "batch", "segments_per_sec",
+             batch_segs / dt if dt > 0 else 0.0,
+             f"batch={bi} days={len(batch)}")
+        )
+        append_metrics(spark, output_root, metric_rows)
+    totals["run_id"] = run_id
+    totals["completed"] = True
+    totals["wall_s"] = time.perf_counter() - t_start
     return totals
