@@ -1121,6 +1121,35 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(orders, new, ["o_orderkey"]).orderBy("metric")
 
 
+def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot drift dashboard: per-column change rate + profile
+    deltas (null mass, cardinality, mean) between orders and the same
+    deterministically perturbed copy as snapshot_diff — ONE full-outer
+    join + ONE fused aggregate; strict DuckDB twin."""
+    from data_quality_spark.operators.drift import drift_report
+
+    orders = _t(spark, sf_dir, "orders")
+    new = (
+        orders.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_custkey",
+            F.when(F.col("o_orderkey") % 83 == 0,
+                   F.col("o_custkey") + 1).otherwise(F.col("o_custkey")))
+        .withColumn(
+            "o_orderpriority",
+            F.when(F.col("o_orderkey") % 89 == 0,
+                   F.lit("X-DRIFT")).otherwise(F.col("o_orderpriority")))
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 101 == 0)
+            .withColumn("o_orderkey",
+                        F.col("o_orderkey") + F.lit(100000000)))
+    )
+    return drift_report(
+        orders, new, ["o_orderkey"],
+        compare=["o_custkey", "o_orderpriority"],
+    ).orderBy("column")
+
+
 def q_audio_bandwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Effective-bandwidth audit composed with SR normalization: upsample
     everything to 16 kHz, then measure whether the top octave carries
@@ -1473,6 +1502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "speaking_rate": q_speaking_rate,
         "profile_columns": q_profile_columns,
         "snapshot_diff": q_snapshot_diff,
+        "drift_report": q_drift_report,
         "trend_anomaly": q_trend_anomaly,
         "dedup_incremental": q_dedup_incremental,
         "audio_segments": q_audio_segments,
@@ -1579,6 +1609,69 @@ _PROFILE_COLUMNS_SQL = " UNION ALL ".join(
                  ("n_chars", "numeric")]
 ) + " ORDER BY \"column\""
 
+
+_DRIFT_REPORT_SQL = """
+WITH newt AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 83 = 0 THEN o_custkey + 1
+              ELSE o_custkey END AS o_custkey,
+         CASE WHEN o_orderkey % 89 = 0 THEN 'X-DRIFT'
+              ELSE o_orderpriority END AS o_orderpriority
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_custkey, o_orderpriority
+  FROM orders WHERE o_orderkey % 101 = 0
+),
+j AS (
+  SELECT o.o_orderkey IS NOT NULL AS in_old,
+         n.o_orderkey IS NOT NULL AS in_new,
+         o.o_custkey AS oc, n.o_custkey AS nc,
+         o.o_orderpriority AS op, n.o_orderpriority AS np
+  FROM orders o FULL OUTER JOIN newt n ON o.o_orderkey = n.o_orderkey
+),
+a AS (
+  SELECT
+    count(*) FILTER (WHERE in_old) AS n_old,
+    count(*) FILTER (WHERE in_new) AS n_new,
+    count(*) FILTER (WHERE NOT in_old) AS n_added,
+    count(*) FILTER (WHERE NOT in_new) AS n_removed,
+    count(*) FILTER (WHERE in_old AND in_new) AS n_matched,
+    count(*) FILTER (WHERE in_old AND in_new
+                     AND oc IS DISTINCT FROM nc) AS chg_ck,
+    count(*) FILTER (WHERE in_old AND oc IS NULL) AS no_ck,
+    count(*) FILTER (WHERE in_new AND nc IS NULL) AS nn_ck,
+    count(DISTINCT oc) AS do_ck,
+    count(DISTINCT nc) AS dn_ck,
+    sum(oc) AS so_ck, count(oc) AS co_ck,
+    sum(nc) AS sn_ck, count(nc) AS cn_ck,
+    count(*) FILTER (WHERE in_old AND in_new
+                     AND op IS DISTINCT FROM np) AS chg_pr,
+    count(*) FILTER (WHERE in_old AND op IS NULL) AS no_pr,
+    count(*) FILTER (WHERE in_new AND np IS NULL) AS nn_pr,
+    count(DISTINCT op) AS do_pr,
+    count(DISTINCT np) AS dn_pr
+  FROM j
+)
+SELECT 'o_custkey' AS "column", n_old, n_new, n_added, n_removed, n_matched,
+       chg_ck AS n_changed,
+       CASE WHEN n_matched > 0 THEN chg_ck / n_matched
+            ELSE 0.0 END AS chg_rate,
+       no_ck AS null_old, nn_ck AS null_new,
+       do_ck AS distinct_old, dn_ck AS distinct_new,
+       CAST(so_ck AS DOUBLE) / co_ck AS mean_old,
+       CAST(sn_ck AS DOUBLE) / cn_ck AS mean_new,
+       CAST(sn_ck AS DOUBLE) / cn_ck - CAST(so_ck AS DOUBLE) / co_ck
+         AS mean_delta
+FROM a
+UNION ALL
+SELECT 'o_orderpriority', n_old, n_new, n_added, n_removed, n_matched,
+       chg_pr,
+       CASE WHEN n_matched > 0 THEN chg_pr / n_matched ELSE 0.0 END,
+       no_pr, nn_pr, do_pr, dn_pr,
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM a
+ORDER BY "column"
+"""
 
 _SNAPSHOT_DIFF_SQL = """
 WITH newt AS (
@@ -2598,6 +2691,7 @@ FROM ranked WHERE rnk <= 3""",
         "speaking_rate": _expected_sql("speaking_rate"),
         "profile_columns": _PROFILE_COLUMNS_SQL,
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
+        "drift_report": _DRIFT_REPORT_SQL,
         "trend_anomaly": _TREND_ANOMALY_SQL,
         "dedup_incremental": """
 SELECT d.doc_id, d.lang FROM documents d

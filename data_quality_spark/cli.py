@@ -131,6 +131,20 @@ def build_parser() -> argparse.ArgumentParser:
                    "(default: shared non-key)")
     d.add_argument("--format", choices=["text", "json"], default="text")
 
+    dr = sub.add_parser(
+        "drift", help="per-column drift report between two snapshots"
+    )
+    dr.add_argument("--tables", required=True)
+    dr.add_argument("--old", required=True, help="old snapshot table name")
+    dr.add_argument("--new", required=True, help="new snapshot table name")
+    dr.add_argument("--key", required=True, help="comma-separated key columns")
+    dr.add_argument("--compare", default=None,
+                    help="comma-separated compared columns "
+                    "(default: shared non-key)")
+    dr.add_argument("--approx", action="store_true",
+                    help="HLL++ distinct counts")
+    dr.add_argument("--format", choices=["text", "json"], default="text")
+
     sk = sub.add_parser("skew", help="key-skew audit (salting advisor input)")
     sk.add_argument("--tables", required=True)
     sk.add_argument("--table", required=True)
@@ -450,6 +464,40 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 for r in rows:
                     print(f"{r['metric']:30s} {r['n_rows']}")
+            return 0
+        if args.cmd == "drift":
+            from .operators.drift import drift_report
+
+            old = spark.read.parquet(
+                os.path.join(args.tables, f"{args.old}.parquet")
+            )
+            new = spark.read.parquet(
+                os.path.join(args.tables, f"{args.new}.parquet")
+            )
+            compare = args.compare.split(",") if args.compare else None
+            rows = [
+                r.asDict()
+                for r in drift_report(
+                    old, new, args.key.split(","), compare,
+                    approx=args.approx,
+                ).orderBy("column").collect()
+            ]
+            if args.format == "json":
+                print(json.dumps(rows, indent=2))
+            else:
+                for r in rows:
+                    print(
+                        f"{r['column']:20s} changed {r['n_changed']}"
+                        f"/{r['n_matched']} ({r['chg_rate']:.2%}) "
+                        f"nulls {r['null_old']}→{r['null_new']} "
+                        f"distinct {r['distinct_old']}→{r['distinct_new']}"
+                        + (
+                            f" mean {r['mean_old']:.4g}→{r['mean_new']:.4g}"
+                            if r["mean_old"] is not None
+                            and r["mean_new"] is not None
+                            else ""
+                        )
+                    )
             return 0
         if args.cmd == "skew":
             from .operators.sampling import skew_audit

@@ -279,3 +279,42 @@ def test_cli_profile_and_diff(spark, tmp_path, capsys, monkeypatch):
          "--new", "t_new", "--key", "k"]
     ) == 0
     assert "status:unchanged" in capsys.readouterr().out
+
+
+@pytest.mark.slow
+def test_cli_drift(spark, tmp_path, capsys, monkeypatch):
+    """drift subcommand: per-column change rates + profile deltas."""
+    import data_quality_spark.cli as cli
+
+    monkeypatch.setattr("pyspark.sql.SparkSession.stop", lambda self: None)
+    tables = tmp_path / "tables"
+    tables.mkdir()
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, None, 30)],
+        "k long, v string, w long",
+    )
+    old.coalesce(1).write.parquet(str(tables / "t_old.parquet"))
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 25), (4, "d", 40)],
+        "k long, v string, w long",
+    )
+    new.coalesce(1).write.parquet(str(tables / "t_new.parquet"))
+
+    assert cli.main(
+        ["drift", "--tables", str(tables), "--old", "t_old",
+         "--new", "t_new", "--key", "k", "--format", "json"]
+    ) == 0
+    rows = {r["column"]: r for r in json.loads(capsys.readouterr().out)}
+    assert set(rows) == {"v", "w"}
+    assert rows["v"]["n_changed"] == 1 and rows["v"]["n_matched"] == 2
+    assert rows["w"]["n_changed"] == 1
+    assert rows["w"]["mean_old"] == 20.0 and rows["w"]["mean_new"] == 25.0
+    assert rows["v"]["mean_old"] is None
+    assert rows["v"]["null_old"] == 1 and rows["v"]["null_new"] == 0
+
+    assert cli.main(
+        ["drift", "--tables", str(tables), "--old", "t_old",
+         "--new", "t_new", "--key", "k", "--compare", "w"]
+    ) == 0
+    txt = capsys.readouterr().out
+    assert "w" in txt and "changed 1/2" in txt
