@@ -526,6 +526,21 @@ def q_langid_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dq_docs.langid_sql(_t(spark, sf_dir, "documents"))
 
 
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier scoring pass (CCNet/GPT-3 shape): four
+    exact-integer ratio features, fixed left-associated double chain —
+    raw scores hash-compared UNROUNDED against the DuckDB twin (IEEE
+    determinism of the shared expression tree is the differential
+    surface)."""
+    from data_quality_spark.operators.quality_model import quality_score
+
+    return (
+        quality_score(_t(spark, sf_dir, "documents"))
+        .select("doc_id", "lang", "q_score", "q_keep")
+        .orderBy("doc_id")
+    )
+
+
 def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The quality-filter funnel: per-language survivor counts through
     exact dedup → Gopher rules → repetition rules → benchmark
@@ -1465,6 +1480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "decontamination": q_decontamination,
         "corpus_funnel": q_corpus_funnel,
+        "quality_score": q_quality_score,
         "corpus_clean": q_corpus_clean,
         "boilerplate_stats": q_boilerplate_stats,
         "token_budget": q_token_budget,
@@ -1772,6 +1788,44 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(ns) AS BIGINT) AS stopword_tokens,
   CAST(sum(CASE WHEN nt >= 5 AND ns = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_stopword_free
 FROM t GROUP BY lang ORDER BY lang"""
+
+
+def _quality_score_oracle() -> str:
+    """DuckDB twin of q_quality_score: the SAME feature definitions and
+    the SAME left-associated weight chain (weights inlined from
+    quality_model.WEIGHTS), so the raw doubles are bit-identical."""
+    from data_quality_spark.operators.docs import _ALL_STOPWORDS
+    from data_quality_spark.operators.quality_model import LEN_CAP, WEIGHTS
+
+    stops = ", ".join(f"'{m}'" for m in _ALL_STOPWORDS)
+    toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+    b, w_stop, w_len, w_digit, w_special = WEIGHTS
+    return rf"""
+WITH t AS (
+  SELECT doc_id, lang,
+    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+         ELSE len({toks}) END AS nt,
+    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+         ELSE len(list_filter({toks}, x -> list_contains([{stops}], x)))
+         END AS ns,
+    length(coalesce(text, '')) AS nc,
+    length(coalesce(text, ''))
+      - length(regexp_replace(coalesce(text, ''), '[0-9]', '', 'g')) AS nd,
+    length(regexp_replace(coalesce(text, ''),
+                          '[A-Za-z0-9À-ÿ \t\n\r]', '', 'g')) AS nsp
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang,
+    (((({b} + ({w_stop} * (CASE WHEN nt > 0 THEN ns / nt ELSE 0.0 END)))
+       + ({w_len} * (least(nt, {LEN_CAP}) / {float(LEN_CAP)})))
+      + ({w_digit} * (CASE WHEN nc > 0 THEN nd / nc ELSE 0.0 END)))
+     + ({w_special} * (CASE WHEN nc > 0 THEN nsp / nc ELSE 0.0 END)))
+    AS q_score
+  FROM t
+)
+SELECT doc_id, lang, q_score, q_score > 0.0 AS q_keep
+FROM s ORDER BY doc_id"""
 
 
 def _gopher_quality_oracle() -> str:
@@ -2575,6 +2629,7 @@ FROM t GROUP BY lang ORDER BY lang""",
         "repetition_stats": _repetition_stats_oracle(),
         "decontamination": _decontamination_oracle(),
         "corpus_funnel": _corpus_funnel_oracle(),
+        "quality_score": _quality_score_oracle(),
         "corpus_clean": _corpus_clean_oracle(),
         "boilerplate_stats": _boilerplate_stats_oracle(),
         "token_budget": """

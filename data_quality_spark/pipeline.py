@@ -202,6 +202,8 @@ def featurize_files(
     waves: int = 3,
     partition_filter=None,
     counter=None,
+    kernel=None,
+    kernel_fields=None,
 ) -> DataFrame:
     """Storage-direct featurize: Python workers read their parquet splits
     with pyarrow, so clip payloads flow storage → Python and NEVER cross the
@@ -219,8 +221,19 @@ def featurize_files(
     manifest analog of partition pruning.  Semantics are identical to
     ``featurize(spark.read.parquet(input_path))`` minus column order (same
     kernels, same rows).
+
+    ``kernel``/``kernel_fields`` swap the per-batch feature function and
+    its output schema (default: the v1 ``_feature_batch``/FEATURES_TYPE;
+    pass ``_feature_batch_v2`` + v1+ext fields for the gate-v2 profile) —
+    the storage-direct scan scaffolding is profile-independent.
     """
     import pyarrow.parquet as pq
+
+    kernel = kernel or _feature_batch
+    kfields = (
+        list(kernel_fields) if kernel_fields is not None
+        else list(FEATURES_TYPE.fields)
+    )
 
     files = []
     for root, _dirs, names in os.walk(input_path):
@@ -274,11 +287,9 @@ def featurize_files(
             for name in carried
         ]
         + [T.StructField(k, T.StringType(), True) for k in part_keys]
-        + list(FEATURES_TYPE.fields)
+        + kfields
     )
-    out_names = (
-        carried + part_keys + [f.name for f in FEATURES_TYPE.fields]
-    )
+    out_names = carried + part_keys + [f.name for f in kfields]
     col_idx = {name: i for i, name in enumerate(col_idx_names)}
     root_path = input_path
 
@@ -302,7 +313,7 @@ def featurize_files(
                     for rg in range(rg_start, rg_end):
                         table = pf.read_row_group(rg, columns=col_idx_names)
                         for batch in table.to_batches(max_chunksize=batch_rows):
-                            feats = _feature_batch(batch, col_idx)
+                            feats = kernel(batch, col_idx)
                             if counter is not None:
                                 counter.add(batch.num_rows)
                             parts = [
@@ -429,21 +440,18 @@ def decide(df: DataFrame) -> DataFrame:
     return _decide_with(df, rule_flags(df))
 
 
-def decide3(df: DataFrame) -> DataFrame:
-    """The reference's 3-way decision enum (checkpoints.py:216-252) over a
-    featurized frame: critical-severity rule violations → ``reject``,
-    warning-only violations → ``graylist``, clean → ``accept``.  The binary
-    north-rule gate is ``decide`` (graylist collapses into drop).  Carries
-    the same first-violated ``decision_reason`` audit column as ``decide``
-    so the runner's 3-way mode emits the identical output schema."""
-    flags = rule_flags(df)
+def _decide3_with(
+    df: DataFrame, flags: dict[str, Column], severities: dict[str, str]
+) -> DataFrame:
+    """Shared 3-way decision builder: critical flag → reject, warning-only
+    → graylist, clean → accept; same reason ladder as ``_decide_with``."""
     crit = None
     warn = None
     reason = F.lit(None).cast("string")
     for name in reversed(list(flags)):
         reason = F.when(flags[name], F.lit(name)).otherwise(reason)
     for name, col in flags.items():
-        if DROP_RULES[name] == "critical":
+        if severities[name] == "critical":
             crit = col if crit is None else (crit | col)
         else:
             warn = col if warn is None else (warn | col)
@@ -455,6 +463,16 @@ def decide3(df: DataFrame) -> DataFrame:
         .withColumn("decision_reason", reason)
         .withColumn("scrubbed", scrub_col(F.col("transcript")))
     )
+
+
+def decide3(df: DataFrame) -> DataFrame:
+    """The reference's 3-way decision enum (checkpoints.py:216-252) over a
+    featurized frame: critical-severity rule violations → ``reject``,
+    warning-only violations → ``graylist``, clean → ``accept``.  The binary
+    north-rule gate is ``decide`` (graylist collapses into drop).  Carries
+    the same first-violated ``decision_reason`` audit column as ``decide``
+    so the runner's 3-way mode emits the identical output schema."""
+    return _decide3_with(df, rule_flags(df), DROP_RULES)
 
 
 def gate(df: DataFrame, counter=None) -> DataFrame:
@@ -472,13 +490,25 @@ def gate_files(
     partition_filter=None,
     counter=None,
     decider=None,
+    profile: str = "v1",
 ) -> DataFrame:
     """``gate`` over a parquet directory via the storage-direct featurize
     path (payload bytes never cross the JVM) — the throughput/scaling
     configuration; results are identical to ``gate(spark.read.parquet(...))``.
     ``decider`` swaps the decision stage (default binary :func:`decide`;
-    pass :func:`decide3` for the reference's accept/graylist/reject enum)."""
-    return (decider or decide)(
+    pass :func:`decide3` for the reference's accept/graylist/reject enum).
+    ``profile="v2"`` runs the audio-metric gate (one-decode wide kernel,
+    extended ladder; defaults the decider to :func:`decide_v2` /
+    :func:`decide3_v2`)."""
+    if profile == "v2":
+        kernel = _feature_batch_v2
+        kfields = list(FEATURES_TYPE.fields) + list(FEATURES_V2_EXT_TYPE.fields)
+        default_decider = decide_v2
+    elif profile == "v1":
+        kernel, kfields, default_decider = None, None, decide
+    else:
+        raise ValueError(f"unknown gate profile {profile!r}")
+    return (decider or default_decider)(
         _text_heuristics(
             featurize_files(
                 spark,
@@ -487,6 +517,8 @@ def gate_files(
                 waves=waves,
                 partition_filter=partition_filter,
                 counter=counter,
+                kernel=kernel,
+                kernel_fields=kfields,
             )
         )
     )
@@ -749,6 +781,12 @@ def decide_v2(df: DataFrame) -> DataFrame:
     """The v2 decision over a ``featurize_v2``-featurized frame: v1 ladder
     first (bit-stable reasons for v1 drops), audio-metric rules after."""
     return _decide_with(df, rule_flags_v2(df))
+
+
+def decide3_v2(df: DataFrame) -> DataFrame:
+    """3-way decision over the v2 rule set (same enum semantics as
+    ``decide3``; v2 severities from DROP_RULES_V2)."""
+    return _decide3_with(df, rule_flags_v2(df), DROP_RULES_V2)
 
 
 def gate_v2(df: DataFrame, counter=None) -> DataFrame:

@@ -44,6 +44,13 @@ OUTPUT_COLS = [
     "decision_reason", "ingest_day",
 ]
 
+# the v2 profile carries its extended audio metrics into silver — they are
+# cheap scalars a training pipeline filters/stratifies on downstream
+OUTPUT_COLS_V2 = OUTPUT_COLS + [
+    "speech_ratio", "speech_ms", "snr_db", "lufs_i",
+    "n_dropouts", "max_const_run", "dc_sum", "bw_rms", "hf_db",
+]
+
 
 def write_clips(spark: SparkSession, pdf: pd.DataFrame, path: str) -> None:
     """Write a synthetic pandas clips frame as ingest_day-partitioned parquet
@@ -73,6 +80,7 @@ def run_gate_pipeline(
     fail_after_batches: int | None = None,
     decode_counter=None,
     three_way: bool = False,
+    profile: str = "v1",
 ) -> dict:
     """Gate all pending ingest_day partitions.
 
@@ -112,15 +120,17 @@ def run_gate_pipeline(
         # never cross the JVM; the partition_filter prunes whole day
         # directories before any IO (manifest-level partition pruning)
         days = set(batch)
-        from .pipeline import decide3
+        from .pipeline import decide3, decide3_v2
 
+        three_decider = decide3_v2 if profile == "v2" else decide3
         decided = gate_files(
             spark,
             input_path,
             partition_filter=lambda pv: pv.get("ingest_day") in days,
             counter=decode_counter,
-            decider=decide3 if three_way else None,
-        ).select(*OUTPUT_COLS)
+            decider=three_decider if three_way else None,
+            profile=profile,
+        ).select(*(OUTPUT_COLS_V2 if profile == "v2" else OUTPUT_COLS))
         # ONE action per batch: the kept-rows write.  Per-day in/kept counts
         # ride along as observe() metrics on the pre-filter frame (the batch's
         # day list is known, so per-day totals are plain conditional sums) —

@@ -176,3 +176,52 @@ def test_gate_v2_single_decode_pass(spark, clips):
     n = decided.count()
     assert n == N
     assert acc.value == N
+
+
+def test_storage_direct_v2_parity(spark, corpus_pdf, tmp_path_factory):
+    """gate_files(profile='v2') over partitioned parquet equals gate_v2
+    over the same rows read natively — same kernels, same ladder."""
+    from data_quality_spark.pipeline import gate_files
+    from data_quality_spark.runner import write_clips
+
+    path = str(tmp_path_factory.mktemp("bronze_v2") / "clips")
+    write_clips(spark, corpus_pdf, path)
+    via_files = (
+        gate_files(spark, path, profile="v2")
+        .select("clip_id", "decision", "decision_reason")
+        .toPandas().set_index("clip_id").sort_index()
+    )
+    via_frame = (
+        gate_v2(spark.read.parquet(path))
+        .select("clip_id", "decision", "decision_reason")
+        .toPandas().set_index("clip_id").sort_index()
+    )
+    assert (via_files["decision"] == via_frame["decision"]).all()
+    assert (
+        via_files["decision_reason"].fillna("")
+        == via_frame["decision_reason"].fillna("")
+    ).all()
+
+
+def test_runner_v2_profile(spark, corpus_pdf, tmp_path_factory):
+    """run_gate_pipeline(profile='v2'): silver carries the extended audio
+    metrics, keep counts match the batch gate, resume still no-ops."""
+    import os
+
+    from data_quality_spark.runner import run_gate_pipeline, write_clips
+
+    path = str(tmp_path_factory.mktemp("bronze_v2r") / "clips")
+    write_clips(spark, corpus_pdf, path)
+    out = str(tmp_path_factory.mktemp("out") / "gate_v2")
+    r1 = run_gate_pipeline(spark, path, out, profile="v2")
+    assert r1["completed"] and r1["rows_in"] == N
+    silver = spark.read.parquet(os.path.join(out, "silver"))
+    for c in ("snr_db", "lufs_i", "speech_ms", "hf_db"):
+        assert c in silver.columns
+    want_keep = (
+        gate_v2(spark.read.parquet(path))
+        .filter(F.col("decision") == "keep").count()
+    )
+    assert r1["rows_kept"] == want_keep == silver.count()
+    r2 = run_gate_pipeline(spark, path, out, profile="v2")
+    assert r2["days"] == 0 and r2["rows_in"] == 0
