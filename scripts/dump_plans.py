@@ -144,6 +144,35 @@ def main() -> None:
             None,
         ),
         (
+            "Gate v2 (one-decode wide featurize + extended ladder)",
+            "The v2 profile adds nine audio-metric columns and seven drop "
+            "rules, yet the plan shape is IDENTICAL to v1: one MapInArrow "
+            "stage (a single decode feeds every kernel — stats, VAD, SNR, "
+            "LUFS, dropout, bandwidth), the payload column absent from "
+            "every downstream projection, heuristics/ladder/scrub in one "
+            "WholeStageCodegen span, zero exchanges. Widening the gate "
+            "costs kernel FLOPs, not plan complexity.",
+            None,
+        ),
+        (
+            "Drift report (profile deltas fused into the diff join)",
+            "Both per-version column profiles AND the change counts come "
+            "from ONE fused aggregate over ONE null-safe full-outer join — "
+            "the plan must show exactly one join and no re-scan of either "
+            "snapshot (the naive formulation is three scans). count_distinct "
+            "over k columns plans the documented Expand; approx=True "
+            "removes it at scale.",
+            None,
+        ),
+        (
+            "Linear quality scorer (zero-shuffle classifier pass)",
+            "A CCNet-style linear quality model as pure column arithmetic: "
+            "the whole scoring pass is ONE WholeStageCodegen span over one "
+            "FileScan — no UDF, no Exchange, no Python. At 10^12 docs the "
+            "classifier costs exactly one corpus read.",
+            None,
+        ),
+        (
             "Gopher quality rules (zero-shuffle flag pass)",
             "Every rule signal (token count, non-space chars, alpha-word "
             "count, symbol count, stopword hits) is column arithmetic "
@@ -205,6 +234,23 @@ def main() -> None:
         *sections[gopher_i][:2],
         gopher_quality(docs, min_words=15, max_words=90),
     )
+
+    from data_quality_spark.operators.drift import drift_report
+    from data_quality_spark.operators.quality_model import quality_score
+    from data_quality_spark.pipeline import gate_v2
+
+    v2_i = next(i for i, s in enumerate(sections) if s[0].startswith("Gate v2"))
+    drift_i = next(i for i, s in enumerate(sections) if s[0].startswith("Drift"))
+    qs_i = next(i for i, s in enumerate(sections) if s[0].startswith("Linear"))
+    sections[v2_i] = (*sections[v2_i][:2], gate_v2(clips))
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    new = orders.filter(F.col("o_orderkey") % 97 != 0)
+    sections[drift_i] = (
+        *sections[drift_i][:2],
+        drift_report(orders, new, ["o_orderkey"],
+                     compare=["o_custkey", "o_orderpriority"]),
+    )
+    sections[qs_i] = (*sections[qs_i][:2], quality_score(docs))
 
     out = ["# PLANS — physical-plan evidence for the core operators\n"]
     out.append(
