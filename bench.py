@@ -124,7 +124,9 @@ def health_scan_job(spark, path: str) -> tuple[int, float]:
     return rows, dt
 
 
-def gate_job(spark, input_path: str, warm: bool = True) -> tuple[int, float]:
+def gate_job(
+    spark, input_path: str, warm: bool = True, profile: str = "v1"
+) -> tuple[int, float]:
     """The timed unit: full gate (decode+langid+ppl+heuristics+scrub+decide)
     + salted rollup over the storage-direct path (``gate_files``: Python
     workers read their parquet row-group splits with pyarrow, clip bytes
@@ -138,7 +140,8 @@ def gate_job(spark, input_path: str, warm: bool = True) -> tuple[int, float]:
 
     def one_pass() -> int:
         rollup = salted_gate_aggregate(
-            gate_files(spark, input_path), keys=("lang_pred", "codec")
+            gate_files(spark, input_path, profile=profile),
+            keys=("lang_pred", "codec"),
         )
         return sum(r["n_clips"] for r in rollup.collect())
 
@@ -417,6 +420,13 @@ def main() -> None:
     clips_per_sec = rows / dt if dt > 0 else 0.0
     log(f"clips_gate: {rows} clips in {dt:.2f}s = {clips_per_sec:.0f} clips/s")
 
+    # gate v2 (audio-metric profile): same one-decode plan shape, ~5 extra
+    # kernels per clip — the delta vs clips_gate is pure kernel cost
+    rows2, dt2 = gate_job(spark, clips_path, profile="v2")
+    timings["clips_gate_v2"] = round(dt2, 3)
+    v2_per_sec = rows2 / dt2 if dt2 > 0 else 0.0
+    log(f"clips_gate_v2: {rows2} clips in {dt2:.2f}s = {v2_per_sec:.0f} clips/s")
+
     # reference-comparable scalar scan throughput (their headline: 9.6M
     # rows/s health check): fused rules over a 25M-row table, steady state
     wide_path = ensure_wide_table(spark)
@@ -445,7 +455,7 @@ def main() -> None:
         "corpus_funnel", "corpus_clean", "boilerplate_stats",
         "token_budget", "cluster_split",
         "profile_columns", "snapshot_diff", "trend_anomaly",
-        "dedup_incremental",
+        "dedup_incremental", "drift_report", "quality_score",
     ]
     qs = entrymod.queries()
     for name in bench_queries:
@@ -525,6 +535,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "clips_per_sec": round(clips_per_sec, 1),
+        "clips_per_sec_v2": round(v2_per_sec, 1),
         "n_clips": n_clips,
         "health_scan_rows_per_sec": round(scan_rows_per_sec, 0),
         "peak_rss_driver_mb": round(peak_self_mb, 1),
