@@ -662,6 +662,16 @@ def q_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dq_docs.scrub_audit(_t(spark, sf_dir, "documents"), inject_every=50)
 
 
+def q_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-hygiene audit (U+FFFD / stray C0 controls / Ã©-style
+    mojibake signatures) with deterministic defect injection (the
+    synthetic corpus is clean); strict DuckDB twin via
+    regexp_extract_all."""
+    return dq_docs.encoding_audit(
+        _t(spark, sf_dir, "documents"), inject_every=50
+    )
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dd.ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text", ["lang"], threshold=0.5
@@ -1489,6 +1499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_fraction": q_sample_fraction,
         "skew_audit": q_skew_audit,
         "scrub_audit": q_scrub_audit,
+        "encoding_audit": q_encoding_audit,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         # differential-oracle checked (expected/*.parquet twins)
@@ -2685,6 +2696,38 @@ WITH t AS (
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(CASE WHEN {_scrub_expr('x')} <> x THEN 1 ELSE 0 END) AS BIGINT) AS n_scrubbed
 FROM t GROUP BY lang ORDER BY lang""",
+        "encoding_audit": r"""
+WITH t AS (
+  SELECT lang,
+    CASE WHEN doc_id % 150 = 0
+           THEN coalesce(text, '') || ' caf�e'
+         WHEN doc_id % 150 = 50
+           THEN coalesce(text, '') || ' bad' || chr(7) || 'ctl'
+         WHEN doc_id % 150 = 100
+           THEN coalesce(text, '') || ' cafÃ© donâ€™t'
+         ELSE coalesce(text, '') END AS tx
+  FROM documents
+),
+c AS (
+  SELECT lang,
+    len(regexp_extract_all(tx, '�')) AS nr,
+    len(regexp_extract_all(tx, '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS nc,
+    len(regexp_extract_all(tx, '(Ã[^ ]|Â[^ ]|â€)')) AS nm
+  FROM t
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN nr > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_replacement_docs,
+  CAST(sum(nr) AS BIGINT) AS total_replacement,
+  CAST(sum(CASE WHEN nc > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_control_docs,
+  CAST(sum(nc) AS BIGINT) AS total_control,
+  CAST(sum(CASE WHEN nm > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_mojibake_docs,
+  CAST(sum(nm) AS BIGINT) AS total_mojibake,
+  CAST(sum(CASE WHEN nr > 0 OR nc > 0 OR nm > 0 THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_suspect
+FROM c GROUP BY lang ORDER BY lang""",
         "ngram_jaccard": f"""
 WITH t AS (
   SELECT doc_id, lang,

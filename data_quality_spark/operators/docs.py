@@ -35,6 +35,7 @@ __all__ = [
     "langid_sql",
     "fingerprint_stats",
     "scrub_audit",
+    "encoding_audit",
 ]
 
 # BPE-style pre-tokenization units (the GPT-2 pre-tokenizer's shape, minus
@@ -257,6 +258,83 @@ def scrub_audit(docs: DataFrame, inject_every: int | None = None) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("__changed").cast("long").alias("n_scrubbed"),
+        )
+        .orderBy("lang")
+    )
+
+
+# encoding-hygiene patterns, restricted to the Java↔RE2 shared dialect:
+# explicit \xNN escapes and literal BMP codepoints only (no \p classes).
+REPLACEMENT_PATTERN = "�"
+CONTROL_PATTERN = r"[\x00-\x08\x0B\x0C\x0E-\x1F]"  # C0 minus \t\n\r
+# UTF-8-decoded-as-Latin-1 double-encoding signatures: Ã/Â followed by a
+# non-space (é→Ã©, ü→Ã¼, NBSP→Â ) and the â€ prefix of curly quotes/dashes
+MOJIBAKE_PATTERN = "(Ã[^ ]|Â[^ ]|â€)"
+
+
+def encoding_audit(
+    docs: DataFrame, inject_every: int | None = None
+) -> DataFrame:
+    """Per-language encoding-hygiene audit: U+FFFD replacement characters
+    (a decoder already gave up once), stray C0 control bytes, and
+    UTF-8-as-Latin-1 mojibake signatures (Ã©/â€™-style double encodings).
+
+    A crawled corpus accumulates all three; every downstream text metric
+    (langid, perplexity, tokenization) degrades on such rows, so the
+    audit belongs BEFORE the quality gate.  One scan, zero shuffles
+    beyond the per-language tally; every count is an exact integer
+    (strict DuckDB twin).
+
+    ``inject_every=N`` plants one defect of each class on deterministic
+    doc_id residues first (the synthetic corpus is clean by
+    construction) — same pattern as ``scrub_audit``.
+
+    Columns: lang, n_docs, n_replacement_docs, total_replacement,
+    n_control_docs, total_control, n_mojibake_docs, total_mojibake,
+    n_suspect (any marker present).
+    """
+    text = F.coalesce(F.col("text"), F.lit(""))
+    if inject_every:
+        text = (
+            F.when(
+                F.col("doc_id") % (3 * inject_every) == 0,
+                F.concat(text, F.lit(" caf�e")),
+            )
+            .when(
+                F.col("doc_id") % (3 * inject_every) == inject_every,
+                F.concat(text, F.lit(" bad\x07ctl")),
+            )
+            .when(
+                F.col("doc_id") % (3 * inject_every) == 2 * inject_every,
+                F.concat(text, F.lit(" cafÃ© donâ€™t")),
+            )
+            .otherwise(text)
+        )
+    n_repl = F.regexp_count(text, F.lit(REPLACEMENT_PATTERN))
+    n_ctl = F.regexp_count(text, F.lit(CONTROL_PATTERN))
+    n_moji = F.regexp_count(text, F.lit(MOJIBAKE_PATTERN))
+    suspect = (n_repl > 0) | (n_ctl > 0) | (n_moji > 0)
+    base = docs.select(
+        "lang",
+        n_repl.alias("__nr"),
+        n_ctl.alias("__nc"),
+        n_moji.alias("__nm"),
+        suspect.cast("int").alias("__sus"),
+    )
+    return (
+        base.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("__nr") > 0).cast("int")).cast("long")
+            .alias("n_replacement_docs"),
+            F.sum("__nr").cast("long").alias("total_replacement"),
+            F.sum((F.col("__nc") > 0).cast("int")).cast("long")
+            .alias("n_control_docs"),
+            F.sum("__nc").cast("long").alias("total_control"),
+            F.sum((F.col("__nm") > 0).cast("int")).cast("long")
+            .alias("n_mojibake_docs"),
+            F.sum("__nm").cast("long").alias("total_mojibake"),
+            F.sum("__sus").cast("long").alias("n_suspect"),
         )
         .orderBy("lang")
     )

@@ -43,3 +43,37 @@ def test_stopword_stats_flags_junk(spark):
     # frequency, not distinct hits: "the" counts twice + "and" once
     assert r.stopword_tokens == 3
     assert r.n_stopword_free == 1
+
+
+def test_encoding_audit_detects_each_class(spark):
+    from data_quality_spark.operators.docs import encoding_audit
+
+    rows = [
+        (1, "clean normal prose here", "en"),
+        (2, "broken caf�e record", "en"),        # replacement char
+        (3, "stray bell\x07inside", "en"),             # C0 control
+        (4, "double encoded cafÃ© and donâ€™t", "en"),  # mojibake
+        (5, None, "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    r = encoding_audit(docs).collect()[0]
+    assert r["n_docs"] == 5
+    assert r["n_replacement_docs"] == 1 and r["total_replacement"] == 1
+    assert r["n_control_docs"] == 1 and r["total_control"] == 1
+    assert r["n_mojibake_docs"] == 1 and r["total_mojibake"] == 2
+    assert r["n_suspect"] == 3
+
+
+def test_encoding_audit_injection_nonzero(spark, sf_dir):
+    """The oracled query's inject_every plants one defect per class —
+    the audit must see all three classes on the clean corpus."""
+    from data_quality_spark.operators.docs import encoding_audit
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    agg = encoding_audit(docs, inject_every=50).groupBy().sum().collect()[0]
+    assert agg["sum(total_replacement)"] > 0
+    assert agg["sum(total_control)"] > 0
+    assert agg["sum(total_mojibake)"] > 0
+    # and the raw corpus is clean
+    clean = encoding_audit(docs).groupBy().sum().collect()[0]
+    assert clean["sum(n_suspect)"] == 0
