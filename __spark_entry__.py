@@ -526,6 +526,41 @@ def q_langid_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dq_docs.langid_sql(_t(spark, sf_dir, "documents"))
 
 
+def q_frequent_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/CCNet frequent-line removal as a transform: boilerplate lines
+    injected deterministically (the synthetic corpus is line-free), lines
+    in ≥10 distinct docs removed, text rebuilt in order — cleaned text
+    verified per-doc via portable md5 against a strict DuckDB twin."""
+    from data_quality_spark.operators.quality_filters import (
+        remove_frequent_lines,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.withColumn(
+        "text",
+        F.when(F.col("text").isNull(), F.lit(None).cast("string")).otherwise(
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 3 == 0,
+                       F.lit("\nsubscribe to our newsletter today"))
+                .otherwise(F.lit("")),
+                F.when(F.col("doc_id") % 4 == 0,
+                       F.lit("\nall rights reserved"))
+                .otherwise(F.lit("")),
+                F.when(F.col("doc_id") % 101 == 0,
+                       F.lit("\nseldom seen footnote"))
+                .otherwise(F.lit("")),
+            )
+        ),
+    )
+    cleaned = remove_frequent_lines(injected, min_docs=10)
+    return cleaned.select(
+        "doc_id",
+        "n_lines_removed",
+        F.md5(F.col("text").cast("binary")).alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear quality-classifier scoring pass (CCNet/GPT-3 shape): four
     exact-integer ratio features, fixed left-associated double chain —
@@ -660,6 +695,19 @@ def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dq_docs.scrub_audit(_t(spark, sf_dir, "documents"), inject_every=50)
+
+
+def q_text_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused text audit: the whole text-quality rule family (nulls/empty,
+    word bounds, dup-token mass, stopword-free, digit/special flood,
+    encoding hygiene, linear quality score) folded into the reference's
+    QualityIssue relation by ONE fused aggregate over ONE scan — the text
+    twin of audio_audit_issues; strict DuckDB twin."""
+    from data_quality_spark.operators.text_audit import text_audit_issues
+
+    return text_audit_issues(
+        _t(spark, sf_dir, "documents"), min_words=15, max_words=90
+    ).orderBy("issue_type")
 
 
 def q_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1491,6 +1539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": q_decontamination,
         "corpus_funnel": q_corpus_funnel,
         "quality_score": q_quality_score,
+        "frequent_line_removal": q_frequent_line_removal,
         "corpus_clean": q_corpus_clean,
         "boilerplate_stats": q_boilerplate_stats,
         "token_budget": q_token_budget,
@@ -1500,6 +1549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_audit": q_skew_audit,
         "scrub_audit": q_scrub_audit,
         "encoding_audit": q_encoding_audit,
+        "text_audit": q_text_audit,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         # differential-oracle checked (expected/*.parquet twins)
@@ -1799,6 +1849,91 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(ns) AS BIGINT) AS stopword_tokens,
   CAST(sum(CASE WHEN nt >= 5 AND ns = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_stopword_free
 FROM t GROUP BY lang ORDER BY lang"""
+
+
+def _text_audit_oracle(min_words: int = 15, max_words: int = 90) -> str:
+    """DuckDB twin of q_text_audit: same per-row signal definitions (each
+    also verified by its standalone operator's twin), same integer-exact
+    thresholds, same count>0 emission and count*100.0/total percent as
+    compile_rules."""
+    from data_quality_spark.operators.docs import _ALL_STOPWORDS
+    from data_quality_spark.operators.quality_model import LEN_CAP, WEIGHTS
+    from data_quality_spark.operators.text_audit import _RULES_META
+
+    stops = ", ".join(f"'{m}'" for m in _ALL_STOPWORDS)
+    toks = "regexp_split_to_array(trim(text), '\\s+')"
+    ltoks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+    b, w_stop, w_len, w_digit, w_special = WEIGHTS
+    preds = {
+        "null_text": "text IS NULL",
+        "empty_text": "text IS NOT NULL AND length(trim(text)) = 0",
+        "too_few_words": f"nt > 0 AND nt < {min_words}",
+        "too_many_words": f"nt > {max_words}",
+        "dup_token_mass": "10 * dup > 3 * nt",
+        "stopword_free": "nt >= 5 AND ns = 0",
+        "digit_flood": "2 * nd > nc",
+        "special_flood": "5 * nsp > nc",
+        "encoding_suspect": "nr > 0 OR nctl > 0 OR nmoji > 0",
+        "low_quality_score": "q <= 0.0",
+    }
+    rows = " UNION ALL ".join(
+        f"""
+SELECT 'documents' AS "table", 'text' AS "column",
+       '{name}' AS issue_type,
+       CAST(sum(CASE WHEN {preds[name]} THEN 1 ELSE 0 END) AS BIGINT)
+         AS "count",
+       CAST(count(*) AS BIGINT) AS total,
+       sum(CASE WHEN {preds[name]} THEN 1 ELSE 0 END) * 100.0 / count(*)
+         AS percent,
+       '{sev}' AS severity,
+       '{desc}' AS description
+FROM s"""
+        for name, (sev, desc) in _RULES_META.items()
+    )
+    return rf"""
+WITH s AS (
+  SELECT text,
+    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+         ELSE len({toks}) END AS nt,
+    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+         ELSE len(list_filter({ltoks}, x -> list_contains([{stops}], x)))
+         END AS ns,
+    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+         ELSE len({toks}) - len(list_distinct({ltoks})) END AS dup,
+    length(coalesce(text, '')) AS nc,
+    length(coalesce(text, ''))
+      - length(regexp_replace(coalesce(text, ''), '[0-9]', '', 'g')) AS nd,
+    length(regexp_replace(coalesce(text, ''),
+                          '[A-Za-z0-9À-ÿ \t\n\r]', '', 'g')) AS nsp,
+    len(regexp_extract_all(coalesce(text, ''), '�')) AS nr,
+    len(regexp_extract_all(coalesce(text, ''),
+                           '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS nctl,
+    len(regexp_extract_all(coalesce(text, ''), '(Ã[^ ]|Â[^ ]|â€)')) AS nmoji,
+    (((({b} + ({w_stop} * (CASE WHEN (CASE WHEN text IS NULL
+            OR length(trim(text)) = 0 THEN 0 ELSE len({toks}) END) > 0
+         THEN (CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+               ELSE len(list_filter({ltoks},
+                        x -> list_contains([{stops}], x))) END)
+              / (CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+                 ELSE len({toks}) END)
+         ELSE 0.0 END)))
+       + ({w_len} * (least(CASE WHEN text IS NULL
+            OR length(trim(text)) = 0 THEN 0 ELSE len({toks}) END,
+            {LEN_CAP}) / {float(LEN_CAP)})))
+      + ({w_digit} * (CASE WHEN length(coalesce(text, '')) > 0
+         THEN (length(coalesce(text, ''))
+               - length(regexp_replace(coalesce(text, ''), '[0-9]', '', 'g')))
+              / length(coalesce(text, ''))
+         ELSE 0.0 END)))
+     + ({w_special} * (CASE WHEN length(coalesce(text, '')) > 0
+        THEN length(regexp_replace(coalesce(text, ''),
+                    '[A-Za-z0-9À-ÿ \t\n\r]', '', 'g'))
+             / length(coalesce(text, ''))
+        ELSE 0.0 END))) AS q
+  FROM documents
+),
+m AS ({rows})
+SELECT * FROM m WHERE "count" > 0 ORDER BY issue_type"""
 
 
 def _quality_score_oracle() -> str:
@@ -2641,6 +2776,48 @@ FROM t GROUP BY lang ORDER BY lang""",
         "decontamination": _decontamination_oracle(),
         "corpus_funnel": _corpus_funnel_oracle(),
         "quality_score": _quality_score_oracle(),
+        "text_audit": _text_audit_oracle(),
+        "frequent_line_removal": """
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN text IS NULL THEN NULL ELSE text
+      || CASE WHEN doc_id % 3 = 0
+              THEN chr(10) || 'subscribe to our newsletter today'
+              ELSE '' END
+      || CASE WHEN doc_id % 4 = 0
+              THEN chr(10) || 'all rights reserved' ELSE '' END
+      || CASE WHEN doc_id % 101 = 0
+              THEN chr(10) || 'seldom seen footnote' ELSE '' END
+    END AS tx
+  FROM documents
+),
+l AS (
+  SELECT doc_id,
+    unnest(string_split(coalesce(tx, ''), chr(10))) AS raw,
+    unnest(range(1, len(string_split(coalesce(tx, ''), chr(10))) + 1))
+      AS pos
+  FROM d
+),
+lt AS (SELECT doc_id, pos, raw, trim(raw) AS line FROM l),
+lex AS (
+  SELECT line FROM lt WHERE length(line) > 0
+  GROUP BY line HAVING count(DISTINCT doc_id) >= 10
+),
+kept AS (SELECT * FROM lt WHERE line NOT IN (SELECT line FROM lex)),
+reb AS (
+  SELECT doc_id, string_agg(raw, chr(10) ORDER BY pos) AS clean,
+         count(*) AS n_after
+  FROM kept GROUP BY doc_id
+),
+nb AS (SELECT doc_id, count(*) AS n_before FROM lt GROUP BY doc_id)
+SELECT d.doc_id,
+  CAST(CASE WHEN d.tx IS NULL THEN 0
+       ELSE coalesce(nb.n_before, 0) - coalesce(reb.n_after, 0) END
+       AS INTEGER) AS n_lines_removed,
+  CASE WHEN d.tx IS NULL THEN NULL
+       ELSE md5(coalesce(reb.clean, '')) END AS clean_md5
+FROM d LEFT JOIN nb USING (doc_id) LEFT JOIN reb USING (doc_id)
+ORDER BY d.doc_id""",
         "corpus_clean": _corpus_clean_oracle(),
         "boilerplate_stats": _boilerplate_stats_oracle(),
         "token_budget": """

@@ -51,6 +51,18 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--output", required=True, help="output root (silver/metrics/lineage)")
     g.add_argument("--no-resume", action="store_true")
     g.add_argument("--days-per-batch", type=int, default=0)
+    g.add_argument("--profile", choices=["v1", "v2"], default="v1",
+                   help="v2 adds the audio-metric drop rules")
+
+    sg = sub.add_parser(
+        "segments", help="VAD-chunk clips into a training-segment table"
+    )
+    sg.add_argument("--input", required=True, help="bronze clips parquet root")
+    sg.add_argument("--output", required=True,
+                    help="output root (segments/metrics/lineage)")
+    sg.add_argument("--min-dur-ms", type=int, default=200)
+    sg.add_argument("--no-resume", action="store_true")
+    sg.add_argument("--days-per-batch", type=int, default=0)
 
     m = sub.add_parser("completeness", help="per-column completeness analysis")
     m.add_argument("--tables", required=True)
@@ -258,6 +270,20 @@ def main(argv: list[str] | None = None) -> int:
                 spark,
                 args.input,
                 args.output,
+                resume=not args.no_resume,
+                days_per_batch=args.days_per_batch,
+                profile=args.profile,
+            )
+            print(json.dumps(res))
+            return 0 if res.get("completed") else 1
+        if args.cmd == "segments":
+            from .runner import run_segment_pipeline
+
+            res = run_segment_pipeline(
+                spark,
+                args.input,
+                args.output,
+                min_dur_ms=args.min_dur_ms,
                 resume=not args.no_resume,
                 days_per_batch=args.days_per_batch,
             )

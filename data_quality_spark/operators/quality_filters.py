@@ -526,3 +526,111 @@ def decontamination_report(
         )
         .orderBy("source")
     )
+
+
+def frequent_lines(
+    docs: DataFrame,
+    min_docs: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The cross-document frequent-LINE lexicon (C4/CCNet's actual
+    boilerplate unit, for corpora that do have line structure): every
+    trimmed non-empty line appearing in ≥ ``min_docs`` DISTINCT documents,
+    with its document frequency.  Returns ``(line, line_docs)``.
+
+    Shuffle budget mirrors :func:`boilerplate_ngrams`: line occurrences
+    exchange once on the line, the distinct doc-count partial-dedupes
+    map-side, and the survivor set IS the (small) boilerplate lexicon.
+    """
+    lines = docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("__pos", "__raw"),
+    ).select("__id", "__pos", F.trim(F.col("__raw")).alias("line"))
+    return (
+        lines.where(F.length("line") > 0)
+        .groupBy("line")
+        .agg(F.count_distinct("__id").alias("line_docs"))
+        .where(F.col("line_docs") >= F.lit(min_docs))
+    )
+
+
+def remove_frequent_lines(
+    docs: DataFrame,
+    min_docs: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style frequent-line removal as a TRANSFORM: every line that
+    appears (trimmed) in ≥ ``min_docs`` distinct documents is deleted from
+    every document; remaining lines are rejoined in original order.
+
+    Plan shape: one posexplode (map-side), ONE line-keyed aggregate for the
+    lexicon, a line-keyed LEFT ANTI join (the lexicon is corpus-derived —
+    broadcast is AQE's call, and at corpus scale the lexicon stays small
+    because ``min_docs`` bounds it), then ONE doc-keyed aggregate that
+    reassembles text with an order-exact sort_array over (pos, line)
+    structs — deterministic under any partitioning.  Documents whose lines
+    are all removed come back as empty strings; NULL-text docs pass
+    through NULL (nothing to remove).
+
+    Returns the input columns with ``text`` replaced by the cleaned text
+    and ``n_lines_removed`` appended.
+
+    Reference analog: none (the reference validates, never repairs text);
+    nearest shape is its orphan-repair transform (fix_critical_issues.py).
+    C4: Raffel et al. 2020 §2.2 ("three-sentence span" dedup, line form per
+    CCNet); public pattern, re-derived here.
+    """
+    lex = frequent_lines(docs, min_docs, id_col, text_col).select("line")
+    lines = docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("__pos", "__raw"),
+    ).select(
+        "__id", "__pos", F.col("__raw"),
+        F.trim(F.col("__raw")).alias("line"),
+    )
+    n_before = lines.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("__n_before")
+    )
+    kept = lines.join(lex, "line", "left_anti")
+    rebuilt = (
+        kept.groupBy("__id")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("__pos", "__raw"))
+                    ),
+                    lambda s: s["__raw"],
+                ),
+            ).alias("__clean"),
+            F.count(F.lit(1)).alias("__n_after"),
+        )
+    )
+    out_cols = [c for c in docs.columns if c != text_col]
+    return (
+        docs.join(n_before, docs[id_col] == n_before["__id"], "left")
+        .drop("__id")
+        .join(rebuilt, docs[id_col] == rebuilt["__id"], "left")
+        .drop("__id")
+        .select(
+            *out_cols,
+            F.when(
+                F.col(text_col).isNull(), F.lit(None).cast("string")
+            ).otherwise(F.coalesce(F.col("__clean"), F.lit("")))
+            .alias(text_col),
+            F.when(F.col(text_col).isNull(), F.lit(0))
+            .otherwise(
+                F.coalesce(F.col("__n_before"), F.lit(0))
+                - F.coalesce(F.col("__n_after"), F.lit(0))
+            )
+            .cast("int")
+            .alias("n_lines_removed"),
+        )
+    )

@@ -35,7 +35,10 @@ from pyspark.sql import functions as F
 
 from .docs import _ALL_STOPWORDS, token_count_col
 
-__all__ = ["quality_score", "quality_score_stats", "WEIGHTS", "LEN_CAP"]
+__all__ = [
+    "quality_score", "quality_score_col", "quality_score_stats",
+    "WEIGHTS", "LEN_CAP",
+]
 
 # (bias, w_stopword_frac, w_len_capped, w_digit_frac, w_special_frac)
 WEIGHTS = (-0.6, 1.8, 0.8, -2.5, -2.0)
@@ -46,14 +49,9 @@ LEN_CAP = 64  # tokens; beyond this, length stops adding evidence
 _SPECIAL_KEEP = r"[A-Za-z0-9À-ÿ \t\n\r]"
 
 
-def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Adds ``q_score`` (double) and ``q_keep`` (score > 0) to ``docs``.
-
-    Features (all exact-integer ratios, 0.0 on empty docs):
-    stopword-token fraction, capped token count, digit-char fraction,
-    special-char fraction.  Score = fixed left-associated linear chain —
-    see module docstring for why this is engine-bit-identical.
-    """
+def quality_score_col(text_col: str = "text") -> Column:
+    """The score as a Column expression (see :func:`quality_score`) — the
+    form other fused audits embed without materializing columns."""
     text = F.coalesce(F.col(text_col), F.lit(""))
     toks = F.split(F.trim(F.lower(text)), r"\s+")
     nt = token_count_col(F.col(text_col))
@@ -73,7 +71,7 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     f_digit = frac(nd, nc)
     f_special = frac(nsp, nc)
     b, w_stop, w_len, w_digit, w_special = WEIGHTS
-    z = (
+    return (
         (
             (
                 (F.lit(b) + (F.lit(w_stop) * f_stop))
@@ -83,7 +81,17 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
         + (F.lit(w_special) * f_special)
     )
-    return docs.withColumn("q_score", z).withColumn(
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``q_score`` (double) and ``q_keep`` (score > 0) to ``docs``.
+
+    Features (all exact-integer ratios, 0.0 on empty docs):
+    stopword-token fraction, capped token count, digit-char fraction,
+    special-char fraction.  Score = fixed left-associated linear chain —
+    see module docstring for why this is engine-bit-identical.
+    """
+    return docs.withColumn("q_score", quality_score_col(text_col)).withColumn(
         "q_keep", F.col("q_score") > F.lit(0.0)
     )
 

@@ -29,7 +29,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..pipeline import gate
+from ..pipeline import gate, gate_v2
 from ..plans.schemas import CLIPS_SCHEMA
 from ..sources.io import append_metrics, write_partitioned
 
@@ -43,12 +43,15 @@ def stream_gate(
     max_files_per_trigger: int | None = None,
     await_seconds: float = 300.0,
     decode_counter=None,
+    profile: str = "v1",
 ) -> dict:
     """Gate all clip files under ``input_path`` as a micro-batch stream.
 
     Returns {batches, rows_in, rows_kept} after the availableNow drain.
     ``decode_counter`` (optional accumulator) proves one featurize pass per
     micro-batch, mirroring the batch runner's execute-once law.
+    ``profile="v2"`` streams the audio-metric gate — the per-row section is
+    stateless either way, so the streaming legality argument is unchanged.
     """
     from pyspark.sql import Observation
 
@@ -62,7 +65,8 @@ def stream_gate(
         # gets per-DAY counts because it chooses the day list up front; a
         # micro-batch's day set is data, so the stream records per-BATCH
         # totals plus the observed day set in the metric detail.)
-        decided = gate(batch_df, counter=decode_counter)
+        gate_fn = gate_v2 if profile == "v2" else gate
+        decided = gate_fn(batch_df, counter=decode_counter)
         obs = Observation(f"stream_{batch_id}")
         observed = decided.observe(
             obs,

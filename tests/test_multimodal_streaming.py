@@ -188,3 +188,30 @@ def test_windowed_counts_stream_matches_batch(spark, tmp_path):
     # (stream end advances the watermark past all but the last windows)
     assert got
     assert all(want[k] == v for k, v in got.items())
+
+
+def test_stream_gate_v2_profile(spark, tmp_path):
+    """profile='v2' streams the audio-metric gate; totals match the batch
+    gate_v2 over the same bronze (the per-row section is stateless)."""
+    from pyspark.sql import functions as F
+
+    from data_quality_spark.pipeline import gate_v2
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.streaming.gate_stream import stream_gate
+    from data_quality_spark.synth import generate_clips
+
+    pdf = generate_clips(120, seed=11)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    src = str(tmp_path / "bronze")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(pdf[cols], CLIPS_SCHEMA).write.parquet(src)
+
+    res = stream_gate(spark, src, out, profile="v2")
+    assert res["rows_in"] == 120
+    want_keep = (
+        gate_v2(spark.read.parquet(src))
+        .filter(F.col("decision") == "keep").count()
+    )
+    assert res["rows_kept"] == want_keep
+    silver = spark.read.parquet(f"{out}/silver_stream")
+    assert "snr_db" in silver.columns and silver.count() == want_keep

@@ -384,3 +384,48 @@ class TestBoilerplate:
         r = boilerplate_stats(docs, n=3, min_docs=2).collect()[0]
         # grams doc0: (spam spam spam)x2; doc1: (spam spam spam), (spam spam other)
         assert r["total_grams"] == 4 and r["boiler_grams"] == 3
+
+
+class TestFrequentLineRemoval:
+    def _docs(self, spark):
+        boiler = "subscribe now"
+        rows = [
+            (1, "alpha beta\n" + boiler + "\ngamma delta", "en"),
+            (2, "epsilon zeta\n  " + boiler + "  ", "en"),   # trimmed match
+            (3, boiler + "\nunique line three", "en"),
+            (4, "totally original content", "en"),
+            (5, None, "en"),
+            (6, boiler, "en"),                               # only boiler
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string"
+        )
+
+    def test_removal_and_rebuild(self, spark):
+        from data_quality_spark.operators.quality_filters import (
+            remove_frequent_lines,
+        )
+
+        out = {
+            r["doc_id"]: r
+            for r in remove_frequent_lines(self._docs(spark), min_docs=3)
+            .collect()
+        }
+        assert out[1]["text"] == "alpha beta\ngamma delta"
+        assert out[1]["n_lines_removed"] == 1
+        # trimmed form matched, raw line (with spaces) removed
+        assert out[2]["text"] == "epsilon zeta"
+        assert out[3]["text"] == "unique line three"
+        assert out[4]["text"] == "totally original content"
+        assert out[4]["n_lines_removed"] == 0
+        assert out[5]["text"] is None and out[5]["n_lines_removed"] == 0
+        assert out[6]["text"] == "" and out[6]["n_lines_removed"] == 1
+
+    def test_lexicon_threshold(self, spark):
+        from data_quality_spark.operators.quality_filters import (
+            frequent_lines,
+        )
+
+        lex = {r["line"]: r["line_docs"]
+               for r in frequent_lines(self._docs(spark), min_docs=3).collect()}
+        assert lex == {"subscribe now": 4}
