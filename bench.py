@@ -281,17 +281,20 @@ def run_controls(input_path: str, levels: tuple[int, int] = (4, 16)) -> dict:
     return out
 
 
-def scale_worker(cpus: int, input_path: str) -> None:
+def scale_worker(cpus: int, input_path: str, profile: str = "v1") -> None:
     """One fresh-process gate run at local[cpus].  Two timed passes after the
     warm-up; the MIN is reported — this sandbox is a shared host (external
     load regularly 5-10 cores), so best-of filters out interference and
-    approximates the dedicated-node steady state a real cluster would see."""
+    approximates the dedicated-node steady state a real cluster would see.
+    ``profile="v2"`` runs the audio-metric gate — ~5× the kernel FLOPs per
+    byte moved, so it is the compute-bound counterpoint on this DRAM-bound
+    socket (if the engine limited scaling, v2 would scale no better)."""
     from data_quality_spark.session import get_spark
 
     spark = get_spark(f"bench-scale-{cpus}", master=f"local[{cpus}]")
-    rows, dt1 = gate_job(spark, input_path)
-    _, dt2 = gate_job(spark, input_path, warm=False)
-    _, dt3 = gate_job(spark, input_path, warm=False)
+    rows, dt1 = gate_job(spark, input_path, profile=profile)
+    _, dt2 = gate_job(spark, input_path, warm=False, profile=profile)
+    _, dt3 = gate_job(spark, input_path, warm=False, profile=profile)
     print(json.dumps({"cpus": cpus, "rows": rows, "seconds": min(dt1, dt2, dt3)}))
     spark.stop()
 
@@ -388,7 +391,10 @@ def run_scaling(input_path: str, levels: tuple[int, int] = (4, 16),
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--scale-worker":
-        scale_worker(int(sys.argv[2]), sys.argv[3])
+        scale_worker(
+            int(sys.argv[2]), sys.argv[3],
+            sys.argv[4] if len(sys.argv) > 4 else "v1",
+        )
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--mp-worker":
         mp_worker(int(sys.argv[2]), sys.argv[3])
@@ -456,6 +462,7 @@ def main() -> None:
         "token_budget", "cluster_split",
         "profile_columns", "snapshot_diff", "trend_anomaly",
         "dedup_incremental", "drift_report", "quality_score",
+        "encoding_audit", "text_audit", "frequent_line_removal",
     ]
     qs = entrymod.queries()
     for name in bench_queries:

@@ -143,6 +143,20 @@ def build_parser() -> argparse.ArgumentParser:
                    "(default: shared non-key)")
     d.add_argument("--format", choices=["text", "json"], default="text")
 
+    au = sub.add_parser(
+        "audit", help="fused scan-once audit (text or audio rule family)"
+    )
+    au.add_argument("--tables", required=True)
+    au.add_argument("--table", required=True, help="table name to audit")
+    au.add_argument("--kind", choices=["text", "audio"], default="text")
+    au.add_argument("--min-words", type=int, default=15)
+    au.add_argument("--max-words", type=int, default=90)
+    au.add_argument("--format", choices=["text", "json"], default="text")
+    au.add_argument(
+        "--fail-on", choices=["none", "warning", "critical"],
+        default="critical",
+    )
+
     dr = sub.add_parser(
         "drift", help="per-column drift report between two snapshots"
     )
@@ -491,6 +505,37 @@ def main(argv: list[str] | None = None) -> int:
                 for r in rows:
                     print(f"{r['metric']:30s} {r['n_rows']}")
             return 0
+        if args.cmd == "audit":
+            from .plans.report import Report, exit_code_for
+
+            df = spark.read.parquet(
+                os.path.join(args.tables, f"{args.table}.parquet")
+            )
+            if args.kind == "audio":
+                from .operators.audio_audit import audio_audit, audit_issues
+
+                issues_df = audit_issues(audio_audit(df), table=args.table)
+            else:
+                from .operators.text_audit import text_audit_issues
+
+                issues_df = text_audit_issues(
+                    df, table=args.table,
+                    min_words=args.min_words, max_words=args.max_words,
+                )
+            rows = [r.asDict() for r in issues_df.collect()]
+            if args.format == "json":
+                print(json.dumps(rows, indent=2))
+            else:
+                for r in rows:
+                    print(
+                        f"[{r['severity']:8s}] {r['table']}.{r['column']} "
+                        f"{r['issue_type']}: {r['count']}/{r['total']} "
+                        f"({r['percent']:.2f}%) — {r['description']}"
+                    )
+            rep = Report("1.0", "spark", [
+                {"severity": r["severity"]} for r in rows if r["count"] > 0
+            ])
+            return exit_code_for(rep, fail_on=args.fail_on)
         if args.cmd == "drift":
             from .operators.drift import drift_report
 

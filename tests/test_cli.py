@@ -318,3 +318,47 @@ def test_cli_drift(spark, tmp_path, capsys, monkeypatch):
     ) == 0
     txt = capsys.readouterr().out
     assert "w" in txt and "changed 1/2" in txt
+
+
+@pytest.mark.slow
+def test_cli_audit(spark, tmp_path, capsys, monkeypatch):
+    """audit subcommand: text + audio fused audits with exit-code policy."""
+    import data_quality_spark.cli as cli
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import generate_clips
+
+    monkeypatch.setattr("pyspark.sql.SparkSession.stop", lambda self: None)
+    tables = tmp_path / "tables"
+    tables.mkdir()
+    docs = spark.createDataFrame(
+        [(1, None, "en"),
+         (2, "the quick brown fox jumps over the lazy dog today ok", "en")],
+        "doc_id long, text string, lang string",
+    )
+    docs.coalesce(1).write.parquet(str(tables / "docs.parquet"))
+    # null_text is critical → default fail_on=critical exits 2
+    code = cli.main(
+        ["audit", "--tables", str(tables), "--table", "docs",
+         "--min-words", "5", "--format", "json"]
+    )
+    rows = {r["issue_type"]: r for r in json.loads(capsys.readouterr().out)}
+    assert code == 2
+    assert rows["null_text"]["count"] == 1
+    assert cli.main(
+        ["audit", "--tables", str(tables), "--table", "docs",
+         "--min-words", "5", "--fail-on", "none"]
+    ) == 0
+    capsys.readouterr()
+
+    pdf = generate_clips(60, seed=3)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    spark.createDataFrame(pdf[cols], CLIPS_SCHEMA).coalesce(1).write.parquet(
+        str(tables / "clips.parquet")
+    )
+    code = cli.main(
+        ["audit", "--tables", str(tables), "--table", "clips",
+         "--kind", "audio", "--format", "json", "--fail-on", "none"]
+    )
+    rows = {r["issue_type"]: r for r in json.loads(capsys.readouterr().out)}
+    assert code == 0
+    assert "undecodable" in rows and rows["undecodable"]["total"] == 60
