@@ -169,6 +169,8 @@ def build_parser() -> argparse.ArgumentParser:
                     "(default: shared non-key)")
     dr.add_argument("--approx", action="store_true",
                     help="HLL++ distinct counts")
+    dr.add_argument("--by", default=None,
+                    help="comma-separated grouping columns (per-group drift)")
     dr.add_argument("--format", choices=["text", "json"], default="text")
 
     sk = sub.add_parser("skew", help="key-skew audit (salting advisor input)")
@@ -546,19 +548,21 @@ def main(argv: list[str] | None = None) -> int:
                 os.path.join(args.tables, f"{args.new}.parquet")
             )
             compare = args.compare.split(",") if args.compare else None
+            by = args.by.split(",") if args.by else []
             rows = [
                 r.asDict()
                 for r in drift_report(
                     old, new, args.key.split(","), compare,
-                    approx=args.approx,
-                ).orderBy("column").collect()
+                    by=by, approx=args.approx,
+                ).orderBy(*by, "column").collect()
             ]
             if args.format == "json":
                 print(json.dumps(rows, indent=2))
             else:
                 for r in rows:
+                    grp = "".join(f"[{r[b]}] " for b in by)
                     print(
-                        f"{r['column']:20s} changed {r['n_changed']}"
+                        f"{grp}{r['column']:20s} changed {r['n_changed']}"
                         f"/{r['n_matched']} ({r['chg_rate']:.2%}) "
                         f"nulls {r['null_old']}→{r['null_new']} "
                         f"distinct {r['distinct_old']}→{r['distinct_new']}"

@@ -40,12 +40,13 @@ def drift_report(
     key: list[str],
     compare: list[str] | None = None,
     *,
+    by: list[str] | None = None,
     approx: bool = False,
 ) -> DataFrame:
-    """One row per compared column:
+    """One row per compared column (× ``by`` group when given):
 
-    (column, n_old, n_new, n_added, n_removed, n_matched, n_changed,
-     chg_rate, null_old, null_new, distinct_old, distinct_new,
+    ([by...,] column, n_old, n_new, n_added, n_removed, n_matched,
+     n_changed, chg_rate, null_old, null_new, distinct_old, distinct_new,
      mean_old, mean_new, mean_delta)
 
     ``n_changed`` counts matched rows whose value differs null-safely;
@@ -53,15 +54,21 @@ def drift_report(
     ``mean_*`` are NULL for non-numeric columns.  Integer means are exact
     (integer sums), hence engine-reproducible; profile doubles with
     ``approx`` cardinalities only, or accept plan-dependent last-ulp means.
+
+    ``by`` names stable grouping columns (e.g. lang/source): group value
+    is ``coalesce(new, old)`` per joined row, so added/removed rows land
+    in their present side's group — still one join + one aggregate, just
+    keyed.
     """
+    by = list(by or [])
     if compare is None:
         shared = [c for c in old.columns if c in set(new.columns)]
-        compare = [c for c in shared if c not in set(key)]
+        compare = [c for c in shared if c not in set(key) and c not in set(by)]
     fields = {f.name: f.dataType for f in old.schema.fields}
     o = old.select(
-        key + compare + [F.lit(True).alias("__in_old__")]).alias("o")
+        key + by + compare + [F.lit(True).alias("__in_old__")]).alias("o")
     n = new.select(
-        key + compare + [F.lit(True).alias("__in_new__")]).alias("n")
+        key + by + compare + [F.lit(True).alias("__in_new__")]).alias("n")
     cond = None
     for k in key:
         eq = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
@@ -107,7 +114,13 @@ def drift_report(
                 (F.sum(F.when(in_new, nd)).cast("double")
                  / F.count(F.when(in_new, nc))).alias(f"mn:{c}")
             )
-    wide = j.agg(*aggs)
+    if by:
+        group_cols = [
+            F.coalesce(F.col(f"n.{b}"), F.col(f"o.{b}")).alias(b) for b in by
+        ]
+        wide = j.groupBy(*group_cols).agg(*aggs)
+    else:
+        wide = j.agg(*aggs)
 
     null_d = F.lit(None).cast(T.DoubleType())
     structs = []
@@ -134,4 +147,6 @@ def drift_report(
             mn.alias("mean_new"),
             (mn - mo).alias("mean_delta"),
         ))
-    return wide.select(F.explode(F.array(*structs)).alias("d")).select("d.*")
+    return wide.select(
+        *by, F.explode(F.array(*structs)).alias("d")
+    ).select(*by, "d.*")

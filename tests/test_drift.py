@@ -81,3 +81,20 @@ def test_single_join_single_aggregate_plan(spark, frames):
         or "ShuffledHashJoin" in ln
     )
     assert n_joins == 1
+
+
+def test_grouped_drift(spark, frames):
+    """by=['g'] splits the report per group with added/removed rows landing
+    in their present side's group; totals reconcile with the global report."""
+    old, new = frames
+    old_g = old.withColumn("g", (F.col("k") % 2 == 0).cast("string"))
+    new_g = new.withColumn("g", (F.col("k") % 2 == 0).cast("string"))
+    grouped = drift_report(old_g, new_g, ["k"], compare=["v"], by=["g"])
+    rows = {r["g"]: r for r in grouped.collect()}
+    assert set(rows) == {"true", "false"}
+    glob = drift_report(old_g, new_g, ["k"], compare=["v"]).collect()[0]
+    for m in ("n_old", "n_new", "n_added", "n_removed", "n_matched",
+              "n_changed", "null_old", "null_new"):
+        assert sum(r[m] for r in rows.values()) == glob[m], m
+    # row 6 (added, k even) lands in group 'true'
+    assert rows["true"]["n_added"] == 1 and rows["false"]["n_added"] == 0
