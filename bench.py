@@ -506,6 +506,14 @@ def main() -> None:
         if os.path.exists(p):
             with open(p) as fh:
                 scaling["compute_bound"] = json.load(fh)
+        # the gate-family counterpoint: same pipeline, ~5× the kernel
+        # FLOPs per byte (profile v2) captured in one window with v1
+        # (scripts/v2_scaling.py) — efficiency tracks arithmetic
+        # intensity, the DRAM-roofline signature
+        p = os.path.join(REPO, ".bench_cache", "scaling_v2.json")
+        if os.path.exists(p):
+            with open(p) as fh:
+                scaling["gate_v2_counterpoint"] = json.load(fh)
 
     # memory profile (reference's C13 reports peak memory per run,
     # BENCHMARKS.md:65-70): driver-python peak RSS via getrusage (KiB on
