@@ -33,11 +33,23 @@ sys.path.insert(0, REPO)
 import bench  # noqa: E402
 
 
+def _settle(threshold: float, max_wait_s: float = 600.0) -> None:
+    """Wait until 1-min loadavg < threshold so a level never starts under
+    the previous level's decaying self-load (BENCH.md capture notes: the
+    distortion from our own teardown exceeds background-load noise)."""
+    deadline = time.time() + max_wait_s
+    while os.getloadavg()[0] >= threshold and time.time() < deadline:
+        time.sleep(20)
+
+
 def pinned_pair(input_path: str, profile: str,
-                pins=(8, 32), slots=(4, 16)) -> dict:
+                pins=(8, 32), slots=(4, 16),
+                settle_load: float | None = None) -> dict:
     out = {}
     loadavgs = {}
     for pin, slot in zip(pins, slots):
+        if settle_load is not None:
+            _settle(settle_load)
         loadavgs[str(pin)] = round(os.getloadavg()[0], 2)
         bench.log(f"{profile} pinned run: {pin} cores / local[{slot}] "
                   f"(loadavg {loadavgs[str(pin)]})")
@@ -66,6 +78,8 @@ def main() -> None:
     ap.add_argument("--threshold", type=float, default=2.0)
     ap.add_argument("--timeout-min", type=float, default=120)
     ap.add_argument("--clips", type=int, default=100_000)
+    ap.add_argument("--settle-load", type=float, default=None,
+                    help="wait for loadavg below this before every level")
     args = ap.parse_args()
 
     clips = bench.ensure_clips(args.clips)
@@ -84,8 +98,8 @@ def main() -> None:
         "captured": True,
         "started_loadavg_1m": round(os.getloadavg()[0], 2),
         "n_clips": args.clips,
-        "v1": pinned_pair(clips, "v1"),
-        "v2": pinned_pair(clips, "v2"),
+        "v1": pinned_pair(clips, "v1", settle_load=args.settle_load),
+        "v2": pinned_pair(clips, "v2", settle_load=args.settle_load),
     }
     result["ended_loadavg_1m"] = round(os.getloadavg()[0], 2)
     out_path = os.path.join(REPO, ".bench_cache", "scaling_v2.json")
