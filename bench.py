@@ -464,6 +464,12 @@ def main() -> None:
         "dedup_incremental", "drift_report", "quality_score",
         "encoding_audit", "text_audit", "frequent_line_removal",
     ]
+    # headline-only mode: just the gate pair + health scan (~90 s) — fits
+    # inside the short quiet gaps this shared host actually has, where the
+    # full per-query sweep (~5 min) is always interrupted by tenants
+    if os.environ.get("BENCH_HEADLINE_ONLY", "0") == "1":
+        bench_queries = []
+
     qs = entrymod.queries()
     for name in bench_queries:
         best = None

@@ -173,6 +173,25 @@ def main() -> None:
             None,
         ),
         (
+            "Fused text audit (scan-once rule family)",
+            "All ten text-quality rules (null/empty, word bounds, dup-token "
+            "mass, stopword-free, digit/special flood, encoding hygiene, "
+            "linear quality score) fold into ONE partial/final HashAggregate "
+            "over ONE scan — the same compile_rules law as the reference "
+            "rule pack: adding a rule adds an expression, never a pass.",
+            None,
+        ),
+        (
+            "Frequent-line removal (C4 boilerplate transform)",
+            "One posexplode, one line-keyed lexicon aggregate (distinct doc "
+            "counts partial-deduped map-side), a line-keyed LEFT ANTI join "
+            "(strategy AQE's call — the min_docs bound keeps the lexicon "
+            "small), one doc-keyed rebuild aggregate with an order-exact "
+            "sort_array. Document text shuffles ONLY as its own lines on "
+            "doc_id — never as whole documents on a wide key.",
+            None,
+        ),
+        (
             "Gopher quality rules (zero-shuffle flag pass)",
             "Every rule signal (token count, non-space chars, alpha-word "
             "count, symbol count, stopword hits) is column arithmetic "
@@ -251,6 +270,19 @@ def main() -> None:
                      compare=["o_custkey", "o_orderpriority"]),
     )
     sections[qs_i] = (*sections[qs_i][:2], quality_score(docs))
+
+    from data_quality_spark.operators.quality_filters import (
+        remove_frequent_lines,
+    )
+    from data_quality_spark.operators.text_audit import text_audit_issues
+
+    ta_i = next(i for i, s in enumerate(sections)
+                if s[0].startswith("Fused text audit"))
+    fl_i = next(i for i, s in enumerate(sections)
+                if s[0].startswith("Frequent-line"))
+    sections[ta_i] = (*sections[ta_i][:2], text_audit_issues(docs))
+    sections[fl_i] = (*sections[fl_i][:2],
+                      remove_frequent_lines(docs, min_docs=10))
 
     out = ["# PLANS — physical-plan evidence for the core operators\n"]
     out.append(
