@@ -160,6 +160,14 @@ def main() -> int:
         print(json.dumps({k: record[k] for k in
                           ("clean", "mean_external_cores",
                            "p90_external_cores", "n_windows")}), flush=True)
+        # persist EVERY attempt (numbers + cleanliness, sans windows) —
+        # rejected-but-fast runs are evidence too, and /tmp gets overwritten
+        hist = os.path.join(REPO, ".bench_cache", "bench_attempts.jsonl")
+        os.makedirs(os.path.dirname(hist), exist_ok=True)
+        with open(hist, "a") as f:
+            slim = {k: v for k, v in record.items() if k != "windows"}
+            f.write(json.dumps({"ts": time.time(), "record": slim,
+                                "bench": bench}) + "\n")
         if record["clean"] and bench is not None:
             dest = os.path.join(REPO, ".bench_cache", "bench_clean.json")
             with open(dest, "w") as f:
