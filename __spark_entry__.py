@@ -526,6 +526,18 @@ def q_langid_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dq_docs.langid_sql(_t(spark, sf_dir, "documents"))
 
 
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-head vocabulary report: top-20 tokens by frequency with doc
+    frequency, ties broken on the token string — strict DuckDB twin."""
+    return dq_docs.vocab_stats(_t(spark, sf_dir, "documents"), top_k=20)
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language power-of-two doc-length histogram; buckets computed in
+    integer comparisons (no float log) — strict DuckDB twin."""
+    return dq_docs.length_histogram(_t(spark, sf_dir, "documents"))
+
+
 def q_frequent_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/CCNet frequent-line removal as a transform: boilerplate lines
     injected deterministically (the synthetic corpus is line-free), lines
@@ -1534,6 +1546,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stopword_stats": q_stopword_stats,
         "quality_buckets": q_quality_buckets,
         "langid_sql": q_langid_sql,
+        "vocab_stats": q_vocab_stats,
+        "length_histogram": q_length_histogram,
         "gopher_quality": q_gopher_quality,
         "repetition_stats": q_repetition_stats,
         "decontamination": q_decontamination,
@@ -1934,6 +1948,35 @@ WITH s AS (
 ),
 m AS ({rows})
 SELECT * FROM m WHERE "count" > 0 ORDER BY issue_type"""
+
+
+def _length_histogram_oracle(cap_exp: int = 20) -> str:
+    ladder = " ".join(
+        f"WHEN n >= {1 << e} THEN {1 << e}"
+        for e in range(cap_exp, -1, -1)
+    )
+    return f"""
+WITH t AS (
+  SELECT lang, length(coalesce(text, '')) AS n FROM documents
+),
+b AS (SELECT lang, n, CASE {ladder} ELSE 0 END AS bucket_lo FROM t)
+SELECT lang, CAST(bucket_lo AS BIGINT) AS bucket_lo,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS total_chars
+FROM b GROUP BY lang, bucket_lo ORDER BY lang, bucket_lo"""
+
+
+_VOCAB_STATS_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents
+  WHERE text IS NOT NULL AND length(trim(text)) > 0
+)
+SELECT token, CAST(count(*) AS BIGINT) AS freq,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+FROM t GROUP BY token
+ORDER BY freq DESC, token ASC LIMIT 20"""
 
 
 def _quality_score_oracle() -> str:
@@ -2777,6 +2820,8 @@ FROM t GROUP BY lang ORDER BY lang""",
         "corpus_funnel": _corpus_funnel_oracle(),
         "quality_score": _quality_score_oracle(),
         "text_audit": _text_audit_oracle(),
+        "vocab_stats": _VOCAB_STATS_SQL,
+        "length_histogram": _length_histogram_oracle(),
         "frequent_line_removal": """
 WITH d AS (
   SELECT doc_id,

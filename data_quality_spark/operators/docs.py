@@ -36,6 +36,8 @@ __all__ = [
     "fingerprint_stats",
     "scrub_audit",
     "encoding_audit",
+    "vocab_stats",
+    "length_histogram",
 ]
 
 # BPE-style pre-tokenization units (the GPT-2 pre-tokenizer's shape, minus
@@ -337,4 +339,61 @@ def encoding_audit(
             F.sum("__sus").cast("long").alias("n_suspect"),
         )
         .orderBy("lang")
+    )
+
+
+def vocab_stats(docs: DataFrame, top_k: int = 20) -> DataFrame:
+    """Corpus vocabulary head: the ``top_k`` most frequent tokens with
+    frequency and document frequency — the Zipf-head report a curation
+    pass eyeballs for tokenizer/stopword sanity (an unexpected token in
+    the head = boilerplate or a generator artifact).
+
+    Tokens explode map-side and aggregate on the token (partial counts
+    before the exchange — the corpus never shuffles as documents); the
+    top-k is a TakeOrdered over the (small) vocabulary relation.
+    Deterministic: ties break on the token string ascending.
+    """
+    toks = F.split(
+        F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+"
+    )
+    exploded = (
+        docs.where(token_count_col(F.col("text")) > 0)
+        .select(F.col("doc_id"), F.explode(toks).alias("token"))
+    )
+    counts = exploded.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.count_distinct("doc_id").cast("long").alias("doc_freq"),
+    )
+    return (
+        counts.orderBy(F.desc("freq"), F.asc("token")).limit(top_k)
+    )
+
+
+# length histogram: power-of-two char buckets; 2^20 caps the ladder (a
+# >1 MiB "document" is its own pathology and lands in the top bucket)
+_LEN_BUCKET_CAP = 20
+
+
+def length_histogram(docs: DataFrame) -> DataFrame:
+    """Per-language doc-length histogram over power-of-two char buckets:
+    (lang, bucket_lo, n_docs, total_chars) — the distribution a curator
+    checks before choosing min/max length cuts (Gopher-style bounds are
+    corpus-dependent; this is the data they are read off of).
+
+    ``bucket_lo`` is 2^floor(log2(len)) computed in INTEGER bit-length
+    arithmetic (no float log — exact at every boundary, engine-portable);
+    empty/NULL docs land in bucket_lo = 0.  One scan, one small rollup.
+    """
+    n = F.length(F.coalesce(F.col("text"), F.lit("")))
+    # integer floor-log2 via a when-ladder on boundaries: exact, no float
+    bucket = F.lit(0)
+    for e in range(_LEN_BUCKET_CAP + 1):
+        bucket = F.when(n >= F.lit(1 << e), F.lit(1 << e)).otherwise(bucket)
+    return (
+        docs.groupBy("lang", bucket.cast("long").alias("bucket_lo"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(n).cast("long").alias("total_chars"),
+        )
+        .orderBy("lang", "bucket_lo")
     )

@@ -77,3 +77,35 @@ def test_encoding_audit_injection_nonzero(spark, sf_dir):
     # and the raw corpus is clean
     clean = encoding_audit(docs).groupBy().sum().collect()[0]
     assert clean["sum(n_suspect)"] == 0
+
+
+def test_vocab_stats_head(spark):
+    from data_quality_spark.operators.docs import vocab_stats
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple", "en"),
+         (2, "apple cherry", "en"),
+         (3, None, "en"),
+         (4, "   ", "en")],
+        "doc_id long, text string, lang string",
+    )
+    rows = vocab_stats(docs, top_k=2).collect()
+    assert [r["token"] for r in rows] == ["apple", "banana"]  # tie: token asc
+    assert rows[0]["freq"] == 3 and rows[0]["doc_freq"] == 2
+    assert rows[1]["freq"] == 1
+
+
+def test_length_histogram_buckets(spark):
+    from data_quality_spark.operators.docs import length_histogram
+
+    docs = spark.createDataFrame(
+        [(1, "", "en"), (2, None, "en"), (3, "a", "en"), (4, "abc", "en"),
+         (5, "x" * 1024, "en"), (6, "y" * 1025, "en")],
+        "doc_id long, text string, lang string",
+    )
+    rows = {r["bucket_lo"]: r for r in length_histogram(docs).collect()}
+    assert rows[0]["n_docs"] == 2              # empty + NULL
+    assert rows[1]["n_docs"] == 1              # len 1
+    assert rows[2]["n_docs"] == 1              # len 3 → bucket 2
+    assert rows[1024]["n_docs"] == 2           # 1024 and 1025
+    assert rows[1024]["total_chars"] == 2049
