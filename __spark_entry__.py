@@ -1415,6 +1415,27 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("kind", "ok")
 
 
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image/video decode path: from-spec BMP + RVID numpy codecs
+    (functions/image.py) over a deterministic mixed-media corpus with
+    seeded truncations and honestly-undecodable compressed magic; per-
+    media exact-integer features hash-checked against an independent
+    pure-Python parser twin (struct + per-pixel loops)."""
+    from data_quality_spark.functions import multimodal as M
+    from data_quality_spark.synth import generate_media
+
+    ensure_expected("image_features", sf_dir)
+    pdf = generate_media(200, seed=42)
+    media = spark.createDataFrame(pdf, M.MEDIA_SCHEMA).repartition(4)
+    feats = M.extract_media_features(media, fake_decode=False)
+    cols = [
+        F.col("feature")[i].alias(f"f{i}") for i in range(8)
+    ]
+    return feats.select(
+        "media_id", "kind", "ok", "n_bytes", *cols
+    ).orderBy("media_id")
+
+
 def q_clips_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_quality_spark.pipeline import gate
 
@@ -1605,6 +1626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_gate_issues": q_clips_gate_issues,
         "clips_gate_decide3": q_clips_gate_decide3,
         "clips_gate_v2": q_clips_gate_v2,
+        "image_features": q_image_features,
     }
 
 
@@ -3028,4 +3050,5 @@ ORDER BY d.doc_id""",
         "clips_gate_issues": _expected_sql("clips_gate_issues"),
         "clips_gate_decide3": _expected_sql("clips_gate_decide3"),
         "clips_gate_v2": _expected_sql("clips_gate_v2"),
+        "image_features": _expected_sql("image_features"),
     }

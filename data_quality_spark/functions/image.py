@@ -1,0 +1,162 @@
+"""From-spec image/video codecs in pure numpy — the visual analog of
+``functions.audio``'s self-implemented pcm16/µ-law/WAV.
+
+No image codec libraries exist in this sandbox, so the REAL formats are
+the uncompressed ones a from-spec implementation can own end-to-end:
+
+- **BMP** (Windows V3 ``BITMAPINFOHEADER``, 24-bit BI_RGB): 14-byte file
+  header + 40-byte info header + bottom-up BGR rows padded to 4 bytes —
+  the documented public layout.  Encode and decode are exact inverses.
+- **RVID**, a raw-video container defined HERE (like the headerless
+  pcm16 the audio path owns): magic ``RVID`` + u16 (n_frames, height,
+  width) little-endian + n_frames raw RGB24 frames.  "Decoding" is a
+  reshape; frame sampling is real indexing.
+
+Compressed formats (JPEG/PNG/H.264) remain honestly stubbed in
+``functions.multimodal`` — the engine contract (schema, Arrow batching,
+payload-drops-at-the-boundary) is identical whichever decoder fills the
+slot.
+
+Features are exact small statistics chosen to be reproducible in a
+pure-Python twin (integer sums over uint8 → exact float64 means).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = [
+    "encode_bmp",
+    "decode_bmp",
+    "encode_rvid",
+    "decode_rvid_frames",
+    "image_features",
+    "N_IMAGE_FEATURES",
+]
+
+N_IMAGE_FEATURES = 8
+
+_BMP_FILE_HDR = 14
+_BMP_INFO_HDR = 40
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """HxWx3 uint8 RGB → 24-bit BI_RGB BMP (bottom-up, 4-byte row pad)."""
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_bmp expects HxWx3 uint8")
+    h, w, _ = arr.shape
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    stride = row_bytes + pad
+    pixel_bytes = stride * h
+    off = _BMP_FILE_HDR + _BMP_INFO_HDR
+    file_hdr = struct.pack("<2sIHHI", b"BM", off + pixel_bytes, 0, 0, off)
+    info_hdr = struct.pack(
+        "<IiiHHIIiiII", _BMP_INFO_HDR, w, h, 1, 24, 0, pixel_bytes,
+        2835, 2835, 0, 0,
+    )
+    # bottom-up rows, BGR order, padded
+    bgr = arr[::-1, :, ::-1]
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :row_bytes] = bgr.reshape(h, row_bytes)
+    return file_hdr + info_hdr + rows.tobytes()
+
+
+def decode_bmp(data) -> np.ndarray:
+    """24-bit BI_RGB BMP → HxWx3 uint8 RGB (validates the public layout)."""
+    buf = np.frombuffer(data, dtype=np.uint8)
+    if buf.size < _BMP_FILE_HDR + _BMP_INFO_HDR or bytes(buf[:2]) != b"BM":
+        raise ValueError("not a BMP file")
+    (off,) = struct.unpack("<I", bytes(buf[10:14]))
+    hdr_size, w, h, planes, bpp, comp = struct.unpack(
+        "<IiiHHI", bytes(buf[14:34])
+    )
+    if hdr_size < _BMP_INFO_HDR or planes != 1 or bpp != 24 or comp != 0:
+        raise ValueError(
+            f"unsupported BMP variant hdr={hdr_size} bpp={bpp} comp={comp}"
+        )
+    if w <= 0 or h == 0:
+        raise ValueError("degenerate BMP dimensions")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    need = off + stride * h
+    if buf.size < need:
+        raise ValueError("truncated BMP pixel array")
+    rows = buf[off : off + stride * h].reshape(h, stride)[:, : w * 3]
+    bgr = rows.reshape(h, w, 3)
+    rgb = bgr[:, :, ::-1]
+    if not top_down:
+        rgb = rgb[::-1]
+    return np.ascontiguousarray(rgb)
+
+
+_RVID_MAGIC = b"RVID"
+
+
+def encode_rvid(frames: np.ndarray) -> bytes:
+    """FxHxWx3 uint8 RGB → RVID container."""
+    if frames.ndim != 4 or frames.shape[3] != 3 or frames.dtype != np.uint8:
+        raise ValueError("encode_rvid expects FxHxWx3 uint8")
+    f, h, w, _ = frames.shape
+    return (
+        _RVID_MAGIC
+        + struct.pack("<HHH", f, h, w)
+        + frames.tobytes()
+    )
+
+
+def decode_rvid_frames(data, sample_k: int = 3) -> np.ndarray:
+    """RVID → up to ``sample_k`` evenly-spaced frames (KxHxWx3 uint8).
+
+    Sampling indices are ``round(i·(F−1)/(k−1))`` for i in 0..k−1 (first
+    and last frames always included), deduplicated in order — exact
+    integer arithmetic, so the twin reproduces them trivially.
+    """
+    buf = np.frombuffer(data, dtype=np.uint8)
+    if buf.size < 10 or bytes(buf[:4]) != _RVID_MAGIC:
+        raise ValueError("not an RVID container")
+    f, h, w = struct.unpack("<HHH", bytes(buf[4:10]))
+    if f == 0 or h == 0 or w == 0:
+        raise ValueError("degenerate RVID dimensions")
+    need = 10 + f * h * w * 3
+    if buf.size < need:
+        raise ValueError("truncated RVID frames")
+    frames = buf[10:need].reshape(f, h, w, 3)
+    if f <= sample_k:
+        idx = list(range(f))
+    else:
+        k = max(sample_k, 2)
+        idx = []
+        for i in range(k):
+            j = (i * (f - 1) * 2 + (k - 1)) // (2 * (k - 1))  # round(i(F-1)/(k-1))
+            if not idx or j != idx[-1]:
+                idx.append(j)
+    return np.ascontiguousarray(frames[idx])
+
+
+def image_features(rgb: np.ndarray) -> np.ndarray:
+    """[h, w, mean_r, mean_g, mean_b, mean_luma, min_luma, max_luma] —
+    integer-exact sums over uint8 so a pure-Python twin reproduces every
+    float64 bit.  Luma is the exact-integer Rec.601 numerator
+    (299·R + 587·G + 114·B) / 1000."""
+    h, w, _ = rgb.shape
+    n = h * w
+    px = rgb.reshape(n, 3).astype(np.int64)
+    sums = px.sum(axis=0)
+    luma1000 = px[:, 0] * 299 + px[:, 1] * 587 + px[:, 2] * 114
+    return np.array(
+        [
+            float(h),
+            float(w),
+            float(sums[0]) / n,
+            float(sums[1]) / n,
+            float(sums[2]) / n,
+            (float(luma1000.sum()) / n) / 1000.0,
+            float(luma1000.min()) / 1000.0,
+            float(luma1000.max()) / 1000.0,
+        ],
+        dtype=np.float64,
+    )

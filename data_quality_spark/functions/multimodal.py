@@ -4,13 +4,14 @@ Arrow-batched feature extraction via ``mapInPandas``.
 The training-pipeline pattern: image/audio/video payloads travel as a
 ``binary`` column with a ``kind`` discriminator and a string metadata map;
 per-modality kernels decode and emit fixed-width feature rows.  The audio
-path is REAL (the numpy codecs in ``functions.audio``).  Image decode and
-video frame-sampling need codec libraries absent from this environment, so
-those kernels are STUBS: calling them with ``fake=False`` raises
-``NotImplementedError``; ``fake=True`` produces deterministic
-pseudo-features from the payload hash so the Spark-side plumbing — schema,
-partitioning, mapInPandas batch shape, Arrow transfer — is fully exercised
-and tested end-to-end.
+path is REAL (the numpy codecs in ``functions.audio``); the image and
+video paths are REAL for the uncompressed formats a from-spec numpy codec
+can own (24-bit BMP; the RVID raw-frame container — ``functions.image``).
+Compressed formats (JPEG/PNG/H.264) need codec libraries absent from this
+environment and stay STUBBED: ``fake=False`` raises ``NotImplementedError``
+for them, ``fake=True`` produces deterministic pseudo-features from the
+payload hash so the plumbing — schema, partitioning, mapInPandas batch
+shape, Arrow transfer — is exercised for any payload.
 
 Scale notes: one ``mapInPandas`` pass, payload crosses the JVM↔Python
 boundary exactly once; ``spark.sql.execution.arrow.maxRecordsPerBatch``
@@ -68,25 +69,41 @@ def _fake_features(payload: bytes, salt: str) -> np.ndarray:
 
 
 def decode_image(payload: bytes, meta: dict | None, fake: bool = False) -> np.ndarray:
-    """STUB — no image codec libraries in this environment.  Real
-    implementation would decode to HxWxC and pool to N_FEATURES channels
-    stats; ``fake=True`` returns the deterministic digest features."""
+    """REAL for uncompressed 24-bit BMP (from-spec numpy codec,
+    ``functions.image``): decode → exact-integer channel/luma statistics.
+    Compressed formats (JPEG/PNG/…) need codec libraries absent from this
+    sandbox and remain stubbed: ``fake=True`` returns the deterministic
+    digest features, ``fake=False`` raises for non-BMP payloads."""
+    if payload and payload[:2] == b"BM":
+        from .image import decode_bmp, image_features
+
+        return image_features(decode_bmp(payload))
     if fake:
         return _fake_features(payload, "image")
     raise NotImplementedError(
-        "image decode requires a codec library not present in this sandbox"
+        "compressed-image decode requires a codec library not present "
+        "in this sandbox (uncompressed 24-bit BMP is decoded natively)"
     )
 
 
 def sample_video_frames(
     payload: bytes, meta: dict | None, fake: bool = False
 ) -> np.ndarray:
-    """STUB — real implementation samples K frames and averages per-frame
-    features; ``fake=True`` returns digest features."""
+    """REAL for the RVID raw-video container (``functions.image``):
+    sample ≤3 evenly-spaced frames, average their per-frame image
+    features.  Compressed video stays stubbed (``fake=True`` digest
+    features, else NotImplementedError)."""
+    if payload and payload[:4] == b"RVID":
+        from .image import decode_rvid_frames, image_features
+
+        frames = decode_rvid_frames(payload, sample_k=3)
+        feats = np.stack([image_features(f) for f in frames])
+        return feats.sum(axis=0) / float(feats.shape[0])
     if fake:
         return _fake_features(payload, "video")
     raise NotImplementedError(
-        "video frame sampling requires a codec library not present in this sandbox"
+        "compressed-video decode requires a codec library not present "
+        "in this sandbox (the RVID raw container is decoded natively)"
     )
 
 

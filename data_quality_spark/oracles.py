@@ -849,6 +849,125 @@ def _media_features_expected(n=300, seed=42) -> dict:
     return out
 
 
+def _image_features_expected(n=200, seed=42) -> dict:
+    """Twin of ``extract_media_features(fake_decode=False)`` over the
+    generate_media corpus: INDEPENDENT pure-Python BMP/RVID parsing
+    (struct + per-pixel byte loops vs the kernel's numpy reshape views),
+    exact-integer feature arithmetic, and the frame-sampling index
+    formula re-derived.  The payload GENERATOR is shared; everything
+    after the bytes is independent."""
+    import struct as _st
+
+    from .synth import generate_media
+
+    pdf = generate_media(n, seed=seed)
+
+    def bmp_rgb(data: bytes):
+        if len(data) < 54 or data[:2] != b"BM":
+            raise ValueError("bad bmp")
+        off = _st.unpack("<I", data[10:14])[0]
+        hdr, w, h, planes, bpp, comp = _st.unpack("<IiiHHI", data[14:34])
+        if hdr < 40 or planes != 1 or bpp != 24 or comp != 0:
+            raise ValueError("variant")
+        if w <= 0 or h == 0:
+            raise ValueError("degenerate")
+        flip = h > 0
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3
+        if len(data) < off + stride * h:
+            raise ValueError("truncated")
+        rows = []
+        for y in range(h):
+            base = off + y * stride
+            row = []
+            for x in range(w):
+                b0 = data[base + 3 * x]
+                g0 = data[base + 3 * x + 1]
+                r0 = data[base + 3 * x + 2]
+                row.append((r0, g0, b0))
+            rows.append(row)
+        if flip:
+            rows.reverse()
+        return rows
+
+    def feats_of(rows) -> list[float]:
+        h = len(rows)
+        w = len(rows[0])
+        cnt = h * w
+        sr_ = sg_ = sb_ = sl_ = 0
+        lmin, lmax = None, None
+        for row in rows:
+            for (r0, g0, b0) in row:
+                sr_ += r0
+                sg_ += g0
+                sb_ += b0
+                lum = 299 * r0 + 587 * g0 + 114 * b0
+                sl_ += lum
+                lmin = lum if lmin is None or lum < lmin else lmin
+                lmax = lum if lmax is None or lum > lmax else lmax
+        return [float(h), float(w), sr_ / cnt, sg_ / cnt, sb_ / cnt,
+                (sl_ / cnt) / 1000.0, lmin / 1000.0, lmax / 1000.0]
+
+    out = {"media_id": [], "kind": [], "ok": [], "n_bytes": []}
+    for i in range(8):
+        out[f"f{i}"] = []
+    for _, r in pdf.iterrows():
+        payload = bytes(r["payload"]) if r["payload"] is not None else b""
+        feats = None
+        try:
+            if r["kind"] == "image" and payload[:2] == b"BM":
+                feats = feats_of(bmp_rgb(payload))
+            elif r["kind"] == "video" and payload[:4] == b"RVID":
+                if len(payload) < 10:
+                    raise ValueError("short")
+                f, h, w = _st.unpack("<HHH", payload[4:10])
+                if f == 0 or h == 0 or w == 0:
+                    raise ValueError("degenerate")
+                if len(payload) < 10 + f * h * w * 3:
+                    raise ValueError("truncated")
+                k = 3
+                if f <= k:
+                    idx = list(range(f))
+                else:
+                    idx = []
+                    for i in range(k):
+                        j = (i * (f - 1) * 2 + (k - 1)) // (2 * (k - 1))
+                        if not idx or j != idx[-1]:
+                            idx.append(j)
+                per = []
+                for j in idx:
+                    base = 10 + j * h * w * 3
+                    rows = [
+                        [
+                            (
+                                payload[base + (y * w + x) * 3],
+                                payload[base + (y * w + x) * 3 + 1],
+                                payload[base + (y * w + x) * 3 + 2],
+                            )
+                            for x in range(w)
+                        ]
+                        for y in range(h)
+                    ]
+                    per.append(feats_of(rows))
+                feats = []
+                for c in range(8):
+                    s = 0.0
+                    for p in per:
+                        s += p[c]  # sequential, matches numpy's small-k sum
+                    feats.append(s / len(per))
+            else:
+                raise ValueError("undecodable")
+        except (ValueError, _st.error):
+            feats = None
+        out["media_id"].append(r["media_id"])
+        out["kind"].append(r["kind"])
+        out["ok"].append(feats is not None)
+        out["n_bytes"].append(len(payload))
+        for i in range(8):
+            out[f"f{i}"].append(feats[i] if feats is not None else None)
+    return out
+
+
 # ------------------------------------------------------------ audio dedup
 
 
@@ -2158,6 +2277,11 @@ _SCHEMAS: dict[str, pa.Schema] = {
         [("clip_id", pa.string()), ("decision", pa.string()),
          ("decision_reason", pa.string())]
     ),
+    "image_features": pa.schema(
+        [("media_id", pa.string()), ("kind", pa.string()),
+         ("ok", pa.bool_()), ("n_bytes", pa.int64())]
+        + [(f"f{i}", pa.float64()) for i in range(8)]
+    ),
     "clips_gate_rollup": pa.schema(
         [("lang_pred", pa.string()), ("codec", pa.string()),
          ("n_clips", pa.int64()), ("n_keep", pa.int64()),
@@ -2291,6 +2415,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _clips_gate_decide3_expected()
     elif name == "clips_gate_v2":
         data = _clips_gate_v2_expected()
+    elif name == "image_features":
+        data = _image_features_expected()
     else:
         raise ValueError(f"unknown expected table {name!r}")
     import pyarrow.parquet as pq

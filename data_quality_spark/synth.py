@@ -445,3 +445,44 @@ def oracle_gate(pdf: pd.DataFrame) -> pd.DataFrame:
     out["decision"] = np.where(drop, "drop", "keep")
     out["scrubbed"] = out["transcript"].map(X.scrub_text)
     return out
+
+
+def generate_media(n: int = 200, seed: int = 42) -> pd.DataFrame:
+    """Deterministic mixed-media corpus for the image/video feature path:
+    ~half uncompressed BMP images, ~a third RVID raw videos, the rest
+    seeded defects (truncated payloads; compressed-format magic the
+    sandbox honestly cannot decode).  Columns match MEDIA_SCHEMA."""
+    from .functions.image import encode_bmp, encode_rvid
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        mid = f"m{i:05d}"
+        r = i % 6
+        if r in (0, 1, 2):  # BMP image
+            h = int(rng.integers(4, 25))
+            w = int(rng.integers(4, 25))
+            base = np.linspace(0, 255, w, dtype=np.float64)
+            img = np.zeros((h, w, 3), dtype=np.uint8)
+            img[:, :, 0] = (base[None, :] + rng.integers(0, 32)) % 256
+            img[:, :, 1] = rng.integers(0, 256, (h, w))
+            img[:, :, 2] = np.linspace(0, 255, h)[:, None]
+            payload = encode_bmp(img)
+            if i % 13 == 0:
+                payload = payload[: len(payload) // 2]  # truncated → fail
+            rows.append((mid, "image", payload, {}))
+        elif r in (3, 4):  # RVID video
+            f = int(rng.integers(2, 10))
+            h = int(rng.integers(4, 13))
+            w = int(rng.integers(4, 13))
+            frames = rng.integers(0, 256, (f, h, w, 3)).astype(np.uint8)
+            payload = encode_rvid(frames)
+            if i % 11 == 0:
+                payload = payload[: len(payload) - 7]  # truncated → fail
+            rows.append((mid, "video", payload, {"frames": str(f)}))
+        else:  # compressed-format magic: honestly undecodable here
+            kind = "image" if i % 2 == 0 else "video"
+            magic = b"\xff\xd8\xff\xe0" if kind == "image" else b"\x00\x00\x00\x18ftyp"
+            payload = magic + bytes(rng.integers(0, 256, 64).astype(np.uint8))
+            rows.append((mid, kind, payload, {}))
+    return pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])

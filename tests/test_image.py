@@ -1,0 +1,123 @@
+"""From-spec BMP/RVID codecs + real image/video feature path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from data_quality_spark.functions.image import (
+    decode_bmp,
+    decode_rvid_frames,
+    encode_bmp,
+    encode_rvid,
+    image_features,
+)
+from data_quality_spark.functions.multimodal import (
+    decode_image,
+    sample_video_frames,
+)
+
+
+class TestBmp:
+    def test_roundtrip_exact(self):
+        rng = np.random.default_rng(7)
+        for h, w in [(1, 1), (3, 5), (8, 8), (11, 2)]:
+            img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+            assert (decode_bmp(encode_bmp(img)) == img).all(), (h, w)
+
+    def test_row_padding_widths(self):
+        # widths whose 3w is not a multiple of 4 exercise the pad logic
+        rng = np.random.default_rng(8)
+        for w in (1, 2, 3, 5, 6, 7):
+            img = rng.integers(0, 256, (4, w, 3)).astype(np.uint8)
+            assert (decode_bmp(encode_bmp(img)) == img).all(), w
+
+    def test_rejects_variants_and_truncation(self):
+        img = np.zeros((4, 4, 3), dtype=np.uint8)
+        data = encode_bmp(img)
+        with pytest.raises(ValueError):
+            decode_bmp(data[: len(data) // 2])
+        with pytest.raises(ValueError):
+            decode_bmp(b"BM" + b"\x00" * 20)
+        with pytest.raises(ValueError):
+            decode_bmp(b"\xff\xd8" + data[2:])  # wrong magic
+
+    def test_features_exact(self):
+        img = np.zeros((2, 2, 3), dtype=np.uint8)
+        img[0, 0] = (255, 0, 0)
+        img[0, 1] = (0, 255, 0)
+        img[1, 0] = (0, 0, 255)
+        f = image_features(img)
+        assert f[0] == 2.0 and f[1] == 2.0
+        assert f[2] == 255 / 4 and f[3] == 255 / 4 and f[4] == 255 / 4
+        # luma: (299 + 587 + 114 + 0)·255/1000/4
+        assert f[5] == pytest.approx(255.0 / 4.0, abs=1e-12)
+        assert f[6] == 0.0
+        assert f[7] == 587 * 255 / 1000.0
+
+
+class TestRvid:
+    def test_sampling_first_last(self):
+        rng = np.random.default_rng(9)
+        fr = rng.integers(0, 256, (9, 3, 3, 3)).astype(np.uint8)
+        got = decode_rvid_frames(encode_rvid(fr), sample_k=3)
+        assert got.shape == (3, 3, 3, 3)
+        assert (got[0] == fr[0]).all() and (got[2] == fr[8]).all()
+        assert (got[1] == fr[4]).all()  # round(8/2) = 4
+
+    def test_short_video_all_frames(self):
+        rng = np.random.default_rng(10)
+        fr = rng.integers(0, 256, (2, 2, 2, 3)).astype(np.uint8)
+        got = decode_rvid_frames(encode_rvid(fr), sample_k=3)
+        assert got.shape[0] == 2
+
+    def test_truncation_rejected(self):
+        fr = np.zeros((3, 2, 2, 3), dtype=np.uint8)
+        data = encode_rvid(fr)
+        with pytest.raises(ValueError):
+            decode_rvid_frames(data[:-5])
+
+
+class TestMultimodalDispatch:
+    def test_bmp_is_real_without_fake(self):
+        img = np.full((3, 3, 3), 100, dtype=np.uint8)
+        f = decode_image(encode_bmp(img), None, fake=False)
+        assert f[2] == 100.0 and f[0] == 3.0
+
+    def test_compressed_magic_still_stubbed(self):
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\xff\xd8\xff\xe0junk", None, fake=False)
+        with pytest.raises(NotImplementedError):
+            sample_video_frames(b"\x00\x00\x00\x18ftypjunk", None, fake=False)
+
+    def test_video_mean_of_sampled_frames(self):
+        a = np.full((2, 2, 3), 10, dtype=np.uint8)
+        b = np.full((2, 2, 3), 30, dtype=np.uint8)
+        data = encode_rvid(np.stack([a, b]))
+        f = sample_video_frames(data, None, fake=False)
+        assert f[2] == 20.0 and f[5] == 20.0
+
+
+def test_media_query_end_to_end(spark, sf_dir):
+    """The oracled query's Spark path agrees with the driver-side kernels
+    (plumbing must not perturb bytes or floats)."""
+    import __spark_entry__ as e
+
+    df = e.q_image_features(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == 200
+    ok = [r for r in rows if r["ok"]]
+    assert len(ok) == 152
+    from data_quality_spark.synth import generate_media
+
+    pdf = generate_media(200, seed=42).set_index("media_id")
+    for r in ok[:10]:
+        payload = bytes(pdf.loc[r["media_id"], "payload"])
+        kind = pdf.loc[r["media_id"], "kind"]
+        feats = (
+            decode_image(payload, None)
+            if kind == "image"
+            else sample_video_frames(payload, None)
+        )
+        for i in range(8):
+            assert r[f"f{i}"] == float(feats[i])
