@@ -1436,6 +1436,26 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup: one decode pass → 64-bit dHash (exact
+    integer block means, cross-multiplied compares) → the SimHash
+    chunk-band Hamming join; seeded noise/brightness re-encodes as the
+    dup classes.  Twin: independent pure-Python parse+hash+brute-force."""
+    from data_quality_spark.operators.image_dedup import (
+        image_hashes,
+        image_near_pairs,
+    )
+    from data_quality_spark.synth import generate_image_corpus
+
+    ensure_expected("image_near_dup", sf_dir)
+    pdf = generate_image_corpus(120, seed=42)
+    media = spark.createDataFrame(
+        pdf, "media_id string, payload binary"
+    ).repartition(4)
+    pairs = image_near_pairs(image_hashes(media))
+    return pairs.orderBy("id_a", "id_b")
+
+
 def q_clips_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_quality_spark.pipeline import gate
 
@@ -1627,6 +1647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_gate_decide3": q_clips_gate_decide3,
         "clips_gate_v2": q_clips_gate_v2,
         "image_features": q_image_features,
+        "image_near_dup": q_image_near_dup,
     }
 
 
@@ -3051,4 +3072,5 @@ ORDER BY d.doc_id""",
         "clips_gate_decide3": _expected_sql("clips_gate_decide3"),
         "clips_gate_v2": _expected_sql("clips_gate_v2"),
         "image_features": _expected_sql("image_features"),
+        "image_near_dup": _expected_sql("image_near_dup"),
     }

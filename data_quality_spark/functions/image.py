@@ -33,6 +33,7 @@ __all__ = [
     "encode_rvid",
     "decode_rvid_frames",
     "image_features",
+    "dhash64",
     "N_IMAGE_FEATURES",
 ]
 
@@ -160,3 +161,51 @@ def image_features(rgb: np.ndarray) -> np.ndarray:
         ],
         dtype=np.float64,
     )
+
+
+def dhash64(rgb: np.ndarray) -> int:
+    """64-bit difference hash (dHash, public perceptual-hash family):
+    exact-integer luma block means on an 8-row × 9-column grid, bit
+    (i, j) = 1 iff cell (i,j) is brighter than cell (i,j+1).
+
+    Everything is integer-exact: luma is the Rec.601 numerator
+    (299·R+587·G+114·B), block boundaries are ``(i·h)//8`` /
+    ``(j·w)//9``, and the mean comparison is cross-multiplied
+    (sum_a·cnt_b > sum_b·cnt_a) so no float ever decides a bit — the
+    pure-Python twin reproduces the hash bit-for-bit.  Requires
+    h ≥ 8 and w ≥ 9 (smaller images raise: a thumbnail that small has
+    no stable perceptual content to hash).
+
+    Returned as a SIGNED 64-bit value (two's complement) so it maps
+    directly onto Spark LongType.
+    """
+    h, w, _ = rgb.shape
+    if h < 8 or w < 9:
+        raise ValueError(f"image too small to dhash: {h}x{w}")
+    px = rgb.astype(np.int64)
+    luma = px[:, :, 0] * 299 + px[:, :, 1] * 587 + px[:, :, 2] * 114
+    # exact 2-D prefix sums → O(1) block sums
+    integ = np.zeros((h + 1, w + 1), dtype=np.int64)
+    integ[1:, 1:] = luma.cumsum(axis=0).cumsum(axis=1)
+    rb = [(i * h) // 8 for i in range(9)]
+    cb = [(j * w) // 9 for j in range(10)]
+    sums = np.empty((8, 9), dtype=np.int64)
+    cnts = np.empty((8, 9), dtype=np.int64)
+    for i in range(8):
+        for j in range(9):
+            r0, r1 = rb[i], rb[i + 1]
+            c0, c1 = cb[j], cb[j + 1]
+            sums[i, j] = (
+                integ[r1, c1] - integ[r0, c1] - integ[r1, c0] + integ[r0, c0]
+            )
+            cnts[i, j] = (r1 - r0) * (c1 - c0)
+    v = 0
+    for i in range(8):
+        for j in range(8):
+            if int(sums[i, j]) * int(cnts[i, j + 1]) > int(
+                sums[i, j + 1]
+            ) * int(cnts[i, j]):
+                v |= 1 << (i * 8 + j)
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v

@@ -849,6 +849,40 @@ def _media_features_expected(n=300, seed=42) -> dict:
     return out
 
 
+def _bmp_rgb_py(data: bytes):
+    """Independent pure-Python BMP parser (struct + per-pixel loops) —
+    the twin-side decoder shared by the image-feature and image-dedup
+    oracles."""
+    import struct as _st
+
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("bad bmp")
+    off = _st.unpack("<I", data[10:14])[0]
+    hdr, w, h, planes, bpp, comp = _st.unpack("<IiiHHI", data[14:34])
+    if hdr < 40 or planes != 1 or bpp != 24 or comp != 0:
+        raise ValueError("variant")
+    if w <= 0 or h == 0:
+        raise ValueError("degenerate")
+    flip = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    if len(data) < off + stride * h:
+        raise ValueError("truncated")
+    rows = []
+    for y in range(h):
+        base = off + y * stride
+        row = []
+        for x in range(w):
+            b0 = data[base + 3 * x]
+            g0 = data[base + 3 * x + 1]
+            r0 = data[base + 3 * x + 2]
+            row.append((r0, g0, b0))
+        rows.append(row)
+    if flip:
+        rows.reverse()
+    return rows
+
+
 def _image_features_expected(n=200, seed=42) -> dict:
     """Twin of ``extract_media_features(fake_decode=False)`` over the
     generate_media corpus: INDEPENDENT pure-Python BMP/RVID parsing
@@ -861,34 +895,7 @@ def _image_features_expected(n=200, seed=42) -> dict:
     from .synth import generate_media
 
     pdf = generate_media(n, seed=seed)
-
-    def bmp_rgb(data: bytes):
-        if len(data) < 54 or data[:2] != b"BM":
-            raise ValueError("bad bmp")
-        off = _st.unpack("<I", data[10:14])[0]
-        hdr, w, h, planes, bpp, comp = _st.unpack("<IiiHHI", data[14:34])
-        if hdr < 40 or planes != 1 or bpp != 24 or comp != 0:
-            raise ValueError("variant")
-        if w <= 0 or h == 0:
-            raise ValueError("degenerate")
-        flip = h > 0
-        h = abs(h)
-        stride = (w * 3 + 3) & ~3
-        if len(data) < off + stride * h:
-            raise ValueError("truncated")
-        rows = []
-        for y in range(h):
-            base = off + y * stride
-            row = []
-            for x in range(w):
-                b0 = data[base + 3 * x]
-                g0 = data[base + 3 * x + 1]
-                r0 = data[base + 3 * x + 2]
-                row.append((r0, g0, b0))
-            rows.append(row)
-        if flip:
-            rows.reverse()
-        return rows
+    bmp_rgb = _bmp_rgb_py
 
     def feats_of(rows) -> list[float]:
         h = len(rows)
@@ -966,6 +973,73 @@ def _image_features_expected(n=200, seed=42) -> dict:
         for i in range(8):
             out[f"f{i}"].append(feats[i] if feats is not None else None)
     return out
+
+
+def _dhash_py(rows) -> int:
+    """Independent pure-Python dHash twin: explicit per-cell block-sum
+    loops (vs the kernel's 2-D prefix sums), same integer grid/compare."""
+    h = len(rows)
+    w = len(rows[0])
+    if h < 8 or w < 9:
+        raise ValueError("too small")
+    luma = [
+        [299 * r0 + 587 * g0 + 114 * b0 for (r0, g0, b0) in row]
+        for row in rows
+    ]
+    rb = [(i * h) // 8 for i in range(9)]
+    cb = [(j * w) // 9 for j in range(10)]
+    sums = [[0] * 9 for _ in range(8)]
+    cnts = [[0] * 9 for _ in range(8)]
+    for i in range(8):
+        for j in range(9):
+            s = 0
+            for y in range(rb[i], rb[i + 1]):
+                for x in range(cb[j], cb[j + 1]):
+                    s += luma[y][x]
+            sums[i][j] = s
+            cnts[i][j] = (rb[i + 1] - rb[i]) * (cb[j + 1] - cb[j])
+    v = 0
+    for i in range(8):
+        for j in range(8):
+            if sums[i][j] * cnts[i][j + 1] > sums[i][j + 1] * cnts[i][j]:
+                v |= 1 << (i * 8 + j)
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+def _image_near_dup_expected(n=120, seed=42) -> dict:
+    """Twin of ``image_hashes → image_near_pairs``: independent BMP parse
+    (_bmp_rgb_py) + independent dHash (_dhash_py) + brute-force O(n²)
+    Hamming pairing — vs the kernel's prefix-sum hash and the Manku
+    chunk-band bucket join.  (At this corpus size no chunk bucket
+    approaches the 256 hot-bucket guard, so banding recall ≤3 is exactly
+    the brute-force set by pigeonhole.)"""
+    from .synth import generate_image_corpus
+
+    pdf = generate_image_corpus(n, seed=seed)
+    sigs: list[tuple[str, int]] = []
+    for _, r in pdf.iterrows():
+        try:
+            sigs.append(
+                (r["media_id"], _dhash_py(_bmp_rgb_py(bytes(r["payload"]))))
+            )
+        except ValueError:
+            continue
+    out = {"id_a": [], "id_b": [], "hamming": []}
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            a, ha = sigs[i]
+            b, hb = sigs[j]
+            d = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+            if d <= 3:
+                ia, ib = (a, b) if a < b else (b, a)
+                out["id_a"].append(ia)
+                out["id_b"].append(ib)
+                out["hamming"].append(d)
+    order = sorted(range(len(out["id_a"])),
+                   key=lambda k: (out["id_a"][k], out["id_b"][k]))
+    return {k: [vs[i] for i in order] for k, vs in out.items()}
 
 
 # ------------------------------------------------------------ audio dedup
@@ -2282,6 +2356,10 @@ _SCHEMAS: dict[str, pa.Schema] = {
          ("ok", pa.bool_()), ("n_bytes", pa.int64())]
         + [(f"f{i}", pa.float64()) for i in range(8)]
     ),
+    "image_near_dup": pa.schema(
+        [("id_a", pa.string()), ("id_b", pa.string()),
+         ("hamming", pa.int32())]
+    ),
     "clips_gate_rollup": pa.schema(
         [("lang_pred", pa.string()), ("codec", pa.string()),
          ("n_clips", pa.int64()), ("n_keep", pa.int64()),
@@ -2417,6 +2495,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _clips_gate_v2_expected()
     elif name == "image_features":
         data = _image_features_expected()
+    elif name == "image_near_dup":
+        data = _image_near_dup_expected()
     else:
         raise ValueError(f"unknown expected table {name!r}")
     import pyarrow.parquet as pq

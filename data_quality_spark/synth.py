@@ -486,3 +486,49 @@ def generate_media(n: int = 200, seed: int = 42) -> pd.DataFrame:
             payload = magic + bytes(rng.integers(0, 256, 64).astype(np.uint8))
             rows.append((mid, kind, payload, {}))
     return pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+
+def generate_image_corpus(n: int = 120, seed: int = 42) -> pd.DataFrame:
+    """(media_id, payload) BMP corpus with seeded near-duplicates for the
+    perceptual-dedup path: smooth sinusoid-gradient bases (stable dHash
+    blocks), every i%4==1 a near-dup of the previous base (sparse ±2
+    pixel noise), every i%4==2 with i%3==0 a +3-brightness re-encode of
+    the previous base.  Ground truth is NOT asserted here — the
+    differential twin decodes and hashes independently and defines the
+    expected pair set, whatever the perturbations produce."""
+    from .functions.image import encode_bmp
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    base = None
+    for i in range(n):
+        mid = f"img{i:05d}"
+        if base is None or i % 4 in (0, 3):
+            h = int(rng.integers(16, 33))
+            w = int(rng.integers(18, 33))
+            yy = np.arange(h)[:, None]
+            xx = np.arange(w)[None, :]
+            img = np.zeros((h, w, 3), dtype=np.float64)
+            for c in range(3):
+                fy = float(rng.uniform(0.2, 1.2))
+                fx = float(rng.uniform(0.2, 1.2))
+                ph = float(rng.uniform(0, 6.28))
+                img[:, :, c] = 127.5 + 110.0 * np.sin(
+                    fy * yy / h * 6.28 + fx * xx / w * 6.28 + ph
+                )
+            base = np.clip(np.rint(img), 0, 255).astype(np.uint8)
+            rows.append((mid, encode_bmp(base)))
+        elif i % 4 == 1:
+            dup = base.astype(np.int64)
+            mask = rng.random(dup.shape[:2]) < 0.05
+            noise = rng.integers(-2, 3, dup.shape)
+            dup = dup + noise * mask[:, :, None]
+            rows.append(
+                (mid, encode_bmp(np.clip(dup, 0, 255).astype(np.uint8)))
+            )
+        else:
+            bright = np.clip(base.astype(np.int64) + 3, 0, 255).astype(
+                np.uint8
+            )
+            rows.append((mid, encode_bmp(bright)))
+    return pd.DataFrame(rows, columns=["media_id", "payload"])

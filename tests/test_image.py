@@ -121,3 +121,46 @@ def test_media_query_end_to_end(spark, sf_dir):
         )
         for i in range(8):
             assert r[f"f{i}"] == float(feats[i])
+
+
+class TestImageDedup:
+    def test_dhash_invariances(self):
+        import numpy as np
+
+        from data_quality_spark.functions.image import dhash64
+
+        rng = np.random.default_rng(21)
+        yy = np.arange(20)[:, None]
+        xx = np.arange(24)[None, :]
+        img = np.clip(np.rint(
+            127.5 + 100 * np.sin(yy / 4.0 + xx / 5.0)
+        ), 0, 255).astype(np.uint8)
+        img = np.repeat(img[:, :, None], 3, axis=2)
+        h0 = dhash64(img)
+        # uniform brightness shift: block-mean ORDER unchanged → same hash
+        bright = np.clip(img.astype(np.int64) + 7, 0, 255).astype(np.uint8)
+        assert dhash64(bright) == h0
+        # sparse small noise: hamming stays tiny
+        noisy = img.astype(np.int64)
+        mask = rng.random(noisy.shape[:2]) < 0.05
+        noisy += rng.integers(-2, 3, noisy.shape) * mask[:, :, None]
+        hn = dhash64(np.clip(noisy, 0, 255).astype(np.uint8))
+        assert bin((h0 ^ hn) & ((1 << 64) - 1)).count("1") <= 3
+        # structurally different image: far away
+        other = np.transpose(img, (1, 0, 2))[:20, :24]
+        ho = dhash64(np.ascontiguousarray(other))
+        assert bin((h0 ^ ho) & ((1 << 64) - 1)).count("1") > 10
+        with pytest.raises(ValueError):
+            dhash64(np.zeros((4, 4, 3), dtype=np.uint8))
+
+    def test_near_pairs_end_to_end(self, spark, sf_dir):
+        import __spark_entry__ as e
+        from data_quality_spark.oracles import _image_near_dup_expected
+
+        got = e.q_image_near_dup(spark, sf_dir).collect()
+        exp = _image_near_dup_expected(120, seed=42)
+        assert len(got) == len(exp["id_a"])
+        for r, (a, b, d) in zip(
+            got, zip(exp["id_a"], exp["id_b"], exp["hamming"])
+        ):
+            assert (r["id_a"], r["id_b"], r["hamming"]) == (a, b, d)
