@@ -1456,6 +1456,29 @@ def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("id_a", "id_b")
 
 
+def q_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image duplicate-cluster closure: dHash near-dup pairs → large-star/
+    small-star connected components (noise + brightness re-encodes of one
+    base collapse to ONE cluster).  Twin: union-find over the independent
+    pure-Python pair twin."""
+    from data_quality_spark.operators.cluster import cluster_members
+    from data_quality_spark.operators.image_dedup import (
+        image_hashes,
+        image_near_pairs,
+    )
+    from data_quality_spark.synth import generate_image_corpus
+
+    ensure_expected("image_dedup_clusters", sf_dir)
+    pdf = generate_image_corpus(120, seed=42)
+    media = spark.createDataFrame(
+        pdf, "media_id string, payload binary"
+    ).repartition(4)
+    pairs = image_near_pairs(image_hashes(media))
+    return cluster_members(pairs, "id_a", "id_b").select(
+        F.col("node").alias("media_id"), "component", "cluster_size"
+    ).orderBy("media_id")
+
+
 def q_clips_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_quality_spark.pipeline import gate
 
@@ -1648,6 +1671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_gate_v2": q_clips_gate_v2,
         "image_features": q_image_features,
         "image_near_dup": q_image_near_dup,
+        "image_dedup_clusters": q_image_dedup_clusters,
     }
 
 
@@ -3073,4 +3097,5 @@ ORDER BY d.doc_id""",
         "clips_gate_v2": _expected_sql("clips_gate_v2"),
         "image_features": _expected_sql("image_features"),
         "image_near_dup": _expected_sql("image_near_dup"),
+        "image_dedup_clusters": _expected_sql("image_dedup_clusters"),
     }

@@ -1042,6 +1042,23 @@ def _image_near_dup_expected(n=120, seed=42) -> dict:
     return {k: [vs[i] for i in order] for k, vs in out.items()}
 
 
+def _image_dedup_clusters_expected(n=120, seed=42) -> dict:
+    """Twin of ``image_dedup_clusters``: union-find closure of the
+    independent image near-dup pair twin (component = min media_id)."""
+    exp = _image_near_dup_expected(n, seed)
+    pairs = list(zip(exp["id_a"], exp["id_b"]))
+    comp = _uf_min_components(pairs)
+    sizes: dict[str, int] = {}
+    for c in comp.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    out = {"media_id": [], "component": [], "cluster_size": []}
+    for node in sorted(comp):
+        out["media_id"].append(node)
+        out["component"].append(comp[node])
+        out["cluster_size"].append(sizes[comp[node]])
+    return out
+
+
 # ------------------------------------------------------------ audio dedup
 
 
@@ -2360,6 +2377,10 @@ _SCHEMAS: dict[str, pa.Schema] = {
         [("id_a", pa.string()), ("id_b", pa.string()),
          ("hamming", pa.int32())]
     ),
+    "image_dedup_clusters": pa.schema(
+        [("media_id", pa.string()), ("component", pa.string()),
+         ("cluster_size", pa.int64())]
+    ),
     "clips_gate_rollup": pa.schema(
         [("lang_pred", pa.string()), ("codec", pa.string()),
          ("n_clips", pa.int64()), ("n_keep", pa.int64()),
@@ -2497,6 +2518,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _image_features_expected()
     elif name == "image_near_dup":
         data = _image_near_dup_expected()
+    elif name == "image_dedup_clusters":
+        data = _image_dedup_clusters_expected()
     else:
         raise ValueError(f"unknown expected table {name!r}")
     import pyarrow.parquet as pq
