@@ -147,3 +147,39 @@ def test_payload_is_exact_pcm16_slice(spark, clips_path, tmp_path_factory):
             q[s["start_sample"]:s["end_sample"]], dtype="<i2"
         ).tobytes()
         assert row["bytes"] == want
+
+
+def test_segments_compose_with_audio_audit(spark, clips_path, tmp_path_factory):
+    """The chunker's product is itself a clips table: the fused audio
+    audit runs over it unchanged (pcm16-normalized payloads all decode),
+    and per-segment stats match a driver-side kernel run — per-utterance
+    quality gating is pure composition."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from data_quality_spark.functions.audio import clip_stats_i16
+    from data_quality_spark.operators.audio_audit import audio_audit
+
+    out = str(tmp_path_factory.mktemp("out") / "seg_audit")
+    run_segment_pipeline(spark, clips_path, out, min_dur_ms=MIN_DUR_MS)
+    segs = (
+        spark.read.parquet(os.path.join(out, "segments"))
+        .withColumn(
+            "seg_id",
+            F.concat_ws("#", "clip_id", F.col("seg_idx").cast("string")),
+        )
+        .withColumn("codec", F.lit("pcm16"))
+    )
+    audit_in = segs.select(
+        F.col("seg_id").alias("clip_id"), "bytes", "sr_hz", "codec"
+    )
+    audit = {r["clip_id"]: r for r in audio_audit(audit_in).collect()}
+    assert len(audit) == segs.count()
+    assert all(r["ok"] for r in audit.values())
+    sample = segs.orderBy("seg_id").limit(5).collect()
+    for s in sample:
+        q = np.frombuffer(s["bytes"], dtype="<i2")
+        st = clip_stats_i16(q, s["sr_hz"])
+        r = audit[s["seg_id"]]
+        assert r["n_samples"] == q.size
+        assert r["rms_db"] == st["rms_db"]
