@@ -1456,6 +1456,58 @@ def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("id_a", "id_b")
 
 
+def q_image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCT perceptual hash (pHash family) near-dup: fixed-point integer
+    16×16 DCT-II (shared cosine table, floor laws) so no float ever
+    decides a bit — uniform brightness shifts cannot flip any bit by
+    construction (DC excluded).  Twin: independent pure-Python BMP parse
+    + arbitrary-precision DCT loops + brute-force Hamming (an int64
+    overflow in the kernel's matmul would break the hash match)."""
+    from data_quality_spark.operators.image_dedup import (
+        image_hashes,
+        image_near_pairs,
+    )
+    from data_quality_spark.synth import generate_image_corpus
+
+    ensure_expected("image_phash_near_dup", sf_dir)
+    pdf = generate_image_corpus(120, seed=42)
+    media = spark.createDataFrame(
+        pdf, "media_id string, payload binary"
+    ).repartition(4)
+    pairs = image_near_pairs(
+        image_hashes(media, method="phash"), hash_col="phash"
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
+def q_utterance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-utterance quality audit — the chunker's segment product IS a
+    clips table, so the fused audio audit composes over it unchanged:
+    extract_segments (one decode, payload sliced on exact frame bounds)
+    → audio_audit (one decode of each pcm16 slice runs all kernels) →
+    ONE fused count(CASE) aggregate in the reference issue schema.
+    Twin: independent VAD state machine + explicit per-segment flag
+    ladder + counter replay."""
+    from data_quality_spark.operators.audio_audit import (
+        audio_audit,
+        audit_issues,
+    )
+    from data_quality_spark.operators.audio_vad import extract_segments
+
+    ensure_expected("utterance_audit", sf_dir)
+    segs = extract_segments(_clips_df(spark, n=300), min_dur_ms=200)
+    seg_clips = segs.select(
+        F.concat_ws("#", "clip_id", F.col("seg_idx").cast("string"))
+        .alias("clip_id"),
+        "bytes",
+        "sr_hz",
+        F.lit("pcm16").alias("codec"),
+    )
+    return audit_issues(audio_audit(seg_clips), table="segments").orderBy(
+        "issue_type"
+    )
+
+
 def q_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image duplicate-cluster closure: dHash near-dup pairs → large-star/
     small-star connected components (noise + brightness re-encodes of one
@@ -1672,6 +1724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": q_image_features,
         "image_near_dup": q_image_near_dup,
         "image_dedup_clusters": q_image_dedup_clusters,
+        "image_phash_near_dup": q_image_phash_near_dup,
+        "utterance_audit": q_utterance_audit,
     }
 
 
@@ -3098,4 +3152,6 @@ ORDER BY d.doc_id""",
         "image_features": _expected_sql("image_features"),
         "image_near_dup": _expected_sql("image_near_dup"),
         "image_dedup_clusters": _expected_sql("image_dedup_clusters"),
+        "image_phash_near_dup": _expected_sql("image_phash_near_dup"),
+        "utterance_audit": _expected_sql("utterance_audit"),
     }

@@ -463,6 +463,8 @@ def main() -> None:
         "profile_columns", "snapshot_diff", "trend_anomaly",
         "dedup_incremental", "drift_report", "quality_score",
         "encoding_audit", "text_audit", "frequent_line_removal",
+        "vocab_stats", "length_histogram", "image_features",
+        "image_near_dup",
     ]
     # headline-only mode: just the gate pair + health scan (~90 s) — fits
     # inside the short quiet gaps this shared host actually has, where the

@@ -34,6 +34,9 @@ __all__ = [
     "decode_rvid_frames",
     "image_features",
     "dhash64",
+    "ahash64",
+    "phash64",
+    "DCT16_TABLE",
     "N_IMAGE_FEATURES",
 ]
 
@@ -161,6 +164,115 @@ def image_features(rgb: np.ndarray) -> np.ndarray:
         ],
         dtype=np.float64,
     )
+
+
+def _luma_block_sums(
+    rgb: np.ndarray, n_rows: int, n_cols: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact-integer Rec.601 luma-numerator block sums + counts on an
+    ``n_rows × n_cols`` grid with ``(i·h)//n`` boundaries (the shared
+    grid law of the whole perceptual-hash family)."""
+    h, w, _ = rgb.shape
+    px = rgb.astype(np.int64)
+    luma = px[:, :, 0] * 299 + px[:, :, 1] * 587 + px[:, :, 2] * 114
+    integ = np.zeros((h + 1, w + 1), dtype=np.int64)
+    integ[1:, 1:] = luma.cumsum(axis=0).cumsum(axis=1)
+    rb = [(i * h) // n_rows for i in range(n_rows + 1)]
+    cb = [(j * w) // n_cols for j in range(n_cols + 1)]
+    sums = np.empty((n_rows, n_cols), dtype=np.int64)
+    cnts = np.empty((n_rows, n_cols), dtype=np.int64)
+    for i in range(n_rows):
+        for j in range(n_cols):
+            r0, r1 = rb[i], rb[i + 1]
+            c0, c1 = cb[j], cb[j + 1]
+            sums[i, j] = (
+                integ[r1, c1] - integ[r0, c1] - integ[r1, c0] + integ[r0, c0]
+            )
+            cnts[i, j] = (r1 - r0) * (c1 - c0)
+    return sums, cnts
+
+
+def _to_signed64(v: int) -> int:
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def ahash64(rgb: np.ndarray) -> int:
+    """64-bit average hash (aHash, public perceptual-hash family): bit
+    (i, j) of the 8×8 grid is 1 iff cell (i,j)'s mean luma exceeds the
+    WHOLE image's mean luma.  Like :func:`dhash64` every comparison is
+    cross-multiplied integer arithmetic (cell_sum·total_cnt >
+    total_sum·cell_cnt) so no float ever decides a bit.  Requires
+    h ≥ 8 and w ≥ 8.  Returned signed 64-bit (Spark LongType)."""
+    h, w, _ = rgb.shape
+    if h < 8 or w < 8:
+        raise ValueError(f"image too small to ahash: {h}x{w}")
+    sums, cnts = _luma_block_sums(rgb, 8, 8)
+    total_sum = int(sums.sum())
+    total_cnt = int(cnts.sum())
+    v = 0
+    for i in range(8):
+        for j in range(8):
+            if int(sums[i, j]) * total_cnt > total_sum * int(cnts[i, j]):
+                v |= 1 << (i * 8 + j)
+    return _to_signed64(v)
+
+
+# Fixed-point DCT-II spec constants shared by the kernel and its twin
+# (precedent: the loudness biquad coefficient formulas — the SPEC is
+# shared, the execution is independent).  C[k][m] =
+# round(cos(π·(2m+1)·k / 32) · 2^20), round-half-even.
+_DCT16_SCALE = 1 << 20
+_PHASH_MEAN_SCALE = 1 << 8
+
+
+def _dct16_table() -> np.ndarray:
+    k = np.arange(16, dtype=np.float64)[:, None]
+    m = np.arange(16, dtype=np.float64)[None, :]
+    return np.rint(
+        np.cos(np.pi * (2.0 * m + 1.0) * k / 32.0) * _DCT16_SCALE
+    ).astype(np.int64)
+
+
+DCT16_TABLE = _dct16_table()
+
+
+def phash64(rgb: np.ndarray) -> int:
+    """64-bit DCT perceptual hash (pHash family), fixed-point so the
+    pure-Python twin reproduces it bit-for-bit:
+
+    1. block-mean luma to a 16×16 grid (``(i·h)//16`` boundaries),
+       each mean as the FLOOR fixed-point ``(block_sum·2^8)//block_cnt``;
+    2. 2-D DCT-II via the shared integer table ``DCT16_TABLE``
+       (cos·2^20 rounded half-even): ``t1 = floor((C·grid)/2^20)``,
+       ``coef = t1·Cᵀ`` — all int64, overflow-safe by construction
+       (|grid| ≤ 255000·2^8, |C| ≤ 2^20 ⇒ |coef| < 2^55);
+    3. keep the low-frequency 8×8 block, EXCLUDE the DC term (so
+       uniform brightness shifts don't flip bits), threshold the 63
+       remaining coefficients at their median (the 32nd smallest — an
+       order statistic, exact on integers): bit ``u·8+v`` = 1 iff
+       ``coef[u][v] > median``; bit 0 is always 0.
+
+    Requires h ≥ 16 and w ≥ 16.  Returned signed 64-bit (LongType).
+    """
+    h, w, _ = rgb.shape
+    if h < 16 or w < 16:
+        raise ValueError(f"image too small to phash: {h}x{w}")
+    sums, cnts = _luma_block_sums(rgb, 16, 16)
+    grid = (sums * _PHASH_MEAN_SCALE) // cnts
+    t1 = np.floor_divide(DCT16_TABLE @ grid, _DCT16_SCALE)
+    coef = t1 @ DCT16_TABLE.T
+    low = coef[:8, :8]
+    vals = sorted(
+        int(low[u, v]) for u in range(8) for v in range(8)
+        if (u, v) != (0, 0)
+    )
+    med = vals[31]
+    v = 0
+    for u in range(8):
+        for j in range(8):
+            if (u, j) != (0, 0) and int(low[u, j]) > med:
+                v |= 1 << (u * 8 + j)
+    return _to_signed64(v)
 
 
 def dhash64(rgb: np.ndarray) -> int:

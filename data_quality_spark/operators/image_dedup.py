@@ -28,25 +28,40 @@ from .dedup import simhash_near_pairs
 __all__ = ["image_hashes", "image_near_pairs"]
 
 
+_HASH_METHODS = ("dhash", "ahash", "phash")
+
+
 def image_hashes(
     media: DataFrame,
     id_col: str = "media_id",
     payload_col: str = "payload",
+    method: str = "dhash",
     counter=None,
 ) -> DataFrame:
-    """(id, dhash) for every decodable BMP payload; undecodable or
+    """(id, <method>) for every decodable BMP payload; undecodable or
     too-small images are dropped (they have no perceptual content to
-    compare — the audit relations own those defects)."""
+    compare — the audit relations own those defects).
+
+    ``method`` picks the perceptual family: ``dhash`` (gradient signs),
+    ``ahash`` (cell-vs-global mean), or ``phash`` (fixed-point DCT
+    low-frequency signs — invariant to uniform brightness shifts by
+    construction, the strongest of the three against re-encode noise).
+    All three are integer-exact, so whichever fills the column the
+    pure-Python twin reproduces it bit-for-bit."""
+    if method not in _HASH_METHODS:
+        raise ValueError(f"unknown image hash method: {method!r}")
     out_schema = T.StructType([
         T.StructField(id_col, T.StringType(), False),
-        T.StructField("dhash", T.LongType(), False),
+        T.StructField(method, T.LongType(), False),
     ])
 
     def run(batches):
         import pandas as pd
 
-        from ..functions.image import decode_bmp, dhash64
+        from ..functions import image as I
 
+        hash_fn = {"dhash": I.dhash64, "ahash": I.ahash64,
+                   "phash": I.phash64}[method]
         for pdf in batches:
             if counter is not None:
                 counter.add(len(pdf))
@@ -56,12 +71,12 @@ def image_hashes(
                 if payload is None:
                     continue
                 try:
-                    h = dhash64(decode_bmp(bytes(payload)))
+                    h = hash_fn(I.decode_bmp(bytes(payload)))
                 except ValueError:
                     continue
                 ids.append(pdf[id_col].iloc[i])
                 hashes.append(h)
-            yield pd.DataFrame({id_col: ids, "dhash": hashes})
+            yield pd.DataFrame({id_col: ids, method: hashes})
 
     return media.mapInPandas(run, out_schema)
 
@@ -69,13 +84,14 @@ def image_hashes(
 def image_near_pairs(
     hashes: DataFrame,
     id_col: str = "media_id",
+    hash_col: str = "dhash",
     max_hamming: int = 3,
     max_bucket_size: int = 256,
 ) -> DataFrame:
-    """Pairs with Hamming(dhash) ≤ ``max_hamming`` — delegates to the
-    SimHash chunk-banding machinery (same signature relation, same
+    """Pairs with Hamming(``hash_col``) ≤ ``max_hamming`` — delegates to
+    the SimHash chunk-banding machinery (same signature relation, same
     recall guarantee, same skew guard)."""
-    sigs = hashes.select(F.col(id_col), F.col("dhash").alias("simhash"))
+    sigs = hashes.select(F.col(id_col), F.col(hash_col).alias("simhash"))
     return simhash_near_pairs(
         sigs, id_col, max_hamming=max_hamming,
         max_bucket_size=max_bucket_size,

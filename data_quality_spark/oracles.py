@@ -1042,6 +1042,99 @@ def _image_near_dup_expected(n=120, seed=42) -> dict:
     return {k: [vs[i] for i in order] for k, vs in out.items()}
 
 
+def _phash_py(rows) -> int:
+    """Independent pure-Python pHash twin: explicit per-cell block-sum
+    loops and O(16³) DCT loops with arbitrary-precision Python ints (vs
+    the kernel's prefix sums + int64 matmuls — an int64 overflow on the
+    kernel side would break the hash match).  Shares only the spec
+    constants: the fixed-point cosine table and the scale/floor laws."""
+    from .functions.image import (
+        _DCT16_SCALE,
+        _PHASH_MEAN_SCALE,
+        DCT16_TABLE,
+    )
+
+    h = len(rows)
+    w = len(rows[0])
+    if h < 16 or w < 16:
+        raise ValueError("too small")
+    C = [[int(v) for v in row] for row in DCT16_TABLE]
+    luma = [
+        [299 * r0 + 587 * g0 + 114 * b0 for (r0, g0, b0) in row]
+        for row in rows
+    ]
+    rb = [(i * h) // 16 for i in range(17)]
+    cb = [(j * w) // 16 for j in range(17)]
+    grid = [[0] * 16 for _ in range(16)]
+    for i in range(16):
+        for j in range(16):
+            s = 0
+            for y in range(rb[i], rb[i + 1]):
+                for x in range(cb[j], cb[j + 1]):
+                    s += luma[y][x]
+            cnt = (rb[i + 1] - rb[i]) * (cb[j + 1] - cb[j])
+            grid[i][j] = (s * _PHASH_MEAN_SCALE) // cnt
+    t1 = [[0] * 16 for _ in range(16)]
+    for u in range(16):
+        for j in range(16):
+            acc = 0
+            for m in range(16):
+                acc += C[u][m] * grid[m][j]
+            t1[u][j] = acc // _DCT16_SCALE  # Python floor matches np
+    coef = [[0] * 8 for _ in range(8)]
+    for u in range(8):
+        for vv in range(8):
+            acc = 0
+            for j in range(16):
+                acc += t1[u][j] * C[vv][j]
+            coef[u][vv] = acc
+    vals = sorted(
+        coef[u][vv] for u in range(8) for vv in range(8)
+        if (u, vv) != (0, 0)
+    )
+    med = vals[31]
+    v = 0
+    for u in range(8):
+        for j in range(8):
+            if (u, j) != (0, 0) and coef[u][j] > med:
+                v |= 1 << (u * 8 + j)
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+def _image_phash_near_dup_expected(n=120, seed=42) -> dict:
+    """Twin of ``image_hashes(method='phash') → image_near_pairs``:
+    independent BMP parse + independent fixed-point DCT hash +
+    brute-force O(n²) Hamming pairing (banding recall ≤3 is exact by
+    pigeonhole at this corpus size — no chunk bucket nears the guard)."""
+    from .synth import generate_image_corpus
+
+    pdf = generate_image_corpus(n, seed=seed)
+    sigs: list[tuple[str, int]] = []
+    for _, r in pdf.iterrows():
+        try:
+            sigs.append(
+                (r["media_id"], _phash_py(_bmp_rgb_py(bytes(r["payload"]))))
+            )
+        except ValueError:
+            continue
+    out = {"id_a": [], "id_b": [], "hamming": []}
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            a, ha = sigs[i]
+            b, hb = sigs[j]
+            d = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+            if d <= 3:
+                ia, ib = (a, b) if a < b else (b, a)
+                out["id_a"].append(ia)
+                out["id_b"].append(ib)
+                out["hamming"].append(d)
+    order = sorted(range(len(out["id_a"])),
+                   key=lambda k: (out["id_a"][k], out["id_b"][k]))
+    return {k: [vs[i] for i in order] for k, vs in out.items()}
+
+
 def _image_dedup_clusters_expected(n=120, seed=42) -> dict:
     """Twin of ``image_dedup_clusters``: union-find closure of the
     independent image near-dup pair twin (component = min media_id)."""
@@ -2085,6 +2178,102 @@ def _audio_chunks_expected(n=300, seed=42, min_dur_ms=200) -> dict:
     return out
 
 
+def _utterance_audit_expected(n=300, seed=42, min_dur_ms=200) -> dict:
+    """Twin of the per-utterance quality audit — the composition the
+    segment-runner test proves in-process, now driver-hash-checked:
+    ``extract_segments`` (VAD chunker, payload sliced on frame bounds)
+    feeding ``audit_issues(audio_audit(segments-as-clips))``.  Segment
+    extraction is replayed with the INDEPENDENT state machine
+    (`_vad_state_machine`, explicit scan — same differential surface as
+    the audio_chunks twin); each segment's pcm16 slice then runs the
+    SHARED kernels with an explicit Python flag ladder vs the operator's
+    fused count(CASE) aggregate."""
+    from .functions.audio import SILENCE_DB, _decode_i16, clip_stats_i16
+    from .functions.dropout import dropout_stats_i16
+    from .functions.loudness import clip_loudness
+    from .functions.snr import speech_snr
+    from .functions.vad import HANG_FRAMES, MIN_SPEECH_FRAMES, frame_mean_squares
+    from .operators.audio_audit import (
+        AUDIT_RULES,
+        LUFS_MAX,
+        LUFS_MIN,
+        SNR_MIN_DB,
+    )
+    from .operators.audio_dropout import DC_DEN, DC_NUM, STUCK_MIN_DEFAULT
+    from .synth import GateThresholds as TH
+    from .synth import generate_clips
+
+    pdf = generate_clips(n, seed=seed)
+    counts = {name: 0 for name in AUDIT_RULES}
+    total = 0
+    for _, r in pdf.iterrows():
+        sr = r["sr_hz"] or 0
+        try:
+            q = _decode_i16(r["bytes"], r["codec"], r["sr_hz"])
+        except (ValueError, TypeError):
+            continue
+        x = q.astype(np.float32) / np.float32(32767.0)
+        if sr <= 0 or x.size == 0:
+            continue
+        ms2, frame = frame_mean_squares(x, sr)
+        if ms2.size == 0:
+            continue
+        frame_db = 10.0 * np.log10(np.maximum(ms2, 1e-24))
+        act = _vad_state_machine(frame_db, SILENCE_DB, HANG_FRAMES,
+                                 MIN_SPEECH_FRAMES)
+        i = 0
+        nf = len(act)
+        while i < nf:
+            if not act[i]:
+                i += 1
+                continue
+            j = i
+            while j < nf and act[j]:
+                j += 1
+            dur_ms = int(round((j - i) * frame * 1000 / sr))
+            if dur_ms >= min_dur_ms:
+                qs = np.ascontiguousarray(q[i * frame:j * frame],
+                                          dtype="<i2")
+                total += 1
+                xs = qs.astype(np.float32) / np.float32(32767.0)
+                st = clip_stats_i16(qs, sr)
+                dp = dropout_stats_i16(qs, sr)
+                sn = speech_snr(xs, sr)
+                lf = clip_loudness(xs, sr)
+                flags = {
+                    "undecodable": False,  # pcm16 slices always decode
+                    "mostly_silence": st["silence_frac"] > TH.SILENCE_MAX,
+                    "clipping": st["clip_frac"] > TH.CLIP_MAX,
+                    "too_quiet": st["rms_db"] < TH.RMS_MIN_DB,
+                    "low_snr": sn["snr_db"] is not None
+                    and sn["snr_db"] < SNR_MIN_DB,
+                    "loudness_range": lf["lufs_i"] is not None
+                    and (lf["lufs_i"] < LUFS_MIN or lf["lufs_i"] > LUFS_MAX),
+                    "dropout": dp["n_dropouts"] > 0,
+                    "stuck_samples": dp["max_const_run"]
+                    >= STUCK_MIN_DEFAULT,
+                    "dc_offset": abs(dp["dc_sum"]) * DC_DEN
+                    > DC_NUM * int(qs.size) * 32768,
+                }
+                for name, hit in flags.items():
+                    if hit:
+                        counts[name] += 1
+            i = j
+    out: dict[str, list] = {k: [] for k in
+                            ("table", "column", "issue_type", "count",
+                             "total", "percent", "severity", "description")}
+    for name, (_, sev, column, desc) in AUDIT_RULES.items():
+        out["table"].append("segments")
+        out["column"].append(column)
+        out["issue_type"].append(name)
+        out["count"].append(counts[name])
+        out["total"].append(total)
+        out["percent"].append(counts[name] * 100.0 / total if total else 0.0)
+        out["severity"].append(sev if counts[name] > 0 else "info")
+        out["description"].append(desc)
+    return out
+
+
 def _resample_definition(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
     """Literal zero-stuff → convolve → decimate resampler (the definition
     the polyphase kernel optimizes).  Shares only the tap design with
@@ -2381,6 +2570,16 @@ _SCHEMAS: dict[str, pa.Schema] = {
         [("media_id", pa.string()), ("component", pa.string()),
          ("cluster_size", pa.int64())]
     ),
+    "image_phash_near_dup": pa.schema(
+        [("id_a", pa.string()), ("id_b", pa.string()),
+         ("hamming", pa.int32())]
+    ),
+    "utterance_audit": pa.schema(
+        [("table", pa.string()), ("column", pa.string()),
+         ("issue_type", pa.string()), ("count", pa.int64()),
+         ("total", pa.int64()), ("percent", pa.float64()),
+         ("severity", pa.string()), ("description", pa.string())]
+    ),
     "clips_gate_rollup": pa.schema(
         [("lang_pred", pa.string()), ("codec", pa.string()),
          ("n_clips", pa.int64()), ("n_keep", pa.int64()),
@@ -2520,6 +2719,10 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _image_near_dup_expected()
     elif name == "image_dedup_clusters":
         data = _image_dedup_clusters_expected()
+    elif name == "image_phash_near_dup":
+        data = _image_phash_near_dup_expected()
+    elif name == "utterance_audit":
+        data = _utterance_audit_expected()
     else:
         raise ValueError(f"unknown expected table {name!r}")
     import pyarrow.parquet as pq

@@ -183,3 +183,20 @@ def test_segments_compose_with_audio_audit(spark, clips_path, tmp_path_factory):
         r = audit[s["seg_id"]]
         assert r["n_samples"] == q.size
         assert r["rms_db"] == st["rms_db"]
+
+
+def test_utterance_audit_query_vs_twin(spark, sf_dir):
+    """The oracled per-utterance audit query: Spark's chunker→audit
+    composition matches the independent VAD-scan + flag-ladder twin."""
+    import __spark_entry__ as e
+    from data_quality_spark.oracles import _utterance_audit_expected
+
+    got = e.q_utterance_audit(spark, sf_dir).collect()
+    exp = _utterance_audit_expected(300, seed=42, min_dur_ms=MIN_DUR_MS)
+    assert len(got) == len(exp["issue_type"]) == 9
+    assert exp["total"][0] > 100  # the corpus actually fans out
+    for r, idx in zip(got, sorted(range(9),
+                                  key=lambda k: exp["issue_type"][k])):
+        for col in ("table", "column", "issue_type", "count", "total",
+                    "percent", "severity", "description"):
+            assert r[col] == exp[col][idx], (r["issue_type"], col)
