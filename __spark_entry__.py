@@ -922,6 +922,42 @@ def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal label-noise audit: audio near-dup pairs (fingerprint
+    bucket join + BER verify) whose TRANSCRIPTS disagree by token-set
+    Jaccard — the off-by-one (audio, caption) alignment error class,
+    seeded via ``make_audio_dup_corpus(relabel_every=3)``.  Twin: the
+    shared from-spec XXH64 + popcount pair twin composed with explicit
+    Python set-algebra Jaccard and the two-empty-sets-agree convention."""
+    from data_quality_spark.operators.audio_dedup import (
+        clip_fingerprints,
+        fingerprint_near_dup,
+    )
+    from data_quality_spark.operators.label_noise import transcript_mismatch
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_dup_corpus
+
+    ensure_expected("label_noise_audit", sf_dir)
+    key = ("dup_relabel", 400, 42)
+    if key not in _CLIPS_CACHE:
+        _CLIPS_CACHE[key] = make_audio_dup_corpus(
+            400, seed=42, relabel_every=3
+        )
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(
+        _CLIPS_CACHE[key][cols], CLIPS_SCHEMA
+    ).repartition(8, "clip_id")
+    pairs = fingerprint_near_dup(clip_fingerprints(clips))
+    out = transcript_mismatch(pairs, clips)
+    return out.select(
+        "id_a",
+        "id_b",
+        F.round("ber", 6).alias("ber_r"),
+        F.round("jaccard", 6).alias("jaccard_r"),
+        "label_mismatch",
+    ).orderBy("id_a", "id_b")
+
+
 def q_audio_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level audio dedup: the verified fingerprint near-dup pairs
     closed into duplicate clusters via the large-star/small-star rounds
@@ -1694,6 +1730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "media_features": q_media_features,
         "audio_fingerprint_dedup": q_audio_fingerprint_dedup,
+        "label_noise_audit": q_label_noise_audit,
         "audio_dedup_clusters": q_audio_dedup_clusters,
         "audio_excerpt_match": q_audio_excerpt_match,
         "audio_constellation_match": q_audio_constellation_match,
@@ -3117,6 +3154,7 @@ FROM ranked WHERE rnk <= 3""",
         "ann_recall": _expected_sql("ann_recall"),
         "media_features": _expected_sql("media_features"),
         "audio_fingerprint_dedup": _expected_sql("audio_fingerprint_dedup"),
+        "label_noise_audit": _expected_sql("label_noise_audit"),
         "audio_dedup_clusters": _expected_sql("audio_dedup_clusters"),
         "audio_excerpt_match": _expected_sql("audio_excerpt_match"),
         "audio_constellation_match": _expected_sql("audio_constellation_match"),

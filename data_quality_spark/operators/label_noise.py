@@ -1,0 +1,80 @@
+"""Cross-modal label-noise audit: audio near-duplicates whose
+TRANSCRIPTS disagree.
+
+Two clips whose waveforms fingerprint as the same recording (re-encode /
+re-scrape chains) must carry compatible captions; an audio-match with a
+text-mismatch is label noise — typically the off-by-one (audio, caption)
+alignment error of a scraped corpus — and exactly the rows a training
+pipeline must quarantine BEFORE dedup resolution picks an arbitrary
+survivor (keep-one would silently keep the wrong caption half the time).
+
+Engine shape (all built-in Catalyst, no UDF):
+
+1. the verified near-dup pair relation (``audio_dedup.fingerprint_near_dup``
+   — signatures shuffle, never payloads);
+2. two hash joins pair → per-side token SET (``array_distinct`` of the
+   shared whitespace-token law from ``dedup.tokens_col``; the token arrays
+   are projected away immediately after the Jaccard, so only (id, id, ber,
+   jaccard, flag) survives the stage);
+3. token-set Jaccard with the two-empty-sets-agree convention
+   (``union == 0 → 1.0``: two silent clips with empty captions are NOT
+   label noise).
+
+At 10^12-clip scale the pair relation is tiny relative to the corpus
+(bounded by bucket candidates), both joins hash on clip_id, and AQE may
+broadcast the pair side — no new shuffle shape beyond the dedup path
+itself.
+
+Reference analog: none (no media in the reference); the closest shape is
+its FK-consistency orphan scan — this is the same "two relations must
+agree" audit applied across modalities of one row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import tokens_col
+
+__all__ = ["transcript_mismatch"]
+
+
+def transcript_mismatch(
+    pairs: DataFrame,
+    clips: DataFrame,
+    id_col: str = "clip_id",
+    text_col: str = "transcript",
+    jaccard_max: float = 0.5,
+) -> DataFrame:
+    """Annotate near-dup ``pairs`` (id_a, id_b, ...) with the token-set
+    Jaccard of the two sides' ``text_col`` and a ``label_mismatch`` flag
+    (Jaccard < ``jaccard_max``).  Pass-through columns of ``pairs`` (e.g.
+    the verify stage's ``ber``) survive unchanged."""
+    toks = F.array_distinct(tokens_col(F.col(text_col)))
+    slim = clips.select(F.col(id_col), toks.alias("__toks"))
+    joined = (
+        pairs
+        .join(
+            slim.select(F.col(id_col).alias("id_a"),
+                        F.col("__toks").alias("__ta")),
+            "id_a",
+        )
+        .join(
+            slim.select(F.col(id_col).alias("id_b"),
+                        F.col("__toks").alias("__tb")),
+            "id_b",
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("__ta"), F.col("__tb")))
+    union = F.size(F.array_union(F.col("__ta"), F.col("__tb")))
+    jac = (
+        F.when(union > 0, inter.cast("double") / union.cast("double"))
+        .otherwise(F.lit(1.0))  # two empty captions agree
+    )
+    return (
+        joined
+        .withColumn("jaccard", jac)
+        .withColumn("label_mismatch", F.col("jaccard") < F.lit(jaccard_max))
+        .drop("__ta", "__tb")
+    )

@@ -1156,7 +1156,8 @@ def _image_dedup_clusters_expected(n=120, seed=42) -> dict:
 
 
 def _audio_verified_pairs(
-    n=400, seed=42, window=3, stride=1, ber_max=0.30, max_bucket=64
+    n=400, seed=42, window=3, stride=1, ber_max=0.30, max_bucket=64,
+    relabel_every=0,
 ) -> list[tuple[str, str, float]]:
     """Pure-Python twin of ``audio_dedup.clip_fingerprints`` +
     ``fingerprint_near_dup`` over ``synth.make_audio_dup_corpus``: bucket
@@ -1172,7 +1173,7 @@ def _audio_verified_pairs(
     )
     from .synth import make_audio_dup_corpus
 
-    pdf = make_audio_dup_corpus(n, seed=seed)
+    pdf = make_audio_dup_corpus(n, seed=seed, relabel_every=relabel_every)
     fps: dict[str, list[int]] = {}
     for _, r in pdf.iterrows():
         try:
@@ -1221,6 +1222,54 @@ def _audio_fingerprint_expected(n=400, seed=42) -> dict:
         "id_b": [r[1] for r in rows],
         "ber_r": [r[2] for r in rows],
     }
+
+
+def _tokens_py(text) -> set[str]:
+    """Independent twin of ``array_distinct(tokens_col(...))`` as a SET:
+    Spark's ``trim`` strips SPACES only (not tabs/newlines), ``lower`` is
+    full-Unicode on both engines, and Java ``\\s`` is exactly
+    ``[ \\t\\n\\x0b\\f\\r]`` — spelled out so the Python twin cannot
+    silently diverge on Unicode whitespace."""
+    import re as _re
+
+    if text is None:
+        return set()
+    t = str(text).lower().strip(" ")
+    if not t:
+        return set()
+    return set(_re.split(r"[ \t\n\r\x0b\f]+", t))
+
+
+def _label_noise_expected(
+    n=400, seed=42, relabel_every=3, jaccard_max=0.5
+) -> dict:
+    """Twin of ``transcript_mismatch(fingerprint_near_dup(...), clips)``
+    over the relabelled dup corpus: the verified pair set is the shared
+    from-spec XXH64 + popcount twin; on top, token SETS and Jaccard are
+    rebuilt with explicit Python set algebra (vs Spark array_intersect/
+    array_union), the two-empty-sets-agree convention replayed, and the
+    6dp rounding guarded off half-step boundaries at generation time."""
+    from .synth import make_audio_dup_corpus
+
+    pairs = _audio_verified_pairs(n, seed, relabel_every=relabel_every)
+    pdf = make_audio_dup_corpus(n, seed=seed, relabel_every=relabel_every)
+    toks = {r["clip_id"]: _tokens_py(r["transcript"])
+            for _, r in pdf.iterrows()}
+    out = {"id_a": [], "id_b": [], "ber_r": [], "jaccard_r": [],
+           "label_mismatch": []}
+    raw: list[float] = []
+    for a, b, ber_r in pairs:
+        ta, tb = toks[a], toks[b]
+        union = len(ta | tb)
+        jac = len(ta & tb) / union if union > 0 else 1.0
+        raw.append(jac)
+        out["id_a"].append(a)
+        out["id_b"].append(b)
+        out["ber_r"].append(ber_r)
+        out["jaccard_r"].append(spark_round(jac, 6))
+        out["label_mismatch"].append(jac < jaccard_max)
+    _assert_off_rounding_boundary(raw, 6)
+    return out
 
 
 def _audio_decontaminate_expected(
@@ -2456,6 +2505,11 @@ _SCHEMAS: dict[str, pa.Schema] = {
         [("id_a", pa.string()), ("id_b", pa.string()),
          ("ber_r", pa.float64())]
     ),
+    "label_noise_audit": pa.schema(
+        [("id_a", pa.string()), ("id_b", pa.string()),
+         ("ber_r", pa.float64()), ("jaccard_r", pa.float64()),
+         ("label_mismatch", pa.bool_())]
+    ),
     "audio_excerpt_match": pa.schema(
         [("id_a", pa.string()), ("id_b", pa.string()),
          ("shift", pa.int32()), ("votes", pa.int64()),
@@ -2669,6 +2723,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _media_features_expected()
     elif name == "audio_fingerprint_dedup":
         data = _audio_fingerprint_expected()
+    elif name == "label_noise_audit":
+        data = _label_noise_expected()
     elif name == "audio_dedup_clusters":
         data = _audio_dedup_clusters_expected()
     elif name == "audio_excerpt_match":

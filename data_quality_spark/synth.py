@@ -205,6 +205,7 @@ def make_audio_dup_corpus(
     seed: int = 42,
     dup_every: int = 5,
     gain: float = 0.8,
+    relabel_every: int = 0,
 ) -> pd.DataFrame:
     """Base corpus + re-encoded near-duplicates for audio-dedup tests.
 
@@ -213,7 +214,13 @@ def make_audio_dup_corpus(
     pcm16 → mulaw → wav → pcm16 — the duplicate class a scraped audio
     corpus actually contains (same recording, different encoding chain).
     Deterministic for fixed (n, seed, dup_every, gain); corrupt/undecodable
-    base clips never spawn dups."""
+    base clips never spawn dups.
+
+    ``relabel_every`` > 0 additionally mislabels every k-th EMITTED dup:
+    its transcript is replaced by the NEXT base row's transcript (the
+    off-by-one alignment error a scraped (audio, caption) corpus actually
+    contains), tagged ``defect='reencode_relabel'``.  Default 0 keeps the
+    corpus bit-identical to before the parameter existed."""
     base = generate_clips(n, seed=seed)
     dups: list[dict] = []
     for i in range(0, len(base), dup_every):
@@ -235,6 +242,11 @@ def make_audio_dup_corpus(
             payload = A.encode_mulaw(xf)
         else:
             payload = A.encode_wav(xf, int(row["sr_hz"]))
+        transcript = row["transcript"]
+        defect = "reencode_dup"
+        if relabel_every > 0 and len(dups) % relabel_every == 0:
+            transcript = base.iloc[(i + 1) % len(base)]["transcript"]
+            defect = "reencode_relabel"
         dups.append(
             {
                 "clip_id": f"{row['clip_id']}_re",
@@ -242,9 +254,9 @@ def make_audio_dup_corpus(
                 "sr_hz": int(row["sr_hz"]),
                 "dur_ms": int(row["dur_ms"]),
                 "codec": new_codec,
-                "transcript": row["transcript"],
+                "transcript": transcript,
                 "ingest_day": row["ingest_day"],
-                "defect": "reencode_dup",
+                "defect": defect,
             }
         )
     return pd.concat([base, pd.DataFrame(dups)], ignore_index=True)

@@ -275,3 +275,49 @@ def test_near_dup_decodes_each_clip_once(spark, dup_corpus):
     fingerprint_near_dup(fps).count()
     assert acc.value == n
     fps.unpersist()
+
+
+def test_label_noise_audit_flags_relabeled_dups(spark):
+    """Seeded off-by-one caption errors: every flagged pair involves a
+    ``reencode_relabel`` clip, true re-encode pairs keep jaccard 1.0, and
+    the relabeled dups' base pairs ARE flagged (the audit catches exactly
+    the seeded noise, nothing else)."""
+    from data_quality_spark.operators.label_noise import transcript_mismatch
+    from data_quality_spark.synth import make_audio_dup_corpus
+
+    pdf = make_audio_dup_corpus(400, seed=42, relabel_every=3)
+    relabeled = set(pdf[pdf["defect"] == "reencode_relabel"]["clip_id"])
+    assert relabeled
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(pdf[cols], CLIPS_SCHEMA).repartition(
+        8, "clip_id"
+    )
+    pairs = fingerprint_near_dup(clip_fingerprints(clips))
+    rows = transcript_mismatch(pairs, clips).collect()
+    assert rows
+    flagged = [r for r in rows if r["label_mismatch"]]
+    assert flagged
+    # flagged pairs are either a seeded relabel OR a silence-class
+    # fingerprint collision (two near-silent clips match as audio but
+    # carry unrelated captions — degenerate audio with ANY transcript is
+    # itself label-suspect, so the audit flagging it is correct)
+    silence = set(pdf[pdf["defect"] == "mostly_silence"]["clip_id"])
+
+    def silent(c: str) -> bool:  # a _re dup inherits its base's audio
+        return c in silence or (c.endswith("_re") and c[:-3] in silence)
+
+    for r in flagged:
+        seeded = r["id_a"] in relabeled or r["id_b"] in relabeled
+        degenerate = silent(r["id_a"]) and silent(r["id_b"])
+        assert seeded or degenerate, (r["id_a"], r["id_b"])
+    # every relabeled clip that produced a verified pair is caught
+    paired_relabeled = {
+        c for r in rows for c in (r["id_a"], r["id_b"]) if c in relabeled
+    }
+    caught = {
+        c for r in flagged for c in (r["id_a"], r["id_b"]) if c in relabeled
+    }
+    assert caught == paired_relabeled
+    for r in rows:
+        if not r["label_mismatch"]:
+            assert r["jaccard"] == 1.0
