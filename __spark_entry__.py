@@ -922,6 +922,28 @@ def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_audio_loop_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Looped-audio detection: per-clip self-match of the Philips
+    subfingerprint stream at every lag (ONE mapInArrow pass, zero
+    shuffles), exact-integer rational decision law, degenerate-stream
+    guard.  Seeded tiled-payload loops via ``make_audio_loop_corpus``.
+    Twin: shared decode+fingerprint kernels, independent explicit-loop
+    lag scan + ladder — all-int outputs, exact by construction."""
+    from data_quality_spark.operators.audio_loop import loop_scan
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_loop_corpus
+
+    ensure_expected("audio_loop_scan", sf_dir)
+    key = ("loop", 300, 42)
+    if key not in _CLIPS_CACHE:
+        _CLIPS_CACHE[key] = make_audio_loop_corpus(300, seed=42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(
+        _CLIPS_CACHE[key][cols], CLIPS_SCHEMA
+    ).repartition(8, "clip_id")
+    return loop_scan(clips).orderBy("clip_id")
+
+
 def q_label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal label-noise audit: audio near-dup pairs (fingerprint
     bucket join + BER verify) whose TRANSCRIPTS disagree by token-set
@@ -1731,6 +1753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "audio_fingerprint_dedup": q_audio_fingerprint_dedup,
         "label_noise_audit": q_label_noise_audit,
+        "audio_loop_scan": q_audio_loop_scan,
         "audio_dedup_clusters": q_audio_dedup_clusters,
         "audio_excerpt_match": q_audio_excerpt_match,
         "audio_constellation_match": q_audio_constellation_match,
@@ -3155,6 +3178,7 @@ FROM ranked WHERE rnk <= 3""",
         "media_features": _expected_sql("media_features"),
         "audio_fingerprint_dedup": _expected_sql("audio_fingerprint_dedup"),
         "label_noise_audit": _expected_sql("label_noise_audit"),
+        "audio_loop_scan": _expected_sql("audio_loop_scan"),
         "audio_dedup_clusters": _expected_sql("audio_dedup_clusters"),
         "audio_excerpt_match": _expected_sql("audio_excerpt_match"),
         "audio_constellation_match": _expected_sql("audio_constellation_match"),

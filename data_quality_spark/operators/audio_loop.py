@@ -1,0 +1,135 @@
+"""Looped-audio detection: clips whose waveform is a tiled copy of a
+short segment.
+
+Synthesized padding, stuck stream buffers, and TTS cache bugs all
+produce clips that LOOK like normal-length audio but carry only a few
+hundred ms of real signal repeated end-to-end — worthless (and
+distribution-skewing) as training data, and invisible to every
+per-clip statistic that is invariant under tiling (RMS, silence
+fraction, loudness, language of the transcript).
+
+Detector: the clip's own Philips-style subfingerprint stream
+(``functions.spectral.fingerprint_i32`` — the SAME kernel the dedup
+path trusts) compared against itself at every lag.  A loop of period P
+frames makes ``fp[i] == fp[i+P]`` for nearly every i; natural speech
+never repeats 15-bit double-difference patterns frame-exactly at a
+constant lag.  Two guards keep the decision honest:
+
+- **degenerate-stream guard**: near-silent or pure-tone clips have
+  near-constant fingerprints that "match" at EVERY lag; they are
+  skipped via a minimum distinct-word count (the audit relations own
+  silence/tonality defects);
+- **exact-integer decision law**: the flag is
+  ``matches · DEN ≥ NUM · valid`` (cross-multiplied rational compare)
+  and the best lag maximizes ``matches/valid`` by integer
+  cross-multiplication with smallest-lag tiebreak — no float ever
+  decides a flag or a lag, so the pure-Python twin reproduces every
+  row bit-for-bit.
+
+Engine shape: ONE ``mapInArrow`` pass (decode → fingerprint → O(n²)
+lag scan over ≤ a few hundred ints per clip), zero shuffles — the scan
+is per-row work bounded by clip length, the 10^12-clip shape.
+
+Reference analog: none (no media in the reference); the nearest shape
+is its duplicate scan, applied WITHIN one row's payload instead of
+across rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+__all__ = ["loop_scan", "LOOP_FRAC_NUM", "LOOP_FRAC_DEN", "MIN_DISTINCT"]
+
+LOOP_FRAC_NUM = 9       # looped iff matches·DEN ≥ NUM·valid (i.e. ≥ 0.9)
+LOOP_FRAC_DEN = 10
+MIN_DISTINCT = 8        # fewer distinct fingerprint words = degenerate
+
+
+def loop_scan(
+    df: DataFrame,
+    min_lag: int = 8,
+    min_overlap: int = 16,
+    counter=None,
+) -> DataFrame:
+    """One row per clip: best self-match lag and its exact match
+    fraction, plus the ``looped`` decision.
+
+    Columns: clip_id, ok (decode), n_frames, n_distinct, best_lag
+    (NULL when no admissible lag), match_num/match_den (the exact
+    rational — ``match_num/match_den`` is the fraction the flag is
+    computed from), looped.
+    """
+    col_idx = {f.name: i for i, f in enumerate(df.schema.fields)}
+    out_schema = T.StructType([
+        T.StructField("clip_id", T.StringType(), False),
+        T.StructField("ok", T.BooleanType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("n_distinct", T.IntegerType(), False),
+        T.StructField("best_lag", T.IntegerType(), True),
+        T.StructField("match_num", T.LongType(), True),
+        T.StructField("match_den", T.LongType(), True),
+        T.StructField("looped", T.BooleanType(), False),
+    ])
+
+    def run(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from ..functions.audio import _decode_i16
+        from ..functions.spectral import fingerprint_i32
+
+        for batch in batches:
+            ids = batch.column(col_idx["clip_id"]).to_pylist()
+            payloads = batch.column(col_idx["bytes"])
+            codecs = batch.column(col_idx["codec"]).to_pylist()
+            srs = batch.column(col_idx["sr_hz"]).to_pylist()
+            if counter is not None:
+                counter.add(batch.num_rows)
+            out = {k: [] for k in ("ok", "n_frames", "n_distinct",
+                                   "best_lag", "match_num", "match_den",
+                                   "looped")}
+            for i in range(batch.num_rows):
+                buf = payloads[i].as_buffer() if payloads[i].is_valid else None
+                try:
+                    q = _decode_i16(buf, codecs[i], srs[i])
+                    ok = True
+                except (ValueError, TypeError):
+                    q = np.zeros(0, dtype=np.int16)
+                    ok = False
+                fp = fingerprint_i32(q)
+                n = int(fp.size)
+                distinct = int(np.unique(fp).size) if n else 0
+                best = None  # (matches, valid, lag)
+                for lag in range(min_lag, n - min_overlap + 1):
+                    valid = n - lag
+                    m = int((fp[:valid] == fp[lag:]).sum())
+                    if best is None or m * best[1] > best[0] * valid:
+                        best = (m, valid, lag)
+                looped = (
+                    best is not None
+                    and distinct >= MIN_DISTINCT
+                    and best[0] * LOOP_FRAC_DEN >= LOOP_FRAC_NUM * best[1]
+                )
+                out["ok"].append(ok)
+                out["n_frames"].append(n)
+                out["n_distinct"].append(distinct)
+                out["best_lag"].append(best[2] if best else None)
+                out["match_num"].append(best[0] if best else None)
+                out["match_den"].append(best[1] if best else None)
+                out["looped"].append(looped)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.string()),
+                 pa.array(out["ok"], type=pa.bool_()),
+                 pa.array(out["n_frames"], type=pa.int32()),
+                 pa.array(out["n_distinct"], type=pa.int32()),
+                 pa.array(out["best_lag"], type=pa.int32()),
+                 pa.array(out["match_num"], type=pa.int64()),
+                 pa.array(out["match_den"], type=pa.int64()),
+                 pa.array(out["looped"], type=pa.bool_())],
+                names=["clip_id", "ok", "n_frames", "n_distinct",
+                       "best_lag", "match_num", "match_den", "looped"],
+            )
+
+    return df.mapInArrow(run, out_schema)

@@ -1224,6 +1224,62 @@ def _audio_fingerprint_expected(n=400, seed=42) -> dict:
     }
 
 
+def _audio_loop_expected(n=300, seed=42, min_lag=8, min_overlap=16) -> dict:
+    """Twin of ``audio_loop.loop_scan`` over ``make_audio_loop_corpus``:
+    decode + fingerprint kernels are SHARED (hash-verified by their own
+    queries); the lag scan, best-fraction tracking, and decision ladder
+    are replayed as explicit Python int loops (per-element equality,
+    cross-multiplied rational compares, first-wins tiebreak) — every
+    output is an int or bool, so agreement is exact by construction."""
+    from .functions.audio import _decode_i16
+    from .functions.spectral import fingerprint_i32
+    from .operators.audio_loop import (
+        LOOP_FRAC_DEN,
+        LOOP_FRAC_NUM,
+        MIN_DISTINCT,
+    )
+    from .synth import make_audio_loop_corpus
+
+    pdf = make_audio_loop_corpus(n, seed=seed)
+    out: dict[str, list] = {k: [] for k in
+                            ("clip_id", "ok", "n_frames", "n_distinct",
+                             "best_lag", "match_num", "match_den",
+                             "looped")}
+    for _, r in pdf.sort_values("clip_id").iterrows():
+        try:
+            q = _decode_i16(r["bytes"], r["codec"], r["sr_hz"])
+            ok = True
+        except (ValueError, TypeError):
+            q = np.zeros(0, dtype=np.int16)
+            ok = False
+        fp = [int(v) for v in fingerprint_i32(q)]
+        nf = len(fp)
+        distinct = len(set(fp))
+        best = None
+        for lag in range(min_lag, nf - min_overlap + 1):
+            valid = nf - lag
+            m = 0
+            for i in range(valid):
+                if fp[i] == fp[i + lag]:
+                    m += 1
+            if best is None or m * best[1] > best[0] * valid:
+                best = (m, valid, lag)
+        looped = (
+            best is not None
+            and distinct >= MIN_DISTINCT
+            and best[0] * LOOP_FRAC_DEN >= LOOP_FRAC_NUM * best[1]
+        )
+        out["clip_id"].append(r["clip_id"])
+        out["ok"].append(ok)
+        out["n_frames"].append(nf)
+        out["n_distinct"].append(distinct)
+        out["best_lag"].append(best[2] if best else None)
+        out["match_num"].append(best[0] if best else None)
+        out["match_den"].append(best[1] if best else None)
+        out["looped"].append(looped)
+    return out
+
+
 def _tokens_py(text) -> set[str]:
     """Independent twin of ``array_distinct(tokens_col(...))`` as a SET:
     Spark's ``trim`` strips SPACES only (not tabs/newlines), ``lower`` is
@@ -2510,6 +2566,12 @@ _SCHEMAS: dict[str, pa.Schema] = {
          ("ber_r", pa.float64()), ("jaccard_r", pa.float64()),
          ("label_mismatch", pa.bool_())]
     ),
+    "audio_loop_scan": pa.schema(
+        [("clip_id", pa.string()), ("ok", pa.bool_()),
+         ("n_frames", pa.int32()), ("n_distinct", pa.int32()),
+         ("best_lag", pa.int32()), ("match_num", pa.int64()),
+         ("match_den", pa.int64()), ("looped", pa.bool_())]
+    ),
     "audio_excerpt_match": pa.schema(
         [("id_a", pa.string()), ("id_b", pa.string()),
          ("shift", pa.int32()), ("votes", pa.int64()),
@@ -2725,6 +2787,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_fingerprint_expected()
     elif name == "label_noise_audit":
         data = _label_noise_expected()
+    elif name == "audio_loop_scan":
+        data = _audio_loop_expected()
     elif name == "audio_dedup_clusters":
         data = _audio_dedup_clusters_expected()
     elif name == "audio_excerpt_match":

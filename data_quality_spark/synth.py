@@ -262,6 +262,51 @@ def make_audio_dup_corpus(
     return pd.concat([base, pd.DataFrame(dups)], ignore_index=True)
 
 
+def make_audio_loop_corpus(
+    n: int = 300,
+    seed: int = 42,
+    loop_every: int = 4,
+) -> pd.DataFrame:
+    """Base corpus + tiled-payload loops for the loop-scan detector.
+
+    Every ``loop_every``-th decodable clip with at least two segment
+    lengths of audio is re-emitted as ``<id>_loop``: the first
+    ``(40 + 17·(i mod 3))`` fingerprint hops (hop = FRAME//2 = 128
+    samples) tiled to the original length and emitted as pcm16 —
+    frame-grid-aligned tiling so the loop period is an exact number of
+    fingerprint frames (the defect class: stuck buffers / synthesized
+    padding).  Deterministic; ``defect='looped'``."""
+    from .functions.spectral import FRAME
+
+    hop = FRAME // 2
+    base = generate_clips(n, seed=seed)
+    loops: list[dict] = []
+    for i in range(0, len(base), loop_every):
+        row = base.iloc[i]
+        try:
+            q = A._decode_i16(row["bytes"], row["codec"], row["sr_hz"])
+        except (ValueError, TypeError):
+            continue
+        seg = (40 + 17 * ((i // loop_every) % 3)) * hop
+        if len(q) < 2 * seg:
+            continue
+        reps = -(-len(q) // seg)  # ceil
+        tiled = np.tile(q[:seg], reps)[: len(q)].astype("<i2")
+        loops.append(
+            {
+                "clip_id": f"{row['clip_id']}_loop",
+                "bytes": tiled.tobytes(),
+                "sr_hz": int(row["sr_hz"]),
+                "dur_ms": int(row["dur_ms"]),
+                "codec": "pcm16",
+                "transcript": row["transcript"],
+                "ingest_day": row["ingest_day"],
+                "defect": "looped",
+            }
+        )
+    return pd.concat([base, pd.DataFrame(loops)], ignore_index=True)
+
+
 def make_audio_excerpt_corpus(
     n: int = 400,
     seed: int = 42,

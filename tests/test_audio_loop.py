@@ -1,0 +1,70 @@
+"""Looped-audio detection (operators/audio_loop.py).
+
+Detection quality on the seeded tiled-payload corpus, the
+degenerate-stream guard's behavior, and Spark-vs-twin row equality
+(the all-integer decision law means EXACT equality, not approx).
+"""
+
+from __future__ import annotations
+
+from data_quality_spark.operators.audio_loop import loop_scan
+from data_quality_spark.oracles import _audio_loop_expected
+from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+from data_quality_spark.synth import make_audio_loop_corpus
+
+
+def test_detector_catches_seeded_loops_no_false_positives():
+    exp = _audio_loop_expected()
+    pdf = make_audio_loop_corpus(300, seed=42).set_index("clip_id")
+    tp = fn = fp = 0
+    degenerate_misses = 0
+    for cid, looped, distinct in zip(
+        exp["clip_id"], exp["looped"], exp["n_distinct"]
+    ):
+        truth = pdf.loc[cid, "defect"] == "looped"
+        if truth and looped:
+            tp += 1
+        elif truth:
+            fn += 1
+            # the only admissible miss: the degenerate-stream guard
+            # (near-silent base → its loop is ALSO degenerate; the
+            # silence audit owns that clip, not the loop scan)
+            assert distinct < 8, cid
+            degenerate_misses += 1
+        elif looped:
+            fp += 1
+    assert fp == 0
+    assert tp >= 40
+    assert fn == degenerate_misses <= 2
+
+
+def test_loop_scan_matches_twin_exactly(spark):
+    pdf = make_audio_loop_corpus(300, seed=42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(pdf[cols], CLIPS_SCHEMA).repartition(
+        8, "clip_id"
+    )
+    got = {r["clip_id"]: r for r in loop_scan(clips).collect()}
+    exp = _audio_loop_expected()
+    assert len(got) == len(exp["clip_id"])
+    for i, cid in enumerate(exp["clip_id"]):
+        r = got[cid]
+        for col in ("ok", "n_frames", "n_distinct", "best_lag",
+                    "match_num", "match_den", "looped"):
+            assert r[col] == exp[col][i], (cid, col)
+
+
+def test_tiled_payload_best_lag_is_the_period(spark):
+    """For a frame-aligned tile of S hops, the reported best lag divides
+    into the tiling structure: fp self-matches at lag = S-1 frames (the
+    50%-overlap stream has n_hops-1 words per period)."""
+    pdf = make_audio_loop_corpus(300, seed=42)
+    loops = pdf[pdf["defect"] == "looped"]
+    assert len(loops) >= 40
+    exp = _audio_loop_expected()
+    by_id = {c: (exp["best_lag"][i], exp["looped"][i])
+             for i, c in enumerate(exp["clip_id"])}
+    # seg hops cycle through 40 + 17·(k mod 3) = 40, 57, 74
+    flagged_lags = {by_id[c][0] for c in loops["clip_id"]
+                    if by_id[c][1]}
+    assert flagged_lags <= {39, 40, 56, 57, 73, 74}, flagged_lags
