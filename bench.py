@@ -464,7 +464,8 @@ def main() -> None:
         "dedup_incremental", "drift_report", "quality_score",
         "encoding_audit", "text_audit", "frequent_line_removal",
         "vocab_stats", "length_histogram", "image_features",
-        "image_near_dup",
+        "image_near_dup", "image_phash_near_dup", "utterance_audit",
+        "label_noise_audit", "audio_loop_scan",
     ]
     # headline-only mode: just the gate pair + health scan (~90 s) — fits
     # inside the short quiet gaps this shared host actually has, where the
