@@ -148,7 +148,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     au.add_argument("--tables", required=True)
     au.add_argument("--table", required=True, help="table name to audit")
-    au.add_argument("--kind", choices=["text", "audio"], default="text")
+    au.add_argument(
+        "--kind", choices=["text", "audio", "loops", "labels"],
+        default="text",
+    )
     au.add_argument("--min-words", type=int, default=15)
     au.add_argument("--max-words", type=int, default=90)
     au.add_argument("--format", choices=["text", "json"], default="text")
@@ -517,6 +520,24 @@ def main(argv: list[str] | None = None) -> int:
                 from .operators.audio_audit import audio_audit, audit_issues
 
                 issues_df = audit_issues(audio_audit(df), table=args.table)
+            elif args.kind == "loops":
+                from .operators.audio_loop import loop_issues, loop_scan
+
+                issues_df = loop_issues(loop_scan(df), table=args.table)
+            elif args.kind == "labels":
+                from .operators.audio_dedup import (
+                    clip_fingerprints,
+                    fingerprint_near_dup,
+                )
+                from .operators.label_noise import (
+                    label_issues,
+                    transcript_mismatch,
+                )
+
+                pairs = fingerprint_near_dup(clip_fingerprints(df))
+                issues_df = label_issues(
+                    transcript_mismatch(pairs, df), table=args.table
+                )
             else:
                 from .operators.text_audit import text_audit_issues
 

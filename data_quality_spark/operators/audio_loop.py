@@ -38,9 +38,16 @@ across rows.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["loop_scan", "LOOP_FRAC_NUM", "LOOP_FRAC_DEN", "MIN_DISTINCT"]
+__all__ = [
+    "loop_scan",
+    "loop_issues",
+    "LOOP_FRAC_NUM",
+    "LOOP_FRAC_DEN",
+    "MIN_DISTINCT",
+]
 
 LOOP_FRAC_NUM = 9       # looped iff matches·DEN ≥ NUM·valid (i.e. ≥ 0.9)
 LOOP_FRAC_DEN = 10
@@ -133,3 +140,44 @@ def loop_scan(
             )
 
     return df.mapInArrow(run, out_schema)
+
+
+def loop_issues(scan: DataFrame, table: str = "clips") -> DataFrame:
+    """Issue relation over the loop scan (reference issue schema, ONE
+    fused aggregate — the audit_issues law): ``looped`` (critical) and
+    ``degenerate_stream`` (info — too few distinct fingerprint words to
+    even test; the silence/tonality audits own those clips)."""
+    wide = scan.agg(
+        F.count(F.lit(1)).alias("__total__"),
+        F.count(F.when(F.col("looped"), 1)).alias("n:looped"),
+        F.count(
+            F.when(
+                (F.col("n_frames") > 0)
+                & (F.col("n_distinct") < F.lit(MIN_DISTINCT)),
+                1,
+            )
+        ).alias("n:degenerate_stream"),
+    )
+    rules = [
+        ("looped", "critical", "bytes",
+         "payload is a tiled copy of a short segment"),
+        ("degenerate_stream", "info", "bytes",
+         "too few distinct fingerprint words to test for loops"),
+    ]
+    structs = []
+    for name, sev, column, desc in rules:
+        cnt = F.col(f"n:{name}")
+        total = F.col("__total__")
+        structs.append(F.struct(
+            F.lit(table).alias("table"),
+            F.lit(column).alias("column"),
+            F.lit(name).alias("issue_type"),
+            cnt.alias("count"),
+            total.alias("total"),
+            F.when(total > 0, cnt * 100.0 / total).otherwise(F.lit(0.0))
+            .cast("double").alias("percent"),
+            F.when(cnt > 0, F.lit(sev)).otherwise(F.lit("info"))
+            .alias("severity"),
+            F.lit(desc).alias("description"),
+        ))
+    return wide.select(F.explode(F.array(*structs)).alias("i")).select("i.*")

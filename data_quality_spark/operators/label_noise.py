@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from .dedup import tokens_col
 
-__all__ = ["transcript_mismatch"]
+__all__ = ["transcript_mismatch", "label_issues"]
 
 
 def transcript_mismatch(
@@ -77,4 +77,28 @@ def transcript_mismatch(
         .withColumn("jaccard", jac)
         .withColumn("label_mismatch", F.col("jaccard") < F.lit(jaccard_max))
         .drop("__ta", "__tb")
+    )
+
+
+def label_issues(mismatch: DataFrame, table: str = "clips") -> DataFrame:
+    """Issue relation over the annotated pair relation (reference issue
+    schema, ONE fused aggregate): ``label_mismatch`` pairs out of all
+    verified near-dup pairs."""
+    wide = mismatch.agg(
+        F.count(F.lit(1)).alias("__total__"),
+        F.count(F.when(F.col("label_mismatch"), 1)).alias("n"),
+    )
+    cnt, total = F.col("n"), F.col("__total__")
+    return wide.select(
+        F.lit(table).alias("table"),
+        F.lit("transcript").alias("column"),
+        F.lit("label_mismatch").alias("issue_type"),
+        cnt.alias("count"),
+        total.alias("total"),
+        F.when(total > 0, cnt * 100.0 / total).otherwise(F.lit(0.0))
+        .cast("double").alias("percent"),
+        F.when(cnt > 0, F.lit("warning")).otherwise(F.lit("info"))
+        .alias("severity"),
+        F.lit("audio near-duplicate pairs with disagreeing transcripts")
+        .alias("description"),
     )

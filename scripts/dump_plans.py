@@ -192,6 +192,27 @@ def main() -> None:
             None,
         ),
         (
+            "Looped-audio scan (per-clip self-similarity, zero shuffle)",
+            "ONE MapInArrow stage computes the whole lag scan per row "
+            "(decode → fingerprint → O(n²) integer compare, all inside "
+            "the Python worker): the plan must contain NO Exchange after "
+            "the input's own repartition — self-similarity is row-local "
+            "work, so a 10^12-clip corpus pays exactly one read and zero "
+            "shuffles.",
+            None,
+        ),
+        (
+            "Cross-modal label-noise audit (near-dup pairs × transcript Jaccard)",
+            "Downstream of the fingerprint near-dup DAG (evidenced in its "
+            "own section), the audit adds exactly TWO clip_id-keyed hash "
+            "joins to attach per-side token sets and one codegen span for "
+            "the set Jaccard; the token arrays are projected away "
+            "immediately after it, so nothing wider than (id, id, ber, "
+            "jaccard, flag) leaves the stage. Pair relations are bucket-"
+            "bounded, so AQE is free to broadcast them against the corpus.",
+            None,
+        ),
+        (
             "Gopher quality rules (zero-shuffle flag pass)",
             "Every rule signal (token count, non-space chars, alpha-word "
             "count, symbol count, stopword hits) is column arithmetic "
@@ -283,6 +304,38 @@ def main() -> None:
     sections[ta_i] = (*sections[ta_i][:2], text_audit_issues(docs))
     sections[fl_i] = (*sections[fl_i][:2],
                       remove_frequent_lines(docs, min_docs=10))
+
+    from data_quality_spark.operators.audio_dedup import (
+        clip_fingerprints,
+        fingerprint_near_dup,
+    )
+    from data_quality_spark.operators.audio_loop import loop_scan
+    from data_quality_spark.operators.label_noise import transcript_mismatch
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import (
+        make_audio_dup_corpus,
+        make_audio_loop_corpus,
+    )
+
+    ccols = [f.name for f in CLIPS_SCHEMA.fields]
+    loop_clips = spark.createDataFrame(
+        make_audio_loop_corpus(300, seed=42)[ccols], CLIPS_SCHEMA
+    ).repartition(8, "clip_id")
+    dup_clips = spark.createDataFrame(
+        make_audio_dup_corpus(400, seed=42, relabel_every=3)[ccols],
+        CLIPS_SCHEMA,
+    ).repartition(8, "clip_id")
+    loop_i = next(i for i, s in enumerate(sections)
+                  if s[0].startswith("Looped-audio"))
+    ln_i = next(i for i, s in enumerate(sections)
+                if s[0].startswith("Cross-modal"))
+    sections[loop_i] = (*sections[loop_i][:2], loop_scan(loop_clips))
+    sections[ln_i] = (
+        *sections[ln_i][:2],
+        transcript_mismatch(
+            fingerprint_near_dup(clip_fingerprints(dup_clips)), dup_clips
+        ),
+    )
 
     out = ["# PLANS — physical-plan evidence for the core operators\n"]
     out.append(

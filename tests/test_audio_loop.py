@@ -68,3 +68,34 @@ def test_tiled_payload_best_lag_is_the_period(spark):
     flagged_lags = {by_id[c][0] for c in loops["clip_id"]
                     if by_id[c][1]}
     assert flagged_lags <= {39, 40, 56, 57, 73, 74}, flagged_lags
+
+
+def test_loop_scan_is_streaming_legal(spark, tmp_path):
+    """loop_scan is a stateless per-row map: the same mapInArrow runs on
+    a readStream unchanged and emits identical rows per clip."""
+    pdf = make_audio_loop_corpus(80, seed=42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    src = tmp_path / "clips"
+    spark.createDataFrame(pdf[cols], CLIPS_SCHEMA).coalesce(2).write.parquet(
+        str(src)
+    )
+    stream = spark.readStream.schema(CLIPS_SCHEMA).parquet(str(src))
+    q = (
+        loop_scan(stream)
+        .writeStream.format("memory")
+        .queryName("loop_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["clip_id"]: r for r in
+           spark.sql("SELECT * FROM loop_out").collect()}
+    want = {r["clip_id"]: r for r in
+            loop_scan(spark.read.parquet(str(src))).collect()}
+    assert set(got) == set(want) and len(got) == len(pdf)
+    for cid, w in want.items():
+        g = got[cid]
+        for col in ("ok", "n_frames", "n_distinct", "best_lag",
+                    "match_num", "match_den", "looped"):
+            assert g[col] == w[col], (cid, col)

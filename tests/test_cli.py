@@ -362,3 +362,48 @@ def test_cli_audit(spark, tmp_path, capsys, monkeypatch):
     rows = {r["issue_type"]: r for r in json.loads(capsys.readouterr().out)}
     assert code == 0
     assert "undecodable" in rows and rows["undecodable"]["total"] == 60
+
+
+def test_cli_audit_loops_and_labels(spark, tmp_path, capsys, monkeypatch):
+    """audit --kind loops / labels: the new audio curation audits behind
+    the same fail_on exit-code policy."""
+    import data_quality_spark.cli as cli
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import (
+        make_audio_dup_corpus,
+        make_audio_loop_corpus,
+    )
+
+    monkeypatch.setattr("pyspark.sql.SparkSession.stop", lambda self: None)
+    tables = tmp_path / "tables"
+    tables.mkdir()
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+
+    loops = make_audio_loop_corpus(120, seed=42)
+    spark.createDataFrame(loops[cols], CLIPS_SCHEMA).coalesce(2).write.parquet(
+        str(tables / "loopclips.parquet")
+    )
+    # seeded loops are critical → default fail_on exits 2
+    code = cli.main(
+        ["audit", "--tables", str(tables), "--table", "loopclips",
+         "--kind", "loops", "--format", "json"]
+    )
+    rows = {r["issue_type"]: r for r in json.loads(capsys.readouterr().out)}
+    assert code == 2
+    assert rows["looped"]["count"] > 0
+    assert rows["looped"]["severity"] == "critical"
+    assert rows["looped"]["total"] == len(loops)
+
+    dups = make_audio_dup_corpus(200, seed=42, relabel_every=2)
+    spark.createDataFrame(dups[cols], CLIPS_SCHEMA).coalesce(2).write.parquet(
+        str(tables / "dupclips.parquet")
+    )
+    code = cli.main(
+        ["audit", "--tables", str(tables), "--table", "dupclips",
+         "--kind", "labels", "--format", "json", "--fail-on", "none"]
+    )
+    rows = {r["issue_type"]: r for r in json.loads(capsys.readouterr().out)}
+    assert code == 0
+    r = rows["label_mismatch"]
+    assert 0 < r["count"] <= r["total"]
+    assert r["severity"] == "warning"
