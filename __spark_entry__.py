@@ -1566,6 +1566,71 @@ def q_utterance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_hash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-method recall relation — the image analog of ann_recall: the
+    three perceptual families (aHash/dHash/pHash) run over the same
+    corpus and their pair sets are intersected, so the accuracy
+    trade-off ITSELF is driver-hash-checked (pairs found per method,
+    pairs all three agree on, pairs unique to one).  Diagnostic query:
+    three hash passes by construction; a production pipeline fuses to
+    one decode.  Twin: three independent pure-Python hashes +
+    brute-force pairing + explicit set algebra; all-int outputs."""
+    from data_quality_spark.operators.image_dedup import (
+        image_hashes,
+        image_near_pairs,
+    )
+    from data_quality_spark.synth import generate_image_corpus
+
+    ensure_expected("image_hash_recall", sf_dir)
+    pdf = generate_image_corpus(120, seed=42)
+    media = spark.createDataFrame(
+        pdf, "media_id string, payload binary"
+    ).repartition(4)
+    per_method = []
+    counts = []
+    for method in ("ahash", "dhash", "phash"):
+        hashes = image_hashes(media, method=method)
+        counts.append(
+            hashes.agg(
+                F.lit(method).alias("method"),
+                F.count(F.lit(1)).cast("long").alias("n_hashed"),
+            )
+        )
+        per_method.append(
+            image_near_pairs(hashes, hash_col=method)
+            .select("id_a", "id_b", F.lit(method).alias("method"))
+        )
+    u = per_method[0].unionAll(per_method[1]).unionAll(per_method[2])
+    per_pair = u.groupBy("id_a", "id_b").agg(
+        F.collect_set("method").alias("ms")
+    )
+    stats = (
+        per_pair.select(
+            F.explode("ms").alias("method"), F.size("ms").alias("k")
+        )
+        .groupBy("method")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.count(F.when(F.col("k") == 3, 1)).cast("long")
+            .alias("n_shared_all"),
+            F.count(F.when(F.col("k") == 1, 1)).cast("long")
+            .alias("n_unique"),
+        )
+    )
+    n_hashed = counts[0].unionAll(counts[1]).unionAll(counts[2])
+    return (
+        n_hashed.join(stats, "method", "left")
+        .select(
+            "method",
+            "n_hashed",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_shared_all", F.lit(0)).alias("n_shared_all"),
+            F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
+        )
+        .orderBy("method")
+    )
+
+
 def q_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image duplicate-cluster closure: dHash near-dup pairs → large-star/
     small-star connected components (noise + brightness re-encodes of one
@@ -1785,6 +1850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_near_dup": q_image_near_dup,
         "image_dedup_clusters": q_image_dedup_clusters,
         "image_phash_near_dup": q_image_phash_near_dup,
+        "image_hash_recall": q_image_hash_recall,
         "utterance_audit": q_utterance_audit,
     }
 
@@ -3215,5 +3281,6 @@ ORDER BY d.doc_id""",
         "image_near_dup": _expected_sql("image_near_dup"),
         "image_dedup_clusters": _expected_sql("image_dedup_clusters"),
         "image_phash_near_dup": _expected_sql("image_phash_near_dup"),
+        "image_hash_recall": _expected_sql("image_hash_recall"),
         "utterance_audit": _expected_sql("utterance_audit"),
     }

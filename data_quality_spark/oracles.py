@@ -1103,6 +1103,81 @@ def _phash_py(rows) -> int:
     return v
 
 
+def _ahash_py(rows) -> int:
+    """Independent pure-Python aHash twin: explicit block-sum loops,
+    cell-vs-global cross-multiplied compare (same law as the kernel,
+    different execution)."""
+    h = len(rows)
+    w = len(rows[0])
+    if h < 8 or w < 8:
+        raise ValueError("too small")
+    luma = [
+        [299 * r0 + 587 * g0 + 114 * b0 for (r0, g0, b0) in row]
+        for row in rows
+    ]
+    total_sum = sum(sum(r) for r in luma)
+    total_cnt = h * w
+    rb = [(i * h) // 8 for i in range(9)]
+    cb = [(j * w) // 8 for j in range(9)]
+    v = 0
+    for i in range(8):
+        for j in range(8):
+            s = 0
+            for y in range(rb[i], rb[i + 1]):
+                for x in range(cb[j], cb[j + 1]):
+                    s += luma[y][x]
+            cnt = (rb[i + 1] - rb[i]) * (cb[j + 1] - cb[j])
+            if s * total_cnt > total_sum * cnt:
+                v |= 1 << (i * 8 + j)
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+def _image_hash_recall_expected(n=120, seed=42, max_hamming=3) -> dict:
+    """Twin of the hash-method recall relation: all three perceptual
+    families brute-forced independently (``_dhash_py`` / ``_ahash_py`` /
+    ``_phash_py`` over ``_bmp_rgb_py``), pair sets intersected with
+    explicit Python set algebra.  All-integer outputs — exact."""
+    from .synth import generate_image_corpus
+
+    pdf = generate_image_corpus(n, seed=seed)
+    fns = {"ahash": _ahash_py, "dhash": _dhash_py, "phash": _phash_py}
+    pair_sets: dict[str, set] = {}
+    hashed: dict[str, int] = {}
+    for method, fn in fns.items():
+        sigs = []
+        for _, r in pdf.iterrows():
+            try:
+                sigs.append((r["media_id"],
+                             fn(_bmp_rgb_py(bytes(r["payload"])))))
+            except ValueError:
+                continue
+        hashed[method] = len(sigs)
+        ps = set()
+        for i in range(len(sigs)):
+            for j in range(i + 1, len(sigs)):
+                a, ha = sigs[i]
+                b, hb = sigs[j]
+                d = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+                if d <= max_hamming:
+                    ps.add((min(a, b), max(a, b)))
+        pair_sets[method] = ps
+    out = {"method": [], "n_hashed": [], "n_pairs": [],
+           "n_shared_all": [], "n_unique": []}
+    for method in sorted(fns):
+        mine = pair_sets[method]
+        others = [pair_sets[m] for m in fns if m != method]
+        out["method"].append(method)
+        out["n_hashed"].append(hashed[method])
+        out["n_pairs"].append(len(mine))
+        out["n_shared_all"].append(
+            len(mine & others[0] & others[1]))
+        out["n_unique"].append(
+            len(mine - others[0] - others[1]))
+    return out
+
+
 def _image_phash_near_dup_expected(n=120, seed=42) -> dict:
     """Twin of ``image_hashes(method='phash') → image_near_pairs``:
     independent BMP parse + independent fixed-point DCT hash +
@@ -2690,6 +2765,11 @@ _SCHEMAS: dict[str, pa.Schema] = {
         [("id_a", pa.string()), ("id_b", pa.string()),
          ("hamming", pa.int32())]
     ),
+    "image_hash_recall": pa.schema(
+        [("method", pa.string()), ("n_hashed", pa.int64()),
+         ("n_pairs", pa.int64()), ("n_shared_all", pa.int64()),
+         ("n_unique", pa.int64())]
+    ),
     "utterance_audit": pa.schema(
         [("table", pa.string()), ("column", pa.string()),
          ("issue_type", pa.string()), ("count", pa.int64()),
@@ -2841,6 +2921,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _image_dedup_clusters_expected()
     elif name == "image_phash_near_dup":
         data = _image_phash_near_dup_expected()
+    elif name == "image_hash_recall":
+        data = _image_hash_recall_expected()
     elif name == "utterance_audit":
         data = _utterance_audit_expected()
     else:

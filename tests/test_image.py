@@ -265,3 +265,23 @@ class TestPhashAhash:
             got, zip(exp["id_a"], exp["id_b"], exp["hamming"])
         ):
             assert (r["id_a"], r["id_b"], r["hamming"]) == (a, b, d)
+
+
+def test_image_hash_recall_query(spark, sf_dir):
+    """The method-comparison relation matches the all-Python set-algebra
+    twin, and the expected structure holds: pHash is the conservative
+    core (its pairs are found by all three), dHash/aHash find supersets."""
+    import __spark_entry__ as e
+    from data_quality_spark.oracles import _image_hash_recall_expected
+
+    got = {r["method"]: r for r in
+           e.q_image_hash_recall(spark, sf_dir).collect()}
+    exp = _image_hash_recall_expected(120, seed=42)
+    assert set(got) == {"ahash", "dhash", "phash"}
+    for i, m in enumerate(exp["method"]):
+        r = got[m]
+        for col in ("n_hashed", "n_pairs", "n_shared_all", "n_unique"):
+            assert r[col] == exp[col][i], (m, col)
+    assert got["phash"]["n_pairs"] == got["phash"]["n_shared_all"]
+    assert got["phash"]["n_unique"] == 0
+    assert got["dhash"]["n_pairs"] >= got["phash"]["n_pairs"]
