@@ -976,6 +976,7 @@ def q_label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_b",
         F.round("ber", 6).alias("ber_r"),
         F.round("jaccard", 6).alias("jaccard_r"),
+        "edit_dist",
         "label_mismatch",
     ).orderBy("id_a", "id_b")
 
@@ -1374,6 +1375,29 @@ def q_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.xxhash64("bytes").alias("payload_h"),
         F.round("rms_db", 4).alias("rms_db_r"),
     ).orderBy("clip_id", "seg_idx")
+
+
+def q_audio_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading/trailing-silence trim (the whole-clip training-prep
+    transform; interior pauses kept): one decode, one output row per
+    input row, zero shuffles; trimmed payloads hash-checked byte-for-
+    byte (Spark xxhash64 vs from-spec XXH64 over an independently
+    re-derived span)."""
+    from data_quality_spark.operators.audio_vad import trim_silence
+
+    ensure_expected("audio_trim", sf_dir)
+    t = trim_silence(_clips_df(spark, n=300))
+    return t.select(
+        "clip_id",
+        "ok",
+        "trimmed",
+        "sr_hz",
+        "n_in",
+        "n_out",
+        "lead_ms",
+        "tail_ms",
+        F.xxhash64("bytes").alias("payload_h"),
+    ).orderBy("clip_id")
 
 
 def q_audio_audit_issues(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1828,6 +1852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_loudness": q_audio_loudness,
         "audio_bandwidth": q_audio_bandwidth,
         "audio_audit_issues": q_audio_audit_issues,
+        "audio_trim": q_audio_trim,
         "audio_chunks": q_audio_chunks,
         "audio_decontaminate": q_audio_decontaminate,
         "audio_vad": q_audio_vad,
@@ -3254,6 +3279,7 @@ FROM ranked WHERE rnk <= 3""",
         "audio_loudness": _expected_sql("audio_loudness"),
         "audio_bandwidth": _expected_sql("audio_bandwidth"),
         "audio_audit_issues": _expected_sql("audio_audit_issues"),
+        "audio_trim": _expected_sql("audio_trim"),
         "audio_chunks": _expected_sql("audio_chunks"),
         "audio_decontaminate": _expected_sql("audio_decontaminate"),
         "audio_vad": _expected_sql("audio_vad"),

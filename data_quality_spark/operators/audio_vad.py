@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 __all__ = ["clip_vad", "clip_segments", "speaking_rate",
-           "extract_segments", "VAD_FIELDS"]
+           "extract_segments", "trim_silence", "VAD_FIELDS"]
 
 VAD_FIELDS = [
     ("n_frames", T.IntegerType(), "int32"),
@@ -335,6 +335,104 @@ def extract_segments(
                 + [pa.array(carried[c], type=carry_types[c])
                    for c in carry_cols],
                 names=list(out) + list(carry_cols),
+            )
+
+    return df.mapInArrow(run, out_schema)
+
+
+def trim_silence(df: DataFrame, counter=None) -> DataFrame:
+    """Leading/trailing-silence trim — the standard training-prep
+    transform ``extract_segments`` is the per-utterance version of: ONE
+    span [first active segment's start, last active segment's end] is
+    sliced out of the decoded waveform (interior pauses are KEPT — this
+    is a trim, not a chunker), emitted as pcm16 regardless of input
+    codec.
+
+    One decode per clip, variable nothing — exactly one output row per
+    input row, zero shuffles.  Rows with no usable activity (undecodable,
+    sr ≤ 0, or no active VAD segment) pass through with ``trimmed=False``
+    and an empty payload (``n_out = 0``): the gate's silence rule owns
+    those clips, and a training manifest should never carry them.
+
+    Bounds are the VAD's exact frame-grid sample indices (never the
+    rounded ms fields), so the pure-Python twin re-derives the slice
+    byte-for-byte.
+    """
+    col_idx = {f.name: i for i, f in enumerate(df.schema.fields)}
+    out_schema = T.StructType([
+        T.StructField("clip_id", T.StringType(), False),
+        T.StructField("ok", T.BooleanType(), False),
+        T.StructField("trimmed", T.BooleanType(), False),
+        T.StructField("sr_hz", T.IntegerType(), False),
+        T.StructField("n_in", T.IntegerType(), False),
+        T.StructField("n_out", T.IntegerType(), False),
+        T.StructField("lead_ms", T.IntegerType(), False),
+        T.StructField("tail_ms", T.IntegerType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+    ])
+
+    def run(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from ..functions.audio import _decode_i16
+        from ..functions.vad import vad_segments
+
+        for batch in batches:
+            ids = batch.column(col_idx["clip_id"]).to_pylist()
+            payloads = batch.column(col_idx["bytes"])
+            codecs = batch.column(col_idx["codec"]).to_pylist()
+            srs = batch.column(col_idx["sr_hz"]).to_pylist()
+            if counter is not None:
+                counter.add(batch.num_rows)
+            out = {k: [] for k in ("ok", "trimmed", "sr_hz", "n_in",
+                                   "n_out", "lead_ms", "tail_ms",
+                                   "bytes")}
+            for i in range(batch.num_rows):
+                buf = payloads[i].as_buffer() if payloads[i].is_valid else None
+                try:
+                    q = _decode_i16(buf, codecs[i], srs[i])
+                    ok = True
+                except (ValueError, TypeError):
+                    q = np.zeros(0, dtype=np.int16)
+                    ok = False
+                sr = srs[i] or 0
+                segs = (list(vad_segments(
+                    q.astype(np.float32) / np.float32(32767.0), sr))
+                    if ok and sr > 0 else [])
+                n_in = int(q.size)
+                if segs:
+                    s0 = int(segs[0]["start_sample"])
+                    s1 = int(segs[-1]["end_sample"])
+                    sl = np.ascontiguousarray(q[s0:s1], dtype="<i2")
+                    out["trimmed"].append(True)
+                    out["n_out"].append(int(sl.size))
+                    out["lead_ms"].append(
+                        int(round(s0 * 1000 / sr)) if sr else 0)
+                    out["tail_ms"].append(
+                        int(round((n_in - s1) * 1000 / sr)) if sr else 0)
+                    out["bytes"].append(sl.tobytes())
+                else:
+                    out["trimmed"].append(False)
+                    out["n_out"].append(0)
+                    out["lead_ms"].append(0)
+                    out["tail_ms"].append(0)
+                    out["bytes"].append(b"")
+                out["ok"].append(ok)
+                out["sr_hz"].append(sr)
+                out["n_in"].append(n_in)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.string()),
+                 pa.array(out["ok"], type=pa.bool_()),
+                 pa.array(out["trimmed"], type=pa.bool_()),
+                 pa.array(out["sr_hz"], type=pa.int32()),
+                 pa.array(out["n_in"], type=pa.int32()),
+                 pa.array(out["n_out"], type=pa.int32()),
+                 pa.array(out["lead_ms"], type=pa.int32()),
+                 pa.array(out["tail_ms"], type=pa.int32()),
+                 pa.array(out["bytes"], type=pa.binary())],
+                names=["clip_id", "ok", "trimmed", "sr_hz", "n_in",
+                       "n_out", "lead_ms", "tail_ms", "bytes"],
             )
 
     return df.mapInArrow(run, out_schema)

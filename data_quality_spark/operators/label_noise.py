@@ -48,21 +48,30 @@ def transcript_mismatch(
     jaccard_max: float = 0.5,
 ) -> DataFrame:
     """Annotate near-dup ``pairs`` (id_a, id_b, ...) with the token-set
-    Jaccard of the two sides' ``text_col`` and a ``label_mismatch`` flag
-    (Jaccard < ``jaccard_max``).  Pass-through columns of ``pairs`` (e.g.
-    the verify stage's ``ber``) survive unchanged."""
+    Jaccard of the two sides' ``text_col``, the character-level edit
+    distance (``F.levenshtein`` — the classic transcript-agreement
+    metric, computed JVM-side on the few verified pairs, never on the
+    corpus), and a ``label_mismatch`` flag (Jaccard < ``jaccard_max``).
+    Pass-through columns of ``pairs`` (e.g. the verify stage's ``ber``)
+    survive unchanged."""
     toks = F.array_distinct(tokens_col(F.col(text_col)))
-    slim = clips.select(F.col(id_col), toks.alias("__toks"))
+    slim = clips.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.col(text_col).alias("__text"),
+    )
     joined = (
         pairs
         .join(
             slim.select(F.col(id_col).alias("id_a"),
-                        F.col("__toks").alias("__ta")),
+                        F.col("__toks").alias("__ta"),
+                        F.col("__text").alias("__xa")),
             "id_a",
         )
         .join(
             slim.select(F.col(id_col).alias("id_b"),
-                        F.col("__toks").alias("__tb")),
+                        F.col("__toks").alias("__tb"),
+                        F.col("__text").alias("__xb")),
             "id_b",
         )
     )
@@ -75,8 +84,12 @@ def transcript_mismatch(
     return (
         joined
         .withColumn("jaccard", jac)
+        .withColumn(
+            "edit_dist",
+            F.levenshtein(F.col("__xa"), F.col("__xb")).cast("int"),
+        )
         .withColumn("label_mismatch", F.col("jaccard") < F.lit(jaccard_max))
-        .drop("__ta", "__tb")
+        .drop("__ta", "__tb", "__xa", "__xb")
     )
 
 

@@ -46,7 +46,7 @@ __all__ = ["ensure_expected", "expected_path", "spark_round"]
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EXPECTED_DIR = os.path.join(_REPO, "expected")
 # bump to invalidate every committed expected file after a generator change
-_VERSION = 8
+_VERSION = 9
 # generation guard: differential oracles only run at correctness scale
 _MAX_ORACLE_ROWS = 2500
 
@@ -1371,6 +1371,25 @@ def _tokens_py(text) -> set[str]:
     return set(_re.split(r"[ \t\n\r\x0b\f]+", t))
 
 
+def _levenshtein_py(a, b) -> int | None:
+    """Independent DP edit distance over code points (the definition
+    Spark's ``levenshtein`` and DuckDB's ``levenshtein`` both implement:
+    unit-cost insert/delete/substitute)."""
+    if a is None or b is None:
+        return None
+    a, b = str(a), str(b)
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[len(b)]
+
+
 def _label_noise_expected(
     n=400, seed=42, relabel_every=3, jaccard_max=0.5
 ) -> dict:
@@ -1378,16 +1397,19 @@ def _label_noise_expected(
     over the relabelled dup corpus: the verified pair set is the shared
     from-spec XXH64 + popcount twin; on top, token SETS and Jaccard are
     rebuilt with explicit Python set algebra (vs Spark array_intersect/
-    array_union), the two-empty-sets-agree convention replayed, and the
-    6dp rounding guarded off half-step boundaries at generation time."""
+    array_union), the edit distance with an independent Python DP (vs
+    the JVM's levenshtein), the two-empty-sets-agree convention
+    replayed, and the 6dp rounding guarded off half-step boundaries at
+    generation time."""
     from .synth import make_audio_dup_corpus
 
     pairs = _audio_verified_pairs(n, seed, relabel_every=relabel_every)
     pdf = make_audio_dup_corpus(n, seed=seed, relabel_every=relabel_every)
     toks = {r["clip_id"]: _tokens_py(r["transcript"])
             for _, r in pdf.iterrows()}
+    texts = {r["clip_id"]: r["transcript"] for _, r in pdf.iterrows()}
     out = {"id_a": [], "id_b": [], "ber_r": [], "jaccard_r": [],
-           "label_mismatch": []}
+           "edit_dist": [], "label_mismatch": []}
     raw: list[float] = []
     for a, b, ber_r in pairs:
         ta, tb = toks[a], toks[b]
@@ -1398,6 +1420,7 @@ def _label_noise_expected(
         out["id_b"].append(b)
         out["ber_r"].append(ber_r)
         out["jaccard_r"].append(spark_round(jac, 6))
+        out["edit_dist"].append(_levenshtein_py(texts[a], texts[b]))
         out["label_mismatch"].append(jac < jaccard_max)
     _assert_off_rounding_boundary(raw, 6)
     return out
@@ -2454,6 +2477,67 @@ def _utterance_audit_expected(n=300, seed=42, min_dur_ms=200) -> dict:
     return out
 
 
+def _audio_trim_expected(n=300, seed=42) -> dict:
+    """Twin of ``audio_vad.trim_silence``: the independent VAD state
+    machine derives the FIRST active run's start frame and the LAST
+    active run's end frame; the span slice is re-taken on those exact
+    frame-grid bounds and hashed with the from-spec XXH64 (bit-matching
+    Spark ``xxhash64`` at seed 42).  All other outputs are ints/bools —
+    exact."""
+    from .functions.audio import SILENCE_DB, _decode_i16
+    from .functions.vad import HANG_FRAMES, MIN_SPEECH_FRAMES, frame_mean_squares
+    from .functions.xxh64 import xxh64_bytes
+    from .synth import generate_clips
+
+    def signed(h: int) -> int:
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    pdf = generate_clips(n, seed=seed)
+    out: dict[str, list] = {k: [] for k in
+                            ("clip_id", "ok", "trimmed", "sr_hz", "n_in",
+                             "n_out", "lead_ms", "tail_ms", "payload_h")}
+    for _, r in pdf.sort_values("clip_id").iterrows():
+        sr = r["sr_hz"] or 0
+        try:
+            q = _decode_i16(r["bytes"], r["codec"], r["sr_hz"])
+            ok = True
+        except (ValueError, TypeError):
+            q = np.zeros(0, dtype=np.int16)
+            ok = False
+        x = q.astype(np.float32) / np.float32(32767.0)
+        act: list[bool] = []
+        frame = 1
+        if ok and sr > 0 and x.size:
+            ms2, frame = frame_mean_squares(x, sr)
+            if ms2.size:
+                frame_db = 10.0 * np.log10(np.maximum(ms2, 1e-24))
+                act = _vad_state_machine(frame_db, SILENCE_DB,
+                                         HANG_FRAMES, MIN_SPEECH_FRAMES)
+        first = next((i for i, a in enumerate(act) if a), None)
+        n_in = int(q.size)
+        if first is None:
+            trimmed, s0, s1 = False, 0, 0
+            payload = b""
+        else:
+            last = max(i for i, a in enumerate(act) if a) + 1
+            s0, s1 = first * frame, last * frame
+            trimmed = True
+            payload = np.ascontiguousarray(
+                q[s0:s1], dtype="<i2").tobytes()
+        out["clip_id"].append(r["clip_id"])
+        out["ok"].append(ok)
+        out["trimmed"].append(trimmed)
+        out["sr_hz"].append(int(sr))
+        out["n_in"].append(n_in)
+        out["n_out"].append(len(payload) // 2)
+        out["lead_ms"].append(int(round(s0 * 1000 / sr))
+                              if trimmed and sr else 0)
+        out["tail_ms"].append(int(round((n_in - s1) * 1000 / sr))
+                              if trimmed and sr else 0)
+        out["payload_h"].append(signed(xxh64_bytes(payload, 42)))
+    return out
+
+
 def _resample_definition(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
     """Literal zero-stuff → convolve → decimate resampler (the definition
     the polyphase kernel optimizes).  Shares only the tap design with
@@ -2639,7 +2723,14 @@ _SCHEMAS: dict[str, pa.Schema] = {
     "label_noise_audit": pa.schema(
         [("id_a", pa.string()), ("id_b", pa.string()),
          ("ber_r", pa.float64()), ("jaccard_r", pa.float64()),
-         ("label_mismatch", pa.bool_())]
+         ("edit_dist", pa.int32()), ("label_mismatch", pa.bool_())]
+    ),
+    "audio_trim": pa.schema(
+        [("clip_id", pa.string()), ("ok", pa.bool_()),
+         ("trimmed", pa.bool_()), ("sr_hz", pa.int32()),
+         ("n_in", pa.int32()), ("n_out", pa.int32()),
+         ("lead_ms", pa.int32()), ("tail_ms", pa.int32()),
+         ("payload_h", pa.int64())]
     ),
     "audio_loop_scan": pa.schema(
         [("clip_id", pa.string()), ("ok", pa.bool_()),
@@ -2869,6 +2960,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _label_noise_expected()
     elif name == "audio_loop_scan":
         data = _audio_loop_expected()
+    elif name == "audio_trim":
+        data = _audio_trim_expected()
     elif name == "audio_dedup_clusters":
         data = _audio_dedup_clusters_expected()
     elif name == "audio_excerpt_match":

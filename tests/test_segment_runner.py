@@ -200,3 +200,42 @@ def test_utterance_audit_query_vs_twin(spark, sf_dir):
         for col in ("table", "column", "issue_type", "count", "total",
                     "percent", "severity", "description"):
             assert r[col] == exp[col][idx], (r["issue_type"], col)
+
+
+def test_trim_silence_laws(spark, sf_dir):
+    """Trim transform: span bounds are the first/last VAD segment's exact
+    sample bounds (driver-kernel re-derivation), interior pauses kept
+    (n_out ≥ any single segment), no-activity rows pass through empty."""
+    import __spark_entry__ as e
+    from data_quality_spark.functions.audio import _decode_i16
+    from data_quality_spark.functions.vad import vad_segments
+    from data_quality_spark.operators.audio_vad import trim_silence
+
+    clips = e._clips_df(spark, n=120)
+    rows = {r["clip_id"]: r for r in trim_silence(clips).collect()}
+    assert len(rows) == 120  # exactly one output row per input row
+    src = {r["clip_id"]: r for r in clips.collect()}
+    n_trimmed = 0
+    for cid, r in sorted(rows.items())[:40]:
+        s = src[cid]
+        try:
+            q = _decode_i16(s["bytes"], s["codec"], s["sr_hz"])
+        except (ValueError, TypeError):
+            assert not r["ok"] and not r["trimmed"] and r["n_out"] == 0
+            continue
+        segs = list(vad_segments(
+            q.astype(np.float32) / np.float32(32767.0), s["sr_hz"]))
+        if not segs:
+            assert not r["trimmed"] and r["n_out"] == 0
+            assert r["bytes"] == b""
+            continue
+        n_trimmed += 1
+        s0 = segs[0]["start_sample"]
+        s1 = segs[-1]["end_sample"]
+        want = np.ascontiguousarray(q[s0:s1], dtype="<i2").tobytes()
+        assert r["bytes"] == want
+        assert r["n_out"] == s1 - s0 <= r["n_in"]
+        # interior pauses are kept: the span covers every segment
+        assert all(s0 <= g["start_sample"] and g["end_sample"] <= s1
+                   for g in segs)
+    assert n_trimmed > 10
