@@ -465,7 +465,8 @@ def main() -> None:
         "encoding_audit", "text_audit", "frequent_line_removal",
         "vocab_stats", "length_histogram", "image_features",
         "image_near_dup", "image_phash_near_dup", "utterance_audit",
-        "label_noise_audit", "audio_loop_scan",
+        "label_noise_audit", "audio_loop_scan", "audio_trim",
+        "image_hash_recall",
     ]
     # headline-only mode: just the gate pair + health scan (~90 s) — fits
     # inside the short quiet gaps this shared host actually has, where the
@@ -566,6 +567,22 @@ def main() -> None:
         "peak_rss_largest_child_mb": round(peak_children_mb, 1),
         "scaling": scaling,
     }
+    # fold in the accepted host-quiet full-bench capture (results-based
+    # criteria; scripts/accept_hostquiet.py) so the driver's snapshot
+    # carries the clean-host reference numbers next to this run's
+    p = os.path.join(REPO, ".bench_cache", "bench_clean_hostquiet.json")
+    if os.path.exists(p):
+        with open(p) as fh:
+            hq = json.load(fh)
+        result["hostquiet_reference"] = {
+            "clips_per_sec": hq["bench"].get("clips_per_sec"),
+            "clips_per_sec_v2": hq["bench"].get("clips_per_sec_v2"),
+            "health_scan_sec": hq["bench"]["queries"].get(
+                "health_scan_25m"),
+            "mean_external_cores": hq["cleanliness"].get(
+                "mean_external_cores"),
+            "criteria": hq.get("criteria", {}).get("note"),
+        }
     # machine-written snapshot of THIS run; BENCH.md is the curated
     # multi-run evidence document and is maintained by hand
     if scaling:
