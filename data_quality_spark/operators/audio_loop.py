@@ -30,6 +30,17 @@ Engine shape: ONE ``mapInArrow`` pass (decode → fingerprint → O(n²)
 lag scan over ≤ a few hundred ints per clip), zero shuffles — the scan
 is per-row work bounded by clip length, the 10^12-clip shape.
 
+Alignment envelope (measured, tested): the scan catches loops whose
+period lands on the fingerprint hop grid after a whole number of
+periods (a half-hop period matches at the 2-period lag with fraction
+1.0); a period at an ARBITRARY sample offset never frame-aligns and is
+invisible to frame-exact equality (measured best fraction ~0.06) —
+the same aligned/arbitrary split as the excerpt matchers, where only
+the constellation path recovers arbitrary offsets.  Buffer-repeat
+defects are hop-aligned by construction (buffers are power-of-two
+sized); a waveform-domain autocorrelation pass would be the arbitrary-
+offset extension.
+
 Reference analog: none (no media in the reference); the nearest shape
 is its duplicate scan, applied WITHIN one row's payload instead of
 across rows.

@@ -99,3 +99,48 @@ def test_loop_scan_is_streaming_legal(spark, tmp_path):
         for col in ("ok", "n_frames", "n_distinct", "best_lag",
                     "match_num", "match_den", "looped"):
             assert g[col] == w[col], (cid, col)
+
+
+def test_alignment_envelope():
+    """Measured alignment law from the docstring: hop-grid periods (incl.
+    half-hop via the 2-period lag) are caught at fraction 1.0; arbitrary
+    sample offsets never frame-align and stay far below the cut."""
+    import numpy as np
+
+    from data_quality_spark.functions.spectral import FRAME, fingerprint_i32
+    from data_quality_spark.operators.audio_loop import (
+        LOOP_FRAC_DEN,
+        LOOP_FRAC_NUM,
+        MIN_DISTINCT,
+    )
+
+    def scan(fp, min_lag=8, min_overlap=16):
+        n = fp.size
+        best = None
+        for lag in range(min_lag, n - min_overlap + 1):
+            valid = n - lag
+            m = int((fp[:valid] == fp[lag:]).sum())
+            if best is None or m * best[1] > best[0] * valid:
+                best = (m, valid, lag)
+        return best, int(np.unique(fp).size)
+
+    rng = np.random.default_rng(7)
+    hop = FRAME // 2
+    outcomes = {}
+    for seg_len, label in ((40 * hop, "aligned"),
+                           (40 * hop + hop // 2, "half_hop"),
+                           (40 * hop + 37, "arbitrary")):
+        seg = (rng.normal(0, 0.2, seg_len) * 32767).clip(
+            -32768, 32767).astype(np.int16)
+        reps = -(-16000 * 2 // seg_len)
+        q = np.tile(seg, reps)[: 16000 * 2]
+        best, distinct = scan(fingerprint_i32(q))
+        outcomes[label] = (
+            distinct >= MIN_DISTINCT
+            and best[0] * LOOP_FRAC_DEN >= LOOP_FRAC_NUM * best[1],
+            best[0] / best[1],
+        )
+    assert outcomes["aligned"][0] and outcomes["aligned"][1] == 1.0
+    assert outcomes["half_hop"][0] and outcomes["half_hop"][1] == 1.0
+    assert not outcomes["arbitrary"][0]
+    assert outcomes["arbitrary"][1] < 0.2
