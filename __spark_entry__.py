@@ -1590,6 +1590,34 @@ def q_utterance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val split for IMAGES: perceptual near-dup
+    clusters assigned to splits as a unit via the portable md5 of the
+    component representative — a noise or brightness re-encode can never
+    straddle the eval boundary.  Pure composition: dHash pairs →
+    connected components → the same split law the text corpus uses.
+    Twin: union-find over the independent pair twin + hashlib md5 vs
+    the shared 128-bit threshold literal."""
+    from data_quality_spark.operators.cluster import split_by_cluster
+    from data_quality_spark.operators.image_dedup import (
+        image_hashes,
+        image_near_pairs,
+    )
+    from data_quality_spark.synth import generate_image_corpus
+
+    ensure_expected("image_cluster_split", sf_dir)
+    pdf = generate_image_corpus(120, seed=42)
+    media = spark.createDataFrame(
+        pdf, "media_id string, payload binary"
+    ).repartition(4)
+    pairs = image_near_pairs(image_hashes(media))
+    assigned = split_by_cluster(
+        media.select("media_id"), "media_id", pairs,
+        val_frac=0.25, seed=7,
+    )
+    return assigned.select("media_id", "split").orderBy("media_id")
+
+
 def q_image_hash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-method recall relation — the image analog of ann_recall: the
     three perceptual families (aHash/dHash/pHash) run over the same
@@ -1876,6 +1904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dedup_clusters": q_image_dedup_clusters,
         "image_phash_near_dup": q_image_phash_near_dup,
         "image_hash_recall": q_image_hash_recall,
+        "image_cluster_split": q_image_cluster_split,
         "utterance_audit": q_utterance_audit,
     }
 
@@ -3308,5 +3337,6 @@ ORDER BY d.doc_id""",
         "image_dedup_clusters": _expected_sql("image_dedup_clusters"),
         "image_phash_near_dup": _expected_sql("image_phash_near_dup"),
         "image_hash_recall": _expected_sql("image_hash_recall"),
+        "image_cluster_split": _expected_sql("image_cluster_split"),
         "utterance_audit": _expected_sql("utterance_audit"),
     }

@@ -1210,6 +1210,31 @@ def _image_phash_near_dup_expected(n=120, seed=42) -> dict:
     return {k: [vs[i] for i in order] for k, vs in out.items()}
 
 
+def _image_cluster_split_expected(
+    n=120, seed=42, val_frac=0.25, split_seed=7
+) -> dict:
+    """Twin of the image ``split_by_cluster`` composition: union-find
+    over the independent dHash pair twin, split decided by hashlib-md5
+    of the component representative vs the same 128-bit threshold
+    literal Spark uses."""
+    import hashlib
+
+    from .operators.sampling import fraction_threshold_hex
+    from .synth import generate_image_corpus
+
+    exp = _image_near_dup_expected(n, seed)
+    comp = _uf_min_components(list(zip(exp["id_a"], exp["id_b"])))
+    thresh = fraction_threshold_hex(val_frac)
+    pdf = generate_image_corpus(n, seed=seed)
+    out = {"media_id": [], "split": []}
+    for mid in sorted(pdf["media_id"]):
+        rep = str(comp.get(mid, mid))
+        h = hashlib.md5(f"{rep}:{split_seed}".encode()).hexdigest()
+        out["media_id"].append(mid)
+        out["split"].append("val" if h < thresh else "train")
+    return out
+
+
 def _image_dedup_clusters_expected(n=120, seed=42) -> dict:
     """Twin of ``image_dedup_clusters``: union-find closure of the
     independent image near-dup pair twin (component = min media_id)."""
@@ -2856,6 +2881,9 @@ _SCHEMAS: dict[str, pa.Schema] = {
         [("id_a", pa.string()), ("id_b", pa.string()),
          ("hamming", pa.int32())]
     ),
+    "image_cluster_split": pa.schema(
+        [("media_id", pa.string()), ("split", pa.string())]
+    ),
     "image_hash_recall": pa.schema(
         [("method", pa.string()), ("n_hashed", pa.int64()),
          ("n_pairs", pa.int64()), ("n_shared_all", pa.int64()),
@@ -3016,6 +3044,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _image_phash_near_dup_expected()
     elif name == "image_hash_recall":
         data = _image_hash_recall_expected()
+    elif name == "image_cluster_split":
+        data = _image_cluster_split_expected()
     elif name == "utterance_audit":
         data = _utterance_audit_expected()
     else:

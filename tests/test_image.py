@@ -285,3 +285,26 @@ def test_image_hash_recall_query(spark, sf_dir):
     assert got["phash"]["n_pairs"] == got["phash"]["n_shared_all"]
     assert got["phash"]["n_unique"] == 0
     assert got["dhash"]["n_pairs"] >= got["phash"]["n_pairs"]
+
+
+def test_image_cluster_split_unit_law(spark, sf_dir):
+    """Every perceptual cluster lands in ONE split (re-encodes can never
+    straddle the eval boundary), and the query matches the twin."""
+    import __spark_entry__ as e
+    from data_quality_spark.oracles import (
+        _image_cluster_split_expected,
+        _image_near_dup_expected,
+        _uf_min_components,
+    )
+
+    got = {r["media_id"]: r["split"] for r in
+           e.q_image_cluster_split(spark, sf_dir).collect()}
+    exp = _image_cluster_split_expected(120, seed=42)
+    assert got == dict(zip(exp["media_id"], exp["split"]))
+    pairs = _image_near_dup_expected(120, seed=42)
+    comp = _uf_min_components(list(zip(pairs["id_a"], pairs["id_b"])))
+    by_comp: dict = {}
+    for mid, c in comp.items():
+        by_comp.setdefault(c, set()).add(got[mid])
+    assert all(len(s) == 1 for s in by_comp.values())
+    assert {"train", "val"} == set(got.values())
