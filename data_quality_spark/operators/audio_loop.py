@@ -17,8 +17,11 @@ constant lag.  Two guards keep the decision honest:
 
 - **degenerate-stream guard**: near-silent or pure-tone clips have
   near-constant fingerprints that "match" at EVERY lag; they are
-  skipped via a minimum distinct-word count (the audit relations own
-  silence/tonality defects);
+  skipped via a minimum distinct-word count AND a dominant-word share
+  bound (most frequent word covering > half the frames — measured on
+  the 100k corpus, 92-96%-silent clips carry one silence word at ~90%
+  share with just enough distinct burst words to pass a count-only
+  guard).  The audit relations own silence/tonality defects;
 - **exact-integer decision law**: the flag is
   ``matches · DEN ≥ NUM · valid`` (cross-multiplied rational compare)
   and the best lag maximizes ``matches/valid`` by integer
@@ -58,11 +61,25 @@ __all__ = [
     "LOOP_FRAC_NUM",
     "LOOP_FRAC_DEN",
     "MIN_DISTINCT",
+    "DOMINANT_NUM",
+    "DOMINANT_DEN",
 ]
 
 LOOP_FRAC_NUM = 9       # looped iff matches·DEN ≥ NUM·valid (i.e. ≥ 0.9)
 LOOP_FRAC_DEN = 10
 MIN_DISTINCT = 8        # fewer distinct fingerprint words = degenerate
+# degenerate too when ONE word covers more than half the frames
+# (2·n_dominant > n_frames, exact-integer)
+DOMINANT_NUM = 1
+DOMINANT_DEN = 2
+
+
+def _is_degenerate(n_frames: int, n_distinct: int, n_dominant: int) -> bool:
+    """The shared guard law (kernel + issue rollup + twin)."""
+    return (
+        n_distinct < MIN_DISTINCT
+        or n_dominant * DOMINANT_DEN > DOMINANT_NUM * n_frames
+    )
 
 
 def loop_scan(
@@ -74,10 +91,11 @@ def loop_scan(
     """One row per clip: best self-match lag and its exact match
     fraction, plus the ``looped`` decision.
 
-    Columns: clip_id, ok (decode), n_frames, n_distinct, best_lag
-    (NULL when no admissible lag), match_num/match_den (the exact
-    rational — ``match_num/match_den`` is the fraction the flag is
-    computed from), looped.
+    Columns: clip_id, ok (decode), n_frames, n_distinct, n_dominant
+    (occurrences of the most frequent word — the degenerate guard's
+    second input), best_lag (NULL when no admissible lag),
+    match_num/match_den (the exact rational — ``match_num/match_den``
+    is the fraction the flag is computed from), looped.
     """
     col_idx = {f.name: i for i, f in enumerate(df.schema.fields)}
     out_schema = T.StructType([
@@ -85,6 +103,7 @@ def loop_scan(
         T.StructField("ok", T.BooleanType(), False),
         T.StructField("n_frames", T.IntegerType(), False),
         T.StructField("n_distinct", T.IntegerType(), False),
+        T.StructField("n_dominant", T.IntegerType(), False),
         T.StructField("best_lag", T.IntegerType(), True),
         T.StructField("match_num", T.LongType(), True),
         T.StructField("match_den", T.LongType(), True),
@@ -106,8 +125,8 @@ def loop_scan(
             if counter is not None:
                 counter.add(batch.num_rows)
             out = {k: [] for k in ("ok", "n_frames", "n_distinct",
-                                   "best_lag", "match_num", "match_den",
-                                   "looped")}
+                                   "n_dominant", "best_lag", "match_num",
+                                   "match_den", "looped")}
             for i in range(batch.num_rows):
                 buf = payloads[i].as_buffer() if payloads[i].is_valid else None
                 try:
@@ -118,7 +137,12 @@ def loop_scan(
                     ok = False
                 fp = fingerprint_i32(q)
                 n = int(fp.size)
-                distinct = int(np.unique(fp).size) if n else 0
+                if n:
+                    _, cnts = np.unique(fp, return_counts=True)
+                    distinct = int(cnts.size)
+                    dominant = int(cnts.max())
+                else:
+                    distinct = dominant = 0
                 best = None  # (matches, valid, lag)
                 for lag in range(min_lag, n - min_overlap + 1):
                     valid = n - lag
@@ -127,12 +151,13 @@ def loop_scan(
                         best = (m, valid, lag)
                 looped = (
                     best is not None
-                    and distinct >= MIN_DISTINCT
+                    and not _is_degenerate(n, distinct, dominant)
                     and best[0] * LOOP_FRAC_DEN >= LOOP_FRAC_NUM * best[1]
                 )
                 out["ok"].append(ok)
                 out["n_frames"].append(n)
                 out["n_distinct"].append(distinct)
+                out["n_dominant"].append(dominant)
                 out["best_lag"].append(best[2] if best else None)
                 out["match_num"].append(best[0] if best else None)
                 out["match_den"].append(best[1] if best else None)
@@ -142,12 +167,14 @@ def loop_scan(
                  pa.array(out["ok"], type=pa.bool_()),
                  pa.array(out["n_frames"], type=pa.int32()),
                  pa.array(out["n_distinct"], type=pa.int32()),
+                 pa.array(out["n_dominant"], type=pa.int32()),
                  pa.array(out["best_lag"], type=pa.int32()),
                  pa.array(out["match_num"], type=pa.int64()),
                  pa.array(out["match_den"], type=pa.int64()),
                  pa.array(out["looped"], type=pa.bool_())],
                 names=["clip_id", "ok", "n_frames", "n_distinct",
-                       "best_lag", "match_num", "match_den", "looped"],
+                       "n_dominant", "best_lag", "match_num", "match_den",
+                       "looped"],
             )
 
     return df.mapInArrow(run, out_schema)
@@ -158,15 +185,15 @@ def loop_issues(scan: DataFrame, table: str = "clips") -> DataFrame:
     fused aggregate — the audit_issues law): ``looped`` (critical) and
     ``degenerate_stream`` (info — too few distinct fingerprint words to
     even test; the silence/tonality audits own those clips)."""
+    degenerate = (F.col("n_distinct") < F.lit(MIN_DISTINCT)) | (
+        F.col("n_dominant") * F.lit(DOMINANT_DEN)
+        > F.lit(DOMINANT_NUM) * F.col("n_frames")
+    )
     wide = scan.agg(
         F.count(F.lit(1)).alias("__total__"),
         F.count(F.when(F.col("looped"), 1)).alias("n:looped"),
         F.count(
-            F.when(
-                (F.col("n_frames") > 0)
-                & (F.col("n_distinct") < F.lit(MIN_DISTINCT)),
-                1,
-            )
+            F.when((F.col("n_frames") > 0) & degenerate, 1)
         ).alias("n:degenerate_stream"),
     )
     rules = [

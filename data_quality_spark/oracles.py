@@ -1327,13 +1327,18 @@ def _audio_fingerprint_expected(n=400, seed=42) -> dict:
 def _audio_loop_expected(n=300, seed=42, min_lag=8, min_overlap=16) -> dict:
     """Twin of ``audio_loop.loop_scan`` over ``make_audio_loop_corpus``:
     decode + fingerprint kernels are SHARED (hash-verified by their own
-    queries); the lag scan, best-fraction tracking, and decision ladder
+    queries); the lag scan, best-fraction tracking, dominant-word
+    accounting (explicit Counter vs numpy unique), and decision ladder
     are replayed as explicit Python int loops (per-element equality,
     cross-multiplied rational compares, first-wins tiebreak) — every
     output is an int or bool, so agreement is exact by construction."""
+    from collections import Counter
+
     from .functions.audio import _decode_i16
     from .functions.spectral import fingerprint_i32
     from .operators.audio_loop import (
+        DOMINANT_DEN,
+        DOMINANT_NUM,
         LOOP_FRAC_DEN,
         LOOP_FRAC_NUM,
         MIN_DISTINCT,
@@ -1343,8 +1348,8 @@ def _audio_loop_expected(n=300, seed=42, min_lag=8, min_overlap=16) -> dict:
     pdf = make_audio_loop_corpus(n, seed=seed)
     out: dict[str, list] = {k: [] for k in
                             ("clip_id", "ok", "n_frames", "n_distinct",
-                             "best_lag", "match_num", "match_den",
-                             "looped")}
+                             "n_dominant", "best_lag", "match_num",
+                             "match_den", "looped")}
     for _, r in pdf.sort_values("clip_id").iterrows():
         try:
             q = _decode_i16(r["bytes"], r["codec"], r["sr_hz"])
@@ -1354,7 +1359,9 @@ def _audio_loop_expected(n=300, seed=42, min_lag=8, min_overlap=16) -> dict:
             ok = False
         fp = [int(v) for v in fingerprint_i32(q)]
         nf = len(fp)
-        distinct = len(set(fp))
+        counts = Counter(fp)
+        distinct = len(counts)
+        dominant = max(counts.values()) if counts else 0
         best = None
         for lag in range(min_lag, nf - min_overlap + 1):
             valid = nf - lag
@@ -1367,12 +1374,14 @@ def _audio_loop_expected(n=300, seed=42, min_lag=8, min_overlap=16) -> dict:
         looped = (
             best is not None
             and distinct >= MIN_DISTINCT
+            and dominant * DOMINANT_DEN <= DOMINANT_NUM * nf
             and best[0] * LOOP_FRAC_DEN >= LOOP_FRAC_NUM * best[1]
         )
         out["clip_id"].append(r["clip_id"])
         out["ok"].append(ok)
         out["n_frames"].append(nf)
         out["n_distinct"].append(distinct)
+        out["n_dominant"].append(dominant)
         out["best_lag"].append(best[2] if best else None)
         out["match_num"].append(best[0] if best else None)
         out["match_den"].append(best[1] if best else None)
@@ -2760,8 +2769,9 @@ _SCHEMAS: dict[str, pa.Schema] = {
     "audio_loop_scan": pa.schema(
         [("clip_id", pa.string()), ("ok", pa.bool_()),
          ("n_frames", pa.int32()), ("n_distinct", pa.int32()),
-         ("best_lag", pa.int32()), ("match_num", pa.int64()),
-         ("match_den", pa.int64()), ("looped", pa.bool_())]
+         ("n_dominant", pa.int32()), ("best_lag", pa.int32()),
+         ("match_num", pa.int64()), ("match_den", pa.int64()),
+         ("looped", pa.bool_())]
     ),
     "audio_excerpt_match": pa.schema(
         [("id_a", pa.string()), ("id_b", pa.string()),

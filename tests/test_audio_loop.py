@@ -14,12 +14,15 @@ from data_quality_spark.synth import make_audio_loop_corpus
 
 
 def test_detector_catches_seeded_loops_no_false_positives():
+    from data_quality_spark.operators.audio_loop import _is_degenerate
+
     exp = _audio_loop_expected()
     pdf = make_audio_loop_corpus(300, seed=42).set_index("clip_id")
     tp = fn = fp = 0
     degenerate_misses = 0
-    for cid, looped, distinct in zip(
-        exp["clip_id"], exp["looped"], exp["n_distinct"]
+    for cid, looped, nf, distinct, dominant in zip(
+        exp["clip_id"], exp["looped"], exp["n_frames"],
+        exp["n_distinct"], exp["n_dominant"],
     ):
         truth = pdf.loc[cid, "defect"] == "looped"
         if truth and looped:
@@ -29,13 +32,13 @@ def test_detector_catches_seeded_loops_no_false_positives():
             # the only admissible miss: the degenerate-stream guard
             # (near-silent base → its loop is ALSO degenerate; the
             # silence audit owns that clip, not the loop scan)
-            assert distinct < 8, cid
+            assert _is_degenerate(nf, distinct, dominant), cid
             degenerate_misses += 1
         elif looped:
             fp += 1
     assert fp == 0
-    assert tp >= 40
-    assert fn == degenerate_misses <= 2
+    assert tp >= 35
+    assert fn == degenerate_misses <= 10
 
 
 def test_loop_scan_matches_twin_exactly(spark):
@@ -111,7 +114,7 @@ def test_alignment_envelope():
     from data_quality_spark.operators.audio_loop import (
         LOOP_FRAC_DEN,
         LOOP_FRAC_NUM,
-        MIN_DISTINCT,
+        _is_degenerate,
     )
 
     def scan(fp, min_lag=8, min_overlap=16):
@@ -122,7 +125,8 @@ def test_alignment_envelope():
             m = int((fp[:valid] == fp[lag:]).sum())
             if best is None or m * best[1] > best[0] * valid:
                 best = (m, valid, lag)
-        return best, int(np.unique(fp).size)
+        _, cnts = np.unique(fp, return_counts=True)
+        return best, int(cnts.size), int(cnts.max())
 
     rng = np.random.default_rng(7)
     hop = FRAME // 2
@@ -134,9 +138,10 @@ def test_alignment_envelope():
             -32768, 32767).astype(np.int16)
         reps = -(-16000 * 2 // seg_len)
         q = np.tile(seg, reps)[: 16000 * 2]
-        best, distinct = scan(fingerprint_i32(q))
+        fp = fingerprint_i32(q)
+        best, distinct, dominant = scan(fp)
         outcomes[label] = (
-            distinct >= MIN_DISTINCT
+            not _is_degenerate(int(fp.size), distinct, dominant)
             and best[0] * LOOP_FRAC_DEN >= LOOP_FRAC_NUM * best[1],
             best[0] / best[1],
         )
