@@ -944,6 +944,30 @@ def q_audio_loop_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return loop_scan(clips).orderBy("clip_id")
 
 
+def q_audio_loop_arbitrary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-offset loop detection (the frame-domain scan's measured
+    blind spot): FFT autocorrelation PROPOSES one lag per clip, exact
+    int16 sample equality at that lag DECIDES — no float decides a flag.
+    Corpus seeds both hop-aligned and off-grid periods.  Twin: shared
+    decode + shared proposal kernel, independent per-sample count +
+    Counter accounting + ladder; all-int outputs, exact."""
+    from data_quality_spark.operators.audio_loop import loop_scan_samples
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_loop_corpus
+
+    ensure_expected("audio_loop_arbitrary", sf_dir)
+    key = ("loopx", 300, 42)
+    if key not in _CLIPS_CACHE:
+        _CLIPS_CACHE[key] = make_audio_loop_corpus(
+            300, seed=42, arbitrary_every=2
+        )
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(
+        _CLIPS_CACHE[key][cols], CLIPS_SCHEMA
+    ).repartition(8, "clip_id")
+    return loop_scan_samples(clips).orderBy("clip_id")
+
+
 def q_label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal label-noise audit: audio near-dup pairs (fingerprint
     bucket join + BER verify) whose TRANSCRIPTS disagree by token-set
@@ -1871,6 +1895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fingerprint_dedup": q_audio_fingerprint_dedup,
         "label_noise_audit": q_label_noise_audit,
         "audio_loop_scan": q_audio_loop_scan,
+        "audio_loop_arbitrary": q_audio_loop_arbitrary,
         "audio_dedup_clusters": q_audio_dedup_clusters,
         "audio_excerpt_match": q_audio_excerpt_match,
         "audio_constellation_match": q_audio_constellation_match,
@@ -3299,6 +3324,7 @@ FROM ranked WHERE rnk <= 3""",
         "audio_fingerprint_dedup": _expected_sql("audio_fingerprint_dedup"),
         "label_noise_audit": _expected_sql("label_noise_audit"),
         "audio_loop_scan": _expected_sql("audio_loop_scan"),
+        "audio_loop_arbitrary": _expected_sql("audio_loop_arbitrary"),
         "audio_dedup_clusters": _expected_sql("audio_dedup_clusters"),
         "audio_excerpt_match": _expected_sql("audio_excerpt_match"),
         "audio_constellation_match": _expected_sql("audio_constellation_match"),

@@ -1389,6 +1389,83 @@ def _audio_loop_expected(n=300, seed=42, min_lag=8, min_overlap=16) -> dict:
     return out
 
 
+def _audio_loop_arbitrary_expected(
+    n=300, seed=42, arbitrary_every=2, min_lag_ms=20, min_overlap_ms=100,
+) -> dict:
+    """Twin of ``audio_loop.loop_scan_samples`` over the corpus with
+    off-grid loop periods: decode and the FFT candidate PROPOSAL are
+    SHARED (a pure per-clip function; floats never decide anything);
+    the candidate-selection cross-multiply, distinct/dominant accounting
+    (Counter vs numpy unique), and the decision ladder are replayed
+    independently, and the WINNING lag's match count is re-derived with
+    an explicit per-sample Python loop (the numpy count used during
+    selection must agree exactly or the assert fires)."""
+    from collections import Counter
+
+    from .functions.audio import _decode_i16
+    from .operators.audio_loop import (
+        DOMINANT_DEN,
+        DOMINANT_NUM,
+        LOOP_FRAC_DEN,
+        LOOP_FRAC_NUM,
+        SAMPLE_MIN_DISTINCT,
+        propose_lag_candidates,
+    )
+    from .synth import make_audio_loop_corpus
+
+    pdf = make_audio_loop_corpus(n, seed=seed,
+                                 arbitrary_every=arbitrary_every)
+    out: dict[str, list] = {k: [] for k in
+                            ("clip_id", "ok", "n_samples", "n_distinct",
+                             "n_dominant", "best_lag", "match_num",
+                             "match_den", "looped")}
+    for _, r in pdf.sort_values("clip_id").iterrows():
+        sr = r["sr_hz"] or 0
+        try:
+            q = _decode_i16(r["bytes"], r["codec"], r["sr_hz"])
+            ok = True
+        except (ValueError, TypeError):
+            q = np.zeros(0, dtype=np.int16)
+            ok = False
+        ns = int(q.size)
+        samples = [int(v) for v in q]
+        counts = Counter(samples)
+        distinct = len(counts)
+        dominant = max(counts.values()) if counts else 0
+        min_lag = max(1, sr * min_lag_ms // 1000)
+        min_overlap = max(1, sr * min_overlap_ms // 1000)
+        cands = (propose_lag_candidates(q, min_lag, min_overlap)
+                 if ok and sr > 0 else [])
+        lag = valid = m = None
+        for c in cands:
+            v = ns - c
+            mc = int((q[:v] == q[c:]).sum())
+            if lag is None or mc * valid > m * v:
+                lag, valid, m = c, v, mc
+        if lag is not None:
+            m_py = 0
+            for i in range(valid):
+                if samples[i] == samples[i + lag]:
+                    m_py += 1
+            assert m_py == m, (r["clip_id"], lag, m, m_py)
+        looped = (
+            lag is not None
+            and distinct >= SAMPLE_MIN_DISTINCT
+            and dominant * DOMINANT_DEN <= DOMINANT_NUM * ns
+            and m * LOOP_FRAC_DEN >= LOOP_FRAC_NUM * valid
+        )
+        out["clip_id"].append(r["clip_id"])
+        out["ok"].append(ok)
+        out["n_samples"].append(ns)
+        out["n_distinct"].append(distinct)
+        out["n_dominant"].append(dominant)
+        out["best_lag"].append(lag)
+        out["match_num"].append(m)
+        out["match_den"].append(valid)
+        out["looped"].append(looped)
+    return out
+
+
 def _tokens_py(text) -> set[str]:
     """Independent twin of ``array_distinct(tokens_col(...))`` as a SET:
     Spark's ``trim`` strips SPACES only (not tabs/newlines), ``lower`` is
@@ -2759,6 +2836,13 @@ _SCHEMAS: dict[str, pa.Schema] = {
          ("ber_r", pa.float64()), ("jaccard_r", pa.float64()),
          ("edit_dist", pa.int32()), ("label_mismatch", pa.bool_())]
     ),
+    "audio_loop_arbitrary": pa.schema(
+        [("clip_id", pa.string()), ("ok", pa.bool_()),
+         ("n_samples", pa.int32()), ("n_distinct", pa.int32()),
+         ("n_dominant", pa.int32()), ("best_lag", pa.int32()),
+         ("match_num", pa.int64()), ("match_den", pa.int64()),
+         ("looped", pa.bool_())]
+    ),
     "audio_trim": pa.schema(
         [("clip_id", pa.string()), ("ok", pa.bool_()),
          ("trimmed", pa.bool_()), ("sr_hz", pa.int32()),
@@ -3000,6 +3084,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_loop_expected()
     elif name == "audio_trim":
         data = _audio_trim_expected()
+    elif name == "audio_loop_arbitrary":
+        data = _audio_loop_arbitrary_expected()
     elif name == "audio_dedup_clusters":
         data = _audio_dedup_clusters_expected()
     elif name == "audio_excerpt_match":

@@ -266,6 +266,7 @@ def make_audio_loop_corpus(
     n: int = 300,
     seed: int = 42,
     loop_every: int = 4,
+    arbitrary_every: int = 0,
 ) -> pd.DataFrame:
     """Base corpus + tiled-payload loops for the loop-scan detector.
 
@@ -275,7 +276,14 @@ def make_audio_loop_corpus(
     samples) tiled to the original length and emitted as pcm16 —
     frame-grid-aligned tiling so the loop period is an exact number of
     fingerprint frames (the defect class: stuck buffers / synthesized
-    padding).  Deterministic; ``defect='looped'``."""
+    padding).  Deterministic; ``defect='looped'``.
+
+    ``arbitrary_every`` > 0 makes every k-th EMITTED loop use a period
+    OFFSET off the hop grid by ``1 + 37·(k mod 7)`` samples (id suffix
+    ``_loopx``, ``defect='looped_arbitrary'``) — the class the
+    frame-domain scan provably cannot see (alignment envelope) and the
+    sample-domain scan exists for.  Default 0 keeps the corpus
+    bit-identical to before the parameter existed."""
     from .functions.spectral import FRAME
 
     hop = FRAME // 2
@@ -288,20 +296,24 @@ def make_audio_loop_corpus(
         except (ValueError, TypeError):
             continue
         seg = (40 + 17 * ((i // loop_every) % 3)) * hop
+        suffix, defect = "_loop", "looped"
+        if arbitrary_every > 0 and len(loops) % arbitrary_every == 0:
+            seg += 1 + 37 * (len(loops) % 7)
+            suffix, defect = "_loopx", "looped_arbitrary"
         if len(q) < 2 * seg:
             continue
         reps = -(-len(q) // seg)  # ceil
         tiled = np.tile(q[:seg], reps)[: len(q)].astype("<i2")
         loops.append(
             {
-                "clip_id": f"{row['clip_id']}_loop",
+                "clip_id": f"{row['clip_id']}{suffix}",
                 "bytes": tiled.tobytes(),
                 "sr_hz": int(row["sr_hz"]),
                 "dur_ms": int(row["dur_ms"]),
                 "codec": "pcm16",
                 "transcript": row["transcript"],
                 "ingest_day": row["ingest_day"],
-                "defect": "looped",
+                "defect": defect,
             }
         )
     return pd.concat([base, pd.DataFrame(loops)], ignore_index=True)

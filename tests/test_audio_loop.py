@@ -149,3 +149,46 @@ def test_alignment_envelope():
     assert outcomes["half_hop"][0] and outcomes["half_hop"][1] == 1.0
     assert not outcomes["arbitrary"][0]
     assert outcomes["arbitrary"][1] < 0.2
+
+
+def test_sample_domain_scan_catches_arbitrary_offsets(spark, sf_dir):
+    """The arbitrary-offset extension: the sample-domain scan catches
+    BOTH hop-aligned and off-grid loop periods (the frame scan's proven
+    blind spot), with zero false flags; all misses are the sample-domain
+    degenerate guard; Spark rows match the twin exactly."""
+    import __spark_entry__ as e
+    from data_quality_spark.operators.audio_loop import (
+        DOMINANT_DEN,
+        DOMINANT_NUM,
+        SAMPLE_MIN_DISTINCT,
+    )
+    from data_quality_spark.oracles import _audio_loop_arbitrary_expected
+
+    got = {r["clip_id"]: r for r in
+           e.q_audio_loop_arbitrary(spark, sf_dir).collect()}
+    exp = _audio_loop_arbitrary_expected()
+    assert len(got) == len(exp["clip_id"])
+    for i, cid in enumerate(exp["clip_id"]):
+        r = got[cid]
+        for col in ("ok", "n_samples", "n_distinct", "n_dominant",
+                    "best_lag", "match_num", "match_den", "looped"):
+            assert r[col] == exp[col][i], (cid, col)
+    pdf = make_audio_loop_corpus(300, seed=42, arbitrary_every=2)
+    truth = dict(zip(pdf["clip_id"], pdf["defect"]))
+    caught_arbitrary = caught_aligned = fp = 0
+    for cid, r in got.items():
+        is_loop = str(truth[cid]).startswith("looped")
+        if r["looped"] and not is_loop:
+            fp += 1
+        elif r["looped"] and truth[cid] == "looped_arbitrary":
+            caught_arbitrary += 1
+        elif r["looped"] and truth[cid] == "looped":
+            caught_aligned += 1
+        elif is_loop and not r["looped"]:
+            # admissible miss: sample-domain degenerate guard only
+            assert (r["n_distinct"] < SAMPLE_MIN_DISTINCT
+                    or r["n_dominant"] * DOMINANT_DEN
+                    > DOMINANT_NUM * r["n_samples"]), cid
+    assert fp == 0
+    assert caught_arbitrary >= 15  # the frame scan catches ZERO of these
+    assert caught_aligned >= 15
