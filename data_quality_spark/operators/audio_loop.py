@@ -294,9 +294,13 @@ def loop_scan_samples(
     because the tiled-payload defect class is exactly periodic in the
     sample domain and both pcm16 and µ-law are per-sample memoryless
     codecs (a re-encoded loop decodes to a tiled stream).  The
-    degenerate guard is the same law on sample values (exact-zero
-    silence runs match at every lag and are owned by the silence
-    audit).  One ``mapInArrow`` pass, zero shuffles.
+    degenerate guard is the same law on sample values with a higher
+    distinct floor (``SAMPLE_MIN_DISTINCT`` — near-silent dither has
+    single-digit distinct int16 values and matches ~94% at any lag by
+    chance; exact-zero silence is owned by the silence audit).  Rows
+    with ``sr_hz ≤ 0`` or too little audio for a lag window emit
+    ``best_lag = NULL`` (structurally not evaluable — the invalid-rate
+    audit owns them).  One ``mapInArrow`` pass, zero shuffles.
     """
     col_idx = {f.name: i for i, f in enumerate(df.schema.fields)}
     out_schema = T.StructType([

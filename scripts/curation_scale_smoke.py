@@ -88,6 +88,60 @@ def main() -> None:
     assert out["loop_scan"]["recall"] >= 0.9, out["loop_scan"]
     assert out["loop_scan"]["corpus_false_rate"] < 0.001, out["loop_scan"]
 
+    # ---- sample-domain (arbitrary-offset) loop scan at scale
+    from data_quality_spark.operators.audio_loop import (
+        DOMINANT_DEN,
+        DOMINANT_NUM,
+        SAMPLE_MIN_DISTINCT,
+        loop_scan_samples,
+    )
+
+    injx_pdf = make_audio_loop_corpus(3000, seed=778, loop_every=3,
+                                      arbitrary_every=2)
+    injx_pdf = injx_pdf[injx_pdf["defect"] == "looped_arbitrary"]
+    out["n_injected_arbitrary"] = int(len(injx_pdf))
+    injectedx = spark.createDataFrame(injx_pdf[cols], CLIPS_SCHEMA)
+    t0 = time.perf_counter()
+    scanx = loop_scan_samples(corpus.unionByName(injectedx))
+    # admissible misses: sample-domain degenerate guard, or structurally
+    # not-evaluable (best_lag NULL — sr_hz <= 0 rows can't form a lag
+    # window; the invalid-rate audit owns those clips)
+    degx = (
+        (F.col("n_distinct") < SAMPLE_MIN_DISTINCT)
+        | (F.col("n_dominant") * DOMINANT_DEN
+           > DOMINANT_NUM * F.col("n_samples"))
+        | F.col("best_lag").isNull()
+    )
+    aggx = scanx.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count(F.when(F.col("clip_id").endswith("_loopx"), 1))
+        .alias("n_inj"),
+        F.count(F.when(F.col("clip_id").endswith("_loopx")
+                       & F.col("looped"), 1)).alias("n_inj_caught"),
+        F.count(F.when(F.col("clip_id").endswith("_loopx")
+                       & ~F.col("looped") & degx, 1))
+        .alias("n_inj_degenerate_miss"),
+        F.count(F.when(~F.col("clip_id").endswith("_loopx")
+                       & F.col("looped"), 1)).alias("n_corpus_flagged"),
+    ).collect()[0]
+    dt = time.perf_counter() - t0
+    totalx = aggx["total"]
+    out["loop_scan_samples"] = {
+        "sec": round(dt, 2),
+        "clips_per_sec": round(totalx / dt, 1),
+        "recall": round(aggx["n_inj_caught"] / aggx["n_inj"], 4),
+        "misses_all_degenerate": bool(
+            aggx["n_inj"] - aggx["n_inj_caught"]
+            == aggx["n_inj_degenerate_miss"]
+        ),
+        "corpus_false_flags": int(aggx["n_corpus_flagged"]),
+        "corpus_false_rate": round(
+            aggx["n_corpus_flagged"] / (totalx - aggx["n_inj"]), 6),
+    }
+    assert out["loop_scan_samples"]["recall"] >= 0.85, out["loop_scan_samples"]
+    assert out["loop_scan_samples"]["corpus_false_rate"] < 0.001, (
+        out["loop_scan_samples"])
+
     # ---- trim vs VAD: independent jobs must agree clip-by-clip
     t0 = time.perf_counter()
     trim = trim_silence(corpus)
