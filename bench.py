@@ -465,8 +465,8 @@ def main() -> None:
         "encoding_audit", "text_audit", "frequent_line_removal",
         "vocab_stats", "length_histogram", "image_features",
         "image_near_dup", "image_phash_near_dup", "utterance_audit",
-        "label_noise_audit", "audio_loop_scan", "audio_trim",
-        "image_hash_recall",
+        "label_noise_audit", "audio_loop_scan", "audio_loop_arbitrary",
+        "audio_trim", "image_hash_recall", "image_cluster_split",
     ]
     # headline-only mode: just the gate pair + health scan (~90 s) — fits
     # inside the short quiet gaps this shared host actually has, where the
