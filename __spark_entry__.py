@@ -944,6 +944,32 @@ def q_audio_loop_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return loop_scan(clips).orderBy("clip_id")
 
 
+def q_audio_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-clip audio boilerplate (shared intros/jingles — the audio
+    analog of C4 frequent-line removal): landmark-hash lexicon over ≥20
+    distinct clips (one hash-keyed aggregate, lexicon broadcast) →
+    per-clip boilerplate mass with a cross-multiplied flag.  Twin:
+    shared landmark kernel, explicit dict-of-set lexicon + occurrence
+    counting + flag replay; all-int outputs."""
+    from data_quality_spark.operators.audio_boilerplate import (
+        audio_boilerplate,
+    )
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_jingle_corpus
+
+    ensure_expected("audio_boilerplate", sf_dir)
+    key = ("jingle", 300, 42)
+    if key not in _CLIPS_CACHE:
+        _CLIPS_CACHE[key] = make_audio_jingle_corpus(
+            300, seed=42, jingle_every=4
+        )
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(
+        _CLIPS_CACHE[key][cols], CLIPS_SCHEMA
+    ).repartition(8, "clip_id")
+    return audio_boilerplate(clips).orderBy("clip_id")
+
+
 def q_audio_loop_arbitrary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary-offset loop detection (the frame-domain scan's measured
     blind spot): FFT autocorrelation PROPOSES one lag per clip, exact
@@ -1896,6 +1922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_noise_audit": q_label_noise_audit,
         "audio_loop_scan": q_audio_loop_scan,
         "audio_loop_arbitrary": q_audio_loop_arbitrary,
+        "audio_boilerplate": q_audio_boilerplate,
         "audio_dedup_clusters": q_audio_dedup_clusters,
         "audio_excerpt_match": q_audio_excerpt_match,
         "audio_constellation_match": q_audio_constellation_match,
@@ -3325,6 +3352,7 @@ FROM ranked WHERE rnk <= 3""",
         "label_noise_audit": _expected_sql("label_noise_audit"),
         "audio_loop_scan": _expected_sql("audio_loop_scan"),
         "audio_loop_arbitrary": _expected_sql("audio_loop_arbitrary"),
+        "audio_boilerplate": _expected_sql("audio_boilerplate"),
         "audio_dedup_clusters": _expected_sql("audio_dedup_clusters"),
         "audio_excerpt_match": _expected_sql("audio_excerpt_match"),
         "audio_constellation_match": _expected_sql("audio_constellation_match"),

@@ -2588,6 +2588,48 @@ def _utterance_audit_expected(n=300, seed=42, min_dur_ms=200) -> dict:
     return out
 
 
+def _audio_boilerplate_expected(
+    n=300, seed=42, jingle_every=4, min_clips=20
+) -> dict:
+    """Twin of ``audio_boilerplate`` over the jingle corpus: the landmark
+    kernel is SHARED (hash-verified by audio_constellation_match); the
+    lexicon (hash → distinct-clip sets as explicit dict-of-set
+    bookkeeping vs Spark's count_distinct aggregate), the per-clip
+    occurrence counting, and the cross-multiplied flag are replayed in
+    pure Python — all-int outputs, exact."""
+    from .functions.audio import _decode_i16
+    from .functions.spectral import constellation_landmarks
+    from .operators.audio_boilerplate import BOILER_DEN, BOILER_NUM
+    from .synth import make_audio_jingle_corpus
+
+    pdf = make_audio_jingle_corpus(n, seed=seed, jingle_every=jingle_every)
+    lms: dict[str, list[int]] = {}
+    for _, r in pdf.iterrows():
+        try:
+            x = _decode_i16(r["bytes"], r["codec"], r["sr_hz"])
+        except (ValueError, TypeError):
+            x = np.zeros(0, dtype=np.int16)
+        hs, _ts = constellation_landmarks(x)
+        lms[r["clip_id"]] = [int(h) for h in hs]
+    clipset: dict[int, set[str]] = {}
+    for cid, hs in lms.items():
+        for h in set(hs):
+            clipset.setdefault(h, set()).add(cid)
+    lex = {h for h, s in clipset.items() if len(s) >= min_clips}
+    out = {"clip_id": [], "n_landmarks": [], "n_boiler": [],
+           "boilerplate_heavy": []}
+    for cid in sorted(lms):
+        hs = lms[cid]
+        nb = sum(1 for h in hs if h in lex)
+        out["clip_id"].append(cid)
+        out["n_landmarks"].append(len(hs))
+        out["n_boiler"].append(nb)
+        out["boilerplate_heavy"].append(
+            len(hs) > 0 and nb * BOILER_DEN > BOILER_NUM * len(hs)
+        )
+    return out
+
+
 def _audio_trim_expected(n=300, seed=42) -> dict:
     """Twin of ``audio_vad.trim_silence``: the independent VAD state
     machine derives the FIRST active run's start frame and the LAST
@@ -2843,6 +2885,10 @@ _SCHEMAS: dict[str, pa.Schema] = {
          ("match_num", pa.int64()), ("match_den", pa.int64()),
          ("looped", pa.bool_())]
     ),
+    "audio_boilerplate": pa.schema(
+        [("clip_id", pa.string()), ("n_landmarks", pa.int32()),
+         ("n_boiler", pa.int64()), ("boilerplate_heavy", pa.bool_())]
+    ),
     "audio_trim": pa.schema(
         [("clip_id", pa.string()), ("ok", pa.bool_()),
          ("trimmed", pa.bool_()), ("sr_hz", pa.int32()),
@@ -3086,6 +3132,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_trim_expected()
     elif name == "audio_loop_arbitrary":
         data = _audio_loop_arbitrary_expected()
+    elif name == "audio_boilerplate":
+        data = _audio_boilerplate_expected()
     elif name == "audio_dedup_clusters":
         data = _audio_dedup_clusters_expected()
     elif name == "audio_excerpt_match":

@@ -319,6 +319,51 @@ def make_audio_loop_corpus(
     return pd.concat([base, pd.DataFrame(loops)], ignore_index=True)
 
 
+def make_audio_jingle_corpus(
+    n: int = 300,
+    seed: int = 42,
+    jingle_every: int = 4,
+    jingle_ms: int = 600,
+) -> pd.DataFrame:
+    """Corpus where every ``jingle_every``-th decodable clip carries the
+    SAME deterministic intro prepended to its own audio (podcast/channel
+    jingle — the cross-clip boilerplate class frequent-line removal
+    handles for text).  The jingle waveform is a fixed three-tone +
+    seeded-noise mixture synthesized at each clip's own sample rate from
+    the same formula, so its landmark constellation is shared across
+    clips of one rate.  Modified rows: pcm16, ``defect='jingle'``."""
+    base = generate_clips(n, seed=seed)
+    jrng = np.random.default_rng(seed ^ 0x1A2B)
+    noise_u = jrng.standard_normal(48000)  # resampled by index math below
+    rows = []
+    for i in range(len(base)):
+        row = base.iloc[i].to_dict()
+        if (i + 1) % jingle_every == 0:
+            try:
+                q = A._decode_i16(row["bytes"], row["codec"], row["sr_hz"])
+            except (ValueError, TypeError):
+                rows.append(row)
+                continue
+            sr = int(row["sr_hz"]) or 0
+            if sr <= 0 or len(q) == 0:
+                rows.append(row)
+                continue
+            t = np.arange(sr * jingle_ms // 1000) / sr
+            jingle = (
+                0.28 * np.sin(2 * np.pi * 523.25 * t)
+                + 0.22 * np.sin(2 * np.pi * 659.25 * t)
+                + 0.18 * np.sin(2 * np.pi * 784.0 * t)
+                + 0.04 * noise_u[(np.arange(t.size) * 48000 // sr)
+                                 % noise_u.size]
+            )
+            xf = np.concatenate([jingle, q.astype(np.float64) / 32768.0])
+            row["bytes"] = A.encode_pcm16(xf)
+            row["codec"] = "pcm16"
+            row["defect"] = "jingle"
+        rows.append(row)
+    return pd.DataFrame(rows, columns=base.columns)
+
+
 def make_audio_excerpt_corpus(
     n: int = 400,
     seed: int = 42,
