@@ -213,6 +213,17 @@ def main() -> None:
             None,
         ),
         (
+            "Cross-clip audio boilerplate (lexicon broadcast semi-join)",
+            "The landmark relation (one MapInArrow pass, payload dead at "
+            "the boundary) is persisted and feeds BOTH consumers: the "
+            "lexicon aggregate (hash-keyed count_distinct with partial "
+            "aggregation) and the mass pass, whose plan must show a "
+            "BroadcastExchange feeding a LeftSemi join — the 23-bit hash "
+            "lexicon ships to executors and a 100 TB corpus never "
+            "shuffles on anything wider than clip_id.",
+            None,
+        ),
+        (
             "Gopher quality rules (zero-shuffle flag pass)",
             "Every rule signal (token count, non-space chars, alpha-word "
             "count, symbol count, stopword hits) is column arithmetic "
@@ -325,6 +336,18 @@ def main() -> None:
         make_audio_dup_corpus(400, seed=42, relabel_every=3)[ccols],
         CLIPS_SCHEMA,
     ).repartition(8, "clip_id")
+    from data_quality_spark.operators.audio_boilerplate import (
+        audio_boilerplate,
+    )
+    from data_quality_spark.synth import make_audio_jingle_corpus
+
+    jingle_clips = spark.createDataFrame(
+        make_audio_jingle_corpus(300, seed=42)[ccols], CLIPS_SCHEMA
+    ).repartition(8, "clip_id")
+    bp_i = next(i for i, s in enumerate(sections)
+                if s[0].startswith("Cross-clip audio boilerplate"))
+    sections[bp_i] = (*sections[bp_i][:2], audio_boilerplate(jingle_clips))
+
     loop_i = next(i for i, s in enumerate(sections)
                   if s[0].startswith("Looped-audio"))
     ln_i = next(i for i, s in enumerate(sections)
