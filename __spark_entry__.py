@@ -970,6 +970,34 @@ def q_audio_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_boilerplate(clips).orderBy("clip_id")
 
 
+def q_audio_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective-bit-depth audit: 8-bit / µ-law sources upconverted into
+    16-bit containers leave exact lattice signatures (common trailing
+    zero bits; G.711 codebook membership of every nonzero sample) no
+    amplitude/SNR gate sees.  One mapInArrow pass, all-int outputs,
+    integer decision laws with not-evaluable NULLs below 256 nonzero
+    samples.  Twin: shared decode, per-sample Python-int accounting
+    with an independently-built codebook."""
+    from data_quality_spark.operators.audio_quantization import (
+        clip_quantization,
+        quantization_flags,
+    )
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_quantized_corpus
+
+    ensure_expected("audio_quantization", sf_dir)
+    key = ("quant", 300, 42)
+    if key not in _CLIPS_CACHE:
+        _CLIPS_CACHE[key] = make_audio_quantized_corpus(
+            300, seed=42, bit_every=5, mulaw_every=7
+        )
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(
+        _CLIPS_CACHE[key][cols], CLIPS_SCHEMA
+    ).repartition(8, "clip_id")
+    return quantization_flags(clip_quantization(clips)).orderBy("clip_id")
+
+
 def q_audio_loop_arbitrary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary-offset loop detection (the frame-domain scan's measured
     blind spot): FFT autocorrelation PROPOSES one lag per clip, exact
@@ -1923,6 +1951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_loop_scan": q_audio_loop_scan,
         "audio_loop_arbitrary": q_audio_loop_arbitrary,
         "audio_boilerplate": q_audio_boilerplate,
+        "audio_quantization": q_audio_quantization,
         "audio_dedup_clusters": q_audio_dedup_clusters,
         "audio_excerpt_match": q_audio_excerpt_match,
         "audio_constellation_match": q_audio_constellation_match,
@@ -3353,6 +3382,7 @@ FROM ranked WHERE rnk <= 3""",
         "audio_loop_scan": _expected_sql("audio_loop_scan"),
         "audio_loop_arbitrary": _expected_sql("audio_loop_arbitrary"),
         "audio_boilerplate": _expected_sql("audio_boilerplate"),
+        "audio_quantization": _expected_sql("audio_quantization"),
         "audio_dedup_clusters": _expected_sql("audio_dedup_clusters"),
         "audio_excerpt_match": _expected_sql("audio_excerpt_match"),
         "audio_constellation_match": _expected_sql("audio_constellation_match"),

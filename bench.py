@@ -467,7 +467,7 @@ def main() -> None:
         "image_near_dup", "image_phash_near_dup", "utterance_audit",
         "label_noise_audit", "audio_loop_scan", "audio_loop_arbitrary",
         "audio_trim", "image_hash_recall", "image_cluster_split",
-        "audio_boilerplate",
+        "audio_boilerplate", "audio_quantization",
     ]
     # headline-only mode: just the gate pair + health scan (~90 s) — fits
     # inside the short quiet gaps this shared host actually has, where the

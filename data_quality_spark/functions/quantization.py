@@ -1,0 +1,103 @@
+"""Effective-bit-depth / upconversion detection on the int16 lattice.
+
+A corpus-quality defect the energy, spectral, and transport kernels all
+miss: audio that was once 8-bit PCM or G.711 µ-law telephony, later
+*upconverted* and stored in a full-resolution 16-bit container.  The
+container claims studio quality; the samples still live on the coarse
+source lattice.  At training-data scale this matters because upconverted
+telephony passes every amplitude/SNR gate yet carries none of the
+resolution the schema promises (the reference's codec-sanity rules,
+``/root/reference/src/data_quality/validation.py``, check only declared
+metadata — this kernel checks the samples).
+
+Two exact lattice signatures, both decidable in integers:
+
+- **bit upconversion**: an 8-bit source scaled to 16-bit leaves every
+  sample a multiple of 2^8 — the bitwise OR of all samples has >= 8
+  trailing zero bits.  Genuine 16-bit program material (dither, noise)
+  drives the common-trailing-zero count to 0 almost surely.
+- **µ-law upconversion**: a µ-law round-trip leaves every sample inside
+  the 256-value G.711 decode codebook (``(((mant<<3)+132)<<exp)-132``,
+  signed).  Membership of every nonzero sample is again an exact set
+  test no float can blur.
+
+Decisions follow the repo's propose-nothing/decide-with-integers law:
+counts and trailing-zero bits are exact ints; a clip with fewer than
+``MIN_NONZERO_DEFAULT`` nonzero samples is *not evaluable* (verdict
+NULL, the loop-scan precedent) because a handful of residual samples
+can land on any lattice by chance.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "quantization_stats_i16",
+    "mulaw_codebook",
+    "MIN_NONZERO_DEFAULT",
+    "UPCONVERT_TZ_BITS",
+]
+
+# fewer nonzero samples than this -> lattice membership is not evidence
+MIN_NONZERO_DEFAULT = 256
+# common trailing-zero bits >= this flags a coarse (<= 8-bit) source
+UPCONVERT_TZ_BITS = 8
+
+_CODEBOOK_SORTED: np.ndarray | None = None
+
+
+def mulaw_codebook() -> np.ndarray:
+    """Sorted int16 array of every value G.711 µ-law decode can emit
+    (<= 256 distinct; +0/-0 collapse on the PCM side)."""
+    global _CODEBOOK_SORTED
+    if _CODEBOOK_SORTED is None:
+        u = np.arange(256, dtype=np.uint8) ^ 0xFF
+        sign = u & 0x80
+        exp = (u >> 4) & 0x07
+        mant = u & 0x0F
+        mag = (((mant.astype(np.int32) << 3) + 0x84) << exp) - 0x84
+        vals = np.where(sign != 0, -mag, mag).astype(np.int16)
+        _CODEBOOK_SORTED = np.unique(vals)
+    return _CODEBOOK_SORTED
+
+
+def quantization_stats_i16(q: np.ndarray) -> dict[str, int]:
+    """Exact lattice stats for one int16 clip.
+
+    Returns ``n_samples, n_nonzero, n_distinct, tz_bits, mulaw_hits``:
+
+    - ``tz_bits``: trailing zero bits of the bitwise OR of all samples
+      (two's complement makes this correct for negatives: -256 ends in
+      eight 0 bits exactly like +256); 16 when every sample is zero —
+      callers must gate on ``n_nonzero`` before reading it.
+    - ``mulaw_hits``: nonzero samples inside the µ-law codebook.
+
+    One vectorized pass: an OR-reduce, a ``np.unique`` on the (bounded,
+    <= 65536-value) lattice, and a sorted-codebook ``searchsorted``
+    membership gather — no Python per-sample loop.
+    """
+    n = int(q.size)
+    if n == 0:
+        return {"n_samples": 0, "n_nonzero": 0, "n_distinct": 0,
+                "tz_bits": 16, "mulaw_hits": 0}
+    u = q.view(np.uint16) if q.dtype == np.int16 else \
+        q.astype(np.int16).view(np.uint16)
+    orred = int(np.bitwise_or.reduce(u))
+    if orred == 0:
+        tz = 16
+    else:
+        tz = int((orred & -orred).bit_length() - 1)
+    uniq = np.unique(q)
+    nz = q[q != 0]
+    cb = mulaw_codebook()
+    idx = np.searchsorted(cb, nz)
+    idx = np.clip(idx, 0, cb.size - 1)
+    hits = int(np.count_nonzero(cb[idx] == nz))
+    return {
+        "n_samples": n,
+        "n_nonzero": int(nz.size),
+        "n_distinct": int(uniq.size),
+        "tz_bits": tz,
+        "mulaw_hits": hits,
+    }

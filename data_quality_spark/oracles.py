@@ -2630,6 +2630,84 @@ def _audio_boilerplate_expected(
     return out
 
 
+def _audio_quantization_expected(
+    n=300, seed=42, bit_every=5, mulaw_every=7
+) -> dict:
+    """Twin of ``audio_quantization.clip_quantization`` +
+    ``quantization_flags`` over the quantized corpus: shared decode
+    dispatch, then per-sample Python-int accounting — distinct values
+    via a set, common trailing zeros by an explicit halving loop on the
+    two's-complement OR, µ-law codebook membership against a set built
+    from the G.711 formula with Python ints (independent of the kernel's
+    numpy table), and the same exact flag laws incl. the
+    not-evaluable-below-MIN_NONZERO NULL verdicts."""
+    from .functions.audio import _decode_i16
+    from .functions.quantization import (
+        MIN_NONZERO_DEFAULT,
+        UPCONVERT_TZ_BITS,
+    )
+    from .synth import make_audio_quantized_corpus
+
+    codebook: set[int] = set()
+    for b in range(256):
+        u = b ^ 0xFF
+        sign, exp, mant = u & 0x80, (u >> 4) & 0x07, u & 0x0F
+        mag = (((mant << 3) + 132) << exp) - 132
+        codebook.add(-mag if sign else mag)
+
+    pdf = make_audio_quantized_corpus(
+        n, seed=seed, bit_every=bit_every, mulaw_every=mulaw_every
+    )
+    names = ["n_samples", "n_nonzero", "n_distinct", "tz_bits",
+             "mulaw_hits", "effective_bits"]
+    out: dict[str, list] = {"clip_id": [], "codec": [], "ok": []}
+    out.update({k: [] for k in names})
+    out.update({"bit_upconverted": [], "mulaw_upconverted": [],
+                "upconverted": []})
+    for _, r in pdf.sort_values("clip_id").iterrows():
+        try:
+            q, ok = _decode_i16(r["bytes"], r["codec"], r["sr_hz"]), True
+        except (ValueError, TypeError):
+            q, ok = np.zeros(0, dtype=np.int16), False
+        out["clip_id"].append(r["clip_id"])
+        out["codec"].append(r["codec"])
+        out["ok"].append(ok)
+        if not ok:
+            for k in names:
+                out[k].append(None)
+            for k in ("bit_upconverted", "mulaw_upconverted", "upconverted"):
+                out[k].append(None)
+            continue
+        vals = [int(v) for v in q]
+        nz = [v for v in vals if v != 0]
+        orred = 0
+        for v in vals:
+            orred |= v & 0xFFFF
+        tz = 16
+        if orred != 0:
+            tz = 0
+            while orred % 2 == 0:
+                orred //= 2
+                tz += 1
+        hits = sum(1 for v in nz if v in codebook)
+        st = {"n_samples": len(vals), "n_nonzero": len(nz),
+              "n_distinct": len(set(vals)), "tz_bits": tz,
+              "mulaw_hits": hits, "effective_bits": 16 - tz}
+        for k in names:
+            out[k].append(st[k])
+        if len(nz) < MIN_NONZERO_DEFAULT:
+            for k in ("bit_upconverted", "mulaw_upconverted", "upconverted"):
+                out[k].append(None)
+            continue
+        full_res = r["codec"] in ("pcm16", "wav")
+        bit_up = full_res and tz >= UPCONVERT_TZ_BITS
+        mulaw_up = full_res and hits == len(nz)
+        out["bit_upconverted"].append(bit_up)
+        out["mulaw_upconverted"].append(mulaw_up)
+        out["upconverted"].append(bit_up or mulaw_up)
+    return out
+
+
 def _audio_trim_expected(n=300, seed=42) -> dict:
     """Twin of ``audio_vad.trim_silence``: the independent VAD state
     machine derives the FIRST active run's start frame and the LAST
@@ -2889,6 +2967,15 @@ _SCHEMAS: dict[str, pa.Schema] = {
         [("clip_id", pa.string()), ("n_landmarks", pa.int32()),
          ("n_boiler", pa.int64()), ("boilerplate_heavy", pa.bool_())]
     ),
+    "audio_quantization": pa.schema(
+        [("clip_id", pa.string()), ("codec", pa.string()),
+         ("ok", pa.bool_()),
+         ("n_samples", pa.int64()), ("n_nonzero", pa.int64()),
+         ("n_distinct", pa.int64()), ("tz_bits", pa.int64()),
+         ("mulaw_hits", pa.int64()), ("effective_bits", pa.int64()),
+         ("bit_upconverted", pa.bool_()), ("mulaw_upconverted", pa.bool_()),
+         ("upconverted", pa.bool_())]
+    ),
     "audio_trim": pa.schema(
         [("clip_id", pa.string()), ("ok", pa.bool_()),
          ("trimmed", pa.bool_()), ("sr_hz", pa.int32()),
@@ -3134,6 +3221,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_loop_arbitrary_expected()
     elif name == "audio_boilerplate":
         data = _audio_boilerplate_expected()
+    elif name == "audio_quantization":
+        data = _audio_quantization_expected()
     elif name == "audio_dedup_clusters":
         data = _audio_dedup_clusters_expected()
     elif name == "audio_excerpt_match":

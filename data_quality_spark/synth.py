@@ -434,6 +434,61 @@ def make_audio_excerpt_corpus(
     return pd.concat([base, pd.DataFrame(outs)], ignore_index=True)
 
 
+def make_audio_quantized_corpus(
+    n: int = 300,
+    seed: int = 42,
+    bit_every: int = 5,
+    mulaw_every: int = 7,
+) -> pd.DataFrame:
+    """Corpus with seeded *upconverted* clips for the quantization audit.
+
+    Every ``bit_every``-th decodable clip is re-quantized to the 8-bit
+    lattice (round to the nearest multiple of 256) and every
+    ``mulaw_every``-th through a G.711 µ-law round-trip, then re-encoded
+    into a FULL-RESOLUTION container (own codec if pcm16/wav, else
+    pcm16) — the container now claims 16 bits the samples don't have.
+    ``bit_every`` wins when both residues hit.  Both re-encodes preserve
+    the lattice exactly (``encode_pcm16`` is ``rint(x*32767)``, and the
+    injected values are exact ``v/32767`` ratios), so the audit's
+    integer signatures are deterministic.  Modified rows get
+    ``defect='bit_upconvert'`` / ``'mulaw_upconvert'`` for test
+    introspection."""
+    base = generate_clips(n, seed=seed)
+    rows = []
+    for i in range(len(base)):
+        row = base.iloc[i].to_dict()
+        tag = None
+        if (i + 1) % bit_every == 0:
+            tag = "bit_upconvert"
+        elif (i + 1) % mulaw_every == 0:
+            tag = "mulaw_upconvert"
+        if tag is None:
+            rows.append(row)
+            continue
+        try:
+            q = A._decode_i16(row["bytes"], row["codec"], row["sr_hz"])
+        except (ValueError, TypeError):
+            rows.append(row)
+            continue
+        if len(q) == 0:
+            rows.append(row)
+            continue
+        if tag == "bit_upconvert":
+            v = np.clip(np.rint(q.astype(np.float64) / 256.0), -127, 127)
+            v16 = (v.astype(np.int64) * 256).astype(np.int16)
+        else:
+            ulaw = A.encode_mulaw(q.astype(np.float64) / 32767.0)
+            v16 = A._decode_i16(ulaw, "mulaw", row["sr_hz"])
+        xf = v16.astype(np.float64) / 32767.0
+        codec = row["codec"] if row["codec"] in ("pcm16", "wav") else "pcm16"
+        row["bytes"] = (A.encode_wav(xf, int(row["sr_hz"]))
+                        if codec == "wav" else A.encode_pcm16(xf))
+        row["codec"] = codec
+        row["defect"] = tag
+        rows.append(row)
+    return pd.DataFrame(rows, columns=base.columns)
+
+
 def generate_clips_distributed(
     spark, n: int, seed: int = 42, partitions: int = 32, defect_frac: float = 0.35
 ):
