@@ -150,7 +150,8 @@ def build_parser() -> argparse.ArgumentParser:
     au.add_argument("--table", required=True, help="table name to audit")
     au.add_argument(
         "--kind",
-        choices=["text", "audio", "loops", "labels", "boilerplate"],
+        choices=["text", "audio", "loops", "labels", "boilerplate",
+                 "quantization"],
         default="text",
     )
     au.add_argument("--min-words", type=int, default=15)
@@ -549,6 +550,33 @@ def main(argv: list[str] | None = None) -> int:
                     .otherwise(F2.lit("info")).alias("severity"),
                     F2.lit("clip dominated by cross-corpus shared audio "
                            "(intro/jingle)").alias("description"),
+                )
+            elif args.kind == "quantization":
+                from pyspark.sql import functions as F2
+
+                from .operators.audio_quantization import (
+                    clip_quantization,
+                    quantization_flags,
+                )
+
+                flags = quantization_flags(clip_quantization(df))
+                wide = flags.agg(
+                    F2.count(F2.lit(1)).alias("total"),
+                    F2.count(F2.when(F2.col("upconverted"), 1)).alias("n"),
+                )
+                issues_df = wide.select(
+                    F2.lit(args.table).alias("table"),
+                    F2.lit("bytes").alias("column"),
+                    F2.lit("audio_upconverted").alias("issue_type"),
+                    F2.col("n").alias("count"),
+                    F2.col("total").alias("total"),
+                    F2.when(F2.col("total") > 0,
+                            F2.col("n") * 100.0 / F2.col("total"))
+                    .otherwise(F2.lit(0.0)).cast("double").alias("percent"),
+                    F2.when(F2.col("n") > 0, F2.lit("warning"))
+                    .otherwise(F2.lit("info")).alias("severity"),
+                    F2.lit("16-bit container, 8-bit or mu-law source "
+                           "lattice (upconverted audio)").alias("description"),
                 )
             elif args.kind == "labels":
                 from .operators.audio_dedup import (

@@ -45,6 +45,7 @@ MIN_NONZERO_DEFAULT = 256
 UPCONVERT_TZ_BITS = 8
 
 _CODEBOOK_SORTED: np.ndarray | None = None
+_MEMBER_LUT: np.ndarray | None = None
 
 
 def mulaw_codebook() -> np.ndarray:
@@ -62,7 +63,20 @@ def mulaw_codebook() -> np.ndarray:
     return _CODEBOOK_SORTED
 
 
-def quantization_stats_i16(q: np.ndarray) -> dict[str, int]:
+def _member_lut() -> np.ndarray:
+    """65536-entry bool LUT over the uint16 view: is this bit pattern a
+    µ-law codebook value?  Built once per process."""
+    global _MEMBER_LUT
+    if _MEMBER_LUT is None:
+        lut = np.zeros(65536, dtype=bool)
+        lut[mulaw_codebook().view(np.uint16)] = True
+        _MEMBER_LUT = lut
+    return _MEMBER_LUT
+
+
+def quantization_stats_i16(
+    q: np.ndarray, include_distinct: bool = True
+) -> dict[str, int]:
     """Exact lattice stats for one int16 clip.
 
     Returns ``n_samples, n_nonzero, n_distinct, tz_bits, mulaw_hits``:
@@ -73,13 +87,17 @@ def quantization_stats_i16(q: np.ndarray) -> dict[str, int]:
       callers must gate on ``n_nonzero`` before reading it.
     - ``mulaw_hits``: nonzero samples inside the µ-law codebook.
 
-    One vectorized pass: an OR-reduce, a ``np.unique`` on the (bounded,
-    <= 65536-value) lattice, and a sorted-codebook ``searchsorted``
-    membership gather — no Python per-sample loop.
+    The decision-law stats are three O(n) vectorized passes (OR-reduce,
+    ``count_nonzero``, a bool-LUT membership gather — ~25 µs/clip at
+    16 kHz, cheap enough to ride along in the decode-once fused audit).
+    ``n_distinct`` needs a 65536-bin histogram (~150 µs fixed cost);
+    pass ``include_distinct=False`` to skip it (returned as -1) where
+    only the flag laws matter.
     """
     n = int(q.size)
     if n == 0:
-        return {"n_samples": 0, "n_nonzero": 0, "n_distinct": 0,
+        return {"n_samples": 0, "n_nonzero": 0,
+                "n_distinct": 0 if include_distinct else -1,
                 "tz_bits": 16, "mulaw_hits": 0}
     u = q.view(np.uint16) if q.dtype == np.int16 else \
         q.astype(np.int16).view(np.uint16)
@@ -88,16 +106,18 @@ def quantization_stats_i16(q: np.ndarray) -> dict[str, int]:
         tz = 16
     else:
         tz = int((orred & -orred).bit_length() - 1)
-    uniq = np.unique(q)
-    nz = q[q != 0]
-    cb = mulaw_codebook()
-    idx = np.searchsorted(cb, nz)
-    idx = np.clip(idx, 0, cb.size - 1)
-    hits = int(np.count_nonzero(cb[idx] == nz))
+    n_nonzero = int(np.count_nonzero(q))
+    # 0 is itself a codebook value (mant=0, exp=0): subtract the zero
+    # samples the LUT gather counts so hits covers nonzero samples only
+    hits = int(np.count_nonzero(_member_lut()[u])) - (n - n_nonzero)
+    if include_distinct:
+        n_distinct = int(np.count_nonzero(np.bincount(u, minlength=65536)))
+    else:
+        n_distinct = -1
     return {
         "n_samples": n,
-        "n_nonzero": int(nz.size),
-        "n_distinct": int(uniq.size),
+        "n_nonzero": n_nonzero,
+        "n_distinct": n_distinct,
         "tz_bits": tz,
         "mulaw_hits": hits,
     }

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .audio_dropout import DC_DEN, DC_NUM, STUCK_MIN_DEFAULT
+from ..functions.quantization import MIN_NONZERO_DEFAULT, UPCONVERT_TZ_BITS
 from ..synth import GateThresholds as TH
 
 __all__ = ["audio_audit", "audit_issues", "AUDIT_RULES"]
@@ -47,6 +48,9 @@ _FIELDS = [
     ("n_dropouts", T.LongType()),
     ("max_const_run", T.LongType()),
     ("dc_sum", T.LongType()),
+    ("n_nonzero", T.LongType()),
+    ("tz_bits", T.LongType()),
+    ("mulaw_hits", T.LongType()),
 ]
 
 
@@ -55,6 +59,7 @@ def audio_audit(df: DataFrame, counter=None) -> DataFrame:
     col_idx = {f.name: i for i, f in enumerate(df.schema.fields)}
     out_schema = T.StructType(
         [T.StructField("clip_id", T.StringType(), False),
+         T.StructField("codec", T.StringType(), True),
          T.StructField("ok", T.BooleanType(), False)]
         + [T.StructField(name, dt, True) for name, dt in _FIELDS]
     )
@@ -66,6 +71,7 @@ def audio_audit(df: DataFrame, counter=None) -> DataFrame:
         from ..functions.audio import _decode_i16, clip_stats_i16
         from ..functions.dropout import dropout_stats_i16
         from ..functions.loudness import clip_loudness
+        from ..functions.quantization import quantization_stats_i16
         from ..functions.snr import speech_snr
         from ..functions.vad import vad_stats
 
@@ -93,6 +99,7 @@ def audio_audit(df: DataFrame, counter=None) -> DataFrame:
                 vd = vad_stats(x, sr)
                 sn = speech_snr(x, sr)
                 lf = clip_loudness(x, sr)
+                qt = quantization_stats_i16(q, include_distinct=False)
                 oks.append(ok)
                 cols["n_samples"].append(int(q.size))
                 cols["rms_db"].append(st["rms_db"])
@@ -106,16 +113,20 @@ def audio_audit(df: DataFrame, counter=None) -> DataFrame:
                 cols["n_dropouts"].append(dp["n_dropouts"])
                 cols["max_const_run"].append(dp["max_const_run"])
                 cols["dc_sum"].append(dp["dc_sum"])
+                cols["n_nonzero"].append(qt["n_nonzero"])
+                cols["tz_bits"].append(qt["tz_bits"])
+                cols["mulaw_hits"].append(qt["mulaw_hits"])
             pa_types = {
                 "LongType": pa.int64(), "DoubleType": pa.float64(),
                 "IntegerType": pa.int32(),
             }
             yield pa.RecordBatch.from_arrays(
                 [pa.array(ids, type=pa.string()),
+                 pa.array(codecs, type=pa.string()),
                  pa.array(oks, type=pa.bool_())]
                 + [pa.array(cols[name], type=pa_types[type(dt).__name__])
                    for name, dt in _FIELDS],
-                names=["clip_id", "ok"] + [n for n, _ in _FIELDS],
+                names=["clip_id", "codec", "ok"] + [n for n, _ in _FIELDS],
             )
 
     return df.mapInArrow(run, out_schema)
@@ -153,6 +164,18 @@ AUDIT_RULES = {
         lambda: F.abs(F.col("dc_sum")) * F.lit(DC_DEN)
         > F.lit(DC_NUM) * F.col("n_samples") * F.lit(32768),
         "warning", "bytes", "converter DC bias above 2% full scale"),
+    # lattice law shared with operators.audio_quantization: a 16-bit
+    # container whose samples live on an 8-bit or µ-law lattice was
+    # upconverted; below MIN_NONZERO_DEFAULT nonzero samples the clip is
+    # not evaluable and must not count (the AND keeps it FALSE)
+    "upconverted": (
+        lambda: F.col("ok")
+        & F.col("codec").isin("pcm16", "wav")
+        & (F.col("n_nonzero") >= F.lit(MIN_NONZERO_DEFAULT))
+        & ((F.col("tz_bits") >= F.lit(UPCONVERT_TZ_BITS))
+           | (F.col("mulaw_hits") == F.col("n_nonzero"))),
+        "warning", "bytes",
+        "16-bit container over an 8-bit or mu-law source lattice"),
 }
 
 

@@ -2175,6 +2175,11 @@ def _audio_audit_issues_expected(n=300, seed=42) -> dict:
     from .functions.audio import _decode_i16, clip_stats_i16
     from .functions.dropout import dropout_stats_i16
     from .functions.loudness import clip_loudness
+    from .functions.quantization import (
+        MIN_NONZERO_DEFAULT,
+        UPCONVERT_TZ_BITS,
+        quantization_stats_i16,
+    )
     from .functions.snr import speech_snr
     from .functions.vad import vad_stats
     from .operators.audio_audit import (
@@ -2205,6 +2210,7 @@ def _audio_audit_issues_expected(n=300, seed=42) -> dict:
         vd = vad_stats(x, sr)
         sn = speech_snr(x, sr)
         lf = clip_loudness(x, sr)
+        qt = quantization_stats_i16(q)
         del vd  # speech stats are carried by the wide relation, no flag
         flags = {
             "undecodable": not ok,
@@ -2218,6 +2224,11 @@ def _audio_audit_issues_expected(n=300, seed=42) -> dict:
             "stuck_samples": dp["max_const_run"] >= STUCK_MIN_DEFAULT,
             "dc_offset": abs(dp["dc_sum"]) * DC_DEN
             > DC_NUM * int(q.size) * 32768,
+            "upconverted": ok
+            and r["codec"] in ("pcm16", "wav")
+            and qt["n_nonzero"] >= MIN_NONZERO_DEFAULT
+            and (qt["tz_bits"] >= UPCONVERT_TZ_BITS
+                 or qt["mulaw_hits"] == qt["n_nonzero"]),
         }
         for name, hit in flags.items():
             if hit:
@@ -2505,6 +2516,11 @@ def _utterance_audit_expected(n=300, seed=42, min_dur_ms=200) -> dict:
     from .functions.audio import SILENCE_DB, _decode_i16, clip_stats_i16
     from .functions.dropout import dropout_stats_i16
     from .functions.loudness import clip_loudness
+    from .functions.quantization import (
+        MIN_NONZERO_DEFAULT,
+        UPCONVERT_TZ_BITS,
+        quantization_stats_i16,
+    )
     from .functions.snr import speech_snr
     from .functions.vad import HANG_FRAMES, MIN_SPEECH_FRAMES, frame_mean_squares
     from .operators.audio_audit import (
@@ -2568,6 +2584,14 @@ def _utterance_audit_expected(n=300, seed=42, min_dur_ms=200) -> dict:
                     >= STUCK_MIN_DEFAULT,
                     "dc_offset": abs(dp["dc_sum"]) * DC_DEN
                     > DC_NUM * int(qs.size) * 32768,
+                    # segments are always pcm16 slices: a coarse lattice
+                    # here means coarse content entering the product,
+                    # whatever the source container declared
+                    "upconverted": (lambda qt: (
+                        qt["n_nonzero"] >= MIN_NONZERO_DEFAULT
+                        and (qt["tz_bits"] >= UPCONVERT_TZ_BITS
+                             or qt["mulaw_hits"] == qt["n_nonzero"])
+                    ))(quantization_stats_i16(qs)),
                 }
                 for name, hit in flags.items():
                     if hit:

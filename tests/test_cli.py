@@ -431,3 +431,27 @@ def test_cli_audit_boilerplate(spark, tmp_path, capsys, monkeypatch):
     r = rows["audio_boilerplate"]
     assert r["total"] == 200 and r["count"] > 10
     assert r["severity"] == "warning"
+
+
+def test_cli_audit_quantization(spark, tmp_path, capsys, monkeypatch):
+    import data_quality_spark.cli as cli
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_quantized_corpus
+
+    monkeypatch.setattr("pyspark.sql.SparkSession.stop", lambda self: None)
+    tables = tmp_path / "tables"
+    tables.mkdir()
+    pdf = make_audio_quantized_corpus(200, seed=42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    spark.createDataFrame(pdf[cols], CLIPS_SCHEMA).coalesce(2).write.parquet(
+        str(tables / "qclips.parquet")
+    )
+    code = cli.main(
+        ["audit", "--tables", str(tables), "--table", "qclips",
+         "--kind", "quantization", "--format", "json", "--fail-on", "none"]
+    )
+    rows = {r["issue_type"]: r for r in json.loads(capsys.readouterr().out)}
+    assert code == 0
+    r = rows["audio_upconverted"]
+    assert r["total"] == 200 and r["count"] > 20
+    assert r["severity"] == "warning"
