@@ -193,7 +193,7 @@ def test_utterance_audit_query_vs_twin(spark, sf_dir):
 
     got = e.q_utterance_audit(spark, sf_dir).collect()
     exp = _utterance_audit_expected(300, seed=42, min_dur_ms=MIN_DUR_MS)
-    assert len(got) == len(exp["issue_type"]) == 9
+    assert len(got) == len(exp["issue_type"]) == 10
     assert exp["total"][0] > 100  # the corpus actually fans out
     for r, idx in zip(got, sorted(range(9),
                                   key=lambda k: exp["issue_type"][k])):
