@@ -656,6 +656,72 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bias_report_cols(b: DataFrame, *by: str) -> DataFrame:
+    """Shared display projection for the bias audits (6dp rounding)."""
+    return b.select(
+        *by,
+        "n",
+        "n_keep",
+        F.round("keep_rate", 6).alias("keep_rate_r"),
+        F.round("wilson_low", 6).alias("wilson_low_r"),
+        F.round("wilson_up", 6).alias("wilson_up_r"),
+        F.round("rest_rate", 6).alias("rest_rate_r"),
+        F.round("impact_ratio", 6).alias("impact_ratio_r"),
+        "biased_low",
+    ).orderBy(*by)
+
+
+def q_keep_rate_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-bias audit (operators/bias.py): per-language keep rate of
+    the Gopher pass decision with Wilson 95% bounds and the four-fifths
+    disparate-impact flag vs the rest of the corpus — only flags groups
+    whose Wilson UPPER bound is confidently below the bar.  Strict
+    DuckDB twin: the Wilson algebra is one shared IEEE-754 expression
+    tree (div/mul/sqrt correctly rounded in both engines)."""
+    from data_quality_spark.operators import quality_filters as qf
+    from data_quality_spark.operators.bias import keep_rate_bias
+
+    flagged = qf.gopher_flags(
+        _t(spark, sf_dir, "documents"), min_words=15, max_words=90
+    )
+    return _bias_report_cols(
+        keep_rate_bias(flagged, "gopher_pass", ["lang"]), "lang"
+    )
+
+
+#: deterministic template texts planted for the spam audit (the synthetic
+#: corpus is template-free); chosen by (doc_id div 29) % 3 in BOTH engines
+_SPAM_TEMPLATES = (
+    "No transcript is available for this clip.",
+    "Subscribe and hit the bell for more daily content!",
+    "Copyright disclaimer: all rights belong to their owners.",
+)
+
+
+def q_template_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-spam audit (operators/spam.py): identical normalized
+    texts spanning many DISTINCT sources.  Witness = source, so ordinary
+    duplicates within one source never flag; injection plants three
+    templates on doc_id % 29 across the source spectrum.  Strict DuckDB
+    twin (portable md5 identity + RE2/Java-safe whitespace fold)."""
+    from data_quality_spark.operators.spam import template_spam
+
+    docs = _t(spark, sf_dir, "documents")
+    pick = F.expr("(doc_id div 29) % 3")
+    tmpl = (
+        F.when(pick == 0, F.lit(_SPAM_TEMPLATES[0]))
+        .when(pick == 1, F.lit(_SPAM_TEMPLATES[1]))
+        .otherwise(F.lit(_SPAM_TEMPLATES[2]))
+    )
+    injected = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 29 == 0, tmpl).otherwise(F.col("text")),
+    )
+    return template_spam(
+        injected, "doc_id", "text", "source", min_support=5, min_witness=3
+    )
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_quality_spark.operators import quality_filters as qf
 
@@ -1817,6 +1883,23 @@ def q_clips_gate_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gate_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate-bias audit: Wilson keep-rate disparity by codec over the
+    audio gate's decisions — is the quality filter dropping one codec's
+    clips disproportionately?  Differential oracle: a pure-Python Wilson
+    twin over the gate twin's decisions, mirroring the Spark expression
+    tree's IEEE association exactly (oracles._gate_bias_expected)."""
+    from data_quality_spark.operators.bias import keep_rate_bias
+    from data_quality_spark.pipeline import gate
+
+    ensure_expected("gate_bias", sf_dir)
+    decided = gate(_clips_df(spark))
+    return _bias_report_cols(
+        keep_rate_bias(decided, F.col("decision") == "keep", ["codec"]),
+        "codec",
+    )
+
+
 def q_clips_gate_issues(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_quality_spark.pipeline import gate, gate_issues
 
@@ -1918,6 +2001,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats": q_vocab_stats,
         "length_histogram": q_length_histogram,
         "gopher_quality": q_gopher_quality,
+        "keep_rate_bias": q_keep_rate_bias,
+        "template_spam": q_template_spam,
         "repetition_stats": q_repetition_stats,
         "decontamination": q_decontamination,
         "corpus_funnel": q_corpus_funnel,
@@ -1977,6 +2062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_gate": q_clips_gate,
         "clips_funnel": q_clips_funnel,
         "clips_gate_rollup": q_clips_gate_rollup,
+        "gate_bias": q_gate_bias,
         "clips_gate_issues": q_clips_gate_issues,
         "clips_gate_decide3": q_clips_gate_decide3,
         "clips_gate_v2": q_clips_gate_v2,
@@ -2399,14 +2485,14 @@ SELECT doc_id, lang, q_score, q_score > 0.0 AS q_keep
 FROM s ORDER BY doc_id"""
 
 
-def _gopher_quality_oracle() -> str:
-    """DuckDB twin of q_gopher_quality: same exact-integer signals and
-    cross-multiplied thresholds (min_words=15, max_words=90)."""
+def _gopher_flags_cte() -> str:
+    """Shared DuckDB CTE prefix ``t, f``: per-doc Gopher rule flags —
+    the twin of quality_filters.gopher_flags (min_words=15, max_words=90)
+    used by both the tally and the bias-audit oracles."""
     from data_quality_spark.operators.docs import _ALL_STOPWORDS
 
     stops = ", ".join(f"'{m}'" for m in _ALL_STOPWORDS)
-    return rf"""
-WITH t AS (
+    return rf"""t AS (
   SELECT lang,
     CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nt,
@@ -2425,7 +2511,14 @@ WITH t AS (
     (5 * alpha < 4 * nt) AS f_alpha,
     (ns < 2) AS f_stop
   FROM t
-)
+)"""
+
+
+def _gopher_quality_oracle() -> str:
+    """DuckDB twin of q_gopher_quality: same exact-integer signals and
+    cross-multiplied thresholds (min_words=15, max_words=90)."""
+    return rf"""
+WITH {_gopher_flags_cte()}
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(CASE WHEN f_wc THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_count,
   CAST(sum(CASE WHEN f_mwl THEN 1 ELSE 0 END) AS BIGINT) AS fail_mean_word_len,
@@ -2435,6 +2528,85 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(CASE WHEN NOT (f_wc OR f_mwl OR f_sym OR f_alpha OR f_stop)
            THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
 FROM f GROUP BY lang ORDER BY lang"""
+
+
+def _keep_rate_bias_oracle() -> str:
+    """DuckDB twin of q_keep_rate_bias: per-lang Gopher pass counts, then
+    the SAME Wilson/four-fifths expression tree as operators/bias.py —
+    every double literal is e-notation (DuckDB would otherwise parse bare
+    decimals as DECIMAL and diverge from IEEE double arithmetic), and the
+    association order mirrors the Spark Column tree exactly."""
+    z = 1.96
+    z2 = z * z  # embedded as the exact double Spark's F.lit(z*z) uses
+    return rf"""
+WITH {_gopher_flags_cte()},
+g AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN NOT (f_wc OR f_mwl OR f_sym OR f_alpha OR f_stop)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+  FROM f GROUP BY lang
+),
+s AS (SELECT sum(n) AS tot_n, sum(n_keep) AS tot_k FROM g),
+w AS (
+  SELECT lang, n, n_keep, tot_n, tot_k,
+    CAST(n AS DOUBLE) AS nd,
+    CAST(n_keep AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+    CAST(tot_n - n AS DOUBLE) AS rest_n,
+    CAST(tot_k - n_keep AS DOUBLE) AS rest_k
+  FROM g, s
+),
+x AS (
+  SELECT *,
+    1.0e0 + {z2!r}e0 / nd AS denom,
+    p + {z2!r}e0 / (2.0e0 * nd) AS center,
+    {z!r}e0 * sqrt((p * (1.0e0 - p)) / nd
+                   + {z2!r}e0 / ((4.0e0 * nd) * nd)) AS half
+  FROM w
+)
+SELECT lang, n, n_keep,
+  round(p, 6) AS keep_rate_r,
+  round((center - half) / denom, 6) + 0.0e0 AS wilson_low_r,
+  round((center + half) / denom, 6) AS wilson_up_r,
+  CASE WHEN tot_n > n THEN round(rest_k / rest_n, 6) END AS rest_rate_r,
+  CASE WHEN tot_n > n AND rest_k > 0
+       THEN round(p / (rest_k / rest_n), 6) END AS impact_ratio_r,
+  (tot_n > n
+   AND (((center + half) / denom) * rest_n) * 5.0e0 < rest_k * 4.0e0)
+    AS biased_low
+FROM x ORDER BY lang"""
+
+
+def _template_spam_oracle() -> str:
+    """DuckDB twin of q_template_spam: the same injection arithmetic,
+    whitespace-fold normalization and md5 template identity."""
+    t0, t1, t2 = _SPAM_TEMPLATES
+    return f"""
+WITH t AS (
+  SELECT doc_id, source,
+    CASE WHEN doc_id % 29 = 0 THEN
+      CASE WHEN (doc_id // 29) % 3 = 0 THEN '{t0}'
+           WHEN (doc_id // 29) % 3 = 1 THEN '{t1}'
+           ELSE '{t2}' END
+      ELSE text END AS tx
+  FROM documents
+),
+n AS (
+  SELECT doc_id, source,
+    lower(trim(regexp_replace(coalesce(tx, ''), '[ \t\n\r]+', ' ', 'g')))
+      AS norm
+  FROM t
+),
+g AS (
+  SELECT md5(norm) AS template_md5,
+    min(substring(norm, 1, 40)) AS template_head,
+    CAST(count(*) AS BIGINT) AS n_rows,
+    CAST(count(DISTINCT source) AS BIGINT) AS n_witness,
+    min(doc_id) AS sample_id
+  FROM n GROUP BY md5(norm)
+)
+SELECT template_md5, template_head, n_rows, n_witness, sample_id,
+  n_witness >= 3 AS is_spam
+FROM g WHERE n_rows >= 5 ORDER BY template_md5"""
 
 
 # shared CTE prefix: per-doc word stream with ordinal position, lowercased
@@ -3197,6 +3369,8 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
 FROM t GROUP BY lang ORDER BY lang""",
         "stopword_stats": _stopword_stats_oracle(),
         "gopher_quality": _gopher_quality_oracle(),
+        "keep_rate_bias": _keep_rate_bias_oracle(),
+        "template_spam": _template_spam_oracle(),
         "repetition_stats": _repetition_stats_oracle(),
         "decontamination": _decontamination_oracle(),
         "corpus_funnel": _corpus_funnel_oracle(),
@@ -3413,6 +3587,7 @@ ORDER BY d.doc_id""",
         "clips_gate": _expected_sql("clips_gate"),
         "clips_funnel": _expected_sql("clips_funnel"),
         "clips_gate_rollup": _expected_sql("clips_gate_rollup"),
+        "gate_bias": _expected_sql("gate_bias"),
         "clips_gate_issues": _expected_sql("clips_gate_issues"),
         "clips_gate_decide3": _expected_sql("clips_gate_decide3"),
         "clips_gate_v2": _expected_sql("clips_gate_v2"),

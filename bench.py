@@ -468,6 +468,7 @@ def main() -> None:
         "label_noise_audit", "audio_loop_scan", "audio_loop_arbitrary",
         "audio_trim", "image_hash_recall", "image_cluster_split",
         "audio_boilerplate", "audio_quantization",
+        "keep_rate_bias", "template_spam", "gate_bias",
     ]
     # headline-only mode: just the gate pair + health scan (~90 s) — fits
     # inside the short quiet gaps this shared host actually has, where the

@@ -621,6 +621,67 @@ def _clips_gate_rollup_expected(n=1200, seed=42) -> dict:
     return out
 
 
+def _gate_bias_expected(n=1200, seed=42) -> dict:
+    """Wilson keep-rate disparity by codec over the gate decisions — the
+    pure-Python twin of ``operators/bias.keep_rate_bias``.  Every double
+    operation mirrors the Spark expression tree's association exactly
+    (IEEE div/mul/sqrt are correctly rounded in both runtimes), so the
+    values match bit-for-bit BEFORE the display rounding."""
+    pdf = _clips_oracle_frame(n, seed)
+    groups: dict[str, list[int]] = {}
+    for _, r in pdf.iterrows():
+        g = groups.setdefault(str(r["codec"]), [0, 0])
+        g[0] += 1
+        g[1] += 1 if r["decision"] == "keep" else 0
+    tot_n = sum(v[0] for v in groups.values())
+    tot_k = sum(v[1] for v in groups.values())
+    z = 1.96
+    z2 = z * z
+    cols = (
+        "codec", "n", "n_keep", "keep_rate_r", "wilson_low_r",
+        "wilson_up_r", "rest_rate_r", "impact_ratio_r", "biased_low",
+    )
+    out: dict[str, list] = {c: [] for c in cols}
+    raw: list[float] = []
+    for codec in sorted(groups):
+        cn, ck = groups[codec]
+        nd = float(cn)
+        p = float(ck) / nd
+        denom = 1.0 + z2 / nd
+        center = p + z2 / (2.0 * nd)
+        half = z * math.sqrt(p * (1.0 - p) / nd + z2 / ((4.0 * nd) * nd))
+        low = (center - half) / denom
+        up = (center + half) / denom
+        rest_n = float(tot_n - cn)
+        rest_k = float(tot_k - ck)
+        has_rest = tot_n > cn
+        rest_rate = (rest_k / rest_n) if has_rest else None
+        impact = (p / (rest_k / rest_n)) if has_rest and rest_k > 0 else None
+        biased = bool(has_rest and (up * rest_n) * 5.0 < rest_k * 4.0)
+        def _r6(v):
+            # Spark's round goes through BigDecimal, which has no -0.0;
+            # a p=0 group makes center-half ≈ -1e-19 → keep signs equal
+            if v is None:
+                return None
+            x = spark_round(v, 6)
+            return 0.0 if x == 0.0 else x
+
+        out["codec"].append(codec)
+        out["n"].append(cn)
+        out["n_keep"].append(ck)
+        out["keep_rate_r"].append(_r6(p))
+        out["wilson_low_r"].append(_r6(low))
+        out["wilson_up_r"].append(_r6(up))
+        out["rest_rate_r"].append(_r6(rest_rate))
+        out["impact_ratio_r"].append(_r6(impact))
+        out["biased_low"].append(biased)
+        raw.extend(
+            v for v in (p, low, up, rest_rate, impact) if v is not None
+        )
+    _assert_off_rounding_boundary(raw, 6)
+    return out
+
+
 def _clips_row_flags(n=1200, seed=42) -> list[dict[str, bool]]:
     """Per-row twin of ``pipeline.rule_flags`` (Spark NaN semantics)."""
     from .pipeline import DROP_RULES
@@ -3151,6 +3212,12 @@ _SCHEMAS: dict[str, pa.Schema] = {
          ("n_clips", pa.int64()), ("n_keep", pa.int64()),
          ("keep_rate_r", pa.float64()), ("audio_seconds_r", pa.float64())]
     ),
+    "gate_bias": pa.schema(
+        [("codec", pa.string()), ("n", pa.int64()), ("n_keep", pa.int64()),
+         ("keep_rate_r", pa.float64()), ("wilson_low_r", pa.float64()),
+         ("wilson_up_r", pa.float64()), ("rest_rate_r", pa.float64()),
+         ("impact_ratio_r", pa.float64()), ("biased_low", pa.bool_())]
+    ),
     "clips_funnel": pa.schema(
         [("codec", pa.string()), ("n_raw", pa.int64()),
          ("n_decode_ok", pa.int64()), ("n_signal_ok", pa.int64()),
@@ -3283,6 +3350,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _clips_gate_expected()
     elif name == "clips_gate_rollup":
         data = _clips_gate_rollup_expected()
+    elif name == "gate_bias":
+        data = _gate_bias_expected()
     elif name == "clips_funnel":
         data = _clips_funnel_expected()
     elif name == "clips_gate_issues":
