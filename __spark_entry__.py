@@ -1734,6 +1734,23 @@ def q_utterance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_utterance_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-utterance keep/drop — the v2 gate OVER the chunker's segment
+    product (segments ARE clips, so the gate composes unchanged):
+    extract_segments → featurize_v2 → the audio-measurable subset of the
+    v2 drop ladder (UTTERANCE_DROP_RULES; transcript rules need a forced
+    aligner this engine deliberately does not fake).  Twin: independent
+    VAD state machine + per-slice shared kernels + explicit Python flag
+    ladder vs the Spark when-chain and coalesce NULL semantics."""
+    from data_quality_spark.pipeline import utterance_gate
+
+    ensure_expected("utterance_gate", sf_dir)
+    decided = utterance_gate(_clips_df(spark, n=300), min_dur_ms=200)
+    return decided.select(
+        "clip_id", "start_ms", "dur_ms", "decision", "decision_reason"
+    ).orderBy("clip_id", "start_ms")
+
+
 def q_image_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val split for IMAGES: perceptual near-dup
     clusters assigned to splits as a unit via the portable md5 of the
@@ -2073,6 +2090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_hash_recall": q_image_hash_recall,
         "image_cluster_split": q_image_cluster_split,
         "utterance_audit": q_utterance_audit,
+        "utterance_gate": q_utterance_gate,
     }
 
 
@@ -3598,4 +3616,5 @@ ORDER BY d.doc_id""",
         "image_hash_recall": _expected_sql("image_hash_recall"),
         "image_cluster_split": _expected_sql("image_cluster_split"),
         "utterance_audit": _expected_sql("utterance_audit"),
+        "utterance_gate": _expected_sql("utterance_gate"),
     }

@@ -465,6 +465,7 @@ def main() -> None:
         "encoding_audit", "text_audit", "frequent_line_removal",
         "vocab_stats", "length_histogram", "image_features",
         "image_near_dup", "image_phash_near_dup", "utterance_audit",
+        "utterance_gate",
         "label_noise_audit", "audio_loop_scan", "audio_loop_arbitrary",
         "audio_trim", "image_hash_recall", "image_cluster_split",
         "audio_boilerplate", "audio_quantization",

@@ -46,7 +46,7 @@ __all__ = ["ensure_expected", "expected_path", "spark_round"]
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EXPECTED_DIR = os.path.join(_REPO, "expected")
 # bump to invalidate every committed expected file after a generator change
-_VERSION = 9
+_VERSION = 10
 # generation guard: differential oracles only run at correctness scale
 _MAX_ORACLE_ROWS = 2500
 
@@ -2673,6 +2673,123 @@ def _utterance_audit_expected(n=300, seed=42, min_dur_ms=200) -> dict:
     return out
 
 
+def _utterance_gate_expected(n=300, seed=42, min_dur_ms=200) -> dict:
+    """Twin of ``pipeline.utterance_gate`` — per-utterance keep/drop.
+
+    Segment extraction is replayed with the INDEPENDENT VAD state
+    machine (`_vad_state_machine`, same differential surface as the
+    audio_chunks / utterance_audit twins); each segment's pcm16 slice
+    then runs the SHARED kernels (each hash-verified by its own
+    differential query — audio_snr, audio_loudness, audio_dropout,
+    audio_bandwidth) under an explicit Python flag ladder in
+    UTTERANCE_DROP_RULES order.  The differential surface is the
+    segmentation replay, the ladder composition, and the
+    coalesce(·, False) NULL semantics vs the Spark when-chain."""
+    from .functions.audio import SILENCE_DB, _decode_i16, clip_stats_i16
+    from .functions.dropout import dropout_stats_i16
+    from .functions.loudness import clip_loudness
+    from .functions.snr import speech_snr
+    from .functions.spectral import bandwidth_stats
+    from .functions.vad import (
+        HANG_FRAMES,
+        MIN_SPEECH_FRAMES,
+        frame_mean_squares,
+    )
+    from .operators.audio_audit import LUFS_MAX, LUFS_MIN, SNR_MIN_DB
+    from .operators.audio_bandwidth import (
+        MAX_UPSAMPLED_HF_DB,
+        MIN_MEASURABLE_RMS,
+    )
+    from .operators.audio_dropout import DC_DEN, DC_NUM, STUCK_MIN_DEFAULT
+    from .pipeline import UTTERANCE_DROP_RULES
+    from .synth import ALLOWED_SR
+    from .synth import GateThresholds as TH
+    from .synth import generate_clips
+
+    pdf = generate_clips(n, seed=seed)
+    out: dict[str, list] = {
+        "clip_id": [], "start_ms": [], "dur_ms": [],
+        "decision": [], "decision_reason": [],
+    }
+    for _, r in pdf.iterrows():
+        sr = r["sr_hz"] or 0
+        try:
+            q = _decode_i16(r["bytes"], r["codec"], r["sr_hz"])
+        except (ValueError, TypeError):
+            continue
+        x = q.astype(np.float32) / np.float32(32767.0)
+        if sr <= 0 or x.size == 0:
+            continue
+        ms2, frame = frame_mean_squares(x, sr)
+        if ms2.size == 0:
+            continue
+        frame_db = 10.0 * np.log10(np.maximum(ms2, 1e-24))
+        act = _vad_state_machine(frame_db, SILENCE_DB, HANG_FRAMES,
+                                 MIN_SPEECH_FRAMES)
+        i = 0
+        nf = len(act)
+        seg_idx = -1  # numbered over ALL active runs, before the length cut
+        while i < nf:
+            if not act[i]:
+                i += 1
+                continue
+            j = i
+            while j < nf and act[j]:
+                j += 1
+            seg_idx += 1
+            dur_ms = int(round((j - i) * frame * 1000 / sr))
+            if dur_ms >= min_dur_ms:
+                qs = np.ascontiguousarray(q[i * frame:j * frame],
+                                          dtype="<i2")
+                xs = qs.astype(np.float32) / np.float32(32767.0)
+                st = clip_stats_i16(qs, sr)
+                dp = dropout_stats_i16(qs, sr)
+                sn = speech_snr(xs, sr)
+                lf = clip_loudness(xs, sr)
+                bw = bandwidth_stats(xs, sr)
+                n_samples = int(qs.size)
+                actual_ms = n_samples * 1000.0 / float(sr)
+                mismatch = (
+                    abs(actual_ms - float(dur_ms)) / max(float(dur_ms), 1.0)
+                    if dur_ms > 0 else 1.0
+                )
+                flags = {
+                    "decode_failed": False,  # pcm16 slices always decode
+                    "bad_sample_rate": int(sr) not in ALLOWED_SR,
+                    "bad_duration": dur_ms <= 0,
+                    "duration_mismatch": mismatch > TH.DUR_MISMATCH_FRAC,
+                    "mostly_silence": st["silence_frac"] > TH.SILENCE_MAX,
+                    "clipping": st["clip_frac"] > TH.CLIP_MAX,
+                    "too_quiet": st["rms_db"] < TH.RMS_MIN_DB,
+                    "dropout": dp["n_dropouts"] > 0,
+                    "stuck_samples": dp["max_const_run"]
+                    >= STUCK_MIN_DEFAULT,
+                    "low_snr": sn["snr_db"] is not None
+                    and sn["snr_db"] < SNR_MIN_DB,
+                    "loudness_range": lf["lufs_i"] is not None
+                    and (lf["lufs_i"] < LUFS_MIN or lf["lufs_i"] > LUFS_MAX),
+                    "dc_offset": abs(dp["dc_sum"]) * DC_DEN
+                    > DC_NUM * n_samples * 32768,
+                    "upsampled": bw["rms"] is not None
+                    and bw["rms"] >= MIN_MEASURABLE_RMS
+                    and bw["hf_db"] is not None
+                    and bw["hf_db"] < MAX_UPSAMPLED_HF_DB,
+                }
+                assert set(flags) == set(UTTERANCE_DROP_RULES)
+                reason = next(
+                    (k for k in UTTERANCE_DROP_RULES if flags[k]), None
+                )
+                out["clip_id"].append(f"{r['clip_id']}#{seg_idx}")
+                out["start_ms"].append(int(round(i * frame * 1000 / sr)))
+                out["dur_ms"].append(dur_ms)
+                out["decision"].append(
+                    "drop" if reason is not None else "keep"
+                )
+                out["decision_reason"].append(reason)
+            i = j
+    return out
+
+
 def _audio_boilerplate_expected(
     n=300, seed=42, jingle_every=4, min_clips=20
 ) -> dict:
@@ -3207,6 +3324,11 @@ _SCHEMAS: dict[str, pa.Schema] = {
          ("total", pa.int64()), ("percent", pa.float64()),
          ("severity", pa.string()), ("description", pa.string())]
     ),
+    "utterance_gate": pa.schema(
+        [("clip_id", pa.string()), ("start_ms", pa.int32()),
+         ("dur_ms", pa.int32()), ("decision", pa.string()),
+         ("decision_reason", pa.string())]
+    ),
     "clips_gate_rollup": pa.schema(
         [("lang_pred", pa.string()), ("codec", pa.string()),
          ("n_clips", pa.int64()), ("n_keep", pa.int64()),
@@ -3374,6 +3496,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _image_cluster_split_expected()
     elif name == "utterance_audit":
         data = _utterance_audit_expected()
+    elif name == "utterance_gate":
+        data = _utterance_gate_expected()
     else:
         raise ValueError(f"unknown expected table {name!r}")
     import pyarrow.parquet as pq

@@ -814,6 +814,76 @@ def gate_v2_issues(decided: DataFrame, table: str = "clips") -> DataFrame:
     return compile_rules(decided, table, rules)
 
 
+# The audio-measurable subset of DROP_RULES_V2, in the same ladder order —
+# the per-utterance gate's rule set.  Transcript rules need a caption
+# ALIGNED to the segment, which requires a forced aligner this engine
+# deliberately does not fake (the aligner is a declared seam, NEXT.md);
+# caption-level gating stays a clip-level concern.
+UTTERANCE_DROP_RULES: dict[str, str] = {
+    name: DROP_RULES_V2[name]
+    for name in (
+        "decode_failed", "bad_sample_rate", "bad_duration",
+        "duration_mismatch", "mostly_silence", "clipping", "too_quiet",
+        "dropout", "stuck_samples", "low_snr", "loudness_range",
+        "dc_offset", "upsampled",
+    )
+}
+
+
+def utterance_gate(
+    df: DataFrame, *, min_dur_ms: int = 200, counter=None
+) -> DataFrame:
+    """Per-utterance keep/drop — the v2 gate run OVER the chunker's
+    segment product.  Segments ARE clips, so the gate machinery composes
+    unchanged: ``extract_segments`` (one decode per source clip, payload
+    sliced on exact frame-grid sample bounds) → ``featurize_v2`` (one
+    decode per segment runs every audio kernel) → the
+    ``UTTERANCE_DROP_RULES`` ladder (first-violated rule is the reason;
+    a NULL metric never fires a rule).
+
+    ``duration_mismatch`` stays in the ladder as a chunker-consistency
+    invariant: the segment's ``dur_ms`` is the VAD's rounded frame-grid
+    value, so a firing here means the chunker wrote a wrong duration.
+
+    Plan shape: two chained ``mapInArrow`` stages over one scan, zero
+    shuffles; payloads never cross an exchange.  At 100 TB the fan-out is
+    bounded by audio duration (segments per clip), never by row count.
+    Reference analog: the medallion per-row decision enum
+    (checkpoints.py:216-252) applied at utterance granularity.
+    """
+    from .operators.audio_vad import extract_segments
+
+    segs = extract_segments(df, min_dur_ms=min_dur_ms, counter=counter)
+    seg_clips = segs.select(
+        F.concat_ws(
+            "#", "clip_id", F.col("seg_idx").cast("string")
+        ).alias("clip_id"),
+        "start_ms",
+        "bytes",
+        "sr_hz",
+        "dur_ms",
+        F.lit("pcm16").alias("codec"),
+        # no aligned caption exists for a segment: an empty transcript
+        # keeps featurize_v2's kernel signature (langid fields land
+        # "und"/0.0 and no transcript rule is in the ladder below)
+        F.lit("").alias("transcript"),
+    )
+    feats = featurize_v2(seg_clips)
+    all_flags = rule_flags_v2(feats)
+    flags = {name: all_flags[name] for name in UTTERANCE_DROP_RULES}
+    reason = F.lit(None).cast("string")
+    for name in reversed(list(flags)):
+        reason = F.when(flags[name], F.lit(name)).otherwise(reason)
+    drop = None
+    for c in flags.values():
+        drop = c if drop is None else (drop | c)
+    return (
+        feats.withColumn("decision", F.when(drop, "drop").otherwise("keep"))
+        .withColumn("decision_reason", reason)
+        .drop("transcript", "codec")
+    )
+
+
 def clips_funnel(df: DataFrame, group_col: str = "codec") -> DataFrame:
     """Per-``group_col`` survivor counts through the gate's stages —
     the audio twin of ``operators.quality_filters.corpus_funnel``:

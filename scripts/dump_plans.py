@@ -155,6 +155,19 @@ def main() -> None:
             None,
         ),
         (
+            "Per-utterance gate (chunker × gate-v2 composition)",
+            "Two chained MapInArrow stages over ONE scan: the chunker "
+            "slices segment payloads on exact frame-grid sample bounds, "
+            "featurize_v2 decodes each slice once for every kernel, and "
+            "the audio-rule ladder is a single WholeStageCodegen span. "
+            "The plan must contain NO Exchange — segment payloads live "
+            "only between the two adjacent Python stages and die at the "
+            "featurize boundary, so the fan-out is bounded by audio "
+            "duration and a 10^12-clip corpus pays one read and zero "
+            "shuffles.",
+            None,
+        ),
+        (
             "Drift report (profile deltas fused into the diff join)",
             "Both per-version column profiles AND the change counts come "
             "from ONE fused aggregate over ONE null-safe full-outer join — "
@@ -294,6 +307,11 @@ def main() -> None:
     drift_i = next(i for i, s in enumerate(sections) if s[0].startswith("Drift"))
     qs_i = next(i for i, s in enumerate(sections) if s[0].startswith("Linear"))
     sections[v2_i] = (*sections[v2_i][:2], gate_v2(clips))
+    from data_quality_spark.pipeline import utterance_gate
+
+    ug_i = next(i for i, s in enumerate(sections)
+                if s[0].startswith("Per-utterance gate"))
+    sections[ug_i] = (*sections[ug_i][:2], utterance_gate(clips))
     orders = spark.read.parquet(f"{sf}/orders.parquet")
     new = orders.filter(F.col("o_orderkey") % 97 != 0)
     sections[drift_i] = (

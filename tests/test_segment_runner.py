@@ -202,6 +202,34 @@ def test_utterance_audit_query_vs_twin(spark, sf_dir):
             assert r[col] == exp[col][idx], (r["issue_type"], col)
 
 
+def test_utterance_gate_query_vs_twin(spark, sf_dir):
+    """The oracled per-utterance GATE query: Spark's chunker→featurize_v2
+    →audio-ladder composition matches the independent VAD-scan +
+    shared-kernel + explicit-ladder twin row by row."""
+    import __spark_entry__ as e
+    from data_quality_spark.oracles import _utterance_gate_expected
+    from data_quality_spark.pipeline import UTTERANCE_DROP_RULES
+
+    got = e.q_utterance_gate(spark, sf_dir).collect()
+    exp = _utterance_gate_expected(300, seed=42, min_dur_ms=MIN_DUR_MS)
+    assert len(got) == len(exp["clip_id"]) > 100  # the corpus fans out
+    order = sorted(
+        range(len(exp["clip_id"])),
+        key=lambda k: (exp["clip_id"][k], exp["start_ms"][k]),
+    )
+    n_drop = 0
+    for r, idx in zip(got, order):
+        for col in ("clip_id", "start_ms", "dur_ms", "decision",
+                    "decision_reason"):
+            assert r[col] == exp[col][idx], (r["clip_id"], col)
+        if r["decision"] == "drop":
+            n_drop += 1
+            assert r["decision_reason"] in UTTERANCE_DROP_RULES
+        else:
+            assert r["decision_reason"] is None
+    assert 0 < n_drop < len(got)  # both classes exercised
+
+
 def test_trim_silence_laws(spark, sf_dir):
     """Trim transform: span bounds are the first/last VAD segment's exact
     sample bounds (driver-kernel re-derivation), interior pauses kept
