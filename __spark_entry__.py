@@ -573,6 +573,37 @@ def q_frequent_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span dedup (Lee et al. 2021): every >=15-token span
+    occurring >=2 times corpus-wide is found, merged to maximal intervals,
+    and removed; per-doc stats + portable md5 of the rebuilt text are
+    hash-checked against a strict DuckDB twin.  The synthetic corpus has
+    no genuine 15-gram repeats, so duplicated spans are injected: every
+    25th doc gets a companion doc carrying a verbatim 40-token slice of
+    it between unique sentinel tokens."""
+    from data_quality_spark.operators.span_dedup import span_dedup_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    arr = F.split(F.trim(F.col("text")), r"\s+")
+    sid = F.col("doc_id").cast("string")
+    inj = (
+        docs.where(F.col("text").isNotNull())
+        .where(F.col("doc_id") % 25 == 0)
+        .where(F.size(arr) >= 60)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.concat(F.lit("injA"), sid),
+                F.concat(F.lit("injB"), sid),
+                F.array_join(F.slice(arr, 11, 40), " "),
+                F.concat(F.lit("injC"), sid),
+            ).alias("text"),
+        )
+    )
+    return span_dedup_stats(docs.unionByName(inj), k=15).orderBy("doc_id")
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear quality-classifier scoring pass (CCNet/GPT-3 shape): four
     exact-integer ratio features, fixed left-associated double chain —
@@ -2025,6 +2056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_funnel": q_corpus_funnel,
         "quality_score": q_quality_score,
         "frequent_line_removal": q_frequent_line_removal,
+        "span_dedup": q_span_dedup,
         "corpus_clean": q_corpus_clean,
         "boilerplate_stats": q_boilerplate_stats,
         "token_budget": q_token_budget,
@@ -3437,6 +3469,76 @@ SELECT d.doc_id,
        ELSE md5(coalesce(reb.clean, '')) END AS clean_md5
 FROM d LEFT JOIN nb USING (doc_id) LEFT JOIN reb USING (doc_id)
 ORDER BY d.doc_id""",
+        "span_dedup": """
+WITH src AS (
+  SELECT doc_id, text FROM documents
+), inj AS (
+  SELECT doc_id + 100000 AS doc_id,
+    'injA' || CAST(doc_id AS VARCHAR) || ' '
+      || 'injB' || CAST(doc_id AS VARCHAR) || ' '
+      || array_to_string((regexp_split_to_array(trim(text), '\\s+'))[11:50], ' ')
+      || ' ' || 'injC' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents
+  WHERE text IS NOT NULL AND doc_id % 25 = 0
+    AND len(regexp_split_to_array(trim(text), '\\s+')) >= 60
+), corpus AS (
+  SELECT * FROM src UNION ALL SELECT * FROM inj
+), toks AS (
+  SELECT doc_id, text,
+    CASE WHEN text IS NULL OR len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(text), '\\s+') END AS arr
+  FROM corpus
+), gs AS (
+  SELECT doc_id, arr, unnest(generate_series(1, len(arr) - 15 + 1)) AS i
+  FROM toks WHERE len(arr) >= 15
+), grams AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(arr[i : i + 14], ' ') AS gram
+  FROM gs
+), dup AS (
+  SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2
+), starts AS (
+  SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)
+), isl AS (
+  SELECT doc_id, pos,
+    max(pos + 15) OVER (PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_end
+  FROM starts
+), num AS (
+  SELECT doc_id, pos,
+    sum(CASE WHEN run_end IS NULL OR pos > run_end THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+  FROM isl
+), spans AS (
+  SELECT doc_id, span_id, min(pos) AS s, max(pos) + 15 AS e
+  FROM num GROUP BY doc_id, span_id
+), per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(e - s) AS BIGINT) AS dup_tokens
+  FROM spans GROUP BY doc_id
+), tok_rows AS (
+  SELECT doc_id, unnest(arr) AS tok,
+         unnest(generate_series(1, len(arr))) AS idx
+  FROM toks
+), kept AS (
+  SELECT t.doc_id, t.idx, t.tok FROM tok_rows t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans sp
+    WHERE sp.doc_id = t.doc_id AND t.idx - 1 >= sp.s AND t.idx - 1 < sp.e)
+), rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS clean
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+  CAST(len(b.arr) AS BIGINT) AS total_tokens,
+  CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+  CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+  CASE WHEN len(b.arr) > 0
+       THEN CAST(coalesce(p.dup_tokens, 0) AS DOUBLE) / len(b.arr)
+       ELSE 0.0 END AS dup_frac,
+  CASE WHEN b.text IS NULL THEN NULL
+       ELSE md5(coalesce(r.clean, '')) END AS clean_md5
+FROM toks b LEFT JOIN per_doc p USING (doc_id) LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY b.doc_id""",
         "corpus_clean": _corpus_clean_oracle(),
         "boilerplate_stats": _boilerplate_stats_oracle(),
         "token_budget": """
