@@ -2012,6 +2012,21 @@ def q_clips_gate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite 0-100 per-clip quality score: the gate-v2 defect ladder
+    folded into an exact-integer deduction law (critical 25 / warning 10,
+    decode-failure → 0, clamp at 0) + letter grades.  Twin: the same law
+    in plain Python over the shared-kernel v2 flag dicts."""
+    from data_quality_spark.operators.audio_score import clip_quality_score
+    from data_quality_spark.pipeline import _text_heuristics, featurize_v2
+
+    ensure_expected("audio_quality_score", sf_dir)
+    scored = clip_quality_score(
+        _text_heuristics(featurize_v2(_clips_df(spark, n=400)))
+    )
+    return scored.select("clip_id", "q_score", "grade").orderBy("clip_id")
+
+
 def q_clips_gate_decide3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's 3-way decision enum over the gate (decide3:
     critical → reject, warning-only → graylist, clean → accept)."""
@@ -2147,6 +2162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_gate_issues": q_clips_gate_issues,
         "clips_gate_decide3": q_clips_gate_decide3,
         "clips_gate_v2": q_clips_gate_v2,
+        "audio_quality_score": q_audio_quality_score,
         "image_features": q_image_features,
         "image_near_dup": q_image_near_dup,
         "image_dedup_clusters": q_image_dedup_clusters,
@@ -3798,6 +3814,7 @@ ORDER BY d.doc_id""",
         "clips_gate_issues": _expected_sql("clips_gate_issues"),
         "clips_gate_decide3": _expected_sql("clips_gate_decide3"),
         "clips_gate_v2": _expected_sql("clips_gate_v2"),
+        "audio_quality_score": _expected_sql("audio_quality_score"),
         "image_features": _expected_sql("image_features"),
         "image_near_dup": _expected_sql("image_near_dup"),
         "image_dedup_clusters": _expected_sql("image_dedup_clusters"),

@@ -783,14 +783,13 @@ def _clips_gate_issues_expected(n=1200, seed=42) -> dict:
     return out
 
 
-def _clips_gate_v2_expected(n=400, seed=42) -> dict:
-    """Twin of ``pipeline.gate_v2``: v1 flags from the pandas reference
-    pipeline (same per-row twin as clips_gate*), extended audio flags from
-    the SHARED kernels (each hash-verified by its own differential query —
-    audio_snr, audio_loudness, audio_dropout, audio_vad, audio_bandwidth),
-    explicit Python ladder in DROP_RULES_V2 order vs the Spark when-chain.
-    The differential surface is the flag ladder composition, the NULL→False
-    coalesce semantics, and the one-decode wide featurization."""
+def _v2_row_flags(n=400, seed=42) -> tuple[list, list[dict]]:
+    """Per-clip DROP_RULES_V2 flag dicts (clip_ids, flags): v1 flags from
+    the pandas reference pipeline (same per-row twin as clips_gate*),
+    extended audio flags from the SHARED kernels (each hash-verified by
+    its own differential query — audio_snr, audio_loudness, audio_dropout,
+    audio_vad, audio_bandwidth), with the NULL→False coalesce semantics
+    made explicit.  Shared by the gate-v2 and quality-score twins."""
     import re as _re
 
     from .functions.audio import _decode_i16
@@ -815,7 +814,8 @@ def _clips_gate_v2_expected(n=400, seed=42) -> dict:
 
     pdf = generate_clips(n, seed=seed)
     v1_rows = _clips_row_flags(n, seed)
-    out = {"clip_id": [], "decision": [], "decision_reason": []}
+    clip_ids: list = []
+    flag_rows: list[dict] = []
     for (_, r), v1 in zip(pdf.iterrows(), v1_rows):
         try:
             q = _decode_i16(r["bytes"], r["codec"], r["sr_hz"])
@@ -859,12 +859,61 @@ def _clips_gate_v2_expected(n=400, seed=42) -> dict:
             and (cps < SPEAK_MIN_CPS or cps > SPEAK_MAX_CPS)
         )
         assert set(flags) == set(DROP_RULES_V2)
-        reason = next(
-            (name for name in DROP_RULES_V2 if flags[name]), None
-        )
-        out["clip_id"].append(r["clip_id"])
+        clip_ids.append(r["clip_id"])
+        flag_rows.append(flags)
+    return clip_ids, flag_rows
+
+
+def _clips_gate_v2_expected(n=400, seed=42) -> dict:
+    """Twin of ``pipeline.gate_v2``: explicit Python ladder in
+    DROP_RULES_V2 order vs the Spark when-chain, over the shared
+    ``_v2_row_flags`` flag dicts.  The differential surface is the flag
+    ladder composition, the NULL→False coalesce semantics, and the
+    one-decode wide featurization."""
+    from .pipeline import DROP_RULES_V2
+
+    clip_ids, flag_rows = _v2_row_flags(n, seed)
+    out = {"clip_id": [], "decision": [], "decision_reason": []}
+    for cid, flags in zip(clip_ids, flag_rows):
+        reason = next((name for name in DROP_RULES_V2 if flags[name]), None)
+        out["clip_id"].append(cid)
         out["decision"].append("drop" if reason is not None else "keep")
         out["decision_reason"].append(reason)
+    return out
+
+
+def _audio_quality_score_expected(n=400, seed=42) -> dict:
+    """Twin of ``operators.audio_score.clip_quality_score``: the exact
+    deduction law (critical 25 / warning 10, decode_failed → 0, clamp at
+    0, grade buckets) replayed in plain Python over the shared v2 flag
+    dicts."""
+    from .operators.audio_score import (
+        CRIT_WEIGHT,
+        GRADE_BOUNDS,
+        WARN_WEIGHT,
+    )
+    from .pipeline import DROP_RULES_V2
+
+    clip_ids, flag_rows = _v2_row_flags(n, seed)
+    out = {"clip_id": [], "q_score": [], "grade": []}
+    for cid, flags in zip(clip_ids, flag_rows):
+        if flags["decode_failed"]:
+            score = 0
+        else:
+            ded = sum(
+                (CRIT_WEIGHT if sev == "critical" else WARN_WEIGHT)
+                for name, sev in DROP_RULES_V2.items()
+                if flags[name]
+            )
+            score = max(0, 100 - ded)
+        grade = "F"
+        for bound, g in GRADE_BOUNDS:
+            if score >= bound:
+                grade = g
+                break
+        out["clip_id"].append(cid)
+        out["q_score"].append(score)
+        out["grade"].append(grade)
     return out
 
 
@@ -3293,6 +3342,10 @@ _SCHEMAS: dict[str, pa.Schema] = {
         [("clip_id", pa.string()), ("decision", pa.string()),
          ("decision_reason", pa.string())]
     ),
+    "audio_quality_score": pa.schema(
+        [("clip_id", pa.string()), ("q_score", pa.int32()),
+         ("grade", pa.string())]
+    ),
     "image_features": pa.schema(
         [("media_id", pa.string()), ("kind", pa.string()),
          ("ok", pa.bool_()), ("n_bytes", pa.int64())]
@@ -3482,6 +3535,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _clips_gate_decide3_expected()
     elif name == "clips_gate_v2":
         data = _clips_gate_v2_expected()
+    elif name == "audio_quality_score":
+        data = _audio_quality_score_expected()
     elif name == "image_features":
         data = _image_features_expected()
     elif name == "image_near_dup":
