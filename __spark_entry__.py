@@ -604,6 +604,20 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup_stats(docs.unionByName(inj), k=15).orderBy("doc_id")
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance selection (Xie et al. 2023): hashed 1+2-gram bucket
+    features, Laplace-smoothed log p̂/q̂ toward the src0 slice as target,
+    per-doc document-order fold, deterministic top-100.  Twin: from-spec
+    XXH64 + the identical fold in pure Python (bit-exact doubles)."""
+    from data_quality_spark.operators.dsir import dsir_log_weights, dsir_select
+
+    ensure_expected("dsir_weights", sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("source") == "src0")
+    weighted = dsir_log_weights(docs, target=target)
+    return dsir_select(weighted, k=100).select("doc_id", "n_grams", "log_w")
+
+
 def q_pii_secrets_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checksum-validated PII audit: Luhn cards / ISO 13616 IBAN mod-97 /
     integer-exact secret-ish tokens, counts per doc (values never echoed).
@@ -2104,6 +2118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_line_removal": q_frequent_line_removal,
         "span_dedup": q_span_dedup,
         "pii_secrets_audit": q_pii_secrets_audit,
+        "dsir_weights": q_dsir_weights,
         "corpus_clean": q_corpus_clean,
         "boilerplate_stats": q_boilerplate_stats,
         "token_budget": q_token_budget,
@@ -3815,6 +3830,7 @@ ORDER BY d.doc_id""",
         "clips_gate_decide3": _expected_sql("clips_gate_decide3"),
         "clips_gate_v2": _expected_sql("clips_gate_v2"),
         "audio_quality_score": _expected_sql("audio_quality_score"),
+        "dsir_weights": _expected_sql("dsir_weights"),
         "image_features": _expected_sql("image_features"),
         "image_near_dup": _expected_sql("image_near_dup"),
         "image_dedup_clusters": _expected_sql("image_dedup_clusters"),

@@ -917,6 +917,74 @@ def _audio_quality_score_expected(n=400, seed=42) -> dict:
     return out
 
 
+def _dsir_weights_expected(sf_dir: str, num_buckets=1024, k=100) -> dict:
+    """Twin of ``operators.dsir``: from-spec XXH64 bucket assignment,
+    Laplace-smoothed log-ratio weights via math.log (the same doubles the
+    Spark plan carries as literals), per-doc DOCUMENT-ORDER left fold, and
+    deterministic top-k by (log_w DESC, doc_id) — every float op in the
+    same association as the Catalyst expression tree."""
+    import math
+    import re as _re
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+    rows = list(
+        zip(
+            t.column("doc_id").to_pylist(),
+            t.column("text").to_pylist(),
+            t.column("source").to_pylist(),
+        )
+    )
+
+    def buckets(text: str | None) -> list[int]:
+        if text is None or not text.strip():
+            return []
+        toks = _re.split(r"\s+", text.strip())
+        out = []
+        for n in (1, 2):
+            for i in range(len(toks) - n + 1):
+                g = toks[i] if n == 1 else " ".join(toks[i : i + n])
+                h = xxh64_string(g, 42)
+                if h >= 1 << 63:
+                    h -= 1 << 64
+                out.append(h % num_buckets)
+        return out
+
+    doc_buckets = {d: buckets(tx) for d, tx, _ in rows}
+    t_counts: dict[int, int] = {}
+    r_counts: dict[int, int] = {}
+    for d, _, src in rows:
+        for b in doc_buckets[d]:
+            r_counts[b] = r_counts.get(b, 0) + 1
+            if src == "src0":
+                t_counts[b] = t_counts.get(b, 0) + 1
+    t_total = sum(t_counts.values())
+    r_total = sum(r_counts.values())
+    weights = [
+        math.log((t_counts.get(b, 0) + 1) / (t_total + num_buckets))
+        - math.log((r_counts.get(b, 0) + 1) / (r_total + num_buckets))
+        for b in range(num_buckets)
+    ]
+    scored = []
+    for d, _, _ in rows:
+        bs = doc_buckets[d]
+        acc = 0.0
+        for b in bs:
+            acc = acc + weights[b]
+        scored.append((d, len(bs), acc))
+    scored.sort(key=lambda x: (-x[2], x[0]))
+    top = scored[:k]
+    return {
+        "doc_id": [x[0] for x in top],
+        "n_grams": [x[1] for x in top],
+        "log_w": [x[2] for x in top],
+    }
+
+
 def _clips_gate_decide3_expected(n=1200, seed=42) -> dict:
     """Twin of ``pipeline.decide3`` (reference 3-way decision enum,
     checkpoints.py:216-252): critical rule hit → reject, warning-only →
@@ -3346,6 +3414,10 @@ _SCHEMAS: dict[str, pa.Schema] = {
         [("clip_id", pa.string()), ("q_score", pa.int32()),
          ("grade", pa.string())]
     ),
+    "dsir_weights": pa.schema(
+        [("doc_id", pa.int64()), ("n_grams", pa.int32()),
+         ("log_w", pa.float64())]
+    ),
     "image_features": pa.schema(
         [("media_id", pa.string()), ("kind", pa.string()),
          ("ok", pa.bool_()), ("n_bytes", pa.int64())]
@@ -3416,7 +3488,7 @@ def _src_key(name: str, sf_dir: str | None) -> dict | None:
     if name in (
         "minhash_lsh", "simhash_near_dup", "ann_lsh_topk",
         "winnow_fingerprints", "embedding_near_dup_blocked", "ann_ivf_topk",
-        "ann_recall", "dedup_clusters", "dedup_resolve",
+        "ann_recall", "dedup_clusters", "dedup_resolve", "dsir_weights",
     ):
         table = (
             "embeddings"
@@ -3537,6 +3609,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _clips_gate_v2_expected()
     elif name == "audio_quality_score":
         data = _audio_quality_score_expected()
+    elif name == "dsir_weights":
+        data = _dsir_weights_expected(sf_dir)
     elif name == "image_features":
         data = _image_features_expected()
     elif name == "image_near_dup":
