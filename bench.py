@@ -470,6 +470,8 @@ def main() -> None:
         "audio_trim", "image_hash_recall", "image_cluster_split",
         "audio_boilerplate", "audio_quantization",
         "keep_rate_bias", "template_spam", "gate_bias",
+        "span_dedup", "pii_secrets_audit", "dsir_weights",
+        "audio_quality_score",
     ]
     # headline-only mode: just the gate pair + health scan (~90 s) — fits
     # inside the short quiet gaps this shared host actually has, where the
