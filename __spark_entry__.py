@@ -604,6 +604,73 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup_stats(docs.unionByName(inj), k=15).orderBy("doc_id")
 
 
+def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash banding parameter sweep as DATA (the text analog of
+    ann_recall / image_hash_recall): companions with every m-th token
+    replaced (m ∈ 3/6/12/24 sweeps shingle-Jaccard from ~0 to ~0.8) are
+    injected, then candidate recovery is measured under 8×8 / 16×4 / 32×2
+    bandings of the same 64-hash signature — the S-curve midpoints
+    (1/b)^(1/r) ≈ 0.77 / 0.50 / 0.18 should show up as the recovery
+    matrix.  Twin: from-spec XXH64 bucket twin per config."""
+    from data_quality_spark.operators.dedup import lsh_candidates_multi
+
+    ensure_expected("lsh_tuning", sf_dir)
+    levels = (3, 6, 12, 24)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    arr = F.split(F.trim(F.col("text")), r"\s+")
+    base = (
+        docs.where(F.col("text").isNotNull())
+        .where(F.col("doc_id") % 10 == 0)
+        .where(F.size(arr) >= 40)
+    )
+
+    def _replacer(m: int):
+        # pyspark HOF lambdas dispatch on parameter count: keep (t, i)
+        return lambda t, i: F.when(
+            i % m == 0,
+            F.concat(
+                F.lit("zz"),
+                F.col("doc_id").cast("string"),
+                F.lit("x"),
+                i.cast("string"),
+            ),
+        ).otherwise(t)
+
+    comps = []
+    for m in levels:
+        comps.append(
+            # two-step: aliasing doc_id + m·10^6 AS doc_id in the same
+            # select would shadow the doc_id the replacer lambda reads
+            base.select(
+                F.col("doc_id").alias("__orig"),
+                F.array_join(F.transform(arr, _replacer(m)), " ").alias(
+                    "text"
+                ),
+            ).select(
+                (F.col("__orig") + m * 1_000_000).alias("doc_id"), "text"
+            )
+        )
+    corpus = reduce(lambda a, b: a.unionByName(b), comps, docs)
+    cand = lsh_candidates_multi(corpus, "doc_id", "text")
+    delta = F.col("id_b") - F.col("id_a")
+    is_orig = (F.col("id_a") % 10 == 0) & (F.col("id_a") < 1_000_000)
+    rec_aggs = [
+        F.sum(
+            F.when(is_orig & (delta == m * 1_000_000), 1).otherwise(0)
+        ).cast("long").alias(f"rec_m{m}")
+        for m in levels
+    ]
+    inj = base.agg(F.count(F.lit(1)).cast("long").alias("n_injected"))
+    return (
+        cand.groupBy("bands")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"), *rec_aggs)
+        .crossJoin(F.broadcast(inj))
+        .select("bands", "n_candidates", "n_injected",
+                *[f"rec_m{m}" for m in levels])
+        .orderBy("bands")
+    )
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance selection (Xie et al. 2023): hashed 1+2-gram bucket
     features, Laplace-smoothed log p̂/q̂ toward the src0 slice as target,
@@ -2119,6 +2186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "pii_secrets_audit": q_pii_secrets_audit,
         "dsir_weights": q_dsir_weights,
+        "lsh_tuning": q_lsh_tuning,
         "corpus_clean": q_corpus_clean,
         "boilerplate_stats": q_boilerplate_stats,
         "token_budget": q_token_budget,
@@ -3831,6 +3899,7 @@ ORDER BY d.doc_id""",
         "clips_gate_v2": _expected_sql("clips_gate_v2"),
         "audio_quality_score": _expected_sql("audio_quality_score"),
         "dsir_weights": _expected_sql("dsir_weights"),
+        "lsh_tuning": _expected_sql("lsh_tuning"),
         "image_features": _expected_sql("image_features"),
         "image_near_dup": _expected_sql("image_near_dup"),
         "image_dedup_clusters": _expected_sql("image_dedup_clusters"),

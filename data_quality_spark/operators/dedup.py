@@ -41,6 +41,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "minhash_lsh_pairs",
+    "lsh_candidates_multi",
     "simhash64",
     "simhash_near_pairs",
     "winnow_fingerprints",
@@ -302,6 +303,46 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= F.lit(verify_threshold))
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def lsh_candidates_multi(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    band_configs: tuple[int, ...] = (8, 16, 32),
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+    max_bucket_size: int = 64,
+) -> DataFrame:
+    """Candidate pairs under SEVERAL banding configurations of the same
+    ``num_hashes``-long MinHash signature — the measurement half of an LSH
+    parameter sweep (the banding S-curve midpoint is (1/b)^(1/r); 8×8 /
+    16×4 / 32×2 over 64 hashes put midpoints at J ≈ 0.77 / 0.50 / 0.18).
+    Returns (bands, id_a, id_b).
+
+    Each config currently recomputes the signature relation (persisted per
+    call); a cluster-scale sweep should materialize ``minhash_signatures``
+    once to a table and band it b ways from storage — the banding stage
+    itself (explode → one (band, band_hash) shuffle per config) is the same
+    either way.
+    """
+    parts = [
+        minhash_lsh_pairs(
+            df,
+            id_col,
+            text_col,
+            num_hashes=num_hashes,
+            bands=b,
+            shingle_k=shingle_k,
+            verify_threshold=None,
+            max_bucket_size=max_bucket_size,
+        ).select(F.lit(b).cast("int").alias("bands"), "id_a", "id_b")
+        for b in band_configs
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def winnow_fingerprints(

@@ -130,17 +130,14 @@ def _read_embeddings(sf_dir: str) -> list[tuple[int, list[float]]]:
 # ------------------------------------------------------------------ minhash
 
 
-def _minhash_verified_pairs(docs, num_hashes=64, bands=16, shingle_k=3,
-                            verify_threshold=0.5, max_bucket_size=64,
-                            ) -> list[tuple[int, int, float]]:
-    """Twin of ``dedup.minhash_lsh_pairs``: verified (id_a, id_b, jaccard)
-    with id_a < id_b, sorted."""
+def _minhash_candidates(docs, num_hashes=64, bands=16, shingle_k=3,
+                        max_bucket_size=64) -> set[tuple[int, int]]:
+    """Twin of the candidate half of ``dedup.minhash_lsh_pairs`` (and of
+    ``lsh_candidates_multi`` per config): unverified banded-bucket pairs."""
     rows_per_band = num_hashes // bands
-    tokset: dict[int, set] = {}
     sigs: dict[int, list[int]] = {}
     for doc_id, text in docs:
         toks = _tokens(text)
-        tokset[doc_id] = set(toks)
         sh = set(_shingles(toks, shingle_k))
         if not sh:
             continue  # no shingle rows -> doc absent from the signature agg
@@ -162,6 +159,19 @@ def _minhash_verified_pairs(docs, num_hashes=64, bands=16, shingle_k=3,
             for i in range(len(ms)):
                 for j in range(i + 1, len(ms)):
                     cand.add((ms[i], ms[j]))
+    return cand
+
+
+def _minhash_verified_pairs(docs, num_hashes=64, bands=16, shingle_k=3,
+                            verify_threshold=0.5, max_bucket_size=64,
+                            ) -> list[tuple[int, int, float]]:
+    """Twin of ``dedup.minhash_lsh_pairs``: verified (id_a, id_b, jaccard)
+    with id_a < id_b, sorted."""
+    tokset: dict[int, set] = {}
+    for doc_id, text in docs:
+        tokset[doc_id] = set(_tokens(text))
+    cand = _minhash_candidates(docs, num_hashes, bands, shingle_k,
+                               max_bucket_size)
     pairs = []
     for a, b in sorted(cand):
         ta, tb = tokset[a], tokset[b]
@@ -914,6 +924,52 @@ def _audio_quality_score_expected(n=400, seed=42) -> dict:
         out["clip_id"].append(cid)
         out["q_score"].append(score)
         out["grade"].append(grade)
+    return out
+
+
+def _lsh_tuning_expected(
+    sf_dir: str,
+    band_configs=(8, 16, 32),
+    levels=(3, 6, 12, 24),
+) -> dict:
+    """Twin of the lsh_tuning query: companions with every m-th token
+    replaced (m sweeps the Jaccard axis), candidate sets per banding via
+    the shared from-spec XXH64 bucket twin, recovery counted by exact
+    (orig, orig + m·10^6) id pairs."""
+    import re as _re
+
+    raw_ws = _re.compile(r"\s+")
+    docs = _read_documents(sf_dir)
+    corpus = list(docs)
+    inj_count = 0
+    inj_ids: list[int] = []
+    for doc_id, text in docs:
+        if text is None or doc_id % 10 != 0 or not text.strip():
+            continue
+        toks = raw_ws.split(text.strip())
+        if len(toks) < 40:
+            continue
+        inj_count += 1
+        inj_ids.append(doc_id)
+        for m in levels:
+            nt = [
+                f"zz{doc_id}x{i}" if i % m == 0 else t
+                for i, t in enumerate(toks)
+            ]
+            corpus.append((doc_id + m * 1_000_000, " ".join(nt)))
+    out = {
+        "bands": [], "n_candidates": [], "n_injected": [],
+        **{f"rec_m{m}": [] for m in levels},
+    }
+    for b in band_configs:
+        cand = _minhash_candidates(corpus, bands=b)
+        out["bands"].append(b)
+        out["n_candidates"].append(len(cand))
+        out["n_injected"].append(inj_count)
+        for m in levels:
+            out[f"rec_m{m}"].append(
+                sum(1 for d in inj_ids if (d, d + m * 1_000_000) in cand)
+            )
     return out
 
 
@@ -3418,6 +3474,12 @@ _SCHEMAS: dict[str, pa.Schema] = {
         [("doc_id", pa.int64()), ("n_grams", pa.int32()),
          ("log_w", pa.float64())]
     ),
+    "lsh_tuning": pa.schema(
+        [("bands", pa.int32()), ("n_candidates", pa.int64()),
+         ("n_injected", pa.int64()), ("rec_m3", pa.int64()),
+         ("rec_m6", pa.int64()), ("rec_m12", pa.int64()),
+         ("rec_m24", pa.int64())]
+    ),
     "image_features": pa.schema(
         [("media_id", pa.string()), ("kind", pa.string()),
          ("ok", pa.bool_()), ("n_bytes", pa.int64())]
@@ -3489,6 +3551,7 @@ def _src_key(name: str, sf_dir: str | None) -> dict | None:
         "minhash_lsh", "simhash_near_dup", "ann_lsh_topk",
         "winnow_fingerprints", "embedding_near_dup_blocked", "ann_ivf_topk",
         "ann_recall", "dedup_clusters", "dedup_resolve", "dsir_weights",
+        "lsh_tuning",
     ):
         table = (
             "embeddings"
@@ -3611,6 +3674,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_quality_score_expected()
     elif name == "dsir_weights":
         data = _dsir_weights_expected(sf_dir)
+    elif name == "lsh_tuning":
+        data = _lsh_tuning_expected(sf_dir)
     elif name == "image_features":
         data = _image_features_expected()
     elif name == "image_near_dup":
