@@ -604,6 +604,18 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup_stats(docs.unionByName(inj), k=15).orderBy("doc_id")
 
 
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-vs-detected language confusion matrix (label-noise audit
+    for the text corpus): every 17th en-labelled doc is deterministically
+    relabelled de, so the detector must put that mass off-diagonal.
+    Strict DuckDB twin re-runs the stopword voting."""
+    docs = _t(spark, sf_dir, "documents")
+    relabel = F.when(
+        (F.col("doc_id") % 17 == 0) & (F.col("lang") == "en"), F.lit("de")
+    ).otherwise(F.col("lang"))
+    return dq_docs.lang_confusion(docs.withColumn("lang", relabel))
+
+
 def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash banding parameter sweep as DATA (the text analog of
     ann_recall / image_hash_recall): companions with every m-th token
@@ -2187,6 +2199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_secrets_audit": q_pii_secrets_audit,
         "dsir_weights": q_dsir_weights,
         "lsh_tuning": q_lsh_tuning,
+        "lang_confusion": q_lang_confusion,
         "corpus_clean": q_corpus_clean,
         "boilerplate_stats": q_boilerplate_stats,
         "token_budget": q_token_budget,
@@ -2318,6 +2331,29 @@ v AS (SELECT {', '.join(votes)} FROM t),
 p AS (SELECT {best} AS best, * FROM v)
 SELECT {case} AS pred_lang, CAST(count(*) AS BIGINT) AS n_docs
 FROM p GROUP BY 1 ORDER BY 1"""
+
+
+def _lang_confusion_oracle() -> str:
+    langs = sorted(STOPWORD_MARKERS)
+    votes = []
+    for lang in langs:
+        markers = ", ".join(f"'{m}'" for m in STOPWORD_MARKERS[lang])
+        votes.append(f"len(list_intersect(toks, [{markers}])) AS v_{lang}")
+    best = "greatest(" + ", ".join(f"v_{lang}" for lang in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN best > 0 AND v_{lang} = best THEN '{lang}'" for lang in langs
+    ) + " ELSE 'und' END"
+    return f"""
+WITH t AS (
+  SELECT CASE WHEN doc_id % 17 = 0 AND lang = 'en' THEN 'de' ELSE lang END
+           AS lang,
+         {_TOKS} AS toks
+  FROM documents
+),
+v AS (SELECT lang, {', '.join(votes)} FROM t),
+p AS (SELECT {best} AS best, * FROM v)
+SELECT lang, {case} AS pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM p GROUP BY 1, 2 ORDER BY 1, 2"""
 
 
 def _profile_col_sql(c: str, kind: str) -> str:
@@ -3531,6 +3567,7 @@ WITH t AS (
 SELECT lang, quality_bucket, CAST(count(*) AS BIGINT) AS n_docs
 FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
         "langid_sql": _langid_sql_oracle(),
+        "lang_confusion": _lang_confusion_oracle(),
         "bpe_token_stats": """
 WITH t AS (
   SELECT lang,

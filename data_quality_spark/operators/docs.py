@@ -33,6 +33,9 @@ __all__ = [
     "stopword_stats",
     "quality_buckets",
     "langid_sql",
+    "langid_pred_col",
+    "lang_confusion",
+    "lang_outliers",
     "fingerprint_stats",
     "scrub_audit",
     "encoding_audit",
@@ -175,17 +178,12 @@ def quality_buckets(docs: DataFrame) -> DataFrame:
     )
 
 
-def langid_sql(docs: DataFrame) -> DataFrame:
-    """SQL-expressible language-ID: distinct-marker-stopword voting.
-
-    For each language, the vote is |distinct tokens ∩ marker set|; prediction
-    is the argmax with a fixed tie order (alphabetical), 'und' when all votes
-    are 0.  This is the cheap JVM-only prefilter; the hashed-n-gram model
-    (functions.text.LangIdModel) is the real scorer in the clips pipeline.
-    Returns (pred_lang, n_docs).
-    """
+def langid_pred_col(text: Column) -> Column:
+    """Per-doc SQL-expressible language prediction: distinct-marker
+    stopword voting, argmax with alphabetical tie order, 'und' when all
+    votes are 0."""
     toks = F.array_distinct(
-        F.split(F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+")
+        F.split(F.trim(F.lower(F.coalesce(text, F.lit("")))), r"\s+")
     )
     langs = sorted(STOPWORD_MARKERS)
     votes = {
@@ -204,12 +202,57 @@ def langid_sql(docs: DataFrame) -> DataFrame:
         pred = F.when(
             (best > 0) & (votes[lang] == best), F.lit(lang)
         ).otherwise(pred)
+    return pred
+
+
+def langid_sql(docs: DataFrame) -> DataFrame:
+    """SQL-expressible language-ID: distinct-marker-stopword voting.
+
+    This is the cheap JVM-only prefilter; the hashed-n-gram model
+    (functions.text.LangIdModel) is the real scorer in the clips pipeline.
+    Returns (pred_lang, n_docs).
+    """
     return (
-        docs.withColumn("pred_lang", pred)
+        docs.withColumn("pred_lang", langid_pred_col(F.col("text")))
         .groupBy("pred_lang")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .orderBy("pred_lang")
     )
+
+
+def lang_confusion(
+    docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Metadata-vs-content language confusion matrix: the declared
+    ``label_col`` against the content-detected language.  Off-diagonal
+    mass (pred != label, pred != 'und') is metadata label noise — the
+    text analog of the cross-modal transcript/audio label_noise audit.
+    One scan, one tiny-key aggregate (|langs|² cells max)."""
+    return (
+        docs.groupBy(
+            F.col(label_col).alias("lang"),
+            langid_pred_col(F.col(text_col)).alias("pred_lang"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+def lang_outliers(
+    docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The per-doc working set behind :func:`lang_confusion`: docs whose
+    detected language confidently ('und' excluded) contradicts the
+    declared label.  Map-side filter, no shuffle."""
+    pred = langid_pred_col(F.col(text_col))
+    return docs.select(
+        F.col(id_col), F.col(label_col).alias("lang"), pred.alias("pred_lang")
+    ).where((F.col("pred_lang") != "und") & (F.col("pred_lang") != F.col("lang")))
 
 
 def fingerprint_stats(docs: DataFrame) -> DataFrame:

@@ -109,3 +109,25 @@ def test_length_histogram_buckets(spark):
     assert rows[2]["n_docs"] == 1              # len 3 → bucket 2
     assert rows[1024]["n_docs"] == 2           # 1024 and 1025
     assert rows[1024]["total_chars"] == 2049
+
+
+def test_lang_confusion_and_outliers(spark):
+    from data_quality_spark.operators.docs import lang_confusion, lang_outliers
+
+    rows = [
+        (1, "the and of to in this that with", "en"),   # en markers
+        (2, "der und die das nicht mit ein", "de"),     # de markers
+        (3, "the and of to in this that with", "de"),   # mislabeled: en text
+        (4, "zz qq ww ee rr tt", "en"),                 # no markers -> und
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    conf = {(r["lang"], r["pred_lang"]): r["n_docs"]
+            for r in lang_confusion(df).collect()}
+    assert conf[("en", "en")] == 1
+    assert conf[("de", "de")] == 1
+    assert conf[("de", "en")] == 1   # the mislabeled doc lands off-diagonal
+    assert conf[("en", "und")] == 1  # markerless doc never counted as noise
+    out = lang_outliers(df).collect()
+    assert [(r["doc_id"], r["lang"], r["pred_lang"]) for r in out] == [
+        (3, "de", "en")
+    ]
