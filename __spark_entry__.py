@@ -2105,6 +2105,33 @@ def q_clips_gate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_hum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mains-hum detection (50/60 Hz grid + harmonics): narrowband comb
+    power + line-vs-spread contrast decide per clip; seeded hum corpus via
+    make_audio_hum_corpus.  Twin: shared kernels + explicit Python
+    decision law."""
+    from data_quality_spark.operators.audio_hum import hum_flags
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_hum_corpus
+
+    ensure_expected("audio_hum", sf_dir)
+    key = ("hum", 300, 42)
+    if key not in _CLIPS_CACHE:
+        _CLIPS_CACHE[key] = make_audio_hum_corpus(300, seed=42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(
+        _CLIPS_CACHE[key][cols], CLIPS_SCHEMA
+    ).repartition(8, "clip_id")
+    return hum_flags(clips).select(
+        "clip_id",
+        "n_frames",
+        F.round("hum_frac", 6).alias("frac_r"),
+        F.round("hum_contrast", 6).alias("contrast_r"),
+        "hum_hz",
+        "is_hum",
+    ).orderBy("clip_id")
+
+
 def q_audio_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite 0-100 per-clip quality score: the gate-v2 defect ladder
     folded into an exact-integer deduction law (critical 25 / warning 10,
@@ -2259,6 +2286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_gate_decide3": q_clips_gate_decide3,
         "clips_gate_v2": q_clips_gate_v2,
         "audio_quality_score": q_audio_quality_score,
+        "audio_hum": q_audio_hum,
         "image_features": q_image_features,
         "image_near_dup": q_image_near_dup,
         "image_dedup_clusters": q_image_dedup_clusters,
@@ -3935,6 +3963,7 @@ ORDER BY d.doc_id""",
         "clips_gate_decide3": _expected_sql("clips_gate_decide3"),
         "clips_gate_v2": _expected_sql("clips_gate_v2"),
         "audio_quality_score": _expected_sql("audio_quality_score"),
+        "audio_hum": _expected_sql("audio_hum"),
         "dsir_weights": _expected_sql("dsir_weights"),
         "lsh_tuning": _expected_sql("lsh_tuning"),
         "image_features": _expected_sql("image_features"),

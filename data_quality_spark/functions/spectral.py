@@ -234,6 +234,90 @@ STABLE_SHIFT = 7
 STABLE_MASK = 0xFF
 
 
+_EMPTY_HUM = {
+    "n_frames": 0,
+    "hum_frac_50": None,
+    "hum_frac_60": None,
+    "hum_frac": None,
+    "low_frac": None,
+    "hum_contrast": None,
+    "hum_hz": None,
+    "hum_db": None,
+}
+
+HUM_FRAME = 4096        # long frame: 3.9 Hz bins at 16 kHz — resolves 50 vs 60
+HUM_HARMONICS = 3       # fundamental + 2nd + 3rd (100/120, 150/180)
+HUM_LOW_HZ = 200.0      # the band hum lives in (fundamental..3rd harmonic)
+HUM_MIN_FRAC = 0.01     # comb must carry >= 1% of total power (audible)
+HUM_MIN_CONTRAST = 0.5  # comb must dominate the low band (line vs spread)
+
+
+def hum_stats(x: np.ndarray, sr_hz: int, frame: int = HUM_FRAME) -> dict:
+    """Mains-hum comb statistics: Hann-windowed long-frame spectrum, power
+    in ±1 bin around 50/60 Hz and their 2nd/3rd harmonics.  Two signals
+    decide (in the operator): ``hum_frac`` = comb power over total non-DC
+    power (audibility) and ``hum_contrast`` = comb power over TOTAL
+    <200 Hz power (line-vs-spread: natural speech spreads low-frequency
+    energy across the band, hum is a line spectrum).  ``hum_hz`` is the
+    stronger grid, ``hum_db`` the comb-to-rest ratio.  DC and bin 1 are
+    zeroed so a DC offset (owned by the dropout audit) cannot masquerade
+    as hum.
+
+    Documented limits: a clip whose dominant content is itself a <200 Hz
+    spread (rumble, bass tone off-grid) can bury real hum below the
+    contrast cut (admissible miss), and a genuine stationary tone landing
+    within one bin of the grid is indistinguishable from hum by spectrum
+    alone (flagging it is the intended semantics — it IS narrowband line
+    interference on the mains grid).  Clips shorter than one analysis
+    frame are not evaluable (n_frames = 0)."""
+    if sr_hz is None or sr_hz <= 0:
+        return dict(_EMPTY_HUM)
+    n = (len(x) // frame) * frame
+    if n == 0:
+        return dict(_EMPTY_HUM)
+    win = _HANN_CACHE.get(frame)
+    if win is None:
+        win = _hann(frame)
+        _HANN_CACHE[frame] = win
+    frames = np.asarray(x[:n], dtype=np.float64).reshape(-1, frame) * win
+    spec = np.fft.rfft(frames, axis=1)
+    psum = ((spec.real * spec.real) + (spec.imag * spec.imag)).sum(axis=0)
+    psum[0] = 0.0
+    psum[1] = 0.0  # Hann DC leakage lives in bin 1
+    total = float(psum.sum())
+    n_frames = n // frame
+    if total <= 0.0:
+        out = dict(_EMPTY_HUM)
+        out["n_frames"] = n_frames
+        return out
+    k_low = int(round(HUM_LOW_HZ * frame / float(sr_hz)))
+    low = float(psum[2 : max(k_low + 1, 2)].sum())
+    fracs = {}
+    for f0 in (50, 60):
+        p = 0.0
+        for h in range(1, HUM_HARMONICS + 1):
+            k = int(round(f0 * h * frame / float(sr_hz)))
+            if k < 2 or k >= len(psum):
+                continue
+            p += float(psum[max(k - 1, 2) : k + 2].sum())
+        fracs[f0] = p / total
+    hum_hz = 50.0 if fracs[50] >= fracs[60] else 60.0
+    hum_frac = max(fracs[50], fracs[60])
+    contrast = (hum_frac * total / low) if low > 0.0 else 0.0
+    rest = max(1.0 - hum_frac, 1e-12)
+    hum_db = 10.0 * np.log10(max(hum_frac, 1e-12) / rest)
+    return {
+        "n_frames": n_frames,
+        "hum_frac_50": fracs[50],
+        "hum_frac_60": fracs[60],
+        "hum_frac": hum_frac,
+        "low_frac": low / total,
+        "hum_contrast": contrast,
+        "hum_hz": hum_hz,
+        "hum_db": float(hum_db),
+    }
+
+
 def fingerprint_i32(x: np.ndarray, frame: int = FRAME) -> np.ndarray:
     """Packed subfingerprint stream: int32[n_frames - 1], 15 bits each,
     frames 50%-overlapped.

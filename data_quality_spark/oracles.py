@@ -973,6 +973,43 @@ def _lsh_tuning_expected(
     return out
 
 
+def _audio_hum_expected(n=300, seed=42) -> dict:
+    """Twin of ``operators.audio_hum.hum_flags`` + the query's rounding:
+    shared deterministic kernels (decode + hum_stats), explicit Python
+    decision law — the differential surface is the decode dispatch, NULL
+    totality, the two-signal flag, rounding, and ordering."""
+    from .functions.audio import _decode_i16
+    from .functions.spectral import HUM_MIN_CONTRAST, HUM_MIN_FRAC, hum_stats
+    from .synth import make_audio_hum_corpus
+
+    pdf = make_audio_hum_corpus(n, seed=seed)
+    out = {
+        "clip_id": [], "n_frames": [], "frac_r": [], "contrast_r": [],
+        "hum_hz": [], "is_hum": [],
+    }
+    for _, r in pdf.sort_values("clip_id").iterrows():
+        try:
+            x = _decode_i16(r["bytes"], r["codec"], r["sr_hz"])
+        except (ValueError, TypeError):
+            x = np.zeros(0, dtype=np.int16)
+        st = hum_stats(x, r["sr_hz"])
+        ok = st["hum_frac"] is not None
+        flag = bool(
+            ok
+            and st["hum_frac"] >= HUM_MIN_FRAC
+            and st["hum_contrast"] >= HUM_MIN_CONTRAST
+        )
+        out["clip_id"].append(r["clip_id"])
+        out["n_frames"].append(int(st["n_frames"]))
+        out["frac_r"].append(spark_round(st["hum_frac"], 6) if ok else None)
+        out["contrast_r"].append(
+            spark_round(st["hum_contrast"], 6) if ok else None
+        )
+        out["hum_hz"].append(st["hum_hz"] if ok else None)
+        out["is_hum"].append(flag)
+    return out
+
+
 def _dsir_weights_expected(sf_dir: str, num_buckets=1024, k=100) -> dict:
     """Twin of ``operators.dsir``: from-spec XXH64 bucket assignment,
     Laplace-smoothed log-ratio weights via math.log (the same doubles the
@@ -3474,6 +3511,11 @@ _SCHEMAS: dict[str, pa.Schema] = {
         [("doc_id", pa.int64()), ("n_grams", pa.int32()),
          ("log_w", pa.float64())]
     ),
+    "audio_hum": pa.schema(
+        [("clip_id", pa.string()), ("n_frames", pa.int32()),
+         ("frac_r", pa.float64()), ("contrast_r", pa.float64()),
+         ("hum_hz", pa.float64()), ("is_hum", pa.bool_())]
+    ),
     "lsh_tuning": pa.schema(
         [("bands", pa.int32()), ("n_candidates", pa.int64()),
          ("n_injected", pa.int64()), ("rec_m3", pa.int64()),
@@ -3676,6 +3718,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _dsir_weights_expected(sf_dir)
     elif name == "lsh_tuning":
         data = _lsh_tuning_expected(sf_dir)
+    elif name == "audio_hum":
+        data = _audio_hum_expected()
     elif name == "image_features":
         data = _image_features_expected()
     elif name == "image_near_dup":

@@ -364,6 +364,49 @@ def make_audio_jingle_corpus(
     return pd.DataFrame(rows, columns=base.columns)
 
 
+def make_audio_hum_corpus(
+    n: int = 300,
+    seed: int = 42,
+    hum_every: int = 6,
+    amp: float = 0.06,
+) -> pd.DataFrame:
+    """Corpus where every ``hum_every``-th decodable clip carries added
+    mains hum: a 50 or 60 Hz line (alternating per emitted defect) plus
+    2nd/3rd harmonics at half/quarter amplitude — the electrical-ground
+    defect class a scraped recording corpus actually contains.  Modified
+    rows re-encode pcm16 with ``defect='hum50'|'hum60'``; everything else
+    is the untouched ``generate_clips`` corpus."""
+    base = generate_clips(n, seed=seed)
+    rows = []
+    emitted = 0
+    for i in range(len(base)):
+        row = base.iloc[i].to_dict()
+        if (i + 1) % hum_every == 0:
+            try:
+                q = A._decode_i16(row["bytes"], row["codec"], row["sr_hz"])
+            except (ValueError, TypeError):
+                rows.append(row)
+                continue
+            sr = int(row["sr_hz"]) or 0
+            if sr <= 0 or len(q) == 0:
+                rows.append(row)
+                continue
+            f0 = 50.0 if emitted % 2 == 0 else 60.0
+            emitted += 1
+            t = np.arange(len(q), dtype=np.float64) / sr
+            hum = amp * (
+                np.sin(2 * np.pi * f0 * t)
+                + 0.5 * np.sin(2 * np.pi * 2 * f0 * t)
+                + 0.25 * np.sin(2 * np.pi * 3 * f0 * t)
+            )
+            xf = np.clip(q.astype(np.float64) / 32768.0 + hum, -1.0, 0.999969)
+            row["bytes"] = A.encode_pcm16(xf)
+            row["codec"] = "pcm16"
+            row["defect"] = f"hum{int(f0)}"
+        rows.append(row)
+    return pd.DataFrame(rows, columns=base.columns)
+
+
 def make_audio_excerpt_corpus(
     n: int = 400,
     seed: int = 42,
