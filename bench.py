@@ -471,7 +471,7 @@ def main() -> None:
         "audio_boilerplate", "audio_quantization",
         "keep_rate_bias", "template_spam", "gate_bias",
         "span_dedup", "pii_secrets_audit", "dsir_weights",
-        "audio_quality_score",
+        "audio_quality_score", "lsh_tuning", "lang_confusion", "audio_hum",
     ]
     # headline-only mode: just the gate pair + health scan (~90 s) — fits
     # inside the short quiet gaps this shared host actually has, where the
