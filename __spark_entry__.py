@@ -1654,6 +1654,34 @@ def q_audio_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+def q_clips_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal eval-set leakage: a corpus clip is leaked when EITHER
+    its audio fingerprints near-match an eval clip OR its transcript
+    shares a 4-gram with an eval transcript.  The relabeled dup corpus
+    makes the modalities genuinely diverge: a relabeled re-encode is an
+    audio-only hit, and its stolen caption makes an unrelated base clip a
+    text-only hit.  Twin: the fingerprint cross-set twin OR-composed with
+    an explicit Python n-gram intersection."""
+    from data_quality_spark.operators.label_noise import clip_decontaminate
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_dup_corpus
+
+    ensure_expected("clips_decontaminate", sf_dir)
+    key = ("dup_rl", 400, 42)
+    if key not in _CLIPS_CACHE:
+        _CLIPS_CACHE[key] = make_audio_dup_corpus(400, seed=42, relabel_every=3)
+    pdf = _CLIPS_CACHE[key]
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    is_re = pdf["clip_id"].str.endswith("_re")
+    corpus = spark.createDataFrame(pdf[~is_re][cols], CLIPS_SCHEMA)
+    evals = spark.createDataFrame(pdf[is_re][cols], CLIPS_SCHEMA)
+    out = clip_decontaminate(corpus, evals)
+    return out.select(
+        "clip_id", "audio_hit", "text_hit", "leaked", "n_matches",
+        "n_gram_hits", F.round("min_ber", 4).alias("min_ber_r"),
+    ).orderBy("clip_id")
+
+
 def q_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The materialized chunker: one output clip per ≥200 ms active
     segment with its own pcm16 payload sliced on exact frame-grid sample
@@ -2287,6 +2315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_gate_v2": q_clips_gate_v2,
         "audio_quality_score": q_audio_quality_score,
         "audio_hum": q_audio_hum,
+        "clips_decontaminate": q_clips_decontaminate,
         "image_features": q_image_features,
         "image_near_dup": q_image_near_dup,
         "image_dedup_clusters": q_image_dedup_clusters,
@@ -3964,6 +3993,7 @@ ORDER BY d.doc_id""",
         "clips_gate_v2": _expected_sql("clips_gate_v2"),
         "audio_quality_score": _expected_sql("audio_quality_score"),
         "audio_hum": _expected_sql("audio_hum"),
+        "clips_decontaminate": _expected_sql("clips_decontaminate"),
         "dsir_weights": _expected_sql("dsir_weights"),
         "lsh_tuning": _expected_sql("lsh_tuning"),
         "image_features": _expected_sql("image_features"),

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from .dedup import tokens_col
 
-__all__ = ["transcript_mismatch", "label_issues"]
+__all__ = ["transcript_mismatch", "label_issues", "clip_decontaminate"]
 
 
 def transcript_mismatch(
@@ -114,4 +114,61 @@ def label_issues(mismatch: DataFrame, table: str = "clips") -> DataFrame:
         .alias("severity"),
         F.lit("audio near-duplicate pairs with disagreeing transcripts")
         .alias("description"),
+    )
+
+
+def clip_decontaminate(
+    corpus: DataFrame,
+    evals: DataFrame,
+    *,
+    ngram_n: int = 4,
+    window: int = 3,
+    stride: int = 1,
+    ber_max: float = 0.30,
+) -> DataFrame:
+    """Cross-modal eval-set leakage audit: a corpus clip is ``leaked``
+    when EITHER its audio near-matches an eval clip (spectral-fingerprint
+    decontamination, robust to codec/gain re-encodes) OR its transcript
+    shares a word ``ngram_n``-gram with an eval transcript (the GPT-3
+    text rule).  Checking one modality is not enough — a re-encoded clip
+    with a rewritten caption passes the text check, and a re-read of the
+    same script passes the audio check; eval leakage only needs one
+    channel.
+
+    Returns one row per corpus clip: (clip_id, audio_hit, text_hit,
+    leaked, n_matches, n_gram_hits, min_ber).
+
+    Scale shape: both detectors broadcast the (small) eval side — eval
+    fingerprints/buckets for audio, the deduped eval gram set for text —
+    so the corpus never shuffles on anything wider than clip_id; the
+    final join attaches the text-hit relation (contaminated ids only,
+    tiny) to the audio relation, which AQE broadcasts.
+    """
+    from .audio_dedup import audio_decontaminate, clip_fingerprints
+    from .quality_filters import decontaminate
+
+    audio = audio_decontaminate(
+        clip_fingerprints(corpus),
+        clip_fingerprints(evals, shuffle=False),
+        window=window,
+        stride=stride,
+        ber_max=ber_max,
+    )
+    text = decontaminate(
+        corpus.select("clip_id", F.col("transcript").alias("text")),
+        evals.select("clip_id", F.col("transcript").alias("text")),
+        n=ngram_n,
+        id_col="clip_id",
+    )
+    return audio.join(text, "clip_id", "left").select(
+        "clip_id",
+        F.col("contaminated").alias("audio_hit"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("text_hit"),
+        (
+            F.col("contaminated")
+            | (F.coalesce(F.col("n_hits"), F.lit(0)) > 0)
+        ).alias("leaked"),
+        "n_matches",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_gram_hits"),
+        "min_ber",
     )

@@ -1809,7 +1809,7 @@ def _label_noise_expected(
 
 
 def _audio_decontaminate_expected(
-    n=400, seed=42, window=3, stride=1, ber_max=0.30
+    n=400, seed=42, window=3, stride=1, ber_max=0.30, relabel_every=0
 ) -> dict:
     """Twin of ``audio_dedup.audio_decontaminate`` over
     ``synth.make_audio_dup_corpus`` split into corpus (base ids) vs eval
@@ -1825,7 +1825,7 @@ def _audio_decontaminate_expected(
     )
     from .synth import make_audio_dup_corpus
 
-    pdf = make_audio_dup_corpus(n, seed=seed)
+    pdf = make_audio_dup_corpus(n, seed=seed, relabel_every=relabel_every)
     fps: dict[str, list[int]] = {}
     for _, r in pdf.iterrows():
         try:
@@ -1877,6 +1877,50 @@ def _audio_decontaminate_expected(
         out["contaminated"].append(n_matches > 0)
         out["n_matches"].append(n_matches)
         out["min_ber_r"].append(spark_round(min_ber, 4))
+    return out
+
+
+def _clip_decontaminate_expected(
+    n=400, seed=42, relabel_every=3, ngram_n=4
+) -> dict:
+    """Twin of ``label_noise.clip_decontaminate``: the audio half reuses
+    the cross-set fingerprint twin (relabeled corpus), the text half is an
+    explicit Python n-gram set intersection with the same lowercase
+    tokenization as ``word_ngrams``; OR-composed per corpus clip."""
+    from .synth import make_audio_dup_corpus
+
+    audio = _audio_decontaminate_expected(
+        n, seed, relabel_every=relabel_every
+    )
+    pdf = make_audio_dup_corpus(n, seed=seed, relabel_every=relabel_every)
+    texts = dict(zip(pdf["clip_id"], pdf["transcript"]))
+
+    def grams(tx) -> set[str]:
+        toks = _tokens(tx)
+        return {
+            " ".join(toks[i : i + ngram_n])
+            for i in range(len(toks) - ngram_n + 1)
+        }
+
+    eval_grams: set[str] = set()
+    for cid, tx in texts.items():
+        if cid.endswith("_re"):
+            eval_grams |= grams(tx)
+    out = {
+        "clip_id": [], "audio_hit": [], "text_hit": [], "leaked": [],
+        "n_matches": [], "n_gram_hits": [], "min_ber_r": [],
+    }
+    for i, cid in enumerate(audio["clip_id"]):
+        hits = len(grams(texts[cid]) & eval_grams)
+        a = bool(audio["contaminated"][i])
+        t = hits > 0
+        out["clip_id"].append(cid)
+        out["audio_hit"].append(a)
+        out["text_hit"].append(t)
+        out["leaked"].append(a or t)
+        out["n_matches"].append(audio["n_matches"][i])
+        out["n_gram_hits"].append(hits)
+        out["min_ber_r"].append(audio["min_ber_r"][i])
     return out
 
 
@@ -3511,6 +3555,12 @@ _SCHEMAS: dict[str, pa.Schema] = {
         [("doc_id", pa.int64()), ("n_grams", pa.int32()),
          ("log_w", pa.float64())]
     ),
+    "clips_decontaminate": pa.schema(
+        [("clip_id", pa.string()), ("audio_hit", pa.bool_()),
+         ("text_hit", pa.bool_()), ("leaked", pa.bool_()),
+         ("n_matches", pa.int64()), ("n_gram_hits", pa.int64()),
+         ("min_ber_r", pa.float64())]
+    ),
     "audio_hum": pa.schema(
         [("clip_id", pa.string()), ("n_frames", pa.int32()),
          ("frac_r", pa.float64()), ("contrast_r", pa.float64()),
@@ -3720,6 +3770,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _lsh_tuning_expected(sf_dir)
     elif name == "audio_hum":
         data = _audio_hum_expected()
+    elif name == "clips_decontaminate":
+        data = _clip_decontaminate_expected()
     elif name == "image_features":
         data = _image_features_expected()
     elif name == "image_near_dup":

@@ -237,6 +237,30 @@ def main() -> None:
             None,
         ),
         (
+            "Exact-substring span dedup (gram lexicon + interval merge)",
+            "Two corpus derivations share the parquet scan: the gram "
+            "lexicon is ONE gram-keyed HashAggregate (partial/final pair — "
+            "map-side combine on the 8-byte xxhash64 key) whose survivor "
+            "set AQE broadcasts into a LeftSemi start-marking join; the "
+            "span merge is one doc-keyed Exchange feeding two Window ops "
+            "(running max + island numbering) and the per-doc span "
+            "aggregate broadcasts back onto the base relation for the "
+            "rebuild. Documents never shuffle — only (hash) and (id, pos) "
+            "rows do.",
+            None,
+        ),
+        (
+            "DSIR importance scoring (map-side fold over literal weights)",
+            "After the two B-key learning aggregates (collected driver-"
+            "side, B=1024 rows each), the SCORING pass must be shuffle-"
+            "free: the plan shows one FileScan feeding a single "
+            "WholeStageCodegen span where the gram-bucket array and the "
+            "aggregate-HOF fold over the 1024-double literal array are "
+            "pure column arithmetic; the only Exchange below the top-k is "
+            "TakeOrderedAndProject's per-partition partial.",
+            None,
+        ),
+        (
             "Gopher quality rules (zero-shuffle flag pass)",
             "Every rule signal (token count, non-space chars, alpha-word "
             "count, symbol count, stopword hits) is column arithmetic "
@@ -289,6 +313,27 @@ def main() -> None:
     ).localCheckpoint(eager=True)
     star_i = next(i for i, s in enumerate(sections) if s[0].startswith("Connected"))
     decon_i = next(i for i, s in enumerate(sections) if s[0].startswith("Benchmark"))
+    from data_quality_spark.operators.dsir import (
+        dsir_log_weights,
+        dsir_select,
+        learn_log_ratio_weights,
+    )
+    from data_quality_spark.operators.span_dedup import span_dedup_stats
+
+    docs_t = spark.read.parquet(f"{sf}/documents.parquet")
+    span_i = next(i for i, s in enumerate(sections)
+                  if s[0].startswith("Exact-substring"))
+    sections[span_i] = (*sections[span_i][:2], span_dedup_stats(docs_t, k=15))
+    dsir_i = next(i for i, s in enumerate(sections)
+                  if s[0].startswith("DSIR"))
+    ws = learn_log_ratio_weights(
+        docs_t.where(F.col("source") == "src0"), docs_t
+    )
+    sections[dsir_i] = (
+        *sections[dsir_i][:2],
+        dsir_select(dsir_log_weights(docs_t, weights=ws), k=100),
+    )
+
     gopher_i = next(i for i, s in enumerate(sections) if s[0].startswith("Gopher"))
     sections[star_i] = (*sections[star_i][:2], _small_star(_large_star(edges)))
     sections[decon_i] = (
