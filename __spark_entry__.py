@@ -604,6 +604,68 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup_stats(docs.unionByName(inj), k=15).orderBy("doc_id")
 
 
+MIXTURE_TARGET = {"en": 0.3, "de": 0.5, "zh": 0.15, "es": 0.05}
+MIXTURE_TOTAL = 60_000
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing plan executed and audited: per-language char budgets
+    from target fractions (de deliberately over-asked so the shortfall
+    row is provable, fr deliberately absent so exclusion is provable),
+    portable md5-order selection, per-stratum audit relation.  Strict
+    DuckDB twin replays the window selection."""
+    from data_quality_spark.operators.sampling import mixture_audit
+
+    return mixture_audit(
+        _t(spark, sf_dir, "documents"),
+        weight_col="n_chars",
+        total_budget=MIXTURE_TOTAL,
+        mixture=MIXTURE_TARGET,
+        stratum_col="lang",
+        id_col="doc_id",
+        seed=7,
+        portable=True,
+    )
+
+
+def _mixture_sample_oracle() -> str:
+    from data_quality_spark.operators.sampling import mixture_budgets
+
+    budgets = mixture_budgets(MIXTURE_TOTAL, MIXTURE_TARGET)
+    vals = ", ".join(f"('{k}', {v})" for k, v in sorted(budgets.items()))
+    return f"""
+WITH sel AS (
+  SELECT lang, n_chars,
+    sum(n_chars) OVER (
+      PARTITION BY lang
+      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':7'), doc_id
+    ) - n_chars AS cum_before
+  FROM documents
+), budgets(stratum, budget) AS (VALUES {vals}),
+kept AS (
+  SELECT s.lang, s.n_chars FROM sel s
+  JOIN budgets b ON s.lang = b.stratum
+  WHERE s.cum_before < b.budget
+), avail AS (
+  SELECT lang AS stratum, CAST(sum(n_chars) AS BIGINT) AS avail_weight
+  FROM documents GROUP BY 1
+), got AS (
+  SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n_sel,
+         CAST(sum(n_chars) AS BIGINT) AS sel_weight
+  FROM kept GROUP BY 1
+)
+SELECT b.stratum,
+  coalesce(a.avail_weight, 0) AS avail_weight,
+  CAST(b.budget AS BIGINT) AS budget,
+  coalesce(g.n_sel, 0) AS n_sel,
+  coalesce(g.sel_weight, 0) AS sel_weight,
+  coalesce(g.sel_weight, 0) >= b.budget AS filled
+FROM budgets b
+LEFT JOIN avail a USING (stratum)
+LEFT JOIN got g USING (stratum)
+ORDER BY b.stratum"""
+
+
 def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-vs-detected language confusion matrix (label-noise audit
     for the text corpus): every 17th en-labelled doc is deterministically
@@ -2255,6 +2317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "lsh_tuning": q_lsh_tuning,
         "lang_confusion": q_lang_confusion,
+        "mixture_sample": q_mixture_sample,
         "corpus_clean": q_corpus_clean,
         "boilerplate_stats": q_boilerplate_stats,
         "token_budget": q_token_budget,
@@ -3625,6 +3688,7 @@ SELECT lang, quality_bucket, CAST(count(*) AS BIGINT) AS n_docs
 FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
         "langid_sql": _langid_sql_oracle(),
         "lang_confusion": _lang_confusion_oracle(),
+        "mixture_sample": _mixture_sample_oracle(),
         "bpe_token_stats": """
 WITH t AS (
   SELECT lang,

@@ -56,6 +56,9 @@ __all__ = [
     "deterministic_sample",
     "token_budget_sample",
     "token_budget_audit",
+    "mixture_budgets",
+    "mixture_sample",
+    "mixture_audit",
     "skew_audit",
 ]
 
@@ -313,4 +316,111 @@ def skew_audit(
             .alias("ratio_to_mean"),
             "rank",
         )
+    )
+
+
+def mixture_budgets(
+    total_budget: int, mixture: dict[str, float]
+) -> dict[str, int]:
+    """Per-stratum integer budgets from target mixture fractions
+    (floor(frac · total), computed once driver-side so every consumer —
+    selection, audit, oracle — shares the same integers)."""
+    if total_budget <= 0:
+        raise ValueError(f"total_budget must be positive, got {total_budget}")
+    if not mixture:
+        raise ValueError("mixture must name at least one stratum")
+    for k, frac in mixture.items():
+        if frac < 0:
+            raise ValueError(f"negative mixture fraction for {k!r}")
+    return {k: int(total_budget * frac) for k, frac in mixture.items()}
+
+
+def mixture_sample(
+    df: DataFrame,
+    weight_col: str,
+    total_budget: int,
+    mixture: dict[str, float],
+    stratum_col: str,
+    id_col: str,
+    seed: int = 0,
+    portable: bool = False,
+) -> DataFrame:
+    """Data mixing toward target proportions (the Pile / DoReMi shape):
+    each stratum named in ``mixture`` gets ``floor(frac · total_budget)``
+    of the ``weight_col`` budget, filled in deterministic hash order
+    exactly like :func:`token_budget_sample` (the boundary row crossing
+    the budget is included); strata absent from ``mixture`` are excluded
+    entirely.
+
+    This is a PLAN EXECUTOR, not an optimizer: when a stratum cannot fill
+    its quota the shortfall is NOT redistributed (re-weighting mixtures
+    against available data is DoReMi's offline optimization — a declared
+    seam).  :func:`mixture_audit` makes the shortfall visible as data.
+
+    Scale: one budget lookup per row (literal when-chain over |mixture|
+    strata), one exchange + per-stratum window sort — identical shuffle
+    budget to token_budget_sample.
+    """
+    budgets = mixture_budgets(total_budget, mixture)
+    bcol = None
+    for k, b in sorted(budgets.items()):
+        clause = F.when(F.col(stratum_col) == k, F.lit(b))
+        bcol = clause if bcol is None else bcol.when(
+            F.col(stratum_col) == k, F.lit(b)
+        )
+    bcol = bcol.otherwise(F.lit(0))
+    order = sample_order_col(F.col(id_col), seed, portable)
+    w = Window.partitionBy(stratum_col).orderBy(order.asc(), F.col(id_col).asc())
+    cum_before = (
+        F.sum(F.col(weight_col)).over(w) - F.col(weight_col)
+    ).alias("cum_before")
+    return (
+        df.select("*", cum_before)
+        .where(F.col("cum_before") < bcol)
+    )
+
+
+def mixture_audit(
+    df: DataFrame,
+    weight_col: str,
+    total_budget: int,
+    mixture: dict[str, float],
+    stratum_col: str,
+    id_col: str,
+    seed: int = 0,
+    portable: bool = False,
+) -> DataFrame:
+    """The mixing plan as data: per target stratum — available weight,
+    integer budget, selected doc count/weight, and ``filled`` (selection
+    reached the budget).  Selected weight can exceed the budget by at most
+    the boundary row (same convention as token_budget_sample)."""
+    budgets = mixture_budgets(total_budget, mixture)
+    sel = mixture_sample(
+        df, weight_col, total_budget, mixture, stratum_col, id_col,
+        seed, portable,
+    )
+    avail = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.sum(weight_col).cast("long").alias("avail_weight")
+    )
+    got = sel.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sel"),
+        F.sum(weight_col).cast("long").alias("sel_weight"),
+    )
+    btab = df.sparkSession.createDataFrame(
+        sorted(budgets.items()), "stratum string, budget long"
+    )
+    return (
+        btab.join(avail, "stratum", "left")
+        .join(got, "stratum", "left")
+        .select(
+            "stratum",
+            F.coalesce("avail_weight", F.lit(0)).alias("avail_weight"),
+            "budget",
+            F.coalesce("n_sel", F.lit(0)).alias("n_sel"),
+            F.coalesce("sel_weight", F.lit(0)).alias("sel_weight"),
+            (F.coalesce("sel_weight", F.lit(0)) >= F.col("budget")).alias(
+                "filled"
+            ),
+        )
+        .orderBy("stratum")
     )

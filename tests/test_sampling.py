@@ -253,3 +253,56 @@ class TestTokenBudget:
                 cum += int(r["val"])
             got = sorted(int(v) for v in sel[sel["lang"] == lang]["doc_id"])
             assert got == sorted(want), lang
+
+
+def test_mixture_sample_budgets_and_exclusion(spark):
+    from data_quality_spark.operators.sampling import (
+        mixture_audit,
+        mixture_budgets,
+        mixture_sample,
+    )
+
+    rows = [(i, "a" * 10, ["x", "y", "z"][i % 3], 10) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars long")
+    mix = {"x": 0.5, "y": 0.25}  # z excluded; x over-asked vs avail 300
+    budgets = mixture_budgets(400, mix)
+    assert budgets == {"x": 200, "y": 100}
+    sel = mixture_sample(df, "n_chars", 400, mix, "lang", "doc_id", seed=3)
+    by = {}
+    for r in sel.collect():
+        by.setdefault(r["lang"], []).append(r)
+    assert "z" not in by  # absent stratum excluded entirely
+    # boundary-row convention: selection reaches (or just crosses) budget
+    assert sum(r["n_chars"] for r in by["x"]) >= 200
+    assert sum(r["n_chars"] for r in by["y"]) >= 100
+    aud = {r["stratum"]: r for r in mixture_audit(
+        df, "n_chars", 400, mix, "lang", "doc_id", seed=3).collect()}
+    assert set(aud) == {"x", "y"}
+    assert aud["x"]["avail_weight"] == 300 and aud["x"]["filled"]
+    assert aud["y"]["filled"]
+    # infeasible quota surfaces as filled=False
+    aud2 = {r["stratum"]: r for r in mixture_audit(
+        df, "n_chars", 2000, {"x": 0.5}, "lang", "doc_id").collect()}
+    assert aud2["x"]["budget"] == 1000
+    assert aud2["x"]["sel_weight"] == 300 and not aud2["x"]["filled"]
+
+
+def test_mixture_sample_deterministic_and_portable(spark):
+    import hashlib
+
+    from data_quality_spark.operators.sampling import mixture_sample
+
+    rows = [(i, "t", "x", 7) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars long")
+    sel = mixture_sample(df, "n_chars", 100, {"x": 0.5}, "lang", "doc_id",
+                         seed=7, portable=True)
+    got = sorted(r["doc_id"] for r in sel.collect())
+    # hashlib twin of the portable md5 ordering
+    order = sorted(range(40), key=lambda d: (
+        hashlib.md5(f"{d}:7".encode()).hexdigest(), d))
+    cum, want = 0, []
+    for d in order:
+        if cum < 50:
+            want.append(d)
+        cum += 7
+    assert got == sorted(want)
