@@ -750,12 +750,16 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     features, Laplace-smoothed log p̂/q̂ toward the src0 slice as target,
     per-doc document-order fold, deterministic top-100.  Twin: from-spec
     XXH64 + the identical fold in pure Python (bit-exact doubles)."""
-    from data_quality_spark.operators.dsir import dsir_log_weights, dsir_select
+    from data_quality_spark.operators.dsir import (
+        dsir_log_weights,
+        dsir_select,
+        learn_log_ratio_weights_sliced,
+    )
 
     ensure_expected("dsir_weights", sf_dir)
     docs = _t(spark, sf_dir, "documents")
-    target = docs.where(F.col("source") == "src0")
-    weighted = dsir_log_weights(docs, target=target)
+    ws = learn_log_ratio_weights_sliced(docs, F.col("source") == "src0")
+    weighted = dsir_log_weights(docs, weights=ws)
     return dsir_select(weighted, k=100).select("doc_id", "n_grams", "log_w")
 
 

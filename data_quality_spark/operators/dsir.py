@@ -47,6 +47,7 @@ __all__ = [
     "gram_buckets_col",
     "bucket_counts",
     "learn_log_ratio_weights",
+    "learn_log_ratio_weights_sliced",
     "dsir_log_weights",
     "dsir_select",
 ]
@@ -122,6 +123,20 @@ def bucket_counts(
     )
 
 
+def _weights_from_counts(
+    t_counts: dict[int, int],
+    r_counts: dict[int, int],
+    num_buckets: int,
+) -> list[float]:
+    t_total = sum(t_counts.values())
+    r_total = sum(r_counts.values())
+    return [
+        math.log((t_counts.get(b, 0) + 1) / (t_total + num_buckets))
+        - math.log((r_counts.get(b, 0) + 1) / (r_total + num_buckets))
+        for b in range(num_buckets)
+    ]
+
+
 def learn_log_ratio_weights(
     target: DataFrame,
     raw: DataFrame,
@@ -140,13 +155,40 @@ def learn_log_ratio_weights(
         r["bucket"]: r["cnt"]
         for r in bucket_counts(raw, text_col, num_buckets, ngram_sizes).collect()
     }
-    t_total = sum(t_counts.values())
-    r_total = sum(r_counts.values())
-    return [
-        math.log((t_counts.get(b, 0) + 1) / (t_total + num_buckets))
-        - math.log((r_counts.get(b, 0) + 1) / (r_total + num_buckets))
-        for b in range(num_buckets)
-    ]
+    return _weights_from_counts(t_counts, r_counts, num_buckets)
+
+
+def learn_log_ratio_weights_sliced(
+    raw: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    num_buckets: int = DEFAULT_BUCKETS,
+    ngram_sizes: tuple[int, ...] = NGRAM_SIZES,
+) -> list[float]:
+    """Same weights as :func:`learn_log_ratio_weights` when the target is
+    a SLICE of the raw corpus (the common case — "resemble the high-
+    quality subset"), but learned in ONE explode + ONE B-key aggregate:
+    each gram carries its row's target flag and the aggregate folds both
+    histograms at once, halving the learning scan cost."""
+    grams = raw.select(
+        is_target.alias("__t"),
+        F.explode(
+            gram_buckets_col(text_col, num_buckets, ngram_sizes)
+        ).alias("bucket"),
+    )
+    rows = (
+        grams.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum(F.when(F.col("__t"), 1).otherwise(0))
+            .cast("long")
+            .alias("t_cnt"),
+        )
+        .collect()
+    )
+    r_counts = {r["bucket"]: r["cnt"] for r in rows}
+    t_counts = {r["bucket"]: r["t_cnt"] for r in rows if r["t_cnt"] > 0}
+    return _weights_from_counts(t_counts, r_counts, num_buckets)
 
 
 def dsir_log_weights(

@@ -84,3 +84,20 @@ def test_weights_validation(spark, corpora):
         dsir_log_weights(raw)
     with pytest.raises(ValueError):
         dsir_log_weights(raw, weights=[0.0] * 5)
+
+
+def test_sliced_learning_matches_two_pass(spark, corpora):
+    import pyspark.sql.functions as F
+
+    from data_quality_spark.operators.dsir import (
+        learn_log_ratio_weights,
+        learn_log_ratio_weights_sliced,
+    )
+
+    target, raw = corpora
+    union = raw.withColumn("is_t", F.lit(False)).unionByName(
+        target.withColumn("is_t", F.lit(True))
+    )
+    two_pass = learn_log_ratio_weights(target, union.drop("is_t"))
+    one_pass = learn_log_ratio_weights_sliced(union, F.col("is_t"))
+    assert one_pass == two_pass  # bit-identical doubles
