@@ -747,19 +747,16 @@ def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance selection (Xie et al. 2023): hashed 1+2-gram bucket
-    features, Laplace-smoothed log p̂/q̂ toward the src0 slice as target,
-    per-doc document-order fold, deterministic top-100.  Twin: from-spec
-    XXH64 + the identical fold in pure Python (bit-exact doubles)."""
-    from data_quality_spark.operators.dsir import (
-        dsir_log_weights,
-        dsir_select,
-        learn_log_ratio_weights_sliced,
-    )
+    features, Laplace-smoothed log p̂/q̂ toward the src0 slice as target
+    (learned in ONE sliced pass), fixed-point-quantized weights so the
+    per-doc score is an EXACT integer sum (order-free), deterministic
+    top-100.  Twin: from-spec XXH64 + the same quantization law + plain
+    Python int sums."""
+    from data_quality_spark.operators.dsir import dsir_pipeline, dsir_select
 
     ensure_expected("dsir_weights", sf_dir)
     docs = _t(spark, sf_dir, "documents")
-    ws = learn_log_ratio_weights_sliced(docs, F.col("source") == "src0")
-    weighted = dsir_log_weights(docs, weights=ws)
+    weighted = dsir_pipeline(docs, F.col("source") == "src0")
     return dsir_select(weighted, k=100).select("doc_id", "n_grams", "log_w")
 
 

@@ -1012,12 +1012,13 @@ def _audio_hum_expected(n=300, seed=42) -> dict:
 
 def _dsir_weights_expected(sf_dir: str, num_buckets=1024, k=100) -> dict:
     """Twin of ``operators.dsir``: from-spec XXH64 bucket assignment,
-    Laplace-smoothed log-ratio weights via math.log (the same doubles the
-    Spark plan carries as literals), per-doc DOCUMENT-ORDER left fold, and
-    deterministic top-k by (log_w DESC, doc_id) — every float op in the
-    same association as the Catalyst expression tree."""
+    Laplace-smoothed log-ratio weights via math.log, the shared
+    fixed-point quantization law, per-doc EXACT integer sums (order-free
+    by construction), and deterministic top-k by (log_w DESC, doc_id)."""
     import math
     import re as _re
+
+    from .operators.dsir import FIXED_POINT_BITS, quantize_weights
 
     import pyarrow.parquet as pq
 
@@ -1062,13 +1063,15 @@ def _dsir_weights_expected(sf_dir: str, num_buckets=1024, k=100) -> dict:
         - math.log((r_counts.get(b, 0) + 1) / (r_total + num_buckets))
         for b in range(num_buckets)
     ]
+    qw = quantize_weights(weights)
+    scale = float(1 << FIXED_POINT_BITS)
     scored = []
     for d, _, _ in rows:
         bs = doc_buckets[d]
-        acc = 0.0
+        acc = 0
         for b in bs:
-            acc = acc + weights[b]
-        scored.append((d, len(bs), acc))
+            acc += qw[b]
+        scored.append((d, len(bs), acc / scale))
     scored.sort(key=lambda x: (-x[2], x[0]))
     top = scored[:k]
     return {
