@@ -201,6 +201,51 @@ def minhash_signatures(
     )
 
 
+def _banded_candidates(
+    keyed: DataFrame, bands: int, rows_per_band: int, max_bucket_size: int
+) -> DataFrame:
+    """The banding stage over a (__id, __sig) signature relation:
+    explode per-band bucket keys, drop singleton/oversized buckets, pair
+    within buckets, dedupe across bands.  Shared by minhash_lsh_pairs and
+    the multi-config tuning sweep (which bands ONE persisted signature
+    relation several ways)."""
+    band_entries = keyed.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.slice(
+                                F.col("__sig"),
+                                b * rows_per_band + 1,
+                                rows_per_band,
+                            )
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("e"),
+    ).select("__id", "e.band", "e.bh")
+    small_buckets = (
+        band_entries.groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter((F.col("__bn") > 1) & (F.col("__bn") <= max_bucket_size))
+        .select("band", "bh")
+    )
+    pruned = band_entries.join(small_buckets, ["band", "bh"])
+    left = pruned.select("band", "bh", F.col("__id").alias("id_a"))
+    right = pruned.select("band", "bh", F.col("__id").alias("id_b"))
+    return (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -248,37 +293,7 @@ def minhash_lsh_pairs(
         from pyspark.storagelevel import StorageLevel
 
         keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
-    band_entries = keyed.select(
-        "__id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band)
-                        ).alias("bh"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("e"),
-    ).select("__id", "e.band", "e.bh")
-    small_buckets = (
-        band_entries.groupBy("band", "bh")
-        .agg(F.count(F.lit(1)).alias("__bn"))
-        .filter((F.col("__bn") > 1) & (F.col("__bn") <= max_bucket_size))
-        .select("band", "bh")
-    )
-    pruned = band_entries.join(small_buckets, ["band", "bh"])
-    left = pruned.select("band", "bh", F.col("__id").alias("id_a"))
-    right = pruned.select("band", "bh", F.col("__id").alias("id_b"))
-    cand = (
-        left.join(right, ["band", "bh"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cand = _banded_candidates(keyed, bands, rows_per_band, max_bucket_size)
     if verify_threshold is None:
         return cand
     toks = df.select(
@@ -320,22 +335,19 @@ def lsh_candidates_multi(
     16×4 / 32×2 over 64 hashes put midpoints at J ≈ 0.77 / 0.50 / 0.18).
     Returns (bands, id_a, id_b).
 
-    Each config currently recomputes the signature relation (persisted per
-    call); a cluster-scale sweep should materialize ``minhash_signatures``
-    once to a table and band it b ways from storage — the banding stage
-    itself (explode → one (band, band_hash) shuffle per config) is the same
-    either way.
+    All configs band ONE persisted signature relation — the corpus pays
+    the shingle-explode + 64-min signature aggregate once, and each
+    config adds only its own (band, band_hash) shuffle.
     """
+    keyed = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_k
+    ).select(F.col(id_col).alias("__id"), F.col("sig").alias("__sig"))
+    from pyspark.storagelevel import StorageLevel
+
+    keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
     parts = [
-        minhash_lsh_pairs(
-            df,
-            id_col,
-            text_col,
-            num_hashes=num_hashes,
-            bands=b,
-            shingle_k=shingle_k,
-            verify_threshold=None,
-            max_bucket_size=max_bucket_size,
+        _banded_candidates(
+            keyed, b, num_hashes // b, max_bucket_size
         ).select(F.lit(b).cast("int").alias("bands"), "id_a", "id_b")
         for b in band_configs
     ]
