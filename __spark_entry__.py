@@ -289,6 +289,16 @@ def q_embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup: SRP-blocked cosine near-pairs close
+    into clusters (large-star/small-star), one representative kept per
+    cluster.  Twin: the shared blocked-pair twin + independent
+    union-find."""
+    ensure_expected("semantic_prune", sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.semantic_prune(emb, dim=64).orderBy("vec_id")
+
+
 def q_range_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule = Rule(
         name="range",
@@ -2284,6 +2294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "database_completeness": q_database_completeness,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_blocked": q_embedding_near_dup_blocked,
+        "semantic_prune": q_semantic_prune,
         "range_rule": q_range_rule,
         "enum_rule": q_enum_rule,
         "regex_rule": q_regex_rule,
@@ -3690,6 +3701,7 @@ FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
         "langid_sql": _langid_sql_oracle(),
         "lang_confusion": _lang_confusion_oracle(),
         "mixture_sample": _mixture_sample_oracle(),
+        "semantic_prune": _expected_sql("semantic_prune"),
         "bpe_token_stats": """
 WITH t AS (
   SELECT lang,

@@ -472,6 +472,7 @@ def main() -> None:
         "keep_rate_bias", "template_spam", "gate_bias",
         "span_dedup", "pii_secrets_audit", "dsir_weights",
         "audio_quality_score", "lsh_tuning", "lang_confusion", "audio_hum",
+        "clips_decontaminate", "mixture_sample", "semantic_prune",
     ]
     # headline-only mode: just the gate pair + health scan (~90 s) — fits
     # inside the short quiet gaps this shared host actually has, where the

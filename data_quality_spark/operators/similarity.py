@@ -40,6 +40,7 @@ __all__ = [
     "norm64",
     "cosine_topk",
     "cosine_near_pairs",
+    "semantic_prune",
     "hyperplane_lsh_topk",
     "fit_ivf_centroids",
     "ivf_assign",
@@ -361,3 +362,48 @@ def hyperplane_lsh_topk(
     if round_to is not None:
         out = out.withColumn("cosine", F.round(F.col("cosine"), round_to))
     return out
+
+
+def semantic_prune(
+    corpus: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    bits: int = 6,
+    seed: int = 11,
+) -> DataFrame:
+    """SemDeDup-shaped semantic dedup (Abbas et al. 2023, public method):
+    embedding near-duplicate PAIRS (SRP-bucketed exact cosine — the scale
+    path) close into clusters via the large-star/small-star rounds, and
+    each cluster keeps exactly ONE representative (the min id — the
+    component label itself, so no extra decision pass).  Returns one row
+    per vector: (id, component, cluster_size, keep); singletons keep
+    themselves.
+
+    Scale shape: the pair stage is per-bucket O(n²) with one bucket-keyed
+    shuffle (pairs carry ids + one double, never vectors); the closure is
+    O(log n) rounds over the (small) pair graph; the final left join
+    attaches the member relation back to the id column only — embeddings
+    never shuffle.
+    """
+    from .cluster import cluster_members
+
+    planes = _hyperplanes(dim, bits, seed)
+    blocked = corpus.withColumn("__bkt", bucket_col(F.col(vec_col), planes))
+    pairs = cosine_near_pairs(
+        blocked, id_col=id_col, vec_col=vec_col,
+        threshold=threshold, block_col="__bkt",
+    )
+    members = cluster_members(pairs)
+    ids = corpus.select(F.col(id_col))
+    return ids.join(members, ids[id_col] == members["node"], "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+        F.coalesce(F.col("cluster_size"), F.lit(1))
+        .cast("long")
+        .alias("cluster_size"),
+        (F.coalesce(F.col("component"), F.col(id_col)) == F.col(id_col)).alias(
+            "keep"
+        ),
+    )

@@ -523,10 +523,10 @@ def _ann_recall_expected(vecs, k=3) -> dict:
 # ------------------------------------------ blocked embedding near-dup
 
 
-def _near_dup_blocked_agg(vecs, bits=6, seed=11, threshold=0.3) -> dict:
-    """Twin of SRP-bucketed ``similarity.cosine_near_pairs`` (the scale
-    path: all-pairs confined to each hyperplane bucket) + the
-    (n_pairs, min, max) aggregate."""
+def _blocked_pairs(vecs, bits=6, seed=11, threshold=0.3):
+    """SRP-bucketed exact-cosine near-dup pairs (id_a, id_b, cosine),
+    id_a < id_b — the shared pair twin behind the blocked aggregate and
+    the semantic-prune closure."""
     dim = len(vecs[0][1])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((bits, dim))
@@ -543,7 +543,7 @@ def _near_dup_blocked_agg(vecs, bits=6, seed=11, threshold=0.3) -> dict:
     vmap = dict(vecs)
     for vid, v in vecs:
         buckets.setdefault(bucket(v), []).append(vid)
-    cos = []
+    pairs = []
     for members in buckets.values():
         ms = sorted(members)
         for i in range(len(ms)):
@@ -551,7 +551,15 @@ def _near_dup_blocked_agg(vecs, bits=6, seed=11, threshold=0.3) -> dict:
                 a, b = ms[i], ms[j]
                 c = _fold_dot(vmap[a], vmap[b]) / (norms[a] * norms[b])
                 if c >= threshold:
-                    cos.append(c)
+                    pairs.append((a, b, c))
+    return pairs
+
+
+def _near_dup_blocked_agg(vecs, bits=6, seed=11, threshold=0.3) -> dict:
+    """Twin of SRP-bucketed ``similarity.cosine_near_pairs`` (the scale
+    path: all-pairs confined to each hyperplane bucket) + the
+    (n_pairs, min, max) aggregate."""
+    cos = [c for _, _, c in _blocked_pairs(vecs, bits, seed, threshold)]
     if not cos:
         return {"n_pairs": [0], "min_cosine": [None], "max_cosine": [None]}
     return {
@@ -559,6 +567,26 @@ def _near_dup_blocked_agg(vecs, bits=6, seed=11, threshold=0.3) -> dict:
         "min_cosine": [spark_round(min(cos), 6)],
         "max_cosine": [spark_round(max(cos), 6)],
     }
+
+
+def _semantic_prune_expected(sf_dir: str, bits=6, seed=11, threshold=0.3) -> dict:
+    """Twin of ``similarity.semantic_prune``: the shared blocked-pair twin
+    closed by the independent union-find; keep = (id == component)."""
+    vecs = _read_embeddings(sf_dir)
+    pairs = [(a, b) for a, b, _ in _blocked_pairs(vecs, bits, seed, threshold)]
+    comp = _uf_min_components(pairs)
+    sizes: dict[int, int] = {}
+    for vid, _ in vecs:
+        c = comp.get(vid, vid)
+        sizes[c] = sizes.get(c, 0) + 1
+    out = {"vec_id": [], "component": [], "cluster_size": [], "keep": []}
+    for vid, _ in sorted(vecs):
+        c = comp.get(vid, vid)
+        out["vec_id"].append(vid)
+        out["component"].append(c)
+        out["cluster_size"].append(sizes[c])
+        out["keep"].append(vid == c)
+    return out
 
 
 # ------------------------------------------------------------------ clips
@@ -3558,6 +3586,10 @@ _SCHEMAS: dict[str, pa.Schema] = {
         [("doc_id", pa.int64()), ("n_grams", pa.int32()),
          ("log_w", pa.float64())]
     ),
+    "semantic_prune": pa.schema(
+        [("vec_id", pa.int64()), ("component", pa.int64()),
+         ("cluster_size", pa.int64()), ("keep", pa.bool_())]
+    ),
     "clips_decontaminate": pa.schema(
         [("clip_id", pa.string()), ("audio_hit", pa.bool_()),
          ("text_hit", pa.bool_()), ("leaked", pa.bool_()),
@@ -3646,13 +3678,13 @@ def _src_key(name: str, sf_dir: str | None) -> dict | None:
         "minhash_lsh", "simhash_near_dup", "ann_lsh_topk",
         "winnow_fingerprints", "embedding_near_dup_blocked", "ann_ivf_topk",
         "ann_recall", "dedup_clusters", "dedup_resolve", "dsir_weights",
-        "lsh_tuning",
+        "lsh_tuning", "semantic_prune",
     ):
         table = (
             "embeddings"
             if name in (
                 "ann_lsh_topk", "embedding_near_dup_blocked", "ann_ivf_topk",
-                "ann_recall",
+                "ann_recall", "semantic_prune",
             )
             else "documents"
         )
@@ -3775,6 +3807,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_hum_expected()
     elif name == "clips_decontaminate":
         data = _clip_decontaminate_expected()
+    elif name == "semantic_prune":
+        data = _semantic_prune_expected(sf_dir)
     elif name == "image_features":
         data = _image_features_expected()
     elif name == "image_near_dup":

@@ -183,3 +183,32 @@ class TestSplitByCluster:
         )
         got2 = {r["doc_id"]: r["split"] for r in bigger.collect()}
         assert all(got2[d] == got[d] for d in got), "existing rows reassigned"
+
+
+def test_semantic_prune_keeps_one_per_cluster(spark):
+    import numpy as np
+
+    from data_quality_spark.operators.similarity import semantic_prune
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((6, 16)).astype("float32")
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(3):  # three near-identical copies per base
+            v = b + rng.standard_normal(16).astype("float32") * 0.01
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_prune(df, dim=16, threshold=0.95).collect()
+    assert len(out) == 18
+    by_comp = {}
+    for r in out:
+        by_comp.setdefault(r["component"], []).append(r)
+    for comp, members in by_comp.items():
+        keeps = [r for r in members if r["keep"]]
+        assert len(keeps) == 1  # exactly one representative per cluster
+        assert keeps[0]["vec_id"] == comp == min(r["vec_id"] for r in members)
+        assert all(r["cluster_size"] == len(members) for r in members)
+    # the three copies of each base should mostly collapse (same SRP bucket)
+    assert sum(1 for r in out if r["keep"]) <= 12
