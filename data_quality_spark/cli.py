@@ -151,7 +151,7 @@ def build_parser() -> argparse.ArgumentParser:
     au.add_argument(
         "--kind",
         choices=["text", "audio", "loops", "labels", "boilerplate",
-                 "quantization"],
+                 "quantization", "pii"],
         default="text",
     )
     au.add_argument("--min-words", type=int, default=15)
@@ -522,6 +522,10 @@ def main(argv: list[str] | None = None) -> int:
                 from .operators.audio_audit import audio_audit, audit_issues
 
                 issues_df = audit_issues(audio_audit(df), table=args.table)
+            elif args.kind == "pii":
+                from .operators.pii import pii_issues
+
+                issues_df = pii_issues(df, table=args.table)
             elif args.kind == "loops":
                 from .operators.audio_loop import loop_issues, loop_scan
 

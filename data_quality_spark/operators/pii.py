@@ -91,3 +91,53 @@ def pii_secrets_summary(
         )
         .orderBy(by)
     )
+
+
+def pii_rules(text_col: str = "text") -> list:
+    """The PII rule family in the reference's Rule shape (for
+    ``compile_rules`` / the fused audit CLI): checksum-validated card or
+    IBAN present → critical, secret-ish token → warning, digit runs that
+    fail the checksum → info (near-miss evidence, not PII)."""
+    from data_quality_spark.operators.rules import Rule
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    cards = card_candidates(t)
+    ibans = iban_candidates(t)
+    secrets = secret_candidates(t)
+    n_card_valid = F.size(F.filter(cards, luhn_valid))
+    preds = {
+        "pii_credit_card": (
+            n_card_valid > 0, "critical",
+            "Luhn-valid payment card number present"),
+        "pii_iban": (
+            F.size(F.filter(ibans, iban_valid)) > 0, "critical",
+            "mod-97-valid IBAN present"),
+        "pii_secret_token": (
+            F.size(F.filter(secrets, lambda x: secretish(x))) > 0, "warning",
+            "high-diversity secret-shaped token present"),
+        "pii_card_near_miss": (
+            (F.size(cards) > 0) & (n_card_valid == 0), "info",
+            "card-shaped digit run failing the Luhn checksum"),
+    }
+    return [
+        Rule(
+            name=name,
+            column=text_col,
+            predicate=lambda d, c=cond: c,
+            severity=sev,
+            description=desc,
+        )
+        for name, (cond, sev, desc) in preds.items()
+    ]
+
+
+def pii_issues(
+    docs: DataFrame,
+    table: str = "documents",
+    text_col: str = "text",
+) -> DataFrame:
+    """QualityIssue relation for the PII family — ONE fused aggregate over
+    one scan (compile_rules), composing with every other issue stream."""
+    from data_quality_spark.operators.rules import compile_rules
+
+    return compile_rules(docs, table, pii_rules(text_col))

@@ -433,6 +433,37 @@ def test_cli_audit_boilerplate(spark, tmp_path, capsys, monkeypatch):
     assert r["severity"] == "warning"
 
 
+def test_cli_audit_pii(spark, tmp_path, capsys, monkeypatch):
+    """audit --kind pii: checksum-validated PII audit behind the same
+    fail_on exit-code policy (valid card is critical → exit 2)."""
+    import data_quality_spark.cli as cli
+
+    monkeypatch.setattr("pyspark.sql.SparkSession.stop", lambda self: None)
+    tables = tmp_path / "tables"
+    tables.mkdir()
+    docs = spark.createDataFrame(
+        [(1, "pay 4111-1111-1111-1111 now"),
+         (2, "pay 4111111111111112 now"),
+         (3, "clean words only"),
+         (4, None)],
+        "doc_id long, text string",
+    )
+    docs.coalesce(1).write.parquet(str(tables / "docs.parquet"))
+    code = cli.main(
+        ["audit", "--tables", str(tables), "--table", "docs",
+         "--kind", "pii", "--format", "json"]
+    )
+    rows = {r["issue_type"]: r for r in json.loads(capsys.readouterr().out)}
+    assert code == 2  # Luhn-valid card is critical
+    assert rows["pii_credit_card"]["count"] == 1
+    assert rows["pii_card_near_miss"]["count"] == 1
+    assert cli.main(
+        ["audit", "--tables", str(tables), "--table", "docs",
+         "--kind", "pii", "--fail-on", "none"]
+    ) == 0
+    capsys.readouterr()
+
+
 def test_cli_audit_quantization(spark, tmp_path, capsys, monkeypatch):
     import data_quality_spark.cli as cli
     from data_quality_spark.plans.schemas import CLIPS_SCHEMA
