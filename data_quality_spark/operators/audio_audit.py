@@ -10,8 +10,12 @@ run every kernel on the shared buffers, emit one wide scalar row.
 ``audit_issues`` then folds the wide relation into the reference's
 issue schema (table, column, issue_type, count, total, percent,
 severity, description — ``/root/reference/src/data_quality/
-null_scan.py``'s report shape) with ONE fused aggregate: 9 flag counts
+null_scan.py``'s report shape) with ONE fused aggregate: 11 flag counts
 + the total in a single partial/final pair, stack to rows after.
+The mains-hum comb scan is fused in too (its long-frame FFT adds
+~208 µs/clip against ~1.7 ms of existing audit kernels, measured —
+BENCH.md "hum fusion"); ``operators.audio_hum`` stays the à-la-carte
+scan with grid attribution and per-clip dB.
 
 Because every kernel here is the same function the à-la-carte
 operators run (each hash-verified by its own differential oracle), the
@@ -27,6 +31,7 @@ from pyspark.sql import types as T
 
 from .audio_dropout import DC_DEN, DC_NUM, STUCK_MIN_DEFAULT
 from ..functions.quantization import MIN_NONZERO_DEFAULT, UPCONVERT_TZ_BITS
+from ..functions.spectral import HUM_MIN_CONTRAST, HUM_MIN_FRAC
 from ..synth import GateThresholds as TH
 
 __all__ = ["audio_audit", "audit_issues", "AUDIT_RULES"]
@@ -51,6 +56,9 @@ _FIELDS = [
     ("n_nonzero", T.LongType()),
     ("tz_bits", T.LongType()),
     ("mulaw_hits", T.LongType()),
+    ("hum_frac", T.DoubleType()),
+    ("hum_contrast", T.DoubleType()),
+    ("hum_hz", T.DoubleType()),
 ]
 
 
@@ -73,6 +81,7 @@ def audio_audit(df: DataFrame, counter=None) -> DataFrame:
         from ..functions.loudness import clip_loudness
         from ..functions.quantization import quantization_stats_i16
         from ..functions.snr import speech_snr
+        from ..functions.spectral import hum_stats
         from ..functions.vad import vad_stats
 
         for batch in batches:
@@ -100,6 +109,9 @@ def audio_audit(df: DataFrame, counter=None) -> DataFrame:
                 sn = speech_snr(x, sr)
                 lf = clip_loudness(x, sr)
                 qt = quantization_stats_i16(q, include_distinct=False)
+                # same int16 input as operators.audio_hum.clip_hum so the
+                # fused floats stay bit-identical to the a-la-carte scan
+                hm = hum_stats(q, sr)
                 oks.append(ok)
                 cols["n_samples"].append(int(q.size))
                 cols["rms_db"].append(st["rms_db"])
@@ -116,6 +128,9 @@ def audio_audit(df: DataFrame, counter=None) -> DataFrame:
                 cols["n_nonzero"].append(qt["n_nonzero"])
                 cols["tz_bits"].append(qt["tz_bits"])
                 cols["mulaw_hits"].append(qt["mulaw_hits"])
+                cols["hum_frac"].append(hm["hum_frac"])
+                cols["hum_contrast"].append(hm["hum_contrast"])
+                cols["hum_hz"].append(hm["hum_hz"])
             pa_types = {
                 "LongType": pa.int64(), "DoubleType": pa.float64(),
                 "IntegerType": pa.int32(),
@@ -168,6 +183,14 @@ AUDIT_RULES = {
     # container whose samples live on an 8-bit or µ-law lattice was
     # upconverted; below MIN_NONZERO_DEFAULT nonzero samples the clip is
     # not evaluable and must not count (the AND keeps it FALSE)
+    # decision law shared with operators.audio_hum.hum_flags: the 50/60 Hz
+    # comb must be audible (>= 1% of total power) AND dominate the <200 Hz
+    # band; NULL metrics (undecodable / shorter than one 4096 frame) never
+    # fire because NULL comparisons are skipped by count()
+    "mains_hum": (
+        lambda: (F.col("hum_frac") >= F.lit(HUM_MIN_FRAC))
+        & (F.col("hum_contrast") >= F.lit(HUM_MIN_CONTRAST)),
+        "warning", "bytes", "mains hum (50/60 Hz comb) detected"),
     "upconverted": (
         lambda: F.col("ok")
         & F.col("codec").isin("pcm16", "wav")

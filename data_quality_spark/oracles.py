@@ -46,7 +46,7 @@ __all__ = ["ensure_expected", "expected_path", "spark_round"]
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EXPECTED_DIR = os.path.join(_REPO, "expected")
 # bump to invalidate every committed expected file after a generator change
-_VERSION = 10
+_VERSION = 11
 # generation guard: differential oracles only run at correctness scale
 _MAX_ORACLE_ROWS = 2500
 
@@ -2527,6 +2527,7 @@ def _audio_audit_issues_expected(n=300, seed=42) -> dict:
         quantization_stats_i16,
     )
     from .functions.snr import speech_snr
+    from .functions.spectral import HUM_MIN_CONTRAST, HUM_MIN_FRAC, hum_stats
     from .functions.vad import vad_stats
     from .operators.audio_audit import (
         AUDIT_RULES,
@@ -2557,6 +2558,7 @@ def _audio_audit_issues_expected(n=300, seed=42) -> dict:
         sn = speech_snr(x, sr)
         lf = clip_loudness(x, sr)
         qt = quantization_stats_i16(q)
+        hm = hum_stats(q, sr)
         del vd  # speech stats are carried by the wide relation, no flag
         flags = {
             "undecodable": not ok,
@@ -2575,6 +2577,9 @@ def _audio_audit_issues_expected(n=300, seed=42) -> dict:
             and qt["n_nonzero"] >= MIN_NONZERO_DEFAULT
             and (qt["tz_bits"] >= UPCONVERT_TZ_BITS
                  or qt["mulaw_hits"] == qt["n_nonzero"]),
+            "mains_hum": hm["hum_frac"] is not None
+            and hm["hum_frac"] >= HUM_MIN_FRAC
+            and hm["hum_contrast"] >= HUM_MIN_CONTRAST,
         }
         for name, hit in flags.items():
             if hit:
@@ -2868,6 +2873,7 @@ def _utterance_audit_expected(n=300, seed=42, min_dur_ms=200) -> dict:
         quantization_stats_i16,
     )
     from .functions.snr import speech_snr
+    from .functions.spectral import HUM_MIN_CONTRAST, HUM_MIN_FRAC, hum_stats
     from .functions.vad import HANG_FRAMES, MIN_SPEECH_FRAMES, frame_mean_squares
     from .operators.audio_audit import (
         AUDIT_RULES,
@@ -2938,6 +2944,11 @@ def _utterance_audit_expected(n=300, seed=42, min_dur_ms=200) -> dict:
                         and (qt["tz_bits"] >= UPCONVERT_TZ_BITS
                              or qt["mulaw_hits"] == qt["n_nonzero"])
                     ))(quantization_stats_i16(qs)),
+                    "mains_hum": (lambda hm: (
+                        hm["hum_frac"] is not None
+                        and hm["hum_frac"] >= HUM_MIN_FRAC
+                        and hm["hum_contrast"] >= HUM_MIN_CONTRAST
+                    ))(hum_stats(qs, sr)),
                 }
                 for name, hit in flags.items():
                     if hit:

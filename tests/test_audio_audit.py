@@ -41,6 +41,31 @@ class TestAudioAudit:
                 assert f["max_const_run"] == drop.loc[cid, "max_const_run"]
                 assert f["dc_sum"] == drop.loc[cid, "dc_sum"]
 
+    def test_hum_matches_a_la_carte_and_flags_seeded(self, spark):
+        """The fused hum scan is bit-identical to operators.audio_hum and
+        the mains_hum issue row catches the seeded 50/60 Hz corpus."""
+        from data_quality_spark.operators.audio_audit import (
+            audio_audit,
+            audit_issues,
+        )
+        from data_quality_spark.operators.audio_hum import hum_flags
+        from data_quality_spark.synth import make_audio_hum_corpus
+
+        pdf = make_audio_hum_corpus(120, seed=7)
+        df = spark.createDataFrame(
+            pdf[[f.name for f in CLIPS_SCHEMA.fields]], CLIPS_SCHEMA)
+        fused = audio_audit(df).toPandas().set_index("clip_id")
+        alac = hum_flags(df).toPandas().set_index("clip_id")
+        for cid in fused.index:
+            for c in ("hum_frac", "hum_contrast", "hum_hz"):
+                a, b = fused.loc[cid, c], alac.loc[cid, c]
+                assert (a == b) or (np.isnan(a) and np.isnan(b)), (cid, c)
+        got = {r["issue_type"]: r for r in
+               audit_issues(audio_audit(df)).collect()}
+        n_flagged = int(alac["is_hum"].sum())
+        assert got["mains_hum"]["count"] == n_flagged > 0
+        assert got["mains_hum"]["severity"] == "warning"
+
     def test_single_decode_per_row(self, spark):
         from data_quality_spark.operators.audio_audit import (
             audio_audit,
