@@ -2262,6 +2262,37 @@ def q_audio_hum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+def q_audio_reverb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blind reverberation detection: least-squares energy-decay rate at
+    speech offsets on the shared VAD frame grid; a population (>= 2) of
+    decays in the plausible room band (RT60 0.35-4 s) flags the clip.
+    Seeded corpus: burst trains convolved with exponential-envelope noise
+    RIRs at RT60 0.5/0.8/1.1 s plus DRY matched-pair twins.  Twin: shared
+    frame-energy reduction, INDEPENDENT segment walk + fsum least squares
+    + explicit decision law."""
+    from data_quality_spark.operators.audio_reverb import reverb_flags
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_reverb_corpus
+
+    ensure_expected("audio_reverb", sf_dir)
+    key = ("reverb", 300, 42)
+    if key not in _CLIPS_CACHE:
+        _CLIPS_CACHE[key] = make_audio_reverb_corpus(300, seed=42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(
+        _CLIPS_CACHE[key][cols], CLIPS_SCHEMA
+    ).repartition(8, "clip_id")
+    return reverb_flags(clips).select(
+        "clip_id",
+        "n_frames",
+        "n_offsets",
+        "n_decays",
+        F.round("decay_db_s", 2).alias("decay_r"),
+        F.round("rt60_est", 3).alias("rt60_r"),
+        "is_reverberant",
+    ).orderBy("clip_id")
+
+
 def q_audio_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite 0-100 per-clip quality score: the gate-v2 defect ladder
     folded into an exact-integer deduction law (critical 25 / warning 10,
@@ -2420,6 +2451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_gate_v2": q_clips_gate_v2,
         "audio_quality_score": q_audio_quality_score,
         "audio_hum": q_audio_hum,
+        "audio_reverb": q_audio_reverb,
         "clips_decontaminate": q_clips_decontaminate,
         "image_features": q_image_features,
         "image_near_dup": q_image_near_dup,
@@ -4140,6 +4172,7 @@ ORDER BY d.doc_id""",
         "clips_gate_v2": _expected_sql("clips_gate_v2"),
         "audio_quality_score": _expected_sql("audio_quality_score"),
         "audio_hum": _expected_sql("audio_hum"),
+        "audio_reverb": _expected_sql("audio_reverb"),
         "clips_decontaminate": _expected_sql("clips_decontaminate"),
         "dsir_weights": _expected_sql("dsir_weights"),
         "lsh_tuning": _expected_sql("lsh_tuning"),

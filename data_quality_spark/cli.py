@@ -151,7 +151,7 @@ def build_parser() -> argparse.ArgumentParser:
     au.add_argument(
         "--kind",
         choices=["text", "audio", "loops", "labels", "boilerplate",
-                 "quantization", "pii"],
+                 "quantization", "pii", "reverb"],
         default="text",
     )
     au.add_argument("--min-words", type=int, default=15)
@@ -530,6 +530,13 @@ def main(argv: list[str] | None = None) -> int:
                 from .operators.audio_loop import loop_issues, loop_scan
 
                 issues_df = loop_issues(loop_scan(df), table=args.table)
+            elif args.kind == "reverb":
+                from .operators.audio_reverb import (
+                    reverb_flags,
+                    reverb_issues,
+                )
+
+                issues_df = reverb_issues(reverb_flags(df), table=args.table)
             elif args.kind == "boilerplate":
                 from pyspark.sql import functions as F2
 

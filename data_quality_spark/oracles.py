@@ -1038,6 +1038,118 @@ def _audio_hum_expected(n=300, seed=42) -> dict:
     return out
 
 
+def _audio_reverb_expected(n=300, seed=42) -> dict:
+    """Twin of ``operators.audio_reverb.reverb_flags`` + the query's
+    rounding: the frame-energy reduction is the ONE shared kernel
+    (``vad.frame_energies_db`` — bit-identical float64, so every
+    comparison against SILENCE_DB / QUANT_FLOOR / step laws lands on the
+    same values), while the offset scan, backward/forward segment walk,
+    least squares (math.fsum + exact integer index sums vs the kernel's
+    numpy dot), median, decision law, and rounding are replayed
+    INDEPENDENTLY; roundings guarded off half-step boundaries and the
+    raw rt60 guarded off the flag thresholds at generation time."""
+    import math as _m
+
+    from .functions.audio import SILENCE_DB, _decode_i16
+    from .functions.reverb import (
+        BACK_STEP_DB,
+        MAX_SEG,
+        MIN_DECAYS,
+        MIN_DROP_DB,
+        MIN_POINTS,
+        QUANT_FLOOR_DB,
+        REJOIN_DB,
+        RT60_FLAG_MAX,
+        RT60_FLAG_MIN,
+    )
+    from .functions.vad import frame_energies_db
+    from .synth import make_audio_reverb_corpus
+
+    pdf = make_audio_reverb_corpus(n, seed=seed)
+    out = {
+        "clip_id": [], "n_frames": [], "n_offsets": [], "n_decays": [],
+        "decay_r": [], "rt60_r": [], "is_reverberant": [],
+    }
+    raw_decay: list[float] = []
+    raw_rt60: list[float] = []
+    for _, r in pdf.sort_values("clip_id").iterrows():
+        try:
+            q = _decode_i16(r["bytes"], r["codec"], r["sr_hz"])
+        except (ValueError, TypeError):
+            q = np.zeros(0, dtype=np.int16)
+        x = q.astype(np.float32) / np.float32(32767.0)
+        sr = r["sr_hz"] or 0
+        if sr > 0:
+            db_a, frame = frame_energies_db(
+                np.asarray(x, dtype=np.float64), sr)
+            db = [float(v) for v in db_a]
+        else:
+            db, frame = [], 1
+        nf = len(db)
+        n_offsets = 0
+        slopes: list[float] = []
+        if nf >= MIN_POINTS + 1:
+            fps = float(sr) / float(frame)
+            last_end = -1
+            for e in range(nf - 1):
+                if not (db[e] >= SILENCE_DB and db[e + 1] < SILENCE_DB):
+                    continue
+                n_offsets += 1
+                if e <= last_end:
+                    continue
+                b = e
+                while (b > 0 and e - b < MAX_SEG
+                       and db[b - 1] >= db[b] + BACK_STEP_DB):
+                    b -= 1
+                j = e + 1
+                run_min = db[j]
+                while (j + 1 < nf and j - e < MAX_SEG
+                       and db[j + 1] > QUANT_FLOOR_DB
+                       and db[j + 1] <= run_min + REJOIN_DB):
+                    j += 1
+                    if db[j] < run_min:
+                        run_min = db[j]
+                seg = db[b: j + 1]
+                last_end = j
+                m = len(seg)
+                if m >= MIN_POINTS and seg[0] - min(seg) >= MIN_DROP_DB:
+                    sx = m * (m - 1) // 2
+                    sxx = (m - 1) * m * (2 * m - 1) // 6
+                    sy = _m.fsum(seg)
+                    sxy = _m.fsum(i * v for i, v in enumerate(seg))
+                    s = (m * sxy - sx * sy) / float(m * sxx - sx * sx)
+                    s *= fps
+                    if s < 0.0:
+                        slopes.append(s)
+        slopes.sort()
+        k = len(slopes)
+        if k:
+            med = (slopes[k // 2] if k % 2
+                   else 0.5 * (slopes[k // 2 - 1] + slopes[k // 2]))
+            rt60 = -60.0 / med
+            raw_decay.append(med)
+            raw_rt60.append(rt60)
+        else:
+            med = rt60 = None
+        flag = bool(k >= MIN_DECAYS and rt60 is not None
+                    and RT60_FLAG_MIN <= rt60 <= RT60_FLAG_MAX)
+        out["clip_id"].append(r["clip_id"])
+        out["n_frames"].append(nf)
+        out["n_offsets"].append(n_offsets)
+        out["n_decays"].append(k)
+        out["decay_r"].append(spark_round(med, 2))
+        out["rt60_r"].append(spark_round(rt60, 3))
+        out["is_reverberant"].append(flag)
+    _assert_off_rounding_boundary(raw_decay, 2)
+    _assert_off_rounding_boundary(raw_rt60, 3)
+    for v in raw_rt60:
+        assert abs(v - RT60_FLAG_MIN) > 1e-6 and abs(v - RT60_FLAG_MAX) > 1e-6, (
+            "raw rt60 sits on a flag threshold; the flag would depend on "
+            "last-ulp arithmetic — regenerate the corpus with another seed"
+        )
+    return out
+
+
 def _dsir_weights_expected(sf_dir: str, num_buckets=1024, k=100) -> dict:
     """Twin of ``operators.dsir``: from-spec XXH64 bucket assignment,
     Laplace-smoothed log-ratio weights via math.log, the shared
@@ -3612,6 +3724,12 @@ _SCHEMAS: dict[str, pa.Schema] = {
          ("frac_r", pa.float64()), ("contrast_r", pa.float64()),
          ("hum_hz", pa.float64()), ("is_hum", pa.bool_())]
     ),
+    "audio_reverb": pa.schema(
+        [("clip_id", pa.string()), ("n_frames", pa.int32()),
+         ("n_offsets", pa.int32()), ("n_decays", pa.int32()),
+         ("decay_r", pa.float64()), ("rt60_r", pa.float64()),
+         ("is_reverberant", pa.bool_())]
+    ),
     "lsh_tuning": pa.schema(
         [("bands", pa.int32()), ("n_candidates", pa.int64()),
          ("n_injected", pa.int64()), ("rec_m3", pa.int64()),
@@ -3816,6 +3934,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _lsh_tuning_expected(sf_dir)
     elif name == "audio_hum":
         data = _audio_hum_expected()
+    elif name == "audio_reverb":
+        data = _audio_reverb_expected()
     elif name == "clips_decontaminate":
         data = _clip_decontaminate_expected()
     elif name == "semantic_prune":

@@ -407,6 +407,90 @@ def make_audio_hum_corpus(
     return pd.DataFrame(rows, columns=base.columns)
 
 
+def _burst_train(
+    rng: np.random.Generator, sr: int, dur_s: float
+) -> np.ndarray:
+    """Tone bursts separated by silent gaps — the signal shape whose
+    offsets expose free decay (continuous tones have no offsets)."""
+    n = int(sr * dur_s)
+    sig = np.zeros(n, dtype=np.float64)
+    pos = int(rng.integers(0, int(0.1 * sr)))
+    while pos < n - int(0.2 * sr):
+        blen = int(rng.uniform(0.15, 0.40) * sr)
+        f = float(rng.uniform(150, min(2500, sr / 2 - 200)))
+        t = np.arange(min(blen, n - pos), dtype=np.float64) / sr
+        burst = 0.4 * np.sin(2 * np.pi * f * t)
+        burst += 0.15 * np.sin(2 * np.pi * 2.3 * f * t + 1.1)
+        # 10 ms raised-cosine edges so the dry offset is clean, not a click
+        e = min(int(0.01 * sr), burst.size // 2)
+        if e > 0:
+            ramp = 0.5 - 0.5 * np.cos(np.pi * np.arange(e) / e)
+            burst[:e] *= ramp
+            burst[-e:] *= ramp[::-1]
+        sig[pos: pos + burst.size] += burst
+        # gaps long enough that even a 1.1 s RT60 tail crosses the -40 dB
+        # activity threshold before the next onset (30 dB fall ~ 0.55 s)
+        pos += burst.size + int(rng.uniform(0.55, 0.95) * sr)
+    return sig
+
+
+def make_audio_reverb_corpus(
+    n: int = 300,
+    seed: int = 42,
+    reverb_every: int = 6,
+    rt60_choices: tuple[float, ...] = (0.5, 0.8, 1.1),
+) -> pd.DataFrame:
+    """Corpus for blind-reverb detection: every ``reverb_every``-th clip
+    is replaced by a burst train convolved with a deterministic
+    exponential-decay room impulse response (defect ``reverb_<ms>``,
+    RT60 cycling through ``rt60_choices``), and its DRY twin — the same
+    generator at the same sr, no room — is appended as ``<id>_dry``
+    (defect ``dry_bursts``): the structural negative control that
+    separates "slow decay" from "has gaps".  Everything else is the
+    untouched ``generate_clips`` corpus (continuous tones: no offsets,
+    no decays, never evaluable)."""
+    base = generate_clips(n, seed=seed)
+    rng = np.random.default_rng(seed + 17)
+    rows = []
+    outs: list[dict] = []
+    emitted = 0
+    for i in range(len(base)):
+        row = base.iloc[i].to_dict()
+        sr = int(row["sr_hz"]) or 0
+        if sr > 0 and (i + 1) % reverb_every == 0:
+            dur_s = max(row["dur_ms"] / 1000.0, 3.0)
+            dry = _burst_train(rng, sr, dur_s)
+            rt60 = rt60_choices[emitted % len(rt60_choices)]
+            emitted += 1
+            # exponential-envelope noise RIR: 60 dB down at rt60
+            m = int(rt60 * sr)
+            k = np.arange(m, dtype=np.float64)
+            h = (np.exp(-np.log(1000.0) * k / m)
+                 * rng.standard_normal(m))
+            h[0] = 1.0  # direct path dominates
+            h /= np.sqrt(np.sum(h * h))
+            size = 1 << int(np.ceil(np.log2(dry.size + m)))
+            wet = np.fft.irfft(
+                np.fft.rfft(dry, size) * np.fft.rfft(h, size), size
+            )[: dry.size + m]
+            peak = float(np.max(np.abs(wet))) or 1.0
+            wet = wet / peak * 0.5
+            row["bytes"] = A.encode_pcm16(wet)
+            row["codec"] = "pcm16"
+            row["dur_ms"] = int(round(wet.size / sr * 1000))
+            row["defect"] = f"reverb_{int(rt60 * 1000)}"
+            xd = dry * 0.5 / (float(np.max(np.abs(dry))) or 1.0)
+            outs.append({
+                **row,
+                "clip_id": f"{row['clip_id']}_dry",
+                "bytes": A.encode_pcm16(xd),
+                "dur_ms": int(round(xd.size / sr * 1000)),
+                "defect": "dry_bursts",
+            })
+        rows.append(row)
+    return pd.DataFrame(rows + outs, columns=base.columns)
+
+
 def make_audio_excerpt_corpus(
     n: int = 400,
     seed: int = 42,

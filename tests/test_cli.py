@@ -464,6 +464,39 @@ def test_cli_audit_pii(spark, tmp_path, capsys, monkeypatch):
     capsys.readouterr()
 
 
+def test_cli_audit_reverb(spark, tmp_path, capsys, monkeypatch):
+    """audit --kind reverb: seeded RIR corpus flags wet clips (warning →
+    exit 0 under default fail_on=critical)."""
+    import data_quality_spark.cli as cli
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_reverb_corpus
+
+    monkeypatch.setattr("pyspark.sql.SparkSession.stop", lambda self: None)
+    tables = tmp_path / "tables"
+    tables.mkdir()
+    pdf = make_audio_reverb_corpus(120, seed=42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    spark.createDataFrame(pdf[cols], CLIPS_SCHEMA).coalesce(2).write.parquet(
+        str(tables / "rclips.parquet")
+    )
+    code = cli.main(
+        ["audit", "--tables", str(tables), "--table", "rclips",
+         "--kind", "reverb", "--format", "json"]
+    )
+    rows = {r["issue_type"]: r for r in json.loads(capsys.readouterr().out)}
+    assert code == 0  # reverberant is warning, default fail_on=critical
+    r = rows["reverberant"]
+    n_wet = int(pdf["defect"].str.startswith("reverb_").sum())
+    assert 0 < r["count"] <= n_wet
+    assert r["severity"] == "warning"
+    assert r["total"] == len(pdf)
+    assert cli.main(
+        ["audit", "--tables", str(tables), "--table", "rclips",
+         "--kind", "reverb", "--fail-on", "warning"]
+    ) == 1
+    capsys.readouterr()
+
+
 def test_cli_audit_quantization(spark, tmp_path, capsys, monkeypatch):
     import data_quality_spark.cli as cli
     from data_quality_spark.plans.schemas import CLIPS_SCHEMA
