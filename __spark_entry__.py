@@ -2293,6 +2293,32 @@ def q_audio_reverb(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+def q_audio_speed_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Speed/tempo-perturbed duplicate detection: log-frequency profile
+    peak-spacing buckets (shift-invariant) → duration-implied-shift
+    verification (peak-partner law + profile correlation) → exact
+    confirm by rational resample + constellation landmark vote.  Twin:
+    shared kernels, independent bucketing/laws/fsum correlation/vote."""
+    from data_quality_spark.operators.audio_speed import (
+        clip_profiles,
+        speed_dup_confirm,
+        speed_dup_pairs,
+    )
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_speed_corpus
+
+    ensure_expected("audio_speed_dup", sf_dir)
+    key = ("speed", 300, 42)
+    if key not in _CLIPS_CACHE:
+        _CLIPS_CACHE[key] = make_audio_speed_corpus(300, seed=42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(
+        _CLIPS_CACHE[key][cols], CLIPS_SCHEMA
+    ).repartition(8, "clip_id")
+    pairs = speed_dup_pairs(clip_profiles(clips))
+    return speed_dup_confirm(clips, pairs).orderBy("id_a", "id_b")
+
+
 def q_audio_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite 0-100 per-clip quality score: the gate-v2 defect ladder
     folded into an exact-integer deduction law (critical 25 / warning 10,
@@ -2452,6 +2478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_quality_score": q_audio_quality_score,
         "audio_hum": q_audio_hum,
         "audio_reverb": q_audio_reverb,
+        "audio_speed_dup": q_audio_speed_dup,
         "clips_decontaminate": q_clips_decontaminate,
         "image_features": q_image_features,
         "image_near_dup": q_image_near_dup,
@@ -4173,6 +4200,7 @@ ORDER BY d.doc_id""",
         "audio_quality_score": _expected_sql("audio_quality_score"),
         "audio_hum": _expected_sql("audio_hum"),
         "audio_reverb": _expected_sql("audio_reverb"),
+        "audio_speed_dup": _expected_sql("audio_speed_dup"),
         "clips_decontaminate": _expected_sql("clips_decontaminate"),
         "dsir_weights": _expected_sql("dsir_weights"),
         "lsh_tuning": _expected_sql("lsh_tuning"),

@@ -416,3 +416,86 @@ def constellation_landmarks(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         np.asarray(hashes, dtype=np.int32),
         np.asarray(times, dtype=np.int32),
     )
+
+
+# Speed-invariant duplicate primitives: a resampled re-upload (0.9x/1.1x
+# "nightcore"/"slowed" variants) scales every content frequency by s and
+# the duration by 1/s — the Philips bit stream AND the landmark hashes
+# both break (absolute bins).  On a LOG-frequency axis the scale becomes
+# a pure SHIFT of B*log2(s) cells, so the time-aggregated log-frequency
+# power profile of the duplicate is the original's profile translated —
+# and the translation is PREDICTED by the duration ratio, which makes
+# verification a correlation at ONE implied shift (no free search, no
+# best-shift false positives).  Candidate bucketing keys on the spacings
+# between the profile's top peaks (differences of log-frequencies: exactly
+# shift-invariant).
+SPEED_B = 48           # profile cells per octave
+SPEED_F_LO = 100.0     # profile band (Hz); 3800 stays under the 8 kHz Nyquist
+SPEED_F_HI = 3800.0
+SPEED_NC = int(np.ceil(SPEED_B * np.log2(SPEED_F_HI / SPEED_F_LO)))
+SPEED_FRAME = 1024
+SPEED_HOP = 512
+SPEED_PEAK_SEP = 8     # min cell separation between profile peaks (1/6 oct)
+SPEED_KEY_Q = 4        # peak-spacing quantizer (cells) for bucketing
+SPEED_MAX_LOG2 = 0.55  # plausible speed band: |log2 s| <= ~1.46x
+SPEED_CORR_MIN = 0.93  # profile correlation at the implied shift
+
+_SPEED_SMOOTH = np.array([0.25, 0.5, 1.0, 0.5, 0.25])
+
+
+def logf_profile(x: np.ndarray, sr_hz: int) -> np.ndarray | None:
+    """L1-normalized log-frequency power profile (float64[SPEED_NC]), or
+    ``None`` when the clip is shorter than one analysis frame / sr is
+    invalid.  Linear power (NOT log-compressed: the shared broadband
+    noise floor must not dominate the correlation), lightly smoothed so a
+    fractional-cell shift still correlates at the nearest integer."""
+    if sr_hz is None or sr_hz <= 0 or len(x) < SPEED_FRAME:
+        return None
+    xf = np.ascontiguousarray(x, dtype=np.float64)
+    frames = (
+        np.lib.stride_tricks.sliding_window_view(xf, SPEED_FRAME)[::SPEED_HOP]
+        * _HANN_CACHE.setdefault(SPEED_FRAME, _hann(SPEED_FRAME))
+    )
+    spec = np.fft.rfft(frames, axis=1)
+    p = ((spec.real * spec.real) + (spec.imag * spec.imag)).sum(axis=0)
+    freqs = np.arange(p.size, dtype=np.float64) * sr_hz / SPEED_FRAME
+    cell = np.floor(
+        SPEED_B * np.log2(np.maximum(freqs, 1e-9) / SPEED_F_LO)
+    ).astype(np.int64)
+    ok = (cell >= 0) & (cell < SPEED_NC)
+    prof = np.zeros(SPEED_NC, dtype=np.float64)
+    np.add.at(prof, cell[ok], p[ok])
+    prof = np.convolve(prof, _SPEED_SMOOTH, mode="same")
+    s = float(prof.sum())
+    return prof / s if s > 0.0 else prof
+
+
+def profile_peaks(prof: np.ndarray, k: int = 3) -> list[int]:
+    """Top-``k`` profile peak cells with a ±SPEED_PEAK_SEP suppression
+    zone, by descending mass (argmax ties resolve to the lowest cell);
+    cells below 1% of the profile mass don't count as peaks."""
+    row = prof.copy()
+    out: list[int] = []
+    for _ in range(k):
+        c = int(np.argmax(row))
+        if row[c] <= 0.01:
+            break
+        out.append(c)
+        row[max(0, c - SPEED_PEAK_SEP): c + SPEED_PEAK_SEP + 1] = 0.0
+    return out
+
+
+def corr_at_shift(a: np.ndarray, b: np.ndarray, shift: int) -> float:
+    """Pearson correlation of ``a`` against ``b`` translated by ``shift``
+    cells (the duration-implied alignment); -2.0 when degenerate."""
+    n = a.size
+    if shift >= 0:
+        x, y = a[shift:], b[: n - shift]
+    else:
+        x, y = a[: n + shift], b[-shift:]
+    if x.size < 8:
+        return -2.0
+    x = x - x.mean()
+    y = y - y.mean()
+    d = float(np.sqrt(float((x * x).sum()) * float((y * y).sum())))
+    return float((x * y).sum()) / d if d > 0.0 else -2.0

@@ -1150,6 +1150,150 @@ def _audio_reverb_expected(n=300, seed=42) -> dict:
     return out
 
 
+def _audio_speed_dup_expected(n=300, seed=42, max_bucket_size=64) -> dict:
+    """Twin of the speed-dup chain (clip_profiles → speed_dup_pairs →
+    speed_dup_confirm): the profile/peak/landmark/resample kernels are
+    SHARED (deterministic float pipelines on identical inputs), while
+    the bucketing (exact-vs-probe sides, HALF_UP key quantizer, bucket
+    guard, a<b dedup), the implied-shift law, the peak-partner law, the
+    correlation (math.fsum arithmetic vs the kernel's numpy dot), the
+    rational-speed approximation, and the landmark vote counter are
+    replayed INDEPENDENTLY; corr rounding guarded off 4dp boundaries."""
+    import math as _m
+    from collections import Counter
+    from fractions import Fraction
+
+    from .functions.audio import _decode_i16
+    from .functions.resample import resample_poly
+    from .functions.spectral import (
+        SPEED_B,
+        SPEED_CORR_MIN,
+        SPEED_KEY_Q,
+        SPEED_MAX_LOG2,
+        constellation_landmarks,
+        logf_profile,
+        profile_peaks,
+    )
+    from .operators.audio_speed import CONFIRM_MAX_DEN, CONFIRM_MIN_VOTES
+    from .synth import make_audio_speed_corpus
+
+    pdf = make_audio_speed_corpus(n, seed=seed)
+    clips: dict[str, tuple] = {}
+    for _, r in pdf.iterrows():
+        try:
+            q = _decode_i16(r["bytes"], r["codec"], r["sr_hz"])
+        except (ValueError, TypeError):
+            q = np.zeros(0, dtype=np.int16)
+        x = q.astype(np.float64) / 32768.0
+        prof = logf_profile(x, r["sr_hz"])
+        peaks = profile_peaks(prof) if prof is not None else []
+        clips[r["clip_id"]] = (prof, peaks, int(q.size), int(r["sr_hz"]),
+                               q, r["codec"])
+
+    def qkey(d: int) -> int:
+        return _m.floor(d / SPEED_KEY_Q + 0.5)  # Spark HALF_UP, d > 0
+
+    exact: dict[int, list[str]] = {}
+    probe: dict[int, set[str]] = {}
+    for cid, (prof, pk, ns, sr, q, codec) in clips.items():
+        if len(pk) < 2:
+            continue
+        c = sorted(pk)
+        sp = {c[j] - c[i] for i in range(len(c)) for j in range(i + 1, len(c))}
+        ks = {qkey(d) for d in sp}
+        for k in ks:
+            exact.setdefault(k, []).append(cid)
+        for k in ks:
+            for dd in (-1, 0, 1):
+                probe.setdefault(k + dd, set()).add(cid)
+    cands = set()
+    for k, ids in exact.items():
+        if len(ids) > max_bucket_size:
+            continue
+        for a in ids:
+            for b in probe.get(k, ()):
+                if a < b:
+                    cands.add((a, b))
+
+    def fsum_corr(a: list[float], b: list[float], shift: int) -> float:
+        nn = len(a)
+        if shift >= 0:
+            x, y = a[shift:], b[: nn - shift]
+        else:
+            x, y = a[: nn + shift], b[-shift:]
+        if len(x) < 8:
+            return -2.0
+        mx = _m.fsum(x) / len(x)
+        my = _m.fsum(y) / len(y)
+        sxx = _m.fsum((v - mx) ** 2 for v in x)
+        syy = _m.fsum((v - my) ** 2 for v in y)
+        sxy = _m.fsum((u - mx) * (v - my) for u, v in zip(x, y))
+        d = _m.sqrt(sxx * syy)
+        return sxy / d if d > 0.0 else -2.0
+
+    rows = []
+    raw_corr: list[float] = []
+    for a, b in sorted(cands):
+        prof_a, ka, na, sra, qa, _ = clips[a]
+        prof_b, kb, nb, srb, qb, _ = clips[b]
+        da, db = na / sra, nb / srb
+        if da <= 0 or db <= 0:
+            continue
+        r = _m.log2(db / da)
+        if abs(r) > SPEED_MAX_LOG2:
+            continue
+        sh = SPEED_B * r
+        ok_a = all(any(abs(p1 - sh - p2) <= 2.5 for p2 in kb)
+                   for p1 in ka[:2])
+        ok_b = all(any(abs(p2 + sh - p1) <= 2.5 for p1 in ka)
+                   for p2 in kb[:2])
+        if not (ok_a and ok_b):
+            continue
+        la = [float(v) for v in prof_a]
+        lb = [float(v) for v in prof_b]
+        lo, hi = _m.floor(sh), _m.ceil(sh)
+        best = max(fsum_corr(la, lb, s) for s in {lo - 1, lo, hi, hi + 1})
+        if best < SPEED_CORR_MIN:
+            continue
+        raw_corr.append(best)
+        # confirm: rational resample + independent landmark vote
+        votes = 0
+        if qa.size and qb.size:
+            frac = Fraction(int(qa.size), int(qb.size)).limit_denominator(
+                CONFIRM_MAX_DEN)
+            xb = resample_poly(qb / 32768.0, frac.denominator, frac.numerator)
+            ha, ta = constellation_landmarks(qa / 32768.0)
+            hb, tb = constellation_landmarks(xb)
+            if ha.size and hb.size:
+                cnt: Counter = Counter()
+                bset: dict[int, list[int]] = {}
+                for h, t in zip(hb.tolist(), tb.tolist()):
+                    bset.setdefault(h, []).append(t)
+                for h, t in zip(ha.tolist(), ta.tolist()):
+                    for t2 in bset.get(h, ()):
+                        cnt[t - t2] += 1
+                if cnt:
+                    votes = max(
+                        cnt[o] + max(cnt.get(o - 1, 0), cnt.get(o + 1, 0))
+                        for o in cnt)
+        rows.append((a, b, round(sh, 2), round(best, 4),
+                     round(2.0 ** (-r), 4), votes,
+                     bool(votes >= CONFIRM_MIN_VOTES)))
+    _assert_off_rounding_boundary(raw_corr, 4)
+    out: dict[str, list] = {k: [] for k in
+                            ("id_a", "id_b", "shift_r", "corr_r",
+                             "speed_est", "votes", "confirmed")}
+    for a, b, sh, co, sp, v, cf in rows:
+        out["id_a"].append(a)
+        out["id_b"].append(b)
+        out["shift_r"].append(sh)
+        out["corr_r"].append(co)
+        out["speed_est"].append(sp)
+        out["votes"].append(v)
+        out["confirmed"].append(cf)
+    return out
+
+
 def _dsir_weights_expected(sf_dir: str, num_buckets=1024, k=100) -> dict:
     """Twin of ``operators.dsir``: from-spec XXH64 bucket assignment,
     Laplace-smoothed log-ratio weights via math.log, the shared
@@ -3724,6 +3868,12 @@ _SCHEMAS: dict[str, pa.Schema] = {
          ("frac_r", pa.float64()), ("contrast_r", pa.float64()),
          ("hum_hz", pa.float64()), ("is_hum", pa.bool_())]
     ),
+    "audio_speed_dup": pa.schema(
+        [("id_a", pa.string()), ("id_b", pa.string()),
+         ("shift_r", pa.float64()), ("corr_r", pa.float64()),
+         ("speed_est", pa.float64()), ("votes", pa.int32()),
+         ("confirmed", pa.bool_())]
+    ),
     "audio_reverb": pa.schema(
         [("clip_id", pa.string()), ("n_frames", pa.int32()),
          ("n_offsets", pa.int32()), ("n_decays", pa.int32()),
@@ -3936,6 +4086,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_hum_expected()
     elif name == "audio_reverb":
         data = _audio_reverb_expected()
+    elif name == "audio_speed_dup":
+        data = _audio_speed_dup_expected()
     elif name == "clips_decontaminate":
         data = _clip_decontaminate_expected()
     elif name == "semantic_prune":

@@ -21,6 +21,7 @@ import pandas as pd
 
 from .functions import audio as A
 from .functions import text as X
+from .functions.resample import resample_poly
 from .functions.text import JUNK_TOKENS, LEXICONS
 
 __all__ = [
@@ -489,6 +490,49 @@ def make_audio_reverb_corpus(
             })
         rows.append(row)
     return pd.DataFrame(rows + outs, columns=base.columns)
+
+
+def make_audio_speed_corpus(
+    n: int = 300,
+    seed: int = 42,
+    speed_every: int = 4,
+    factors: tuple[tuple[int, int], ...] = ((9, 10), (11, 10), (5, 4)),
+) -> pd.DataFrame:
+    """Base corpus + speed-perturbed duplicates: every ``speed_every``-th
+    decodable clip long enough for profile analysis is re-emitted as
+    ``<id>_sp`` — the SAME content polyphase-resampled by L/M (so its
+    frequencies scale by M/L and its duration by L/M) and re-encoded
+    pcm16 at the original declared rate (defect ``speed_<L>_<M>``).
+    The "slowed + reverb"-upload class every scraped audio corpus
+    contains, minus the reverb."""
+    base = generate_clips(n, seed=seed)
+    outs: list[dict] = []
+    k = 0
+    for i in range(len(base)):
+        row = base.iloc[i]
+        sr = int(row["sr_hz"]) or 0
+        if sr <= 0 or (i + 1) % speed_every:
+            continue
+        try:
+            q = A._decode_i16(row["bytes"], row["codec"], row["sr_hz"])
+        except (ValueError, TypeError):
+            continue
+        if len(q) < 4096:
+            continue
+        L, M = factors[k % len(factors)]
+        k += 1
+        y = resample_poly(q / 32768.0, sr * M, sr * L)
+        outs.append(
+            {
+                **row.to_dict(),
+                "clip_id": f"{row['clip_id']}_sp",
+                "bytes": A.encode_pcm16(np.clip(y, -1.0, 0.999969)),
+                "codec": "pcm16",
+                "dur_ms": int(round(len(y) / sr * 1000)),
+                "defect": f"speed_{L}_{M}",
+            }
+        )
+    return pd.concat([base, pd.DataFrame(outs)], ignore_index=True)
 
 
 def make_audio_excerpt_corpus(
