@@ -10,12 +10,14 @@ run every kernel on the shared buffers, emit one wide scalar row.
 ``audit_issues`` then folds the wide relation into the reference's
 issue schema (table, column, issue_type, count, total, percent,
 severity, description — ``/root/reference/src/data_quality/
-null_scan.py``'s report shape) with ONE fused aggregate: 11 flag counts
+null_scan.py``'s report shape) with ONE fused aggregate: 12 flag counts
 + the total in a single partial/final pair, stack to rows after.
 The mains-hum comb scan is fused in too (its long-frame FFT adds
 ~208 µs/clip against ~1.7 ms of existing audit kernels, measured —
-BENCH.md "hum fusion"); ``operators.audio_hum`` stays the à-la-carte
-scan with grid attribution and per-clip dB.
+BENCH.md "hum fusion"), as is the blind-reverb decay scan (frame
+energies + a Python segment walk, negligible next to the FFT work);
+``operators.audio_hum`` / ``operators.audio_reverb`` stay the
+à-la-carte scans with the full per-clip metrics.
 
 Because every kernel here is the same function the à-la-carte
 operators run (each hash-verified by its own differential oracle), the
@@ -31,6 +33,11 @@ from pyspark.sql import types as T
 
 from .audio_dropout import DC_DEN, DC_NUM, STUCK_MIN_DEFAULT
 from ..functions.quantization import MIN_NONZERO_DEFAULT, UPCONVERT_TZ_BITS
+from ..functions.reverb import (
+    MIN_DECAYS as REVERB_MIN_DECAYS,
+    RT60_FLAG_MAX,
+    RT60_FLAG_MIN,
+)
 from ..functions.spectral import HUM_MIN_CONTRAST, HUM_MIN_FRAC
 from ..synth import GateThresholds as TH
 
@@ -59,6 +66,8 @@ _FIELDS = [
     ("hum_frac", T.DoubleType()),
     ("hum_contrast", T.DoubleType()),
     ("hum_hz", T.DoubleType()),
+    ("n_decays", T.LongType()),
+    ("rt60_est", T.DoubleType()),
 ]
 
 
@@ -80,6 +89,7 @@ def audio_audit(df: DataFrame, counter=None) -> DataFrame:
         from ..functions.dropout import dropout_stats_i16
         from ..functions.loudness import clip_loudness
         from ..functions.quantization import quantization_stats_i16
+        from ..functions.reverb import decay_stats
         from ..functions.snr import speech_snr
         from ..functions.spectral import hum_stats
         from ..functions.vad import vad_stats
@@ -112,6 +122,9 @@ def audio_audit(df: DataFrame, counter=None) -> DataFrame:
                 # same int16 input as operators.audio_hum.clip_hum so the
                 # fused floats stay bit-identical to the a-la-carte scan
                 hm = hum_stats(q, sr)
+                # same float32-normalized input as audio_reverb.clip_decay
+                rv = decay_stats(q.astype(np.float32) / np.float32(32767.0),
+                                 sr)
                 oks.append(ok)
                 cols["n_samples"].append(int(q.size))
                 cols["rms_db"].append(st["rms_db"])
@@ -131,6 +144,8 @@ def audio_audit(df: DataFrame, counter=None) -> DataFrame:
                 cols["hum_frac"].append(hm["hum_frac"])
                 cols["hum_contrast"].append(hm["hum_contrast"])
                 cols["hum_hz"].append(hm["hum_hz"])
+                cols["n_decays"].append(int(rv["n_decays"]))
+                cols["rt60_est"].append(rv["rt60_est"])
             pa_types = {
                 "LongType": pa.int64(), "DoubleType": pa.float64(),
                 "IntegerType": pa.int32(),
@@ -191,6 +206,12 @@ AUDIT_RULES = {
         lambda: (F.col("hum_frac") >= F.lit(HUM_MIN_FRAC))
         & (F.col("hum_contrast") >= F.lit(HUM_MIN_CONTRAST)),
         "warning", "bytes", "mains hum (50/60 Hz comb) detected"),
+    # decision law shared with operators.audio_reverb.reverb_flags
+    "reverberant": (
+        lambda: (F.col("n_decays") >= F.lit(REVERB_MIN_DECAYS))
+        & (F.col("rt60_est") >= F.lit(RT60_FLAG_MIN))
+        & (F.col("rt60_est") <= F.lit(RT60_FLAG_MAX)),
+        "warning", "bytes", "room decay population (RT60 0.35-4 s)"),
     "upconverted": (
         lambda: F.col("ok")
         & F.col("codec").isin("pcm16", "wav")

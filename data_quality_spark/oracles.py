@@ -46,7 +46,7 @@ __all__ = ["ensure_expected", "expected_path", "spark_round"]
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EXPECTED_DIR = os.path.join(_REPO, "expected")
 # bump to invalidate every committed expected file after a generator change
-_VERSION = 11
+_VERSION = 12
 # generation guard: differential oracles only run at correctness scale
 _MAX_ORACLE_ROWS = 2500
 
@@ -2782,6 +2782,12 @@ def _audio_audit_issues_expected(n=300, seed=42) -> dict:
         UPCONVERT_TZ_BITS,
         quantization_stats_i16,
     )
+    from .functions.reverb import (
+        MIN_DECAYS as REVERB_MIN_DECAYS,
+        RT60_FLAG_MAX,
+        RT60_FLAG_MIN,
+        decay_stats,
+    )
     from .functions.snr import speech_snr
     from .functions.spectral import HUM_MIN_CONTRAST, HUM_MIN_FRAC, hum_stats
     from .functions.vad import vad_stats
@@ -2815,6 +2821,7 @@ def _audio_audit_issues_expected(n=300, seed=42) -> dict:
         lf = clip_loudness(x, sr)
         qt = quantization_stats_i16(q)
         hm = hum_stats(q, sr)
+        rv = decay_stats(q.astype(np.float32) / np.float32(32767.0), sr)
         del vd  # speech stats are carried by the wide relation, no flag
         flags = {
             "undecodable": not ok,
@@ -2836,6 +2843,9 @@ def _audio_audit_issues_expected(n=300, seed=42) -> dict:
             "mains_hum": hm["hum_frac"] is not None
             and hm["hum_frac"] >= HUM_MIN_FRAC
             and hm["hum_contrast"] >= HUM_MIN_CONTRAST,
+            "reverberant": rv["n_decays"] >= REVERB_MIN_DECAYS
+            and rv["rt60_est"] is not None
+            and RT60_FLAG_MIN <= rv["rt60_est"] <= RT60_FLAG_MAX,
         }
         for name, hit in flags.items():
             if hit:
@@ -3128,6 +3138,12 @@ def _utterance_audit_expected(n=300, seed=42, min_dur_ms=200) -> dict:
         UPCONVERT_TZ_BITS,
         quantization_stats_i16,
     )
+    from .functions.reverb import (
+        MIN_DECAYS as REVERB_MIN_DECAYS,
+        RT60_FLAG_MAX,
+        RT60_FLAG_MIN,
+        decay_stats,
+    )
     from .functions.snr import speech_snr
     from .functions.spectral import HUM_MIN_CONTRAST, HUM_MIN_FRAC, hum_stats
     from .functions.vad import HANG_FRAMES, MIN_SPEECH_FRAMES, frame_mean_squares
@@ -3205,6 +3221,12 @@ def _utterance_audit_expected(n=300, seed=42, min_dur_ms=200) -> dict:
                         and hm["hum_frac"] >= HUM_MIN_FRAC
                         and hm["hum_contrast"] >= HUM_MIN_CONTRAST
                     ))(hum_stats(qs, sr)),
+                    "reverberant": (lambda rv: (
+                        rv["n_decays"] >= REVERB_MIN_DECAYS
+                        and rv["rt60_est"] is not None
+                        and RT60_FLAG_MIN <= rv["rt60_est"] <= RT60_FLAG_MAX
+                    ))(decay_stats(
+                        qs.astype(np.float32) / np.float32(32767.0), sr)),
                 }
                 for name, hit in flags.items():
                     if hit:

@@ -66,6 +66,31 @@ class TestAudioAudit:
         assert got["mains_hum"]["count"] == n_flagged > 0
         assert got["mains_hum"]["severity"] == "warning"
 
+    def test_reverb_matches_a_la_carte_and_flags_seeded(self, spark):
+        """The fused decay scan is bit-identical to operators.audio_reverb
+        and the reverberant issue row catches the seeded RIR corpus."""
+        from data_quality_spark.operators.audio_audit import (
+            audio_audit,
+            audit_issues,
+        )
+        from data_quality_spark.operators.audio_reverb import reverb_flags
+        from data_quality_spark.synth import make_audio_reverb_corpus
+
+        pdf = make_audio_reverb_corpus(120, seed=11)
+        df = spark.createDataFrame(
+            pdf[[f.name for f in CLIPS_SCHEMA.fields]], CLIPS_SCHEMA)
+        fused = audio_audit(df).toPandas().set_index("clip_id")
+        alac = reverb_flags(df).toPandas().set_index("clip_id")
+        for cid in fused.index:
+            assert fused.loc[cid, "n_decays"] == alac.loc[cid, "n_decays"]
+            a, b = fused.loc[cid, "rt60_est"], alac.loc[cid, "rt60_est"]
+            assert (a == b) or (np.isnan(a) and np.isnan(b)), cid
+        got = {r["issue_type"]: r for r in
+               audit_issues(audio_audit(df)).collect()}
+        n_flagged = int(alac["is_reverberant"].sum())
+        assert got["reverberant"]["count"] == n_flagged > 0
+        assert got["reverberant"]["severity"] == "warning"
+
     def test_single_decode_per_row(self, spark):
         from data_quality_spark.operators.audio_audit import (
             audio_audit,
