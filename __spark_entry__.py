@@ -688,6 +688,38 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dq_docs.lang_confusion(docs.withColumn("lang", relabel))
 
 
+def q_code_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document code-switch detection: 20-token windows scored by
+    the shared langid kernel, exact integer flag law (runner-up language
+    covers >= 1/4 of confident windows).  Every 6th doc gets en+es
+    40-token blocks appended, every 10th de+ru — guaranteed-confident
+    bilingual structure on top of whatever the base text is (the sf0.01
+    word-salad scores below CONF_MIN and stays out of the vote:
+    115/117 injected flagged, 0/383 base).  Twin: shared window split +
+    langid kernel, independent fold/decision replay, generation guard
+    proving every window's language call is batch-composition-stable."""
+    from data_quality_spark.operators.code_switch import (
+        code_switch_scan,
+        snippet as _sn,
+    )
+
+    ensure_expected("code_switch", sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(F.col("doc_id") % 6 == 0,
+                   F.lit(" " + _sn("en") + " " + _sn("es")))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 10 == 0,
+                   F.lit(" " + _sn("de") + " " + _sn("ru")))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return code_switch_scan(injected).orderBy("doc_id")
+
+
 def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash banding parameter sweep as DATA (the text analog of
     ann_recall / image_hash_recall): companions with every m-th token
@@ -2416,6 +2448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "lsh_tuning": q_lsh_tuning,
         "lang_confusion": q_lang_confusion,
+        "code_switch": q_code_switch,
         "mixture_sample": q_mixture_sample,
         "corpus_clean": q_corpus_clean,
         "boilerplate_stats": q_boilerplate_stats,
@@ -4201,6 +4234,7 @@ ORDER BY d.doc_id""",
         "audio_hum": _expected_sql("audio_hum"),
         "audio_reverb": _expected_sql("audio_reverb"),
         "audio_speed_dup": _expected_sql("audio_speed_dup"),
+        "code_switch": _expected_sql("code_switch"),
         "clips_decontaminate": _expected_sql("clips_decontaminate"),
         "dsir_weights": _expected_sql("dsir_weights"),
         "lsh_tuning": _expected_sql("lsh_tuning"),

@@ -1150,6 +1150,85 @@ def _audio_reverb_expected(n=300, seed=42) -> dict:
     return out
 
 
+def _code_switch_expected(sf_dir: str) -> dict:
+    """Twin of ``operators.code_switch.code_switch_scan`` over the
+    injected documents: the window split and the langid kernel are
+    SHARED; the per-doc fold (Counter, dominant/minority, switch count,
+    the integer flag law) is replayed independently.  Generation guard:
+    every window re-scored ALONE must agree with the whole-corpus batch
+    score (same language, conf within 1e-9) and sit > 1e-9 from the
+    CONF_MIN threshold — so Spark's arbitrary Arrow batching cannot
+    flip any decision (the reduceat ~1e-14 law in functions/text.py)."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from .functions.text import LANGID
+    from .operators.code_switch import (
+        CONF_MIN,
+        doc_windows,
+        snippet,
+    )
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    sn_a = " " + snippet("en") + " " + snippet("es")
+    sn_b = " " + snippet("de") + " " + snippet("ru")
+    docs = []
+    for did, text in zip(t.column("doc_id").to_pylist(),
+                         t.column("text").to_pylist()):
+        tx = text or ""
+        if did % 6 == 0:
+            tx += sn_a
+        if did % 10 == 0:
+            tx += sn_b
+        docs.append((did, tx))
+    docs.sort(key=lambda r: r[0])
+    wins = [doc_windows(tx) for _, tx in docs]
+    flat = [w for ws in wins for w in ws]
+    langs, confs = LANGID.score_batch(flat)
+    for i, w in enumerate(flat):
+        lg1, cf1 = LANGID.score_one(w)
+        assert lg1 == langs[i] and abs(cf1 - confs[i]) < 1e-9, (
+            "window language call depends on batch composition; "
+            "regenerate with a different seed/snippet")
+        assert abs(confs[i] - CONF_MIN) > 1e-9, (
+            "window conf sits on the decision threshold")
+    out: dict[str, list] = {k: [] for k in
+                            ("doc_id", "n_windows", "n_confident",
+                             "dominant_lang", "n_langs", "minority_cnt",
+                             "n_switches", "code_switched")}
+    pos = 0
+    for (did, _), ws in zip(docs, wins):
+        k = len(ws)
+        wl = langs[pos: pos + k]
+        wc = confs[pos: pos + k]
+        pos += k
+        conf_langs = [lg for lg, cf in zip(wl, wc)
+                      if cf >= CONF_MIN and lg != "und"]
+        cnt = Counter(conf_langs)
+        if cnt:
+            top = max(cnt.values())
+            dominant = min(lg for lg, c in cnt.items() if c == top)
+            minority = max((c for lg, c in cnt.items() if lg != dominant),
+                           default=0)
+        else:
+            dominant, minority = "und", 0
+        out["doc_id"].append(did)
+        out["n_windows"].append(k)
+        out["n_confident"].append(len(conf_langs))
+        out["dominant_lang"].append(dominant)
+        out["n_langs"].append(len(cnt))
+        out["minority_cnt"].append(minority)
+        out["n_switches"].append(
+            sum(1 for a, b in zip(conf_langs, conf_langs[1:]) if a != b))
+        out["code_switched"].append(
+            bool(len(conf_langs) >= 2 and minority * 4 >= len(conf_langs)))
+    return out
+
+
 def _audio_speed_dup_expected(n=300, seed=42, max_bucket_size=64) -> dict:
     """Twin of the speed-dup chain (clip_profiles → speed_dup_pairs →
     speed_dup_confirm): the profile/peak/landmark/resample kernels are
@@ -3890,6 +3969,12 @@ _SCHEMAS: dict[str, pa.Schema] = {
          ("frac_r", pa.float64()), ("contrast_r", pa.float64()),
          ("hum_hz", pa.float64()), ("is_hum", pa.bool_())]
     ),
+    "code_switch": pa.schema(
+        [("doc_id", pa.int64()), ("n_windows", pa.int32()),
+         ("n_confident", pa.int32()), ("dominant_lang", pa.string()),
+         ("n_langs", pa.int32()), ("minority_cnt", pa.int32()),
+         ("n_switches", pa.int32()), ("code_switched", pa.bool_())]
+    ),
     "audio_speed_dup": pa.schema(
         [("id_a", pa.string()), ("id_b", pa.string()),
          ("shift_r", pa.float64()), ("corr_r", pa.float64()),
@@ -4110,6 +4195,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_reverb_expected()
     elif name == "audio_speed_dup":
         data = _audio_speed_dup_expected()
+    elif name == "code_switch":
+        data = _code_switch_expected(sf_dir)
     elif name == "clips_decontaminate":
         data = _clip_decontaminate_expected()
     elif name == "semantic_prune":
