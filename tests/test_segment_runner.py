@@ -191,11 +191,13 @@ def test_utterance_audit_query_vs_twin(spark, sf_dir):
     import __spark_entry__ as e
     from data_quality_spark.oracles import _utterance_audit_expected
 
+    from data_quality_spark.operators.audio_audit import AUDIT_RULES
+
     got = e.q_utterance_audit(spark, sf_dir).collect()
     exp = _utterance_audit_expected(300, seed=42, min_dur_ms=MIN_DUR_MS)
-    assert len(got) == len(exp["issue_type"]) == 10
+    assert len(got) == len(exp["issue_type"]) == len(AUDIT_RULES)
     assert exp["total"][0] > 100  # the corpus actually fans out
-    for r, idx in zip(got, sorted(range(9),
+    for r, idx in zip(got, sorted(range(len(got)),
                                   key=lambda k: exp["issue_type"][k])):
         for col in ("table", "column", "issue_type", "count", "total",
                     "percent", "severity", "description"):
