@@ -2294,6 +2294,45 @@ def q_audio_hum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+def q_audio_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Channel-layout audit: dual mono / dead channel / phase inversion
+    decided by EXACT integer sample laws (n_diff / n_anti / nz counts),
+    gross power imbalance by a 6 dB threshold on a bit-stable
+    balance_db; seeded stereo corpus via make_audio_stereo_corpus.
+    Twin: independent RIFF parse + independent exact integer sums +
+    shared derive formula + explicit Python decision ladder."""
+    from data_quality_spark.operators.audio_stereo import stereo_flags
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_stereo_corpus
+
+    ensure_expected("audio_stereo", sf_dir)
+    key = ("stereo", 300, 42)
+    if key not in _CLIPS_CACHE:
+        _CLIPS_CACHE[key] = make_audio_stereo_corpus(300, seed=42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(
+        _CLIPS_CACHE[key][cols], CLIPS_SCHEMA
+    ).repartition(8, "clip_id")
+    return stereo_flags(clips).select(
+        "clip_id",
+        "n_ch",
+        "n_samples",
+        "n_diff",
+        "n_anti",
+        "nz_l",
+        "nz_r",
+        F.round("rms_db_l", 4).alias("rms_l_r"),
+        F.round("rms_db_r", 4).alias("rms_r_r"),
+        F.round("balance_db", 4).alias("bal_r"),
+        F.round("corr", 6).alias("corr_r"),
+        "dual_mono",
+        "phase_inverted",
+        "dead_channel",
+        "dead_side",
+        "imbalanced",
+    ).orderBy("clip_id")
+
+
 def q_audio_reverb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blind reverberation detection: least-squares energy-decay rate at
     speech offsets on the shared VAD frame grid; a population (>= 2) of
@@ -2510,6 +2549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_gate_v2": q_clips_gate_v2,
         "audio_quality_score": q_audio_quality_score,
         "audio_hum": q_audio_hum,
+        "audio_stereo": q_audio_stereo,
         "audio_reverb": q_audio_reverb,
         "audio_speed_dup": q_audio_speed_dup,
         "clips_decontaminate": q_clips_decontaminate,
@@ -4232,6 +4272,7 @@ ORDER BY d.doc_id""",
         "clips_gate_v2": _expected_sql("clips_gate_v2"),
         "audio_quality_score": _expected_sql("audio_quality_score"),
         "audio_hum": _expected_sql("audio_hum"),
+        "audio_stereo": _expected_sql("audio_stereo"),
         "audio_reverb": _expected_sql("audio_reverb"),
         "audio_speed_dup": _expected_sql("audio_speed_dup"),
         "code_switch": _expected_sql("code_switch"),

@@ -151,7 +151,7 @@ def build_parser() -> argparse.ArgumentParser:
     au.add_argument(
         "--kind",
         choices=["text", "audio", "loops", "labels", "boilerplate",
-                 "quantization", "pii", "reverb"],
+                 "quantization", "pii", "reverb", "stereo"],
         default="text",
     )
     au.add_argument("--min-words", type=int, default=15)
@@ -537,6 +537,13 @@ def main(argv: list[str] | None = None) -> int:
                 )
 
                 issues_df = reverb_issues(reverb_flags(df), table=args.table)
+            elif args.kind == "stereo":
+                from .operators.audio_stereo import (
+                    stereo_flags,
+                    stereo_issues,
+                )
+
+                issues_df = stereo_issues(stereo_flags(df), table=args.table)
             elif args.kind == "boilerplate":
                 from pyspark.sql import functions as F2
 

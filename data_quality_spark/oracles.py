@@ -1150,6 +1150,101 @@ def _audio_reverb_expected(n=300, seed=42) -> dict:
     return out
 
 
+def _audio_stereo_expected(n=300, seed=42) -> dict:
+    """Twin of ``operators.audio_stereo.stereo_flags`` + the query's
+    rounding: INDEPENDENT RIFF header walk + mono-codec dispatch,
+    integer channel sums recomputed with different numpy reductions
+    (einsum / add.reduce vs the kernel's ``@`` dots — equal because
+    every sum is an exact int64), SHARED ``derive_stereo`` (exact ints
+    in, one formula, so the doubles are bit-identical by construction
+    and rounding can never diverge), explicit Python decision ladder.
+    Generation guard: no evaluable clip's |balance_db| sits within
+    0.25 dB of the IMBALANCE_DB decision line."""
+    import struct as _struct
+
+    from .functions.audio import _decode_i16
+    from .functions.stereo import IMBALANCE_DB, derive_stereo
+    from .synth import make_audio_stereo_corpus
+
+    def parse_wav(data: bytes):
+        if data is None or len(data) < 44 or data[0:4] != b"RIFF" \
+                or data[8:12] != b"WAVE":
+            raise ValueError("bad container")
+        pos, ch, raw = 12, None, None
+        while pos + 8 <= len(data):
+            cid = data[pos:pos + 4]
+            (size,) = _struct.unpack("<I", data[pos + 4:pos + 8])
+            body = data[pos + 8:pos + 8 + size]
+            if cid == b"fmt " and size >= 16:
+                fmt_code, ch = _struct.unpack("<HH", body[0:4])
+                bits = _struct.unpack("<H", body[14:16])[0]
+                if fmt_code != 1 or ch not in (1, 2) or bits != 16:
+                    raise ValueError("unsupported")
+            elif cid == b"data":
+                raw = bytes(body)
+            pos += 8 + size + (size & 1)
+        if ch is None or raw is None:
+            raise ValueError("missing chunk")
+        raw = raw[: len(raw) - (len(raw) % (2 * ch))]
+        return np.frombuffer(raw, dtype="<i2").reshape(-1, ch), ch
+
+    pdf = make_audio_stereo_corpus(n, seed=seed)
+    cols = ["clip_id", "n_ch", "n_samples", "n_diff", "n_anti", "nz_l",
+            "nz_r", "rms_l_r", "rms_r_r", "bal_r", "corr_r", "dual_mono",
+            "phase_inverted", "dead_channel", "dead_side", "imbalanced"]
+    out: dict[str, list] = {c: [] for c in cols}
+    for _, r in pdf.sort_values("clip_id").iterrows():
+        try:
+            if r["codec"] in ("pcm16", "mulaw"):
+                _decode_i16(r["bytes"], r["codec"], r["sr_hz"])
+                frames, n_ch = None, 1
+            else:
+                frames, n_ch = parse_wav(
+                    bytes(r["bytes"]) if r["bytes"] is not None else None
+                )
+        except (ValueError, TypeError):
+            frames, n_ch = None, 0
+        if n_ch == 2 and frames is not None:
+            a = frames[:, 0].astype(np.int64)
+            b = frames[:, 1].astype(np.int64)
+            ns = int(frames.shape[0])
+            sum_l = int(np.add.reduce(a))
+            sum_r = int(np.add.reduce(b))
+            ss_l = int(np.einsum("i,i->", a, a))
+            ss_r = int(np.einsum("i,i->", b, b))
+            s_lr = int(np.einsum("i,i->", a, b))
+            nz_l = int(np.sum(a != 0))
+            nz_r = int(np.sum(b != 0))
+            n_diff = int(np.sum(a != b))
+            n_anti = int(np.sum(a != -b))
+            d = derive_stereo(ns, sum_l, sum_r, ss_l, ss_r, s_lr)
+            ev = ns > 0
+            live_l, live_r = nz_l > 0, nz_r > 0
+            dual = ev and n_diff == 0 and live_l
+            anti = ev and n_anti == 0 and live_l
+            dead = ev and (live_l != live_r)
+            side = ("L" if live_r else "R") if dead else None
+            bal = d["balance_db"]
+            imb = (ev and live_l and live_r
+                   and abs(bal) >= IMBALANCE_DB)
+            if ev and live_l and live_r:
+                assert abs(abs(bal) - IMBALANCE_DB) > 0.25, (
+                    f"{r['clip_id']}: balance {bal} within the guard band "
+                    "of the imbalance line — reseed the corpus"
+                )
+            vals = [n_ch, ns, n_diff, n_anti, nz_l, nz_r,
+                    spark_round(d["rms_db_l"], 4),
+                    spark_round(d["rms_db_r"], 4),
+                    spark_round(bal, 4), spark_round(d["corr"], 6),
+                    dual, anti, dead, side, imb]
+        else:
+            vals = [n_ch] + [None] * 9 + [False, False, False, None, False]
+        out["clip_id"].append(r["clip_id"])
+        for c, v in zip(cols[1:], vals):
+            out[c].append(v)
+    return out
+
+
 def _code_switch_expected(sf_dir: str) -> dict:
     """Twin of ``operators.code_switch.code_switch_scan`` over the
     injected documents: the window split and the langid kernel are
@@ -3969,6 +4064,16 @@ _SCHEMAS: dict[str, pa.Schema] = {
          ("frac_r", pa.float64()), ("contrast_r", pa.float64()),
          ("hum_hz", pa.float64()), ("is_hum", pa.bool_())]
     ),
+    "audio_stereo": pa.schema(
+        [("clip_id", pa.string()), ("n_ch", pa.int32()),
+         ("n_samples", pa.int64()), ("n_diff", pa.int64()),
+         ("n_anti", pa.int64()), ("nz_l", pa.int64()),
+         ("nz_r", pa.int64()), ("rms_l_r", pa.float64()),
+         ("rms_r_r", pa.float64()), ("bal_r", pa.float64()),
+         ("corr_r", pa.float64()), ("dual_mono", pa.bool_()),
+         ("phase_inverted", pa.bool_()), ("dead_channel", pa.bool_()),
+         ("dead_side", pa.string()), ("imbalanced", pa.bool_())]
+    ),
     "code_switch": pa.schema(
         [("doc_id", pa.int64()), ("n_windows", pa.int32()),
          ("n_confident", pa.int32()), ("dominant_lang", pa.string()),
@@ -4195,6 +4300,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_reverb_expected()
     elif name == "audio_speed_dup":
         data = _audio_speed_dup_expected()
+    elif name == "audio_stereo":
+        data = _audio_stereo_expected()
     elif name == "code_switch":
         data = _code_switch_expected(sf_dir)
     elif name == "clips_decontaminate":

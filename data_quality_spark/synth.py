@@ -605,6 +605,89 @@ def make_audio_excerpt_corpus(
     return pd.concat([base, pd.DataFrame(outs)], ignore_index=True)
 
 
+def make_audio_stereo_corpus(
+    n: int = 300,
+    seed: int = 42,
+    defect_every: int = 4,
+) -> pd.DataFrame:
+    """Stereo corpus for the channel-layout audit.
+
+    Every decodable base clip is re-emitted as a 2-channel 16-bit PCM
+    RIFF/WAVE (codec stays ``wav`` — channel count lives in the
+    container header, exactly like scraped uploads).  The healthy class
+    is TRUE stereo: R = the same content delayed 8 samples at 0.8 gain
+    plus low-level independent noise (inter-channel corr high but every
+    exact law sees differences).  Every ``defect_every``-th stereo clip
+    instead carries one seeded channel defect, rotating through:
+
+    - ``dual_mono``      R == L sample-exact
+    - ``dead_left``      L all digital zeros, R live
+    - ``dead_right``     R all digital zeros, L live
+    - ``phase_invert``   R == -L sample-exact (cancels under mono mixdown)
+    - ``imbalance``      R = round(L * 0.25) (~12 dB power gap)
+
+    Undecodable / silent base rows pass through untouched (mono or
+    corrupt — the operator's n_ch!=2 negative classes).
+    """
+    from .functions.stereo import encode_wav_stereo
+
+    base = generate_clips(n, seed=seed)
+    rng = np.random.default_rng(seed + 77)
+    classes = ["dual_mono", "dead_left", "dead_right", "phase_invert",
+               "imbalance"]
+    rows: list[dict] = []
+    k = 0
+    emitted = 0
+    for i in range(len(base)):
+        row = base.iloc[i].to_dict()
+        sr = int(row["sr_hz"]) or 0
+        try:
+            q = A._decode_i16(row["bytes"], row["codec"], row["sr_hz"])
+        except (ValueError, TypeError):
+            rows.append(row)
+            continue
+        if sr <= 0 or len(q) < 64 or not np.any(q):
+            rows.append(row)
+            continue
+        # -32768 would overflow its own negation in int16; the stereo
+        # laws compare in int64 but keep the samples symmetric anyway
+        left = np.maximum(q, np.int16(-32767))
+        emitted += 1
+        if emitted % defect_every == 0:
+            cls = classes[k % len(classes)]
+            k += 1
+            if cls == "dual_mono":
+                right = left.copy()
+            elif cls == "dead_left":
+                right = left
+                left = np.zeros_like(right)
+            elif cls == "dead_right":
+                right = np.zeros_like(left)
+            elif cls == "phase_invert":
+                right = (-left.astype(np.int32)).astype(np.int16)
+            else:  # imbalance
+                right = np.rint(left.astype(np.float64) * 0.25).astype(
+                    np.int16
+                )
+            row["defect"] = cls
+        else:
+            shifted = np.concatenate([left[:8].astype(np.float64) * 0.0,
+                                      left[:-8].astype(np.float64)])
+            # noise floor tracks the clip (-34 dB rel) so a quiet clip's
+            # R channel stays balanced — healthy stereo must never
+            # wander near the IMBALANCE_DB decision line
+            rms_l = float(np.sqrt(np.mean(left.astype(np.float64) ** 2)))
+            noise = rng.normal(0.0, max(1.0, 0.02 * rms_l), len(left))
+            right = np.clip(
+                np.rint(shifted * 0.8 + noise), -32767, 32767
+            ).astype(np.int16)
+            row["defect"] = "stereo_none"
+        row["bytes"] = encode_wav_stereo(left, right, sr)
+        row["codec"] = "wav"
+        rows.append(row)
+    return pd.DataFrame(rows, columns=base.columns)
+
+
 def make_audio_quantized_corpus(
     n: int = 300,
     seed: int = 42,
