@@ -2333,6 +2333,38 @@ def q_audio_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+def q_audio_downmix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repair-aware channel normalization: every clip re-emitted as mono
+    pcm16, with the mixdown chosen per clip by the stereo audit's exact
+    integer laws (dead channel → live side, R=-L → left, dual mono →
+    left, healthy → exact integer mid).  One map, one output row per
+    input, zero shuffles; payloads hash-checked byte-for-byte (Spark
+    xxhash64 vs from-spec XXH64 over an independently-replayed mixdown)."""
+    from data_quality_spark.operators.audio_stereo import downmix_mono
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_stereo_corpus
+
+    ensure_expected("audio_downmix", sf_dir)
+    key = ("stereo", 300, 42)
+    if key not in _CLIPS_CACHE:
+        _CLIPS_CACHE[key] = make_audio_stereo_corpus(300, seed=42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(
+        _CLIPS_CACHE[key][cols], CLIPS_SCHEMA
+    ).repartition(8, "clip_id")
+    out = downmix_mono(clips)
+    return out.select(
+        "clip_id",
+        "n_ch",
+        "downmix_mode",
+        "sr_hz",
+        "dur_ms",
+        F.octet_length("bytes").alias("n_bytes"),
+        F.when(F.col("bytes").isNotNull(), F.xxhash64("bytes"))
+        .alias("payload_h"),
+    ).orderBy("clip_id")
+
+
 def q_audio_reverb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blind reverberation detection: least-squares energy-decay rate at
     speech offsets on the shared VAD frame grid; a population (>= 2) of
@@ -2550,6 +2582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_quality_score": q_audio_quality_score,
         "audio_hum": q_audio_hum,
         "audio_stereo": q_audio_stereo,
+        "audio_downmix": q_audio_downmix,
         "audio_reverb": q_audio_reverb,
         "audio_speed_dup": q_audio_speed_dup,
         "clips_decontaminate": q_clips_decontaminate,
@@ -4273,6 +4306,7 @@ ORDER BY d.doc_id""",
         "audio_quality_score": _expected_sql("audio_quality_score"),
         "audio_hum": _expected_sql("audio_hum"),
         "audio_stereo": _expected_sql("audio_stereo"),
+        "audio_downmix": _expected_sql("audio_downmix"),
         "audio_reverb": _expected_sql("audio_reverb"),
         "audio_speed_dup": _expected_sql("audio_speed_dup"),
         "code_switch": _expected_sql("code_switch"),

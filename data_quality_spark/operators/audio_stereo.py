@@ -31,7 +31,7 @@ from pyspark.sql import types as T
 
 from ..functions.stereo import DERIVED_FIELDS, IMBALANCE_DB, SUM_FIELDS
 
-__all__ = ["clip_stereo", "stereo_flags", "stereo_issues"]
+__all__ = ["clip_stereo", "stereo_flags", "stereo_issues", "downmix_mono"]
 
 
 def clip_stereo(df: DataFrame, counter=None) -> DataFrame:
@@ -150,6 +150,137 @@ def stereo_flags(df: DataFrame, counter=None) -> DataFrame:
             ),
         )
     )
+
+
+def downmix_mono(df: DataFrame, counter=None) -> DataFrame:
+    """Repair-aware channel normalization: every clip out as mono pcm16.
+
+    The ingest step in front of the (mono) gate.  A naive (L+R)/2 downmix
+    destroys exactly the clips this module flags — a phase-inverted pair
+    cancels to silence, a dead channel halves the level for nothing — so
+    the mixdown is decided per clip by the SAME exact integer laws the
+    audit uses:
+
+    - ``undecodable``       not 16-bit PCM at all → NULL payload
+    - ``mono_passthrough``  already mono (pcm16 / mulaw / 1-ch wav):
+      re-emitted as pcm16 (µ-law expands through the integer formula)
+    - ``take_live``         one channel digital silence → keep the live one
+    - ``take_left_inverted`` R == -L sample-exact → keep L (mid would be 0)
+    - ``take_left_dual``    R == L sample-exact → keep L (mid == L anyway,
+      minus the shift's floor; taking L is exact)
+    - ``mid``               healthy stereo → (L+R) >> 1 in int32 (exact
+      arithmetic-shift floor — deterministic, no float, no clipping since
+      a mean of two int16 fits int16)
+
+    Emitted ``sr_hz`` / ``dur_ms`` are TRUTHFUL: the container's actual
+    rate and the sample-count-implied duration (round-half-up in exact
+    integers: ``(2*n*1000 + sr) // (2*sr)``), not the declared metadata —
+    normalization is where lying metadata gets corrected.  One
+    ``mapInArrow`` pass, one output row per input row, zero shuffles.
+    """
+    col_idx = {f.name: i for i, f in enumerate(df.schema.fields)}
+    out_schema = T.StructType(
+        [
+            T.StructField("clip_id", T.StringType(), False),
+            T.StructField("bytes", T.BinaryType(), True),
+            T.StructField("sr_hz", T.IntegerType(), True),
+            T.StructField("dur_ms", T.IntegerType(), True),
+            T.StructField("codec", T.StringType(), True),
+            T.StructField("transcript", T.StringType(), True),
+            T.StructField("n_ch", T.IntegerType(), False),
+            T.StructField("downmix_mode", T.StringType(), False),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from ..functions.audio import _decode_i16
+        from ..functions.stereo import decode_wav_frames
+
+        for batch in batches:
+            ids = batch.column(col_idx["clip_id"]).to_pylist()
+            payloads = batch.column(col_idx["bytes"])
+            codecs = batch.column(col_idx["codec"]).to_pylist()
+            srs = batch.column(col_idx["sr_hz"]).to_pylist()
+            trans = batch.column(col_idx["transcript"]).to_pylist()
+            if counter is not None:
+                counter.add(batch.num_rows)
+            o_bytes: list = []
+            o_sr: list = []
+            o_dur: list = []
+            o_codec: list = []
+            o_nch: list = []
+            o_mode: list = []
+            for i in range(batch.num_rows):
+                buf = payloads[i].as_buffer() if payloads[i].is_valid else None
+                mono: np.ndarray | None = None
+                sr = None
+                try:
+                    if codecs[i] in ("pcm16", "mulaw"):
+                        mono = _decode_i16(buf, codecs[i], srs[i])
+                        n_ch, mode, sr = 1, "mono_passthrough", srs[i]
+                    else:
+                        frames, n_ch, sr = decode_wav_frames(buf)
+                        if n_ch == 1:
+                            mono, mode = frames[:, 0], "mono_passthrough"
+                        else:
+                            left = frames[:, 0]
+                            right = frames[:, 1]
+                            a = left.astype(np.int64)
+                            b = right.astype(np.int64)
+                            live_l = bool(np.any(a))
+                            live_r = bool(np.any(b))
+                            if live_l != live_r:
+                                mono = left if live_l else right
+                                mode = "take_live"
+                            elif live_l and not np.any(a != -b):
+                                mono, mode = left, "take_left_inverted"
+                            elif live_l and not np.any(a != b):
+                                mono, mode = left, "take_left_dual"
+                            else:
+                                mono = (
+                                    (left.astype(np.int32)
+                                     + right.astype(np.int32)) >> 1
+                                ).astype(np.int16)
+                                mode = "mid"
+                except (ValueError, TypeError):
+                    n_ch, mode, mono, sr = 0, "undecodable", None, None
+                if mono is not None and sr and sr > 0:
+                    n = int(len(mono))
+                    o_bytes.append(
+                        mono.astype("<i2", copy=False).tobytes()
+                    )
+                    o_sr.append(int(sr))
+                    o_dur.append((2 * n * 1000 + sr) // (2 * sr))
+                    o_codec.append("pcm16")
+                else:
+                    o_bytes.append(None)
+                    o_sr.append(None)
+                    o_dur.append(None)
+                    o_codec.append(None)
+                    if mode != "undecodable":
+                        mode = "undecodable"
+                        n_ch = 0
+                o_nch.append(n_ch)
+                o_mode.append(mode)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, type=pa.string()),
+                    pa.array(o_bytes, type=pa.binary()),
+                    pa.array(o_sr, type=pa.int32()),
+                    pa.array(o_dur, type=pa.int32()),
+                    pa.array(o_codec, type=pa.string()),
+                    pa.array(trans, type=pa.string()),
+                    pa.array(o_nch, type=pa.int32()),
+                    pa.array(o_mode, type=pa.string()),
+                ],
+                names=["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                       "transcript", "n_ch", "downmix_mode"],
+            )
+
+    return df.mapInArrow(run, out_schema)
 
 
 def stereo_issues(flags: DataFrame, table: str = "clips") -> DataFrame:

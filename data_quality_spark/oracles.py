@@ -1150,6 +1150,34 @@ def _audio_reverb_expected(n=300, seed=42) -> dict:
     return out
 
 
+def _oracle_parse_wav(data):
+    """Independent (twin-side) RIFF header walk for 1/2-channel 16-bit
+    PCM → (int16[n, ch] frames, channels, sr). Deliberately written
+    apart from ``functions.stereo.decode_wav_frames``."""
+    import struct as _struct
+
+    if data is None or len(data) < 44 or data[0:4] != b"RIFF" \
+            or data[8:12] != b"WAVE":
+        raise ValueError("bad container")
+    pos, ch, sr, raw = 12, None, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        (size,) = _struct.unpack("<I", data[pos + 4:pos + 8])
+        body = data[pos + 8:pos + 8 + size]
+        if cid == b"fmt " and size >= 16:
+            fmt_code, ch, sr = _struct.unpack("<HHI", body[0:8])
+            bits = _struct.unpack("<H", body[14:16])[0]
+            if fmt_code != 1 or ch not in (1, 2) or bits != 16:
+                raise ValueError("unsupported")
+        elif cid == b"data":
+            raw = bytes(body)
+        pos += 8 + size + (size & 1)
+    if ch is None or raw is None:
+        raise ValueError("missing chunk")
+    raw = raw[: len(raw) - (len(raw) % (2 * ch))]
+    return np.frombuffer(raw, dtype="<i2").reshape(-1, ch), ch, int(sr)
+
+
 def _audio_stereo_expected(n=300, seed=42) -> dict:
     """Twin of ``operators.audio_stereo.stereo_flags`` + the query's
     rounding: INDEPENDENT RIFF header walk + mono-codec dispatch,
@@ -1160,34 +1188,11 @@ def _audio_stereo_expected(n=300, seed=42) -> dict:
     and rounding can never diverge), explicit Python decision ladder.
     Generation guard: no evaluable clip's |balance_db| sits within
     0.25 dB of the IMBALANCE_DB decision line."""
-    import struct as _struct
-
     from .functions.audio import _decode_i16
     from .functions.stereo import IMBALANCE_DB, derive_stereo
     from .synth import make_audio_stereo_corpus
 
-    def parse_wav(data: bytes):
-        if data is None or len(data) < 44 or data[0:4] != b"RIFF" \
-                or data[8:12] != b"WAVE":
-            raise ValueError("bad container")
-        pos, ch, raw = 12, None, None
-        while pos + 8 <= len(data):
-            cid = data[pos:pos + 4]
-            (size,) = _struct.unpack("<I", data[pos + 4:pos + 8])
-            body = data[pos + 8:pos + 8 + size]
-            if cid == b"fmt " and size >= 16:
-                fmt_code, ch = _struct.unpack("<HH", body[0:4])
-                bits = _struct.unpack("<H", body[14:16])[0]
-                if fmt_code != 1 or ch not in (1, 2) or bits != 16:
-                    raise ValueError("unsupported")
-            elif cid == b"data":
-                raw = bytes(body)
-            pos += 8 + size + (size & 1)
-        if ch is None or raw is None:
-            raise ValueError("missing chunk")
-        raw = raw[: len(raw) - (len(raw) % (2 * ch))]
-        return np.frombuffer(raw, dtype="<i2").reshape(-1, ch), ch
-
+    parse_wav = _oracle_parse_wav
     pdf = make_audio_stereo_corpus(n, seed=seed)
     cols = ["clip_id", "n_ch", "n_samples", "n_diff", "n_anti", "nz_l",
             "nz_r", "rms_l_r", "rms_r_r", "bal_r", "corr_r", "dual_mono",
@@ -1199,7 +1204,7 @@ def _audio_stereo_expected(n=300, seed=42) -> dict:
                 _decode_i16(r["bytes"], r["codec"], r["sr_hz"])
                 frames, n_ch = None, 1
             else:
-                frames, n_ch = parse_wav(
+                frames, n_ch, _sr = parse_wav(
                     bytes(r["bytes"]) if r["bytes"] is not None else None
                 )
         except (ValueError, TypeError):
@@ -1239,6 +1244,67 @@ def _audio_stereo_expected(n=300, seed=42) -> dict:
                     dual, anti, dead, side, imb]
         else:
             vals = [n_ch] + [None] * 9 + [False, False, False, None, False]
+        out["clip_id"].append(r["clip_id"])
+        for c, v in zip(cols[1:], vals):
+            out[c].append(v)
+    return out
+
+
+def _audio_downmix_expected(n=300, seed=42) -> dict:
+    """Twin of ``operators.audio_stereo.downmix_mono`` + the query's
+    projection: independent RIFF parse, decision replay with different
+    reductions (floor-division mid vs the kernel's arithmetic shift —
+    equal on ints by definition), exact-integer duration law, payloads
+    hash-checked byte-for-byte via the from-spec Python XXH64 twin of
+    Spark's ``xxhash64``."""
+    from .functions.audio import _decode_i16
+    from .functions.xxh64 import xxh64_bytes
+    from .synth import make_audio_stereo_corpus
+
+    def signed(h: int) -> int:
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    pdf = make_audio_stereo_corpus(n, seed=seed)
+    cols = ["clip_id", "n_ch", "downmix_mode", "sr_hz", "dur_ms",
+            "n_bytes", "payload_h"]
+    out: dict[str, list] = {c: [] for c in cols}
+    for _, r in pdf.sort_values("clip_id").iterrows():
+        mono = None
+        sr = None
+        try:
+            if r["codec"] in ("pcm16", "mulaw"):
+                mono = _decode_i16(r["bytes"], r["codec"], r["sr_hz"])
+                n_ch, mode, sr = 1, "mono_passthrough", r["sr_hz"]
+            else:
+                frames, n_ch, sr = _oracle_parse_wav(
+                    bytes(r["bytes"]) if r["bytes"] is not None else None
+                )
+                if n_ch == 1:
+                    mono, mode = frames[:, 0], "mono_passthrough"
+                else:
+                    a = frames[:, 0].astype(np.int64)
+                    b = frames[:, 1].astype(np.int64)
+                    live_l, live_r = bool(a.any()), bool(b.any())
+                    if live_l != live_r:
+                        mono = frames[:, 0] if live_l else frames[:, 1]
+                        mode = "take_live"
+                    elif live_l and int(np.sum(a != -b)) == 0:
+                        mono, mode = frames[:, 0], "take_left_inverted"
+                    elif live_l and int(np.sum(a != b)) == 0:
+                        mono, mode = frames[:, 0], "take_left_dual"
+                    else:
+                        mono = ((a + b) // 2).astype(np.int16)
+                        mode = "mid"
+        except (ValueError, TypeError):
+            n_ch, mode, mono, sr = 0, "undecodable", None, None
+        if mono is not None and sr and int(sr) > 0:
+            sr = int(sr)
+            nsamp = int(len(mono))
+            payload = np.asarray(mono).astype("<i2", copy=False).tobytes()
+            vals = [n_ch, mode, sr, (2 * nsamp * 1000 + sr) // (2 * sr),
+                    len(payload), signed(xxh64_bytes(payload, 42))]
+        else:
+            vals = [0, "undecodable", None, None, None, None]
         out["clip_id"].append(r["clip_id"])
         for c, v in zip(cols[1:], vals):
             out[c].append(v)
@@ -4074,6 +4140,12 @@ _SCHEMAS: dict[str, pa.Schema] = {
          ("phase_inverted", pa.bool_()), ("dead_channel", pa.bool_()),
          ("dead_side", pa.string()), ("imbalanced", pa.bool_())]
     ),
+    "audio_downmix": pa.schema(
+        [("clip_id", pa.string()), ("n_ch", pa.int32()),
+         ("downmix_mode", pa.string()), ("sr_hz", pa.int32()),
+         ("dur_ms", pa.int32()), ("n_bytes", pa.int32()),
+         ("payload_h", pa.int64())]
+    ),
     "code_switch": pa.schema(
         [("doc_id", pa.int64()), ("n_windows", pa.int32()),
          ("n_confident", pa.int32()), ("dominant_lang", pa.string()),
@@ -4302,6 +4374,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_speed_dup_expected()
     elif name == "audio_stereo":
         data = _audio_stereo_expected()
+    elif name == "audio_downmix":
+        data = _audio_downmix_expected()
     elif name == "code_switch":
         data = _code_switch_expected(sf_dir)
     elif name == "clips_decontaminate":

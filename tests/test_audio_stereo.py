@@ -164,6 +164,77 @@ def test_issue_relation_matches_flag_counts(spark):
         assert issues["dead_channel"]["severity"] == "critical"
 
 
+def test_downmix_modes_and_exact_mid(spark):
+    from data_quality_spark.operators.audio_stereo import downmix_mono
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_stereo_corpus
+
+    pdf = make_audio_stereo_corpus(200, seed=42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(pdf[cols], CLIPS_SCHEMA)
+    got = {r["clip_id"]: r.asDict() for r in downmix_mono(clips).collect()}
+    truth = {r["clip_id"]: r.get("defect") for _, r in pdf.iterrows()}
+
+    want_mode = {
+        "dual_mono": "take_left_dual",
+        "phase_invert": "take_left_inverted",
+        "dead_left": "take_live",
+        "dead_right": "take_live",
+        "stereo_none": "mid",
+    }
+    for cid, cls in truth.items():
+        row = got[cid]
+        if cls in want_mode:
+            assert row["downmix_mode"] == want_mode[cls], (cid, cls, row)
+            assert row["codec"] == "pcm16" and row["bytes"] is not None
+        elif cls == "imbalance":
+            assert row["downmix_mode"] == "mid"
+
+    # repair semantics: the phase-inverted clip keeps its content — a
+    # naive (L+R)/2 would be digital silence
+    inv = next(cid for cid, cls in truth.items() if cls == "phase_invert")
+    mono = np.frombuffer(bytes(got[inv]["bytes"]), dtype="<i2")
+    assert np.any(mono), "inverted clip downmixed to silence"
+    # dead-channel clips keep the LIVE side's content
+    dl = next(cid for cid, cls in truth.items() if cls == "dead_left")
+    mono = np.frombuffer(bytes(got[dl]["bytes"]), dtype="<i2")
+    assert np.any(mono)
+
+
+def test_downmix_mid_floors_negative_odd_sums(spark):
+    from data_quality_spark.operators.audio_stereo import downmix_mono
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+
+    left = np.array([-3, 3, -1, 100] * 32, dtype=np.int16)
+    right = np.array([-4, 4, 2, 101] * 32, dtype=np.int16)
+    row = ("edge", encode_wav_stereo(left, right, 8000), 8000,
+           int(round(len(left) / 8.0)), "wav", "t", "2024-01-01")
+    clips = spark.createDataFrame([row], CLIPS_SCHEMA)
+    out = downmix_mono(clips).collect()[0]
+    mono = np.frombuffer(bytes(out["bytes"]), dtype="<i2")
+    # (-3 + -4) >> 1 == -4 (floor, NOT truncation toward zero)
+    assert list(mono[:4]) == [-4, 3, 0, 100]
+    assert out["downmix_mode"] == "mid" and out["sr_hz"] == 8000
+
+
+def test_downmix_composes_with_mono_audit(spark):
+    """The normalized output is a valid mono clips table: the fused
+    audio audit decodes every downmixed payload."""
+    from data_quality_spark.operators.audio_audit import audio_audit
+    from data_quality_spark.operators.audio_stereo import downmix_mono
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_stereo_corpus
+
+    pdf = make_audio_stereo_corpus(80, seed=5)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(pdf[cols], CLIPS_SCHEMA)
+    mono = downmix_mono(clips).where("bytes IS NOT NULL")
+    core = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"]
+    audited = audio_audit(mono.select(*core)).collect()
+    assert len(audited) == mono.count()
+    assert all(r["ok"] for r in audited)
+
+
 def test_cli_audit_stereo(tmp_path, spark, capsys, monkeypatch):
     import json
 
