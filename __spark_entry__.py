@@ -2333,6 +2333,37 @@ def q_audio_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+def q_audio_flutter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wow/flutter detection: dominant-peak frequency trajectory over
+    64 ms frames; a clip flags when the stable-carrier deviation is both
+    large (rms >= 0.35%) and periodic (>= 25% of deviation power at one
+    0.5-30 Hz modulation frequency).  Seeded corpus: variable-playhead
+    re-reads at 1-2% depth, 1.5/4/8 Hz.  Twin: shared kernel + explicit
+    Python decision law."""
+    from data_quality_spark.operators.audio_flutter import flutter_flags
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_flutter_corpus
+
+    ensure_expected("audio_flutter", sf_dir)
+    key = ("flutter", 300, 42)
+    if key not in _CLIPS_CACHE:
+        _CLIPS_CACHE[key] = make_audio_flutter_corpus(300, seed=42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(
+        _CLIPS_CACHE[key][cols], CLIPS_SCHEMA
+    ).repartition(8, "clip_id")
+    return flutter_flags(clips).select(
+        "clip_id",
+        "n_frames",
+        "n_track",
+        F.round("carrier_hz", 3).alias("carrier_r"),
+        F.round("dev_pct", 5).alias("dev_r"),
+        F.round("mod_hz", 3).alias("mod_hz_r"),
+        F.round("mod_frac", 6).alias("frac_r"),
+        "is_flutter",
+    ).orderBy("clip_id")
+
+
 def q_audio_downmix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repair-aware channel normalization: every clip re-emitted as mono
     pcm16, with the mixdown chosen per clip by the stereo audit's exact
@@ -2583,6 +2614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_hum": q_audio_hum,
         "audio_stereo": q_audio_stereo,
         "audio_downmix": q_audio_downmix,
+        "audio_flutter": q_audio_flutter,
         "audio_reverb": q_audio_reverb,
         "audio_speed_dup": q_audio_speed_dup,
         "clips_decontaminate": q_clips_decontaminate,
@@ -4307,6 +4339,7 @@ ORDER BY d.doc_id""",
         "audio_hum": _expected_sql("audio_hum"),
         "audio_stereo": _expected_sql("audio_stereo"),
         "audio_downmix": _expected_sql("audio_downmix"),
+        "audio_flutter": _expected_sql("audio_flutter"),
         "audio_reverb": _expected_sql("audio_reverb"),
         "audio_speed_dup": _expected_sql("audio_speed_dup"),
         "code_switch": _expected_sql("code_switch"),

@@ -151,7 +151,7 @@ def build_parser() -> argparse.ArgumentParser:
     au.add_argument(
         "--kind",
         choices=["text", "audio", "loops", "labels", "boilerplate",
-                 "quantization", "pii", "reverb", "stereo"],
+                 "quantization", "pii", "reverb", "stereo", "flutter"],
         default="text",
     )
     au.add_argument("--min-words", type=int, default=15)
@@ -544,6 +544,15 @@ def main(argv: list[str] | None = None) -> int:
                 )
 
                 issues_df = stereo_issues(stereo_flags(df), table=args.table)
+            elif args.kind == "flutter":
+                from .operators.audio_flutter import (
+                    flutter_flags,
+                    flutter_issues,
+                )
+
+                issues_df = flutter_issues(
+                    flutter_flags(df), table=args.table
+                )
             elif args.kind == "boilerplate":
                 from pyspark.sql import functions as F2
 

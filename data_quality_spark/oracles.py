@@ -1150,6 +1150,49 @@ def _audio_reverb_expected(n=300, seed=42) -> dict:
     return out
 
 
+def _audio_flutter_expected(n=300, seed=42) -> dict:
+    """Twin of ``operators.audio_flutter.flutter_flags`` + the query's
+    rounding: shared deterministic kernels (decode + flutter_stats over
+    identical float inputs — bit-identical doubles), explicit Python
+    decision law; the differential surface is the decode dispatch, NULL
+    totality, the two-signal flag, rounding, and ordering."""
+    from .functions.audio import _decode_i16
+    from .functions.flutter import (
+        DEV_FLAG_PCT,
+        MOD_MIN_FRAC,
+        flutter_stats,
+    )
+    from .synth import make_audio_flutter_corpus
+
+    pdf = make_audio_flutter_corpus(n, seed=seed)
+    out: dict[str, list] = {
+        "clip_id": [], "n_frames": [], "n_track": [], "carrier_r": [],
+        "dev_r": [], "mod_hz_r": [], "frac_r": [], "is_flutter": [],
+    }
+    for _, r in pdf.sort_values("clip_id").iterrows():
+        try:
+            q = _decode_i16(r["bytes"], r["codec"], r["sr_hz"])
+        except (ValueError, TypeError):
+            q = np.zeros(0, dtype=np.int16)
+        x = q.astype(np.float64) / 32768.0
+        st = flutter_stats(x, r["sr_hz"])
+        flag = bool(
+            st["dev_pct"] is not None
+            and st["mod_frac"] is not None
+            and st["dev_pct"] >= DEV_FLAG_PCT
+            and st["mod_frac"] >= MOD_MIN_FRAC
+        )
+        out["clip_id"].append(r["clip_id"])
+        out["n_frames"].append(int(st["n_frames"]))
+        out["n_track"].append(int(st["n_track"]))
+        out["carrier_r"].append(spark_round(st["carrier_hz"], 3))
+        out["dev_r"].append(spark_round(st["dev_pct"], 5))
+        out["mod_hz_r"].append(spark_round(st["mod_hz"], 3))
+        out["frac_r"].append(spark_round(st["mod_frac"], 6))
+        out["is_flutter"].append(flag)
+    return out
+
+
 def _oracle_parse_wav(data):
     """Independent (twin-side) RIFF header walk for 1/2-channel 16-bit
     PCM → (int16[n, ch] frames, channels, sr). Deliberately written
@@ -4140,6 +4183,12 @@ _SCHEMAS: dict[str, pa.Schema] = {
          ("phase_inverted", pa.bool_()), ("dead_channel", pa.bool_()),
          ("dead_side", pa.string()), ("imbalanced", pa.bool_())]
     ),
+    "audio_flutter": pa.schema(
+        [("clip_id", pa.string()), ("n_frames", pa.int32()),
+         ("n_track", pa.int32()), ("carrier_r", pa.float64()),
+         ("dev_r", pa.float64()), ("mod_hz_r", pa.float64()),
+         ("frac_r", pa.float64()), ("is_flutter", pa.bool_())]
+    ),
     "audio_downmix": pa.schema(
         [("clip_id", pa.string()), ("n_ch", pa.int32()),
          ("downmix_mode", pa.string()), ("sr_hz", pa.int32()),
@@ -4376,6 +4425,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_stereo_expected()
     elif name == "audio_downmix":
         data = _audio_downmix_expected()
+    elif name == "audio_flutter":
+        data = _audio_flutter_expected()
     elif name == "code_switch":
         data = _code_switch_expected(sf_dir)
     elif name == "clips_decontaminate":

@@ -605,6 +605,51 @@ def make_audio_excerpt_corpus(
     return pd.concat([base, pd.DataFrame(outs)], ignore_index=True)
 
 
+def make_audio_flutter_corpus(
+    n: int = 300,
+    seed: int = 42,
+    flutter_every: int = 5,
+) -> pd.DataFrame:
+    """Corpus with seeded wow/flutter: every ``flutter_every``-th
+    decodable clip is re-read through a variable-speed playhead —
+    y[i] = x[phi(i)] with phi'(i) = 1 + m*sin(2*pi*fm*i/sr), linear
+    interpolation — which is *physically* what a worn tape transport or
+    drifting clock does: the whole spectrum wobbles together at the
+    transport rate.  Rotates (m, fm) through (1%, 1.5 Hz wow),
+    (2%, 8 Hz flutter), (1%, 4 Hz); re-encoded pcm16 with
+    ``defect='wow_15'|'flutter_80'|'wow_40'``."""
+    base = generate_clips(n, seed=seed)
+    cases = [(0.01, 1.5, "wow_15"), (0.02, 8.0, "flutter_80"),
+             (0.01, 4.0, "wow_40")]
+    rows = []
+    k = 0
+    for i in range(len(base)):
+        row = base.iloc[i].to_dict()
+        sr = int(row["sr_hz"]) or 0
+        if (i + 1) % flutter_every == 0 and sr > 0:
+            try:
+                q = A._decode_i16(row["bytes"], row["codec"], row["sr_hz"])
+            except (ValueError, TypeError):
+                rows.append(row)
+                continue
+            if len(q) < sr:  # need ≥1 s for a measurable track
+                rows.append(row)
+                continue
+            m, fm, tag = cases[k % len(cases)]
+            k += 1
+            x = q.astype(np.float64) / 32768.0
+            t = np.arange(len(x), dtype=np.float64)
+            phi = t + m * sr / (2 * np.pi * fm) * (
+                1.0 - np.cos(2 * np.pi * fm * t / sr)
+            )
+            y = np.interp(np.clip(phi, 0, len(x) - 1), t, x)
+            row["bytes"] = A.encode_pcm16(np.clip(y, -1.0, 0.999969))
+            row["codec"] = "pcm16"
+            row["defect"] = tag
+        rows.append(row)
+    return pd.DataFrame(rows, columns=base.columns)
+
+
 def make_audio_stereo_corpus(
     n: int = 300,
     seed: int = 42,
