@@ -2364,6 +2364,38 @@ def q_audio_flutter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+def q_audio_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click/pop (impulsive transient) detection: exact integer
+    second-difference law — 20 ms frame-dominance prefilter, then a
+    locality ratio against the windowed background d2 max (excluding the
+    spike's own ±3 samples), with clipping-rail and dropout-edge guards
+    handing ambiguous spikes to the rules that own them.  Seeded corpus:
+    single-sample replacement spikes (1/3/7 per clip at ±28000/±20000/
+    ±14000).  Twin: shared decode, fully INDEPENDENT pure-Python integer
+    replay of the whole law (bit-exact by construction)."""
+    from data_quality_spark.operators.audio_clicks import click_flags
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_click_corpus
+
+    ensure_expected("audio_clicks", sf_dir)
+    key = ("clicks", 300, 42)
+    if key not in _CLIPS_CACHE:
+        _CLIPS_CACHE[key] = make_audio_click_corpus(300, seed=42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(
+        _CLIPS_CACHE[key][cols], CLIPS_SCHEMA
+    ).repartition(8, "clip_id")
+    return click_flags(clips).select(
+        "clip_id",
+        "n_samples",
+        "n_frames",
+        "n_cand",
+        "n_clicks",
+        "max_d2",
+        "is_clicky",
+    ).orderBy("clip_id")
+
+
 def q_audio_downmix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repair-aware channel normalization: every clip re-emitted as mono
     pcm16, with the mixdown chosen per clip by the stereo audit's exact
@@ -2615,6 +2647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_stereo": q_audio_stereo,
         "audio_downmix": q_audio_downmix,
         "audio_flutter": q_audio_flutter,
+        "audio_clicks": q_audio_clicks,
         "audio_reverb": q_audio_reverb,
         "audio_speed_dup": q_audio_speed_dup,
         "clips_decontaminate": q_clips_decontaminate,
@@ -4340,6 +4373,7 @@ ORDER BY d.doc_id""",
         "audio_stereo": _expected_sql("audio_stereo"),
         "audio_downmix": _expected_sql("audio_downmix"),
         "audio_flutter": _expected_sql("audio_flutter"),
+        "audio_clicks": _expected_sql("audio_clicks"),
         "audio_reverb": _expected_sql("audio_reverb"),
         "audio_speed_dup": _expected_sql("audio_speed_dup"),
         "code_switch": _expected_sql("code_switch"),

@@ -474,7 +474,7 @@ def main() -> None:
         "audio_quality_score", "lsh_tuning", "lang_confusion", "audio_hum",
         "clips_decontaminate", "mixture_sample", "semantic_prune",
         "audio_reverb", "audio_speed_dup", "code_switch", "pii_issues",
-        "audio_stereo", "audio_downmix",
+        "audio_stereo", "audio_downmix", "audio_flutter", "audio_clicks",
     ]
     # headline-only mode: just the gate pair + health scan (~90 s) — fits
     # inside the short quiet gaps this shared host actually has, where the

@@ -151,7 +151,8 @@ def build_parser() -> argparse.ArgumentParser:
     au.add_argument(
         "--kind",
         choices=["text", "audio", "loops", "labels", "boilerplate",
-                 "quantization", "pii", "reverb", "stereo", "flutter"],
+                 "quantization", "pii", "reverb", "stereo", "flutter",
+                 "clicks"],
         default="text",
     )
     au.add_argument("--min-words", type=int, default=15)
@@ -553,6 +554,13 @@ def main(argv: list[str] | None = None) -> int:
                 issues_df = flutter_issues(
                     flutter_flags(df), table=args.table
                 )
+            elif args.kind == "clicks":
+                from .operators.audio_clicks import (
+                    click_flags,
+                    click_issues,
+                )
+
+                issues_df = click_issues(click_flags(df), table=args.table)
             elif args.kind == "boilerplate":
                 from pyspark.sql import functions as F2
 

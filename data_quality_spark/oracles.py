@@ -1193,6 +1193,109 @@ def _audio_flutter_expected(n=300, seed=42) -> dict:
     return out
 
 
+def _audio_clicks_expected(n=300, seed=42) -> dict:
+    """Twin of ``operators.audio_clicks.click_flags``: the decode dispatch
+    is shared, everything after it is an INDEPENDENT pure-Python integer
+    replay of the whole detection law (second differences, frame
+    prefilter, locality ratio, rail/zero guards, event merge) — every
+    quantity is exact integer arithmetic, so the twin is bit-identical to
+    the vectorized numpy kernel by construction and any divergence is a
+    real kernel bug (reduceat indexing, window clamping, merge logic)."""
+    from .functions.audio import FRAME_MS, _decode_i16
+    from .functions.clicks import (
+        CLICK_ABS_MIN,
+        CLICK_BG_WIN,
+        CLICK_GAP,
+        CLICK_LOC_K,
+        CLICK_MAX_WIDTH_MS,
+        CLICK_MIN_EVENTS,
+        CLICK_PRE_K,
+        CLICK_SELF,
+        RAIL_I16,
+        ZERO_GUARD_MIN,
+        ZERO_GUARD_WIN,
+    )
+    from .synth import make_audio_click_corpus
+
+    pdf = make_audio_click_corpus(n, seed=seed)
+    out: dict[str, list] = {
+        "clip_id": [], "n_samples": [], "n_frames": [], "n_cand": [],
+        "n_clicks": [], "max_d2": [], "is_clicky": [],
+    }
+    for _, r in pdf.sort_values("clip_id").iterrows():
+        try:
+            qa = _decode_i16(r["bytes"], r["codec"], r["sr_hz"])
+        except (ValueError, TypeError):
+            qa = None
+        q = [int(v) for v in qa] if qa is not None else []
+        nq = len(q)
+        sr = int(r["sr_hz"]) if r["sr_hz"] else 0
+        if nq < 3 or sr <= 0:
+            out["clip_id"].append(r["clip_id"])
+            out["n_samples"].append(nq)
+            out["n_frames"].append(0)
+            out["n_cand"].append(0)
+            out["n_clicks"].append(0)
+            out["max_d2"].append(None)
+            out["is_clicky"].append(False)
+            continue
+        frame = max(sr * FRAME_MS // 1000, 1)
+        d2 = [abs(q[i - 1] - 2 * q[i] + q[i + 1]) for i in range(1, nq - 1)]
+        m = len(d2)
+        n_frames = (m + frame - 1) // frame
+        cand: list[int] = []  # d2 center indices
+        for f0 in range(0, m, frame):
+            f1 = min(f0 + frame, m)
+            s = sum(d2[f0:f1])
+            nf = f1 - f0
+            for i in range(f0, f1):
+                if d2[i] < CLICK_ABS_MIN or d2[i] * nf < CLICK_PRE_K * s:
+                    continue
+                lo = max(i - CLICK_BG_WIN, 0)
+                hi = min(i + CLICK_BG_WIN + 1, m)
+                bg = 0
+                for j in range(lo, hi):
+                    if abs(j - i) > CLICK_SELF and d2[j] > bg:
+                        bg = d2[j]
+                if d2[i] >= CLICK_LOC_K * bg:
+                    cand.append(i)
+        pos = []
+        for i in cand:
+            p = i + 1  # sample index
+            if max(abs(q[p]), abs(q[p - 1]),
+                   abs(q[min(p + 1, nq - 1)])) >= RAIL_I16:
+                continue
+            lo = max(p - ZERO_GUARD_WIN, 0)
+            hi = min(p + ZERO_GUARD_WIN + 1, nq)
+            if sum(1 for j in range(lo, hi) if q[j] == 0) >= ZERO_GUARD_MIN:
+                continue
+            pos.append(p)
+        max_w = max(int(sr * CLICK_MAX_WIDTH_MS / 1000), 3)
+        events: list[list[int]] = []
+        for p in pos:
+            if events and p - events[-1][-1] <= CLICK_GAP:
+                events[-1].append(p)
+            else:
+                events.append([p])
+        n_clicks = 0
+        max_d2 = None
+        for ev in events:
+            if ev[-1] - ev[0] + 1 > max_w:
+                continue
+            n_clicks += 1
+            peak = max(d2[p - 1] for p in ev)
+            if max_d2 is None or peak > max_d2:
+                max_d2 = peak
+        out["clip_id"].append(r["clip_id"])
+        out["n_samples"].append(nq)
+        out["n_frames"].append(int(n_frames))
+        out["n_cand"].append(len(pos))
+        out["n_clicks"].append(n_clicks)
+        out["max_d2"].append(max_d2)
+        out["is_clicky"].append(n_clicks >= CLICK_MIN_EVENTS)
+    return out
+
+
 def _oracle_parse_wav(data):
     """Independent (twin-side) RIFF header walk for 1/2-channel 16-bit
     PCM → (int16[n, ch] frames, channels, sr). Deliberately written
@@ -4189,6 +4292,12 @@ _SCHEMAS: dict[str, pa.Schema] = {
          ("dev_r", pa.float64()), ("mod_hz_r", pa.float64()),
          ("frac_r", pa.float64()), ("is_flutter", pa.bool_())]
     ),
+    "audio_clicks": pa.schema(
+        [("clip_id", pa.string()), ("n_samples", pa.int64()),
+         ("n_frames", pa.int32()), ("n_cand", pa.int32()),
+         ("n_clicks", pa.int32()), ("max_d2", pa.int64()),
+         ("is_clicky", pa.bool_())]
+    ),
     "audio_downmix": pa.schema(
         [("clip_id", pa.string()), ("n_ch", pa.int32()),
          ("downmix_mode", pa.string()), ("sr_hz", pa.int32()),
@@ -4427,6 +4536,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_downmix_expected()
     elif name == "audio_flutter":
         data = _audio_flutter_expected()
+    elif name == "audio_clicks":
+        data = _audio_clicks_expected()
     elif name == "code_switch":
         data = _code_switch_expected(sf_dir)
     elif name == "clips_decontaminate":

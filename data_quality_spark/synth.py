@@ -788,6 +788,65 @@ def make_audio_quantized_corpus(
     return pd.DataFrame(rows, columns=base.columns)
 
 
+def make_audio_click_corpus(
+    n: int = 300,
+    seed: int = 42,
+    click_every: int = 4,
+) -> pd.DataFrame:
+    """Corpus with seeded clicks/pops for the impulsive-transient audit.
+
+    Every ``click_every``-th decodable clip gets isolated single-sample
+    spikes REPLACED into its waveform (replacement, not addition, keeps
+    the spike off the int16 rails so the rail guard never hides it),
+    rotating through ``click_1`` (one strong pop, ±28000), ``click_3``
+    (three pops, ±20000) and ``crackle_7`` (seven spikes, ±14000 —
+    vinyl-style crackle).  Spike positions are seeded-uniform, >= 80 ms
+    apart and >= 50 ms from either edge; sign alternates.  Re-encoded
+    pcm16 with the class in ``defect`` for test introspection.
+
+    High-frequency content near Nyquist has second differences of click
+    magnitude *everywhere*, where a click is genuinely unmeasurable —
+    tests compute recall over the evaluable subset (the kernel's own
+    frame-dominance margin), the same convention as the speed-dup and
+    reverb corpora."""
+    base = generate_clips(n, seed=seed)
+    cases = [("click_1", 1, 28000), ("click_3", 3, 20000),
+             ("crackle_7", 7, 14000)]
+    rng = np.random.default_rng(seed + 7001)
+    rows = []
+    k = 0
+    for i in range(len(base)):
+        row = base.iloc[i].to_dict()
+        sr = int(row["sr_hz"]) or 0
+        if (i + 1) % click_every != 0 or sr <= 0:
+            rows.append(row)
+            continue
+        try:
+            q = A._decode_i16(row["bytes"], row["codec"], row["sr_hz"])
+        except (ValueError, TypeError):
+            rows.append(row)
+            continue
+        margin = int(sr * 0.05)
+        spacing = int(sr * 0.08)
+        tag, n_spikes, amp = cases[k % len(cases)]
+        if len(q) < 2 * margin + n_spikes * spacing:
+            rows.append(row)
+            continue
+        k += 1
+        q = q.copy()
+        span = len(q) - 2 * margin - (n_spikes - 1) * spacing
+        offs = np.sort(rng.integers(0, max(span, 1), n_spikes))
+        positions = [margin + int(offs[j]) + j * spacing
+                     for j in range(n_spikes)]
+        for j, p in enumerate(positions):
+            q[p] = amp if j % 2 == 0 else -amp
+        row["bytes"] = A.encode_pcm16(q.astype(np.float64) / 32767.0)
+        row["codec"] = "pcm16"
+        row["defect"] = tag
+        rows.append(row)
+    return pd.DataFrame(rows, columns=base.columns)
+
+
 def generate_clips_distributed(
     spark, n: int, seed: int = 42, partitions: int = 32, defect_frac: float = 0.35
 ):
