@@ -299,6 +299,28 @@ def q_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.semantic_prune(emb, dim=64).orderBy("vec_id")
 
 
+def q_embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space eval-set decontamination (the semantic leg of the
+    decontamination triad): corpus vectors flagged when cosine vs ANY
+    eval vector reaches 0.9.  Eval set synthesized in-query as ×2-scaled
+    copies of every 7th corpus vector — scaling is exact in IEEE floats
+    and cosine-invariant, so the ground truth is every 7th vector at
+    cosine ~1.0 and nothing else (max natural cross-cosine on this corpus
+    is far below 0.9).  Strict DuckDB twin re-runs the whole relation;
+    sub-threshold similarities never surface, so no near-tie float
+    ordering can diverge."""
+    emb = _t(spark, sf_dir, "embeddings")
+    evalset = emb.filter(F.col("vec_id") % 7 == 0).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"), lambda x: x.cast("double") * F.lit(2.0)
+        ).alias("embedding"),
+    )
+    return sim.embedding_decontaminate(
+        emb, evalset, threshold=0.9
+    ).orderBy("vec_id")
+
+
 def q_range_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule = Rule(
         name="range",
@@ -2547,6 +2569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_blocked": q_embedding_near_dup_blocked,
         "semantic_prune": q_semantic_prune,
+        "embedding_decontaminate": q_embedding_decontaminate,
         "range_rule": q_range_rule,
         "enum_rule": q_enum_rule,
         "regex_rule": q_regex_rule,
@@ -4055,6 +4078,30 @@ FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
         "lang_confusion": _lang_confusion_oracle(),
         "mixture_sample": _mixture_sample_oracle(),
         "semantic_prune": _expected_sql("semantic_prune"),
+        "embedding_decontaminate": """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+ev AS (SELECT vec_id AS eid, list_transform(e, x -> x * 2.0) AS ee
+       FROM v WHERE vec_id % 7 = 0),
+s AS (
+  SELECT c.vec_id, ev.eid,
+    list_dot_product(c.e, ev.ee)
+      / (sqrt(list_dot_product(c.e, c.e))
+         * sqrt(list_dot_product(ev.ee, ev.ee))) AS cos
+  FROM v c CROSS JOIN ev
+),
+h AS (SELECT * FROM s WHERE cos >= 0.9),
+a AS (
+  SELECT vec_id, CAST(count(*) AS BIGINT) AS n_hits,
+    max(struct_pack(c := cos, ni := -eid)) AS best
+  FROM h GROUP BY vec_id
+)
+SELECT v.vec_id,
+  CAST(coalesce(a.n_hits, 0) AS BIGINT) AS n_hits,
+  coalesce(a.n_hits, 0) > 0 AS is_leak,
+  CAST(-(a.best.ni) AS BIGINT) AS best_eval_id,
+  ROUND(a.best.c, 6) AS best_cosine
+FROM v LEFT JOIN a USING (vec_id)
+ORDER BY v.vec_id""",
         "bpe_token_stats": """
 WITH t AS (
   SELECT lang,

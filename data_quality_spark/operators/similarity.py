@@ -40,6 +40,7 @@ __all__ = [
     "norm64",
     "cosine_topk",
     "cosine_near_pairs",
+    "embedding_decontaminate",
     "semantic_prune",
     "hyperplane_lsh_topk",
     "fit_ivf_centroids",
@@ -361,6 +362,81 @@ def hyperplane_lsh_topk(
     )
     if round_to is not None:
         out = out.withColumn("cosine", F.round(F.col("cosine"), round_to))
+    return out
+
+
+def embedding_decontaminate(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str | None = None,
+    threshold: float = 0.9,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Embedding-space eval-set decontamination: flag corpus vectors whose
+    cosine similarity to ANY eval-set vector reaches ``threshold`` — the
+    semantic leg of the decontamination triad (text n-gram overlap in
+    ``quality_filters.decontaminate``, waveform fingerprints in
+    ``audio_dedup.audio_decontaminate``).  A paraphrased or re-embedded
+    eval example that shares no n-grams and no waveform still leaks
+    through its embedding neighbourhood; this is the probe that sees it.
+
+    Output: one row per corpus vector — (id, n_hits, is_leak,
+    best_eval_id, best_cosine).  ``best_*`` are reported only for leaks:
+    sub-threshold similarities never surface, so no float ordering over
+    arbitrary near-tie values can differ between engines.
+
+    Scale shape: the eval set is broadcast (eval suites are KBs-to-MBs
+    against a 100 TB corpus); the corpus side is one broadcast
+    nested-loop score + an early ``>= threshold`` filter, so only the
+    (rare) hits — ids plus one double — ever reach the tiny hit
+    aggregate, and the final attach joins that aggregate back broadcast.
+    The corpus itself never shuffles.  Cosines run in float64 sequential
+    folds (``dot64``), bit-stable across partitionings.
+    """
+    eid = eval_id_col or id_col
+    e = evalset.select(
+        F.col(eid).alias("__eid"),
+        F.col(vec_col).alias("__ev"),
+        norm64(F.col(vec_col)).alias("__en"),
+    )
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__cv"),
+        norm64(F.col(vec_col)).alias("__cn"),
+    )
+    sim = dot64(F.col("__cv"), F.col("__ev")) / (F.col("__cn") * F.col("__en"))
+    hits = (
+        c.join(F.broadcast(e), F.lit(True))
+        .withColumn("__cos", sim)
+        .filter(F.col("__cos") >= F.lit(threshold))
+        .select(id_col, "__eid", "__cos")
+    )
+    # Best hit per corpus vector: max cosine, ties to the smallest eval id
+    # (struct max on (cosine, -eid) — eval ids are numeric by contract).
+    best = F.max(
+        F.struct(F.col("__cos").alias("c"), (-F.col("__eid")).alias("ni"))
+    )
+    agg = hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        best.alias("__best"),
+    )
+    out = (
+        corpus.select(F.col(id_col))
+        .join(F.broadcast(agg), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("is_leak"),
+            (-F.col("__best.ni")).cast("long").alias("best_eval_id"),
+            F.col("__best.c").alias("best_cosine"),
+        )
+    )
+    if round_to is not None:
+        out = out.withColumn(
+            "best_cosine", F.round(F.col("best_cosine"), round_to)
+        )
     return out
 
 

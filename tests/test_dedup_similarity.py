@@ -241,3 +241,52 @@ def test_ivf_topk_recall_and_determinism(spark):
     overlap = sum(1 for k_ in exact if got.get(k_) == exact[k_])
     # tight clusters + nprobe=2 of 4 lists: near-perfect recall expected
     assert overlap / len(exact) >= 0.9
+
+
+def test_embedding_decontaminate_ground_truth(vectors_df):
+    """Eval set = scaled copies of vecs 0 and 2: exactly those leak (plus
+    vec 1, which is a genuine near-copy of 0 above the 0.9 threshold) and
+    the hit attribution points at the right eval id."""
+    evalset = (
+        vectors_df.filter(F.col("vec_id").isin([0, 2]))
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("embedding"), lambda x: x * F.lit(3.0)
+            ).alias("embedding"),
+        )
+    )
+    out = {
+        r.vec_id: r
+        for r in sim.embedding_decontaminate(
+            vectors_df, evalset, threshold=0.9
+        ).collect()
+    }
+    assert len(out) == 5  # one row per corpus vector, leak or not
+    assert out[0].is_leak and out[0].best_eval_id == 0
+    assert out[0].best_cosine == 1.0 and out[0].n_hits == 1
+    assert out[2].is_leak and out[2].best_eval_id == 2
+    # vec 1 is nearly parallel to 0 (cos ≈ 0.995) — a true semantic leak
+    # that n-gram/fingerprint channels would miss
+    assert out[1].is_leak and out[1].best_eval_id == 0
+    assert out[1].best_cosine > 0.99
+    # anti-parallel and diagonal vectors stay clean, with no best_* echo
+    assert not out[3].is_leak and out[3].n_hits == 0
+    assert out[3].best_eval_id is None and out[3].best_cosine is None
+    assert not out[4].is_leak
+
+
+def test_embedding_decontaminate_no_corpus_shuffle(vectors_df):
+    """Scale-shape law: the corpus never shuffles — every join in the plan
+    is broadcast (nested-loop against the eval set, hash for the tiny hit
+    aggregate attach)."""
+    evalset = vectors_df.filter(F.col("vec_id") == 0)
+    plan = sim.embedding_decontaminate(
+        vectors_df, evalset, threshold=0.5
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    for line in plan.splitlines():
+        if "Exchange" in line and "broadcast" not in line.lower():
+            # the only non-broadcast exchange permitted is the tiny
+            # hits-only aggregate (rare rows), keyed on vec_id
+            assert "hashpartitioning(vec_id" in line
