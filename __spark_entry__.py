@@ -967,6 +967,33 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SOURCE_REP_TEMPLATE = "join our free newsletter for updates"
+
+
+def q_source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source reputation rollup (RefinedWeb/C4 URL-level curation
+    analog): flag whole sources whose document populations are ≥ 7/10
+    Gopher failures or ≥ 1/5 exact corpus-wide duplicates.  Injections:
+    every (doc_id % 20 == 11, even block) doc becomes one shared template
+    (src11 flags on dup share), every 97th doc goes NULL.  Natural fail
+    shares on this corpus span 0.52-0.80, so the quality flag splits the
+    sources both ways without help.  Strict DuckDB twin."""
+    from data_quality_spark.operators import quality_filters as qf
+
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 97 == 0, F.lit(None).cast("string"))
+        .when(
+            (F.col("doc_id") % 20 == 11)
+            & (F.expr("doc_id DIV 20") % 2 == 0),
+            F.lit(_SOURCE_REP_TEMPLATE),
+        )
+        .otherwise(F.col("text")),
+    )
+    return qf.source_reputation(injected, min_words=15, max_words=90)
+
+
 def _bias_report_cols(b: DataFrame, *by: str) -> DataFrame:
     """Shared display projection for the bias audits (6dp rounding)."""
     return b.select(
@@ -2592,6 +2619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats": q_vocab_stats,
         "length_histogram": q_length_histogram,
         "gopher_quality": q_gopher_quality,
+        "source_reputation": q_source_reputation,
         "keep_rate_bias": q_keep_rate_bias,
         "template_spam": q_template_spam,
         "repetition_stats": q_repetition_stats,
@@ -3117,15 +3145,23 @@ SELECT doc_id, lang, q_score, q_score > 0.0 AS q_keep
 FROM s ORDER BY doc_id"""
 
 
-def _gopher_flags_cte() -> str:
+def _gopher_flags_cte(
+    from_rel: str = "documents",
+    carry: tuple[str, ...] = ("lang",),
+    extra_t: str = "",
+    extra_f: str = "",
+) -> str:
     """Shared DuckDB CTE prefix ``t, f``: per-doc Gopher rule flags —
     the twin of quality_filters.gopher_flags (min_words=15, max_words=90)
-    used by both the tally and the bias-audit oracles."""
+    used by the tally, bias-audit, and source-reputation oracles.
+    ``from_rel``/``carry`` select the input relation and pass-through
+    columns; ``extra_t``/``extra_f`` append extra projected columns."""
     from data_quality_spark.operators.docs import _ALL_STOPWORDS
 
     stops = ", ".join(f"'{m}'" for m in _ALL_STOPWORDS)
+    cols = ", ".join(carry)
     return rf"""t AS (
-  SELECT lang,
+  SELECT {cols},
     CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nt,
     length(regexp_replace(coalesce(text, ''), '\s', '', 'g')) AS nns,
@@ -3133,15 +3169,15 @@ def _gopher_flags_cte() -> str:
     len(regexp_extract_all(coalesce(text, ''), '#|\.\.\.')) AS sym,
     CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
          ELSE len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-                              x -> list_contains([{stops}], x))) END AS ns
-  FROM documents
+                              x -> list_contains([{stops}], x))) END AS ns{extra_t}
+  FROM {from_rel}
 ), f AS (
-  SELECT lang,
+  SELECT {cols},
     (nt < 15 OR nt > 90) AS f_wc,
     (nns < 3 * nt OR nns > 10 * nt) AS f_mwl,
     (10 * sym > 1 * nt) AS f_sym,
     (5 * alpha < 4 * nt) AS f_alpha,
-    (ns < 2) AS f_stop
+    (ns < 2) AS f_stop{extra_f}
   FROM t
 )"""
 
@@ -3160,6 +3196,50 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(CASE WHEN NOT (f_wc OR f_mwl OR f_sym OR f_alpha OR f_stop)
            THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
 FROM f GROUP BY lang ORDER BY lang"""
+
+
+def _source_reputation_oracle() -> str:
+    """DuckDB twin of q_source_reputation: same injections, same gopher
+    flag expressions (shared CTE), corpus-wide md5 dup window, and the
+    integer cross-multiplied 7/10 quality and 1/5 dup flag laws."""
+    gopher = _gopher_flags_cte(
+        from_rel="d",
+        carry=("source",),
+        extra_t=(
+            ",\n    (text IS NULL OR length(trim(text)) = 0) AS nul,"
+            "\n    CASE WHEN text IS NULL OR length(trim(text)) = 0"
+            " THEN NULL ELSE md5(text) END AS fp"
+        ),
+        extra_f=",\n    nul, fp",
+    )
+    return rf"""
+WITH d AS (
+  SELECT doc_id, source,
+    CASE WHEN doc_id % 97 = 0 THEN NULL
+         WHEN doc_id % 20 = 11 AND (doc_id // 20) % 2 = 0
+              THEN '{_SOURCE_REP_TEMPLATE}'
+         ELSE text END AS text
+  FROM documents
+), {gopher},
+m AS (
+  SELECT source, nul,
+    (f_wc OR f_mwl OR f_sym OR f_alpha OR f_stop) AS gf,
+    (fp IS NOT NULL AND count(*) OVER (PARTITION BY fp) > 1) AS dup
+  FROM f
+),
+a AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(CASE WHEN gf THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_fail,
+    CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+    CAST(sum(CASE WHEN nul THEN 1 ELSE 0 END) AS BIGINT) AS n_null_empty
+  FROM m GROUP BY source
+)
+SELECT source, n_docs, n_gopher_fail, n_dup, n_null_empty,
+  (n_gopher_fail * 10 >= n_docs * 7) AS flag_quality,
+  (n_dup * 5 >= n_docs * 1) AS flag_dup,
+  ((n_gopher_fail * 10 >= n_docs * 7) OR (n_dup * 5 >= n_docs * 1))
+    AS flag_source
+FROM a ORDER BY source"""
 
 
 def _keep_rate_bias_oracle() -> str:
@@ -4121,6 +4201,7 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
 FROM t GROUP BY lang ORDER BY lang""",
         "stopword_stats": _stopword_stats_oracle(),
         "gopher_quality": _gopher_quality_oracle(),
+        "source_reputation": _source_reputation_oracle(),
         "keep_rate_bias": _keep_rate_bias_oracle(),
         "template_spam": _template_spam_oracle(),
         "repetition_stats": _repetition_stats_oracle(),

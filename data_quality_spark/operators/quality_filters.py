@@ -41,6 +41,7 @@ from .docs import _ALL_STOPWORDS, token_count_col
 __all__ = [
     "gopher_flags",
     "gopher_quality",
+    "source_reputation",
     "word_ngrams",
     "repetition_flags",
     "repetition_stats",
@@ -142,6 +143,83 @@ def gopher_quality(
             F.sum(F.col("gopher_pass").cast("int")).cast("long").alias("n_pass"),
         )
         .orderBy("lang")
+    )
+
+
+def source_reputation(
+    docs: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+    min_words: int = MIN_WORDS,
+    max_words: int = MAX_WORDS,
+    fail_num: int = 7,
+    fail_den: int = 10,
+    dup_num: int = 1,
+    dup_den: int = 5,
+) -> DataFrame:
+    """Per-source (domain/site/feed) reputation rollup — the RefinedWeb /
+    C4 URL-level curation analog: instead of judging documents one at a
+    time, judge the SOURCE by the aggregate behavior of its documents and
+    flag whole sources whose populations are bad.  A domain that is 70%
+    Gopher-failures or 20% exact duplicates is a template farm / scraper
+    trap; dropping it wholesale is cheaper and safer than per-doc
+    filtering (one bad doc from a good domain is noise; a bad domain
+    emits bad docs forever).
+
+    Signals per source — all exact integers:
+
+    - ``n_gopher_fail``: docs failing ANY Gopher A1.1 rule
+      (``gopher_flags``, integer cross-multiplied thresholds);
+    - ``n_dup``: docs whose exact text (md5) appears more than once
+      CORPUS-WIDE (cross-source: a template shared across two domains
+      counts against both);
+    - ``n_null_empty``: NULL/blank documents.
+
+    Flags are integer cross-multiplications: ``flag_quality`` ⇔
+    fail share ≥ fail_num/fail_den, ``flag_dup`` ⇔ dup share ≥
+    dup_num/dup_den, ``flag_source`` = either.
+
+    Scale shape: gopher flags are map-side column arithmetic on the scan;
+    the dup test shuffles a SLIM projection (source, two ints, one
+    32-char digest) keyed on the digest — documents themselves never
+    move; the rollup keys a low-cardinality source with map-side
+    partials.  Two exchanges total, both narrow.
+    """
+    text = F.col(text_col)
+    flagged = gopher_flags(docs, text_col=text_col,
+                           min_words=min_words, max_words=max_words)
+    null_empty = text.isNull() | (F.length(F.trim(text)) == 0)
+    slim = flagged.select(
+        F.col(by).alias("__by"),
+        (~F.col("gopher_pass")).cast("int").alias("__gf"),
+        null_empty.cast("int").alias("__nul"),
+        F.when(~null_empty, F.md5(text)).alias("__fp"),
+    )
+    w = Window.partitionBy("__fp")
+    marked = slim.withColumn(
+        "__dup",
+        (F.col("__fp").isNotNull() & (F.count(F.lit(1)).over(w) > 1))
+        .cast("int"),
+    )
+    n_docs = F.count(F.lit(1)).cast("long")
+    agg = marked.groupBy(F.col("__by").alias(by)).agg(
+        n_docs.alias("n_docs"),
+        F.sum("__gf").cast("long").alias("n_gopher_fail"),
+        F.sum("__dup").cast("long").alias("n_dup"),
+        F.sum("__nul").cast("long").alias("n_null_empty"),
+    )
+    flag_quality = (
+        F.col("n_gopher_fail") * F.lit(fail_den)
+        >= F.col("n_docs") * F.lit(fail_num)
+    )
+    flag_dup = (
+        F.col("n_dup") * F.lit(dup_den) >= F.col("n_docs") * F.lit(dup_num)
+    )
+    return (
+        agg.withColumn("flag_quality", flag_quality)
+        .withColumn("flag_dup", flag_dup)
+        .withColumn("flag_source", flag_quality | flag_dup)
+        .orderBy(by)
     )
 
 

@@ -429,3 +429,66 @@ class TestFrequentLineRemoval:
         lex = {r["line"]: r["line_docs"]
                for r in frequent_lines(self._docs(spark), min_docs=3).collect()}
         assert lex == {"subscribe now": 4}
+
+
+class TestSourceReputation:
+    def _corpus(self, spark):
+        # src_good: 4 clean docs.  src_farm: 4 gopher-junk docs.
+        # src_dup: 3 copies of one template + 1 clean (dup share 3/4).
+        # One cross-source copy of the template lands in src_good so
+        # corpus-wide (not per-source) dup grouping is exercised.
+        template = "subscribe now and join our newsletter list today"
+        rows = [
+            *[(i, PASSING + f" variant {i}", "en", "src_good")
+              for i in range(3)],
+            (3, template, "en", "src_good"),        # cross-source dup
+            *[(10 + i, "### ### ###", "en", "src_farm") for i in range(4)],
+            *[(20 + i, template, "en", "src_dup") for i in range(3)],
+            (23, PASSING + " tail", "en", "src_dup"),
+            (30, None, "en", "src_null"),
+            (31, "   ", "en", "src_null"),
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        )
+
+    def test_signals_and_flags(self, spark):
+        from data_quality_spark.operators.quality_filters import (
+            source_reputation,
+        )
+
+        out = {
+            r.source: r
+            for r in source_reputation(
+                self._corpus(spark), min_words=5, max_words=50
+            ).collect()
+        }
+        good = out["src_good"]
+        # the cross-source template copy is one dup and one gopher fail:
+        # 1/4 misses the 7/10 quality law but meets the 1/5 dup law
+        assert good.n_gopher_fail == 1 and good.n_dup == 1
+        assert not good.flag_quality and good.flag_dup
+        farm = out["src_farm"]
+        assert farm.n_gopher_fail == 4 and farm.flag_quality
+        assert farm.n_dup == 4 and farm.flag_dup  # identical junk = dups
+        dup = out["src_dup"]
+        assert dup.n_dup == 3 and dup.flag_dup
+        nul = out["src_null"]
+        assert nul.n_null_empty == 2 and nul.n_dup == 0  # blanks never dup
+        assert nul.flag_quality  # NULL/blank docs fail gopher wholesale
+
+    def test_junk_within_source_is_itself_dup(self, spark):
+        # identical junk docs within one source ARE corpus-wide dups —
+        # the farm flags on BOTH axes
+        from data_quality_spark.operators.quality_filters import (
+            source_reputation,
+        )
+
+        out = {
+            r.source: r
+            for r in source_reputation(
+                self._corpus(spark), min_words=5, max_words=50
+            ).collect()
+        }
+        farm = out["src_farm"]
+        assert farm.n_dup == 4 and farm.flag_dup
