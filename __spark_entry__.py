@@ -899,6 +899,21 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail partition (Wenzek et al. 2020): the
+    bit-identical linear score cut into per-language population terciles
+    by ANSI ntile ordered (q_score DESC, doc_id).  Every document's
+    bucket is checked — the tie law and the uneven-group ntile split are
+    the differential surface.  Strict DuckDB twin (shared score CTE)."""
+    from data_quality_spark.operators.quality_model import score_buckets
+
+    return (
+        score_buckets(_t(spark, sf_dir, "documents"))
+        .select("doc_id", "lang", "q_score", "bucket_idx", "bucket")
+        .orderBy("doc_id")
+    )
+
+
 def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The quality-filter funnel: per-language survivor counts through
     exact dedup → Gopher rules → repetition rules → benchmark
@@ -2626,6 +2641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": q_decontamination,
         "corpus_funnel": q_corpus_funnel,
         "quality_score": q_quality_score,
+        "ccnet_buckets": q_ccnet_buckets,
         "frequent_line_removal": q_frequent_line_removal,
         "span_dedup": q_span_dedup,
         "pii_secrets_audit": q_pii_secrets_audit,
@@ -3107,18 +3123,19 @@ FROM t GROUP BY token
 ORDER BY freq DESC, token ASC LIMIT 20"""
 
 
-def _quality_score_oracle() -> str:
-    """DuckDB twin of q_quality_score: the SAME feature definitions and
-    the SAME left-associated weight chain (weights inlined from
-    quality_model.WEIGHTS), so the raw doubles are bit-identical."""
+def _quality_score_cte() -> str:
+    """Shared DuckDB CTE prefix ``t, s``: per-doc linear quality score —
+    the SAME feature definitions and the SAME left-associated weight
+    chain as quality_model.quality_score_col (weights inlined), so the
+    raw doubles are bit-identical.  Used by the scoring and the
+    CCNet-bucket oracles."""
     from data_quality_spark.operators.docs import _ALL_STOPWORDS
     from data_quality_spark.operators.quality_model import LEN_CAP, WEIGHTS
 
     stops = ", ".join(f"'{m}'" for m in _ALL_STOPWORDS)
     toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
     b, w_stop, w_len, w_digit, w_special = WEIGHTS
-    return rf"""
-WITH t AS (
+    return rf"""t AS (
   SELECT doc_id, lang,
     CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
          ELSE len({toks}) END AS nt,
@@ -3140,9 +3157,34 @@ s AS (
      + ({w_special} * (CASE WHEN nc > 0 THEN nsp / nc ELSE 0.0 END)))
     AS q_score
   FROM t
-)
+)"""
+
+
+def _quality_score_oracle() -> str:
+    """DuckDB twin of q_quality_score (shared score CTE)."""
+    return rf"""
+WITH {_quality_score_cte()}
 SELECT doc_id, lang, q_score, q_score > 0.0 AS q_keep
 FROM s ORDER BY doc_id"""
+
+
+def _ccnet_buckets_oracle() -> str:
+    """DuckDB twin of q_ccnet_buckets: the shared bit-identical score CTE
+    + ANSI ntile(3) per language ordered by (score DESC, doc_id)."""
+    return rf"""
+WITH {_quality_score_cte()},
+n AS (
+  SELECT doc_id, lang, q_score,
+    CAST(ntile(3) OVER (PARTITION BY lang
+                        ORDER BY q_score DESC, doc_id) AS INTEGER)
+      AS bucket_idx
+  FROM s
+)
+SELECT doc_id, lang, q_score, bucket_idx,
+  CASE WHEN bucket_idx = 1 THEN 'head'
+       WHEN bucket_idx = 3 THEN 'tail'
+       ELSE 'middle' END AS bucket
+FROM n ORDER BY doc_id"""
 
 
 def _gopher_flags_cte(
@@ -4208,6 +4250,7 @@ FROM t GROUP BY lang ORDER BY lang""",
         "decontamination": _decontamination_oracle(),
         "corpus_funnel": _corpus_funnel_oracle(),
         "quality_score": _quality_score_oracle(),
+        "ccnet_buckets": _ccnet_buckets_oracle(),
         "text_audit": _text_audit_oracle(),
         "vocab_stats": _VOCAB_STATS_SQL,
         "length_histogram": _length_histogram_oracle(),

@@ -30,13 +30,14 @@ weighted multi-feature score.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .docs import _ALL_STOPWORDS, token_count_col
 
 __all__ = [
     "quality_score", "quality_score_col", "quality_score_stats",
+    "score_buckets", "learn_cutoffs", "bucket_by_cutoffs",
     "WEIGHTS", "LEN_CAP",
 ]
 
@@ -93,6 +94,98 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """
     return docs.withColumn("q_score", quality_score_col(text_col)).withColumn(
         "q_keep", F.col("q_score") > F.lit(0.0)
+    )
+
+
+def score_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style per-language head/middle/tail partition (Wenzek et al.
+    2020): score every document with the linear model, then cut each
+    language into ``n_buckets`` equal-population quantile buckets —
+    bucket 1 ("head") is the best-scoring third, bucket ``n_buckets``
+    ("tail") the worst.  CCNet keeps head+middle for pretraining and
+    drops (or down-weights) the tail; the bucket column is that decision
+    as data.
+
+    Exact formulation: ANSI ``ntile`` per group ordered by
+    ``(q_score DESC, id)`` — the score is engine-bit-identical (see
+    module docstring) and the id tiebreak makes the assignment fully
+    deterministic, so the bucket of every document is differential-
+    checkable.  This is the verification path: it implies a per-group
+    sort.  The production path at 10^12 rows is :func:`learn_cutoffs` +
+    :func:`bucket_by_cutoffs` — boundary scores learned from a one-pass
+    approximate-quantile aggregate, then a map-side comparison with NO
+    sort and NO shuffle of the corpus (exactly how CCNet applies
+    perplexity cutoffs computed on a sample).
+    """
+    scored = quality_score(docs, text_col=text_col)
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("q_score"), F.asc(id_col)
+    )
+    idx = F.ntile(n_buckets).over(w)
+    return scored.withColumn("bucket_idx", idx).withColumn(
+        "bucket",
+        F.when(F.col("bucket_idx") == 1, F.lit("head"))
+        .when(F.col("bucket_idx") == n_buckets, F.lit("tail"))
+        .otherwise(F.lit("middle")),
+    )
+
+
+def learn_cutoffs(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    n_buckets: int = 3,
+    accuracy: int = 10_000,
+) -> dict:
+    """Per-group descending bucket-boundary scores from ONE approximate-
+    quantile aggregate (percentile_approx, Greenwald-Khanna sketch —
+    mergeable, map-side partials, output O(groups)).  Returns
+    ``{group: [b1 > b2 > ...]}`` for :func:`bucket_by_cutoffs`."""
+    probs = [i / n_buckets for i in range(n_buckets - 1, 0, -1)]
+    rows = (
+        quality_score(docs, text_col=text_col)
+        .groupBy(group_col)
+        .agg(
+            F.percentile_approx(
+                "q_score", probs, F.lit(accuracy)
+            ).alias("qs")
+        )
+        .collect()
+    )
+    return {r[group_col]: list(r.qs) for r in rows}
+
+
+def bucket_by_cutoffs(
+    docs: DataFrame,
+    cutoffs: dict,
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """The scale path of :func:`score_buckets`: bucket by comparing each
+    score against the group's learned boundaries — pure map-side column
+    arithmetic, no sort, no shuffle (the cutoff table is a when-chain of
+    literals; at higher group cardinality, a broadcast join).  Bucket
+    boundaries are approximate where the sketch is; interior documents
+    land exactly as the ntile path would."""
+    n_buckets = len(next(iter(cutoffs.values()))) + 1 if cutoffs else 1
+    scored = quality_score(docs, text_col=text_col)
+    idx: Column = F.lit(1)
+    for grp, bounds in sorted(cutoffs.items()):
+        below = sum(
+            (F.col("q_score") < F.lit(float(b))).cast("int") for b in bounds
+        )
+        idx = F.when(F.col(group_col) == grp, 1 + below).otherwise(idx)
+    return scored.withColumn("bucket_idx", idx.cast("int")).withColumn(
+        "bucket",
+        F.when(F.col("bucket_idx") == 1, F.lit("head"))
+        .when(F.col("bucket_idx") == n_buckets, F.lit("tail"))
+        .otherwise(F.lit("middle")),
     )
 
 

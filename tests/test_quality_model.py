@@ -86,3 +86,84 @@ def test_no_shuffle_scoring_plan(spark, docs):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan  # one scan, map-side only
+
+
+class TestScoreBuckets:
+    def _corpus(self, spark, n=30):
+        # n docs per lang with strictly increasing stopword mass → strictly
+        # ordered scores (no score ties, so bucket assignment is forced)
+        rows = []
+        for lang in ("en", "de"):
+            for i in range(n):
+                text = " ".join(["the"] * (i + 1) + ["zzz"] * (n - i))
+                rows.append((len(rows), text, lang))
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string"
+        )
+
+    def test_ntile_populations_and_labels(self, spark):
+        from data_quality_spark.operators.quality_model import score_buckets
+
+        out = score_buckets(self._corpus(spark)).collect()
+        for lang in ("en", "de"):
+            per = [r for r in out if r.lang == lang]
+            sizes = {b: sum(1 for r in per if r.bucket_idx == b)
+                     for b in (1, 2, 3)}
+            assert sizes == {1: 10, 2: 10, 3: 10}
+            # head outscores middle outscores tail, per language
+            lo = {b: min(r.q_score for r in per if r.bucket_idx == b)
+                  for b in (1, 2, 3)}
+            hi = {b: max(r.q_score for r in per if r.bucket_idx == b)
+                  for b in (1, 2, 3)}
+            assert lo[1] >= hi[2] and lo[2] >= hi[3]
+        labels = {r.bucket_idx: r.bucket for r in out}
+        assert labels == {1: "head", 2: "middle", 3: "tail"}
+
+    def test_tie_law_is_id_deterministic(self, spark):
+        from data_quality_spark.operators.quality_model import score_buckets
+
+        # four identical docs → identical scores; ntile must split 2/1/1
+        # in doc_id order
+        df = spark.createDataFrame(
+            [(i, "same text here", "en") for i in range(4)],
+            "doc_id long, text string, lang string",
+        )
+        got = {r.doc_id: r.bucket_idx
+               for r in score_buckets(df).collect()}
+        assert got == {0: 1, 1: 1, 2: 2, 3: 3}
+
+    def test_cutoff_scale_path_matches_interior(self, spark):
+        from data_quality_spark.operators.quality_model import (
+            bucket_by_cutoffs,
+            learn_cutoffs,
+            score_buckets,
+        )
+
+        corpus = self._corpus(spark)
+        cuts = learn_cutoffs(corpus)
+        assert set(cuts) == {"en", "de"} and all(
+            b[0] > b[1] for b in cuts.values()
+        )
+        exact = {r.doc_id: r.bucket_idx
+                 for r in score_buckets(corpus).collect()}
+        approx = {r.doc_id: r.bucket_idx
+                  for r in bucket_by_cutoffs(corpus, cuts).collect()}
+        # boundary docs may straddle (sketch semantics: the learned
+        # boundary score itself lands on the head side of <); everything
+        # else agrees
+        diff = [d for d in exact if exact[d] != approx[d]]
+        assert len(diff) <= 4  # ≤ one doc per boundary per lang
+        for d in diff:
+            assert abs(exact[d] - approx[d]) == 1
+
+    def test_cutoff_path_has_no_exchange(self, spark):
+        from data_quality_spark.operators.quality_model import (
+            bucket_by_cutoffs,
+        )
+
+        corpus = self._corpus(spark)
+        plan = (
+            bucket_by_cutoffs(corpus, {"en": [0.5, 0.0], "de": [0.4, -0.1]})
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
