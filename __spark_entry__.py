@@ -2460,6 +2460,39 @@ def q_audio_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+def q_audio_truepeak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True-peak audit (BS.1770-4 shape, exact-integer): ×4 oversample
+    through the fixed Q15 tap spec table, flags decided by integer
+    compares (over 0 dBTP / hidden over below the sample rail / above
+    the −1 dBTP program limit).  Seeded corpus: fs/4 sines at 45° whose
+    SAMPLES stay ≤ 0.82·rail while the reconstruction is 3-15% over
+    full scale, a clipped flat-top, and a hot-but-legal class.  Twin:
+    shared decode + tap spec, INDEPENDENT zero-stuff full convolution vs
+    the kernel's polyphase (bit-equal in exact ints), explicit flag
+    laws.  No float column is hashed."""
+    from data_quality_spark.operators.audio_truepeak import truepeak_flags
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_truepeak_corpus
+
+    ensure_expected("audio_truepeak", sf_dir)
+    key = ("truepeak", 300, 42)
+    if key not in _CLIPS_CACHE:
+        _CLIPS_CACHE[key] = make_audio_truepeak_corpus(300, seed=42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(
+        _CLIPS_CACHE[key][cols], CLIPS_SCHEMA
+    ).repartition(8, "clip_id")
+    return truepeak_flags(clips).select(
+        "clip_id",
+        "n_samples",
+        "sample_peak",
+        "tp_q15",
+        "is_tp_over",
+        "is_hidden_over",
+        "is_hot",
+    ).orderBy("clip_id")
+
+
 def q_audio_downmix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repair-aware channel normalization: every clip re-emitted as mono
     pcm16, with the mixdown chosen per clip by the stereo audit's exact
@@ -2715,6 +2748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_downmix": q_audio_downmix,
         "audio_flutter": q_audio_flutter,
         "audio_clicks": q_audio_clicks,
+        "audio_truepeak": q_audio_truepeak,
         "audio_reverb": q_audio_reverb,
         "audio_speed_dup": q_audio_speed_dup,
         "clips_decontaminate": q_clips_decontaminate,
@@ -4545,6 +4579,7 @@ ORDER BY d.doc_id""",
         "audio_downmix": _expected_sql("audio_downmix"),
         "audio_flutter": _expected_sql("audio_flutter"),
         "audio_clicks": _expected_sql("audio_clicks"),
+        "audio_truepeak": _expected_sql("audio_truepeak"),
         "audio_reverb": _expected_sql("audio_reverb"),
         "audio_speed_dup": _expected_sql("audio_speed_dup"),
         "code_switch": _expected_sql("code_switch"),

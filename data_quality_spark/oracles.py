@@ -1193,6 +1193,59 @@ def _audio_flutter_expected(n=300, seed=42) -> dict:
     return out
 
 
+def _audio_truepeak_expected(n=300, seed=42) -> dict:
+    """Twin of ``operators.audio_truepeak.truepeak_flags``: the decode
+    dispatch and the Q15 tap SPEC TABLE are shared (the taps are part of
+    the operator definition, like the pHash cosine table); the
+    oversampled stream is recomputed via the LITERAL definition —
+    zero-stuff then ONE full int64 convolution — against the kernel's
+    4-phase polyphase decomposition.  In exact integer arithmetic the
+    two are the same sums term for term (the 3 trailing extra indices of
+    the full conv are provably zero), so any divergence is a real kernel
+    bug (phase slicing, edge handling).  Static overflow bound:
+    48·32768·32768 ≈ 5.2e13 ≪ 2^63.  Flags replayed as explicit Python
+    integer laws."""
+    from .functions.audio import _decode_i16
+    from .functions.truepeak import (
+        FS_Q15,
+        RAIL_I16,
+        TP_L,
+        TP_LIMIT_Q15,
+        TP_TAPS_Q15,
+    )
+    from .synth import make_audio_truepeak_corpus
+
+    pdf = make_audio_truepeak_corpus(n, seed=seed)
+    out: dict[str, list] = {
+        "clip_id": [], "n_samples": [], "sample_peak": [], "tp_q15": [],
+        "is_tp_over": [], "is_hidden_over": [], "is_hot": [],
+    }
+    for _, r in pdf.sort_values("clip_id").iterrows():
+        try:
+            q = _decode_i16(r["bytes"], r["codec"], r["sr_hz"])
+        except (ValueError, TypeError):
+            q = np.zeros(0, dtype=np.int16)
+        n_s = int(q.size)
+        if n_s == 0:
+            sp = tp = None
+        else:
+            x = q.astype(np.int64)
+            zs = np.zeros(TP_L * n_s, dtype=np.int64)
+            zs[::TP_L] = x
+            y = np.convolve(zs, TP_TAPS_Q15)
+            sp = int(np.abs(x).max())
+            tp = int(np.abs(y).max())
+        over = bool(tp is not None and tp > FS_Q15)
+        out["clip_id"].append(r["clip_id"])
+        out["n_samples"].append(n_s)
+        out["sample_peak"].append(sp)
+        out["tp_q15"].append(tp)
+        out["is_tp_over"].append(over)
+        out["is_hidden_over"].append(bool(over and sp < RAIL_I16))
+        out["is_hot"].append(bool(tp is not None and tp > TP_LIMIT_Q15))
+    return out
+
+
 def _audio_clicks_expected(n=300, seed=42) -> dict:
     """Twin of ``operators.audio_clicks.click_flags``: the decode dispatch
     is shared, everything after it is an INDEPENDENT pure-Python integer
@@ -4298,6 +4351,12 @@ _SCHEMAS: dict[str, pa.Schema] = {
          ("n_clicks", pa.int32()), ("max_d2", pa.int64()),
          ("is_clicky", pa.bool_())]
     ),
+    "audio_truepeak": pa.schema(
+        [("clip_id", pa.string()), ("n_samples", pa.int64()),
+         ("sample_peak", pa.int32()), ("tp_q15", pa.int64()),
+         ("is_tp_over", pa.bool_()), ("is_hidden_over", pa.bool_()),
+         ("is_hot", pa.bool_())]
+    ),
     "audio_downmix": pa.schema(
         [("clip_id", pa.string()), ("n_ch", pa.int32()),
          ("downmix_mode", pa.string()), ("sr_hz", pa.int32()),
@@ -4538,6 +4597,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_flutter_expected()
     elif name == "audio_clicks":
         data = _audio_clicks_expected()
+    elif name == "audio_truepeak":
+        data = _audio_truepeak_expected()
     elif name == "code_switch":
         data = _code_switch_expected(sf_dir)
     elif name == "clips_decontaminate":

@@ -847,6 +847,78 @@ def make_audio_click_corpus(
     return pd.DataFrame(rows, columns=base.columns)
 
 
+def make_audio_truepeak_corpus(
+    n: int = 300,
+    seed: int = 42,
+    defect_every: int = 4,
+) -> pd.DataFrame:
+    """Corpus with seeded inter-sample-over / hot-master defects for the
+    true-peak audit.
+
+    Every ``defect_every``-th decodable clip's payload is REPLACED with
+    a constructed class (same length, pcm16):
+
+    - ``tp_hot``: sine at fs/4, phase 45°, amplitude 31000 — true peak
+      ≈ −0.55 dBTP: breaches the −1 dBTP program limit but stays under
+      full scale (flags ``is_hot`` only);
+    - ``tp_isp``: the textbook hidden over — fs/4 at 45°, amplitude
+      rotating 34000/36000/38000: every SAMPLE sits at ≤ 0.821·rail
+      while the reconstructed peak is 3-15% ABOVE full scale (flags
+      ``is_tp_over`` + ``is_hidden_over``);
+    - ``tp_rail``: an 880 Hz sine at 1.1× full scale clipped to the
+      rails — flat-top overshoot on reconstruction (flags over, NOT
+      hidden: the sample peak is at the rail).
+
+    All other decodable clips are exactly halved (arithmetic shift —
+    ≥ 6 dB of true-peak headroom) so the clean class provably cannot
+    flag; undecodable/sr-less rows pass through untouched (totality).
+    Margins to every decision constant exceed 3% — quantized-filter
+    ripple (≲1%) cannot flip a class."""
+    base = generate_clips(n, seed=seed)
+    cases = ["tp_hot", "tp_isp", "tp_rail"]
+    isp_amps = [34000, 36000, 38000]
+    rows = []
+    k = 0
+    j = 0
+    for i in range(len(base)):
+        row = base.iloc[i].to_dict()
+        sr = int(row["sr_hz"]) or 0
+        if sr <= 0:
+            rows.append(row)
+            continue
+        try:
+            q = A._decode_i16(row["bytes"], row["codec"], row["sr_hz"])
+        except (ValueError, TypeError):
+            rows.append(row)
+            continue
+        if len(q) == 0:
+            rows.append(row)
+            continue
+        if (i + 1) % defect_every == 0:
+            t = np.arange(len(q), dtype=np.float64)
+            tag = cases[k % len(cases)]
+            k += 1
+            if tag == "tp_hot":
+                s = 31000.0 * np.sin(0.5 * np.pi * t + np.pi / 4)
+            elif tag == "tp_isp":
+                amp = float(isp_amps[j % len(isp_amps)])
+                j += 1
+                s = amp * np.sin(0.5 * np.pi * t + np.pi / 4)
+            else:
+                s = np.clip(
+                    36000.0 * np.sin(2 * np.pi * 880.0 * t / sr),
+                    -32767.0, 32767.0,
+                )
+            qq = np.rint(s).astype(np.int16)
+            row["defect"] = tag
+        else:
+            qq = (q >> 1).astype(np.int16)  # exact halving, −6 dB
+        row["bytes"] = qq.astype("<i2").tobytes()
+        row["codec"] = "pcm16"
+        rows.append(row)
+    return pd.DataFrame(rows, columns=base.columns)
+
+
 def generate_clips_distributed(
     spark, n: int, seed: int = 42, partitions: int = 32, defect_frac: float = 0.35
 ):
