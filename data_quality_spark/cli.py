@@ -152,7 +152,7 @@ def build_parser() -> argparse.ArgumentParser:
         "--kind",
         choices=["text", "audio", "loops", "labels", "boilerplate",
                  "quantization", "pii", "reverb", "stereo", "flutter",
-                 "clicks"],
+                 "clicks", "truepeak"],
         default="text",
     )
     au.add_argument("--min-words", type=int, default=15)
@@ -561,6 +561,15 @@ def main(argv: list[str] | None = None) -> int:
                 )
 
                 issues_df = click_issues(click_flags(df), table=args.table)
+            elif args.kind == "truepeak":
+                from .operators.audio_truepeak import (
+                    truepeak_flags,
+                    truepeak_issues,
+                )
+
+                issues_df = truepeak_issues(
+                    truepeak_flags(df), table=args.table
+                )
             elif args.kind == "boilerplate":
                 from pyspark.sql import functions as F2
 

@@ -519,3 +519,36 @@ def test_cli_audit_quantization(spark, tmp_path, capsys, monkeypatch):
     r = rows["audio_upconverted"]
     assert r["total"] == 200 and r["count"] > 20
     assert r["severity"] == "warning"
+
+
+def test_cli_audit_truepeak(spark, tmp_path, capsys, monkeypatch):
+    """audit --kind truepeak: seeded inter-sample overs are critical
+    (exit 2 under default fail_on=critical)."""
+    import data_quality_spark.cli as cli
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_truepeak_corpus
+
+    monkeypatch.setattr("pyspark.sql.SparkSession.stop", lambda self: None)
+    tables = tmp_path / "tables"
+    tables.mkdir()
+    pdf = make_audio_truepeak_corpus(120, seed=42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    spark.createDataFrame(pdf[cols], CLIPS_SCHEMA).coalesce(2).write.parquet(
+        str(tables / "tpclips.parquet")
+    )
+    code = cli.main(
+        ["audit", "--tables", str(tables), "--table", "tpclips",
+         "--kind", "truepeak", "--format", "json", "--fail-on", "none"]
+    )
+    rows = {r["issue_type"]: r for r in json.loads(capsys.readouterr().out)}
+    assert code == 0
+    n_over = int(pdf["defect"].isin(["tp_isp", "tp_rail"]).sum())
+    n_hot = int((pdf["defect"] == "tp_hot").sum())
+    assert rows["true_peak_over"]["count"] == n_over
+    assert rows["true_peak_over"]["severity"] == "critical"
+    assert rows["true_peak_hot"]["count"] == n_hot
+    assert cli.main(
+        ["audit", "--tables", str(tables), "--table", "tpclips",
+         "--kind", "truepeak"]
+    ) == 2
+    capsys.readouterr()
