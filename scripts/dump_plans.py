@@ -423,6 +423,54 @@ def main() -> None:
         ),
     )
 
+    from data_quality_spark.operators.quality_filters import (
+        source_reputation,
+    )
+    from data_quality_spark.operators.quality_model import (
+        bucket_by_cutoffs,
+        learn_cutoffs,
+    )
+    from data_quality_spark.operators.similarity import (
+        embedding_decontaminate,
+    )
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    sections.append((
+        "Embedding eval-set decontamination (broadcast probe, no corpus "
+        "shuffle)",
+        "The eval set is broadcast and the corpus side must never "
+        "shuffle: the plan shows a BroadcastNestedLoopJoin scoring pass "
+        "with the >= threshold filter BELOW the aggregate (only rare "
+        "hits — ids plus one double — reach it), and the final attach "
+        "of the tiny hit aggregate is a BroadcastHashJoin back onto the "
+        "corpus ids. The only hash exchange is the hits-only aggregate "
+        "keyed on vec_id.",
+        embedding_decontaminate(
+            emb, emb.filter(F.col("vec_id") % 7 == 0), threshold=0.9
+        ),
+    ))
+    sections.append((
+        "CCNet bucket scale path (sketch-learned cutoffs, map-side "
+        "bucketing)",
+        "After learn_cutoffs collapses the corpus to O(groups) boundary "
+        "rows via one percentile_approx aggregate, the bucketing pass "
+        "must be shuffle-free: one FileScan into one WholeStageCodegen "
+        "span evaluating the score chain and the cutoff when-chain — NO "
+        "Exchange anywhere (the exact-ntile verification path, by "
+        "contrast, pays a per-group sort; that is why it is the "
+        "verification path).",
+        bucket_by_cutoffs(docs, learn_cutoffs(docs)),
+    ))
+    sections.append((
+        "Per-source reputation rollup (slim dup-digest shuffle)",
+        "Gopher flags are column arithmetic on the scan; the corpus-wide "
+        "exact-dup window shuffles ONLY the slim (source, two ints, md5 "
+        "digest) projection keyed on the digest — documents never move "
+        "— and the per-source tally is a low-cardinality hash aggregate "
+        "with map-side partials. Two narrow exchanges total.",
+        source_reputation(docs, min_words=15, max_words=90),
+    ))
+
     out = ["# PLANS — physical-plan evidence for the core operators\n"]
     out.append(
         "Generated by `scripts/dump_plans.py` (`.explain(formatted)` on "
