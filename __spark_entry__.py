@@ -2460,6 +2460,39 @@ def q_audio_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+def q_audio_musicspeech(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Music/speech/other content-class audit (Scheirer-Slaney two-
+    feature separation): syllabic 2-8 Hz envelope modulation (integer
+    bin-edge law) × tonal-stability run mass over 64 ms frames; label
+    law on >3× separated thresholds.  Seeded corpus: constructed chord
+    and burst classes replacing every 3rd decodable clip.  Twin: shared
+    per-clip kernel (batch-layout-independent float64), explicit Python
+    label law."""
+    from data_quality_spark.operators.audio_musicspeech import (
+        musicspeech_labels,
+    )
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_musicspeech_corpus
+
+    ensure_expected("audio_musicspeech", sf_dir)
+    key = ("musicspeech", 300, 42)
+    if key not in _CLIPS_CACHE:
+        _CLIPS_CACHE[key] = make_audio_musicspeech_corpus(300, seed=42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(
+        _CLIPS_CACHE[key][cols], CLIPS_SCHEMA
+    ).repartition(8, "clip_id")
+    return musicspeech_labels(clips).select(
+        "clip_id",
+        "n_env",
+        "n_tone",
+        "n_active",
+        F.round("syl_frac", 6).alias("syl_r"),
+        F.round("stable_frac", 6).alias("stable_r"),
+        "av_label",
+    ).orderBy("clip_id")
+
+
 def q_audio_truepeak(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True-peak audit (BS.1770-4 shape, exact-integer): ×4 oversample
     through the fixed Q15 tap spec table, flags decided by integer
@@ -2749,6 +2782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_flutter": q_audio_flutter,
         "audio_clicks": q_audio_clicks,
         "audio_truepeak": q_audio_truepeak,
+        "audio_musicspeech": q_audio_musicspeech,
         "audio_reverb": q_audio_reverb,
         "audio_speed_dup": q_audio_speed_dup,
         "clips_decontaminate": q_clips_decontaminate,
@@ -4580,6 +4614,7 @@ ORDER BY d.doc_id""",
         "audio_flutter": _expected_sql("audio_flutter"),
         "audio_clicks": _expected_sql("audio_clicks"),
         "audio_truepeak": _expected_sql("audio_truepeak"),
+        "audio_musicspeech": _expected_sql("audio_musicspeech"),
         "audio_reverb": _expected_sql("audio_reverb"),
         "audio_speed_dup": _expected_sql("audio_speed_dup"),
         "code_switch": _expected_sql("code_switch"),

@@ -152,7 +152,7 @@ def build_parser() -> argparse.ArgumentParser:
         "--kind",
         choices=["text", "audio", "loops", "labels", "boilerplate",
                  "quantization", "pii", "reverb", "stereo", "flutter",
-                 "clicks", "truepeak"],
+                 "clicks", "truepeak", "musicspeech"],
         default="text",
     )
     au.add_argument("--min-words", type=int, default=15)
@@ -569,6 +569,15 @@ def main(argv: list[str] | None = None) -> int:
 
                 issues_df = truepeak_issues(
                     truepeak_flags(df), table=args.table
+                )
+            elif args.kind == "musicspeech":
+                from .operators.audio_musicspeech import (
+                    musicspeech_issues,
+                    musicspeech_labels,
+                )
+
+                issues_df = musicspeech_issues(
+                    musicspeech_labels(df), table=args.table
                 )
             elif args.kind == "boilerplate":
                 from pyspark.sql import functions as F2

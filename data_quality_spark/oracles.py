@@ -1193,6 +1193,54 @@ def _audio_flutter_expected(n=300, seed=42) -> dict:
     return out
 
 
+def _audio_musicspeech_expected(n=300, seed=42) -> dict:
+    """Twin of ``operators.audio_musicspeech.musicspeech_labels`` + the
+    query's rounding: shared deterministic kernels (decode +
+    music_speech_stats over identical inputs — per-clip numpy float64,
+    batch-layout independent, so the doubles are bit-identical), with
+    the LABEL LAW replayed as explicit Python comparisons.  The
+    differential surface is the decode dispatch, evaluability totality,
+    the four-way label law, rounding, and ordering."""
+    from .functions.audio import _decode_i16
+    from .functions.musicspeech import (
+        MUSIC_STABLE_MIN,
+        MUSIC_SYL_MAX,
+        SPEECH_STABLE_MAX,
+        SPEECH_SYL_MIN,
+        music_speech_stats,
+    )
+    from .synth import make_audio_musicspeech_corpus
+
+    pdf = make_audio_musicspeech_corpus(n, seed=seed)
+    out: dict[str, list] = {
+        "clip_id": [], "n_env": [], "n_tone": [], "n_active": [],
+        "syl_r": [], "stable_r": [], "av_label": [],
+    }
+    for _, r in pdf.sort_values("clip_id").iterrows():
+        try:
+            q = _decode_i16(r["bytes"], r["codec"], r["sr_hz"])
+        except (ValueError, TypeError):
+            q = np.zeros(0, dtype=np.int16)
+        st = music_speech_stats(q, r["sr_hz"])
+        syl, stab = st["syl_frac"], st["stable_frac"]
+        if syl is None or stab is None:
+            label = "und"
+        elif stab >= MUSIC_STABLE_MIN and syl <= MUSIC_SYL_MAX:
+            label = "music"
+        elif syl >= SPEECH_SYL_MIN and stab <= SPEECH_STABLE_MAX:
+            label = "speech"
+        else:
+            label = "other"
+        out["clip_id"].append(r["clip_id"])
+        out["n_env"].append(int(st["n_env"]))
+        out["n_tone"].append(int(st["n_tone"]))
+        out["n_active"].append(int(st["n_active"]))
+        out["syl_r"].append(spark_round(syl, 6))
+        out["stable_r"].append(spark_round(stab, 6))
+        out["av_label"].append(label)
+    return out
+
+
 def _audio_truepeak_expected(n=300, seed=42) -> dict:
     """Twin of ``operators.audio_truepeak.truepeak_flags``: the decode
     dispatch and the Q15 tap SPEC TABLE are shared (the taps are part of
@@ -4351,6 +4399,12 @@ _SCHEMAS: dict[str, pa.Schema] = {
          ("n_clicks", pa.int32()), ("max_d2", pa.int64()),
          ("is_clicky", pa.bool_())]
     ),
+    "audio_musicspeech": pa.schema(
+        [("clip_id", pa.string()), ("n_env", pa.int32()),
+         ("n_tone", pa.int32()), ("n_active", pa.int32()),
+         ("syl_r", pa.float64()), ("stable_r", pa.float64()),
+         ("av_label", pa.string())]
+    ),
     "audio_truepeak": pa.schema(
         [("clip_id", pa.string()), ("n_samples", pa.int64()),
          ("sample_peak", pa.int32()), ("tp_q15", pa.int64()),
@@ -4599,6 +4653,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_clicks_expected()
     elif name == "audio_truepeak":
         data = _audio_truepeak_expected()
+    elif name == "audio_musicspeech":
+        data = _audio_musicspeech_expected()
     elif name == "code_switch":
         data = _code_switch_expected(sf_dir)
     elif name == "clips_decontaminate":

@@ -847,6 +847,91 @@ def make_audio_click_corpus(
     return pd.DataFrame(rows, columns=base.columns)
 
 
+def make_audio_musicspeech_corpus(
+    n: int = 300,
+    seed: int = 42,
+    replace_every: int = 3,
+) -> pd.DataFrame:
+    """Corpus with constructed music-class and speech-class clips for the
+    content discriminator.
+
+    Every ``replace_every``-th decodable clip's payload is REPLACED
+    (same length, pcm16), alternating:
+
+    - ``music_chord``: 0.8-1.2 s chord segments of 4 stable harmonic
+      partials (root walks ±5 semitones between segments) — sustained
+      carriers, no syllabic envelope gating;
+    - ``speech_burst``: band-shaped noise gated by Hann bursts at the
+      syllabic rate (80-200 ms bursts, 40-140 ms gaps) — the 2-8 Hz
+      envelope signature with no stable carrier.
+
+    On these classes the two features separate by > 3× on both axes
+    (see ``functions/musicspeech.py``); remaining clips pass through
+    untouched (natural/undecodable rows exercise totality and the
+    ``other``/``und`` labels)."""
+    base = generate_clips(n, seed=seed)
+    rng = np.random.default_rng(seed + 9101)
+    rows = []
+    k = 0
+    for i in range(len(base)):
+        row = base.iloc[i].to_dict()
+        sr = int(row["sr_hz"]) or 0
+        if sr <= 0 or (i + 1) % replace_every != 0:
+            rows.append(row)
+            continue
+        try:
+            q = A._decode_i16(row["bytes"], row["codec"], row["sr_hz"])
+        except (ValueError, TypeError):
+            rows.append(row)
+            continue
+        m = len(q)
+        if m < int(1.2 * sr):  # need comfortably ≥ 1 s for evaluability
+            rows.append(row)
+            continue
+        if k % 2 == 0:
+            x = np.zeros(m, dtype=np.float64)
+            pos = 0
+            root = 110.0 * 2.0 ** (rng.integers(0, 12) / 12.0)
+            while pos < m:
+                seg = int(sr * (0.8 + 0.4 * rng.random()))
+                root = min(max(
+                    root * 2.0 ** (rng.integers(-5, 6) / 12.0), 80.0), 800.0)
+                t = np.arange(min(seg, m - pos), dtype=np.float64) / sr
+                s = np.zeros(t.size)
+                for h, ratio in enumerate((1.0, 1.5, 2.0, 3.0)):
+                    s += np.sin(
+                        2 * np.pi * root * ratio * t
+                        + rng.random() * 2 * np.pi
+                    ) / (h + 1)
+                x[pos: pos + t.size] = s
+                pos += t.size
+            x *= 0.3 / max(np.abs(x).max(), 1e-9)
+            row["defect"] = "music_chord"
+        else:
+            noise = rng.standard_normal(m)
+            band = (
+                np.convolve(noise, np.ones(8) / 8, "same")
+                - np.convolve(noise, np.ones(32) / 32, "same")
+            )
+            env = np.zeros(m)
+            pos = 0
+            while pos < m:
+                burst = int(sr * (0.08 + 0.12 * rng.random()))
+                gap = int(sr * (0.04 + 0.10 * rng.random()))
+                w = min(burst, m - pos)
+                if w > 1:
+                    env[pos: pos + w] = np.hanning(burst)[:w]
+                pos += burst + gap
+            x = band * env
+            x *= 0.4 / max(np.abs(x).max(), 1e-9)
+            row["defect"] = "speech_burst"
+        k += 1
+        row["bytes"] = A.encode_pcm16(x)
+        row["codec"] = "pcm16"
+        rows.append(row)
+    return pd.DataFrame(rows, columns=base.columns)
+
+
 def make_audio_truepeak_corpus(
     n: int = 300,
     seed: int = 42,
