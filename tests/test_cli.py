@@ -552,3 +552,30 @@ def test_cli_audit_truepeak(spark, tmp_path, capsys, monkeypatch):
          "--kind", "truepeak"]
     ) == 2
     capsys.readouterr()
+
+
+def test_cli_audit_musicspeech(spark, tmp_path, capsys, monkeypatch):
+    """audit --kind musicspeech: seeded chord clips surface as
+    music_content (warning)."""
+    import data_quality_spark.cli as cli
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_musicspeech_corpus
+
+    monkeypatch.setattr("pyspark.sql.SparkSession.stop", lambda self: None)
+    tables = tmp_path / "tables"
+    tables.mkdir()
+    pdf = make_audio_musicspeech_corpus(90, seed=5)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    spark.createDataFrame(pdf[cols], CLIPS_SCHEMA).coalesce(2).write.parquet(
+        str(tables / "msclips.parquet")
+    )
+    code = cli.main(
+        ["audit", "--tables", str(tables), "--table", "msclips",
+         "--kind", "musicspeech", "--format", "json", "--fail-on", "none"]
+    )
+    rows = {r["issue_type"]: r for r in json.loads(capsys.readouterr().out)}
+    assert code == 0
+    r = rows["music_content"]
+    n_chords = int((pdf["defect"] == "music_chord").sum())
+    assert 0 < r["count"] <= n_chords + (pdf["defect"] != "music_chord").sum()
+    assert r["severity"] == "warning" and r["total"] == 90
