@@ -2460,6 +2460,36 @@ def q_audio_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+def q_audio_lra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loudness-range (EBU R128 / Tech 3342) over-compression audit:
+    3 s / 1 s-hop K-weighted short-term blocks, −70 absolute + −20 LU
+    relative gates, LRA = p95 − p10 by INTEGER index law over the
+    ascending sort; flag at 3 LU (> 3× margins both sides on the seeded
+    flat/dynamic classes).  fsum power means make the double exactly
+    reproducible.  Twin: shared decode + block kernel, explicit Python
+    replay of the gating/percentile/flag law."""
+    from data_quality_spark.operators.audio_lra import lra_flags
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_lra_corpus
+
+    ensure_expected("audio_lra", sf_dir)
+    key = ("lra", 120, 42)
+    if key not in _CLIPS_CACHE:
+        _CLIPS_CACHE[key] = make_audio_lra_corpus(120, seed=42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(
+        _CLIPS_CACHE[key][cols], CLIPS_SCHEMA
+    ).repartition(8, "clip_id")
+    return lra_flags(clips).select(
+        "clip_id",
+        "ok",
+        "n_st_blocks",
+        "n_lra_gated",
+        F.round("lra", 4).alias("lra_r"),
+        "is_overcompressed",
+    ).orderBy("clip_id")
+
+
 def q_audio_musicspeech(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Music/speech/other content-class audit (Scheirer-Slaney two-
     feature separation): syllabic 2-8 Hz envelope modulation (integer
@@ -2783,6 +2813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_clicks": q_audio_clicks,
         "audio_truepeak": q_audio_truepeak,
         "audio_musicspeech": q_audio_musicspeech,
+        "audio_lra": q_audio_lra,
         "audio_reverb": q_audio_reverb,
         "audio_speed_dup": q_audio_speed_dup,
         "clips_decontaminate": q_clips_decontaminate,
@@ -4615,6 +4646,7 @@ ORDER BY d.doc_id""",
         "audio_clicks": _expected_sql("audio_clicks"),
         "audio_truepeak": _expected_sql("audio_truepeak"),
         "audio_musicspeech": _expected_sql("audio_musicspeech"),
+        "audio_lra": _expected_sql("audio_lra"),
         "audio_reverb": _expected_sql("audio_reverb"),
         "audio_speed_dup": _expected_sql("audio_speed_dup"),
         "code_switch": _expected_sql("code_switch"),

@@ -152,7 +152,7 @@ def build_parser() -> argparse.ArgumentParser:
         "--kind",
         choices=["text", "audio", "loops", "labels", "boilerplate",
                  "quantization", "pii", "reverb", "stereo", "flutter",
-                 "clicks", "truepeak", "musicspeech"],
+                 "clicks", "truepeak", "musicspeech", "lra"],
         default="text",
     )
     au.add_argument("--min-words", type=int, default=15)
@@ -579,6 +579,10 @@ def main(argv: list[str] | None = None) -> int:
                 issues_df = musicspeech_issues(
                     musicspeech_labels(df), table=args.table
                 )
+            elif args.kind == "lra":
+                from .operators.audio_lra import lra_flags, lra_issues
+
+                issues_df = lra_issues(lra_flags(df), table=args.table)
             elif args.kind == "boilerplate":
                 from pyspark.sql import functions as F2
 

@@ -47,10 +47,16 @@ __all__ = [
     "HOP_S",
     "ABS_GATE_LUFS",
     "REL_GATE_LU",
+    "ST_BLOCK_S",
+    "ST_HOP_S",
+    "LRA_REL_GATE_LU",
+    "LRA_MIN_BLOCKS",
     "k_weight_power",
     "block_loudness",
     "gated_loudness",
+    "loudness_range",
     "clip_loudness",
+    "clip_lra",
 ]
 
 BLOCK_S = 0.400
@@ -129,12 +135,16 @@ def k_weight_power(sr_hz: int, n: int) -> np.ndarray:
     return got
 
 
-def block_loudness(x: np.ndarray, sr_hz: int) -> np.ndarray:
-    """Per-block loudness l_j (LUFS, float64) over 400 ms / 100 ms-hop
-    blocks of normalized float PCM; empty array when the clip is shorter
-    than one block."""
-    n = int(round(sr_hz * BLOCK_S))
-    hop = int(round(sr_hz * HOP_S))
+def block_loudness(
+    x: np.ndarray, sr_hz: int,
+    block_s: float = BLOCK_S, hop_s: float = HOP_S,
+) -> np.ndarray:
+    """Per-block loudness l_j (LUFS, float64) over ``block_s``/``hop_s``
+    blocks of normalized float PCM (defaults: the 400 ms / 100 ms
+    momentary grid; pass the 3 s / 1 s short-term grid for LRA); empty
+    array when the clip is shorter than one block."""
+    n = int(round(sr_hz * block_s))
+    hop = int(round(sr_hz * hop_s))
     if x.size < n or n <= 0 or hop <= 0:
         return np.zeros(0, dtype=np.float64)
     n_blocks = 1 + (int(x.size) - n) // hop
@@ -179,6 +189,54 @@ def gated_loudness(lj: np.ndarray) -> tuple[float | None, int]:
             float(np.mean(pw[mask], dtype=np.float64)))),
         k,
     )
+
+
+# --- loudness range (EBU R128 / Tech 3342) --------------------------
+# short-term grid: 3 s blocks, 1 s hop; relative gate −20 LU (NOT the
+# integrated measure's −10); LRA = s[p95] − s[p10] of the gated
+# short-term distribution, percentile indices as the integer law
+# idx_p = (p·(k−1)) // 100 over the ascending sort.
+ST_BLOCK_S = 3.0
+ST_HOP_S = 1.0
+LRA_REL_GATE_LU = -20.0
+# a distribution of fewer than this many gated blocks has no meaningful
+# 10th/95th percentile spread — report NULL (not evaluable)
+LRA_MIN_BLOCKS = 5
+
+
+def loudness_range(lj: np.ndarray) -> tuple[float | None, int]:
+    """(LRA in LU | None, gated block count) over short-term block
+    loudness values.  Deterministic to the bit: the power mean uses
+    ``math.fsum`` (exactly-rounded, order-independent) and the
+    percentiles are integer index laws over the ascending sort — an
+    independent replay of this definition reproduces the double
+    exactly."""
+    if lj.size == 0:
+        return None, 0
+    abs_vals = [float(v) for v in lj if v > ABS_GATE_LUFS]
+    if not abs_vals:
+        return None, 0
+    mean_pw = math.fsum(10.0 ** ((v - _OFFSET) / 10.0) for v in abs_vals) \
+        / len(abs_vals)
+    rel_thr = _OFFSET + 10.0 * math.log10(mean_pw) + LRA_REL_GATE_LU
+    gated = sorted(v for v in abs_vals if v > rel_thr)
+    k = len(gated)
+    if k < LRA_MIN_BLOCKS:
+        return None, k
+    idx10 = (10 * (k - 1)) // 100
+    idx95 = (95 * (k - 1)) // 100
+    return gated[idx95] - gated[idx10], k
+
+
+def clip_lra(x: np.ndarray, sr_hz: int) -> dict:
+    """Whole-clip loudness range: ``{"n_st_blocks", "n_lra_gated",
+    "lra"}``; ``lra`` is None when the clip is too short (< one 3 s
+    short-term block) or too few blocks survive the gates."""
+    if x.size == 0 or sr_hz is None or sr_hz <= 0:
+        return {"n_st_blocks": 0, "n_lra_gated": 0, "lra": None}
+    lj = block_loudness(x, sr_hz, block_s=ST_BLOCK_S, hop_s=ST_HOP_S)
+    lra, k = loudness_range(lj)
+    return {"n_st_blocks": int(lj.size), "n_lra_gated": k, "lra": lra}
 
 
 def clip_loudness(x: np.ndarray, sr_hz: int) -> dict:

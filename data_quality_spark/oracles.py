@@ -1193,6 +1193,73 @@ def _audio_flutter_expected(n=300, seed=42) -> dict:
     return out
 
 
+def _audio_lra_expected(n=120, seed=42) -> dict:
+    """Twin of ``operators.audio_lra.lra_flags``: decode + short-term
+    block loudness are shared kernels (each independently verified by
+    the audio_loudness query); the LRA LAW — absolute gate, fsum power
+    mean (exactly-rounded, order-independent), −20 LU relative gate,
+    ascending sort, integer-index percentiles, 3 LU flag — is replayed
+    here as explicit Python, so a gating or index-law bug in
+    ``loudness_range`` cannot hide."""
+    import math as _math
+
+    from .functions.audio import _decode_i16
+    from .functions.loudness import (
+        ABS_GATE_LUFS,
+        LRA_MIN_BLOCKS,
+        LRA_REL_GATE_LU,
+        ST_BLOCK_S,
+        ST_HOP_S,
+        _OFFSET,
+        block_loudness,
+    )
+    from .operators.audio_lra import OVERCOMP_LRA_MAX
+    from .synth import make_audio_lra_corpus
+
+    pdf = make_audio_lra_corpus(n, seed=seed)
+    out: dict[str, list] = {
+        "clip_id": [], "ok": [], "n_st_blocks": [], "n_lra_gated": [],
+        "lra_r": [], "is_overcompressed": [],
+    }
+    for _, r in pdf.sort_values("clip_id").iterrows():
+        try:
+            q = _decode_i16(r["bytes"], r["codec"], r["sr_hz"])
+            ok = True
+        except (ValueError, TypeError):
+            q = np.zeros(0, dtype=np.int16)
+            ok = False
+        x = q.astype(np.float32) / np.float32(32767.0)
+        sr = r["sr_hz"] or 0
+        lj = (
+            block_loudness(x, sr, block_s=ST_BLOCK_S, hop_s=ST_HOP_S)
+            if (x.size and sr > 0)
+            else np.zeros(0, dtype=np.float64)
+        )
+        abs_vals = [float(v) for v in lj if v > ABS_GATE_LUFS]
+        lra = None
+        k = 0
+        if abs_vals:
+            mean_pw = _math.fsum(
+                10.0 ** ((v - _OFFSET) / 10.0) for v in abs_vals
+            ) / len(abs_vals)
+            rel_thr = (
+                _OFFSET + 10.0 * _math.log10(mean_pw) + LRA_REL_GATE_LU
+            )
+            gated = sorted(v for v in abs_vals if v > rel_thr)
+            k = len(gated)
+            if k >= LRA_MIN_BLOCKS:
+                lra = gated[(95 * (k - 1)) // 100] - gated[(10 * (k - 1)) // 100]
+        out["clip_id"].append(r["clip_id"])
+        out["ok"].append(ok)
+        out["n_st_blocks"].append(int(lj.size))
+        out["n_lra_gated"].append(k)
+        out["lra_r"].append(spark_round(lra, 4))
+        out["is_overcompressed"].append(
+            bool(lra is not None and lra < OVERCOMP_LRA_MAX)
+        )
+    return out
+
+
 def _audio_musicspeech_expected(n=300, seed=42) -> dict:
     """Twin of ``operators.audio_musicspeech.musicspeech_labels`` + the
     query's rounding: shared deterministic kernels (decode +
@@ -4399,6 +4466,11 @@ _SCHEMAS: dict[str, pa.Schema] = {
          ("n_clicks", pa.int32()), ("max_d2", pa.int64()),
          ("is_clicky", pa.bool_())]
     ),
+    "audio_lra": pa.schema(
+        [("clip_id", pa.string()), ("ok", pa.bool_()),
+         ("n_st_blocks", pa.int32()), ("n_lra_gated", pa.int32()),
+         ("lra_r", pa.float64()), ("is_overcompressed", pa.bool_())]
+    ),
     "audio_musicspeech": pa.schema(
         [("clip_id", pa.string()), ("n_env", pa.int32()),
          ("n_tone", pa.int32()), ("n_active", pa.int32()),
@@ -4655,6 +4727,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_truepeak_expected()
     elif name == "audio_musicspeech":
         data = _audio_musicspeech_expected()
+    elif name == "audio_lra":
+        data = _audio_lra_expected()
     elif name == "code_switch":
         data = _code_switch_expected(sf_dir)
     elif name == "clips_decontaminate":

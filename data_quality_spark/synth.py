@@ -847,6 +847,69 @@ def make_audio_click_corpus(
     return pd.DataFrame(rows, columns=base.columns)
 
 
+def make_audio_lra_corpus(
+    n: int = 120,
+    seed: int = 42,
+    replace_every: int = 2,
+) -> pd.DataFrame:
+    """Corpus for the loudness-range (over-compression) audit.
+
+    Every ``replace_every``-th decodable clip becomes a 12 s program
+    (ten 3 s / 1 s-hop short-term blocks — comfortably past the 5-block
+    gate), alternating:
+
+    - ``lra_flat``: constant-RMS noise at −14 dBFS — the brick-limited
+      master (LRA < 0.5 LU);
+    - ``lra_dynamic``: alternating 3.5-4.5 s sections at −14 / −28 dBFS
+      RMS — sections LONGER than the 3 s window so whole blocks are
+      purely soft or purely loud (shorter sections average away inside
+      the window and the spread collapses), and the soft level sits
+      INSIDE the −20 LU relative gate (the Tech 3342 subtlety: quieter
+      and the gate would discard it, hiding the dynamics).  LRA ≈ 13 LU.
+
+    Both classes clear the 3 LU flag threshold by > 6×.  Remaining
+    clips pass through untouched — at sandbox durations (< 3 s) they
+    report NULL LRA, exercising the not-evaluable totality.  ``dur_ms``
+    is updated to stay truthful for constructed rows."""
+    base = generate_clips(n, seed=seed)
+    rng = np.random.default_rng(seed + 9301)
+    rows = []
+    k = 0
+    for i in range(len(base)):
+        row = base.iloc[i].to_dict()
+        sr = int(row["sr_hz"]) or 0
+        if sr <= 0 or (i + 1) % replace_every != 0:
+            rows.append(row)
+            continue
+        try:
+            A._decode_i16(row["bytes"], row["codec"], row["sr_hz"])
+        except (ValueError, TypeError):
+            rows.append(row)
+            continue
+        m = 12 * sr
+        if k % 2 == 0:
+            x = 0.2 * rng.standard_normal(m)
+            row["defect"] = "lra_flat"
+        else:
+            x = rng.standard_normal(m)
+            lvl = np.empty(m)
+            pos = 0
+            loud = True
+            while pos < m:
+                seg = int(sr * (3.5 + rng.random()))
+                lvl[pos: pos + min(seg, m - pos)] = 0.2 if loud else 0.04
+                loud = not loud
+                pos += seg
+            x *= lvl
+            row["defect"] = "lra_dynamic"
+        k += 1
+        row["bytes"] = A.encode_pcm16(np.clip(x, -1.0, 0.999969))
+        row["codec"] = "pcm16"
+        row["dur_ms"] = 12000
+        rows.append(row)
+    return pd.DataFrame(rows, columns=base.columns)
+
+
 def make_audio_musicspeech_corpus(
     n: int = 300,
     seed: int = 42,
