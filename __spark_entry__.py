@@ -2490,6 +2490,42 @@ def q_audio_lra(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+def q_audio_declip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declipping repair: cubic-Hermite reconstruction of rail-clipped
+    runs (anchor-slope tangents, physical floor at the rail, uniform
+    headroom attenuation, half-even quantize) in ONE mapInArrow pass that
+    re-emits unrepaired payloads zero-copy.  The repaired payload is
+    hash-checked BIT-FOR-BIT (Spark xxhash64 vs from-spec XXH64 over a
+    scalar-by-scalar Python replay of the law); the twin's run detection
+    is an independent per-sample state machine."""
+    from data_quality_spark.operators.audio_declip import declip_audio
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_declip_corpus
+
+    ensure_expected("audio_declip", sf_dir)
+    key = ("declip", 120, 42)
+    if key not in _CLIPS_CACHE:
+        _CLIPS_CACHE[key] = make_audio_declip_corpus(120, seed=42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(
+        _CLIPS_CACHE[key][cols], CLIPS_SCHEMA
+    ).repartition(8, "clip_id")
+    out = declip_audio(clips)
+    return out.select(
+        "clip_id",
+        "ok",
+        "declipped",
+        "n_railed",
+        "n_runs",
+        "n_repaired",
+        "max_run",
+        F.round("atten", 6).alias("atten_r"),
+        F.octet_length("bytes").alias("n_bytes"),
+        F.when(F.col("bytes").isNotNull(), F.xxhash64("bytes"))
+        .alias("payload_h"),
+    ).orderBy("clip_id")
+
+
 def q_audio_musicspeech(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Music/speech/other content-class audit (Scheirer-Slaney two-
     feature separation): syllabic 2-8 Hz envelope modulation (integer
@@ -2814,6 +2850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_truepeak": q_audio_truepeak,
         "audio_musicspeech": q_audio_musicspeech,
         "audio_lra": q_audio_lra,
+        "audio_declip": q_audio_declip,
         "audio_reverb": q_audio_reverb,
         "audio_speed_dup": q_audio_speed_dup,
         "clips_decontaminate": q_clips_decontaminate,
@@ -4647,6 +4684,7 @@ ORDER BY d.doc_id""",
         "audio_truepeak": _expected_sql("audio_truepeak"),
         "audio_musicspeech": _expected_sql("audio_musicspeech"),
         "audio_lra": _expected_sql("audio_lra"),
+        "audio_declip": _expected_sql("audio_declip"),
         "audio_reverb": _expected_sql("audio_reverb"),
         "audio_speed_dup": _expected_sql("audio_speed_dup"),
         "code_switch": _expected_sql("code_switch"),

@@ -4185,6 +4185,116 @@ def _audio_gain_expected(n=300, seed=42,
     return out
 
 
+def _audio_declip_expected(n=120, seed=42, guard=0, max_run_ms=1.0) -> dict:
+    """Twin of ``audio_declip.declip_audio``: shared int16 decode,
+    INDEPENDENT per-sample run state machine (vs the kernel's diff/
+    flatnonzero vectorization) and scalar-by-scalar replay of the cubic
+    Hermite / floor / headroom / half-even-quantize law with the identical
+    float64 expression tree, so the repaired payload is hash-checked
+    bit-for-bit (from-spec XXH64 vs Spark ``xxhash64`` at seed 42)."""
+    import struct
+
+    from .functions.audio import _decode_i16
+    from .functions.declip import (
+        DEFAULT_MAX_RUN_LEN,
+        MIN_ANCHOR,
+        OVERSHOOT_PER_SAMPLE,
+    )
+    from .functions.xxh64 import xxh64_bytes
+    from .synth import make_audio_declip_corpus
+
+    def signed(h: int) -> int:
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    pdf = make_audio_declip_corpus(n, seed=seed)
+    cols = ("clip_id", "ok", "declipped", "n_railed", "n_runs",
+            "n_repaired", "max_run", "atten_r", "n_bytes", "payload_h")
+    out: dict[str, list] = {k: [] for k in cols}
+    raw_atten: list[float] = []
+    for _, r in pdf.sort_values("clip_id").iterrows():
+        out["clip_id"].append(r["clip_id"])
+        data = r["bytes"]
+        try:
+            q = _decode_i16(data, r["codec"], r["sr_hz"])
+        except (ValueError, TypeError):
+            out["ok"].append(False)
+            out["declipped"].append(False)
+            for k in ("n_railed", "n_runs", "n_repaired", "max_run"):
+                out[k].append(0)
+            out["atten_r"].append(None)
+            out["n_bytes"].append(None if data is None else len(data))
+            out["payload_h"].append(
+                None if data is None else signed(xxh64_bytes(bytes(data), 42)))
+            continue
+        sr = r["sr_hz"]
+        cap = (int(sr * max_run_ms / 1000.0)
+               if sr is not None and sr > 0 else DEFAULT_MAX_RUN_LEN)
+        # per-sample state machine over railed signs
+        runs = []
+        cur_sign, cur_start = 0, -1
+        for j in range(q.size + 1):
+            if j < q.size:
+                v = int(q[j])
+                s = 1 if v >= 32767 - guard else (-1 if v <= -32768 + guard
+                                                  else 0)
+            else:
+                s = 0
+            if s != cur_sign:
+                if cur_sign != 0:
+                    runs.append((cur_start, j, cur_sign))
+                cur_sign, cur_start = s, j
+        n_railed = sum(b - a for a, b, _ in runs)
+        max_run = max((b - a for a, b, _ in runs), default=0)
+        y = [float(v) for v in q]
+        repaired = 0
+        for a, b, sign in runs:
+            if a - MIN_ANCHOR < 0 or b + MIN_ANCHOR > q.size:
+                continue
+            if b - a > cap:
+                continue
+            p0 = float(q[a - 1])
+            p1 = float(q[b])
+            lm0 = float(b - (a - 1)) * (float(q[a - 1]) - float(q[a - 2]))
+            lm1 = float(b - (a - 1)) * (float(q[b + 1]) - float(q[b]))
+            grow = 1.0 + OVERSHOOT_PER_SAMPLE * float(b - a)
+            for j in range(a, b):
+                t = (float(j) - float(a - 1)) / float(b - (a - 1))
+                omt = 1.0 - t
+                v = ((1.0 + 2.0 * t) * omt * omt * p0
+                     + t * omt * omt * lm0
+                     + t * t * (3.0 - 2.0 * t) * p1
+                     + t * t * (t - 1.0) * lm1)
+                v = (min(v, 32767.0 * grow) if sign > 0
+                     else max(v, -32768.0 * grow))
+                y[j] = max(v, y[j]) if sign > 0 else min(v, y[j])
+            repaired += 1
+        out["ok"].append(True)
+        out["n_railed"].append(n_railed)
+        out["n_runs"].append(len(runs))
+        out["n_repaired"].append(repaired)
+        out["max_run"].append(max_run)
+        if repaired == 0:
+            out["declipped"].append(False)
+            out["atten_r"].append(spark_round(1.0, 6))
+            out["n_bytes"].append(len(data))
+            out["payload_h"].append(signed(xxh64_bytes(bytes(data), 42)))
+            continue
+        need = max(max(y) / 32767.0, min(y) / -32768.0, 1.0)
+        atten = 1.0
+        if need > 1.0:
+            atten = 1.0 / need
+            y = [v * atten for v in y]
+        raw_atten.append(atten)
+        ints = [min(32767, max(-32768, round(v))) for v in y]
+        payload = struct.pack(f"<{len(ints)}h", *ints)
+        out["declipped"].append(True)
+        out["atten_r"].append(spark_round(atten, 6))
+        out["n_bytes"].append(len(payload))
+        out["payload_h"].append(signed(xxh64_bytes(payload, 42)))
+    _assert_off_rounding_boundary(raw_atten, 6)
+    return out
+
+
 def _audio_resample_expected(n=300, seed=42, target_hz=16000) -> dict:
     """Twin of ``audio_resample.resample_stats``: shared decode + tap
     design, independent resample execution (definition vs polyphase) and
@@ -4407,6 +4517,13 @@ _SCHEMAS: dict[str, pa.Schema] = {
          ("gained", pa.bool_()), ("gain_r", pa.float64()),
          ("rms_in_db_r", pa.float64()), ("rms_out_db_r", pa.float64()),
          ("n_clipped", pa.int32())]
+    ),
+    "audio_declip": pa.schema(
+        [("clip_id", pa.string()), ("ok", pa.bool_()),
+         ("declipped", pa.bool_()), ("n_railed", pa.int32()),
+         ("n_runs", pa.int32()), ("n_repaired", pa.int32()),
+         ("max_run", pa.int32()), ("atten_r", pa.float64()),
+         ("n_bytes", pa.int32()), ("payload_h", pa.int64())]
     ),
     "clips_gate": pa.schema(
         [("clip_id", pa.string()), ("decision", pa.string()),
@@ -4689,6 +4806,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_resample_expected()
     elif name == "audio_gain":
         data = _audio_gain_expected()
+    elif name == "audio_declip":
+        data = _audio_declip_expected()
     elif name == "clips_gate":
         data = _clips_gate_expected()
     elif name == "clips_gate_rollup":

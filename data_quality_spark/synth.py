@@ -1279,3 +1279,63 @@ def generate_image_corpus(n: int = 120, seed: int = 42) -> pd.DataFrame:
             )
             rows.append((mid, encode_bmp(bright)))
     return pd.DataFrame(rows, columns=["media_id", "payload"])
+
+
+def make_audio_declip_corpus(
+    n: int = 120,
+    seed: int = 42,
+    replace_every: int = 2,
+) -> pd.DataFrame:
+    """Corpus for the declipping repair (``operators/audio_declip.py``).
+
+    Every ``replace_every``-th decodable clip becomes a 4 s three-tone +
+    noise program amplified past full scale and hard-saturated at the
+    int16 rails, alternating:
+
+    - ``declip_hard``: 2.5× over full scale — heavy rail contact, the
+      clearly-salvageable class a gate would otherwise drop;
+    - ``declip_mild``: 1.15× — occasional single-peak rail kisses.
+
+    The pre-clip float signal (which EXCEEDS int16 range) is carried in a
+    ``truth`` object column for the SNR-improvement tests; Spark only ever
+    sees the CLIPS_SCHEMA columns.  Remaining clips pass through untouched
+    (their generator caps peaks below the rail), exercising the
+    nothing-to-repair zero-copy path and undecodable totality."""
+    base = generate_clips(n, seed=seed)
+    rng = np.random.default_rng(seed + 7717)
+    rows = []
+    k = 0
+    for i in range(len(base)):
+        row = base.iloc[i].to_dict()
+        row["truth"] = None
+        sr = int(row["sr_hz"]) or 0
+        if sr <= 0 or (i + 1) % replace_every != 0:
+            rows.append(row)
+            continue
+        try:
+            A._decode_i16(row["bytes"], row["codec"], row["sr_hz"])
+        except (ValueError, TypeError):
+            rows.append(row)
+            continue
+        m = 4 * sr
+        t = np.arange(m) / sr
+        x = 0.05 * rng.standard_normal(m)
+        for _ in range(3):
+            f = rng.uniform(150.0, min(2000.0, 0.45 * sr))
+            x += rng.uniform(0.5, 1.0) * np.sin(
+                2 * np.pi * f * t + rng.uniform(0, 2 * np.pi))
+        x /= np.max(np.abs(x))
+        amp = 2.5 if k % 2 == 0 else 1.15
+        row["defect"] = "declip_hard" if k % 2 == 0 else "declip_mild"
+        k += 1
+        s = x * (amp * 32767.0)
+        q = np.clip(np.rint(s), -32768, 32767).astype("<i2")
+        row["truth"] = s
+        row["bytes"] = q.tobytes()
+        row["codec"] = "pcm16"
+        row["dur_ms"] = 4000
+        rows.append(row)
+    cols = list(base.columns) + ["truth"]
+    if "defect" not in base.columns:
+        cols = [c for c in cols if c != "defect"] + ["defect"]
+    return pd.DataFrame(rows, columns=[c for c in dict.fromkeys(cols)])
