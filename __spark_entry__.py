@@ -2490,6 +2490,43 @@ def q_audio_lra(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+def q_audio_halluc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASR-hallucination / cross-modal mismatch audit: transcript and
+    audio judged TOGETHER — invented captions over silence, lost text
+    over speech, verbatim tail loops (exact token-block law), stock
+    subtitle-credit captions over long audio.  One Arrow pass (decode +
+    VAD + tokenize), payload dropped at the boundary.  Twin: shared
+    decode/VAD kernels, INDEPENDENT brute-force tail-loop enumeration +
+    per-char normalization, explicit decision laws."""
+    from data_quality_spark.operators.audio_halluc import halluc_flags
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_halluc_corpus
+
+    ensure_expected("audio_halluc", sf_dir)
+    key = ("halluc", 300, 42)
+    if key not in _CLIPS_CACHE:
+        _CLIPS_CACHE[key] = make_audio_halluc_corpus(300, seed=42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(
+        _CLIPS_CACHE[key][cols], CLIPS_SCHEMA
+    ).repartition(8, "clip_id")
+    return halluc_flags(clips).select(
+        "clip_id",
+        "ok",
+        "n_tokens",
+        "dur_dec_ms",
+        "speech_ms",
+        F.round("speech_ratio", 6).alias("speech_ratio_r"),
+        "tail_period",
+        "tail_repeats",
+        "text_over_silence",
+        "speech_no_text",
+        "end_loop",
+        "stock_caption",
+        "is_halluc",
+    ).orderBy("clip_id")
+
+
 def q_audio_declip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declipping repair: cubic-Hermite reconstruction of rail-clipped
     runs (anchor-slope tangents, physical floor at the rail, uniform
@@ -2850,6 +2887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_truepeak": q_audio_truepeak,
         "audio_musicspeech": q_audio_musicspeech,
         "audio_lra": q_audio_lra,
+        "audio_halluc": q_audio_halluc,
         "audio_declip": q_audio_declip,
         "audio_reverb": q_audio_reverb,
         "audio_speed_dup": q_audio_speed_dup,
@@ -4684,6 +4722,7 @@ ORDER BY d.doc_id""",
         "audio_truepeak": _expected_sql("audio_truepeak"),
         "audio_musicspeech": _expected_sql("audio_musicspeech"),
         "audio_lra": _expected_sql("audio_lra"),
+        "audio_halluc": _expected_sql("audio_halluc"),
         "audio_declip": _expected_sql("audio_declip"),
         "audio_reverb": _expected_sql("audio_reverb"),
         "audio_speed_dup": _expected_sql("audio_speed_dup"),

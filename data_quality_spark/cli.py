@@ -152,7 +152,7 @@ def build_parser() -> argparse.ArgumentParser:
         "--kind",
         choices=["text", "audio", "loops", "labels", "boilerplate",
                  "quantization", "pii", "reverb", "stereo", "flutter",
-                 "clicks", "truepeak", "musicspeech", "lra"],
+                 "clicks", "truepeak", "musicspeech", "lra", "halluc"],
         default="text",
     )
     au.add_argument("--min-words", type=int, default=15)
@@ -583,6 +583,10 @@ def main(argv: list[str] | None = None) -> int:
                 from .operators.audio_lra import lra_flags, lra_issues
 
                 issues_df = lra_issues(lra_flags(df), table=args.table)
+            elif args.kind == "halluc":
+                from .operators.audio_halluc import halluc_flags, halluc_issues
+
+                issues_df = halluc_issues(halluc_flags(df), table=args.table)
             elif args.kind == "boilerplate":
                 from pyspark.sql import functions as F2
 

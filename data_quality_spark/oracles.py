@@ -1308,6 +1308,100 @@ def _audio_musicspeech_expected(n=300, seed=42) -> dict:
     return out
 
 
+def _audio_halluc_expected(n=300, seed=42) -> dict:
+    """Twin of ``operators.audio_halluc.halluc_flags`` + the query's
+    rounding: decode + ``vad_stats`` are the shared deterministic
+    kernels (per-clip float64, batch-layout independent), while the
+    tail-loop scan is replayed by an INDEPENDENT brute-force enumeration
+    (all (period, repeats) pairs verified with explicit slice equality
+    vs the kernel's greedy backward walk), caption normalization by an
+    independent per-character filter (vs the kernel's regex), and the
+    four decision laws as explicit Python comparisons.  The differential
+    surface: decode totality, VAD evidence, loop maximization + tie
+    rule, normalization, the laws, rounding, ordering."""
+    from .functions.audio import _decode_i16
+    from .functions.halluc import (
+        LOOP_MAX_PERIOD,
+        LOOP_MIN_REPEATS,
+        LOOP_MIN_TOKENS,
+        SNT_MIN_SPEECH_MS,
+        STOCK_MIN_DUR_MS,
+        STOCK_PHRASES,
+        TOS_MAX_SPEECH_MS,
+        TOS_MIN_TOKENS,
+    )
+    from .functions.vad import vad_stats
+    from .synth import make_audio_halluc_corpus
+
+    def norm(text) -> str:
+        # independent normalization: per-character classification
+        if not text:
+            return ""
+        buf = []
+        for ch in str(text).lower():
+            buf.append(ch if ("a" <= ch <= "z" or "0" <= ch <= "9") else " ")
+        return " ".join("".join(buf).split())
+
+    def brute_tail(toks: list[str]) -> tuple[int, int]:
+        # independent: enumerate every (p, k), verify each block explicitly
+        n_t = len(toks)
+        best = (0, 0)  # (p, k)
+        for p in range(1, LOOP_MAX_PERIOD + 1):
+            for k in range(2, n_t // p + 1):
+                good = all(
+                    toks[n_t - j * p : n_t - (j - 1) * p] == toks[n_t - p :]
+                    for j in range(1, k + 1)
+                )
+                if good and (
+                    k * p > best[0] * best[1]
+                    or (k * p == best[0] * best[1] and best[0] > p)
+                ):
+                    best = (p, k)
+        return best
+
+    pdf = make_audio_halluc_corpus(n, seed=seed)
+    cols = (
+        "n_tokens", "dur_dec_ms", "speech_ms", "speech_ratio_r",
+        "tail_period", "tail_repeats", "text_over_silence",
+        "speech_no_text", "end_loop", "stock_caption", "is_halluc",
+    )
+    out: dict[str, list] = {"clip_id": [], "ok": []}
+    out.update({c: [] for c in cols})
+    for _, r in pdf.sort_values("clip_id").iterrows():
+        sr = r["sr_hz"] or 0
+        try:
+            q = _decode_i16(r["bytes"], r["codec"], sr)
+            ok = True
+        except (ValueError, TypeError):
+            q = np.zeros(0, dtype=np.int16)
+            ok = False
+        st = vad_stats(q.astype(np.float32) / np.float32(32767.0), sr)
+        dur_dec = int(len(q) * 1000 // sr) if (ok and sr > 0) else 0
+        toks = (r["transcript"] or "").split()
+        p, k = brute_tail(toks)
+        nm = norm(r["transcript"])
+        tos = bool(ok and len(toks) >= TOS_MIN_TOKENS
+                   and st["speech_ms"] <= TOS_MAX_SPEECH_MS)
+        snt = bool(ok and len(toks) == 0
+                   and st["speech_ms"] >= SNT_MIN_SPEECH_MS)
+        loop = bool(k >= LOOP_MIN_REPEATS and p * k >= LOOP_MIN_TOKENS)
+        stock = bool(ok and nm in STOCK_PHRASES and dur_dec >= STOCK_MIN_DUR_MS)
+        out["clip_id"].append(r["clip_id"])
+        out["ok"].append(ok)
+        out["n_tokens"].append(len(toks))
+        out["dur_dec_ms"].append(dur_dec)
+        out["speech_ms"].append(int(st["speech_ms"]))
+        out["speech_ratio_r"].append(spark_round(st["speech_ratio"], 6))
+        out["tail_period"].append(p)
+        out["tail_repeats"].append(k)
+        out["text_over_silence"].append(tos)
+        out["speech_no_text"].append(snt)
+        out["end_loop"].append(loop)
+        out["stock_caption"].append(stock)
+        out["is_halluc"].append(tos or snt or loop or stock)
+    return out
+
+
 def _audio_truepeak_expected(n=300, seed=42) -> dict:
     """Twin of ``operators.audio_truepeak.truepeak_flags``: the decode
     dispatch and the Q15 tap SPEC TABLE are shared (the taps are part of
@@ -4588,6 +4682,15 @@ _SCHEMAS: dict[str, pa.Schema] = {
          ("n_st_blocks", pa.int32()), ("n_lra_gated", pa.int32()),
          ("lra_r", pa.float64()), ("is_overcompressed", pa.bool_())]
     ),
+    "audio_halluc": pa.schema(
+        [("clip_id", pa.string()), ("ok", pa.bool_()),
+         ("n_tokens", pa.int32()), ("dur_dec_ms", pa.int32()),
+         ("speech_ms", pa.int32()), ("speech_ratio_r", pa.float64()),
+         ("tail_period", pa.int32()), ("tail_repeats", pa.int32()),
+         ("text_over_silence", pa.bool_()), ("speech_no_text", pa.bool_()),
+         ("end_loop", pa.bool_()), ("stock_caption", pa.bool_()),
+         ("is_halluc", pa.bool_())]
+    ),
     "audio_musicspeech": pa.schema(
         [("clip_id", pa.string()), ("n_env", pa.int32()),
          ("n_tone", pa.int32()), ("n_active", pa.int32()),
@@ -4848,6 +4951,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_musicspeech_expected()
     elif name == "audio_lra":
         data = _audio_lra_expected()
+    elif name == "audio_halluc":
+        data = _audio_halluc_expected()
     elif name == "code_switch":
         data = _code_switch_expected(sf_dir)
     elif name == "clips_decontaminate":

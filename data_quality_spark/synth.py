@@ -1339,3 +1339,86 @@ def make_audio_declip_corpus(
     if "defect" not in base.columns:
         cols = [c for c in cols if c != "defect"] + ["defect"]
     return pd.DataFrame(rows, columns=[c for c in dict.fromkeys(cols)])
+
+
+def make_audio_halluc_corpus(
+    n: int = 300,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Corpus for the ASR-hallucination / cross-modal mismatch audit
+    (``operators/audio_halluc.py``).
+
+    A clean base (``defect_frac=0`` — every clip decodes, every
+    transcript matches its audio) with four seeded hallucination classes
+    on a fixed ``i % 12`` grid:
+
+    - ``halluc_silence`` (i%12==2): a full-length transcript over 2 s of
+      pure digital silence — the caption is invented;
+    - ``halluc_loop`` (i%12==5): a 1-3-token phrase appended verbatim
+      ≥4 times (loop mass ≥ 8 tokens) — the decoder tail-loop failure;
+    - ``halluc_stock`` (i%12==8): the WHOLE transcript replaced by a
+      punctuation/case variant of a stock subtitle-credit phrase over
+      ≥3.5 s of program audio;
+    - ``halluc_notext`` (i%12==11): an empty/whitespace transcript over
+      2.5 s of clearly speech-active audio.
+
+    Every other row stays byte-identical to the clean base, so a test can
+    assert the catch set EQUALS the seeded set."""
+    from .functions.halluc import STOCK_PHRASES
+
+    base = generate_clips(n, seed=seed, defect_frac=0.0)
+    rng = np.random.default_rng(seed + 9109)
+    stock = sorted(STOCK_PHRASES)
+    rows: list[dict] = []
+    for i in range(len(base)):
+        row = base.iloc[i].to_dict()
+        sr = int(row["sr_hz"]) or 16000
+        cls = i % 12
+        if cls == 2:
+            m = 2 * sr
+            row["bytes"] = A.encode_pcm16(np.zeros(m))
+            row["codec"] = "pcm16"
+            row["dur_ms"] = 2000
+            # regenerate at 3 s so the transcript is comfortably >= 5 tokens
+            lang = _pick_lang(rng)
+            row["transcript"] = _make_transcript(rng, lang, 3.0)
+            row["defect"] = "halluc_silence"
+        elif cls == 5:
+            lang = _pick_lang(rng)
+            lex = LEXICONS[lang]
+            p = int(rng.integers(1, 4))
+            phrase = " ".join(
+                lex[int(j)] for j in rng.integers(0, len(lex), p)
+            )
+            reps = max(4, -(-8 // p)) + int(rng.integers(0, 4))
+            row["transcript"] = (
+                str(row["transcript"]) + " " + " ".join([phrase] * reps)
+            ).strip()
+            row["defect"] = "halluc_loop"
+        elif cls == 8:
+            sig = _make_signal(rng, sr, 3.5)
+            row["bytes"] = A.encode_pcm16(sig)
+            row["codec"] = "pcm16"
+            row["dur_ms"] = 3500
+            ph = stock[int(rng.integers(0, len(stock)))]
+            style = int(rng.integers(0, 3))
+            if style == 0:
+                ph = ph.capitalize() + "!"
+            elif style == 1:
+                ph = ph.title() + "."
+            row["transcript"] = ph
+            row["defect"] = "halluc_stock"
+        elif cls == 11:
+            sig = _make_signal(rng, sr, 2.5)
+            row["bytes"] = A.encode_pcm16(sig)
+            row["codec"] = "pcm16"
+            row["dur_ms"] = 2500
+            row["transcript"] = "" if rng.random() < 0.5 else "   "
+            row["defect"] = "halluc_notext"
+        rows.append(row)
+    return pd.DataFrame(rows, columns=list(base.columns))
+
+
+def _pick_lang(rng: np.random.Generator) -> str:
+    langs = list(LANG_WEIGHTS)
+    return langs[rng.choice(len(langs), p=np.array(list(LANG_WEIGHTS.values())))]
