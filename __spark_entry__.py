@@ -2490,6 +2490,35 @@ def q_audio_lra(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+def q_audio_pitch_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pitch-shift / time-stretch duplicate detection (the two vocoder
+    re-upload axes resampling cannot express): anchored-hypothesis
+    verification (shift 0 for stretch; duration-equality + peak-anchored
+    shifts for pitch) over the shared spacing-key buckets, confirmed by
+    a rational-band resample + time-scaled landmark vote.  Twin: shared
+    profile/peak/landmark/resample kernels, independent bucketing +
+    laws + fsum corr (separation-asserted) + independent vote
+    accounting."""
+    from data_quality_spark.operators.audio_pitch import (
+        clip_profiles,
+        pitch_dup_confirm,
+        pitch_dup_pairs,
+    )
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_stretch_corpus
+
+    ensure_expected("audio_pitch_dup", sf_dir)
+    key = ("stretch", 300, 42)
+    if key not in _CLIPS_CACHE:
+        _CLIPS_CACHE[key] = make_audio_stretch_corpus(300, seed=42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(
+        _CLIPS_CACHE[key][cols], CLIPS_SCHEMA
+    ).repartition(8, "clip_id")
+    pairs = pitch_dup_pairs(clip_profiles(clips))
+    return pitch_dup_confirm(clips, pairs).orderBy("id_a", "id_b")
+
+
 def q_audio_halluc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ASR-hallucination / cross-modal mismatch audit: transcript and
     audio judged TOGETHER — invented captions over silence, lost text
@@ -2888,6 +2917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_musicspeech": q_audio_musicspeech,
         "audio_lra": q_audio_lra,
         "audio_halluc": q_audio_halluc,
+        "audio_pitch_dup": q_audio_pitch_dup,
         "audio_declip": q_audio_declip,
         "audio_reverb": q_audio_reverb,
         "audio_speed_dup": q_audio_speed_dup,
@@ -4723,6 +4753,7 @@ ORDER BY d.doc_id""",
         "audio_musicspeech": _expected_sql("audio_musicspeech"),
         "audio_lra": _expected_sql("audio_lra"),
         "audio_halluc": _expected_sql("audio_halluc"),
+        "audio_pitch_dup": _expected_sql("audio_pitch_dup"),
         "audio_declip": _expected_sql("audio_declip"),
         "audio_reverb": _expected_sql("audio_reverb"),
         "audio_speed_dup": _expected_sql("audio_speed_dup"),

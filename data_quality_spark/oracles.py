@@ -1308,6 +1308,218 @@ def _audio_musicspeech_expected(n=300, seed=42) -> dict:
     return out
 
 
+def _audio_pitch_dup_expected(n=300, seed=42, max_bucket_size=64) -> dict:
+    """Twin of the pitch/stretch-dup chain (clip_profiles →
+    pitch_dup_pairs → pitch_dup_confirm): profile/peak/landmark/resample
+    kernels are SHARED (deterministic float pipelines on identical
+    inputs), while the bucketing (HALF_UP quantizer, probe fan-out,
+    bucket guard, a<b dedup), the partner law, the anchored-shift
+    search (fsum correlation, generation-asserted to agree with the
+    kernel's numpy corr within 1e-9 AND to win by >1e-9 over the
+    runner-up anchor so the argmax cannot flip between engines), the
+    rational-band enumeration, and the scaled-offset landmark vote
+    (independent dict accounting) are replayed INDEPENDENTLY; corr
+    rounding guarded off 4dp boundaries."""
+    import math as _m
+    from fractions import Fraction
+
+    from .functions.audio import _decode_i16
+    from .functions.resample import resample_poly
+    from .functions.spectral import (
+        SPEED_B,
+        SPEED_KEY_Q,
+        SPEED_MAX_LOG2,
+        constellation_landmarks,
+        corr_at_shift,
+        logf_profile,
+        profile_peaks,
+    )
+    from .operators.audio_pitch import (
+        PITCH_CONFIRM_VOTES,
+        PITCH_CORR_MIN,
+        PITCH_DISTINCT_MIN,
+        PITCH_DUR_EQ,
+        PITCH_RESAMPLE_DEN,
+        PITCH_SNAP_BAND,
+        PITCH_SNAP_DEN,
+        PITCH_TOL,
+        PITCH_TOL2,
+        STRETCH_CORR_MIN,
+    )
+    from .synth import make_audio_stretch_corpus
+
+    pdf = make_audio_stretch_corpus(n, seed=seed)
+    clips: dict[str, tuple] = {}
+    for _, r in pdf.iterrows():
+        try:
+            q = _decode_i16(r["bytes"], r["codec"], r["sr_hz"])
+        except (ValueError, TypeError):
+            q = np.zeros(0, dtype=np.int16)
+        x = q.astype(np.float64) / 32768.0
+        prof = logf_profile(x, r["sr_hz"])
+        peaks = profile_peaks(prof) if prof is not None else []
+        clips[r["clip_id"]] = (prof, peaks, int(q.size), int(r["sr_hz"]), q)
+
+    def qkey(d: int) -> int:
+        return _m.floor(d / SPEED_KEY_Q + 0.5)  # Spark HALF_UP, d > 0
+
+    exact: dict[int, list[str]] = {}
+    probe: dict[int, set[str]] = {}
+    for cid, (prof, pk, ns, sr, q) in clips.items():
+        if len(pk) < 2 or sr <= 0:
+            continue
+        c = sorted(pk)
+        sp = {c[j] - c[i] for i in range(len(c)) for j in range(i + 1, len(c))}
+        ks = {qkey(d) for d in sp}
+        for k in ks:
+            exact.setdefault(k, []).append(cid)
+            for dd in (-1, 0, 1):
+                probe.setdefault(k + dd, set()).add(cid)
+    cands = set()
+    for k, ids in exact.items():
+        if len(ids) > max_bucket_size:
+            continue
+        for a in ids:
+            for b in probe.get(k, ()):
+                if a < b:
+                    cands.add((a, b))
+
+    def fsum_corr(a, b, shift: int) -> float:
+        nn = len(a)
+        if shift >= 0:
+            x, y = a[shift:], b[: nn - shift]
+        else:
+            x, y = a[: nn + shift], b[-shift:]
+        if len(x) < 8:
+            return -2.0
+        mx = _m.fsum(x) / len(x)
+        my = _m.fsum(y) / len(y)
+        sxx = _m.fsum((v - mx) ** 2 for v in x)
+        syy = _m.fsum((v - my) ** 2 for v in y)
+        sxy = _m.fsum((u - mx) * (v - my) for u, v in zip(x, y))
+        d = _m.sqrt(sxx * syy)
+        return sxy / d if d > 0.0 else -2.0
+
+    def partner(ka, kb, sh) -> bool:
+        tols = (PITCH_TOL, PITCH_TOL2)
+        ok_a = all(any(abs(p1 - sh - p2) <= tols[i] for p2 in kb)
+                   for i, p1 in enumerate(ka[:2]))
+        ok_b = all(any(abs(p2 + sh - p1) <= tols[i] for p1 in ka)
+                   for i, p2 in enumerate(kb[:2]))
+        return ok_a and ok_b
+
+    def rationals(shift: int):
+        # independent enumeration: walk Fractions by denominator, dedupe
+        seen = set()
+        for m in range(1, PITCH_SNAP_DEN + 1):
+            for l in range(1, int(m * 2.0 ** (SPEED_MAX_LOG2 + 1)) + 2):
+                f = Fraction(l, m)
+                if f.denominator > PITCH_SNAP_DEN or f in seen:
+                    continue
+                if abs(-SPEED_B * _m.log2(f) - shift) <= PITCH_SNAP_BAND:
+                    seen.add(f)
+        return sorted(seen)
+
+    max_cells = SPEED_B * SPEED_MAX_LOG2
+    raw_corr: list[float] = []
+    rows = []
+    for a, b in sorted(cands):
+        prof_a, ka, na, sra, qa = clips[a]
+        prof_b, kb, nb, srb, qb = clips[b]
+        da, db = na / sra, nb / srb
+        if da <= 0 or db <= 0:
+            continue
+        dc = SPEED_B * _m.log2(db / da)
+        la = [float(v) for v in prof_a]
+        lb = [float(v) for v in prof_b]
+        cls, sh, corr = None, 0, -2.0
+        if PITCH_TOL < abs(dc) <= max_cells and partner(ka, kb, 0):
+            c = max(fsum_corr(la, lb, s) for s in (-1, 0, 1))
+            if c >= STRETCH_CORR_MIN:
+                cls, sh, corr = "time_stretch", 0, c
+        elif abs(dc) <= PITCH_DUR_EQ:
+            raw = {ka[0] - p for p in kb[:3]} | {p - kb[0] for p in ka[:3]}
+            anchors = {s + d for s in raw for d in (-2, -1, 0, 1, 2)}
+            second = -2.0
+            for cand in sorted(anchors):
+                if abs(cand) <= PITCH_TOL or abs(cand) > max_cells:
+                    continue
+                if not partner(ka, kb, cand):
+                    continue
+                c = fsum_corr(la, lb, cand)
+                if c >= PITCH_CORR_MIN:
+                    if c > corr:
+                        second = corr
+                        cls, sh, corr = "pitch_shift", cand, c
+                    elif c > second:
+                        second = c
+            if cls is not None:
+                # argmax stability across engines: strict separation
+                assert corr - second > 1e-9, (a, b, corr, second)
+        if cls is None:
+            continue
+        # fsum corr must agree with the kernel's numpy corr (the Spark
+        # side rounds the kernel value)
+        if cls == "time_stretch":
+            kc = max(corr_at_shift(np.asarray(la), np.asarray(lb), s)
+                     for s in (-1, 0, 1))
+        else:
+            kc = corr_at_shift(np.asarray(la), np.asarray(lb), sh)
+        assert abs(kc - corr) < 1e-9, (a, b, kc, corr)
+        raw_corr.append(kc)
+        # confirm: independent voting over the rational band
+        votes = dist = 0
+        if qa.size and qb.size:
+            ha, ta = constellation_landmarks(qa / 32768.0)
+            for s in rationals(sh):
+                frac = (Fraction(srb, sra) / s).limit_denominator(
+                    PITCH_RESAMPLE_DEN)
+                xb = resample_poly(qb / 32768.0,
+                                   frac.numerator, frac.denominator)
+                hb, tb = constellation_landmarks(xb)
+                if not (ha.size and hb.size and len(xb)):
+                    continue
+                g = qa.size / len(xb)
+                by_hash: dict[int, list[int]] = {}
+                for h, t in zip(hb.tolist(), tb.tolist()):
+                    by_hash.setdefault(h, []).append(t)
+                per: dict[int, list] = {}
+                for h, t in zip(ha.tolist(), ta.tolist()):
+                    for t2 in by_hash.get(h, ()):
+                        per.setdefault(t - round(t2 * g), []).append(h)
+                if not per:
+                    continue
+                cnt = {o: len(hs) for o, hs in per.items()}
+                best_o = max(
+                    per,
+                    key=lambda o: (cnt[o] + max(cnt.get(o - 1, 0),
+                                                cnt.get(o + 1, 0)),
+                                   -abs(o)),
+                )
+                v = cnt[best_o] + max(cnt.get(best_o - 1, 0),
+                                      cnt.get(best_o + 1, 0))
+                if v > votes:
+                    dset = set(per[best_o])
+                    dset.update(per.get(best_o - 1, ()))
+                    dset.update(per.get(best_o + 1, ()))
+                    votes, dist = v, len(dset)
+        rows.append((a, b, cls, int(sh), spark_round(dc, 2),
+                     spark_round(kc, 4),
+                     spark_round(2.0 ** (-sh / SPEED_B), 4),
+                     int(votes), int(dist),
+                     bool(dist < PITCH_DISTINCT_MIN),
+                     bool(votes >= PITCH_CONFIRM_VOTES)))
+    _assert_off_rounding_boundary(raw_corr, 4)
+    cols = ("id_a", "id_b", "edit_class", "shift", "dur_cells_r",
+            "corr_r", "scale_est_r", "votes", "distinct", "stationary",
+            "confirmed")
+    out: dict[str, list] = {c: [] for c in cols}
+    for row in rows:
+        for c, v in zip(cols, row):
+            out[c].append(v)
+    return out
+
+
 def _audio_halluc_expected(n=300, seed=42) -> dict:
     """Twin of ``operators.audio_halluc.halluc_flags`` + the query's
     rounding: decode + ``vad_stats`` are the shared deterministic
@@ -4682,6 +4894,14 @@ _SCHEMAS: dict[str, pa.Schema] = {
          ("n_st_blocks", pa.int32()), ("n_lra_gated", pa.int32()),
          ("lra_r", pa.float64()), ("is_overcompressed", pa.bool_())]
     ),
+    "audio_pitch_dup": pa.schema(
+        [("id_a", pa.string()), ("id_b", pa.string()),
+         ("edit_class", pa.string()), ("shift", pa.int32()),
+         ("dur_cells_r", pa.float64()), ("corr_r", pa.float64()),
+         ("scale_est_r", pa.float64()), ("votes", pa.int32()),
+         ("distinct", pa.int32()), ("stationary", pa.bool_()),
+         ("confirmed", pa.bool_())]
+    ),
     "audio_halluc": pa.schema(
         [("clip_id", pa.string()), ("ok", pa.bool_()),
          ("n_tokens", pa.int32()), ("dur_dec_ms", pa.int32()),
@@ -4953,6 +5173,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_lra_expected()
     elif name == "audio_halluc":
         data = _audio_halluc_expected()
+    elif name == "audio_pitch_dup":
+        data = _audio_pitch_dup_expected()
     elif name == "code_switch":
         data = _code_switch_expected(sf_dir)
     elif name == "clips_decontaminate":

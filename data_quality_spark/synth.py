@@ -1422,3 +1422,63 @@ def make_audio_halluc_corpus(
 def _pick_lang(rng: np.random.Generator) -> str:
     langs = list(LANG_WEIGHTS)
     return langs[rng.choice(len(langs), p=np.array(list(LANG_WEIGHTS.values())))]
+
+
+def make_audio_stretch_corpus(
+    n: int = 300,
+    seed: int = 42,
+    every: int = 3,
+    stretch_factors: tuple[tuple[int, int], ...] = ((11, 10), (9, 10), (5, 4)),
+    pitch_factors: tuple[tuple[int, int], ...] = ((9, 8), (7, 8), (8, 9)),
+) -> pd.DataFrame:
+    """Base corpus + vocoder-perturbed duplicates for
+    ``operators/audio_pitch.py``: every ``every``-th decodable clip long
+    enough for profile+landmark analysis (≥ 8192 samples) is re-emitted
+    as ``<id>_tw``, alternating:
+
+    - ``stretch_<L>_<M>``: phase-vocoder time stretch — duration scaled
+      to EXACTLY round(n·L/M) samples, pitch untouched;
+    - ``pitch_<L>_<M>``: rational pitch shift — every frequency × L/M,
+      duration EXACTLY preserved.
+
+    Both re-encode pcm16 at the original declared rate.  Exact output
+    lengths make the duration-cell laws deterministic (the stft frame
+    grid would otherwise truncate by up to frame+hop samples)."""
+    from .functions.stretch import pitch_shift_rational, time_stretch
+
+    base = generate_clips(n, seed=seed)
+    outs: list[dict] = []
+    k = 0
+    for i in range(len(base)):
+        row = base.iloc[i]
+        sr = int(row["sr_hz"]) or 0
+        if sr <= 0 or (i + 1) % every:
+            continue
+        try:
+            q = A._decode_i16(row["bytes"], row["codec"], row["sr_hz"])
+        except (ValueError, TypeError):
+            continue
+        if len(q) < 8192:
+            continue
+        x = q.astype(np.float64) / 32768.0
+        if k % 2 == 0:
+            L, M = stretch_factors[(k // 2) % len(stretch_factors)]
+            y = time_stretch(x, rate=M / L, out_len=round(len(x) * L / M))
+            defect = f"stretch_{L}_{M}"
+        else:
+            L, M = pitch_factors[(k // 2) % len(pitch_factors)]
+            y = pitch_shift_rational(x, L, M)
+            defect = f"pitch_{L}_{M}"
+        k += 1
+        y = np.clip(y, -1.0, 0.999969)
+        outs.append(
+            {
+                **row.to_dict(),
+                "clip_id": f"{row['clip_id']}_tw",
+                "bytes": A.encode_pcm16(y),
+                "codec": "pcm16",
+                "dur_ms": int(round(len(y) / sr * 1000)),
+                "defect": defect,
+            }
+        )
+    return pd.concat([base, pd.DataFrame(outs)], ignore_index=True)
