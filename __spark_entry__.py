@@ -2490,6 +2490,24 @@ def q_audio_lra(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus overlap by bottom-k shingle sketches (KMV/Broder
+    resemblance): documents split by doc_id parity, k=256 sketch per
+    corpus (distinct + WindowGroupLimit — each corpus reduces to k
+    int64s), union-rank estimator for Jaccard/containment, with the
+    exact shingle Jaccard as the accuracy-as-data companion.  Twin:
+    from-spec XXH64 + Java-semantics tokenization + plain sets/sorts."""
+    from data_quality_spark.operators.corpus_overlap import corpus_overlap
+
+    ensure_expected("corpus_overlap", sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tagged = docs.withColumn(
+        "corpus",
+        F.when(F.col("doc_id") % 2 == 0, "even").otherwise("odd"),
+    )
+    return corpus_overlap(tagged, with_exact=True)
+
+
 def q_audio_pitch_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pitch-shift / time-stretch duplicate detection (the two vocoder
     re-upload axes resampling cannot express): anchored-hypothesis
@@ -2918,6 +2936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_lra": q_audio_lra,
         "audio_halluc": q_audio_halluc,
         "audio_pitch_dup": q_audio_pitch_dup,
+        "corpus_overlap": q_corpus_overlap,
         "audio_declip": q_audio_declip,
         "audio_reverb": q_audio_reverb,
         "audio_speed_dup": q_audio_speed_dup,
@@ -4754,6 +4773,7 @@ ORDER BY d.doc_id""",
         "audio_lra": _expected_sql("audio_lra"),
         "audio_halluc": _expected_sql("audio_halluc"),
         "audio_pitch_dup": _expected_sql("audio_pitch_dup"),
+        "corpus_overlap": _expected_sql("corpus_overlap"),
         "audio_declip": _expected_sql("audio_declip"),
         "audio_reverb": _expected_sql("audio_reverb"),
         "audio_speed_dup": _expected_sql("audio_speed_dup"),

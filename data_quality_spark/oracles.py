@@ -1308,6 +1308,60 @@ def _audio_musicspeech_expected(n=300, seed=42) -> dict:
     return out
 
 
+def _corpus_overlap_expected(sf_dir: str, k=256, n=3) -> dict:
+    """Twin of ``operators.corpus_overlap.corpus_overlap(with_exact=
+    True)`` over documents split by doc_id parity: shingling replayed
+    with Java-semantics tokenization (Spark ``trim`` strips SPACES
+    only; Java ``\\s`` is the ASCII class), hashing via the from-spec
+    XXH64 that bit-matches Spark's ``xxhash64`` at seed 42, bottom-k /
+    union-rank / estimator / exact Jaccard all replayed with plain
+    Python sets and sorts."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from .functions.xxh64 import xxh64_string
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    ws = re.compile("[ \\t\\n\\x0b\\f\\r]+")
+    sets: dict[str, set[int]] = {"even": set(), "odd": set()}
+    for did, text in zip(t.column("doc_id").to_pylist(),
+                         t.column("text").to_pylist()):
+        if text is None or text.strip(" ") == "":
+            continue
+        toks = ws.split(text.lower().strip(" "))
+        m = max(len(toks) - (n - 1), 1)
+        corpus = "even" if did % 2 == 0 else "odd"
+        for i in range(m):
+            sh = " ".join(toks[i: i + n])
+            sets[corpus].add(xxh64_string(sh, 42))
+    ska = sorted(sets["even"])[:k]
+    skb = sorted(sets["odd"])[:k]
+    s = sorted(set(ska) | set(skb))[:k]
+    sa, sb = set(ska), set(skb)
+    union_k = len(s)
+    inter_k = sum(1 for h in s if h in sa and h in sb)
+    a_k = sum(1 for h in s if h in sa)
+    b_k = sum(1 for h in s if h in sb)
+    inter = len(sets["even"] & sets["odd"])
+    union = len(sets["even"] | sets["odd"])
+    est = inter_k / union_k
+    exact = inter / union
+    return {
+        "ca": ["even"], "cb": ["odd"], "k": [k],
+        "union_k": [union_k], "inter_k": [inter_k],
+        "jaccard_est_r": [spark_round(est, 6)],
+        "contain_b_in_a_r": [spark_round(inter_k / b_k, 6)],
+        "contain_a_in_b_r": [spark_round(inter_k / a_k, 6)],
+        "jaccard_exact_r": [spark_round(exact, 6)],
+        "abs_err_r": [spark_round(
+            abs(spark_round(est, 6) - spark_round(exact, 6)), 6)],
+    }
+
+
 def _audio_pitch_dup_expected(n=300, seed=42, max_bucket_size=64) -> dict:
     """Twin of the pitch/stretch-dup chain (clip_profiles →
     pitch_dup_pairs → pitch_dup_confirm): profile/peak/landmark/resample
@@ -4894,6 +4948,15 @@ _SCHEMAS: dict[str, pa.Schema] = {
          ("n_st_blocks", pa.int32()), ("n_lra_gated", pa.int32()),
          ("lra_r", pa.float64()), ("is_overcompressed", pa.bool_())]
     ),
+    "corpus_overlap": pa.schema(
+        [("ca", pa.string()), ("cb", pa.string()), ("k", pa.int32()),
+         ("union_k", pa.int64()), ("inter_k", pa.int64()),
+         ("jaccard_est_r", pa.float64()),
+         ("contain_b_in_a_r", pa.float64()),
+         ("contain_a_in_b_r", pa.float64()),
+         ("jaccard_exact_r", pa.float64()),
+         ("abs_err_r", pa.float64())]
+    ),
     "audio_pitch_dup": pa.schema(
         [("id_a", pa.string()), ("id_b", pa.string()),
          ("edit_class", pa.string()), ("shift", pa.int32()),
@@ -5024,7 +5087,7 @@ def _src_key(name: str, sf_dir: str | None) -> dict | None:
         "minhash_lsh", "simhash_near_dup", "ann_lsh_topk",
         "winnow_fingerprints", "embedding_near_dup_blocked", "ann_ivf_topk",
         "ann_recall", "dedup_clusters", "dedup_resolve", "dsir_weights",
-        "lsh_tuning", "semantic_prune",
+        "lsh_tuning", "semantic_prune", "corpus_overlap",
     ):
         table = (
             "embeddings"
@@ -5175,6 +5238,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_halluc_expected()
     elif name == "audio_pitch_dup":
         data = _audio_pitch_dup_expected()
+    elif name == "corpus_overlap":
+        data = _corpus_overlap_expected(sf_dir)
     elif name == "code_switch":
         data = _code_switch_expected(sf_dir)
     elif name == "clips_decontaminate":
