@@ -2490,6 +2490,27 @@ def q_audio_lra(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+def q_audio_mel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-mel feature extraction (25 ms / 10 ms, 40 HTK-mel filters):
+    the produce-the-training-input transform, hash-checked at PAYLOAD
+    grade — xxhash64 over the float64 feature bytes vs a per-clip
+    replay with the from-spec XXH64 (batch-layout independence is the
+    differential surface).  Twin: shared mel kernel per clip, totality
+    and byte layout replayed row by row."""
+    from data_quality_spark.operators.audio_mel import mel_features
+
+    ensure_expected("audio_mel", sf_dir)
+    clips = _clips_df(spark, 300, 42)
+    return mel_features(clips).select(
+        "clip_id",
+        "ok",
+        "n_frames",
+        "n_mels",
+        F.length("feat").alias("n_bytes"),
+        F.xxhash64("feat").alias("feat_h"),
+    ).orderBy("clip_id")
+
+
 def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus overlap by bottom-k shingle sketches (KMV/Broder
     resemblance): documents split by doc_id parity, k=256 sketch per
@@ -2937,6 +2958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_halluc": q_audio_halluc,
         "audio_pitch_dup": q_audio_pitch_dup,
         "corpus_overlap": q_corpus_overlap,
+        "audio_mel": q_audio_mel,
         "audio_declip": q_audio_declip,
         "audio_reverb": q_audio_reverb,
         "audio_speed_dup": q_audio_speed_dup,
@@ -4774,6 +4796,7 @@ ORDER BY d.doc_id""",
         "audio_halluc": _expected_sql("audio_halluc"),
         "audio_pitch_dup": _expected_sql("audio_pitch_dup"),
         "corpus_overlap": _expected_sql("corpus_overlap"),
+        "audio_mel": _expected_sql("audio_mel"),
         "audio_declip": _expected_sql("audio_declip"),
         "audio_reverb": _expected_sql("audio_reverb"),
         "audio_speed_dup": _expected_sql("audio_speed_dup"),

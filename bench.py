@@ -477,7 +477,7 @@ def main() -> None:
         "audio_stereo", "audio_downmix", "audio_flutter", "audio_clicks",
         "embedding_decontaminate", "source_reputation", "ccnet_buckets",
         "audio_truepeak", "audio_musicspeech", "audio_lra", "audio_declip",
-        "audio_halluc", "audio_pitch_dup", "corpus_overlap",
+        "audio_halluc", "audio_pitch_dup", "corpus_overlap", "audio_mel",
     ]
     # headline-only mode: just the gate pair + health scan (~90 s) — fits
     # inside the short quiet gaps this shared host actually has, where the

@@ -1308,6 +1308,44 @@ def _audio_musicspeech_expected(n=300, seed=42) -> dict:
     return out
 
 
+def _audio_mel_expected(n=300, seed=42) -> dict:
+    """Twin of ``operators.audio_mel.mel_features`` + the query's hash:
+    the mel kernel is SHARED (per-clip float64, batch-layout independent
+    — bit-equality of the feature BYTES is exactly the claim under
+    test), decode dispatch / totality / byte layout replayed row by
+    row, and the hash recomputed with the from-spec XXH64 that
+    bit-matches Spark's ``xxhash64`` at seed 42 (declip pattern)."""
+    from .functions.audio import _decode_i16
+    from .functions.mel import N_MELS, log_mel
+    from .functions.xxh64 import xxh64_bytes
+    from .synth import generate_clips
+
+    def signed(h: int) -> int:
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    pdf = generate_clips(n, seed=seed)
+    out: dict[str, list] = {
+        "clip_id": [], "ok": [], "n_frames": [], "n_mels": [],
+        "n_bytes": [], "feat_h": [],
+    }
+    for _, r in pdf.sort_values("clip_id").iterrows():
+        try:
+            q = _decode_i16(r["bytes"], r["codec"], r["sr_hz"])
+            ok = True
+        except (ValueError, TypeError):
+            q = np.zeros(0, dtype=np.int16)
+            ok = False
+        m = log_mel(q.astype(np.float64) / 32768.0, r["sr_hz"] or 0)
+        payload = np.ascontiguousarray(m).tobytes()
+        out["clip_id"].append(r["clip_id"])
+        out["ok"].append(ok)
+        out["n_frames"].append(int(m.shape[0]))
+        out["n_mels"].append(N_MELS)
+        out["n_bytes"].append(len(payload))
+        out["feat_h"].append(signed(xxh64_bytes(payload, 42)))
+    return out
+
+
 def _corpus_overlap_expected(sf_dir: str, k=256, n=3) -> dict:
     """Twin of ``operators.corpus_overlap.corpus_overlap(with_exact=
     True)`` over documents split by doc_id parity: shingling replayed
@@ -4948,6 +4986,11 @@ _SCHEMAS: dict[str, pa.Schema] = {
          ("n_st_blocks", pa.int32()), ("n_lra_gated", pa.int32()),
          ("lra_r", pa.float64()), ("is_overcompressed", pa.bool_())]
     ),
+    "audio_mel": pa.schema(
+        [("clip_id", pa.string()), ("ok", pa.bool_()),
+         ("n_frames", pa.int32()), ("n_mels", pa.int32()),
+         ("n_bytes", pa.int32()), ("feat_h", pa.int64())]
+    ),
     "corpus_overlap": pa.schema(
         [("ca", pa.string()), ("cb", pa.string()), ("k", pa.int32()),
          ("union_k", pa.int64()), ("inter_k", pa.int64()),
@@ -5240,6 +5283,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_pitch_dup_expected()
     elif name == "corpus_overlap":
         data = _corpus_overlap_expected(sf_dir)
+    elif name == "audio_mel":
+        data = _audio_mel_expected()
     elif name == "code_switch":
         data = _code_switch_expected(sf_dir)
     elif name == "clips_decontaminate":
