@@ -2490,6 +2490,46 @@ def q_audio_lra(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+def q_audio_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-per-cluster over the AUDIO dup graph: the re-encode
+    chains cross codec families (pcm16→mulaw→wav), so the survivor law
+    prefers decodability, then codec fidelity (pcm16 > wav > mulaw —
+    mulaw is the lossy generation), then sample count, ties to the
+    smallest clip_id.  Twin: union-find over the pure-Python pair twin
+    + the same integer rank law replayed per clip."""
+    from data_quality_spark.operators.audio_dedup import (
+        clip_fingerprints,
+        fingerprint_near_dup,
+    )
+    from data_quality_spark.operators.audio_speed import clip_profiles
+    from data_quality_spark.operators.cluster import resolve_duplicates
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_dup_corpus
+
+    ensure_expected("audio_dedup_resolve", sf_dir)
+    key = ("dup", 400, 42)
+    if key not in _CLIPS_CACHE:
+        _CLIPS_CACHE[key] = make_audio_dup_corpus(400, seed=42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(
+        _CLIPS_CACHE[key][cols], CLIPS_SCHEMA
+    ).repartition(8, "clip_id")
+    pairs = fingerprint_near_dup(clip_fingerprints(clips))
+    meta = clip_profiles(clips).select("clip_id", "n_samples", "codec")
+    rank = (
+        F.when(F.col("codec") == "pcm16", 2)
+        .when(F.col("codec") == "wav", 1)
+        .otherwise(0)
+        .cast("long")
+    )
+    prefer = F.when(
+        F.col("n_samples") > 0, rank * F.lit(10_000_000_000) + F.col("n_samples")
+    ).otherwise(F.lit(-1).cast("long"))
+    return resolve_duplicates(meta, "clip_id", pairs, prefer=prefer).orderBy(
+        "component", "clip_id"
+    )
+
+
 def q_audio_mel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log-mel feature extraction (25 ms / 10 ms, 40 HTK-mel filters):
     the produce-the-training-input transform, hash-checked at PAYLOAD
@@ -2959,6 +2999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_pitch_dup": q_audio_pitch_dup,
         "corpus_overlap": q_corpus_overlap,
         "audio_mel": q_audio_mel,
+        "audio_dedup_resolve": q_audio_dedup_resolve,
         "audio_declip": q_audio_declip,
         "audio_reverb": q_audio_reverb,
         "audio_speed_dup": q_audio_speed_dup,
@@ -4797,6 +4838,7 @@ ORDER BY d.doc_id""",
         "audio_pitch_dup": _expected_sql("audio_pitch_dup"),
         "corpus_overlap": _expected_sql("corpus_overlap"),
         "audio_mel": _expected_sql("audio_mel"),
+        "audio_dedup_resolve": _expected_sql("audio_dedup_resolve"),
         "audio_declip": _expected_sql("audio_declip"),
         "audio_reverb": _expected_sql("audio_reverb"),
         "audio_speed_dup": _expected_sql("audio_speed_dup"),

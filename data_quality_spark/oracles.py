@@ -3180,6 +3180,45 @@ def _audio_dedup_clusters_expected(n=400, seed=42) -> dict:
     return out
 
 
+def _audio_dedup_resolve_expected(n=400, seed=42) -> dict:
+    """Twin of the ``audio_dedup_resolve`` query: union-find over the
+    pure-Python verified-pair twin + the survivor rank law (decodable,
+    codec fidelity pcm16>wav>mulaw, sample count, smallest id) replayed
+    with exact integers per clip."""
+    from .functions.audio import _decode_i16
+    from .synth import make_audio_dup_corpus
+
+    pairs = [(a, b) for a, b, _ in _audio_verified_pairs(n, seed)]
+    comp = _uf_min_components(pairs)
+    sizes: dict[str, int] = {}
+    for c in comp.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    pdf = make_audio_dup_corpus(n, seed=seed)
+    pref: dict[str, int] = {}
+    for _, r in pdf.iterrows():
+        cid = r["clip_id"]
+        if cid not in comp:
+            continue
+        try:
+            ns = int(len(_decode_i16(r["bytes"], r["codec"], r["sr_hz"])))
+        except (ValueError, TypeError):
+            ns = 0
+        rank = {"pcm16": 2, "wav": 1}.get(r["codec"], 0)
+        pref[cid] = rank * 10_000_000_000 + ns if ns > 0 else -1
+    winners: dict[str, str] = {}
+    for node, c in comp.items():
+        cur = winners.get(c)
+        if cur is None or (-pref[node], node) < (-pref[cur], cur):
+            winners[c] = node
+    out = {"clip_id": [], "component": [], "cluster_size": [], "keep": []}
+    for node in sorted(comp, key=lambda x: (comp[x], x)):
+        out["clip_id"].append(node)
+        out["component"].append(comp[node])
+        out["cluster_size"].append(sizes[comp[node]])
+        out["keep"].append(node == winners[comp[node]])
+    return out
+
+
 def _audio_excerpt_expected(
     n=400, seed=42, window=3, stride=1, ber_max=0.30, max_bucket=64,
     min_votes=2, min_overlap=8,
@@ -4986,6 +5025,10 @@ _SCHEMAS: dict[str, pa.Schema] = {
          ("n_st_blocks", pa.int32()), ("n_lra_gated", pa.int32()),
          ("lra_r", pa.float64()), ("is_overcompressed", pa.bool_())]
     ),
+    "audio_dedup_resolve": pa.schema(
+        [("clip_id", pa.string()), ("component", pa.string()),
+         ("cluster_size", pa.int64()), ("keep", pa.bool_())]
+    ),
     "audio_mel": pa.schema(
         [("clip_id", pa.string()), ("ok", pa.bool_()),
          ("n_frames", pa.int32()), ("n_mels", pa.int32()),
@@ -5285,6 +5328,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _corpus_overlap_expected(sf_dir)
     elif name == "audio_mel":
         data = _audio_mel_expected()
+    elif name == "audio_dedup_resolve":
+        data = _audio_dedup_resolve_expected()
     elif name == "code_switch":
         data = _code_switch_expected(sf_dir)
     elif name == "clips_decontaminate":

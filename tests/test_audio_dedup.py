@@ -321,3 +321,48 @@ def test_label_noise_audit_flags_relabeled_dups(spark):
     for r in rows:
         if not r["label_mismatch"]:
             assert r["jaccard"] == 1.0
+
+
+def test_audio_dedup_resolve_survivor_law(spark):
+    """Keep-one-per-cluster over the audio dup graph: exactly one keeper
+    per component, and the keeper maximizes (decodable, codec fidelity
+    pcm16>wav>mulaw, n_samples, smallest id) — on the re-encode-chain
+    corpus the lossless generation must survive over its mulaw copy."""
+    from pyspark.sql import functions as F
+
+    from data_quality_spark.operators.audio_dedup import (
+        clip_fingerprints,
+        fingerprint_near_dup,
+    )
+    from data_quality_spark.operators.audio_speed import clip_profiles
+    from data_quality_spark.operators.cluster import resolve_duplicates
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_dup_corpus
+
+    pdf = make_audio_dup_corpus(200, seed=11)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(pdf[cols], CLIPS_SCHEMA)
+    pairs = fingerprint_near_dup(clip_fingerprints(clips))
+    meta = clip_profiles(clips).select("clip_id", "n_samples", "codec")
+    rank = (
+        F.when(F.col("codec") == "pcm16", 2)
+        .when(F.col("codec") == "wav", 1)
+        .otherwise(0)
+        .cast("long")
+    )
+    prefer = F.when(
+        F.col("n_samples") > 0,
+        rank * F.lit(10_000_000_000) + F.col("n_samples"),
+    ).otherwise(F.lit(-1).cast("long"))
+    rows = resolve_duplicates(meta, "clip_id", pairs, prefer=prefer).collect()
+    assert rows
+    by_comp: dict = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r)
+    codec = dict(zip(pdf.clip_id, pdf.codec))
+    order = {"pcm16": 2, "wav": 1, "mulaw": 0}
+    for comp, members in by_comp.items():
+        keepers = [m for m in members if m.keep]
+        assert len(keepers) == 1, comp
+        best = max(order[codec[m.clip_id]] for m in members)
+        assert order[codec[keepers[0].clip_id]] == best, comp
