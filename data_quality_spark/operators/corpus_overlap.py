@@ -33,7 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["shingle_hashes", "corpus_sketch", "corpus_overlap"]
+__all__ = ["shingle_hashes", "corpus_sketch", "merge_sketches",
+           "corpus_overlap"]
 
 OVERLAP_K = 256      # sketch size: RMSE ≈ 1/16
 SHINGLE_N = 3        # word n-gram shingle width
@@ -73,6 +74,18 @@ def corpus_sketch(hashes: DataFrame, k: int = OVERLAP_K) -> DataFrame:
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def merge_sketches(sketches: list, k: int = OVERLAP_K) -> DataFrame:
+    """Fold per-increment sketches (e.g. one per ingest day) into the
+    corpus sketch WITHOUT rescanning: the k smallest of a union are
+    always among the increments' own bottom-k sets, so re-ranking the
+    unioned sketch rows is exact — the mergeable-summary property that
+    makes daily updates O(days·k) at any corpus size."""
+    from functools import reduce
+
+    merged = reduce(lambda a, b: a.unionByName(b), sketches).distinct()
+    return corpus_sketch(merged, k)
 
 
 def corpus_overlap(

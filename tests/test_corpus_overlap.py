@@ -89,3 +89,29 @@ class TestEstimator:
         r = corpus_overlap(_docs(spark, rows), k=64).collect()[0]
         assert r.union_k == 1 and r.inter_k == 1
         assert r.jaccard_est_r == 1.0
+
+
+class TestMerge:
+    def test_merged_increment_sketches_equal_full_sketch(self, spark):
+        from data_quality_spark.operators.corpus_overlap import (
+            merge_sketches,
+        )
+
+        rows = [("a", f"v{i} v{i + 1} v{i + 2} v{i + 3} v{i + 4}")
+                for i in range(60)]
+        full = _docs(spark, rows)
+        day1 = _docs(spark, rows[:25])
+        day2 = _docs(spark, rows[25:])
+        k = 16
+        want = sorted(
+            (r.corpus, r.h)
+            for r in corpus_sketch(shingle_hashes(full), k).collect()
+        )
+        got = sorted(
+            (r.corpus, r.h)
+            for r in merge_sketches(
+                [corpus_sketch(shingle_hashes(day1), k),
+                 corpus_sketch(shingle_hashes(day2), k)], k
+            ).collect()
+        )
+        assert got == want
