@@ -64,6 +64,15 @@ def build_parser() -> argparse.ArgumentParser:
     sg.add_argument("--no-resume", action="store_true")
     sg.add_argument("--days-per-batch", type=int, default=0)
 
+    ft = sub.add_parser(
+        "features", help="write the log-mel training-input table"
+    )
+    ft.add_argument("--input", required=True, help="bronze clips parquet root")
+    ft.add_argument("--output", required=True,
+                    help="output root (features/metrics/lineage)")
+    ft.add_argument("--no-resume", action="store_true")
+    ft.add_argument("--days-per-batch", type=int, default=0)
+
     m = sub.add_parser("completeness", help="per-column completeness analysis")
     m.add_argument("--tables", required=True)
     m.add_argument("--pattern", default=None)
@@ -306,6 +315,18 @@ def main(argv: list[str] | None = None) -> int:
                 args.input,
                 args.output,
                 min_dur_ms=args.min_dur_ms,
+                resume=not args.no_resume,
+                days_per_batch=args.days_per_batch,
+            )
+            print(json.dumps(res))
+            return 0 if res.get("completed") else 1
+        if args.cmd == "features":
+            from .runner import run_feature_pipeline
+
+            res = run_feature_pipeline(
+                spark,
+                args.input,
+                args.output,
                 resume=not args.no_resume,
                 days_per_batch=args.days_per_batch,
             )

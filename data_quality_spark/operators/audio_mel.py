@@ -32,9 +32,15 @@ from pyspark.sql import types as T
 __all__ = ["mel_features"]
 
 
-def mel_features(df: DataFrame, counter=None) -> DataFrame:
-    """(clip_id, ok, sr_hz, n_frames, n_mels, feat binary) — float64 LE
-    bytes, C-order (n_frames, n_mels)."""
+def mel_features(
+    df: DataFrame,
+    carry_cols: tuple[str, ...] = (),
+    counter=None,
+) -> DataFrame:
+    """(clip_id, ok, sr_hz, n_frames, n_mels, feat binary[, carry…]) —
+    float64 LE bytes, C-order (n_frames, n_mels).  ``carry_cols`` names
+    input columns repeated onto the output row (e.g. ``ingest_day`` so
+    the feature runner never joins back to the source)."""
     col_idx = {f.name: i for i, f in enumerate(df.schema.fields)}
     out_schema = T.StructType(
         [
@@ -45,6 +51,7 @@ def mel_features(df: DataFrame, counter=None) -> DataFrame:
             T.StructField("n_mels", T.IntegerType(), False),
             T.StructField("feat", T.BinaryType(), False),
         ]
+        + [df.schema[c] for c in carry_cols]
     )
 
     def run(batches):
@@ -82,7 +89,8 @@ def mel_features(df: DataFrame, counter=None) -> DataFrame:
                     pa.array(nfs, type=pa.int32()),
                     pa.array([N_MELS] * batch.num_rows, type=pa.int32()),
                     pa.array(feats, type=pa.binary()),
-                ],
+                ]
+                + [batch.column(col_idx[c]) for c in carry_cols],
                 names=[f.name for f in out_schema.fields],
             )
 

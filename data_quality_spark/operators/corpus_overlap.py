@@ -100,6 +100,12 @@ def corpus_overlap(
     both containments, plus (``with_exact=True``, test-scale only) the
     exact shingle Jaccard and the estimate's absolute error."""
     hashes = shingle_hashes(df, corpus_col, text_col, n)
+    if with_exact:
+        # the exact companion re-reads the full hash relation (corpus
+        # names + the all-shingle groupBy) — cache it so the corpus is
+        # shingled once.  Test-scale only: the sketch-only path never
+        # materializes the hash relation.
+        hashes = hashes.cache()
     sk = corpus_sketch(hashes, k).cache()
     a = sk.select(F.col("corpus").alias("ca"), "h")
     b = sk.select(F.col("corpus").alias("cb"), "h")

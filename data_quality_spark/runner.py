@@ -31,7 +31,7 @@ from .sources.io import LineageLedger, append_metrics, write_partitioned
 
 __all__ = [
     "write_clips", "run_gate_pipeline", "run_segment_pipeline",
-    "list_ingest_days",
+    "run_feature_pipeline", "list_ingest_days",
 ]
 
 # Silver rows reference bronze by clip_id instead of duplicating the audio
@@ -328,6 +328,101 @@ def run_segment_pipeline(
         metric_rows.append(
             (run_id, "batch", "segments_per_sec",
              batch_segs / dt if dt > 0 else 0.0,
+             f"batch={bi} days={len(batch)}")
+        )
+        append_metrics(spark, output_root, metric_rows)
+    totals["run_id"] = run_id
+    totals["completed"] = True
+    totals["wall_s"] = time.perf_counter() - t_start
+    return totals
+
+
+def run_feature_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    output_root: str,
+    resume: bool = True,
+    days_per_batch: int = 0,
+    fail_after_batches: int | None = None,
+    decode_counter=None,
+) -> dict:
+    """Training-INPUT writer: decode every pending ``ingest_day`` once and
+    write its log-mel feature table (``operators.audio_mel.mel_features``)
+    partitioned by ``ingest_day`` under ``output_root/features``, with the
+    same lineage/resume law as the gate and segment runners — a killed run
+    resumes on the pending days only, finished days are never re-decoded.
+
+    Same execution shape as ``run_segment_pipeline``: partition-pruned
+    scan → ONE ``mapInArrow`` (decode + mel, ``ingest_day`` carried so no
+    join back) → ONE write action with per-day clip/frame counts riding
+    as ``observe()`` metrics (the one-action law).  Feature bytes are the
+    payload — at 100 TB the bound is decode + write, both parallel per
+    day partition; no shuffle anywhere.
+    """
+    from .operators.audio_mel import mel_features
+
+    run_id = uuid.uuid4().hex[:12]
+    ledger = LineageLedger(output_root, "features")
+    all_days = list_ingest_days(spark, input_path)
+    days = ledger.pending(all_days) if resume else all_days
+    batches = (
+        [days]
+        if days_per_batch <= 0
+        else [days[i : i + days_per_batch]
+              for i in range(0, len(days), days_per_batch)]
+    )
+    totals = {
+        "clips_in": 0, "frames_out": 0, "days": 0,
+        "skipped": len(all_days) - len(days),
+    }
+    t_start = time.perf_counter()
+    for bi, batch in enumerate(b for b in batches if b):
+        if fail_after_batches is not None and bi >= fail_after_batches:
+            return {**totals, "run_id": run_id, "completed": False}
+        for d in batch:
+            ledger.mark(d, "running", run_id=run_id)
+        t0 = time.perf_counter()
+        day_list = sorted(batch)
+        scan = spark.read.parquet(input_path).where(
+            F.col("ingest_day").isin(day_list)
+        )
+        feats = mel_features(
+            scan, carry_cols=("ingest_day",), counter=decode_counter
+        )
+        obs = Observation(f"mel_{run_id}_b{bi}")
+        metrics = []
+        for di, d in enumerate(day_list):
+            is_day = F.col("ingest_day") == d
+            metrics.append(F.sum(is_day.cast("long")).alias(f"n_{di}"))
+            metrics.append(
+                F.sum(F.when(is_day, F.col("n_frames")).otherwise(0)
+                      .cast("long")).alias(f"f_{di}")
+            )
+        observed = feats.observe(obs, *metrics)
+        write_partitioned(
+            observed, os.path.join(output_root, "features"), ["ingest_day"]
+        )
+        vals = obs.get
+        dt = time.perf_counter() - t0
+        metric_rows = []
+        batch_frames = 0
+        for di, d in enumerate(day_list):
+            n = int(vals[f"n_{di}"] or 0)
+            fr = int(vals[f"f_{di}"] or 0)
+            batch_frames += fr
+            ledger.mark(d, "done", rows_in=n, rows_kept=n, run_id=run_id)
+            totals["clips_in"] += n
+            totals["frames_out"] += fr
+            totals["days"] += 1
+            metric_rows.append(
+                (run_id, f"ingest_day={d}", "clips_in", float(n), "")
+            )
+            metric_rows.append(
+                (run_id, f"ingest_day={d}", "frames_out", float(fr), "")
+            )
+        metric_rows.append(
+            (run_id, "batch", "frames_per_sec",
+             batch_frames / dt if dt > 0 else 0.0,
              f"batch={bi} days={len(batch)}")
         )
         append_metrics(spark, output_root, metric_rows)
