@@ -2490,6 +2490,87 @@ def q_audio_lra(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+NOISE_LM_CONFIGS = ((64, 45), (256, 45), (256, 20))
+
+
+def q_audio_noise_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matcher noise-robustness curve (accuracy-tradeoff-as-data, the
+    lsh_tuning pattern): per seeded SNR level, recall of the
+    codec-invariant FINGERPRINT matcher vs the peak-based CONSTELLATION
+    matcher on additive-noise twins, the latter swept over (hot-hash
+    guard, vote threshold) configs with the coincidence cost
+    (``lm_extra_pairs`` — non-seeded matches, per config) alongside.
+    Measured: fingerprint bits flip under broadband noise (recall ~0
+    even at 20 dB — re-encode-invariant by design); landmarks hold to
+    5 dB once the guard admits this stationary-tone corpus's hot
+    hashes, at the printed coincidence price.  Twin: shared
+    fingerprint/landmark kernels, independent bucket/vote/guard replay
+    for BOTH matchers at every config."""
+    from data_quality_spark.operators.audio_dedup import (
+        clip_fingerprints,
+        clip_landmarks,
+        fingerprint_near_dup,
+        landmark_match,
+    )
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_noise_corpus
+
+    ensure_expected("audio_noise_robustness", sf_dir)
+    key = ("noise", 200, 42)
+    if key not in _CLIPS_CACHE:
+        _CLIPS_CACHE[key] = make_audio_noise_corpus(200, seed=42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(
+        _CLIPS_CACHE[key][cols], CLIPS_SCHEMA
+    ).repartition(8, "clip_id")
+    fpp = fingerprint_near_dup(clip_fingerprints(clips)).select(
+        "id_a", "id_b", F.lit(1).alias("fp_hit"))
+    inj = clips.filter(F.col("clip_id").rlike(r"_n[0-9]+$")).select(
+        F.regexp_replace("clip_id", r"_n[0-9]+$", "").alias("id_a"),
+        F.col("clip_id").alias("id_b"),
+        F.regexp_extract("clip_id", r"_n([0-9]+)$", 1)
+        .cast("int").alias("snr_db"),
+    )
+    lm = clip_landmarks(clips).cache()
+    parts = []
+    for mb, mv in NOISE_LM_CONFIGS:
+        lmp = landmark_match(lm, min_votes=mv, max_bucket_size=mb).select(
+            "id_a", "id_b", F.lit(1).alias("lm_hit"))
+        extra = (
+            lmp.join(inj.select("id_a", "id_b"), ["id_a", "id_b"],
+                     "left_anti")
+            .agg(F.count(F.lit(1)).cast("long").alias("lm_extra_pairs"))
+        )
+        per_snr = (
+            inj.join(fpp, ["id_a", "id_b"], "left")
+            .join(lmp, ["id_a", "id_b"], "left")
+            .groupBy("snr_db")
+            .agg(
+                F.count(F.lit(1)).alias("n_injected"),
+                F.sum(F.coalesce("fp_hit", F.lit(0))).cast("long")
+                .alias("fp_recovered"),
+                F.sum(F.coalesce("lm_hit", F.lit(0))).cast("long")
+                .alias("lm_recovered"),
+            )
+        )
+        parts.append(
+            per_snr.crossJoin(extra).select(
+                F.lit(mb).alias("max_bucket"),
+                F.lit(mv).alias("min_votes"),
+                "snr_db", "n_injected", "fp_recovered", "lm_recovered",
+                "lm_extra_pairs",
+                F.round(F.col("fp_recovered") / F.col("n_injected"), 4)
+                .alias("fp_recall_r"),
+                F.round(F.col("lm_recovered") / F.col("n_injected"), 4)
+                .alias("lm_recall_r"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("max_bucket", "min_votes", F.col("snr_db").desc())
+
+
 def q_audio_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-one-per-cluster over the AUDIO dup graph: the re-encode
     chains cross codec families (pcm16→mulaw→wav), so the survivor law
@@ -3000,6 +3081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_overlap": q_corpus_overlap,
         "audio_mel": q_audio_mel,
         "audio_dedup_resolve": q_audio_dedup_resolve,
+        "audio_noise_robustness": q_audio_noise_robustness,
         "audio_declip": q_audio_declip,
         "audio_reverb": q_audio_reverb,
         "audio_speed_dup": q_audio_speed_dup,
@@ -4839,6 +4921,7 @@ ORDER BY d.doc_id""",
         "corpus_overlap": _expected_sql("corpus_overlap"),
         "audio_mel": _expected_sql("audio_mel"),
         "audio_dedup_resolve": _expected_sql("audio_dedup_resolve"),
+        "audio_noise_robustness": _expected_sql("audio_noise_robustness"),
         "audio_declip": _expected_sql("audio_declip"),
         "audio_reverb": _expected_sql("audio_reverb"),
         "audio_speed_dup": _expected_sql("audio_speed_dup"),

@@ -3180,6 +3180,124 @@ def _audio_dedup_clusters_expected(n=400, seed=42) -> dict:
     return out
 
 
+def _audio_noise_expected(
+    n=200, seed=42, window=3, stride=1, ber_max=0.30,
+    fp_max_bucket=64,
+    lm_configs=((64, 45), (256, 45), (256, 20)),
+) -> dict:
+    """Twin of the ``audio_noise_robustness`` query: BOTH matchers
+    replayed in pure Python over ``make_audio_noise_corpus`` — the
+    fingerprint bucket join + popcount BER (as in the dedup twin) and
+    the landmark vote with its hot-hash guard + adjacent-bin paired
+    scoring (as in the constellation twin) AT EVERY swept (guard,
+    threshold) config — then the per-config/per-SNR recall and
+    coincidence accounting with exact integers."""
+    from .functions.audio import _decode_i16
+    from .functions.spectral import (
+        STABLE_MASK,
+        STABLE_SHIFT,
+        constellation_landmarks,
+        fingerprint_i32,
+    )
+    from .functions.xxh64 import xxh64_long
+    from .synth import make_audio_noise_corpus
+
+    pdf = make_audio_noise_corpus(n, seed=seed)
+    fps: dict[str, list[int]] = {}
+    lm_buckets: dict[int, list[tuple[str, int]]] = {}
+    for _, r in pdf.iterrows():
+        try:
+            x = _decode_i16(r["bytes"], r["codec"], r["sr_hz"])
+        except (ValueError, TypeError):
+            x = np.zeros(0, dtype=np.int16)
+        fps[r["clip_id"]] = [int(v) for v in fingerprint_i32(x)]
+        # clip_landmarks feeds the RAW int16 stream to the landmark
+        # kernel (peak picking is scale-invariant but match it exactly)
+        hs, ts = constellation_landmarks(x)
+        for h, t in zip(hs, ts):
+            lm_buckets.setdefault(int(h), []).append((r["clip_id"], int(t)))
+    # matcher 1: fingerprint window buckets + BER verify
+    buckets: dict[tuple[int, int], list[str]] = {}
+    for cid, fp in fps.items():
+        if len(fp) < window:
+            continue
+        sb = [(v >> STABLE_SHIFT) & STABLE_MASK for v in fp]
+        for wi in range((len(sb) - window) // stride + 1):
+            off = wi * stride
+            h = 42
+            for v in sb[off:off + window]:
+                h = xxh64_long(v, h)
+            buckets.setdefault((off, h), []).append(cid)
+    fp_pairs: set[tuple[str, str]] = set()
+    cand: set[tuple[str, str]] = set()
+    for members in buckets.values():
+        if 1 < len(members) <= fp_max_bucket:
+            ms = sorted(set(members))
+            for i in range(len(ms)):
+                for j in range(i + 1, len(ms)):
+                    cand.add((ms[i], ms[j]))
+    for a, b in cand:
+        fa, fb = fps[a], fps[b]
+        m = min(len(fa), len(fb))
+        if m == 0:
+            continue
+        diff = 0
+        for va, vb in zip(fa[:m], fb[:m]):
+            diff += bin((va ^ vb) & 0x7FFF).count("1")
+        if diff / (15.0 * m) <= ber_max:
+            fp_pairs.add((a, b))
+    # seeded pair list
+    seeded: dict[tuple[str, str], int] = {}
+    for _, r in pdf.iterrows():
+        d = str(r["defect"])
+        if d.startswith("noise_"):
+            base = r["clip_id"].rsplit("_n", 1)[0]
+            seeded[(base, r["clip_id"])] = int(d.split("_")[1])
+    out = {
+        "max_bucket": [], "min_votes": [], "snr_db": [], "n_injected": [],
+        "fp_recovered": [], "lm_recovered": [], "lm_extra_pairs": [],
+        "fp_recall_r": [], "lm_recall_r": [],
+    }
+    for mb, mv in lm_configs:
+        # matcher 2: landmark votes with hot-hash guard + paired scoring
+        votes: dict[tuple[str, str, int], int] = {}
+        for members in lm_buckets.values():
+            if not (1 < len(members) <= mb):
+                continue
+            for a, ta in members:
+                for b, tb in members:
+                    if a < b:
+                        key = (a, b, ta - tb)
+                        votes[key] = votes.get(key, 0) + 1
+        lm_best: dict[tuple[str, str], int] = {}
+        for (a, b, off), v in votes.items():
+            paired = v + max(
+                votes.get((a, b, off - 1), 0), votes.get((a, b, off + 1), 0)
+            )
+            if paired > lm_best.get((a, b), 0):
+                lm_best[(a, b)] = paired
+        lm_pairs = {p for p, v in lm_best.items() if v >= mv}
+        extra = sum(1 for p in lm_pairs if p not in seeded)
+        per: dict[int, dict[str, int]] = {}
+        for pair, snr in seeded.items():
+            st = per.setdefault(snr, {"n": 0, "fp": 0, "lm": 0})
+            st["n"] += 1
+            st["fp"] += pair in fp_pairs
+            st["lm"] += pair in lm_pairs
+        for snr in sorted(per, reverse=True):
+            st = per[snr]
+            out["max_bucket"].append(mb)
+            out["min_votes"].append(mv)
+            out["snr_db"].append(snr)
+            out["n_injected"].append(st["n"])
+            out["fp_recovered"].append(st["fp"])
+            out["lm_recovered"].append(st["lm"])
+            out["lm_extra_pairs"].append(extra)
+            out["fp_recall_r"].append(spark_round(st["fp"] / st["n"], 4))
+            out["lm_recall_r"].append(spark_round(st["lm"] / st["n"], 4))
+    return out
+
+
 def _audio_dedup_resolve_expected(n=400, seed=42) -> dict:
     """Twin of the ``audio_dedup_resolve`` query: union-find over the
     pure-Python verified-pair twin + the survivor rank law (decodable,
@@ -5025,6 +5143,13 @@ _SCHEMAS: dict[str, pa.Schema] = {
          ("n_st_blocks", pa.int32()), ("n_lra_gated", pa.int32()),
          ("lra_r", pa.float64()), ("is_overcompressed", pa.bool_())]
     ),
+    "audio_noise_robustness": pa.schema(
+        [("max_bucket", pa.int32()), ("min_votes", pa.int32()),
+         ("snr_db", pa.int32()), ("n_injected", pa.int64()),
+         ("fp_recovered", pa.int64()), ("lm_recovered", pa.int64()),
+         ("lm_extra_pairs", pa.int64()),
+         ("fp_recall_r", pa.float64()), ("lm_recall_r", pa.float64())]
+    ),
     "audio_dedup_resolve": pa.schema(
         [("clip_id", pa.string()), ("component", pa.string()),
          ("cluster_size", pa.int64()), ("keep", pa.bool_())]
@@ -5330,6 +5455,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_mel_expected()
     elif name == "audio_dedup_resolve":
         data = _audio_dedup_resolve_expected()
+    elif name == "audio_noise_robustness":
+        data = _audio_noise_expected()
     elif name == "code_switch":
         data = _code_switch_expected(sf_dir)
     elif name == "clips_decontaminate":

@@ -1482,3 +1482,51 @@ def make_audio_stretch_corpus(
             }
         )
     return pd.concat([base, pd.DataFrame(outs)], ignore_index=True)
+
+
+def make_audio_noise_corpus(
+    n: int = 200,
+    seed: int = 42,
+    snrs: tuple[int, ...] = (20, 10, 5),
+    every: int = 3,
+) -> pd.DataFrame:
+    """Base corpus + additive-noise duplicates for the matcher
+    noise-robustness curve (``audio_noise_robustness``): every
+    ``every``-th decodable clip ≥ 4096 samples is re-emitted as
+    ``<id>_n<snr>`` — the SAME content plus white noise scaled to the
+    given signal-to-noise ratio, re-encoded pcm16 (defect
+    ``noise_<snr>``).  The re-upload class codec-invariant fingerprints
+    are NOT designed for; the constellation landmarks are."""
+    base = generate_clips(n, seed=seed)
+    rng = np.random.default_rng(seed + 5151)
+    outs: list[dict] = []
+    k = 0
+    for i in range(len(base)):
+        row = base.iloc[i]
+        sr = int(row["sr_hz"]) or 0
+        if sr <= 0 or (i % every):
+            continue
+        try:
+            q = A._decode_i16(row["bytes"], row["codec"], row["sr_hz"])
+        except (ValueError, TypeError):
+            continue
+        if len(q) < 4096:
+            continue
+        x = q.astype(np.float64) / 32768.0
+        px = float(np.mean(x * x))
+        if px <= 0.0:
+            continue
+        snr = snrs[k % len(snrs)]
+        k += 1
+        noise = rng.standard_normal(len(x)) * np.sqrt(px / 10.0 ** (snr / 10))
+        y = np.clip(x + noise, -1.0, 0.999969)
+        outs.append(
+            {
+                **row.to_dict(),
+                "clip_id": f"{row['clip_id']}_n{snr}",
+                "bytes": A.encode_pcm16(y),
+                "codec": "pcm16",
+                "defect": f"noise_{snr}",
+            }
+        )
+    return pd.concat([base, pd.DataFrame(outs)], ignore_index=True)
