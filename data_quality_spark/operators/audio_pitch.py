@@ -110,8 +110,14 @@ def pitch_dup_pairs(
     scale_est_r): ``edit_class`` ∈ {time_stretch, pitch_shift};
     ``shift`` is the integer profile shift (b_peaks = a_peaks − shift);
     ``scale_est`` = 2^(−shift/B) is b's frequency scale relative to a."""
+    # the profile relation feeds FIVE consumers (exact keys, probe keys,
+    # bucket counts, and both join sides); without a persist each one
+    # re-runs the decode-heavy mapInArrow (measured: 6 scans in the
+    # physical plan).  The relation is payload-free (~2 KB/clip), so
+    # caching it is the cheap side of the trade at any scale — at 10^12
+    # rows it would be a written profiles table instead.
     evaluable = profiles.filter(F.col("n_peaks") >= 2).select(
-        "clip_id", "n_samples", "sr_hz", "peaks", "profile")
+        "clip_id", "n_samples", "sr_hz", "peaks", "profile").persist()
     exact = evaluable.select(
         F.col("clip_id").alias("__id"),
         F.explode(_spacing_keys(probe=False)).alias("k"),

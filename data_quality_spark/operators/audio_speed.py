@@ -147,8 +147,14 @@ def speed_dup_pairs(
     the peak-partner law and the correlation cut; ``speed_est`` is the
     playback-speed of b relative to a (duration-derived: da/db > 1
     means b is the sped-up copy, equal to b's frequency scale)."""
+    # the profile relation feeds FIVE consumers (exact keys, probe keys,
+    # bucket counts, and both join sides); without a persist each one
+    # re-runs the decode-heavy mapInArrow (measured: 6 scans in the
+    # physical plan).  The relation is payload-free (~2 KB/clip), so
+    # caching it is the cheap side of the trade at any scale — at 10^12
+    # rows it would be a written profiles table instead.
     evaluable = profiles.filter(F.col("n_peaks") >= 2).select(
-        "clip_id", "n_samples", "sr_hz", "peaks", "profile")
+        "clip_id", "n_samples", "sr_hz", "peaks", "profile").persist()
     exact = evaluable.select(
         F.col("clip_id").alias("__id"),
         F.explode(_spacing_keys(probe=False)).alias("k"),
