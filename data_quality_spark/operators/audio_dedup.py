@@ -452,10 +452,15 @@ def landmark_match(
     keeps each pair's best offset.  Shuffles move (hash, t1) pairs — ~8
     bytes per landmark, ~30 landmarks/s of audio.
     Returns (id_a, id_b, offset_frames, votes)."""
+    # entries feeds the bucket-count guard AND both self-join sides, and
+    # the vote relation feeds itself plus two neighbour projections —
+    # without persists every consumer re-runs the decode+landmark
+    # mapInArrow (measured: 12 scans in the executed plan).  Both
+    # relations are slim (~8 bytes/landmark, ~30 landmarks/s of audio).
     entries = lm_df.filter(F.size("lm") > 0).select(
         F.col("clip_id").alias("__id"),
         F.explode("lm").alias("e"),
-    ).select("__id", "e.h", "e.t1")
+    ).select("__id", "e.h", "e.t1").persist()
     small = (
         entries.groupBy("h")
         .agg(F.count(F.lit(1)).alias("__bn"))
@@ -476,6 +481,7 @@ def landmark_match(
             "id_a", "id_b", (F.col("__ta") - F.col("__tb")).alias("offset_frames")
         )
         .agg(F.count(F.lit(1)).alias("__v"))
+        .persist()
     )
     # paired score via two linear equi-joins: each bin sees the vote count
     # of offset-1 and offset+1 (missing neighbour -> 0)
