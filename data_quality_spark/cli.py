@@ -188,6 +188,22 @@ def build_parser() -> argparse.ArgumentParser:
                     help="comma-separated grouping columns (per-group drift)")
     dr.add_argument("--format", choices=["text", "json"], default="text")
 
+    dd = sub.add_parser(
+        "dedup", help="audio duplicate detection over a clips table"
+    )
+    dd.add_argument("--tables", required=True)
+    dd.add_argument("--table", required=True)
+    dd.add_argument(
+        "--method",
+        choices=["fingerprint", "landmark", "speed", "pitch"],
+        default="fingerprint",
+        help="fingerprint: re-encode dups; landmark: arbitrary-offset; "
+        "speed: resampled re-uploads; pitch: vocoder pitch/stretch",
+    )
+    dd.add_argument("--top", type=int, default=10,
+                    help="largest clusters to print")
+    dd.add_argument("--format", choices=["text", "json"], default="text")
+
     sk = sub.add_parser("skew", help="key-skew audit (salting advisor input)")
     sk.add_argument("--tables", required=True)
     sk.add_argument("--table", required=True)
@@ -730,6 +746,88 @@ def main(argv: list[str] | None = None) -> int:
                             else ""
                         )
                     )
+            return 0
+        if args.cmd == "dedup":
+            from pyspark.sql import functions as F
+
+            from .operators.cluster import cluster_members
+
+            df = spark.read.parquet(
+                os.path.join(args.tables, f"{args.table}.parquet")
+            )
+            if args.method == "fingerprint":
+                from .operators.audio_dedup import (
+                    clip_fingerprints,
+                    fingerprint_near_dup,
+                )
+
+                pairs = fingerprint_near_dup(clip_fingerprints(df)).select(
+                    "id_a", "id_b")
+            elif args.method == "landmark":
+                from .operators.audio_dedup import (
+                    clip_landmarks,
+                    landmark_match,
+                )
+
+                pairs = landmark_match(clip_landmarks(df)).select(
+                    "id_a", "id_b")
+            elif args.method == "speed":
+                from .operators.audio_speed import (
+                    clip_profiles,
+                    speed_dup_confirm,
+                    speed_dup_pairs,
+                )
+
+                pairs = (
+                    speed_dup_confirm(df, speed_dup_pairs(clip_profiles(df)))
+                    .filter(F.col("confirmed"))
+                    .select("id_a", "id_b")
+                )
+            else:
+                from .operators.audio_pitch import (
+                    clip_profiles,
+                    pitch_dup_confirm,
+                    pitch_dup_pairs,
+                )
+
+                pairs = (
+                    pitch_dup_confirm(df, pitch_dup_pairs(clip_profiles(df)))
+                    .filter(F.col("confirmed"))
+                    .select("id_a", "id_b")
+                )
+            pairs = pairs.persist()
+            n_pairs = pairs.count()
+            members = cluster_members(pairs, "id_a", "id_b")
+            comps = (
+                members.groupBy("component")
+                .agg(F.count(F.lit(1)).alias("size"))
+                .orderBy(F.col("size").desc(), "component")
+            )
+            top = [r.asDict() for r in comps.limit(args.top).collect()]
+            n_total = df.count()
+            n_members = members.count()
+            n_clusters = comps.count()
+            summary = {
+                "method": args.method,
+                "n_clips": n_total,
+                "n_pairs": n_pairs,
+                "n_clustered_clips": n_members,
+                "n_clusters": n_clusters,
+                "dup_frac": round(
+                    (n_members - n_clusters) / n_total, 6
+                ) if n_total else 0.0,
+                "top_clusters": top,
+            }
+            if args.format == "json":
+                print(json.dumps(summary, indent=2))
+            else:
+                print(
+                    f"{args.method}: {n_pairs} pairs, {n_clusters} clusters "
+                    f"over {n_members} clips ({n_total} total); removable "
+                    f"duplicates: {n_members - n_clusters}"
+                )
+                for r in top:
+                    print(f"  cluster {r['component']}: {r['size']} clips")
             return 0
         if args.cmd == "skew":
             from .operators.sampling import skew_audit

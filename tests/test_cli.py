@@ -579,3 +579,33 @@ def test_cli_audit_musicspeech(spark, tmp_path, capsys, monkeypatch):
     n_chords = int((pdf["defect"] == "music_chord").sum())
     assert 0 < r["count"] <= n_chords + (pdf["defect"] != "music_chord").sum()
     assert r["severity"] == "warning" and r["total"] == 90
+
+
+def test_cli_dedup_fingerprint(spark, tmp_path, capsys, monkeypatch):
+    """dedup --method fingerprint: the re-encode chains collapse into
+    clusters; removable-duplicate accounting is exact."""
+    import data_quality_spark.cli as cli
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_dup_corpus
+
+    monkeypatch.setattr("pyspark.sql.SparkSession.stop", lambda self: None)
+    tables = tmp_path / "tables"
+    tables.mkdir()
+    pdf = make_audio_dup_corpus(120, seed=13)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    spark.createDataFrame(pdf[cols], CLIPS_SCHEMA).coalesce(2).write.parquet(
+        str(tables / "dupclips.parquet")
+    )
+    code = cli.main(
+        ["dedup", "--tables", str(tables), "--table", "dupclips",
+         "--method", "fingerprint", "--format", "json"]
+    )
+    out = json.loads(capsys.readouterr().out)
+    assert code == 0
+    n_seeded = int(pdf["clip_id"].str.endswith("_re").sum())
+    assert n_seeded > 0
+    assert out["n_clips"] == 120 + n_seeded
+    assert out["n_pairs"] >= n_seeded  # every seeded re-encode pairs up
+    assert out["n_clusters"] >= 1
+    assert out["n_clustered_clips"] > out["n_clusters"]
+    assert out["top_clusters"][0]["size"] >= 2
