@@ -2632,6 +2632,40 @@ def q_audio_mel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+LINE_INJECT = (
+    (5, "\n• alpha beta\n• gamma delta\n• epsilon zeta"
+        "\n• eta theta\n• iota kappa\n• lambda mu"
+        "\n• nu xi\n• omicron pi\n• rho sigma"
+        "\n• tau upsilon"),
+    (7, "\nStory continues...\nRead more...\nClick here..."),
+    (11, "\nlorem ipsum dolor sit amet."),
+    (13, "\nfunction f() { return 1; }"),
+)
+
+
+def _line_injected_text():
+    parts = [F.col("text")]
+    for m, s in LINE_INJECT:
+        parts.append(
+            F.when(F.col("doc_id") % m == 0, F.lit(s)).otherwise(F.lit(""))
+        )
+    return F.concat(*parts)
+
+
+def q_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher LINE-level filtering: per-line keep law (terminal
+    punctuation, ≥3 words, no 'javascript'), page-drop law (lorem
+    ipsum / '{' / nothing survives), Gopher bullet/ellipsis line-shape
+    flags — all exact integers, cleaned text verified via md5.
+    Strict DuckDB twin (no expected parquet): the SQL replays the
+    injection, the line predicates with list functions, and the md5."""
+    from data_quality_spark.operators.line_filter import line_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select("doc_id", _line_injected_text().alias("text"))
+    return line_stats(injected).orderBy("doc_id")
+
+
 def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus overlap by bottom-k shingle sketches (KMV/Broder
     resemblance): documents split by doc_id parity, k=256 sketch per
@@ -3079,6 +3113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_halluc": q_audio_halluc,
         "audio_pitch_dup": q_audio_pitch_dup,
         "corpus_overlap": q_corpus_overlap,
+        "line_filter": q_line_filter,
         "audio_mel": q_audio_mel,
         "audio_dedup_resolve": q_audio_dedup_resolve,
         "audio_noise_robustness": q_audio_noise_robustness,
@@ -3354,6 +3389,69 @@ ORDER BY event_type, day
 
 def _expected_sql(name: str) -> str:
     return f"SELECT * FROM read_parquet('{expected_path(name)}')"
+
+
+def _line_filter_oracle() -> str:
+    """Strict DuckDB twin of q_line_filter: injection, line predicates,
+    Gopher cross-multiplied flags, and the cleaned-text md5 replayed
+    with DuckDB list functions (dialect-checked primitives only:
+    literal newline split, trim, starts_with/ends_with, contains,
+    ASCII \\s token split)."""
+    inj = " || ".join(
+        ["text"]
+        + [
+            "CASE WHEN doc_id % {m} = 0 THEN {s} ELSE '' END".format(
+                m=m, s="'" + s.replace("\n", "' || chr(10) || '") + "'"
+            )
+            for m, s in LINE_INJECT
+        ]
+    )
+    keep = (
+        "(ends_with(trim(x), '.') OR ends_with(trim(x), '!') OR "
+        "ends_with(trim(x), '?') OR ends_with(trim(x), '\"') OR "
+        "ends_with(trim(x), '”')) "
+        "AND len(regexp_split_to_array(trim(x), '\\s+')) >= 3 "
+        "AND NOT contains(lower(trim(x)), 'javascript')"
+    )
+    bullet = ("starts_with(trim(x), '•') OR starts_with(trim(x), '- ') "
+              "OR starts_with(trim(x), '* ')")
+    ellipsis = "ends_with(trim(x), '...') OR ends_with(trim(x), '…')"
+    return f"""
+WITH inj AS (
+  SELECT doc_id, {inj} AS t FROM documents
+), l AS (
+  SELECT doc_id,
+    list_filter(string_split(coalesce(t, ''), chr(10)),
+                x -> trim(x) <> '') AS lines
+  FROM inj
+), k AS (
+  SELECT doc_id, lines,
+    list_filter(lines, x -> {keep}) AS kept,
+    len(list_filter(lines, x -> {bullet})) AS bullet_lines,
+    len(list_filter(lines, x -> {ellipsis})) AS ellipsis_lines,
+    contains(lower((SELECT coalesce(t, '') FROM inj i
+                    WHERE i.doc_id = l.doc_id)), 'lorem ipsum')
+      AS has_lorem,
+    contains((SELECT coalesce(t, '') FROM inj i
+              WHERE i.doc_id = l.doc_id), '{{') AS has_brace
+  FROM l
+)
+SELECT doc_id,
+  len(lines) AS n_lines,
+  len(kept) AS n_kept,
+  bullet_lines,
+  ellipsis_lines,
+  10 * bullet_lines > 9 * len(lines) AS fail_bullet,
+  10 * ellipsis_lines > 3 * len(lines) AS fail_ellipsis,
+  has_lorem,
+  has_brace,
+  (has_lorem OR has_brace OR len(kept) = 0) AS c4_drop,
+  md5(coalesce(
+    array_to_string(list_transform(kept, x -> trim(x)), chr(10)), ''))
+    AS cleaned_md5
+FROM k
+ORDER BY doc_id
+"""
 
 
 def _stopword_stats_oracle() -> str:
@@ -4919,6 +5017,7 @@ ORDER BY d.doc_id""",
         "audio_halluc": _expected_sql("audio_halluc"),
         "audio_pitch_dup": _expected_sql("audio_pitch_dup"),
         "corpus_overlap": _expected_sql("corpus_overlap"),
+        "line_filter": _line_filter_oracle(),
         "audio_mel": _expected_sql("audio_mel"),
         "audio_dedup_resolve": _expected_sql("audio_dedup_resolve"),
         "audio_noise_robustness": _expected_sql("audio_noise_robustness"),

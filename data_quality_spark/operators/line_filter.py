@@ -1,0 +1,148 @@
+"""C4 / Gopher LINE-level filtering (the rules the doc-level pass lacks).
+
+C4 (Raffel et al. 2020 §2.2) cleans pages line by line; Gopher (Rae et
+al. 2021 A1.1) drops pages whose LINE SHAPE is wrong.  Both judged per
+line inside one JVM-side pass over the split array — no UDF, no explode
+(the per-doc line count is small and bounded by the doc length, so
+higher-order functions beat a row-multiplying explode):
+
+C4 line-keep law (a line survives iff ALL of):
+- ends in terminal punctuation after trimming (``.`` ``!`` ``?`` ``"``
+  ``”``) — the sentence-ness proxy;
+- at least ``MIN_LINE_WORDS`` whitespace tokens;
+- does not mention ``javascript`` (case-insensitive) — the
+  enable-javascript boilerplate class.
+
+C4 page-drop law: the page contains ``lorem ipsum`` or a ``{`` (code),
+or NO line survives.
+
+Gopher line-shape laws (integer cross-multiplied, flags only):
+- bullet-started lines > 90% of non-blank lines;
+- ellipsis-ended lines > 30% of non-blank lines.
+
+Every signal is an exact integer and every primitive (literal split,
+trim, ends_with/starts_with, contains, token count) has a
+dialect-identical DuckDB twin, so the query is verified by a STRICT SQL
+oracle — including the cleaned text itself via md5 (the span_dedup
+pattern).  One scan, zero shuffles; scales as a pure map.
+
+Reference analog: none — extends the quality-filter family (SURVEY §2)
+below the document level.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "MIN_LINE_WORDS",
+    "line_stats",
+    "clean_lines",
+]
+
+MIN_LINE_WORDS = 3
+BULLET_PREFIXES = ("•", "- ", "* ")
+TERMINAL_SUFFIXES = (".", "!", "?", '"', "”")
+ELLIPSIS_SUFFIXES = ("...", "…")
+# Gopher A1.1: > 90% bullet-started or > 30% ellipsis-ended lines
+BULLET_NUM, BULLET_DEN = 9, 10
+ELLIPSIS_NUM, ELLIPSIS_DEN = 3, 10
+
+
+def _nonblank(lines: Column) -> Column:
+    return F.filter(lines, lambda x: F.trim(x) != "")
+
+
+def _keep_pred(x: Column) -> Column:
+    t = F.trim(x)
+    terminal = F.lit(False)
+    for s in TERMINAL_SUFFIXES:
+        terminal = terminal | t.endswith(s)
+    words = F.size(F.split(t, r"\s+"))
+    return (
+        (t != "")
+        & terminal
+        & (words >= MIN_LINE_WORDS)
+        & ~F.contains(F.lower(t), F.lit("javascript"))
+    )
+
+
+def line_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_lines, n_kept, bullet_lines, ellipsis_lines, fail_bullet,
+    fail_ellipsis, has_lorem, has_brace, c4_drop, cleaned_md5) — one
+    JVM-side pass; ``cleaned_md5`` hashes the newline-joined surviving
+    lines (empty string when none survive)."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = _nonblank(F.split(text, "\n"))
+    kept = F.filter(lines, _keep_pred)
+
+    def _count(pred) -> Column:
+        return F.size(F.filter(lines, pred))
+
+    def _any_prefix(x: Column) -> Column:
+        t = F.trim(x)
+        out = F.lit(False)
+        for p in BULLET_PREFIXES:
+            out = out | t.startswith(p)
+        return out
+
+    def _any_ellipsis(x: Column) -> Column:
+        t = F.trim(x)
+        out = F.lit(False)
+        for s in ELLIPSIS_SUFFIXES:
+            out = out | t.endswith(s)
+        return out
+
+    n_bullet = _count(_any_prefix)
+    n_ellipsis = _count(_any_ellipsis)
+    n_lines = F.size(lines)
+    n_kept = F.size(kept)
+    lower = F.lower(text)
+    has_lorem = F.contains(lower, F.lit("lorem ipsum"))
+    has_brace = F.contains(text, F.lit("{"))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_lines.alias("n_lines"),
+        n_kept.alias("n_kept"),
+        n_bullet.alias("bullet_lines"),
+        n_ellipsis.alias("ellipsis_lines"),
+        (F.lit(BULLET_DEN) * n_bullet > F.lit(BULLET_NUM) * n_lines)
+        .alias("fail_bullet"),
+        (F.lit(ELLIPSIS_DEN) * n_ellipsis > F.lit(ELLIPSIS_NUM) * n_lines)
+        .alias("fail_ellipsis"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        (has_lorem | has_brace | (n_kept == 0)).alias("c4_drop"),
+        F.md5(F.array_join(F.transform(kept, lambda x: F.trim(x)), "\n"))
+        .alias("cleaned_md5"),
+    )
+
+
+def clean_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The transform view: input columns with ``text`` replaced by the
+    newline-joined surviving lines and dropped pages removed — the
+    C4-shaped corpus this filter exists to produce."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    kept = F.filter(_nonblank(F.split(text, "\n")), _keep_pred)
+    lower = F.lower(text)
+    out = df.withColumn(
+        "__keep",
+        ~(
+            F.contains(lower, F.lit("lorem ipsum"))
+            | F.contains(text, F.lit("{"))
+            | (F.size(kept) == 0)
+        ),
+    ).withColumn(
+        text_col,
+        F.array_join(F.transform(kept, lambda x: F.trim(x)), "\n"),
+    )
+    return out.filter(F.col("__keep")).drop("__keep")
