@@ -2652,6 +2652,20 @@ def _line_injected_text():
     return F.concat(*parts)
 
 
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization repair transform (the encoding_audit
+    sibling): CRLF folding, C0/C1 control strip (keeping tab/newline),
+    NFC composition — U+FFFD deliberately kept as a damage marker.
+    Twin: injection from shared constants, the law replayed with
+    independent regex character classes, md5 of the normalized text."""
+    from data_quality_spark.operators.text_normalize import normalize_stats
+
+    ensure_expected("text_normalize", sf_dir)
+    return normalize_stats(
+        _t(spark, sf_dir, "documents"), inject_every=30
+    ).orderBy("doc_id")
+
+
 def q_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/Gopher LINE-level filtering: per-line keep law (terminal
     punctuation, ≥3 words, no 'javascript'), page-drop law (lorem
@@ -3114,6 +3128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_pitch_dup": q_audio_pitch_dup,
         "corpus_overlap": q_corpus_overlap,
         "line_filter": q_line_filter,
+        "text_normalize": q_text_normalize,
         "audio_mel": q_audio_mel,
         "audio_dedup_resolve": q_audio_dedup_resolve,
         "audio_noise_robustness": q_audio_noise_robustness,
@@ -5018,6 +5033,7 @@ ORDER BY d.doc_id""",
         "audio_pitch_dup": _expected_sql("audio_pitch_dup"),
         "corpus_overlap": _expected_sql("corpus_overlap"),
         "line_filter": _line_filter_oracle(),
+        "text_normalize": _expected_sql("text_normalize"),
         "audio_mel": _expected_sql("audio_mel"),
         "audio_dedup_resolve": _expected_sql("audio_dedup_resolve"),
         "audio_noise_robustness": _expected_sql("audio_noise_robustness"),

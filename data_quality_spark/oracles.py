@@ -1346,6 +1346,53 @@ def _audio_mel_expected(n=300, seed=42) -> dict:
     return out
 
 
+def _text_normalize_expected(sf_dir: str, inject_every=30) -> dict:
+    """Twin of ``operators.text_normalize.normalize_stats``: injection
+    replayed from the same constants, the normalization law replayed
+    INDEPENDENTLY (regex character classes + ``re.sub`` newline folding
+    vs the operator's per-char loop; NFC itself is the shared spec),
+    counts/md5 with hashlib."""
+    import hashlib
+    import re
+    import unicodedata
+
+    import pyarrow.parquet as pq
+
+    from .operators.text_normalize import NORM_INJECT
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    ctl = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-]")
+    mod = 4 * inject_every
+    out: dict[str, list] = {k: [] for k in
+                            ("doc_id", "n_in", "n_out", "n_cr", "n_ctl",
+                             "nfc_changed", "changed", "norm_md5")}
+    rows = sorted(zip(t.column("doc_id").to_pylist(),
+                      t.column("text").to_pylist()))
+    inj = {res * inject_every: s for res, s in NORM_INJECT}
+    for did, text in rows:
+        s = text if text is not None else ""
+        r = did % mod
+        if r in inj:
+            s = (text or "") + inj[r]
+        s1 = re.sub("\r\n?", "\n", s)
+        n_cr = len(re.findall("\r", s))
+        s2 = ctl.sub("", s1)
+        n_ctl = len(s1) - len(s2)
+        s3 = unicodedata.normalize("NFC", s2)
+        out["doc_id"].append(did)
+        out["n_in"].append(len(s))
+        out["n_out"].append(len(s3))
+        out["n_cr"].append(n_cr)
+        out["n_ctl"].append(n_ctl)
+        out["nfc_changed"].append(s3 != s2)
+        out["changed"].append(s3 != s)
+        out["norm_md5"].append(hashlib.md5(s3.encode("utf-8")).hexdigest())
+    return out
+
+
 def _corpus_overlap_expected(sf_dir: str, k=256, n=3) -> dict:
     """Twin of ``operators.corpus_overlap.corpus_overlap(with_exact=
     True)`` over documents split by doc_id parity: shingling replayed
@@ -5159,6 +5206,12 @@ _SCHEMAS: dict[str, pa.Schema] = {
          ("n_frames", pa.int32()), ("n_mels", pa.int32()),
          ("n_bytes", pa.int32()), ("feat_h", pa.int64())]
     ),
+    "text_normalize": pa.schema(
+        [("doc_id", pa.int64()), ("n_in", pa.int32()),
+         ("n_out", pa.int32()), ("n_cr", pa.int32()),
+         ("n_ctl", pa.int32()), ("nfc_changed", pa.bool_()),
+         ("changed", pa.bool_()), ("norm_md5", pa.string())]
+    ),
     "corpus_overlap": pa.schema(
         [("ca", pa.string()), ("cb", pa.string()), ("k", pa.int32()),
          ("union_k", pa.int64()), ("inter_k", pa.int64()),
@@ -5298,7 +5351,7 @@ def _src_key(name: str, sf_dir: str | None) -> dict | None:
         "minhash_lsh", "simhash_near_dup", "ann_lsh_topk",
         "winnow_fingerprints", "embedding_near_dup_blocked", "ann_ivf_topk",
         "ann_recall", "dedup_clusters", "dedup_resolve", "dsir_weights",
-        "lsh_tuning", "semantic_prune", "corpus_overlap",
+        "lsh_tuning", "semantic_prune", "corpus_overlap", "text_normalize",
     ):
         table = (
             "embeddings"
@@ -5451,6 +5504,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_pitch_dup_expected()
     elif name == "corpus_overlap":
         data = _corpus_overlap_expected(sf_dir)
+    elif name == "text_normalize":
+        data = _text_normalize_expected(sf_dir)
     elif name == "audio_mel":
         data = _audio_mel_expected()
     elif name == "audio_dedup_resolve":
