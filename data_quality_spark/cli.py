@@ -161,7 +161,8 @@ def build_parser() -> argparse.ArgumentParser:
         "--kind",
         choices=["text", "audio", "loops", "labels", "boilerplate",
                  "quantization", "pii", "reverb", "stereo", "flutter",
-                 "clicks", "truepeak", "musicspeech", "lra", "halluc"],
+                 "clicks", "truepeak", "musicspeech", "lra", "halluc",
+                 "lines"],
         default="text",
     )
     au.add_argument("--min-words", type=int, default=15)
@@ -624,6 +625,12 @@ def main(argv: list[str] | None = None) -> int:
                 from .operators.audio_halluc import halluc_flags, halluc_issues
 
                 issues_df = halluc_issues(halluc_flags(df), table=args.table)
+            elif args.kind == "lines":
+                from .operators.line_filter import line_issues, line_stats
+
+                issues_df = line_issues(
+                    line_stats(df, id_col=df.columns[0]), table=args.table
+                )
             elif args.kind == "boilerplate":
                 from pyspark.sql import functions as F2
 

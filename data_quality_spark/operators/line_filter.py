@@ -39,6 +39,7 @@ __all__ = [
     "MIN_LINE_WORDS",
     "line_stats",
     "clean_lines",
+    "line_issues",
 ]
 
 MIN_LINE_WORDS = 3
@@ -146,3 +147,41 @@ def clean_lines(
         F.array_join(F.transform(kept, lambda x: F.trim(x)), "\n"),
     )
     return out.filter(F.col("__keep")).drop("__keep")
+
+
+def line_issues(stats: DataFrame, table: str = "documents") -> DataFrame:
+    """Issue relation over ``line_stats`` (reference issue schema, ONE
+    fused aggregate): C4 page drops plus the two Gopher line-shape
+    failures."""
+    wide = stats.agg(
+        F.count(F.lit(1)).alias("__total__"),
+        F.count(F.when(F.col("c4_drop"), 1)).alias("n:c4_page_drop"),
+        F.count(F.when(F.col("fail_bullet"), 1)).alias("n:bullet_lines"),
+        F.count(F.when(F.col("fail_ellipsis"), 1)).alias("n:ellipsis_lines"),
+    )
+    rules = [
+        ("c4_page_drop", "warning",
+         "page fails the C4 line-filter (lorem ipsum / code / no "
+         "surviving line)"),
+        ("bullet_lines", "warning",
+         "over 90% of lines are bullet-started (Gopher A1.1)"),
+        ("ellipsis_lines", "warning",
+         "over 30% of lines end with an ellipsis (Gopher A1.1)"),
+    ]
+    structs = []
+    for name, sev, desc in rules:
+        cnt = F.col(f"n:{name}")
+        total = F.col("__total__")
+        structs.append(F.struct(
+            F.lit(table).alias("table"),
+            F.lit("text").alias("column"),
+            F.lit(name).alias("issue_type"),
+            cnt.alias("count"),
+            total.alias("total"),
+            F.when(total > 0, cnt * 100.0 / total).otherwise(F.lit(0.0))
+            .cast("double").alias("percent"),
+            F.when(cnt > 0, F.lit(sev)).otherwise(F.lit("info"))
+            .alias("severity"),
+            F.lit(desc).alias("description"),
+        ))
+    return wide.select(F.explode(F.array(*structs)).alias("i")).select("i.*")

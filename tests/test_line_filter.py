@@ -74,3 +74,34 @@ def test_clean_lines_transform_coherence(spark):
     st = {r.doc_id: r for r in line_stats(df).collect()}
     assert st[1].cleaned_md5 == hashlib.md5(
         cleaned[1].encode()).hexdigest()
+
+
+def test_cli_audit_lines(spark, tmp_path, capsys, monkeypatch):
+    """audit --kind lines: C4 page-drops and Gopher line-shape failures
+    surface as warnings with exact counts."""
+    import json
+
+    import data_quality_spark.cli as cli
+
+    monkeypatch.setattr("pyspark.sql.SparkSession.stop", lambda self: None)
+    tables = tmp_path / "tables"
+    tables.mkdir()
+    bullets = "\n".join(f"• item {i}" for i in range(10))
+    rows = [
+        (1, "A perfectly fine sentence."),
+        (2, "Contains lorem ipsum dolor."),
+        (3, bullets),
+        (4, "One...\nTwo...\nFine sentence number three here."),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1).write.parquet(str(tables / "docs.parquet"))
+    code = cli.main(
+        ["audit", "--tables", str(tables), "--table", "docs",
+         "--kind", "lines", "--format", "json", "--fail-on", "none"]
+    )
+    out = {r["issue_type"]: r for r in json.loads(capsys.readouterr().out)}
+    assert code == 0
+    assert out["c4_page_drop"]["count"] == 2  # lorem + all-bullet page
+    assert out["bullet_lines"]["count"] == 1
+    assert out["ellipsis_lines"]["count"] == 1
+    assert out["c4_page_drop"]["severity"] == "warning"
