@@ -2652,6 +2652,38 @@ def _line_injected_text():
     return F.concat(*parts)
 
 
+def q_crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript-blocked audio dedup: MinHash-LSH on transcripts
+    generates the candidate pairs (text signatures ~0.5 KB/clip), the
+    fingerprint BER decides audio identity ONLY on that set — the
+    audio relation is never self-joined.  Pairs with matching captions
+    but different audio (the script-reuse class) are returned as data.
+    Twin: XXH64 banding, token-set Jaccard, popcount BER in pure
+    Python."""
+    from data_quality_spark.operators.crossmodal_dedup import (
+        transcript_blocked_pairs,
+    )
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_dup_corpus
+
+    ensure_expected("crossmodal_dedup", sf_dir)
+    key = ("dup_rl", 300, 42, 3)
+    if key not in _CLIPS_CACHE:
+        _CLIPS_CACHE[key] = make_audio_dup_corpus(
+            300, seed=42, relabel_every=3)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(
+        _CLIPS_CACHE[key][cols], CLIPS_SCHEMA
+    ).repartition(8, "clip_id")
+    return transcript_blocked_pairs(clips).select(
+        "id_a",
+        "id_b",
+        F.round("jaccard", 6).alias("jaccard_r"),
+        F.round("ber", 6).alias("ber_r"),
+        "audio_match",
+    ).orderBy("id_a", "id_b")
+
+
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode normalization repair transform (the encoding_audit
     sibling): CRLF folding, C0/C1 control strip (keeping tab/newline),
@@ -3129,6 +3161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_overlap": q_corpus_overlap,
         "line_filter": q_line_filter,
         "text_normalize": q_text_normalize,
+        "crossmodal_dedup": q_crossmodal_dedup,
         "audio_mel": q_audio_mel,
         "audio_dedup_resolve": q_audio_dedup_resolve,
         "audio_noise_robustness": q_audio_noise_robustness,
@@ -5034,6 +5067,7 @@ ORDER BY d.doc_id""",
         "corpus_overlap": _expected_sql("corpus_overlap"),
         "line_filter": _line_filter_oracle(),
         "text_normalize": _expected_sql("text_normalize"),
+        "crossmodal_dedup": _expected_sql("crossmodal_dedup"),
         "audio_mel": _expected_sql("audio_mel"),
         "audio_dedup_resolve": _expected_sql("audio_dedup_resolve"),
         "audio_noise_robustness": _expected_sql("audio_noise_robustness"),

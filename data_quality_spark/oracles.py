@@ -3227,6 +3227,64 @@ def _audio_dedup_clusters_expected(n=400, seed=42) -> dict:
     return out
 
 
+def _crossmodal_dedup_expected(n=300, seed=42, relabel_every=3,
+                               text_threshold=0.5, ber_max=0.30) -> dict:
+    """Twin of ``crossmodal_dedup.transcript_blocked_pairs``: transcript
+    MinHash banding via the from-spec XXH64 twin (string clip ids),
+    exact token-set Jaccard verify, then the fingerprint BER replayed
+    with per-word popcount loops over the shared kernel's output —
+    the cross-modal join itself (text blocks, audio decides) replayed
+    end to end in pure Python."""
+    from .functions.audio import _decode_i16
+    from .functions.spectral import fingerprint_i32
+    from .synth import make_audio_dup_corpus
+
+    pdf = make_audio_dup_corpus(n, seed=seed, relabel_every=relabel_every)
+    docs = [(r["clip_id"], r["transcript"]) for _, r in pdf.iterrows()]
+    cands = _minhash_candidates(docs)
+    toks = {cid: set(_tokens(t)) for cid, t in docs}
+    fps: dict[str, list[int]] = {}
+    for _, r in pdf.iterrows():
+        try:
+            x = _decode_i16(r["bytes"], r["codec"], r["sr_hz"])
+        except (ValueError, TypeError):
+            x = np.zeros(0, dtype=np.int16)
+        fps[r["clip_id"]] = [int(v) for v in fingerprint_i32(x)]
+    rows = []
+    raw_j: list[float] = []
+    raw_b: list[float] = []
+    for a, b in sorted(cands):
+        ta, tb = toks[a], toks[b]
+        union = len(ta | tb)
+        jac = (len(ta & tb) / union) if union else 0.0
+        if jac < text_threshold:
+            continue
+        fa, fb = fps[a], fps[b]
+        m = min(len(fa), len(fb))
+        if m > 0:
+            diff = 0
+            for va, vb in zip(fa[:m], fb[:m]):
+                diff += bin((va ^ vb) & 0x7FFF).count("1")
+            ber = diff / (15.0 * m)
+            match = ber <= ber_max
+            raw_b.append(ber)
+        else:
+            ber, match = None, False
+        raw_j.append(jac)
+        rows.append((a, b, spark_round(jac, 6),
+                     spark_round(ber, 6) if ber is not None else None,
+                     match))
+    _assert_off_rounding_boundary(raw_j, 6)
+    _assert_off_rounding_boundary(raw_b, 6)
+    return {
+        "id_a": [r[0] for r in rows],
+        "id_b": [r[1] for r in rows],
+        "jaccard_r": [r[2] for r in rows],
+        "ber_r": [r[3] for r in rows],
+        "audio_match": [r[4] for r in rows],
+    }
+
+
 def _audio_noise_expected(
     n=200, seed=42, window=3, stride=1, ber_max=0.30,
     fp_max_bucket=64,
@@ -5190,6 +5248,11 @@ _SCHEMAS: dict[str, pa.Schema] = {
          ("n_st_blocks", pa.int32()), ("n_lra_gated", pa.int32()),
          ("lra_r", pa.float64()), ("is_overcompressed", pa.bool_())]
     ),
+    "crossmodal_dedup": pa.schema(
+        [("id_a", pa.string()), ("id_b", pa.string()),
+         ("jaccard_r", pa.float64()), ("ber_r", pa.float64()),
+         ("audio_match", pa.bool_())]
+    ),
     "audio_noise_robustness": pa.schema(
         [("max_bucket", pa.int32()), ("min_votes", pa.int32()),
          ("snr_db", pa.int32()), ("n_injected", pa.int64()),
@@ -5512,6 +5575,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_dedup_resolve_expected()
     elif name == "audio_noise_robustness":
         data = _audio_noise_expected()
+    elif name == "crossmodal_dedup":
+        data = _crossmodal_dedup_expected()
     elif name == "code_switch":
         data = _code_switch_expected(sf_dir)
     elif name == "clips_decontaminate":
