@@ -1280,6 +1280,22 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. PAMI'11): per-subspace
+    L2 codebooks fit on the deterministic sample, corpus crosses the
+    scoring stage as m=8 codes (64× smaller than the vectors),
+    asymmetric-distance lookup tables score per query.  Twin: identical
+    numpy fit/encode order, LUT scores by explicit Python sums, the
+    (adc desc, n_id) tie law, top-k separation asserted at
+    generation."""
+    ensure_expected("ann_pq_topk", sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    books = sim.fit_pq_codebooks(emb)
+    return sim.pq_topk(
+        emb, emb.filter(F.col("vec_id") < 10), books, k=3
+    )
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@k of the LSH and IVF ANN paths vs exact cosine top-k — the
     accuracy trade-off itself is driver-hash-checked against a pure-Python
@@ -3162,6 +3178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_filter": q_line_filter,
         "text_normalize": q_text_normalize,
         "crossmodal_dedup": q_crossmodal_dedup,
+        "ann_pq_topk": q_ann_pq_topk,
         "audio_mel": q_audio_mel,
         "audio_dedup_resolve": q_audio_dedup_resolve,
         "audio_noise_robustness": q_audio_noise_robustness,
@@ -5068,6 +5085,7 @@ ORDER BY d.doc_id""",
         "line_filter": _line_filter_oracle(),
         "text_normalize": _expected_sql("text_normalize"),
         "crossmodal_dedup": _expected_sql("crossmodal_dedup"),
+        "ann_pq_topk": _expected_sql("ann_pq_topk"),
         "audio_mel": _expected_sql("audio_mel"),
         "audio_dedup_resolve": _expected_sql("audio_dedup_resolve"),
         "audio_noise_robustness": _expected_sql("audio_noise_robustness"),

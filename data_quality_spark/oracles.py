@@ -3227,6 +3227,73 @@ def _audio_dedup_clusters_expected(n=400, seed=42) -> dict:
     return out
 
 
+def _pq_topk_expected(vecs, m=16, ksub=256, iters=10, seed=11, sample=2048,
+                      k=3) -> dict:
+    """Twin of ``similarity.fit_pq_codebooks`` + ``pq_encode`` +
+    ``pq_topk`` (queries = vec_id < 10): the fit replays the identical
+    numpy ops in the same order (so the learned codebooks match the
+    driver's), encoding replays argmin per subspace, and the ADC scores
+    are rebuilt with explicit per-subspace Python sums; the (adc desc,
+    n_id) tie law and top-k boundary separation are asserted at
+    generation time so engine float jitter cannot flip ranks."""
+    vmap = {vid: np.asarray(v, dtype=np.float64) for vid, v in vecs}
+    train_ids = sorted(vmap)[:sample]
+    x = np.array([vmap[i] for i in train_ids], dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    dim = x.shape[1]
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        xs = x[:, j * dsub: (j + 1) * dsub]
+        cent = xs[rng.choice(len(xs), size=ksub, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(ksub):
+                members = xs[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[j] = cent
+    ids = sorted(vmap)
+    mm = np.array([vmap[i] for i in ids], dtype=np.float64)
+    mm = mm / np.maximum(np.linalg.norm(mm, axis=1, keepdims=True), 1e-12)
+    codes = {}
+    for ri, vid in enumerate(ids):
+        cs = []
+        for j in range(m):
+            xs = mm[ri, j * dsub: (j + 1) * dsub]
+            d2 = ((books[j] - xs[None, :]) ** 2).sum(axis=1)
+            cs.append(int(np.argmin(d2)))
+        codes[vid] = cs
+    out = {"q_id": [], "rank": [], "n_id": [], "adc_r": []}
+    for qi, q_id in enumerate(ids):
+        if q_id >= 10:
+            continue
+        qv = mm[qi].reshape(m, dsub)
+        lut = np.einsum("jd,jkd->jk", qv, books)
+        scored = []
+        for n_id in ids:
+            if n_id == q_id:
+                continue
+            s = 0.0
+            for j in range(m):
+                s += float(lut[j, codes[n_id][j]])
+            scored.append((s, n_id))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        # rank stability across engines: the kth score must separate
+        # from the (k+1)th by more than float jitter
+        assert scored[k - 1][0] - scored[k][0] > 1e-9, (q_id, scored[:k + 1])
+        for rank, (s, n_id) in enumerate(scored[:k], start=1):
+            out["q_id"].append(q_id)
+            out["rank"].append(rank)
+            out["n_id"].append(n_id)
+            out["adc_r"].append(spark_round(s, 6))
+    _assert_off_rounding_boundary(
+        [v for v in out["adc_r"] if v is not None], 6)
+    return out
+
+
 def _crossmodal_dedup_expected(n=300, seed=42, relabel_every=3,
                                text_threshold=0.5, ber_max=0.30) -> dict:
     """Twin of ``crossmodal_dedup.transcript_blocked_pairs``: transcript
@@ -5031,6 +5098,10 @@ _SCHEMAS: dict[str, pa.Schema] = {
         [("q_id", pa.int64()), ("rank", pa.int32()), ("n_id", pa.int64()),
          ("cosine", pa.float64())]
     ),
+    "ann_pq_topk": pa.schema(
+        [("q_id", pa.int64()), ("rank", pa.int32()), ("n_id", pa.int64()),
+         ("adc_r", pa.float64())]
+    ),
     "ann_recall": pa.schema(
         [("method", pa.string()), ("hits", pa.int64()),
          ("total", pa.int64()), ("recall_r", pa.float64())]
@@ -5415,12 +5486,13 @@ def _src_key(name: str, sf_dir: str | None) -> dict | None:
         "winnow_fingerprints", "embedding_near_dup_blocked", "ann_ivf_topk",
         "ann_recall", "dedup_clusters", "dedup_resolve", "dsir_weights",
         "lsh_tuning", "semantic_prune", "corpus_overlap", "text_normalize",
+        "ann_pq_topk",
     ):
         table = (
             "embeddings"
             if name in (
                 "ann_lsh_topk", "embedding_near_dup_blocked", "ann_ivf_topk",
-                "ann_recall", "semantic_prune",
+                "ann_recall", "semantic_prune", "ann_pq_topk",
             )
             else "documents"
         )
@@ -5469,6 +5541,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _near_dup_blocked_agg(_read_embeddings(sf_dir))
     elif name == "ann_ivf_topk":
         data = _ivf_topk_expected(_read_embeddings(sf_dir))
+    elif name == "ann_pq_topk":
+        data = _pq_topk_expected(_read_embeddings(sf_dir))
     elif name == "ann_recall":
         data = _ann_recall_expected(_read_embeddings(sf_dir))
     elif name == "media_features":

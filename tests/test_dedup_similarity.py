@@ -290,3 +290,38 @@ def test_embedding_decontaminate_no_corpus_shuffle(vectors_df):
             # the only non-broadcast exchange permitted is the tiny
             # hits-only aggregate (rare rows), keyed on vec_id
             assert "hashpartitioning(vec_id" in line
+
+
+def test_pq_topk_recall_and_code_size(spark):
+    """PQ ANN (compressed-domain): codes are m ints (64x smaller than
+    the vectors), codebook fit is deterministic, and ADC top-3 recall
+    vs exact cosine stays useful on the test embeddings."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from data_quality_spark.operators.similarity import (
+        PQ_M,
+        cosine_topk,
+        fit_pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    books = fit_pq_codebooks(emb)
+    books2 = fit_pq_codebooks(emb)
+    assert np.array_equal(books, books2)  # deterministic fit
+    codes = pq_encode(emb, books).select("vec_id", "pq_code").limit(5)
+    for r in codes.collect():
+        assert len(r.pq_code) == PQ_M
+        assert all(0 <= c < 256 for c in r.pq_code)
+    queries = emb.filter(F.col("vec_id") < 10)
+    approx = pq_topk(emb, queries, books, k=3).collect()
+    exact = cosine_topk(emb, queries, k=3).collect()
+    ex = {}
+    for r in exact:
+        ex.setdefault(r.q_id, set()).add(r.n_id)
+    hits = sum(1 for r in approx if r.n_id in ex.get(r.q_id, set()))
+    total = sum(len(v) for v in ex.values())
+    assert total == 30
+    assert hits / total >= 0.6, f"PQ recall@3 too low: {hits}/{total}"
