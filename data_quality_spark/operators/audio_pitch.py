@@ -58,7 +58,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .audio_speed import _spacing_keys, clip_profiles  # shared stage-1
+from .audio_speed import bucket_candidates, clip_profiles  # shared stage-1
 
 __all__ = ["clip_profiles", "pitch_dup_pairs", "pitch_dup_confirm"]
 
@@ -76,14 +76,6 @@ PITCH_SNAP_BAND = 2.5    # cells: quantization band the rationals must hit
 PITCH_RESAMPLE_DEN = 64  # denominator bound for the undo resample
 PITCH_CONFIRM_VOTES = 50 # landmark votes at one scaled offset
 PITCH_DISTINCT_MIN = 32  # distinct hashes below this = stationary-grade
-PITCH_PEAK_COARSE = 32   # cells per coarse top-peak bucket: the shift
-                         # bound (B*0.55 ≈ 26.4 cells) moves the coarse
-                         # value by at most ONE step, so ±1 probing
-                         # keeps pitch invariance while multiplying
-                         # bucket-key entropy ~32× — measured necessary
-                         # at 100k clips, where single-spacing keys go
-                         # hot on tone-degenerate corpora and the skew
-                         # guard starves the candidate stage
 
 
 def snap_rationals(shift: int) -> list:
@@ -126,46 +118,7 @@ def pitch_dup_pairs(
     # rows it would be a written profiles table instead.
     evaluable = profiles.filter(F.col("n_peaks") >= 2).select(
         "clip_id", "n_samples", "sr_hz", "peaks", "profile").persist()
-    # composite bucket key: (quantized peak spacing, coarse top-peak).
-    # Spacings are exactly shift-invariant; the coarse top-peak moves by
-    # ≤1 step under the bounded shift, so the probe side fans ±1 on BOTH
-    # axes (3×3) and invariance is preserved with ~32× finer buckets.
-    coarse = F.floor(
-        F.element_at("peaks", 1) / F.lit(PITCH_PEAK_COARSE)
-    ).cast("int")
-
-    def keyed(probe: bool):
-        ks = _spacing_keys(probe=probe)
-        base = evaluable.select(
-            F.col("clip_id").alias("__id"),
-            coarse.alias("__pc"),
-            F.explode(ks).alias("k"),
-        )
-        if not probe:
-            return base.select("__id", "k", F.col("__pc").alias("pc"))
-        return base.select(
-            "__id", "k",
-            F.explode(F.array(F.col("__pc") - 1, F.col("__pc"),
-                              F.col("__pc") + 1)).alias("pc"),
-        )
-
-    exact = keyed(probe=False)
-    probe = keyed(probe=True)
-    small = (
-        exact.groupBy("k", "pc")
-        .agg(F.count(F.lit(1)).alias("__bn"))
-        .filter(F.col("__bn") <= max_bucket_size)
-        .select("k", "pc")
-    )
-    cands = (
-        exact.join(small, ["k", "pc"])
-        .select("k", "pc", F.col("__id").alias("id_a"))
-        .join(probe.select("k", "pc", F.col("__id").alias("id_b")),
-              ["k", "pc"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cands = bucket_candidates(evaluable, max_bucket_size)
     a = evaluable.select(
         F.col("clip_id").alias("id_a"), F.col("n_samples").alias("na"),
         F.col("sr_hz").alias("sra"), F.col("peaks").alias("pka"),

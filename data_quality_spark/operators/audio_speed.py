@@ -45,8 +45,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["clip_profiles", "speed_dup_pairs", "speed_dup_confirm"]
+__all__ = ["clip_profiles", "bucket_candidates", "speed_dup_pairs",
+           "speed_dup_confirm"]
 
+PEAK_COARSE = 32         # cells per coarse top-peak bucket key
 CONFIRM_MIN_VOTES = 20   # landmark votes at one offset to confirm
 CONFIRM_MAX_DEN = 64     # rational-speed approximation bound
 
@@ -137,6 +139,57 @@ def _spacing_keys(probe: bool):
     return q
 
 
+def bucket_candidates(evaluable, max_bucket_size: int):
+    """Shared candidate stage for the speed AND pitch detectors:
+    composite (quantized peak spacing, coarse top-peak) bucket keys with
+    a 3x3 probe fan.  Spacings are exactly shift-invariant; the coarse
+    top-peak (PEAK_COARSE cells per step) moves by at most ONE step
+    under the bounded shift |B*log2 s| <= B*SPEED_MAX_LOG2 < PEAK_COARSE,
+    so +/-1 probing preserves invariance while multiplying key entropy
+    ~32x — measured necessary at 100k clips, where single-spacing keys
+    go hot on tone-degenerate corpora and the skew guard starves the
+    candidate stage.  Top-mass-aligned verified pairs survive the finer
+    keys (the partner law bounds their top-peak distance below one
+    coarse step); a pair whose peak-MASS order swaps between sides can
+    drop (measured: one coincidence pair at oracle scale, zero seeded
+    twins)."""
+    coarse = F.floor(
+        F.element_at("peaks", 1) / F.lit(PEAK_COARSE)
+    ).cast("int")
+
+    def keyed(probe: bool):
+        base = evaluable.select(
+            F.col("clip_id").alias("__id"),
+            coarse.alias("__pc"),
+            F.explode(_spacing_keys(probe=probe)).alias("k"),
+        )
+        if not probe:
+            return base.select("__id", "k", F.col("__pc").alias("pc"))
+        return base.select(
+            "__id", "k",
+            F.explode(F.array(F.col("__pc") - 1, F.col("__pc"),
+                              F.col("__pc") + 1)).alias("pc"),
+        )
+
+    exact = keyed(probe=False)
+    probe = keyed(probe=True)
+    small = (
+        exact.groupBy("k", "pc")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter(F.col("__bn") <= max_bucket_size)
+        .select("k", "pc")
+    )
+    return (
+        exact.join(small, ["k", "pc"])
+        .select("k", "pc", F.col("__id").alias("id_a"))
+        .join(probe.select("k", "pc", F.col("__id").alias("id_b")),
+              ["k", "pc"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def speed_dup_pairs(
     profiles: DataFrame,
     max_bucket_size: int = 64,
@@ -155,28 +208,7 @@ def speed_dup_pairs(
     # rows it would be a written profiles table instead.
     evaluable = profiles.filter(F.col("n_peaks") >= 2).select(
         "clip_id", "n_samples", "sr_hz", "peaks", "profile").persist()
-    exact = evaluable.select(
-        F.col("clip_id").alias("__id"),
-        F.explode(_spacing_keys(probe=False)).alias("k"),
-    )
-    probe = evaluable.select(
-        F.col("clip_id").alias("__id"),
-        F.explode(_spacing_keys(probe=True)).alias("k"),
-    )
-    small = (
-        exact.groupBy("k")
-        .agg(F.count(F.lit(1)).alias("__bn"))
-        .filter(F.col("__bn") <= max_bucket_size)
-        .select("k")
-    )
-    cands = (
-        exact.join(small, ["k"])
-        .select("k", F.col("__id").alias("id_a"))
-        .join(probe.select("k", F.col("__id").alias("id_b")), ["k"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cands = bucket_candidates(evaluable, max_bucket_size)
     a = evaluable.select(
         F.col("clip_id").alias("id_a"), F.col("n_samples").alias("na"),
         F.col("sr_hz").alias("sra"), F.col("peaks").alias("pka"),

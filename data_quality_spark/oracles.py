@@ -1478,7 +1478,6 @@ def _audio_pitch_dup_expected(n=300, seed=42, max_bucket_size=64) -> dict:
         PITCH_CORR_MIN,
         PITCH_DISTINCT_MIN,
         PITCH_DUR_EQ,
-        PITCH_PEAK_COARSE,
         PITCH_RESAMPLE_DEN,
         PITCH_SNAP_BAND,
         PITCH_SNAP_DEN,
@@ -1486,6 +1485,7 @@ def _audio_pitch_dup_expected(n=300, seed=42, max_bucket_size=64) -> dict:
         PITCH_TOL2,
         STRETCH_CORR_MIN,
     )
+    from .operators.audio_speed import PEAK_COARSE
     from .synth import make_audio_stretch_corpus
 
     pdf = make_audio_stretch_corpus(n, seed=seed)
@@ -1511,7 +1511,7 @@ def _audio_pitch_dup_expected(n=300, seed=42, max_bucket_size=64) -> dict:
     for cid, (prof, pk, ns, sr, q) in clips.items():
         if len(pk) < 2 or sr <= 0:
             continue
-        pc = pk[0] // PITCH_PEAK_COARSE
+        pc = pk[0] // PEAK_COARSE
         c = sorted(pk)
         sp = {c[j] - c[i] for i in range(len(c)) for j in range(i + 1, len(c))}
         ks = {qkey(d) for d in sp}
@@ -2198,25 +2198,30 @@ def _audio_speed_dup_expected(n=300, seed=42, max_bucket_size=64) -> dict:
     def qkey(d: int) -> int:
         return _m.floor(d / SPEED_KEY_Q + 0.5)  # Spark HALF_UP, d > 0
 
-    exact: dict[int, list[str]] = {}
-    probe: dict[int, set[str]] = {}
+    # composite (spacing, coarse top-peak) bucketing — twin of
+    # audio_speed.bucket_candidates' 3x3 probe fan
+    from .operators.audio_speed import PEAK_COARSE
+
+    exact: dict[tuple[int, int], list[str]] = {}
+    probe: dict[tuple[int, int], set[str]] = {}
     for cid, (prof, pk, ns, sr, q, codec) in clips.items():
         if len(pk) < 2:
             continue
+        pc = pk[0] // PEAK_COARSE
         c = sorted(pk)
         sp = {c[j] - c[i] for i in range(len(c)) for j in range(i + 1, len(c))}
         ks = {qkey(d) for d in sp}
         for k in ks:
-            exact.setdefault(k, []).append(cid)
-        for k in ks:
+            exact.setdefault((k, pc), []).append(cid)
             for dd in (-1, 0, 1):
-                probe.setdefault(k + dd, set()).add(cid)
+                for dp in (-1, 0, 1):
+                    probe.setdefault((k + dd, pc + dp), set()).add(cid)
     cands = set()
-    for k, ids in exact.items():
+    for key, ids in exact.items():
         if len(ids) > max_bucket_size:
             continue
         for a in ids:
-            for b in probe.get(k, ()):
+            for b in probe.get(key, ()):
                 if a < b:
                     cands.add((a, b))
 

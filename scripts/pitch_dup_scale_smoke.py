@@ -16,8 +16,12 @@ and reports profile throughput, candidate/confirmed counts, and recall
 over the injected evaluable sample — the built-in correctness
 cross-check at ~330× the oracle scale.
 
-Usage: python scripts/pitch_dup_scale_smoke.py [n_clips] [tw_every]
-Prints one JSON line.
+Usage: python scripts/pitch_dup_scale_smoke.py [n_clips] [tw_every] [max_bucket]
+Prints one JSON line.  ``max_bucket`` is the hot-bucket guard — the
+synthetic corpus draws 1-3 tones from ~250 cells, so only ~500 distinct
+peak geometries exist and at 100k clips EVERY geometry is hot; the guard
+is the recall/cost dial this smoke measures (real audio corpora have
+orders more spectral entropy, so the default 64 holds there).
 """
 
 from __future__ import annotations
@@ -44,6 +48,7 @@ def main() -> None:
 
     n_clips = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     tw_every = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    max_bucket = int(sys.argv[3]) if len(sys.argv) > 3 else 64
     clips_path = bench.ensure_clips(n_clips)
     spark = get_spark(
         "pitch-dup-scale-smoke",
@@ -116,7 +121,7 @@ def main() -> None:
 
     t0 = time.time()
     profiles = clip_profiles(corpus)
-    pairs = pitch_dup_pairs(profiles)
+    pairs = pitch_dup_pairs(profiles, max_bucket_size=max_bucket)
     confirmed = pitch_dup_confirm(corpus, pairs).cache()
     n_pairs = confirmed.count()
     chain_seconds = round(time.time() - t0, 2)
@@ -143,6 +148,7 @@ def main() -> None:
     )
     print(json.dumps({
         "n_clips": n_clips,
+        "max_bucket": max_bucket,
         "n_twins_injected": n_tw,
         "n_twins_evaluable": seeded_eval,
         "chain_seconds": chain_seconds,
