@@ -162,7 +162,7 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["text", "audio", "loops", "labels", "boilerplate",
                  "quantization", "pii", "reverb", "stereo", "flutter",
                  "clicks", "truepeak", "musicspeech", "lra", "halluc",
-                 "lines"],
+                 "lines", "normalize"],
         default="text",
     )
     au.add_argument("--min-words", type=int, default=15)
@@ -630,6 +630,15 @@ def main(argv: list[str] | None = None) -> int:
 
                 issues_df = line_issues(
                     line_stats(df, id_col=df.columns[0]), table=args.table
+                )
+            elif args.kind == "normalize":
+                from .operators.text_normalize import (
+                    normalize_issues,
+                    normalize_stats,
+                )
+
+                issues_df = normalize_issues(
+                    normalize_stats(df), table=args.table
                 )
             elif args.kind == "boilerplate":
                 from pyspark.sql import functions as F2

@@ -37,7 +37,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["NORM_INJECT", "normalize_stats", "normalize_text", "apply_norm"]
+__all__ = ["NORM_INJECT", "normalize_stats", "normalize_text",
+           "normalize_issues", "apply_norm"]
 
 # deterministic defect injection for clean synthetic corpora (the
 # encoding_audit pattern): residues of doc_id % (4*inject_every)
@@ -157,3 +158,41 @@ def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
             yield pa.RecordBatch.from_arrays(arrays, names=cols)
 
     return docs.mapInArrow(run, out_schema)
+
+
+def normalize_issues(stats: DataFrame, table: str = "documents") -> DataFrame:
+    """Issue relation over ``normalize_stats`` (reference issue schema,
+    ONE fused aggregate): how much repair the corpus needs, per class."""
+    wide = stats.agg(
+        F.count(F.lit(1)).alias("__total__"),
+        F.count(F.when(F.col("n_cr") > 0, 1)).alias("n:crlf_newlines"),
+        F.count(F.when(F.col("n_ctl") > 0, 1)).alias("n:control_chars"),
+        F.count(F.when(F.col("nfc_changed"), 1)).alias("n:nfc_decomposed"),
+        F.count(F.when(F.col("changed"), 1)).alias("n:needs_normalization"),
+    )
+    rules = [
+        ("crlf_newlines", "info", "carriage returns present (CRLF/CR zoo)"),
+        ("control_chars", "warning",
+         "C0/C1 control characters present (tokenizer poison)"),
+        ("nfc_decomposed", "warning",
+         "NFC-decomposed sequences present (dedup sees two spellings)"),
+        ("needs_normalization", "info",
+         "any repair class applies (transform would change the text)"),
+    ]
+    structs = []
+    for name, sev, desc in rules:
+        cnt = F.col(f"n:{name}")
+        total = F.col("__total__")
+        structs.append(F.struct(
+            F.lit(table).alias("table"),
+            F.lit("text").alias("column"),
+            F.lit(name).alias("issue_type"),
+            cnt.alias("count"),
+            total.alias("total"),
+            F.when(total > 0, cnt * 100.0 / total).otherwise(F.lit(0.0))
+            .cast("double").alias("percent"),
+            F.when(cnt > 0, F.lit(sev)).otherwise(F.lit("info"))
+            .alias("severity"),
+            F.lit(desc).alias("description"),
+        ))
+    return wide.select(F.explode(F.array(*structs)).alias("i")).select("i.*")

@@ -60,3 +60,34 @@ class TestOperator:
         assert st[1].nfc_changed and not st[2].changed
         assert st[3].n_in == 0 and not st[3].changed
         assert st[1].norm_md5 == st[2].norm_md5
+
+
+def test_cli_audit_normalize(spark, tmp_path, capsys, monkeypatch):
+    """audit --kind normalize: repair-need classes surface with exact
+    counts."""
+    import json
+
+    import data_quality_spark.cli as cli
+
+    monkeypatch.setattr("pyspark.sql.SparkSession.stop", lambda self: None)
+    tables = tmp_path / "tables"
+    tables.mkdir()
+    rows = [
+        (1, "clean text here."),
+        (2, "crlf\r\nline"),
+        (3, "ctl\x07here"),
+        (4, "café decomposed"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1).write.parquet(str(tables / "docs.parquet"))
+    code = cli.main(
+        ["audit", "--tables", str(tables), "--table", "docs",
+         "--kind", "normalize", "--format", "json", "--fail-on", "none"]
+    )
+    out = {r["issue_type"]: r for r in json.loads(capsys.readouterr().out)}
+    assert code == 0
+    assert out["crlf_newlines"]["count"] == 1
+    assert out["control_chars"]["count"] == 1
+    assert out["nfc_decomposed"]["count"] == 1
+    assert out["needs_normalization"]["count"] == 3
+    assert out["needs_normalization"]["total"] == 4
