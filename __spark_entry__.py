@@ -1296,6 +1296,30 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@3 of the PQ compressed-domain path vs exact cosine —
+    joins the ann_recall family so the PQ accuracy trade-off itself is
+    driver-hash-checked (not just test-asserted).  Twin: exact top-k +
+    PQ replay, intersection counted with plain sets."""
+    ensure_expected("ann_pq_recall", sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = sim.cosine_topk(emb, queries, k=3).select("q_id", "n_id")
+    books = sim.fit_pq_codebooks(emb)
+    approx = sim.pq_topk(emb, queries, books, k=3).select("q_id", "n_id")
+    total = exact.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    hits = (
+        approx.join(exact, ["q_id", "n_id"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+    )
+    return hits.crossJoin(total).select(
+        F.lit("pq_m16_k256").alias("method"),
+        "hits",
+        "total",
+        F.round(F.col("hits") / F.col("total"), 6).alias("recall_r"),
+    )
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@k of the LSH and IVF ANN paths vs exact cosine top-k — the
     accuracy trade-off itself is driver-hash-checked against a pure-Python
@@ -3179,6 +3203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": q_text_normalize,
         "crossmodal_dedup": q_crossmodal_dedup,
         "ann_pq_topk": q_ann_pq_topk,
+        "ann_pq_recall": q_ann_pq_recall,
         "audio_mel": q_audio_mel,
         "audio_dedup_resolve": q_audio_dedup_resolve,
         "audio_noise_robustness": q_audio_noise_robustness,
@@ -5086,6 +5111,7 @@ ORDER BY d.doc_id""",
         "text_normalize": _expected_sql("text_normalize"),
         "crossmodal_dedup": _expected_sql("crossmodal_dedup"),
         "ann_pq_topk": _expected_sql("ann_pq_topk"),
+        "ann_pq_recall": _expected_sql("ann_pq_recall"),
         "audio_mel": _expected_sql("audio_mel"),
         "audio_dedup_resolve": _expected_sql("audio_dedup_resolve"),
         "audio_noise_robustness": _expected_sql("audio_noise_robustness"),

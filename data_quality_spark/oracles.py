@@ -520,6 +520,23 @@ def _ann_recall_expected(vecs, k=3) -> dict:
     return out
 
 
+def _ann_pq_recall_expected(vecs, k=3) -> dict:
+    """recall@k of the PQ path vs exact top-k, both by pure-Python
+    replay — extends the ann_recall discipline to the compressed-domain
+    method (the accuracy trade-off is driver-hash-checked, not just
+    test-asserted)."""
+    exact = _exact_topk_pairs(vecs, k=k)
+    res = _pq_topk_expected(vecs, k=k)
+    pairs = set(zip(res["q_id"], res["n_id"]))
+    hits = len(pairs & exact)
+    return {
+        "method": ["pq_m16_k256"],
+        "hits": [hits],
+        "total": [len(exact)],
+        "recall_r": [spark_round(hits / len(exact), 6) if exact else 0.0],
+    }
+
+
 # ------------------------------------------ blocked embedding near-dup
 
 
@@ -5113,6 +5130,10 @@ _SCHEMAS: dict[str, pa.Schema] = {
         [("q_id", pa.int64()), ("rank", pa.int32()), ("n_id", pa.int64()),
          ("adc_r", pa.float64())]
     ),
+    "ann_pq_recall": pa.schema(
+        [("method", pa.string()), ("hits", pa.int64()),
+         ("total", pa.int64()), ("recall_r", pa.float64())]
+    ),
     "ann_recall": pa.schema(
         [("method", pa.string()), ("hits", pa.int64()),
          ("total", pa.int64()), ("recall_r", pa.float64())]
@@ -5497,13 +5518,14 @@ def _src_key(name: str, sf_dir: str | None) -> dict | None:
         "winnow_fingerprints", "embedding_near_dup_blocked", "ann_ivf_topk",
         "ann_recall", "dedup_clusters", "dedup_resolve", "dsir_weights",
         "lsh_tuning", "semantic_prune", "corpus_overlap", "text_normalize",
-        "ann_pq_topk",
+        "ann_pq_topk", "ann_pq_recall",
     ):
         table = (
             "embeddings"
             if name in (
                 "ann_lsh_topk", "embedding_near_dup_blocked", "ann_ivf_topk",
                 "ann_recall", "semantic_prune", "ann_pq_topk",
+                "ann_pq_recall",
             )
             else "documents"
         )
@@ -5554,6 +5576,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _ivf_topk_expected(_read_embeddings(sf_dir))
     elif name == "ann_pq_topk":
         data = _pq_topk_expected(_read_embeddings(sf_dir))
+    elif name == "ann_pq_recall":
+        data = _ann_pq_recall_expected(_read_embeddings(sf_dir))
     elif name == "ann_recall":
         data = _ann_recall_expected(_read_embeddings(sf_dir))
     elif name == "media_features":
