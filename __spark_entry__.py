@@ -3056,6 +3056,81 @@ def q_clips_gate_decide3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BM25 probe queries over the synthetic corpus vocabulary: common terms
+# (fast/hash/join/table/scan), one rare term ('dup', high idf), and a
+# mixed set — shared verbatim by the Spark query and the DuckDB twin.
+BM25_QUERIES = {
+    "q1": "fast hash join",
+    "q2": "slow table scan",
+    "q3": "dup row",
+    "q4": "vector window stream",
+}
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 per query — the sparse member of the
+    similarity-search family.  Corpus never shuffles: broadcast query
+    terms filter postings at the scan (array_intersect), N/Σdl ride the
+    same pass via observe(), idf is driver-learned literals, and the
+    per-term contributions are fixed-point-quantized so every score is
+    an exact integer sum (order-free, hash-stable).  Twin: the full
+    BM25 derivation from scratch in DuckDB SQL — N, avgdl, df, ln-idf,
+    the mirrored IEEE expression chain, and the same quantization."""
+    from data_quality_spark.operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, BM25_QUERIES, k=10, k1=BM25_K1, b=BM25_B)
+
+
+def _bm25_sql() -> str:
+    from data_quality_spark.operators.retrieval import IDF_SCALE, query_terms
+
+    qt_vals = ", ".join(f"('{q}', '{t}')" for q, t in query_terms(BM25_QUERIES))
+    a = repr(BM25_K1 + 1.0)
+    c = repr(1.0 - BM25_B)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+    CASE WHEN text IS NULL OR length(trim(lower(text))) = 0
+         THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS tokens
+  FROM documents
+), stats AS (
+  SELECT count(*) AS n, coalesce(sum(len(tokens)), 0) AS sum_dl FROM toks
+), qt AS (
+  SELECT * FROM (VALUES {qt_vals}) AS t(q_id, term)
+), terms AS (SELECT DISTINCT term FROM qt),
+matched AS (
+  SELECT t.doc_id, len(t.tokens) AS dl, u.term,
+         len(list_filter(t.tokens, x -> x = u.term)) AS tf
+  FROM toks t JOIN terms u ON list_contains(t.tokens, u.term)
+), dfrel AS (
+  SELECT term, count(*) AS df FROM matched GROUP BY term
+), idf AS (
+  SELECT term,
+    CAST(floor(ln(1.0 + ((SELECT n FROM stats) - df + 0.5) / (df + 0.5))
+               * {float(IDF_SCALE)!r} + 0.5) AS BIGINT) AS idf_fx
+  FROM dfrel
+), scored AS (
+  SELECT qt.q_id, m.doc_id,
+    CAST(sum(CAST(floor(
+      i.idf_fx * ((m.tf * {a}) / (m.tf + ({BM25_K1!r} * ({c} + ({BM25_B!r} *
+        (m.dl / (SELECT CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE)
+                 FROM stats)))))))
+      + 0.5) AS BIGINT)) AS BIGINT) AS score_fx
+  FROM matched m JOIN qt ON m.term = qt.term JOIN idf i ON i.term = m.term
+  GROUP BY qt.q_id, m.doc_id
+)
+SELECT q_id, rank, doc_id, score_fx FROM (
+  SELECT q_id, doc_id, score_fx,
+         CAST(row_number() OVER (PARTITION BY q_id
+                                 ORDER BY score_fx DESC, doc_id) AS INT)
+           AS rank
+  FROM scored
+) WHERE rank <= 10 ORDER BY q_id, rank"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: composed health-check relation over /root/testdata/sf0.001 —
     null scan + duplicate scan + orphan anti-join, fused per table, unioned
@@ -3204,6 +3279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crossmodal_dedup": q_crossmodal_dedup,
         "ann_pq_topk": q_ann_pq_topk,
         "ann_pq_recall": q_ann_pq_recall,
+        "bm25_topk": q_bm25_topk,
         "audio_mel": q_audio_mel,
         "audio_dedup_resolve": q_audio_dedup_resolve,
         "audio_noise_robustness": q_audio_noise_robustness,
@@ -5112,6 +5188,7 @@ ORDER BY d.doc_id""",
         "crossmodal_dedup": _expected_sql("crossmodal_dedup"),
         "ann_pq_topk": _expected_sql("ann_pq_topk"),
         "ann_pq_recall": _expected_sql("ann_pq_recall"),
+        "bm25_topk": _bm25_sql(),
         "audio_mel": _expected_sql("audio_mel"),
         "audio_dedup_resolve": _expected_sql("audio_dedup_resolve"),
         "audio_noise_robustness": _expected_sql("audio_noise_robustness"),
