@@ -3056,6 +3056,28 @@ def q_clips_gate_decide3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED quality classifier (CCNet/GPT-3 shape, end to end): Gopher
+    pass/fail as weak-supervision labels, a deterministic bounded
+    TakeOrdered sample, driver-side full-batch logistic regression under
+    a written plain-float spec, and the learned weights shipped back
+    into the fixed Catalyst scoring chain (z>0 sign test — no exp() on
+    executors).  Output: learned weights + full-corpus confusion vs the
+    rule labels.  Twin: pure-Python re-derivation of labels, features,
+    from-spec-XXH64 sampling, training, and confusion — weight doubles
+    must match BIT-EXACTLY."""
+    from data_quality_spark.operators.quality_filters import gopher_flags
+    from data_quality_spark.operators.quality_model import (
+        classifier_report,
+        fit_quality_weights,
+    )
+
+    ensure_expected("quality_classifier", sf_dir)
+    flagged = gopher_flags(_t(spark, sf_dir, "documents"))
+    w = fit_quality_weights(flagged, "gopher_pass")
+    return classifier_report(flagged, "gopher_pass", w)
+
+
 # BM25 probe queries over the synthetic corpus vocabulary: common terms
 # (fast/hash/join/table/scan), one rare term ('dup', high idf), and a
 # mixed set — shared verbatim by the Spark query and the DuckDB twin.
@@ -3280,6 +3302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": q_ann_pq_topk,
         "ann_pq_recall": q_ann_pq_recall,
         "bm25_topk": q_bm25_topk,
+        "quality_classifier": q_quality_classifier,
         "audio_mel": q_audio_mel,
         "audio_dedup_resolve": q_audio_dedup_resolve,
         "audio_noise_robustness": q_audio_noise_robustness,
@@ -5189,6 +5212,7 @@ ORDER BY d.doc_id""",
         "ann_pq_topk": _expected_sql("ann_pq_topk"),
         "ann_pq_recall": _expected_sql("ann_pq_recall"),
         "bm25_topk": _bm25_sql(),
+        "quality_classifier": _expected_sql("quality_classifier"),
         "audio_mel": _expected_sql("audio_mel"),
         "audio_dedup_resolve": _expected_sql("audio_dedup_resolve"),
         "audio_noise_robustness": _expected_sql("audio_noise_robustness"),

@@ -39,6 +39,9 @@ __all__ = [
     "quality_score", "quality_score_col", "quality_score_stats",
     "score_buckets", "learn_cutoffs", "bucket_by_cutoffs",
     "WEIGHTS", "LEN_CAP",
+    "FEATURES", "quality_features", "train_logistic", "fit_quality_weights",
+    "score_with_weights", "classifier_report",
+    "TRAIN_SAMPLE", "TRAIN_ITERS", "TRAIN_LR",
 ]
 
 # (bias, w_stopword_frac, w_len_capped, w_digit_frac, w_special_frac)
@@ -50,9 +53,15 @@ LEN_CAP = 64  # tokens; beyond this, length stops adding evidence
 _SPECIAL_KEEP = r"[A-Za-z0-9À-ÿ \t\n\r]"
 
 
-def quality_score_col(text_col: str = "text") -> Column:
-    """The score as a Column expression (see :func:`quality_score`) — the
-    form other fused audits embed without materializing columns."""
+# feature order is part of the model spec (weights index into it)
+FEATURES = ("stopword_frac", "len_capped", "digit_frac", "special_frac")
+
+
+def quality_features(text_col: str = "text") -> dict[str, Column]:
+    """The scorer's four features as named Column expressions, each an
+    exact-integer ratio (0.0 on empty docs) and therefore bit-identical
+    in any engine: stopword-token fraction, capped token count, digit-
+    char fraction, special-char fraction."""
     text = F.coalesce(F.col(text_col), F.lit(""))
     toks = F.split(F.trim(F.lower(text)), r"\s+")
     nt = token_count_col(F.col(text_col))
@@ -67,21 +76,27 @@ def quality_score_col(text_col: str = "text") -> Column:
     def frac(num: Column, den: Column) -> Column:
         return F.when(den > 0, num / den).otherwise(F.lit(0.0))
 
-    f_stop = frac(ns, nt)
-    f_len = F.least(nt, F.lit(LEN_CAP)) / F.lit(float(LEN_CAP))
-    f_digit = frac(nd, nc)
-    f_special = frac(nsp, nc)
-    b, w_stop, w_len, w_digit, w_special = WEIGHTS
-    return (
-        (
-            (
-                (F.lit(b) + (F.lit(w_stop) * f_stop))
-                + (F.lit(w_len) * f_len)
-            )
-            + (F.lit(w_digit) * f_digit)
-        )
-        + (F.lit(w_special) * f_special)
-    )
+    return {
+        "stopword_frac": frac(ns, nt),
+        "len_capped": F.least(nt, F.lit(LEN_CAP)) / F.lit(float(LEN_CAP)),
+        "digit_frac": frac(nd, nc),
+        "special_frac": frac(nsp, nc),
+    }
+
+
+def _linear_chain(weights, feats: dict[str, Column]) -> Column:
+    """bias + Σ w_j·f_j as a FIXED left-associated chain — the
+    engine-bit-identical form (module docstring)."""
+    z = F.lit(float(weights[0]))
+    for j, name in enumerate(FEATURES):
+        z = z + (F.lit(float(weights[j + 1])) * feats[name])
+    return z
+
+
+def quality_score_col(text_col: str = "text") -> Column:
+    """The score as a Column expression (see :func:`quality_score`) — the
+    form other fused audits embed without materializing columns."""
+    return _linear_chain(WEIGHTS, quality_features(text_col))
 
 
 def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -95,6 +110,136 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("q_score", quality_score_col(text_col)).withColumn(
         "q_keep", F.col("q_score") > F.lit(0.0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained classifier: the "real deployment replaces WEIGHTS with offline
+# logistic-regression output" path, made concrete and deterministic.
+#
+# Pattern (CCNet / GPT-3 quality classifier): labels come from an existing
+# rule family (weak supervision — here the Gopher pass/fail conjunction),
+# training runs DRIVER-side on a bounded deterministic sample (the IVF
+# "TakeOrdered sample + learned literals" shape), and the learned weights
+# ship back into the same fixed Catalyst scoring chain.  At 10^12 docs the
+# scoring pass is the cost, and it is unchanged: one scan, no UDF, no
+# shuffle.  Every step is bit-reproducible:
+#   - sample: order by (xxhash64(doc_id), doc_id), limit N — exact;
+#   - features: exact-integer ratios (identical doubles in any engine);
+#   - training: full-batch gradient descent, plain Python floats, fold
+#     order = doc_id ascending, fixed iters/lr — a written spec the
+#     differential twin re-implements;
+#   - decision: z > 0 (sign test — no executor-side exp()).
+# ---------------------------------------------------------------------------
+
+TRAIN_SAMPLE = 512   # driver-side sample rows (bounded, deterministic)
+TRAIN_ITERS = 300    # full-batch GD iterations
+TRAIN_LR = 2.0       # learning rate (features all live in [0, 1])
+
+
+def train_logistic(rows, iters: int = TRAIN_ITERS, lr: float = TRAIN_LR):
+    """Deterministic full-batch logistic regression — the written spec.
+
+    ``rows`` = [(id, y, (f_1..f_k)), ...]; folded in ascending-id order
+    with plain left-associated float accumulation.  z = ((bias + w1·f1)
+    + w2·f2) + ...; p = 1/(1+exp(−z)); gradient g_j = Σ_i (p_i − y_i)·f_ij;
+    update w_j ← w_j − lr·(g_j/m).  No numpy — association order is part
+    of the spec so an independent twin lands on the same bits.
+    """
+    import math
+
+    rows = sorted(rows, key=lambda r: r[0])
+    if not rows:
+        raise ValueError("empty training sample")
+    m = float(len(rows))
+    k = len(rows[0][2])
+    w = [0.0] * (k + 1)
+    for _ in range(iters):
+        g = [0.0] * (k + 1)
+        for _id, y, x in rows:
+            z = w[0]
+            for j in range(k):
+                z = z + (w[j + 1] * x[j])
+            p = 1.0 / (1.0 + math.exp(-z))
+            e = p - float(y)
+            g[0] = g[0] + e
+            for j in range(k):
+                g[j + 1] = g[j + 1] + (e * x[j])
+        for j in range(k + 1):
+            w[j] = w[j] - (lr * (g[j] / m))
+    return tuple(w)
+
+
+def fit_quality_weights(
+    docs: DataFrame,
+    label_col: str,
+    sample_n: int = TRAIN_SAMPLE,
+    iters: int = TRAIN_ITERS,
+    lr: float = TRAIN_LR,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Learn (bias, w_stopword, w_len, w_digit, w_special) from a boolean
+    ``label_col`` on a bounded deterministic sample.  The sample is the
+    ``sample_n`` smallest (xxhash64(id), id) rows — a uniform pseudo-random
+    slice Spark executes as TakeOrderedAndProject (per-partition partial
+    top-k; the corpus never shuffles, the driver sees ``sample_n`` rows)."""
+    feats = quality_features(text_col)
+    sample = (
+        docs.select(
+            F.col(id_col).alias("__id"),
+            F.col(label_col).cast("int").alias("__y"),
+            *[c.alias(n) for n, c in feats.items()],
+        )
+        .orderBy(F.xxhash64(F.col("__id")), F.col("__id"))
+        .limit(sample_n)
+        .collect()
+    )
+    rows = [
+        (r["__id"], r["__y"], tuple(r[n] for n in FEATURES)) for r in sample
+    ]
+    return train_logistic(rows, iters=iters, lr=lr)
+
+
+def score_with_weights(
+    docs: DataFrame, weights, text_col: str = "text"
+) -> DataFrame:
+    """Adds ``clf_score`` (the raw logit z — monotone in the probability)
+    and ``clf_keep`` (z > 0 ⇔ p > ½).  Same plan shape as
+    :func:`quality_score`: one scan, whole-stage codegen, no Python."""
+    z = _linear_chain(weights, quality_features(text_col))
+    return docs.withColumn("clf_score", z).withColumn(
+        "clf_keep", F.col("clf_score") > F.lit(0.0)
+    )
+
+
+def classifier_report(
+    docs: DataFrame, label_col: str, weights, text_col: str = "text"
+) -> DataFrame:
+    """(metric, value) relation: the learned weights plus the confusion
+    of the classifier's sign test against ``label_col`` over the FULL
+    corpus — one fused aggregate, one scan.  Counts are exact integers;
+    weights are the bit-exact training output."""
+    spark = docs.sparkSession
+    scored = score_with_weights(docs, weights, text_col)
+    y = F.col(label_col).cast("boolean")
+    pred = F.col("clf_keep")
+    cnt = lambda c: F.sum(c.cast("int")).cast("double")  # noqa: E731
+    conf = scored.agg(
+        cnt(pred & y).alias("tp"),
+        cnt(pred & ~y).alias("fp"),
+        cnt(~pred & y).alias("fn"),
+        cnt(~pred & ~y).alias("tn"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    long = conf.selectExpr(
+        "stack(5, 'tp', tp, 'fp', fp, 'fn', fn, 'tn', tn, 'n', n) "
+        "AS (metric, value)"
+    )
+    wrows = [("w_bias", float(weights[0]))] + [
+        (f"w_{name}", float(weights[j + 1])) for j, name in enumerate(FEATURES)
+    ]
+    wdf = spark.createDataFrame(wrows, "metric string, value double")
+    return wdf.unionByName(long).orderBy("metric")
 
 
 def score_buckets(

@@ -2392,6 +2392,96 @@ def _dsir_weights_expected(sf_dir: str, num_buckets=1024, k=100) -> dict:
     }
 
 
+def _quality_classifier_expected(sf_dir: str) -> dict:
+    """Twin of q_quality_classifier: Gopher weak-supervision labels, the
+    four scorer features, the (xxhash64(doc_id), doc_id) bounded sample,
+    the written GD spec (plain-float ascending-id fold), the z>0 sign
+    test, and the confusion — all re-derived in pure Python (from-spec
+    XXH64; ``re`` for every regex signal)."""
+    import math
+    import re as _re
+
+    import pyarrow.parquet as pq
+
+    from .operators.quality_model import (
+        LEN_CAP, TRAIN_ITERS, TRAIN_LR, TRAIN_SAMPLE,
+    )
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    docs = list(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+    from .operators.docs import _ALL_STOPWORDS
+
+    stopset = set(_ALL_STOPWORDS)
+
+    def signals(text):
+        s = text if text is not None else ""
+        toks = _re.split(r"\s+", s.strip()) if s.strip() else []
+        nt = len(toks)
+        low = _re.split(r"\s+", s.lower().strip()) if s.strip() else []
+        n_stop = sum(1 for w in low if w in stopset) if nt else 0
+        nc = len(s)
+        nd = len(_re.findall(r"[0-9]", s))
+        nsp = len(_re.sub(r"[A-Za-z0-9À-ÿ \t\n\r]", "", s))
+        nns = len(_re.sub(r"\s", "", s))
+        alpha = len(_re.findall(r"[^\s]*[A-Za-z][^\s]*", s))
+        sym = len(_re.findall(r"#|\.\.\.", s))
+        label = not (
+            (nt < 50 or nt > 100_000)
+            or (nns < 3 * nt or nns > 10 * nt)
+            or (10 * sym > 1 * nt)
+            or (5 * alpha < 4 * nt)
+            or (n_stop < 2)
+        )
+        feats = (
+            (n_stop / nt) if nt > 0 else 0.0,
+            min(nt, LEN_CAP) / float(LEN_CAP),
+            (nd / nc) if nc > 0 else 0.0,
+            (nsp / nc) if nc > 0 else 0.0,
+        )
+        return label, feats
+
+    sig = {i: signals(text) for i, text in docs}
+    order = sorted(docs, key=lambda r: (xxh64_long(r[0], 42), r[0]))
+    sample = sorted(i for i, _ in order[:TRAIN_SAMPLE])
+
+    # the GD spec, re-implemented: ascending-id fold, plain floats
+    w = [0.0] * 5
+    m = float(len(sample))
+    for _ in range(TRAIN_ITERS):
+        g = [0.0] * 5
+        for i in sample:
+            y, x = sig[i]
+            z = w[0]
+            for j in range(4):
+                z = z + (w[j + 1] * x[j])
+            e = 1.0 / (1.0 + math.exp(-z)) - (1.0 if y else 0.0)
+            g[0] = g[0] + e
+            for j in range(4):
+                g[j + 1] = g[j + 1] + (e * x[j])
+        for j in range(5):
+            w[j] = w[j] - (TRAIN_LR * (g[j] / m))
+
+    conf = {"tp": 0, "fp": 0, "fn": 0, "tn": 0}
+    for i, _ in docs:
+        y, x = sig[i]
+        z = w[0]
+        for j in range(4):
+            z = z + (w[j + 1] * x[j])
+        pred = z > 0.0
+        conf["tp" if pred and y else "fp" if pred else "fn" if y else "tn"] += 1
+
+    rows = dict(
+        w_bias=w[0], w_stopword_frac=w[1], w_len_capped=w[2],
+        w_digit_frac=w[3], w_special_frac=w[4],
+        tp=float(conf["tp"]), fp=float(conf["fp"]),
+        fn=float(conf["fn"]), tn=float(conf["tn"]), n=float(len(docs)),
+    )
+    keys = sorted(rows)
+    return {"metric": keys, "value": [rows[k] for k in keys]}
+
+
 def _clips_gate_decide3_expected(n=1200, seed=42) -> dict:
     """Twin of ``pipeline.decide3`` (reference 3-way decision enum,
     checkpoints.py:216-252): critical rule hit → reject, warning-only →
@@ -5309,6 +5399,9 @@ _SCHEMAS: dict[str, pa.Schema] = {
         [("doc_id", pa.int64()), ("n_grams", pa.int32()),
          ("log_w", pa.float64())]
     ),
+    "quality_classifier": pa.schema(
+        [("metric", pa.string()), ("value", pa.float64())]
+    ),
     "semantic_prune": pa.schema(
         [("vec_id", pa.int64()), ("component", pa.int64()),
          ("cluster_size", pa.int64()), ("keep", pa.bool_())]
@@ -5518,7 +5611,7 @@ def _src_key(name: str, sf_dir: str | None) -> dict | None:
         "winnow_fingerprints", "embedding_near_dup_blocked", "ann_ivf_topk",
         "ann_recall", "dedup_clusters", "dedup_resolve", "dsir_weights",
         "lsh_tuning", "semantic_prune", "corpus_overlap", "text_normalize",
-        "ann_pq_topk", "ann_pq_recall",
+        "ann_pq_topk", "ann_pq_recall", "quality_classifier",
     ):
         table = (
             "embeddings"
@@ -5648,6 +5741,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_quality_score_expected()
     elif name == "dsir_weights":
         data = _dsir_weights_expected(sf_dir)
+    elif name == "quality_classifier":
+        data = _quality_classifier_expected(sf_dir)
     elif name == "lsh_tuning":
         data = _lsh_tuning_expected(sf_dir)
     elif name == "audio_hum":

@@ -167,3 +167,80 @@ class TestScoreBuckets:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan
+
+
+class TestTrainedClassifier:
+    """fit_quality_weights / score_with_weights / classifier_report."""
+
+    def test_train_logistic_learns_separable(self):
+        from data_quality_spark.operators.quality_model import train_logistic
+
+        # y = 1 iff f0 > 0.5 — trivially separable on one feature
+        rows = [
+            (i, 1 if f > 0.5 else 0, (f, 0.0, 0.0, 0.0))
+            for i, f in enumerate([0.1, 0.2, 0.3, 0.4, 0.6, 0.7, 0.8, 0.9])
+        ]
+        w = train_logistic(rows, iters=500, lr=2.0)
+        assert w[1] > 0  # positive weight on the separating feature
+        for _i, y, x in rows:
+            z = w[0] + sum(w[j + 1] * x[j] for j in range(4))
+            assert (z > 0) == bool(y)
+
+    def test_train_logistic_deterministic_and_order_free(self):
+        from data_quality_spark.operators.quality_model import train_logistic
+
+        rows = [
+            (3, 1, (0.9, 0.2, 0.0, 0.1)),
+            (1, 0, (0.1, 0.8, 0.3, 0.0)),
+            (2, 1, (0.7, 0.1, 0.2, 0.0)),
+        ]
+        w1 = train_logistic(rows, iters=50)
+        w2 = train_logistic(list(reversed(rows)), iters=50)
+        assert w1 == w2  # spec sorts by id: input order irrelevant
+
+    def test_fit_and_report_end_to_end(self, spark):
+        from data_quality_spark.operators.quality_filters import gopher_flags
+        from data_quality_spark.operators.quality_model import (
+            classifier_report,
+            fit_quality_weights,
+            score_with_weights,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (i, ("the and that is " * 20).strip())
+                if i % 2 == 0
+                else (i, "#### ### ##")
+                for i in range(40)
+            ],
+            "doc_id long, text string",
+        )
+        flagged = gopher_flags(docs)
+        w = fit_quality_weights(flagged, "gopher_pass", sample_n=40, iters=200)
+        w2 = fit_quality_weights(flagged, "gopher_pass", sample_n=40, iters=200)
+        assert w == w2  # bit-deterministic across runs
+        scored = score_with_weights(flagged, w)
+        got = {r["doc_id"]: r["clf_keep"] for r in scored.collect()}
+        # perfectly separable two-template corpus: classifier = labels
+        labels = {r["doc_id"]: r["gopher_pass"] for r in flagged.collect()}
+        assert got == labels
+        rep = {r["metric"]: r["value"] for r in
+               classifier_report(flagged, "gopher_pass", w).collect()}
+        assert rep["n"] == 40.0
+        assert rep["tp"] + rep["fp"] + rep["fn"] + rep["tn"] == rep["n"]
+        assert rep["fp"] == 0.0 and rep["fn"] == 0.0
+
+    def test_scoring_plan_has_no_exchange_or_python(self, spark):
+        from data_quality_spark.operators.quality_model import (
+            score_with_weights,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a b c")], "doc_id long, text string"
+        )
+        plan = (
+            score_with_weights(docs, (0.1, 1.0, -1.0, 0.5, 0.0))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
