@@ -3153,6 +3153,53 @@ SELECT q_id, rank, doc_id, score_fx FROM (
 ) WHERE rank <= 10 ORDER BY q_id, rank"""
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic vocabulary per source (tf-idf over groups as
+    superdocuments) — integer-exact scores: tf · floor(ln(G/g_t)·2^20+.5)
+    with the ≤G-entry idf table as driver-learned literals, so no float
+    is ever computed on an executor.  Twin: the same law from scratch in
+    DuckDB (its ln and Python's math.log land on the same libm double —
+    the BM25-verified property)."""
+    from data_quality_spark.operators.retrieval import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, group_col="source", top=5)
+
+
+def _tfidf_sql() -> str:
+    from data_quality_spark.operators.retrieval import IDF_SCALE
+
+    return f"""
+WITH toks AS (
+  SELECT source,
+    CASE WHEN text IS NULL OR length(trim(lower(text))) = 0
+         THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS tokens
+  FROM documents
+), ex AS (
+  SELECT source AS grp, unnest(tokens) AS term FROM toks
+), tf AS (
+  SELECT grp, term, CAST(count(*) AS BIGINT) AS tf FROM ex GROUP BY grp, term
+), g AS (
+  SELECT count(DISTINCT source) AS gc FROM documents
+), gt AS (
+  SELECT term, count(*) AS g_t FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.grp, tf.term, tf.tf,
+         tf.tf * CAST(floor(ln(CAST((SELECT gc FROM g) AS DOUBLE) / g_t)
+                            * {float(IDF_SCALE)!r} + 0.5) AS BIGINT)
+           AS score_fx
+  FROM tf JOIN gt USING (term)
+)
+SELECT grp AS source, rank, term, tf, score_fx FROM (
+  SELECT grp, term, tf, score_fx,
+         CAST(row_number() OVER (PARTITION BY grp
+                                 ORDER BY score_fx DESC, term) AS INT)
+           AS rank
+  FROM scored
+) WHERE rank <= 5 AND score_fx > 0 ORDER BY source, rank"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: composed health-check relation over /root/testdata/sf0.001 —
     null scan + duplicate scan + orphan anti-join, fused per table, unioned
@@ -3303,6 +3350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_recall": q_ann_pq_recall,
         "bm25_topk": q_bm25_topk,
         "quality_classifier": q_quality_classifier,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "audio_mel": q_audio_mel,
         "audio_dedup_resolve": q_audio_dedup_resolve,
         "audio_noise_robustness": q_audio_noise_robustness,
@@ -5213,6 +5261,7 @@ ORDER BY d.doc_id""",
         "ann_pq_recall": _expected_sql("ann_pq_recall"),
         "bm25_topk": _bm25_sql(),
         "quality_classifier": _expected_sql("quality_classifier"),
+        "tfidf_top_terms": _tfidf_sql(),
         "audio_mel": _expected_sql("audio_mel"),
         "audio_dedup_resolve": _expected_sql("audio_dedup_resolve"),
         "audio_noise_robustness": _expected_sql("audio_noise_robustness"),

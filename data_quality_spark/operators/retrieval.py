@@ -43,7 +43,10 @@ import math
 from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bm25_topk", "bm25_idf", "IDF_SCALE", "query_terms"]
+__all__ = [
+    "bm25_topk", "bm25_idf", "IDF_SCALE", "query_terms",
+    "tfidf_top_terms",
+]
 
 # fixed-point scale for per-term score contributions: 2^20.  idf ≤ ln(N)
 # ≈ 28 at 10^12 docs → idf_fx ≤ 3·10^7; tf-weight ≤ k1+1; per-term
@@ -86,6 +89,7 @@ def bm25_topk(
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    materialize: bool = True,
 ) -> DataFrame:
     """BM25 top-k documents per query.
 
@@ -95,6 +99,9 @@ def bm25_topk(
 
     One corpus scan total: the matched sliver is persisted; N and Σdl
     are observed on the same pass; df/idf come from the sliver.
+
+    ``materialize=False`` returns the lazy scoring relation (for plan
+    inspection) and leaves the matched sliver cached for its consumers.
     """
     qrows = query_terms(queries)
     terms = sorted({t for _, t in qrows})
@@ -127,50 +134,120 @@ def bm25_topk(
         .drop("__toks")
         .persist()
     )
-    try:
-        matched.count()  # one action: populates the observation too
-        n_docs = int(obs.get["n"])
-        sum_dl = int(obs.get["sum_dl"])
-        if n_docs == 0:
-            return spark.createDataFrame(
-                [], f"q_id string, rank int, {id_col} long, score_fx long"
-            )
-        avgdl = sum_dl / n_docs  # exact IEEE division of int-valued doubles
-
-        dfrel = {r["term"]: r["df"] for r in
-                 matched.groupBy("term").agg(F.count(F.lit(1)).alias("df")).collect()}
-        qrel = [
-            (q_id, t, bm25_idf(n_docs, dfrel[t]))
-            for q_id, t in qrows
-            if t in dfrel
-        ]
-        if not qrel:
-            return spark.createDataFrame(
-                [], f"q_id string, rank int, {id_col} long, score_fx long"
-            )
-        qdf = spark.createDataFrame(qrel, "q_id string, term string, idf_fx long")
-
-        # element-wise IEEE chain — parenthesization mirrored in the twin
-        tfw = (F.col("tf") * F.lit(k1 + 1.0)) / (
-            F.col("tf")
-            + (F.lit(k1) * (F.lit(1.0 - b) + (F.lit(b) * (F.col("__dl") / F.lit(avgdl)))))
-        )
-        contrib = F.floor(F.col("idf_fx") * tfw + F.lit(0.5)).cast("long")
-        scored = (
-            matched.join(F.broadcast(qdf), "term")
-            .groupBy("q_id", id_col)
-            .agg(F.sum(contrib).alias("score_fx"))
-        )
-        w = Window.partitionBy("q_id").orderBy(
-            F.col("score_fx").desc(), F.col(id_col)
-        )
-        out = (
-            scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("q_id", "rank", id_col, "score_fx")
-            .orderBy("q_id", "rank")
-        )
-        # materialize before unpersisting the sliver the plan reads from
-        return out.localCheckpoint(eager=True)
-    finally:
+    matched.count()  # one action: populates the observation too
+    n_docs = int(obs.get["n"])
+    sum_dl = int(obs.get["sum_dl"])
+    if n_docs == 0:
         matched.unpersist()
+        return spark.createDataFrame(
+            [], f"q_id string, rank int, {id_col} long, score_fx long"
+        )
+    avgdl = sum_dl / n_docs  # exact IEEE division of int-valued doubles
+
+    dfrel = {r["term"]: r["df"] for r in
+             matched.groupBy("term").agg(F.count(F.lit(1)).alias("df")).collect()}
+    qrel = [
+        (q_id, t, bm25_idf(n_docs, dfrel[t]))
+        for q_id, t in qrows
+        if t in dfrel
+    ]
+    if not qrel:
+        matched.unpersist()
+        return spark.createDataFrame(
+            [], f"q_id string, rank int, {id_col} long, score_fx long"
+        )
+    qdf = spark.createDataFrame(qrel, "q_id string, term string, idf_fx long")
+
+    # element-wise IEEE chain — parenthesization mirrored in the twin
+    tfw = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + (F.lit(k1) * (F.lit(1.0 - b) + (F.lit(b) * (F.col("__dl") / F.lit(avgdl)))))
+    )
+    contrib = F.floor(F.col("idf_fx") * tfw + F.lit(0.5)).cast("long")
+    scored = (
+        matched.join(F.broadcast(qdf), "term")
+        .groupBy("q_id", id_col)
+        .agg(F.sum(contrib).alias("score_fx"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score_fx").desc(), F.col(id_col)
+    )
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", id_col, "score_fx")
+        .orderBy("q_id", "rank")
+    )
+    if not materialize:
+        return out
+    # materialize before unpersisting the sliver the plan reads from
+    out = out.localCheckpoint(eager=True)
+    matched.unpersist()
+    return out
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    group_col: str = "source",
+    top: int = 5,
+    group_count: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Characteristic vocabulary per corpus slice: tf-idf over groups as
+    superdocuments — the per-domain keyword-signature report a curation
+    pipeline uses to see what each source is actually made of.
+
+    Law (exact integers end to end, so hash-stable with NO float ever
+    computed on an executor):
+
+        tf(t, g)   = occurrences of t in group g
+        g_t        = number of groups containing t
+        idf_fx(g_t)= floor(ln(G / g_t) · 2^20 + 0.5)   — G = group count
+        score_fx   = tf · idf_fx                        — integer product
+
+    g_t has at most G distinct values, so the idf table is a broadcast
+    literal map learned driver-side (math.log) — the BM25/DSIR pattern.
+    Terms present in EVERY group score 0 (ln 1) and are ranked out.
+
+    Scale shape: one explode + one (group, term) HashAggregate with
+    map-side partials (the exchange carries the compacted per-partition
+    vocabulary, never raw tokens), one tiny term-keyed aggregate for
+    g_t, and WindowGroupLimit top-k per group.  ``group_count`` skips
+    the exact countDistinct when the caller already knows G.
+    """
+    import math
+
+    toks = _tokens_col(text_col)
+    exploded = docs.select(
+        F.col(group_col).alias("grp"), F.explode(toks).alias("term")
+    )
+    tf = exploded.groupBy("grp", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    if group_count is None:
+        group_count = docs.select(group_col).distinct().count()
+    if group_count <= 0:
+        raise ValueError("no groups")
+    idf_fx = {
+        g: int(math.floor(math.log(group_count / g) * IDF_SCALE + 0.5))
+        for g in range(1, group_count + 1)
+    }
+    gt = tf.groupBy("term").agg(F.count(F.lit(1)).cast("int").alias("g_t"))
+    idf_map = F.create_map(
+        *[F.lit(x) for g in sorted(idf_fx) for x in (g, idf_fx[g])]
+    )
+    scored = (
+        tf.join(gt, "term")
+        .withColumn("score_fx", F.col("tf") * idf_map[F.col("g_t")])
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.col("score_fx").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter((F.col("rank") <= top) & (F.col("score_fx") > 0))
+        .select(
+            F.col("grp").alias(group_col), "rank", "term", "tf", "score_fx"
+        )
+        .orderBy(group_col, "rank")
+    )

@@ -51,6 +51,11 @@ def main() -> None:
     from data_quality_spark.session import get_spark
 
     sf = "/root/testdata/sf0.01"
+    # materialize the 100k clips corpus BEFORE the plans session exists:
+    # ensure_clips manages (and stops) its own generation session
+    import bench as _bench
+
+    clips_path_100k = _bench.ensure_clips(100000)
     spark = get_spark("plans", master="local[4]",
                       extra_confs={"spark.ui.showConsoleProgress": "false"})
 
@@ -291,6 +296,30 @@ def main() -> None:
             None,
         ),
         (
+            "BM25 sparse top-k retrieval",
+            "The corpus never shuffles: the matched (doc, query-term, tf) "
+            "sliver is ONE InMemoryTableScan (persisted once; N/Σdl rode "
+            "the same pass via observe()); the idf relation is driver-"
+            "learned literals joined back through a BroadcastExchange/"
+            "BroadcastHashJoin; the per-(query, doc) integer score is a "
+            "partial/final HashAggregate pair; the top-k runs as "
+            "WindowGroupLimit Partial/Final so the exchange carries ≤ k "
+            "rows per query per partition. The only wide data movement is "
+            "the sliver itself — postings that hit a query term.",
+            None,
+        ),
+        (
+            "Trained-classifier sample (bounded TakeOrdered)",
+            "fit_quality_weights' training sample must plan as "
+            "TakeOrderedAndProject on (xxhash64(id), id): per-partition "
+            "partial top-N, so a 10^12-doc corpus sends the driver exactly "
+            "sample_n feature rows and never sorts or shuffles. The "
+            "features themselves are the zero-shuffle scorer expressions "
+            "(see Linear quality scorer above) — scoring with learned "
+            "weights reuses that exact plan shape.",
+            None,
+        ),
+        (
             "Gopher quality rules (zero-shuffle flag pass)",
             "Every rule signal (token count, non-space chars, alpha-word "
             "count, symbol count, stopword hits) is column arithmetic "
@@ -321,10 +350,7 @@ def main() -> None:
     )
     sections[files_i] = (
         *sections[files_i][:2],
-        gate_files(
-            spark,
-            f"/root/repo/.bench_cache/clips_n100000_s42_v{CORPUS_VERSION}",
-        ),
+        gate_files(spark, clips_path_100k),
     )
 
     from data_quality_spark.operators.cluster import (
@@ -362,6 +388,24 @@ def main() -> None:
     sections[dsir_i] = (
         *sections[dsir_i][:2],
         dsir_select(dsir_log_weights(docs_t, weights=ws), k=100),
+    )
+
+    from data_quality_spark.operators.quality_model import quality_features
+    from data_quality_spark.operators.retrieval import bm25_topk
+
+    bm25_i = next(i for i, s in enumerate(sections) if s[0].startswith("BM25"))
+    sections[bm25_i] = (
+        *sections[bm25_i][:2],
+        bm25_topk(docs, e.BM25_QUERIES, k=10, materialize=False),
+    )
+    clf_i = next(i for i, s in enumerate(sections)
+                 if s[0].startswith("Trained-classifier"))
+    feats = quality_features("text")
+    sections[clf_i] = (
+        *sections[clf_i][:2],
+        docs.select(
+            F.col("doc_id"), *[c.alias(n) for n, c in feats.items()]
+        ).orderBy(F.xxhash64(F.col("doc_id")), F.col("doc_id")).limit(512),
     )
 
     gopher_i = next(i for i, s in enumerate(sections) if s[0].startswith("Gopher"))

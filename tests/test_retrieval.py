@@ -117,3 +117,37 @@ def test_bm25_corpus_never_joins_itself(spark, sf_dir):
     # determinism across runs (fixed-point law): identical bytes
     again = bm25_topk(docs, {"q1": "fast hash join", "q2": "dup row"}, k=5)
     assert [tuple(r) for r in again.collect()] == [tuple(r) for r in rows]
+
+
+def test_tfidf_top_terms_law(spark):
+    from data_quality_spark.operators.retrieval import (
+        IDF_SCALE,
+        tfidf_top_terms,
+    )
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha alpha beta common", "s1"),
+            (2, "alpha common", "s1"),
+            (3, "gamma gamma common", "s2"),
+            (4, "delta common beta", "s3"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = tfidf_top_terms(docs, top=3)
+    rows = {(r["source"], r["term"]): (r["rank"], r["tf"], r["score_fx"])
+            for r in out.collect()}
+    # 'common' appears in all 3 groups -> idf 0 -> excluded everywhere
+    assert not any(t == "common" for _, t in rows)
+    idf1 = math.floor(math.log(3 / 1) * IDF_SCALE + 0.5)
+    idf2 = math.floor(math.log(3 / 2) * IDF_SCALE + 0.5)
+    # alpha: tf=3 in s1 only -> top term of s1
+    assert rows[("s1", "alpha")] == (1, 3, 3 * idf1)
+    # beta appears in 2 of 3 groups
+    assert rows[("s1", "beta")][2] == 1 * idf2
+    assert rows[("s2", "gamma")] == (1, 2, 2 * idf1)
+    # ranks are contiguous per group
+    for g in ("s1", "s2", "s3"):
+        ranks = sorted(r[0] for (src, _), r in rows.items() if src == g)
+        assert ranks == list(range(1, len(ranks) + 1))
