@@ -3078,6 +3078,25 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classifier_report(flagged, "gopher_pass", w)
 
 
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve for the trained classifier: exact score-decile
+    buckets (ntile over (z DESC, id) — fully deterministic) × observed
+    Gopher-label rate.  The accuracy-tradeoff-as-data family
+    (ann_recall / lsh_tuning / image_hash_recall) applied to the
+    quality model.  Twin: the shared pure-Python retraining plus an
+    independent replay of Spark's NTILE law."""
+    from data_quality_spark.operators.quality_filters import gopher_flags
+    from data_quality_spark.operators.quality_model import (
+        classifier_calibration,
+        fit_quality_weights,
+    )
+
+    ensure_expected("quality_calibration", sf_dir)
+    flagged = gopher_flags(_t(spark, sf_dir, "documents"))
+    w = fit_quality_weights(flagged, "gopher_pass")
+    return classifier_calibration(flagged, "gopher_pass", w)
+
+
 # BM25 probe queries over the synthetic corpus vocabulary: common terms
 # (fast/hash/join/table/scan), one rare term ('dup', high idf), and a
 # mixed set — shared verbatim by the Spark query and the DuckDB twin.
@@ -3351,6 +3370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "quality_classifier": q_quality_classifier,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "quality_calibration": q_quality_calibration,
         "audio_mel": q_audio_mel,
         "audio_dedup_resolve": q_audio_dedup_resolve,
         "audio_noise_robustness": q_audio_noise_robustness,
@@ -5262,6 +5282,7 @@ ORDER BY d.doc_id""",
         "bm25_topk": _bm25_sql(),
         "quality_classifier": _expected_sql("quality_classifier"),
         "tfidf_top_terms": _tfidf_sql(),
+        "quality_calibration": _expected_sql("quality_calibration"),
         "audio_mel": _expected_sql("audio_mel"),
         "audio_dedup_resolve": _expected_sql("audio_dedup_resolve"),
         "audio_noise_robustness": _expected_sql("audio_noise_robustness"),

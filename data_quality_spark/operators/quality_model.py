@@ -40,7 +40,7 @@ __all__ = [
     "score_buckets", "learn_cutoffs", "bucket_by_cutoffs",
     "WEIGHTS", "LEN_CAP",
     "FEATURES", "quality_features", "train_logistic", "fit_quality_weights",
-    "score_with_weights", "classifier_report",
+    "score_with_weights", "classifier_report", "classifier_calibration",
     "TRAIN_SAMPLE", "TRAIN_ITERS", "TRAIN_LR",
 ]
 
@@ -240,6 +240,46 @@ def classifier_report(
     ]
     wdf = spark.createDataFrame(wrows, "metric string, value double")
     return wdf.unionByName(long).orderBy("metric")
+
+
+def classifier_calibration(
+    docs: DataFrame,
+    label_col: str,
+    weights,
+    n_buckets: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Calibration curve for a trained classifier: exact score-quantile
+    buckets (best first) × observed label rate — the accuracy-tradeoff-
+    as-data pattern (ann_recall / lsh_tuning) applied to the quality
+    model.  A well-ordered classifier shows pass_rate falling with the
+    bucket index; the curve IS the evidence, reported as a relation.
+
+    Exact formulation (verification path): global ``ntile`` ordered by
+    (clf_score DESC, id) — fully deterministic, differential-checkable.
+    Implies one sort; the 10^12-row production path applies
+    :func:`learn_cutoffs`-style sampled boundaries instead (same law as
+    CCNet buckets).
+    """
+    scored = score_with_weights(docs, weights, text_col)
+    w = Window.orderBy(F.desc("clf_score"), F.asc(id_col))
+    b = scored.withColumn("bucket", F.ntile(n_buckets).over(w))
+    y = F.col(label_col).cast("boolean")
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(y.cast("int")).cast("long").alias("n_pass"),
+            (
+                F.sum(y.cast("int")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("pass_rate"),
+            F.min("clf_score").alias("min_score"),
+            F.max("clf_score").alias("max_score"),
+        )
+        .orderBy("bucket")
+    )
 
 
 def score_buckets(

@@ -2392,12 +2392,14 @@ def _dsir_weights_expected(sf_dir: str, num_buckets=1024, k=100) -> dict:
     }
 
 
-def _quality_classifier_expected(sf_dir: str) -> dict:
-    """Twin of q_quality_classifier: Gopher weak-supervision labels, the
-    four scorer features, the (xxhash64(doc_id), doc_id) bounded sample,
-    the written GD spec (plain-float ascending-id fold), the z>0 sign
-    test, and the confusion — all re-derived in pure Python (from-spec
-    XXH64; ``re`` for every regex signal)."""
+def _clf_twin_state(sf_dir: str):
+    """Shared derivation for the trained-classifier twins: Gopher
+    weak-supervision labels, the four scorer features, the
+    (xxhash64(doc_id), doc_id) bounded sample, and the written GD spec
+    (plain-float ascending-id fold) — all re-derived in pure Python
+    (from-spec XXH64; ``re`` for every regex signal).  Returns
+    (docs, sig, w) with sig[doc_id] = (label, features) and w the
+    5-weight vector."""
     import math
     import re as _re
 
@@ -2462,14 +2464,25 @@ def _quality_classifier_expected(sf_dir: str) -> dict:
                 g[j + 1] = g[j + 1] + (e * x[j])
         for j in range(5):
             w[j] = w[j] - (TRAIN_LR * (g[j] / m))
+    return docs, sig, w
 
+
+def _clf_z(w, x):
+    z = w[0]
+    for j in range(4):
+        z = z + (w[j + 1] * x[j])
+    return z
+
+
+def _quality_classifier_expected(sf_dir: str) -> dict:
+    """Twin of q_quality_classifier (see :func:`_clf_twin_state`): the
+    z>0 sign test and the full-corpus confusion over the re-derived
+    labels/features/weights."""
+    docs, sig, w = _clf_twin_state(sf_dir)
     conf = {"tp": 0, "fp": 0, "fn": 0, "tn": 0}
     for i, _ in docs:
         y, x = sig[i]
-        z = w[0]
-        for j in range(4):
-            z = z + (w[j + 1] * x[j])
-        pred = z > 0.0
+        pred = _clf_z(w, x) > 0.0
         conf["tp" if pred and y else "fp" if pred else "fn" if y else "tn"] += 1
 
     rows = dict(
@@ -2480,6 +2493,38 @@ def _quality_classifier_expected(sf_dir: str) -> dict:
     )
     keys = sorted(rows)
     return {"metric": keys, "value": [rows[k] for k in keys]}
+
+
+def _quality_calibration_expected(sf_dir: str, n_buckets: int = 10) -> dict:
+    """Twin of q_quality_calibration: Spark's NTILE law replayed over
+    (z DESC, doc_id ASC) — n//B (+1 for the first n%B buckets) rows per
+    bucket — then per-bucket exact label counts + min/max of the
+    bit-exact scores."""
+    docs, sig, w = _clf_twin_state(sf_dir)
+    scored = sorted(
+        ((_clf_z(w, sig[i][1]), i) for i, _ in docs),
+        key=lambda t: (-t[0], t[1]),
+    )
+    n = len(scored)
+    base, extra = divmod(n, n_buckets)
+    out = {"bucket": [], "n_docs": [], "n_pass": [], "pass_rate": [],
+           "min_score": [], "max_score": []}
+    pos = 0
+    for b in range(1, n_buckets + 1):
+        size = base + (1 if b <= extra else 0)
+        chunk = scored[pos:pos + size]
+        pos += size
+        if not chunk:
+            continue
+        n_pass = sum(1 for z, i in chunk if sig[i][0])
+        zs = [z for z, _ in chunk]
+        out["bucket"].append(b)
+        out["n_docs"].append(len(chunk))
+        out["n_pass"].append(n_pass)
+        out["pass_rate"].append(float(n_pass) / float(len(chunk)))
+        out["min_score"].append(min(zs))
+        out["max_score"].append(max(zs))
+    return out
 
 
 def _clips_gate_decide3_expected(n=1200, seed=42) -> dict:
@@ -5402,6 +5447,11 @@ _SCHEMAS: dict[str, pa.Schema] = {
     "quality_classifier": pa.schema(
         [("metric", pa.string()), ("value", pa.float64())]
     ),
+    "quality_calibration": pa.schema(
+        [("bucket", pa.int32()), ("n_docs", pa.int64()),
+         ("n_pass", pa.int64()), ("pass_rate", pa.float64()),
+         ("min_score", pa.float64()), ("max_score", pa.float64())]
+    ),
     "semantic_prune": pa.schema(
         [("vec_id", pa.int64()), ("component", pa.int64()),
          ("cluster_size", pa.int64()), ("keep", pa.bool_())]
@@ -5612,6 +5662,7 @@ def _src_key(name: str, sf_dir: str | None) -> dict | None:
         "ann_recall", "dedup_clusters", "dedup_resolve", "dsir_weights",
         "lsh_tuning", "semantic_prune", "corpus_overlap", "text_normalize",
         "ann_pq_topk", "ann_pq_recall", "quality_classifier",
+        "quality_calibration",
     ):
         table = (
             "embeddings"
@@ -5743,6 +5794,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _dsir_weights_expected(sf_dir)
     elif name == "quality_classifier":
         data = _quality_classifier_expected(sf_dir)
+    elif name == "quality_calibration":
+        data = _quality_calibration_expected(sf_dir)
     elif name == "lsh_tuning":
         data = _lsh_tuning_expected(sf_dir)
     elif name == "audio_hum":

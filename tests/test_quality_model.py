@@ -244,3 +244,34 @@ class TestTrainedClassifier:
         )
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_calibration_curve(self, spark):
+        from data_quality_spark.operators.quality_filters import gopher_flags
+        from data_quality_spark.operators.quality_model import (
+            classifier_calibration,
+            fit_quality_weights,
+        )
+
+        # graded corpus: stopword mass (and thus score) rises with i
+        docs = spark.createDataFrame(
+            [
+                (i, ("the and that is " * (3 + i) + "xq zk " * (40 - i)).strip())
+                for i in range(40)
+            ],
+            "doc_id long, text string",
+        )
+        flagged = gopher_flags(docs)
+        w = fit_quality_weights(flagged, "gopher_pass", sample_n=40)
+        cal = classifier_calibration(flagged, "gopher_pass", w, n_buckets=4)
+        rows = cal.collect()
+        assert [r["bucket"] for r in rows] == [1, 2, 3, 4]
+        assert sum(r["n_docs"] for r in rows) == 40
+        # buckets ordered best-first: min_score of bucket b >= max of b+1
+        for a, b in zip(rows, rows[1:]):
+            assert a["min_score"] >= b["max_score"]
+        # pass counts reconcile with the corpus label total
+        total_pass = sum(r["n_pass"] for r in rows)
+        labels = flagged.collect()
+        assert total_pass == sum(1 for r in labels if r["gopher_pass"])
+        for r in rows:
+            assert r["pass_rate"] == r["n_pass"] / r["n_docs"]
