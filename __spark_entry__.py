@@ -3078,6 +3078,41 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classifier_report(flagged, "gopher_pass", w)
 
 
+def q_gate_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate distillation: train the text classifier to predict the AUDIO
+    gate's keep/drop from TRANSCRIPT features alone — the cheap text
+    prefilter a 10^12-clip pipeline runs before paying for decode, with
+    the confusion quantifying exactly what a text-only stage would pass
+    or lose.  One decode pass total: the gate's slim (clip_id,
+    transcript, keep) projection is persisted before the two classifier
+    consumers.  Twin: pandas-oracle gate labels + the shared pure-Python
+    feature/XXH64-sampling/GD replay."""
+    from data_quality_spark.operators.quality_model import (
+        classifier_report,
+        fit_quality_weights,
+    )
+    from data_quality_spark.pipeline import gate
+
+    ensure_expected("gate_distill", sf_dir)
+    slim = (
+        gate(_clips_df(spark))
+        .select(
+            "clip_id",
+            "transcript",
+            (F.col("decision") == F.lit("keep")).alias("keep"),
+        )
+        .persist()
+    )
+    slim.count()
+    w = fit_quality_weights(
+        slim, "keep", id_col="clip_id", text_col="transcript"
+    )
+    out = classifier_report(slim, "keep", w, text_col="transcript")
+    out = out.localCheckpoint(eager=True)
+    slim.unpersist()
+    return out
+
+
 def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calibration curve for the trained classifier: exact score-decile
     buckets (ntile over (z DESC, id) — fully deterministic) × observed
@@ -3371,6 +3406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "tfidf_top_terms": q_tfidf_top_terms,
         "quality_calibration": q_quality_calibration,
+        "gate_distill": q_gate_distill,
         "audio_mel": q_audio_mel,
         "audio_dedup_resolve": q_audio_dedup_resolve,
         "audio_noise_robustness": q_audio_noise_robustness,
@@ -5283,6 +5319,7 @@ ORDER BY d.doc_id""",
         "quality_classifier": _expected_sql("quality_classifier"),
         "tfidf_top_terms": _tfidf_sql(),
         "quality_calibration": _expected_sql("quality_calibration"),
+        "gate_distill": _expected_sql("gate_distill"),
         "audio_mel": _expected_sql("audio_mel"),
         "audio_dedup_resolve": _expected_sql("audio_dedup_resolve"),
         "audio_noise_robustness": _expected_sql("audio_noise_robustness"),

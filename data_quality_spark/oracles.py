@@ -2436,22 +2436,48 @@ def _clf_twin_state(sf_dir: str):
             or (5 * alpha < 4 * nt)
             or (n_stop < 2)
         )
-        feats = (
-            (n_stop / nt) if nt > 0 else 0.0,
-            min(nt, LEN_CAP) / float(LEN_CAP),
-            (nd / nc) if nc > 0 else 0.0,
-            (nsp / nc) if nc > 0 else 0.0,
-        )
-        return label, feats
+        return label, _clf_features_py(s)
 
     sig = {i: signals(text) for i, text in docs}
     order = sorted(docs, key=lambda r: (xxh64_long(r[0], 42), r[0]))
     sample = sorted(i for i, _ in order[:TRAIN_SAMPLE])
+    w = _train_gd_py(sig, sample, TRAIN_ITERS, TRAIN_LR)
+    return docs, sig, w
 
-    # the GD spec, re-implemented: ascending-id fold, plain floats
+
+def _clf_features_py(s: str):
+    """The scorer's four feature ratios in pure Python (twin of
+    ``quality_model.quality_features``)."""
+    import re as _re
+
+    from .operators.quality_model import LEN_CAP
+
+    s = s if s is not None else ""
+    toks = _re.split(r"\s+", s.strip()) if s.strip() else []
+    nt = len(toks)
+    from .operators.docs import _ALL_STOPWORDS
+
+    stopset = set(_ALL_STOPWORDS)
+    low = _re.split(r"\s+", s.lower().strip()) if s.strip() else []
+    n_stop = sum(1 for w in low if w in stopset) if nt else 0
+    nc = len(s)
+    nd = len(_re.findall(r"[0-9]", s))
+    nsp = len(_re.sub(r"[A-Za-z0-9À-ÿ \t\n\r]", "", s))
+    return (
+        (n_stop / nt) if nt > 0 else 0.0,
+        min(nt, LEN_CAP) / float(LEN_CAP),
+        (nd / nc) if nc > 0 else 0.0,
+        (nsp / nc) if nc > 0 else 0.0,
+    )
+
+
+def _train_gd_py(sig: dict, sample: list, iters: int, lr: float) -> list:
+    """The GD spec, re-implemented: ascending-id fold, plain floats."""
+    import math
+
     w = [0.0] * 5
     m = float(len(sample))
-    for _ in range(TRAIN_ITERS):
+    for _ in range(iters):
         g = [0.0] * 5
         for i in sample:
             y, x = sig[i]
@@ -2463,8 +2489,8 @@ def _clf_twin_state(sf_dir: str):
             for j in range(4):
                 g[j + 1] = g[j + 1] + (e * x[j])
         for j in range(5):
-            w[j] = w[j] - (TRAIN_LR * (g[j] / m))
-    return docs, sig, w
+            w[j] = w[j] - (lr * (g[j] / m))
+    return w
 
 
 def _clf_z(w, x):
@@ -2479,20 +2505,45 @@ def _quality_classifier_expected(sf_dir: str) -> dict:
     z>0 sign test and the full-corpus confusion over the re-derived
     labels/features/weights."""
     docs, sig, w = _clf_twin_state(sf_dir)
+    return _clf_report_rows(sig, w, [i for i, _ in docs])
+
+
+def _clf_report_rows(sig: dict, w: list, ids: list) -> dict:
+    """(metric, value) confusion + weights — twin of
+    ``quality_model.classifier_report``'s output relation."""
     conf = {"tp": 0, "fp": 0, "fn": 0, "tn": 0}
-    for i, _ in docs:
+    for i in ids:
         y, x = sig[i]
         pred = _clf_z(w, x) > 0.0
         conf["tp" if pred and y else "fp" if pred else "fn" if y else "tn"] += 1
-
     rows = dict(
         w_bias=w[0], w_stopword_frac=w[1], w_len_capped=w[2],
         w_digit_frac=w[3], w_special_frac=w[4],
         tp=float(conf["tp"]), fp=float(conf["fp"]),
-        fn=float(conf["fn"]), tn=float(conf["tn"]), n=float(len(docs)),
+        fn=float(conf["fn"]), tn=float(conf["tn"]), n=float(len(ids)),
     )
     keys = sorted(rows)
     return {"metric": keys, "value": [rows[k] for k in keys]}
+
+
+def _gate_distill_expected(n=1200, seed=42) -> dict:
+    """Twin of q_gate_distill: the pandas-oracle gate decisions label the
+    clips (keep=True), transcript features come from the shared pure-
+    Python feature law, sampling uses from-spec XXH64 over the STRING
+    clip ids, and the GD spec + confusion replay as in the documents
+    twin — a text-only model distilling the audio gate."""
+    from .operators.quality_model import TRAIN_ITERS, TRAIN_LR, TRAIN_SAMPLE
+
+    pdf = _clips_oracle_frame(n, seed)
+    ids = list(pdf["clip_id"])
+    sig = {
+        i: (d == "keep", _clf_features_py(t))
+        for i, t, d in zip(ids, pdf["transcript"], pdf["decision"])
+    }
+    order = sorted(ids, key=lambda i: (xxh64_string(i, 42), i))
+    sample = sorted(order[:TRAIN_SAMPLE])
+    w = _train_gd_py(sig, sample, TRAIN_ITERS, TRAIN_LR)
+    return _clf_report_rows(sig, w, ids)
 
 
 def _quality_calibration_expected(sf_dir: str, n_buckets: int = 10) -> dict:
@@ -5447,6 +5498,9 @@ _SCHEMAS: dict[str, pa.Schema] = {
     "quality_classifier": pa.schema(
         [("metric", pa.string()), ("value", pa.float64())]
     ),
+    "gate_distill": pa.schema(
+        [("metric", pa.string()), ("value", pa.float64())]
+    ),
     "quality_calibration": pa.schema(
         [("bucket", pa.int32()), ("n_docs", pa.int64()),
          ("n_pass", pa.int64()), ("pass_rate", pa.float64()),
@@ -5796,6 +5850,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _quality_classifier_expected(sf_dir)
     elif name == "quality_calibration":
         data = _quality_calibration_expected(sf_dir)
+    elif name == "gate_distill":
+        data = _gate_distill_expected()
     elif name == "lsh_tuning":
         data = _lsh_tuning_expected(sf_dir)
     elif name == "audio_hum":

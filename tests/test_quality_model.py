@@ -275,3 +275,38 @@ class TestTrainedClassifier:
         assert total_pass == sum(1 for r in labels if r["gopher_pass"])
         for r in rows:
             assert r["pass_rate"] == r["n_pass"] / r["n_docs"]
+
+    def test_gate_distill_composition(self, spark):
+        """Text-only classifier trained on the audio gate's labels: must
+        reconcile with the gate keep count and stay conservative enough
+        to be useful (no catastrophic keep loss on the seeded corpus)."""
+        from pyspark.sql import functions as F
+
+        import __spark_entry__ as e
+        from data_quality_spark.operators.quality_model import (
+            classifier_report,
+            fit_quality_weights,
+        )
+        from data_quality_spark.pipeline import gate
+
+        slim = (
+            gate(e._clips_df(spark, n=300))
+            .select(
+                "clip_id",
+                "transcript",
+                (F.col("decision") == F.lit("keep")).alias("keep"),
+            )
+            .persist()
+        )
+        n_keep = slim.filter("keep").count()
+        w = fit_quality_weights(
+            slim, "keep", id_col="clip_id", text_col="transcript"
+        )
+        rep = {r["metric"]: r["value"] for r in classifier_report(
+            slim, "keep", w, text_col="transcript").collect()}
+        slim.unpersist()
+        assert rep["n"] == 300.0
+        assert rep["tp"] + rep["fn"] == float(n_keep)
+        # prefilter property: keep recall stays high (text features are a
+        # subset of the gate's own transcript signals)
+        assert rep["tp"] / (rep["tp"] + rep["fn"]) >= 0.95
