@@ -211,6 +211,39 @@ def build_parser() -> argparse.ArgumentParser:
     sk.add_argument("--key", required=True, help="comma-separated key columns")
     sk.add_argument("--top", type=int, default=20)
     sk.add_argument("--format", choices=["text", "json"], default="text")
+
+    se = sub.add_parser("search", help="BM25 sparse retrieval over a text table")
+    se.add_argument("--tables", required=True)
+    se.add_argument("--table", required=True)
+    se.add_argument("--id-col", default="doc_id")
+    se.add_argument("--text-col", default="text")
+    se.add_argument("--query", action="append", required=True,
+                    help="query string (repeatable: q1, q2, ...)")
+    se.add_argument("--top", type=int, default=10)
+    se.add_argument("--format", choices=["text", "json"], default="text")
+
+    tm = sub.add_parser("terms", help="per-group tf-idf vocabulary signatures")
+    tm.add_argument("--tables", required=True)
+    tm.add_argument("--table", required=True)
+    tm.add_argument("--by", default="source", help="grouping column")
+    tm.add_argument("--text-col", default="text")
+    tm.add_argument("--top", type=int, default=5)
+    tm.add_argument("--format", choices=["text", "json"], default="text")
+
+    cl = sub.add_parser(
+        "classify",
+        help="train + evaluate the quality classifier "
+        "(Gopher rules as weak supervision)",
+    )
+    cl.add_argument("--tables", required=True)
+    cl.add_argument("--table", required=True)
+    cl.add_argument("--id-col", default="doc_id")
+    cl.add_argument("--text-col", default="text")
+    cl.add_argument("--sample", type=int, default=512,
+                    help="bounded deterministic training-sample size")
+    cl.add_argument("--buckets", type=int, default=0,
+                    help="also print an N-bucket calibration curve")
+    cl.add_argument("--format", choices=["text", "json"], default="text")
     return p
 
 
@@ -868,6 +901,106 @@ def main(argv: list[str] | None = None) -> int:
                         f"{r['rank']:3d}. {keyval}: {r['cnt']} rows "
                         f"({100 * r['share']:.2f}%, "
                         f"{r['ratio_to_mean']:.2f}x mean)"
+                    )
+            return 0
+        if args.cmd == "search":
+            from .operators.retrieval import bm25_topk
+
+            df = spark.read.parquet(
+                os.path.join(args.tables, f"{args.table}.parquet")
+            )
+            queries = {f"q{i + 1}": q for i, q in enumerate(args.query)}
+            rows = [
+                r.asDict()
+                for r in bm25_topk(
+                    df, queries, k=args.top,
+                    id_col=args.id_col, text_col=args.text_col,
+                ).collect()
+            ]
+            if args.format == "json":
+                print(json.dumps(rows, indent=2))
+            else:
+                for q_id in sorted(queries):
+                    print(f"{q_id}: {queries[q_id]!r}")
+                    for r in rows:
+                        if r["q_id"] == q_id:
+                            print(
+                                f"  {r['rank']:3d}. {r[args.id_col]} "
+                                f"(score_fx {r['score_fx']})"
+                            )
+            return 0
+        if args.cmd == "terms":
+            from .operators.retrieval import tfidf_top_terms
+
+            df = spark.read.parquet(
+                os.path.join(args.tables, f"{args.table}.parquet")
+            )
+            rows = [
+                r.asDict()
+                for r in tfidf_top_terms(
+                    df, group_col=args.by, top=args.top,
+                    text_col=args.text_col,
+                ).collect()
+            ]
+            if args.format == "json":
+                print(json.dumps(rows, indent=2))
+            else:
+                cur = None
+                for r in rows:
+                    if r[args.by] != cur:
+                        cur = r[args.by]
+                        print(f"{args.by}={cur}:")
+                    print(
+                        f"  {r['rank']}. {r['term']} (tf {r['tf']}, "
+                        f"score_fx {r['score_fx']})"
+                    )
+            return 0
+        if args.cmd == "classify":
+            from .operators.quality_filters import gopher_flags
+            from .operators.quality_model import (
+                classifier_calibration,
+                classifier_report,
+                fit_quality_weights,
+            )
+
+            df = spark.read.parquet(
+                os.path.join(args.tables, f"{args.table}.parquet")
+            )
+            flagged = gopher_flags(df, text_col=args.text_col).persist()
+            flagged.count()
+            w = fit_quality_weights(
+                flagged, "gopher_pass", sample_n=args.sample,
+                id_col=args.id_col, text_col=args.text_col,
+            )
+            report = {
+                r["metric"]: r["value"]
+                for r in classifier_report(
+                    flagged, "gopher_pass", w, text_col=args.text_col
+                ).collect()
+            }
+            cal = []
+            if args.buckets > 0:
+                cal = [
+                    r.asDict()
+                    for r in classifier_calibration(
+                        flagged, "gopher_pass", w, n_buckets=args.buckets,
+                        id_col=args.id_col, text_col=args.text_col,
+                    ).collect()
+                ]
+            flagged.unpersist()
+            if args.format == "json":
+                print(json.dumps({"report": report, "calibration": cal},
+                                 indent=2))
+            else:
+                for k in sorted(report):
+                    print(f"{k}: {report[k]}")
+                acc = (report["tp"] + report["tn"]) / report["n"]
+                print(f"accuracy: {acc:.4f}")
+                for r in cal:
+                    print(
+                        f"bucket {r['bucket']:2d}: n={r['n_docs']} "
+                        f"pass_rate={r['pass_rate']:.4f} "
+                        f"scores [{r['min_score']:.4f}, {r['max_score']:.4f}]"
                     )
             return 0
         return 2

@@ -609,3 +609,73 @@ def test_cli_dedup_fingerprint(spark, tmp_path, capsys, monkeypatch):
     assert out["n_clusters"] >= 1
     assert out["n_clustered_clips"] > out["n_clusters"]
     assert out["top_clusters"][0]["size"] >= 2
+
+
+def test_cli_search_and_terms(spark, tmp_path, capsys, monkeypatch):
+    """search: BM25 ranked hits per query; terms: per-group tf-idf."""
+    import data_quality_spark.cli as cli
+
+    monkeypatch.setattr("pyspark.sql.SparkSession.stop", lambda self: None)
+    tables = tmp_path / "tables"
+    tables.mkdir()
+    spark.createDataFrame(
+        [
+            (1, "fast hash join wins", "s1"),
+            (2, "slow table scan", "s1"),
+            (3, "fast fast fast join", "s2"),
+            (4, "unrelated words here", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    ).write.parquet(str(tables / "docs.parquet"))
+
+    code = cli.main(
+        ["search", "--tables", str(tables), "--table", "docs",
+         "--query", "fast join", "--top", "3", "--format", "json"]
+    )
+    rows = json.loads(capsys.readouterr().out)
+    assert code == 0
+    assert [r["doc_id"] for r in rows][:1] == [3]  # tf=3 'fast' wins
+    assert all(r["q_id"] == "q1" for r in rows)
+    # only docs 1 and 3 contain any query term
+    assert [r["rank"] for r in rows] == [1, 2]
+    assert {r["doc_id"] for r in rows} == {1, 3}
+
+    code = cli.main(
+        ["terms", "--tables", str(tables), "--table", "docs",
+         "--by", "source", "--top", "2", "--format", "json"]
+    )
+    rows = json.loads(capsys.readouterr().out)
+    assert code == 0
+    assert {r["source"] for r in rows} == {"s1", "s2"}
+    # group-exclusive terms rank; none of them scores zero
+    assert all(r["score_fx"] > 0 for r in rows)
+
+
+def test_cli_classify(spark, tmp_path, capsys, monkeypatch):
+    """classify: trains on Gopher labels, prints report + calibration."""
+    import data_quality_spark.cli as cli
+
+    monkeypatch.setattr("pyspark.sql.SparkSession.stop", lambda self: None)
+    tables = tmp_path / "tables"
+    tables.mkdir()
+    spark.createDataFrame(
+        [
+            (i, ("the and that is " * 20).strip())
+            if i % 2 == 0
+            else (i, "#### ### ##")
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    ).write.parquet(str(tables / "docs.parquet"))
+
+    code = cli.main(
+        ["classify", "--tables", str(tables), "--table", "docs",
+         "--sample", "40", "--buckets", "4", "--format", "json"]
+    )
+    out = json.loads(capsys.readouterr().out)
+    assert code == 0
+    rep = out["report"]
+    assert rep["n"] == 40.0
+    assert rep["fp"] == 0.0 and rep["fn"] == 0.0  # separable two-template
+    assert len(out["calibration"]) == 4
+    assert sum(r["n_docs"] for r in out["calibration"]) == 40
