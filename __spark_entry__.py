@@ -3113,6 +3113,64 @@ def q_gate_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_audio_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Noise-robust audio near-dup via log-mel profile embeddings — the
+    invariance class the noise-robustness curve showed fingerprints
+    lack (recall ~0 under broadband noise).  Multi-table SRP candidates
+    over centered band profiles → JVM profile-NCC prune → aligned
+    mel-trajectory verify, stationary evidence grading.  Output is the
+    recall accounting per seeded SNR plus the coincidence price
+    (tone-degenerate corpus: same-band steady tones ARE spectral
+    duplicates — counted, never hidden).  Twin: shared decode/mel
+    kernels; SRP bucketing, guard, candidate join, NCC folds, trajectory
+    verify and the accounting replayed independently in plain Python."""
+    from data_quality_spark.operators.audio_embed import embed_near_dup
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_noise_corpus
+
+    ensure_expected("audio_embed_dedup", sf_dir)
+    key = ("noise", 200, 42)
+    if key not in _CLIPS_CACHE:
+        _CLIPS_CACHE[key] = make_audio_noise_corpus(200, seed=42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(
+        _CLIPS_CACHE[key][cols], CLIPS_SCHEMA
+    ).repartition(8, "clip_id")
+    pairs = embed_near_dup(clips)
+    inj = clips.filter(F.col("clip_id").rlike(r"_n[0-9]+$")).select(
+        F.regexp_replace("clip_id", r"_n[0-9]+$", "").alias("id_a"),
+        F.col("clip_id").alias("id_b"),
+        F.regexp_extract("clip_id", r"_n([0-9]+)$", 1)
+        .cast("int").alias("snr_db"),
+    )
+    expected = inj.groupBy("snr_db").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    caught = (
+        pairs.join(inj, ["id_a", "id_b"])
+        .groupBy("snr_db")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_caught"))
+    )
+    per_snr = (
+        expected.join(caught, "snr_db", "left")
+        .select(
+            F.concat(F.lit("snr_"), F.col("snr_db")).alias("level"),
+            "n_pairs",
+            F.coalesce("n_caught", F.lit(0)).cast("long").alias("n_caught"),
+        )
+    )
+    coin = (
+        pairs.join(inj, ["id_a", "id_b"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .select(
+            F.lit("coincidence").alias("level"),
+            "n_pairs",
+            F.lit(None).cast("long").alias("n_caught"),
+        )
+    )
+    return per_snr.unionByName(coin).orderBy("level")
+
+
 def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calibration curve for the trained classifier: exact score-decile
     buckets (ntile over (z DESC, id) — fully deterministic) × observed
@@ -3407,6 +3465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "quality_calibration": q_quality_calibration,
         "gate_distill": q_gate_distill,
+        "audio_embed_dedup": q_audio_embed_dedup,
         "audio_mel": q_audio_mel,
         "audio_dedup_resolve": q_audio_dedup_resolve,
         "audio_noise_robustness": q_audio_noise_robustness,
@@ -5320,6 +5379,7 @@ ORDER BY d.doc_id""",
         "tfidf_top_terms": _tfidf_sql(),
         "quality_calibration": _expected_sql("quality_calibration"),
         "gate_distill": _expected_sql("gate_distill"),
+        "audio_embed_dedup": _expected_sql("audio_embed_dedup"),
         "audio_mel": _expected_sql("audio_mel"),
         "audio_dedup_resolve": _expected_sql("audio_dedup_resolve"),
         "audio_noise_robustness": _expected_sql("audio_noise_robustness"),

@@ -482,6 +482,7 @@ def main() -> None:
         "text_normalize", "crossmodal_dedup", "ann_pq_topk",
         "ann_pq_recall", "bm25_topk", "quality_classifier",
         "tfidf_top_terms", "quality_calibration", "gate_distill",
+        "audio_embed_dedup",
     ]
     # headline-only mode: just the gate pair + health scan (~90 s) — fits
     # inside the short quiet gaps this shared host actually has, where the

@@ -2546,6 +2546,117 @@ def _gate_distill_expected(n=1200, seed=42) -> dict:
     return _clf_report_rows(sig, w, ids)
 
 
+def _audio_embed_dedup_expected(n=200, seed=42) -> dict:
+    """Twin of q_audio_embed_dedup: shared decode/log_mel/profile-stat
+    kernels (the mel byte-hash oracle owns their correctness); the SRP
+    projections (index-order plain-float folds matching zip_with +
+    aggregate), sign/bit packing, hot-bucket guard, candidate join,
+    profile-NCC prune, aligned trajectory verify, and the per-SNR /
+    coincidence accounting replayed independently in pure Python."""
+    import numpy as np
+
+    from .functions.audio import _decode_i16
+    from .functions.mel import N_MELS, log_mel
+    from .operators.audio_embed import (
+        EMBED_BITS, EMBED_SEED, EMBED_TABLES,
+        PROFILE_NCC_MIN, TRAJ_NCC_MIN, _profile_stats,
+    )
+    from .operators.similarity import _hyperplanes
+    from .synth import make_audio_noise_corpus
+
+    pdf = make_audio_noise_corpus(n, seed=seed)
+    rel = {}
+    for _, r in pdf.iterrows():
+        try:
+            q = _decode_i16(r["bytes"], r["codec"], int(r["sr_hz"]))
+        except (ValueError, TypeError):
+            continue
+        m = log_mel(q.astype(np.float64) / 32768.0, int(r["sr_hz"]))
+        if m.shape[0] < 4:
+            continue
+        _, centered, norm, _ = _profile_stats(m)
+        if not norm > 0:
+            continue
+        rel[r["clip_id"]] = (centered, norm, m)
+
+    tables = [
+        _hyperplanes(N_MELS, EMBED_BITS, EMBED_SEED + t)
+        for t in range(EMBED_TABLES)
+    ]
+    buckets: dict[tuple[int, int], list[str]] = {}
+    for cid, (centered, _, _) in rel.items():
+        for t, planes in enumerate(tables):
+            b = 0
+            for i in range(planes.shape[0]):
+                acc = 0.0
+                for j in range(N_MELS):
+                    acc = acc + (float(centered[j]) * float(planes[i][j]))
+                bit = 1 if acc >= 0 and not math.isnan(acc) else 0
+                b |= bit << i
+            buckets.setdefault((t, b), []).append(cid)
+
+    cands = set()
+    for members in buckets.values():
+        if len(members) > 64:  # hot-bucket guard
+            continue
+        ms = sorted(members)
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                cands.add((ms[x], ms[y]))
+
+    def dot_fold(a, b):
+        acc = 0.0
+        for j in range(len(a)):
+            acc = acc + (float(a[j]) * float(b[j]))
+        return acc
+
+    pairs = set()
+    for ida, idb in cands:
+        ca, na, ma = rel[ida]
+        cb, nb, mb = rel[idb]
+        if dot_fold(ca, cb) / (na * nb) < PROFILE_NCC_MIN:
+            continue
+        k = min(ma.shape[0], mb.shape[0])
+        x = ma[:k].ravel()
+        y = mb[:k].ravel()
+        x = x - (x.sum() / float(x.size))
+        y = y - (y.sum() / float(y.size))
+        den = float(np.sqrt((x * x).sum() * (y * y).sum()))
+        traj = float((x * y).sum() / den) if den > 0 else 0.0
+        if traj >= TRAJ_NCC_MIN:
+            pairs.add((ida, idb))
+
+    seeded = {}
+    for cid in rel:
+        if "_n" in cid:
+            base, snr = cid.rsplit("_n", 1)
+            seeded[(base, cid)] = int(snr)
+    # expected counts come from ALL injected ids present in the corpus
+    # (the query's inj relation does not require decodability)
+    exp_counts: dict[int, int] = {}
+    for cid in pdf["clip_id"]:
+        if "_n" in str(cid):
+            snr = int(str(cid).rsplit("_n", 1)[1])
+            exp_counts[snr] = exp_counts.get(snr, 0) + 1
+    caught: dict[int, int] = {}
+    coin = 0
+    for p in pairs:
+        if p in seeded:
+            s = seeded[p]
+            caught[s] = caught.get(s, 0) + 1
+        else:
+            coin += 1
+    out = {"level": [], "n_pairs": [], "n_caught": []}
+    rows = [("coincidence", coin, None)] + [
+        (f"snr_{s}", exp_counts[s], caught.get(s, 0)) for s in exp_counts
+    ]
+    for level, npairs, ncaught in sorted(rows, key=lambda r: r[0]):
+        out["level"].append(level)
+        out["n_pairs"].append(npairs)
+        out["n_caught"].append(ncaught)
+    return out
+
+
 def _quality_calibration_expected(sf_dir: str, n_buckets: int = 10) -> dict:
     """Twin of q_quality_calibration: Spark's NTILE law replayed over
     (z DESC, doc_id ASC) — n//B (+1 for the first n%B buckets) rows per
@@ -5501,6 +5612,10 @@ _SCHEMAS: dict[str, pa.Schema] = {
     "gate_distill": pa.schema(
         [("metric", pa.string()), ("value", pa.float64())]
     ),
+    "audio_embed_dedup": pa.schema(
+        [("level", pa.string()), ("n_pairs", pa.int64()),
+         ("n_caught", pa.int64())]
+    ),
     "quality_calibration": pa.schema(
         [("bucket", pa.int32()), ("n_docs", pa.int64()),
          ("n_pass", pa.int64()), ("pass_rate", pa.float64()),
@@ -5852,6 +5967,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _quality_calibration_expected(sf_dir)
     elif name == "gate_distill":
         data = _gate_distill_expected()
+    elif name == "audio_embed_dedup":
+        data = _audio_embed_dedup_expected()
     elif name == "lsh_tuning":
         data = _lsh_tuning_expected(sf_dir)
     elif name == "audio_hum":
