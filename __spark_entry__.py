@@ -2468,6 +2468,37 @@ def q_audio_flutter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+def q_audio_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spread-spectrum provenance-watermark scan: exact-integer PN
+    correlation law (splitmix64 ±1 carrier, C = Σq·p vs 6-sigma bound by
+    cross-multiplication; decimal(38,0) square in Catalyst because C²
+    exceeds int64).  Seeded corpus: every 3rd eligible clip marked under
+    the pipeline key (~21.6 dB down; one transcoded through lossy µ-law),
+    every 5th remaining under a FOREIGN key that must read unmarked.
+    Twin: shared decode; pure-Python splitmix64 chip replay + Python-int
+    decision (bit-exact by construction)."""
+    from data_quality_spark.operators.audio_watermark import watermark_flags
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_watermark_corpus
+
+    ensure_expected("audio_watermark", sf_dir)
+    key = ("watermark", 300, 42)
+    if key not in _CLIPS_CACHE:
+        _CLIPS_CACHE[key] = make_audio_watermark_corpus(300, seed=42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(
+        _CLIPS_CACHE[key][cols], CLIPS_SCHEMA
+    ).repartition(8, "clip_id")
+    return watermark_flags(clips).select(
+        "clip_id",
+        "n_samples",
+        "wm_corr",
+        "energy",
+        "sigma_q2",
+        "is_watermarked",
+    ).orderBy("clip_id")
+
+
 def q_audio_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Click/pop (impulsive transient) detection: exact integer
     second-difference law — 20 ms frame-dominance prefilter, then a
@@ -3449,6 +3480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_downmix": q_audio_downmix,
         "audio_flutter": q_audio_flutter,
         "audio_clicks": q_audio_clicks,
+        "audio_watermark": q_audio_watermark,
         "audio_truepeak": q_audio_truepeak,
         "audio_musicspeech": q_audio_musicspeech,
         "audio_lra": q_audio_lra,
@@ -5363,6 +5395,7 @@ ORDER BY d.doc_id""",
         "audio_downmix": _expected_sql("audio_downmix"),
         "audio_flutter": _expected_sql("audio_flutter"),
         "audio_clicks": _expected_sql("audio_clicks"),
+        "audio_watermark": _expected_sql("audio_watermark"),
         "audio_truepeak": _expected_sql("audio_truepeak"),
         "audio_musicspeech": _expected_sql("audio_musicspeech"),
         "audio_lra": _expected_sql("audio_lra"),

@@ -162,7 +162,7 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["text", "audio", "loops", "labels", "boilerplate",
                  "quantization", "pii", "reverb", "stereo", "flutter",
                  "clicks", "truepeak", "musicspeech", "lra", "halluc",
-                 "lines", "normalize"],
+                 "lines", "normalize", "watermark"],
         default="text",
     )
     au.add_argument("--min-words", type=int, default=15)
@@ -658,6 +658,15 @@ def main(argv: list[str] | None = None) -> int:
                 from .operators.audio_halluc import halluc_flags, halluc_issues
 
                 issues_df = halluc_issues(halluc_flags(df), table=args.table)
+            elif args.kind == "watermark":
+                from .operators.audio_watermark import (
+                    watermark_flags,
+                    watermark_issues,
+                )
+
+                issues_df = watermark_issues(
+                    watermark_flags(df), table=args.table
+                )
             elif args.kind == "lines":
                 from .operators.line_filter import line_issues, line_stats
 

@@ -5658,6 +5658,11 @@ _SCHEMAS: dict[str, pa.Schema] = {
          ("n_clicks", pa.int32()), ("max_d2", pa.int64()),
          ("is_clicky", pa.bool_())]
     ),
+    "audio_watermark": pa.schema(
+        [("clip_id", pa.string()), ("n_samples", pa.int64()),
+         ("wm_corr", pa.int64()), ("energy", pa.int64()),
+         ("sigma_q2", pa.int64()), ("is_watermarked", pa.bool_())]
+    ),
     "audio_lra": pa.schema(
         [("clip_id", pa.string()), ("ok", pa.bool_()),
          ("n_st_blocks", pa.int32()), ("n_lra_gated", pa.int32()),
@@ -5823,6 +5828,76 @@ def expected_path(name: str) -> str:
     return os.path.join(EXPECTED_DIR, f"{name}.parquet")
 
 
+def _audio_watermark_expected(n=300, seed=42) -> dict:
+    """Twin of ``operators.audio_watermark.watermark_flags``: the decode
+    dispatch is shared; the carrier derivation (splitmix64 word stream →
+    MSB-first ±1 chips) is replayed in PURE PYTHON integers — the part a
+    kernel bug would most plausibly corrupt (bit order, word boundary,
+    prefix stability under cache growth) — and the decision law
+    (``corr*corr >= TAU^2 * energy`` with Python ints, where the square
+    exceeds int64) is replayed independently of the operator's
+    decimal(38,0) Catalyst expression.  corr/energy themselves are exact
+    integer dots (int16 × ±1), so twin and kernel are bit-identical by
+    construction."""
+    import numpy as np
+
+    from .functions.audio import _decode_i16
+    from .functions.watermark import WM_KEY_DEFAULT, WM_MIN_SAMPLES, WM_TAU
+    from .synth import make_audio_watermark_corpus
+
+    mask = (1 << 64) - 1
+
+    def chips(nc: int) -> list[int]:
+        x = WM_KEY_DEFAULT & mask
+        out: list[int] = []
+        while len(out) < nc:
+            x = (x + 0x9E3779B97F4A7C15) & mask
+            z = x
+            z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & mask
+            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & mask
+            z ^= z >> 31
+            for b in range(63, -1, -1):
+                out.append(1 if (z >> b) & 1 else -1)
+        return out[:nc]
+
+    pdf = make_audio_watermark_corpus(n, seed=seed)
+    decoded: list[tuple[str, object]] = []
+    max_len = 0
+    for _, r in pdf.sort_values("clip_id").iterrows():
+        try:
+            q = _decode_i16(r["bytes"], r["codec"], r["sr_hz"])
+        except (ValueError, TypeError):
+            q = None
+        decoded.append((r["clip_id"], q))
+        if q is not None:
+            max_len = max(max_len, len(q))
+    p_all = np.array(chips(max_len), dtype=np.int64)
+    out: dict[str, list] = {
+        "clip_id": [], "n_samples": [], "wm_corr": [], "energy": [],
+        "sigma_q2": [], "is_watermarked": [],
+    }
+    for clip_id, q in decoded:
+        nq = 0 if q is None else len(q)
+        if nq == 0:
+            corr, energy, sigma_q2 = 0, 0, None
+        else:
+            q64 = q.astype(np.int64)
+            corr = int(np.dot(q64, p_all[:nq]))
+            energy = int(np.dot(q64, q64))
+            sigma_q2 = ((corr * corr) << 20) // energy if energy > 0 else None
+        flag = (
+            nq >= WM_MIN_SAMPLES and energy > 0 and corr > 0
+            and corr * corr >= WM_TAU * WM_TAU * energy
+        )
+        out["clip_id"].append(clip_id)
+        out["n_samples"].append(nq)
+        out["wm_corr"].append(corr)
+        out["energy"].append(energy)
+        out["sigma_q2"].append(sigma_q2)
+        out["is_watermarked"].append(flag)
+    return out
+
+
 def _src_key(name: str, sf_dir: str | None) -> dict | None:
     """Cache key + size guard; None means 'skip generation' (too large)."""
     if name in (
@@ -5985,6 +6060,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_flutter_expected()
     elif name == "audio_clicks":
         data = _audio_clicks_expected()
+    elif name == "audio_watermark":
+        data = _audio_watermark_expected()
     elif name == "audio_truepeak":
         data = _audio_truepeak_expected()
     elif name == "audio_musicspeech":

@@ -1530,3 +1530,55 @@ def make_audio_noise_corpus(
             }
         )
     return pd.concat([base, pd.DataFrame(outs)], ignore_index=True)
+
+
+WM_KEY_OTHER = 0x0FF5_EED0_0000_BEEF  # a foreign generator's key
+
+
+def make_audio_watermark_corpus(n: int = 300, seed: int = 42) -> pd.DataFrame:
+    """Corpus with seeded provenance watermarks for the spread-spectrum
+    detector (``audio_watermark``).
+
+    Every 3rd *eligible* clip (decodable, >= WM_MIN_SAMPLES samples — the
+    detector's own integration floor) is re-emitted with the pipeline's
+    provenance key embedded at ~21.6 dB below signal and re-encoded
+    pcm16 (``defect = "wm_key"``); every 5th of the remaining eligible
+    clips is marked under a FOREIGN key (``"wm_other"``) to prove
+    key-specificity — those must read as unmarked.  One ``wm_key`` clip
+    per corpus is additionally transcoded through µ-law (lossy) to show
+    the mark survives codec quantization noise (``"wm_key_mulaw"``)."""
+    from .functions.watermark import WM_KEY_DEFAULT, WM_MIN_SAMPLES, embed_watermark
+
+    base = generate_clips(n, seed=seed)
+    rows: list[dict] = []
+    k = 0
+    did_mulaw = False
+    for i in range(len(base)):
+        row = base.iloc[i].to_dict()
+        try:
+            q = A._decode_i16(row["bytes"], row["codec"], row["sr_hz"])
+        except (ValueError, TypeError):
+            rows.append(row)
+            continue
+        if len(q) < WM_MIN_SAMPLES:
+            rows.append(row)
+            continue
+        k += 1
+        if k % 3 == 0:
+            marked = embed_watermark(q, WM_KEY_DEFAULT)
+            if not did_mulaw:
+                row["bytes"] = A.encode_mulaw(marked.astype(np.float64) / 32767.0)
+                row["codec"] = "mulaw"
+                row["defect"] = "wm_key_mulaw"
+                did_mulaw = True
+            else:
+                row["bytes"] = A.encode_pcm16(marked.astype(np.float64) / 32767.0)
+                row["codec"] = "pcm16"
+                row["defect"] = "wm_key"
+        elif k % 5 == 0:
+            marked = embed_watermark(q, WM_KEY_OTHER)
+            row["bytes"] = A.encode_pcm16(marked.astype(np.float64) / 32767.0)
+            row["codec"] = "pcm16"
+            row["defect"] = "wm_other"
+        rows.append(row)
+    return pd.DataFrame(rows, columns=base.columns)

@@ -679,3 +679,45 @@ def test_cli_classify(spark, tmp_path, capsys, monkeypatch):
     assert rep["fp"] == 0.0 and rep["fn"] == 0.0  # separable two-template
     assert len(out["calibration"]) == 4
     assert sum(r["n_docs"] for r in out["calibration"]) == 40
+
+
+def test_cli_audit_watermark(spark, tmp_path, capsys, monkeypatch):
+    """audit --kind watermark: seeded provenance-marked clips surface as
+    provenance_watermark (warning); the count equals the per-row law's."""
+    import data_quality_spark.cli as cli
+    from data_quality_spark.functions import audio as A
+    from data_quality_spark.functions.watermark import (
+        is_watermarked_from,
+        watermark_stats,
+    )
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_watermark_corpus
+
+    monkeypatch.setattr("pyspark.sql.SparkSession.stop", lambda self: None)
+    tables = tmp_path / "tables"
+    tables.mkdir()
+    pdf = make_audio_watermark_corpus(90, seed=42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    spark.createDataFrame(pdf[cols], CLIPS_SCHEMA).coalesce(2).write.parquet(
+        str(tables / "wmclips.parquet")
+    )
+    code = cli.main(
+        ["audit", "--tables", str(tables), "--table", "wmclips",
+         "--kind", "watermark", "--format", "json", "--fail-on", "none"]
+    )
+    rows = {r["issue_type"]: r for r in json.loads(capsys.readouterr().out)}
+    assert code == 0
+    want = 0
+    for _, r in pdf.iterrows():
+        try:
+            q = A._decode_i16(r["bytes"], r["codec"], r["sr_hz"])
+        except (ValueError, TypeError):
+            continue
+        st = watermark_stats(q)
+        want += int(
+            is_watermarked_from(st["n_samples"], st["wm_corr"], st["energy"])
+        )
+    assert want > 0
+    assert rows["provenance_watermark"]["count"] == want
+    assert rows["provenance_watermark"]["severity"] == "warning"
+    assert rows["provenance_watermark"]["total"] == len(pdf)
