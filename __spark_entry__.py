@@ -2468,6 +2468,34 @@ def q_audio_flutter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deflate-ratio quality signal (RefinedWeb/Dolma-style): exact
+    fixed-point ratio (n_bytes<<20)//z_bytes with integer decision laws
+    (>=3.5 repetitive, <=1.15 at >=200 B random).  The corpus carries no
+    native flags, so BOTH sides inject deterministically: doc_id ≡ 3
+    (mod 17) → template spam (array_repeat), ≡ 9 → base64-of-md5-chain
+    garbage (Spark base64/unhex/md5 verified byte-equal to the Python
+    twin).  Twin: the SAME zlib from the same interpreter — compressed
+    length is a pure function of input bytes at fixed build + level."""
+    from data_quality_spark.operators.compress import compression_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    id_s = F.col("doc_id").cast("string")
+    b64 = F.concat(*[
+        F.base64(F.unhex(F.md5(F.concat(id_s, F.lit(f"#{i}")))))
+        for i in range(10)
+    ])
+    rep = F.array_join(F.array_repeat(F.lit("buy cheap now"), 80), " ")
+    injected = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 17 == 3, rep)
+        .when(F.col("doc_id") % 17 == 9, b64)
+        .otherwise(F.col("text")),
+    )
+    ensure_expected("compression_ratio", sf_dir)
+    return compression_flags(injected).orderBy("doc_id")
+
+
 def q_audio_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spread-spectrum provenance-watermark scan: exact-integer PN
     correlation law (splitmix64 ±1 carrier, C = Σq·p vs 6-sigma bound by
@@ -3481,6 +3509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_flutter": q_audio_flutter,
         "audio_clicks": q_audio_clicks,
         "audio_watermark": q_audio_watermark,
+        "compression_ratio": q_compression_ratio,
         "audio_truepeak": q_audio_truepeak,
         "audio_musicspeech": q_audio_musicspeech,
         "audio_lra": q_audio_lra,
@@ -5396,6 +5425,7 @@ ORDER BY d.doc_id""",
         "audio_flutter": _expected_sql("audio_flutter"),
         "audio_clicks": _expected_sql("audio_clicks"),
         "audio_watermark": _expected_sql("audio_watermark"),
+        "compression_ratio": _expected_sql("compression_ratio"),
         "audio_truepeak": _expected_sql("audio_truepeak"),
         "audio_musicspeech": _expected_sql("audio_musicspeech"),
         "audio_lra": _expected_sql("audio_lra"),

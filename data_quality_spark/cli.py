@@ -162,7 +162,7 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["text", "audio", "loops", "labels", "boilerplate",
                  "quantization", "pii", "reverb", "stereo", "flutter",
                  "clicks", "truepeak", "musicspeech", "lra", "halluc",
-                 "lines", "normalize", "watermark"],
+                 "lines", "normalize", "watermark", "compress"],
         default="text",
     )
     au.add_argument("--min-words", type=int, default=15)
@@ -666,6 +666,16 @@ def main(argv: list[str] | None = None) -> int:
 
                 issues_df = watermark_issues(
                     watermark_flags(df), table=args.table
+                )
+            elif args.kind == "compress":
+                from .operators.compress import (
+                    compression_flags,
+                    compression_issues,
+                )
+
+                issues_df = compression_issues(
+                    compression_flags(df, id_col=df.columns[0]),
+                    table=args.table,
                 )
             elif args.kind == "lines":
                 from .operators.line_filter import line_issues, line_stats

@@ -5658,6 +5658,11 @@ _SCHEMAS: dict[str, pa.Schema] = {
          ("n_clicks", pa.int32()), ("max_d2", pa.int64()),
          ("is_clicky", pa.bool_())]
     ),
+    "compression_ratio": pa.schema(
+        [("doc_id", pa.int64()), ("n_bytes", pa.int64()),
+         ("z_bytes", pa.int64()), ("ratio_q", pa.int64()),
+         ("is_repetitive", pa.bool_()), ("is_random", pa.bool_())]
+    ),
     "audio_watermark": pa.schema(
         [("clip_id", pa.string()), ("n_samples", pa.int64()),
          ("wm_corr", pa.int64()), ("energy", pa.int64()),
@@ -5828,6 +5833,54 @@ def expected_path(name: str) -> str:
     return os.path.join(EXPECTED_DIR, f"{name}.parquet")
 
 
+def compression_inject(doc_id: int, text: str | None) -> str | None:
+    """The deterministic defect injection the ``compression_ratio`` query
+    applies on BOTH sides (Spark expressions / this Python twin): every
+    doc_id ≡ 3 (mod 17) becomes template spam, every ≡ 9 (mod 17) becomes
+    base64-of-md5-chain garbage (the binary-pasted-as-text class)."""
+    import base64
+    import hashlib
+
+    if doc_id % 17 == 3:
+        return " ".join(["buy cheap now"] * 80)
+    if doc_id % 17 == 9:
+        return "".join(
+            base64.b64encode(
+                bytes.fromhex(hashlib.md5(f"{doc_id}#{i}".encode()).hexdigest())
+            ).decode()
+            for i in range(10)
+        )
+    return text
+
+
+def _compression_expected(docs) -> dict:
+    """Twin of ``operators.compress.compression_flags`` over the injected
+    corpus: the SAME zlib from the same interpreter recomputes n/z bytes
+    (compressed length is a pure function of input bytes for a fixed zlib
+    build + level), and the fixed-point ratio + both decision laws are
+    replayed in pure Python integers."""
+    import zlib
+
+    from .operators.compress import RANDOM_MIN_BYTES, RANDOM_Q, REPETITIVE_Q, Z_LEVEL
+
+    out: dict[str, list] = {
+        "doc_id": [], "n_bytes": [], "z_bytes": [], "ratio_q": [],
+        "is_repetitive": [], "is_random": [],
+    }
+    for doc_id, text in sorted(docs):
+        t = compression_inject(int(doc_id), text)
+        b = (t or "").encode("utf-8")
+        z = len(zlib.compress(b, Z_LEVEL))
+        rq = (len(b) << 20) // z
+        out["doc_id"].append(int(doc_id))
+        out["n_bytes"].append(len(b))
+        out["z_bytes"].append(z)
+        out["ratio_q"].append(rq)
+        out["is_repetitive"].append(rq >= REPETITIVE_Q)
+        out["is_random"].append(len(b) >= RANDOM_MIN_BYTES and rq <= RANDOM_Q)
+    return out
+
+
 def _audio_watermark_expected(n=300, seed=42) -> dict:
     """Twin of ``operators.audio_watermark.watermark_flags``: the decode
     dispatch is shared; the carrier derivation (splitmix64 word stream →
@@ -5906,7 +5959,7 @@ def _src_key(name: str, sf_dir: str | None) -> dict | None:
         "ann_recall", "dedup_clusters", "dedup_resolve", "dsir_weights",
         "lsh_tuning", "semantic_prune", "corpus_overlap", "text_normalize",
         "ann_pq_topk", "ann_pq_recall", "quality_classifier",
-        "quality_calibration",
+        "quality_calibration", "compression_ratio",
     ):
         table = (
             "embeddings"
@@ -5946,6 +5999,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
             pass
     if name == "minhash_lsh":
         data = _minhash_lsh_agg(_read_documents(sf_dir))
+    elif name == "compression_ratio":
+        data = _compression_expected(_read_documents(sf_dir))
     elif name == "dedup_clusters":
         data = _dedup_clusters_expected(_read_documents(sf_dir))
     elif name == "cluster_split":

@@ -721,3 +721,32 @@ def test_cli_audit_watermark(spark, tmp_path, capsys, monkeypatch):
     assert rows["provenance_watermark"]["count"] == want
     assert rows["provenance_watermark"]["severity"] == "warning"
     assert rows["provenance_watermark"]["total"] == len(pdf)
+
+
+def test_cli_audit_compress(spark, tmp_path, capsys, monkeypatch):
+    """audit --kind compress: seeded spam/garbage docs surface as the two
+    compression issue types (warning)."""
+    import data_quality_spark.cli as cli
+    from data_quality_spark.oracles import compression_inject
+
+    monkeypatch.setattr("pyspark.sql.SparkSession.stop", lambda self: None)
+    tables = tmp_path / "tables"
+    tables.mkdir()
+    rows = [
+        (i, compression_inject(i, f"plain prose document number {i} " * 8))
+        for i in range(40)
+    ]
+    spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(2).write.parquet(
+        str(tables / "cdocs.parquet")
+    )
+    code = cli.main(
+        ["audit", "--tables", str(tables), "--table", "cdocs",
+         "--kind", "compress", "--format", "json", "--fail-on", "none"]
+    )
+    out = {r["issue_type"]: r for r in json.loads(capsys.readouterr().out)}
+    assert code == 0
+    n_spam = sum(1 for i in range(40) if i % 17 == 3)
+    n_junk = sum(1 for i in range(40) if i % 17 == 9)
+    assert out["compress_repetitive"]["count"] >= n_spam
+    assert out["compress_random"]["count"] == n_junk
+    assert out["compress_random"]["severity"] == "warning"
