@@ -2496,6 +2496,55 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compression_flags(injected).orderBy("doc_id")
 
 
+def _entropy_injected(docs: DataFrame) -> DataFrame:
+    """Deterministic entropy-defect injection, replicated in the strict
+    SQL twin: doc_id ≡ 5 (mod 23) → 'ha' flood (1.0 bit/char), ≡ 11 →
+    base64-of-md5-chain (≈4.9 bits/char after lowering)."""
+    id_s = F.col("doc_id").cast("string")
+    b64 = F.concat(*[
+        F.base64(F.unhex(F.md5(F.concat(id_s, F.lit(f"#{i}")))))
+        for i in range(10)
+    ])
+    return docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 23 == 5, F.repeat(F.lit("ha"), 150))
+        .when(F.col("doc_id") % 23 == 11, b64)
+        .otherwise(F.col("text")),
+    )
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-0 character entropy as a zero-shuffle Catalyst tree: per-
+    symbol counts via the length-difference law (43 fused string scans,
+    no explode/groupBy — the histogram shuffle an explode formulation
+    would pay scales with corpus CHARACTER count), fixed-point entropy
+    with log2 applied only to integers (libm parity), integer decision
+    laws (<=2.5 bits flood spam, >=4.6 bits binary-as-text; prose sits
+    3.7-4.2 on this corpus).  STRICT DuckDB twin re-derives everything
+    from the raw table — no materialized expected file."""
+    from data_quality_spark.operators.entropy import char_entropy_flags
+
+    docs = _entropy_injected(_t(spark, sf_dir, "documents"))
+    return char_entropy_flags(docs).orderBy("doc_id")
+
+
+def _char_entropy_oracle() -> str:
+    from data_quality_spark.operators.entropy import char_entropy_sql
+
+    b64 = " || ".join(
+        "base64(unhex(md5(CAST(doc_id AS VARCHAR) || '#" + str(i) + "')))"
+        for i in range(10)
+    )
+    base = f"""
+SELECT doc_id,
+  CASE WHEN doc_id % 23 = 5 THEN repeat('ha', 150)
+       WHEN doc_id % 23 = 11 THEN {b64}
+       ELSE text END AS text
+FROM documents
+"""
+    return char_entropy_sql(base)
+
+
 def q_audio_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spread-spectrum provenance-watermark scan: exact-integer PN
     correlation law (splitmix64 ±1 carrier, C = Σq·p vs 6-sigma bound by
@@ -3510,6 +3559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_clicks": q_audio_clicks,
         "audio_watermark": q_audio_watermark,
         "compression_ratio": q_compression_ratio,
+        "char_entropy": q_char_entropy,
         "audio_truepeak": q_audio_truepeak,
         "audio_musicspeech": q_audio_musicspeech,
         "audio_lra": q_audio_lra,
@@ -5426,6 +5476,7 @@ ORDER BY d.doc_id""",
         "audio_clicks": _expected_sql("audio_clicks"),
         "audio_watermark": _expected_sql("audio_watermark"),
         "compression_ratio": _expected_sql("compression_ratio"),
+        "char_entropy": _char_entropy_oracle(),
         "audio_truepeak": _expected_sql("audio_truepeak"),
         "audio_musicspeech": _expected_sql("audio_musicspeech"),
         "audio_lra": _expected_sql("audio_lra"),

@@ -162,7 +162,7 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["text", "audio", "loops", "labels", "boilerplate",
                  "quantization", "pii", "reverb", "stereo", "flutter",
                  "clicks", "truepeak", "musicspeech", "lra", "halluc",
-                 "lines", "normalize", "watermark", "compress"],
+                 "lines", "normalize", "watermark", "compress", "entropy"],
         default="text",
     )
     au.add_argument("--min-words", type=int, default=15)
@@ -675,6 +675,13 @@ def main(argv: list[str] | None = None) -> int:
 
                 issues_df = compression_issues(
                     compression_flags(df, id_col=df.columns[0]),
+                    table=args.table,
+                )
+            elif args.kind == "entropy":
+                from .operators.entropy import char_entropy_flags, entropy_issues
+
+                issues_df = entropy_issues(
+                    char_entropy_flags(df, id_col=df.columns[0]),
                     table=args.table,
                 )
             elif args.kind == "lines":

@@ -750,3 +750,36 @@ def test_cli_audit_compress(spark, tmp_path, capsys, monkeypatch):
     assert out["compress_repetitive"]["count"] >= n_spam
     assert out["compress_random"]["count"] == n_junk
     assert out["compress_random"]["severity"] == "warning"
+
+
+def test_cli_audit_entropy(spark, tmp_path, capsys, monkeypatch):
+    """audit --kind entropy: seeded flood/garbage docs surface as the two
+    entropy issue types (warning)."""
+    import base64
+    import hashlib
+
+    import data_quality_spark.cli as cli
+
+    monkeypatch.setattr("pyspark.sql.SparkSession.stop", lambda self: None)
+    tables = tmp_path / "tables"
+    tables.mkdir()
+    junk = "".join(
+        base64.b64encode(
+            bytes.fromhex(hashlib.md5(f"{j}#x".encode()).hexdigest())
+        ).decode()
+        for j in range(10)
+    )
+    rows = [(i, f"a calm morning walk along the river bank number {i}") for i in range(20)]
+    rows += [(100, "lol" * 120), (101, junk)]
+    spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(2).write.parquet(
+        str(tables / "edocs.parquet")
+    )
+    code = cli.main(
+        ["audit", "--tables", str(tables), "--table", "edocs",
+         "--kind", "entropy", "--format", "json", "--fail-on", "none"]
+    )
+    out = {r["issue_type"]: r for r in json.loads(capsys.readouterr().out)}
+    assert code == 0
+    assert out["entropy_low"]["count"] == 1
+    assert out["entropy_high"]["count"] == 1
+    assert out["entropy_low"]["severity"] == "warning"
