@@ -2528,21 +2528,99 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy_flags(docs).orderBy("doc_id")
 
 
-def _char_entropy_oracle() -> str:
-    from data_quality_spark.operators.entropy import char_entropy_sql
-
+def _entropy_injected_sql(carry: str = "") -> str:
+    """SQL twin of ``_entropy_injected`` (shared by the char_entropy and
+    rule_overlap oracles)."""
     b64 = " || ".join(
         "base64(unhex(md5(CAST(doc_id AS VARCHAR) || '#" + str(i) + "')))"
         for i in range(10)
     )
-    base = f"""
-SELECT doc_id,
+    return f"""
+SELECT doc_id{carry},
   CASE WHEN doc_id % 23 = 5 THEN repeat('ha', 150)
        WHEN doc_id % 23 = 11 THEN {b64}
        ELSE text END AS text
 FROM documents
 """
-    return char_entropy_sql(base)
+
+
+def _char_entropy_oracle() -> str:
+    from data_quality_spark.operators.entropy import char_entropy_sql
+
+    return char_entropy_sql(_entropy_injected_sql())
+
+
+RULE_OVERLAP_COLS = [
+    "fail_word_count", "fail_mean_word_len", "fail_symbol_ratio",
+    "fail_alpha_frac", "fail_stopword", "is_low_entropy", "is_high_entropy",
+]
+
+_RULE_SQL_NAMES = {
+    "fail_word_count": "f_wc", "fail_mean_word_len": "f_mwl",
+    "fail_symbol_ratio": "f_sym", "fail_alpha_frac": "f_alpha",
+    "fail_stopword": "f_stop", "is_low_entropy": "is_low_entropy",
+    "is_high_entropy": "is_high_entropy",
+}
+
+
+def q_rule_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-redundancy matrix over 7 strict-SQL rules (5 Gopher fails +
+    2 entropy flags, entropy-injected corpus): per-pair co-fire counts and
+    fixed-point Jaccard from ONE fused aggregate (one wide row; the 21-row
+    matrix explodes driver-side).  Integer division (Spark DIV / DuckDB
+    //) keeps the matrix bit-stable at any corpus size.  STRICT DuckDB
+    twin re-derives every flag from the raw table."""
+    from data_quality_spark.operators.entropy import entropy_flag_exprs
+    from data_quality_spark.operators.quality_filters import gopher_flags
+    from data_quality_spark.operators.rule_overlap import rule_overlap
+
+    docs = _entropy_injected(_t(spark, sf_dir, "documents"))
+    flagged = gopher_flags(docs, min_words=15, max_words=90)
+    ex = entropy_flag_exprs("text")
+    flagged = flagged.withColumns(
+        {
+            "is_low_entropy": ex["is_low_entropy"],
+            "is_high_entropy": ex["is_high_entropy"],
+        }
+    )
+    return rule_overlap(flagged, RULE_OVERLAP_COLS)
+
+
+def _rule_overlap_oracle() -> str:
+    from data_quality_spark.operators.entropy import char_entropy_sql
+    from data_quality_spark.operators.rule_overlap import JACCARD_SCALE
+
+    ent_sub = char_entropy_sql("SELECT doc_id, text FROM inj")
+    pair_sqls = []
+    cols = RULE_OVERLAP_COLS
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            ca, cb = _RULE_SQL_NAMES[a], _RULE_SQL_NAMES[b]
+            pair_sqls.append(f"""
+SELECT rule_a, rule_b, n_a, n_b, n_both,
+  CASE WHEN n_a + n_b - n_both > 0
+       THEN (n_both * {JACCARD_SCALE}) // (n_a + n_b - n_both)
+       ELSE 0 END AS jaccard_q
+FROM (
+  SELECT '{a}' AS rule_a, '{b}' AS rule_b,
+    CAST(coalesce(sum(CASE WHEN {ca} THEN 1 END), 0) AS BIGINT) AS n_a,
+    CAST(coalesce(sum(CASE WHEN {cb} THEN 1 END), 0) AS BIGINT) AS n_b,
+    CAST(coalesce(sum(CASE WHEN {ca} AND {cb} THEN 1 END), 0) AS BIGINT)
+      AS n_both
+  FROM j
+)""")
+    return f"""
+WITH inj AS ({_entropy_injected_sql()}),
+{_gopher_flags_cte(from_rel="inj", carry=("doc_id",))},
+e AS ({ent_sub}),
+j AS (
+  SELECT f.doc_id, f_wc, f_mwl, f_sym, f_alpha, f_stop,
+         e.is_low_entropy, e.is_high_entropy
+  FROM f JOIN e USING (doc_id)
+)
+{' UNION ALL '.join(pair_sqls)}
+ORDER BY rule_a, rule_b
+"""
 
 
 def q_audio_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3560,6 +3638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_watermark": q_audio_watermark,
         "compression_ratio": q_compression_ratio,
         "char_entropy": q_char_entropy,
+        "rule_overlap": q_rule_overlap,
         "audio_truepeak": q_audio_truepeak,
         "audio_musicspeech": q_audio_musicspeech,
         "audio_lra": q_audio_lra,
@@ -5477,6 +5556,7 @@ ORDER BY d.doc_id""",
         "audio_watermark": _expected_sql("audio_watermark"),
         "compression_ratio": _expected_sql("compression_ratio"),
         "char_entropy": _char_entropy_oracle(),
+        "rule_overlap": _rule_overlap_oracle(),
         "audio_truepeak": _expected_sql("audio_truepeak"),
         "audio_musicspeech": _expected_sql("audio_musicspeech"),
         "audio_lra": _expected_sql("audio_lra"),

@@ -53,6 +53,8 @@ __all__ = [
     "ENT_MIN_CHARS",
     "ENT_LOW_Q",
     "ENT_HIGH_Q",
+    "entropy_exprs",
+    "entropy_flag_exprs",
     "char_entropy_stats",
     "char_entropy_flags",
     "entropy_issues",
@@ -77,11 +79,9 @@ def _term(cnt: Column) -> Column:
     ).otherwise(F.lit(0).cast("long"))
 
 
-def char_entropy_stats(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """(id, n_chars_ent, ent_num, entropy_q) as one Catalyst expression
-    tree; NULL/empty text yields n_chars_ent = 0 with NULL entropy."""
+def entropy_exprs(text_col: str = "text") -> dict[str, Column]:
+    """The stats as named Column expressions, so callers can fuse them
+    onto any relation (rule_overlap) without a join or shuffle."""
     t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
     n = F.length(t)
     counts = [n - F.length(F.replace(t, F.lit(ch))) for ch in ENT_ALPHABET]
@@ -93,13 +93,35 @@ def char_entropy_stats(
         F.floor(nd * F.log2(nd) * F.lit(float(ENT_SCALE)) + F.lit(0.5)).cast("long")
         - s,
     )
+    return {
+        "n_chars_ent": n.cast("long"),
+        "ent_num": ent_num,
+        "entropy_q": F.when(
+            n > 0, F.floor(ent_num.cast("double") / nd).cast("long")
+        ),
+    }
+
+
+def entropy_flag_exprs(text_col: str = "text") -> dict[str, Column]:
+    """stats + the two decision columns, as fusable expressions."""
+    ex = entropy_exprs(text_col)
+    guard = ex["n_chars_ent"] >= F.lit(ENT_MIN_CHARS)
+    ex["is_low_entropy"] = guard & (ex["entropy_q"] <= F.lit(ENT_LOW_Q))
+    ex["is_high_entropy"] = guard & (ex["entropy_q"] >= F.lit(ENT_HIGH_Q))
+    return ex
+
+
+def char_entropy_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_chars_ent, ent_num, entropy_q) as one Catalyst expression
+    tree; NULL/empty text yields n_chars_ent = 0 with NULL entropy."""
+    ex = entropy_exprs(text_col)
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        n.cast("long").alias("n_chars_ent"),
-        ent_num.alias("ent_num"),
-        F.when(n > 0, F.floor(ent_num.cast("double") / nd).cast("long")).alias(
-            "entropy_q"
-        ),
+        ex["n_chars_ent"].alias("n_chars_ent"),
+        ex["ent_num"].alias("ent_num"),
+        ex["entropy_q"].alias("entropy_q"),
     )
 
 

@@ -588,6 +588,34 @@ def main() -> None:
         normalize_stats(docs),
     ))
 
+    from data_quality_spark.operators.compress import compression_flags
+    from data_quality_spark.operators.entropy import char_entropy_stats
+
+    sections.append((
+        "Character-entropy audit (shuffle-free histogram)",
+        "The per-symbol histogram uses the length-difference law — 43 "
+        "fused string scans inside one whole-stage-codegen Project over "
+        "the pruned scan — instead of explode(chars)→groupBy, whose "
+        "exchange would carry the corpus CHARACTER count. 0 Exchanges; "
+        "log2 touches only integers so the DuckDB twin is strict.",
+        char_entropy_stats(docs),
+    ))
+    sections.append((
+        "Compression-ratio quality signal (one Arrow pass)",
+        "One MapInArrow over (doc_id, text): zlib is C-speed per batch, "
+        "the fixed-point ratio and both flags are exact integers, and "
+        "only the slim stats relation leaves the stage — no shuffle, "
+        "scales with input splits.",
+        compression_flags(docs),
+    ))
+    sections.append((
+        "Provenance-watermark scan (one Arrow pass over clips)",
+        "Payload bytes are dropped at the mapInArrow boundary; the PN "
+        "correlation is one int64 dot per clip and the 6-sigma decision "
+        "squares in decimal(38,0) — exact integers, zero shuffles.",
+        e.q_audio_watermark(spark, sf),
+    ))
+
     out = ["# PLANS — physical-plan evidence for the core operators\n"]
     out.append(
         "Generated by `scripts/dump_plans.py` (`.explain(formatted)` on "
