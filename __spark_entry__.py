@@ -2623,6 +2623,30 @@ ORDER BY rule_a, rule_b
 """
 
 
+def q_audio_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal PII/toxicity redaction: scrub the transcript AND mute
+    the waveform spans the scrubbed text occupied (uniform-rate char→
+    sample alignment, exact integer law; url_credential mutes only the
+    password group, matching the scrub's keep-user semantics).  Output is
+    the audit relation — payload stays in the stage, proven by md5 of the
+    redacted bytes (the audio_mel payload-grade convention).  Twin:
+    shared decode + scrub spec; span find/merge/map/mute/md5 replayed
+    independently in pure Python/numpy."""
+    from data_quality_spark.operators.audio_redact import redact_stats
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import generate_clips
+
+    ensure_expected("audio_redact", sf_dir)
+    key = ("base", 300, 42)
+    if key not in _CLIPS_CACHE:
+        _CLIPS_CACHE[key] = generate_clips(300, seed=42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(
+        _CLIPS_CACHE[key][cols], CLIPS_SCHEMA
+    ).repartition(8, "clip_id")
+    return redact_stats(clips).orderBy("clip_id")
+
+
 def q_audio_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spread-spectrum provenance-watermark scan: exact-integer PN
     correlation law (splitmix64 ±1 carrier, C = Σq·p vs 6-sigma bound by
@@ -3639,6 +3663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_ratio": q_compression_ratio,
         "char_entropy": q_char_entropy,
         "rule_overlap": q_rule_overlap,
+        "audio_redact": q_audio_redact,
         "audio_truepeak": q_audio_truepeak,
         "audio_musicspeech": q_audio_musicspeech,
         "audio_lra": q_audio_lra,
@@ -5557,6 +5582,7 @@ ORDER BY d.doc_id""",
         "compression_ratio": _expected_sql("compression_ratio"),
         "char_entropy": _char_entropy_oracle(),
         "rule_overlap": _rule_overlap_oracle(),
+        "audio_redact": _expected_sql("audio_redact"),
         "audio_truepeak": _expected_sql("audio_truepeak"),
         "audio_musicspeech": _expected_sql("audio_musicspeech"),
         "audio_lra": _expected_sql("audio_lra"),

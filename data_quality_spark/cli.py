@@ -73,6 +73,12 @@ def build_parser() -> argparse.ArgumentParser:
     ft.add_argument("--no-resume", action="store_true")
     ft.add_argument("--days-per-batch", type=int, default=0)
 
+    rd = sub.add_parser(
+        "redact", help="cross-modal PII/toxicity redaction (scrub + mute)"
+    )
+    rd.add_argument("--input", required=True, help="bronze clips parquet root")
+    rd.add_argument("--output", required=True, help="redacted table destination")
+
     m = sub.add_parser("completeness", help="per-column completeness analysis")
     m.add_argument("--tables", required=True)
     m.add_argument("--pattern", default=None)
@@ -382,6 +388,22 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(json.dumps(res))
             return 0 if res.get("completed") else 1
+        if args.cmd == "redact":
+            from pyspark.sql import functions as F
+
+            from .operators.audio_redact import redact_clips
+
+            red = redact_clips(spark.read.parquet(args.input))
+            red.write.mode("overwrite").parquet(args.output)
+            agg = spark.read.parquet(args.output).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("n_spans").alias("spans"),
+                F.sum("n_muted").alias("muted_samples"),
+                F.count(F.when(F.col("n_spans") > 0, 1)).alias("clips_redacted"),
+            ).collect()[0]
+            print(json.dumps({k: int(agg[k] or 0) for k in
+                              ("n", "spans", "muted_samples", "clips_redacted")}))
+            return 0
         if args.cmd == "completeness":
             from functools import reduce
 

@@ -5663,6 +5663,11 @@ _SCHEMAS: dict[str, pa.Schema] = {
          ("z_bytes", pa.int64()), ("ratio_q", pa.int64()),
          ("is_repetitive", pa.bool_()), ("is_random", pa.bool_())]
     ),
+    "audio_redact": pa.schema(
+        [("clip_id", pa.string()), ("codec", pa.string()),
+         ("n_spans", pa.int32()), ("n_muted", pa.int64()),
+         ("redacted_md5", pa.string()), ("redacted_transcript", pa.string())]
+    ),
     "audio_watermark": pa.schema(
         [("clip_id", pa.string()), ("n_samples", pa.int64()),
          ("wm_corr", pa.int64()), ("energy", pa.int64()),
@@ -5878,6 +5883,74 @@ def _compression_expected(docs) -> dict:
         out["ratio_q"].append(rq)
         out["is_repetitive"].append(rq >= REPETITIVE_Q)
         out["is_random"].append(len(b) >= RANDOM_MIN_BYTES and rq <= RANDOM_Q)
+    return out
+
+
+def _audio_redact_expected(n=300, seed=42) -> dict:
+    """Twin of ``operators.audio_redact.redact_stats``: shared decode and
+    shared semantic constants (PII_PATTERNS / toxicity list — the scrub
+    chain's spec), but the span-finding, merge sweep, integer char→sample
+    mapping, mute and md5 are replayed here INDEPENDENTLY in pure
+    Python/numpy, so an operator bug in any of those laws diverges."""
+    import hashlib
+    import re as _re
+
+    import numpy as np
+
+    from .functions.audio import _decode_i16, encode_pcm16
+    from .functions.text import _TOX_PATTERN, PII_PATTERNS, scrub_text
+    from .synth import generate_clips
+
+    pats = [(nm, _re.compile(p)) for nm, p, _ in PII_PATTERNS] + [
+        ("toxicity", _re.compile(_TOX_PATTERN))
+    ]
+    pdf = generate_clips(n, seed=seed)
+    out: dict[str, list] = {
+        "clip_id": [], "codec": [], "n_spans": [], "n_muted": [],
+        "redacted_md5": [], "redacted_transcript": [],
+    }
+    for _, r in pdf.sort_values("clip_id").iterrows():
+        text = r["transcript"]
+        raw: list[list[int]] = []
+        for nm, pat in pats:
+            for m in pat.finditer(text or ""):
+                if nm == "url_credential":
+                    raw.append([m.start(2), m.end(2)])
+                else:
+                    raw.append([m.start(), m.end()])
+        raw.sort()
+        spans: list[list[int]] = []
+        for s in raw:
+            if spans and s[0] <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], s[1])
+            else:
+                spans.append(list(s))
+        try:
+            q = _decode_i16(r["bytes"], r["codec"], r["sr_hz"])
+        except (ValueError, TypeError):
+            q = None
+        if q is None:
+            codec, n_muted, digest = r["codec"], 0, None
+        else:
+            nq, m_chars = len(q), len(text or "")
+            w = np.array(q, dtype=np.int16).copy()
+            n_muted = 0
+            if nq and m_chars:
+                for c0, c1 in spans:
+                    s0 = (c0 * nq) // m_chars
+                    s1 = min((c1 * nq + m_chars - 1) // m_chars, nq)
+                    if s1 > s0:
+                        seg = w[s0:s1]
+                        n_muted += int((seg != 0).sum())
+                        w[s0:s1] = 0
+            red = encode_pcm16(w.astype(np.float64) / 32767.0)
+            codec, digest = "pcm16", hashlib.md5(red).hexdigest()
+        out["clip_id"].append(r["clip_id"])
+        out["codec"].append(codec)
+        out["n_spans"].append(len(spans))
+        out["n_muted"].append(n_muted)
+        out["redacted_md5"].append(digest)
+        out["redacted_transcript"].append(scrub_text(text))
     return out
 
 
@@ -6115,6 +6188,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_flutter_expected()
     elif name == "audio_clicks":
         data = _audio_clicks_expected()
+    elif name == "audio_redact":
+        data = _audio_redact_expected()
     elif name == "audio_watermark":
         data = _audio_watermark_expected()
     elif name == "audio_truepeak":

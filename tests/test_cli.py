@@ -783,3 +783,27 @@ def test_cli_audit_entropy(spark, tmp_path, capsys, monkeypatch):
     assert out["entropy_low"]["count"] == 1
     assert out["entropy_high"]["count"] == 1
     assert out["entropy_low"]["severity"] == "warning"
+
+
+def test_cli_redact(spark, tmp_path, capsys, monkeypatch):
+    """redact: writes the scrub+mute silver table and reports totals."""
+    import data_quality_spark.cli as cli
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import generate_clips
+
+    monkeypatch.setattr("pyspark.sql.SparkSession.stop", lambda self: None)
+    pdf = generate_clips(60, seed=42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    src = tmp_path / "bronze"
+    spark.createDataFrame(pdf[cols], CLIPS_SCHEMA).coalesce(2).write.parquet(
+        str(src)
+    )
+    out = tmp_path / "silver"
+    code = cli.main(["redact", "--input", str(src), "--output", str(out)])
+    rep = json.loads(capsys.readouterr().out)
+    assert code == 0
+    assert rep["n"] == 60
+    assert rep["clips_redacted"] >= 1
+    assert rep["muted_samples"] > 0
+    red = spark.read.parquet(str(out))
+    assert "bytes" in red.columns and "redacted_transcript" in red.columns
