@@ -73,6 +73,13 @@ def build_parser() -> argparse.ArgumentParser:
     ft.add_argument("--no-resume", action="store_true")
     ft.add_argument("--days-per-batch", type=int, default=0)
 
+    ds = sub.add_parser(
+        "datasheet", help="dataset card: counts, hours, languages, dup/PII rates"
+    )
+    ds.add_argument("--input", required=True, help="clips parquet root")
+    ds.add_argument("--text-col", default="transcript")
+    ds.add_argument("--format", choices=["json", "markdown"], default="json")
+
     rd = sub.add_parser(
         "redact", help="cross-modal PII/toxicity redaction (scrub + mute)"
     )
@@ -388,6 +395,17 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(json.dumps(res))
             return 0 if res.get("completed") else 1
+        if args.cmd == "datasheet":
+            from .plans.datasheet import datasheet, render_markdown
+
+            card = datasheet(
+                spark.read.parquet(args.input), text_col=args.text_col
+            )
+            if args.format == "markdown":
+                print(render_markdown(card))
+            else:
+                print(json.dumps(card))
+            return 0
         if args.cmd == "redact":
             from pyspark.sql import functions as F
 
