@@ -2678,6 +2678,42 @@ def q_audio_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+def q_audio_mark_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark EMBED → DETECT roundtrip over the plain corpus:
+    ``mark_clips`` re-emits every eligible clip (decodable, >= 16k
+    samples) with the pipeline key's carrier at ~21.6 dB below signal,
+    re-encoded pcm16; ``watermark_flags`` then scans the marked table
+    with ``marked`` carried through the Arrow pass (no join — a join
+    would re-run the embed lineage).  Invariant verified as data:
+    marked == is_watermarked on every clip.  Twin: pure-Python-integer
+    replay of BOTH the embed law (amp = max(8, isqrt(E//n)//12), clip to
+    rails) and the detection law."""
+    from data_quality_spark.operators.audio_watermark import (
+        mark_clips,
+        watermark_flags,
+    )
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import generate_clips
+
+    ensure_expected("audio_mark_roundtrip", sf_dir)
+    key = ("base", 300, 42)
+    if key not in _CLIPS_CACHE:
+        _CLIPS_CACHE[key] = generate_clips(300, seed=42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(
+        _CLIPS_CACHE[key][cols], CLIPS_SCHEMA
+    ).repartition(8, "clip_id")
+    return watermark_flags(mark_clips(clips), carry_cols=("marked",)).select(
+        "clip_id",
+        "marked",
+        "n_samples",
+        "wm_corr",
+        "energy",
+        "sigma_q2",
+        "is_watermarked",
+    ).orderBy("clip_id")
+
+
 def q_audio_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Click/pop (impulsive transient) detection: exact integer
     second-difference law — 20 ms frame-dominance prefilter, then a
@@ -3660,6 +3696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_flutter": q_audio_flutter,
         "audio_clicks": q_audio_clicks,
         "audio_watermark": q_audio_watermark,
+        "audio_mark_roundtrip": q_audio_mark_roundtrip,
         "compression_ratio": q_compression_ratio,
         "char_entropy": q_char_entropy,
         "rule_overlap": q_rule_overlap,
@@ -5579,6 +5616,7 @@ ORDER BY d.doc_id""",
         "audio_flutter": _expected_sql("audio_flutter"),
         "audio_clicks": _expected_sql("audio_clicks"),
         "audio_watermark": _expected_sql("audio_watermark"),
+        "audio_mark_roundtrip": _expected_sql("audio_mark_roundtrip"),
         "compression_ratio": _expected_sql("compression_ratio"),
         "char_entropy": _char_entropy_oracle(),
         "rule_overlap": _rule_overlap_oracle(),

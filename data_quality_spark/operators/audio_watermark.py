@@ -22,14 +22,85 @@ from pyspark.sql import types as T
 
 from ..functions.watermark import WM_KEY_DEFAULT, WM_MIN_SAMPLES, WM_TAU
 
-__all__ = ["clip_watermarks", "watermark_flags", "watermark_issues"]
+__all__ = ["clip_watermarks", "watermark_flags", "watermark_issues", "mark_clips"]
 
 
-def clip_watermarks(df: DataFrame, key: int = WM_KEY_DEFAULT, counter=None) -> DataFrame:
+def mark_clips(df: DataFrame, key: int = WM_KEY_DEFAULT) -> DataFrame:
+    """The embedding side: re-emit the table with the key's carrier
+    embedded in every ELIGIBLE clip (decodable, >= WM_MIN_SAMPLES —
+    marks below the integration floor would be undetectable), re-encoded
+    pcm16; a ``marked`` column records what actually happened.  The
+    transform a pipeline applies to its own synthetic/TTS output so the
+    detector can fence it out of future training corpora.  One
+    ``mapInArrow`` pass, zero shuffles; columns other than bytes/codec
+    pass through as the original zero-copy Arrow arrays."""
+    col_idx = {f.name: i for i, f in enumerate(df.schema.fields)}
+    names = [f.name for f in df.schema.fields]
+    schema = T.StructType(
+        df.schema.fields + [T.StructField("marked", T.BooleanType(), False)]
+    )
+
+    def run(batches):
+        import pyarrow as pa
+
+        from ..functions.audio import _decode_i16
+        from ..functions.watermark import WM_MIN_SAMPLES as _MINS
+        from ..functions.watermark import embed_watermark
+
+        b_idx, c_idx = col_idx["bytes"], col_idx["codec"]
+        for batch in batches:
+            payloads = batch.column(b_idx)
+            codecs = batch.column(c_idx).to_pylist()
+            srs = batch.column(col_idx["sr_hz"]).to_pylist()
+            out_bytes: list = []
+            out_codec: list = []
+            marked: list = []
+            for i in range(batch.num_rows):
+                raw = payloads[i].as_buffer() if payloads[i].is_valid else None
+                ok = False
+                try:
+                    q = _decode_i16(raw, codecs[i], srs[i])
+                    if len(q) >= _MINS:
+                        # embed returns int16 — emit the samples exactly,
+                        # no float round-trip
+                        out_bytes.append(
+                            embed_watermark(q, key).astype("<i2").tobytes()
+                        )
+                        out_codec.append("pcm16")
+                        ok = True
+                except (ValueError, TypeError):
+                    pass
+                if not ok:
+                    out_bytes.append(bytes(raw) if raw is not None else None)
+                    out_codec.append(codecs[i])
+                marked.append(ok)
+            arrays = []
+            for j, name in enumerate(names):
+                if j == b_idx:
+                    arrays.append(pa.array(out_bytes, type=payloads.type))
+                elif j == c_idx:
+                    arrays.append(pa.array(out_codec, type=batch.column(c_idx).type))
+                else:
+                    arrays.append(batch.column(j))
+            arrays.append(pa.array(marked, type=pa.bool_()))
+            yield pa.RecordBatch.from_arrays(arrays, names=names + ["marked"])
+
+    return df.mapInArrow(run, schema)
+
+
+def clip_watermarks(
+    df: DataFrame,
+    key: int = WM_KEY_DEFAULT,
+    counter=None,
+    carry_cols: tuple = (),
+) -> DataFrame:
     """(clip_id, codec, n_samples, wm_corr, energy, sigma_q2) via one
     Arrow pass; undecodable clips come back with n_samples = 0 and NULL
-    sigma_q2."""
+    sigma_q2.  ``carry_cols`` names extra input columns to pass through
+    zero-copy (e.g. ``mark_clips``'s ``marked`` flag — carrying it beats
+    a join that would re-run the upstream embed pass)."""
     col_idx = {f.name: i for i, f in enumerate(df.schema.fields)}
+    by_name = {f.name: f for f in df.schema.fields}
     out_schema = T.StructType(
         [
             T.StructField("clip_id", T.StringType(), False),
@@ -39,6 +110,7 @@ def clip_watermarks(df: DataFrame, key: int = WM_KEY_DEFAULT, counter=None) -> D
             T.StructField("energy", T.LongType(), False),
             T.StructField("sigma_q2", T.LongType(), True),
         ]
+        + [by_name[c] for c in carry_cols]
     )
 
     def run(batches):
@@ -74,14 +146,20 @@ def clip_watermarks(df: DataFrame, key: int = WM_KEY_DEFAULT, counter=None) -> D
                     pa.array(cols["wm_corr"], type=pa.int64()),
                     pa.array(cols["energy"], type=pa.int64()),
                     pa.array(cols["sigma_q2"], type=pa.int64()),
-                ],
-                names=["clip_id", "codec"] + WM_FIELDS,
+                ]
+                + [batch.column(col_idx[c]) for c in carry_cols],
+                names=["clip_id", "codec"] + WM_FIELDS + list(carry_cols),
             )
 
     return df.mapInArrow(run, out_schema)
 
 
-def watermark_flags(df: DataFrame, key: int = WM_KEY_DEFAULT, counter=None) -> DataFrame:
+def watermark_flags(
+    df: DataFrame,
+    key: int = WM_KEY_DEFAULT,
+    counter=None,
+    carry_cols: tuple = (),
+) -> DataFrame:
     """``clip_watermarks`` + the decision column, as a Catalyst expression
     over the exact statistics (the same cross-multiplied law as
     ``functions.watermark.is_watermarked_from``; ``wm_corr^2`` can reach
@@ -92,7 +170,9 @@ def watermark_flags(df: DataFrame, key: int = WM_KEY_DEFAULT, counter=None) -> D
         F.lit(WM_TAU * WM_TAU).cast("decimal(38,0)")
         * F.col("energy").cast("decimal(38,0)")
     )
-    return clip_watermarks(df, key=key, counter=counter).withColumn(
+    return clip_watermarks(
+        df, key=key, counter=counter, carry_cols=carry_cols
+    ).withColumn(
         "is_watermarked",
         (F.col("n_samples") >= F.lit(WM_MIN_SAMPLES))
         & (F.col("energy") > 0)

@@ -5673,6 +5673,12 @@ _SCHEMAS: dict[str, pa.Schema] = {
          ("wm_corr", pa.int64()), ("energy", pa.int64()),
          ("sigma_q2", pa.int64()), ("is_watermarked", pa.bool_())]
     ),
+    "audio_mark_roundtrip": pa.schema(
+        [("clip_id", pa.string()), ("marked", pa.bool_()),
+         ("n_samples", pa.int64()), ("wm_corr", pa.int64()),
+         ("energy", pa.int64()), ("sigma_q2", pa.int64()),
+         ("is_watermarked", pa.bool_())]
+    ),
     "audio_lra": pa.schema(
         [("clip_id", pa.string()), ("ok", pa.bool_()),
          ("n_st_blocks", pa.int32()), ("n_lra_gated", pa.int32()),
@@ -6024,6 +6030,88 @@ def _audio_watermark_expected(n=300, seed=42) -> dict:
     return out
 
 
+def _audio_mark_roundtrip_expected(n=300, seed=42) -> dict:
+    """Twin of ``mark_clips`` → ``watermark_flags`` over the PLAIN clips
+    corpus: replays the EMBED law (amp = max(8, isqrt(E//n) //
+    WM_EMBED_DIV); q + amp·chips clipped to the int16 rails) and the
+    detection law with pure-Python-integer chips — independent of the
+    numpy kernels except the shared decode dispatch.  Statistics are
+    exact integer dots, so twin and pipeline are bit-identical by
+    construction; the roundtrip invariant (every embedded mark detected,
+    nothing else flagged) is checked as data."""
+    import math
+
+    import numpy as np
+
+    from .functions.audio import _decode_i16
+    from .functions.watermark import (
+        WM_EMBED_DIV,
+        WM_KEY_DEFAULT,
+        WM_MIN_SAMPLES,
+        WM_TAU,
+    )
+    from .synth import generate_clips
+
+    mask = (1 << 64) - 1
+
+    def chips(nc: int) -> list[int]:
+        x = WM_KEY_DEFAULT & mask
+        out: list[int] = []
+        while len(out) < nc:
+            x = (x + 0x9E3779B97F4A7C15) & mask
+            z = x
+            z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & mask
+            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & mask
+            z ^= z >> 31
+            for b in range(63, -1, -1):
+                out.append(1 if (z >> b) & 1 else -1)
+        return out[:nc]
+
+    pdf = generate_clips(n, seed=seed)
+    decoded: list[tuple[str, object]] = []
+    max_len = 0
+    for _, r in pdf.sort_values("clip_id").iterrows():
+        try:
+            q = _decode_i16(r["bytes"], r["codec"], r["sr_hz"])
+        except (ValueError, TypeError):
+            q = None
+        decoded.append((r["clip_id"], q))
+        if q is not None:
+            max_len = max(max_len, len(q))
+    p_all = np.array(chips(max_len), dtype=np.int64)
+    out: dict[str, list] = {
+        "clip_id": [], "marked": [], "n_samples": [], "wm_corr": [],
+        "energy": [], "sigma_q2": [], "is_watermarked": [],
+    }
+    for clip_id, q in decoded:
+        nq = 0 if q is None else len(q)
+        marked = nq >= WM_MIN_SAMPLES
+        if nq == 0:
+            corr, energy, sigma_q2 = 0, 0, None
+        else:
+            q64 = q.astype(np.int64)
+            p = p_all[:nq]
+            if marked:
+                energy0 = int(np.dot(q64, q64))
+                amp = max(8, math.isqrt(energy0 // nq) // WM_EMBED_DIV)
+                q64 = np.clip(q64 + amp * p, -32768, 32767)
+            corr = int(np.dot(q64, p))
+            energy = int(np.dot(q64, q64))
+            sigma_q2 = ((corr * corr) << 20) // energy if energy > 0 else None
+        flag = (
+            nq >= WM_MIN_SAMPLES and energy > 0 and corr > 0
+            and corr * corr >= WM_TAU * WM_TAU * energy
+        )
+        out["clip_id"].append(clip_id)
+        out["marked"].append(marked)
+        out["n_samples"].append(nq)
+        out["wm_corr"].append(corr)
+        out["energy"].append(energy)
+        out["sigma_q2"].append(sigma_q2)
+        out["is_watermarked"].append(flag)
+    return out
+
+
 def _src_key(name: str, sf_dir: str | None) -> dict | None:
     """Cache key + size guard; None means 'skip generation' (too large)."""
     if name in (
@@ -6192,6 +6280,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_redact_expected()
     elif name == "audio_watermark":
         data = _audio_watermark_expected()
+    elif name == "audio_mark_roundtrip":
+        data = _audio_mark_roundtrip_expected()
     elif name == "audio_truepeak":
         data = _audio_truepeak_expected()
     elif name == "audio_musicspeech":

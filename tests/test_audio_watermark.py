@@ -200,3 +200,77 @@ def test_operator_and_issues(spark):
     iss = issues["provenance_watermark"]
     assert iss["count"] == n_marked and iss["total"] == len(pdf)
     assert iss["severity"] == ("warning" if n_marked else "info")
+
+
+# ----------------------------------------------------- embed-side operator
+
+
+def test_mark_clips_roundtrip_and_passthrough(spark):
+    from data_quality_spark.operators.audio_watermark import (
+        mark_clips,
+        watermark_flags,
+    )
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import generate_clips
+
+    pdf = generate_clips(90, seed=42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    df = spark.createDataFrame(pdf[cols], CLIPS_SCHEMA).repartition(4, "clip_id")
+    marked = mark_clips(df)
+    out = {r["clip_id"]: r for r in marked.collect()}
+    n_marked = 0
+    for _, r in pdf.iterrows():
+        got = out[r["clip_id"]]
+        q = _dec(r)
+        eligible = len(q) >= WM_MIN_SAMPLES
+        assert got["marked"] == eligible, r["clip_id"]
+        # pass-through columns untouched
+        assert got["transcript"] == r["transcript"]
+        assert got["sr_hz"] == r["sr_hz"] and got["dur_ms"] == r["dur_ms"]
+        if eligible:
+            n_marked += 1
+            assert got["codec"] == "pcm16"
+            # exact embed law: bytes are embed_watermark's int16 verbatim
+            want = embed_watermark(q, WM_KEY_DEFAULT).astype("<i2").tobytes()
+            assert bytes(got["bytes"]) == want, r["clip_id"]
+        else:
+            assert got["codec"] == r["codec"]
+            if r["bytes"] is None:
+                assert got["bytes"] is None
+            else:
+                assert bytes(got["bytes"]) == bytes(r["bytes"])
+    assert n_marked > 20
+    # detect over the marked table, marked carried through the Arrow pass:
+    # the roundtrip invariant is exact equality of the two flags
+    flags = watermark_flags(marked, carry_cols=("marked",)).collect()
+    assert len(flags) == len(pdf)
+    for row in flags:
+        assert row["marked"] == row["is_watermarked"], row["clip_id"]
+
+
+def test_mark_roundtrip_twin_bit_parity(spark):
+    from data_quality_spark.oracles import _audio_mark_roundtrip_expected
+    from data_quality_spark.operators.audio_watermark import (
+        mark_clips,
+        watermark_flags,
+    )
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import generate_clips
+
+    exp = _audio_mark_roundtrip_expected(n=60, seed=42)
+    pdf = generate_clips(60, seed=42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    df = spark.createDataFrame(pdf[cols], CLIPS_SCHEMA).repartition(4, "clip_id")
+    got = (
+        watermark_flags(mark_clips(df), carry_cols=("marked",))
+        .orderBy("clip_id")
+        .collect()
+    )
+    assert [r["clip_id"] for r in got] == exp["clip_id"]
+    for i, r in enumerate(got):
+        assert r["marked"] == exp["marked"][i]
+        assert r["n_samples"] == exp["n_samples"][i]
+        assert r["wm_corr"] == exp["wm_corr"][i], r["clip_id"]
+        assert r["energy"] == exp["energy"][i]
+        assert r["sigma_q2"] == exp["sigma_q2"][i]
+        assert r["is_watermarked"] == exp["is_watermarked"][i]
