@@ -564,6 +564,32 @@ def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dq_docs.vocab_stats(_t(spark, sf_dir, "documents"), top_k=20)
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-TRAINED n-gram LM perplexity (Stupid Backoff, Brants'07 —
+    the distributed web-scale LM): token-bigram count tables trained on
+    doc_id % 10 != 0, held-out docs scored by joins against the count
+    tables; log arithmetic minted driver-side over the distinct-count
+    sliver (≤ √(2N) rows) so per-doc NLL is an EXACT integer sum — the
+    JVM's non-correctly-rounded ln is never used.  Injection: gibberish
+    runs (floor path + high_ppl) on held doc_id % 30 == 0, a
+    novel-context known token (backoff path) on % 50 == 0.  Strict
+    DuckDB twin re-derives counts, N, and every fixed-point log from
+    scratch (libm-ln parity, the bm25 idf claim)."""
+    from data_quality_spark.operators.lm import lm_perplexity
+
+    docs = _t(spark, sf_dir, "documents")
+    inj = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 30 == 0, F.lit(" zzq1 zzq2 zzq3 zzq4 zzq5")
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 50 == 0, F.lit(" zzqnovel scan")).otherwise(
+            F.lit("")
+        ),
+    )
+    return lm_perplexity(docs.withColumn("text", inj)).orderBy("doc_id")
+
+
 def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language power-of-two doc-length histogram; buckets computed in
     integer comparisons (no float log) — strict DuckDB twin."""
@@ -3612,6 +3638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_buckets": q_quality_buckets,
         "langid_sql": q_langid_sql,
         "vocab_stats": q_vocab_stats,
+        "lm_perplexity": q_lm_perplexity,
         "length_histogram": q_length_histogram,
         "gopher_quality": q_gopher_quality,
         "source_reputation": q_source_reputation,
@@ -4178,6 +4205,86 @@ SELECT lang, CAST(bucket_lo AS BIGINT) AS bucket_lo,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n) AS BIGINT) AS total_chars
 FROM b GROUP BY lang, bucket_lo ORDER BY lang, bucket_lo"""
+
+
+# Stupid-Backoff LM twin: re-derives counts, N, and every fixed-point
+# log (L(c) = floor(ln(c)·2^20 + 0.5); ·2^20 is an exact FP exponent
+# shift, so bit-equality rests only on libm-ln parity — the bm25 claim).
+_LM_PERPLEXITY_SQL = r"""
+WITH inj AS (
+  SELECT doc_id,
+    text
+      || CASE WHEN doc_id % 30 = 0 THEN ' zzq1 zzq2 zzq3 zzq4 zzq5' ELSE '' END
+      || CASE WHEN doc_id % 50 = 0 THEN ' zzqnovel scan' ELSE '' END AS tx
+  FROM documents
+),
+tr AS (
+  SELECT regexp_split_to_array(trim(lower(tx)), '\s+') AS tk
+  FROM inj
+  WHERE doc_id % 10 <> 0 AND tx IS NOT NULL AND length(trim(tx)) > 0
+),
+tok AS (SELECT unnest(tk) AS w FROM tr),
+uni0 AS (SELECT w, count(*)::BIGINT AS c FROM tok GROUP BY w),
+nt AS (SELECT sum(c)::BIGINT AS n FROM uni0),
+uni AS (SELECT w, c FROM uni0 WHERE c >= 2),
+bgp AS (
+  SELECT unnest(tk[1:len(tk)-1]) AS w1, unnest(tk[2:len(tk)]) AS w2 FROM tr
+),
+big AS (
+  SELECT w1, w2, count(*)::BIGINT AS c12 FROM bgp
+  GROUP BY w1, w2 HAVING count(*) >= 2
+),
+bs AS (
+  SELECT b.w1, b.w2,
+         (floor(ln(b.c12) * 1048576.0 + 0.5)
+          - floor(ln(u.c) * 1048576.0 + 0.5))::BIGINT AS q
+  FROM big b JOIN uni u ON u.w = b.w1
+),
+us AS (
+  SELECT u.w,
+         (floor(ln(0.4) * 1048576.0 + 0.5)
+          + floor(ln(u.c) * 1048576.0 + 0.5)
+          - floor(ln(nt.n) * 1048576.0 + 0.5))::BIGINT AS qb
+  FROM uni u CROSS JOIN nt
+),
+hd AS (
+  SELECT doc_id,
+    CASE WHEN tx IS NULL OR length(trim(tx)) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(lower(tx)), '\s+') END AS tk
+  FROM inj WHERE doc_id % 10 = 0
+),
+hb AS (
+  SELECT doc_id, unnest(tk[1:len(tk)-1]) AS w1, unnest(tk[2:len(tk)]) AS w2
+  FROM hd
+),
+hc AS (SELECT doc_id, w1, w2, count(*)::BIGINT AS ct FROM hb GROUP BY ALL),
+sc AS (
+  SELECT h.doc_id, h.ct,
+         coalesce(b.q, u.qb,
+           (floor(ln(0.4) * 1048576.0 + 0.5)
+            - floor(ln(nt.n) * 1048576.0 + 0.5))::BIGINT) AS contrib,
+         CASE WHEN b.q IS NULL AND u.qb IS NULL THEN h.ct ELSE 0 END AS oov
+  FROM hc h
+  LEFT JOIN bs b ON b.w1 = h.w1 AND b.w2 = h.w2
+  LEFT JOIN us u ON u.w = h.w2
+  CROSS JOIN nt
+),
+ag AS (
+  SELECT doc_id, sum(ct)::BIGINT AS n_bigrams,
+         (-sum(ct * contrib))::BIGINT AS nll_fx,
+         sum(oov)::BIGINT AS oov_bigrams
+  FROM sc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(a.oov_bigrams, 0)::BIGINT AS oov_bigrams,
+       coalesce(a.nll_fx, 0)::BIGINT AS nll_fx,
+       coalesce(
+         a.nll_fx > floor(ln(64.0) * 1048576.0 + 0.5)::BIGINT * a.n_bigrams,
+         FALSE) AS high_ppl
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+LEFT JOIN ag a USING (doc_id)
+ORDER BY doc_id"""
 
 
 _VOCAB_STATS_SQL = r"""
@@ -5323,6 +5430,7 @@ FROM t GROUP BY lang ORDER BY lang""",
         "ccnet_buckets": _ccnet_buckets_oracle(),
         "text_audit": _text_audit_oracle(),
         "vocab_stats": _VOCAB_STATS_SQL,
+        "lm_perplexity": _LM_PERPLEXITY_SQL,
         "length_histogram": _length_histogram_oracle(),
         "frequent_line_removal": """
 WITH d AS (
