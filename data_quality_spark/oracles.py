@@ -5673,6 +5673,11 @@ _SCHEMAS: dict[str, pa.Schema] = {
          ("wm_corr", pa.int64()), ("energy", pa.int64()),
          ("sigma_q2", pa.int64()), ("is_watermarked", pa.bool_())]
     ),
+    "audio_turns": pa.schema(
+        [("clip_id", pa.string()), ("n_frames", pa.int32()),
+         ("n_eval", pa.int32()), ("n_turns", pa.int32()),
+         ("turns_csv", pa.string()), ("is_multi_voice", pa.bool_())]
+    ),
     "audio_mark_roundtrip": pa.schema(
         [("clip_id", pa.string()), ("marked", pa.bool_()),
          ("n_samples", pa.int64()), ("wm_corr", pa.int64()),
@@ -6030,6 +6035,82 @@ def _audio_watermark_expected(n=300, seed=42) -> dict:
     return out
 
 
+def _audio_turns_expected(n=300, seed=42) -> dict:
+    """Twin of ``operators.audio_turns.turn_flags``: decode, log-mel and
+    the shape/activity statistics are shared kernels (the reverb-oracle
+    pattern); the novelty CURVE is recomputed INDEPENDENTLY (naive
+    window slicing + math.fsum means vs the kernel's cumsum
+    vectorization — validating the vectorization itself), and the
+    guard / threshold / non-max-suppression walk is replayed in plain
+    Python.  Emitted values are integers and strings; the measured
+    ~130x threshold margin makes the float recomputation safe."""
+    import math
+
+    import numpy as np
+
+    from .functions.audio import _decode_i16
+    from .functions.mel import log_mel
+    from .functions.turns import (
+        TURN_ACT_FLOOR,
+        TURN_ACT_FRAC,
+        TURN_STEP,
+        TURN_THETA,
+        TURN_WIN,
+        shape_vectors,
+    )
+    from .synth import make_audio_turns_corpus
+
+    pdf = make_audio_turns_corpus(n, seed=seed)
+    out: dict[str, list] = {
+        "clip_id": [], "n_frames": [], "n_eval": [], "n_turns": [],
+        "turns_csv": [], "is_multi_voice": [],
+    }
+    for _, r in pdf.sort_values("clip_id").iterrows():
+        try:
+            q = _decode_i16(r["bytes"], r["codec"], r["sr_hz"])
+        except (ValueError, TypeError):
+            q = np.zeros(0, dtype=np.int16)
+        lm = log_mel(q.astype(np.float64) / 32768.0, int(r["sr_hz"] or 0))
+        shape, band_mean = shape_vectors(lm)
+        active = band_mean > TURN_ACT_FLOOR
+        nfr = int(lm.shape[0])
+        w, step = TURN_WIN, TURN_STEP
+        need = int(math.ceil(TURN_ACT_FRAC * w))
+        pos = list(range(w, nfr - w + 1, step))
+        d: list[float] = []
+        ev: list[bool] = []
+        for t in pos:
+            la = int(active[t - w: t].sum())
+            ra = int(active[t: t + w].sum())
+            ev.append(la >= need and ra >= need)
+            acc = 0.0
+            for b in range(shape.shape[1]):
+                lmean = math.fsum(shape[t - w: t, b]) / w
+                rmean = math.fsum(shape[t: t + w, b]) / w
+                acc += (lmean - rmean) ** 2
+            d.append(acc / shape.shape[1])
+        turns: list[int] = []
+        for i, t in enumerate(pos):
+            if not ev[i] or not d[i] > TURN_THETA:
+                continue
+            best = True
+            for j, tj in enumerate(pos):
+                if j == i or not ev[j] or abs(tj - t) > w:
+                    continue
+                if d[j] > d[i] or (d[j] == d[i] and tj < t):
+                    best = False
+                    break
+            if best:
+                turns.append(t)
+        out["clip_id"].append(r["clip_id"])
+        out["n_frames"].append(nfr)
+        out["n_eval"].append(sum(ev))
+        out["n_turns"].append(len(turns))
+        out["turns_csv"].append(",".join(str(t) for t in turns))
+        out["is_multi_voice"].append(len(turns) >= 1)
+    return out
+
+
 def _audio_mark_roundtrip_expected(n=300, seed=42) -> dict:
     """Twin of ``mark_clips`` → ``watermark_flags`` over the PLAIN clips
     corpus: replays the EMBED law (amp = max(8, isqrt(E//n) //
@@ -6282,6 +6363,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_watermark_expected()
     elif name == "audio_mark_roundtrip":
         data = _audio_mark_roundtrip_expected()
+    elif name == "audio_turns":
+        data = _audio_turns_expected()
     elif name == "audio_truepeak":
         data = _audio_truepeak_expected()
     elif name == "audio_musicspeech":

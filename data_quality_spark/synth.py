@@ -492,6 +492,76 @@ def make_audio_reverb_corpus(
     return pd.DataFrame(rows + outs, columns=base.columns)
 
 
+# 4-voice formant palette for the speaker-turn corpus: distinct
+# fundamental + formant triples so each voice has its own mel envelope
+_TURN_VOICES: tuple[tuple[tuple[float, float, float], ...], ...] = (
+    ((180.0, 0.30), (410.0, 0.20), (950.0, 0.10)),
+    ((120.0, 0.28), (300.0, 0.22), (1400.0, 0.12)),
+    ((230.0, 0.26), (620.0, 0.18), (2200.0, 0.14)),
+    ((150.0, 0.32), (500.0, 0.16), (1800.0, 0.08)),
+)
+
+
+def _turn_voice(rng, sr: int, dur_s: float, voice: int) -> np.ndarray:
+    """One speech-ish segment from the palette: formant sinusoids with a
+    slow amplitude wobble + low noise floor; float in [-0.8, 0.8]."""
+    n = int(sr * dur_s)
+    t = np.arange(n) / sr
+    x = np.zeros(n, dtype=np.float64)
+    for k, (f, a) in enumerate(_TURN_VOICES[voice % len(_TURN_VOICES)]):
+        x += a * np.sin(2 * np.pi * f * t + 0.7 * k)
+    x *= 1.0 + 0.15 * np.sin(2 * np.pi * 3.0 * t)  # syllabic wobble
+    x += 0.01 * rng.standard_normal(n)
+    return np.clip(x * 0.8, -0.999, 0.999)
+
+
+def make_audio_turns_corpus(
+    n: int = 300, seed: int = 42, turns_every: int = 4
+) -> pd.DataFrame:
+    """Corpus for speaker-turn / splice detection: every
+    ``turns_every``-th eligible clip is replaced by a hard-cut
+    concatenation of 2-3 DIFFERENT palette voices (defect
+    ``turns_<k>``, k = true boundary count), and its SINGLE-voice
+    control — one voice, same total duration — is appended as
+    ``<id>_single`` (defect ``voice_single``): the negative control
+    proving the novelty scan keys on envelope CHANGE, not on the voice
+    class itself.  Everything else is the untouched ``generate_clips``
+    corpus."""
+    base = generate_clips(n, seed=seed)
+    rng = np.random.default_rng(seed + 23)
+    rows: list[dict] = []
+    outs: list[dict] = []
+    v = 0
+    for i in range(len(base)):
+        row = base.iloc[i].to_dict()
+        sr = int(row["sr_hz"]) or 0
+        if sr > 0 and (i + 1) % turns_every == 0:
+            n_seg = 2 + int(rng.integers(0, 2))  # 2 or 3 voices
+            segs = []
+            order = []
+            for s in range(n_seg):
+                v = (v + 1 + int(rng.integers(0, len(_TURN_VOICES) - 1))) % len(
+                    _TURN_VOICES
+                )
+                order.append(v)
+                segs.append(_turn_voice(rng, sr, float(rng.uniform(1.2, 2.0)), v))
+            x = np.concatenate(segs)
+            row["bytes"] = A.encode_pcm16(x)
+            row["codec"] = "pcm16"
+            row["dur_ms"] = int(round(x.size / sr * 1000))
+            row["defect"] = f"turns_{n_seg - 1}"
+            xs = _turn_voice(rng, sr, x.size / sr, order[0])
+            outs.append({
+                **row,
+                "clip_id": f"{row['clip_id']}_single",
+                "bytes": A.encode_pcm16(xs),
+                "dur_ms": int(round(xs.size / sr * 1000)),
+                "defect": "voice_single",
+            })
+        rows.append(row)
+    return pd.DataFrame(rows + outs, columns=base.columns)
+
+
 def make_audio_speed_corpus(
     n: int = 300,
     seed: int = 42,
