@@ -175,7 +175,8 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["text", "audio", "loops", "labels", "boilerplate",
                  "quantization", "pii", "reverb", "stereo", "flutter",
                  "clicks", "truepeak", "musicspeech", "lra", "halluc",
-                 "lines", "normalize", "watermark", "compress", "entropy"],
+                 "lines", "normalize", "watermark", "compress", "entropy",
+                 "turns"],
         default="text",
     )
     au.add_argument("--min-words", type=int, default=15)
@@ -257,6 +258,23 @@ def build_parser() -> argparse.ArgumentParser:
     cl.add_argument("--buckets", type=int, default=0,
                     help="also print an N-bucket calibration curve")
     cl.add_argument("--format", choices=["text", "json"], default="text")
+
+    pl = sub.add_parser(
+        "ppl",
+        help="train a Stupid-Backoff bigram LM on one split, "
+        "score held-out docs, flag high perplexity",
+    )
+    pl.add_argument("--tables", required=True)
+    pl.add_argument("--table", required=True)
+    pl.add_argument("--id-col", default="doc_id")
+    pl.add_argument("--text-col", default="text")
+    pl.add_argument("--holdout-mod", type=int, default=10)
+    pl.add_argument("--min-count", type=int, default=2)
+    pl.add_argument("--threshold", type=float, default=64.0,
+                    help="perplexity flag threshold")
+    pl.add_argument("--top", type=int, default=10,
+                    help="print the N highest-perplexity docs")
+    pl.add_argument("--format", choices=["text", "json"], default="text")
     return p
 
 
@@ -707,6 +725,10 @@ def main(argv: list[str] | None = None) -> int:
                 issues_df = watermark_issues(
                     watermark_flags(df), table=args.table
                 )
+            elif args.kind == "turns":
+                from .operators.audio_turns import turn_flags, turn_issues
+
+                issues_df = turn_issues(turn_flags(df), table=args.table)
             elif args.kind == "compress":
                 from .operators.compress import (
                     compression_flags,
@@ -1067,6 +1089,61 @@ def main(argv: list[str] | None = None) -> int:
                         f"bucket {r['bucket']:2d}: n={r['n_docs']} "
                         f"pass_rate={r['pass_rate']:.4f} "
                         f"scores [{r['min_score']:.4f}, {r['max_score']:.4f}]"
+                    )
+            return 0
+        if args.cmd == "ppl":
+            from pyspark.sql import functions as F2
+
+            from .operators.lm import LN_SCALE, lm_perplexity
+
+            df = spark.read.parquet(
+                os.path.join(args.tables, f"{args.table}.parquet")
+            )
+            out = lm_perplexity(
+                df, id_col=args.id_col, text_col=args.text_col,
+                holdout_mod=args.holdout_mod, min_count=args.min_count,
+                ppl_threshold=args.threshold,
+            ).persist()
+            n_held = out.count()
+            agg = out.agg(
+                F2.count(F2.when(F2.col("high_ppl"), 1)).alias("flagged"),
+                F2.coalesce(F2.sum("oov_bigrams"), F2.lit(0)).alias("oov"),
+            ).collect()[0]
+            top = (
+                out.where(F2.col("n_bigrams") > 0)
+                .withColumn(
+                    "nats",
+                    F2.col("nll_fx") / F2.col("n_bigrams") / F2.lit(LN_SCALE),
+                )
+                .orderBy(F2.desc("nats"), F2.col(args.id_col))
+                .limit(args.top)
+                .collect()
+            )
+            out.unpersist()
+            summary = {
+                "held_out_docs": n_held,
+                "high_ppl": int(agg["flagged"]),
+                "oov_bigrams": int(agg["oov"]),
+                "threshold_ppl": args.threshold,
+            }
+            import math as _m
+
+            if args.format == "json":
+                summary["top"] = [
+                    {args.id_col: r[args.id_col],
+                     "ppl": _m.exp(r["nats"]),
+                     "n_bigrams": r["n_bigrams"],
+                     "oov_bigrams": r["oov_bigrams"]}
+                    for r in top
+                ]
+                print(json.dumps(summary, indent=2))
+            else:
+                for k, v in summary.items():
+                    print(f"{k}: {v}")
+                for r in top:
+                    print(
+                        f"  {r[args.id_col]}: ppl={_m.exp(r['nats']):.1f} "
+                        f"bigrams={r['n_bigrams']} oov={r['oov_bigrams']}"
                     )
             return 0
         return 2

@@ -807,3 +807,60 @@ def test_cli_redact(spark, tmp_path, capsys, monkeypatch):
     assert rep["muted_samples"] > 0
     red = spark.read.parquet(str(out))
     assert "bytes" in red.columns and "redacted_transcript" in red.columns
+
+
+def test_cli_audit_turns(spark, tmp_path, capsys, monkeypatch):
+    """audit --kind turns: seeded multi-voice clips surface as
+    speaker_turns (warning); count equals the per-row law's."""
+    import data_quality_spark.cli as cli
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_turns_corpus
+
+    monkeypatch.setattr("pyspark.sql.SparkSession.stop", lambda self: None)
+    tables = tmp_path / "tables"
+    tables.mkdir()
+    pdf = make_audio_turns_corpus(60, seed=42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    spark.createDataFrame(pdf[cols], CLIPS_SCHEMA).coalesce(2).write.parquet(
+        str(tables / "tclips.parquet")
+    )
+    code = cli.main(
+        ["audit", "--tables", str(tables), "--table", "tclips",
+         "--kind", "turns", "--format", "json", "--fail-on", "none"]
+    )
+    rows = {r["issue_type"]: r for r in json.loads(capsys.readouterr().out)}
+    assert code == 0
+    n_seeded = sum(str(d).startswith("turns_") for d in pdf["defect"])
+    assert rows["speaker_turns"]["count"] == n_seeded > 0
+    assert rows["speaker_turns"]["severity"] == "warning"
+
+
+def test_cli_ppl(spark, tmp_path, capsys, monkeypatch):
+    """ppl: trains on the split, reports held-out scores; an injected
+    gibberish doc tops the ranking and trips the flag."""
+    import data_quality_spark.cli as cli
+
+    monkeypatch.setattr("pyspark.sql.SparkSession.stop", lambda self: None)
+    tables = tmp_path / "tables"
+    tables.mkdir()
+    rows = [
+        (i, "the cat sat on the mat and the dog sat on the rug")
+        for i in range(1, 40)
+        if i % 10 != 0
+    ]
+    rows.append((40, "zq1 zq2 zq3 zq4 zq5 zq6"))  # held (40 % 10 == 0), pure OOV
+    rows.append((10, "the cat sat on the mat"))   # held, in-domain
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+        str(tables / "docs.parquet")
+    )
+    code = cli.main(
+        ["ppl", "--tables", str(tables), "--table", "docs",
+         "--min-count", "1", "--format", "json", "--top", "2"]
+    )
+    out = json.loads(capsys.readouterr().out)
+    assert code == 0
+    assert out["held_out_docs"] == 2
+    assert out["high_ppl"] == 1          # the gibberish doc
+    assert out["oov_bigrams"] >= 5
+    assert out["top"][0]["doc_id"] == 40
+    assert out["top"][0]["ppl"] > out["top"][1]["ppl"]
