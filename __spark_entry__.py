@@ -2771,6 +2771,42 @@ def q_audio_mark_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+def q_audio_wm_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark robustness curve (accuracy-tradeoff-as-data applied to
+    the provenance mark): detection rate per perturbation config ×
+    (marked | unmarked-control) arm — clean, additive noise at 20/10/5
+    dB SNR, lossy µ-law transcode, and a 9/10 polyphase resample.
+    Measured: 100% detection through 5 dB noise and µ-law with ZERO
+    control false positives; resample misaligns the per-sample carrier
+    and detection drops to 0 — the detector's designed failure
+    boundary, reported as data.  One Arrow scan + one fused aggregate
+    whose shuffle carries 12 group rows.  Twin: shared decode;
+    pure-Python splitmix64 chip replay + Python-int decision + exact
+    count aggregation."""
+    from data_quality_spark.operators.audio_watermark import (
+        watermark_detection_curve,
+        watermark_flags,
+    )
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_wm_robust_corpus
+
+    ensure_expected("audio_wm_robustness", sf_dir)
+    key = ("wm_robust", 120, 42)
+    if key not in _CLIPS_CACHE:
+        _CLIPS_CACHE[key] = make_audio_wm_robust_corpus(120, seed=42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(
+        _CLIPS_CACHE[key][cols], CLIPS_SCHEMA
+    ).repartition(8, "clip_id")
+    flags = watermark_flags(clips).withColumns({
+        "config": F.element_at(F.split("clip_id", "_"), -1),
+        "armed": F.element_at(F.split("clip_id", "_"), -2) == F.lit("m"),
+    })
+    return watermark_detection_curve(flags, "config", "armed").orderBy(
+        "config", "armed"
+    )
+
+
 def q_audio_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Click/pop (impulsive transient) detection: exact integer
     second-difference law — 20 ms frame-dominance prefilter, then a
@@ -3755,6 +3791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_clicks": q_audio_clicks,
         "audio_watermark": q_audio_watermark,
         "audio_mark_roundtrip": q_audio_mark_roundtrip,
+        "audio_wm_robustness": q_audio_wm_robustness,
         "audio_turns": q_audio_turns,
         "compression_ratio": q_compression_ratio,
         "char_entropy": q_char_entropy,
@@ -5757,6 +5794,7 @@ ORDER BY d.doc_id""",
         "audio_clicks": _expected_sql("audio_clicks"),
         "audio_watermark": _expected_sql("audio_watermark"),
         "audio_mark_roundtrip": _expected_sql("audio_mark_roundtrip"),
+        "audio_wm_robustness": _expected_sql("audio_wm_robustness"),
         "audio_turns": _expected_sql("audio_turns"),
         "compression_ratio": _expected_sql("compression_ratio"),
         "char_entropy": _char_entropy_oracle(),

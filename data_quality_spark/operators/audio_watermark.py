@@ -22,7 +22,13 @@ from pyspark.sql import types as T
 
 from ..functions.watermark import WM_KEY_DEFAULT, WM_MIN_SAMPLES, WM_TAU
 
-__all__ = ["clip_watermarks", "watermark_flags", "watermark_issues", "mark_clips"]
+__all__ = [
+    "clip_watermarks",
+    "watermark_flags",
+    "watermark_issues",
+    "mark_clips",
+    "watermark_detection_curve",
+]
 
 
 def mark_clips(df: DataFrame, key: int = WM_KEY_DEFAULT) -> DataFrame:
@@ -178,6 +184,27 @@ def watermark_flags(
         & (F.col("energy") > 0)
         & (F.col("wm_corr") > 0)
         & ((c * c) >= rhs),
+    )
+
+
+def watermark_detection_curve(flags: DataFrame, *group_cols: str) -> DataFrame:
+    """Detection-rate curve over ``watermark_flags`` output, grouped by
+    caller-supplied condition columns (perturbation config, marked vs
+    control arm, ...): per group, clip count, detections, the rate, and
+    the minimum detected ``sigma_q2`` (the decision margin's worst case
+    — NULL where nothing detected).  ONE fused partial/final aggregate;
+    the only shuffle carries a handful of group rows, never clips —
+    the accuracy-tradeoff-as-data shape at 10^12-clip scale."""
+    return flags.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clips"),
+        F.count(F.when(F.col("is_watermarked"), 1)).cast("long")
+        .alias("n_detected"),
+        F.round(
+            F.count(F.when(F.col("is_watermarked"), 1))
+            / F.count(F.lit(1)), 4
+        ).alias("detect_rate_r"),
+        F.min(F.when(F.col("is_watermarked"), F.col("sigma_q2")))
+        .alias("min_sigma_q2"),
     )
 
 

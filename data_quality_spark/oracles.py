@@ -5684,6 +5684,11 @@ _SCHEMAS: dict[str, pa.Schema] = {
          ("energy", pa.int64()), ("sigma_q2", pa.int64()),
          ("is_watermarked", pa.bool_())]
     ),
+    "audio_wm_robustness": pa.schema(
+        [("config", pa.string()), ("armed", pa.bool_()),
+         ("n_clips", pa.int64()), ("n_detected", pa.int64()),
+         ("detect_rate_r", pa.float64()), ("min_sigma_q2", pa.int64())]
+    ),
     "audio_lra": pa.schema(
         [("clip_id", pa.string()), ("ok", pa.bool_()),
          ("n_st_blocks", pa.int32()), ("n_lra_gated", pa.int32()),
@@ -6111,6 +6116,85 @@ def _audio_turns_expected(n=300, seed=42) -> dict:
     return out
 
 
+def _audio_wm_robust_expected(n=120, seed=42) -> dict:
+    """Twin of the ``audio_wm_robustness`` query: decode is the shared
+    dispatch; the splitmix64 ±1 carrier is replayed in PURE PYTHON
+    integers and the detection decision in unbounded Python ints (as in
+    the audio_watermark twin), then the per-(config, armed) curve is
+    aggregated with exact counts — detection rate, plus the minimum
+    detected ``sigma_q2`` margin replayed via the same ``<<20`` integer
+    law the kernel emits."""
+    import numpy as np
+
+    from .functions.audio import _decode_i16
+    from .functions.watermark import WM_KEY_DEFAULT, WM_MIN_SAMPLES, WM_TAU
+    from .synth import make_audio_wm_robust_corpus
+
+    mask = (1 << 64) - 1
+
+    def chips(nc: int) -> list[int]:
+        x = WM_KEY_DEFAULT & mask
+        out: list[int] = []
+        while len(out) < nc:
+            x = (x + 0x9E3779B97F4A7C15) & mask
+            z = x
+            z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & mask
+            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & mask
+            z ^= z >> 31
+            for b in range(63, -1, -1):
+                out.append(1 if (z >> b) & 1 else -1)
+        return out[:nc]
+
+    pdf = make_audio_wm_robust_corpus(n, seed=seed)
+    decoded: list[tuple[str, object]] = []
+    max_len = 0
+    for _, r in pdf.iterrows():
+        try:
+            q = _decode_i16(r["bytes"], r["codec"], r["sr_hz"])
+        except (ValueError, TypeError):
+            q = None
+        decoded.append((r["clip_id"], q))
+        if q is not None:
+            max_len = max(max_len, len(q))
+    p_all = np.array(chips(max_len), dtype=np.int64)
+    agg: dict[tuple[str, bool], dict] = {}
+    for clip_id, q in decoded:
+        nq = 0 if q is None else len(q)
+        if nq == 0:
+            corr, energy = 0, 0
+        else:
+            q64 = q.astype(np.int64)
+            corr = int(np.dot(q64, p_all[:nq]))
+            energy = int(np.dot(q64, q64))
+        flag = (
+            nq >= WM_MIN_SAMPLES and energy > 0 and corr > 0
+            and corr * corr >= WM_TAU * WM_TAU * energy
+        )
+        base, armed_s, cfg = clip_id.rsplit("_", 2)
+        st = agg.setdefault(
+            (cfg, armed_s == "m"), {"n": 0, "d": 0, "min_sig": None}
+        )
+        st["n"] += 1
+        if flag:
+            st["d"] += 1
+            sig = ((corr * corr) << 20) // energy
+            if st["min_sig"] is None or sig < st["min_sig"]:
+                st["min_sig"] = sig
+    out: dict[str, list] = {
+        "config": [], "armed": [], "n_clips": [], "n_detected": [],
+        "detect_rate_r": [], "min_sigma_q2": [],
+    }
+    for (cfg, armed) in sorted(agg):
+        st = agg[(cfg, armed)]
+        out["config"].append(cfg)
+        out["armed"].append(armed)
+        out["n_clips"].append(st["n"])
+        out["n_detected"].append(st["d"])
+        out["detect_rate_r"].append(spark_round(st["d"] / st["n"], 4))
+        out["min_sigma_q2"].append(st["min_sig"])
+    return out
+
+
 def _audio_mark_roundtrip_expected(n=300, seed=42) -> dict:
     """Twin of ``mark_clips`` → ``watermark_flags`` over the PLAIN clips
     corpus: replays the EMBED law (amp = max(8, isqrt(E//n) //
@@ -6363,6 +6447,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_watermark_expected()
     elif name == "audio_mark_roundtrip":
         data = _audio_mark_roundtrip_expected()
+    elif name == "audio_wm_robustness":
+        data = _audio_wm_robust_expected()
     elif name == "audio_turns":
         data = _audio_turns_expected()
     elif name == "audio_truepeak":

@@ -1652,3 +1652,65 @@ def make_audio_watermark_corpus(n: int = 300, seed: int = 42) -> pd.DataFrame:
             row["defect"] = "wm_other"
         rows.append(row)
     return pd.DataFrame(rows, columns=base.columns)
+
+
+WM_ROBUST_CONFIGS = ("clean", "snr20", "snr10", "snr5", "mulaw", "resample")
+
+
+def make_audio_wm_robust_corpus(n: int = 120, seed: int = 42) -> pd.DataFrame:
+    """Corpus for the watermark robustness curve: every eligible base
+    clip is emitted MARKED (``<id>_m_<cfg>``) and as an UNMARKED control
+    (``<id>_c_<cfg>``) under each perturbation config — clean pcm16,
+    additive noise at 20/10/5 dB SNR, lossy µ-law transcode, and a
+    9/10 polyphase resample (the config that misaligns the per-sample
+    carrier: the detector's designed failure boundary, reported as
+    data).  Fresh noise draws per row; deterministic for (n, seed)."""
+    import math as _math
+
+    from .functions.watermark import WM_KEY_DEFAULT, WM_MIN_SAMPLES, embed_watermark
+
+    base = generate_clips(n, seed=seed)
+    rng = np.random.default_rng(seed + 31)
+    rows: list[dict] = []
+    for i in range(len(base)):
+        row = base.iloc[i].to_dict()
+        sr = int(row["sr_hz"]) or 0
+        try:
+            q = A._decode_i16(row["bytes"], row["codec"], row["sr_hz"])
+        except (ValueError, TypeError):
+            continue
+        if sr <= 0 or len(q) < WM_MIN_SAMPLES:
+            continue
+        m = embed_watermark(q, WM_KEY_DEFAULT)
+        for cfg in WM_ROBUST_CONFIGS:
+            for armed, x0 in (("m", m), ("c", np.asarray(q, dtype=np.int16))):
+                xf = x0.astype(np.float64) / 32767.0
+                out_sr = sr
+                if cfg == "clean":
+                    b, codec = A.encode_pcm16(xf), "pcm16"
+                elif cfg.startswith("snr"):
+                    snr_db = int(cfg[3:])
+                    px = float(np.mean(xf * xf))
+                    noise = rng.standard_normal(len(xf)) * _math.sqrt(
+                        px / (10.0 ** (snr_db / 10.0))
+                    )
+                    b = A.encode_pcm16(np.clip(xf + noise, -1.0, 1.0))
+                    codec = "pcm16"
+                elif cfg == "mulaw":
+                    b, codec = A.encode_mulaw(xf), "mulaw"
+                else:  # resample: 9/10 rate, carrier misaligned
+                    out_sr = (sr * 9) // 10
+                    y = resample_poly(xf, sr, out_sr)
+                    b = A.encode_pcm16(np.clip(y, -1.0, 1.0))
+                    codec = "pcm16"
+                n_out = len(b) // 2 if codec == "pcm16" else len(b)
+                rows.append({
+                    **row,
+                    "clip_id": f"{row['clip_id']}_{armed}_{cfg}",
+                    "bytes": b,
+                    "codec": codec,
+                    "sr_hz": out_sr,
+                    "dur_ms": int(round(n_out / out_sr * 1000)),
+                    "defect": f"wm_{armed}_{cfg}",
+                })
+    return pd.DataFrame(rows, columns=base.columns)

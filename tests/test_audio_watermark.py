@@ -274,3 +274,78 @@ def test_mark_roundtrip_twin_bit_parity(spark):
         assert r["energy"] == exp["energy"][i]
         assert r["sigma_q2"] == exp["sigma_q2"][i]
         assert r["is_watermarked"] == exp["is_watermarked"][i]
+
+
+def test_robustness_curve(spark):
+    """The robustness-curve invariants on a small corpus: full detection
+    for marked clips under clean / noise>=5dB / mulaw, zero control false
+    positives everywhere, and detection dead under the 9/10 resample
+    (carrier misalignment — the designed failure boundary)."""
+    from pyspark.sql import functions as F
+
+    from data_quality_spark.operators.audio_watermark import (
+        watermark_detection_curve,
+        watermark_flags,
+    )
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_wm_robust_corpus
+
+    pdf = make_audio_wm_robust_corpus(40, seed=7)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    df = spark.createDataFrame(pdf[cols], CLIPS_SCHEMA).repartition(4, "clip_id")
+    flags = watermark_flags(df).withColumns({
+        "config": F.element_at(F.split("clip_id", "_"), -1),
+        "armed": F.element_at(F.split("clip_id", "_"), -2) == F.lit("m"),
+    })
+    curve = {
+        (r["config"], r["armed"]): r
+        for r in watermark_detection_curve(flags, "config", "armed").collect()
+    }
+    assert len(curve) == 12
+    for (cfg, armed), r in curve.items():
+        assert r["n_clips"] > 0
+        if not armed or cfg == "resample":
+            assert r["n_detected"] == 0, (cfg, armed)
+            assert r["min_sigma_q2"] is None
+        elif cfg in ("snr5", "snr10"):
+            # the margin boundary: near-total but seed-dependent
+            assert r["n_detected"] >= 0.9 * r["n_clips"], (cfg, armed)
+            assert r["min_sigma_q2"] is not None and r["min_sigma_q2"] > 0
+        else:
+            assert r["n_detected"] == r["n_clips"], (cfg, armed)
+            assert r["detect_rate_r"] == 1.0
+            assert r["min_sigma_q2"] is not None and r["min_sigma_q2"] > 0
+
+
+def test_robustness_twin_parity(spark):
+    from pyspark.sql import functions as F
+
+    from data_quality_spark.operators.audio_watermark import (
+        watermark_detection_curve,
+        watermark_flags,
+    )
+    from data_quality_spark.oracles import _audio_wm_robust_expected
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_wm_robust_corpus
+
+    exp = _audio_wm_robust_expected(n=40, seed=42)
+    pdf = make_audio_wm_robust_corpus(40, seed=42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    df = spark.createDataFrame(pdf[cols], CLIPS_SCHEMA).repartition(4, "clip_id")
+    flags = watermark_flags(df).withColumns({
+        "config": F.element_at(F.split("clip_id", "_"), -1),
+        "armed": F.element_at(F.split("clip_id", "_"), -2) == F.lit("m"),
+    })
+    got = (
+        watermark_detection_curve(flags, "config", "armed")
+        .orderBy("config", "armed")
+        .collect()
+    )
+    assert len(got) == len(exp["config"])
+    for i, r in enumerate(got):
+        assert r["config"] == exp["config"][i]
+        assert r["armed"] == exp["armed"][i]
+        assert r["n_clips"] == exp["n_clips"][i]
+        assert r["n_detected"] == exp["n_detected"][i]
+        assert r["detect_rate_r"] == exp["detect_rate_r"][i]
+        assert r["min_sigma_q2"] == exp["min_sigma_q2"][i]
