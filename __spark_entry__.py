@@ -1121,6 +1121,31 @@ def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dq_docs.fingerprint_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard packing manifest: per-language fixed-size shards
+    (target 20k chars) in portable md5 hash order — shard contents a
+    pure function of (doc_id, seed).  Spark runs the DISTRIBUTED law
+    (bucketed two-phase prefix sum: tiny per-bucket totals aggregate +
+    broadcast offsets + per-bucket windows — no single-partition global
+    window anywhere); the DuckDB twin runs the NAIVE global-window law,
+    so the hash check proves the decomposition exact row-for-row
+    (boundary ids pin every shard's edges)."""
+    from data_quality_spark.operators.shards import shard_assign, shard_manifest
+
+    docs = _t(spark, sf_dir, "documents")
+    assigned = shard_assign(
+        docs, "n_chars", 20000, strata=["lang"], id_col="doc_id",
+        seed=7, portable=True, keep_order=True,
+    )
+    return (
+        shard_manifest(assigned, "n_chars", strata=["lang"],
+                       id_col="doc_id", seed=7, portable=True)
+        .select("lang", "shard_id", "n_items", "shard_bytes",
+                "first_id", "last_id")
+        .orderBy("lang", "shard_id")
+    )
+
+
 def q_sample_balanced_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-rebalanced corpus cut: <= 40 docs per lang, membership a
     pure function of (doc_id, seed) via the portable md5 order — the same
@@ -3730,6 +3755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q_token_budget,
         "fingerprint_dedup": q_fingerprint_dedup,
         "sample_balanced_lang": q_sample_balanced_lang,
+        "shard_manifest": q_shard_manifest,
         "sample_fraction": q_sample_fraction,
         "skew_audit": q_skew_audit,
         "scrub_audit": q_scrub_audit,
@@ -5628,6 +5654,25 @@ WITH c AS (
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(n_chars) AS BIGINT) AS chars_sel
 FROM c WHERE cum_before < 8000 GROUP BY lang ORDER BY lang""",
+        "shard_manifest": """
+WITH c AS (
+  SELECT lang, doc_id, coalesce(n_chars, 0) AS sz,
+    md5(coalesce(CAST(doc_id AS VARCHAR), '') || ':7') AS ord,
+    sum(greatest(coalesce(n_chars, 0), 0)) OVER (
+      PARTITION BY lang
+      ORDER BY md5(coalesce(CAST(doc_id AS VARCHAR), '') || ':7'), doc_id
+    ) AS cum
+  FROM documents
+), a AS (
+  SELECT lang, doc_id, greatest(sz, 0) AS sz, ord,
+    (cum - greatest(sz, 0)) // 20000 AS shard_id
+  FROM c
+)
+SELECT lang, CAST(shard_id AS BIGINT) AS shard_id,
+  CAST(count(*) AS BIGINT) AS n_items,
+  CAST(sum(sz) AS BIGINT) AS shard_bytes,
+  arg_min(doc_id, ord) AS first_id, arg_max(doc_id, ord) AS last_id
+FROM a GROUP BY lang, shard_id ORDER BY lang, shard_id""",
         "fingerprint_dedup": """
 SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,

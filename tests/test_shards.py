@@ -1,0 +1,151 @@
+"""Training-shard packing (operators/shards.py).
+
+Correctness model: the distributed two-phase prefix sum (per-bucket
+totals + broadcast offsets + per-bucket windows) must be EXACTLY the
+naive single-global-window law — every row's shard_id identical — and
+assignment must be a pure function of (id, seed): repartitioning the
+input cannot move a single row between shards.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_spark.operators.shards import shard_assign, shard_manifest
+
+
+def _docs(spark, n=400, n_langs=4, seed=3, with_nulls=True):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    pdf = pd.DataFrame({
+        "doc_id": range(n),
+        "lang": rng.choice([f"l{i}" for i in range(n_langs)], size=n),
+        "sz": rng.integers(1, 900, size=n).astype("float64"),
+    })
+    if with_nulls:
+        pdf.loc[pdf.index % 37 == 5, "sz"] = None  # NULL packs as 0
+        pdf.loc[pdf.index % 53 == 7, "sz"] = -4.0  # negative packs as 0
+    return spark.createDataFrame(pdf), pdf
+
+
+def _naive_shards(pdf, target, strata, seed):
+    """The single-global-window law, in plain Python."""
+    rows = []
+    for _, r in pdf.iterrows():
+        h = hashlib.md5(f"{int(r.doc_id)}:{seed}".encode()).hexdigest()
+        sz = 0 if pd.isna(r.sz) else max(int(r.sz), 0)
+        key = tuple(r[s] for s in strata)
+        rows.append((key, h, int(r.doc_id), sz))
+    out = {}
+    by_key = {}
+    for key, h, did, sz in rows:
+        by_key.setdefault(key, []).append((h, did, sz))
+    for key, items in by_key.items():
+        run = 0
+        for h, did, sz in sorted(items):
+            out[did] = run // target
+            run += sz
+    return out
+
+
+class TestShardAssign:
+    def test_matches_naive_global_window(self, spark):
+        df, pdf = _docs(spark)
+        got = shard_assign(
+            df, "sz", 5000, strata=["lang"], id_col="doc_id",
+            seed=7, portable=True,
+        ).select("doc_id", "shard_id").toPandas().set_index("doc_id")[
+            "shard_id"]
+        want = _naive_shards(pdf, 5000, ["lang"], 7)
+        for did, sid in want.items():
+            assert got[did] == sid, did
+
+    def test_unstratified_and_partition_invariance(self, spark):
+        df, pdf = _docs(spark, with_nulls=False)
+        a = shard_assign(df, "sz", 3000, id_col="doc_id", seed=1,
+                         portable=True)
+        b = shard_assign(df.repartition(13), "sz", 3000, id_col="doc_id",
+                         seed=1, portable=True)
+        pa = a.select("doc_id", "shard_id").toPandas().set_index("doc_id")
+        pb = b.select("doc_id", "shard_id").toPandas().set_index("doc_id")
+        assert pa["shard_id"].sort_index().equals(
+            pb["shard_id"].sort_index())
+        want = _naive_shards(pdf, 3000, [], 1)
+        for did, sid in want.items():
+            assert pa["shard_id"][did] == sid
+
+    def test_bucket_chars_is_an_implementation_knob(self, spark):
+        # 16 vs 4096 buckets must give the identical assignment
+        df, _ = _docs(spark, n=200)
+        a = shard_assign(df, "sz", 4000, strata=["lang"], seed=5,
+                         portable=True, bucket_chars=1)
+        c = shard_assign(df, "sz", 4000, strata=["lang"], seed=5,
+                         portable=True, bucket_chars=3)
+        pa = a.select("doc_id", "shard_id").toPandas().set_index("doc_id")
+        pc = c.select("doc_id", "shard_id").toPandas().set_index("doc_id")
+        assert pa["shard_id"].sort_index().equals(
+            pc["shard_id"].sort_index())
+
+    def test_fast_xxhash_order_consistent(self, spark):
+        # portable=False path: same two-formulation equivalence
+        df, _ = _docs(spark, n=150, with_nulls=False)
+        a = shard_assign(df, "sz", 2500, seed=2, bucket_chars=1)
+        b = shard_assign(df.repartition(7), "sz", 2500, seed=2,
+                         bucket_chars=3)
+        pa = a.select("doc_id", "shard_id").toPandas().set_index("doc_id")
+        pb = b.select("doc_id", "shard_id").toPandas().set_index("doc_id")
+        assert pa["shard_id"].sort_index().equals(
+            pb["shard_id"].sort_index())
+
+    def test_rejects_bad_target(self, spark):
+        df, _ = _docs(spark, n=10)
+        with pytest.raises(ValueError):
+            shard_assign(df, "sz", 0)
+
+
+class TestShardManifest:
+    def test_manifest_reconciles_and_pins_boundaries(self, spark):
+        df, pdf = _docs(spark)
+        assigned = shard_assign(df, "sz", 5000, strata=["lang"], seed=7,
+                                portable=True, keep_order=True)
+        man = shard_manifest(assigned, "sz", strata=["lang"], seed=7,
+                             portable=True).toPandas()
+        # totals reconcile with the input
+        sizes = pdf["sz"].fillna(0).clip(lower=0).astype(int)
+        assert man["n_items"].sum() == len(pdf)
+        assert man["shard_bytes"].sum() == sizes.sum()
+        # every shard except a stratum's last is >= target at its end:
+        # the boundary row law means shard k starts strictly under
+        # (k+1)*target, so cumulative bytes through shard k >= k*target
+        for lang, g in man.groupby("lang"):
+            g = g.sort_values("shard_id").reset_index(drop=True)
+            assert list(g["shard_id"]) == list(range(len(g)))
+            cum = 0
+            for _, r in g.iterrows():
+                assert cum <= (r.shard_id + 1) * 5000 - 1
+                cum += r.shard_bytes
+        # boundary ids are the hash-order extremes per shard
+        order = {
+            did: hashlib.md5(f"{did}:7".encode()).hexdigest()
+            for did in pdf["doc_id"]
+        }
+        rows = shard_assign(df, "sz", 5000, strata=["lang"], seed=7,
+                            portable=True).select(
+            "lang", "doc_id", "shard_id").toPandas()
+        for (lang, sid), g in rows.groupby(["lang", "shard_id"]):
+            ids = sorted(g["doc_id"], key=lambda d: order[d])
+            mrow = man[(man.lang == lang) & (man.shard_id == sid)]
+            assert mrow["first_id"].iloc[0] == ids[0]
+            assert mrow["last_id"].iloc[0] == ids[-1]
+
+    def test_manifest_without_kept_order(self, spark):
+        df, _ = _docs(spark, n=120)
+        assigned = shard_assign(df, "sz", 4000, seed=9, portable=True)
+        assert "__ord" not in assigned.columns
+        man = shard_manifest(assigned, "sz", seed=9, portable=True)
+        assert man.count() > 0
