@@ -3535,6 +3535,48 @@ def q_audio_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_snr.unionByName(coin).orderBy("level")
 
 
+def q_speaker_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Speaker/recording-family balancing: cap each mel-embedding
+    near-dup CLUSTER's contribution to the corpus cut (cap=2, portable
+    md5 order) so one prolific voice or re-upload family cannot dominate
+    training — embed_near_dup → large/small-star components →
+    balance_by_cluster, i.e. the dedup ladder reused as a sampling key.
+    Output pins EXACT kept membership per cluster (kept_ids), so any
+    row crossing the cap line flips the driver hash.  Twin: the shared
+    embed-pair law + plain-Python union-find + md5-order cap."""
+    from data_quality_spark.operators.audio_embed import embed_near_dup
+    from data_quality_spark.operators.cluster import balance_by_cluster
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_noise_corpus
+
+    ensure_expected("speaker_balance", sf_dir)
+    key = ("noise", 200, 42)
+    if key not in _CLIPS_CACHE:
+        _CLIPS_CACHE[key] = make_audio_noise_corpus(200, seed=42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(
+        _CLIPS_CACHE[key][cols], CLIPS_SCHEMA
+    ).repartition(8, "clip_id")
+    pairs = embed_near_dup(clips)
+    bal = balance_by_cluster(
+        clips, "clip_id", pairs, cap=2, seed=5, portable=True
+    )
+    return (
+        bal.groupBy("cluster_rep")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum(F.col("keep").cast("long")).cast("long").alias("n_kept"),
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("keep"), F.col("clip_id")))
+                ),
+                ",",
+            ).alias("kept_ids"),
+        )
+        .orderBy("cluster_rep")
+    )
+
+
 def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calibration curve for the trained classifier: exact score-decile
     buckets (ntile over (z DESC, id) — fully deterministic) × observed
@@ -3840,6 +3882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_calibration": q_quality_calibration,
         "gate_distill": q_gate_distill,
         "audio_embed_dedup": q_audio_embed_dedup,
+        "speaker_balance": q_speaker_balance,
         "audio_mel": q_audio_mel,
         "audio_dedup_resolve": q_audio_dedup_resolve,
         "audio_noise_robustness": q_audio_noise_robustness,
@@ -5862,6 +5905,7 @@ ORDER BY d.doc_id""",
         "quality_calibration": _expected_sql("quality_calibration"),
         "gate_distill": _expected_sql("gate_distill"),
         "audio_embed_dedup": _expected_sql("audio_embed_dedup"),
+        "speaker_balance": _expected_sql("speaker_balance"),
         "audio_mel": _expected_sql("audio_mel"),
         "audio_dedup_resolve": _expected_sql("audio_dedup_resolve"),
         "audio_noise_robustness": _expected_sql("audio_noise_robustness"),

@@ -44,6 +44,7 @@ __all__ = [
     "cluster_members",
     "resolve_duplicates",
     "split_by_cluster",
+    "balance_by_cluster",
 ]
 
 
@@ -238,4 +239,58 @@ def split_by_cluster(
             ).otherwise(F.lit("train")),
         )
         .drop("component", "__rep")
+    )
+
+
+def balance_by_cluster(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    cap: int,
+    seed: int = 0,
+    portable: bool = False,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Per-cluster contribution cap: keep at most ``cap`` rows from each
+    duplicate/speaker cluster of the pair graph, chosen by deterministic
+    hash order (ties by id) — the speaker-balancing cut an ASR corpus
+    needs so one prolific voice (or one re-uploaded recording family)
+    cannot dominate training.  Rows in no cluster are their own singleton
+    cluster and survive whenever ``cap >= 1``.
+
+    Output: all ``df`` columns + ``cluster_rep`` (component min-id, or the
+    row's own id for singletons), ``cluster_size`` (1 for singletons),
+    ``sample_rank`` (1-based within cluster in hash order) and ``keep``
+    (= rank <= cap).  Membership is a pure function of (graph, id, seed):
+    repartitioning or re-running cannot move a row across the cap line.
+
+    Shuffle budget: the star rounds on the (tiny) pair graph, one id-keyed
+    join of the assignment relation onto ``df``, one exchange on
+    ``cluster_rep`` for the rank window.  The window partitions are
+    cluster-sized — bounded by the dup family's own guards — never the
+    corpus; singletons are rank-1 by construction but flow through the
+    same window so the law stays one expression.
+    """
+    from .sampling import sample_order_col
+
+    if cap <= 0:
+        raise ValueError(f"cap must be positive, got {cap}")
+    members = cluster_members(pairs, src, dst).withColumnRenamed(
+        "node", id_col
+    )
+    rep = F.coalesce(
+        F.col("component").cast("string"), F.col(id_col).cast("string")
+    )
+    order = sample_order_col(F.col(id_col), seed, portable)
+    w = Window.partitionBy("cluster_rep").orderBy(order, F.col(id_col))
+    return (
+        df.join(members, id_col, "left")
+        .withColumn("cluster_rep", rep)
+        .withColumn(
+            "cluster_size", F.coalesce("cluster_size", F.lit(1)).cast("long")
+        )
+        .withColumn("sample_rank", F.row_number().over(w))
+        .withColumn("keep", F.col("sample_rank") <= F.lit(int(cap)))
+        .drop("component")
     )

@@ -2546,13 +2546,12 @@ def _gate_distill_expected(n=1200, seed=42) -> dict:
     return _clf_report_rows(sig, w, ids)
 
 
-def _audio_embed_dedup_expected(n=200, seed=42) -> dict:
-    """Twin of q_audio_embed_dedup: shared decode/log_mel/profile-stat
-    kernels (the mel byte-hash oracle owns their correctness); the SRP
-    projections (index-order plain-float folds matching zip_with +
-    aggregate), sign/bit packing, hot-bucket guard, candidate join,
-    profile-NCC prune, aligned trajectory verify, and the per-SNR /
-    coincidence accounting replayed independently in pure Python."""
+def _embed_pairs_twin(pdf) -> tuple[set, set]:
+    """Shared pair-stage twin of ``embed_near_dup`` (see
+    ``_audio_embed_dedup_expected`` for the full law description):
+    returns (verified pair set, decodable clip-id set).  Used by both the
+    embed-dedup accounting oracle and the speaker-balance oracle so the
+    two queries pin the SAME pair law."""
     import numpy as np
 
     from .functions.audio import _decode_i16
@@ -2562,9 +2561,7 @@ def _audio_embed_dedup_expected(n=200, seed=42) -> dict:
         PROFILE_NCC_MIN, TRAJ_NCC_MIN, _profile_stats,
     )
     from .operators.similarity import _hyperplanes
-    from .synth import make_audio_noise_corpus
 
-    pdf = make_audio_noise_corpus(n, seed=seed)
     rel = {}
     for _, r in pdf.iterrows():
         try:
@@ -2625,6 +2622,20 @@ def _audio_embed_dedup_expected(n=200, seed=42) -> dict:
         traj = float((x * y).sum() / den) if den > 0 else 0.0
         if traj >= TRAJ_NCC_MIN:
             pairs.add((ida, idb))
+    return pairs, set(rel.keys())
+
+
+def _audio_embed_dedup_expected(n=200, seed=42) -> dict:
+    """Twin of q_audio_embed_dedup: shared decode/log_mel/profile-stat
+    kernels (the mel byte-hash oracle owns their correctness); the SRP
+    projections (index-order plain-float folds matching zip_with +
+    aggregate), sign/bit packing, hot-bucket guard, candidate join,
+    profile-NCC prune, aligned trajectory verify, and the per-SNR /
+    coincidence accounting replayed independently in pure Python."""
+    from .synth import make_audio_noise_corpus
+
+    pdf = make_audio_noise_corpus(n, seed=seed)
+    pairs, rel = _embed_pairs_twin(pdf)
 
     seeded = {}
     for cid in rel:
@@ -2654,6 +2665,54 @@ def _audio_embed_dedup_expected(n=200, seed=42) -> dict:
         out["level"].append(level)
         out["n_pairs"].append(npairs)
         out["n_caught"].append(ncaught)
+    return out
+
+
+def _speaker_balance_expected(n=200, seed=42, cap=2, bal_seed=5) -> dict:
+    """Twin of q_speaker_balance: the shared embed-pair law
+    (``_embed_pairs_twin``), then plain-Python union-find over the pair
+    graph (component label = min id — the large/small-star fixed point),
+    singleton clusters for unpaired clips, and the per-cluster cap in
+    (md5(id:seed), id) order.  kept_ids pins EXACT kept membership per
+    cluster, so one row crossing the cap line anywhere flips the hash."""
+    import hashlib
+
+    from .synth import make_audio_noise_corpus
+
+    pdf = make_audio_noise_corpus(n, seed=seed)
+    pairs, _ = _embed_pairs_twin(pdf)
+
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    groups: dict[str, list[str]] = {}
+    for cid in (str(c) for c in pdf["clip_id"]):
+        groups.setdefault(find(cid), []).append(cid)
+
+    out = {"cluster_rep": [], "n_members": [], "n_kept": [], "kept_ids": []}
+    for rep in sorted(groups):
+        members = groups[rep]
+        order = sorted(
+            members,
+            key=lambda c: (
+                hashlib.md5(f"{c}:{bal_seed}".encode()).hexdigest(), c
+            ),
+        )
+        kept = sorted(order[:cap])
+        out["cluster_rep"].append(rep)
+        out["n_members"].append(len(members))
+        out["n_kept"].append(len(kept))
+        out["kept_ids"].append(",".join(kept))
     return out
 
 
@@ -5616,6 +5675,10 @@ _SCHEMAS: dict[str, pa.Schema] = {
         [("level", pa.string()), ("n_pairs", pa.int64()),
          ("n_caught", pa.int64())]
     ),
+    "speaker_balance": pa.schema(
+        [("cluster_rep", pa.string()), ("n_members", pa.int64()),
+         ("n_kept", pa.int64()), ("kept_ids", pa.string())]
+    ),
     "quality_calibration": pa.schema(
         [("bucket", pa.int32()), ("n_docs", pa.int64()),
          ("n_pass", pa.int64()), ("pass_rate", pa.float64()),
@@ -6425,6 +6488,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _gate_distill_expected()
     elif name == "audio_embed_dedup":
         data = _audio_embed_dedup_expected()
+    elif name == "speaker_balance":
+        data = _speaker_balance_expected()
     elif name == "lsh_tuning":
         data = _lsh_tuning_expected(sf_dir)
     elif name == "audio_hum":

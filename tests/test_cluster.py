@@ -185,6 +185,72 @@ class TestSplitByCluster:
         assert all(got2[d] == got[d] for d in got), "existing rows reassigned"
 
 
+class TestBalanceByCluster:
+    def _docs(self, spark, n=40):
+        return spark.createDataFrame(
+            [(i, f"text {i}") for i in range(n)], "doc_id long, text string"
+        )
+
+    def _pairs(self, spark):
+        # one 5-chain, one triangle, one pair
+        return spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12),
+             (20, 21)],
+            "id_a long, id_b long",
+        )
+
+    def test_cap_law_vs_python_twin(self, spark):
+        import hashlib
+
+        from data_quality_spark.operators.cluster import balance_by_cluster
+
+        got = balance_by_cluster(
+            self._docs(spark), "doc_id", self._pairs(spark), cap=2,
+            seed=9, portable=True,
+        ).collect()
+        comp = {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 10: 10, 11: 10, 12: 10,
+                20: 20, 21: 20}
+        groups: dict[str, list[int]] = {}
+        for did in range(40):
+            groups.setdefault(str(comp.get(did, did)), []).append(did)
+        want_keep = {}
+        for rep, members in groups.items():
+            order = sorted(
+                members,
+                key=lambda d: (
+                    hashlib.md5(f"{d}:9".encode()).hexdigest(), d),
+            )
+            for rank, d in enumerate(order, start=1):
+                want_keep[d] = rank <= 2
+        by_id = {r["doc_id"]: r for r in got}
+        assert len(by_id) == 40
+        for did, r in by_id.items():
+            assert r["cluster_rep"] == str(comp.get(did, did)), did
+            assert r["keep"] == want_keep[did], did
+            assert r["cluster_size"] == len(groups[r["cluster_rep"]]) if \
+                did in comp else r["cluster_size"] == 1
+        # cap respected, singletons always kept at cap>=1
+        kept = [d for d, r in by_id.items() if r["keep"]]
+        for rep, members in groups.items():
+            assert sum(1 for d in members if d in kept) == min(
+                2, len(members))
+
+    def test_partition_invariance_and_bad_cap(self, spark):
+        from data_quality_spark.operators.cluster import balance_by_cluster
+
+        docs = self._docs(spark)
+        a = balance_by_cluster(
+            docs, "doc_id", self._pairs(spark), cap=1, seed=4)
+        b = balance_by_cluster(
+            docs.repartition(17), "doc_id", self._pairs(spark), cap=1,
+            seed=4)
+        ka = {r["doc_id"]: r["keep"] for r in a.collect()}
+        kb = {r["doc_id"]: r["keep"] for r in b.collect()}
+        assert ka == kb
+        with pytest.raises(ValueError):
+            balance_by_cluster(docs, "doc_id", self._pairs(spark), cap=0)
+
+
 def test_semantic_prune_keeps_one_per_cluster(spark):
     import numpy as np
 
