@@ -3577,6 +3577,23 @@ def q_speaker_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_codec_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-decode payload triage: declared codec vs byte-level evidence
+    (RIFF magic + header fields via hex/conv byte extraction, exact-
+    integer length grids) — the north star's codec sanity as a classified
+    (codec x evidence class) confusion relation instead of one opaque
+    decode_failed bit.  Pure Catalyst: zero Python, zero decode, one tiny
+    map-side-combined rollup; at 10^12 clips this is the cheap triage
+    stage ahead of the mapInArrow decode.  Catches what decode HIDES:
+    odd pcm16 byte counts (silently truncated), RIFF containers declared
+    raw (decode succeeds with garbage).  Twin: struct.unpack header walk
+    + Python-int grid replay per clip."""
+    from data_quality_spark.operators.payload_audit import payload_confusion
+
+    ensure_expected("codec_sniff", sf_dir)
+    return payload_confusion(_clips_df(spark, n=1200))
+
+
 def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calibration curve for the trained classifier: exact score-decile
     buckets (ntile over (z DESC, id) — fully deterministic) × observed
@@ -3883,6 +3900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gate_distill": q_gate_distill,
         "audio_embed_dedup": q_audio_embed_dedup,
         "speaker_balance": q_speaker_balance,
+        "codec_sniff": q_codec_sniff,
         "audio_mel": q_audio_mel,
         "audio_dedup_resolve": q_audio_dedup_resolve,
         "audio_noise_robustness": q_audio_noise_robustness,
@@ -5906,6 +5924,7 @@ ORDER BY d.doc_id""",
         "gate_distill": _expected_sql("gate_distill"),
         "audio_embed_dedup": _expected_sql("audio_embed_dedup"),
         "speaker_balance": _expected_sql("speaker_balance"),
+        "codec_sniff": _expected_sql("codec_sniff"),
         "audio_mel": _expected_sql("audio_mel"),
         "audio_dedup_resolve": _expected_sql("audio_dedup_resolve"),
         "audio_noise_robustness": _expected_sql("audio_noise_robustness"),

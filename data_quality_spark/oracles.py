@@ -2716,6 +2716,102 @@ def _speaker_balance_expected(n=200, seed=42, cap=2, bal_seed=5) -> dict:
     return out
 
 
+def _codec_sniff_classify(
+    data, codec, sr: int | None, dur: int | None
+) -> str:
+    """Independent plain-Python replay of the payload-triage evidence
+    ladder (struct-based header walk, exact-integer grid arithmetic) —
+    does NOT call the operator's Column builder."""
+    import struct
+
+    if data is None or len(data) == 0:
+        return "empty_payload"
+    if codec not in ("pcm16", "mulaw", "wav"):
+        return "codec_unknown"
+    if sr is None or sr <= 0 or sr > 384000:
+        return "sr_invalid"
+    blen = len(data)
+    n_exp = (int(dur) * int(sr) + 500) // 1000
+    slack = -(-int(sr) // 1000)  # ceil
+
+    def off_grid(samples: int) -> bool:
+        return abs(samples - n_exp) > slack
+
+    is_riff = blen >= 12 and data[0:4] == b"RIFF" and data[8:12] == b"WAVE"
+    if codec == "wav":
+        if not is_riff or blen < 44:
+            return "bad_container"
+        fmt_size = struct.unpack("<I", data[16:20])[0]
+        dsize = struct.unpack("<I", data[40:44])[0]
+        canonical = (
+            data[12:16] == b"fmt " and fmt_size == 16
+            and data[36:40] == b"data"
+            and dsize + 44 <= blen <= dsize + 45
+        )
+        if not canonical:
+            return "noncanonical_wav"
+        fmt_code, channels = struct.unpack("<HH", data[20:24])
+        hdr_sr = struct.unpack("<I", data[24:28])[0]
+        bits = struct.unpack("<H", data[34:36])[0]
+        if fmt_code != 1 or channels != 1 or bits != 16:
+            return "unsupported_wav"
+        if hdr_sr != sr:
+            return "header_sr_mismatch"
+        if off_grid(dsize // 2):
+            return "length_mismatch"
+        return "ok"
+    if is_riff:
+        return "container_in_raw"
+    if codec == "pcm16":
+        if blen % 2 != 0:
+            return "odd_length"
+        if off_grid(blen // 2):
+            return "length_mismatch"
+        return "ok"
+    if off_grid(blen):
+        return "length_mismatch"
+    return "ok"
+
+
+# spec copy of the operator's severity law (gate DROP_RULES convention)
+_SNIFF_SEVERITY = {
+    "empty_payload": "critical", "codec_unknown": "critical",
+    "sr_invalid": "critical", "bad_container": "critical",
+    "unsupported_wav": "critical", "header_sr_mismatch": "critical",
+    "container_in_raw": "critical", "noncanonical_wav": "warning",
+    "odd_length": "warning", "length_mismatch": "warning", "ok": "info",
+}
+
+
+def _codec_sniff_expected(n=1200, seed=42) -> dict:
+    """Twin of q_codec_sniff: the byte-evidence ladder replayed per clip
+    with struct.unpack + Python ints, rolled into the (codec, class)
+    confusion cells with min-id examples."""
+    from .synth import generate_clips
+
+    pdf = generate_clips(n, seed=seed)
+    cells: dict[tuple[str, str], list] = {}
+    for _, r in pdf.iterrows():
+        cls = _codec_sniff_classify(
+            r["bytes"], r["codec"], int(r["sr_hz"]), int(r["dur_ms"])
+        )
+        key = (str(r["codec"]), cls)
+        cid = str(r["clip_id"])
+        if key not in cells:
+            cells[key] = [0, cid]
+        cells[key][0] += 1
+        cells[key][1] = min(cells[key][1], cid)
+    out = {"codec": [], "payload_class": [], "payload_severity": [],
+           "n": [], "example_clip": []}
+    for (codec, cls) in sorted(cells):
+        out["codec"].append(codec)
+        out["payload_class"].append(cls)
+        out["payload_severity"].append(_SNIFF_SEVERITY[cls])
+        out["n"].append(cells[(codec, cls)][0])
+        out["example_clip"].append(cells[(codec, cls)][1])
+    return out
+
+
 def _quality_calibration_expected(sf_dir: str, n_buckets: int = 10) -> dict:
     """Twin of q_quality_calibration: Spark's NTILE law replayed over
     (z DESC, doc_id ASC) — n//B (+1 for the first n%B buckets) rows per
@@ -5675,6 +5771,11 @@ _SCHEMAS: dict[str, pa.Schema] = {
         [("level", pa.string()), ("n_pairs", pa.int64()),
          ("n_caught", pa.int64())]
     ),
+    "codec_sniff": pa.schema(
+        [("codec", pa.string()), ("payload_class", pa.string()),
+         ("payload_severity", pa.string()), ("n", pa.int64()),
+         ("example_clip", pa.string())]
+    ),
     "speaker_balance": pa.schema(
         [("cluster_rep", pa.string()), ("n_members", pa.int64()),
          ("n_kept", pa.int64()), ("kept_ids", pa.string())]
@@ -6490,6 +6591,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_embed_dedup_expected()
     elif name == "speaker_balance":
         data = _speaker_balance_expected()
+    elif name == "codec_sniff":
+        data = _codec_sniff_expected()
     elif name == "lsh_tuning":
         data = _lsh_tuning_expected(sf_dir)
     elif name == "audio_hum":
