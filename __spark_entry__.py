@@ -550,6 +550,38 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dq_docs.bpe_token_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED BPE tokenizer (Sennrich'16), the distributed-trainer shape:
+    corpus word count = ONE map-side-combined shuffle (the only
+    data-scale stage), deterministic (n DESC, word ASC) top-V capture
+    via TakeOrderedAndProject, then the written-spec merge loop over the
+    bounded word dictionary.  Output: the learned merge table itself —
+    rank, pair, merged symbol, pair count.  Twin: independent pyarrow +
+    Counter re-derivation of words, capture, and every merge."""
+    from data_quality_spark.operators.bpe_train import learn_bpe, merges_report
+
+    ensure_expected("bpe_merges", sf_dir)
+    merges = learn_bpe(_t(spark, sf_dir, "documents"))
+    return merges_report(spark, merges)
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide encoding under the LEARNED merges: per-language
+    tokenizer yield (docs, words, tokens incl. </w>, word chars) as
+    exact integers.  Encoder is map-only mapInPandas with per-batch
+    distinct-word memoization; rollup is one tiny shuffle.  Twin
+    re-learns the merges and replays the greedy lowest-rank encoder
+    per document."""
+    from data_quality_spark.operators.bpe_train import (
+        bpe_encode_stats,
+        learn_bpe,
+    )
+
+    ensure_expected("bpe_encode", sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_encode_stats(docs, learn_bpe(docs))
+
+
 def q_stopword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dq_docs.stopword_stats(_t(spark, sf_dir, "documents"))
 
@@ -3785,6 +3817,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freshness": q_freshness,
         "token_stats": q_token_stats,
         "bpe_token_stats": q_bpe_token_stats,
+        "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
         "stopword_stats": q_stopword_stats,
         "quality_buckets": q_quality_buckets,
         "langid_sql": q_langid_sql,
@@ -5925,6 +5959,8 @@ ORDER BY d.doc_id""",
         "audio_embed_dedup": _expected_sql("audio_embed_dedup"),
         "speaker_balance": _expected_sql("speaker_balance"),
         "codec_sniff": _expected_sql("codec_sniff"),
+        "bpe_merges": _expected_sql("bpe_merges"),
+        "bpe_encode": _expected_sql("bpe_encode"),
         "audio_mel": _expected_sql("audio_mel"),
         "audio_dedup_resolve": _expected_sql("audio_dedup_resolve"),
         "audio_noise_robustness": _expected_sql("audio_noise_robustness"),

@@ -2812,6 +2812,135 @@ def _codec_sniff_expected(n=1200, seed=42) -> dict:
     return out
 
 
+# spec copies of the bpe_train query constants (operators/bpe_train.py)
+_BPE_NUM_MERGES = 100
+_BPE_TOP_WORDS = 50_000
+_BPE_MIN_COUNT = 2
+_BPE_END = "</w>"
+_BPE_WORD_RE = r"[^ \t\n\r\f\x0b]+"  # complement of the pinned ws class
+
+
+def _bpe_twin_learn(sf_dir: str):
+    """Independent replay of the BPE written spec: pyarrow word Counter,
+    (n DESC, word ASC) top-V capture, tuple-keyed aggregated vocab,
+    zip-pair counting, min-key selection — structurally distinct from the
+    operator's list-per-word trainer."""
+    import re
+    from collections import Counter
+
+    wc: Counter = Counter()
+    for _id, text in _read_documents(sf_dir):
+        if text:
+            wc.update(re.findall(_BPE_WORD_RE, text))
+    top = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))
+    top = top[:_BPE_TOP_WORDS]
+    # aggregate identical symbol sequences (the operator keeps them
+    # per-word; counts are additive either way)
+    vocab: dict[tuple, int] = {}
+    for w, c in top:
+        key = tuple(w) + (_BPE_END,)
+        vocab[key] = vocab.get(key, 0) + c
+    merges = []
+    for _ in range(_BPE_NUM_MERGES):
+        pairs: Counter = Counter()
+        for syms, c in vocab.items():
+            for p in zip(syms, syms[1:]):
+                pairs[p] += c
+        if not pairs:
+            break
+        (left, right), n = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if n < _BPE_MIN_COUNT:
+            break
+        merges.append((left, right, left + right, n))
+        nxt: dict[tuple, int] = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == left
+                        and syms[i + 1] == right):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            nxt[key] = nxt.get(key, 0) + c
+        vocab = nxt
+    return merges
+
+
+def _bpe_merges_expected(sf_dir: str) -> dict:
+    merges = _bpe_twin_learn(sf_dir)
+    return {
+        "rank": list(range(len(merges))),
+        "left": [m[0] for m in merges],
+        "right": [m[1] for m in merges],
+        "merged": [m[2] for m in merges],
+        "pair_count": [m[3] for m in merges],
+    }
+
+
+def _bpe_twin_encode_len(word: str, ranks: dict) -> int:
+    """Independent greedy lowest-rank-first encoder (length only)."""
+    syms = list(word) + [_BPE_END]
+    while True:
+        cand = [
+            (ranks[p], p) for p in zip(syms, syms[1:]) if p in ranks
+        ]
+        if not cand:
+            return len(syms)
+        _, (lft, rgt) = min(cand)
+        # apply the chosen merge left-to-right non-overlapping
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == lft and syms[i + 1] == rgt:
+                out.append(lft + rgt)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+
+
+def _bpe_encode_expected(sf_dir: str) -> dict:
+    """Twin of q_bpe_encode: re-learn merges, replay the encoder per doc,
+    exact-int rollup by lang."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    merges = _bpe_twin_learn(sf_dir)
+    ranks = {(l, r): i for i, (l, r, _m, _n) in enumerate(merges)}
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "text"]
+    )
+    cache: dict[str, int] = {}
+    groups: dict[str, list[int]] = {}
+    for lang, text in zip(t.column("lang").to_pylist(),
+                          t.column("text").to_pylist()):
+        words = re.findall(_BPE_WORD_RE, text or "")
+        g = groups.setdefault(str(lang), [0, 0, 0, 0])
+        g[0] += 1
+        g[1] += len(words)
+        for w in words:
+            if w not in cache:
+                cache[w] = _bpe_twin_encode_len(w, ranks)
+            g[2] += cache[w]
+            g[3] += len(w)
+    out = {"lang": [], "n_docs": [], "total_words": [],
+           "total_tokens": [], "total_chars": []}
+    for lang in sorted(groups):
+        g = groups[lang]
+        out["lang"].append(lang)
+        out["n_docs"].append(g[0])
+        out["total_words"].append(g[1])
+        out["total_tokens"].append(g[2])
+        out["total_chars"].append(g[3])
+    return out
+
+
 def _quality_calibration_expected(sf_dir: str, n_buckets: int = 10) -> dict:
     """Twin of q_quality_calibration: Spark's NTILE law replayed over
     (z DESC, doc_id ASC) — n//B (+1 for the first n%B buckets) rows per
@@ -5776,6 +5905,16 @@ _SCHEMAS: dict[str, pa.Schema] = {
          ("payload_severity", pa.string()), ("n", pa.int64()),
          ("example_clip", pa.string())]
     ),
+    "bpe_merges": pa.schema(
+        [("rank", pa.int32()), ("left", pa.string()),
+         ("right", pa.string()), ("merged", pa.string()),
+         ("pair_count", pa.int64())]
+    ),
+    "bpe_encode": pa.schema(
+        [("lang", pa.string()), ("n_docs", pa.int64()),
+         ("total_words", pa.int64()), ("total_tokens", pa.int64()),
+         ("total_chars", pa.int64())]
+    ),
     "speaker_balance": pa.schema(
         [("cluster_rep", pa.string()), ("n_members", pa.int64()),
          ("n_kept", pa.int64()), ("kept_ids", pa.string())]
@@ -6449,7 +6588,8 @@ def _src_key(name: str, sf_dir: str | None) -> dict | None:
         "ann_recall", "dedup_clusters", "dedup_resolve", "dsir_weights",
         "lsh_tuning", "semantic_prune", "corpus_overlap", "text_normalize",
         "ann_pq_topk", "ann_pq_recall", "quality_classifier",
-        "quality_calibration", "compression_ratio",
+        "quality_calibration", "compression_ratio", "bpe_merges",
+        "bpe_encode",
     ):
         table = (
             "embeddings"
@@ -6593,6 +6733,10 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _speaker_balance_expected()
     elif name == "codec_sniff":
         data = _codec_sniff_expected()
+    elif name == "bpe_merges":
+        data = _bpe_merges_expected(sf_dir)
+    elif name == "bpe_encode":
+        data = _bpe_encode_expected(sf_dir)
     elif name == "lsh_tuning":
         data = _lsh_tuning_expected(sf_dir)
     elif name == "audio_hum":
