@@ -1149,6 +1149,26 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination (the big-eval-set scale path):
+    eval grams fold into a broadcast bitset (~1.5 B/gram), corpus grams
+    discard map-side with ZERO false negatives, and only the surviving
+    sliver reaches the exact verify join — with the prefilter's false
+    positives reported as data (bloom_* − confirmed_*), never assumed
+    from the formula.  Positions are JVM-side xxhash64 folds; the
+    vectorized-UDF membership path (the GB-bitset design point) is the
+    one under test, and a pytest proves it equal to the pure-Catalyst
+    binary-literal path.  Twin: from-spec XXH64 + bitset replay."""
+    from data_quality_spark.operators.bloom_decon import (
+        bloom_decontamination_report,
+    )
+
+    ensure_expected("bloom_decontaminate", sf_dir)
+    return bloom_decontamination_report(
+        _t(spark, sf_dir, "documents"), "src0", n=4
+    )
+
+
 def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dq_docs.fingerprint_stats(_t(spark, sf_dir, "documents"))
 
@@ -3831,6 +3851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "template_spam": q_template_spam,
         "repetition_stats": q_repetition_stats,
         "decontamination": q_decontamination,
+        "bloom_decontaminate": q_bloom_decontaminate,
         "corpus_funnel": q_corpus_funnel,
         "quality_score": q_quality_score,
         "ccnet_buckets": q_ccnet_buckets,
@@ -5615,6 +5636,7 @@ FROM t GROUP BY lang ORDER BY lang""",
         "template_spam": _template_spam_oracle(),
         "repetition_stats": _repetition_stats_oracle(),
         "decontamination": _decontamination_oracle(),
+        "bloom_decontaminate": _expected_sql("bloom_decontaminate"),
         "corpus_funnel": _corpus_funnel_oracle(),
         "quality_score": _quality_score_oracle(),
         "ccnet_buckets": _ccnet_buckets_oracle(),

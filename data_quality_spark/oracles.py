@@ -2941,6 +2941,95 @@ def _bpe_encode_expected(sf_dir: str) -> dict:
     return out
 
 
+# spec copies of the bloom_decontaminate query constants
+_BLOOM_N = 4
+_BLOOM_BPK = 12
+_BLOOM_K = 6
+_BLOOM_SRC = "src0"
+
+
+def _bloom_grams(text: str | None, n: int) -> set:
+    """Replay of quality_filters.word_ngrams (lower/trim/\\s+ split,
+    space-joined), deduplicated as the report's distinct() does."""
+    import re
+
+    toks = [
+        w
+        for w in re.split(
+            "[ \t\n\x0b\f\r]+", (text or "").strip().lower()
+        )
+        if w
+    ]
+    return {
+        " ".join(toks[i: i + n]) for i in range(len(toks) - n + 1)
+    }
+
+
+def _bloom_decon_expected(sf_dir: str) -> dict:
+    """Twin of q_bloom_decontaminate: from-spec XXH64 column fold →
+    positions → bitset membership → exact verify, per-source ints."""
+    import pyarrow.parquet as pq
+
+    from .functions.xxh64 import xxh64_long, xxh64_string
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "text"],
+    )
+    rows = list(
+        zip(
+            t.column("doc_id").to_pylist(),
+            t.column("source").to_pylist(),
+            t.column("text").to_pylist(),
+        )
+    )
+    bench_set: set = set()
+    for _id, src, text in rows:
+        if src == _BLOOM_SRC:
+            bench_set |= _bloom_grams(text, _BLOOM_N)
+    m = max(64, ((_BLOOM_BPK * max(len(bench_set), 1) + 63) // 64) * 64)
+
+    def positions(gram: str) -> list[int]:
+        h = xxh64_string(gram, 42)
+        out = []
+        for i in range(_BLOOM_K):
+            out.append(xxh64_long(i, h) % m)
+        return out
+
+    bits: set = set()
+    for g in bench_set:
+        bits.update(positions(g))
+
+    groups: dict[str, list[int]] = {}
+    for _id, src, text in rows:
+        if src == _BLOOM_SRC:
+            continue
+        g = groups.setdefault(str(src), [0, 0, 0, 0, 0])
+        g[0] += 1
+        grams = _bloom_grams(text, _BLOOM_N)
+        bloom_hits = [
+            gr for gr in grams if all(p in bits for p in positions(gr))
+        ]
+        confirmed = [gr for gr in bloom_hits if gr in bench_set]
+        if bloom_hits:
+            g[1] += 1
+        if confirmed:
+            g[2] += 1
+        g[3] += len(bloom_hits)
+        g[4] += len(confirmed)
+    out = {"source": [], "n_docs": [], "bloom_docs": [],
+           "confirmed_docs": [], "bloom_grams": [], "confirmed_grams": []}
+    for src in sorted(groups):
+        g = groups[src]
+        out["source"].append(src)
+        out["n_docs"].append(g[0])
+        out["bloom_docs"].append(g[1])
+        out["confirmed_docs"].append(g[2])
+        out["bloom_grams"].append(g[3])
+        out["confirmed_grams"].append(g[4])
+    return out
+
+
 def _quality_calibration_expected(sf_dir: str, n_buckets: int = 10) -> dict:
     """Twin of q_quality_calibration: Spark's NTILE law replayed over
     (z DESC, doc_id ASC) — n//B (+1 for the first n%B buckets) rows per
@@ -5915,6 +6004,11 @@ _SCHEMAS: dict[str, pa.Schema] = {
          ("total_words", pa.int64()), ("total_tokens", pa.int64()),
          ("total_chars", pa.int64())]
     ),
+    "bloom_decontaminate": pa.schema(
+        [("source", pa.string()), ("n_docs", pa.int64()),
+         ("bloom_docs", pa.int64()), ("confirmed_docs", pa.int64()),
+         ("bloom_grams", pa.int64()), ("confirmed_grams", pa.int64())]
+    ),
     "speaker_balance": pa.schema(
         [("cluster_rep", pa.string()), ("n_members", pa.int64()),
          ("n_kept", pa.int64()), ("kept_ids", pa.string())]
@@ -6589,7 +6683,7 @@ def _src_key(name: str, sf_dir: str | None) -> dict | None:
         "lsh_tuning", "semantic_prune", "corpus_overlap", "text_normalize",
         "ann_pq_topk", "ann_pq_recall", "quality_classifier",
         "quality_calibration", "compression_ratio", "bpe_merges",
-        "bpe_encode",
+        "bpe_encode", "bloom_decontaminate",
     ):
         table = (
             "embeddings"
@@ -6737,6 +6831,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _bpe_merges_expected(sf_dir)
     elif name == "bpe_encode":
         data = _bpe_encode_expected(sf_dir)
+    elif name == "bloom_decontaminate":
+        data = _bloom_decon_expected(sf_dir)
     elif name == "lsh_tuning":
         data = _lsh_tuning_expected(sf_dir)
     elif name == "audio_hum":
