@@ -1649,6 +1649,30 @@ def q_audio_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+def q_audio_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recording-channel (room-tone) clustering: clips from the same
+    session — DIFFERENT content, same mic/room — clustered by their
+    VAD-inactive noise-floor spectrum (minimum-statistics floor pool,
+    guard-banded against content ramps).  The leakage axis content dedup
+    cannot see.  One mapInArrow decode pass → 128-byte profiles; the
+    double-grid tilt key is 1-D-exact; digital-silence and too-short
+    controls must NOT cluster.  Hash-checked against a pure-Python twin
+    replaying bucketing, left-fold L2 verify, and union-find."""
+    from data_quality_spark.operators.audio_channel import channel_clusters
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_channel_corpus
+
+    ensure_expected("audio_channel", sf_dir)
+    key = ("chan", 10, 6, 42)
+    if key not in _CLIPS_CACHE:
+        _CLIPS_CACHE[key] = make_audio_channel_corpus(10, 6, seed=42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(
+        _CLIPS_CACHE[key][cols], CLIPS_SCHEMA
+    ).repartition(8, "clip_id")
+    return channel_clusters(clips)
+
+
 def q_audio_excerpt_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Offset-tolerant audio dedup: hop-aligned excerpts (trims/splits,
     half of them ALSO re-encoded) recovered via bucket-vote shift alignment
@@ -3895,6 +3919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_boilerplate": q_audio_boilerplate,
         "audio_quantization": q_audio_quantization,
         "audio_dedup_clusters": q_audio_dedup_clusters,
+        "audio_channel": q_audio_channel,
         "audio_excerpt_match": q_audio_excerpt_match,
         "audio_constellation_match": q_audio_constellation_match,
         "audio_spectral": q_audio_spectral,
@@ -5915,6 +5940,7 @@ FROM ranked WHERE rnk <= 3""",
         "audio_boilerplate": _expected_sql("audio_boilerplate"),
         "audio_quantization": _expected_sql("audio_quantization"),
         "audio_dedup_clusters": _expected_sql("audio_dedup_clusters"),
+        "audio_channel": _expected_sql("audio_channel"),
         "audio_excerpt_match": _expected_sql("audio_excerpt_match"),
         "audio_constellation_match": _expected_sql("audio_constellation_match"),
         "audio_spectral": _expected_sql("audio_spectral"),

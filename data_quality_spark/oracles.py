@@ -3925,6 +3925,71 @@ def _audio_dedup_clusters_expected(n=400, seed=42) -> dict:
     return out
 
 
+def _audio_channel_expected(
+    n_sessions=10, clips_per_session=6, seed=42, max_bucket=64
+) -> dict:
+    """Twin of ``audio_channel.channel_clusters`` over
+    ``synth.make_audio_channel_corpus``: the noise-profile kernel is
+    SHARED pure numpy (decode → VAD-inactive floor pool → log bands);
+    the relational half — double-grid tilt bucketing, peak-band family
+    split, per-bucket pair proposal with the skew guard, left-fold
+    squared-L2 verify, union-find closure — is replayed as explicit
+    Python loops.  A generation-time margin assert keeps every pair
+    decision far from DIST2_MAX so engine float jitter cannot flip the
+    accepted set."""
+    from .functions.audio import _decode_i16
+    from .functions.channel import (
+        DIST2_MAX,
+        channel_key_parts,
+        noise_profile,
+    )
+    from .synth import make_audio_channel_corpus
+
+    pdf = make_audio_channel_corpus(n_sessions, clips_per_session, seed)
+    profs: dict[str, list[float]] = {}
+    keys: dict[str, tuple[int, int, int]] = {}
+    for _, r in pdf.iterrows():
+        try:
+            x = _decode_i16(r["bytes"], r["codec"], r["sr_hz"])
+        except (ValueError, TypeError):
+            x = np.zeros(0, dtype=np.int16)
+        p, _nw = noise_profile(x, int(r["sr_hz"]))
+        if p is None:
+            continue
+        pk, c0, c1, _tilt = channel_key_parts(p)
+        profs[r["clip_id"]] = [float(v) for v in p]
+        keys[r["clip_id"]] = (pk, c0, c1)
+    buckets: dict[tuple[int, int, int], list[str]] = {}
+    for cid, (pk, c0, c1) in keys.items():
+        buckets.setdefault((0, c0, pk), []).append(cid)
+        buckets.setdefault((1, c1, pk), []).append(cid)
+    cand: set[tuple[str, str]] = set()
+    for members in buckets.values():
+        if 1 < len(members) <= max_bucket:
+            ms = sorted(set(members))
+            for i in range(len(ms)):
+                for j in range(i + 1, len(ms)):
+                    cand.add((ms[i], ms[j]))
+    pairs: list[tuple[str, str]] = []
+    for a, b in sorted(cand):
+        d2 = 0.0
+        for x1, y1 in zip(profs[a], profs[b]):
+            d2 = d2 + (x1 - y1) * (x1 - y1)
+        assert abs(d2 - DIST2_MAX) > 1e-6, (a, b, d2)
+        if d2 < DIST2_MAX:
+            pairs.append((a, b))
+    comp = _uf_min_components(pairs)
+    sizes: dict[str, int] = {}
+    for c in comp.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    out = {"clip_id": [], "channel": [], "cluster_size": []}
+    for node in sorted(comp):
+        out["clip_id"].append(node)
+        out["channel"].append(comp[node])
+        out["cluster_size"].append(sizes[comp[node]])
+    return out
+
+
 def _pq_topk_expected(vecs, m=16, ksub=256, iters=10, seed=11, sample=2048,
                       k=3) -> dict:
     """Twin of ``similarity.fit_pq_codebooks`` + ``pq_encode`` +
@@ -5820,6 +5885,10 @@ _SCHEMAS: dict[str, pa.Schema] = {
         [("clip_id", pa.string()), ("component", pa.string()),
          ("cluster_size", pa.int64())]
     ),
+    "audio_channel": pa.schema(
+        [("clip_id", pa.string()), ("channel", pa.string()),
+         ("cluster_size", pa.int64())]
+    ),
     "audio_fingerprint_dedup": pa.schema(
         [("id_a", pa.string()), ("id_b", pa.string()),
          ("ber_r", pa.float64())]
@@ -6765,6 +6834,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_quantization_expected()
     elif name == "audio_dedup_clusters":
         data = _audio_dedup_clusters_expected()
+    elif name == "audio_channel":
+        data = _audio_channel_expected()
     elif name == "audio_excerpt_match":
         data = _audio_excerpt_expected()
     elif name == "audio_constellation_match":

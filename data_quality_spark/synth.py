@@ -1714,3 +1714,114 @@ def make_audio_wm_robust_corpus(n: int = 120, seed: int = 42) -> pd.DataFrame:
                     "defect": f"wm_{armed}_{cfg}",
                 })
     return pd.DataFrame(rows, columns=base.columns)
+
+
+def _channel_noise(crng, n: int, alpha: float, res_frac: float,
+                   res_width: float, res_gain: float,
+                   rms_dbfs: float) -> np.ndarray:
+    """Session-colored room tone: white noise shaped by the session's
+    magnitude response — power-law tilt f^alpha plus one Gaussian
+    resonance bump at ``res_frac`` of Nyquist — then set to an exact
+    RMS.  The REALIZATION is per-clip (crng); only the shaping filter is
+    the session's."""
+    w = crng.standard_normal(n)
+    spec = np.fft.rfft(w)
+    f = np.linspace(0.0, 1.0, spec.size)
+    f[0] = f[1]  # keep DC finite; it carries ~no energy anyway
+    mag = f ** (alpha / 2.0)
+    mag *= np.sqrt(
+        1.0 + (res_gain - 1.0)
+        * np.exp(-((f - res_frac) ** 2) / (2.0 * res_width ** 2))
+    )
+    y = np.fft.irfft(spec * mag, n)
+    rms = float(np.sqrt(np.mean(y * y))) or 1.0
+    return y * (10.0 ** (rms_dbfs / 20.0) / rms)
+
+
+def make_audio_channel_corpus(
+    n_sessions: int = 10,
+    clips_per_session: int = 6,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Corpus for recording-channel (room-tone) clustering.
+
+    Each session owns a noise-shaping filter (deterministic tilt spread
+    across sessions + a session-specific resonance bump); every clip in
+    the session is DIFFERENT CONTENT (its own burst pattern and noise
+    realization) over that session's room tone at −52 dBFS, with ≥0.5 s
+    of tone-only head and tail so the VAD-inactive pool is ample.  Two
+    negative-control families are appended: ``digital_silence`` clips
+    (same bursts, exactly zero floor — no channel evidence, must NOT
+    cluster) and ``short_tone`` clips (too little inactive audio)."""
+    sr = 16000
+    rows: list[dict] = []
+    for s in range(n_sessions):
+        alpha = -1.6 + 3.2 * s / max(n_sessions - 1, 1)
+        res_frac = 0.10 + 0.80 * ((s * 7) % n_sessions) / n_sessions
+        res_width = 0.05 + 0.02 * (s % 3)
+        for c in range(clips_per_session):
+            crng = np.random.default_rng(seed * 100000 + s * 1000 + c)
+            n = 2 * sr
+            x = _channel_noise(
+                crng, n, alpha, res_frac, res_width, 8.0, -52.0
+            )
+            # content: 2-4 formant bursts inside [0.55 s, 1.45 s]
+            for _ in range(int(crng.integers(2, 5))):
+                b0 = int(crng.uniform(0.55, 1.25) * sr)
+                bl = int(crng.uniform(0.08, 0.20) * sr)
+                t = np.arange(bl) / sr
+                f0 = float(crng.uniform(120.0, 260.0))
+                burst = 0.25 * (
+                    np.sin(2 * np.pi * f0 * t)
+                    + 0.5 * np.sin(2 * np.pi * 2.7 * f0 * t)
+                )
+                x[b0: b0 + bl] += burst * np.hanning(bl)
+            rows.append({
+                "clip_id": f"ch{s:02d}c{c:02d}",
+                "bytes": A.encode_pcm16(np.clip(x, -0.999, 0.999)),
+                "sr_hz": sr,
+                "dur_ms": 2000,
+                "codec": "pcm16",
+                "transcript": f"session {s} clip {c}",
+                "ingest_day": "2026-01-01",
+                "defect": f"session_{s:02d}",
+            })
+    ctrl = np.random.default_rng(seed + 99)
+    for c in range(max(4, n_sessions // 2)):
+        n = 2 * sr
+        x = np.zeros(n, dtype=np.float64)
+        b0 = int(0.6 * sr)
+        t = np.arange(int(0.6 * sr)) / sr
+        x[b0: b0 + t.size] = 0.3 * np.sin(
+            2 * np.pi * float(ctrl.uniform(150, 400)) * t
+        )
+        rows.append({
+            "clip_id": f"ctrlz{c:02d}",
+            "bytes": A.encode_pcm16(x),
+            "sr_hz": sr,
+            "dur_ms": 2000,
+            "codec": "pcm16",
+            "transcript": "zero floor",
+            "ingest_day": "2026-01-01",
+            "defect": "digital_silence",
+        })
+        ns = int(0.1 * sr)
+        xs = _channel_noise(
+            np.random.default_rng(seed + 1000 + c), ns, 0.0, 0.5,
+            0.05, 2.0, -52.0,
+        )
+        rows.append({
+            "clip_id": f"ctrls{c:02d}",
+            "bytes": A.encode_pcm16(xs),
+            "sr_hz": sr,
+            "dur_ms": 100,
+            "codec": "pcm16",
+            "transcript": "too short",
+            "ingest_day": "2026-01-01",
+            "defect": "short_tone",
+        })
+    return pd.DataFrame(
+        rows,
+        columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                 "transcript", "ingest_day", "defect"],
+    )
