@@ -1673,6 +1673,28 @@ def q_audio_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return channel_clusters(clips)
 
 
+def q_audio_voice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic speaker clustering: different utterances, one voice —
+    the third identity axis after content (fingerprints) and room/mic
+    (channel).  Voiced-frame harmonic-sampled spectral envelope (vocal
+    tract) + median-F0 double-grid keys; unvoiced and too-short controls
+    must NOT cluster.  Shares the channel operator's bucket/verify/
+    closure machinery; hash-checked against the explicit-Python replay."""
+    from data_quality_spark.operators.audio_voice import voice_clusters
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_voice_corpus
+
+    ensure_expected("audio_voice", sf_dir)
+    key = ("voice", 8, 5, 42)
+    if key not in _CLIPS_CACHE:
+        _CLIPS_CACHE[key] = make_audio_voice_corpus(8, 5, seed=42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(
+        _CLIPS_CACHE[key][cols], CLIPS_SCHEMA
+    ).repartition(8, "clip_id")
+    return voice_clusters(clips)
+
+
 def q_audio_excerpt_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Offset-tolerant audio dedup: hop-aligned excerpts (trims/splits,
     half of them ALSO re-encoded) recovered via bucket-vote shift alignment
@@ -3920,6 +3942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_quantization": q_audio_quantization,
         "audio_dedup_clusters": q_audio_dedup_clusters,
         "audio_channel": q_audio_channel,
+        "audio_voice": q_audio_voice,
         "audio_excerpt_match": q_audio_excerpt_match,
         "audio_constellation_match": q_audio_constellation_match,
         "audio_spectral": q_audio_spectral,
@@ -5941,6 +5964,7 @@ FROM ranked WHERE rnk <= 3""",
         "audio_quantization": _expected_sql("audio_quantization"),
         "audio_dedup_clusters": _expected_sql("audio_dedup_clusters"),
         "audio_channel": _expected_sql("audio_channel"),
+        "audio_voice": _expected_sql("audio_voice"),
         "audio_excerpt_match": _expected_sql("audio_excerpt_match"),
         "audio_constellation_match": _expected_sql("audio_constellation_match"),
         "audio_spectral": _expected_sql("audio_spectral"),

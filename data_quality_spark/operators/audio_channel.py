@@ -37,7 +37,10 @@ from pyspark.sql import types as T
 from ..functions.channel import DIST2_MAX
 from .cluster import cluster_members
 
-__all__ = ["clip_channel_profile", "channel_pairs", "channel_clusters"]
+__all__ = [
+    "clip_channel_profile", "bucket_verified_pairs", "channel_pairs",
+    "channel_clusters",
+]
 
 
 def clip_channel_profile(df: DataFrame, counter=None) -> DataFrame:
@@ -117,15 +120,53 @@ def _dist2_col(a, b):
     )
 
 
-def channel_pairs(
-    profiles: DataFrame, max_bucket: int = 64
+def bucket_verified_pairs(
+    keyed: DataFrame, max_bucket: int, dist2_max: float
 ) -> DataFrame:
-    """(id_a, id_b, dist2) accepted same-channel pairs.
+    """(id_a, id_b, dist2): the shared bucket/verify machinery.
 
-    Buckets = (grid, tilt_cell, peak_band); buckets larger than
-    ``max_bucket`` are skipped (skew guard — at web scale a mega-bucket
-    means a degenerate channel family, worth its own report, not an
-    O(n²) join)."""
+    ``keyed`` has one row per emitted key with columns
+    (clip_id, prof, grid, cell, family).  Buckets = (grid, cell,
+    family); buckets larger than ``max_bucket`` are skipped (skew guard
+    — at web scale a mega-bucket means a degenerate family, worth its
+    own report, not an O(n²) join).  Candidates verify on the exact
+    left-fold squared-L2 profile distance under ``dist2_max``.  Used by
+    the channel (2-key tilt grid × peak band) and voice (4-key F0 ×
+    tilt composite grids) operators."""
+    sizes = keyed.groupBy("grid", "cell", "family").agg(
+        F.count(F.lit(1)).alias("__bn")
+    )
+    keyed = keyed.join(
+        sizes.where(F.col("__bn") <= max_bucket),
+        ["grid", "cell", "family"],
+    )
+    a = keyed.select(
+        "grid", "cell", "family",
+        F.col("clip_id").alias("id_a"), F.col("prof").alias("pa"),
+    )
+    b = keyed.select(
+        "grid", "cell", "family",
+        F.col("clip_id").alias("id_b"), F.col("prof").alias("pb"),
+    )
+    cand = (
+        a.join(b, ["grid", "cell", "family"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pa", "pb")
+        .dropDuplicates(["id_a", "id_b"])  # several keys can propose
+    )
+    return (
+        cand.withColumn("dist2", _dist2_col(F.col("pa"), F.col("pb")))
+        .where(F.col("dist2") < F.lit(float(dist2_max)))
+        .select("id_a", "id_b", "dist2")
+    )
+
+
+def channel_pairs(
+    profiles: DataFrame, max_bucket: int = 64,
+    dist2_max: float = DIST2_MAX,
+) -> DataFrame:
+    """(id_a, id_b, dist2) accepted same-channel pairs: the double-grid
+    tilt keys split by peak band, run through the shared machinery."""
     prof = profiles.where(F.col("ok"))
     keyed = prof.select(
         "clip_id",
@@ -138,37 +179,12 @@ def channel_pairs(
                          F.col("cell1").alias("cell")),
             )
         ).alias("k"),
-        F.col("peak_band"),
+        F.col("peak_band").alias("family"),
     ).select(
-        "clip_id", "prof", "peak_band",
+        "clip_id", "prof", "family",
         F.col("k.grid").alias("grid"), F.col("k.cell").alias("cell"),
     )
-    sizes = keyed.groupBy("grid", "cell", "peak_band").agg(
-        F.count(F.lit(1)).alias("__bn")
-    )
-    keyed = keyed.join(
-        sizes.where(F.col("__bn") <= max_bucket),
-        ["grid", "cell", "peak_band"],
-    )
-    a = keyed.select(
-        "grid", "cell", "peak_band",
-        F.col("clip_id").alias("id_a"), F.col("prof").alias("pa"),
-    )
-    b = keyed.select(
-        "grid", "cell", "peak_band",
-        F.col("clip_id").alias("id_b"), F.col("prof").alias("pb"),
-    )
-    cand = (
-        a.join(b, ["grid", "cell", "peak_band"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "pa", "pb")
-        .dropDuplicates(["id_a", "id_b"])  # both grids can propose
-    )
-    return (
-        cand.withColumn("dist2", _dist2_col(F.col("pa"), F.col("pb")))
-        .where(F.col("dist2") < F.lit(DIST2_MAX))
-        .select("id_a", "id_b", "dist2")
-    )
+    return bucket_verified_pairs(keyed, max_bucket, dist2_max)
 
 
 def channel_clusters(df: DataFrame, max_bucket: int = 64) -> DataFrame:

@@ -3959,10 +3959,36 @@ def _audio_channel_expected(
         pk, c0, c1, _tilt = channel_key_parts(p)
         profs[r["clip_id"]] = [float(v) for v in p]
         keys[r["clip_id"]] = (pk, c0, c1)
+    emitted = {
+        cid: [(0, c0, pk), (1, c1, pk)]
+        for cid, (pk, c0, c1) in keys.items()
+    }
+    comp, sizes = _profile_cluster_replay(
+        profs, emitted, DIST2_MAX, max_bucket
+    )
+    out = {"clip_id": [], "channel": [], "cluster_size": []}
+    for node in sorted(comp):
+        out["clip_id"].append(node)
+        out["channel"].append(comp[node])
+        out["cluster_size"].append(sizes[comp[node]])
+    return out
+
+
+def _profile_cluster_replay(
+    profs: dict[str, list[float]],
+    keys: dict[str, list[tuple[int, int, int]]],
+    dist2_max: float,
+    max_bucket: int,
+) -> tuple[dict[str, str], dict[str, int]]:
+    """Shared replay of the profile-cluster relational law (channel AND
+    voice operators): bucketing on the emitted (grid, cell, family)
+    keys, skew guard, left-fold squared-L2 verify with a
+    generation-time margin assert, union-find closure.  Returns
+    (component map, size map)."""
     buckets: dict[tuple[int, int, int], list[str]] = {}
-    for cid, (pk, c0, c1) in keys.items():
-        buckets.setdefault((0, c0, pk), []).append(cid)
-        buckets.setdefault((1, c1, pk), []).append(cid)
+    for cid, emitted in keys.items():
+        for k in emitted:
+            buckets.setdefault(k, []).append(cid)
     cand: set[tuple[str, str]] = set()
     for members in buckets.values():
         if 1 < len(members) <= max_bucket:
@@ -3975,17 +4001,60 @@ def _audio_channel_expected(
         d2 = 0.0
         for x1, y1 in zip(profs[a], profs[b]):
             d2 = d2 + (x1 - y1) * (x1 - y1)
-        assert abs(d2 - DIST2_MAX) > 1e-6, (a, b, d2)
-        if d2 < DIST2_MAX:
+        assert abs(d2 - dist2_max) > 1e-6, (a, b, d2)
+        if d2 < dist2_max:
             pairs.append((a, b))
     comp = _uf_min_components(pairs)
     sizes: dict[str, int] = {}
     for c in comp.values():
         sizes[c] = sizes.get(c, 0) + 1
-    out = {"clip_id": [], "channel": [], "cluster_size": []}
+    return comp, sizes
+
+
+def _audio_voice_expected(
+    n_speakers=8, clips_per_speaker=5, seed=42, max_bucket=64
+) -> dict:
+    """Twin of ``audio_voice.voice_clusters`` over
+    ``synth.make_audio_voice_corpus``: decode + harmonic-envelope kernel
+    SHARED pure numpy; key law (2×2 composed log2-F0 × envelope-tilt
+    double grids) and the whole relational half replayed through the
+    same explicit-Python ``_profile_cluster_replay`` the channel twin
+    uses."""
+    from .functions.audio import _decode_i16
+    from .functions.voice import (
+        DIST2_MAX as VOICE_DIST2_MAX,
+        voice_key_parts,
+        voice_profile,
+    )
+    from .synth import make_audio_voice_corpus
+
+    pdf = make_audio_voice_corpus(n_speakers, clips_per_speaker, seed)
+    profs: dict[str, list[float]] = {}
+    keys: dict[str, list[tuple[int, int, int]]] = {}
+    for _, r in pdf.iterrows():
+        try:
+            x = _decode_i16(r["bytes"], r["codec"], r["sr_hz"])
+        except (ValueError, TypeError):
+            x = np.zeros(0, dtype=np.int16)
+        p, _nv, f0 = voice_profile(x, int(r["sr_hz"]))
+        if p is None:
+            continue
+        fc0, fc1, tc0, tc1 = voice_key_parts(p, f0)
+        profs[r["clip_id"]] = [float(v) for v in p]
+        # grid = 2·gf + gt, cell = F0 cell, family = tilt cell — the
+        # exact encoding voice_pairs uses
+        fcs, tcs = (fc0, fc1), (tc0, tc1)
+        keys[r["clip_id"]] = [
+            (2 * gf + gt, fcs[gf], tcs[gt])
+            for gf in (0, 1) for gt in (0, 1)
+        ]
+    comp, sizes = _profile_cluster_replay(
+        profs, keys, VOICE_DIST2_MAX, max_bucket
+    )
+    out = {"clip_id": [], "speaker": [], "cluster_size": []}
     for node in sorted(comp):
         out["clip_id"].append(node)
-        out["channel"].append(comp[node])
+        out["speaker"].append(comp[node])
         out["cluster_size"].append(sizes[comp[node]])
     return out
 
@@ -5889,6 +5958,10 @@ _SCHEMAS: dict[str, pa.Schema] = {
         [("clip_id", pa.string()), ("channel", pa.string()),
          ("cluster_size", pa.int64())]
     ),
+    "audio_voice": pa.schema(
+        [("clip_id", pa.string()), ("speaker", pa.string()),
+         ("cluster_size", pa.int64())]
+    ),
     "audio_fingerprint_dedup": pa.schema(
         [("id_a", pa.string()), ("id_b", pa.string()),
          ("ber_r", pa.float64())]
@@ -6836,6 +6909,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_dedup_clusters_expected()
     elif name == "audio_channel":
         data = _audio_channel_expected()
+    elif name == "audio_voice":
+        data = _audio_voice_expected()
     elif name == "audio_excerpt_match":
         data = _audio_excerpt_expected()
     elif name == "audio_constellation_match":

@@ -1825,3 +1825,123 @@ def make_audio_channel_corpus(
         columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
                  "transcript", "ingest_day", "defect"],
     )
+
+
+def _voice_formant_mag(spec_size: int, f_nyq: float,
+                       formants: list[tuple[float, float]],
+                       bw: float = 120.0) -> np.ndarray:
+    """Vocal-tract magnitude response: Gaussian resonances over a flat
+    base with a glottal −6 dB/oct tilt above 500 Hz."""
+    f = np.linspace(0.0, f_nyq, spec_size)
+    mag = np.full(spec_size, 0.05)
+    for fc, g in formants:
+        mag += g * np.exp(-((f - fc) ** 2) / (2.0 * bw ** 2))
+    mag *= 1.0 / np.maximum(f / 500.0, 1.0)
+    return mag
+
+
+def make_audio_voice_corpus(
+    n_speakers: int = 8,
+    clips_per_speaker: int = 5,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Corpus for acoustic speaker clustering.
+
+    Each speaker owns a source-filter identity: a base F0 (log-spaced
+    85–300 Hz across speakers) and a 3-formant vocal-tract response
+    (permuted F1/F2 grids so neighbours in pitch differ in timbre).
+    Every clip is DIFFERENT CONTENT — its own segment timing and ±2% F0
+    wobble — from that identity: impulse-train excitation shaped by the
+    speaker's formant response, 3 speech segments with pauses, room tone
+    at −55 dBFS (under the VAD floor, so the voice and channel axes stay
+    independent).  Controls: ``unvoiced`` fricative-like noise bursts
+    (energetic but aperiodic — no voiced evidence, must NOT cluster) and
+    ``short`` clips below the voiced-frame minimum."""
+    sr = 16000
+    rows: list[dict] = []
+    for s in range(n_speakers):
+        f0 = 85.0 * (300.0 / 85.0) ** (s / max(n_speakers - 1, 1))
+        per = (s * 3) % n_speakers
+        formants = [
+            (380.0 + 60.0 * per, 1.0),
+            (1000.0 + 150.0 * ((s * 5) % n_speakers), 0.7),
+            (2300.0 + 140.0 * s, 0.5),
+        ]
+        for c in range(clips_per_speaker):
+            crng = np.random.default_rng(seed * 100000 + s * 1000 + c)
+            n = 2 * sr
+            x = np.zeros(n)
+            pos = 0.15
+            for _ in range(3):
+                seg_d = float(crng.uniform(0.30, 0.45))
+                if pos + seg_d > 1.9:
+                    break
+                period = int(round(
+                    sr / (f0 * float(crng.uniform(0.98, 1.02)))
+                ))
+                m = int(seg_d * sr)
+                exc = np.zeros(m)
+                exc[::period] = 1.0
+                spec = np.fft.rfft(exc)
+                mag = _voice_formant_mag(spec.size, sr / 2.0, formants)
+                seg = np.fft.irfft(spec * mag, m)
+                seg *= np.hanning(m)
+                rms = float(np.sqrt(np.mean(seg * seg))) or 1.0
+                seg *= 10.0 ** (-20.0 / 20.0) / rms
+                i0 = int(pos * sr)
+                x[i0: i0 + m] += seg
+                pos += seg_d + float(crng.uniform(0.18, 0.30))
+            x += 10.0 ** (-55.0 / 20.0) * crng.standard_normal(n)
+            rows.append({
+                "clip_id": f"vc{s:02d}c{c:02d}",
+                "bytes": A.encode_pcm16(np.clip(x, -0.999, 0.999)),
+                "sr_hz": sr,
+                "dur_ms": 2000,
+                "codec": "pcm16",
+                "transcript": f"speaker {s} utterance {c}",
+                "ingest_day": "2026-01-01",
+                "defect": f"speaker_{s:02d}",
+            })
+    for c in range(max(4, n_speakers // 2)):
+        crng = np.random.default_rng(seed + 5000 + c)
+        n = 2 * sr
+        # fricative-like: high-passed noise bursts — energetic, aperiodic
+        x = np.zeros(n)
+        for _ in range(3):
+            b0 = int(crng.uniform(0.2, 1.5) * sr)
+            m = int(crng.uniform(0.2, 0.35) * sr)
+            w = crng.standard_normal(m)
+            sp = np.fft.rfft(w)
+            f = np.linspace(0.0, 1.0, sp.size)
+            burst = np.fft.irfft(sp * (f ** 2), m)
+            burst *= np.hanning(m)
+            rms = float(np.sqrt(np.mean(burst * burst))) or 1.0
+            x[b0: b0 + m] += burst * (10.0 ** (-20.0 / 20.0) / rms)
+        rows.append({
+            "clip_id": f"ctrlu{c:02d}",
+            "bytes": A.encode_pcm16(np.clip(x, -0.999, 0.999)),
+            "sr_hz": sr,
+            "dur_ms": 2000,
+            "codec": "pcm16",
+            "transcript": "unvoiced",
+            "ingest_day": "2026-01-01",
+            "defect": "unvoiced",
+        })
+        xs = 0.1 * np.sin(
+            2 * np.pi * 180.0 * np.arange(int(0.05 * sr)) / sr
+        )
+        rows.append({
+            "clip_id": f"ctrlv{c:02d}",
+            "bytes": A.encode_pcm16(xs),
+            "sr_hz": sr,
+            "dur_ms": 50,
+            "codec": "pcm16",
+            "transcript": "too short",
+            "ingest_day": "2026-01-01",
+            "defect": "short_voice",
+        })
+    return pd.DataFrame(
+        rows,
+        columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                 "transcript", "ingest_day", "defect"],
+    )
