@@ -1695,6 +1695,30 @@ def q_audio_voice(spark: SparkSession, sf_dir: str) -> DataFrame:
     return voice_clusters(clips)
 
 
+def q_audio_identity_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe eval split over the UNION of the three audio
+    identity axes (content re-encodes ∪ same-room channel ∪ same-voice
+    speaker): one decode pass computes all three kernels, union
+    components assign train/val as a unit via the portable md5 law.
+    The corpus entangles the axes (speakers recorded in two rooms,
+    µ-law re-uploads) so no single axis finds the full component.
+    Hash-checked against the explicit-Python triple replay + hashlib
+    split twin."""
+    from data_quality_spark.operators.audio_identity import identity_split
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_identity_corpus
+
+    ensure_expected("audio_identity_split", sf_dir)
+    key = ("ident", 42)
+    if key not in _CLIPS_CACHE:
+        _CLIPS_CACHE[key] = make_audio_identity_corpus(42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(
+        _CLIPS_CACHE[key][cols], CLIPS_SCHEMA
+    ).repartition(8, "clip_id")
+    return identity_split(clips, val_frac=0.25, seed=11)
+
+
 def q_audio_excerpt_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Offset-tolerant audio dedup: hop-aligned excerpts (trims/splits,
     half of them ALSO re-encoded) recovered via bucket-vote shift alignment
@@ -3943,6 +3967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_dedup_clusters": q_audio_dedup_clusters,
         "audio_channel": q_audio_channel,
         "audio_voice": q_audio_voice,
+        "audio_identity_split": q_audio_identity_split,
         "audio_excerpt_match": q_audio_excerpt_match,
         "audio_constellation_match": q_audio_constellation_match,
         "audio_spectral": q_audio_spectral,
@@ -5965,6 +5990,7 @@ FROM ranked WHERE rnk <= 3""",
         "audio_dedup_clusters": _expected_sql("audio_dedup_clusters"),
         "audio_channel": _expected_sql("audio_channel"),
         "audio_voice": _expected_sql("audio_voice"),
+        "audio_identity_split": _expected_sql("audio_identity_split"),
         "audio_excerpt_match": _expected_sql("audio_excerpt_match"),
         "audio_constellation_match": _expected_sql("audio_constellation_match"),
         "audio_spectral": _expected_sql("audio_spectral"),

@@ -1,0 +1,201 @@
+"""Leakage-safe split over the UNION of the three audio identity axes.
+
+Content fingerprints, channel (room-tone) profiles, and voice (speaker)
+profiles each catch a leakage vector the other two cannot; an eval
+split is only leakage-safe when near-identity clips under ANY axis
+stay on one side.  This operator unions the three pair graphs and
+assigns train/val per union component through the shared
+``cluster.split_by_cluster`` law (portable md5 of the component
+representative — deterministic under any partitioning or engine).
+
+Execution shape: ONE ``mapInArrow`` decode pass (``identity_features``)
+computes all three kernels per clip — at 10^12 clips the decode pass IS
+the cost, so the axes must share it, not re-decode per axis.  The slim
+feature relation (fingerprints + two 16-double profiles + key cells,
+~1 KB/clip, payload dropped at the boundary) is persisted and fanned
+out to the three pair laws, each reusing its own operator's bucket /
+verify machinery unchanged (``fingerprint_near_dup``,
+``bucket_verified_pairs``); the union pair graph then drives ONE
+large-star/small-star closure and the md5 split.
+
+Reference parity: no reference analog; composes
+``audio_dedup``/``audio_channel``/``audio_voice`` with the
+``cluster_split`` law the text side already uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .audio_channel import channel_pairs
+from .audio_dedup import fingerprint_near_dup
+from .audio_voice import voice_pairs
+from .cluster import cluster_members, split_by_cluster
+
+__all__ = ["identity_features", "identity_pairs", "identity_split"]
+
+
+def identity_features(df: DataFrame, counter=None) -> DataFrame:
+    """(clip_id, n_frames, fp, ch_ok, peak_band, cell0, cell1, ch_prof,
+    vo_ok, fc0, fc1, tc0, tc1, vo_prof) — all three identity kernels
+    from ONE decode per clip; payload dropped at this boundary."""
+    col_idx = {f.name: i for i, f in enumerate(df.schema.fields)}
+    out_schema = T.StructType(
+        [T.StructField("clip_id", T.StringType(), False),
+         T.StructField("n_frames", T.IntegerType(), False),
+         T.StructField("fp", T.ArrayType(T.IntegerType()), False),
+         T.StructField("ch_ok", T.BooleanType(), False),
+         T.StructField("peak_band", T.IntegerType(), True),
+         T.StructField("cell0", T.LongType(), True),
+         T.StructField("cell1", T.LongType(), True),
+         T.StructField("ch_prof", T.ArrayType(T.DoubleType()), True),
+         T.StructField("vo_ok", T.BooleanType(), False),
+         T.StructField("fc0", T.LongType(), True),
+         T.StructField("fc1", T.LongType(), True),
+         T.StructField("tc0", T.LongType(), True),
+         T.StructField("tc1", T.LongType(), True),
+         T.StructField("vo_prof", T.ArrayType(T.DoubleType()), True)]
+    )
+
+    def run(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from ..functions.audio import _decode_i16
+        from ..functions.channel import channel_key_parts, noise_profile
+        from ..functions.spectral import fingerprint_i32
+        from ..functions.voice import voice_key_parts, voice_profile
+
+        for batch in batches:
+            ids = batch.column(col_idx["clip_id"]).to_pylist()
+            payloads = batch.column(col_idx["bytes"])
+            codecs = batch.column(col_idx["codec"]).to_pylist()
+            srs = batch.column(col_idx["sr_hz"]).to_pylist()
+            if counter is not None:
+                counter.add(batch.num_rows)
+            cols: dict[str, list] = {k: [] for k in (
+                "n_frames", "fp", "ch_ok", "peak_band", "cell0", "cell1",
+                "ch_prof", "vo_ok", "fc0", "fc1", "tc0", "tc1",
+                "vo_prof",
+            )}
+            for i in range(batch.num_rows):
+                buf = payloads[i].as_buffer() if payloads[i].is_valid \
+                    else None
+                try:
+                    q = _decode_i16(buf, codecs[i], srs[i])
+                except (ValueError, TypeError):
+                    q = np.zeros(0, dtype=np.int16)
+                fp = fingerprint_i32(q)
+                cols["n_frames"].append(int(fp.size))
+                cols["fp"].append([int(v) for v in fp])
+                cp, _nw = noise_profile(q, srs[i] or 0)
+                if cp is None:
+                    cols["ch_ok"].append(False)
+                    for k in ("peak_band", "cell0", "cell1", "ch_prof"):
+                        cols[k].append(None)
+                else:
+                    pk, c0, c1, _t = channel_key_parts(cp)
+                    cols["ch_ok"].append(True)
+                    cols["peak_band"].append(pk)
+                    cols["cell0"].append(c0)
+                    cols["cell1"].append(c1)
+                    cols["ch_prof"].append([float(v) for v in cp])
+                vp, _nv, f0 = voice_profile(q, srs[i] or 0)
+                if vp is None:
+                    cols["vo_ok"].append(False)
+                    for k in ("fc0", "fc1", "tc0", "tc1", "vo_prof"):
+                        cols[k].append(None)
+                else:
+                    fc0, fc1, tc0, tc1 = voice_key_parts(vp, f0)
+                    cols["vo_ok"].append(True)
+                    cols["fc0"].append(fc0)
+                    cols["fc1"].append(fc1)
+                    cols["tc0"].append(tc0)
+                    cols["tc1"].append(tc1)
+                    cols["vo_prof"].append([float(v) for v in vp])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.string()),
+                 pa.array(cols["n_frames"], type=pa.int32()),
+                 pa.array(cols["fp"], type=pa.list_(pa.int32())),
+                 pa.array(cols["ch_ok"], type=pa.bool_()),
+                 pa.array(cols["peak_band"], type=pa.int32()),
+                 pa.array(cols["cell0"], type=pa.int64()),
+                 pa.array(cols["cell1"], type=pa.int64()),
+                 pa.array(cols["ch_prof"], type=pa.list_(pa.float64())),
+                 pa.array(cols["vo_ok"], type=pa.bool_()),
+                 pa.array(cols["fc0"], type=pa.int64()),
+                 pa.array(cols["fc1"], type=pa.int64()),
+                 pa.array(cols["tc0"], type=pa.int64()),
+                 pa.array(cols["tc1"], type=pa.int64()),
+                 pa.array(cols["vo_prof"], type=pa.list_(pa.float64()))],
+                names=["clip_id", "n_frames", "fp", "ch_ok", "peak_band",
+                       "cell0", "cell1", "ch_prof", "vo_ok", "fc0",
+                       "fc1", "tc0", "tc1", "vo_prof"],
+            )
+
+    return df.mapInArrow(run, out_schema)
+
+
+def identity_pairs(feat: DataFrame, max_bucket: int = 64) -> DataFrame:
+    """(id_a, id_b, axis) — the union pair graph over a persisted
+    ``identity_features`` relation; ``axis`` ∈ {content, channel,
+    voice} reports which law proposed the link."""
+    content = fingerprint_near_dup(
+        feat.select("clip_id", "n_frames", "fp"),
+        max_bucket_size=max_bucket,
+    ).select("id_a", "id_b", F.lit("content").alias("axis"))
+    channel = channel_pairs(
+        feat.select(
+            "clip_id", F.col("ch_ok").alias("ok"), "peak_band",
+            "cell0", "cell1", F.col("ch_prof").alias("prof"),
+        ),
+        max_bucket=max_bucket,
+    ).select("id_a", "id_b", F.lit("channel").alias("axis"))
+    voice = voice_pairs(
+        feat.select(
+            "clip_id", F.col("vo_ok").alias("ok"), "fc0", "fc1",
+            "tc0", "tc1", F.col("vo_prof").alias("prof"),
+        ),
+        max_bucket=max_bucket,
+    ).select("id_a", "id_b", F.lit("voice").alias("axis"))
+    return content.unionByName(channel).unionByName(voice)
+
+
+def identity_split(
+    df: DataFrame,
+    val_frac: float = 0.25,
+    seed: int = 11,
+    max_bucket: int = 64,
+    counter=None,
+) -> DataFrame:
+    """(clip_id, component, cluster_size, split) per clip, ordered.
+
+    Union components assign as a unit; singletons are their own
+    representative.  ONE decode pass: the slim feature relation is
+    persisted before the three pair consumers (``counter`` is the
+    execute-once accumulator hook the decode-once test asserts on)."""
+    feat = identity_features(df, counter=counter).persist()
+    pairs = identity_pairs(feat, max_bucket=max_bucket).select(
+        "id_a", "id_b"
+    ).dropDuplicates(["id_a", "id_b"])
+    members = cluster_members(pairs, "id_a", "id_b").withColumnRenamed(
+        "node", "clip_id"
+    )
+    assigned = split_by_cluster(
+        feat.select("clip_id"), "clip_id", pairs,
+        val_frac=val_frac, seed=seed,
+    )
+    return (
+        assigned.join(members, "clip_id", "left")
+        .select(
+            "clip_id",
+            F.coalesce(F.col("component"), F.col("clip_id"))
+            .alias("component"),
+            F.coalesce(F.col("cluster_size"), F.lit(1))
+            .cast("long").alias("cluster_size"),
+            "split",
+        )
+        .orderBy("clip_id")
+    )

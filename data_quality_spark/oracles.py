@@ -3521,11 +3521,7 @@ def _audio_verified_pairs(
     no vectorized shortcuts in the join/verify logic.  Sorted (a, b,
     ber_rounded) triples; shared by the pair and cluster twins."""
     from .functions.audio import _decode_i16
-    from .functions.spectral import (
-        STABLE_MASK,
-        STABLE_SHIFT,
-        fingerprint_i32,
-    )
+    from .functions.spectral import fingerprint_i32
     from .synth import make_audio_dup_corpus
 
     pdf = make_audio_dup_corpus(n, seed=seed, relabel_every=relabel_every)
@@ -3536,6 +3532,19 @@ def _audio_verified_pairs(
         except (ValueError, TypeError):
             x = np.zeros(0, dtype=np.int16)
         fps[r["clip_id"]] = [int(v) for v in fingerprint_i32(x)]
+    return _fp_pair_replay(fps, window, stride, ber_max, max_bucket)
+
+
+def _fp_pair_replay(
+    fps: dict[str, list[int]], window=3, stride=1, ber_max=0.30,
+    max_bucket=64,
+) -> list[tuple[str, str, float]]:
+    """The ``fingerprint_near_dup`` relational law over a fingerprint
+    map: stable-byte XXH64 window buckets, skew guard, popcount BER
+    verify.  Shared by the dup-corpus twins and the identity-split
+    twin."""
+    from .functions.spectral import STABLE_MASK, STABLE_SHIFT
+
     buckets: dict[tuple[int, int], list[str]] = {}
     for cid, fp in fps.items():
         if len(fp) < window:
@@ -3985,6 +3994,23 @@ def _profile_cluster_replay(
     keys, skew guard, left-fold squared-L2 verify with a
     generation-time margin assert, union-find closure.  Returns
     (component map, size map)."""
+    pairs = _profile_pair_replay(profs, keys, dist2_max, max_bucket)
+    comp = _uf_min_components(pairs)
+    sizes: dict[str, int] = {}
+    for c in comp.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    return comp, sizes
+
+
+def _profile_pair_replay(
+    profs: dict[str, list[float]],
+    keys: dict[str, list[tuple[int, int, int]]],
+    dist2_max: float,
+    max_bucket: int,
+) -> list[tuple[str, str]]:
+    """The ``bucket_verified_pairs`` law: emitted-key buckets, skew
+    guard, explicit left-fold squared-L2 verify with a generation-time
+    margin assert.  Sorted (a, b) pairs."""
     buckets: dict[tuple[int, int, int], list[str]] = {}
     for cid, emitted in keys.items():
         for k in emitted:
@@ -4004,11 +4030,7 @@ def _profile_cluster_replay(
         assert abs(d2 - dist2_max) > 1e-6, (a, b, d2)
         if d2 < dist2_max:
             pairs.append((a, b))
-    comp = _uf_min_components(pairs)
-    sizes: dict[str, int] = {}
-    for c in comp.values():
-        sizes[c] = sizes.get(c, 0) + 1
-    return comp, sizes
+    return pairs
 
 
 def _audio_voice_expected(
@@ -4056,6 +4078,82 @@ def _audio_voice_expected(
         out["clip_id"].append(node)
         out["speaker"].append(comp[node])
         out["cluster_size"].append(sizes[comp[node]])
+    return out
+
+
+def _audio_identity_split_expected(
+    seed=42, val_frac=0.25, split_seed=11, max_bucket=64
+) -> dict:
+    """Twin of ``audio_identity.identity_split`` over
+    ``synth.make_audio_identity_corpus``: the three kernels are SHARED
+    pure numpy; the three pair laws replay through the explicit-Python
+    ``_fp_pair_replay`` / ``_profile_pair_replay`` helpers, the union
+    closes with the union-find, and the split replays the portable md5
+    law (hashlib vs Spark's ``sample_order_col``) against the same
+    128-bit threshold literal."""
+    import hashlib
+
+    from .functions.audio import _decode_i16
+    from .functions.channel import (
+        DIST2_MAX as CH_DIST2,
+        channel_key_parts,
+        noise_profile,
+    )
+    from .functions.spectral import fingerprint_i32
+    from .functions.voice import (
+        DIST2_MAX as VO_DIST2,
+        voice_key_parts,
+        voice_profile,
+    )
+    from .operators.sampling import fraction_threshold_hex
+    from .synth import make_audio_identity_corpus
+
+    pdf = make_audio_identity_corpus(seed)
+    fps: dict[str, list[int]] = {}
+    chp: dict[str, list[float]] = {}
+    chk: dict[str, list[tuple[int, int, int]]] = {}
+    vop: dict[str, list[float]] = {}
+    vok: dict[str, list[tuple[int, int, int]]] = {}
+    for _, r in pdf.iterrows():
+        try:
+            x = _decode_i16(r["bytes"], r["codec"], r["sr_hz"])
+        except (ValueError, TypeError):
+            x = np.zeros(0, dtype=np.int16)
+        cid = r["clip_id"]
+        fps[cid] = [int(v) for v in fingerprint_i32(x)]
+        cp, _nw = noise_profile(x, int(r["sr_hz"]))
+        if cp is not None:
+            pk, c0, c1, _t = channel_key_parts(cp)
+            chp[cid] = [float(v) for v in cp]
+            chk[cid] = [(0, c0, pk), (1, c1, pk)]
+        vp, _nv, f0 = voice_profile(x, int(r["sr_hz"]))
+        if vp is not None:
+            fc0, fc1, tc0, tc1 = voice_key_parts(vp, f0)
+            vop[cid] = [float(v) for v in vp]
+            fcs, tcs = (fc0, fc1), (tc0, tc1)
+            vok[cid] = [
+                (2 * gf + gt, fcs[gf], tcs[gt])
+                for gf in (0, 1) for gt in (0, 1)
+            ]
+    pairs = (
+        [(a, b) for a, b, _ in _fp_pair_replay(fps, max_bucket=max_bucket)]
+        + _profile_pair_replay(chp, chk, CH_DIST2, max_bucket)
+        + _profile_pair_replay(vop, vok, VO_DIST2, max_bucket)
+    )
+    comp = _uf_min_components(pairs)
+    sizes: dict[str, int] = {}
+    for c in comp.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    thresh = fraction_threshold_hex(val_frac)
+    out = {"clip_id": [], "component": [], "cluster_size": [],
+           "split": []}
+    for cid in sorted(pdf["clip_id"]):
+        rep = comp.get(cid, cid)
+        h = hashlib.md5(f"{rep}:{split_seed}".encode()).hexdigest()
+        out["clip_id"].append(cid)
+        out["component"].append(rep)
+        out["cluster_size"].append(sizes.get(rep, 1))
+        out["split"].append("val" if h < thresh else "train")
     return out
 
 
@@ -5962,6 +6060,10 @@ _SCHEMAS: dict[str, pa.Schema] = {
         [("clip_id", pa.string()), ("speaker", pa.string()),
          ("cluster_size", pa.int64())]
     ),
+    "audio_identity_split": pa.schema(
+        [("clip_id", pa.string()), ("component", pa.string()),
+         ("cluster_size", pa.int64()), ("split", pa.string())]
+    ),
     "audio_fingerprint_dedup": pa.schema(
         [("id_a", pa.string()), ("id_b", pa.string()),
          ("ber_r", pa.float64())]
@@ -6911,6 +7013,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_channel_expected()
     elif name == "audio_voice":
         data = _audio_voice_expected()
+    elif name == "audio_identity_split":
+        data = _audio_identity_split_expected()
     elif name == "audio_excerpt_match":
         data = _audio_excerpt_expected()
     elif name == "audio_constellation_match":

@@ -1945,3 +1945,164 @@ def make_audio_voice_corpus(
         columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
                  "transcript", "ingest_day", "defect"],
     )
+
+
+def make_audio_identity_corpus(seed: int = 42) -> pd.DataFrame:
+    """Corpus entangling all three audio identity axes for leakage-safe
+    split testing.
+
+    6 recording sessions (each with its own room-tone filter — the
+    CHANNEL axis) record 5 speakers (source-filter voices — the VOICE
+    axis), and EACH axis is individually load-bearing somewhere:
+
+    - speakers 0 and 1 each recorded TWO rooms, so only the voice graph
+      bridges sessions 0↔4 and 1↔5 (channel keeps rooms apart);
+    - session 1 is an interview: clip c01 is a DIFFERENT speaker (6) in
+      the same room, so only the channel graph ties it to the rest of
+      session 1 (voice keeps speakers apart);
+    - ``mu00``/``mu01`` are an unvoiced noise-burst clip over a
+      digital-zero floor and its µ-law re-upload: no voice evidence, no
+      channel evidence — only the content fingerprints link them.
+
+    Two clips are additionally re-uploaded as µ-law re-encodes (content
+    axis riding along inside voiced components), and two
+    fully-independent clips (own voice, own room) are singletons.
+    Expected union components:
+
+      A = {sessions 0+4 clips + re00}   (voice bridges rooms)
+      B = {sessions 1+5 clips incl. the interview guest}
+      C = {session 2 clips + re01}      D = {session 3 clips}
+      E = {mu00, mu01}                  sg00, sg01 singletons
+
+    ``defect`` carries the expected union component label."""
+    sr = 16000
+    comp_label = ["A", "B", "C", "D", "A", "B"]  # per session
+    sess_speaker = [0, 1, 2, 3, 0, 1]
+    rows: list[dict] = []
+
+    def speaker_identity(s: int, n_sp: int = 8):
+        f0 = 85.0 * (300.0 / 85.0) ** (s / max(n_sp - 1, 1))
+        per = (s * 3) % n_sp
+        formants = [
+            (380.0 + 60.0 * per, 1.0),
+            (1000.0 + 150.0 * ((s * 5) % n_sp), 0.7),
+            (2300.0 + 140.0 * s, 0.5),
+        ]
+        return f0, formants
+
+    def voiced_clip(f0, formants, tone, crng):
+        n = 2 * sr
+        x = tone.copy()
+        pos = 0.15
+        for _ in range(3):
+            seg_d = float(crng.uniform(0.30, 0.45))
+            if pos + seg_d > 1.9:
+                break
+            period = int(round(
+                sr / (f0 * float(crng.uniform(0.98, 1.02)))
+            ))
+            m = int(seg_d * sr)
+            exc = np.zeros(m)
+            exc[::period] = 1.0
+            spec = np.fft.rfft(exc)
+            mag = _voice_formant_mag(spec.size, sr / 2.0, formants)
+            seg = np.fft.irfft(spec * mag, m)
+            seg *= np.hanning(m)
+            rms = float(np.sqrt(np.mean(seg * seg))) or 1.0
+            seg *= 10.0 ** (-20.0 / 20.0) / rms
+            i0 = int(pos * sr)
+            x[i0: i0 + m] += seg
+            pos += seg_d + float(crng.uniform(0.18, 0.30))
+        return np.clip(x, -0.999, 0.999)
+
+    for sess in range(6):
+        alpha = -1.6 + 3.2 * sess / 5.0
+        res_frac = 0.10 + 0.80 * ((sess * 7) % 6) / 6.0
+        res_width = 0.05 + 0.02 * (sess % 3)
+        for c in range(3):
+            # session 1 clip 1: the interview guest (speaker 6) — same
+            # room, different voice
+            spk = 6 if (sess, c) == (1, 1) else sess_speaker[sess]
+            f0, formants = speaker_identity(spk)
+            crng = np.random.default_rng(seed * 100000 + sess * 1000 + c)
+            tone = _channel_noise(
+                crng, 2 * sr, alpha, res_frac, res_width, 8.0, -52.0
+            )
+            x = voiced_clip(f0, formants, tone, crng)
+            rows.append({
+                "clip_id": f"id{sess:02d}c{c:02d}",
+                "bytes": A.encode_pcm16(x),
+                "sr_hz": sr,
+                "dur_ms": 2000,
+                "codec": "pcm16",
+                "transcript": f"session {sess} take {c}",
+                "ingest_day": "2026-01-01",
+                "defect": comp_label[sess],
+            })
+    # content re-uploads: µ-law re-encodes of two originals
+    by_id = {r["clip_id"]: r for r in rows}
+    for k, src in enumerate(["id00c01", "id02c02"]):
+        r = by_id[src]
+        x = np.frombuffer(r["bytes"], dtype="<i2").astype(np.float64) \
+            / 32767.0
+        rows.append({
+            "clip_id": f"re{k:02d}",
+            "bytes": A.encode_mulaw(x),
+            "sr_hz": sr,
+            "dur_ms": 2000,
+            "codec": "mulaw",
+            "transcript": r["transcript"] + " (reupload)",
+            "ingest_day": "2026-01-02",
+            "defect": r["defect"],
+        })
+    # content-only pair: unvoiced noise bursts over a DIGITAL-ZERO
+    # floor — no voice evidence, no channel evidence; the µ-law
+    # re-upload is linked by fingerprints alone
+    crng = np.random.default_rng(seed + 31337)
+    xm = np.zeros(2 * sr)
+    for _ in range(4):
+        b0 = int(crng.uniform(0.1, 1.6) * sr)
+        m = int(crng.uniform(0.15, 0.30) * sr)
+        w = crng.standard_normal(m)
+        sp = np.fft.rfft(w)
+        fgrid = np.linspace(0.0, 1.0, sp.size)
+        burst = np.fft.irfft(sp * np.exp(-2.0 * fgrid), m)
+        burst *= np.hanning(m)
+        rms = float(np.sqrt(np.mean(burst * burst))) or 1.0
+        xm[b0: b0 + m] += burst * (10.0 ** (-12.0 / 20.0) / rms)
+    xm = np.clip(xm, -0.999, 0.999)
+    rows.append({
+        "clip_id": "mu00", "bytes": A.encode_pcm16(xm), "sr_hz": sr,
+        "dur_ms": 2000, "codec": "pcm16", "transcript": "ambience",
+        "ingest_day": "2026-01-01", "defect": "E",
+    })
+    rows.append({
+        "clip_id": "mu01", "bytes": A.encode_mulaw(xm), "sr_hz": sr,
+        "dur_ms": 2000, "codec": "mulaw",
+        "transcript": "ambience (reupload)",
+        "ingest_day": "2026-01-02", "defect": "E",
+    })
+    # fully-independent singletons: own voice, own room
+    for k in range(2):
+        crng = np.random.default_rng(seed + 777 + k)
+        f0, formants = speaker_identity(4 + k)
+        tone = _channel_noise(
+            crng, 2 * sr, 1.0 - 2.0 * k, 0.33 + 0.3 * k, 0.04, 8.0,
+            -52.0,
+        )
+        x = voiced_clip(f0, formants, tone, crng)
+        rows.append({
+            "clip_id": f"sg{k:02d}",
+            "bytes": A.encode_pcm16(x),
+            "sr_hz": sr,
+            "dur_ms": 2000,
+            "codec": "pcm16",
+            "transcript": f"independent {k}",
+            "ingest_day": "2026-01-01",
+            "defect": f"single_{k}",
+        })
+    return pd.DataFrame(
+        rows,
+        columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                 "transcript", "ingest_day", "defect"],
+    )

@@ -1,0 +1,115 @@
+"""Union-of-axes leakage-safe split.
+
+The identity corpus entangles content (µ-law re-uploads), channel
+(shared rooms), and voice (speakers recorded in two rooms); the split
+must keep each UNION component on one side, and no single axis may
+already find the full component (otherwise the union adds nothing).
+Plus the decode-once law: three pair consumers, one mapInArrow pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_quality_spark.operators.audio_identity import (
+    identity_features,
+    identity_pairs,
+    identity_split,
+)
+from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+from data_quality_spark.synth import make_audio_identity_corpus
+
+
+def _clips_df(spark, pdf):
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    return spark.createDataFrame(pdf[cols], CLIPS_SCHEMA).repartition(
+        8, "clip_id"
+    )
+
+
+def test_union_components_and_split_atomicity(spark):
+    pdf = make_audio_identity_corpus(42)
+    out = identity_split(_clips_df(spark, pdf)).collect()
+    assert len(out) == len(pdf)
+    label = dict(zip(pdf.clip_id, pdf.defect))
+    by_label: dict[str, set] = {}
+    by_comp: dict[str, set] = {}
+    split_of: dict[str, set] = {}
+    for r in out:
+        by_label.setdefault(label[r.clip_id], set()).add(r.component)
+        by_comp.setdefault(r.component, set()).add(r.clip_id)
+        split_of.setdefault(r.component, set()).add(r.split)
+    # every expected entangled group closed into ONE component...
+    for lab in ("A", "B", "C", "D", "E"):
+        assert len(by_label[lab]) == 1, (lab, by_label[lab])
+    # ...components are pure (no cross-label merge), singles stay alone
+    for comp, members in by_comp.items():
+        assert len({label[m] for m in members}) == 1
+    for lab in ("single_0", "single_1"):
+        (comp,) = by_label[lab]
+        assert len(by_comp[comp]) == 1
+    # the split never straddles a component
+    assert all(len(s) == 1 for s in split_of.values())
+    # expected sizes: A = sessions 0+4 + re00 = 7, B = interview
+    # session 1 + session 5 = 6, C = 4, D = 3, E = the content-only pair
+    sizes = {lab: len(by_comp[next(iter(by_label[lab]))])
+             for lab in ("A", "B", "C", "D", "E")}
+    assert sizes == {"A": 7, "B": 6, "C": 4, "D": 3, "E": 2}, sizes
+
+
+def test_each_axis_is_load_bearing(spark):
+    """Axis ablation on the collected pair graph: voice is required to
+    close A (one speaker, two rooms), channel to close B (interview
+    guest — same room, different voice), content to close E (unvoiced
+    zero-floor re-upload: no channel or voice evidence at all)."""
+    pdf = make_audio_identity_corpus(42)
+    feat = identity_features(_clips_df(spark, pdf)).persist()
+    pairs = identity_pairs(feat).collect()
+    label = dict(zip(pdf.clip_id, pdf.defect))
+
+    def n_components(ids, axes):
+        parent = {c: c for c in ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in pairs:
+            if r.axis in axes and r.id_a in ids and r.id_b in ids:
+                parent[find(r.id_a)] = find(r.id_b)
+        return len({find(c) for c in ids})
+
+    every = ("content", "channel", "voice")
+    A = {c for c, d in label.items() if d == "A"}
+    B = {c for c, d in label.items() if d == "B"}
+    E = {c for c, d in label.items() if d == "E"}
+    for ids in (A, B, E):
+        assert n_components(ids, every) == 1
+    assert n_components(A, ("content", "channel")) > 1   # voice needed
+    assert n_components(B, ("content", "voice")) > 1     # channel needed
+    assert n_components(E, ("channel", "voice")) > 1     # content needed
+    assert n_components(E, ("content",)) == 1
+    feat.unpersist()
+
+
+def test_identity_split_decodes_once(spark):
+    """Three pair consumers + the id projection: exactly ONE decode of
+    each clip (the persisted slim feature relation serves them all)."""
+    pdf = make_audio_identity_corpus(42)
+    acc = spark.sparkContext.accumulator(0)
+    identity_split(_clips_df(spark, pdf), counter=acc).collect()
+    assert acc.value == len(pdf), acc.value
+
+
+def test_split_deterministic_across_partitioning(spark):
+    pdf = make_audio_identity_corpus(42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    a = identity_split(
+        spark.createDataFrame(pdf[cols], CLIPS_SCHEMA).repartition(3)
+    ).collect()
+    b = identity_split(
+        spark.createDataFrame(pdf[cols], CLIPS_SCHEMA).coalesce(1)
+    ).collect()
+    assert a == b
