@@ -210,14 +210,28 @@ def build_parser() -> argparse.ArgumentParser:
     dd.add_argument("--table", required=True)
     dd.add_argument(
         "--method",
-        choices=["fingerprint", "landmark", "speed", "pitch"],
+        choices=["fingerprint", "landmark", "speed", "pitch", "channel",
+                 "voice"],
         default="fingerprint",
         help="fingerprint: re-encode dups; landmark: arbitrary-offset; "
-        "speed: resampled re-uploads; pitch: vocoder pitch/stretch",
+        "speed: resampled re-uploads; pitch: vocoder pitch/stretch; "
+        "channel: same room/mic (noise floor); voice: same speaker",
     )
     dd.add_argument("--top", type=int, default=10,
                     help="largest clusters to print")
     dd.add_argument("--format", choices=["text", "json"], default="text")
+
+    sp = sub.add_parser(
+        "split",
+        help="leakage-safe train/val split over the union of the three "
+        "audio identity axes (content/channel/voice)",
+    )
+    sp.add_argument("--tables", required=True)
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--val-frac", type=float, default=0.2)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--out", help="write per-clip assignment parquet here")
+    sp.add_argument("--format", choices=["text", "json"], default="text")
 
     sk = sub.add_parser("skew", help="key-skew audit (salting advisor input)")
     sk.add_argument("--tables", required=True)
@@ -908,6 +922,22 @@ def main(argv: list[str] | None = None) -> int:
 
                 pairs = landmark_match(clip_landmarks(df)).select(
                     "id_a", "id_b")
+            elif args.method == "channel":
+                from .operators.audio_channel import (
+                    channel_pairs,
+                    clip_channel_profile,
+                )
+
+                pairs = channel_pairs(clip_channel_profile(df)).select(
+                    "id_a", "id_b")
+            elif args.method == "voice":
+                from .operators.audio_voice import (
+                    clip_voice_profile,
+                    voice_pairs,
+                )
+
+                pairs = voice_pairs(clip_voice_profile(df)).select(
+                    "id_a", "id_b")
             elif args.method == "speed":
                 from .operators.audio_speed import (
                     clip_profiles,
@@ -965,6 +995,48 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 for r in top:
                     print(f"  cluster {r['component']}: {r['size']} clips")
+            return 0
+        if args.cmd == "split":
+            from pyspark.sql import functions as F
+
+            from .operators.audio_identity import identity_split
+
+            df = spark.read.parquet(
+                os.path.join(args.tables, f"{args.table}.parquet")
+            )
+            assigned = identity_split(
+                df, val_frac=args.val_frac, seed=args.seed
+            ).persist()
+            if args.out:
+                assigned.write.mode("overwrite").parquet(args.out)
+            stats = {
+                r["split"]: {
+                    "n_clips": r["n"],
+                    "n_components": r["n_comp"],
+                    "max_cluster": r["mx"],
+                }
+                for r in assigned.groupBy("split").agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.countDistinct("component").alias("n_comp"),
+                    F.max("cluster_size").alias("mx"),
+                ).collect()
+            }
+            summary = {
+                "val_frac": args.val_frac,
+                "seed": args.seed,
+                "splits": stats,
+            }
+            if args.format == "json":
+                print(json.dumps(summary, indent=2))
+            else:
+                for split in sorted(stats):
+                    s = stats[split]
+                    print(
+                        f"{split}: {s['n_clips']} clips in "
+                        f"{s['n_components']} components "
+                        f"(largest cluster {s['max_cluster']})"
+                    )
+            assigned.unpersist()
             return 0
         if args.cmd == "skew":
             from .operators.sampling import skew_audit

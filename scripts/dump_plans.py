@@ -615,6 +615,17 @@ def main() -> None:
         "squares in decimal(38,0) — exact integers, zero shuffles.",
         e.q_audio_watermark(spark, sf),
     ))
+    sections.append((
+        "Union-of-axes identity split (one decode, three pair laws)",
+        "ONE MapInArrow decode pass materializes the slim feature "
+        "relation (fingerprints + two 16-double profiles + key cells, "
+        "payload dropped); the plan must show InMemoryTableScan under "
+        "all three pair consumers AND the id projection — no second "
+        "decode subtree. Every downstream shuffle carries key cells or "
+        "128-byte profiles; the star-rounds closure and md5 split touch "
+        "only (id, component) rows.",
+        e.q_audio_identity_split(spark, sf),
+    ))
 
     out = ["# PLANS — physical-plan evidence for the core operators\n"]
     out.append(

@@ -864,3 +864,67 @@ def test_cli_ppl(spark, tmp_path, capsys, monkeypatch):
     assert out["oov_bigrams"] >= 5
     assert out["top"][0]["doc_id"] == 40
     assert out["top"][0]["ppl"] > out["top"][1]["ppl"]
+
+
+def test_cli_split_and_dedup_identity_methods(
+    spark, tmp_path, capsys, monkeypatch
+):
+    """split subcommand (union-of-axes leakage split) and the dedup
+    channel/voice methods over a clips table on disk."""
+    import data_quality_spark.cli as cli
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_identity_corpus
+
+    monkeypatch.setattr("pyspark.sql.SparkSession.stop", lambda self: None)
+    tables = tmp_path / "tables"
+    tables.mkdir()
+    pdf = make_audio_identity_corpus(42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    spark.createDataFrame(pdf[cols], CLIPS_SCHEMA).coalesce(2).write.parquet(
+        str(tables / "clips.parquet")
+    )
+
+    out_dir = tmp_path / "assigned"
+    assert cli.main(
+        ["split", "--tables", str(tables), "--table", "clips",
+         "--val-frac", "0.25", "--seed", "11", "--out", str(out_dir),
+         "--format", "json"]
+    ) == 0
+    summary = json.loads(capsys.readouterr().out)
+    stats = summary["splits"]
+    assert sum(s["n_clips"] for s in stats.values()) == len(pdf)
+    # written assignment never straddles a component
+    got = spark.read.parquet(str(out_dir))
+    straddle = (
+        got.groupBy("component")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert straddle == 0
+    # same seed → byte-identical rerun
+    assert cli.main(
+        ["split", "--tables", str(tables), "--table", "clips",
+         "--val-frac", "0.25", "--seed", "11", "--format", "json"]
+    ) == 0
+    assert json.loads(capsys.readouterr().out) == summary
+
+    # dedup --method channel: clusters are recording sessions or larger
+    # (voiced clips share rooms; the zero-floor pair has no channel)
+    assert cli.main(
+        ["dedup", "--tables", str(tables), "--table", "clips",
+         "--method", "channel", "--format", "json"]
+    ) == 0
+    chan = json.loads(capsys.readouterr().out)
+    assert chan["n_clusters"] >= 6 and chan["n_pairs"] > 0
+
+    # dedup --method voice: speaker clusters bridge rooms
+    assert cli.main(
+        ["dedup", "--tables", str(tables), "--table", "clips",
+         "--method", "voice", "--format", "json"]
+    ) == 0
+    voice = json.loads(capsys.readouterr().out)
+    assert voice["n_pairs"] > 0
+    # speaker 0 recorded two rooms of 3 clips each (+1 re-upload): its
+    # voice cluster spans ≥6 clips
+    assert max(r["size"] for r in voice["top_clusters"]) >= 6
