@@ -65,11 +65,16 @@ def build_parser() -> argparse.ArgumentParser:
     sg.add_argument("--days-per-batch", type=int, default=0)
 
     ft = sub.add_parser(
-        "features", help="write the log-mel training-input table"
+        "features", help="write a training-input feature table"
     )
     ft.add_argument("--input", required=True, help="bronze clips parquet root")
     ft.add_argument("--output", required=True,
                     help="output root (features/metrics/lineage)")
+    ft.add_argument(
+        "--kind", choices=["mel", "identity"], default="mel",
+        help="mel: log-mel ASR inputs; identity: fingerprint + "
+        "channel/voice profiles (the split's decode checkpoint)",
+    )
     ft.add_argument("--no-resume", action="store_true")
     ft.add_argument("--days-per-batch", type=int, default=0)
 
@@ -226,10 +231,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="leakage-safe train/val split over the union of the three "
         "audio identity axes (content/channel/voice)",
     )
-    sp.add_argument("--tables", required=True)
-    sp.add_argument("--table", required=True)
+    sp.add_argument("--tables", help="parquet table root (with --table)")
+    sp.add_argument("--table", help="clips table name under --tables")
     sp.add_argument("--val-frac", type=float, default=0.2)
     sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument(
+        "--features",
+        help="identity-feature checkpoint root written by `features "
+        "--kind identity` — re-split with ZERO decode",
+    )
     sp.add_argument("--out", help="write per-clip assignment parquet here")
     sp.add_argument("--format", choices=["text", "json"], default="text")
 
@@ -416,9 +426,13 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(res))
             return 0 if res.get("completed") else 1
         if args.cmd == "features":
-            from .runner import run_feature_pipeline
+            from .runner import run_feature_pipeline, run_identity_pipeline
 
-            res = run_feature_pipeline(
+            run_fn = (
+                run_identity_pipeline if args.kind == "identity"
+                else run_feature_pipeline
+            )
+            res = run_fn(
                 spark,
                 args.input,
                 args.output,
@@ -999,14 +1013,29 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "split":
             from pyspark.sql import functions as F
 
-            from .operators.audio_identity import identity_split
-
-            df = spark.read.parquet(
-                os.path.join(args.tables, f"{args.table}.parquet")
+            from .operators.audio_identity import (
+                identity_split,
+                split_from_features,
             )
-            assigned = identity_split(
-                df, val_frac=args.val_frac, seed=args.seed
-            ).persist()
+
+            if args.features:
+                feats = spark.read.parquet(
+                    os.path.join(args.features, "identity")
+                )
+                assigned = split_from_features(
+                    feats, val_frac=args.val_frac, seed=args.seed
+                ).persist()
+            else:
+                if not (args.tables and args.table):
+                    print("split: need --features or --tables/--table",
+                          file=sys.stderr)
+                    return 2
+                df = spark.read.parquet(
+                    os.path.join(args.tables, f"{args.table}.parquet")
+                )
+                assigned = identity_split(
+                    df, val_frac=args.val_frac, seed=args.seed
+                ).persist()
             if args.out:
                 assigned.write.mode("overwrite").parquet(args.out)
             stats = {

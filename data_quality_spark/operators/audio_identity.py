@@ -34,13 +34,20 @@ from .audio_dedup import fingerprint_near_dup
 from .audio_voice import voice_pairs
 from .cluster import cluster_members, split_by_cluster
 
-__all__ = ["identity_features", "identity_pairs", "identity_split"]
+__all__ = [
+    "identity_features", "identity_pairs", "identity_split",
+    "split_from_features",
+]
 
 
-def identity_features(df: DataFrame, counter=None) -> DataFrame:
+def identity_features(
+    df: DataFrame, counter=None, carry_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """(clip_id, n_frames, fp, ch_ok, peak_band, cell0, cell1, ch_prof,
-    vo_ok, fc0, fc1, tc0, tc1, vo_prof) — all three identity kernels
-    from ONE decode per clip; payload dropped at this boundary."""
+    vo_ok, fc0, fc1, tc0, tc1, vo_prof[, carry…]) — all three identity
+    kernels from ONE decode per clip; payload dropped at this boundary.
+    ``carry_cols`` names input columns repeated onto the output row
+    (e.g. ``ingest_day`` so the resumable runner never joins back)."""
     col_idx = {f.name: i for i, f in enumerate(df.schema.fields)}
     out_schema = T.StructType(
         [T.StructField("clip_id", T.StringType(), False),
@@ -57,6 +64,7 @@ def identity_features(df: DataFrame, counter=None) -> DataFrame:
          T.StructField("tc0", T.LongType(), True),
          T.StructField("tc1", T.LongType(), True),
          T.StructField("vo_prof", T.ArrayType(T.DoubleType()), True)]
+        + [df.schema[c] for c in carry_cols]
     )
 
     def run(batches):
@@ -129,10 +137,9 @@ def identity_features(df: DataFrame, counter=None) -> DataFrame:
                  pa.array(cols["fc1"], type=pa.int64()),
                  pa.array(cols["tc0"], type=pa.int64()),
                  pa.array(cols["tc1"], type=pa.int64()),
-                 pa.array(cols["vo_prof"], type=pa.list_(pa.float64()))],
-                names=["clip_id", "n_frames", "fp", "ch_ok", "peak_band",
-                       "cell0", "cell1", "ch_prof", "vo_ok", "fc0",
-                       "fc1", "tc0", "tc1", "vo_prof"],
+                 pa.array(cols["vo_prof"], type=pa.list_(pa.float64()))]
+                + [batch.column(col_idx[c]) for c in carry_cols],
+                names=[f.name for f in out_schema.fields],
             )
 
     return df.mapInArrow(run, out_schema)
@@ -177,6 +184,22 @@ def identity_split(
     persisted before the three pair consumers (``counter`` is the
     execute-once accumulator hook the decode-once test asserts on)."""
     feat = identity_features(df, counter=counter).persist()
+    return split_from_features(
+        feat, val_frac=val_frac, seed=seed, max_bucket=max_bucket
+    )
+
+
+def split_from_features(
+    feat: DataFrame,
+    val_frac: float = 0.25,
+    seed: int = 11,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """The relational half of ``identity_split`` over an existing
+    ``identity_features`` relation — e.g. the checkpointed feature
+    tables ``runner.run_identity_pipeline`` wrote, so a split re-run (a
+    different val_frac or seed) costs ZERO decode at 10^12 clips; only
+    key cells, profiles, and (id, component) rows move."""
     pairs = identity_pairs(feat, max_bucket=max_bucket).select(
         "id_a", "id_b"
     ).dropDuplicates(["id_a", "id_b"])

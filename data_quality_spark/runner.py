@@ -430,3 +430,114 @@ def run_feature_pipeline(
     totals["completed"] = True
     totals["wall_s"] = time.perf_counter() - t_start
     return totals
+
+
+def run_identity_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    output_root: str,
+    resume: bool = True,
+    days_per_batch: int = 0,
+    fail_after_batches: int | None = None,
+    decode_counter=None,
+) -> dict:
+    """Checkpointed identity-feature extraction: decode every pending
+    ``ingest_day`` ONCE and write its slim identity-feature table
+    (``operators.audio_identity.identity_features`` — fingerprints +
+    channel/voice profiles + key cells, ~1 KB/clip) partitioned by
+    ``ingest_day`` under ``output_root/identity``, with the same
+    lineage/resume law as the gate/segment/mel runners: a killed run
+    resumes on pending days only, finished days are never re-decoded.
+
+    This checkpoints the EXPENSIVE half of ``identity_split`` — at
+    10^12 clips the decode dominates; the relational half
+    (``split_from_features``) re-runs from these tables at pure
+    shuffle-of-key-cells cost, so re-splitting with a new val_frac or
+    seed (or after appending new ingest days) costs zero decode.
+
+    Execution shape: partition-pruned scan → ONE ``mapInArrow``
+    (``ingest_day`` carried, no join back) → ONE write action with
+    per-day clip / channel-evidence / voice-evidence counts riding as
+    ``observe()`` metrics (the one-action law).
+    """
+    from .operators.audio_identity import identity_features
+
+    run_id = uuid.uuid4().hex[:12]
+    ledger = LineageLedger(output_root, "identity")
+    all_days = list_ingest_days(spark, input_path)
+    days = ledger.pending(all_days) if resume else all_days
+    batches = (
+        [days]
+        if days_per_batch <= 0
+        else [days[i: i + days_per_batch]
+              for i in range(0, len(days), days_per_batch)]
+    )
+    totals = {
+        "clips_in": 0, "ch_ok": 0, "vo_ok": 0, "days": 0,
+        "skipped": len(all_days) - len(days),
+    }
+    t_start = time.perf_counter()
+    for bi, batch in enumerate(b for b in batches if b):
+        if fail_after_batches is not None and bi >= fail_after_batches:
+            return {**totals, "run_id": run_id, "completed": False}
+        for d in batch:
+            ledger.mark(d, "running", run_id=run_id)
+        t0 = time.perf_counter()
+        day_list = sorted(batch)
+        scan = spark.read.parquet(input_path).where(
+            F.col("ingest_day").isin(day_list)
+        )
+        feats = identity_features(
+            scan, counter=decode_counter, carry_cols=("ingest_day",)
+        )
+        obs = Observation(f"ident_{run_id}_b{bi}")
+        metrics = []
+        for di, d in enumerate(day_list):
+            is_day = F.col("ingest_day") == d
+            metrics.append(F.sum(is_day.cast("long")).alias(f"n_{di}"))
+            metrics.append(
+                F.sum((is_day & F.col("ch_ok")).cast("long"))
+                .alias(f"c_{di}")
+            )
+            metrics.append(
+                F.sum((is_day & F.col("vo_ok")).cast("long"))
+                .alias(f"v_{di}")
+            )
+        observed = feats.observe(obs, *metrics)
+        write_partitioned(
+            observed, os.path.join(output_root, "identity"), ["ingest_day"]
+        )
+        vals = obs.get
+        dt = time.perf_counter() - t0
+        metric_rows = []
+        batch_clips = 0
+        for di, d in enumerate(day_list):
+            n = int(vals[f"n_{di}"] or 0)
+            ch = int(vals[f"c_{di}"] or 0)
+            vo = int(vals[f"v_{di}"] or 0)
+            batch_clips += n
+            ledger.mark(d, "done", rows_in=n, rows_kept=n, run_id=run_id)
+            totals["clips_in"] += n
+            totals["ch_ok"] += ch
+            totals["vo_ok"] += vo
+            totals["days"] += 1
+            metric_rows.append(
+                (run_id, f"ingest_day={d}", "clips_in", float(n), "")
+            )
+            metric_rows.append(
+                (run_id, f"ingest_day={d}", "channel_evidence", float(ch),
+                 "")
+            )
+            metric_rows.append(
+                (run_id, f"ingest_day={d}", "voice_evidence", float(vo), "")
+            )
+        metric_rows.append(
+            (run_id, "batch", "clips_per_sec",
+             batch_clips / dt if dt > 0 else 0.0,
+             f"batch={bi} days={len(batch)}")
+        )
+        append_metrics(spark, output_root, metric_rows)
+    totals["run_id"] = run_id
+    totals["completed"] = True
+    totals["wall_s"] = time.perf_counter() - t_start
+    return totals
