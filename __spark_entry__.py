@@ -1719,6 +1719,42 @@ def q_audio_identity_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return identity_split(clips, val_frac=0.25, seed=11)
 
 
+def q_audio_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-leakage AUDIT of an existing split: a naive per-clip i.i.d.
+    coin (the portable md5 law) is applied to the identity corpus, then
+    every same-identity pair that straddles the split is counted per
+    axis (content / channel / voice) with the distinct clips it leaks.
+    The audit companion to audio_identity_split — this is what a user
+    runs on the split they already shipped."""
+    from data_quality_spark.operators.audio_identity import (
+        split_leakage_audit,
+    )
+    from data_quality_spark.operators.sampling import (
+        fraction_threshold_hex,
+        sample_order_col,
+    )
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_identity_corpus
+
+    ensure_expected("audio_split_leakage", sf_dir)
+    key = ("ident", 42)
+    if key not in _CLIPS_CACHE:
+        _CLIPS_CACHE[key] = make_audio_identity_corpus(42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(
+        _CLIPS_CACHE[key][cols], CLIPS_SCHEMA
+    ).repartition(8, "clip_id")
+    naive = clips.withColumn(
+        "split",
+        F.when(
+            sample_order_col(F.col("clip_id"), 7, portable=True)
+            < F.lit(fraction_threshold_hex(0.3)),
+            F.lit("val"),
+        ).otherwise(F.lit("train")),
+    )
+    return split_leakage_audit(naive)
+
+
 def q_audio_excerpt_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Offset-tolerant audio dedup: hop-aligned excerpts (trims/splits,
     half of them ALSO re-encoded) recovered via bucket-vote shift alignment
@@ -3968,6 +4004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_channel": q_audio_channel,
         "audio_voice": q_audio_voice,
         "audio_identity_split": q_audio_identity_split,
+        "audio_split_leakage": q_audio_split_leakage,
         "audio_excerpt_match": q_audio_excerpt_match,
         "audio_constellation_match": q_audio_constellation_match,
         "audio_spectral": q_audio_spectral,
@@ -5991,6 +6028,7 @@ FROM ranked WHERE rnk <= 3""",
         "audio_channel": _expected_sql("audio_channel"),
         "audio_voice": _expected_sql("audio_voice"),
         "audio_identity_split": _expected_sql("audio_identity_split"),
+        "audio_split_leakage": _expected_sql("audio_split_leakage"),
         "audio_excerpt_match": _expected_sql("audio_excerpt_match"),
         "audio_constellation_match": _expected_sql("audio_constellation_match"),
         "audio_spectral": _expected_sql("audio_spectral"),

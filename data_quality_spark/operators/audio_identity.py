@@ -36,7 +36,7 @@ from .cluster import cluster_members, split_by_cluster
 
 __all__ = [
     "identity_features", "identity_pairs", "identity_split",
-    "split_from_features",
+    "split_from_features", "split_leakage_audit",
 ]
 
 
@@ -221,4 +221,58 @@ def split_from_features(
             "split",
         )
         .orderBy("clip_id")
+    )
+
+
+def split_leakage_audit(
+    df: DataFrame, split_col: str = "split", max_bucket: int = 64
+) -> DataFrame:
+    """(axis, n_pairs, n_cross_pairs, n_cross_clips) per identity axis,
+    ordered — the AUDIT companion to ``identity_split`` for corpora
+    that already carry a split column: instead of re-splitting, report
+    how many same-identity pairs straddle the split (the exact eval
+    leakage a per-row i.i.d. coin produces), per axis, plus how many
+    distinct clips those leaks touch.  A clean cluster-atomic split
+    audits to zero cross pairs on every axis.
+
+    One decode pass (``identity_features`` with the split column
+    carried); the pair laws and their shuffles are unchanged — the
+    audit adds only a broadcast-sized (clip_id, split) join and a
+    3-row aggregate.
+    """
+    feat = identity_features(df, carry_cols=(split_col,)).persist()
+    pairs = identity_pairs(feat, max_bucket=max_bucket)
+    splits = feat.select("clip_id", F.col(split_col).alias("__sp"))
+    tagged = (
+        pairs
+        .join(splits.withColumnRenamed("clip_id", "id_a")
+              .withColumnRenamed("__sp", "sp_a"), "id_a")
+        .join(splits.withColumnRenamed("clip_id", "id_b")
+              .withColumnRenamed("__sp", "sp_b"), "id_b")
+        .withColumn("cross", F.col("sp_a") != F.col("sp_b"))
+    )
+    per_axis = tagged.groupBy("axis").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.col("cross").cast("long")).cast("long")
+        .alias("n_cross_pairs"),
+    )
+    cross_clips = (
+        tagged.where("cross")
+        .select("axis", F.col("id_a").alias("clip_id"))
+        .unionByName(
+            tagged.where("cross")
+            .select("axis", F.col("id_b").alias("clip_id"))
+        )
+        .groupBy("axis")
+        .agg(F.countDistinct("clip_id").cast("long")
+             .alias("n_cross_clips"))
+    )
+    return (
+        per_axis.join(cross_clips, "axis", "left")
+        .select(
+            "axis", "n_pairs", "n_cross_pairs",
+            F.coalesce("n_cross_clips", F.lit(0)).cast("long")
+            .alias("n_cross_clips"),
+        )
+        .orderBy("axis")
     )

@@ -4157,6 +4157,88 @@ def _audio_identity_split_expected(
     return out
 
 
+def _audio_split_leakage_expected(
+    seed=42, naive_frac=0.3, naive_seed=7, max_bucket=64
+) -> dict:
+    """Twin of ``audio_identity.split_leakage_audit`` over the identity
+    corpus carrying a NAIVE per-clip i.i.d. split (the portable md5 law
+    replayed with hashlib): per-axis pair counts, cross-split pair
+    counts, and distinct leaked clips."""
+    import hashlib
+
+    from .functions.audio import _decode_i16
+    from .functions.channel import (
+        DIST2_MAX as CH_DIST2,
+        channel_key_parts,
+        noise_profile,
+    )
+    from .functions.spectral import fingerprint_i32
+    from .functions.voice import (
+        DIST2_MAX as VO_DIST2,
+        voice_key_parts,
+        voice_profile,
+    )
+    from .operators.sampling import fraction_threshold_hex
+    from .synth import make_audio_identity_corpus
+
+    pdf = make_audio_identity_corpus(seed)
+    thresh = fraction_threshold_hex(naive_frac)
+    split = {
+        cid: (
+            "val"
+            if hashlib.md5(f"{cid}:{naive_seed}".encode()).hexdigest()
+            < thresh else "train"
+        )
+        for cid in pdf["clip_id"]
+    }
+    fps: dict[str, list[int]] = {}
+    chp: dict[str, list[float]] = {}
+    chk: dict[str, list[tuple[int, int, int]]] = {}
+    vop: dict[str, list[float]] = {}
+    vok: dict[str, list[tuple[int, int, int]]] = {}
+    for _, r in pdf.iterrows():
+        try:
+            x = _decode_i16(r["bytes"], r["codec"], r["sr_hz"])
+        except (ValueError, TypeError):
+            x = np.zeros(0, dtype=np.int16)
+        cid = r["clip_id"]
+        fps[cid] = [int(v) for v in fingerprint_i32(x)]
+        cp, _nw = noise_profile(x, int(r["sr_hz"]))
+        if cp is not None:
+            pk, c0, c1, _t = channel_key_parts(cp)
+            chp[cid] = [float(v) for v in cp]
+            chk[cid] = [(0, c0, pk), (1, c1, pk)]
+        vp, _nv, f0 = voice_profile(x, int(r["sr_hz"]))
+        if vp is not None:
+            fc0, fc1, tc0, tc1 = voice_key_parts(vp, f0)
+            vop[cid] = [float(v) for v in vp]
+            fcs, tcs = (fc0, fc1), (tc0, tc1)
+            vok[cid] = [
+                (2 * gf + gt, fcs[gf], tcs[gt])
+                for gf in (0, 1) for gt in (0, 1)
+            ]
+    axis_pairs = {
+        "content": [(a, b) for a, b, _ in
+                    _fp_pair_replay(fps, max_bucket=max_bucket)],
+        "channel": _profile_pair_replay(chp, chk, CH_DIST2, max_bucket),
+        "voice": _profile_pair_replay(vop, vok, VO_DIST2, max_bucket),
+    }
+    out = {"axis": [], "n_pairs": [], "n_cross_pairs": [],
+           "n_cross_clips": []}
+    for axis in sorted(axis_pairs):
+        pairs = axis_pairs[axis]
+        crossed = [(a, b) for a, b in pairs if split[a] != split[b]]
+        clips = set()
+        for a, b in crossed:
+            clips.add(a)
+            clips.add(b)
+        out["axis"].append(axis)
+        out["n_pairs"].append(len(pairs))
+        out["n_cross_pairs"].append(len(crossed))
+        out["n_cross_clips"].append(len(clips))
+    return out
+
+
 def _pq_topk_expected(vecs, m=16, ksub=256, iters=10, seed=11, sample=2048,
                       k=3) -> dict:
     """Twin of ``similarity.fit_pq_codebooks`` + ``pq_encode`` +
@@ -6064,6 +6146,10 @@ _SCHEMAS: dict[str, pa.Schema] = {
         [("clip_id", pa.string()), ("component", pa.string()),
          ("cluster_size", pa.int64()), ("split", pa.string())]
     ),
+    "audio_split_leakage": pa.schema(
+        [("axis", pa.string()), ("n_pairs", pa.int64()),
+         ("n_cross_pairs", pa.int64()), ("n_cross_clips", pa.int64())]
+    ),
     "audio_fingerprint_dedup": pa.schema(
         [("id_a", pa.string()), ("id_b", pa.string()),
          ("ber_r", pa.float64())]
@@ -7015,6 +7101,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_voice_expected()
     elif name == "audio_identity_split":
         data = _audio_identity_split_expected()
+    elif name == "audio_split_leakage":
+        data = _audio_split_leakage_expected()
     elif name == "audio_excerpt_match":
         data = _audio_excerpt_expected()
     elif name == "audio_constellation_match":

@@ -113,3 +113,43 @@ def test_split_deterministic_across_partitioning(spark):
         spark.createDataFrame(pdf[cols], CLIPS_SCHEMA).coalesce(1)
     ).collect()
     assert a == b
+
+
+def test_leakage_audit_clean_vs_naive(spark):
+    """The cluster-atomic split audits to ZERO cross pairs on every
+    axis; a per-clip i.i.d. coin leaks on at least one axis (the
+    entangled corpus guarantees multi-clip components straddle)."""
+    from data_quality_spark.operators.audio_identity import (
+        split_leakage_audit,
+    )
+    from data_quality_spark.operators.sampling import (
+        fraction_threshold_hex,
+        sample_order_col,
+    )
+
+    pdf = make_audio_identity_corpus(42)
+    clips = _clips_df(spark, pdf)
+    atomic = identity_split(clips, val_frac=0.25, seed=11).select(
+        "clip_id", "split"
+    )
+    joined = clips.join(atomic, "clip_id")
+    clean = split_leakage_audit(joined).collect()
+    assert [r.axis for r in clean] == ["channel", "content", "voice"]
+    assert all(r.n_cross_pairs == 0 and r.n_cross_clips == 0
+               for r in clean)
+    assert sum(r.n_pairs for r in clean) > 0
+
+    naive = clips.withColumn(
+        "split",
+        F.when(
+            sample_order_col(F.col("clip_id"), 7, portable=True)
+            < F.lit(fraction_threshold_hex(0.3)),
+            F.lit("val"),
+        ).otherwise(F.lit("train")),
+    )
+    leaky = split_leakage_audit(naive).collect()
+    assert sum(r.n_cross_pairs for r in leaky) > 0
+    # pair totals are split-independent
+    assert {r.axis: r.n_pairs for r in leaky} == {
+        r.axis: r.n_pairs for r in clean
+    }
