@@ -483,7 +483,8 @@ def main() -> None:
         "ann_pq_recall", "bm25_topk", "quality_classifier",
         "tfidf_top_terms", "quality_calibration", "gate_distill",
         "audio_embed_dedup", "audio_watermark", "compression_ratio",
-        "char_entropy", "rule_overlap",
+        "char_entropy", "rule_overlap", "audio_channel", "audio_voice",
+        "audio_identity_split",
     ]
     # headline-only mode: just the gate pair + health scan (~90 s) — fits
     # inside the short quiet gaps this shared host actually has, where the

@@ -35,11 +35,19 @@ def _decode(row) -> np.ndarray:
 
 
 def test_f0_estimation_on_pulse_train():
-    """A shaped impulse train at period P estimates F0 = SR/P within the
-    integer-lag quantization."""
+    """A shaped impulse train at period P, gated into utterance-like
+    segments with pauses (so the stationarity guard sees speech, not a
+    held tone), estimates F0 = SR/P within the integer-lag
+    quantization."""
     for period in (64, 100, 160, 200):
         exc = np.zeros(2 * SR)
         exc[::period] = 1.0
+        # three 0.4 s segments with 0.25 s pauses
+        gate = np.zeros(2 * SR)
+        for k in range(3):
+            i0 = int((0.1 + 0.65 * k) * SR)
+            gate[i0: i0 + int(0.4 * SR)] = 1.0
+        exc *= gate
         # low-pass shape so the waveform is speech-like, keep periodicity
         spec = np.fft.rfft(exc)
         f = np.linspace(0.0, 1.0, spec.size)
@@ -135,3 +143,15 @@ def test_voice_skew_guard(spark):
     pdf = make_audio_voice_corpus(2, 4, seed=42)
     out = voice_clusters(_clips_df(spark, pdf), max_bucket=1).collect()
     assert out == []
+
+
+def test_stationary_tone_is_not_a_voice():
+    """A continuous held tone is periodic everywhere — stationary
+    periodicity, not speech (speech breaks at pauses/stops).  It must
+    carry NO voice evidence, or tone mega-families flood the (F0, tilt)
+    buckets into the skew guard and suppress real speakers."""
+    t = np.arange(2 * SR) / SR
+    x = 0.3 * np.sin(2 * np.pi * 180.0 * t)
+    q = np.asarray(np.frombuffer(A.encode_pcm16(x), dtype="<i2"))
+    p, nv, f0 = voice_profile(q, SR)
+    assert p is None and nv > MIN_VOICED_FRAMES  # rejected for EXCESS
