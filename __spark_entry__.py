@@ -1755,6 +1755,31 @@ def q_audio_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_leakage_audit(naive)
 
 
+def q_audio_multispeaker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-clip multi-speaker (diarize-lite) audit: per-VAD-segment
+    voice profiles linked under the shared squared-L2 law count
+    distinct voices per clip — the pause-separated dialog case the
+    novelty-curve turn scan is structurally blind to.  One mapInArrow
+    pass, zero shuffles.  Hash-checked against the kernel twin with
+    generation-time voice-count asserts per corpus class."""
+    from data_quality_spark.operators.audio_diarize import (
+        clip_voices,
+        multispeaker_flags,
+    )
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_dialog_corpus
+
+    ensure_expected("audio_multispeaker", sf_dir)
+    key = ("dialog", 42)
+    if key not in _CLIPS_CACHE:
+        _CLIPS_CACHE[key] = make_audio_dialog_corpus(42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(
+        _CLIPS_CACHE[key][cols], CLIPS_SCHEMA
+    ).repartition(8, "clip_id")
+    return multispeaker_flags(clip_voices(clips)).orderBy("clip_id")
+
+
 def q_audio_excerpt_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Offset-tolerant audio dedup: hop-aligned excerpts (trims/splits,
     half of them ALSO re-encoded) recovered via bucket-vote shift alignment
@@ -4005,6 +4030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_voice": q_audio_voice,
         "audio_identity_split": q_audio_identity_split,
         "audio_split_leakage": q_audio_split_leakage,
+        "audio_multispeaker": q_audio_multispeaker,
         "audio_excerpt_match": q_audio_excerpt_match,
         "audio_constellation_match": q_audio_constellation_match,
         "audio_spectral": q_audio_spectral,
@@ -6029,6 +6055,7 @@ FROM ranked WHERE rnk <= 3""",
         "audio_voice": _expected_sql("audio_voice"),
         "audio_identity_split": _expected_sql("audio_identity_split"),
         "audio_split_leakage": _expected_sql("audio_split_leakage"),
+        "audio_multispeaker": _expected_sql("audio_multispeaker"),
         "audio_excerpt_match": _expected_sql("audio_excerpt_match"),
         "audio_constellation_match": _expected_sql("audio_constellation_match"),
         "audio_spectral": _expected_sql("audio_spectral"),

@@ -181,7 +181,7 @@ def build_parser() -> argparse.ArgumentParser:
                  "quantization", "pii", "reverb", "stereo", "flutter",
                  "clicks", "truepeak", "musicspeech", "lra", "halluc",
                  "lines", "normalize", "watermark", "compress", "entropy",
-                 "turns"],
+                 "turns", "voices"],
         default="text",
     )
     au.add_argument("--min-words", type=int, default=15)
@@ -757,6 +757,16 @@ def main(argv: list[str] | None = None) -> int:
                 from .operators.audio_turns import turn_flags, turn_issues
 
                 issues_df = turn_issues(turn_flags(df), table=args.table)
+            elif args.kind == "voices":
+                from .operators.audio_diarize import (
+                    clip_voices,
+                    multispeaker_flags,
+                    voices_issues,
+                )
+
+                issues_df = voices_issues(
+                    multispeaker_flags(clip_voices(df)), table=args.table
+                )
             elif args.kind == "compress":
                 from .operators.compress import (
                     compression_flags,

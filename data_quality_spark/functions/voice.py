@@ -65,8 +65,8 @@ import numpy as np
 __all__ = [
     "V_FRAME", "V_HOP", "F0_MIN", "F0_MAX", "VOICED_MIN",
     "MIN_VOICED_FRAMES", "MAX_VOICED_FRAC", "N_ENV", "F0_STEP",
-    "TILT_STEP", "TILT_W", "DIST2_MAX", "voice_profile",
-    "voice_key_parts",
+    "TILT_STEP", "TILT_W", "DIST2_MAX", "MIN_SEG_MS", "SEG_MIN_VOICED",
+    "voice_profile", "voice_key_parts", "segment_voices",
 ]
 
 V_FRAME = 512        # 32 ms at 16 kHz — ≥2 pitch periods at 62.5 Hz
@@ -96,12 +96,22 @@ _SIL_MS2 = 10.0 ** (-40.0 / 10.0)
 _ENV_LOGF = np.log10(np.geomspace(ENV_F_LO, ENV_F_HI, N_ENV))
 
 
-def voice_profile(x_i16: np.ndarray, sr_hz: int):
+def voice_profile(
+    x_i16: np.ndarray,
+    sr_hz: int,
+    min_voiced: int = MIN_VOICED_FRAMES,
+    max_voiced_frac: float = MAX_VOICED_FRAC,
+):
     """(profile float64[N_BANDS] | None, n_voiced int, f0_med float).
 
     None profile when the clip has no usable voiced evidence; ``f0_med``
     is 0.0 then.  Input is decoded int16; energies run in the shared
-    float32/32767 VAD domain."""
+    float32/32767 VAD domain.  ``max_voiced_frac`` is the stationarity
+    guard — within-clip SEGMENT profiling (``audio_diarize``) disables
+    it (> 1.0): a VAD-carved utterance is legitimately voiced
+    throughout, and the guard exists to keep tone mega-families out of
+    the cross-clip buckets, a hazard segment-local comparison doesn't
+    have."""
     if x_i16.size < V_FRAME or not sr_hz or sr_hz <= 0:
         return None, 0, 0.0
     lag_lo = max(2, int(np.floor(sr_hz / F0_MAX)))
@@ -125,7 +135,7 @@ def voice_profile(x_i16: np.ndarray, sr_hz: int):
     with np.errstate(divide="ignore", invalid="ignore"):
         voiced = energetic & (peak_val >= VOICED_MIN * np.maximum(r0, 1e-30))
     vi = np.flatnonzero(voiced)
-    if vi.size < MIN_VOICED_FRAMES or vi.size > MAX_VOICED_FRAC * n_frames:
+    if vi.size < min_voiced or vi.size > max_voiced_frac * n_frames:
         return None, int(vi.size), 0.0
     f0_med = float(np.median(sr_hz / peak_lag[vi].astype(np.float64)))
     # per-frame spectrum at the V_FRAME-point resolution (bins
@@ -173,3 +183,79 @@ def voice_key_parts(
     tc0 = int(np.floor(tilt / TILT_STEP))
     tc1 = int(np.floor(tilt / TILT_STEP + 0.5))
     return fc0, fc1, tc0, tc1
+
+
+MIN_SEG_MS = 150      # runs shorter than this carry too few analysis
+# frames to profile a voice
+SEG_MIN_VOICED = 8    # per-segment voiced-frame minimum (~0.16 s voiced)
+
+
+def segment_voices(x_i16: np.ndarray, sr_hz: int) -> dict:
+    """Within-clip diarize-lite: voice profiles per VAD-carved segment,
+    clustered into distinct voices.
+
+    The speaker-change case the novelty-curve turn detector
+    (``functions.turns``) is structurally blind to: a dialog whose
+    speakers alternate ACROSS PAUSES never shows an envelope jump
+    inside active audio (the turn scan's activity guard excludes
+    silence edges by design), yet every A→pause→B boundary is a
+    speaker change.  Here each active run (the shared 20 ms VAD grid,
+    hangover+debounce smoothing) gets its own harmonic-envelope
+    profile — stationarity guard OFF, since a carved utterance is
+    legitimately voiced throughout and the guard's tone-mega-family
+    hazard is a cross-clip bucketing concern — and segments link under
+    the same left-fold squared-L2 ``DIST2_MAX`` law the cross-clip
+    operator verifies with.  ``n_voices`` is the number of connected
+    components among profiled segments.
+
+    Returns {n_segments, n_voiced_segments, n_voices, max_link_d2,
+    min_cross_d2}: the largest accepted link distance and the smallest
+    rejected one (0.0 when no pair of that kind exists) — the decision
+    margins as data."""
+    from .vad import active_runs
+
+    out = {"n_segments": 0, "n_voiced_segments": 0, "n_voices": 0,
+           "max_link_d2": 0.0, "min_cross_d2": 0.0}
+    if x_i16.size == 0 or not sr_hz or sr_hz <= 0:
+        return out
+    xf = x_i16.astype(np.float32) / np.float32(32767.0)
+    starts, ends, _db, frame = active_runs(xf, sr_hz)
+    out["n_segments"] = int(starts.size)
+    profs = []
+    min_len = int(MIN_SEG_MS * sr_hz / 1000)
+    for s, e in zip(starts, ends):
+        seg = x_i16[int(s) * frame: int(e) * frame]
+        if seg.size < min_len:
+            continue
+        p, _nv, f0 = voice_profile(
+            seg, sr_hz, min_voiced=SEG_MIN_VOICED, max_voiced_frac=1.01
+        )
+        if p is not None:
+            profs.append(p)
+    out["n_voiced_segments"] = len(profs)
+    if not profs:
+        return out
+    # explicit pairwise linking (segments per clip are few)
+    parent = list(range(len(profs)))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    max_link, min_cross = 0.0, 0.0
+    for i in range(len(profs)):
+        for j in range(i + 1, len(profs)):
+            d2 = 0.0
+            for a, b in zip(profs[i], profs[j]):
+                d2 = d2 + (float(a) - float(b)) * (float(a) - float(b))
+            if d2 < DIST2_MAX:
+                parent[find(i)] = find(j)
+                max_link = max(max_link, d2)
+            else:
+                min_cross = d2 if min_cross == 0.0 else min(min_cross, d2)
+    out["n_voices"] = len({find(i) for i in range(len(profs))})
+    out["max_link_d2"] = max_link
+    out["min_cross_d2"] = min_cross
+    return out

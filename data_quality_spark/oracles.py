@@ -4239,6 +4239,45 @@ def _audio_split_leakage_expected(
     return out
 
 
+def _audio_multispeaker_expected(seed=42) -> dict:
+    """Twin of ``audio_diarize.clip_voices`` + ``multispeaker_flags``
+    over ``synth.make_audio_dialog_corpus``: decode + segment-voice
+    kernel SHARED pure numpy (hash coverage is the Spark plumbing:
+    mapInArrow batching, schema, flag layer, ordering); a
+    generation-time assert pins every clip to its corpus-designed voice
+    count so kernel drift cannot silently re-materialize."""
+    from .functions.audio import _decode_i16
+    from .functions.voice import segment_voices
+    from .synth import make_audio_dialog_corpus
+
+    pdf = make_audio_dialog_corpus(seed)
+    out = {"clip_id": [], "ok": [], "n_segments": [],
+           "n_voiced_segments": [], "n_voices": [],
+           "max_link_d2_r": [], "min_cross_d2_r": [],
+           "multi_speaker": []}
+    for _, r in pdf.sort_values("clip_id").iterrows():
+        try:
+            x = _decode_i16(r["bytes"], r["codec"], r["sr_hz"])
+            ok = True
+        except (ValueError, TypeError):
+            x = np.zeros(0, dtype=np.int16)
+            ok = False
+        st = segment_voices(x, int(r["sr_hz"]))
+        if r["defect"].startswith("voices_"):
+            assert st["n_voices"] == int(r["defect"].split("_")[1]), (
+                r["clip_id"], st,
+            )
+        out["clip_id"].append(r["clip_id"])
+        out["ok"].append(ok)
+        out["n_segments"].append(st["n_segments"])
+        out["n_voiced_segments"].append(st["n_voiced_segments"])
+        out["n_voices"].append(st["n_voices"])
+        out["max_link_d2_r"].append(round(st["max_link_d2"], 6))
+        out["min_cross_d2_r"].append(round(st["min_cross_d2"], 6))
+        out["multi_speaker"].append(st["n_voices"] >= 2)
+    return out
+
+
 def _pq_topk_expected(vecs, m=16, ksub=256, iters=10, seed=11, sample=2048,
                       k=3) -> dict:
     """Twin of ``similarity.fit_pq_codebooks`` + ``pq_encode`` +
@@ -6150,6 +6189,12 @@ _SCHEMAS: dict[str, pa.Schema] = {
         [("axis", pa.string()), ("n_pairs", pa.int64()),
          ("n_cross_pairs", pa.int64()), ("n_cross_clips", pa.int64())]
     ),
+    "audio_multispeaker": pa.schema(
+        [("clip_id", pa.string()), ("ok", pa.bool_()),
+         ("n_segments", pa.int32()), ("n_voiced_segments", pa.int32()),
+         ("n_voices", pa.int32()), ("max_link_d2_r", pa.float64()),
+         ("min_cross_d2_r", pa.float64()), ("multi_speaker", pa.bool_())]
+    ),
     "audio_fingerprint_dedup": pa.schema(
         [("id_a", pa.string()), ("id_b", pa.string()),
          ("ber_r", pa.float64())]
@@ -7103,6 +7148,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_identity_split_expected()
     elif name == "audio_split_leakage":
         data = _audio_split_leakage_expected()
+    elif name == "audio_multispeaker":
+        data = _audio_multispeaker_expected()
     elif name == "audio_excerpt_match":
         data = _audio_excerpt_expected()
     elif name == "audio_constellation_match":

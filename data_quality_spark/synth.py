@@ -2106,3 +2106,102 @@ def make_audio_identity_corpus(seed: int = 42) -> pd.DataFrame:
         columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
                  "transcript", "ingest_day", "defect"],
     )
+
+
+def make_audio_dialog_corpus(seed: int = 42) -> pd.DataFrame:
+    """Corpus for within-clip multi-speaker (diarize-lite) detection.
+
+    All segments alternate ACROSS PAUSES, the exact case the
+    novelty-curve turn scan is structurally blind to (its activity
+    guard excludes silence edges).  Classes (``defect`` carries the
+    expected n_voices as ``voices_K`` plus controls):
+
+    - 8 single-speaker clips: 3 utterances, one source-filter identity;
+    - 8 dialog clips: 4 utterances alternating two identities (A B A B);
+    - 2 panel clips: 6 utterances over three identities (A B C A B C);
+    - controls: ``tone`` (one continuous held tone — ONE segment, one
+      "voice", never multi), ``unvoiced`` (fricative bursts — zero
+      voiced segments), ``silence`` (no segments at all)."""
+    sr = 16000
+
+    def speaker_identity(s: int, n_sp: int = 8):
+        f0 = 85.0 * (300.0 / 85.0) ** (s / max(n_sp - 1, 1))
+        per = (s * 3) % n_sp
+        return f0, [
+            (380.0 + 60.0 * per, 1.0),
+            (1000.0 + 150.0 * ((s * 5) % n_sp), 0.7),
+            (2300.0 + 140.0 * s, 0.5),
+        ]
+
+    def utterance(f0, formants, m, crng):
+        period = int(round(sr / (f0 * float(crng.uniform(0.98, 1.02)))))
+        exc = np.zeros(m)
+        exc[::period] = 1.0
+        spec = np.fft.rfft(exc)
+        mag = _voice_formant_mag(spec.size, sr / 2.0, formants)
+        seg = np.fft.irfft(spec * mag, m)
+        seg *= np.hanning(m)
+        rms = float(np.sqrt(np.mean(seg * seg))) or 1.0
+        return seg * (10.0 ** (-20.0 / 20.0) / rms)
+
+    def build(speaker_seq, dur_s, crng):
+        n = int(dur_s * sr)
+        x = np.zeros(n)
+        pos = 0.12
+        for spk in speaker_seq:
+            seg_d = float(crng.uniform(0.30, 0.42))
+            if pos + seg_d > dur_s - 0.08:
+                break
+            f0, formants = speaker_identity(spk)
+            m = int(seg_d * sr)
+            i0 = int(pos * sr)
+            x[i0: i0 + m] += utterance(f0, formants, m, crng)
+            pos += seg_d + float(crng.uniform(0.18, 0.28))
+        return np.clip(x, -0.999, 0.999)
+
+    rows: list[dict] = []
+
+    def add(cid, x, defect, dur_ms):
+        rows.append({
+            "clip_id": cid, "bytes": A.encode_pcm16(x), "sr_hz": sr,
+            "dur_ms": dur_ms, "codec": "pcm16",
+            "transcript": defect, "ingest_day": "2026-01-01",
+            "defect": defect,
+        })
+
+    for k in range(8):
+        crng = np.random.default_rng(seed * 1000 + k)
+        add(f"dg_s{k:02d}", build([k % 8] * 3, 2.0, crng),
+            "voices_1", 2000)
+    for k in range(8):
+        crng = np.random.default_rng(seed * 1000 + 100 + k)
+        a, b = k % 8, (k + 3) % 8
+        add(f"dg_d{k:02d}", build([a, b, a, b], 2.6, crng),
+            "voices_2", 2600)
+    for k in range(2):
+        crng = np.random.default_rng(seed * 1000 + 200 + k)
+        a, b, c = k, (k + 2) % 8, (k + 5) % 8
+        add(f"dg_p{k:02d}", build([a, b, c, a, b, c], 3.8, crng),
+            "voices_3", 3800)
+    # controls
+    t = np.arange(2 * sr) / sr
+    add("dg_tone", 0.3 * np.sin(2 * np.pi * 196.0 * t), "tone", 2000)
+    crng = np.random.default_rng(seed + 999)
+    xu = np.zeros(2 * sr)
+    for _ in range(3):
+        b0 = int(crng.uniform(0.2, 1.5) * sr)
+        m = int(crng.uniform(0.2, 0.3) * sr)
+        w = crng.standard_normal(m)
+        sp = np.fft.rfft(w)
+        fg = np.linspace(0.0, 1.0, sp.size)
+        burst = np.fft.irfft(sp * (fg ** 2), m)
+        burst *= np.hanning(m)
+        rms = float(np.sqrt(np.mean(burst * burst))) or 1.0
+        xu[b0: b0 + m] += burst * (10.0 ** (-20.0 / 20.0) / rms)
+    add("dg_unvoiced", np.clip(xu, -0.999, 0.999), "unvoiced", 2000)
+    add("dg_silence", np.zeros(sr), "silence", 1000)
+    return pd.DataFrame(
+        rows,
+        columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                 "transcript", "ingest_day", "defect"],
+    )
