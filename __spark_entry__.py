@@ -3760,6 +3760,50 @@ def q_speaker_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_voice_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SPEAKER contribution cap without labels: the acoustic voice
+    clusters (different utterances, one voice) as the sampling key —
+    where speaker_balance caps re-upload FAMILIES (content similarity),
+    this caps the actual voice so one prolific speaker cannot dominate
+    training (cap=2, portable md5 order).  kept_ids pins exact
+    membership; controls (unvoiced/short) are singletons and always
+    survive.  Twin: voice pair replay + union-find + md5-order cap."""
+    from data_quality_spark.operators.audio_voice import (
+        clip_voice_profile,
+        voice_pairs,
+    )
+    from data_quality_spark.operators.cluster import balance_by_cluster
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_voice_corpus
+
+    ensure_expected("voice_balance", sf_dir)
+    key = ("voice", 8, 5, 42)
+    if key not in _CLIPS_CACHE:
+        _CLIPS_CACHE[key] = make_audio_voice_corpus(8, 5, seed=42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(
+        _CLIPS_CACHE[key][cols], CLIPS_SCHEMA
+    ).repartition(8, "clip_id")
+    pairs = voice_pairs(clip_voice_profile(clips))
+    bal = balance_by_cluster(
+        clips, "clip_id", pairs, cap=2, seed=9, portable=True
+    )
+    return (
+        bal.groupBy("cluster_rep")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum(F.col("keep").cast("long")).cast("long").alias("n_kept"),
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("keep"), F.col("clip_id")))
+                ),
+                ",",
+            ).alias("kept_ids"),
+        )
+        .orderBy("cluster_rep")
+    )
+
+
 def q_codec_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-decode payload triage: declared codec vs byte-level evidence
     (RIFF magic + header fields via hex/conv byte extraction, exact-
@@ -4031,6 +4075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_identity_split": q_audio_identity_split,
         "audio_split_leakage": q_audio_split_leakage,
         "audio_multispeaker": q_audio_multispeaker,
+        "voice_balance": q_voice_balance,
         "audio_excerpt_match": q_audio_excerpt_match,
         "audio_constellation_match": q_audio_constellation_match,
         "audio_spectral": q_audio_spectral,
@@ -6056,6 +6101,7 @@ FROM ranked WHERE rnk <= 3""",
         "audio_identity_split": _expected_sql("audio_identity_split"),
         "audio_split_leakage": _expected_sql("audio_split_leakage"),
         "audio_multispeaker": _expected_sql("audio_multispeaker"),
+        "voice_balance": _expected_sql("voice_balance"),
         "audio_excerpt_match": _expected_sql("audio_excerpt_match"),
         "audio_constellation_match": _expected_sql("audio_constellation_match"),
         "audio_spectral": _expected_sql("audio_spectral"),

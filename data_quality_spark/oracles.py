@@ -4033,24 +4033,18 @@ def _profile_pair_replay(
     return pairs
 
 
-def _audio_voice_expected(
-    n_speakers=8, clips_per_speaker=5, seed=42, max_bucket=64
-) -> dict:
-    """Twin of ``audio_voice.voice_clusters`` over
-    ``synth.make_audio_voice_corpus``: decode + harmonic-envelope kernel
-    SHARED pure numpy; key law (2×2 composed log2-F0 × envelope-tilt
-    double grids) and the whole relational half replayed through the
-    same explicit-Python ``_profile_cluster_replay`` the channel twin
-    uses."""
+def _voice_pairs_replay(pdf, max_bucket=64) -> list[tuple[str, str]]:
+    """Voice-axis pair law over any clips frame: shared decode + voice
+    kernel, explicit 4-key (2×2 F0 × tilt grid) bucketing through
+    ``_profile_pair_replay``.  Shared by the voice-cluster, identity,
+    and voice-balance twins."""
     from .functions.audio import _decode_i16
     from .functions.voice import (
         DIST2_MAX as VOICE_DIST2_MAX,
         voice_key_parts,
         voice_profile,
     )
-    from .synth import make_audio_voice_corpus
 
-    pdf = make_audio_voice_corpus(n_speakers, clips_per_speaker, seed)
     profs: dict[str, list[float]] = {}
     keys: dict[str, list[tuple[int, int, int]]] = {}
     for _, r in pdf.iterrows():
@@ -4070,9 +4064,59 @@ def _audio_voice_expected(
             (2 * gf + gt, fcs[gf], tcs[gt])
             for gf in (0, 1) for gt in (0, 1)
         ]
-    comp, sizes = _profile_cluster_replay(
-        profs, keys, VOICE_DIST2_MAX, max_bucket
-    )
+    return _profile_pair_replay(profs, keys, VOICE_DIST2_MAX, max_bucket)
+
+
+def _voice_balance_expected(
+    n_speakers=8, clips_per_speaker=5, seed=42, cap=2, bal_seed=9
+) -> dict:
+    """Twin of q_voice_balance: the voice-axis pair replay, union-find,
+    singleton clusters for unpaired clips, per-cluster cap in
+    (md5(id:seed), id) order — kept_ids pins exact membership."""
+    import hashlib
+
+    from .synth import make_audio_voice_corpus
+
+    pdf = make_audio_voice_corpus(n_speakers, clips_per_speaker, seed)
+    pairs = _voice_pairs_replay(pdf)
+    comp = _uf_min_components(pairs)
+    groups: dict[str, list[str]] = {}
+    for cid in (str(c) for c in pdf["clip_id"]):
+        groups.setdefault(comp.get(cid, cid), []).append(cid)
+    out = {"cluster_rep": [], "n_members": [], "n_kept": [],
+           "kept_ids": []}
+    for rep in sorted(groups):
+        members = groups[rep]
+        order = sorted(
+            members,
+            key=lambda c: (
+                hashlib.md5(f"{c}:{bal_seed}".encode()).hexdigest(), c
+            ),
+        )
+        kept = sorted(order[:cap])
+        out["cluster_rep"].append(rep)
+        out["n_members"].append(len(members))
+        out["n_kept"].append(len(kept))
+        out["kept_ids"].append(",".join(kept))
+    return out
+
+
+def _audio_voice_expected(
+    n_speakers=8, clips_per_speaker=5, seed=42, max_bucket=64
+) -> dict:
+    """Twin of ``audio_voice.voice_clusters`` over
+    ``synth.make_audio_voice_corpus``: decode + harmonic-envelope kernel
+    SHARED pure numpy; key law (2×2 composed log2-F0 × envelope-tilt
+    double grids) and the whole relational half replayed through the
+    shared explicit-Python pair replay the channel twin uses."""
+    from .synth import make_audio_voice_corpus
+
+    pdf = make_audio_voice_corpus(n_speakers, clips_per_speaker, seed)
+    pairs = _voice_pairs_replay(pdf, max_bucket)
+    comp = _uf_min_components(pairs)
+    sizes = {}
+    for c in comp.values():
+        sizes[c] = sizes.get(c, 0) + 1
     out = {"clip_id": [], "speaker": [], "cluster_size": []}
     for node in sorted(comp):
         out["clip_id"].append(node)
@@ -6388,6 +6432,10 @@ _SCHEMAS: dict[str, pa.Schema] = {
         [("cluster_rep", pa.string()), ("n_members", pa.int64()),
          ("n_kept", pa.int64()), ("kept_ids", pa.string())]
     ),
+    "voice_balance": pa.schema(
+        [("cluster_rep", pa.string()), ("n_members", pa.int64()),
+         ("n_kept", pa.int64()), ("kept_ids", pa.string())]
+    ),
     "quality_calibration": pa.schema(
         [("bucket", pa.int32()), ("n_docs", pa.int64()),
          ("n_pass", pa.int64()), ("pass_rate", pa.float64()),
@@ -7150,6 +7198,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_split_leakage_expected()
     elif name == "audio_multispeaker":
         data = _audio_multispeaker_expected()
+    elif name == "voice_balance":
+        data = _voice_balance_expected()
     elif name == "audio_excerpt_match":
         data = _audio_excerpt_expected()
     elif name == "audio_constellation_match":

@@ -155,3 +155,27 @@ def test_stationary_tone_is_not_a_voice():
     q = np.asarray(np.frombuffer(A.encode_pcm16(x), dtype="<i2"))
     p, nv, f0 = voice_profile(q, SR)
     assert p is None and nv > MIN_VOICED_FRAMES  # rejected for EXCESS
+
+
+def test_voice_balance_caps_speakers(spark):
+    """Per-speaker contribution cap over the acoustic clusters: every
+    5-clip speaker keeps exactly 2, label-free controls (singletons)
+    always survive."""
+    from data_quality_spark.operators.audio_voice import voice_pairs
+    from data_quality_spark.operators.cluster import balance_by_cluster
+
+    pdf = make_audio_voice_corpus(4, 5, seed=42)
+    clips = _clips_df(spark, pdf)
+    pairs = voice_pairs(clip_voice_profile(clips))
+    bal = balance_by_cluster(
+        clips, "clip_id", pairs, cap=2, seed=9, portable=True
+    ).collect()
+    label = dict(zip(pdf.clip_id, pdf.defect))
+    kept_by_speaker: dict[str, int] = {}
+    for r in bal:
+        lab = label[r.clip_id]
+        if lab.startswith("speaker_"):
+            kept_by_speaker[lab] = kept_by_speaker.get(lab, 0) + int(r.keep)
+        else:
+            assert r.keep  # singleton controls survive any cap >= 1
+    assert kept_by_speaker == {f"speaker_{s:02d}": 2 for s in range(4)}
