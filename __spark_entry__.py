@@ -3760,6 +3760,37 @@ def q_speaker_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Augmented-copy writer (training-data producer): one row per
+    decodable clip per spec (gain / seeded noise at SNR / polyphase
+    speed / vocoder stretch) with full provenance, byte-deterministic
+    under any partitioning.  Payloads hash-checked bit-for-bit: Spark
+    xxhash64 vs the twin's from-spec XXH64 over an independently
+    replayed augmentation (incl. the XXH64-seeded noise realization)."""
+    from data_quality_spark.operators.audio_augment import augment_clips
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import generate_clips
+
+    ensure_expected("audio_augment", sf_dir)
+    key = ("gen", 150, 31)
+    if key not in _CLIPS_CACHE:
+        _CLIPS_CACHE[key] = generate_clips(150, seed=31)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(
+        _CLIPS_CACHE[key][cols], CLIPS_SCHEMA
+    ).repartition(8, "clip_id")
+    out = augment_clips(clips)
+    return out.select(
+        "clip_id",
+        "src_clip_id",
+        "aug_name",
+        "sr_hz",
+        "dur_ms",
+        F.octet_length("bytes").cast("long").alias("n_bytes"),
+        F.xxhash64("bytes").alias("payload_h"),
+    ).orderBy("clip_id")
+
+
 def q_voice_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-SPEAKER contribution cap without labels: the acoustic voice
     clusters (different utterances, one voice) as the sampling key —
@@ -4076,6 +4107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_split_leakage": q_audio_split_leakage,
         "audio_multispeaker": q_audio_multispeaker,
         "voice_balance": q_voice_balance,
+        "audio_augment": q_audio_augment,
         "audio_excerpt_match": q_audio_excerpt_match,
         "audio_constellation_match": q_audio_constellation_match,
         "audio_spectral": q_audio_spectral,
@@ -6102,6 +6134,7 @@ FROM ranked WHERE rnk <= 3""",
         "audio_split_leakage": _expected_sql("audio_split_leakage"),
         "audio_multispeaker": _expected_sql("audio_multispeaker"),
         "voice_balance": _expected_sql("voice_balance"),
+        "audio_augment": _expected_sql("audio_augment"),
         "audio_excerpt_match": _expected_sql("audio_excerpt_match"),
         "audio_constellation_match": _expected_sql("audio_constellation_match"),
         "audio_spectral": _expected_sql("audio_spectral"),

@@ -226,6 +226,19 @@ def build_parser() -> argparse.ArgumentParser:
                     help="largest clusters to print")
     dd.add_argument("--format", choices=["text", "json"], default="text")
 
+    ag = sub.add_parser(
+        "augment",
+        help="write deterministic augmented copies (gain/noise/speed/"
+        "stretch) with provenance columns",
+    )
+    ag.add_argument("--tables", required=True)
+    ag.add_argument("--table", required=True)
+    ag.add_argument("--output", required=True)
+    ag.add_argument(
+        "--specs", default="",
+        help="comma-separated subset of spec names (default: all)",
+    )
+
     sp = sub.add_parser(
         "split",
         help="leakage-safe train/val split over the union of the three "
@@ -1019,6 +1032,40 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 for r in top:
                     print(f"  cluster {r['component']}: {r['size']} clips")
+            return 0
+        if args.cmd == "augment":
+            from .functions.augment import DEFAULT_SPECS
+            from .operators.audio_augment import augment_clips
+
+            specs = DEFAULT_SPECS
+            if args.specs:
+                wanted = set(args.specs.split(","))
+                unknown = wanted - {n for n, _ in DEFAULT_SPECS}
+                if unknown:
+                    print(f"augment: unknown specs {sorted(unknown)}",
+                          file=sys.stderr)
+                    return 2
+                specs = tuple(
+                    (n, p) for n, p in DEFAULT_SPECS if n in wanted
+                )
+            df = spark.read.parquet(
+                os.path.join(args.tables, f"{args.table}.parquet")
+            )
+            aug = augment_clips(df, specs=specs)
+            aug.write.mode("overwrite").parquet(args.output)
+            got = spark.read.parquet(args.output)
+            from pyspark.sql import functions as F
+
+            counts = {
+                r["aug_name"]: r["n"]
+                for r in got.groupBy("aug_name").agg(
+                    F.count(F.lit(1)).alias("n")
+                ).collect()
+            }
+            print(json.dumps({
+                "n_augmented": sum(counts.values()),
+                "per_spec": counts,
+            }))
             return 0
         if args.cmd == "split":
             from pyspark.sql import functions as F

@@ -4033,6 +4033,46 @@ def _profile_pair_replay(
     return pairs
 
 
+def _audio_augment_expected(n=150, seed=31) -> dict:
+    """Twin of q_audio_augment: shared decode + augmentation kernels
+    (byte determinism is the whole contract — producer and twin must
+    agree BIT-FOR-BIT including the XXH64-seeded noise realization),
+    payloads hashed with the from-spec XXH64 vs Spark's xxhash64."""
+    from .functions.audio import _decode_i16
+    from .functions.augment import DEFAULT_SPECS, augment_i16
+    from .functions.xxh64 import xxh64_bytes
+    from .synth import generate_clips
+
+    def signed(h: int) -> int:
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    pdf = generate_clips(n, seed=seed)
+    out: dict[str, list] = {c: [] for c in (
+        "clip_id", "src_clip_id", "aug_name", "sr_hz", "dur_ms",
+        "n_bytes", "payload_h")}
+    for _, r in pdf.sort_values("clip_id").iterrows():
+        try:
+            q = _decode_i16(r["bytes"], r["codec"], r["sr_hz"])
+        except (ValueError, TypeError):
+            continue
+        sr = r["sr_hz"]
+        if not sr or sr <= 0:
+            continue
+        for name, params in DEFAULT_SPECS:
+            y, dur_ms = augment_i16(
+                np.asarray(q), int(sr), str(r["clip_id"]), name, params
+            )
+            payload = y.astype("<i2").tobytes()
+            out["clip_id"].append(f"{r['clip_id']}~{name}")
+            out["src_clip_id"].append(str(r["clip_id"]))
+            out["aug_name"].append(name)
+            out["sr_hz"].append(int(sr))
+            out["dur_ms"].append(dur_ms)
+            out["n_bytes"].append(len(payload))
+            out["payload_h"].append(signed(xxh64_bytes(payload, 42)))
+    return out
+
+
 def _voice_pairs_replay(pdf, max_bucket=64) -> list[tuple[str, str]]:
     """Voice-axis pair law over any clips frame: shared decode + voice
     kernel, explicit 4-key (2×2 F0 × tilt grid) bucketing through
@@ -6436,6 +6476,12 @@ _SCHEMAS: dict[str, pa.Schema] = {
         [("cluster_rep", pa.string()), ("n_members", pa.int64()),
          ("n_kept", pa.int64()), ("kept_ids", pa.string())]
     ),
+    "audio_augment": pa.schema(
+        [("clip_id", pa.string()), ("src_clip_id", pa.string()),
+         ("aug_name", pa.string()), ("sr_hz", pa.int32()),
+         ("dur_ms", pa.int32()), ("n_bytes", pa.int64()),
+         ("payload_h", pa.int64())]
+    ),
     "quality_calibration": pa.schema(
         [("bucket", pa.int32()), ("n_docs", pa.int64()),
          ("n_pass", pa.int64()), ("pass_rate", pa.float64()),
@@ -7200,6 +7246,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_multispeaker_expected()
     elif name == "voice_balance":
         data = _voice_balance_expected()
+    elif name == "audio_augment":
+        data = _audio_augment_expected()
     elif name == "audio_excerpt_match":
         data = _audio_excerpt_expected()
     elif name == "audio_constellation_match":
