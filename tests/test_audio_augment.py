@@ -134,3 +134,67 @@ def test_cli_augment(spark, tmp_path, capsys, monkeypatch):
         ["augment", "--tables", str(tables), "--table", "clips",
          "--output", str(out), "--specs", "nope"]
     ) == 2
+
+
+def test_detectors_catch_augmented_copies(spark):
+    """Producer–auditor coherence: each augmented copy is recovered by
+    the detector family that owns its perturbation axis — gain by the
+    re-encode-invariant fingerprints, speed by the speed-dup detector,
+    noise by the noise-robust mel-embedding matcher."""
+    from data_quality_spark.operators.audio_dedup import (
+        clip_fingerprints,
+        fingerprint_near_dup,
+    )
+    from data_quality_spark.operators.audio_embed import embed_near_dup
+    from data_quality_spark.operators.audio_speed import (
+        clip_profiles,
+        speed_dup_confirm,
+        speed_dup_pairs,
+    )
+    from data_quality_spark.synth import make_audio_voice_corpus
+
+    # speech-like sources (voice corpus), augmented with one spec each
+    pdf = make_audio_voice_corpus(4, 1, seed=13)
+    pdf = pdf[pdf.clip_id.str.startswith("vc")]
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(pdf[cols], CLIPS_SCHEMA)
+
+    def with_aug(name, params):
+        aug = augment_clips(clips, specs=((name, params),)).select(cols)
+        return clips.unionByName(aug)
+
+    # gain copies: fingerprint family (gain-invariant by construction)
+    both = with_aug("gain-6db", {"kind": "gain", "db": -6.0})
+    pairs = fingerprint_near_dup(clip_fingerprints(both)).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    for cid in pdf.clip_id:
+        assert (cid, f"{cid}~gain-6db") in got, cid
+
+    # noise copies: mel-embedding matcher (fingerprints fail here by
+    # design — that boundary is measured in audio_noise_robustness)
+    both = with_aug("noise20db", {"kind": "noise", "snr_db": 20.0})
+    pairs = embed_near_dup(both).collect()
+    got = set()
+    for r in pairs:
+        got.add((r.id_a, r.id_b))
+        got.add((r.id_b, r.id_a))
+    hits = sum(
+        (cid, f"{cid}~noise20db") in got for cid in pdf.clip_id
+    )
+    assert hits >= len(pdf) - 1, (hits, len(pdf))
+
+    # speed copies: the speed-dup detector confirms the rational factor
+    both = with_aug("speed1.1", {"kind": "speed", "num": 11, "den": 10})
+    confirmed = (
+        speed_dup_confirm(both, speed_dup_pairs(clip_profiles(both)))
+        .filter(F.col("confirmed"))
+        .collect()
+    )
+    got = set()
+    for r in confirmed:
+        got.add((r.id_a, r.id_b))
+        got.add((r.id_b, r.id_a))
+    hits = sum(
+        (cid, f"{cid}~speed1.1") in got for cid in pdf.clip_id
+    )
+    assert hits >= len(pdf) - 1, (hits, len(pdf))
