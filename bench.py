@@ -484,7 +484,8 @@ def main() -> None:
         "tfidf_top_terms", "quality_calibration", "gate_distill",
         "audio_embed_dedup", "audio_watermark", "compression_ratio",
         "char_entropy", "rule_overlap", "audio_channel", "audio_voice",
-        "audio_identity_split",
+        "audio_identity_split", "audio_split_leakage",
+        "audio_multispeaker", "voice_balance", "audio_augment",
     ]
     # headline-only mode: just the gate pair + health scan (~90 s) — fits
     # inside the short quiet gaps this shared host actually has, where the

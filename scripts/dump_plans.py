@@ -616,6 +616,28 @@ def main() -> None:
         e.q_audio_watermark(spark, sf),
     ))
     sections.append((
+        "Augmented-copy writer (producer fan-out inside one Arrow pass)",
+        "ONE MapInArrow: the 1→4 spec fan-out happens INSIDE the Arrow "
+        "batch (no explode, no join), payload bytes stay columnar "
+        "end-to-end, and the xxhash64 projection keeps the verified "
+        "surface slim. The operator itself adds NO exchange — the two "
+        "in the dump are the harness's input balancing repartition "
+        "(upstream of the map) and the display sort; byte determinism "
+        "(the XXH64-seeded noise realization) makes the output "
+        "invariant to both.",
+        e.q_audio_augment(spark, sf),
+    ))
+    sections.append((
+        "Within-clip diarize-lite (pure map, zero shuffles)",
+        "Decode → VAD runs → per-segment voice profiles → in-clip "
+        "link, all inside ONE MapInArrow; the only Exchange is the "
+        "final display sort. Per-clip work is bounded by segment "
+        "count², with segments bounded by clip duration — no "
+        "cross-clip state anywhere, so the operator scales with input "
+        "splits.",
+        e.q_audio_multispeaker(spark, sf),
+    ))
+    sections.append((
         "Union-of-axes identity split (one decode, three pair laws)",
         "ONE MapInArrow decode pass materializes the slim feature "
         "relation (fingerprints + two 16-double profiles + key cells, "
