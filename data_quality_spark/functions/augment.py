@@ -15,7 +15,10 @@ partitioning or engine placement:
   — the same clip always gets the same noise, on any executor;
 - speed: polyphase rational resample played back at the original rate
   (duration scales exactly by den/num via ``output_length``);
-- stretch: phase-vocoder time stretch, pitch preserved.
+- stretch: phase-vocoder time stretch, pitch preserved;
+- reverb: convolution with a synthetic room impulse response (unit
+  direct tap + seeded noise tail decaying at −60/RT60 dB/s, wet tail
+  −6 dB), FFT convolution trimmed to the input length.
 
 Outputs are (int16 samples, dur_ms) pairs; encoding is the shared
 pcm16 law.  No clock, no process RNG — augmentation is a pure function
@@ -39,6 +42,7 @@ DEFAULT_SPECS = (
     ("noise20db", {"kind": "noise", "snr_db": 20.0}),
     ("speed1.1", {"kind": "speed", "num": 11, "den": 10}),
     ("stretch0.9", {"kind": "stretch", "rate": 0.9}),
+    ("reverb0.6", {"kind": "reverb", "rt60_s": 0.6}),
 )
 
 
@@ -73,6 +77,40 @@ def augment_i16(
         y = np.clip(
             np.rint(yf * 32767.0), -32768, 32767
         ).astype(np.int16)
+    elif kind == "reverb":
+        # synthetic RIR: unit direct path + exponentially-decaying noise
+        # tail at -60/RT60 dB/s, realization seeded like the noise kind;
+        # output trimmed to the input length (the room does not change
+        # the utterance's duration bookkeeping)
+        rt60 = float(params["rt60_s"])
+        if q.size == 0:
+            y = q.copy()
+        else:
+            seed = xxh64_string(f"{clip_id}:{name}", 42) & ((1 << 64) - 1)
+            rng = np.random.default_rng(seed)
+            n_h = int(rt60 * sr_hz)
+            t = np.arange(1, n_h + 1) / sr_hz
+            # tail INITIAL amplitude -6 dB vs the unit direct tap (the
+            # per-sample level is what blind RT60 estimation sees; an
+            # energy-normalized tail starts ~40 dB down and the decay
+            # never clears the detector's dynamic range)
+            tail = 0.5 * rng.standard_normal(n_h) * (
+                10.0 ** (-3.0 * t / rt60)
+            )
+            h = np.concatenate(([1.0], tail))
+            n_fft = 1 << int(np.ceil(np.log2(q.size + n_h)))
+            yf = np.fft.irfft(
+                np.fft.rfft(q.astype(np.float64), n_fft)
+                * np.fft.rfft(h, n_fft),
+                n_fft,
+            )[: q.size]
+            # preserve the source's peak headroom (gain-invariant
+            # consumers unaffected; rails never clip the room)
+            peak_in = float(np.max(np.abs(q))) or 1.0
+            peak_out = float(np.max(np.abs(yf))) or 1.0
+            if peak_out > peak_in:
+                yf *= peak_in / peak_out
+            y = np.clip(np.rint(yf), -32768, 32767).astype(np.int16)
     elif kind == "stretch":
         rate = float(params["rate"])
         yf = time_stretch(q.astype(np.float64) / 32767.0, rate)

@@ -62,6 +62,13 @@ def test_kernel_laws():
     y, _ = augment_i16(q, SR, "c1", "stretch0.9",
                        {"kind": "stretch", "rate": 0.9})
     assert abs(y.size - q.size / 0.9) < 2048
+    # reverb: same length, seeded-reproducible, peak never exceeds input
+    y1, d1 = augment_i16(q, SR, "c1", "reverb0.6",
+                         {"kind": "reverb", "rt60_s": 0.6})
+    y2, _ = augment_i16(q, SR, "c1", "reverb0.6",
+                        {"kind": "reverb", "rt60_s": 0.6})
+    assert np.array_equal(y1, y2) and y1.size == q.size
+    assert int(np.max(np.abs(y1))) <= int(np.max(np.abs(q)))
 
 
 def test_operator_determinism_and_totality(spark):
@@ -89,7 +96,7 @@ def test_operator_determinism_and_totality(spark):
                 n_decodable += 1
         except (ValueError, TypeError):
             pass
-    assert len(a) == 4 * n_decodable
+    assert len(a) == 5 * n_decodable
 
 
 def test_augmented_corpus_feeds_the_audit(spark):
@@ -198,3 +205,26 @@ def test_detectors_catch_augmented_copies(spark):
         (cid, f"{cid}~speed1.1") in got for cid in pdf.clip_id
     )
     assert hits >= len(pdf) - 1, (hits, len(pdf))
+
+
+def test_reverb_augment_caught_by_reverb_detector(spark):
+    """The fourth coherence loop: reverb-augmented copies of dry burst
+    clips are flagged by the blind-RT60 detector (and their dry sources
+    are not) — with the rt60 estimate tracking the spec."""
+    from data_quality_spark.operators.audio_reverb import reverb_flags
+    from data_quality_spark.synth import make_audio_reverb_corpus
+
+    pdf = make_audio_reverb_corpus(60, seed=42)
+    pdf = pdf[pdf.defect == "dry_bursts"]
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(pdf[cols], CLIPS_SCHEMA)
+    aug = augment_clips(
+        clips, specs=(("reverb0.6", {"kind": "reverb", "rt60_s": 0.6}),)
+    ).select(cols)
+    out = {r.clip_id: r for r in
+           reverb_flags(clips.unionByName(aug)).collect()}
+    for cid in pdf.clip_id:
+        assert not out[cid].is_reverberant, cid
+        wet = out[f"{cid}~reverb0.6"]
+        assert wet.is_reverberant, (cid, wet)
+        assert 0.35 <= wet.rt60_est <= 1.0, wet.rt60_est
