@@ -1755,6 +1755,39 @@ def q_audio_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_leakage_audit(naive)
 
 
+def q_audio_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-split blast radius after corpus growth: day-2 clips include a
+    bridge (sg00's speaker recorded in session 3's room) that merges a
+    val singleton into a train component — under the md5 law a merge is
+    the ONLY way an existing assignment can move, and exactly sg00
+    moves while every other existing clip stays bit-stable.  Production
+    path: both assignments from one feature checkpoint, zero decode.
+    Hash-checked against the dual replay twin with designed-drift
+    asserts."""
+    from data_quality_spark.operators.audio_identity import (
+        identity_split,
+        split_drift,
+    )
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_identity_corpus
+
+    ensure_expected("audio_split_drift", sf_dir)
+    key = ("ident2", 42)
+    if key not in _CLIPS_CACHE:
+        _CLIPS_CACHE[key] = make_audio_identity_corpus(42, with_day2=True)
+    both_pdf = _CLIPS_CACHE[key]
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    day1 = spark.createDataFrame(
+        both_pdf[both_pdf.ingest_day != "2026-01-03"][cols], CLIPS_SCHEMA
+    ).repartition(8, "clip_id")
+    both = spark.createDataFrame(
+        both_pdf[cols], CLIPS_SCHEMA
+    ).repartition(8, "clip_id")
+    return split_drift(
+        identity_split(day1), identity_split(both)
+    )
+
+
 def q_audio_multispeaker(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-clip multi-speaker (diarize-lite) audit: per-VAD-segment
     voice profiles linked under the shared squared-L2 law count
@@ -4106,6 +4139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_identity_split": q_audio_identity_split,
         "audio_split_leakage": q_audio_split_leakage,
         "audio_multispeaker": q_audio_multispeaker,
+        "audio_split_drift": q_audio_split_drift,
         "voice_balance": q_voice_balance,
         "audio_augment": q_audio_augment,
         "audio_excerpt_match": q_audio_excerpt_match,
@@ -6133,6 +6167,7 @@ FROM ranked WHERE rnk <= 3""",
         "audio_identity_split": _expected_sql("audio_identity_split"),
         "audio_split_leakage": _expected_sql("audio_split_leakage"),
         "audio_multispeaker": _expected_sql("audio_multispeaker"),
+        "audio_split_drift": _expected_sql("audio_split_drift"),
         "voice_balance": _expected_sql("voice_balance"),
         "audio_augment": _expected_sql("audio_augment"),
         "audio_excerpt_match": _expected_sql("audio_excerpt_match"),

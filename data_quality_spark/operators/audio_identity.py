@@ -276,3 +276,47 @@ def split_leakage_audit(
         )
         .orderBy("axis")
     )
+
+
+def split_drift(old: DataFrame, new: DataFrame) -> DataFrame:
+    """(clip_id, status, old_split, new_split, old_component,
+    new_component) — the blast radius of re-splitting after corpus
+    growth.
+
+    Component merges are the ONLY way an existing assignment can move
+    under the md5 law (the representative is the hash key, and a merge
+    can change it); singletons and unmerged components keep their
+    assignment bit-for-bit, so ``status`` partitions into:
+
+    - ``stable``: split unchanged (the overwhelming majority — the law's
+      point);
+    - ``moved``: the clip's component merged with one whose
+      representative wins the min, and the new representative hashes to
+      the other side;
+    - ``added``: not present in the old assignment.
+
+    One join on clip_id; both inputs are ``identity_split`` /
+    ``split_from_features`` outputs (at scale: run both halves from the
+    SAME feature checkpoint — zero decode)."""
+    o = old.select(
+        "clip_id",
+        F.col("split").alias("old_split"),
+        F.col("component").alias("old_component"),
+    )
+    n = new.select(
+        "clip_id",
+        F.col("split").alias("new_split"),
+        F.col("component").alias("new_component"),
+    )
+    return (
+        n.join(o, "clip_id", "left")
+        .select(
+            "clip_id",
+            F.when(F.col("old_split").isNull(), F.lit("added"))
+            .when(F.col("old_split") != F.col("new_split"),
+                  F.lit("moved"))
+            .otherwise(F.lit("stable")).alias("status"),
+            "old_split", "new_split", "old_component", "new_component",
+        )
+        .orderBy("clip_id")
+    )

@@ -4165,18 +4165,12 @@ def _audio_voice_expected(
     return out
 
 
-def _audio_identity_split_expected(
-    seed=42, val_frac=0.25, split_seed=11, max_bucket=64
-) -> dict:
-    """Twin of ``audio_identity.identity_split`` over
-    ``synth.make_audio_identity_corpus``: the three kernels are SHARED
-    pure numpy; the three pair laws replay through the explicit-Python
-    ``_fp_pair_replay`` / ``_profile_pair_replay`` helpers, the union
-    closes with the union-find, and the split replays the portable md5
-    law (hashlib vs Spark's ``sample_order_col``) against the same
-    128-bit threshold literal."""
-    import hashlib
-
+def _identity_pairs_replay(
+    pdf, max_bucket=64
+) -> dict[str, list[tuple[str, str]]]:
+    """The three identity pair laws over any clips frame (shared
+    kernels, explicit-Python bucket/verify replays).  Returns pairs per
+    axis; used by the identity-split, leakage, and drift twins."""
     from .functions.audio import _decode_i16
     from .functions.channel import (
         DIST2_MAX as CH_DIST2,
@@ -4189,10 +4183,7 @@ def _audio_identity_split_expected(
         voice_key_parts,
         voice_profile,
     )
-    from .operators.sampling import fraction_threshold_hex
-    from .synth import make_audio_identity_corpus
 
-    pdf = make_audio_identity_corpus(seed)
     fps: dict[str, list[int]] = {}
     chp: dict[str, list[float]] = {}
     chk: dict[str, list[tuple[int, int, int]]] = {}
@@ -4219,11 +4210,33 @@ def _audio_identity_split_expected(
                 (2 * gf + gt, fcs[gf], tcs[gt])
                 for gf in (0, 1) for gt in (0, 1)
             ]
-    pairs = (
-        [(a, b) for a, b, _ in _fp_pair_replay(fps, max_bucket=max_bucket)]
-        + _profile_pair_replay(chp, chk, CH_DIST2, max_bucket)
-        + _profile_pair_replay(vop, vok, VO_DIST2, max_bucket)
-    )
+    return {
+        "content": [(a, b) for a, b, _ in
+                    _fp_pair_replay(fps, max_bucket=max_bucket)],
+        "channel": _profile_pair_replay(chp, chk, CH_DIST2, max_bucket),
+        "voice": _profile_pair_replay(vop, vok, VO_DIST2, max_bucket),
+    }
+
+
+def _audio_identity_split_expected(
+    seed=42, val_frac=0.25, split_seed=11, max_bucket=64
+) -> dict:
+    """Twin of ``audio_identity.identity_split`` over
+    ``synth.make_audio_identity_corpus``: the three kernels are SHARED
+    pure numpy; the three pair laws replay through the explicit-Python
+    ``_fp_pair_replay`` / ``_profile_pair_replay`` helpers, the union
+    closes with the union-find, and the split replays the portable md5
+    law (hashlib vs Spark's ``sample_order_col``) against the same
+    128-bit threshold literal."""
+    import hashlib
+
+    from .operators.sampling import fraction_threshold_hex
+    from .synth import make_audio_identity_corpus
+
+    pdf = make_audio_identity_corpus(seed)
+    axis_pairs = _identity_pairs_replay(pdf, max_bucket)
+    pairs = (axis_pairs["content"] + axis_pairs["channel"]
+             + axis_pairs["voice"])
     comp = _uf_min_components(pairs)
     sizes: dict[str, int] = {}
     for c in comp.values():
@@ -4241,6 +4254,61 @@ def _audio_identity_split_expected(
     return out
 
 
+def _audio_split_drift_expected(
+    seed=42, val_frac=0.25, split_seed=11, max_bucket=64
+) -> dict:
+    """Twin of q_audio_split_drift: both assignments replayed through
+    the shared identity-pair + md5 law (day-1 corpus vs day-1+day-2),
+    then the per-clip status compare.  Generation-time asserts pin the
+    DESIGNED drift: sg00 moves (its val singleton merges into D's train
+    component via the bridge), day-2 clips are added, everything else
+    is stable."""
+    import hashlib
+
+    from .operators.sampling import fraction_threshold_hex
+    from .synth import make_audio_identity_corpus
+
+    thresh = fraction_threshold_hex(val_frac)
+
+    def assign(pdf):
+        ap = _identity_pairs_replay(pdf, max_bucket)
+        comp = _uf_min_components(
+            ap["content"] + ap["channel"] + ap["voice"]
+        )
+        out = {}
+        for cid in pdf["clip_id"]:
+            rep = comp.get(cid, cid)
+            h = hashlib.md5(f"{rep}:{split_seed}".encode()).hexdigest()
+            out[cid] = (rep, "val" if h < thresh else "train")
+        return out
+
+    both = make_audio_identity_corpus(seed, with_day2=True)
+    day1 = both[both.ingest_day != "2026-01-03"]
+    old = assign(day1)
+    new = assign(both)
+    out = {"clip_id": [], "status": [], "old_split": [],
+           "new_split": [], "old_component": [], "new_component": []}
+    for cid in sorted(new):
+        rep_n, sp_n = new[cid]
+        if cid in old:
+            rep_o, sp_o = old[cid]
+            status = "stable" if sp_o == sp_n else "moved"
+        else:
+            rep_o, sp_o, status = None, None, "added"
+        out["clip_id"].append(cid)
+        out["status"].append(status)
+        out["old_split"].append(sp_o)
+        out["new_split"].append(sp_n)
+        out["old_component"].append(rep_o)
+        out["new_component"].append(rep_n)
+    by_status = {}
+    for cid, st in zip(out["clip_id"], out["status"]):
+        by_status.setdefault(st, []).append(cid)
+    assert by_status.get("moved") == ["sg00"], by_status.get("moved")
+    assert sorted(by_status.get("added", [])) == ["nw00", "zz_bridge"]
+    return out
+
+
 def _audio_split_leakage_expected(
     seed=42, naive_frac=0.3, naive_seed=7, max_bucket=64
 ) -> dict:
@@ -4250,18 +4318,6 @@ def _audio_split_leakage_expected(
     counts, and distinct leaked clips."""
     import hashlib
 
-    from .functions.audio import _decode_i16
-    from .functions.channel import (
-        DIST2_MAX as CH_DIST2,
-        channel_key_parts,
-        noise_profile,
-    )
-    from .functions.spectral import fingerprint_i32
-    from .functions.voice import (
-        DIST2_MAX as VO_DIST2,
-        voice_key_parts,
-        voice_profile,
-    )
     from .operators.sampling import fraction_threshold_hex
     from .synth import make_audio_identity_corpus
 
@@ -4275,38 +4331,7 @@ def _audio_split_leakage_expected(
         )
         for cid in pdf["clip_id"]
     }
-    fps: dict[str, list[int]] = {}
-    chp: dict[str, list[float]] = {}
-    chk: dict[str, list[tuple[int, int, int]]] = {}
-    vop: dict[str, list[float]] = {}
-    vok: dict[str, list[tuple[int, int, int]]] = {}
-    for _, r in pdf.iterrows():
-        try:
-            x = _decode_i16(r["bytes"], r["codec"], r["sr_hz"])
-        except (ValueError, TypeError):
-            x = np.zeros(0, dtype=np.int16)
-        cid = r["clip_id"]
-        fps[cid] = [int(v) for v in fingerprint_i32(x)]
-        cp, _nw = noise_profile(x, int(r["sr_hz"]))
-        if cp is not None:
-            pk, c0, c1, _t = channel_key_parts(cp)
-            chp[cid] = [float(v) for v in cp]
-            chk[cid] = [(0, c0, pk), (1, c1, pk)]
-        vp, _nv, f0 = voice_profile(x, int(r["sr_hz"]))
-        if vp is not None:
-            fc0, fc1, tc0, tc1 = voice_key_parts(vp, f0)
-            vop[cid] = [float(v) for v in vp]
-            fcs, tcs = (fc0, fc1), (tc0, tc1)
-            vok[cid] = [
-                (2 * gf + gt, fcs[gf], tcs[gt])
-                for gf in (0, 1) for gt in (0, 1)
-            ]
-    axis_pairs = {
-        "content": [(a, b) for a, b, _ in
-                    _fp_pair_replay(fps, max_bucket=max_bucket)],
-        "channel": _profile_pair_replay(chp, chk, CH_DIST2, max_bucket),
-        "voice": _profile_pair_replay(vop, vok, VO_DIST2, max_bucket),
-    }
+    axis_pairs = _identity_pairs_replay(pdf, max_bucket)
     out = {"axis": [], "n_pairs": [], "n_cross_pairs": [],
            "n_cross_clips": []}
     for axis in sorted(axis_pairs):
@@ -6273,6 +6298,11 @@ _SCHEMAS: dict[str, pa.Schema] = {
         [("axis", pa.string()), ("n_pairs", pa.int64()),
          ("n_cross_pairs", pa.int64()), ("n_cross_clips", pa.int64())]
     ),
+    "audio_split_drift": pa.schema(
+        [("clip_id", pa.string()), ("status", pa.string()),
+         ("old_split", pa.string()), ("new_split", pa.string()),
+         ("old_component", pa.string()), ("new_component", pa.string())]
+    ),
     "audio_multispeaker": pa.schema(
         [("clip_id", pa.string()), ("ok", pa.bool_()),
          ("n_segments", pa.int32()), ("n_voiced_segments", pa.int32()),
@@ -7242,6 +7272,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_identity_split_expected()
     elif name == "audio_split_leakage":
         data = _audio_split_leakage_expected()
+    elif name == "audio_split_drift":
+        data = _audio_split_drift_expected()
     elif name == "audio_multispeaker":
         data = _audio_multispeaker_expected()
     elif name == "voice_balance":

@@ -1947,7 +1947,9 @@ def make_audio_voice_corpus(
     )
 
 
-def make_audio_identity_corpus(seed: int = 42) -> pd.DataFrame:
+def make_audio_identity_corpus(
+    seed: int = 42, with_day2: bool = False
+) -> pd.DataFrame:
     """Corpus entangling all three audio identity axes for leakage-safe
     split testing.
 
@@ -2100,6 +2102,42 @@ def make_audio_identity_corpus(seed: int = 42) -> pd.DataFrame:
             "transcript": f"independent {k}",
             "ingest_day": "2026-01-01",
             "defect": f"single_{k}",
+        })
+    if with_day2:
+        # a later ingest day whose clips MERGE existing components:
+        # sg00's speaker (identity 4) recorded in session 3's room —
+        # the voice axis links it to sg00, the channel axis to D, so
+        # sg00 (previously a val singleton) joins D's train component
+        # and its assignment must move.  Plus one genuinely-new clip.
+        crng = np.random.default_rng(seed + 424242)
+        sess = 3
+        alpha = -1.6 + 3.2 * sess / 5.0
+        res_frac = 0.10 + 0.80 * ((sess * 7) % 6) / 6.0
+        res_width = 0.05 + 0.02 * (sess % 3)
+        tone = _channel_noise(
+            crng, 2 * sr, alpha, res_frac, res_width, 8.0, -52.0
+        )
+        f0, formants = speaker_identity(4)
+        rows.append({
+            "clip_id": "zz_bridge",
+            "bytes": A.encode_pcm16(
+                voiced_clip(f0, formants, tone, crng)
+            ),
+            "sr_hz": sr, "dur_ms": 2000, "codec": "pcm16",
+            "transcript": "sg00 speaker visits session 3",
+            "ingest_day": "2026-01-03", "defect": "bridge",
+        })
+        crng = np.random.default_rng(seed + 424243)
+        f0, formants = speaker_identity(7)
+        tone = _channel_noise(crng, 2 * sr, 0.4, 0.61, 0.06, 8.0, -52.0)
+        rows.append({
+            "clip_id": "nw00",
+            "bytes": A.encode_pcm16(
+                voiced_clip(f0, formants, tone, crng)
+            ),
+            "sr_hz": sr, "dur_ms": 2000, "codec": "pcm16",
+            "transcript": "new independent", "ingest_day": "2026-01-03",
+            "defect": "new_single",
         })
     return pd.DataFrame(
         rows,

@@ -153,3 +153,26 @@ def test_leakage_audit_clean_vs_naive(spark):
     assert {r.axis: r.n_pairs for r in leaky} == {
         r.axis: r.n_pairs for r in clean
     }
+
+
+def test_split_drift_blast_radius(spark):
+    """Corpus growth with a component-merging bridge: exactly sg00
+    moves (val singleton absorbed into a train component), day-2 clips
+    are added, every other existing assignment is bit-stable."""
+    from data_quality_spark.operators.audio_identity import split_drift
+
+    both_pdf = make_audio_identity_corpus(42, with_day2=True)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    day1 = _clips_df(spark, both_pdf[both_pdf.ingest_day != "2026-01-03"])
+    both = _clips_df(spark, both_pdf)
+    out = split_drift(identity_split(day1), identity_split(both)).collect()
+    by_status = {}
+    for r in out:
+        by_status.setdefault(r.status, []).append(r.clip_id)
+    assert by_status["moved"] == ["sg00"]
+    assert sorted(by_status["added"]) == ["nw00", "zz_bridge"]
+    assert len(by_status["stable"]) == len(both_pdf) - 3
+    moved = next(r for r in out if r.clip_id == "sg00")
+    assert (moved.old_split, moved.new_split) == ("val", "train")
+    assert moved.old_component == "sg00"
+    assert moved.new_component == "id03c00"
