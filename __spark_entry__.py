@@ -1755,6 +1755,31 @@ def q_audio_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_leakage_audit(naive)
 
 
+def q_audio_specaugment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpecAugment over the log-mel feature tables (second-stage
+    producer — consumes FEATURES, not audio: the decode+mel pass is
+    checkpointed once and each augmentation policy is a cheap map over
+    the stored tables).  Freq/time masks to the kernel's log floor,
+    draw order XXH64-seeded per clip.  Payload-grade oracle: xxhash64
+    over the masked float64 bytes vs the dual replay."""
+    from data_quality_spark.operators.audio_mel import mel_features
+    from data_quality_spark.operators.audio_specaugment import specaugment
+
+    ensure_expected("audio_specaugment", sf_dir)
+    clips = _clips_df(spark, 300, 42)
+    masked = specaugment(mel_features(clips))
+    return masked.select(
+        "clip_id",
+        "ok",
+        "n_frames",
+        "n_mels",
+        "n_freq_masked",
+        "n_time_masked",
+        F.length("feat").cast("long").alias("n_bytes"),
+        F.xxhash64("feat").alias("feat_h"),
+    ).orderBy("clip_id")
+
+
 def q_audio_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Re-split blast radius after corpus growth: day-2 clips include a
     bridge (sg00's speaker recorded in session 3's room) that merges a
@@ -4140,6 +4165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_split_leakage": q_audio_split_leakage,
         "audio_multispeaker": q_audio_multispeaker,
         "audio_split_drift": q_audio_split_drift,
+        "audio_specaugment": q_audio_specaugment,
         "voice_balance": q_voice_balance,
         "audio_augment": q_audio_augment,
         "audio_excerpt_match": q_audio_excerpt_match,
@@ -6168,6 +6194,7 @@ FROM ranked WHERE rnk <= 3""",
         "audio_split_leakage": _expected_sql("audio_split_leakage"),
         "audio_multispeaker": _expected_sql("audio_multispeaker"),
         "audio_split_drift": _expected_sql("audio_split_drift"),
+        "audio_specaugment": _expected_sql("audio_specaugment"),
         "voice_balance": _expected_sql("voice_balance"),
         "audio_augment": _expected_sql("audio_augment"),
         "audio_excerpt_match": _expected_sql("audio_excerpt_match"),

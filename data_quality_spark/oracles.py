@@ -1363,6 +1363,78 @@ def _audio_mel_expected(n=300, seed=42) -> dict:
     return out
 
 
+def _audio_specaugment_expected(
+    n=300, seed=42, freq_mask=8, time_mask=20, n_freq=2, n_time=2
+) -> dict:
+    """Twin of q_audio_specaugment: mel features rebuilt with the
+    shared kernel, the masking policy replayed with the same
+    XXH64-seeded draw order (the draw order IS the spec), masked bytes
+    hashed with the from-spec XXH64.  A generation-time assert pins a
+    non-trivial mask population so a silently-dead RNG cannot
+    re-materialize an unmasked table."""
+    from .functions.audio import _decode_i16
+    from .functions.mel import LOG_FLOOR, N_MELS, log_mel
+    from .functions.xxh64 import xxh64_bytes, xxh64_string
+
+    from .synth import generate_clips
+
+    def signed(h: int) -> int:
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    log_floor = float(np.log(LOG_FLOOR))
+    pdf = generate_clips(n, seed=seed)
+    out: dict[str, list] = {
+        "clip_id": [], "ok": [], "n_frames": [], "n_mels": [],
+        "n_freq_masked": [], "n_time_masked": [], "n_bytes": [],
+        "feat_h": [],
+    }
+    total_masked = 0
+    for _, r in pdf.sort_values("clip_id").iterrows():
+        try:
+            q = _decode_i16(r["bytes"], r["codec"], r["sr_hz"])
+            ok = True
+        except (ValueError, TypeError):
+            q = np.zeros(0, dtype=np.int16)
+            ok = False
+        m = log_mel(q.astype(np.float64) / 32768.0, r["sr_hz"] or 0)
+        nf = int(m.shape[0])
+        fm_cells = tm_cells = 0
+        if ok and nf > 0:
+            mm = np.ascontiguousarray(m).copy()
+            rng = np.random.default_rng(
+                xxh64_string(f"{r['clip_id']}:specaug", 42)
+                & ((1 << 64) - 1)
+            )
+            for _k in range(n_freq):
+                w = int(rng.integers(0, freq_mask + 1))
+                if w == 0 or w >= N_MELS:
+                    continue
+                f0 = int(rng.integers(0, N_MELS - w + 1))
+                mm[:, f0: f0 + w] = log_floor
+                fm_cells += w
+            for _k in range(n_time):
+                w = int(rng.integers(0, time_mask + 1))
+                if w == 0 or w >= nf:
+                    continue
+                t0 = int(rng.integers(0, nf - w + 1))
+                mm[t0: t0 + w, :] = log_floor
+                tm_cells += w
+            payload = mm.astype("<f8").tobytes()
+        else:
+            payload = np.ascontiguousarray(m).tobytes()
+        total_masked += fm_cells + tm_cells
+        out["clip_id"].append(r["clip_id"])
+        out["ok"].append(ok)
+        out["n_frames"].append(nf)
+        out["n_mels"].append(N_MELS)
+        out["n_freq_masked"].append(fm_cells)
+        out["n_time_masked"].append(tm_cells)
+        out["n_bytes"].append(len(payload))
+        out["feat_h"].append(signed(xxh64_bytes(payload, 42)))
+    assert total_masked > 0
+    return out
+
+
 def _text_normalize_expected(sf_dir: str, inject_every=30) -> dict:
     """Twin of ``operators.text_normalize.normalize_stats``: injection
     replayed from the same constants, the normalization law replayed
@@ -6298,6 +6370,12 @@ _SCHEMAS: dict[str, pa.Schema] = {
         [("axis", pa.string()), ("n_pairs", pa.int64()),
          ("n_cross_pairs", pa.int64()), ("n_cross_clips", pa.int64())]
     ),
+    "audio_specaugment": pa.schema(
+        [("clip_id", pa.string()), ("ok", pa.bool_()),
+         ("n_frames", pa.int32()), ("n_mels", pa.int32()),
+         ("n_freq_masked", pa.int32()), ("n_time_masked", pa.int32()),
+         ("n_bytes", pa.int64()), ("feat_h", pa.int64())]
+    ),
     "audio_split_drift": pa.schema(
         [("clip_id", pa.string()), ("status", pa.string()),
          ("old_split", pa.string()), ("new_split", pa.string()),
@@ -7274,6 +7352,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_split_leakage_expected()
     elif name == "audio_split_drift":
         data = _audio_split_drift_expected()
+    elif name == "audio_specaugment":
+        data = _audio_specaugment_expected()
     elif name == "audio_multispeaker":
         data = _audio_multispeaker_expected()
     elif name == "voice_balance":

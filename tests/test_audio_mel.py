@@ -113,3 +113,45 @@ class TestOperator:
         for c in bad:
             assert not rows[c].ok
             assert rows[c].n_frames == 0 and bytes(rows[c].feat) == b""
+
+
+def test_specaugment_laws(spark):
+    """SpecAugment over mel tables: masked cells take exactly the log
+    floor, unmasked cells are bit-identical to the input, masks are
+    clip-seeded (reproducible, distinct across clips), non-ok rows pass
+    through untouched."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from data_quality_spark.functions.mel import LOG_FLOOR
+    from data_quality_spark.operators.audio_mel import mel_features
+    from data_quality_spark.operators.audio_specaugment import specaugment
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import generate_clips
+
+    pdf = generate_clips(60, seed=42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(pdf[cols], CLIPS_SCHEMA)
+    feats = mel_features(clips).persist()
+    base = {r.clip_id: r for r in feats.collect()}
+    out1 = {r.clip_id: r for r in specaugment(feats).collect()}
+    out2 = {r.clip_id: bytes(r.feat) for r in
+            specaugment(feats.repartition(5)).collect()}
+    log_floor = float(np.log(LOG_FLOOR))
+    n_masked_total = 0
+    for cid, r in out1.items():
+        assert out2[cid] == bytes(r.feat)  # partitioning-independent
+        b = base[cid]
+        if not r.ok or r.n_frames == 0:
+            assert bytes(r.feat) == bytes(b.feat)
+            assert r.n_freq_masked == r.n_time_masked == 0
+            continue
+        m0 = np.frombuffer(bytes(b.feat), dtype="<f8").reshape(
+            b.n_frames, b.n_mels)
+        m1 = np.frombuffer(bytes(r.feat), dtype="<f8").reshape(
+            r.n_frames, r.n_mels)
+        changed = m1 != m0
+        assert np.all(m1[changed] == log_floor)
+        n_masked_total += int(changed.sum())
+    assert n_masked_total > 0
+    feats.unpersist()
