@@ -1755,6 +1755,38 @@ def q_audio_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_leakage_audit(naive)
 
 
+def q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's final deliverable in one relation: per clip, the
+    GATE decision (quality filter) × the leakage-safe identity SPLIT ×
+    duration accounting, with ``train_ready`` = keep ∧ train — what a
+    training job actually reads.  Two independent machineries compose
+    (the pandas gate oracle and the identity-axes replay verify each
+    half; the join is the new surface).  At scale both halves run from
+    checkpoints (silver table + identity features), so the manifest is
+    a pure relational join."""
+    from data_quality_spark.operators.audio_identity import identity_split
+    from data_quality_spark.pipeline import gate
+
+    ensure_expected("training_manifest", sf_dir)
+    clips = _clips_df(spark)
+    decided = gate(clips).select("clip_id", "decision")
+    assigned = identity_split(clips, val_frac=0.25, seed=11).select(
+        "clip_id", "split", "component"
+    )
+    return (
+        clips.select("clip_id", "dur_ms")
+        .join(decided, "clip_id")
+        .join(assigned, "clip_id")
+        .select(
+            "clip_id", "decision", "split", "component",
+            F.col("dur_ms").cast("long").alias("dur_ms"),
+            ((F.col("decision") == "keep") & (F.col("split") == "train"))
+            .alias("train_ready"),
+        )
+        .orderBy("clip_id")
+    )
+
+
 def q_audio_specaugment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SpecAugment over the log-mel feature tables (second-stage
     producer — consumes FEATURES, not audio: the decode+mel pass is
@@ -4166,6 +4198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_multispeaker": q_audio_multispeaker,
         "audio_split_drift": q_audio_split_drift,
         "audio_specaugment": q_audio_specaugment,
+        "training_manifest": q_training_manifest,
         "voice_balance": q_voice_balance,
         "audio_augment": q_audio_augment,
         "audio_excerpt_match": q_audio_excerpt_match,
@@ -6195,6 +6228,7 @@ FROM ranked WHERE rnk <= 3""",
         "audio_multispeaker": _expected_sql("audio_multispeaker"),
         "audio_split_drift": _expected_sql("audio_split_drift"),
         "audio_specaugment": _expected_sql("audio_specaugment"),
+        "training_manifest": _expected_sql("training_manifest"),
         "voice_balance": _expected_sql("voice_balance"),
         "audio_augment": _expected_sql("audio_augment"),
         "audio_excerpt_match": _expected_sql("audio_excerpt_match"),

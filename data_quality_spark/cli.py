@@ -226,6 +226,18 @@ def build_parser() -> argparse.ArgumentParser:
                     help="largest clusters to print")
     dd.add_argument("--format", choices=["text", "json"], default="text")
 
+    mf = sub.add_parser(
+        "manifest",
+        help="training manifest: gate decision x leakage-safe split x "
+        "duration accounting per clip",
+    )
+    mf.add_argument("--tables", required=True)
+    mf.add_argument("--table", required=True)
+    mf.add_argument("--val-frac", type=float, default=0.2)
+    mf.add_argument("--seed", type=int, default=0)
+    mf.add_argument("--out", help="write the per-clip manifest parquet here")
+    mf.add_argument("--format", choices=["text", "json"], default="text")
+
     ag = sub.add_parser(
         "augment",
         help="write deterministic augmented copies (gain/noise/speed/"
@@ -1032,6 +1044,64 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 for r in top:
                     print(f"  cluster {r['component']}: {r['size']} clips")
+            return 0
+        if args.cmd == "manifest":
+            from pyspark.sql import functions as F
+
+            from .operators.audio_identity import identity_split
+            from .pipeline import gate
+
+            df = spark.read.parquet(
+                os.path.join(args.tables, f"{args.table}.parquet")
+            )
+            decided = gate(df).select("clip_id", "decision")
+            assigned = identity_split(
+                df, val_frac=args.val_frac, seed=args.seed
+            ).select("clip_id", "split", "component")
+            mani = (
+                df.select("clip_id", "dur_ms")
+                .join(decided, "clip_id")
+                .join(assigned, "clip_id")
+                .withColumn(
+                    "train_ready",
+                    (F.col("decision") == "keep")
+                    & (F.col("split") == "train"),
+                )
+                .persist()
+            )
+            if args.out:
+                mani.orderBy("clip_id").write.mode("overwrite").parquet(
+                    args.out
+                )
+            stats = {
+                f"{r['split']}/{r['decision']}": {
+                    "n_clips": r["n"],
+                    "hours": round(r["ms"] / 3.6e6, 3),
+                }
+                for r in mani.groupBy("split", "decision").agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("dur_ms").alias("ms"),
+                ).collect()
+            }
+            ready = mani.filter("train_ready").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("dur_ms").alias("ms")
+            ).collect()[0]
+            summary = {
+                "train_ready_clips": ready["n"],
+                "train_ready_hours": round((ready["ms"] or 0) / 3.6e6, 3),
+                "cells": stats,
+            }
+            if args.format == "json":
+                print(json.dumps(summary, indent=2))
+            else:
+                print(
+                    f"train-ready: {summary['train_ready_clips']} clips "
+                    f"({summary['train_ready_hours']} h)"
+                )
+                for cell in sorted(stats):
+                    s = stats[cell]
+                    print(f"  {cell}: {s['n_clips']} clips ({s['hours']} h)")
+            mani.unpersist()
             return 0
         if args.cmd == "augment":
             from .functions.augment import DEFAULT_SPECS

@@ -4381,6 +4381,43 @@ def _audio_split_drift_expected(
     return out
 
 
+def _training_manifest_expected(
+    n=1200, seed=42, val_frac=0.25, split_seed=11, max_bucket=64
+) -> dict:
+    """Twin of q_training_manifest: gate decisions from the pandas gate
+    oracle, split from the identity-axes replay + md5 law over the SAME
+    generate_clips frame, joined per clip."""
+    import hashlib
+
+    from .operators.sampling import fraction_threshold_hex
+    from .synth import generate_clips
+
+    gate_pdf = _clips_oracle_frame(n, seed)
+    decision = dict(zip(gate_pdf["clip_id"], gate_pdf["decision"]))
+    clips = generate_clips(n, seed=seed)
+    ap = _identity_pairs_replay(clips, max_bucket)
+    comp = _uf_min_components(
+        ap["content"] + ap["channel"] + ap["voice"]
+    )
+    thresh = fraction_threshold_hex(val_frac)
+    out = {"clip_id": [], "decision": [], "split": [], "component": [],
+           "dur_ms": [], "train_ready": []}
+    for _, r in clips.sort_values("clip_id").iterrows():
+        cid = r["clip_id"]
+        rep = comp.get(cid, cid)
+        h = hashlib.md5(f"{rep}:{split_seed}".encode()).hexdigest()
+        split = "val" if h < thresh else "train"
+        out["clip_id"].append(cid)
+        out["decision"].append(decision[cid])
+        out["split"].append(split)
+        out["component"].append(rep)
+        out["dur_ms"].append(int(r["dur_ms"]))
+        out["train_ready"].append(
+            decision[cid] == "keep" and split == "train"
+        )
+    return out
+
+
 def _audio_split_leakage_expected(
     seed=42, naive_frac=0.3, naive_seed=7, max_bucket=64
 ) -> dict:
@@ -6370,6 +6407,11 @@ _SCHEMAS: dict[str, pa.Schema] = {
         [("axis", pa.string()), ("n_pairs", pa.int64()),
          ("n_cross_pairs", pa.int64()), ("n_cross_clips", pa.int64())]
     ),
+    "training_manifest": pa.schema(
+        [("clip_id", pa.string()), ("decision", pa.string()),
+         ("split", pa.string()), ("component", pa.string()),
+         ("dur_ms", pa.int64()), ("train_ready", pa.bool_())]
+    ),
     "audio_specaugment": pa.schema(
         [("clip_id", pa.string()), ("ok", pa.bool_()),
          ("n_frames", pa.int32()), ("n_mels", pa.int32()),
@@ -7354,6 +7396,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_split_drift_expected()
     elif name == "audio_specaugment":
         data = _audio_specaugment_expected()
+    elif name == "training_manifest":
+        data = _training_manifest_expected()
     elif name == "audio_multispeaker":
         data = _audio_multispeaker_expected()
     elif name == "voice_balance":

@@ -928,3 +928,38 @@ def test_cli_split_and_dedup_identity_methods(
     # speaker 0 recorded two rooms of 3 clips each (+1 re-upload): its
     # voice cluster spans ≥6 clips
     assert max(r["size"] for r in voice["top_clusters"]) >= 6
+
+
+def test_cli_manifest(spark, tmp_path, capsys, monkeypatch):
+    """manifest subcommand: per-cell accounting reconciles with the
+    written per-clip relation; train_ready = keep ∧ train."""
+    import data_quality_spark.cli as cli
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import generate_clips
+
+    monkeypatch.setattr("pyspark.sql.SparkSession.stop", lambda self: None)
+    tables = tmp_path / "tables"
+    tables.mkdir()
+    pdf = generate_clips(120, seed=42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    spark.createDataFrame(pdf[cols], CLIPS_SCHEMA).coalesce(2).write.parquet(
+        str(tables / "clips.parquet")
+    )
+    out_dir = tmp_path / "mani"
+    assert cli.main(
+        ["manifest", "--tables", str(tables), "--table", "clips",
+         "--val-frac", "0.25", "--seed", "11", "--out", str(out_dir),
+         "--format", "json"]
+    ) == 0
+    summary = json.loads(capsys.readouterr().out)
+    got = spark.read.parquet(str(out_dir))
+    assert got.count() == len(pdf)
+    n_ready = got.filter(
+        (F.col("decision") == "keep") & (F.col("split") == "train")
+    ).count()
+    assert summary["train_ready_clips"] == n_ready > 0
+    assert got.filter(
+        F.col("train_ready")
+        != ((F.col("decision") == "keep") & (F.col("split") == "train"))
+    ).count() == 0
+    assert sum(c["n_clips"] for c in summary["cells"].values()) == len(pdf)
