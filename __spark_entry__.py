@@ -1198,6 +1198,30 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (GPT/T5 token-grid layout):
+    per-language document streams in portable md5 hash order, whitespace
+    token counts, cut into 256-token training sequences with documents
+    spanning cuts — one row per (document x sequence) intersection with
+    in-sequence position, in-document offset, and segment length (the
+    attention-document-mask map).  Spark runs the DISTRIBUTED law
+    (bucketed two-phase prefix sum + bounded per-doc explode); the
+    DuckDB twin runs the NAIVE global-window + unnest(range()) law, so
+    the hash check proves the decomposition exact per segment row."""
+    from data_quality_spark.operators.docs import token_count_col
+    from data_quality_spark.operators.shards import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "__ntok", token_count_col(F.col("text")))
+    return (
+        pack_sequences(docs, "__ntok", 256, strata=["lang"],
+                       id_col="doc_id", seed=11, portable=True)
+        .select("lang", "seq_id", "pos_in_seq", "doc_id", "doc_offset",
+                "seg_len", "n_doc_tokens")
+        .orderBy("lang", "seq_id", "pos_in_seq")
+    )
+
+
 def q_sample_balanced_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-rebalanced corpus cut: <= 40 docs per lang, membership a
     pure function of (doc_id, seed) via the portable md5 order — the same
@@ -1647,6 +1671,44 @@ def q_audio_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_members(pairs, "id_a", "id_b").select(
         F.col("node").alias("clip_id"), "component", "cluster_size"
     ).orderBy("clip_id")
+
+
+def q_gate_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate × dedup consistency audit: near-dup audio clusters whose
+    members got DIFFERENT keep/drop verdicts (a dropped clip whose
+    re-encoded twin survives leaks the content back into training; the
+    keep is one re-encode away from rejection).  The dup corpus
+    produces this class naturally — a clipped original drops while its
+    0.8-gain re-encode falls under the clipping threshold and keeps.
+    Twin: union-find over the shared pair twin composed with the pandas
+    gate twin's decisions, boundary ids pinning each side."""
+    from data_quality_spark.operators.audio_dedup import (
+        clip_fingerprints,
+        fingerprint_near_dup,
+    )
+    from data_quality_spark.operators.cluster import (
+        cluster_members,
+        decision_consistency,
+    )
+    from data_quality_spark.pipeline import gate
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_dup_corpus
+
+    ensure_expected("gate_consistency", sf_dir)
+    key = ("dup", 400, 42)
+    if key not in _CLIPS_CACHE:
+        _CLIPS_CACHE[key] = make_audio_dup_corpus(400, seed=42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(
+        _CLIPS_CACHE[key][cols], CLIPS_SCHEMA
+    ).repartition(8, "clip_id")
+    members = cluster_members(
+        fingerprint_near_dup(clip_fingerprints(clips)), "id_a", "id_b")
+    decided = gate(clips).select("clip_id", "decision")
+    return decision_consistency(members, decided).select(
+        "component", "cluster_size", "n_decided", "n_keep", "n_drop",
+        "mixed", "first_keep", "first_drop",
+    ).orderBy("component")
 
 
 def q_audio_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4166,6 +4228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_dedup": q_fingerprint_dedup,
         "sample_balanced_lang": q_sample_balanced_lang,
         "shard_manifest": q_shard_manifest,
+        "sequence_packing": q_sequence_packing,
         "sample_fraction": q_sample_fraction,
         "skew_audit": q_skew_audit,
         "scrub_audit": q_scrub_audit,
@@ -4191,6 +4254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_boilerplate": q_audio_boilerplate,
         "audio_quantization": q_audio_quantization,
         "audio_dedup_clusters": q_audio_dedup_clusters,
+        "gate_consistency": q_gate_consistency,
         "audio_channel": q_audio_channel,
         "audio_voice": q_audio_voice,
         "audio_identity_split": q_audio_identity_split,
@@ -6096,6 +6160,34 @@ SELECT lang, CAST(shard_id AS BIGINT) AS shard_id,
   CAST(sum(sz) AS BIGINT) AS shard_bytes,
   arg_min(doc_id, ord) AS first_id, arg_max(doc_id, ord) AS last_id
 FROM a GROUP BY lang, shard_id ORDER BY lang, shard_id""",
+        "sequence_packing": """
+WITH c AS (
+  SELECT lang, doc_id,
+    CASE WHEN text IS NULL OR len(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS sz,
+    md5(coalesce(CAST(doc_id AS VARCHAR), '') || ':11') AS ord
+  FROM documents
+), w AS (
+  SELECT lang, doc_id, sz,
+    sum(sz) OVER (PARTITION BY lang ORDER BY ord, doc_id) AS cum
+  FROM c
+), s AS (
+  SELECT lang, doc_id, sz, cum - sz AS st, cum AS en
+  FROM w WHERE sz > 0
+), seg AS (
+  SELECT lang, doc_id, sz, st, en,
+    unnest(range(CAST(st // 256 AS BIGINT),
+                 CAST((en - 1) // 256 + 1 AS BIGINT))) AS seq_id
+  FROM s
+)
+SELECT lang, CAST(seq_id AS BIGINT) AS seq_id,
+  CAST(greatest(st, seq_id * 256) - seq_id * 256 AS BIGINT) AS pos_in_seq,
+  doc_id,
+  CAST(greatest(st, seq_id * 256) - st AS BIGINT) AS doc_offset,
+  CAST(least(en, (seq_id + 1) * 256) - greatest(st, seq_id * 256) AS BIGINT)
+    AS seg_len,
+  CAST(sz AS BIGINT) AS n_doc_tokens
+FROM seg ORDER BY lang, seq_id, pos_in_seq""",
         "fingerprint_dedup": """
 SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
@@ -6221,6 +6313,7 @@ FROM ranked WHERE rnk <= 3""",
         "audio_boilerplate": _expected_sql("audio_boilerplate"),
         "audio_quantization": _expected_sql("audio_quantization"),
         "audio_dedup_clusters": _expected_sql("audio_dedup_clusters"),
+        "gate_consistency": _expected_sql("gate_consistency"),
         "audio_channel": _expected_sql("audio_channel"),
         "audio_voice": _expected_sql("audio_voice"),
         "audio_identity_split": _expected_sql("audio_identity_split"),

@@ -45,6 +45,7 @@ __all__ = [
     "resolve_duplicates",
     "split_by_cluster",
     "balance_by_cluster",
+    "decision_consistency",
 ]
 
 
@@ -189,6 +190,61 @@ def resolve_duplicates(
         "component",
         "cluster_size",
         (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
+def decision_consistency(
+    members: DataFrame,
+    decided: DataFrame,
+    id_col: str = "clip_id",
+    decision_col: str = "decision",
+    keep_value: str = "keep",
+) -> DataFrame:
+    """Per-cluster gate-decision consistency audit: near-duplicate
+    clusters whose members got DIFFERENT keep/drop verdicts.
+
+    A quality gate judges rows one at a time; dedup judges content.
+    When a near-dup cluster is split by the gate — one encoding of a
+    recording kept, its re-encoded twin dropped — both failure stories
+    are live: the drop didn't remove the content (the kept twin leaks
+    it back into training), and the keep is unstable (a re-encode away
+    from rejection).  This audit is the join of the two machineries:
+
+        component ▸ cluster_size, n_decided, n_keep, n_drop,
+                    mixed, first_keep, first_drop
+
+    ``mixed`` = the cluster saw both verdicts; ``first_keep`` /
+    ``first_drop`` are the smallest member ids on each side (NULL when
+    that side is empty) — the reviewer's entry point, and boundary
+    pins for the differential oracle.  Members absent from ``decided``
+    (undecided rows) count in ``cluster_size`` but not ``n_decided``.
+
+    Engine shape: one id-keyed join (members is node-level, decisions
+    are row-level — both shuffle on the id, never on payloads) + ONE
+    partial/final aggregate on the component label.  At 10^12 rows the
+    audit touches only cluster MEMBERS (the pair graph's nodes), a
+    corpus-orders-smaller relation.
+
+    Reference analog: none — the reference gate (`data_quality`'s
+    accept/reject) has no dedup to disagree with; this is the
+    cross-check a combined curation pipeline needs.
+    """
+    dec = decided.select(
+        F.col(id_col).alias("node"),
+        F.col(decision_col).alias("__dec"),
+    )
+    joined = members.join(dec, "node")
+    is_keep = F.col("__dec") == keep_value
+    return joined.groupBy("component").agg(
+        F.first("cluster_size").cast("long").alias("cluster_size"),
+        F.count(F.lit(1)).cast("long").alias("n_decided"),
+        F.sum(is_keep.cast("long")).cast("long").alias("n_keep"),
+        F.sum((~is_keep).cast("long")).cast("long").alias("n_drop"),
+        (F.min(F.when(is_keep, F.col("node"))).isNotNull()
+         & F.min(F.when(~is_keep, F.col("node"))).isNotNull())
+        .alias("mixed"),
+        F.min(F.when(is_keep, F.col("node"))).alias("first_keep"),
+        F.min(F.when(~is_keep, F.col("node"))).alias("first_drop"),
     )
 
 

@@ -44,7 +44,12 @@ from pyspark.sql import functions as F
 
 from .sampling import sample_order_col
 
-__all__ = ["shard_assign", "shard_manifest"]
+__all__ = [
+    "shard_assign",
+    "shard_manifest",
+    "pack_sequences",
+    "sequence_manifest",
+]
 
 _SEP = "\x1f"
 
@@ -58,26 +63,20 @@ def _bucket_col(order, portable: bool, bucket_chars: int):
     return F.shiftright(order, 64 - 4 * bucket_chars)
 
 
-def shard_assign(
+def _with_global_cum(
     df: DataFrame,
     size_col: str,
-    target_size: int,
-    strata: Sequence[str] = (),
-    id_col: str = "doc_id",
-    seed: int = 0,
-    portable: bool = False,
-    bucket_chars: int = 2,
-    keep_order: bool = False,
+    strata: Sequence[str],
+    id_col: str,
+    seed: int,
+    portable: bool,
+    bucket_chars: int,
 ) -> DataFrame:
-    """All input columns + ``shard_id`` (+ ``__ord`` if ``keep_order``).
-
-    NULL/negative sizes pack as 0 bytes (the row still gets a shard).
-    ``bucket_chars`` trades offset-relation size (16^k buckets) against
-    window-partition width (~N/16^k rows); 2 → 256 buckets is right for
-    tests, 4 → 65k for a 10^12-row run.
-    """
-    if target_size <= 0:
-        raise ValueError("target_size must be positive")
+    """All input columns + ``__ord``/``__sz``/``__cum``: the exact
+    per-stratum INCLUSIVE prefix sum of clamped sizes in hash order,
+    computed by the decomposed two-phase law (per-bucket totals → driver
+    offsets → per-bucket windows) — no single-partition global window.
+    Shared engine of ``shard_assign`` and ``pack_sequences``."""
     strata = list(strata)
     order = sample_order_col(F.col(id_col), seed, portable)
     sz = F.greatest(F.coalesce(F.col(size_col).cast("long"), F.lit(0)),
@@ -93,7 +92,7 @@ def shard_assign(
         F.col("__bkt").cast("string"),
     )
 
-    # phase 1: per-(strata, bucket) byte totals — ONE partial aggregate,
+    # phase 1: per-(strata, bucket) size totals — ONE partial aggregate,
     # O(|strata| x n_buckets) rows on the driver
     totals = (
         base.groupBy(*strata, "__bkt")
@@ -120,15 +119,37 @@ def shard_assign(
         .orderBy("__ord", id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = (
-        base.withColumn(
-            "__cum",
-            F.sum("__sz").over(w) + F.coalesce(
-                F.element_at(off_map, key), F.lit(0)),
-        )
-        .withColumn("shard_id", F.expr(f"(__cum - __sz) div {target_size}"))
-    )
-    drop = ["__sz", "__bkt", "__cum"] + ([] if keep_order else ["__ord"])
+    return base.withColumn(
+        "__cum",
+        F.sum("__sz").over(w) + F.coalesce(
+            F.element_at(off_map, key), F.lit(0)),
+    ).drop("__bkt")
+
+
+def shard_assign(
+    df: DataFrame,
+    size_col: str,
+    target_size: int,
+    strata: Sequence[str] = (),
+    id_col: str = "doc_id",
+    seed: int = 0,
+    portable: bool = False,
+    bucket_chars: int = 2,
+    keep_order: bool = False,
+) -> DataFrame:
+    """All input columns + ``shard_id`` (+ ``__ord`` if ``keep_order``).
+
+    NULL/negative sizes pack as 0 bytes (the row still gets a shard).
+    ``bucket_chars`` trades offset-relation size (16^k buckets) against
+    window-partition width (~N/16^k rows); 2 → 256 buckets is right for
+    tests, 4 → 65k for a 10^12-row run.
+    """
+    if target_size <= 0:
+        raise ValueError("target_size must be positive")
+    out = _with_global_cum(df, size_col, strata, id_col, seed, portable,
+                           bucket_chars).withColumn(
+        "shard_id", F.expr(f"(__cum - __sz) div {target_size}"))
+    drop = ["__sz", "__cum"] + ([] if keep_order else ["__ord"])
     return out.drop(*drop)
 
 
@@ -157,4 +178,105 @@ def shard_manifest(
         F.sum(sz).cast("long").alias("shard_bytes"),
         F.min_by(F.col(id_col), order).alias("first_id"),
         F.max_by(F.col(id_col), order).alias("last_id"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    tok_col: str,
+    seq_len: int,
+    strata: Sequence[str] = (),
+    id_col: str = "doc_id",
+    seed: int = 0,
+    portable: bool = False,
+    bucket_chars: int = 2,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: the token-grid layout an LLM
+    trainer consumes (GPT/T5-style — documents concatenated in a
+    deterministic pseudo-random order, the token stream cut into
+    fixed-``seq_len`` training sequences, documents spanning cuts).
+
+    Output: one row per (document x sequence) intersection —
+
+        strata..., seq_id, pos_in_seq, <id_col>, doc_offset,
+        seg_len, n_doc_tokens
+
+    so ``(seq_id, pos_in_seq, seg_len)`` is exactly the per-sequence
+    document-boundary map needed for attention-mask construction
+    (block-diagonal "document masking") and loss-span accounting, and
+    ``doc_offset`` says which token of the document the segment starts
+    at.  Segments tile each sequence with no gaps or overlaps; the last
+    sequence of a stratum is the only one that may be short (trainer
+    pads).  Zero-token documents (NULL/blank text) occupy no tokens and
+    emit no rows — the law, not an accident.
+
+    The token stream position is the same decomposed global prefix sum
+    as ``shard_assign`` (``_with_global_cum``): no single-partition
+    window anywhere, one row shuffle, O(strata x 16^bucket_chars)
+    driver rows.  A document starting at exclusive offset ``st`` with
+    ``sz`` tokens intersects sequences ``st div L .. (st+sz-1) div L``
+    — the explode fan-out is ``ceil(sz/L)+1`` rows max, bounded by
+    document length, never by corpus size.  At 10^12 documents this is
+    an embarrassingly parallel map after the tiny offsets broadcast.
+
+    Reference analog: none (the reference stops at accept/reject) —
+    this is the step between its result sink (S5) and a trainer's
+    dataloader; the strict DuckDB twin runs the NAIVE global-window +
+    per-row unnest(range()) law, so the driver's hash check proves the
+    distributed decomposition exact per segment row.
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    strata = list(strata)
+    base = _with_global_cum(df, tok_col, strata, id_col, seed, portable,
+                            bucket_chars)
+    st = F.col("__cum") - F.col("__sz")          # exclusive start offset
+    en = F.col("__cum")                          # exclusive end
+    seq = F.explode(F.sequence(
+        F.expr(f"(__cum - __sz) div {seq_len}"),
+        F.expr(f"(__cum - 1) div {seq_len}"),
+    )).alias("seq_id")
+    out = (
+        base.filter(F.col("__sz") > 0)
+        .select(*strata, F.col(id_col), F.col("__sz"), st.alias("__st"),
+                en.alias("__en"), seq)
+    )
+    seg_start = F.greatest(F.col("__st"), F.col("seq_id") * seq_len)
+    seg_end = F.least(F.col("__en"), (F.col("seq_id") + 1) * seq_len)
+    return out.select(
+        *strata,
+        F.col("seq_id").cast("long").alias("seq_id"),
+        (seg_start - F.col("seq_id") * seq_len).cast("long")
+        .alias("pos_in_seq"),
+        F.col(id_col),
+        (seg_start - F.col("__st")).cast("long").alias("doc_offset"),
+        (seg_end - seg_start).cast("long").alias("seg_len"),
+        F.col("__sz").cast("long").alias("n_doc_tokens"),
+    )
+
+
+def sequence_manifest(
+    packed: DataFrame,
+    strata: Sequence[str] = (),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-sequence manifest over ``pack_sequences`` output: segment
+    count, filled-token total (``seq_len`` everywhere but a stratum's
+    last sequence), document starts/ends landing in the sequence, and
+    the first/last document by position — any misplaced segment
+    perturbs a count, a fill, or a boundary id, so the manifest pins
+    the full layout.  One partial/final aggregate; the shuffle carries
+    sequence rows only."""
+    strata = list(strata)
+    pos = F.col("pos_in_seq")
+    return packed.groupBy(*strata, "seq_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segs"),
+        F.sum("seg_len").cast("long").alias("n_tokens"),
+        F.sum((F.col("doc_offset") == 0).cast("long")).cast("long")
+        .alias("n_doc_starts"),
+        F.sum((F.col("doc_offset") + F.col("seg_len")
+               == F.col("n_doc_tokens")).cast("long")).cast("long")
+        .alias("n_doc_ends"),
+        F.min_by(F.col(id_col), pos).alias("first_doc"),
+        F.max_by(F.col(id_col), pos).alias("last_doc"),
     )

@@ -4006,6 +4006,40 @@ def _audio_dedup_clusters_expected(n=400, seed=42) -> dict:
     return out
 
 
+def _gate_consistency_expected(n=400, seed=42) -> dict:
+    """Twin of the ``gate_consistency`` query: union-find closure of the
+    verified audio near-dup pair graph composed with the pandas gate
+    twin's per-clip decisions — per cluster, the keep/drop tally and
+    the smallest member id on each side (boundary pins)."""
+    from .synth import make_audio_dup_corpus, oracle_gate
+
+    pairs = [(a, b) for a, b, _ in _audio_verified_pairs(n, seed)]
+    comp = _uf_min_components(pairs)
+    dec = oracle_gate(make_audio_dup_corpus(n, seed=seed)).set_index(
+        "clip_id")["decision"]
+    members: dict[str, list[str]] = {}
+    for node, c in comp.items():
+        members.setdefault(c, []).append(node)
+    out = {
+        "component": [], "cluster_size": [], "n_decided": [],
+        "n_keep": [], "n_drop": [], "mixed": [], "first_keep": [],
+        "first_drop": [],
+    }
+    for c in sorted(members):
+        ms = sorted(members[c])
+        keeps = [m for m in ms if dec[m] == "keep"]
+        drops = [m for m in ms if dec[m] != "keep"]
+        out["component"].append(c)
+        out["cluster_size"].append(len(ms))
+        out["n_decided"].append(len(ms))
+        out["n_keep"].append(len(keeps))
+        out["n_drop"].append(len(drops))
+        out["mixed"].append(bool(keeps) and bool(drops))
+        out["first_keep"].append(keeps[0] if keeps else None)
+        out["first_drop"].append(drops[0] if drops else None)
+    return out
+
+
 def _audio_channel_expected(
     n_sessions=10, clips_per_session=6, seed=42, max_bucket=64
 ) -> dict:
@@ -6391,6 +6425,12 @@ _SCHEMAS: dict[str, pa.Schema] = {
         [("clip_id", pa.string()), ("component", pa.string()),
          ("cluster_size", pa.int64())]
     ),
+    "gate_consistency": pa.schema(
+        [("component", pa.string()), ("cluster_size", pa.int64()),
+         ("n_decided", pa.int64()), ("n_keep", pa.int64()),
+         ("n_drop", pa.int64()), ("mixed", pa.bool_()),
+         ("first_keep", pa.string()), ("first_drop", pa.string())]
+    ),
     "audio_channel": pa.schema(
         [("clip_id", pa.string()), ("channel", pa.string()),
          ("cluster_size", pa.int64())]
@@ -7384,6 +7424,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_quantization_expected()
     elif name == "audio_dedup_clusters":
         data = _audio_dedup_clusters_expected()
+    elif name == "gate_consistency":
+        data = _gate_consistency_expected()
     elif name == "audio_channel":
         data = _audio_channel_expected()
     elif name == "audio_voice":

@@ -278,3 +278,41 @@ def test_semantic_prune_keeps_one_per_cluster(spark):
         assert all(r["cluster_size"] == len(members) for r in members)
     # the three copies of each base should mostly collapse (same SRP bucket)
     assert sum(1 for r in out if r["keep"]) <= 12
+
+
+class TestDecisionConsistency:
+    def _members(self, spark):
+        # components: c1 = {a, b, c}, c9 = {x, y}
+        rows = [("a", "c1", 3), ("b", "c1", 3), ("c", "c1", 3),
+                ("x", "c9", 2), ("y", "c9", 2)]
+        return spark.createDataFrame(
+            rows, "node string, component string, cluster_size long")
+
+    def test_mixed_flag_and_boundary_ids(self, spark):
+        from data_quality_spark.operators.cluster import decision_consistency
+
+        decided = spark.createDataFrame(
+            [("a", "keep"), ("b", "drop"), ("c", "drop"),
+             ("x", "keep"), ("y", "keep")],
+            "clip_id string, decision string")
+        out = {r["component"]: r for r in decision_consistency(
+            self._members(spark), decided).collect()}
+        c1, c9 = out["c1"], out["c9"]
+        assert (c1["n_keep"], c1["n_drop"], c1["mixed"]) == (1, 2, True)
+        assert (c1["first_keep"], c1["first_drop"]) == ("a", "b")
+        assert (c9["n_keep"], c9["n_drop"], c9["mixed"]) == (2, 0, False)
+        assert c9["first_drop"] is None
+
+    def test_undecided_members_do_not_count(self, spark):
+        from data_quality_spark.operators.cluster import decision_consistency
+
+        # "c" never reached the gate: cluster_size stays 3, n_decided = 2
+        decided = spark.createDataFrame(
+            [("a", "drop"), ("b", "drop"), ("x", "drop"), ("y", "drop")],
+            "clip_id string, decision string")
+        out = {r["component"]: r for r in decision_consistency(
+            self._members(spark), decided).collect()}
+        c1 = out["c1"]
+        assert (c1["cluster_size"], c1["n_decided"]) == (3, 2)
+        assert (c1["n_keep"], c1["mixed"]) == (0, False)
+        assert c1["first_keep"] is None and c1["first_drop"] == "a"

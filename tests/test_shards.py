@@ -15,7 +15,12 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from data_quality_spark.operators.shards import shard_assign, shard_manifest
+from data_quality_spark.operators.shards import (
+    pack_sequences,
+    sequence_manifest,
+    shard_assign,
+    shard_manifest,
+)
 
 
 def _docs(spark, n=400, n_langs=4, seed=3, with_nulls=True):
@@ -149,3 +154,115 @@ class TestShardManifest:
         assert "__ord" not in assigned.columns
         man = shard_manifest(assigned, "sz", seed=9, portable=True)
         assert man.count() > 0
+
+
+def _naive_pack(pdf, L, strata, seed):
+    """The single-global-window concat-and-chunk law, in plain Python:
+    one (doc, seq) row per intersection."""
+    rows = []
+    by_key = {}
+    for _, r in pdf.iterrows():
+        h = hashlib.md5(f"{int(r.doc_id)}:{seed}".encode()).hexdigest()
+        sz = 0 if pd.isna(r.sz) else max(int(r.sz), 0)
+        key = tuple(r[s] for s in strata)
+        by_key.setdefault(key, []).append((h, int(r.doc_id), sz))
+    for key, items in by_key.items():
+        run = 0
+        for h, did, sz in sorted(items):
+            st, en = run, run + sz
+            run = en
+            if sz == 0:
+                continue
+            for seq in range(st // L, (en - 1) // L + 1):
+                a, b = max(st, seq * L), min(en, (seq + 1) * L)
+                rows.append((*key, seq, a - seq * L, did, a - st,
+                             b - a, sz))
+    return sorted(rows)
+
+
+class TestPackSequences:
+    def test_matches_naive_global_law(self, spark):
+        df, pdf = _docs(spark)
+        got = sorted(
+            tuple(r) for r in pack_sequences(
+                df, "sz", 700, strata=["lang"], id_col="doc_id",
+                seed=11, portable=True,
+            ).collect()
+        )
+        assert got == _naive_pack(pdf, 700, ["lang"], 11)
+
+    def test_segments_tile_sequences_exactly(self, spark):
+        # per sequence: positions start at 0 where preceded, segments
+        # abut (no gap/overlap), every sequence but the stratum's last
+        # fills to exactly L; per doc: offsets rebuild the whole doc
+        df, pdf = _docs(spark, with_nulls=False)
+        L = 500
+        seg = pack_sequences(df, "sz", L, strata=["lang"], seed=3,
+                             portable=True).toPandas()
+        for (lang, sid), g in seg.groupby(["lang", "seq_id"]):
+            g = g.sort_values("pos_in_seq")
+            end = None
+            for _, r in g.iterrows():
+                if end is not None:
+                    assert r.pos_in_seq == end
+                end = r.pos_in_seq + r.seg_len
+            assert end <= L
+        for lang, g in seg.groupby("lang"):
+            last = g["seq_id"].max()
+            fills = g.groupby("seq_id")["seg_len"].sum()
+            for sid, fill in fills.items():
+                assert fill == L or sid == last
+        for did, g in seg.groupby("doc_id"):
+            g = g.sort_values("doc_offset")
+            sz = int(pdf.set_index("doc_id").loc[did, "sz"])
+            assert g["seg_len"].sum() == sz
+            assert list(g["doc_offset"]) == list(
+                g["seg_len"].cumsum() - g["seg_len"])
+
+    def test_zero_token_docs_emit_nothing(self, spark):
+        df, pdf = _docs(spark)  # with_nulls: NULL/negative sizes -> 0
+        seg = pack_sequences(df, "sz", 300, strata=["lang"], seed=5,
+                             portable=True).toPandas()
+        zero_ids = set(pdf.loc[pdf["sz"].isna() | (pdf["sz"] <= 0),
+                               "doc_id"])
+        assert zero_ids and not (set(seg["doc_id"]) & zero_ids)
+        # total tokens conserved
+        sizes = pdf["sz"].fillna(0).clip(lower=0).astype(int)
+        assert seg["seg_len"].sum() == sizes.sum()
+
+    def test_partition_and_bucket_invariance(self, spark):
+        df, _ = _docs(spark, n=180, with_nulls=False)
+        a = pack_sequences(df, "sz", 400, seed=2, portable=True,
+                           bucket_chars=1)
+        b = pack_sequences(df.repartition(11), "sz", 400, seed=2,
+                           portable=True, bucket_chars=3)
+        key = ["seq_id", "pos_in_seq"]
+        pa = a.toPandas().sort_values(key).reset_index(drop=True)
+        pb = b.toPandas().sort_values(key).reset_index(drop=True)
+        assert pa.equals(pb)
+
+    def test_manifest_reconciles(self, spark):
+        df, pdf = _docs(spark)
+        L = 600
+        seg = pack_sequences(df, "sz", L, strata=["lang"], seed=7,
+                             portable=True)
+        man = sequence_manifest(seg, strata=["lang"]).toPandas()
+        sp = seg.toPandas()
+        sizes = pdf["sz"].fillna(0).clip(lower=0).astype(int)
+        assert man["n_tokens"].sum() == sizes.sum()
+        assert man["n_segs"].sum() == len(sp)
+        # every doc starts exactly once and ends exactly once
+        n_docs = (sizes > 0).sum()
+        assert man["n_doc_starts"].sum() == n_docs
+        assert man["n_doc_ends"].sum() == n_docs
+        # boundary docs are the position extremes
+        for (lang, sid), g in sp.groupby(["lang", "seq_id"]):
+            g = g.sort_values("pos_in_seq")
+            row = man[(man.lang == lang) & (man.seq_id == sid)]
+            assert row["first_doc"].iloc[0] == g["doc_id"].iloc[0]
+            assert row["last_doc"].iloc[0] == g["doc_id"].iloc[-1]
+
+    def test_rejects_bad_seq_len(self, spark):
+        df, _ = _docs(spark, n=10)
+        with pytest.raises(ValueError):
+            pack_sequences(df, "sz", 0)
