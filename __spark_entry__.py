@@ -1222,6 +1222,58 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-sorted training-batch manifest over documents: per-lang
+    (n_chars, doc_id)-sorted 32-row batches with exact padding-waste
+    accounting (a trainer pads to the batch max).  Spark runs the
+    decomposed rank law (per-duration-band counts + broadcast offsets +
+    per-band windows — no global window); the DuckDB twin runs the
+    NAIVE global ROW_NUMBER law, so the hash check proves the
+    decomposition's ranks exact (boundary ids pin every batch edge)."""
+    from data_quality_spark.operators.shards import (
+        batch_by_length,
+        batch_manifest,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    assigned = batch_by_length(docs, "n_chars", 32, strata=["lang"],
+                               id_col="doc_id", bucket_width=64)
+    return (
+        batch_manifest(assigned, "n_chars", strata=["lang"],
+                       id_col="doc_id")
+        .select("lang", "batch_id", "n_items", "max_len", "sum_len",
+                "padded_len", "pad_waste",
+                F.round("waste_frac", 6).alias("waste_frac_r"),
+                "first_id", "last_id")
+        .orderBy("lang", "batch_id")
+    )
+
+
+def q_duration_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio form of q_length_batches: duration-sorted 16-clip
+    batches over the gate corpus (dur_ms; NULL durations of corrupt
+    clips sort first as -1) with per-batch padding-frame waste — the
+    dataloader layout step for kept clips.  Twin: pure-Python replay of
+    the naive global sort + batching + waste law."""
+    from data_quality_spark.operators.shards import (
+        batch_by_length,
+        batch_manifest,
+    )
+
+    ensure_expected("duration_batches", sf_dir)
+    clips = _clips_df(spark)
+    assigned = batch_by_length(clips, "dur_ms", 16, id_col="clip_id",
+                               bucket_width=512)
+    return (
+        batch_manifest(assigned, "dur_ms", id_col="clip_id")
+        .select("batch_id", "n_items", "max_len", "sum_len",
+                "padded_len", "pad_waste",
+                F.round("waste_frac", 6).alias("waste_frac_r"),
+                "first_id", "last_id")
+        .orderBy("batch_id")
+    )
+
+
 def q_sample_balanced_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-rebalanced corpus cut: <= 40 docs per lang, membership a
     pure function of (doc_id, seed) via the portable md5 order — the same
@@ -4229,6 +4281,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_balanced_lang": q_sample_balanced_lang,
         "shard_manifest": q_shard_manifest,
         "sequence_packing": q_sequence_packing,
+        "length_batches": q_length_batches,
+        "duration_batches": q_duration_batches,
         "sample_fraction": q_sample_fraction,
         "skew_audit": q_skew_audit,
         "scrub_audit": q_scrub_audit,
@@ -6188,6 +6242,31 @@ SELECT lang, CAST(seq_id AS BIGINT) AS seq_id,
     AS seg_len,
   CAST(sz AS BIGINT) AS n_doc_tokens
 FROM seg ORDER BY lang, seq_id, pos_in_seq""",
+        "length_batches": """
+WITH r AS (
+  SELECT lang, doc_id, coalesce(n_chars, -1) AS ln,
+    row_number() OVER (
+      PARTITION BY lang ORDER BY coalesce(n_chars, -1), doc_id) AS rk
+  FROM documents
+), a AS (
+  SELECT lang, doc_id, ln, (rk - 1) // 32 AS batch_id,
+    printf('%020d|%020d', ln + 1, doc_id) AS ok
+  FROM r
+)
+SELECT lang, CAST(batch_id AS BIGINT) AS batch_id,
+  CAST(count(*) AS BIGINT) AS n_items,
+  CAST(max(greatest(ln, 0)) AS BIGINT) AS max_len,
+  CAST(sum(greatest(ln, 0)) AS BIGINT) AS sum_len,
+  CAST(count(*) * max(greatest(ln, 0)) AS BIGINT) AS padded_len,
+  CAST(count(*) * max(greatest(ln, 0)) - sum(greatest(ln, 0)) AS BIGINT)
+    AS pad_waste,
+  round(CASE WHEN count(*) * max(greatest(ln, 0)) > 0
+    THEN CAST(count(*) * max(greatest(ln, 0)) - sum(greatest(ln, 0))
+              AS DOUBLE)
+         / (count(*) * max(greatest(ln, 0)))
+    ELSE 0.0 END, 6) AS waste_frac_r,
+  arg_min(doc_id, ok) AS first_id, arg_max(doc_id, ok) AS last_id
+FROM a GROUP BY lang, batch_id ORDER BY lang, batch_id""",
         "fingerprint_dedup": """
 SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
@@ -6314,6 +6393,7 @@ FROM ranked WHERE rnk <= 3""",
         "audio_quantization": _expected_sql("audio_quantization"),
         "audio_dedup_clusters": _expected_sql("audio_dedup_clusters"),
         "gate_consistency": _expected_sql("gate_consistency"),
+        "duration_batches": _expected_sql("duration_batches"),
         "audio_channel": _expected_sql("audio_channel"),
         "audio_voice": _expected_sql("audio_voice"),
         "audio_identity_split": _expected_sql("audio_identity_split"),

@@ -49,6 +49,8 @@ __all__ = [
     "shard_manifest",
     "pack_sequences",
     "sequence_manifest",
+    "batch_by_length",
+    "batch_manifest",
 ]
 
 _SEP = "\x1f"
@@ -63,29 +65,16 @@ def _bucket_col(order, portable: bool, bucket_chars: int):
     return F.shiftright(order, 64 - 4 * bucket_chars)
 
 
-def _with_global_cum(
-    df: DataFrame,
-    size_col: str,
-    strata: Sequence[str],
-    id_col: str,
-    seed: int,
-    portable: bool,
-    bucket_chars: int,
-) -> DataFrame:
-    """All input columns + ``__ord``/``__sz``/``__cum``: the exact
-    per-stratum INCLUSIVE prefix sum of clamped sizes in hash order,
-    computed by the decomposed two-phase law (per-bucket totals → driver
-    offsets → per-bucket windows) — no single-partition global window.
-    Shared engine of ``shard_assign`` and ``pack_sequences``."""
+def _decomposed_cum(base: DataFrame, strata: Sequence[str],
+                    id_col: str) -> DataFrame:
+    """``base`` carries ``__ord`` (sort key), ``__sz`` (summand), and
+    ``__bkt`` (any MONOTONE coarsening of ``__ord``); returns base +
+    ``__cum``, the exact per-stratum INCLUSIVE prefix sum of ``__sz``
+    in ``(__ord, id)`` order, via the decomposed two-phase law
+    (per-bucket totals → driver offsets → per-bucket windows) — no
+    single-partition global window.  Shared engine of ``shard_assign``,
+    ``pack_sequences``, and ``batch_by_length``."""
     strata = list(strata)
-    order = sample_order_col(F.col(id_col), seed, portable)
-    sz = F.greatest(F.coalesce(F.col(size_col).cast("long"), F.lit(0)),
-                    F.lit(0))
-    base = df.withColumns({
-        "__ord": order,
-        "__sz": sz,
-        "__bkt": _bucket_col(order, portable, bucket_chars),
-    })
     key = F.concat_ws(
         _SEP,
         *[F.coalesce(F.col(s).cast("string"), F.lit("")) for s in strata],
@@ -124,6 +113,28 @@ def _with_global_cum(
         F.sum("__sz").over(w) + F.coalesce(
             F.element_at(off_map, key), F.lit(0)),
     ).drop("__bkt")
+
+
+def _with_global_cum(
+    df: DataFrame,
+    size_col: str,
+    strata: Sequence[str],
+    id_col: str,
+    seed: int,
+    portable: bool,
+    bucket_chars: int,
+) -> DataFrame:
+    """Hash-order specialization of ``_decomposed_cum``: sizes clamped
+    to >= 0, sort key = the repo-wide (id, seed) hash order."""
+    order = sample_order_col(F.col(id_col), seed, portable)
+    sz = F.greatest(F.coalesce(F.col(size_col).cast("long"), F.lit(0)),
+                    F.lit(0))
+    base = df.withColumns({
+        "__ord": order,
+        "__sz": sz,
+        "__bkt": _bucket_col(order, portable, bucket_chars),
+    })
+    return _decomposed_cum(base, strata, id_col)
 
 
 def shard_assign(
@@ -252,6 +263,101 @@ def pack_sequences(
         (seg_start - F.col("__st")).cast("long").alias("doc_offset"),
         (seg_end - seg_start).cast("long").alias("seg_len"),
         F.col("__sz").cast("long").alias("n_doc_tokens"),
+    )
+
+
+def batch_by_length(
+    df: DataFrame,
+    length_col: str,
+    batch_size: int,
+    strata: Sequence[str] = (),
+    id_col: str = "clip_id",
+    bucket_width: int = 1024,
+    keep_rank: bool = False,
+) -> DataFrame:
+    """Length-sorted training-batch assignment: the ASR/seq2seq batching
+    law (torchaudio's bucketed sampler, Kaldi/ESPnet length-sorted
+    minibatches).  A trainer pads every clip in a batch to the batch's
+    longest member, so batching random-length clips together burns
+    compute on padding; sorting by length first makes batch members
+    near-equal and the waste collapses.
+
+    All input columns + ``batch_id`` (+ ``__rank`` if ``keep_rank``):
+    rows are ranked per stratum by ``(length, id)`` — NULL lengths sort
+    first as -1 — and cut into consecutive ``batch_size``-row batches,
+    ``batch_id = (rank-1) div batch_size``.  Deterministic under any
+    partitioning; only a stratum's last batch may be short.
+
+    Scale: the global length-sort rank is the same decomposed two-phase
+    prefix sum as ``shard_assign`` (``_decomposed_cum``), with the
+    bucket = ``length div bucket_width`` — a monotone coarsening of the
+    sort key, so per-bucket COUNT totals + broadcast offsets +
+    per-bucket windows reproduce the exact global rank with no
+    single-partition window.  Unlike the hash case the bucket histogram
+    is data-shaped (duration distributions cluster); ``bucket_width``
+    is the skew dial — at 10^12 rows pick widths giving ~10^4-10^5
+    buckets and AQE splits any hot duration band.
+
+    Reference analog: none (the reference stops at accept/reject) —
+    this is the dataloader-facing layout step for the kept clips, the
+    audio twin of ``pack_sequences``.
+    """
+    if batch_size <= 0:
+        raise ValueError("batch_size must be positive")
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    ln = F.coalesce(F.col(length_col).cast("long"), F.lit(-1))
+    base = df.withColumns({
+        "__ord": ln,
+        "__sz": F.lit(1).cast("long"),
+        "__bkt": F.expr(
+            f"coalesce(cast(`{length_col}` as long), -1L)"
+            f" div {bucket_width}"),
+    })
+    out = _decomposed_cum(base, strata, id_col).withColumn(
+        "batch_id", F.expr(f"(__cum - 1) div {batch_size}"))
+    drop = ["__sz", "__ord"] + ([] if keep_rank else ["__cum"])
+    out = out.drop(*drop)
+    return out.withColumnRenamed("__cum", "__rank") if keep_rank else out
+
+
+def batch_manifest(
+    assigned: DataFrame,
+    length_col: str,
+    strata: Sequence[str] = (),
+    id_col: str = "clip_id",
+) -> DataFrame:
+    """Per-batch padding-waste accounting over ``batch_by_length``
+    output:
+
+        strata..., batch_id ▸ n_items, max_len, sum_len,
+                   padded_len = n_items x max_len,
+                   pad_waste = padded_len - sum_len, waste_frac,
+                   first_id, last_id
+
+    ``pad_waste`` is the exact number of padding frames the trainer
+    will compute over; ``waste_frac`` is the one float (a single
+    division of exact integers — deterministic everywhere).  Boundary
+    ids are the (length, id)-order extremes, pinning every batch's
+    edges for the differential oracle.  One partial/final aggregate."""
+    ln = F.coalesce(F.col(length_col).cast("long"), F.lit(-1))
+    clamped = F.greatest(ln, F.lit(0))
+    return assigned.groupBy(*strata, "batch_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.max(clamped).cast("long").alias("max_len"),
+        F.sum(clamped).cast("long").alias("sum_len"),
+        (F.count(F.lit(1)) * F.max(clamped)).cast("long")
+        .alias("padded_len"),
+        (F.count(F.lit(1)) * F.max(clamped) - F.sum(clamped))
+        .cast("long").alias("pad_waste"),
+        F.when(F.count(F.lit(1)) * F.max(clamped) > 0,
+               (F.count(F.lit(1)) * F.max(clamped) - F.sum(clamped))
+               / (F.count(F.lit(1)) * F.max(clamped)))
+        .otherwise(F.lit(0.0)).alias("waste_frac"),
+        F.min_by(F.col(id_col), F.struct(ln, F.col(id_col)))
+        .alias("first_id"),
+        F.max_by(F.col(id_col), F.struct(ln, F.col(id_col)))
+        .alias("last_id"),
     )
 
 

@@ -4006,6 +4006,43 @@ def _audio_dedup_clusters_expected(n=400, seed=42) -> dict:
     return out
 
 
+def _duration_batches_expected(n=1200, seed=42, batch=16) -> dict:
+    """Twin of the ``duration_batches`` query: the NAIVE global
+    (dur, id) sort + consecutive-cut batching + padding-waste law over
+    the gate corpus, in plain Python — proving the decomposed rank
+    exact per batch (boundary ids pin the edges)."""
+    from .synth import generate_clips
+
+    pdf = generate_clips(n, seed=seed)
+    rows = []
+    for _, r in pdf.iterrows():
+        d = r["dur_ms"]
+        ln = -1 if (d is None or (isinstance(d, float) and math.isnan(d))) \
+            else int(d)
+        rows.append((ln, r["clip_id"]))
+    rows.sort()
+    out = {"batch_id": [], "n_items": [], "max_len": [], "sum_len": [],
+           "padded_len": [], "pad_waste": [], "waste_frac_r": [],
+           "first_id": [], "last_id": []}
+    for b in range(0, len(rows), batch):
+        grp = rows[b:b + batch]
+        lens = [max(ln, 0) for ln, _ in grp]
+        mx, sm, n_it = max(lens), sum(lens), len(grp)
+        padded = n_it * mx
+        waste = padded - sm
+        out["batch_id"].append(b // batch)
+        out["n_items"].append(n_it)
+        out["max_len"].append(mx)
+        out["sum_len"].append(sm)
+        out["padded_len"].append(padded)
+        out["pad_waste"].append(waste)
+        out["waste_frac_r"].append(
+            spark_round(waste / padded, 6) if padded > 0 else 0.0)
+        out["first_id"].append(grp[0][1])
+        out["last_id"].append(grp[-1][1])
+    return out
+
+
 def _gate_consistency_expected(n=400, seed=42) -> dict:
     """Twin of the ``gate_consistency`` query: union-find closure of the
     verified audio near-dup pair graph composed with the pandas gate
@@ -6425,6 +6462,13 @@ _SCHEMAS: dict[str, pa.Schema] = {
         [("clip_id", pa.string()), ("component", pa.string()),
          ("cluster_size", pa.int64())]
     ),
+    "duration_batches": pa.schema(
+        [("batch_id", pa.int64()), ("n_items", pa.int64()),
+         ("max_len", pa.int64()), ("sum_len", pa.int64()),
+         ("padded_len", pa.int64()), ("pad_waste", pa.int64()),
+         ("waste_frac_r", pa.float64()), ("first_id", pa.string()),
+         ("last_id", pa.string())]
+    ),
     "gate_consistency": pa.schema(
         [("component", pa.string()), ("cluster_size", pa.int64()),
          ("n_decided", pa.int64()), ("n_keep", pa.int64()),
@@ -7426,6 +7470,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_dedup_clusters_expected()
     elif name == "gate_consistency":
         data = _gate_consistency_expected()
+    elif name == "duration_batches":
+        data = _duration_batches_expected()
     elif name == "audio_channel":
         data = _audio_channel_expected()
     elif name == "audio_voice":

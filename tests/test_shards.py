@@ -266,3 +266,91 @@ class TestPackSequences:
         df, _ = _docs(spark, n=10)
         with pytest.raises(ValueError):
             pack_sequences(df, "sz", 0)
+
+
+class TestBatchByLength:
+    def test_matches_naive_global_rank(self, spark):
+        from data_quality_spark.operators.shards import batch_by_length
+
+        df, pdf = _docs(spark)
+        got = batch_by_length(
+            df, "sz", 13, strata=["lang"], id_col="doc_id",
+            bucket_width=50,
+        ).select("doc_id", "batch_id").toPandas().set_index("doc_id")[
+            "batch_id"]
+        for lang, g in pdf.groupby("lang"):
+            keys = sorted(
+                (-1 if pd.isna(r.sz) else int(r.sz), int(r.doc_id))
+                for _, r in g.iterrows()
+            )
+            for rk, (_, did) in enumerate(keys):
+                assert got[did] == rk // 13, did
+
+    def test_bucket_width_and_partitioning_invariance(self, spark):
+        from data_quality_spark.operators.shards import batch_by_length
+
+        df, _ = _docs(spark, n=150, with_nulls=False)
+        a = batch_by_length(df, "sz", 8, id_col="doc_id", bucket_width=7)
+        b = batch_by_length(df.repartition(11), "sz", 8, id_col="doc_id",
+                            bucket_width=900)
+        pa_ = a.select("doc_id", "batch_id").toPandas().set_index("doc_id")
+        pb = b.select("doc_id", "batch_id").toPandas().set_index("doc_id")
+        assert pa_["batch_id"].sort_index().equals(
+            pb["batch_id"].sort_index())
+
+    def test_length_sorting_beats_hash_order_on_waste(self, spark):
+        # the operator's reason to exist: padding waste under the
+        # length-sorted law must be well under the hash-order layout's
+        from data_quality_spark.operators.sampling import sample_order_col
+        from data_quality_spark.operators.shards import (
+            batch_by_length,
+            batch_manifest,
+        )
+
+        df, _ = _docs(spark, n=400, with_nulls=False)
+        sorted_man = batch_manifest(
+            batch_by_length(df, "sz", 16, id_col="doc_id"),
+            "sz", id_col="doc_id").toPandas()
+        # hash-order batching: same cut law over the md5 order
+        hashed = df.withColumn(
+            "__r",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.orderBy(
+                    sample_order_col(F.col("doc_id"), 0, True), "doc_id")
+            ),
+        ).withColumn("batch_id", F.expr("(__r - 1) div 16"))
+        hash_man = batch_manifest(hashed, "sz", id_col="doc_id").toPandas()
+        assert sorted_man["pad_waste"].sum() < 0.25 * hash_man[
+            "pad_waste"].sum()
+
+    def test_manifest_accounting_and_nulls(self, spark):
+        from data_quality_spark.operators.shards import (
+            batch_by_length,
+            batch_manifest,
+        )
+
+        df, pdf = _docs(spark)  # NULL/negative lengths sort first as -1
+        man = batch_manifest(
+            batch_by_length(df, "sz", 10, id_col="doc_id"),
+            "sz", id_col="doc_id").toPandas().sort_values("batch_id")
+        sizes = pdf["sz"].fillna(0).clip(lower=0).astype(int)
+        assert man["n_items"].sum() == len(pdf)
+        assert man["sum_len"].sum() == sizes.sum()
+        assert (man["pad_waste"] == man["padded_len"] - man["sum_len"]).all()
+        # NULL/negative rows land in batch 0 (they sort as -1, clamp to 0)
+        n_null = int((pdf["sz"].isna() | (pdf["sz"] <= 0)).sum())
+        assert n_null > 0 and man.iloc[0]["sum_len"] == sum(
+            sorted(sizes)[: int(man.iloc[0]["n_items"])])
+        # batch ids are consecutive, only the last may be short
+        assert list(man["batch_id"]) == list(range(len(man)))
+        assert (man["n_items"].iloc[:-1] == 10).all()
+
+    def test_rejects_bad_params(self, spark):
+        from data_quality_spark.operators.shards import batch_by_length
+
+        df, _ = _docs(spark, n=10)
+        with pytest.raises(ValueError):
+            batch_by_length(df, "sz", 0)
+        with pytest.raises(ValueError):
+            batch_by_length(df, "sz", 4, bucket_width=0)
