@@ -3423,6 +3423,23 @@ def q_audio_mel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+def q_mel_cmvn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus CMVN statistics over the stored mel-feature table: per
+    mel band, mean/std for trainer-side feature normalization —
+    bit-deterministic under any partitioning because every cross-clip
+    sum is EXACT INTEGER arithmetic on 2^16-fixed-point cells (the
+    BM25 quantization law applied to the feature domain; DECIMAL(38,0)
+    corpus totals).  Twin: shared mel kernel per clip, quantization +
+    arbitrary-precision integer moments + the identical scalar float
+    tree replayed operation-for-operation."""
+    from data_quality_spark.operators.audio_cmvn import cmvn_stats
+    from data_quality_spark.operators.audio_mel import mel_features
+
+    ensure_expected("mel_cmvn", sf_dir)
+    clips = _clips_df(spark, 300, 42)
+    return cmvn_stats(mel_features(clips)).orderBy("band")
+
+
 LINE_INJECT = (
     (5, "\n• alpha beta\n• gamma delta\n• epsilon zeta"
         "\n• eta theta\n• iota kappa\n• lambda mu"
@@ -4283,6 +4300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": q_sequence_packing,
         "length_batches": q_length_batches,
         "duration_batches": q_duration_batches,
+        "mel_cmvn": q_mel_cmvn,
         "sample_fraction": q_sample_fraction,
         "skew_audit": q_skew_audit,
         "scrub_audit": q_scrub_audit,
@@ -6394,6 +6412,7 @@ FROM ranked WHERE rnk <= 3""",
         "audio_dedup_clusters": _expected_sql("audio_dedup_clusters"),
         "gate_consistency": _expected_sql("gate_consistency"),
         "duration_batches": _expected_sql("duration_batches"),
+        "mel_cmvn": _expected_sql("mel_cmvn"),
         "audio_channel": _expected_sql("audio_channel"),
         "audio_voice": _expected_sql("audio_voice"),
         "audio_identity_split": _expected_sql("audio_identity_split"),

@@ -1,0 +1,139 @@
+"""Corpus-level CMVN statistics over stored mel-feature tables.
+
+Cepstral/feature mean-variance normalization is the standard ASR input
+transform: at training time every mel band is shifted/scaled by the
+CORPUS mean and standard deviation, so the stats job is a required
+pipeline stage between feature extraction (``operators/audio_mel``) and
+the trainer.  The catch at engine level is determinism: a float sum
+over 10^14 frames is partition-order dependent (the same corpus gives
+different last-ulp stats on every run), which breaks both the repo's
+hash-oracle law and byte-reproducible training configs.
+
+The fix is the BM25/tfidf fixed-point trick: each float64 mel cell is
+quantized once, per clip, to ``q = round(x * 2^16)`` (int64 — cells
+are log energies, |x| < 50, so |q| < 2^23), and all cross-clip
+aggregation is EXACT INTEGER arithmetic on ``q`` and ``q^2`` — sums are
+associative, so the result is bit-identical under any partitioning,
+batch layout, or cluster size.  Per-clip partials stay int64 (a clip
+has < 10^4 frames → |Σq²| < 2^46); corpus totals are summed as
+DECIMAL(38,0) so 10^12 clips cannot overflow.  The one float step —
+mean/std from the exact integer moments — is a fixed expression tree of
+scalar IEEE ops, replayed operation-for-operation by the twin.
+
+Precision: 2^-16 per-cell quantization error shifts a mean by < 8e-6
+and a std by < 2e-5 — noise relative to inter-band spreads (~5-20 log
+units), and the REPORTED stats are rounded to 6 dp anyway; what the
+quantization buys is that the 6th decimal is the same on every run.
+
+Engine shape: ONE vectorized Arrow pass over the feature table emits
+(clip, band)-level integer partials (40 longs per clip, the payload is
+never shuffled); a posexplode + single partial/final aggregate on the
+40 band keys produces the stats — map-side combine collapses each
+partition to ≤ 40 rows before the exchange.
+
+Reference analog: none (no audio path in the reference); this is the
+feature-domain sibling of the corpus profiling family
+(``operators/profiling.py``) and the consumer-side complement of
+``audio_mel`` / ``audio_specaugment``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["CMVN_SCALE", "cmvn_partials", "cmvn_stats"]
+
+CMVN_SCALE = 1 << 16  # fixed-point quantum: round(x * 2^16) per mel cell
+
+
+def cmvn_partials(mel_df: DataFrame) -> DataFrame:
+    """(clip_id, n_frames, sum_q array<long>, sum_q2 array<long>) —
+    per-clip per-band exact integer moments of the quantized mel cells.
+    Feature-less clips (``ok = false`` → zero frames) emit zero
+    partials: totality, and they cancel in the corpus aggregate."""
+    out_schema = T.StructType([
+        T.StructField("clip_id", T.StringType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("n_mels", T.IntegerType(), False),
+        T.StructField("sum_q", T.ArrayType(T.LongType(), False), False),
+        T.StructField("sum_q2", T.ArrayType(T.LongType(), False), False),
+    ])
+    col_idx = {n: i for i, n in enumerate(mel_df.columns)}
+
+    def run(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            ids, nfs, nms, sqs, sq2s = [], [], [], [], []
+            feat_col = batch.column(col_idx["feat"])
+            nm_col = batch.column(col_idx["n_mels"])
+            id_col = batch.column(col_idx["clip_id"])
+            for i in range(batch.num_rows):
+                nm = nm_col[i].as_py()
+                buf = feat_col[i].as_py()
+                x = np.frombuffer(buf, dtype="<f8") if buf else \
+                    np.zeros(0, dtype=np.float64)
+                mat = x.reshape(-1, nm) if nm else x.reshape(0, 0)
+                q = np.rint(mat * CMVN_SCALE).astype(np.int64)
+                ids.append(id_col[i].as_py())
+                nfs.append(mat.shape[0])
+                nms.append(nm)
+                sqs.append([int(v) for v in q.sum(axis=0)])
+                sq2s.append([int(v) for v in (q * q).sum(axis=0)])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, type=pa.string()),
+                    pa.array(nfs, type=pa.int32()),
+                    pa.array(nms, type=pa.int32()),
+                    pa.array(sqs, type=pa.list_(pa.int64())),
+                    pa.array(sq2s, type=pa.list_(pa.int64())),
+                ],
+                names=[f.name for f in out_schema.fields],
+            )
+
+    return mel_df.mapInArrow(run, out_schema)
+
+
+def cmvn_stats(mel_df: DataFrame, decimals: int = 6) -> DataFrame:
+    """(band, n_clips, n_frames, mean_r, std_r) — corpus CMVN statistics
+    per mel band, bit-deterministic under any partitioning.
+
+    ``mean``/``std`` (population) come from the exact DECIMAL(38,0)
+    moments through a FIXED scalar float tree —
+
+        mean = ((double) S  / 2^16)  / n
+        ex2  = ((double) S2 / 2^32)  / n
+        std  = sqrt(max(ex2 - mean*mean, 0))
+
+    — which the differential oracle replays operation-for-operation, so
+    the rounded stats hash identically.  Clips with zero frames count
+    in ``n_clips`` but contribute nothing else."""
+    parts = cmvn_partials(mel_df)
+    dec = "decimal(38,0)"
+    ex = parts.select(
+        "n_frames",
+        F.posexplode(F.arrays_zip("sum_q", "sum_q2")).alias("band", "z"),
+    )
+    agg = ex.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clips"),
+        F.sum("n_frames").cast("long").alias("n_frames"),
+        F.sum(F.col("z.sum_q").cast(dec)).alias("__s"),
+        F.sum(F.col("z.sum_q2").cast(dec)).alias("__s2"),
+    )
+    n = F.col("n_frames").cast("double")
+    mean = (F.col("__s").cast("double") / F.lit(float(CMVN_SCALE))) / n
+    ex2 = (F.col("__s2").cast("double")
+           / F.lit(float(CMVN_SCALE) * CMVN_SCALE)) / n
+    std = F.sqrt(F.greatest(ex2 - mean * mean, F.lit(0.0)))
+    return agg.select(
+        F.col("band").cast("int").alias("band"),
+        "n_clips",
+        "n_frames",
+        F.when(F.col("n_frames") > 0, F.round(mean, decimals))
+        .otherwise(F.lit(0.0)).alias("mean_r"),
+        F.when(F.col("n_frames") > 0, F.round(std, decimals))
+        .otherwise(F.lit(0.0)).alias("std_r"),
+    )

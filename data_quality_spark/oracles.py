@@ -1363,6 +1363,50 @@ def _audio_mel_expected(n=300, seed=42) -> dict:
     return out
 
 
+def _mel_cmvn_expected(n=300, seed=42) -> dict:
+    """Twin of ``operators.audio_cmvn.cmvn_stats``: the mel kernel is
+    shared (same per-clip float64 matrices as the audio_mel twin); the
+    fixed-point quantization, EXACT integer moment sums (Python
+    arbitrary-precision ints standing in for Spark's DECIMAL(38,0)),
+    and the fixed scalar float tree for mean/std are replayed
+    operation-for-operation."""
+    from .functions.audio import _decode_i16
+    from .functions.mel import N_MELS, log_mel
+    from .operators.audio_cmvn import CMVN_SCALE
+    from .synth import generate_clips
+
+    pdf = generate_clips(n, seed=seed)
+    S = [0] * N_MELS
+    S2 = [0] * N_MELS
+    n_frames = 0
+    n_clips = 0
+    for _, r in pdf.iterrows():
+        try:
+            q = _decode_i16(r["bytes"], r["codec"], r["sr_hz"])
+        except (ValueError, TypeError):
+            q = np.zeros(0, dtype=np.int16)
+        m = log_mel(q.astype(np.float64) / 32768.0, r["sr_hz"] or 0)
+        qm = np.rint(m * CMVN_SCALE).astype(np.int64)
+        n_clips += 1
+        n_frames += int(m.shape[0])
+        for b in range(N_MELS):
+            S[b] += int(qm[:, b].sum())
+            S2[b] += int((qm[:, b] * qm[:, b]).sum())
+    out = {"band": [], "n_clips": [], "n_frames": [], "mean_r": [],
+           "std_r": []}
+    for b in range(N_MELS):
+        nf = float(n_frames)
+        mean = (float(S[b]) / float(CMVN_SCALE)) / nf
+        ex2 = (float(S2[b]) / (float(CMVN_SCALE) * CMVN_SCALE)) / nf
+        std = math.sqrt(max(ex2 - mean * mean, 0.0))
+        out["band"].append(b)
+        out["n_clips"].append(n_clips)
+        out["n_frames"].append(n_frames)
+        out["mean_r"].append(spark_round(mean, 6))
+        out["std_r"].append(spark_round(std, 6))
+    return out
+
+
 def _audio_specaugment_expected(
     n=300, seed=42, freq_mask=8, time_mask=20, n_freq=2, n_time=2
 ) -> dict:
@@ -6462,6 +6506,11 @@ _SCHEMAS: dict[str, pa.Schema] = {
         [("clip_id", pa.string()), ("component", pa.string()),
          ("cluster_size", pa.int64())]
     ),
+    "mel_cmvn": pa.schema(
+        [("band", pa.int32()), ("n_clips", pa.int64()),
+         ("n_frames", pa.int64()), ("mean_r", pa.float64()),
+         ("std_r", pa.float64())]
+    ),
     "duration_batches": pa.schema(
         [("batch_id", pa.int64()), ("n_items", pa.int64()),
          ("max_len", pa.int64()), ("sum_len", pa.int64()),
@@ -7472,6 +7521,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _gate_consistency_expected()
     elif name == "duration_batches":
         data = _duration_batches_expected()
+    elif name == "mel_cmvn":
+        data = _mel_cmvn_expected()
     elif name == "audio_channel":
         data = _audio_channel_expected()
     elif name == "audio_voice":

@@ -1,0 +1,87 @@
+"""Corpus CMVN stats (operators/audio_cmvn.py).
+
+Correctness model: per-clip integer partials must equal a direct numpy
+quantize+sum on the same matrices; the corpus stats must be BIT-identical
+under repartitioning (the operator's reason to exist — float sums are
+not); zero-frame clips are total no-ops; and the fixed-point stats must
+sit within the documented quantization tolerance of the plain float64
+stats.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from data_quality_spark.operators.audio_cmvn import (
+    CMVN_SCALE,
+    cmvn_partials,
+    cmvn_stats,
+)
+from data_quality_spark.operators.audio_mel import mel_features
+from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+from data_quality_spark.synth import generate_clips
+
+
+@pytest.fixture(scope="module")
+def mel_df(spark):
+    pdf = generate_clips(120, seed=7)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(pdf[cols], CLIPS_SCHEMA)
+    return mel_features(clips).persist()
+
+
+def test_partials_match_direct_numpy(mel_df):
+    rows = mel_df.select("clip_id", "n_mels", "feat").collect()
+    got = {r["clip_id"]: r for r in cmvn_partials(mel_df).collect()}
+    checked = 0
+    for r in rows:
+        mat = np.frombuffer(r["feat"], dtype="<f8").reshape(-1, r["n_mels"])
+        q = np.rint(mat * CMVN_SCALE).astype(np.int64)
+        g = got[r["clip_id"]]
+        assert g["n_frames"] == mat.shape[0]
+        assert g["sum_q"] == [int(v) for v in q.sum(axis=0)]
+        assert g["sum_q2"] == [int(v) for v in (q * q).sum(axis=0)]
+        checked += 1
+    assert checked == len(got)
+
+
+def test_stats_bit_identical_under_repartitioning(spark, mel_df):
+    a = cmvn_stats(mel_df, decimals=12).orderBy("band").collect()
+    b = cmvn_stats(mel_df.repartition(17), decimals=12).orderBy(
+        "band").collect()
+    # 12 dp ~ full double precision for these magnitudes: any float-order
+    # dependence would show here
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_zero_frame_clips_are_noops(spark, mel_df):
+    # corrupt clips produce ok=false, zero frames; dropping them must not
+    # change any moment (only n_clips)
+    full = {r["band"]: r for r in cmvn_stats(mel_df).collect()}
+    kept = {
+        r["band"]: r
+        for r in cmvn_stats(mel_df.filter("n_frames > 0")).collect()
+    }
+    n_zero = mel_df.filter("n_frames = 0").count()
+    assert n_zero > 0
+    for band, r in full.items():
+        k = kept[band]
+        assert r["n_clips"] - k["n_clips"] == n_zero
+        assert (r["n_frames"], r["mean_r"], r["std_r"]) == (
+            k["n_frames"], k["mean_r"], k["std_r"])
+
+
+def test_quantization_tolerance_vs_float64(mel_df):
+    rows = mel_df.select("n_mels", "feat").collect()
+    mats = [
+        np.frombuffer(r["feat"], dtype="<f8").reshape(-1, r["n_mels"])
+        for r in rows
+    ]
+    all_cells = np.concatenate([m for m in mats if m.size], axis=0)
+    want_mean = all_cells.mean(axis=0)
+    want_std = all_cells.std(axis=0)
+    got = {r["band"]: r for r in cmvn_stats(mel_df, decimals=9).collect()}
+    for b in range(all_cells.shape[1]):
+        assert abs(got[b]["mean_r"] - want_mean[b]) < 1e-4
+        assert abs(got[b]["std_r"] - want_std[b]) < 1e-4
