@@ -3440,6 +3440,32 @@ def q_mel_cmvn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cmvn_stats(mel_features(clips)).orderBy("band")
 
 
+def q_mel_cmvn_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMVN application at PAYLOAD grade: the stored mel table
+    normalized against the corpus constants (stats job runs once, every
+    shard normalizes identically), normalized float64 bytes hashed
+    per clip — byte-determinism under any partitioning is the claim.
+    Producer→auditor loop closed in tests: cmvn_stats over this output
+    reads back mean 0 / std 1.  Twin: cmvn twin's constants + the same
+    two IEEE ops per cell + from-spec XXH64."""
+    from data_quality_spark.operators.audio_cmvn import (
+        apply_cmvn,
+        cmvn_stats,
+    )
+    from data_quality_spark.operators.audio_mel import mel_features
+
+    ensure_expected("mel_cmvn_apply", sf_dir)
+    clips = _clips_df(spark, 300, 42)
+    mel = mel_features(clips).persist()
+    out = apply_cmvn(mel, cmvn_stats(mel))
+    return out.select(
+        "clip_id",
+        "n_frames",
+        F.length("feat").alias("n_bytes"),
+        F.xxhash64("feat").alias("feat_h"),
+    ).orderBy("clip_id")
+
+
 LINE_INJECT = (
     (5, "\n• alpha beta\n• gamma delta\n• epsilon zeta"
         "\n• eta theta\n• iota kappa\n• lambda mu"
@@ -4301,6 +4327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_batches": q_length_batches,
         "duration_batches": q_duration_batches,
         "mel_cmvn": q_mel_cmvn,
+        "mel_cmvn_apply": q_mel_cmvn_apply,
         "sample_fraction": q_sample_fraction,
         "skew_audit": q_skew_audit,
         "scrub_audit": q_scrub_audit,
@@ -6413,6 +6440,7 @@ FROM ranked WHERE rnk <= 3""",
         "gate_consistency": _expected_sql("gate_consistency"),
         "duration_batches": _expected_sql("duration_batches"),
         "mel_cmvn": _expected_sql("mel_cmvn"),
+        "mel_cmvn_apply": _expected_sql("mel_cmvn_apply"),
         "audio_channel": _expected_sql("audio_channel"),
         "audio_voice": _expected_sql("audio_voice"),
         "audio_identity_split": _expected_sql("audio_identity_split"),

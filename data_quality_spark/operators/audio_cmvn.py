@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["CMVN_SCALE", "cmvn_partials", "cmvn_stats"]
+__all__ = ["CMVN_SCALE", "cmvn_partials", "cmvn_stats", "apply_cmvn"]
 
 CMVN_SCALE = 1 << 16  # fixed-point quantum: round(x * 2^16) per mel cell
 
@@ -137,3 +137,59 @@ def cmvn_stats(mel_df: DataFrame, decimals: int = 6) -> DataFrame:
         F.when(F.col("n_frames") > 0, F.round(std, decimals))
         .otherwise(F.lit(0.0)).alias("std_r"),
     )
+
+
+def apply_cmvn(mel_df: DataFrame, stats: DataFrame) -> DataFrame:
+    """Normalized feature table: every mel cell shifted/scaled by the
+    CORPUS constants, ``y = (x - mean_b) / std_b`` per band (bands with
+    ``std_r <= 0`` — degenerate, e.g. an all-floor corpus — are only
+    shifted).  Schema preserved; ``feat`` is replaced by the normalized
+    float64 bytes.
+
+    ``stats`` is the (committed) ``cmvn_stats`` relation — the stats
+    job runs ONCE, is stored next to the features, and every training
+    shard normalizes against the same constants; this function
+    ``collect()``s it (≤ n_mels rows, the bounded-collect law) and
+    broadcasts the constants inside the Arrow kernel closure.  Because
+    the constants are the ROUNDED published values and the arithmetic
+    is two scalar IEEE ops per cell, the output bytes are
+    byte-deterministic under any partitioning — the payload-grade
+    oracle hashes them directly (SpecAugment pattern).
+
+    Producer→auditor loop: ``cmvn_stats(apply_cmvn(t, s))`` reads back
+    mean ≈ 0 / std ≈ 1 per band (tested) — the auditor certifies the
+    producer with no shared shortcut."""
+    rows = stats.select("band", "mean_r", "std_r").collect()
+    means = {int(r["band"]): float(r["mean_r"]) for r in rows}
+    stds = {int(r["band"]): float(r["std_r"]) for r in rows}
+    col_idx = {n: i for i, n in enumerate(mel_df.columns)}
+    schema = mel_df.schema
+
+    def run(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            nm_col = batch.column(col_idx["n_mels"])
+            feat_col = batch.column(col_idx["feat"])
+            feats = []
+            for i in range(batch.num_rows):
+                nm = nm_col[i].as_py()
+                mu = np.array([means.get(b, 0.0) for b in range(nm)])
+                sd = np.array([stds.get(b, 0.0) for b in range(nm)])
+                sd = np.where(sd > 0.0, sd, 1.0)
+                buf = feat_col[i].as_py()
+                x = np.frombuffer(buf, dtype="<f8") if buf else \
+                    np.zeros(0, dtype=np.float64)
+                mat = x.reshape(-1, nm) if nm else x.reshape(0, 0)
+                y = (mat - mu) / sd
+                feats.append(np.ascontiguousarray(y).tobytes())
+            arrays = [
+                pa.array(feats, type=pa.binary())
+                if n == "feat" else batch.column(col_idx[n])
+                for n in (f.name for f in schema.fields)
+            ]
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=[f.name for f in schema.fields])
+
+    return mel_df.mapInArrow(run, schema)

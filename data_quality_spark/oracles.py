@@ -1407,6 +1407,40 @@ def _mel_cmvn_expected(n=300, seed=42) -> dict:
     return out
 
 
+def _mel_cmvn_apply_expected(n=300, seed=42) -> dict:
+    """Twin of ``apply_cmvn`` at PAYLOAD grade: the corpus constants
+    come from the cmvn twin (same rounded published values the Spark
+    path collects), normalization is the same two scalar IEEE ops per
+    cell, and the bytes are hashed with the from-spec XXH64."""
+    from .functions.audio import _decode_i16
+    from .functions.mel import log_mel
+    from .functions.xxh64 import xxh64_bytes
+    from .synth import generate_clips
+
+    def signed(h: int) -> int:
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    stats = _mel_cmvn_expected(n, seed)
+    mu = np.array(stats["mean_r"], dtype=np.float64)
+    sd = np.array(stats["std_r"], dtype=np.float64)
+    sd = np.where(sd > 0.0, sd, 1.0)
+    pdf = generate_clips(n, seed=seed)
+    out = {"clip_id": [], "n_frames": [], "n_bytes": [], "feat_h": []}
+    for _, r in pdf.sort_values("clip_id").iterrows():
+        try:
+            q = _decode_i16(r["bytes"], r["codec"], r["sr_hz"])
+        except (ValueError, TypeError):
+            q = np.zeros(0, dtype=np.int16)
+        m = log_mel(q.astype(np.float64) / 32768.0, r["sr_hz"] or 0)
+        y = (m - mu) / sd
+        payload = np.ascontiguousarray(y).tobytes()
+        out["clip_id"].append(r["clip_id"])
+        out["n_frames"].append(int(m.shape[0]))
+        out["n_bytes"].append(len(payload))
+        out["feat_h"].append(signed(xxh64_bytes(payload, 42)))
+    return out
+
+
 def _audio_specaugment_expected(
     n=300, seed=42, freq_mask=8, time_mask=20, n_freq=2, n_time=2
 ) -> dict:
@@ -6511,6 +6545,10 @@ _SCHEMAS: dict[str, pa.Schema] = {
          ("n_frames", pa.int64()), ("mean_r", pa.float64()),
          ("std_r", pa.float64())]
     ),
+    "mel_cmvn_apply": pa.schema(
+        [("clip_id", pa.string()), ("n_frames", pa.int32()),
+         ("n_bytes", pa.int32()), ("feat_h", pa.int64())]
+    ),
     "duration_batches": pa.schema(
         [("batch_id", pa.int64()), ("n_items", pa.int64()),
          ("max_len", pa.int64()), ("sum_len", pa.int64()),
@@ -7523,6 +7561,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _duration_batches_expected()
     elif name == "mel_cmvn":
         data = _mel_cmvn_expected()
+    elif name == "mel_cmvn_apply":
+        data = _mel_cmvn_apply_expected()
     elif name == "audio_channel":
         data = _audio_channel_expected()
     elif name == "audio_voice":

@@ -85,3 +85,39 @@ def test_quantization_tolerance_vs_float64(mel_df):
     for b in range(all_cells.shape[1]):
         assert abs(got[b]["mean_r"] - want_mean[b]) < 1e-4
         assert abs(got[b]["std_r"] - want_std[b]) < 1e-4
+
+
+def test_apply_cmvn_normalizes_to_unit_stats(spark, mel_df):
+    from data_quality_spark.operators.audio_cmvn import apply_cmvn
+
+    stats = cmvn_stats(mel_df)
+    normed = apply_cmvn(mel_df, stats)
+    # the auditor certifies the producer: re-running the stats job over
+    # the normalized table must read back ~N(0, 1) per band
+    back = cmvn_stats(normed, decimals=9).collect()
+    assert len(back) > 0
+    for r in back:
+        assert abs(r["mean_r"]) < 1e-4
+        assert abs(r["std_r"] - 1.0) < 1e-4
+
+
+def test_apply_cmvn_byte_deterministic_and_shape_preserving(spark, mel_df):
+    from pyspark.sql import functions as F
+
+    from data_quality_spark.operators.audio_cmvn import apply_cmvn
+
+    stats = cmvn_stats(mel_df)
+    a = apply_cmvn(mel_df, stats).select(
+        "clip_id", F.xxhash64("feat").alias("h"),
+        F.length("feat").alias("nb")).collect()
+    b = apply_cmvn(mel_df.repartition(13), stats).select(
+        "clip_id", F.xxhash64("feat").alias("h"),
+        F.length("feat").alias("nb")).collect()
+    da = {r["clip_id"]: (r["h"], r["nb"]) for r in a}
+    db = {r["clip_id"]: (r["h"], r["nb"]) for r in b}
+    assert da == db
+    # byte length unchanged (same float64 grid)
+    orig = {r["clip_id"]: r["nb"] for r in mel_df.select(
+        "clip_id", F.length("feat").alias("nb")).collect()}
+    for cid, (_, nb) in da.items():
+        assert nb == orig[cid]
