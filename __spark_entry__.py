@@ -1763,6 +1763,32 @@ def q_gate_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("component")
 
 
+def q_voice_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive triplet mining: per anchor clip, the closest
+    same-voice partner (positive) and the closest PITCH-MATCHED
+    different voice (hard negative — same log2-F0 grid cell, envelope
+    distance above the accept threshold), with the metric-learning
+    margin emitted as data.  Corpus seeds the confuser class via
+    pitch-twin speakers (same base F0, displaced formants); measured
+    pools sit at ≤0.19 vs ≥21.9 against the 1.0 threshold.  Twin:
+    shared voice kernel, F0-only bucket law, per-anchor (dist2, id)-min
+    selection replayed explicitly."""
+    from data_quality_spark.operators.contrastive import voice_triplets
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_voice_corpus
+
+    ensure_expected("voice_triplets", sf_dir)
+    key = ("voice_tw", 8, 5, 42, 3)
+    if key not in _CLIPS_CACHE:
+        _CLIPS_CACHE[key] = make_audio_voice_corpus(
+            8, 5, seed=42, pitch_twins=3)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(
+        _CLIPS_CACHE[key][cols], CLIPS_SCHEMA
+    ).repartition(8, "clip_id")
+    return voice_triplets(clips).orderBy("anchor")
+
+
 def q_audio_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recording-channel (room-tone) clustering: clips from the same
     session — DIFFERENT content, same mic/room — clustered by their
@@ -4354,6 +4380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_quantization": q_audio_quantization,
         "audio_dedup_clusters": q_audio_dedup_clusters,
         "gate_consistency": q_gate_consistency,
+        "voice_triplets": q_voice_triplets,
         "audio_channel": q_audio_channel,
         "audio_voice": q_audio_voice,
         "audio_identity_split": q_audio_identity_split,
@@ -6441,6 +6468,7 @@ FROM ranked WHERE rnk <= 3""",
         "duration_batches": _expected_sql("duration_batches"),
         "mel_cmvn": _expected_sql("mel_cmvn"),
         "mel_cmvn_apply": _expected_sql("mel_cmvn_apply"),
+        "voice_triplets": _expected_sql("voice_triplets"),
         "audio_channel": _expected_sql("audio_channel"),
         "audio_voice": _expected_sql("audio_voice"),
         "audio_identity_split": _expected_sql("audio_identity_split"),

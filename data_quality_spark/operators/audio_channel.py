@@ -38,7 +38,8 @@ from ..functions.channel import DIST2_MAX
 from .cluster import cluster_members
 
 __all__ = [
-    "clip_channel_profile", "bucket_verified_pairs", "channel_pairs",
+    "clip_channel_profile", "bucket_candidate_pairs",
+    "bucket_verified_pairs", "channel_pairs",
     "channel_clusters",
 ]
 
@@ -120,19 +121,18 @@ def _dist2_col(a, b):
     )
 
 
-def bucket_verified_pairs(
-    keyed: DataFrame, max_bucket: int, dist2_max: float
-) -> DataFrame:
-    """(id_a, id_b, dist2): the shared bucket/verify machinery.
+def bucket_candidate_pairs(keyed: DataFrame, max_bucket: int) -> DataFrame:
+    """(id_a, id_b, dist2): every bucket-proposed candidate with its
+    exact left-fold squared-L2 distance, UNTHRESHOLDED — the relation
+    both the verify stage (``bucket_verified_pairs``) and the
+    contrastive miner (``operators/contrastive.py``, where the
+    REJECTED candidates are the hard negatives) consume.
 
     ``keyed`` has one row per emitted key with columns
     (clip_id, prof, grid, cell, family).  Buckets = (grid, cell,
     family); buckets larger than ``max_bucket`` are skipped (skew guard
     — at web scale a mega-bucket means a degenerate family, worth its
-    own report, not an O(n²) join).  Candidates verify on the exact
-    left-fold squared-L2 profile distance under ``dist2_max``.  Used by
-    the channel (2-key tilt grid × peak band) and voice (4-key F0 ×
-    tilt composite grids) operators."""
+    own report, not an O(n²) join)."""
     sizes = keyed.groupBy("grid", "cell", "family").agg(
         F.count(F.lit(1)).alias("__bn")
     )
@@ -154,10 +154,22 @@ def bucket_verified_pairs(
         .select("id_a", "id_b", "pa", "pb")
         .dropDuplicates(["id_a", "id_b"])  # several keys can propose
     )
-    return (
-        cand.withColumn("dist2", _dist2_col(F.col("pa"), F.col("pb")))
-        .where(F.col("dist2") < F.lit(float(dist2_max)))
-        .select("id_a", "id_b", "dist2")
+    return cand.select(
+        "id_a", "id_b",
+        _dist2_col(F.col("pa"), F.col("pb")).alias("dist2"),
+    )
+
+
+def bucket_verified_pairs(
+    keyed: DataFrame, max_bucket: int, dist2_max: float
+) -> DataFrame:
+    """(id_a, id_b, dist2): the shared bucket/verify machinery —
+    ``bucket_candidate_pairs`` accepted under ``dist2_max`` on the
+    exact left-fold squared-L2 profile distance.  Used by the channel
+    (2-key tilt grid × peak band) and voice (4-key F0 × tilt composite
+    grids) operators."""
+    return bucket_candidate_pairs(keyed, max_bucket).where(
+        F.col("dist2") < F.lit(float(dist2_max))
     )
 
 

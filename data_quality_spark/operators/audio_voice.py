@@ -36,7 +36,9 @@ from ..functions.voice import DIST2_MAX
 from .audio_channel import bucket_verified_pairs
 from .cluster import cluster_members
 
-__all__ = ["clip_voice_profile", "voice_pairs", "voice_clusters"]
+__all__ = [
+    "clip_voice_profile", "voice_keyed", "voice_pairs", "voice_clusters",
+]
 
 
 def clip_voice_profile(df: DataFrame, counter=None) -> DataFrame:
@@ -115,18 +117,17 @@ def clip_voice_profile(df: DataFrame, counter=None) -> DataFrame:
     return df.mapInArrow(run, out_schema)
 
 
-def voice_pairs(profiles: DataFrame, max_bucket: int = 64) -> DataFrame:
-    """(id_a, id_b, dist2) accepted same-voice pairs.
-
-    Four keys per clip — the 2×2 (F0 grid × tilt grid) combinations —
-    so the composite double-grid guarantee is exact: |Δlog2 f0| ≤
-    F0_STEP/2 and |Δtilt| ≤ TILT_STEP/2 imply one shared key.  Encoded
-    onto the shared machinery as grid = 2·gf + gt, cell = F0 cell of
-    grid gf, family = tilt cell of grid gt."""
+def voice_keyed(profiles: DataFrame) -> DataFrame:
+    """(clip_id, prof, grid, cell, family): the voice keying onto the
+    shared bucket machinery.  Four keys per clip — the 2×2 (F0 grid ×
+    tilt grid) combinations — so the composite double-grid guarantee is
+    exact: |Δlog2 f0| ≤ F0_STEP/2 and |Δtilt| ≤ TILT_STEP/2 imply one
+    shared key.  Encoded as grid = 2·gf + gt, cell = F0 cell of grid
+    gf, family = tilt cell of grid gt."""
     combos = [
         (gf, gt, f"fc{gf}", f"tc{gt}") for gf in (0, 1) for gt in (0, 1)
     ]
-    keyed = profiles.where(F.col("ok")).select(
+    return profiles.where(F.col("ok")).select(
         "clip_id",
         "prof",
         F.explode(
@@ -145,7 +146,13 @@ def voice_pairs(profiles: DataFrame, max_bucket: int = 64) -> DataFrame:
         F.col("k.cell").alias("cell"),
         F.col("k.family").alias("family"),
     )
-    return bucket_verified_pairs(keyed, max_bucket, DIST2_MAX)
+
+
+def voice_pairs(profiles: DataFrame, max_bucket: int = 64) -> DataFrame:
+    """(id_a, id_b, dist2) accepted same-voice pairs (see
+    ``voice_keyed`` for the key law)."""
+    return bucket_verified_pairs(voice_keyed(profiles), max_bucket,
+                                 DIST2_MAX)
 
 
 def voice_clusters(df: DataFrame, max_bucket: int = 64) -> DataFrame:

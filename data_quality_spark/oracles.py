@@ -4328,6 +4328,76 @@ def _voice_pairs_replay(pdf, max_bucket=64) -> list[tuple[str, str]]:
     return _profile_pair_replay(profs, keys, VOICE_DIST2_MAX, max_bucket)
 
 
+def _voice_triplets_expected(
+    n_speakers=8, clips_per_speaker=5, seed=42, pitch_twins=3,
+    max_bucket=64,
+) -> dict:
+    """Twin of ``contrastive.voice_triplets`` over the pitch-twins
+    corpus: shared decode + voice kernel; the F0-only bucket law,
+    left-fold distances, per-anchor (dist2, id)-min selection for both
+    pools, and the margin subtraction replayed explicitly.  A
+    generation-time assert keeps every candidate far from the accept
+    threshold so engine float jitter cannot flip a pool."""
+    from .functions.audio import _decode_i16
+    from .functions.voice import (
+        DIST2_MAX as VOICE_DIST2_MAX,
+        voice_key_parts,
+        voice_profile,
+    )
+    from .synth import make_audio_voice_corpus
+
+    pdf = make_audio_voice_corpus(
+        n_speakers, clips_per_speaker, seed, pitch_twins=pitch_twins)
+    profs: dict[str, list[float]] = {}
+    keys: dict[str, list[tuple[int, int]]] = {}
+    for _, r in pdf.iterrows():
+        try:
+            x = _decode_i16(r["bytes"], r["codec"], r["sr_hz"])
+        except (ValueError, TypeError):
+            x = np.zeros(0, dtype=np.int16)
+        p, _nv, f0 = voice_profile(x, int(r["sr_hz"]))
+        if p is None:
+            continue
+        fc0, fc1, _tc0, _tc1 = voice_key_parts(p, f0)
+        profs[r["clip_id"]] = [float(v) for v in p]
+        keys[r["clip_id"]] = [(0, fc0), (1, fc1)]
+    buckets: dict[tuple[int, int], list[str]] = {}
+    for cid, emitted in keys.items():
+        for k in emitted:
+            buckets.setdefault(k, []).append(cid)
+    cand: set[tuple[str, str]] = set()
+    for members in buckets.values():
+        if 1 < len(members) <= max_bucket:
+            ms = sorted(set(members))
+            for i in range(len(ms)):
+                for j in range(i + 1, len(ms)):
+                    cand.add((ms[i], ms[j]))
+    pos: dict[str, tuple[float, str]] = {}
+    neg: dict[str, tuple[float, str]] = {}
+    for a, b in sorted(cand):
+        d2 = 0.0
+        for x1, y1 in zip(profs[a], profs[b]):
+            d2 = d2 + (x1 - y1) * (x1 - y1)
+        assert abs(d2 - VOICE_DIST2_MAX) > 1e-6, (a, b, d2)
+        pool = pos if d2 < VOICE_DIST2_MAX else neg
+        for anc, oth in ((a, b), (b, a)):
+            cur = pool.get(anc)
+            if cur is None or (d2, oth) < cur:
+                pool[anc] = (d2, oth)
+    out = {"anchor": [], "positive": [], "pos_dist2_r": [],
+           "negative": [], "neg_dist2_r": [], "margin_r": []}
+    for anc in sorted(set(pos) & set(neg)):
+        pd2, pid = pos[anc]
+        nd2, nid = neg[anc]
+        out["anchor"].append(anc)
+        out["positive"].append(pid)
+        out["pos_dist2_r"].append(spark_round(pd2, 6))
+        out["negative"].append(nid)
+        out["neg_dist2_r"].append(spark_round(nd2, 6))
+        out["margin_r"].append(spark_round(nd2 - pd2, 6))
+    return out
+
+
 def _voice_balance_expected(
     n_speakers=8, clips_per_speaker=5, seed=42, cap=2, bal_seed=9
 ) -> dict:
@@ -6545,6 +6615,11 @@ _SCHEMAS: dict[str, pa.Schema] = {
          ("n_frames", pa.int64()), ("mean_r", pa.float64()),
          ("std_r", pa.float64())]
     ),
+    "voice_triplets": pa.schema(
+        [("anchor", pa.string()), ("positive", pa.string()),
+         ("pos_dist2_r", pa.float64()), ("negative", pa.string()),
+         ("neg_dist2_r", pa.float64()), ("margin_r", pa.float64())]
+    ),
     "mel_cmvn_apply": pa.schema(
         [("clip_id", pa.string()), ("n_frames", pa.int32()),
          ("n_bytes", pa.int32()), ("feat_h", pa.int64())]
@@ -7563,6 +7638,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _mel_cmvn_expected()
     elif name == "mel_cmvn_apply":
         data = _mel_cmvn_apply_expected()
+    elif name == "voice_triplets":
+        data = _voice_triplets_expected()
     elif name == "audio_channel":
         data = _audio_channel_expected()
     elif name == "audio_voice":

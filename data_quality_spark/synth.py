@@ -1844,6 +1844,7 @@ def make_audio_voice_corpus(
     n_speakers: int = 8,
     clips_per_speaker: int = 5,
     seed: int = 42,
+    pitch_twins: int = 0,
 ) -> pd.DataFrame:
     """Corpus for acoustic speaker clustering.
 
@@ -1856,9 +1857,17 @@ def make_audio_voice_corpus(
     at −55 dBFS (under the VAD floor, so the voice and channel axes stay
     independent).  Controls: ``unvoiced`` fricative-like noise bursts
     (energetic but aperiodic — no voiced evidence, must NOT cluster) and
-    ``short`` clips below the voiced-frame minimum."""
+    ``short`` clips below the voiced-frame minimum.
+
+    ``pitch_twins`` > 0 additionally emits, for each of the first k
+    speakers, a PITCH-MATCHED TWIN (ids ``tw..``): the SAME base F0 but
+    a displaced formant set — the same-pitch-different-voice confuser a
+    contrastive miner needs as a hard negative (same F0 grid cell,
+    envelope distance far above the accept threshold).  Default 0 keeps
+    the corpus bit-identical to before the parameter existed."""
     sr = 16000
     rows: list[dict] = []
+    speaker_specs: list[tuple[str, float, list, str]] = []
     for s in range(n_speakers):
         f0 = 85.0 * (300.0 / 85.0) ** (s / max(n_speakers - 1, 1))
         per = (s * 3) % n_speakers
@@ -1867,6 +1876,20 @@ def make_audio_voice_corpus(
             (1000.0 + 150.0 * ((s * 5) % n_speakers), 0.7),
             (2300.0 + 140.0 * s, 0.5),
         ]
+        speaker_specs.append((f"vc{s:02d}", f0, formants,
+                              f"speaker_{s:02d}"))
+    for s in range(min(pitch_twins, n_speakers)):
+        f0 = 85.0 * (300.0 / 85.0) ** (s / max(n_speakers - 1, 1))
+        per = (s * 3 + max(n_speakers // 2, 2)) % n_speakers
+        formants = [
+            (380.0 + 60.0 * per, 1.0),
+            (1000.0 + 150.0 * ((s * 5 + 3) % n_speakers), 0.7),
+            (2300.0 + 140.0 * ((s + 4) % n_speakers), 0.5),
+        ]
+        speaker_specs.append((f"tw{s:02d}", f0, formants,
+                              f"twin_of_{s:02d}"))
+    for si, (sid, f0, formants, defect) in enumerate(speaker_specs):
+        s = si
         for c in range(clips_per_speaker):
             crng = np.random.default_rng(seed * 100000 + s * 1000 + c)
             n = 2 * sr
@@ -1893,14 +1916,14 @@ def make_audio_voice_corpus(
                 pos += seg_d + float(crng.uniform(0.18, 0.30))
             x += 10.0 ** (-55.0 / 20.0) * crng.standard_normal(n)
             rows.append({
-                "clip_id": f"vc{s:02d}c{c:02d}",
+                "clip_id": f"{sid}c{c:02d}",
                 "bytes": A.encode_pcm16(np.clip(x, -0.999, 0.999)),
                 "sr_hz": sr,
                 "dur_ms": 2000,
                 "codec": "pcm16",
                 "transcript": f"speaker {s} utterance {c}",
                 "ingest_day": "2026-01-01",
-                "defect": f"speaker_{s:02d}",
+                "defect": defect,
             })
     for c in range(max(4, n_speakers // 2)):
         crng = np.random.default_rng(seed + 5000 + c)
