@@ -1274,6 +1274,20 @@ def q_duration_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus data card (datasheet relation): corpus + per-lang +
+    per-source rows — docs, chars, tokens, empties, Gopher passes,
+    exact distinct texts — from ONE scan via GROUPING SETS (single
+    Expand + aggregate, internally consistent by construction).  The
+    DuckDB twin runs the IDENTICAL grouping-sets law over the shared
+    gopher CTE."""
+    from data_quality_spark.operators.datacard import data_card
+
+    docs = _t(spark, sf_dir, "documents")
+    return data_card(docs, min_words=15, max_words=90).orderBy(
+        "dim", "grp")
+
+
 def q_sample_balanced_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-rebalanced corpus cut: <= 40 docs per lang, membership a
     pure function of (doc_id, seed) via the portable md5 order — the same
@@ -4351,6 +4365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": q_shard_manifest,
         "sequence_packing": q_sequence_packing,
         "length_batches": q_length_batches,
+        "corpus_datacard": q_corpus_datacard,
         "duration_batches": q_duration_batches,
         "mel_cmvn": q_mel_cmvn,
         "mel_cmvn_apply": q_mel_cmvn_apply,
@@ -5122,6 +5137,39 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(CASE WHEN NOT (f_wc OR f_mwl OR f_sym OR f_alpha OR f_stop)
            THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
 FROM f GROUP BY lang ORDER BY lang"""
+
+
+def _corpus_datacard_oracle() -> str:
+    """DuckDB twin of q_corpus_datacard: the IDENTICAL grouping-sets
+    law — corpus/lang/source rows from one logical pass over the shared
+    gopher CTE (same integer rule family), exact md5 distinct count."""
+    gopher = _gopher_flags_cte(
+        carry=("lang", "source"),
+        extra_t=(
+            ", length(coalesce(text, '')) AS nchars"
+            ", md5(coalesce(text, '')) AS m5"
+            ", CASE WHEN text IS NULL OR length(trim(text)) = 0"
+            "  THEN 1 ELSE 0 END AS emp"
+        ),
+        extra_f=", nt, nchars, m5, emp",
+    )
+    return rf"""
+WITH {gopher}
+SELECT
+  CASE WHEN GROUPING(lang) = 0 THEN 'lang'
+       WHEN GROUPING(source) = 0 THEN 'source'
+       ELSE 'corpus' END AS dim,
+  coalesce(CAST(lang AS VARCHAR), CAST(source AS VARCHAR), 'all') AS grp,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(nchars) AS BIGINT) AS n_chars,
+  CAST(sum(nt) AS BIGINT) AS n_tokens,
+  CAST(sum(emp) AS BIGINT) AS n_empty,
+  CAST(sum(CASE WHEN NOT (f_wc OR f_mwl OR f_sym OR f_alpha OR f_stop)
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_pass,
+  CAST(count(DISTINCT m5) AS BIGINT) AS n_unique
+FROM f
+GROUP BY GROUPING SETS ((), (lang), (source))
+ORDER BY dim, grp"""
 
 
 def _source_reputation_oracle() -> str:
@@ -6127,6 +6175,7 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
 FROM t GROUP BY lang ORDER BY lang""",
         "stopword_stats": _stopword_stats_oracle(),
         "gopher_quality": _gopher_quality_oracle(),
+        "corpus_datacard": _corpus_datacard_oracle(),
         "source_reputation": _source_reputation_oracle(),
         "keep_rate_bias": _keep_rate_bias_oracle(),
         "template_spam": _template_spam_oracle(),

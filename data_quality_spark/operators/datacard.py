@@ -1,0 +1,97 @@
+"""Corpus data card: the datasheet relation a dataset release ships.
+
+"Datasheets for Datasets" (Gebru et al.) / model-card practice wants
+one auditable table answering: how many documents, how many tokens,
+how are they distributed across languages and sources, how many are
+empty, how many are exact duplicates, how many pass the baseline
+quality bar.  Those numbers exist piecemeal across the profiling and
+quality operators; a release needs them in ONE relation computed in
+ONE pass, so the card a reviewer signs is internally consistent (same
+snapshot, same scan) rather than stitched from jobs that ran hours
+apart.
+
+Engine shape: ``GROUPING SETS ((), (lang), (source))`` — a single scan
+feeding one Expand + aggregate, so the corpus row and every per-lang /
+per-source row come from the same data pass (3× row multiplication
+inside the exchange, nothing rescanned).  All metrics are exact
+integers: counts, summed chars/tokens, empty-text count, Gopher-pass
+count (the shared ``gopher_flags`` integer rule family), and exact
+distinct-text count via md5 fingerprints.  ``n_unique`` is the one
+shuffle-heavy metric at 10^12 rows — swap ``exact_unique=False`` for
+HLL++ (``approx_count_distinct``) on a real run; the default stays
+exact because the differential oracle hashes values.
+
+Reference analog: the reference's summary report (C14 / report sinks)
+stops at per-table issue counts; the card is its corpus-release twin,
+and the strict DuckDB oracle runs the IDENTICAL grouping-sets law.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .docs import token_count_col
+from .quality_filters import gopher_flags
+
+__all__ = ["data_card"]
+
+
+def data_card(
+    docs: DataFrame,
+    exact_unique: bool = True,
+    min_words: int | None = None,
+    max_words: int | None = None,
+) -> DataFrame:
+    """(dim, grp ▸ n_docs, n_chars, n_tokens, n_empty, n_gopher_pass,
+    n_unique) — the corpus row (``dim='corpus'``, ``grp='all'``) plus
+    one row per language and per source, all from one scan.
+
+    ``n_unique`` counts distinct non-NULL texts by md5 fingerprint
+    (exact; set ``exact_unique=False`` for the HLL++ estimate at
+    10^12 scale — every other column is unaffected)."""
+    text = F.col("text")
+    gk = {}
+    if min_words is not None:
+        gk["min_words"] = min_words
+    if max_words is not None:
+        gk["max_words"] = max_words
+    flagged = gopher_flags(docs, **gk)
+    base = flagged.select(
+        "lang",
+        "source",
+        F.length(F.coalesce(text, F.lit(""))).cast("long").alias("__chars"),
+        token_count_col(text).cast("long").alias("__toks"),
+        (text.isNull() | (F.length(F.trim(text)) == 0)).cast("long")
+        .alias("__empty"),
+        F.md5(F.coalesce(text, F.lit(""))).alias("__md5"),
+        F.col("gopher_pass").cast("long").alias("__pass"),
+    )
+    uniq = (F.count_distinct(F.col("__md5")) if exact_unique
+            else F.approx_count_distinct(F.col("__md5")))
+    agg = base.groupingSets([[], ["lang"], ["source"]], "lang",
+                            "source").agg(
+        F.grouping_id().alias("__gid"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__chars").cast("long").alias("n_chars"),
+        F.sum("__toks").cast("long").alias("n_tokens"),
+        F.sum("__empty").cast("long").alias("n_empty"),
+        F.sum("__pass").cast("long").alias("n_gopher_pass"),
+        uniq.cast("long").alias("n_unique"),
+    )
+    # grouping_id bit i is SET when column i is aggregated away:
+    # (lang, source) -> 1 = lang kept, 2 = source kept, 3 = corpus row
+    dim = (
+        F.when(F.col("__gid") == 1, F.lit("lang"))
+        .when(F.col("__gid") == 2, F.lit("source"))
+        .otherwise(F.lit("corpus"))
+    )
+    grp = F.coalesce(
+        F.col("lang").cast("string"),
+        F.col("source").cast("string"),
+        F.lit("all"),
+    )
+    return agg.select(
+        dim.alias("dim"), grp.alias("grp"), "n_docs", "n_chars",
+        "n_tokens", "n_empty", "n_gopher_pass", "n_unique",
+    )
