@@ -324,6 +324,42 @@ def build_parser() -> argparse.ArgumentParser:
     pl.add_argument("--top", type=int, default=10,
                     help="print the N highest-perplexity docs")
     pl.add_argument("--format", choices=["text", "json"], default="text")
+
+    ca = sub.add_parser(
+        "card",
+        help="corpus data card: corpus/per-lang/per-source counts, "
+        "tokens, empties, quality passes, exact uniques in one scan",
+    )
+    ca.add_argument("--tables", required=True)
+    ca.add_argument("--table", required=True)
+    ca.add_argument("--min-words", type=int, default=None)
+    ca.add_argument("--max-words", type=int, default=None)
+    ca.add_argument("--format", choices=["text", "json"], default="text")
+
+    pk = sub.add_parser(
+        "pack",
+        help="training layout: concat-and-chunk sequences, fixed-size "
+        "shards, or length-sorted padded batches",
+    )
+    pk.add_argument("--tables", required=True)
+    pk.add_argument("--table", required=True)
+    pk.add_argument("--mode", choices=["sequences", "shards", "batches"],
+                    default="sequences")
+    pk.add_argument("--size", type=int, required=True,
+                    help="seq_len (sequences), target bytes (shards), "
+                    "or batch size (batches)")
+    pk.add_argument("--strata", default="",
+                    help="comma-separated stratum columns")
+    pk.add_argument("--id-col", default="doc_id")
+    pk.add_argument("--size-col", default=None,
+                    help="length/size column; default: whitespace token "
+                    "count of --text-col (sequences) or n_chars")
+    pk.add_argument("--text-col", default="text")
+    pk.add_argument("--seed", type=int, default=0)
+    pk.add_argument("--output", default=None,
+                    help="write the assignment parquet here instead of "
+                    "printing the manifest summary")
+    pk.add_argument("--format", choices=["text", "json"], default="text")
     return p
 
 
@@ -641,6 +677,94 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"wrote {args.output}")
             else:
                 print(f"sampled {out.count()} of {df.count()} rows")
+            return 0
+        if args.cmd == "card":
+            from .operators.datacard import data_card
+
+            df = spark.read.parquet(
+                os.path.join(args.tables, f"{args.table}.parquet")
+            )
+            rows = [
+                r.asDict()
+                for r in data_card(
+                    df, min_words=args.min_words, max_words=args.max_words
+                ).orderBy("dim", "grp").collect()
+            ]
+            if args.format == "json":
+                print(json.dumps(rows, indent=2))
+            else:
+                print(f"{'dim':8s} {'grp':12s} {'docs':>8s} {'tokens':>10s}"
+                      f" {'empty':>6s} {'pass':>6s} {'unique':>8s}")
+                for r in rows:
+                    print(f"{r['dim']:8s} {r['grp']:12s} {r['n_docs']:8d}"
+                          f" {r['n_tokens']:10d} {r['n_empty']:6d}"
+                          f" {r['n_gopher_pass']:6d} {r['n_unique']:8d}")
+            return 0
+        if args.cmd == "pack":
+            from pyspark.sql import functions as F
+
+            from .operators.docs import token_count_col
+            from .operators.shards import (
+                batch_by_length,
+                batch_manifest,
+                pack_sequences,
+                sequence_manifest,
+                shard_assign,
+                shard_manifest,
+            )
+
+            df = spark.read.parquet(
+                os.path.join(args.tables, f"{args.table}.parquet")
+            )
+            strata = [s for s in args.strata.split(",") if s]
+            size_col = args.size_col
+            if args.mode == "sequences":
+                if size_col is None:
+                    df = df.withColumn(
+                        "__ntok", token_count_col(F.col(args.text_col)))
+                    size_col = "__ntok"
+                assigned = pack_sequences(
+                    df, size_col, args.size, strata=strata,
+                    id_col=args.id_col, seed=args.seed, portable=True)
+                man = sequence_manifest(assigned, strata=strata,
+                                        id_col=args.id_col)
+                unit, key = "tokens", "seq_id"
+            elif args.mode == "shards":
+                size_col = size_col or "n_chars"
+                assigned = shard_assign(
+                    df, size_col, args.size, strata=strata,
+                    id_col=args.id_col, seed=args.seed, portable=True)
+                man = shard_manifest(assigned, size_col, strata=strata,
+                                     id_col=args.id_col, seed=args.seed,
+                                     portable=True)
+                unit, key = "bytes", "shard_id"
+            else:
+                size_col = size_col or "n_chars"
+                assigned = batch_by_length(
+                    df, size_col, args.size, strata=strata,
+                    id_col=args.id_col)
+                man = batch_manifest(assigned, size_col, strata=strata,
+                                     id_col=args.id_col)
+                unit, key = "items", "batch_id"
+            if args.output:
+                assigned.write.mode("overwrite").parquet(args.output)
+                print(f"wrote {args.output}")
+                return 0
+            rows = [r.asDict() for r in man.orderBy(*strata, key).collect()]
+            if args.format == "json":
+                print(json.dumps(rows, indent=2, default=str))
+            else:
+                n_units = len(rows)
+                print(f"{args.mode}: {n_units} {key} groups ({unit})")
+                if args.mode == "batches":
+                    waste = sum(r["pad_waste"] for r in rows)
+                    padded = sum(r["padded_len"] for r in rows) or 1
+                    print(f"pad waste: {waste} / {padded}"
+                          f" ({waste / padded:.2%})")
+                for r in rows[:10]:
+                    print("  " + json.dumps(r, default=str))
+                if n_units > 10:
+                    print(f"  ... {n_units - 10} more")
             return 0
         if args.cmd == "profile":
             from .operators.profiling import profile_columns

@@ -963,3 +963,69 @@ def test_cli_manifest(spark, tmp_path, capsys, monkeypatch):
         != ((F.col("decision") == "keep") & (F.col("split") == "train"))
     ).count() == 0
     assert sum(c["n_clips"] for c in summary["cells"].values()) == len(pdf)
+
+
+def test_cli_card(spark, tmp_path, capsys, monkeypatch):
+    """card subcommand: corpus row reconciles with per-lang rows."""
+    import data_quality_spark.cli as cli
+
+    monkeypatch.setattr("pyspark.sql.SparkSession.stop", lambda self: None)
+    tables = tmp_path / "tables"
+    tables.mkdir()
+    rows = [(i, f"text number {i} with several plain words here",
+             ["en", "de"][i % 2], "web") for i in range(60)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.parquet(str(tables / "docs.parquet"))
+    assert cli.main(
+        ["card", "--tables", str(tables), "--table", "docs",
+         "--format", "json"]
+    ) == 0
+    card = json.loads(capsys.readouterr().out)
+    by = {(r["dim"], r["grp"]): r for r in card}
+    assert by[("corpus", "all")]["n_docs"] == 60
+    assert by[("lang", "en")]["n_docs"] + by[("lang", "de")]["n_docs"] == 60
+    assert by[("source", "web")]["n_docs"] == 60
+    # every text distinct
+    assert by[("corpus", "all")]["n_unique"] == 60
+
+
+def test_cli_pack_modes(spark, tmp_path, capsys, monkeypatch):
+    """pack subcommand: all three modes run; batches accounting sane;
+    --output writes the assignment relation."""
+    import data_quality_spark.cli as cli
+
+    monkeypatch.setattr("pyspark.sql.SparkSession.stop", lambda self: None)
+    tables = tmp_path / "tables"
+    tables.mkdir()
+    rows = [(i, "tok " * (5 + i % 40), ["en", "de"][i % 2],
+             (5 + i % 40) * 4) for i in range(80)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long"
+    ).write.parquet(str(tables / "docs.parquet"))
+
+    assert cli.main(
+        ["pack", "--tables", str(tables), "--table", "docs",
+         "--mode", "sequences", "--size", "64", "--strata", "lang",
+         "--format", "json"]
+    ) == 0
+    seqs = json.loads(capsys.readouterr().out)
+    assert sum(r["n_tokens"] for r in seqs) == sum(5 + i % 40
+                                                   for i in range(80))
+
+    assert cli.main(
+        ["pack", "--tables", str(tables), "--table", "docs",
+         "--mode", "batches", "--size", "16", "--format", "json"]
+    ) == 0
+    batches = json.loads(capsys.readouterr().out)
+    assert sum(r["n_items"] for r in batches) == 80
+    assert all(r["pad_waste"] == r["padded_len"] - r["sum_len"]
+               for r in batches)
+
+    out_dir = tmp_path / "shards"
+    assert cli.main(
+        ["pack", "--tables", str(tables), "--table", "docs",
+         "--mode", "shards", "--size", "400", "--output", str(out_dir)]
+    ) == 0
+    got = spark.read.parquet(str(out_dir))
+    assert got.count() == 80 and "shard_id" in got.columns
