@@ -649,6 +649,43 @@ def main() -> None:
         e.q_audio_identity_split(spark, sf),
     ))
 
+    sections.append((
+        "Sequence packing (decomposed global prefix sum, no "
+        "single-partition window)",
+        "The concat-and-chunk token grid needs a GLOBAL cumulative sum "
+        "— naively `SUM() OVER (ORDER BY hash)`, one task, dead at "
+        "10^12 rows. The plan must show the decomposition instead: a "
+        "tiny per-(stratum, bucket) HashAggregate (the driver-collected "
+        "offsets relation), then Window nodes whose partition spec "
+        "includes the BUCKET column — i.e. every Sort/Window runs "
+        "per-bucket, and NO window has an empty partition spec "
+        "(`SinglePartition` never appears). The per-doc explode is "
+        "bounded by ceil(tokens/L)+1.",
+        e.q_sequence_packing(spark, sf),
+    ))
+    sections.append((
+        "Length-sorted batch planning (same decomposition, data-valued "
+        "sort key)",
+        "The global (length, id) rank reuses the two-phase prefix-sum "
+        "shape with bucket = length div width — a monotone coarsening "
+        "of a DATA key rather than a hash, so the bucket histogram is "
+        "corpus-shaped and bucket_width is the skew dial. Again the "
+        "plan must show per-bucket Window partitioning and no "
+        "SinglePartition sort; the manifest is one partial/final "
+        "aggregate on (strata, batch_id).",
+        e.q_length_batches(spark, sf),
+    ))
+    sections.append((
+        "Corpus data card (one scan, one Expand, grouping sets)",
+        "Corpus + per-lang + per-source rows must come from ONE pass "
+        "so the card is internally consistent: the plan shows a single "
+        "source scan feeding one Expand (3× row multiplication) into "
+        "the aggregate — never three scans. The exact distinct-text "
+        "count adds the standard two-phase distinct aggregate; "
+        "exact_unique=False swaps it for HLL++ at 10^12 rows.",
+        e.q_corpus_datacard(spark, sf),
+    ))
+
     out = ["# PLANS — physical-plan evidence for the core operators\n"]
     out.append(
         "Generated by `scripts/dump_plans.py` (`.explain(formatted)` on "
