@@ -2207,6 +2207,28 @@ def q_speaking_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+def q_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup: odd-doc_id increment probed against the
+    stored even-doc_id minhash-signature index — no re-LSH of the
+    corpus, candidates are NEW×INDEX bucket collisions only, verify is
+    signature agreement (exact integer threshold, the minhash Jaccard
+    estimator).  Twin: from-spec-XXH64 signature/banding replay with
+    the same index-side guard and integer verify."""
+    from data_quality_spark.operators.dedup import (
+        build_lsh_index,
+        lsh_probe_index,
+    )
+
+    ensure_expected("lsh_incremental", sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    index = build_lsh_index(docs.filter(F.col("doc_id") % 2 == 0))
+    pairs = lsh_probe_index(docs.filter(F.col("doc_id") % 2 == 1), index)
+    return pairs.select(
+        "new_id", "index_id", "n_agree",
+        F.round("est_jaccard", 6).alias("est_jaccard_r"),
+    ).orderBy("new_id", "index_id")
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental exact dedup: new batch anti-joined against a stored
     fingerprint index (here: the even-doc_id half of the corpus plays
@@ -4396,6 +4418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_dedup_clusters": q_audio_dedup_clusters,
         "gate_consistency": q_gate_consistency,
         "voice_triplets": q_voice_triplets,
+        "lsh_incremental": q_lsh_incremental,
         "audio_channel": q_audio_channel,
         "audio_voice": q_audio_voice,
         "audio_identity_split": q_audio_identity_split,
@@ -6518,6 +6541,7 @@ FROM ranked WHERE rnk <= 3""",
         "mel_cmvn": _expected_sql("mel_cmvn"),
         "mel_cmvn_apply": _expected_sql("mel_cmvn_apply"),
         "voice_triplets": _expected_sql("voice_triplets"),
+        "lsh_incremental": _expected_sql("lsh_incremental"),
         "audio_channel": _expected_sql("audio_channel"),
         "audio_voice": _expected_sql("audio_voice"),
         "audio_identity_split": _expected_sql("audio_identity_split"),

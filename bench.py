@@ -489,7 +489,7 @@ def main() -> None:
         "audio_split_drift", "audio_specaugment", "training_manifest",
         "sequence_packing", "gate_consistency", "length_batches",
         "duration_batches", "mel_cmvn", "mel_cmvn_apply",
-        "voice_triplets", "corpus_datacard",
+        "voice_triplets", "corpus_datacard", "lsh_incremental",
     ]
     # headline-only mode: just the gate pair + health scan (~90 s) — fits
     # inside the short quiet gaps this shared host actually has, where the

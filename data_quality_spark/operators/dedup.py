@@ -47,6 +47,8 @@ __all__ = [
     "winnow_fingerprints",
     "dedup_against_index",
     "build_dedup_index",
+    "build_lsh_index",
+    "lsh_probe_index",
 ]
 
 
@@ -537,4 +539,121 @@ def build_dedup_index(df: DataFrame, *, text_col: str = "text") -> DataFrame:
         df.select(F.md5(F.col(text_col)).alias("fp"))
         .where(F.col("fp").isNotNull())
         .distinct()
+    )
+
+
+def build_lsh_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, sig array<long>) minhash-signature index — the NEAR-dup
+    analog of :func:`build_dedup_index`.  A daily dedup job stores this
+    relation (64 longs = 512 B per document, ~3 orders smaller than
+    text) and only ever appends the survivors' signatures; indexed text
+    is never needed again."""
+    return minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+
+
+def lsh_probe_index(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    agree_threshold: float = 0.5,
+    max_bucket_size: int = 64,
+) -> DataFrame:
+    """Incremental near-dup: NEW documents probed against a STORED
+    signature index, no re-LSH of the corpus.
+
+    Returns (new_id, index_id, n_agree, est_jaccard) — one row per
+    (new, indexed) near-duplicate pair.  The law:
+
+    - new signatures are computed (the only text scan — the increment);
+    - both sides band identically (xxhash64 over signature slices, the
+      exact batch-operator key), and candidates are the NEW×INDEX
+      bucket collisions — a join against the stored bucket keys, never
+      an index self-join, so a day's probe costs O(increment), not
+      O(corpus);
+    - the verify stage is SIGNATURE AGREEMENT, computable from stored
+      data alone: ``n_agree`` = positions where the two 64-long
+      signatures are equal (an unbiased Jaccard estimator — the
+      classic minhash identity P[h_min equal] = J), accepted when
+      ``n_agree >= ceil(agree_threshold · num_hashes)`` — an exact
+      INTEGER compare, no float ever decides;
+    - ``max_bucket_size`` guards hot buckets BY INDEX-SIDE population
+      (the side whose size you know ahead of time); a same-id pair
+      (re-ingest of an indexed document) is excluded — re-ingest is
+      exact dedup's job (:func:`dedup_against_index`).
+
+    Contract vs the batch operator (tested): with the guard wide open,
+    probe pairs == the cross (new × indexed) slice of
+    ``_banded_candidates`` over the union corpus — the incremental law
+    is the batch law restricted to the increment.
+    """
+    import math
+
+    rows_per_band = num_hashes // bands
+    agree_min = math.ceil(agree_threshold * num_hashes)
+
+    def entries(sig_rel: DataFrame, side: str) -> DataFrame:
+        return sig_rel.select(
+            F.col("__id").alias(side),
+            F.col("__sig").alias(f"__sig_{side}"),
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.slice(F.col("__sig"),
+                                    b * rows_per_band + 1, rows_per_band)
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ])
+            ).alias("e"),
+        ).select(side, f"__sig_{side}", "e.band", "e.bh")
+
+    idx = index_df.select(
+        F.col(id_col).alias("__id"), F.col("sig").alias("__sig"))
+    new = minhash_signatures(
+        new_df, id_col, text_col, num_hashes, shingle_k
+    ).select(F.col(id_col).alias("__id"), F.col("sig").alias("__sig"))
+
+    idx_e = entries(idx, "index_id")
+    small = (
+        idx_e.groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter(F.col("__bn") <= max_bucket_size)
+        .select("band", "bh")
+    )
+    idx_e = idx_e.join(small, ["band", "bh"])
+    new_e = entries(new, "new_id")
+    cand = (
+        new_e.join(idx_e, ["band", "bh"])
+        .filter(F.col("new_id") != F.col("index_id"))
+        .select("new_id", "index_id", "__sig_new_id", "__sig_index_id")
+        .dropDuplicates(["new_id", "index_id"])
+    )
+    n_agree = F.aggregate(
+        F.zip_with(
+            F.col("__sig_new_id"), F.col("__sig_index_id"),
+            lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.withColumn("n_agree", n_agree.cast("int"))
+        .filter(F.col("n_agree") >= F.lit(agree_min))
+        .select(
+            "new_id", "index_id", "n_agree",
+            (F.col("n_agree") / F.lit(float(num_hashes)))
+            .alias("est_jaccard"),
+        )
     )

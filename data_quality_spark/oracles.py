@@ -130,11 +130,9 @@ def _read_embeddings(sf_dir: str) -> list[tuple[int, list[float]]]:
 # ------------------------------------------------------------------ minhash
 
 
-def _minhash_candidates(docs, num_hashes=64, bands=16, shingle_k=3,
-                        max_bucket_size=64) -> set[tuple[int, int]]:
-    """Twin of the candidate half of ``dedup.minhash_lsh_pairs`` (and of
-    ``lsh_candidates_multi`` per config): unverified banded-bucket pairs."""
-    rows_per_band = num_hashes // bands
+def _minhash_sigs(docs, num_hashes=64, shingle_k=3) -> dict[int, list[int]]:
+    """Twin of ``dedup.minhash_signatures``: per-doc 64-long minhash
+    signatures via the from-spec XXH64 (shingle-less docs absent)."""
     sigs: dict[int, list[int]] = {}
     for doc_id, text in docs:
         toks = _tokens(text)
@@ -145,13 +143,30 @@ def _minhash_candidates(docs, num_hashes=64, bands=16, shingle_k=3,
         sigs[doc_id] = [
             min(xxh64_int(i, b) for b in bases) for i in range(num_hashes)
         ]
+    return sigs
+
+
+def _band_keys(sig, bands, rows_per_band) -> list[tuple[int, int]]:
+    """Twin of the banding key: xxhash64 fold over each signature slice."""
+    out = []
+    for b in range(bands):
+        h = 42
+        for v in sig[b * rows_per_band : (b + 1) * rows_per_band]:
+            h = xxh64_long(v, h)
+        out.append((b, h))
+    return out
+
+
+def _minhash_candidates(docs, num_hashes=64, bands=16, shingle_k=3,
+                        max_bucket_size=64) -> set[tuple[int, int]]:
+    """Twin of the candidate half of ``dedup.minhash_lsh_pairs`` (and of
+    ``lsh_candidates_multi`` per config): unverified banded-bucket pairs."""
+    rows_per_band = num_hashes // bands
+    sigs = _minhash_sigs(docs, num_hashes, shingle_k)
     buckets: dict[tuple[int, int], list[int]] = {}
     for doc_id, sig in sigs.items():
-        for b in range(bands):
-            h = 42
-            for v in sig[b * rows_per_band : (b + 1) * rows_per_band]:
-                h = xxh64_long(v, h)
-            buckets.setdefault((b, h), []).append(doc_id)
+        for k in _band_keys(sig, bands, rows_per_band):
+            buckets.setdefault(k, []).append(doc_id)
     cand: set[tuple[int, int]] = set()
     for members in buckets.values():
         if 1 < len(members) <= max_bucket_size:
@@ -180,6 +195,47 @@ def _minhash_verified_pairs(docs, num_hashes=64, bands=16, shingle_k=3,
         if jac >= verify_threshold:
             pairs.append((a, b, jac))
     return pairs
+
+
+def _lsh_incremental_expected(
+    docs, num_hashes=64, bands=16, shingle_k=3, agree_threshold=0.5,
+    max_bucket_size=64,
+) -> dict:
+    """Twin of ``dedup.lsh_probe_index`` over the even/odd corpus split:
+    index = even doc_ids, increment = odd.  Signatures/banding via the
+    from-spec XXH64 twins; index-side bucket guard; signature-agreement
+    verify with the exact integer threshold."""
+    import math
+
+    rows_per_band = num_hashes // bands
+    agree_min = math.ceil(agree_threshold * num_hashes)
+    sigs = _minhash_sigs(docs, num_hashes, shingle_k)
+    idx_ids = {d for d, _ in docs if d % 2 == 0 and d in sigs}
+    new_ids = {d for d, _ in docs if d % 2 == 1 and d in sigs}
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for d in idx_ids:
+        for k in _band_keys(sigs[d], bands, rows_per_band):
+            buckets.setdefault(k, []).append(d)
+    cand: set[tuple[int, int]] = set()
+    for d in new_ids:
+        for k in _band_keys(sigs[d], bands, rows_per_band):
+            members = buckets.get(k, ())
+            if len(members) <= max_bucket_size:
+                for m in members:
+                    if m != d:
+                        cand.add((d, m))
+    out = {"new_id": [], "index_id": [], "n_agree": [],
+           "est_jaccard_r": []}
+    for new, old in sorted(cand):
+        n_agree = sum(
+            1 for a, b in zip(sigs[new], sigs[old]) if a == b)
+        if n_agree >= agree_min:
+            out["new_id"].append(new)
+            out["index_id"].append(old)
+            out["n_agree"].append(n_agree)
+            out["est_jaccard_r"].append(
+                spark_round(n_agree / float(num_hashes), 6))
+    return out
 
 
 def _minhash_lsh_agg(docs, **kw) -> dict:
@@ -6615,6 +6671,10 @@ _SCHEMAS: dict[str, pa.Schema] = {
          ("n_frames", pa.int64()), ("mean_r", pa.float64()),
          ("std_r", pa.float64())]
     ),
+    "lsh_incremental": pa.schema(
+        [("new_id", pa.int64()), ("index_id", pa.int64()),
+         ("n_agree", pa.int32()), ("est_jaccard_r", pa.float64())]
+    ),
     "voice_triplets": pa.schema(
         [("anchor", pa.string()), ("positive", pa.string()),
          ("pos_dist2_r", pa.float64()), ("negative", pa.string()),
@@ -7548,7 +7608,7 @@ def _src_key(name: str, sf_dir: str | None) -> dict | None:
         "lsh_tuning", "semantic_prune", "corpus_overlap", "text_normalize",
         "ann_pq_topk", "ann_pq_recall", "quality_classifier",
         "quality_calibration", "compression_ratio", "bpe_merges",
-        "bpe_encode", "bloom_decontaminate",
+        "bpe_encode", "bloom_decontaminate", "lsh_incremental",
     ):
         table = (
             "embeddings"
@@ -7588,6 +7648,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
             pass
     if name == "minhash_lsh":
         data = _minhash_lsh_agg(_read_documents(sf_dir))
+    elif name == "lsh_incremental":
+        data = _lsh_incremental_expected(_read_documents(sf_dir))
     elif name == "compression_ratio":
         data = _compression_expected(_read_documents(sf_dir))
     elif name == "dedup_clusters":

@@ -56,3 +56,93 @@ class TestDedupAgainstIndex:
         grown = index.unionByName(build_dedup_index(first)).distinct()
         second = dedup_against_index(batch, grown)
         assert second.filter(F.col("text").isNotNull()).count() == 0
+
+
+class TestLshProbeIndex:
+    """Incremental NEAR-dup against a stored signature index."""
+
+    def _docs(self, spark):
+        rows = []
+        for i in range(40):
+            base = f"alpha beta gamma delta epsilon zeta eta theta doc{i}"
+            rows.append((i, base))
+        # odd near-dups of even docs: same text, one token changed
+        for i in range(0, 40, 4):
+            rows.append((100 + i + 1,  # odd id
+                         f"alpha beta gamma delta epsilon zeta eta theta doc{i}x"))
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_probe_equals_batch_cross_slice(self, spark):
+        # the contract: with the guard wide open, probe pairs == the
+        # (new x indexed) slice of the batch banded candidates over the
+        # union, verified by the same signature-agreement law
+        from data_quality_spark.operators.dedup import (
+            _banded_candidates,
+            build_lsh_index,
+            lsh_probe_index,
+            minhash_signatures,
+        )
+        from pyspark.sql import functions as F
+
+        docs = self._docs(spark)
+        idx_docs = docs.filter("doc_id % 2 = 0")
+        new_docs = docs.filter("doc_id % 2 = 1")
+        got = {
+            (r["new_id"], r["index_id"])
+            for r in lsh_probe_index(
+                new_docs, build_lsh_index(idx_docs),
+                max_bucket_size=10**6, agree_threshold=0.5,
+            ).collect()
+        }
+        sigs = {
+            r["doc_id"]: r["sig"]
+            for r in minhash_signatures(docs, "doc_id", "text").collect()
+        }
+        keyed = minhash_signatures(docs, "doc_id", "text").select(
+            F.col("doc_id").alias("__id"), F.col("sig").alias("__sig"))
+        batch = _banded_candidates(keyed, 16, 4, 10**6).collect()
+        want = set()
+        for r in batch:
+            a, b = r["id_a"], r["id_b"]
+            if (a % 2) == (b % 2):
+                continue  # same side: not a cross pair
+            new, old = (a, b) if a % 2 == 1 else (b, a)
+            n_agree = sum(1 for x, y in zip(sigs[new], sigs[old]) if x == y)
+            if n_agree >= 32:
+                want.add((new, old))
+        assert got == want and len(got) > 0
+
+    def test_reingest_same_id_excluded(self, spark):
+        from data_quality_spark.operators.dedup import (
+            build_lsh_index,
+            lsh_probe_index,
+        )
+
+        docs = self._docs(spark)
+        index = build_lsh_index(docs)
+        # probing the corpus against itself: identical ids never pair,
+        # but true near-dups still surface
+        pairs = lsh_probe_index(docs, index, max_bucket_size=10**6).collect()
+        assert all(r["new_id"] != r["index_id"] for r in pairs)
+        assert len(pairs) > 0
+
+    def test_index_side_bucket_guard(self, spark):
+        from data_quality_spark.operators.dedup import (
+            build_lsh_index,
+            lsh_probe_index,
+        )
+
+        # 30 identical indexed docs form one hot bucket per band; with
+        # the guard below 30 nothing pairs, with it above they all do
+        rows = [(2 * i, "the same boilerplate text in every document")
+                for i in range(30)]
+        rows.append((99, "the same boilerplate text in every document"))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        index = build_lsh_index(docs.filter("doc_id % 2 = 0"))
+        new = docs.filter("doc_id % 2 = 1")
+        guarded = lsh_probe_index(new, index, max_bucket_size=10)
+        assert guarded.count() == 0
+        open_ = lsh_probe_index(new, index, max_bucket_size=100)
+        assert open_.count() == 30
+        # identical text -> full signature agreement
+        assert all(r["n_agree"] == 64 for r in open_.collect())
