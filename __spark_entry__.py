@@ -1288,6 +1288,28 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim", "grp")
 
 
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature sampling (mT5/XLM-R alpha=0.5) executed and audited:
+    per-language char budgets ∝ sqrt(corpus chars) — low-resource
+    languages upweighted vs their share — filled in portable md5 order.
+    The alpha=0.5 law is ENGINE-EXACT integer arithmetic
+    (q = isqrt(n·2^20), budget = total·q // Σq): the strict DuckDB twin
+    re-derives the budgets from scratch with floor(sqrt(·)), provably
+    equal to isqrt below 2^53."""
+    from data_quality_spark.operators.sampling import temperature_audit
+
+    return temperature_audit(
+        _t(spark, sf_dir, "documents"),
+        weight_col="n_chars",
+        total_budget=60000,
+        stratum_col="lang",
+        id_col="doc_id",
+        alpha=0.5,
+        seed=13,
+        portable=True,
+    ).orderBy("stratum")
+
+
 def q_sample_balanced_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-rebalanced corpus cut: <= 40 docs per lang, membership a
     pure function of (doc_id, seed) via the portable md5 order — the same
@@ -2227,6 +2249,26 @@ def q_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_id", "index_id", "n_agree",
         F.round("est_jaccard", 6).alias("est_jaccard_r"),
     ).orderBy("new_id", "index_id")
+
+
+def q_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix (syndication detector): distinct
+    contents shared by each source pair.  The synthetic corpus has only
+    within-source dups, so shared contents are INJECTED in-query (every
+    37th doc becomes one of five boilerplate texts — the scrub_audit
+    injection pattern), identically on both engines.  Strict DuckDB
+    twin runs the same distinct-pair self-join law."""
+    from data_quality_spark.operators.dedup import cross_source_dup_matrix
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 37 == 0,
+            F.concat(F.lit("syndicated boilerplate "),
+                     (F.col("doc_id") % 5).cast("string")),
+        ).otherwise(F.col("text")),
+    )
+    return cross_source_dup_matrix(docs).orderBy("source_a", "source_b")
 
 
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4419,6 +4461,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gate_consistency": q_gate_consistency,
         "voice_triplets": q_voice_triplets,
         "lsh_incremental": q_lsh_incremental,
+        "source_dup_matrix": q_source_dup_matrix,
+        "temperature_mixture": q_temperature_mixture,
         "audio_channel": q_audio_channel,
         "audio_voice": q_audio_voice,
         "audio_identity_split": q_audio_identity_split,
@@ -6542,6 +6586,57 @@ FROM ranked WHERE rnk <= 3""",
         "mel_cmvn_apply": _expected_sql("mel_cmvn_apply"),
         "voice_triplets": _expected_sql("voice_triplets"),
         "lsh_incremental": _expected_sql("lsh_incremental"),
+        "source_dup_matrix": """
+WITH t AS (
+  SELECT source,
+    CASE WHEN doc_id % 37 = 0
+         THEN 'syndicated boilerplate ' || CAST(doc_id % 5 AS VARCHAR)
+         ELSE text END AS x
+  FROM documents
+), d AS (
+  SELECT DISTINCT md5(x) AS fp, source FROM t WHERE x IS NOT NULL
+)
+SELECT a.source AS source_a, b.source AS source_b,
+  CAST(count(*) AS BIGINT) AS n_shared
+FROM d a JOIN d b ON a.fp = b.fp AND a.source < b.source
+GROUP BY source_a, source_b ORDER BY source_a, source_b""",
+        "temperature_mixture": """
+WITH n AS (
+  SELECT lang AS stratum, CAST(sum(n_chars) AS BIGINT) AS avail_weight
+  FROM documents GROUP BY lang
+), q AS (
+  SELECT stratum, avail_weight,
+    CAST(floor(sqrt(CAST(greatest(avail_weight, 0) * 1048576 AS DOUBLE)))
+         AS BIGINT) AS q
+  FROM n
+), s AS (SELECT sum(q) AS qs FROM q),
+b AS (
+  SELECT stratum, avail_weight, q,
+    CAST((60000 * q) // qs AS BIGINT) AS budget
+  FROM q, s
+), w AS (
+  SELECT d.lang AS stratum, d.n_chars,
+    sum(d.n_chars) OVER (
+      PARTITION BY d.lang
+      ORDER BY md5(coalesce(CAST(d.doc_id AS VARCHAR), '') || ':13'),
+               d.doc_id
+    ) - d.n_chars AS cum_before
+  FROM documents d
+), sel AS (
+  SELECT w.stratum, w.n_chars
+  FROM w JOIN b ON w.stratum = b.stratum
+  WHERE w.cum_before < b.budget
+), g AS (
+  SELECT stratum, CAST(count(*) AS BIGINT) AS n_sel,
+    CAST(sum(n_chars) AS BIGINT) AS sel_weight
+  FROM sel GROUP BY stratum
+)
+SELECT b.stratum, b.avail_weight, b.q, b.budget,
+  coalesce(g.n_sel, 0) AS n_sel,
+  coalesce(g.sel_weight, 0) AS sel_weight,
+  coalesce(g.sel_weight, 0) >= b.budget AS filled
+FROM b LEFT JOIN g ON b.stratum = g.stratum
+ORDER BY b.stratum""",
         "audio_channel": _expected_sql("audio_channel"),
         "audio_voice": _expected_sql("audio_voice"),
         "audio_identity_split": _expected_sql("audio_identity_split"),

@@ -49,6 +49,7 @@ __all__ = [
     "build_dedup_index",
     "build_lsh_index",
     "lsh_probe_index",
+    "cross_source_dup_matrix",
 ]
 
 
@@ -539,6 +540,47 @@ def build_dedup_index(df: DataFrame, *, text_col: str = "text") -> DataFrame:
         df.select(F.md5(F.col(text_col)).alias("fp"))
         .where(F.col("fp").isNotNull())
         .distinct()
+    )
+
+
+def cross_source_dup_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """(source_a, source_b, n_shared) with source_a < source_b: the
+    number of DISTINCT contents present in both sources — the
+    syndication/mirror matrix.  A pair with high overlap means one
+    source republishes the other (or both scrape a common upstream):
+    per-source dedup statistics cannot see it, and a per-source crawl
+    budget double-pays for it.
+
+    Law: distinct (md5(text), source) pairs, self-joined on the
+    fingerprint with ``source_a < source_b``, counted per source pair.
+    NULL texts carry no fingerprint and never match.  Scale: the
+    distinct relation is one 48-byte row per (content, source); the
+    self-join fans out per fingerprint by its source multiplicity —
+    bounded by |sources|, never by copies (the distinct collapsed
+    those) — and the result is at most |sources|² rows.
+
+    Reference analog: none (the reference's duplicate scan is
+    single-table); this is the cross-SOURCE curation view of C1-C4's
+    duplicate family."""
+    d = (
+        df.select(
+            F.md5(F.col(text_col)).alias("__fp"),
+            F.col(source_col).alias("__src"),
+        )
+        .where(F.col("__fp").isNotNull())
+        .distinct()
+    )
+    a = d.select(F.col("__fp"), F.col("__src").alias("source_a"))
+    b = d.select(F.col("__fp"), F.col("__src").alias("source_b"))
+    return (
+        a.join(b, "__fp")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
     )
 
 

@@ -59,6 +59,8 @@ __all__ = [
     "mixture_budgets",
     "mixture_sample",
     "mixture_audit",
+    "temperature_budgets",
+    "temperature_audit",
     "skew_audit",
 ]
 
@@ -362,6 +364,23 @@ def mixture_sample(
     budget to token_budget_sample.
     """
     budgets = mixture_budgets(total_budget, mixture)
+    return _budgeted_sample(df, weight_col, budgets, stratum_col, id_col,
+                            seed, portable)
+
+
+def _budgeted_sample(
+    df: DataFrame,
+    weight_col: str,
+    budgets: dict[str, int],
+    stratum_col: str,
+    id_col: str,
+    seed: int,
+    portable: bool,
+) -> DataFrame:
+    """The budget-prefix selection law shared by :func:`mixture_sample`
+    and :func:`temperature_audit`: per stratum, fill the integer budget
+    in deterministic hash order (boundary row included); strata with no
+    budget entry get 0."""
     bcol = None
     for k, b in sorted(budgets.items()):
         clause = F.when(F.col(stratum_col) == k, F.lit(b))
@@ -377,6 +396,104 @@ def mixture_sample(
     return (
         df.select("*", cum_before)
         .where(F.col("cum_before") < bcol)
+    )
+
+
+def temperature_budgets(
+    weights: dict[str, int],
+    total_budget: int,
+    alpha: float = 0.5,
+    scale_bits: int = 20,
+) -> dict[str, int]:
+    """Per-stratum integer budgets under the temperature-sampling law
+    (mT5/XLM-R): budget_l ∝ n_l^alpha — alpha < 1 upweights
+    low-resource strata relative to their corpus share.
+
+    The alpha = 0.5 path is ENGINE-EXACT integer arithmetic end to end:
+    q_l = isqrt(n_l · 2^scale_bits) (Python arbitrary-precision isqrt),
+    budget_l = total · q_l // Σq.  A SQL twin's
+    ``floor(sqrt(CAST(n·2^k AS DOUBLE)))`` provably equals isqrt for
+    integer arguments below 2^53 (a correctly-rounded sqrt of an
+    integer cannot land within 1 of the next perfect square), i.e. for
+    n_l ≤ 2^33 at the default scale — document larger corpora with a
+    bigger unit (tokens → Mtokens) rather than raising scale_bits.
+    Other alphas use float ``pow`` driver-side (same law, no
+    engine-exactness claim).
+    """
+    import math
+
+    if total_budget <= 0:
+        raise ValueError(f"total_budget must be positive, got {total_budget}")
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    qs: dict[str, int] = {}
+    for k, n in weights.items():
+        n = max(int(n), 0)
+        if alpha == 0.5:
+            qs[k] = math.isqrt(n << scale_bits)
+        else:
+            qs[k] = int((float(n) ** alpha) * (1 << (scale_bits // 2)))
+    tot = sum(qs.values())
+    if tot == 0:
+        return {k: 0 for k in qs}
+    return {k: total_budget * q // tot for k, q in qs.items()}
+
+
+def temperature_audit(
+    df: DataFrame,
+    weight_col: str,
+    total_budget: int,
+    stratum_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    seed: int = 0,
+    portable: bool = False,
+) -> DataFrame:
+    """Temperature mixing executed and audited: per stratum —
+
+        stratum ▸ avail_weight, q, budget, n_sel, sel_weight, filled
+
+    Budgets come from :func:`temperature_budgets` over the per-stratum
+    ``weight_col`` totals (ONE tiny aggregate collected driver-side,
+    the bounded-collect law); selection is the shared budget-prefix law
+    in portable hash order.  Every stratum present in ``df``
+    participates — temperature sampling has no target list to forget a
+    language from."""
+    avail_rows = (
+        df.groupBy(F.col(stratum_col).alias("stratum"))
+        .agg(F.sum(weight_col).cast("long").alias("avail_weight"))
+        .collect()
+    )
+    weights = {r["stratum"]: int(r["avail_weight"] or 0) for r in avail_rows}
+    budgets = temperature_budgets(weights, total_budget, alpha)
+    sel = _budgeted_sample(df, weight_col, budgets, stratum_col, id_col,
+                           seed, portable)
+    got = sel.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sel"),
+        F.sum(weight_col).cast("long").alias("sel_weight"),
+    )
+    import math
+
+    btab = df.sparkSession.createDataFrame(
+        sorted(
+            (k, weights[k], math.isqrt(max(weights[k], 0) << 20)
+             if alpha == 0.5 else -1, b)
+            for k, b in budgets.items()
+        ),
+        "stratum string, avail_weight long, q long, budget long",
+    )
+    return (
+        btab.join(got, "stratum", "left")
+        .select(
+            "stratum",
+            "avail_weight",
+            "q",
+            "budget",
+            F.coalesce("n_sel", F.lit(0)).alias("n_sel"),
+            F.coalesce("sel_weight", F.lit(0)).alias("sel_weight"),
+            (F.coalesce("sel_weight", F.lit(0)) >= F.col("budget"))
+            .alias("filled"),
+        )
     )
 
 

@@ -146,3 +146,25 @@ class TestLshProbeIndex:
         assert open_.count() == 30
         # identical text -> full signature agreement
         assert all(r["n_agree"] == 64 for r in open_.collect())
+
+
+def test_cross_source_dup_matrix(spark):
+    """Copies collapse to distinct contents; NULLs never match; only
+    cross-source sharing counts."""
+    from data_quality_spark.operators.dedup import cross_source_dup_matrix
+
+    rows = [
+        # content X in A (3 copies) and B (2 copies) -> counts ONCE
+        (1, "X", "A"), (2, "X", "A"), (3, "X", "A"),
+        (4, "X", "B"), (5, "X", "B"),
+        # content Y in A and C
+        (6, "Y", "A"), (7, "Y", "C"),
+        # content Z only within B (twice) -> no cross row
+        (8, "Z", "B"), (9, "Z", "B"),
+        # NULLs everywhere -> never match
+        (10, None, "A"), (11, None, "B"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {(r["source_a"], r["source_b"]): r["n_shared"]
+           for r in cross_source_dup_matrix(df).collect()}
+    assert got == {("A", "B"): 1, ("A", "C"): 1}

@@ -306,3 +306,59 @@ def test_mixture_sample_deterministic_and_portable(spark):
             want.append(d)
         cum += 7
     assert got == sorted(want)
+
+
+class TestTemperatureMixture:
+    def test_budget_law_and_upweighting(self):
+        import math
+
+        from data_quality_spark.operators.sampling import temperature_budgets
+
+        weights = {"en": 90000, "de": 9000, "sw": 900}
+        total = 10000
+        b = temperature_budgets(weights, total, alpha=0.5)
+        qs = {k: math.isqrt(n << 20) for k, n in weights.items()}
+        qsum = sum(qs.values())
+        assert b == {k: total * q // qsum for k, q in qs.items()}
+        # alpha=0.5 upweights low-resource strata vs corpus share
+        share = {k: n / sum(weights.values()) for k, n in weights.items()}
+        bshare = {k: v / total for k, v in b.items()}
+        assert bshare["sw"] > share["sw"] and bshare["en"] < share["en"]
+
+    def test_isqrt_equals_floor_sqrt_below_2_53(self):
+        # the engine-exactness claim the strict SQL twin relies on
+        import math
+        import random
+
+        rng = random.Random(7)
+        for _ in range(20000):
+            x = rng.randrange(0, 1 << 53)
+            assert math.isqrt(x) == int(math.floor(math.sqrt(x))), x
+
+    def test_audit_selection_and_boundary(self, spark):
+        from data_quality_spark.operators.sampling import temperature_audit
+
+        rows = [(i, ["hi", "lo"][i % 2 == 0 and i < 10], 100)
+                for i in range(100)]
+        # 95 docs in 'hi' (9500 chars), 5 in 'lo' (500 chars)
+        rows = [(i, "hi" if i >= 5 else "lo", 100) for i in range(100)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, lang string, n_chars long")
+        audit = {r["stratum"]: r for r in temperature_audit(
+            df, "n_chars", 9000, "lang", "doc_id", seed=3, portable=True
+        ).collect()}
+        hi, lo = audit["hi"], audit["lo"]
+        # every stratum present; lo exhausts its data (budget > avail,
+        # sqrt-upweighted: 500/10000 of the corpus gets ~19% of budget)
+        assert lo["avail_weight"] == 500
+        assert lo["budget"] > 500 and not lo["filled"]
+        assert lo["sel_weight"] == 500 and lo["n_sel"] == 5
+        # hi fills: selected weight >= budget, overshoot < one row
+        assert hi["filled"]
+        assert hi["budget"] <= hi["sel_weight"] < hi["budget"] + 100
+        # invariance under repartitioning
+        again = {r["stratum"]: r for r in temperature_audit(
+            df.repartition(7), "n_chars", 9000, "lang", "doc_id",
+            seed=3, portable=True).collect()}
+        assert {k: tuple(v) for k, v in audit.items()} == {
+            k: tuple(v) for k, v in again.items()}
