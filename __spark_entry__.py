@@ -1288,6 +1288,25 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim", "grp")
 
 
+def q_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-language length-outlier audit: exact integer
+    median/MAD fence (|x−med|·den > num·MAD, lower medians at position
+    (n+1) div 2 in (value, id) order — no float ever decides).  Every
+    97th doc's length is inflated 50× in-query so the flagged class is
+    non-empty and provable.  Strict DuckDB twin replays the identical
+    two-window law."""
+    from data_quality_spark.operators.outliers import robust_outlier_audit
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_chars",
+        F.when(F.col("doc_id") % 97 == 0, F.col("n_chars") * 50)
+        .otherwise(F.col("n_chars")),
+    )
+    return robust_outlier_audit(
+        docs, "n_chars", by=["lang"], id_col="doc_id", k_num=5, k_den=1
+    ).orderBy("lang")
+
+
 def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature sampling (mT5/XLM-R alpha=0.5) executed and audited:
     per-language char budgets ∝ sqrt(corpus chars) — low-resource
@@ -4463,6 +4482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_incremental": q_lsh_incremental,
         "source_dup_matrix": q_source_dup_matrix,
         "temperature_mixture": q_temperature_mixture,
+        "length_outliers": q_length_outliers,
         "audio_channel": q_audio_channel,
         "audio_voice": q_audio_voice,
         "audio_identity_split": q_audio_identity_split,
@@ -6637,6 +6657,45 @@ SELECT b.stratum, b.avail_weight, b.q, b.budget,
   coalesce(g.sel_weight, 0) >= b.budget AS filled
 FROM b LEFT JOIN g ON b.stratum = g.stratum
 ORDER BY b.stratum""",
+        "length_outliers": """
+WITH t AS (
+  SELECT doc_id, lang,
+    CASE WHEN doc_id % 97 = 0 THEN n_chars * 50 ELSE n_chars END AS v
+  FROM documents
+), tot AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+  FROM t GROUP BY lang
+), r1 AS (
+  SELECT lang, v, doc_id,
+    row_number() OVER (PARTITION BY lang ORDER BY v, doc_id) AS rn,
+    count(*) OVER (PARTITION BY lang) AS nn
+  FROM t WHERE v IS NOT NULL
+), med AS (
+  SELECT lang, v AS med FROM r1 WHERE rn = (nn + 1) // 2
+), d AS (
+  SELECT t.lang, t.v, t.doc_id, abs(t.v - med.med) AS dev, med.med
+  FROM t JOIN med USING (lang) WHERE t.v IS NOT NULL
+), r2 AS (
+  SELECT lang, dev, doc_id,
+    row_number() OVER (PARTITION BY lang ORDER BY dev, doc_id) AS rn,
+    count(*) OVER (PARTITION BY lang) AS nn
+  FROM d
+), mad AS (
+  SELECT lang, dev AS mad FROM r2 WHERE rn = (nn + 1) // 2
+), f AS (
+  SELECT d.lang, d.dev, d.med, mad.mad,
+    (d.dev * 1 > 5 * mad.mad) AS is_outlier
+  FROM d JOIN mad USING (lang)
+), g AS (
+  SELECT lang, max(med) AS med, max(mad) AS mad,
+    CAST(sum(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_outliers,
+    CAST(max(CASE WHEN is_outlier THEN dev END) AS BIGINT) AS worst
+  FROM f GROUP BY lang
+)
+SELECT tot.lang, tot.n, tot.n_null, g.med, g.mad, g.n_outliers, g.worst
+FROM tot JOIN g USING (lang) ORDER BY tot.lang""",
         "audio_channel": _expected_sql("audio_channel"),
         "audio_voice": _expected_sql("audio_voice"),
         "audio_identity_split": _expected_sql("audio_identity_split"),
