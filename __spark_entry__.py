@@ -3546,6 +3546,22 @@ def q_audio_mel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+def q_crop_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch crop scheduling (wav2vec-style training
+    windows): start offsets a pure function of (clip, epoch, crop,
+    seed) via the xxhash64 chain + pmod — reproducible under any
+    partitioning, retry, or resume; short/undecodable clips emit
+    nothing.  Metadata-only (no payload read).  Twin: xxh64_fold chain
+    + pmod replay per (clip, crop)."""
+    from data_quality_spark.operators.crops import crop_schedule
+
+    ensure_expected("crop_schedule", sf_dir)
+    clips = _clips_df(spark, 300, 42)
+    return crop_schedule(
+        clips, win_ms=500, crops_per_clip=2, epoch=0, seed=13
+    ).orderBy("clip_id", "crop_idx")
+
+
 def q_mel_cmvn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus CMVN statistics over the stored mel-feature table: per
     mel band, mean/std for trainer-side feature normalization —
@@ -4483,6 +4499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_dup_matrix": q_source_dup_matrix,
         "temperature_mixture": q_temperature_mixture,
         "length_outliers": q_length_outliers,
+        "crop_schedule": q_crop_schedule,
         "audio_channel": q_audio_channel,
         "audio_voice": q_audio_voice,
         "audio_identity_split": q_audio_identity_split,
@@ -6603,6 +6620,7 @@ FROM ranked WHERE rnk <= 3""",
         "gate_consistency": _expected_sql("gate_consistency"),
         "duration_batches": _expected_sql("duration_batches"),
         "mel_cmvn": _expected_sql("mel_cmvn"),
+        "crop_schedule": _expected_sql("crop_schedule"),
         "mel_cmvn_apply": _expected_sql("mel_cmvn_apply"),
         "voice_triplets": _expected_sql("voice_triplets"),
         "lsh_incremental": _expected_sql("lsh_incremental"),

@@ -1463,6 +1463,38 @@ def _mel_cmvn_expected(n=300, seed=42) -> dict:
     return out
 
 
+def _crop_schedule_expected(
+    n=300, seed=42, win_ms=500, crops=2, epoch=0, crop_seed=13
+) -> dict:
+    """Twin of ``crops.crop_schedule``: the xxhash64 chain (string →
+    int → int → int via xxh64_fold, Spark's multi-arg law) and the
+    pmod offset replayed per (clip, crop)."""
+    from .functions.xxh64 import xxh64_fold
+    from .synth import generate_clips
+
+    pdf = generate_clips(n, seed=seed)
+    out = {"clip_id": [], "epoch": [], "crop_idx": [], "start_ms": [],
+           "win_ms": []}
+    for _, r in pdf.sort_values("clip_id").iterrows():
+        d = r["dur_ms"]
+        if d is None or (isinstance(d, float) and math.isnan(d)):
+            continue
+        d = int(d)
+        if d < win_ms:
+            continue
+        for j in range(crops):
+            h = xxh64_fold(
+                [r["clip_id"], ("int", epoch), ("int", j),
+                 ("int", crop_seed)]
+            )
+            out["clip_id"].append(r["clip_id"])
+            out["epoch"].append(epoch)
+            out["crop_idx"].append(j)
+            out["start_ms"].append(h % (d - win_ms + 1))
+            out["win_ms"].append(win_ms)
+    return out
+
+
 def _mel_cmvn_apply_expected(n=300, seed=42) -> dict:
     """Twin of ``apply_cmvn`` at PAYLOAD grade: the corpus constants
     come from the cmvn twin (same rounded published values the Spark
@@ -6680,6 +6712,11 @@ _SCHEMAS: dict[str, pa.Schema] = {
          ("pos_dist2_r", pa.float64()), ("negative", pa.string()),
          ("neg_dist2_r", pa.float64()), ("margin_r", pa.float64())]
     ),
+    "crop_schedule": pa.schema(
+        [("clip_id", pa.string()), ("epoch", pa.int32()),
+         ("crop_idx", pa.int32()), ("start_ms", pa.int64()),
+         ("win_ms", pa.int64())]
+    ),
     "mel_cmvn_apply": pa.schema(
         [("clip_id", pa.string()), ("n_frames", pa.int32()),
          ("n_bytes", pa.int32()), ("feat_h", pa.int64())]
@@ -7700,6 +7737,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _mel_cmvn_expected()
     elif name == "mel_cmvn_apply":
         data = _mel_cmvn_apply_expected()
+    elif name == "crop_schedule":
+        data = _crop_schedule_expected()
     elif name == "voice_triplets":
         data = _voice_triplets_expected()
     elif name == "audio_channel":
