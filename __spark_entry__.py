@@ -5251,7 +5251,7 @@ def _corpus_datacard_oracle() -> str:
         carry=("lang", "source"),
         extra_t=(
             ", length(coalesce(text, '')) AS nchars"
-            ", md5(coalesce(text, '')) AS m5"
+            ", md5(text) AS m5"
             ", CASE WHEN text IS NULL OR length(trim(text)) = 0"
             "  THEN 1 ELSE 0 END AS emp"
         ),
@@ -5263,7 +5263,11 @@ SELECT
   CASE WHEN GROUPING(lang) = 0 THEN 'lang'
        WHEN GROUPING(source) = 0 THEN 'source'
        ELSE 'corpus' END AS dim,
-  coalesce(CAST(lang AS VARCHAR), CAST(source AS VARCHAR), 'all') AS grp,
+  CASE WHEN GROUPING(lang) = 0
+         THEN coalesce(CAST(lang AS VARCHAR), '(null)')
+       WHEN GROUPING(source) = 0
+         THEN coalesce(CAST(source AS VARCHAR), '(null)')
+       ELSE 'all' END AS grp,
   CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(nchars) AS BIGINT) AS n_chars,
   CAST(sum(nt) AS BIGINT) AS n_tokens,

@@ -169,15 +169,24 @@ def apply_cmvn(mel_df: DataFrame, stats: DataFrame) -> DataFrame:
         import numpy as np
         import pyarrow as pa
 
+        # constants per n_mels, built once (n_mels is uniform in
+        # practice — the row loop must stay two vectorized ops per row)
+        const_cache: dict[int, tuple] = {}
+
+        def consts(nm: int):
+            if nm not in const_cache:
+                mu = np.array([means.get(b, 0.0) for b in range(nm)])
+                sd = np.array([stds.get(b, 0.0) for b in range(nm)])
+                const_cache[nm] = (mu, np.where(sd > 0.0, sd, 1.0))
+            return const_cache[nm]
+
         for batch in batches:
             nm_col = batch.column(col_idx["n_mels"])
             feat_col = batch.column(col_idx["feat"])
             feats = []
             for i in range(batch.num_rows):
                 nm = nm_col[i].as_py()
-                mu = np.array([means.get(b, 0.0) for b in range(nm)])
-                sd = np.array([stds.get(b, 0.0) for b in range(nm)])
-                sd = np.where(sd > 0.0, sd, 1.0)
+                mu, sd = consts(nm)
                 buf = feat_col[i].as_py()
                 x = np.frombuffer(buf, dtype="<f8") if buf else \
                     np.zeros(0, dtype=np.float64)

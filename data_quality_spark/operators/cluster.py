@@ -217,7 +217,10 @@ def decision_consistency(
     ``first_drop`` are the smallest member ids on each side (NULL when
     that side is empty) — the reviewer's entry point, and boundary
     pins for the differential oracle.  Members absent from ``decided``
-    (undecided rows) count in ``cluster_size`` but not ``n_decided``.
+    (undecided rows) count in ``cluster_size`` but not ``n_decided``;
+    a cluster with NO decided member still appears (n_decided = 0,
+    mixed false) — vanishing rows would make the report irreconcilable
+    against ``cluster_members``.
 
     Engine shape: one id-keyed join (members is node-level, decisions
     are row-level — both shuffle on the id, never on payloads) + ONE
@@ -233,13 +236,15 @@ def decision_consistency(
         F.col(id_col).alias("node"),
         F.col(decision_col).alias("__dec"),
     )
-    joined = members.join(dec, "node")
+    joined = members.join(dec, "node", "left")
     is_keep = F.col("__dec") == keep_value
     return joined.groupBy("component").agg(
         F.first("cluster_size").cast("long").alias("cluster_size"),
-        F.count(F.lit(1)).cast("long").alias("n_decided"),
-        F.sum(is_keep.cast("long")).cast("long").alias("n_keep"),
-        F.sum((~is_keep).cast("long")).cast("long").alias("n_drop"),
+        F.count(F.col("__dec")).cast("long").alias("n_decided"),
+        F.coalesce(F.sum(is_keep.cast("long")), F.lit(0)).cast("long")
+        .alias("n_keep"),
+        F.coalesce(F.sum((~is_keep).cast("long")), F.lit(0)).cast("long")
+        .alias("n_drop"),
         (F.min(F.when(is_keep, F.col("node"))).isNotNull()
          & F.min(F.when(~is_keep, F.col("node"))).isNotNull())
         .alias("mixed"),

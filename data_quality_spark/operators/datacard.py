@@ -64,7 +64,7 @@ def data_card(
         token_count_col(text).cast("long").alias("__toks"),
         (text.isNull() | (F.length(F.trim(text)) == 0)).cast("long")
         .alias("__empty"),
-        F.md5(F.coalesce(text, F.lit(""))).alias("__md5"),
+        F.md5(text).alias("__md5"),  # NULL text -> NULL fp, not counted
         F.col("gopher_pass").cast("long").alias("__pass"),
     )
     uniq = (F.count_distinct(F.col("__md5")) if exact_unique
@@ -86,10 +86,16 @@ def data_card(
         .when(F.col("__gid") == 2, F.lit("source"))
         .otherwise(F.lit("corpus"))
     )
-    grp = F.coalesce(
-        F.col("lang").cast("string"),
-        F.col("source").cast("string"),
-        F.lit("all"),
+    # group label by the grouping id, NOT by which column is non-NULL —
+    # a NULL-valued lang/source group keeps its own '(null)' row instead
+    # of colliding with the corpus 'all' row
+    grp = (
+        F.when(F.col("__gid") == 1,
+               F.coalesce(F.col("lang").cast("string"), F.lit("(null)")))
+        .when(F.col("__gid") == 2,
+              F.coalesce(F.col("source").cast("string"),
+                         F.lit("(null)")))
+        .otherwise(F.lit("all"))
     )
     return agg.select(
         dim.alias("dim"), grp.alias("grp"), "n_docs", "n_chars",

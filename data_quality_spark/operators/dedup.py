@@ -204,6 +204,30 @@ def minhash_signatures(
     )
 
 
+def _band_key_explode(bands: int, rows_per_band: int):
+    """ONE definition of the LSH banding key (xxhash64 over each
+    signature slice), shared by the batch candidate stage and the
+    incremental index probe — their tested equivalence depends on the
+    key being literally the same expression."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        F.slice(
+                            F.col("__sig"),
+                            b * rows_per_band + 1,
+                            rows_per_band,
+                        )
+                    ).alias("bh"),
+                )
+                for b in range(bands)
+            ]
+        )
+    )
+
+
 def _banded_candidates(
     keyed: DataFrame, bands: int, rows_per_band: int, max_bucket_size: int
 ) -> DataFrame:
@@ -214,23 +238,7 @@ def _banded_candidates(
     relation several ways)."""
     band_entries = keyed.select(
         "__id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.slice(
-                                F.col("__sig"),
-                                b * rows_per_band + 1,
-                                rows_per_band,
-                            )
-                        ).alias("bh"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("e"),
+        _band_key_explode(bands, rows_per_band).alias("e"),
     ).select("__id", "e.band", "e.bh")
     small_buckets = (
         band_entries.groupBy("band", "bh")
@@ -647,18 +655,7 @@ def lsh_probe_index(
         return sig_rel.select(
             F.col("__id").alias(side),
             F.col("__sig").alias(f"__sig_{side}"),
-            F.explode(
-                F.array(*[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.slice(F.col("__sig"),
-                                    b * rows_per_band + 1, rows_per_band)
-                        ).alias("bh"),
-                    )
-                    for b in range(bands)
-                ])
-            ).alias("e"),
+            _band_key_explode(bands, rows_per_band).alias("e"),
         ).select(side, f"__sig_{side}", "e.band", "e.bh")
 
     idx = index_df.select(

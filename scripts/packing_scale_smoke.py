@@ -75,7 +75,7 @@ def main() -> None:
     bman = batch_manifest(
         batch_by_length(docs, "ntok", BATCH, id_col="doc_id",
                         bucket_width=64),
-        "ntok",
+        "ntok", id_col="doc_id",
     ).persist()
     bagg = bman.agg(
         F.sum("n_items").alias("n"),

@@ -316,3 +316,20 @@ class TestDecisionConsistency:
         assert (c1["cluster_size"], c1["n_decided"]) == (3, 2)
         assert (c1["n_keep"], c1["mixed"]) == (0, False)
         assert c1["first_keep"] is None and c1["first_drop"] == "a"
+
+    def test_fully_undecided_cluster_still_reported(self, spark):
+        from data_quality_spark.operators.cluster import decision_consistency
+
+        # c9's members never reached the gate: the cluster must appear
+        # (n_decided 0, nothing mixed) — the report stays reconcilable
+        # against cluster_members
+        decided = spark.createDataFrame(
+            [("a", "keep"), ("b", "drop"), ("c", "drop")],
+            "clip_id string, decision string")
+        out = {r["component"]: r for r in decision_consistency(
+            self._members(spark), decided).collect()}
+        assert set(out) == {"c1", "c9"}
+        c9 = out["c9"]
+        assert (c9["cluster_size"], c9["n_decided"]) == (2, 0)
+        assert (c9["n_keep"], c9["n_drop"], c9["mixed"]) == (0, 0, False)
+        assert c9["first_keep"] is None and c9["first_drop"] is None

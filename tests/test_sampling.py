@@ -362,3 +362,22 @@ class TestTemperatureMixture:
             seed=3, portable=True).collect()}
         assert {k: tuple(v) for k, v in audit.items()} == {
             k: tuple(v) for k, v in again.items()}
+
+
+def test_temperature_audit_null_stratum(spark):
+    """Regression: NULL strata are their own stratum (sentinel-
+    normalized internally), reported back as NULL — not a crash, not a
+    silent drop."""
+    from data_quality_spark.operators.sampling import temperature_audit
+
+    rows = [(i, "en" if i < 20 else None, 50) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    audit = {r["stratum"]: r for r in temperature_audit(
+        df, "n_chars", 800, "lang", "doc_id", seed=2, portable=True
+    ).collect()}
+    assert set(audit) == {"en", None}
+    null_row = audit[None]
+    assert null_row["avail_weight"] == 500
+    assert null_row["n_sel"] > 0  # NULL-stratum rows are selectable
+    total_sel = sum(r["sel_weight"] for r in audit.values())
+    assert total_sel >= 800 - 100  # budgets filled modulo flooring

@@ -354,3 +354,24 @@ class TestBatchByLength:
             batch_by_length(df, "sz", 0)
         with pytest.raises(ValueError):
             batch_by_length(df, "sz", 4, bucket_width=0)
+
+
+def test_non_string_strata_offsets(spark):
+    """Regression: a BooleanType stratum must use Spark's own string
+    rendering for the driver offset keys (str(True) != 'true' would
+    silently zero every bucket offset)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame({
+        "doc_id": range(300),
+        "flag": [bool(i % 2) for i in range(300)],
+        "sz": rng.integers(1, 500, size=300).astype("int64"),
+    })
+    df = spark.createDataFrame(pdf)
+    got = shard_assign(df, "sz", 3000, strata=["flag"], id_col="doc_id",
+                       seed=3, portable=True, bucket_chars=1)
+    g = got.select("doc_id", "shard_id").toPandas().set_index("doc_id")
+    want = _naive_shards(pdf.assign(lang=pdf["flag"]), 3000, ["flag"], 3)
+    for did, sid in want.items():
+        assert g["shard_id"][did] == sid, did
