@@ -43,7 +43,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["CMVN_SCALE", "cmvn_partials", "cmvn_stats", "apply_cmvn"]
+__all__ = [
+    "CMVN_SCALE",
+    "cmvn_partials",
+    "cmvn_moments",
+    "merge_cmvn_moments",
+    "stats_from_moments",
+    "cmvn_stats",
+    "apply_cmvn",
+]
 
 CMVN_SCALE = 1 << 16  # fixed-point quantum: round(x * 2^16) per mel cell
 
@@ -97,6 +105,43 @@ def cmvn_partials(mel_df: DataFrame) -> DataFrame:
     return mel_df.mapInArrow(run, out_schema)
 
 
+def cmvn_moments(mel_df: DataFrame) -> DataFrame:
+    """(band, n_clips, n_frames, s, s2) — the exact DECIMAL(38,0)
+    corpus moments per band.  This is the relation an INCREMENTAL stats
+    job stores: integer sums are associative, so moments from corpus
+    increments merge EXACTLY (``merge_cmvn_moments``) — growing the
+    corpus never re-reads yesterday's features."""
+    parts = cmvn_partials(mel_df)
+    dec = "decimal(38,0)"
+    ex = parts.select(
+        "n_frames",
+        F.posexplode(F.arrays_zip("sum_q", "sum_q2")).alias("band", "z"),
+    )
+    return ex.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clips"),
+        F.sum("n_frames").cast("long").alias("n_frames"),
+        F.sum(F.col("z.sum_q").cast(dec)).alias("s"),
+        F.sum(F.col("z.sum_q2").cast(dec)).alias("s2"),
+    )
+
+
+def merge_cmvn_moments(*moments: DataFrame) -> DataFrame:
+    """Exact union of moment relations (corpus increments → the full
+    corpus's moments, bit-identical to a single-pass computation —
+    tested)."""
+    if not moments:
+        raise ValueError("need at least one moments relation")
+    out = moments[0]
+    for m in moments[1:]:
+        out = out.unionByName(m)
+    return out.groupBy("band").agg(
+        F.sum("n_clips").cast("long").alias("n_clips"),
+        F.sum("n_frames").cast("long").alias("n_frames"),
+        F.sum("s").cast("decimal(38,0)").alias("s"),
+        F.sum("s2").cast("decimal(38,0)").alias("s2"),
+    )
+
+
 def cmvn_stats(mel_df: DataFrame, decimals: int = 6) -> DataFrame:
     """(band, n_clips, n_frames, mean_r, std_r) — corpus CMVN statistics
     per mel band, bit-deterministic under any partitioning.
@@ -111,17 +156,16 @@ def cmvn_stats(mel_df: DataFrame, decimals: int = 6) -> DataFrame:
     — which the differential oracle replays operation-for-operation, so
     the rounded stats hash identically.  Clips with zero frames count
     in ``n_clips`` but contribute nothing else."""
-    parts = cmvn_partials(mel_df)
-    dec = "decimal(38,0)"
-    ex = parts.select(
-        "n_frames",
-        F.posexplode(F.arrays_zip("sum_q", "sum_q2")).alias("band", "z"),
-    )
-    agg = ex.groupBy("band").agg(
-        F.count(F.lit(1)).cast("long").alias("n_clips"),
-        F.sum("n_frames").cast("long").alias("n_frames"),
-        F.sum(F.col("z.sum_q").cast(dec)).alias("__s"),
-        F.sum(F.col("z.sum_q2").cast(dec)).alias("__s2"),
+    return stats_from_moments(cmvn_moments(mel_df), decimals)
+
+
+def stats_from_moments(moments: DataFrame,
+                       decimals: int = 6) -> DataFrame:
+    """The fixed scalar float tree over a (merged) moments relation —
+    see :func:`cmvn_stats` for the law."""
+    agg = moments.select(
+        "band", "n_clips", "n_frames",
+        F.col("s").alias("__s"), F.col("s2").alias("__s2"),
     )
     n = F.col("n_frames").cast("double")
     mean = (F.col("__s").cast("double") / F.lit(float(CMVN_SCALE))) / n

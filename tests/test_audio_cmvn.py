@@ -121,3 +121,25 @@ def test_apply_cmvn_byte_deterministic_and_shape_preserving(spark, mel_df):
         "clip_id", F.length("feat").alias("nb")).collect()}
     for cid, (_, nb) in da.items():
         assert nb == orig[cid]
+
+
+def test_moments_merge_exactly(spark, mel_df):
+    """Incremental law: moments from disjoint increments merged ==
+    single-pass moments, and the derived stats are bit-identical."""
+    from data_quality_spark.operators.audio_cmvn import (
+        cmvn_moments,
+        merge_cmvn_moments,
+        stats_from_moments,
+    )
+
+    a = cmvn_moments(mel_df.filter("pmod(xxhash64(clip_id), 2) = 0"))
+    b = cmvn_moments(mel_df.filter("pmod(xxhash64(clip_id), 2) = 1"))
+    merged = merge_cmvn_moments(a, b)
+    full = cmvn_moments(mel_df)
+    key = lambda rows: sorted(  # noqa: E731
+        (r["band"], r["n_clips"], r["n_frames"], str(r["s"]), str(r["s2"]))
+        for r in rows)
+    assert key(merged.collect()) == key(full.collect())
+    s1 = stats_from_moments(merged, decimals=12).orderBy("band").collect()
+    s2 = stats_from_moments(full, decimals=12).orderBy("band").collect()
+    assert [tuple(r) for r in s1] == [tuple(r) for r in s2]
