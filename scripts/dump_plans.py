@@ -656,11 +656,13 @@ def main() -> None:
         "— naively `SUM() OVER (ORDER BY hash)`, one task, dead at "
         "10^12 rows. The plan must show the decomposition instead: a "
         "tiny per-(stratum, bucket) HashAggregate (the driver-collected "
-        "offsets relation), then Window nodes whose partition spec "
-        "includes the BUCKET column — i.e. every Sort/Window runs "
-        "per-bucket, and NO window has an empty partition spec "
-        "(`SinglePartition` never appears). The per-doc explode is "
-        "bounded by ceil(tokens/L)+1.",
+        "offsets), a BroadcastHashJoin shipping those offsets back (a "
+        "real hash probe — a create_map literal is scanned O(|map|) "
+        "PER ROW; measured 35x the whole job at 4096 buckets before "
+        "the fix), then Window nodes whose partition spec includes the "
+        "BUCKET column — every Sort/Window runs per-bucket, and NO "
+        "window has an empty partition spec (`SinglePartition` never "
+        "appears). The per-doc explode is bounded by ceil(tokens/L)+1.",
         e.q_sequence_packing(spark, sf),
     ))
     sections.append((
