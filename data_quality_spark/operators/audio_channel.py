@@ -39,7 +39,7 @@ from .cluster import cluster_members
 
 __all__ = [
     "clip_channel_profile", "bucket_candidate_pairs",
-    "bucket_verified_pairs", "channel_pairs",
+    "bucket_verified_pairs", "hot_buckets", "channel_pairs",
     "channel_clusters",
 ]
 
@@ -132,7 +132,10 @@ def bucket_candidate_pairs(keyed: DataFrame, max_bucket: int) -> DataFrame:
     (clip_id, prof, grid, cell, family).  Buckets = (grid, cell,
     family); buckets larger than ``max_bucket`` are skipped (skew guard
     — at web scale a mega-bucket means a degenerate family, worth its
-    own report, not an O(n²) join)."""
+    own report, not an O(n²) join).  THAT REPORT IS ``hot_buckets``:
+    run it alongside any clustering/audit job — a non-empty report
+    means whole identity families were excluded from pairing and a
+    downstream "zero leakage" audit is conditional on it."""
     sizes = keyed.groupBy("grid", "cell", "family").agg(
         F.count(F.lit(1)).alias("__bn")
     )
@@ -157,6 +160,20 @@ def bucket_candidate_pairs(keyed: DataFrame, max_bucket: int) -> DataFrame:
     return cand.select(
         "id_a", "id_b",
         _dist2_col(F.col("pa"), F.col("pb")).alias("dist2"),
+    )
+
+
+def hot_buckets(keyed: DataFrame, max_bucket: int) -> DataFrame:
+    """(grid, cell, family, n_members): the buckets the skew guard
+    SKIPPED — the report the guard's docstring promises.  Empty on a
+    healthy corpus; a populated row names a degenerate family
+    (hold-music tones, one mega-room) whose members were never paired,
+    so any audit built on the pair graph is silent about them.  One
+    aggregate over the key relation."""
+    return (
+        keyed.groupBy("grid", "cell", "family")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .where(F.col("n_members") > max_bucket)
     )
 
 

@@ -32,7 +32,7 @@ from pyspark.sql import types as T
 from .audio_channel import channel_pairs
 from .audio_dedup import fingerprint_near_dup
 from .audio_voice import voice_pairs
-from .cluster import cluster_members, split_by_cluster
+from .cluster import cluster_members
 
 __all__ = [
     "identity_features", "identity_pairs", "identity_split",
@@ -184,9 +184,11 @@ def identity_split(
     persisted before the three pair consumers (``counter`` is the
     execute-once accumulator hook the decode-once test asserts on)."""
     feat = identity_features(df, counter=counter).persist()
-    return split_from_features(
+    out = split_from_features(
         feat, val_frac=val_frac, seed=seed, max_bucket=max_bucket
-    )
+    ).localCheckpoint(eager=True)  # materialize, then release the cache
+    feat.unpersist()
+    return out
 
 
 def split_from_features(
@@ -200,25 +202,36 @@ def split_from_features(
     tables ``runner.run_identity_pipeline`` wrote, so a split re-run (a
     different val_frac or seed) costs ZERO decode at 10^12 clips; only
     key cells, profiles, and (id, component) rows move."""
+    from .sampling import fraction_threshold_hex, sample_order_col
+
     pairs = identity_pairs(feat, max_bucket=max_bucket).select(
         "id_a", "id_b"
     ).dropDuplicates(["id_a", "id_b"])
+    # ONE star-rounds closure: cluster_members gives (component, size),
+    # and the md5 split law is applied to its representative directly —
+    # running split_by_cluster too would re-execute the closure AND the
+    # whole unpersisted pair DAG a second time (found by review)
     members = cluster_members(pairs, "id_a", "id_b").withColumnRenamed(
         "node", "clip_id"
     )
-    assigned = split_by_cluster(
-        feat.select("clip_id"), "clip_id", pairs,
-        val_frac=val_frac, seed=seed,
+    thresh = fraction_threshold_hex(val_frac)
+    rep = F.coalesce(
+        F.col("component").cast("string"), F.col("clip_id").cast("string")
     )
     return (
-        assigned.join(members, "clip_id", "left")
+        feat.select("clip_id")
+        .join(members, "clip_id", "left")
         .select(
             "clip_id",
             F.coalesce(F.col("component"), F.col("clip_id"))
             .alias("component"),
             F.coalesce(F.col("cluster_size"), F.lit(1))
             .cast("long").alias("cluster_size"),
-            "split",
+            F.when(
+                sample_order_col(rep, seed, portable=True)
+                < F.lit(thresh),
+                F.lit("val"),
+            ).otherwise(F.lit("train")).alias("split"),
         )
         .orderBy("clip_id")
     )
@@ -241,6 +254,15 @@ def split_leakage_audit(
     3-row aggregate.
     """
     feat = identity_features(df, carry_cols=(split_col,)).persist()
+    out = _leakage_report(feat, split_col, max_bucket).localCheckpoint(
+        eager=True)  # 4 tiny rows; release the ~1 KB/clip feature cache
+    feat.unpersist()
+    return out
+
+
+def _leakage_report(
+    feat: DataFrame, split_col: str, max_bucket: int
+) -> DataFrame:
     pairs = identity_pairs(feat, max_bucket=max_bucket)
     splits = feat.select("clip_id", F.col(split_col).alias("__sp"))
     tagged = (
@@ -293,7 +315,10 @@ def split_drift(old: DataFrame, new: DataFrame) -> DataFrame:
     - ``moved``: the clip's component merged with one whose
       representative wins the min, and the new representative hashes to
       the other side;
-    - ``added``: not present in the old assignment.
+    - ``added``: not present in the old assignment;
+    - ``removed``: present only in the old assignment (corpus shrinkage,
+      a gate change, a decode regression) — the join is FULL OUTER so a
+      re-split that dropped clips cannot audit as all-stable.
 
     One join on clip_id; both inputs are ``identity_split`` /
     ``split_from_features`` outputs (at scale: run both halves from the
@@ -309,10 +334,11 @@ def split_drift(old: DataFrame, new: DataFrame) -> DataFrame:
         F.col("component").alias("new_component"),
     )
     return (
-        n.join(o, "clip_id", "left")
+        n.join(o, "clip_id", "full_outer")
         .select(
             "clip_id",
-            F.when(F.col("old_split").isNull(), F.lit("added"))
+            F.when(F.col("new_split").isNull(), F.lit("removed"))
+            .when(F.col("old_split").isNull(), F.lit("added"))
             .when(F.col("old_split") != F.col("new_split"),
                   F.lit("moved"))
             .otherwise(F.lit("stable")).alias("status"),

@@ -182,10 +182,14 @@ def fit_quality_weights(
     ``label_col`` on a bounded deterministic sample.  The sample is the
     ``sample_n`` smallest (xxhash64(id), id) rows — a uniform pseudo-random
     slice Spark executes as TakeOrderedAndProject (per-partition partial
-    top-k; the corpus never shuffles, the driver sees ``sample_n`` rows)."""
+    top-k; the corpus never shuffles, the driver sees ``sample_n`` rows).
+    NULL-labeled rows are excluded before sampling — a weak-supervision
+    label derived from nullable columns can be NULL, and the trainer
+    needs a decided row."""
     feats = quality_features(text_col)
     sample = (
-        docs.select(
+        docs.where(F.col(label_col).isNotNull())
+        .select(
             F.col(id_col).alias("__id"),
             F.col(label_col).cast("int").alias("__y"),
             *[c.alias(n) for n, c in feats.items()],
@@ -218,9 +222,13 @@ def classifier_report(
     """(metric, value) relation: the learned weights plus the confusion
     of the classifier's sign test against ``label_col`` over the FULL
     corpus — one fused aggregate, one scan.  Counts are exact integers;
-    weights are the bit-exact training output."""
+    weights are the bit-exact training output.  NULL-labeled rows are
+    excluded up front so the four confusion cells always sum to ``n``
+    (a NULL label would silently vanish from the cells but not the
+    count)."""
     spark = docs.sparkSession
-    scored = score_with_weights(docs, weights, text_col)
+    scored = score_with_weights(
+        docs.where(F.col(label_col).isNotNull()), weights, text_col)
     y = F.col(label_col).cast("boolean")
     pred = F.col("clf_keep")
     cnt = lambda c: F.sum(c.cast("int")).cast("double")  # noqa: E731
@@ -357,10 +365,15 @@ def bucket_by_cutoffs(
     arithmetic, no sort, no shuffle (the cutoff table is a when-chain of
     literals; at higher group cardinality, a broadcast join).  Bucket
     boundaries are approximate where the sketch is; interior documents
-    land exactly as the ntile path would."""
+    land exactly as the ntile path would.
+
+    A group ABSENT from ``cutoffs`` (a language that appeared after
+    ``learn_cutoffs`` ran) — or a NULL group — gets bucket_idx NULL /
+    bucket 'unknown': an unvetted group must surface for re-learning,
+    never silently land in 'head' as top-quality data."""
     n_buckets = len(next(iter(cutoffs.values()))) + 1 if cutoffs else 1
     scored = quality_score(docs, text_col=text_col)
-    idx: Column = F.lit(1)
+    idx: Column = F.lit(None).cast("int")
     for grp, bounds in sorted(cutoffs.items()):
         below = sum(
             (F.col("q_score") < F.lit(float(b))).cast("int") for b in bounds
@@ -368,7 +381,8 @@ def bucket_by_cutoffs(
         idx = F.when(F.col(group_col) == grp, 1 + below).otherwise(idx)
     return scored.withColumn("bucket_idx", idx.cast("int")).withColumn(
         "bucket",
-        F.when(F.col("bucket_idx") == 1, F.lit("head"))
+        F.when(F.col("bucket_idx").isNull(), F.lit("unknown"))
+        .when(F.col("bucket_idx") == 1, F.lit("head"))
         .when(F.col("bucket_idx") == n_buckets, F.lit("tail"))
         .otherwise(F.lit("middle")),
     )

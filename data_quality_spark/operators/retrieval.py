@@ -42,6 +42,7 @@ import math
 
 from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = [
     "bm25_topk", "bm25_idf", "IDF_SCALE", "query_terms",
@@ -140,7 +141,13 @@ def bm25_topk(
     if n_docs == 0:
         matched.unpersist()
         return spark.createDataFrame(
-            [], f"q_id string, rank int, {id_col} long, score_fx long"
+            [],
+            T.StructType([
+                T.StructField("q_id", T.StringType()),
+                T.StructField("rank", T.IntegerType()),
+                T.StructField(id_col, docs.schema[id_col].dataType),
+                T.StructField("score_fx", T.LongType()),
+            ]),
         )
     avgdl = sum_dl / n_docs  # exact IEEE division of int-valued doubles
 
@@ -154,7 +161,13 @@ def bm25_topk(
     if not qrel:
         matched.unpersist()
         return spark.createDataFrame(
-            [], f"q_id string, rank int, {id_col} long, score_fx long"
+            [],
+            T.StructType([
+                T.StructField("q_id", T.StringType()),
+                T.StructField("rank", T.IntegerType()),
+                T.StructField(id_col, docs.schema[id_col].dataType),
+                T.StructField("score_fx", T.LongType()),
+            ]),
         )
     qdf = spark.createDataFrame(qrel, "q_id string, term string, idf_fx long")
 

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from ..operators.audio_identity import identity_features
 from ..plans.schemas import CLIPS_SCHEMA
-from ..sources.io import append_metrics, write_partitioned
+from ..sources.io import METRICS_SCHEMA, write_partitioned
 
 __all__ = ["stream_identity_features"]
 
@@ -73,28 +73,34 @@ def stream_identity_features(
         n = int(vals["clips_in"] or 0)
         ch = int(vals["ch_ok"] or 0)
         vo = int(vals["vo_ok"] or 0)
-        days = ",".join(sorted(vals["days"] or []))
-        append_metrics(
-            spark,
-            output_root,
-            [
-                (f"stream-{batch_id}", "batch", "clips_in", float(n),
-                 f"days={days}"),
-                (f"stream-{batch_id}", "batch", "channel_evidence",
-                 float(ch), f"days={days}"),
-                (f"stream-{batch_id}", "batch", "voice_evidence",
-                 float(vo), f"days={days}"),
-            ],
+        days = ",".join(sorted(d for d in (vals["days"] or []) if d))
+        # metrics follow the SAME idempotent-replay law as the feature
+        # rows: each batch OVERWRITES its own batch_id=N metrics dir, so
+        # a batch replayed after a crash-before-checkpoint-commit cannot
+        # double-count (plain append_metrics would duplicate the rows)
+        mrows = [
+            (f"stream-{batch_id}", "batch", "clips_in", float(n),
+             f"days={days}"),
+            (f"stream-{batch_id}", "batch", "channel_evidence",
+             float(ch), f"days={days}"),
+            (f"stream-{batch_id}", "batch", "voice_evidence",
+             float(vo), f"days={days}"),
+        ]
+        spark.createDataFrame(mrows, METRICS_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(
+            os.path.join(output_root, "metrics", f"batch_id={batch_id}")
         )
         counters["batches"] += 1
         counters["clips_in"] += n
         counters["ch_ok"] += ch
         counters["vo_ok"] += vo
 
-    reader = (
-        spark.readStream.schema(CLIPS_SCHEMA)
-        .option("recursiveFileLookup", "true")
-    )
+    # NO recursiveFileLookup: it disables partition discovery, and the
+    # bronze layout keeps ingest_day ONLY in the directory names — with
+    # the option on, every row read ingest_day=NULL (found by review;
+    # the carried column was silently hive-default-partitioned)
+    reader = spark.readStream.schema(CLIPS_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option(
             "maxFilesPerTrigger", str(max_files_per_trigger)

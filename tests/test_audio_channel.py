@@ -162,3 +162,28 @@ def test_channel_skew_guard(spark):
     pdf = make_audio_channel_corpus(2, 6, seed=42)
     out = channel_clusters(_clips_df(spark, pdf), max_bucket=1).collect()
     assert out == []
+
+
+def test_hot_buckets_report(spark):
+    """The skew guard's skipped buckets are REPORTED, not silent."""
+    from pyspark.sql import functions as F
+
+    from data_quality_spark.operators.audio_channel import (
+        bucket_candidate_pairs,
+        hot_buckets,
+    )
+
+    rows = [(f"c{i:02d}", [0.0] * 4, 0, 7, 1) for i in range(10)]
+    rows += [(f"d{i:02d}", [0.0] * 4, 0, 9, 1) for i in range(3)]
+    keyed = spark.createDataFrame(
+        rows, "clip_id string, prof array<double>, grid int, cell long, "
+        "family int")
+    hot = hot_buckets(keyed, max_bucket=5).collect()
+    assert [(r["grid"], r["cell"], r["family"], r["n_members"])
+            for r in hot] == [(0, 7, 1, 10)]
+    # and the guarded candidate stage indeed skipped exactly that bucket
+    cand = bucket_candidate_pairs(keyed, max_bucket=5)
+    ids = set()
+    for r in cand.collect():
+        ids.add(r["id_a"][0]); ids.add(r["id_b"][0])
+    assert ids == {"d"}

@@ -176,3 +176,21 @@ def test_split_drift_blast_radius(spark):
     assert (moved.old_split, moved.new_split) == ("val", "train")
     assert moved.old_component == "sg00"
     assert moved.new_component == "id03c00"
+
+
+def test_split_drift_reports_removed(spark):
+    """A clip present only in the old assignment surfaces as 'removed'
+    (regression: the left join made deletions invisible)."""
+    from data_quality_spark.operators.audio_identity import split_drift
+
+    old = spark.createDataFrame(
+        [("a", "x", 2, "train"), ("b", "x", 2, "val"),
+         ("gone", "gone", 1, "val")],
+        "clip_id string, component string, cluster_size long, split string")
+    new = spark.createDataFrame(
+        [("a", "x", 2, "train"), ("b", "x", 2, "val"),
+         ("fresh", "fresh", 1, "train")],
+        "clip_id string, component string, cluster_size long, split string")
+    got = {r["clip_id"]: r["status"] for r in split_drift(old, new).collect()}
+    assert got == {"a": "stable", "b": "stable", "gone": "removed",
+                   "fresh": "added"}

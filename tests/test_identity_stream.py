@@ -35,10 +35,23 @@ def test_stream_features_match_batch_and_feed_split(spark, tmp_path):
     assert res["batches"] >= 2  # maxFilesPerTrigger forces several
     assert res["ch_ok"] == res["vo_ok"] == len(pdf) - 2  # mu00/mu01
 
-    feats = spark.read.option("recursiveFileLookup", "true").parquet(
-        os.path.join(out, "identity_stream")
-    )
+    # plain partition discovery: batch_id and ingest_day come from the
+    # directory names (recursiveFileLookup would DROP them — the bug
+    # this test regression-guards on the write side too)
+    feats = spark.read.parquet(os.path.join(out, "identity_stream"))
     assert feats.count() == len(pdf)
+    # the carried partition column must survive the stream read
+    # (regression: recursiveFileLookup nulled every ingest_day)
+    assert feats.filter("ingest_day IS NULL").count() == 0
+    assert set(
+        r["ingest_day"] for r in feats.select("ingest_day").distinct()
+        .collect()
+    ) == set(pdf["ingest_day"].unique())
+    # metrics: one idempotent batch_id dir per batch, three rows each
+    mets = spark.read.parquet(os.path.join(out, "metrics"))
+    assert mets.count() == 3 * res["batches"]
+    assert mets.filter("metric = 'clips_in'").agg(
+        {"value": "sum"}).collect()[0][0] == len(pdf)
     # split over streamed features == direct batch split
     cols = [f.name for f in CLIPS_SCHEMA.fields]
     direct = identity_split(

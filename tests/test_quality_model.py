@@ -310,3 +310,20 @@ class TestTrainedClassifier:
         # prefilter property: keep recall stays high (text features are a
         # subset of the gate's own transcript signals)
         assert rep["tp"] / (rep["tp"] + rep["fn"]) >= 0.95
+
+
+def test_bucket_by_cutoffs_unknown_group_is_unknown(spark):
+    """A group absent from the learned cutoffs (or NULL) must NOT land
+    in 'head' silently (regression)."""
+    from data_quality_spark.operators.quality_model import bucket_by_cutoffs
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog", "en"),
+         (2, "ein neuer unbewerteter text ohne cutoffs", "xx"),
+         (3, "texte sans groupe", None)],
+        "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in bucket_by_cutoffs(
+        docs, {"en": [0.2, 0.8]}).collect()}
+    assert out[1]["bucket"] in ("head", "middle", "tail")
+    assert out[2]["bucket"] == "unknown" and out[2]["bucket_idx"] is None
+    assert out[3]["bucket"] == "unknown"
