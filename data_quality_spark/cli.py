@@ -343,11 +343,16 @@ def build_parser() -> argparse.ArgumentParser:
     )
     pk.add_argument("--tables", required=True)
     pk.add_argument("--table", required=True)
-    pk.add_argument("--mode", choices=["sequences", "shards", "batches"],
+    pk.add_argument("--mode",
+                    choices=["sequences", "shards", "batches", "crops"],
                     default="sequences")
     pk.add_argument("--size", type=int, required=True,
                     help="seq_len (sequences), target bytes (shards), "
-                    "or batch size (batches)")
+                    "batch size (batches), or window ms (crops)")
+    pk.add_argument("--crops", type=int, default=1,
+                    help="crops per clip (crops mode)")
+    pk.add_argument("--epoch", type=int, default=0,
+                    help="epoch number (crops mode)")
     pk.add_argument("--strata", default="",
                     help="comma-separated stratum columns")
     pk.add_argument("--id-col", default="doc_id")
@@ -718,6 +723,23 @@ def main(argv: list[str] | None = None) -> int:
             )
             strata = [s for s in args.strata.split(",") if s]
             size_col = args.size_col
+            if args.mode == "crops":
+                from .operators.crops import crop_schedule
+
+                sched = crop_schedule(
+                    df, win_ms=args.size, crops_per_clip=args.crops,
+                    epoch=args.epoch, seed=args.seed,
+                    id_col=args.id_col, dur_col=size_col or "dur_ms",
+                )
+                if args.output:
+                    sched.write.mode("overwrite").parquet(args.output)
+                    print(f"wrote {args.output}")
+                else:
+                    n = sched.count()
+                    n_clips = sched.select(args.id_col).distinct().count()
+                    print(f"crops: {n} windows over {n_clips} clips "
+                          f"(epoch {args.epoch}, win {args.size} ms)")
+                return 0
             if args.mode == "sequences":
                 if size_col is None:
                     df = df.withColumn(

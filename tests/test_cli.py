@@ -1029,3 +1029,29 @@ def test_cli_pack_modes(spark, tmp_path, capsys, monkeypatch):
     ) == 0
     got = spark.read.parquet(str(out_dir))
     assert got.count() == 80 and "shard_id" in got.columns
+
+
+def test_cli_pack_crops(spark, tmp_path, capsys, monkeypatch):
+    """pack --mode crops: deterministic window schedule written/printed."""
+    import data_quality_spark.cli as cli
+
+    monkeypatch.setattr("pyspark.sql.SparkSession.stop", lambda self: None)
+    tables = tmp_path / "tables"
+    tables.mkdir()
+    spark.createDataFrame(
+        [(f"c{i}", 1000 + 100 * i) for i in range(20)],
+        "clip_id string, dur_ms int",
+    ).write.parquet(str(tables / "clips.parquet"))
+    out_dir = tmp_path / "crops"
+    assert cli.main(
+        ["pack", "--tables", str(tables), "--table", "clips",
+         "--mode", "crops", "--size", "500", "--crops", "3",
+         "--epoch", "2", "--seed", "5", "--id-col", "clip_id",
+         "--output", str(out_dir)]
+    ) == 0
+    got = spark.read.parquet(str(out_dir))
+    assert got.count() == 60
+    joined = got.join(
+        spark.read.parquet(str(tables / "clips.parquet")), "clip_id")
+    assert joined.filter(
+        "start_ms < 0 OR start_ms > dur_ms - win_ms").count() == 0
