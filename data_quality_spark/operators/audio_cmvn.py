@@ -105,19 +105,31 @@ def cmvn_partials(mel_df: DataFrame) -> DataFrame:
     return mel_df.mapInArrow(run, out_schema)
 
 
-def cmvn_moments(mel_df: DataFrame) -> DataFrame:
-    """(band, n_clips, n_frames, s, s2) — the exact DECIMAL(38,0)
-    corpus moments per band.  This is the relation an INCREMENTAL stats
-    job stores: integer sums are associative, so moments from corpus
-    increments merge EXACTLY (``merge_cmvn_moments``) — growing the
-    corpus never re-reads yesterday's features."""
-    parts = cmvn_partials(mel_df)
+def cmvn_moments(mel_df: DataFrame, by: tuple[str, ...] = ()) -> DataFrame:
+    """(by..., band, n_clips, n_frames, s, s2) — the exact
+    DECIMAL(38,0) moments per (group, band).  This is the relation an
+    INCREMENTAL stats job stores: integer sums are associative, so
+    moments from corpus increments merge EXACTLY
+    (``merge_cmvn_moments``) — growing the corpus never re-reads
+    yesterday's features.
+
+    ``by`` keys the stats per group — e.g. join the voice-cluster label
+    onto the mel table and pass ``by=("speaker",)`` for the
+    ASR-standard per-speaker CMVN instead of corpus CMVN; the
+    partial-aggregate shape is unchanged (group cardinality × n_mels
+    rows cross the exchange)."""
+    by = list(by)
+    parts = cmvn_partials(mel_df.select("clip_id", "n_mels", "feat"))
+    if by:
+        parts = parts.join(
+            mel_df.select("clip_id", *by), "clip_id")
     dec = "decimal(38,0)"
     ex = parts.select(
+        *by,
         "n_frames",
         F.posexplode(F.arrays_zip("sum_q", "sum_q2")).alias("band", "z"),
     )
-    return ex.groupBy("band").agg(
+    return ex.groupBy(*by, "band").agg(
         F.count(F.lit(1)).cast("long").alias("n_clips"),
         F.sum("n_frames").cast("long").alias("n_frames"),
         F.sum(F.col("z.sum_q").cast(dec)).alias("s"),
@@ -125,16 +137,17 @@ def cmvn_moments(mel_df: DataFrame) -> DataFrame:
     )
 
 
-def merge_cmvn_moments(*moments: DataFrame) -> DataFrame:
+def merge_cmvn_moments(*moments: DataFrame,
+                       by: tuple[str, ...] = ()) -> DataFrame:
     """Exact union of moment relations (corpus increments → the full
     corpus's moments, bit-identical to a single-pass computation —
-    tested)."""
+    tested).  Pass the same ``by`` keys the moments were built with."""
     if not moments:
         raise ValueError("need at least one moments relation")
     out = moments[0]
     for m in moments[1:]:
         out = out.unionByName(m)
-    return out.groupBy("band").agg(
+    return out.groupBy(*by, "band").agg(
         F.sum("n_clips").cast("long").alias("n_clips"),
         F.sum("n_frames").cast("long").alias("n_frames"),
         F.sum("s").cast("decimal(38,0)").alias("s"),
@@ -159,12 +172,13 @@ def cmvn_stats(mel_df: DataFrame, decimals: int = 6) -> DataFrame:
     return stats_from_moments(cmvn_moments(mel_df), decimals)
 
 
-def stats_from_moments(moments: DataFrame,
-                       decimals: int = 6) -> DataFrame:
+def stats_from_moments(moments: DataFrame, decimals: int = 6,
+                       by: tuple[str, ...] = ()) -> DataFrame:
     """The fixed scalar float tree over a (merged) moments relation —
-    see :func:`cmvn_stats` for the law."""
+    see :func:`cmvn_stats` for the law.  ``by`` columns pass through
+    (per-group stats, e.g. per-speaker CMVN)."""
     agg = moments.select(
-        "band", "n_clips", "n_frames",
+        *by, "band", "n_clips", "n_frames",
         F.col("s").alias("__s"), F.col("s2").alias("__s2"),
     )
     n = F.col("n_frames").cast("double")
@@ -173,6 +187,7 @@ def stats_from_moments(moments: DataFrame,
            / F.lit(float(CMVN_SCALE) * CMVN_SCALE)) / n
     std = F.sqrt(F.greatest(ex2 - mean * mean, F.lit(0.0)))
     return agg.select(
+        *by,
         F.col("band").cast("int").alias("band"),
         "n_clips",
         "n_frames",

@@ -143,3 +143,34 @@ def test_moments_merge_exactly(spark, mel_df):
     s1 = stats_from_moments(merged, decimals=12).orderBy("band").collect()
     s2 = stats_from_moments(full, decimals=12).orderBy("band").collect()
     assert [tuple(r) for r in s1] == [tuple(r) for r in s2]
+
+
+def test_per_group_cmvn(spark, mel_df):
+    """Per-speaker-style keyed stats: the group slices' stats equal the
+    filtered-corpus stats, and grouped moments merge with the same
+    exactness law."""
+    from pyspark.sql import functions as F
+
+    from data_quality_spark.operators.audio_cmvn import (
+        cmvn_moments,
+        stats_from_moments,
+    )
+
+    labeled = mel_df.withColumn(
+        "spk", F.concat(F.lit("s"), (F.pmod(F.xxhash64("clip_id"), 3))
+                        .cast("string")))
+    grouped = stats_from_moments(
+        cmvn_moments(labeled, by=("spk",)), decimals=9, by=("spk",)
+    ).collect()
+    assert {r["spk"] for r in grouped} == {"s0", "s1", "s2"}
+    for spk in ("s0", "s1", "s2"):
+        direct = {
+            r["band"]: r for r in stats_from_moments(
+                cmvn_moments(labeled.filter(F.col("spk") == spk)),
+                decimals=9).collect()
+        }
+        for r in (g for g in grouped if g["spk"] == spk):
+            d = direct[r["band"]]
+            assert (r["n_clips"], r["n_frames"], r["mean_r"],
+                    r["std_r"]) == (
+                d["n_clips"], d["n_frames"], d["mean_r"], d["std_r"])
