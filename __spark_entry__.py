@@ -1329,6 +1329,30 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("stratum")
 
 
+def q_datacard_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-to-release datasheet delta: the new release is simulated
+    in-query (every 21st doc deleted, language 'zz' dropped entirely,
+    every 50th surviving text extended) so added/removed/changed rows
+    are provable — a silently dropped language surfaces as its own
+    'removed' row.  Strict DuckDB twin runs the shared card select on
+    both simulated releases and the identical status/delta law."""
+    from data_quality_spark.operators.datacard import data_card_drift
+
+    old = _t(spark, sf_dir, "documents")
+    new = (
+        old.where((F.col("doc_id") % 21 != 0) & (F.col("lang") != "zz"))
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") % 50 == 0,
+                   F.concat(F.col("text"), F.lit(" extra token")))
+            .otherwise(F.col("text")),
+        )
+    )
+    return data_card_drift(
+        old, new, min_words=15, max_words=90
+    ).orderBy("dim", "grp")
+
+
 def q_sample_balanced_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-rebalanced corpus cut: <= 40 docs per lang, membership a
     pure function of (doc_id, seed) via the portable md5 order — the same
@@ -4465,6 +4489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": q_sequence_packing,
         "length_batches": q_length_batches,
         "corpus_datacard": q_corpus_datacard,
+        "datacard_drift": q_datacard_drift,
         "duration_batches": q_duration_batches,
         "mel_cmvn": q_mel_cmvn,
         "mel_cmvn_apply": q_mel_cmvn_apply,
@@ -5243,11 +5268,12 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
 FROM f GROUP BY lang ORDER BY lang"""
 
 
-def _corpus_datacard_oracle() -> str:
-    """DuckDB twin of q_corpus_datacard: the IDENTICAL grouping-sets
-    law — corpus/lang/source rows from one logical pass over the shared
-    gopher CTE (same integer rule family), exact md5 distinct count."""
+def _datacard_select(from_rel: str = "documents") -> str:
+    """The data-card SELECT (nested WITH — usable as a CTE body or a
+    derived table) over ``from_rel``: the IDENTICAL grouping-sets law,
+    shared by the card oracle and the drift oracle's two sides."""
     gopher = _gopher_flags_cte(
+        from_rel=from_rel,
         carry=("lang", "source"),
         extra_t=(
             ", length(coalesce(text, '')) AS nchars"
@@ -5257,8 +5283,7 @@ def _corpus_datacard_oracle() -> str:
         ),
         extra_f=", nt, nchars, m5, emp",
     )
-    return rf"""
-WITH {gopher}
+    return rf"""WITH {gopher}
 SELECT
   CASE WHEN GROUPING(lang) = 0 THEN 'lang'
        WHEN GROUPING(source) = 0 THEN 'source'
@@ -5277,6 +5302,43 @@ SELECT
   CAST(count(DISTINCT m5) AS BIGINT) AS n_unique
 FROM f
 GROUP BY GROUPING SETS ((), (lang), (source))
+ORDER BY dim, grp"""
+
+
+def _datacard_drift_oracle() -> str:
+    """DuckDB twin of q_datacard_drift: the same two in-query release
+    simulations, each side the SHARED card select, full-outer-joined
+    with the identical status/delta law."""
+    deltas = ", ".join(
+        f"CAST(coalesce(b.{m}, 0) - coalesce(a.{m}, 0) AS BIGINT)"
+        f" AS d_{m[2:]}"
+        for m in ("n_docs", "n_tokens", "n_empty", "n_gopher_pass",
+                  "n_unique")
+    )
+    changed = " OR ".join(
+        f"coalesce(b.{m}, 0) <> coalesce(a.{m}, 0)"
+        for m in ("n_docs", "n_tokens", "n_empty", "n_gopher_pass",
+                  "n_unique")
+    )
+    return rf"""
+WITH t_new_src AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 50 = 0 THEN text || ' extra token'
+         ELSE text END AS text,
+    lang, source, n_chars
+  FROM documents WHERE doc_id % 21 <> 0 AND lang <> 'zz'
+),
+a AS ({_datacard_select("documents")}),
+b AS ({_datacard_select("t_new_src")})
+SELECT coalesce(a.dim, b.dim) AS dim, coalesce(a.grp, b.grp) AS grp,
+  CASE WHEN b.n_docs IS NULL THEN 'removed'
+       WHEN a.n_docs IS NULL THEN 'added'
+       WHEN {changed} THEN 'changed'
+       ELSE 'stable' END AS status,
+  CAST(coalesce(a.n_docs, 0) AS BIGINT) AS n_docs_old,
+  CAST(coalesce(b.n_docs, 0) AS BIGINT) AS n_docs_new,
+  {deltas}
+FROM a FULL OUTER JOIN b ON a.dim = b.dim AND a.grp = b.grp
 ORDER BY dim, grp"""
 
 
@@ -6283,7 +6345,8 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
 FROM t GROUP BY lang ORDER BY lang""",
         "stopword_stats": _stopword_stats_oracle(),
         "gopher_quality": _gopher_quality_oracle(),
-        "corpus_datacard": _corpus_datacard_oracle(),
+        "corpus_datacard": _datacard_select(),
+        "datacard_drift": _datacard_drift_oracle(),
         "source_reputation": _source_reputation_oracle(),
         "keep_rate_bias": _keep_rate_bias_oracle(),
         "template_spam": _template_spam_oracle(),

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from .docs import token_count_col
 from .quality_filters import gopher_flags
 
-__all__ = ["data_card"]
+__all__ = ["data_card", "data_card_drift"]
 
 
 def data_card(
@@ -100,4 +100,55 @@ def data_card(
     return agg.select(
         dim.alias("dim"), grp.alias("grp"), "n_docs", "n_chars",
         "n_tokens", "n_empty", "n_gopher_pass", "n_unique",
+    )
+
+
+def data_card_drift(
+    old: DataFrame,
+    new: DataFrame,
+    exact_unique: bool = True,
+    min_words: int | None = None,
+    max_words: int | None = None,
+) -> DataFrame:
+    """Release-to-release datasheet delta: the two corpora's data cards
+    full-outer-joined on (dim, grp) —
+
+        dim, grp ▸ status, n_docs_old, n_docs_new, d_docs, d_tokens,
+                   d_empty, d_gopher_pass, d_unique
+
+    ``status`` ∈ {added, removed, changed, stable}: a language/source
+    present in only one release surfaces as its own added/removed row
+    (a silent drop of a whole group is the failure this exists to
+    catch); ``changed`` means any counted metric moved.  Deltas are
+    new − old on exact integers (missing side counts as 0).
+
+    Shape: two single-scan cards + one join on ≤ (1 + |langs| +
+    |sources|) rows — the expensive halves stay the grouping-sets
+    scans; the drift join is metadata-sized."""
+    a = data_card(old, exact_unique, min_words, max_words)
+    b = data_card(new, exact_unique, min_words, max_words)
+    metrics = ["n_docs", "n_tokens", "n_empty", "n_gopher_pass",
+               "n_unique"]
+    ar = a.select("dim", "grp",
+                  *[F.col(m).alias(f"{m}_old") for m in metrics])
+    br = b.select("dim", "grp",
+                  *[F.col(m).alias(f"{m}_new") for m in metrics])
+    j = ar.join(br, ["dim", "grp"], "full_outer")
+    z = lambda c: F.coalesce(F.col(c), F.lit(0))  # noqa: E731
+    changed = None
+    for m in metrics:
+        c = z(f"{m}_new") != z(f"{m}_old")
+        changed = c if changed is None else (changed | c)
+    status = (
+        F.when(F.col("n_docs_new").isNull(), F.lit("removed"))
+        .when(F.col("n_docs_old").isNull(), F.lit("added"))
+        .when(changed, F.lit("changed"))
+        .otherwise(F.lit("stable"))
+    )
+    return j.select(
+        "dim", "grp", status.alias("status"),
+        z("n_docs_old").cast("long").alias("n_docs_old"),
+        z("n_docs_new").cast("long").alias("n_docs_new"),
+        *[(z(f"{m}_new") - z(f"{m}_old")).cast("long").alias(f"d_{m[2:]}")
+          for m in metrics],
     )

@@ -43,9 +43,10 @@ def test_matches_separate_aggregates(spark, docs):
         assert card[("lang", r["lang"])]["n_docs"] == r["count"]
     for r in docs.groupBy("source").count().collect():
         assert card[("source", r["source"])]["n_docs"] == r["count"]
-    # exact uniques: corpus row equals a direct distinct count
-    direct = docs.select(
-        F.md5(F.coalesce("text", F.lit(""))).alias("m")
+    # exact uniques: corpus row equals a direct distinct count of
+    # NON-NULL texts (NULL text carries no fingerprint — the law)
+    direct = docs.where(F.col("text").isNotNull()).select(
+        F.md5("text").alias("m")
     ).distinct().count()
     assert corpus["n_unique"] == direct
 
@@ -74,3 +75,33 @@ def test_single_scan_plan(docs):
     scans = (plan.count("Scan ExistingRDD") + plan.count("FileScan")
              + plan.count("LocalTableScan"))
     assert scans == 1
+
+
+def test_data_card_drift_status_law(spark):
+    from data_quality_spark.operators.datacard import data_card_drift
+
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id long, text string, lang string, source string")
+    words = "several plain common words right here and there "
+    old = mk(
+        [(i, f"{words} o{i}", "en", "web") for i in range(10)]
+        + [(100 + i, f"{words} g{i}", "de", "web") for i in range(4)]
+    )
+    new = mk(
+        [(i, f"{words} o{i}", "en", "web") for i in range(10)]  # stable
+        + [(200 + i, f"{words} n{i}", "fr", "books") for i in range(3)]
+    )
+    got = {(r["dim"], r["grp"]): r for r in data_card_drift(
+        old, new).collect()}
+    assert got[("lang", "en")]["status"] == "stable"
+    assert got[("lang", "de")]["status"] == "removed"
+    assert got[("lang", "fr")]["status"] == "added"
+    assert got[("corpus", "all")]["status"] == "changed"
+    assert got[("corpus", "all")]["d_docs"] == -1  # 14 -> 13
+    assert got[("lang", "de")]["d_docs"] == -4
+    assert got[("lang", "fr")]["n_docs_old"] == 0
+    assert got[("source", "books")]["status"] == "added"
+    # zero-delta sanity on the stable row
+    en = got[("lang", "en")]
+    assert all(en[f"d_{m}"] == 0 for m in
+               ("docs", "tokens", "empty", "gopher_pass", "unique"))
