@@ -181,11 +181,17 @@ def build_parser() -> argparse.ArgumentParser:
                  "quantization", "pii", "reverb", "stereo", "flutter",
                  "clicks", "truepeak", "musicspeech", "lra", "halluc",
                  "lines", "normalize", "watermark", "compress", "entropy",
-                 "turns", "voices"],
+                 "turns", "voices", "consistency"],
         default="text",
     )
     au.add_argument("--min-words", type=int, default=15)
     au.add_argument("--max-words", type=int, default=90)
+    au.add_argument("--decisions", default=None,
+                    help="decisions table (consistency kind): id + "
+                    "decision columns; --table is the cluster-members "
+                    "table (node, component, cluster_size)")
+    au.add_argument("--id-col", default="clip_id")
+    au.add_argument("--decision-col", default="decision")
     au.add_argument("--format", choices=["text", "json"], default="text")
     au.add_argument(
         "--fail-on", choices=["none", "warning", "critical"],
@@ -847,6 +853,30 @@ def main(argv: list[str] | None = None) -> int:
             df = spark.read.parquet(
                 os.path.join(args.tables, f"{args.table}.parquet")
             )
+            if args.kind == "consistency":
+                from .operators.cluster import decision_consistency
+
+                if not args.decisions:
+                    print("--kind consistency requires --decisions")
+                    return 2
+                decided = spark.read.parquet(
+                    os.path.join(args.tables, f"{args.decisions}.parquet")
+                )
+                rep = decision_consistency(
+                    df, decided, id_col=args.id_col,
+                    decision_col=args.decision_col,
+                ).orderBy("component")
+                rows = [r.asDict() for r in rep.collect()]
+                mixed = [r for r in rows if r["mixed"]]
+                if args.format == "json":
+                    print(json.dumps(rows, default=str, indent=2))
+                else:
+                    print(f"{len(rows)} clusters, {len(mixed)} mixed")
+                    for r in mixed[:20]:
+                        print(f"  [{r['component']}] keep={r['n_keep']} "
+                              f"drop={r['n_drop']} "
+                              f"({r['first_keep']} / {r['first_drop']})")
+                return 1 if (mixed and args.fail_on != "none") else 0
             if args.kind == "audio":
                 from .operators.audio_audit import audio_audit, audit_issues
 

@@ -1055,3 +1055,35 @@ def test_cli_pack_crops(spark, tmp_path, capsys, monkeypatch):
         spark.read.parquet(str(tables / "clips.parquet")), "clip_id")
     assert joined.filter(
         "start_ms < 0 OR start_ms > dur_ms - win_ms").count() == 0
+
+
+def test_cli_audit_consistency(spark, tmp_path, capsys, monkeypatch):
+    """audit --kind consistency over stored members+decisions tables:
+    mixed clusters reported, exit code reflects them."""
+    import data_quality_spark.cli as cli
+
+    monkeypatch.setattr("pyspark.sql.SparkSession.stop", lambda self: None)
+    tables = tmp_path / "tables"
+    tables.mkdir()
+    spark.createDataFrame(
+        [("a", "c1", 2), ("b", "c1", 2), ("x", "c9", 2), ("y", "c9", 2)],
+        "node string, component string, cluster_size long",
+    ).write.parquet(str(tables / "members.parquet"))
+    spark.createDataFrame(
+        [("a", "keep"), ("b", "drop"), ("x", "keep"), ("y", "keep")],
+        "clip_id string, decision string",
+    ).write.parquet(str(tables / "decided.parquet"))
+    rc = cli.main(
+        ["audit", "--tables", str(tables), "--table", "members",
+         "--kind", "consistency", "--decisions", "decided",
+         "--format", "json"]
+    )
+    rows = json.loads(capsys.readouterr().out)
+    by = {r["component"]: r for r in rows}
+    assert by["c1"]["mixed"] and not by["c9"]["mixed"]
+    assert rc == 1  # mixed clusters fail by default
+    assert cli.main(
+        ["audit", "--tables", str(tables), "--table", "members",
+         "--kind", "consistency", "--decisions", "decided",
+         "--fail-on", "none"]
+    ) == 0
