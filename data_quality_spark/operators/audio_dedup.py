@@ -52,6 +52,7 @@ from ..functions.spectral import (
 
 __all__ = [
     "clip_fingerprints",
+    "ber_col",
     "fingerprint_near_dup",
     "fingerprint_shift_match",
     "clip_landmarks",
@@ -123,6 +124,26 @@ def clip_fingerprints(
         par = df.sparkSession.sparkContext.defaultParallelism
         out = out.repartition(par, "clip_id")
     return out
+
+
+def ber_col(fa: str, fb: str):
+    """Aligned-prefix fingerprint bit-error rate — the ONE definition of
+    the audio-identity verify law (used by fingerprint_near_dup and the
+    transcript-blocked cross-modal verifier; their tested verdict parity
+    depends on the expression being literally shared)."""
+    n = F.least(F.size(fa), F.size(fb))
+    diff_bits = F.aggregate(
+        F.zip_with(
+            F.slice(fa, 1, n),
+            F.slice(fb, 1, n),
+            lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return diff_bits.cast("double") / (
+        F.lit(float(N_BANDS - 1)) * n.cast("double")
+    )
 
 
 def fingerprint_near_dup(
@@ -202,19 +223,8 @@ def fingerprint_near_dup(
         .distinct()
     )
     fps = fp_df.select(F.col("clip_id").alias("__vid"), F.col("fp").alias("__vf"))
+    ber = ber_col("__fa", "__fb")
     n = F.least(F.size("__fa"), F.size("__fb"))
-    diff_bits = F.aggregate(
-        F.zip_with(
-            F.slice("__fa", 1, n),
-            F.slice("__fb", 1, n),
-            lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("long"),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    ber = diff_bits.cast("double") / (
-        F.lit(float(N_BANDS - 1)) * n.cast("double")
-    )
     return (
         cand.join(fps.select(F.col("__vid").alias("id_a"), F.col("__vf").alias("__fa")), "id_a")
         .join(fps.select(F.col("__vid").alias("id_b"), F.col("__vf").alias("__fb")), "id_b")

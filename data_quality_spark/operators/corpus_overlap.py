@@ -136,36 +136,46 @@ def corpus_overlap(
         F.sum((F.col("in_a") * F.col("in_b"))).alias("inter_k"),
         F.sum("in_a").alias("a_k"),
         F.sum("in_b").alias("b_k"),
-    ).select(
+    )
+
+    def ratio(num, den):
+        # zero-guarded (repo division convention): a corpus pair whose
+        # union bottom-k holds none of one side's hashes has defined
+        # containment 0.0, and ANSI mode must not fail the job
+        return F.round(
+            F.when(F.col(den) > 0, F.col(num) / F.col(den))
+            .otherwise(F.lit(0.0)), 6)
+
+    est = est.select(
         "ca", "cb", F.lit(k).alias("k"), "union_k", "inter_k",
-        F.round(F.col("inter_k") / F.col("union_k"), 6)
-        .alias("jaccard_est_r"),
-        F.round(F.col("inter_k") / F.col("b_k"), 6)
-        .alias("contain_b_in_a_r"),
-        F.round(F.col("inter_k") / F.col("a_k"), 6)
-        .alias("contain_a_in_b_r"),
+        ratio("inter_k", "union_k").alias("jaccard_est_r"),
+        ratio("inter_k", "b_k").alias("contain_b_in_a_r"),
+        ratio("inter_k", "a_k").alias("contain_a_in_b_r"),
     )
     if not with_exact:
         return est.orderBy("ca", "cb")
     # accuracy-as-data companion: exact shingle Jaccard (full distinct
     # groupBy — test scale only; at 10^12 rows only the sketch runs)
+    # columns are INDEXED (in_0, in_1, ...), never derived from corpus
+    # VALUES — a corpus named 'cc.2024-08' would otherwise parse as a
+    # struct accessor in F.col
+    cs = sorted(r.corpus for r in
+                hashes.select("corpus").distinct().collect())
     flags = (
         hashes.groupBy("h")
         .agg(*[F.max(F.when(F.col("corpus") == c, 1).otherwise(0))
-               .alias(f"in_{c}")
-               for c in [r.corpus for r in
-                         hashes.select("corpus").distinct()
-                         .orderBy("corpus").collect()]])
+               .alias(f"in_{i}")
+               for i, c in enumerate(cs)])
     )
-    cs = sorted(c[3:] for c in flags.columns if c.startswith("in_"))
     rows = []
     for i, c1 in enumerate(cs):
-        for c2 in cs[i + 1:]:
+        for j in range(i + 1, len(cs)):
+            c2 = cs[j]
             rows.append(
                 flags.agg(
-                    F.sum(F.col(f"in_{c1}") * F.col(f"in_{c2}"))
+                    F.sum(F.col(f"in_{i}") * F.col(f"in_{j}"))
                     .alias("inter"),
-                    F.sum(F.greatest(F.col(f"in_{c1}"), F.col(f"in_{c2}")))
+                    F.sum(F.greatest(F.col(f"in_{i}"), F.col(f"in_{j}")))
                     .alias("union"),
                 ).select(
                     F.lit(c1).alias("ca"), F.lit(c2).alias("cb"),

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .audio_dedup import clip_fingerprints
+from .audio_dedup import ber_col, clip_fingerprints
 from .dedup import minhash_lsh_pairs
 
 __all__ = ["transcript_blocked_pairs"]
@@ -52,8 +52,6 @@ def transcript_blocked_pairs(
     is the audio-identity decision; pairs with matching transcripts but
     non-matching audio are returned too (they are the prompt-reuse /
     same-script-different-recording class, itself curation signal)."""
-    from ..functions.spectral import N_BANDS
-
     cand = minhash_lsh_pairs(
         clips.select(F.col("clip_id"), F.col("transcript").alias("text")),
         "clip_id",
@@ -66,19 +64,8 @@ def transcript_blocked_pairs(
     )
     fps = clip_fingerprints(clips).select(
         F.col("clip_id").alias("__vid"), F.col("fp").alias("__vf"))
-    n = F.least(F.size("__fa"), F.size("__fb"))
-    diff_bits = F.aggregate(
-        F.zip_with(
-            F.slice("__fa", 1, n),
-            F.slice("__fb", 1, n),
-            lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("long"),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    ber = diff_bits.cast("double") / (
-        F.lit(float(N_BANDS - 1)) * n.cast("double")
-    )
+    ber = ber_col("__fa", "__fb")  # the SHARED audio-identity verify law
+    n = F.least(F.size("__fa"), F.size("__fb"))  # evaluable-pair guard
     return (
         cand.join(fps.select(F.col("__vid").alias("id_a"),
                              F.col("__vf").alias("__fa")), "id_a")

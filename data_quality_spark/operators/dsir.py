@@ -170,17 +170,20 @@ def learn_log_ratio_weights(
     text_col: str = "text",
     num_buckets: int = DEFAULT_BUCKETS,
     ngram_sizes: tuple[int, ...] = NGRAM_SIZES,
+    id_col: str = "doc_id",
 ) -> list[float]:
     """Driver-side Laplace-smoothed log p̂/q̂ per bucket.  The two count
     collections are B-row actions; the math is plain Python so the twin
     shares every double bit-for-bit."""
     t_counts = {
         r["bucket"]: r["cnt"]
-        for r in bucket_counts(target, text_col, num_buckets, ngram_sizes).collect()
+        for r in bucket_counts(target, text_col, num_buckets, ngram_sizes,
+                               id_col=id_col).collect()
     }
     r_counts = {
         r["bucket"]: r["cnt"]
-        for r in bucket_counts(raw, text_col, num_buckets, ngram_sizes).collect()
+        for r in bucket_counts(raw, text_col, num_buckets, ngram_sizes,
+                               id_col=id_col).collect()
     }
     return _weights_from_counts(t_counts, r_counts, num_buckets)
 
@@ -253,7 +256,8 @@ def dsir_log_weights(
         if target is None:
             raise ValueError("need target corpus or precomputed weights")
         weights = learn_log_ratio_weights(
-            target, docs, text_col, num_buckets, ngram_sizes
+            target, docs, text_col, num_buckets, ngram_sizes,
+            id_col=id_col,
         )
     if len(weights) != num_buckets:
         raise ValueError("weights length != num_buckets")

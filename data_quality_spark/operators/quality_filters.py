@@ -49,6 +49,8 @@ __all__ = [
     "decontamination_report",
     "boilerplate_ngrams",
     "boilerplate_stats",
+    "frequent_lines",
+    "remove_frequent_lines",
     "funnel_flags",
     "corpus_funnel",
     "corpus_clean",
@@ -193,12 +195,18 @@ def source_reputation(
         F.col(by).alias("__by"),
         (~F.col("gopher_pass")).cast("int").alias("__gf"),
         null_empty.cast("int").alias("__nul"),
-        F.when(~null_empty, F.md5(text)).alias("__fp"),
+        F.coalesce(
+            F.when(~null_empty, F.md5(text)),
+            F.concat(F.lit("~"), F.col("doc_id").cast("string")),
+        ).alias("__fp"),  # sentinel: NULL/blank docs are their own
+        # partition — a corpus-wide NULL population must not funnel into
+        # ONE window task (same law as funnel_flags' keep key)
+        null_empty.alias("__ne"),
     )
     w = Window.partitionBy("__fp")
     marked = slim.withColumn(
         "__dup",
-        (F.col("__fp").isNotNull() & (F.count(F.lit(1)).over(w) > 1))
+        ((~F.col("__ne")) & (F.count(F.lit(1)).over(w) > 1))
         .cast("int"),
     )
     n_docs = F.count(F.lit(1)).cast("long")
@@ -363,7 +371,9 @@ def funnel_flags(
     (plan audit in PLANS.md §corpus-funnel).
     """
     bench = docs.where(F.col("source") == benchmark_source)
-    scope = docs.where(F.col("source") != benchmark_source)
+    # null-safe: a NULL source is ordinary corpus, never the benchmark
+    # (plain != would drop those rows from BOTH slices)
+    scope = docs.where(~F.col("source").eqNullSafe(benchmark_source))
     flagged = repetition_flags(
         gopher_flags(scope, min_words=min_words, max_words=max_words),
         dup_num=dup_num,
@@ -502,7 +512,9 @@ def boilerplate_stats(
     broadcast-sized but is corpus-derived, so nothing is forced), and the
     tiny per-source rollup.  Document text never shuffles.
     """
-    grams = word_ngrams(docs, "doc_id", "text", n, carry=["source"])
+    grams = word_ngrams(docs, "doc_id", "text", n)  # source re-joins
+    # below on doc_id — carrying it through the gram explode would widen
+    # every token row through the exchange for nothing
     lexicon = boilerplate_ngrams(docs, n=n, min_docs=min_docs).select("gram")
     total = grams.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("__npos")
@@ -587,7 +599,7 @@ def decontamination_report(
     Exact-integer output; the join back to ``source`` is doc_id-keyed
     against the already-filtered contaminated relation (tiny)."""
     bench = docs.where(F.col("source") == benchmark_source)
-    rest = docs.where(F.col("source") != benchmark_source)
+    rest = docs.where(~F.col("source").eqNullSafe(benchmark_source))
     hits = decontaminate(rest, bench, n=n)
     return (
         rest.select("doc_id", "source")
