@@ -214,6 +214,7 @@ def pack_sequences(
     seed: int = 0,
     portable: bool = False,
     bucket_chars: int = 2,
+    start_offsets: dict[str, int] | None = None,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing: the token-grid layout an LLM
     trainer consumes (GPT/T5-style — documents concatenated in a
@@ -243,6 +244,13 @@ def pack_sequences(
     document length, never by corpus size.  At 10^12 documents this is
     an embarrassingly parallel map after the tiny offsets broadcast.
 
+    ``start_offsets`` (per-stratum token offsets, keys =
+    ``\\x1f``-joined stratum strings) makes the run CONTINUE a stored
+    layout: the streaming/append path packs each increment starting
+    where the previous one ended, so a batch boundary falling
+    mid-sequence resumes the same ``seq_id`` (see
+    ``streaming/packing_stream.py``).
+
     Reference analog: none (the reference stops at accept/reject) —
     this is the step between its result sink (S5) and a trainer's
     dataloader; the strict DuckDB twin runs the NAIVE global-window +
@@ -254,6 +262,18 @@ def pack_sequences(
     strata = list(strata)
     base = _with_global_cum(df, tok_col, strata, id_col, seed, portable,
                             bucket_chars)
+    off = F.lit(0).cast("long")
+    if start_offsets:
+        # per-stratum base offset (the streaming/append path: this
+        # run's token stream CONTINUES a stored layout; string strata
+        # only — keys come from a previous run's offsets table)
+        key = F.concat_ws(
+            _SEP, *[F.coalesce(F.col(s).cast("string"), F.lit(""))
+                    for s in strata])
+        for k, v in sorted(start_offsets.items()):
+            off = F.when(key == k, F.lit(int(v)).cast("long")) \
+                .otherwise(off)
+    base = base.withColumn("__cum", F.col("__cum") + off)
     st = F.col("__cum") - F.col("__sz")          # exclusive start offset
     en = F.col("__cum")                          # exclusive end
     seq = F.explode(F.sequence(
