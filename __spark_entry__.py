@@ -1868,6 +1868,37 @@ def q_voice_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return voice_triplets(clips).orderBy("anchor")
 
 
+def q_channel_hot_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew guard's skipped-bucket REPORT as data: two mega-session
+    rooms (40 clips each) blow past max_bucket=32, so their channel
+    families are excluded from pairing — and any 'zero leakage' audit
+    is conditional on this relation being empty.  Twin: shared channel
+    kernel + explicit Python bucket counts over the same key emission."""
+    from data_quality_spark.operators.audio_channel import (
+        channel_keyed,
+        clip_channel_profile,
+        hot_buckets,
+    )
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_channel_corpus
+
+    ensure_expected("channel_hot_buckets", sf_dir)
+    key = ("chan_hot", 2, 40, 42)
+    if key not in _CLIPS_CACHE:
+        _CLIPS_CACHE[key] = make_audio_channel_corpus(2, 40, seed=42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(
+        _CLIPS_CACHE[key][cols], CLIPS_SCHEMA
+    ).repartition(8, "clip_id")
+    keyed = channel_keyed(clip_channel_profile(clips))
+    return hot_buckets(keyed, max_bucket=32).select(
+        F.col("grid").cast("int").alias("grid"),
+        F.col("cell").cast("long").alias("cell"),
+        F.col("family").cast("int").alias("family"),
+        "n_members",
+    ).orderBy("grid", "cell", "family")
+
+
 def q_audio_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recording-channel (room-tone) clustering: clips from the same
     session — DIFFERENT content, same mic/room — clustered by their
@@ -4520,6 +4551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_dedup_clusters": q_audio_dedup_clusters,
         "gate_consistency": q_gate_consistency,
         "voice_triplets": q_voice_triplets,
+        "channel_hot_buckets": q_channel_hot_buckets,
         "lsh_incremental": q_lsh_incremental,
         "source_dup_matrix": q_source_dup_matrix,
         "temperature_mixture": q_temperature_mixture,
@@ -6690,6 +6722,7 @@ FROM ranked WHERE rnk <= 3""",
         "crop_schedule": _expected_sql("crop_schedule"),
         "mel_cmvn_apply": _expected_sql("mel_cmvn_apply"),
         "voice_triplets": _expected_sql("voice_triplets"),
+        "channel_hot_buckets": _expected_sql("channel_hot_buckets"),
         "lsh_incremental": _expected_sql("lsh_incremental"),
         "source_dup_matrix": """
 WITH t AS (

@@ -491,7 +491,7 @@ def main() -> None:
         "duration_batches", "mel_cmvn", "mel_cmvn_apply",
         "voice_triplets", "corpus_datacard", "lsh_incremental",
         "source_dup_matrix", "temperature_mixture", "length_outliers",
-        "crop_schedule", "datacard_drift",
+        "crop_schedule", "datacard_drift", "channel_hot_buckets",
     ]
     # headline-only mode: just the gate pair + health scan (~90 s) — fits
     # inside the short quiet gaps this shared host actually has, where the

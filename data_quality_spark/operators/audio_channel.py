@@ -39,7 +39,8 @@ from .cluster import cluster_members
 
 __all__ = [
     "clip_channel_profile", "bucket_candidate_pairs",
-    "bucket_verified_pairs", "hot_buckets", "channel_pairs",
+    "bucket_verified_pairs", "hot_buckets", "channel_keyed",
+    "channel_pairs",
     "channel_clusters",
 ]
 
@@ -190,14 +191,12 @@ def bucket_verified_pairs(
     )
 
 
-def channel_pairs(
-    profiles: DataFrame, max_bucket: int = 64,
-    dist2_max: float = DIST2_MAX,
-) -> DataFrame:
-    """(id_a, id_b, dist2) accepted same-channel pairs: the double-grid
-    tilt keys split by peak band, run through the shared machinery."""
+def channel_keyed(profiles: DataFrame) -> DataFrame:
+    """(clip_id, prof, grid, cell, family): the channel keying onto the
+    shared bucket machinery — double-grid tilt cells split by the
+    argmax peak band."""
     prof = profiles.where(F.col("ok"))
-    keyed = prof.select(
+    return prof.select(
         "clip_id",
         "prof",
         F.explode(
@@ -213,7 +212,16 @@ def channel_pairs(
         "clip_id", "prof", "family",
         F.col("k.grid").alias("grid"), F.col("k.cell").alias("cell"),
     )
-    return bucket_verified_pairs(keyed, max_bucket, dist2_max)
+
+
+def channel_pairs(
+    profiles: DataFrame, max_bucket: int = 64,
+    dist2_max: float = DIST2_MAX,
+) -> DataFrame:
+    """(id_a, id_b, dist2) accepted same-channel pairs: the double-grid
+    tilt keys split by peak band, run through the shared machinery."""
+    return bucket_verified_pairs(channel_keyed(profiles), max_bucket,
+                                 dist2_max)
 
 
 def channel_clusters(df: DataFrame, max_bucket: int = 64) -> DataFrame:

@@ -4209,6 +4209,39 @@ def _duration_batches_expected(n=1200, seed=42, batch=16) -> dict:
     return out
 
 
+def _channel_hot_buckets_expected(
+    n_sessions=2, clips_per_session=40, seed=42, max_bucket=32
+) -> dict:
+    """Twin of the ``channel_hot_buckets`` query: shared channel kernel
+    per clip, the 2-key (tilt grids × peak-band family) emission, and
+    the guard threshold replayed as explicit Python counts."""
+    from .functions.audio import _decode_i16
+    from .functions.channel import channel_key_parts, noise_profile
+    from .synth import make_audio_channel_corpus
+
+    pdf = make_audio_channel_corpus(n_sessions, clips_per_session, seed)
+    buckets: dict[tuple[int, int, int], int] = {}
+    for _, r in pdf.iterrows():
+        try:
+            x = _decode_i16(r["bytes"], r["codec"], r["sr_hz"])
+        except (ValueError, TypeError):
+            x = np.zeros(0, dtype=np.int16)
+        p, _nw = noise_profile(x, int(r["sr_hz"]))
+        if p is None:
+            continue
+        pk, c0, c1, _tilt = channel_key_parts(p)
+        for k in ((0, c0, pk), (1, c1, pk)):
+            buckets[k] = buckets.get(k, 0) + 1
+    out = {"grid": [], "cell": [], "family": [], "n_members": []}
+    for (g, c, fam), cnt in sorted(buckets.items()):
+        if cnt > max_bucket:
+            out["grid"].append(g)
+            out["cell"].append(c)
+            out["family"].append(fam)
+            out["n_members"].append(cnt)
+    return out
+
+
 def _gate_consistency_expected(n=400, seed=42) -> dict:
     """Twin of the ``gate_consistency`` query: union-find closure of the
     verified audio near-dup pair graph composed with the pandas gate
@@ -6728,6 +6761,10 @@ _SCHEMAS: dict[str, pa.Schema] = {
          ("waste_frac_r", pa.float64()), ("first_id", pa.string()),
          ("last_id", pa.string())]
     ),
+    "channel_hot_buckets": pa.schema(
+        [("grid", pa.int32()), ("cell", pa.int64()),
+         ("family", pa.int32()), ("n_members", pa.int64())]
+    ),
     "gate_consistency": pa.schema(
         [("component", pa.string()), ("cluster_size", pa.int64()),
          ("n_decided", pa.int64()), ("n_keep", pa.int64()),
@@ -7731,6 +7768,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_dedup_clusters_expected()
     elif name == "gate_consistency":
         data = _gate_consistency_expected()
+    elif name == "channel_hot_buckets":
+        data = _channel_hot_buckets_expected()
     elif name == "duration_batches":
         data = _duration_batches_expected()
     elif name == "mel_cmvn":
