@@ -169,6 +169,14 @@ HF_BAND_FRAC = 0.4  # deep band starts at 0.4·sr (clear of resampler
                     # ≤ −64 dB here, native noise floor ≥ −41 dB)
 
 
+def _hann_cached(n: int):
+    """get-then-store — setdefault would rebuild the window per call."""
+    w = _HANN_CACHE.get(n)
+    if w is None:
+        w = _HANN_CACHE[n] = _hann(n)
+    return w
+
+
 def _hann(frame: int) -> np.ndarray:
     # periodic Hann by explicit formula — both engines build the same
     # float64 vector, no scipy dependency
@@ -454,7 +462,7 @@ def logf_profile(x: np.ndarray, sr_hz: int) -> np.ndarray | None:
     xf = np.ascontiguousarray(x, dtype=np.float64)
     frames = (
         np.lib.stride_tricks.sliding_window_view(xf, SPEED_FRAME)[::SPEED_HOP]
-        * _HANN_CACHE.setdefault(SPEED_FRAME, _hann(SPEED_FRAME))
+        * _hann_cached(SPEED_FRAME)
     )
     spec = np.fft.rfft(frames, axis=1)
     p = ((spec.real * spec.real) + (spec.imag * spec.imag)).sum(axis=0)

@@ -123,8 +123,9 @@ def audio_audit(df: DataFrame, counter=None) -> DataFrame:
                 # fused floats stay bit-identical to the a-la-carte scan
                 hm = hum_stats(q, sr)
                 # same float32-normalized input as audio_reverb.clip_decay
-                rv = decay_stats(q.astype(np.float32) / np.float32(32767.0),
-                                 sr)
+                # (x IS that array — identical expression, no second
+                # full-clip allocation/normalize pass)
+                rv = decay_stats(x, sr)
                 oks.append(ok)
                 cols["n_samples"].append(int(q.size))
                 cols["rms_db"].append(st["rms_db"])

@@ -46,7 +46,7 @@ __all__ = ["ensure_expected", "expected_path", "spark_round"]
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EXPECTED_DIR = os.path.join(_REPO, "expected")
 # bump to invalidate every committed expected file after a generator change
-_VERSION = 12
+_VERSION = 13  # 13: gate metric-default law applies to NaN (review fix)
 # generation guard: differential oracles only run at correctness scale
 _MAX_ORACLE_ROWS = 2500
 
@@ -64,13 +64,14 @@ def spark_round(x, d: int):
     return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
 
 
-def _nan_gt(x: float, t: float) -> bool:
-    """Spark double ``x > t`` (NaN-greatest)."""
-    return True if math.isnan(x) else x > t
-
-
-def _nan_lt(x: float, t: float) -> bool:
-    return False if math.isnan(x) else x < t
+def _fill(x: float, default: float) -> float:
+    """The gate's metric-default law: an unmeasurable metric (NaN — the
+    Arrow float encoding of 'no evidence') reads as its default, the
+    same fallback the decision twin's ``fillna`` applies.  (Until the
+    session-11 review the issues twin replicated Spark's accidental
+    NaN-greatest compare instead; the engine now applies the default
+    for NaN too, so decision and issue laws agree.)"""
+    return default if math.isnan(x) else x
 
 
 def _tokens(text) -> list[str]:
@@ -820,9 +821,10 @@ def _clips_row_flags(n=1200, seed=42) -> list[dict[str, bool]]:
             "bad_sample_rate": sr not in ALLOWED_SR,
             "bad_duration": dur_ms <= 0,
             "duration_mismatch": mismatch > th.DUR_MISMATCH_FRAC,
-            "mostly_silence": _nan_gt(f(r["silence_frac"]), th.SILENCE_MAX),
-            "clipping": _nan_gt(f(r["clip_frac"]), th.CLIP_MAX),
-            "too_quiet": _nan_lt(f(r["rms_db"]), th.RMS_MIN_DB),
+            "mostly_silence": _fill(f(r["silence_frac"]), 1.0)
+            > th.SILENCE_MAX,
+            "clipping": _fill(f(r["clip_frac"]), 0.0) > th.CLIP_MAX,
+            "too_quiet": _fill(f(r["rms_db"]), -120.0) < th.RMS_MIN_DB,
             "empty_transcript": int(r["token_count"]) == 0,
             "low_lang_confidence": f(r["lang_conf"]) < th.LANG_CONF_MIN,
             "high_perplexity": f(r["ppl"]) > th.PPL_MAX,

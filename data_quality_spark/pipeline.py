@@ -383,6 +383,17 @@ def scrub_col(col: Column) -> Column:
     return out
 
 
+def _metric_default(name: str, default: float) -> Column:
+    """A measured metric with its no-evidence default: NULL **and NaN**
+    both fall back (coalesce alone misses NaN — Arrow float columns
+    carry NaN for unmeasurable rows, and Spark's NaN-greatest compare
+    would silently flip threshold rules)."""
+    c = F.col(name)
+    return F.coalesce(
+        F.nanvl(c, F.lit(None).cast("double")), F.lit(float(default))
+    )
+
+
 def rule_flags(df: DataFrame) -> dict[str, Column]:
     """Per-rule violation predicates over a featurized frame — the same
     booleans drive the keep/drop decision AND the issue counts, so the two
@@ -398,12 +409,20 @@ def rule_flags(df: DataFrame) -> dict[str, Column]:
     ).otherwise(F.lit(1.0))
     return {
         "decode_failed": ~F.col("decode_ok"),
-        "bad_sample_rate": ~F.col("sr_hz").isin(list(ALLOWED_SR)),
+        # NULL sr must FLAG, not NULL-swallow through isin
+        "bad_sample_rate": ~F.coalesce(F.col("sr_hz"), F.lit(-1)).isin(
+            list(ALLOWED_SR)),
         "bad_duration": F.col("dur_ms") <= 0,
         "duration_mismatch": dur_mismatch > th.DUR_MISMATCH_FRAC,
-        "mostly_silence": F.coalesce(F.col("silence_frac"), F.lit(1.0)) > th.SILENCE_MAX,
-        "clipping": F.coalesce(F.col("clip_frac"), F.lit(0.0)) > th.CLIP_MAX,
-        "too_quiet": F.coalesce(F.col("rms_db"), F.lit(-120.0)) < th.RMS_MIN_DB,
+        # _metric_default, not coalesce: decode-failed rows carry NaN
+        # (Arrow doubles), and Spark's NaN-greatest compare would invert
+        # the intended defaults (NaN clip_frac counted as clipping, NaN
+        # rms_db never too_quiet) — found by review, measured +60/-60 on
+        # the 1200-clip corpus's undecodable class
+        "mostly_silence": _metric_default("silence_frac", 1.0)
+        > th.SILENCE_MAX,
+        "clipping": _metric_default("clip_frac", 0.0) > th.CLIP_MAX,
+        "too_quiet": _metric_default("rms_db", -120.0) < th.RMS_MIN_DB,
         "empty_transcript": F.col("token_count") == 0,
         "low_lang_confidence": F.col("lang_conf") < th.LANG_CONF_MIN,
         "high_perplexity": F.col("ppl") > th.PPL_MAX,

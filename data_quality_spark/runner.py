@@ -119,14 +119,15 @@ def run_gate_pipeline(
         # storage-direct gate: payload bytes go storage → python worker and
         # never cross the JVM; the partition_filter prunes whole day
         # directories before any IO (manifest-level partition pruning)
-        days = set(batch)
+        day_set = set(batch)  # NOT `days`: the partition_filter lambda
+        # must never close over the function-level pending list's name
         from .pipeline import decide3, decide3_v2
 
         three_decider = decide3_v2 if profile == "v2" else decide3
         decided = gate_files(
             spark,
             input_path,
-            partition_filter=lambda pv: pv.get("ingest_day") in days,
+            partition_filter=lambda pv: pv.get("ingest_day") in day_set,
             counter=decode_counter,
             decider=three_decider if three_way else None,
             profile=profile,
@@ -136,7 +137,7 @@ def run_gate_pipeline(
         # day list is known, so per-day totals are plain conditional sums) —
         # a separate collect() here would re-execute the featurize stage,
         # doubling the most expensive work of the whole system.
-        day_list = sorted(days)
+        day_list = sorted(day_set)
         keep_value = "accept" if three_way else "keep"
         obs = Observation(f"gate_{run_id}_b{bi}")
         metrics = []
