@@ -3650,8 +3650,14 @@ def q_mel_cmvn_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_expected("mel_cmvn_apply", sf_dir)
     clips = _clips_df(spark, 300, 42)
+    # stats is the only double-consumption of mel: materialize it off
+    # the persisted pass, then RELEASE the cache before returning (the
+    # identity_split localCheckpoint/unpersist law) — a returned lazy
+    # plan must not leak executor storage for the rest of the run.
     mel = mel_features(clips).persist()
-    out = apply_cmvn(mel, cmvn_stats(mel))
+    stats = cmvn_stats(mel).localCheckpoint(eager=True)
+    mel.unpersist()
+    out = apply_cmvn(mel, stats)
     return out.select(
         "clip_id",
         "n_frames",
@@ -5566,13 +5572,13 @@ g AS (
 ), hits AS (
   SELECT grams.doc_id, CAST(count(*) AS BIGINT) AS n_hits
   FROM grams JOIN documents d USING (doc_id) JOIN bench USING (gram)
-  WHERE d.source <> 'src0' GROUP BY grams.doc_id
+  WHERE d.source IS DISTINCT FROM 'src0' GROUP BY grams.doc_id
 )
 SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(CASE WHEN n_hits IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
     AS n_contaminated,
   CAST(sum(coalesce(n_hits, 0)) AS BIGINT) AS total_shared_grams
-FROM (SELECT doc_id, source FROM documents WHERE source <> 'src0') r
+FROM (SELECT doc_id, source FROM documents WHERE source IS DISTINCT FROM 'src0') r
 LEFT JOIN hits USING (doc_id)
 GROUP BY source ORDER BY source"""
 
@@ -5586,7 +5592,7 @@ def _corpus_funnel_ctes() -> str:
 
     stops = ", ".join(f"'{m}'" for m in _ALL_STOPWORDS)
     return rf"""
-WITH scope AS (SELECT * FROM documents WHERE source <> 'src0'),
+WITH scope AS (SELECT * FROM documents WHERE source IS DISTINCT FROM 'src0'),
 sig AS (
   SELECT doc_id, lang,
     CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
@@ -5627,7 +5633,7 @@ g2 AS (
 ), hits AS (
   SELECT grams4.doc_id FROM grams4 JOIN documents d USING (doc_id)
   JOIN bench USING (gram)
-  WHERE d.source <> 'src0' GROUP BY grams4.doc_id
+  WHERE d.source IS DISTINCT FROM 'src0' GROUP BY grams4.doc_id
 ), keep AS (
   SELECT doc_id,
     (doc_id = min(doc_id) OVER (

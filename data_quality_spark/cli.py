@@ -192,6 +192,11 @@ def build_parser() -> argparse.ArgumentParser:
                     "table (node, component, cluster_size)")
     au.add_argument("--id-col", default="clip_id")
     au.add_argument("--decision-col", default="decision")
+    au.add_argument("--drop-value", default=None,
+                    help="consistency kind: count ONLY this verdict as a "
+                    "drop (three-way gates); other non-keep verdicts are "
+                    "reported as n_other.  Default: any non-keep verdict "
+                    "is a drop")
     au.add_argument("--format", choices=["text", "json"], default="text")
     au.add_argument(
         "--fail-on", choices=["none", "warning", "critical"],
@@ -865,6 +870,7 @@ def main(argv: list[str] | None = None) -> int:
                 rep = decision_consistency(
                     df, decided, id_col=args.id_col,
                     decision_col=args.decision_col,
+                    drop_value=args.drop_value,
                 ).orderBy("component")
                 rows = [r.asDict() for r in rep.collect()]
                 mixed = [r for r in rows if r["mixed"]]

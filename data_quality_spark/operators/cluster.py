@@ -199,6 +199,7 @@ def decision_consistency(
     id_col: str = "clip_id",
     decision_col: str = "decision",
     keep_value: str = "keep",
+    drop_value: str | None = None,
 ) -> DataFrame:
     """Per-cluster gate-decision consistency audit: near-duplicate
     clusters whose members got DIFFERENT keep/drop verdicts.
@@ -216,7 +217,14 @@ def decision_consistency(
     ``mixed`` = the cluster saw both verdicts; ``first_keep`` /
     ``first_drop`` are the smallest member ids on each side (NULL when
     that side is empty) — the reviewer's entry point, and boundary
-    pins for the differential oracle.  Members absent from ``decided``
+    pins for the differential oracle.  With the default
+    ``drop_value=None``, EVERY decided-but-not-``keep_value`` verdict
+    counts as a drop (two-outcome law: under a three-way gate, 'review'
+    rows tally into ``n_drop`` and can mark a cluster mixed).  Pass an
+    explicit ``drop_value`` (e.g. 'reject' for decide3 output) to count
+    only that verdict as a drop; the remaining decided verdicts land in
+    an extra ``n_other`` column and never flip ``mixed``.  Members
+    absent from ``decided``
     (undecided rows) count in ``cluster_size`` but not ``n_decided``;
     a cluster with NO decided member still appears (n_decided = 0,
     mixed false) — vanishing rows would make the report irreconcilable
@@ -238,19 +246,30 @@ def decision_consistency(
     )
     joined = members.join(dec, "node", "left")
     is_keep = F.col("__dec") == keep_value
-    return joined.groupBy("component").agg(
+    if drop_value is None:
+        is_drop = F.col("__dec").isNotNull() & ~is_keep
+    else:
+        is_drop = F.col("__dec") == drop_value
+    aggs = [
         F.first("cluster_size").cast("long").alias("cluster_size"),
         F.count(F.col("__dec")).cast("long").alias("n_decided"),
         F.coalesce(F.sum(is_keep.cast("long")), F.lit(0)).cast("long")
         .alias("n_keep"),
-        F.coalesce(F.sum((~is_keep).cast("long")), F.lit(0)).cast("long")
+        F.coalesce(F.sum(is_drop.cast("long")), F.lit(0)).cast("long")
         .alias("n_drop"),
         (F.min(F.when(is_keep, F.col("node"))).isNotNull()
-         & F.min(F.when(~is_keep, F.col("node"))).isNotNull())
+         & F.min(F.when(is_drop, F.col("node"))).isNotNull())
         .alias("mixed"),
         F.min(F.when(is_keep, F.col("node"))).alias("first_keep"),
-        F.min(F.when(~is_keep, F.col("node"))).alias("first_drop"),
-    )
+        F.min(F.when(is_drop, F.col("node"))).alias("first_drop"),
+    ]
+    if drop_value is not None:
+        is_other = F.col("__dec").isNotNull() & ~is_keep & ~is_drop
+        aggs.append(
+            F.coalesce(F.sum(is_other.cast("long")), F.lit(0))
+            .cast("long").alias("n_other")
+        )
+    return joined.groupBy("component").agg(*aggs)
 
 
 def split_by_cluster(

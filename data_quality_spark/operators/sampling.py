@@ -473,9 +473,23 @@ def temperature_audit(
     norm = df.withColumn("__stratum", sk)
     avail_rows = (
         norm.groupBy("__stratum")
-        .agg(F.sum(weight_col).cast("long").alias("avail_weight"))
+        .agg(
+            F.sum(weight_col).cast("long").alias("avail_weight"),
+            # sentinel-collision guard: a REAL stratum literally equal to
+            # the NULL marker would silently merge with the NULL stratum's
+            # budget — detect it in the same aggregate and refuse.
+            F.max(F.col(stratum_col).isNotNull().cast("int"))
+            .alias("__had_real"),
+        )
         .collect()
     )
+    for r in avail_rows:
+        if r["__stratum"] == "\x00null" and r["__had_real"]:
+            raise ValueError(
+                f"temperature_audit: a value of {stratum_col!r} collides "
+                "with the internal NULL-stratum sentinel '\\x00null'; "
+                "rename that stratum or pre-normalize it"
+            )
     weights = {r["__stratum"]: int(r["avail_weight"] or 0)
                for r in avail_rows}
     budgets = temperature_budgets(weights, total_budget, alpha,

@@ -48,12 +48,23 @@ def _read_offsets(spark: SparkSession, root: str,
                   upto_batch: int) -> dict[str, int]:
     """Offsets after the newest batch <= upto_batch (empty at start).
     Walking back handles replay: batch N always reads N-1's snapshot,
-    never its own partial state."""
+    never its own partial state.
+
+    Existence is probed via ``spark.read`` (AnalysisException = not
+    written yet), NOT driver-local ``os.path.exists`` — the segments
+    and offsets go through Spark writers that accept any Hadoop FS URI,
+    and a local-only probe against e.g. an ``hdfs://`` output_root
+    would never see the snapshot, silently restarting every batch at
+    offset 0 and corrupting the gap-free token grid."""
+    from pyspark.errors import AnalysisException
+
     for b in range(upto_batch, -1, -1):
         p = _offsets_path(root, b)
-        if os.path.exists(p):
+        try:
             rows = spark.read.parquet(p).collect()
-            return {r["stratum"]: int(r["total_tokens"]) for r in rows}
+        except AnalysisException:
+            continue
+        return {r["stratum"]: int(r["total_tokens"]) for r in rows}
     return {}
 
 

@@ -333,3 +333,37 @@ class TestDecisionConsistency:
         assert (c9["cluster_size"], c9["n_decided"]) == (2, 0)
         assert (c9["n_keep"], c9["n_drop"], c9["mixed"]) == (0, 0, False)
         assert c9["first_keep"] is None and c9["first_drop"] is None
+
+    def test_three_way_gate_with_explicit_drop_value(self, spark):
+        from data_quality_spark.operators.cluster import decision_consistency
+
+        # decide3 output: 'review' must NOT count as a drop nor flip
+        # mixed when drop_value is explicit; it lands in n_other.
+        decided = spark.createDataFrame(
+            [("a", "accept"), ("b", "review"), ("c", "reject"),
+             ("x", "accept"), ("y", "review")],
+            "clip_id string, decision string")
+        out = {r["component"]: r for r in decision_consistency(
+            self._members(spark), decided,
+            keep_value="accept", drop_value="reject").collect()}
+        c1, c9 = out["c1"], out["c9"]
+        assert (c1["n_keep"], c1["n_drop"], c1["n_other"]) == (1, 1, 1)
+        assert (c1["mixed"], c1["first_drop"]) == (True, "c")
+        # c9 has accept + review only: not mixed under the explicit law
+        assert (c9["n_keep"], c9["n_drop"], c9["n_other"]) == (1, 0, 1)
+        assert c9["mixed"] is False and c9["first_drop"] is None
+
+    def test_three_way_default_counts_review_as_drop(self, spark):
+        from data_quality_spark.operators.cluster import decision_consistency
+
+        # documented two-outcome default: every decided non-keep verdict
+        # is a drop (so 'review' tallies into n_drop and can mark mixed)
+        decided = spark.createDataFrame(
+            [("x", "accept"), ("y", "review")],
+            "clip_id string, decision string")
+        out = {r["component"]: r for r in decision_consistency(
+            self._members(spark), decided,
+            keep_value="accept").collect()}
+        c9 = out["c9"]
+        assert (c9["n_keep"], c9["n_drop"], c9["mixed"]) == (1, 1, True)
+        assert "n_other" not in c9.asDict()

@@ -227,6 +227,26 @@ class TestDecontaminate:
         assert got["srcA"]["n_contaminated"] == 1
         assert got["srcB"]["n_contaminated"] == 0
 
+    def test_null_source_rows_stay_in_scope(self, spark):
+        """A NULL source is ordinary corpus (eqNullSafe scope law): the row
+        must be scanned for contamination and reported under source=NULL,
+        matching the twins' IS DISTINCT FROM semantics."""
+        df = spark.createDataFrame(
+            [
+                (0, "one two three four five", "en", "src0"),
+                (1, "one two three four shared", "en", None),
+                (2, "nothing in common whatsoever here", "en", "srcB"),
+            ],
+            "doc_id long, text string, lang string, source string",
+        )
+        got = {
+            r["source"]: r.asDict()
+            for r in decontamination_report(df, "src0").collect()
+        }
+        assert set(got) == {None, "srcB"}
+        assert got[None]["n_contaminated"] == 1
+        assert got[None]["n_docs"] == 1
+
 
 class TestPlanShape:
     def test_gopher_flags_has_no_exchange(self, spark):

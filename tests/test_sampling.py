@@ -381,3 +381,17 @@ def test_temperature_audit_null_stratum(spark):
     assert null_row["n_sel"] > 0  # NULL-stratum rows are selectable
     total_sel = sum(r["sel_weight"] for r in audit.values())
     assert total_sel >= 800 - 100  # budgets filled modulo flooring
+
+
+def test_temperature_audit_sentinel_collision_refused(spark):
+    """A REAL stratum value equal to the internal NULL marker must be
+    refused, never silently merged with the NULL stratum's budget."""
+    import pytest
+
+    from data_quality_spark.operators.sampling import temperature_audit
+
+    rows = [(0, "\x00null", 50), (1, None, 50)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    with pytest.raises(ValueError, match="sentinel"):
+        temperature_audit(df, "n_chars", 80, "lang", "doc_id", seed=2,
+                          portable=True)
