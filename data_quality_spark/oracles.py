@@ -947,23 +947,27 @@ def _v2_row_flags(n=400, seed=42) -> tuple[list, list[dict]]:
         nws = len(_re.sub(r"[ \t\n\r]+", "", r["transcript"] or ""))
         speech_ms = int(vd["speech_ms"])
         cps = (nws * 1000.0 / speech_ms) if speech_ms > 0 else None
+        def _mdef(v, default):
+            # the v2 no-evidence law, restated independently of the
+            # engine's Column tree: None AND NaN both take the metric's
+            # non-firing default (NOT Spark's NaN-greatest compare — a
+            # NaN-emitting kernel must hit this law on both sides)
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                return float(default)
+            return float(v)
+
         flags = dict(v1)
         flags["dropout"] = dp["n_dropouts"] > 0
         flags["stuck_samples"] = dp["max_const_run"] >= STUCK_MIN_DEFAULT
-        flags["low_snr"] = (
-            sn["snr_db"] is not None and sn["snr_db"] < SNR_MIN_DB
-        )
-        flags["loudness_range"] = lf["lufs_i"] is not None and (
-            lf["lufs_i"] < LUFS_MIN or lf["lufs_i"] > LUFS_MAX
-        )
+        flags["low_snr"] = _mdef(sn["snr_db"], SNR_MIN_DB) < SNR_MIN_DB
+        _lufs = _mdef(lf["lufs_i"], LUFS_MIN)
+        flags["loudness_range"] = _lufs < LUFS_MIN or _lufs > LUFS_MAX
         flags["dc_offset"] = (
             abs(dp["dc_sum"]) * DC_DEN > DC_NUM * n_samples_v1 * 32768
         )
         flags["upsampled"] = (
-            bw["rms"] is not None
-            and bw["rms"] >= MIN_MEASURABLE_RMS
-            and bw["hf_db"] is not None
-            and bw["hf_db"] < MAX_UPSAMPLED_HF_DB
+            _mdef(bw["rms"], 0.0) >= MIN_MEASURABLE_RMS
+            and _mdef(bw["hf_db"], MAX_UPSAMPLED_HF_DB) < MAX_UPSAMPLED_HF_DB
         )
         flags["speaking_rate"] = (
             speech_ms >= SPEAK_MIN_SPEECH_MS

@@ -756,9 +756,18 @@ def featurize_v2(df: DataFrame, counter=None) -> DataFrame:
 def rule_flags_v2(df: DataFrame) -> dict[str, Column]:
     """v1 flags (identical Column expressions) + the audio-metric rules.
 
-    Every v2 flag is wrapped in ``coalesce(·, False)``: a NULL metric
-    (undecodable clip, unmeasurable SNR/LUFS/bandwidth) never fires an
-    audio rule — decode failures are owned by ``decode_failed``."""
+    No-evidence law, stated explicitly (the v1 ``_metric_default``
+    treatment, applied here per metric): an unmeasurable metric — NULL
+    *or* NaN — never fires an audio rule; decode failures are owned by
+    ``decode_failed``.  Each float metric defaults to its own rule's
+    non-firing boundary value (snr_db→SNR_MIN_DB, lufs_i→LUFS_MIN,
+    bw_rms→0, hf_db→MAX_UPSAMPLED_HF_DB), so the law holds even if a
+    kernel starts emitting Arrow NaN instead of None: Spark's
+    NaN-greatest compare would otherwise fire ``loudness_range`` on
+    every unmeasurable clip while the > side of ``low_snr`` stayed
+    silent — the exact asymmetry the v1 gate shipped with.  Integer
+    metrics cannot be NaN; their NULLs fall to the ``coalesce(·,
+    False)`` flag wrapper."""
     from .operators.audio_audit import LUFS_MAX, LUFS_MIN, SNR_MIN_DB
     from .operators.audio_bandwidth import (
         MAX_UPSAMPLED_HF_DB,
@@ -778,16 +787,20 @@ def rule_flags_v2(df: DataFrame) -> dict[str, Column]:
         (F.col("speech_ms") >= F.lit(SPEAK_MIN_SPEECH_MS))
         & (F.col("nws_chars") > 0)
     )
+    snr = _metric_default("snr_db", SNR_MIN_DB)
+    lufs = _metric_default("lufs_i", LUFS_MIN)
+    bw_rms = _metric_default("bw_rms", 0.0)
+    hf_db = _metric_default("hf_db", MAX_UPSAMPLED_HF_DB)
     v2 = {
         "dropout": F.col("n_dropouts") > 0,
         "stuck_samples": F.col("max_const_run") >= F.lit(STUCK_MIN_DEFAULT),
-        "low_snr": F.col("snr_db") < F.lit(SNR_MIN_DB),
-        "loudness_range": (F.col("lufs_i") < F.lit(LUFS_MIN))
-        | (F.col("lufs_i") > F.lit(LUFS_MAX)),
+        "low_snr": snr < F.lit(SNR_MIN_DB),
+        "loudness_range": (lufs < F.lit(LUFS_MIN))
+        | (lufs > F.lit(LUFS_MAX)),
         "dc_offset": F.abs(F.col("dc_sum")) * F.lit(DC_DEN)
         > F.lit(DC_NUM) * F.col("n_samples") * F.lit(32768),
-        "upsampled": (F.col("bw_rms") >= F.lit(MIN_MEASURABLE_RMS))
-        & (F.col("hf_db") < F.lit(MAX_UPSAMPLED_HF_DB)),
+        "upsampled": (bw_rms >= F.lit(MIN_MEASURABLE_RMS))
+        & (hf_db < F.lit(MAX_UPSAMPLED_HF_DB)),
         "speaking_rate": measurable
         & ((cps < F.lit(SPEAK_MIN_CPS)) | (cps > F.lit(SPEAK_MAX_CPS))),
     }

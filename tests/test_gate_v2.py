@@ -225,3 +225,106 @@ def test_runner_v2_profile(spark, corpus_pdf, tmp_path_factory):
     assert r1["rows_kept"] == want_keep == silver.count()
     r2 = run_gate_pipeline(spark, path, out, profile="v2")
     assert r2["days"] == 0 and r2["rows_in"] == 0
+
+
+class TestV2NaNMetricDefaultLaw:
+    """A NaN-emitting kernel must hit the explicit no-evidence defaults:
+    NaN (like NULL) never fires an audio-metric rule.  Spark's native
+    NaN-greatest compare would fire ``loudness_range`` (NaN > LUFS_MAX
+    is true) while leaving ``low_snr`` silent — the asymmetry the v1
+    gate shipped with; this pins the v2 ladder to the stated law."""
+
+    _SCHEMA = (
+        "clip_id string, transcript string, decode_ok boolean, "
+        "sr_hz int, dur_ms int, n_samples long, rms_db double, "
+        "peak_db double, silence_frac double, clip_frac double, "
+        "token_count int, lang_conf double, ppl double, "
+        "rep_ratio double, len_ratio double, charclass_frac double, "
+        "digit_frac double, speech_ms int, nws_chars int, "
+        "snr_db double, lufs_i double, n_dropouts long, "
+        "max_const_run long, dc_sum long, bw_rms double, hf_db double"
+    )
+
+    def _row(self, clip_id, **overrides):
+        healthy = dict(
+            clip_id=clip_id, transcript="a clean caption", decode_ok=True,
+            sr_hz=16000, dur_ms=1000, n_samples=16000, rms_db=-20.0,
+            peak_db=-3.0, silence_frac=0.1, clip_frac=0.0, token_count=3,
+            lang_conf=0.99, ppl=50.0, rep_ratio=0.1, len_ratio=20.0,
+            charclass_frac=0.0, digit_frac=0.0, speech_ms=0, nws_chars=13,
+            snr_db=30.0, lufs_i=-20.0, n_dropouts=0, max_const_run=0,
+            dc_sum=0, bw_rms=0.2, hf_db=-10.0,
+        )
+        healthy.update(overrides)
+        return healthy
+
+    def _decide(self, spark, rows):
+        from data_quality_spark.pipeline import decide_v2
+
+        df = spark.createDataFrame(
+            [tuple(r[k] for k in [f.split(" ")[0] for f in
+                                  self._SCHEMA.split(", ")])
+             for r in rows],
+            self._SCHEMA,
+        )
+        return {
+            r["clip_id"]: (r["decision"], r["decision_reason"])
+            for r in decide_v2(df).select(
+                "clip_id", "decision", "decision_reason").collect()
+        }
+
+    def test_nan_metrics_never_fire_audio_rules(self, spark):
+        nan = float("nan")
+        got = self._decide(spark, [
+            self._row("all_nan", snr_db=nan, lufs_i=nan, bw_rms=nan,
+                      hf_db=nan),
+            self._row("healthy"),
+        ])
+        assert got["healthy"] == ("keep", None)
+        # the NaN-greatest compare would have dropped this row with
+        # reason 'loudness_range'; the explicit law keeps it
+        assert got["all_nan"] == ("keep", None)
+
+    def test_real_evidence_still_fires(self, spark):
+        from data_quality_spark.operators.audio_audit import (
+            LUFS_MAX,
+            SNR_MIN_DB,
+        )
+
+        got = self._decide(spark, [
+            self._row("quiet_snr", snr_db=SNR_MIN_DB - 10.0),
+            self._row("too_loud", lufs_i=LUFS_MAX + 10.0),
+            self._row("upsampled", bw_rms=0.2, hf_db=-90.0),
+        ])
+        assert got["quiet_snr"] == ("drop", "low_snr")
+        assert got["too_loud"] == ("drop", "loudness_range")
+        assert got["upsampled"] == ("drop", "upsampled")
+
+    def test_null_metrics_same_law(self, spark):
+        got = self._decide(spark, [
+            self._row("all_null", snr_db=None, lufs_i=None, bw_rms=None,
+                      hf_db=None),
+        ])
+        assert got["all_null"] == ("keep", None)
+
+    def test_twin_mdef_agrees_on_nan(self):
+        """The oracle twin's _mdef law, exercised directly on NaN: the
+        defaulted values must sit exactly on each rule's non-firing
+        boundary (the engine's _metric_default constants)."""
+        import math
+
+        from data_quality_spark.operators.audio_audit import (
+            LUFS_MAX,
+            LUFS_MIN,
+            SNR_MIN_DB,
+        )
+
+        def _mdef(v, default):
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                return float(default)
+            return float(v)
+
+        nan = float("nan")
+        assert not (_mdef(nan, SNR_MIN_DB) < SNR_MIN_DB)
+        lufs = _mdef(nan, LUFS_MIN)
+        assert not (lufs < LUFS_MIN or lufs > LUFS_MAX)
