@@ -31,7 +31,12 @@ def build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     c = sub.add_parser("check", help="health scan: nulls + duplicates + orphans")
-    c.add_argument("--tables", required=True, help="directory of <name>.parquet tables")
+    c.add_argument("--tables", default=None,
+                   help="directory of <name>.parquet tables")
+    c.add_argument("--database-url", default=None,
+                   help="live database instead of parquet: sqlite:///path "
+                   "or jdbc:mysql://host/db (the reference's entry point; "
+                   "sqlite FKs are auto-discovered from PRAGMA)")
     c.add_argument("--pattern", default=None, help="only tables containing this substring")
     # CI-system formats mirror the reference's runner outputs
     # (ref scripts/ci_cd_data_quality.py:325 choices + format functions)
@@ -453,22 +458,48 @@ def main(argv: list[str] | None = None) -> int:
 
         print(json.dumps(get_json_schema(), indent=2))
         return 0
+    from .exceptions import CLI_ERROR_EXIT, DataQualityError
     from .session import get_spark
 
     spark = get_spark("dq-cli", master=args.master)
     try:
         if args.cmd == "check":
+            from .exceptions import ResourceError, ValidationError
             from .operators.scans import health_check
             from .plans.report import Report, exit_code_for
 
-            names = _discover(args.tables, args.pattern)
-            tables = {
-                n: spark.read.parquet(os.path.join(args.tables, f"{n}.parquet"))
-                for n in names
-            }
-            rep = health_check(tables)
+            if bool(args.tables) == bool(args.database_url):
+                raise ValidationError(
+                    "check arguments",
+                    f"tables={args.tables!r} database_url="
+                    f"{args.database_url!r}",
+                    "exactly one of --tables / --database-url",
+                )
+            if args.database_url:
+                from .sources.database import load_database
+
+                patterns = [args.pattern] if args.pattern else None
+                tables, fk_map = load_database(
+                    spark, args.database_url, patterns=patterns
+                )
+                source = args.database_url
+            else:
+                if not os.path.isdir(args.tables):
+                    raise ResourceError(
+                        "tables", f"not a readable directory: {args.tables!r}",
+                        suggestion="pass a directory of <name>.parquet files",
+                    )
+                names = _discover(args.tables, args.pattern)
+                tables = {
+                    n: spark.read.parquet(
+                        os.path.join(args.tables, f"{n}.parquet"))
+                    for n in names
+                }
+                fk_map = None
+                source = args.tables
+            rep = health_check(tables, fk_map)
             report = Report(
-                tool_version="1.0", source=args.tables, issues=rep.issues
+                tool_version="1.0", source=source, issues=rep.issues
             )
             rendered = report.render(args.format)
             print(rendered)
@@ -1557,6 +1588,11 @@ def main(argv: list[str] | None = None) -> int:
                     )
             return 0
         return 2
+    except DataQualityError as e:
+        # typed error = "the check never ran" — exit 3, distinct from the
+        # 1/2 fail_on policy codes (ref cli_clean.py:109-121 semantics)
+        print(f"Error: {e}", file=sys.stderr)
+        return CLI_ERROR_EXIT
     finally:
         spark.stop()
 

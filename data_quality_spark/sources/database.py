@@ -1,0 +1,306 @@
+"""Live-RDBMS access path: point the health scan at a database URL.
+
+The reference's primary entry point is a SQLAlchemy URL —
+``health_check("mysql://...")`` discovers tables from
+``information_schema`` (or ``sqlite_master`` as the fallback), picks key
+columns, and scans (``/root/reference/src/data_quality/
+quality_scanner.py:274-330``, ``secure_db.py:144-166``).  This module is
+the Spark-native analog feeding the SAME downstream operators
+(``operators.scans``): it only loads relations; every rule stays in the
+shared scan layer.
+
+Two access paths, two scale postures:
+
+- **sqlite** (``sqlite:///path``): a single LOCAL file — by definition
+  driver-resident, so rows are read driver-side via the stdlib
+  ``sqlite3`` and handed to Spark with an EXPLICIT schema derived from
+  sqlite's type-affinity rules (all-NULL columns must not collapse to
+  void).  This is the convenience path for the reference's
+  file-database workflows; it is intentionally not a 100 TB path.
+- **JDBC** (``jdbc:mysql://…``, ``mysql://…``, ``postgresql://…``): the
+  cluster path — ``spark.read.format("jdbc")`` with partitioned reads
+  (``partitionColumn``/``numPartitions`` passthrough), table discovery
+  via an ``information_schema`` subquery exactly where the reference
+  queries it.  The driver jar is deployment config; without one on the
+  classpath this raises a typed ``ConfigurationError`` naming the
+  missing jar rather than a Py4J stack trace.
+
+FK discovery parity: the reference reads declared FKs from
+``information_schema`` (quality_scanner.py:421-445); sqlite declares
+them in ``PRAGMA foreign_key_list`` — surfaced here as the exact
+``fk_map`` shape ``operators.scans.scan_orphans`` consumes (composite
+FKs grouped by constraint id into tuple entries).
+"""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+from typing import Any, Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..exceptions import ConfigurationError, ResourceError, ValidationError
+
+__all__ = [
+    "parse_database_url",
+    "sqlite_tables",
+    "sqlite_schema",
+    "sqlite_fk_map",
+    "load_sqlite",
+    "load_jdbc",
+    "load_database",
+]
+
+_JDBC_SCHEMES = {"mysql", "postgresql", "mariadb"}
+
+
+def parse_database_url(url: str) -> tuple[str, str]:
+    """``(kind, rest)`` where kind ∈ {'sqlite', 'jdbc'}.
+
+    SQLAlchemy conventions honored (the reference's URL dialect,
+    secure_db.py:144-151): ``sqlite:///rel.db`` is relative,
+    ``sqlite:////abs.db`` absolute, ``+driver`` suffixes ignored
+    (``sqlite+pysqlite://``), bare ``mysql://`` / ``postgresql://``
+    normalized to their ``jdbc:`` form."""
+    if not isinstance(url, str) or "://" not in url and not url.startswith(
+        "jdbc:"
+    ):
+        raise ValidationError(
+            "database_url", url, "a scheme://... database URL",
+            "e.g. sqlite:///path/to.db or jdbc:mysql://host/db",
+        )
+    if url.startswith("jdbc:"):
+        return "jdbc", url
+    scheme, rest = url.split("://", 1)
+    scheme = scheme.split("+")[0].lower()
+    if scheme == "sqlite":
+        # '///x.db' -> rest '/x.db' (relative), '////x.db' -> '//x.db'
+        path = rest[1:] if rest.startswith("/") else rest
+        return "sqlite", path
+    if scheme in _JDBC_SCHEMES:
+        return "jdbc", f"jdbc:{scheme}://{rest}"
+    raise ValidationError(
+        "database_url", url,
+        f"a sqlite or JDBC URL (schemes: sqlite, {sorted(_JDBC_SCHEMES)})",
+    )
+
+
+def _connect_sqlite(path: str) -> sqlite3.Connection:
+    if not path or not os.path.exists(path):
+        raise ResourceError(
+            "database", f"sqlite file not found: {path!r}",
+            suggestion="Check the path portion of the sqlite:/// URL",
+        )
+    try:
+        # file: URI with mode=ro — a health scan must never create or
+        # lock the database it is auditing
+        return sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+    except sqlite3.Error as e:  # pragma: no cover - OS-dependent
+        raise ResourceError("database", f"cannot open {path!r}: {e}") from e
+
+
+def sqlite_tables(path: str, patterns: Sequence[str] | None = None
+                  ) -> list[str]:
+    """Table names from ``sqlite_master``, optionally filtered by the
+    reference's substring-pattern law (``%`` stripped,
+    quality_scanner.py:311-328)."""
+    with _connect_sqlite(path) as con:
+        rows = con.execute(
+            "SELECT name FROM sqlite_master WHERE type='table' "
+            "AND name NOT LIKE 'sqlite_%' ORDER BY name"
+        ).fetchall()
+    names = [r[0] for r in rows]
+    if patterns:
+        keys = [p.replace("%", "") for p in patterns]
+        names = [t for t in names if any(k in t for k in keys)]
+    return names
+
+
+def _affinity_type(decltype: str | None) -> T.DataType:
+    """sqlite type-affinity rules (sqlite3 docs §3.1) → Spark type."""
+    d = (decltype or "").upper()
+    if "INT" in d:
+        return T.LongType()
+    if any(k in d for k in ("CHAR", "CLOB", "TEXT")):
+        return T.StringType()
+    if not d or "BLOB" in d:
+        return T.BinaryType()
+    if any(k in d for k in ("REAL", "FLOA", "DOUB")):
+        return T.DoubleType()
+    return T.DoubleType()  # NUMERIC affinity
+
+
+def sqlite_schema(path: str, table: str) -> T.StructType:
+    with _connect_sqlite(path) as con:
+        cols = con.execute(
+            "SELECT name, type FROM pragma_table_info(?)", (table,)
+        ).fetchall()
+    if not cols:
+        raise ValidationError("table", table, "an existing table name")
+    return T.StructType(
+        [T.StructField(n, _affinity_type(t), True) for n, t in cols]
+    )
+
+
+def _coerce(v: Any, dt: T.DataType) -> Any:
+    """sqlite is dynamically typed per CELL; coerce stray values onto the
+    column's declared affinity instead of letting createDataFrame throw
+    on row 10^6."""
+    if v is None:
+        return None
+    if isinstance(dt, T.LongType):
+        try:
+            return int(v)
+        except (TypeError, ValueError):
+            return None
+    if isinstance(dt, T.DoubleType):
+        try:
+            return float(v)
+        except (TypeError, ValueError):
+            return None
+    if isinstance(dt, T.StringType):
+        return v if isinstance(v, str) else str(v)
+    if isinstance(dt, T.BinaryType):
+        if isinstance(v, (bytes, bytearray, memoryview)):
+            return bytes(v)
+        return str(v).encode()
+    return v
+
+
+def load_sqlite(
+    spark: SparkSession,
+    path: str,
+    tables: Sequence[str] | None = None,
+    patterns: Sequence[str] | None = None,
+) -> dict[str, DataFrame]:
+    """Each table as a DataFrame with its affinity-derived schema."""
+    names = list(tables) if tables else sqlite_tables(path, patterns)
+    out: dict[str, DataFrame] = {}
+    with _connect_sqlite(path) as con:
+        for name in names:
+            schema = sqlite_schema(path, name)
+            quoted = name.replace('"', '""')
+            rows = con.execute(f'SELECT * FROM "{quoted}"').fetchall()
+            data = [
+                tuple(_coerce(v, f.dataType) for v, f in zip(r, schema.fields))
+                for r in rows
+            ]
+            out[name] = spark.createDataFrame(data, schema)
+    return out
+
+
+def sqlite_fk_map(
+    path: str, tables: Sequence[str]
+) -> dict[str, list[tuple]]:
+    """Declared FKs per child table, in ``scan_orphans`` shape: single
+    columns as ``(col, parent, parent_col)``, composite constraints
+    (same PRAGMA ``id``) as tuple entries.  A FK whose parent table is
+    not in ``tables`` is dropped (nothing to join against)."""
+    known = set(tables)
+    fk_map: dict[str, list[tuple]] = {}
+    with _connect_sqlite(path) as con:
+        for child in tables:
+            rows = con.execute(
+                "SELECT id, seq, \"table\", \"from\", \"to\" "
+                "FROM pragma_foreign_key_list(?) ORDER BY id, seq",
+                (child,),
+            ).fetchall()
+            by_id: dict[int, list] = {}
+            for fid, _seq, parent, src, dst in rows:
+                if dst is None:
+                    # FK to the parent's implicit PK: resolve it
+                    pks = [
+                        r[0] for r in con.execute(
+                            "SELECT name FROM pragma_table_info(?) "
+                            "WHERE pk > 0 ORDER BY pk", (parent,)
+                        ).fetchall()
+                    ]
+                    dst = pks[_seq] if _seq < len(pks) else None
+                by_id.setdefault(fid, []).append((parent, src, dst))
+            entries = []
+            for fid in sorted(by_id):
+                cols = by_id[fid]
+                parent = cols[0][0]
+                if parent not in known or any(d is None for _, _, d in cols):
+                    continue
+                if len(cols) == 1:
+                    entries.append((cols[0][1], parent, cols[0][2]))
+                else:
+                    entries.append((
+                        tuple(c[1] for c in cols), parent,
+                        tuple(c[2] for c in cols),
+                    ))
+            if entries:
+                fk_map[child] = entries
+    return fk_map
+
+
+def load_jdbc(
+    spark: SparkSession,
+    url: str,
+    tables: Sequence[str] | None = None,
+    patterns: Sequence[str] | None = None,
+    options: Mapping[str, str] | None = None,
+) -> dict[str, DataFrame]:
+    """JDBC tables as DataFrames; discovery via ``information_schema``
+    (the reference's primary path, quality_scanner.py:281-307) when no
+    explicit list is given.  ``options`` pass straight through to the
+    reader — set ``partitionColumn``/``lowerBound``/``upperBound``/
+    ``numPartitions`` there for partitioned scans of big tables."""
+    opts = dict(options or {})
+
+    def _read(dbtable: str) -> DataFrame:
+        reader = (
+            spark.read.format("jdbc").option("url", url)
+            .option("dbtable", dbtable)
+        )
+        for k, v in opts.items():
+            reader = reader.option(k, str(v))
+        try:
+            return reader.load()
+        except Exception as e:  # noqa: BLE001 - Py4J error classes vary
+            msg = str(e)
+            if "No suitable driver" in msg or "ClassNotFound" in msg:
+                raise ConfigurationError(
+                    "jdbc.driver",
+                    f"no JDBC driver on the Spark classpath for {url}",
+                    "launch with --jars <vendor-connector>.jar (e.g. "
+                    "mysql-connector-j) or spark.jars.packages",
+                ) from e
+            raise ResourceError("database", f"JDBC read failed: {msg}") from e
+
+    if tables:
+        names = list(tables)
+    else:
+        where = ""
+        if patterns:
+            likes = " OR ".join(
+                "table_name LIKE '%" + p.replace("%", "").replace("'", "")
+                + "%'" for p in patterns
+            )
+            where = f" AND ({likes})"
+        disc = _read(
+            "(SELECT table_name FROM information_schema.tables "
+            f"WHERE table_schema = DATABASE(){where}) AS t"
+        )
+        names = [r[0] for r in disc.collect()]
+    return {n: _read(n) for n in names}
+
+
+def load_database(
+    spark: SparkSession,
+    url: str,
+    tables: Sequence[str] | None = None,
+    patterns: Sequence[str] | None = None,
+    options: Mapping[str, str] | None = None,
+) -> tuple[dict[str, DataFrame], dict[str, list[tuple]]]:
+    """URL → (tables, declared fk_map) — everything ``health_check``
+    needs.  JDBC has no portable FK PRAGMA; its fk_map is empty (pass
+    your own to health_check, as the parquet path does)."""
+    kind, rest = parse_database_url(url)
+    if kind == "sqlite":
+        loaded = load_sqlite(spark, rest, tables, patterns)
+        return loaded, sqlite_fk_map(rest, list(loaded))
+    return load_jdbc(spark, rest, tables, patterns, options), {}

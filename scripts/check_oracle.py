@@ -6,6 +6,11 @@ and values (rows sorted, column order by name — the driver's order-insensitive
 value-hash).  Rows-only queries are just executed and counted.
 
 Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+
+Set ORACLES_REPORT=<path.json> to also write a machine-readable report
+(one entry per query: rows_match/schema_match/hash_match/rows/secs/err)
+— the repo-side equivalent of the driver's CORRECTNESS_r{N}.json, over
+ALL queries instead of a sample.
 """
 
 from __future__ import annotations
@@ -39,6 +44,9 @@ def frame_key(cols, rows):
 
 
 def main() -> int:
+    import json
+    import os
+
     import duckdb
 
     import __spark_entry__ as entrymod
@@ -46,6 +54,17 @@ def main() -> int:
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    report: dict[str, dict] = {}
+    report_path = os.environ.get("ORACLES_REPORT")
+
+    def record(name, *, rows_match=False, schema_match=False,
+               hash_match=False, rows=None, secs=None, err=None,
+               mode="oracle"):
+        report[name] = {
+            "rows_match": rows_match, "schema_match": schema_match,
+            "hash_match": hash_match, "rows": rows, "secs": secs,
+            "err": err, "mode": mode,
+        }
 
     spark = get_spark("oracle-check")
     con = duckdb.connect()
@@ -67,11 +86,15 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
+            record(name, err=f"spark: {e}")
             failures += 1
             continue
         dt = time.perf_counter() - t0
         if name not in oracles:
             print(f"ok    {name}: rows-only, {len(srows)} rows  ({dt:.1f}s)")
+            record(name, rows_match=True, schema_match=True,
+                   hash_match=False, rows=len(srows), secs=round(dt, 2),
+                   mode="rows_only")
             continue
         try:
             res = con.execute(oracles[name])
@@ -79,16 +102,23 @@ def main() -> int:
             drows = res.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
+            record(name, rows=len(srows), secs=round(dt, 2),
+                   err=f"duckdb: {e}")
             failures += 1
             continue
         sc, sk = frame_key(scols, srows)
         dc, dk = frame_key(dcols, drows)
         if sc != dc:
             print(f"FAIL  {name}: columns spark={sc} duckdb={dc}")
+            record(name, rows=len(srows), secs=round(dt, 2),
+                   err=f"columns spark={sc} duckdb={dc}")
             failures += 1
             continue
         if len(sk) != len(dk):
             print(f"FAIL  {name}: rowcount spark={len(sk)} duckdb={len(dk)}")
+            record(name, schema_match=True, rows=len(srows),
+                   secs=round(dt, 2),
+                   err=f"rowcount spark={len(sk)} duckdb={len(dk)}")
             failures += 1
             continue
         bad = [i for i, (a, b) in enumerate(zip(sk, dk)) if a != b]
@@ -98,10 +128,26 @@ def main() -> int:
                 f"FAIL  {name}: {len(bad)}/{len(sk)} rows differ; first:\n"
                 f"      cols  ={sc}\n      spark ={sk[i]}\n      duckdb={dk[i]}"
             )
+            record(name, rows_match=True, schema_match=True,
+                   rows=len(sk), secs=round(dt, 2),
+                   err=f"{len(bad)}/{len(sk)} value rows differ")
             failures += 1
             continue
         print(f"PASS  {name}: {len(sk)} rows match  ({dt:.1f}s)")
+        record(name, rows_match=True, schema_match=True, hash_match=True,
+               rows=len(sk), secs=round(dt, 2))
     spark.stop()
+    if report_path:
+        ok = sum(1 for v in report.values() if v["err"] is None)
+        payload = {
+            "sf_dir": sf_dir,
+            "n_queries": len(report),
+            "n_green": ok,
+            "queries": report,
+        }
+        with open(report_path, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+        print(f"report: {report_path} ({ok}/{len(report)} green)")
     return 1 if failures else 0
 
 

@@ -1,0 +1,226 @@
+"""Live-database access path: sqlite URL → health scan.
+
+Reproduces the reference's music-database integration scenario
+(``/root/reference/tests/test_quality_scanner.py:476-575``): a sqlite
+file with seeded null / duplicate / orphan defects, scanned through the
+SAME operators the parquet path uses, plus the typed-error exit-3 CLI
+law (ref ``cli_clean.py:109-121``).
+"""
+
+from __future__ import annotations
+
+import json
+import sqlite3
+
+import pytest
+
+from data_quality_spark.exceptions import (
+    ResourceError,
+    ValidationError,
+)
+from data_quality_spark.sources.database import (
+    load_database,
+    load_sqlite,
+    parse_database_url,
+    sqlite_fk_map,
+    sqlite_schema,
+    sqlite_tables,
+)
+
+REF_DDL = [
+    # the reference scenario's DDL, with the FK declared so PRAGMA
+    # discovery has something to find (the reference reads FKs from
+    # information_schema, quality_scanner.py:421-445)
+    """CREATE TABLE artists (
+        id INTEGER PRIMARY KEY,
+        name TEXT NOT NULL,
+        spotify_id TEXT
+    )""",
+    """CREATE TABLE songs (
+        id INTEGER PRIMARY KEY,
+        title TEXT NOT NULL,
+        artist_id INTEGER REFERENCES artists(id),
+        isrc TEXT,
+        spotify_id TEXT
+    )""",
+]
+
+REF_ROWS = [
+    "INSERT INTO artists VALUES (1,'Artist 1','spotify123')",
+    "INSERT INTO artists VALUES (2,'Artist 2',NULL)",
+    "INSERT INTO artists VALUES (3,'Artist 3','spotify456')",
+    "INSERT INTO songs VALUES (1,'Song 1',1,'USRC123','track123')",
+    "INSERT INTO songs VALUES (2,'Song 2',2,NULL,'track456')",
+    "INSERT INTO songs VALUES (3,'Song 3',NULL,'USRC789',NULL)",
+    "INSERT INTO songs VALUES (4,'Song 4',1,'USRC123','track789')",
+]
+
+
+def _seed(path, extra_rows=()):
+    con = sqlite3.connect(path)
+    for stmt in REF_DDL + REF_ROWS + list(extra_rows):
+        con.execute(stmt)
+    con.commit()
+    con.close()
+
+
+@pytest.fixture()
+def music_db(tmp_path):
+    p = str(tmp_path / "music.db")
+    _seed(p)
+    return p
+
+
+class TestUrlParsing:
+    def test_sqlite_relative_and_absolute(self):
+        assert parse_database_url("sqlite:///rel.db") == ("sqlite", "rel.db")
+        assert parse_database_url("sqlite:////tmp/a.db") == (
+            "sqlite", "/tmp/a.db")
+        assert parse_database_url("sqlite+pysqlite:///x.db") == (
+            "sqlite", "x.db")
+
+    def test_jdbc_normalization(self):
+        assert parse_database_url("mysql://h/db") == (
+            "jdbc", "jdbc:mysql://h/db")
+        assert parse_database_url("jdbc:postgresql://h/db")[0] == "jdbc"
+
+    def test_rejects_unknown_scheme(self):
+        with pytest.raises(ValidationError):
+            parse_database_url("mongodb://h/db")
+        with pytest.raises(ValidationError):
+            parse_database_url("not a url")
+
+
+class TestSqliteLoad:
+    def test_discovery_and_patterns(self, music_db):
+        assert sqlite_tables(music_db) == ["artists", "songs"]
+        assert sqlite_tables(music_db, ["song%"]) == ["songs"]
+
+    def test_missing_file_is_typed_error(self):
+        with pytest.raises(ResourceError):
+            sqlite_tables("/nonexistent/path/database.db")
+
+    def test_affinity_schema(self, music_db):
+        sch = sqlite_schema(music_db, "songs")
+        kinds = {f.name: f.dataType.simpleString() for f in sch.fields}
+        assert kinds == {
+            "id": "bigint", "title": "string", "artist_id": "bigint",
+            "isrc": "string", "spotify_id": "string",
+        }
+
+    def test_all_null_column_keeps_declared_type(self, spark, tmp_path):
+        p = str(tmp_path / "t.db")
+        con = sqlite3.connect(p)
+        con.execute("CREATE TABLE t (id INTEGER, x REAL, b BLOB)")
+        con.execute("INSERT INTO t VALUES (1, NULL, NULL)")
+        con.commit()
+        con.close()
+        df = load_sqlite(spark, p)["t"]
+        assert [f.dataType.simpleString() for f in df.schema.fields] == [
+            "bigint", "double", "binary"]
+        assert df.count() == 1
+
+    def test_fk_discovery(self, music_db):
+        fk = sqlite_fk_map(music_db, ["artists", "songs"])
+        assert fk == {"songs": [("artist_id", "artists", "id")]}
+
+    def test_composite_fk_grouped(self, spark, tmp_path):
+        p = str(tmp_path / "c.db")
+        con = sqlite3.connect(p)
+        con.execute("CREATE TABLE p (a INTEGER, b INTEGER, PRIMARY KEY (a, b))")
+        con.execute(
+            "CREATE TABLE c (x INTEGER, y INTEGER, "
+            "FOREIGN KEY (x, y) REFERENCES p (a, b))")
+        con.commit()
+        con.close()
+        fk = sqlite_fk_map(p, ["p", "c"])
+        assert fk == {"c": [(("x", "y"), "p", ("a", "b"))]}
+
+
+class TestMusicScenario:
+    """The reference's TestIntegration.test_music_database_scenario,
+    driven through the Spark operators."""
+
+    def _report(self, spark, path):
+        from data_quality_spark.operators.scans import health_check
+
+        tables, fk_map = load_database(spark, f"sqlite:///{path}")
+        return health_check(tables, fk_map)
+
+    def test_finds_nulls_and_duplicates(self, spark, tmp_path):
+        p = str(tmp_path / "music.db")
+        _seed(p)
+        rep = self._report(spark, p)
+        assert rep.all_good is False
+        assert rep.total_issues > 0
+        issues = rep.issues
+        nulls = [i for i in issues if i["issue_type"] == "nulls"]
+        dups = [i for i in issues if i["issue_type"] == "duplicate"]
+        assert len(nulls) > 0 and len(dups) > 0
+        # seeded counts: artists.spotify_id 1 NULL of 3; songs.isrc 1
+        # NULL of 4; duplicate isrc USRC123 -> 1 extra row
+        by = {(i["table"], i["column"], i["issue_type"]): i for i in issues}
+        assert by[("artists", "spotify_id", "nulls")]["count"] == 1
+        assert by[("artists", "spotify_id", "nulls")]["total"] == 3
+        assert by[("songs", "isrc", "nulls")]["count"] == 1
+        assert by[("songs", "isrc", "duplicate")]["count"] == 1
+        for i in issues:
+            assert i["table"] in ("artists", "songs")
+            assert i["count"] > 0 and i["total"] > 0
+            assert i["percent"] >= 0
+            assert i["severity"] in ("critical", "warning", "info")
+            assert len(i["description"]) > 0
+
+    def test_discovered_fk_finds_orphans(self, spark, tmp_path):
+        p = str(tmp_path / "music.db")
+        _seed(p, ["INSERT INTO songs VALUES "
+                  "(5,'Song 5',99,'USRC555','track555')"])
+        rep = self._report(spark, p)
+        orphans = [i for i in rep.issues if i["issue_type"] == "orphan"]
+        assert len(orphans) == 1
+        o = orphans[0]
+        assert (o["table"], o["column"]) == ("songs", "artist_id")
+        assert o["count"] == 1 and o["severity"] == "critical"
+
+
+@pytest.mark.slow
+class TestCliDatabaseUrl:
+    def _main(self, monkeypatch, argv):
+        import data_quality_spark.cli as cli
+
+        monkeypatch.setattr("pyspark.sql.SparkSession.stop",
+                            lambda self: None)
+        return cli.main(argv)
+
+    def test_check_database_url(self, spark, music_db, capsys, monkeypatch):
+        code = self._main(monkeypatch, [
+            "check", "--database-url", f"sqlite:///{music_db}",
+            "--format", "json", "--fail-on", "none",
+        ])
+        payload = json.loads(capsys.readouterr().out)
+        assert code == 0
+        types = {i["issue_type"] for i in payload["issues"]}
+        assert {"nulls", "duplicate"} <= types
+
+    def test_unreadable_database_exits_3(self, spark, capsys, monkeypatch):
+        code = self._main(monkeypatch, [
+            "check", "--database-url",
+            "sqlite:///nonexistent/path/database.db",
+        ])
+        err = capsys.readouterr().err
+        assert code == 3
+        assert "Error:" in err and "sqlite file not found" in err
+
+    def test_tables_and_url_mutually_exclusive(self, spark, tmp_path,
+                                               capsys, monkeypatch):
+        code = self._main(monkeypatch, [
+            "check", "--tables", str(tmp_path),
+            "--database-url", "sqlite:///x.db",
+        ])
+        assert code == 3
+
+    def test_unreadable_tables_dir_exits_3(self, spark, capsys, monkeypatch):
+        code = self._main(monkeypatch, [
+            "check", "--tables", "/nonexistent/dir",
+        ])
+        assert code == 3
