@@ -2037,6 +2037,37 @@ def q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_eval_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eval-side capstone beside ``training_manifest``: gate keep ×
+    identity-split val × per-LANGUAGE balance caps (30 s of audio per
+    language, filled in the shared portable-hash prefix order) ×
+    duration accounting.  Excluded-for-balance candidates stay in the
+    relation with ``in_eval=false`` — the audit surface.  Reconciles
+    with training_manifest by construction: every row here is a
+    keep∧val row there, and the two never share a train_ready clip.
+    Twin: manifest replay + explicit per-lang hashlib prefix."""
+    from data_quality_spark.operators.audio_identity import identity_split
+    from data_quality_spark.operators.sampling import eval_manifest
+    from data_quality_spark.pipeline import gate
+
+    ensure_expected("eval_manifest", sf_dir)
+    clips = _clips_df(spark)
+    decided = gate(clips).select("clip_id", "decision", "lang_pred")
+    assigned = identity_split(clips, val_frac=0.25, seed=11).select(
+        "clip_id", "split", "component"
+    )
+    m = (
+        clips.select("clip_id", "dur_ms")
+        .join(decided, "clip_id")
+        .join(assigned, "clip_id")
+    )
+    return eval_manifest(m, 30_000, seed=5).select(
+        "clip_id", "lang_pred", "component",
+        F.col("dur_ms").cast("long").alias("dur_ms"),
+        "cum_before_ms", "in_eval",
+    ).orderBy("clip_id")
+
+
 def q_audio_specaugment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SpecAugment over the log-mel feature tables (second-stage
     producer — consumes FEATURES, not audio: the decode+mel pass is
@@ -4571,6 +4602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_split_drift": q_audio_split_drift,
         "audio_specaugment": q_audio_specaugment,
         "training_manifest": q_training_manifest,
+        "eval_manifest": q_eval_manifest,
         "voice_balance": q_voice_balance,
         "audio_augment": q_audio_augment,
         "audio_excerpt_match": q_audio_excerpt_match,
@@ -6828,6 +6860,7 @@ FROM tot JOIN g USING (lang) ORDER BY tot.lang""",
         "audio_split_drift": _expected_sql("audio_split_drift"),
         "audio_specaugment": _expected_sql("audio_specaugment"),
         "training_manifest": _expected_sql("training_manifest"),
+        "eval_manifest": _expected_sql("eval_manifest"),
         "voice_balance": _expected_sql("voice_balance"),
         "audio_augment": _expected_sql("audio_augment"),
         "audio_excerpt_match": _expected_sql("audio_excerpt_match"),

@@ -62,6 +62,7 @@ __all__ = [
     "temperature_budgets",
     "temperature_audit",
     "skew_audit",
+    "eval_manifest",
 ]
 
 
@@ -567,4 +568,71 @@ def mixture_audit(
             ),
         )
         .orderBy("stratum")
+    )
+
+
+def eval_manifest(
+    manifest: DataFrame,
+    cap_ms_per_lang: int | dict[str, int],
+    lang_col: str = "lang_pred",
+    dur_col: str = "dur_ms",
+    id_col: str = "clip_id",
+    decision_col: str = "decision",
+    split_col: str = "split",
+    seed: int = 0,
+    portable: bool = True,
+    default_cap_ms: int = 0,
+) -> DataFrame:
+    """The eval-side twin of the training manifest: per candidate clip
+    (gate ``keep`` ∧ identity-split ``val``), the per-language balanced
+    eval-set membership with duration accounting —
+
+        id ▸ lang, [carried cols], dur_ms, cum_before_ms, in_eval
+
+    Balance law: each language's eval budget is ``cap_ms_per_lang``
+    milliseconds (an int for a uniform cap, or a per-language dict with
+    ``default_cap_ms`` for unlisted languages), filled in the shared
+    portable-hash prefix order (``sample_order_col`` — the
+    mixture/temperature selection law), boundary clip INCLUDED (its
+    ``cum_before`` is under the cap; selected duration may exceed the
+    cap by at most that clip, the ``token_budget_sample`` convention).
+    Every candidate row is returned with its ``in_eval`` verdict and
+    ``cum_before_ms`` — the excluded-for-balance rows are the audit
+    surface, not a silent drop.  Eval membership is a pure function of
+    (id, seed, lang, caps): growing the corpus never reshuffles an
+    existing language's prefix, it only extends it.
+
+    Scale shape: the decision/split filters cut to the val slice of the
+    keeps BEFORE any exchange; the only shuffle is that slice keyed by
+    language for the per-language running sum.  Language is
+    low-cardinality, but the relation under the window is the bounded
+    eval candidate pool, not the corpus — if a single language's pool
+    is itself 10^9 rows, pre-filter with a coarse hash-prefix before
+    the window (the caps make anything past ~cap·10 irrelevant).
+
+    Reference analog: none (the reference gates rows; it has no
+    split/balance machinery) — this is the eval-set builder a curation
+    pipeline needs beside ``training_manifest``.
+    """
+    cand = manifest.where(
+        (F.col(decision_col) == "keep") & (F.col(split_col) == "val")
+    )
+    if isinstance(cap_ms_per_lang, dict):
+        cap = None
+        for k, b in sorted(cap_ms_per_lang.items()):
+            clause = F.when(F.col(lang_col) == k, F.lit(int(b)))
+            cap = clause if cap is None else cap.when(
+                F.col(lang_col) == k, F.lit(int(b)))
+        cap = (cap.otherwise(F.lit(int(default_cap_ms))) if cap is not None
+               else F.lit(int(default_cap_ms)))
+    else:
+        cap = F.lit(int(cap_ms_per_lang))
+    order = sample_order_col(F.col(id_col), seed, portable)
+    w = Window.partitionBy(lang_col).orderBy(order.asc(),
+                                             F.col(id_col).asc())
+    dur = F.col(dur_col).cast("long")
+    cum_before = (F.sum(dur).over(w) - dur).alias("cum_before_ms")
+    return (
+        cand.select("*", cum_before)
+        .withColumn("in_eval", F.col("cum_before_ms") < cap)
     )

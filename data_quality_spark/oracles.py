@@ -4764,6 +4764,53 @@ def _training_manifest_expected(
     return out
 
 
+def _eval_manifest_expected(
+    n=1200, seed=42, val_frac=0.25, split_seed=11, max_bucket=64,
+    cap_ms=30_000, sel_seed=5,
+) -> dict:
+    """Twin of q_eval_manifest: the training-manifest replay (pandas
+    gate + identity-axes union-find + md5 split law) narrowed to the
+    keep∧val candidates, then the per-language balance cap replayed
+    EXPLICITLY — hashlib md5 prefix order, running duration, boundary
+    clip included (cum_before < cap)."""
+    import hashlib
+
+    from .operators.sampling import fraction_threshold_hex
+    from .synth import generate_clips
+
+    gate_pdf = _clips_oracle_frame(n, seed)
+    decision = dict(zip(gate_pdf["clip_id"], gate_pdf["decision"]))
+    lang = dict(zip(gate_pdf["clip_id"], gate_pdf["lang_pred"]))
+    clips = generate_clips(n, seed=seed)
+    ap = _identity_pairs_replay(clips, max_bucket)
+    comp = _uf_min_components(ap["content"] + ap["channel"] + ap["voice"])
+    thresh = fraction_threshold_hex(val_frac)
+    cand = []
+    for _, r in clips.iterrows():
+        cid = r["clip_id"]
+        rep = comp.get(cid, cid)
+        h = hashlib.md5(f"{rep}:{split_seed}".encode()).hexdigest()
+        if decision[cid] == "keep" and h < thresh:
+            order = hashlib.md5(f"{cid}:{sel_seed}".encode()).hexdigest()
+            cand.append((lang[cid], order, cid, rep, int(r["dur_ms"])))
+    out = {"clip_id": [], "lang_pred": [], "component": [], "dur_ms": [],
+           "cum_before_ms": [], "in_eval": []}
+    rows = []
+    by_lang: dict[str, int] = {}
+    for lg, _order, cid, rep, dur in sorted(cand):
+        before = by_lang.get(lg, 0)
+        by_lang[lg] = before + dur
+        rows.append((cid, lg, rep, dur, before, before < cap_ms))
+    for cid, lg, rep, dur, before, in_eval in sorted(rows):
+        out["clip_id"].append(cid)
+        out["lang_pred"].append(lg)
+        out["component"].append(rep)
+        out["dur_ms"].append(dur)
+        out["cum_before_ms"].append(before)
+        out["in_eval"].append(in_eval)
+    return out
+
+
 def _audio_split_leakage_expected(
     seed=42, naive_frac=0.3, naive_seed=7, max_bucket=64
 ) -> dict:
@@ -6798,6 +6845,11 @@ _SCHEMAS: dict[str, pa.Schema] = {
          ("split", pa.string()), ("component", pa.string()),
          ("dur_ms", pa.int64()), ("train_ready", pa.bool_())]
     ),
+    "eval_manifest": pa.schema(
+        [("clip_id", pa.string()), ("lang_pred", pa.string()),
+         ("component", pa.string()), ("dur_ms", pa.int64()),
+         ("cum_before_ms", pa.int64()), ("in_eval", pa.bool_())]
+    ),
     "audio_specaugment": pa.schema(
         [("clip_id", pa.string()), ("ok", pa.bool_()),
          ("n_frames", pa.int32()), ("n_mels", pa.int32()),
@@ -7800,6 +7852,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_specaugment_expected()
     elif name == "training_manifest":
         data = _training_manifest_expected()
+    elif name == "eval_manifest":
+        data = _eval_manifest_expected()
     elif name == "audio_multispeaker":
         data = _audio_multispeaker_expected()
     elif name == "voice_balance":

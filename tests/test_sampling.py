@@ -395,3 +395,100 @@ def test_temperature_audit_sentinel_collision_refused(spark):
     with pytest.raises(ValueError, match="sentinel"):
         temperature_audit(df, "n_chars", 80, "lang", "doc_id", seed=2,
                           portable=True)
+
+
+class TestEvalManifest:
+    """eval_manifest: per-language balanced eval set over keep∧val
+    candidates, + reconciliation against the training manifest."""
+
+    def _manifest(self, spark):
+        rows = []
+        # 3 langs; lang 'a' overflows a 100ms cap, 'b' fits, 'c' empty
+        for i in range(6):
+            rows.append((f"a{i}", "keep", "val", "a", 40))
+        rows.append(("b0", "keep", "val", "b", 50))
+        # non-candidates: dropped, or train split
+        rows.append(("x0", "drop", "val", "a", 40))
+        rows.append(("x1", "keep", "train", "a", 40))
+        return spark.createDataFrame(
+            rows,
+            "clip_id string, decision string, split string, "
+            "lang_pred string, dur_ms long",
+        )
+
+    def test_candidates_caps_and_accounting(self, spark):
+        from data_quality_spark.operators.sampling import eval_manifest
+
+        out = eval_manifest(self._manifest(spark), 100, seed=3).collect()
+        got = {r["clip_id"]: r for r in out}
+        # only keep∧val rows appear
+        assert set(got) == {f"a{i}" for i in range(6)} | {"b0"}
+        # lang a: 40ms each, cap 100 -> prefix sums 0,40,80,120,... ->
+        # exactly 3 selected (boundary row at cum_before 80 included)
+        a_sel = [r for r in out if r["lang_pred"] == "a" and r["in_eval"]]
+        assert len(a_sel) == 3
+        assert sorted(r["cum_before_ms"] for r in a_sel) == [0, 40, 80]
+        # the excluded rows remain as audit surface
+        a_out = [r for r in out if r["lang_pred"] == "a"
+                 and not r["in_eval"]]
+        assert len(a_out) == 3
+        assert got["b0"]["in_eval"] and got["b0"]["cum_before_ms"] == 0
+
+    def test_membership_is_growth_stable(self, spark):
+        """Adding rows to another language never changes an existing
+        language's selection (per-lang prefix is a pure function)."""
+        from data_quality_spark.operators.sampling import eval_manifest
+
+        base = self._manifest(spark)
+        grown = base.union(spark.createDataFrame(
+            [("c0", "keep", "val", "c", 70)], base.schema))
+        sel_base = {
+            r["clip_id"]: r["in_eval"]
+            for r in eval_manifest(base, 100, seed=3).collect()
+        }
+        sel_grown = {
+            r["clip_id"]: r["in_eval"]
+            for r in eval_manifest(grown, 100, seed=3).collect()
+        }
+        assert all(sel_grown[k] == v for k, v in sel_base.items())
+        assert sel_grown["c0"] is True
+
+    def test_per_lang_cap_dict(self, spark):
+        from data_quality_spark.operators.sampling import eval_manifest
+
+        out = eval_manifest(
+            self._manifest(spark), {"a": 45}, seed=3, default_cap_ms=0
+        ).collect()
+        sel = [r["clip_id"] for r in out if r["in_eval"]]
+        # a: 45ms cap -> prefix 0 and 40 both under cap -> 2 clips;
+        # b: default 0 -> none
+        assert len(sel) == 2 and all(c.startswith("a") for c in sel)
+
+    @pytest.mark.slow
+    def test_reconciles_with_training_manifest(self, spark):
+        """Flagship reconciliation: every eval candidate is a keep∧val
+        row of the training manifest and no in_eval clip is
+        train_ready; in_eval durations respect the per-lang cap up to
+        one boundary clip."""
+        import __spark_entry__ as e
+
+        sf = "/root/testdata/sf0.001"
+        tm = {r["clip_id"]: r
+              for r in e.q_training_manifest(spark, sf).collect()}
+        em = e.q_eval_manifest(spark, sf).collect()
+        assert len(em) > 0
+        max_dur = {}
+        totals = {}
+        for r in em:
+            t = tm[r["clip_id"]]
+            assert t["decision"] == "keep" and t["split"] == "val"
+            assert not t["train_ready"]
+            assert r["component"] == t["component"]
+            assert r["dur_ms"] == t["dur_ms"]
+            if r["in_eval"]:
+                totals[r["lang_pred"]] = (
+                    totals.get(r["lang_pred"], 0) + r["dur_ms"])
+                max_dur[r["lang_pred"]] = max(
+                    max_dur.get(r["lang_pred"], 0), r["dur_ms"])
+        for lg, tot in totals.items():
+            assert tot < 30_000 + max_dur[lg]
