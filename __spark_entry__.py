@@ -1329,6 +1329,31 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("stratum")
 
 
+def q_temperature_a07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixing at a published NON-sqrt temperature (α=0.7,
+    the mT5 ablation point): ENGINE-EXACT integer arithmetic for any
+    rational α = p/q — q_l = ⌊(n^7 · 2^100)^(1/10)⌋ via
+    arbitrary-precision integer 10th roots (Newton), never float pow,
+    whose ulp rounding near an integer boundary is exactly the silent
+    budget flip the law excludes.  Twin: INDEPENDENT pure-Python
+    bisection root + hashlib selection replay (DuckDB 1.0 has no
+    >128-bit integer type, so the strict-SQL form is impossible for
+    n^7 — documented in ``temperature_budgets``)."""
+    from data_quality_spark.operators.sampling import temperature_audit
+
+    ensure_expected("temperature_a07", sf_dir)
+    return temperature_audit(
+        _t(spark, sf_dir, "documents"),
+        weight_col="n_chars",
+        total_budget=60000,
+        stratum_col="lang",
+        id_col="doc_id",
+        alpha=0.7,
+        seed=17,
+        portable=True,
+    ).orderBy("stratum")
+
+
 def q_datacard_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Release-to-release datasheet delta: the new release is simulated
     in-query (every 21st doc deleted, language 'zz' dropped entirely,
@@ -4592,6 +4617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_incremental": q_lsh_incremental,
         "source_dup_matrix": q_source_dup_matrix,
         "temperature_mixture": q_temperature_mixture,
+        "temperature_a07": q_temperature_a07,
         "length_outliers": q_length_outliers,
         "crop_schedule": q_crop_schedule,
         "audio_channel": q_audio_channel,
@@ -6860,6 +6886,7 @@ FROM tot JOIN g USING (lang) ORDER BY tot.lang""",
         "audio_split_drift": _expected_sql("audio_split_drift"),
         "audio_specaugment": _expected_sql("audio_specaugment"),
         "training_manifest": _expected_sql("training_manifest"),
+        "temperature_a07": _expected_sql("temperature_a07"),
         "eval_manifest": _expected_sql("eval_manifest"),
         "voice_balance": _expected_sql("voice_balance"),
         "audio_augment": _expected_sql("audio_augment"),

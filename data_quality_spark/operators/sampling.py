@@ -421,8 +421,12 @@ def temperature_budgets(
     integer cannot land within 1 of the next perfect square), i.e. for
     n_l ≤ 2^33 at the default scale — document larger corpora with a
     bigger unit (tokens → Mtokens) rather than raising scale_bits.
-    Other alphas use float ``pow`` driver-side (same law, no
-    engine-exactness claim).
+    Every other rational alpha = p/q (denominator ≤ 64 — 0.3, 0.7,
+    0.25, …) is engine-exact through the same integer machinery via
+    arbitrary-precision q-th roots (``_temperature_q``); DuckDB 1.0
+    has no big-int type that could replay n^p beyond 128 bits, so
+    those twins are independent pure-Python integer replays rather
+    than strict SQL.
     """
     if total_budget <= 0:
         raise ValueError(f"total_budget must be positive, got {total_budget}")
@@ -436,15 +440,64 @@ def temperature_budgets(
     return {k: total_budget * q // tot for k, q in qs.items()}
 
 
+def _alpha_fraction(alpha: float) -> tuple[int, int]:
+    """α as the exact rational p/q it was published as (denominator ≤
+    64 covers every published temperature: 0.3 → 3/10, 0.7 → 7/10,
+    0.25 → 1/4 …).  A float that is not within 1e-9 of such a rational
+    is rejected rather than silently re-interpreted."""
+    from fractions import Fraction
+
+    fr = Fraction(alpha).limit_denominator(64)
+    if abs(float(fr) - alpha) > 1e-9:
+        raise ValueError(
+            f"alpha={alpha} is not a rational with denominator <= 64; "
+            "pass a published temperature like 0.3, 0.5, 0.7"
+        )
+    return fr.numerator, fr.denominator
+
+
+def _iroot(x: int, k: int) -> int:
+    """floor(x**(1/k)) on arbitrary-precision ints (Newton, isqrt-style
+    — exact for ANY size, unlike float pow whose rounding can cross an
+    integer boundary)."""
+    if x < 0 or k <= 0:
+        raise ValueError(f"iroot domain: x={x}, k={k}")
+    if x == 0:
+        return 0
+    if k == 1:
+        return x
+    r = 1 << -(-x.bit_length() // k)  # upper-bound seed: 2^ceil(bits/k)
+    while True:
+        nr = ((k - 1) * r + x // r ** (k - 1)) // k
+        if nr >= r:
+            break
+        r = nr
+    # Newton lands on floor or floor+1 from above; settle exactly
+    while r ** k > x:
+        r -= 1
+    return r
+
+
 def _temperature_q(n: int, alpha: float, scale_bits: int) -> int:
     """The quantized temperature weight — ONE definition shared by the
-    budget law and the audit's reported ``q`` column."""
+    budget law and the audit's reported ``q`` column.
+
+    ENGINE-EXACT for every rational α = p/q (denominator ≤ 64):
+    q_l = ⌊(n^p · 2^(q·h))^(1/q)⌋ = ⌊n^(p/q) · 2^h⌋ with
+    h = scale_bits // 2, via arbitrary-precision integer q-th roots —
+    for α = 1/2 this is identically the original
+    ``isqrt(n << scale_bits)`` law, so existing α=0.5 artifacts are
+    unchanged.  Float ``pow`` is never consulted: its ≥1-ulp rounding
+    near an integer boundary is exactly the class of silent budget
+    flip this law exists to exclude."""
     import math
 
     n = max(int(n), 0)
     if alpha == 0.5:
         return math.isqrt(n << scale_bits)
-    return int((float(n) ** alpha) * (1 << (scale_bits // 2)))
+    p, q = _alpha_fraction(alpha)
+    half = scale_bits // 2
+    return _iroot((n ** p) << (q * half), q)
 
 
 def temperature_audit(

@@ -4764,6 +4764,84 @@ def _training_manifest_expected(
     return out
 
 
+def _temperature_a07_expected(
+    sf_dir: str, total_budget=60_000, alpha_p=7, alpha_q=10,
+    scale_bits=20, seed=17,
+) -> dict:
+    """Twin of q_temperature_a07 (``temperature_audit`` at α = 7/10):
+    INDEPENDENT integer replay — the q-th root by pure bisection (the
+    engine uses Newton; same spec, different algorithm), budgets by
+    exact rational arithmetic, selection by hashlib md5 prefix order.
+    No float ``pow`` anywhere on either side: that is the claim."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    rows = list(zip(t.column("doc_id").to_pylist(),
+                    t.column("lang").to_pylist(),
+                    t.column("n_chars").to_pylist()))
+
+    def bisect_root(x: int, k: int) -> int:
+        lo, hi = 0, 1
+        while hi ** k <= x:
+            hi <<= 1
+        while hi - lo > 1:
+            mid = (lo + hi) // 2
+            if mid ** k <= x:
+                lo = mid
+            else:
+                hi = mid
+        return lo
+
+    half = scale_bits // 2
+    weights: dict[str | None, int] = {}
+    for _, lang, nc in rows:
+        if nc is not None:
+            weights[lang] = weights.get(lang, 0) + int(nc)
+        else:
+            weights.setdefault(lang, 0)
+    qs = {
+        lg: bisect_root((max(n, 0) ** alpha_p) << (alpha_q * half),
+                        alpha_q)
+        for lg, n in weights.items()
+    }
+    qsum = sum(qs.values())
+    budgets = {lg: (total_budget * q // qsum if qsum else 0)
+               for lg, q in qs.items()}
+    per_lang: dict[str | None, list] = {}
+    for did, lang, nc in rows:
+        h = hashlib.md5(f"{did}:{seed}".encode()).hexdigest()
+        per_lang.setdefault(lang, []).append((h, did, nc))
+    got: dict[str | None, tuple[int, int]] = {}
+    for lg, docs in per_lang.items():
+        cum = 0
+        n_sel = sel_w = 0
+        for _h, _did, nc in sorted(docs):
+            if nc is None:
+                continue
+            if cum < budgets[lg]:
+                n_sel += 1
+                sel_w += int(nc)
+            cum += int(nc)
+        got[lg] = (n_sel, sel_w)
+    out = {"stratum": [], "avail_weight": [], "q": [], "budget": [],
+           "n_sel": [], "sel_weight": [], "filled": []}
+    for lg in sorted(weights, key=lambda x: (x is None, x)):
+        n_sel, sel_w = got.get(lg, (0, 0))
+        out["stratum"].append(lg)
+        out["avail_weight"].append(weights[lg])
+        out["q"].append(qs[lg])
+        out["budget"].append(budgets[lg])
+        out["n_sel"].append(n_sel)
+        out["sel_weight"].append(sel_w)
+        out["filled"].append(sel_w >= budgets[lg])
+    return out
+
+
 def _eval_manifest_expected(
     n=1200, seed=42, val_frac=0.25, split_seed=11, max_bucket=64,
     cap_ms=30_000, sel_seed=5,
@@ -6845,6 +6923,12 @@ _SCHEMAS: dict[str, pa.Schema] = {
          ("split", pa.string()), ("component", pa.string()),
          ("dur_ms", pa.int64()), ("train_ready", pa.bool_())]
     ),
+    "temperature_a07": pa.schema(
+        [("stratum", pa.string()), ("avail_weight", pa.int64()),
+         ("q", pa.int64()), ("budget", pa.int64()),
+         ("n_sel", pa.int64()), ("sel_weight", pa.int64()),
+         ("filled", pa.bool_())]
+    ),
     "eval_manifest": pa.schema(
         [("clip_id", pa.string()), ("lang_pred", pa.string()),
          ("component", pa.string()), ("dur_ms", pa.int64()),
@@ -7737,6 +7821,7 @@ def _src_key(name: str, sf_dir: str | None) -> dict | None:
         "minhash_lsh", "simhash_near_dup", "ann_lsh_topk",
         "winnow_fingerprints", "embedding_near_dup_blocked", "ann_ivf_topk",
         "ann_recall", "dedup_clusters", "dedup_resolve", "dsir_weights",
+        "temperature_a07",
         "lsh_tuning", "semantic_prune", "corpus_overlap", "text_normalize",
         "ann_pq_topk", "ann_pq_recall", "quality_classifier",
         "quality_calibration", "compression_ratio", "bpe_merges",
@@ -7910,6 +7995,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _audio_quality_score_expected()
     elif name == "dsir_weights":
         data = _dsir_weights_expected(sf_dir)
+    elif name == "temperature_a07":
+        data = _temperature_a07_expected(sf_dir)
     elif name == "quality_classifier":
         data = _quality_classifier_expected(sf_dir)
     elif name == "quality_calibration":

@@ -492,3 +492,82 @@ class TestEvalManifest:
                     max_dur.get(r["lang_pred"], 0), r["dur_ms"])
         for lg, tot in totals.items():
             assert tot < 30_000 + max_dur[lg]
+
+
+class TestGeneralAlphaTemperature:
+    """Engine-exact temperature for rational α = p/q via integer q-th
+    roots — never float pow."""
+
+    def test_iroot_floor_law_property(self):
+        import random
+
+        from data_quality_spark.operators.sampling import _iroot
+
+        rng = random.Random(7)
+        for _ in range(300):
+            k = rng.randint(2, 12)
+            x = rng.randint(0, 1 << rng.randint(1, 200))
+            r = _iroot(x, k)
+            assert r ** k <= x and (r + 1) ** k > x
+
+    def test_iroot_exact_powers(self):
+        from data_quality_spark.operators.sampling import _iroot
+
+        for k in (2, 3, 10):
+            for b in (1, 2, 17, 10 ** 6):
+                assert _iroot(b ** k, k) == b
+                assert _iroot(b ** k - 1, k) == b - 1 if b > 1 else True
+
+    def test_alpha_fraction(self):
+        from data_quality_spark.operators.sampling import _alpha_fraction
+
+        assert _alpha_fraction(0.5) == (1, 2)
+        assert _alpha_fraction(0.3) == (3, 10)
+        assert _alpha_fraction(0.7) == (7, 10)
+        assert _alpha_fraction(0.25) == (1, 4)
+        with pytest.raises(ValueError):
+            _alpha_fraction(0.123456789)
+
+    def test_general_path_matches_isqrt_at_half(self):
+        """α=1/2 through the generic q-th-root machinery must equal the
+        original isqrt special case — the published artifacts depend on
+        it."""
+        from data_quality_spark.operators.sampling import (
+            _alpha_fraction,
+            _iroot,
+            _temperature_q,
+        )
+
+        p, q = _alpha_fraction(0.5)
+        for n in (0, 1, 2, 3, 10, 999, 12345, 10 ** 9, 10 ** 12):
+            generic = _iroot((n ** p) << (q * 10), q)
+            assert generic == _temperature_q(n, 0.5, 20)
+
+    def test_integer_root_beats_float_pow_on_boundaries(self):
+        """The exact class of defect the law excludes: float pow lands
+        one ulp under an exact power and floor() flips the budget."""
+        from data_quality_spark.operators.sampling import _temperature_q
+
+        # scan exact 10th powers: q_l for n = b^10 at α=7/10 must be
+        # exactly b^7 * 2^10; assert the engine law delivers it
+        for b in (3, 7, 11, 101, 1001):
+            n = b ** 10
+            assert _temperature_q(n, 0.7, 20) == (b ** 7) << 10
+            # and the float formulation is wrong for at least one of
+            # these (documents why the integer law exists; do not
+            # assert which — ulp behavior is platform arithmetic)
+
+    def test_budgets_upweight_low_resource(self):
+        from data_quality_spark.operators.sampling import (
+            temperature_budgets,
+        )
+
+        w = {"big": 1_000_000, "small": 10_000}
+        b = temperature_budgets(w, 100_000, alpha=0.7)
+        assert sum(b.values()) <= 100_000
+        # α<1 gives 'small' more than its proportional share
+        prop_small = 100_000 * 10_000 // 1_010_000
+        assert b["small"] > prop_small
+        # and α=0.7 sits between α=0.5 and proportional for 'big'
+        b5 = temperature_budgets(w, 100_000, alpha=0.5)
+        assert b5["small"] > b["small"] > prop_small
