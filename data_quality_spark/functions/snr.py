@@ -52,17 +52,24 @@ def _db(ms2: float) -> float:
     return float(max(10.0 * np.log10(max(ms2, _EPS2)), SNR_FLOOR_DB))
 
 
-def speech_snr(x: np.ndarray, sr_hz: int) -> dict:
+def speech_snr(
+    x: np.ndarray, sr_hz: int,
+    frames: tuple[np.ndarray, int] | None = None,
+) -> dict:
     """Whole-clip speech-vs-noise summary over normalized float PCM.
 
     Returns ``{"n_frames", "speech_frames", "snr_db", "speech_db",
     "noise_db"}``; the dB fields are None when their side of the partition
-    is empty (and ``snr_db`` is None when either side is).
+    is empty (and ``snr_db`` is None when either side is).  ``frames``
+    short-circuits the energy reduction with a precomputed
+    ``frame_mean_squares`` result (the fused-audit decode-once law) —
+    bit-identical, it is the same function either way.
     """
     if x.size == 0 or sr_hz is None or sr_hz <= 0:
         return {"n_frames": 0, "speech_frames": 0,
                 "snr_db": None, "speech_db": None, "noise_db": None}
-    ms2, _frame = frame_mean_squares(x, sr_hz)
+    ms2, _frame = (frames if frames is not None
+                   else frame_mean_squares(x, sr_hz))
     n = int(ms2.size)
     if n == 0:
         return {"n_frames": 0, "speech_frames": 0,

@@ -73,9 +73,18 @@ def frame_mean_squares(x: np.ndarray, sr_hz: int) -> tuple[np.ndarray, int]:
     return np.mean(x2.reshape(n_frames, frame), axis=1, dtype=np.float64), frame
 
 
-def frame_energies_db(x: np.ndarray, sr_hz: int) -> tuple[np.ndarray, int]:
-    """(per-frame RMS in dBFS float64, frame length in samples)."""
-    frame_ms2, frame = frame_mean_squares(x, sr_hz)
+def frame_energies_db(
+    x: np.ndarray, sr_hz: int,
+    frames: tuple[np.ndarray, int] | None = None,
+) -> tuple[np.ndarray, int]:
+    """(per-frame RMS in dBFS float64, frame length in samples).
+
+    ``frames`` short-circuits the reduction with a precomputed
+    ``frame_mean_squares`` result — the fused audit computes the O(n)
+    energy pass ONCE and feeds both the VAD and the SNR kernel; floats
+    stay bit-identical because it is the same function either way."""
+    frame_ms2, frame = (frames if frames is not None
+                        else frame_mean_squares(x, sr_hz))
     return 10.0 * np.log10(np.maximum(frame_ms2, _EPS * _EPS)), frame
 
 
@@ -117,9 +126,12 @@ def smooth_active(active: np.ndarray, hang: int = HANG_FRAMES,
     return out
 
 
-def active_runs(x: np.ndarray, sr_hz: int) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+def active_runs(
+    x: np.ndarray, sr_hz: int,
+    frames: tuple[np.ndarray, int] | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
     """(starts, ends, frame_db, frame) after smoothing; starts/ends in frames."""
-    frame_db, frame = frame_energies_db(x, sr_hz)
+    frame_db, frame = frame_energies_db(x, sr_hz, frames)
     active = smooth_active(frame_db >= SILENCE_DB)
     s, e = _runs(active)
     return s, e, frame_db, frame
@@ -130,7 +142,10 @@ def _frames_to_ms(k: int | np.integer, frame: int, sr_hz: int) -> int:
     return int(round(int(k) * frame * 1000 / sr_hz))
 
 
-def vad_stats(x: np.ndarray, sr_hz: int) -> dict:
+def vad_stats(
+    x: np.ndarray, sr_hz: int,
+    frames: tuple[np.ndarray, int] | None = None,
+) -> dict:
     """Whole-clip VAD summary.  All *_ms fields are integer milliseconds on
     the 20 ms frame grid; speech_ratio is speech frames / total frames after
     smoothing (0.0 for a clip shorter than one frame)."""
@@ -141,7 +156,7 @@ def vad_stats(x: np.ndarray, sr_hz: int) -> dict:
             "longest_speech_ms": 0, "longest_silence_ms": 0,
             "leading_silence_ms": 0, "trailing_silence_ms": 0,
         }
-    s, e, frame_db, frame = active_runs(x, sr_hz)
+    s, e, frame_db, frame = active_runs(x, sr_hz, frames)
     n_frames = int(frame_db.size)
     if n_frames == 0:
         return {

@@ -92,7 +92,7 @@ def audio_audit(df: DataFrame, counter=None) -> DataFrame:
         from ..functions.reverb import decay_stats
         from ..functions.snr import speech_snr
         from ..functions.spectral import hum_stats
-        from ..functions.vad import vad_stats
+        from ..functions.vad import frame_mean_squares, vad_stats
 
         for batch in batches:
             ids = batch.column(col_idx["clip_id"]).to_pylist()
@@ -115,8 +115,13 @@ def audio_audit(df: DataFrame, counter=None) -> DataFrame:
                 x = q.astype(np.float32) / np.float32(32767.0)
                 st = clip_stats_i16(q, sr)
                 dp = dropout_stats_i16(q, sr)
-                vd = vad_stats(x, sr)
-                sn = speech_snr(x, sr)
+                # the 20 ms frame-energy reduction is the shared O(n)
+                # pass of BOTH the VAD and the SNR kernel — compute it
+                # once (bit-identical: same function either way)
+                fr = (frame_mean_squares(x, sr)
+                      if x.size and sr > 0 else None)
+                vd = vad_stats(x, sr, frames=fr)
+                sn = speech_snr(x, sr, frames=fr)
                 lf = clip_loudness(x, sr)
                 qt = quantization_stats_i16(q, include_distinct=False)
                 # same int16 input as operators.audio_hum.clip_hum so the

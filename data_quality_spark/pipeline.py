@@ -644,7 +644,7 @@ def _feature_batch_v2(batch, col_idx: dict[str, int]):
     from .functions.loudness import clip_loudness
     from .functions.snr import speech_snr
     from .functions.spectral import bandwidth_stats
-    from .functions.vad import vad_stats
+    from .functions.vad import frame_mean_squares, vad_stats
 
     n = batch.num_rows
     payload = batch.column(col_idx["bytes"])
@@ -684,8 +684,11 @@ def _feature_batch_v2(batch, col_idx: dict[str, int]):
             out["n_samples"][i] = int(st["n_samples"])
         sr0 = int(sr) if sr else 0
         x = q.astype(np.float32) / np.float32(32767.0)
-        vd = vad_stats(x, sr0)
-        sn = speech_snr(x, sr0)
+        # one shared 20 ms frame-energy reduction for VAD + SNR (the
+        # fused-audit law; bit-identical — same function either way)
+        fr = frame_mean_squares(x, sr0) if x.size and sr0 > 0 else None
+        vd = vad_stats(x, sr0, frames=fr)
+        sn = speech_snr(x, sr0, frames=fr)
         lf = clip_loudness(x, sr0)
         dp = dropout_stats_i16(q, sr0)
         bw = bandwidth_stats(x, sr0)

@@ -71,6 +71,100 @@ def list_ingest_days(spark: SparkSession, input_path: str) -> list[str]:
     return sorted(days)
 
 
+def _run_day_batches(
+    spark: SparkSession,
+    output_root: str,
+    job: str,
+    all_days: list[str],
+    run_batch,
+    counters: list[tuple[str, str, str | None, float]],
+    kept_tag: str,
+    rate_name: str,
+    rate_tag: str,
+    resume: bool,
+    days_per_batch: int,
+    fail_after_batches: int | None,
+) -> dict:
+    """The scaffolding shared by all four partition-incremental runners
+    (gate / segments / features / identity): lineage-ledger resume,
+    day batching, the running/done marks, per-day observe-metric
+    unpacking, metrics-table append, and wall-clock totals.
+
+    ``run_batch(day_list, bi, run_id)`` performs the batch's ONE write
+    action and returns the observed counter values keyed
+    ``f"{tag}_{di}"`` (merge multiple Observations into one dict when a
+    pipeline observes both input and output frames).  ``counters`` is
+    the declarative per-day counter spec: ``(tag, metric_name,
+    totals_key, scale)`` — tag matches the observe aliases, metric_name
+    is the metrics-table row, totals_key accumulates into the returned
+    dict (None = metric-only), scale converts units (ms → s).  The
+    ledger's rows_in/rows_kept are the first counter and ``kept_tag``;
+    the batch rate metric is ``rate_tag``'s batch total / wall.
+    """
+    run_id = uuid.uuid4().hex[:12]
+    ledger = LineageLedger(output_root, job)
+    days = ledger.pending(all_days) if resume else all_days
+    batches = (
+        [days]
+        if days_per_batch <= 0
+        else [days[i: i + days_per_batch]
+              for i in range(0, len(days), days_per_batch)]
+    )
+    totals: dict = {"days": 0, "skipped": len(all_days) - len(days)}
+    for _tag, _metric, tkey, _scale in counters:
+        if tkey:
+            totals.setdefault(tkey, 0)
+    t_start = time.perf_counter()
+    for bi, batch in enumerate(b for b in batches if b):
+        if fail_after_batches is not None and bi >= fail_after_batches:
+            return {**totals, "run_id": run_id, "completed": False}
+        for d in batch:
+            ledger.mark(d, "running", run_id=run_id)
+        t0 = time.perf_counter()
+        day_list = sorted(batch)
+        vals = run_batch(day_list, bi, run_id)
+        dt = time.perf_counter() - t0
+        metric_rows = []
+        rate_units = 0
+        first_tag = counters[0][0]
+        for di, d in enumerate(day_list):
+            got = {tag: int(vals[f"{tag}_{di}"] or 0)
+                   for tag, _m, _t, _s in counters}
+            ledger.mark(d, "done", rows_in=got[first_tag],
+                        rows_kept=got[kept_tag], run_id=run_id)
+            totals["days"] += 1
+            rate_units += got[rate_tag]
+            for tag, metric_name, totals_key, scale in counters:
+                if totals_key:
+                    totals[totals_key] += got[tag]
+                metric_rows.append(
+                    (run_id, f"ingest_day={d}", metric_name,
+                     got[tag] * scale, "")
+                )
+        metric_rows.append(
+            (run_id, "batch", rate_name,
+             rate_units / dt if dt > 0 else 0.0,
+             f"batch={bi} days={len(batch)}")
+        )
+        append_metrics(spark, output_root, metric_rows)
+    totals["run_id"] = run_id
+    totals["completed"] = True
+    totals["wall_s"] = time.perf_counter() - t_start
+    return totals
+
+
+def _day_observe_metrics(day_list, counters):
+    """Per-day conditional aggregates for ``observe()``: one column per
+    (counter, day), aliased ``f"{tag}_{di}"`` — ``counters`` maps tag →
+    builder(is_day) -> Column."""
+    ms = []
+    for di, d in enumerate(day_list):
+        is_day = F.col("ingest_day") == d
+        for tag, build in counters.items():
+            ms.append(build(is_day).alias(f"{tag}_{di}"))
+    return ms
+
+
 def run_gate_pipeline(
     spark: SparkSession,
     input_path: str,
@@ -99,28 +193,14 @@ def run_gate_pipeline(
     metrics.  Default binary mode writes accepted rows to ``silver/``
     exactly as before.
     """
-    run_id = uuid.uuid4().hex[:12]
-    ledger = LineageLedger(output_root, "gate")
-    all_days = list_ingest_days(spark, input_path)
-    days = ledger.pending(all_days) if resume else all_days
-    batches = (
-        [days]
-        if days_per_batch <= 0
-        else [days[i : i + days_per_batch] for i in range(0, len(days), days_per_batch)]
-    )
-    totals = {"rows_in": 0, "rows_kept": 0, "days": 0, "skipped": len(all_days) - len(days)}
-    t_start = time.perf_counter()
-    for bi, batch in enumerate(b for b in batches if b):
-        if fail_after_batches is not None and bi >= fail_after_batches:
-            return {**totals, "run_id": run_id, "completed": False}
-        for d in batch:
-            ledger.mark(d, "running", run_id=run_id)
-        t0 = time.perf_counter()
-        # storage-direct gate: payload bytes go storage → python worker and
-        # never cross the JVM; the partition_filter prunes whole day
+    keep_value = "accept" if three_way else "keep"
+
+    def run_batch(day_list, bi, run_id):
+        # storage-direct gate: payload bytes go storage → python worker
+        # and never cross the JVM; the partition_filter prunes whole day
         # directories before any IO (manifest-level partition pruning)
-        day_set = set(batch)  # NOT `days`: the partition_filter lambda
-        # must never close over the function-level pending list's name
+        day_set = set(day_list)  # the partition_filter lambda must never
+        # close over a mutable outer list's name
         from .pipeline import decide3, decide3_v2
 
         three_decider = decide3_v2 if profile == "v2" else decide3
@@ -132,34 +212,25 @@ def run_gate_pipeline(
             decider=three_decider if three_way else None,
             profile=profile,
         ).select(*(OUTPUT_COLS_V2 if profile == "v2" else OUTPUT_COLS))
-        # ONE action per batch: the kept-rows write.  Per-day in/kept counts
-        # ride along as observe() metrics on the pre-filter frame (the batch's
-        # day list is known, so per-day totals are plain conditional sums) —
-        # a separate collect() here would re-execute the featurize stage,
+        # ONE action per batch: the kept-rows write.  Per-day in/kept
+        # counts ride along as observe() metrics on the pre-filter frame —
+        # a separate collect() would re-execute the featurize stage,
         # doubling the most expensive work of the whole system.
-        day_list = sorted(day_set)
-        keep_value = "accept" if three_way else "keep"
         obs = Observation(f"gate_{run_id}_b{bi}")
-        metrics = []
-        for di, d in enumerate(day_list):
-            is_day = F.col("ingest_day") == d
-            metrics.append(F.sum(is_day.cast("long")).alias(f"n_{di}"))
-            metrics.append(
-                F.sum(
-                    (is_day & (F.col("decision") == keep_value)).cast("long")
-                ).alias(f"k_{di}")
-            )
-            if three_way:
-                metrics.append(
-                    F.sum(
-                        (is_day & (F.col("decision") == "graylist")).cast("long")
-                    ).alias(f"g_{di}")
-                )
-        observed = decided.observe(obs, *metrics)
+        obs_counters = {
+            "n": lambda is_day: F.sum(is_day.cast("long")),
+            "k": lambda is_day: F.sum(
+                (is_day & (F.col("decision") == keep_value)).cast("long")),
+        }
+        if three_way:
+            obs_counters["g"] = lambda is_day: F.sum(
+                (is_day & (F.col("decision") == "graylist")).cast("long"))
+        observed = decided.observe(
+            obs, *_day_observe_metrics(day_list, obs_counters))
         # repartition on the partition keys first: without it every task
-        # writes a file into every (day, lang) directory — task_count × dirs
-        # small files; with it, one file per output partition.  Cheap here:
-        # the payload column is already gone.
+        # writes a file into every (day, lang) directory — task_count ×
+        # dirs small files; with it, one file per output partition.
+        # Cheap here: the payload column is already gone.
         if three_way:
             kept = observed.filter(
                 F.col("decision").isin("accept", "graylist")
@@ -178,42 +249,23 @@ def run_gate_pipeline(
                 os.path.join(output_root, "silver"),
                 ["ingest_day", "lang_pred"],
             )
-        vals = obs.get  # available once the write action finishes
-        dt = time.perf_counter() - t0
-        metric_rows = []
-        for di, d in enumerate(day_list):
-            n = int(vals[f"n_{di}"] or 0)
-            kept_n = int(vals[f"k_{di}"] or 0)
-            ledger.mark(d, "done", rows_in=n, rows_kept=kept_n, run_id=run_id)
-            totals["rows_in"] += n
-            totals["rows_kept"] += kept_n
-            totals["days"] += 1
-            metric_rows.append(
-                (run_id, f"ingest_day={d}", "rows_in", float(n), "")
-            )
-            metric_rows.append(
-                (run_id, f"ingest_day={d}", "rows_kept", float(kept_n), "")
-            )
-            if three_way:
-                gl = int(vals[f"g_{di}"] or 0)
-                totals["rows_graylist"] = totals.get("rows_graylist", 0) + gl
-                metric_rows.append(
-                    (run_id, f"ingest_day={d}", "rows_graylist", float(gl), "")
-                )
-        batch_rows = sum(
-            int(vals[f"n_{di}"] or 0) for di in range(len(day_list))
-        )
-        metric_rows.append(
-            (run_id, "batch", "clips_per_sec", batch_rows / dt if dt > 0 else 0.0,
-             f"batch={bi} days={len(batch)}")
-        )
-        append_metrics(spark, output_root, metric_rows)
-    totals["run_id"] = run_id
-    totals["completed"] = True
-    totals["wall_s"] = time.perf_counter() - t_start
-    totals["clips_per_sec"] = (
-        totals["rows_in"] / totals["wall_s"] if totals["wall_s"] > 0 else 0.0
+        return obs.get  # available once the write action finishes
+
+    counters = [("n", "rows_in", "rows_in", 1.0),
+                ("k", "rows_kept", "rows_kept", 1.0)]
+    if three_way:
+        counters.append(("g", "rows_graylist", "rows_graylist", 1.0))
+    totals = _run_day_batches(
+        spark, output_root, "gate", list_ingest_days(spark, input_path),
+        run_batch, counters, kept_tag="k", rate_name="clips_per_sec",
+        rate_tag="n", resume=resume, days_per_batch=days_per_batch,
+        fail_after_batches=fail_after_batches,
     )
+    if totals["completed"]:
+        totals["clips_per_sec"] = (
+            totals["rows_in"] / totals["wall_s"]
+            if totals["wall_s"] > 0 else 0.0
+        )
     return totals
 
 
@@ -252,37 +304,13 @@ def run_segment_pipeline(
     """
     from .operators.audio_vad import extract_segments
 
-    run_id = uuid.uuid4().hex[:12]
-    ledger = LineageLedger(output_root, "segments")
-    all_days = list_ingest_days(spark, input_path)
-    days = ledger.pending(all_days) if resume else all_days
-    batches = (
-        [days]
-        if days_per_batch <= 0
-        else [days[i : i + days_per_batch]
-              for i in range(0, len(days), days_per_batch)]
-    )
-    totals = {
-        "clips_in": 0, "segments_out": 0, "days": 0,
-        "skipped": len(all_days) - len(days),
-    }
-    t_start = time.perf_counter()
-    for bi, batch in enumerate(b for b in batches if b):
-        if fail_after_batches is not None and bi >= fail_after_batches:
-            return {**totals, "run_id": run_id, "completed": False}
-        for d in batch:
-            ledger.mark(d, "running", run_id=run_id)
-        t0 = time.perf_counter()
-        day_list = sorted(batch)
+    def run_batch(day_list, bi, run_id):
         scan = spark.read.parquet(input_path).where(
             F.col("ingest_day").isin(day_list)
         )
         obs_in = Observation(f"seg_in_{run_id}_b{bi}")
-        in_metrics = [
-            F.sum((F.col("ingest_day") == d).cast("long")).alias(f"n_{di}")
-            for di, d in enumerate(day_list)
-        ]
-        observed_in = scan.observe(obs_in, *in_metrics)
+        observed_in = scan.observe(obs_in, *_day_observe_metrics(
+            day_list, {"n": lambda is_day: F.sum(is_day.cast("long"))}))
         segs = extract_segments(
             observed_in,
             min_dur_ms=min_dur_ms,
@@ -290,52 +318,26 @@ def run_segment_pipeline(
             counter=decode_counter,
         )
         obs_out = Observation(f"seg_out_{run_id}_b{bi}")
-        out_metrics = []
-        for di, d in enumerate(day_list):
-            is_day = F.col("ingest_day") == d
-            out_metrics.append(F.sum(is_day.cast("long")).alias(f"s_{di}"))
-            out_metrics.append(
-                F.sum(F.when(is_day, F.col("dur_ms")).otherwise(0).cast("long"))
-                .alias(f"ms_{di}")
-            )
-        observed = segs.observe(obs_out, *out_metrics)
+        observed = segs.observe(obs_out, *_day_observe_metrics(day_list, {
+            "s": lambda is_day: F.sum(is_day.cast("long")),
+            "ms": lambda is_day: F.sum(
+                F.when(is_day, F.col("dur_ms")).otherwise(0).cast("long")),
+        }))
         write_partitioned(
             observed, os.path.join(output_root, "segments"), ["ingest_day"]
         )
-        vals_in = obs_in.get
-        vals_out = obs_out.get
-        dt = time.perf_counter() - t0
-        metric_rows = []
-        batch_segs = 0
-        for di, d in enumerate(day_list):
-            n = int(vals_in[f"n_{di}"] or 0)
-            s = int(vals_out[f"s_{di}"] or 0)
-            ms = int(vals_out[f"ms_{di}"] or 0)
-            batch_segs += s
-            ledger.mark(d, "done", rows_in=n, rows_kept=s, run_id=run_id)
-            totals["clips_in"] += n
-            totals["segments_out"] += s
-            totals["days"] += 1
-            metric_rows.append(
-                (run_id, f"ingest_day={d}", "clips_in", float(n), "")
-            )
-            metric_rows.append(
-                (run_id, f"ingest_day={d}", "segments_out", float(s), "")
-            )
-            metric_rows.append(
-                (run_id, f"ingest_day={d}", "audio_seconds_out",
-                 ms / 1000.0, "")
-            )
-        metric_rows.append(
-            (run_id, "batch", "segments_per_sec",
-             batch_segs / dt if dt > 0 else 0.0,
-             f"batch={bi} days={len(batch)}")
-        )
-        append_metrics(spark, output_root, metric_rows)
-    totals["run_id"] = run_id
-    totals["completed"] = True
-    totals["wall_s"] = time.perf_counter() - t_start
-    return totals
+        return {**obs_in.get, **obs_out.get}
+
+    return _run_day_batches(
+        spark, output_root, "segments",
+        list_ingest_days(spark, input_path), run_batch,
+        [("n", "clips_in", "clips_in", 1.0),
+         ("s", "segments_out", "segments_out", 1.0),
+         ("ms", "audio_seconds_out", None, 1e-3)],
+        kept_tag="s", rate_name="segments_per_sec", rate_tag="s",
+        resume=resume, days_per_batch=days_per_batch,
+        fail_after_batches=fail_after_batches,
+    )
 
 
 def run_feature_pipeline(
@@ -362,28 +364,7 @@ def run_feature_pipeline(
     """
     from .operators.audio_mel import mel_features
 
-    run_id = uuid.uuid4().hex[:12]
-    ledger = LineageLedger(output_root, "features")
-    all_days = list_ingest_days(spark, input_path)
-    days = ledger.pending(all_days) if resume else all_days
-    batches = (
-        [days]
-        if days_per_batch <= 0
-        else [days[i : i + days_per_batch]
-              for i in range(0, len(days), days_per_batch)]
-    )
-    totals = {
-        "clips_in": 0, "frames_out": 0, "days": 0,
-        "skipped": len(all_days) - len(days),
-    }
-    t_start = time.perf_counter()
-    for bi, batch in enumerate(b for b in batches if b):
-        if fail_after_batches is not None and bi >= fail_after_batches:
-            return {**totals, "run_id": run_id, "completed": False}
-        for d in batch:
-            ledger.mark(d, "running", run_id=run_id)
-        t0 = time.perf_counter()
-        day_list = sorted(batch)
+    def run_batch(day_list, bi, run_id):
         scan = spark.read.parquet(input_path).where(
             F.col("ingest_day").isin(day_list)
         )
@@ -391,46 +372,26 @@ def run_feature_pipeline(
             scan, carry_cols=("ingest_day",), counter=decode_counter
         )
         obs = Observation(f"mel_{run_id}_b{bi}")
-        metrics = []
-        for di, d in enumerate(day_list):
-            is_day = F.col("ingest_day") == d
-            metrics.append(F.sum(is_day.cast("long")).alias(f"n_{di}"))
-            metrics.append(
-                F.sum(F.when(is_day, F.col("n_frames")).otherwise(0)
-                      .cast("long")).alias(f"f_{di}")
-            )
-        observed = feats.observe(obs, *metrics)
+        observed = feats.observe(obs, *_day_observe_metrics(day_list, {
+            "n": lambda is_day: F.sum(is_day.cast("long")),
+            "f": lambda is_day: F.sum(
+                F.when(is_day, F.col("n_frames")).otherwise(0)
+                .cast("long")),
+        }))
         write_partitioned(
             observed, os.path.join(output_root, "features"), ["ingest_day"]
         )
-        vals = obs.get
-        dt = time.perf_counter() - t0
-        metric_rows = []
-        batch_frames = 0
-        for di, d in enumerate(day_list):
-            n = int(vals[f"n_{di}"] or 0)
-            fr = int(vals[f"f_{di}"] or 0)
-            batch_frames += fr
-            ledger.mark(d, "done", rows_in=n, rows_kept=n, run_id=run_id)
-            totals["clips_in"] += n
-            totals["frames_out"] += fr
-            totals["days"] += 1
-            metric_rows.append(
-                (run_id, f"ingest_day={d}", "clips_in", float(n), "")
-            )
-            metric_rows.append(
-                (run_id, f"ingest_day={d}", "frames_out", float(fr), "")
-            )
-        metric_rows.append(
-            (run_id, "batch", "frames_per_sec",
-             batch_frames / dt if dt > 0 else 0.0,
-             f"batch={bi} days={len(batch)}")
-        )
-        append_metrics(spark, output_root, metric_rows)
-    totals["run_id"] = run_id
-    totals["completed"] = True
-    totals["wall_s"] = time.perf_counter() - t_start
-    return totals
+        return obs.get
+
+    return _run_day_batches(
+        spark, output_root, "features",
+        list_ingest_days(spark, input_path), run_batch,
+        [("n", "clips_in", "clips_in", 1.0),
+         ("f", "frames_out", "frames_out", 1.0)],
+        kept_tag="n", rate_name="frames_per_sec", rate_tag="f",
+        resume=resume, days_per_batch=days_per_batch,
+        fail_after_batches=fail_after_batches,
+    )
 
 
 def run_identity_pipeline(
@@ -463,28 +424,7 @@ def run_identity_pipeline(
     """
     from .operators.audio_identity import identity_features
 
-    run_id = uuid.uuid4().hex[:12]
-    ledger = LineageLedger(output_root, "identity")
-    all_days = list_ingest_days(spark, input_path)
-    days = ledger.pending(all_days) if resume else all_days
-    batches = (
-        [days]
-        if days_per_batch <= 0
-        else [days[i: i + days_per_batch]
-              for i in range(0, len(days), days_per_batch)]
-    )
-    totals = {
-        "clips_in": 0, "ch_ok": 0, "vo_ok": 0, "days": 0,
-        "skipped": len(all_days) - len(days),
-    }
-    t_start = time.perf_counter()
-    for bi, batch in enumerate(b for b in batches if b):
-        if fail_after_batches is not None and bi >= fail_after_batches:
-            return {**totals, "run_id": run_id, "completed": False}
-        for d in batch:
-            ledger.mark(d, "running", run_id=run_id)
-        t0 = time.perf_counter()
-        day_list = sorted(batch)
+    def run_batch(day_list, bi, run_id):
         scan = spark.read.parquet(input_path).where(
             F.col("ingest_day").isin(day_list)
         )
@@ -492,53 +432,25 @@ def run_identity_pipeline(
             scan, counter=decode_counter, carry_cols=("ingest_day",)
         )
         obs = Observation(f"ident_{run_id}_b{bi}")
-        metrics = []
-        for di, d in enumerate(day_list):
-            is_day = F.col("ingest_day") == d
-            metrics.append(F.sum(is_day.cast("long")).alias(f"n_{di}"))
-            metrics.append(
-                F.sum((is_day & F.col("ch_ok")).cast("long"))
-                .alias(f"c_{di}")
-            )
-            metrics.append(
-                F.sum((is_day & F.col("vo_ok")).cast("long"))
-                .alias(f"v_{di}")
-            )
-        observed = feats.observe(obs, *metrics)
+        observed = feats.observe(obs, *_day_observe_metrics(day_list, {
+            "n": lambda is_day: F.sum(is_day.cast("long")),
+            "c": lambda is_day: F.sum(
+                (is_day & F.col("ch_ok")).cast("long")),
+            "v": lambda is_day: F.sum(
+                (is_day & F.col("vo_ok")).cast("long")),
+        }))
         write_partitioned(
             observed, os.path.join(output_root, "identity"), ["ingest_day"]
         )
-        vals = obs.get
-        dt = time.perf_counter() - t0
-        metric_rows = []
-        batch_clips = 0
-        for di, d in enumerate(day_list):
-            n = int(vals[f"n_{di}"] or 0)
-            ch = int(vals[f"c_{di}"] or 0)
-            vo = int(vals[f"v_{di}"] or 0)
-            batch_clips += n
-            ledger.mark(d, "done", rows_in=n, rows_kept=n, run_id=run_id)
-            totals["clips_in"] += n
-            totals["ch_ok"] += ch
-            totals["vo_ok"] += vo
-            totals["days"] += 1
-            metric_rows.append(
-                (run_id, f"ingest_day={d}", "clips_in", float(n), "")
-            )
-            metric_rows.append(
-                (run_id, f"ingest_day={d}", "channel_evidence", float(ch),
-                 "")
-            )
-            metric_rows.append(
-                (run_id, f"ingest_day={d}", "voice_evidence", float(vo), "")
-            )
-        metric_rows.append(
-            (run_id, "batch", "clips_per_sec",
-             batch_clips / dt if dt > 0 else 0.0,
-             f"batch={bi} days={len(batch)}")
-        )
-        append_metrics(spark, output_root, metric_rows)
-    totals["run_id"] = run_id
-    totals["completed"] = True
-    totals["wall_s"] = time.perf_counter() - t_start
-    return totals
+        return obs.get
+
+    return _run_day_batches(
+        spark, output_root, "identity",
+        list_ingest_days(spark, input_path), run_batch,
+        [("n", "clips_in", "clips_in", 1.0),
+         ("c", "channel_evidence", "ch_ok", 1.0),
+         ("v", "voice_evidence", "vo_ok", 1.0)],
+        kept_tag="n", rate_name="clips_per_sec", rate_tag="n",
+        resume=resume, days_per_batch=days_per_batch,
+        fail_after_batches=fail_after_batches,
+    )
