@@ -93,6 +93,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_rounds: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``; the
     component label is the minimum node id in the component.
@@ -100,7 +101,9 @@ def connected_components(
     ``max_rounds`` is a safety rail, not a tuning knob: large-star /
     small-star needs O(log n) rounds, so 25 covers far beyond 10^12 nodes.
     Raises if the fixed point is somehow not reached (never silently
-    returns a partial clustering).
+    returns a partial clustering).  Pass a ``stats`` dict to receive
+    ``{"rounds": k}`` — the scale smokes assert the O(log n) round
+    count is real, not hidden behind the convergence action.
     """
     edges = _canon(pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")))
     edges = edges.localCheckpoint(eager=True)
@@ -115,7 +118,7 @@ def connected_components(
         return int(row["n"]), int(row["h"])
 
     prev = fingerprint(edges)
-    for _ in range(max_rounds):
+    for rounds_done in range(1, max_rounds + 1):
         # checkpoint EVERY round: each star references its input 2-3
         # times, so an unmaterialized k-round tree re-executes O(6^k)
         # scans under the convergence action — materializing first makes
@@ -123,6 +126,8 @@ def connected_components(
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         cur = fingerprint(edges)
         if cur == prev:
+            if stats is not None:
+                stats["rounds"] = rounds_done
             break
         prev = cur
     else:
