@@ -367,3 +367,16 @@ class TestDecisionConsistency:
         c9 = out["c9"]
         assert (c9["n_keep"], c9["n_drop"], c9["mixed"]) == (1, 1, True)
         assert "n_other" not in c9.asDict()
+
+
+def test_connected_components_reports_rounds(spark):
+    """The stats hook surfaces the converged star-round count — a chain
+    of length 64 must close in O(log n) rounds, far under the rail."""
+    from data_quality_spark.operators.cluster import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long")
+    stats = {}
+    comp = connected_components(edges, stats=stats)
+    assert comp.select("component").distinct().count() == 1
+    assert 1 <= stats["rounds"] <= 10
