@@ -51,6 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--strict", action="store_true", help="warnings also fail")
     c.add_argument("--output", default=None, help="write JSON report to file")
 
+    sub.add_parser(
+        "wizard",
+        help="guided interactive health wizard (ref interactive_cli.py)",
+    )
+
     g = sub.add_parser("gate", help="run the clips keep/drop gate pipeline")
     g.add_argument("--input", required=True, help="bronze clips parquet root")
     g.add_argument("--output", required=True, help="output root (silver/metrics/lineage)")
@@ -463,6 +468,10 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("dq-cli", master=args.master)
     try:
+        if args.cmd == "wizard":
+            from .interactive import run_wizard
+
+            return run_wizard(spark)
         if args.cmd == "check":
             from .exceptions import ResourceError, ValidationError
             from .operators.scans import health_check
