@@ -603,8 +603,10 @@ def main() -> None:
     if prev_files:
         try:
             with open(prev_files[-1]) as fh:
-                prev_q = json.load(fh).get("queries", {})
-        except (json.JSONDecodeError, OSError):
+                prev = json.load(fh)
+            # the driver wraps the bench line under "parsed"
+            prev_q = (prev.get("parsed") or prev).get("queries") or {}
+        except (json.JSONDecodeError, OSError, AttributeError):
             prev_q = {}
         flagged = {
             name: {"prev_s": p, "now_s": sec, "ratio": round(sec / p, 2)}
