@@ -69,7 +69,13 @@ def main() -> None:
     n_vecs = int(sys.argv[3]) if len(sys.argv) > 3 else 1_000_000
     spark = get_spark(
         "cluster-split-prune-smoke",
-        extra_confs={"spark.ui.enabled": "true"},
+        extra_confs={
+            "spark.ui.enabled": "true",
+            # binary clip payloads: the default 4096-row vectorized
+            # reader batch is ~130 MB of heap PER TASK on this corpus
+            # (the identity smoke's setting; OOMs without it)
+            "spark.sql.parquet.columnarReaderBatchSize": "512",
+        },
     )
     out: dict = {"n_nodes": n_nodes, "replicas": replicas, "n_vecs": n_vecs}
 

@@ -678,6 +678,19 @@ def main() -> None:
         e.q_length_batches(spark, sf),
     ))
     sections.append((
+        "Eval manifest (per-language balance caps over the keep∧val "
+        "slice)",
+        "The gate and identity-split halves reuse their audited shapes "
+        "(one decode each, persisted slim relations); the NEW surface "
+        "is one Window partitioned by lang_pred over ONLY the "
+        "keep∧val candidate slice — the decision/split filters must "
+        "sit below the window's Exchange so the corpus never shuffles "
+        "for the eval cut, and the window's partition spec is the "
+        "language (never SinglePartition). Selection is cum_before < "
+        "cap — a Project, not a join.",
+        e.q_eval_manifest(spark, sf),
+    ))
+    sections.append((
         "Corpus data card (one scan, one Expand, grouping sets)",
         "Corpus + per-lang + per-source rows must come from ONE pass "
         "so the card is internally consistent: the plan shows a single "
