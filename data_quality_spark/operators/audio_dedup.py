@@ -53,12 +53,52 @@ from ..functions.spectral import (
 __all__ = [
     "clip_fingerprints",
     "ber_col",
+    "fingerprint_exact_pairs",
     "fingerprint_near_dup",
     "fingerprint_shift_match",
     "clip_landmarks",
     "landmark_match",
     "audio_decontaminate",
 ]
+
+
+def fingerprint_exact_pairs(fp_df: DataFrame,
+                            id_col: str = "clip_id") -> DataFrame:
+    """Exact-content edges: clips whose ENTIRE fingerprint sequence is
+    identical, linked representative→member — (id_a, id_b) with
+    id_a = the family's min id.
+
+    Why this exists beside the LSH path: exact re-uploads are the
+    dominant duplicate class at web scale, and a family of k exact
+    copies makes EVERY byte-window bucket it touches k× hotter — at
+    high replica density the hot-bucket guard (``max_bucket_size``)
+    starts dropping those buckets and the LSH path silently loses the
+    very pairs that are cheapest to find (measured: 10× replication of
+    the 100k bench corpus left 4.8% of replica families split across
+    train/val until this pre-pass existed —
+    ``scripts/cluster_split_prune_scale_smoke.py``).  The digest
+    groupBy emits k−1 chain edges per family (never quadratic), the
+    shuffle carries an 8-byte digest + id, and the closure unions these
+    with the near-dup pairs, so LSH bucket heat can no longer break
+    EXACT identity.  Near-dup recall at hot spots remains guard-
+    bounded by design (surfaced as data via the hot-bucket reports).
+    """
+    slim = fp_df.filter(F.size("fp") > 0).select(
+        F.col(id_col).alias("__id"),
+        # 8-byte content digest: xxhash64 over the full subfingerprint
+        # array (HashExpression folds arrays element-wise)
+        F.xxhash64(F.col("fp")).alias("__d"),
+    )
+    fams = (
+        slim.groupBy("__d")
+        .agg(F.min("__id").alias("__rep"), F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > 1)
+    )
+    return (
+        slim.join(fams, "__d")
+        .where(F.col("__id") != F.col("__rep"))
+        .select(F.col("__rep").alias("id_a"), F.col("__id").alias("id_b"))
+    )
 
 
 def clip_fingerprints(

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .audio_channel import channel_pairs
-from .audio_dedup import fingerprint_near_dup
+from .audio_dedup import fingerprint_exact_pairs, fingerprint_near_dup
 from .audio_voice import voice_pairs
 from .cluster import cluster_members
 
@@ -149,10 +149,19 @@ def identity_pairs(feat: DataFrame, max_bucket: int = 64) -> DataFrame:
     """(id_a, id_b, axis) — the union pair graph over a persisted
     ``identity_features`` relation; ``axis`` ∈ {content, channel,
     voice} reports which law proposed the link."""
+    # exact-digest edges FIRST: k−1 chain edges per identical-
+    # fingerprint family, immune to the hot-bucket guard — at high
+    # replica density the LSH buckets go hot and get dropped, and
+    # without this pre-pass exact re-upload families can straddle the
+    # split (found by the 1M scale smoke)
+    exact = fingerprint_exact_pairs(
+        feat.select("clip_id", "fp")
+    ).select("id_a", "id_b", F.lit("content").alias("axis"))
     content = fingerprint_near_dup(
         feat.select("clip_id", "n_frames", "fp"),
         max_bucket_size=max_bucket,
     ).select("id_a", "id_b", F.lit("content").alias("axis"))
+    content = exact.unionByName(content)
     channel = channel_pairs(
         feat.select(
             "clip_id", F.col("ch_ok").alias("ok"), "peak_band",

@@ -46,7 +46,7 @@ __all__ = ["ensure_expected", "expected_path", "spark_round"]
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EXPECTED_DIR = os.path.join(_REPO, "expected")
 # bump to invalidate every committed expected file after a generator change
-_VERSION = 13  # 13: gate metric-default law applies to NaN (review fix)
+_VERSION = 14  # 14: exact-digest content edges in the identity pair law
 # generation guard: differential oracles only run at correctness scale
 _MAX_ORACLE_ROWS = 2500
 
@@ -4628,9 +4628,23 @@ def _identity_pairs_replay(
                 (2 * gf + gt, fcs[gf], tcs[gt])
                 for gf in (0, 1) for gt in (0, 1)
             ]
+    # exact-digest pre-pass (engine: fingerprint_exact_pairs): families
+    # with a bit-identical fingerprint sequence link rep→member — the
+    # law that keeps exact re-uploads together even when LSH buckets go
+    # hot.  The twin groups by the tuple itself; the engine's xxhash64
+    # digest is only a grouping key, so the VALUE never matters.
+    fams: dict[tuple, list[str]] = {}
+    for cid, fp in fps.items():
+        if fp:
+            fams.setdefault(tuple(fp), []).append(cid)
+    exact = [
+        (min(members), m)
+        for members in fams.values() if len(members) > 1
+        for m in members if m != min(members)
+    ]
     return {
-        "content": [(a, b) for a, b, _ in
-                    _fp_pair_replay(fps, max_bucket=max_bucket)],
+        "content": exact + [(a, b) for a, b, _ in
+                            _fp_pair_replay(fps, max_bucket=max_bucket)],
         "channel": _profile_pair_replay(chp, chk, CH_DIST2, max_bucket),
         "voice": _profile_pair_replay(vop, vok, VO_DIST2, max_bucket),
     }

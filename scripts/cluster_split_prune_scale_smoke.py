@@ -21,9 +21,10 @@ machine-checkable structural invariant:
                      family lands in ONE component/split.
   semantic_prune   — 1M deterministic synthetic 64-dim embeddings with
                      planted near-dup partners (id % 100 == 1 copies
-                     id-1 + small perturbation).  Invariant: planted
-                     recall ≥ 0.95 of same-bucket partners, keep-set =
-                     one per component.
+                     id-1 + small perturbation; cosine ≈ 0.9998 vs the
+                     0.9 SIMILARITY threshold).  Invariant: planted
+                     recall ≥ 0.95, keep-set = one per component,
+                     random vectors essentially never pair (7σ).
 
 Usage: python scripts/cluster_split_prune_scale_smoke.py [n_nodes]
        [replicas] [n_vecs]
@@ -205,7 +206,7 @@ def main() -> None:
     # bits=16 ≈ 65k buckets → ~15 vecs/bucket: the per-bucket quadratic
     # stays linear overall (the operator docstring's scale-path tuning);
     # the default 6 bits is a 2k-vector correctness setting
-    pruned = semantic_prune(vecs, dim=dim, threshold=0.1, bits=16)
+    pruned = semantic_prune(vecs, dim=dim, threshold=0.9, bits=16)
     pagg = pruned.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("keep").cast("long")).alias("n_keep"),

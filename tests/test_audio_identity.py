@@ -194,3 +194,51 @@ def test_split_drift_reports_removed(spark):
     got = {r["clip_id"]: r["status"] for r in split_drift(old, new).collect()}
     assert got == {"a": "stable", "b": "stable", "gone": "removed",
                    "fresh": "added"}
+
+
+def test_exact_replicas_never_straddle_even_with_hot_buckets(spark):
+    """The 1M-smoke finding, reduced: exact re-upload families must land
+    on one side of the split even when max_bucket is so small that the
+    LSH guard drops EVERY bucket — the exact-digest pre-pass
+    (fingerprint_exact_pairs) owns exact identity, bucket heat owns only
+    near-dup recall."""
+    import pandas as pd
+
+    pdf = make_audio_identity_corpus(42)
+    replicas = []
+    for r in range(3):
+        cp = pdf.copy()
+        cp["clip_id"] = cp["clip_id"] + f"_{r}"
+        replicas.append(cp)
+    big = pd.concat(replicas, ignore_index=True)
+    # max_bucket=1: every multi-entry LSH bucket is dropped; only the
+    # exact-digest edges can hold a replica family together
+    out = identity_split(_clips_df(spark, big), max_bucket=1).collect()
+    fam_splits: dict[str, set] = {}
+    fam_comp: dict[str, set] = {}
+    for row in out:
+        fam = row["clip_id"].rsplit("_", 1)[0]
+        fam_splits.setdefault(fam, set()).add(row["split"])
+        fam_comp.setdefault(fam, set()).add(row["component"])
+    assert all(len(s) == 1 for s in fam_splits.values()), {
+        k: v for k, v in fam_splits.items() if len(v) > 1}
+    assert all(len(c) == 1 for c in fam_comp.values())
+
+
+def test_fingerprint_exact_pairs_shape(spark):
+    """k−1 rep→member chain edges per identical-fp family; distinct
+    contents never link; empty fingerprints carry no evidence."""
+    from data_quality_spark.operators.audio_dedup import (
+        fingerprint_exact_pairs,
+    )
+
+    rows = [
+        ("a", [1, 2, 3]), ("b", [1, 2, 3]), ("c", [1, 2, 3]),
+        ("d", [9, 9]), ("e", [1, 2]), ("f", []), ("g", []),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, fp array<int>")
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in fingerprint_exact_pairs(df).collect()
+    )
+    assert got == [("a", "b"), ("a", "c")]
