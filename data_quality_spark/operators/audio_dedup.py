@@ -53,6 +53,7 @@ from ..functions.spectral import (
 __all__ = [
     "clip_fingerprints",
     "ber_col",
+    "digest_chain_pairs",
     "fingerprint_exact_pairs",
     "fingerprint_near_dup",
     "fingerprint_shift_match",
@@ -89,6 +90,14 @@ def fingerprint_exact_pairs(fp_df: DataFrame,
         # array (HashExpression folds arrays element-wise)
         F.xxhash64(F.col("fp")).alias("__d"),
     )
+    return digest_chain_pairs(slim)
+
+
+def digest_chain_pairs(slim: DataFrame) -> DataFrame:
+    """(id_a, id_b) rep→member chain edges over a (__id, __d) relation:
+    k−1 edges per digest family, one digest-keyed shuffle, never
+    quadratic.  Shared by the fingerprint- and payload-digest exact
+    laws."""
     fams = (
         slim.groupBy("__d")
         .agg(F.min("__id").alias("__rep"), F.count(F.lit(1)).alias("__n"))

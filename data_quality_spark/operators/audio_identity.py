@@ -30,7 +30,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .audio_channel import channel_pairs
-from .audio_dedup import fingerprint_exact_pairs, fingerprint_near_dup
+from .audio_dedup import (
+    digest_chain_pairs,
+    fingerprint_exact_pairs,
+    fingerprint_near_dup,
+)
 from .audio_voice import voice_pairs
 from .cluster import cluster_members
 
@@ -47,7 +51,16 @@ def identity_features(
     vo_ok, fc0, fc1, tc0, tc1, vo_prof[, carry…]) — all three identity
     kernels from ONE decode per clip; payload dropped at this boundary.
     ``carry_cols`` names input columns repeated onto the output row
-    (e.g. ``ingest_day`` so the resumable runner never joins back)."""
+    (e.g. ``ingest_day`` so the resumable runner never joins back).
+
+    ``payload_h`` (JVM-side xxhash64 of the raw payload bytes) rides
+    along as the fourth identity key: a byte-identical re-upload IS the
+    same recording even when it is undecodable or too short for any
+    kernel — 5% of the bench corpus carries NO fp/channel/voice
+    evidence, and without this key exact copies of those clips
+    straddled the split at 10× replica density (1M smoke)."""
+    df = df.withColumn("payload_h", F.xxhash64(F.col("bytes")))
+    carry_cols = ("payload_h", *carry_cols)
     col_idx = {f.name: i for i, f in enumerate(df.schema.fields)}
     out_schema = T.StructType(
         [T.StructField("clip_id", T.StringType(), False),
@@ -162,6 +175,18 @@ def identity_pairs(feat: DataFrame, max_bucket: int = 64) -> DataFrame:
         max_bucket_size=max_bucket,
     ).select("id_a", "id_b", F.lit("content").alias("axis"))
     content = exact.unionByName(content)
+    if "payload_h" in feat.columns:
+        # byte-identity key: links exact copies that carry NO kernel
+        # evidence (undecodable / shorter than one frame).  Guarded on
+        # the column so feature tables written before the key existed
+        # keep working (minus this protection).
+        payload = digest_chain_pairs(
+            feat.where(F.col("payload_h").isNotNull()).select(
+                F.col("clip_id").alias("__id"),
+                F.col("payload_h").alias("__d"),
+            )
+        ).select("id_a", "id_b", F.lit("content").alias("axis"))
+        content = content.unionByName(payload)
     channel = channel_pairs(
         feat.select(
             "clip_id", F.col("ch_ok").alias("ok"), "peak_band",

@@ -46,7 +46,7 @@ __all__ = ["ensure_expected", "expected_path", "spark_round"]
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EXPECTED_DIR = os.path.join(_REPO, "expected")
 # bump to invalidate every committed expected file after a generator change
-_VERSION = 14  # 14: exact-digest content edges in the identity pair law
+_VERSION = 15  # 15: exact-digest (fp + payload) content edges in the identity pair law
 # generation guard: differential oracles only run at correctness scale
 _MAX_ORACLE_ROWS = 2500
 
@@ -4640,6 +4640,19 @@ def _identity_pairs_replay(
     exact = [
         (min(members), m)
         for members in fams.values() if len(members) > 1
+        for m in members if m != min(members)
+    ]
+    # payload-digest edges (engine: xxhash64 of the raw bytes carried
+    # through identity_features): byte-identical copies link even with
+    # zero kernel evidence.  The twin groups by the bytes themselves —
+    # the digest is only a grouping key.
+    pfams: dict[bytes, list[str]] = {}
+    for _, r in pdf.iterrows():
+        if r["bytes"] is not None:
+            pfams.setdefault(bytes(r["bytes"]), []).append(r["clip_id"])
+    exact += [
+        (min(members), m)
+        for members in pfams.values() if len(members) > 1
         for m in members if m != min(members)
     ]
     return {

@@ -205,6 +205,14 @@ def test_exact_replicas_never_straddle_even_with_hot_buckets(spark):
     import pandas as pd
 
     pdf = make_audio_identity_corpus(42)
+    # include an evidence-free family: an UNDECODABLE payload (garbage
+    # bytes) has empty fp and no channel/voice profile — only the
+    # payload-digest key can hold its copies together
+    junk = pdf.iloc[[0]].copy()
+    junk["clip_id"] = "junk00"
+    junk["bytes"] = [b"\x00\x01 not audio at all"]
+    junk["codec"] = "wav"
+    pdf = pd.concat([pdf, junk], ignore_index=True)
     replicas = []
     for r in range(3):
         cp = pdf.copy()
