@@ -2976,6 +2976,52 @@ def q_clips_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+def q_gate_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north rule's headline criterion AS DATA: the Spark gate's
+    keep/drop decisions scored against the REFERENCE pipeline's labels
+    (the pandas oracle — BASELINE.md's 'reference labels') — one row:
+    n, tp/fp/fn/tn (keep = positive), keep_rate, f1.  The bar is
+    F1 ≥ 0.99; the engine matches per-row (clips_gate hash), so the
+    recorded value is exactly 1.0 and any regression shows as a hash
+    mismatch here before it shows as a threshold breach.  Label join is
+    a broadcast of the bounded reference relation; counts come from ONE
+    fused aggregate.  Twin: pandas-gate replay on both sides of the
+    confusion matrix with the same single-division IEEE tail."""
+    from data_quality_spark.pipeline import gate
+    from data_quality_spark.synth import oracle_gate
+
+    ensure_expected("gate_f1", sf_dir)
+    key = (1200, 42)
+    if key not in _CLIPS_CACHE:
+        from data_quality_spark.synth import generate_clips
+
+        _CLIPS_CACHE[key] = generate_clips(1200, seed=42)
+    ref_pdf = oracle_gate(_CLIPS_CACHE[key])[["clip_id", "decision"]]
+    ref = spark.createDataFrame(
+        ref_pdf.rename(columns={"decision": "ref_decision"}),
+        "clip_id string, ref_decision string",
+    )
+    decided = gate(_clips_df(spark)).select("clip_id", "decision")
+    joined = decided.join(F.broadcast(ref), "clip_id")
+    pos = F.col("decision") == "keep"
+    ref_pos = F.col("ref_decision") == "keep"
+    agg = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((pos & ref_pos).cast("long")).cast("long").alias("tp"),
+        F.sum((pos & ~ref_pos).cast("long")).cast("long").alias("fp"),
+        F.sum((~pos & ref_pos).cast("long")).cast("long").alias("fn"),
+        F.sum((~pos & ~ref_pos).cast("long")).cast("long").alias("tn"),
+    )
+    return agg.select(
+        "n", "tp", "fp", "fn", "tn",
+        ((F.col("tp") + F.col("fp")).cast("double")
+         / F.col("n").cast("double")).alias("keep_rate"),
+        ((F.lit(2.0) * F.col("tp").cast("double"))
+         / (F.lit(2.0) * F.col("tp") + F.col("fp") + F.col("fn"))
+         .cast("double")).alias("f1"),
+    )
+
+
 def q_clips_gate_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_quality_spark.operators.gate import salted_gate_aggregate
     from data_quality_spark.pipeline import gate
@@ -4653,6 +4699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_resample": q_audio_resample,
         "audio_gain": q_audio_gain,
         "clips_gate": q_clips_gate,
+        "gate_f1": q_gate_f1,
         "clips_funnel": q_clips_funnel,
         "clips_gate_rollup": q_clips_gate_rollup,
         "gate_bias": q_gate_bias,
@@ -6888,6 +6935,7 @@ FROM tot JOIN g USING (lang) ORDER BY tot.lang""",
         "training_manifest": _expected_sql("training_manifest"),
         "temperature_a07": _expected_sql("temperature_a07"),
         "eval_manifest": _expected_sql("eval_manifest"),
+        "gate_f1": _expected_sql("gate_f1"),
         "voice_balance": _expected_sql("voice_balance"),
         "audio_augment": _expected_sql("audio_augment"),
         "audio_excerpt_match": _expected_sql("audio_excerpt_match"),

@@ -4869,6 +4869,27 @@ def _temperature_a07_expected(
     return out
 
 
+def _gate_f1_expected(n=1200, seed=42) -> dict:
+    """Twin of q_gate_f1: the confusion matrix of the ENGINE's
+    predicted decisions (the pandas gate replay — the same twin the
+    per-row clips_gate hash rides on) against the reference labels
+    (the pandas gate itself).  Twin-predicted engine == labels, so the
+    expected matrix is diagonal and f1 exactly 1.0; the driver's hash
+    then certifies the ENGINE still sits on that diagonal.  The float
+    tail replays the engine's IEEE chain operation-for-operation."""
+    pdf = _clips_oracle_frame(n, seed)
+    n_rows = len(pdf)
+    tp = int((pdf["decision"] == "keep").sum())
+    tn = n_rows - tp
+    fp = fn = 0
+    keep_rate = float(tp + fp) / float(n_rows)
+    f1 = (2.0 * float(tp)) / ((2.0 * tp + fp) + fn)
+    return {
+        "n": [n_rows], "tp": [tp], "fp": [fp], "fn": [fn], "tn": [tn],
+        "keep_rate": [keep_rate], "f1": [f1],
+    }
+
+
 def _eval_manifest_expected(
     n=1200, seed=42, val_frac=0.25, split_seed=11, max_bucket=64,
     cap_ms=30_000, sel_seed=5,
@@ -6956,6 +6977,11 @@ _SCHEMAS: dict[str, pa.Schema] = {
          ("n_sel", pa.int64()), ("sel_weight", pa.int64()),
          ("filled", pa.bool_())]
     ),
+    "gate_f1": pa.schema(
+        [("n", pa.int64()), ("tp", pa.int64()), ("fp", pa.int64()),
+         ("fn", pa.int64()), ("tn", pa.int64()),
+         ("keep_rate", pa.float64()), ("f1", pa.float64())]
+    ),
     "eval_manifest": pa.schema(
         [("clip_id", pa.string()), ("lang_pred", pa.string()),
          ("component", pa.string()), ("dur_ms", pa.int64()),
@@ -7966,6 +7992,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _training_manifest_expected()
     elif name == "eval_manifest":
         data = _eval_manifest_expected()
+    elif name == "gate_f1":
+        data = _gate_f1_expected()
     elif name == "audio_multispeaker":
         data = _audio_multispeaker_expected()
     elif name == "voice_balance":
