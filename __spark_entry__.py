@@ -3022,6 +3022,34 @@ def q_gate_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_content_hot_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The content-axis hot-bucket guard report as data (the channel
+    axis already has one): fingerprint LSH buckets whose entry count
+    exceeds the guard, i.e. the families whose NEAR-dup recall the
+    guard zeroed — exact identity is unaffected (digest pre-pass).
+    Corpus: one clip replicated 80× against a 64-entry guard, so every
+    window bucket of that content reports.  Twin: the shared
+    stable-byte XXH64 window fold aggregated in pure Python."""
+    from data_quality_spark.operators.audio_dedup import (
+        clip_fingerprints,
+        fingerprint_hot_buckets,
+    )
+    from data_quality_spark.oracles import _content_hot_corpus
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+
+    ensure_expected("content_hot_buckets", sf_dir)
+    key = ("content_hot", 42)
+    if key not in _CLIPS_CACHE:
+        _CLIPS_CACHE[key] = _content_hot_corpus(42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(
+        _CLIPS_CACHE[key][cols], CLIPS_SCHEMA
+    ).repartition(8, "clip_id")
+    return fingerprint_hot_buckets(clip_fingerprints(clips)).select(
+        F.col("off").cast("int").alias("off"), "bh", "n_members"
+    ).orderBy("off", "bh")
+
+
 def q_clips_gate_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_quality_spark.operators.gate import salted_gate_aggregate
     from data_quality_spark.pipeline import gate
@@ -4700,6 +4728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_gain": q_audio_gain,
         "clips_gate": q_clips_gate,
         "gate_f1": q_gate_f1,
+        "content_hot_buckets": q_content_hot_buckets,
         "clips_funnel": q_clips_funnel,
         "clips_gate_rollup": q_clips_gate_rollup,
         "gate_bias": q_gate_bias,
@@ -6936,6 +6965,7 @@ FROM tot JOIN g USING (lang) ORDER BY tot.lang""",
         "temperature_a07": _expected_sql("temperature_a07"),
         "eval_manifest": _expected_sql("eval_manifest"),
         "gate_f1": _expected_sql("gate_f1"),
+        "content_hot_buckets": _expected_sql("content_hot_buckets"),
         "voice_balance": _expected_sql("voice_balance"),
         "audio_augment": _expected_sql("audio_augment"),
         "audio_excerpt_match": _expected_sql("audio_excerpt_match"),

@@ -492,7 +492,7 @@ def main() -> None:
         "voice_triplets", "corpus_datacard", "lsh_incremental",
         "source_dup_matrix", "temperature_mixture", "length_outliers",
         "crop_schedule", "datacard_drift", "channel_hot_buckets",
-        "temperature_a07", "eval_manifest",
+        "temperature_a07", "eval_manifest", "gate_f1",
     ]
     # headline-only mode: just the gate pair + health scan (~90 s) — fits
     # inside the short quiet gaps this shared host actually has, where the

@@ -55,6 +55,7 @@ __all__ = [
     "ber_col",
     "digest_chain_pairs",
     "fingerprint_exact_pairs",
+    "fingerprint_hot_buckets",
     "fingerprint_near_dup",
     "fingerprint_shift_match",
     "clip_landmarks",
@@ -91,6 +92,62 @@ def fingerprint_exact_pairs(fp_df: DataFrame,
         F.xxhash64(F.col("fp")).alias("__d"),
     )
     return digest_chain_pairs(slim)
+
+
+def _fp_bucket_entries(fp_df: DataFrame, window: int,
+                       stride: int) -> DataFrame:
+    """(__id, off, bh): the fingerprint LSH bucket-key emission shared
+    by the candidate join and the hot-bucket report.  Buckets key on
+    the stable high byte of each subfingerprint (cast to long so
+    xxhash64 folds with the same element width the pure-Python oracle
+    twin reproduces)."""
+    keyed = fp_df.filter(F.size("fp") >= window).select(
+        F.col("clip_id").alias("__id"),
+        F.transform(
+            "fp",
+            lambda v: F.shiftright(v, STABLE_SHIFT)
+            .bitwiseAND(F.lit(STABLE_MASK))
+            .cast("long"),
+        ).alias("__sb"),
+    )
+    n_win = ((F.size("__sb") - window) / stride).cast("int")
+    return keyed.select(
+        "__id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_win),
+                lambda i: F.struct(
+                    i.alias("off"),
+                    F.xxhash64(
+                        F.slice("__sb", i * stride + 1, window)
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("e"),
+    ).select("__id", "e.off", "e.bh")
+
+
+def fingerprint_hot_buckets(
+    fp_df: DataFrame,
+    window: int = 3,
+    stride: int = 1,
+    max_bucket_size: int = 64,
+) -> DataFrame:
+    """(off, bh, n_members, n_clips): the fingerprint buckets the
+    hot-bucket guard SKIPPED — the content-axis twin of
+    ``audio_channel.hot_buckets``.  A populated row names an (offset,
+    window-hash) family whose members were never candidate-paired by
+    the LSH path, so NEAR-dup recall inside it is zero (EXACT identity
+    is safe regardless — ``fingerprint_exact_pairs`` / the payload
+    digest own it).  Empty on a healthy corpus; hold-music, test
+    tones, and heavy replication populate it.  One aggregate over the
+    shared bucket-key emission."""
+    entries = _fp_bucket_entries(fp_df, window, stride)
+    return (
+        entries.groupBy("off", "bh")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .where(F.col("n_members") > max_bucket_size)
+    )
 
 
 def digest_chain_pairs(slim: DataFrame) -> DataFrame:
@@ -227,33 +284,7 @@ def fingerprint_near_dup(
         from pyspark.storagelevel import StorageLevel
 
         fp_df = fp_df.persist(StorageLevel.MEMORY_AND_DISK)
-    keyed = fp_df.filter(F.size("fp") >= window).select(
-        F.col("clip_id").alias("__id"),
-        # bucket on the stable high byte of each subfingerprint (cast to
-        # long so xxhash64 folds with the same element width the pure-
-        # Python oracle twin reproduces)
-        F.transform(
-            "fp",
-            lambda v: F.shiftright(v, STABLE_SHIFT)
-            .bitwiseAND(F.lit(STABLE_MASK))
-            .cast("long"),
-        ).alias("__sb"),
-    )
-    n_win = ((F.size("__sb") - window) / stride).cast("int")
-    entries = keyed.select(
-        "__id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), n_win),
-                lambda i: F.struct(
-                    i.alias("off"),
-                    F.xxhash64(
-                        F.slice("__sb", i * stride + 1, window)
-                    ).alias("bh"),
-                ),
-            )
-        ).alias("e"),
-    ).select("__id", "e.off", "e.bh")
+    entries = _fp_bucket_entries(fp_df, window, stride)
     small = (
         entries.groupBy("off", "bh")
         .agg(F.count(F.lit(1)).alias("__bn"))

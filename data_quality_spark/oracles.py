@@ -4869,6 +4869,56 @@ def _temperature_a07_expected(
     return out
 
 
+def _content_hot_corpus(seed=42):
+    """60 base clips + one clip replicated 80× (exact copies, distinct
+    ids) — every window bucket of the replicated content exceeds the
+    64-entry guard."""
+    import pandas as pd
+
+    from .synth import generate_clips
+
+    pdf = generate_clips(60, seed=seed)
+    rep = pd.concat([pdf.iloc[[0]]] * 80, ignore_index=True)
+    rep["clip_id"] = [f"hot{i:03d}" for i in range(80)]
+    return pd.concat([pdf, rep], ignore_index=True)
+
+
+def _content_hot_buckets_expected(seed=42, window=3, stride=1,
+                                  max_bucket=64) -> dict:
+    """Twin of q_content_hot_buckets: the fingerprint bucket-key law
+    (stable-byte XXH64 window fold, seed 42 — the shared
+    ``_fp_pair_replay`` construction) aggregated to over-guard buckets
+    in pure Python."""
+    from .functions.audio import _decode_i16
+    from .functions.spectral import STABLE_MASK, STABLE_SHIFT
+    from .functions.spectral import fingerprint_i32
+
+    pdf = _content_hot_corpus(seed)
+    buckets: dict[tuple[int, int], int] = {}
+    for _, r in pdf.iterrows():
+        try:
+            x = _decode_i16(r["bytes"], r["codec"], r["sr_hz"])
+        except (ValueError, TypeError):
+            x = np.zeros(0, dtype=np.int16)
+        fp = [int(v) for v in fingerprint_i32(x)]
+        if len(fp) < window:
+            continue
+        sb = [(v >> STABLE_SHIFT) & STABLE_MASK for v in fp]
+        for wi in range((len(sb) - window) // stride + 1):
+            off = wi * stride
+            h = 42
+            for v in sb[off:off + window]:
+                h = xxh64_long(v, h)
+            buckets[(off, h)] = buckets.get((off, h), 0) + 1
+    out = {"off": [], "bh": [], "n_members": []}
+    for (off, h), n in sorted(buckets.items()):
+        if n > max_bucket:
+            out["off"].append(off)
+            out["bh"].append(h)  # xxh64_long already returns signed
+            out["n_members"].append(n)
+    return out
+
+
 def _gate_f1_expected(n=1200, seed=42) -> dict:
     """Twin of q_gate_f1: the confusion matrix of the ENGINE's
     predicted decisions (the pandas gate replay — the same twin the
@@ -6977,6 +7027,10 @@ _SCHEMAS: dict[str, pa.Schema] = {
          ("n_sel", pa.int64()), ("sel_weight", pa.int64()),
          ("filled", pa.bool_())]
     ),
+    "content_hot_buckets": pa.schema(
+        [("off", pa.int32()), ("bh", pa.int64()),
+         ("n_members", pa.int64())]
+    ),
     "gate_f1": pa.schema(
         [("n", pa.int64()), ("tp", pa.int64()), ("fp", pa.int64()),
          ("fn", pa.int64()), ("tn", pa.int64()),
@@ -7994,6 +8048,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _eval_manifest_expected()
     elif name == "gate_f1":
         data = _gate_f1_expected()
+    elif name == "content_hot_buckets":
+        data = _content_hot_buckets_expected()
     elif name == "audio_multispeaker":
         data = _audio_multispeaker_expected()
     elif name == "voice_balance":
