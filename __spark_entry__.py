@@ -3022,6 +3022,50 @@ def q_gate_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming gate, driver-hash-checked: the 1200-clip
+    corpus written as ingest_day-partitioned parquet, drained through
+    ``stream_gate`` (foreachBatch + availableNow, multiple micro-
+    batches forced via maxFilesPerTrigger, per-batch idempotent
+    ``batch_id=N`` dirs), then the streamed silver rows read back.
+    The oracle is the BATCH gate twin's keep slice — the stream-equals-
+    batch law as a value-hash instead of a pytest assertion.  Stream
+    state lives in a fresh temp dir per run (checkpoint reuse would
+    make availableNow a no-op)."""
+    import tempfile
+
+    from data_quality_spark.streaming.gate_stream import stream_gate
+    from data_quality_spark.synth import generate_clips
+
+    ensure_expected("clips_gate", sf_dir)
+    key = (1200, 42)
+    if key not in _CLIPS_CACHE:
+        _CLIPS_CACHE[key] = generate_clips(1200, seed=42)
+    root = tempfile.mkdtemp(prefix="dq_stream_gate_")
+    in_path = f"{root}/bronze"
+    out_root = f"{root}/out"
+    # bounded file fan-out: the default write is task_count × day dirs
+    # of small files, and at local[32] that is ~10^3 files — with a
+    # small trigger the availableNow drain then needs hundreds of
+    # micro-batches and hits the await deadline mid-stream (found the
+    # hard way: 460/821 rows).  4 writer tasks × ~30 days ≈ 120 files;
+    # trigger 48 ⇒ ~3 micro-batches — still a real multi-batch stream.
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    spark.createDataFrame(
+        _CLIPS_CACHE[key][cols], CLIPS_SCHEMA
+    ).coalesce(4).write.mode("overwrite").partitionBy(
+        "ingest_day").parquet(in_path)
+    stream_gate(spark, in_path, out_root, max_files_per_trigger=48)
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(f"{out_root}/silver_stream")
+        .select("clip_id", "decision", "scrubbed")
+        .orderBy("clip_id")
+    )
+
+
 def q_content_hot_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The content-axis hot-bucket guard report as data (the channel
     axis already has one): fingerprint LSH buckets whose entry count
@@ -4729,6 +4773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_gate": q_clips_gate,
         "gate_f1": q_gate_f1,
         "content_hot_buckets": q_content_hot_buckets,
+        "stream_gate": q_stream_gate,
         "clips_funnel": q_clips_funnel,
         "clips_gate_rollup": q_clips_gate_rollup,
         "gate_bias": q_gate_bias,
@@ -6966,6 +7011,11 @@ FROM tot JOIN g USING (lang) ORDER BY tot.lang""",
         "eval_manifest": _expected_sql("eval_manifest"),
         "gate_f1": _expected_sql("gate_f1"),
         "content_hot_buckets": _expected_sql("content_hot_buckets"),
+        "stream_gate": (
+            "SELECT clip_id, decision, scrubbed FROM read_parquet('"
+            + expected_path("clips_gate")
+            + "') WHERE decision = 'keep' ORDER BY clip_id"
+        ),
         "voice_balance": _expected_sql("voice_balance"),
         "audio_augment": _expected_sql("audio_augment"),
         "audio_excerpt_match": _expected_sql("audio_excerpt_match"),
