@@ -366,3 +366,31 @@ def test_audio_dedup_resolve_survivor_law(spark):
         assert len(keepers) == 1, comp
         best = max(order[codec[m.clip_id]] for m in members)
         assert order[codec[keepers[0].clip_id]] == best, comp
+
+
+def test_fingerprint_hot_buckets_report(spark):
+    """The content-axis guard report: replicated content exceeds the
+    guard and reports; the natural corpus side stays silent; the report
+    and the candidate join share one key law (same entries helper), so
+    a bucket is either paired or reported — never silently neither."""
+    from data_quality_spark.operators.audio_dedup import (
+        clip_fingerprints,
+        fingerprint_hot_buckets,
+    )
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import generate_clips
+    import pandas as pd
+
+    base = generate_clips(20, seed=7)
+    rep = pd.concat([base.iloc[[0]]] * 12, ignore_index=True)
+    rep["clip_id"] = [f"hot{i:02d}" for i in range(12)]
+    pdf = pd.concat([base, rep], ignore_index=True)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(pdf[cols], CLIPS_SCHEMA)
+    fps = clip_fingerprints(clips)
+    hot = fingerprint_hot_buckets(fps, max_bucket_size=8).collect()
+    assert len(hot) > 0
+    assert all(r["n_members"] > 8 for r in hot)
+    # guard off -> nothing reported
+    assert fingerprint_hot_buckets(
+        fps, max_bucket_size=10_000).count() == 0
