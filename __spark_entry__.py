@@ -2093,6 +2093,44 @@ def q_eval_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+def q_eval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language eval-set coverage rollup over ``eval_manifest``:
+    candidate/selected counts, candidate/selected milliseconds, the
+    cap, and ``capped`` (the balance law actually cut this language) —
+    the one-screen audit a release manager reads before shipping an
+    eval set.  ONE partial/final aggregate over the manifest relation.
+    Twin: the eval-manifest replay aggregated independently."""
+    from data_quality_spark.operators.audio_identity import identity_split
+    from data_quality_spark.operators.sampling import eval_manifest
+    from data_quality_spark.pipeline import gate
+
+    ensure_expected("eval_coverage", sf_dir)
+    clips = _clips_df(spark)
+    decided = gate(clips).select("clip_id", "decision", "lang_pred")
+    assigned = identity_split(clips, val_frac=0.25, seed=11).select(
+        "clip_id", "split", "component"
+    )
+    m = (
+        clips.select("clip_id", "dur_ms")
+        .join(decided, "clip_id")
+        .join(assigned, "clip_id")
+    )
+    em = eval_manifest(m, 30_000, seed=5)
+    sel_ms = F.when(F.col("in_eval"), F.col("dur_ms").cast("long")) \
+        .otherwise(F.lit(0))
+    return em.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.sum(F.col("in_eval").cast("long")).cast("long")
+        .alias("n_in_eval"),
+        F.sum(F.col("dur_ms").cast("long")).cast("long")
+        .alias("candidate_ms"),
+        F.sum(sel_ms).cast("long").alias("eval_ms"),
+        F.lit(30_000).cast("long").alias("cap_ms"),
+        (F.sum(F.col("in_eval").cast("long")) < F.count(F.lit(1)))
+        .alias("capped"),
+    ).orderBy("lang_pred")
+
+
 def q_audio_specaugment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SpecAugment over the log-mel feature tables (second-stage
     producer — consumes FEATURES, not audio: the decode+mel pass is
@@ -3058,12 +3096,19 @@ def q_stream_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).coalesce(4).write.mode("overwrite").partitionBy(
         "ingest_day").parquet(in_path)
     stream_gate(spark, in_path, out_root, max_files_per_trigger=48)
-    return (
+    out = (
         spark.read.option("recursiveFileLookup", "true")
         .parquet(f"{out_root}/silver_stream")
         .select("clip_id", "decision", "scrubbed")
         .orderBy("clip_id")
+        # pin the ~800 slim rows, then delete the temp corpus — the
+        # returned plan must not depend on a directory we clean up
+        .localCheckpoint(eager=True)
     )
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    return out
 
 
 def q_content_hot_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4747,6 +4792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_specaugment": q_audio_specaugment,
         "training_manifest": q_training_manifest,
         "eval_manifest": q_eval_manifest,
+        "eval_coverage": q_eval_coverage,
         "voice_balance": q_voice_balance,
         "audio_augment": q_audio_augment,
         "audio_excerpt_match": q_audio_excerpt_match,
@@ -7009,6 +7055,7 @@ FROM tot JOIN g USING (lang) ORDER BY tot.lang""",
         "training_manifest": _expected_sql("training_manifest"),
         "temperature_a07": _expected_sql("temperature_a07"),
         "eval_manifest": _expected_sql("eval_manifest"),
+        "eval_coverage": _expected_sql("eval_coverage"),
         "gate_f1": _expected_sql("gate_f1"),
         "content_hot_buckets": _expected_sql("content_hot_buckets"),
         "stream_gate": (

@@ -4919,6 +4919,33 @@ def _content_hot_buckets_expected(seed=42, window=3, stride=1,
     return out
 
 
+def _eval_coverage_expected(**kw) -> dict:
+    """Twin of q_eval_coverage: the eval-manifest replay aggregated per
+    language in plain Python (counts, candidate/selected ms, capped)."""
+    em = _eval_manifest_expected(**kw)
+    cap_ms = kw.get("cap_ms", 30_000)
+    agg: dict[str, list] = {}
+    for lg, dur, in_ev in zip(em["lang_pred"], em["dur_ms"],
+                              em["in_eval"]):
+        row = agg.setdefault(lg, [0, 0, 0, 0])
+        row[0] += 1
+        row[1] += 1 if in_ev else 0
+        row[2] += dur
+        row[3] += dur if in_ev else 0
+    out = {"lang_pred": [], "n_candidates": [], "n_in_eval": [],
+           "candidate_ms": [], "eval_ms": [], "cap_ms": [], "capped": []}
+    for lg in sorted(agg):
+        n_c, n_e, c_ms, e_ms = agg[lg]
+        out["lang_pred"].append(lg)
+        out["n_candidates"].append(n_c)
+        out["n_in_eval"].append(n_e)
+        out["candidate_ms"].append(c_ms)
+        out["eval_ms"].append(e_ms)
+        out["cap_ms"].append(cap_ms)
+        out["capped"].append(n_e < n_c)
+    return out
+
+
 def _gate_f1_expected(n=1200, seed=42) -> dict:
     """Twin of q_gate_f1: the confusion matrix of the ENGINE's
     predicted decisions (the pandas gate replay — the same twin the
@@ -7031,6 +7058,12 @@ _SCHEMAS: dict[str, pa.Schema] = {
         [("off", pa.int32()), ("bh", pa.int64()),
          ("n_members", pa.int64())]
     ),
+    "eval_coverage": pa.schema(
+        [("lang_pred", pa.string()), ("n_candidates", pa.int64()),
+         ("n_in_eval", pa.int64()), ("candidate_ms", pa.int64()),
+         ("eval_ms", pa.int64()), ("cap_ms", pa.int64()),
+         ("capped", pa.bool_())]
+    ),
     "gate_f1": pa.schema(
         [("n", pa.int64()), ("tp", pa.int64()), ("fp", pa.int64()),
          ("fn", pa.int64()), ("tn", pa.int64()),
@@ -8050,6 +8083,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _gate_f1_expected()
     elif name == "content_hot_buckets":
         data = _content_hot_buckets_expected()
+    elif name == "eval_coverage":
+        data = _eval_coverage_expected()
     elif name == "audio_multispeaker":
         data = _audio_multispeaker_expected()
     elif name == "voice_balance":
