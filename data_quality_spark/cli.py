@@ -257,6 +257,13 @@ def build_parser() -> argparse.ArgumentParser:
     mf.add_argument("--val-frac", type=float, default=0.2)
     mf.add_argument("--seed", type=int, default=0)
     mf.add_argument("--out", help="write the per-clip manifest parquet here")
+    mf.add_argument("--eval-cap-ms", type=int, default=0,
+                    help="also build the per-language balanced EVAL set "
+                    "(duration cap per language in ms) and print its "
+                    "coverage")
+    mf.add_argument("--eval-out",
+                    help="write the per-clip eval manifest parquet here")
+    mf.add_argument("--eval-seed", type=int, default=0)
     mf.add_argument("--format", choices=["text", "json"], default="text")
 
     ag = sub.add_parser(
@@ -1276,7 +1283,7 @@ def main(argv: list[str] | None = None) -> int:
             df = spark.read.parquet(
                 os.path.join(args.tables, f"{args.table}.parquet")
             )
-            decided = gate(df).select("clip_id", "decision")
+            decided = gate(df).select("clip_id", "decision", "lang_pred")
             assigned = identity_split(
                 df, val_frac=args.val_frac, seed=args.seed
             ).select("clip_id", "split", "component")
@@ -1313,6 +1320,32 @@ def main(argv: list[str] | None = None) -> int:
                 "train_ready_hours": round((ready["ms"] or 0) / 3.6e6, 3),
                 "cells": stats,
             }
+            if args.eval_cap_ms:
+                from .operators.sampling import eval_manifest
+
+                em = eval_manifest(
+                    mani, args.eval_cap_ms, seed=args.eval_seed
+                ).persist()
+                if args.eval_out:
+                    em.orderBy("clip_id").write.mode("overwrite").parquet(
+                        args.eval_out
+                    )
+                sel_ms = F.when(
+                    F.col("in_eval"), F.col("dur_ms").cast("long")
+                ).otherwise(F.lit(0))
+                summary["eval"] = {
+                    r["lang_pred"]: {
+                        "candidates": r["nc"], "selected": r["ns"],
+                        "eval_hours": round(r["ems"] / 3.6e6, 3),
+                        "capped": bool(r["ns"] < r["nc"]),
+                    }
+                    for r in em.groupBy("lang_pred").agg(
+                        F.count(F.lit(1)).alias("nc"),
+                        F.sum(F.col("in_eval").cast("long")).alias("ns"),
+                        F.sum(sel_ms).alias("ems"),
+                    ).collect()
+                }
+                em.unpersist()
             if args.format == "json":
                 print(json.dumps(summary, indent=2))
             else:
@@ -1323,6 +1356,12 @@ def main(argv: list[str] | None = None) -> int:
                 for cell in sorted(stats):
                     s = stats[cell]
                     print(f"  {cell}: {s['n_clips']} clips ({s['hours']} h)")
+                for lang, e in sorted(summary.get("eval", {}).items()):
+                    print(
+                        f"  eval[{lang}]: {e['selected']}/{e['candidates']} "
+                        f"clips ({e['eval_hours']} h)"
+                        + (" [capped]" if e["capped"] else "")
+                    )
             mani.unpersist()
             return 0
         if args.cmd == "augment":

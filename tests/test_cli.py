@@ -1087,3 +1087,46 @@ def test_cli_audit_consistency(spark, tmp_path, capsys, monkeypatch):
          "--kind", "consistency", "--decisions", "decided",
          "--fail-on", "none"]
     ) == 0
+
+
+@pytest.mark.slow
+def test_cli_manifest_eval_cap(spark, tmp_path, capsys, monkeypatch):
+    """manifest --eval-cap-ms: the per-language eval coverage reconciles
+    with the written per-clip eval relation (selected counts, cap law,
+    no train_ready overlap)."""
+    import data_quality_spark.cli as cli
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import generate_clips
+
+    monkeypatch.setattr("pyspark.sql.SparkSession.stop", lambda self: None)
+    tables = tmp_path / "tables"
+    tables.mkdir()
+    pdf = generate_clips(200, seed=42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    spark.createDataFrame(pdf[cols], CLIPS_SCHEMA).coalesce(2).write.parquet(
+        str(tables / "clips.parquet")
+    )
+    eval_out = tmp_path / "eval"
+    assert cli.main(
+        ["manifest", "--tables", str(tables), "--table", "clips",
+         "--val-frac", "0.25", "--seed", "11",
+         "--eval-cap-ms", "10000", "--eval-out", str(eval_out),
+         "--eval-seed", "3", "--format", "json"]
+    ) == 0
+    summary = json.loads(capsys.readouterr().out)
+    assert "eval" in summary and len(summary["eval"]) > 0
+    em = spark.read.parquet(str(eval_out))
+    # every eval row is keep ∧ val; coverage numbers reconcile
+    assert em.filter(
+        (F.col("decision") != "keep") | (F.col("split") != "val")
+    ).count() == 0
+    got = {
+        r["lang_pred"]: (r["nc"], r["ns"])
+        for r in em.groupBy("lang_pred").agg(
+            F.count(F.lit(1)).alias("nc"),
+            F.sum(F.col("in_eval").cast("long")).alias("ns"),
+        ).collect()
+    }
+    for lang, e in summary["eval"].items():
+        assert got[lang] == (e["candidates"], e["selected"])
+        assert e["capped"] == (e["selected"] < e["candidates"])
