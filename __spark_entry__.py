@@ -1473,8 +1473,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_quality_spark.operators.cluster import cluster_members
 
     ensure_expected("dedup_clusters", sf_dir)
-    pairs = dd.minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", verify_threshold=0.5
+    docs = _t(spark, sf_dir, "documents")
+    # exact-digest edges ∪ LSH near-dup pairs: exact families must never
+    # depend on band-bucket heat (the identity-smoke law, text side)
+    pairs = dd.exact_text_pairs(docs).unionByName(
+        dd.minhash_lsh_pairs(
+            docs, "doc_id", "text", verify_threshold=0.5
+        ).select("id_a", "id_b")
     )
     return (
         cluster_members(pairs)
@@ -1493,7 +1498,11 @@ def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_expected("cluster_split", sf_dir)
     docs = _t(spark, sf_dir, "documents")
-    pairs = dd.minhash_lsh_pairs(docs, "doc_id", "text", verify_threshold=0.5)
+    pairs = dd.exact_text_pairs(docs).unionByName(
+        dd.minhash_lsh_pairs(
+            docs, "doc_id", "text", verify_threshold=0.5
+        ).select("id_a", "id_b")
+    )
     assigned = split_by_cluster(docs, "doc_id", pairs, val_frac=0.2, seed=11)
     return (
         assigned.groupBy("lang", "split")
@@ -1512,7 +1521,11 @@ def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_expected("dedup_resolve", sf_dir)
     docs = _t(spark, sf_dir, "documents")
-    pairs = dd.minhash_lsh_pairs(docs, "doc_id", "text", verify_threshold=0.5)
+    pairs = dd.exact_text_pairs(docs).unionByName(
+        dd.minhash_lsh_pairs(
+            docs, "doc_id", "text", verify_threshold=0.5
+        ).select("id_a", "id_b")
+    )
     return resolve_duplicates(docs, "doc_id", pairs).orderBy(
         "component", "doc_id"
     )

@@ -49,6 +49,7 @@ from ..functions.spectral import (
     STABLE_SHIFT,
     fingerprint_i32,
 )
+from .cluster import digest_chain_pairs  # noqa: F401 - re-exported
 
 __all__ = [
     "clip_fingerprints",
@@ -147,23 +148,6 @@ def fingerprint_hot_buckets(
         entries.groupBy("off", "bh")
         .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
         .where(F.col("n_members") > max_bucket_size)
-    )
-
-
-def digest_chain_pairs(slim: DataFrame) -> DataFrame:
-    """(id_a, id_b) rep→member chain edges over a (__id, __d) relation:
-    k−1 edges per digest family, one digest-keyed shuffle, never
-    quadratic.  Shared by the fingerprint- and payload-digest exact
-    laws."""
-    fams = (
-        slim.groupBy("__d")
-        .agg(F.min("__id").alias("__rep"), F.count(F.lit(1)).alias("__n"))
-        .where(F.col("__n") > 1)
-    )
-    return (
-        slim.join(fams, "__d")
-        .where(F.col("__id") != F.col("__rep"))
-        .select(F.col("__rep").alias("id_a"), F.col("__id").alias("id_b"))
     )
 
 

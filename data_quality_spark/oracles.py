@@ -46,7 +46,7 @@ __all__ = ["ensure_expected", "expected_path", "spark_round"]
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EXPECTED_DIR = os.path.join(_REPO, "expected")
 # bump to invalidate every committed expected file after a generator change
-_VERSION = 15  # 15: exact-digest (fp + payload) content edges in the identity pair law
+_VERSION = 16  # 16: exact-digest edges in identity AND text cluster/split laws
 # generation guard: differential oracles only run at correctness scale
 _MAX_ORACLE_ROWS = 2500
 
@@ -273,10 +273,26 @@ def _uf_min_components(pairs) -> dict[int, int]:
     return {n: find(n) for n in parent}
 
 
+def _exact_text_edges(docs) -> list[tuple[int, int]]:
+    """Engine ``dedup.exact_text_pairs`` restated: identical non-NULL
+    texts link rep→member (grouping on the text itself — the md5 digest
+    is only a grouping key)."""
+    fams: dict[str, list[int]] = {}
+    for did, text in docs:
+        if text is not None:
+            fams.setdefault(text, []).append(did)
+    return [
+        (min(members), m)
+        for members in fams.values() if len(members) > 1
+        for m in members if m != min(members)
+    ]
+
+
 def _dedup_clusters_expected(docs) -> dict:
-    """Twin of the ``dedup_clusters`` query: large-star/small-star closure
-    of the minhash pair graph, via an independent union-find."""
-    pairs = [(a, b) for a, b, _ in _minhash_verified_pairs(docs)]
+    """Twin of the ``dedup_clusters`` query: exact-text edges ∪ the
+    minhash pair graph, closed via an independent union-find."""
+    pairs = _exact_text_edges(docs) + [
+        (a, b) for a, b, _ in _minhash_verified_pairs(docs)]
     comp = _uf_min_components(pairs)
     sizes: dict[int, int] = {}
     for c in comp.values():
@@ -302,7 +318,8 @@ def _cluster_split_expected(sf_dir: str) -> dict:
     from .operators.sampling import fraction_threshold_hex
 
     docs = _read_documents(sf_dir)
-    pairs = [(a, b) for a, b, _ in _minhash_verified_pairs(docs)]
+    pairs = _exact_text_edges(docs) + [
+        (a, b) for a, b, _ in _minhash_verified_pairs(docs)]
     comp = _uf_min_components(pairs)
     thresh = fraction_threshold_hex(0.2)
     t = pq.read_table(
@@ -331,9 +348,10 @@ def _cluster_split_expected(sf_dir: str) -> dict:
 
 
 def _dedup_resolve_expected(docs) -> dict:
-    """Twin of ``dedup_resolve``: longest-text survivor per cluster,
-    ties to the smallest doc_id."""
-    pairs = [(a, b) for a, b, _ in _minhash_verified_pairs(docs)]
+    """Twin of ``dedup_resolve``: longest-text survivor per cluster
+    (exact-text edges ∪ minhash pairs), ties to the smallest doc_id."""
+    pairs = _exact_text_edges(docs) + [
+        (a, b) for a, b, _ in _minhash_verified_pairs(docs)]
     comp = _uf_min_components(pairs)
     text_len = {d: len(t) if t is not None else 0 for d, t in docs}
     by_comp: dict[int, list[int]] = {}

@@ -325,3 +325,40 @@ def test_pq_topk_recall_and_code_size(spark):
     total = sum(len(v) for v in ex.values())
     assert total == 30
     assert hits / total >= 0.6, f"PQ recall@3 too low: {hits}/{total}"
+
+
+class TestExactTextPairs:
+    def test_chain_edges_and_null_law(self, spark):
+        from data_quality_spark.operators.dedup import exact_text_pairs
+
+        rows = [(1, "same text"), (2, "same text"), (5, "same text"),
+                (3, "other"), (4, None), (6, None)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = sorted(
+            (r["id_a"], r["id_b"]) for r in exact_text_pairs(df).collect()
+        )
+        # rep→member chains for the identical family; NULLs never link
+        assert got == [(1, 2), (1, 5)]
+
+    def test_replicated_family_survives_hot_lsh_guard(self, spark):
+        """The identity-smoke law on the text side: a heavily replicated
+        document must stay ONE cluster even when max_bucket_size drops
+        every band bucket."""
+        from data_quality_spark.operators import dedup as dd
+        from data_quality_spark.operators.cluster import cluster_members
+
+        base = "the quick brown fox jumps over the lazy dog " * 4
+        rows = [(i, base) for i in range(30)] + [
+            (100 + i, f"unique doc number {i} with its own words {i}")
+            for i in range(5)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = dd.exact_text_pairs(docs).unionByName(
+            dd.minhash_lsh_pairs(
+                docs, "doc_id", "text", verify_threshold=0.5,
+                max_bucket_size=1,
+            ).select("id_a", "id_b")
+        )
+        comp = {r["node"]: r["component"]
+                for r in cluster_members(pairs).collect()}
+        assert {comp[i] for i in range(30)} == {0}
