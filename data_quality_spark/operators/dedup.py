@@ -625,12 +625,20 @@ def build_lsh_index(
     num_hashes: int = 64,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """(id, sig array<long>) minhash-signature index — the NEAR-dup
+    """(id, sig array<long>, fp) minhash-signature index — the NEAR-dup
     analog of :func:`build_dedup_index`.  A daily dedup job stores this
-    relation (64 longs = 512 B per document, ~3 orders smaller than
-    text) and only ever appends the survivors' signatures; indexed text
-    is never needed again."""
-    return minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    relation (64 longs + one md5 hex = ~550 B per document, ~3 orders
+    smaller than text) and only ever appends the survivors' rows;
+    indexed text is never needed again.
+
+    ``fp`` (md5 of the text, NULL for NULL text) is the EXACT-identity
+    key: probe-side exact matches join on it directly, so identical
+    re-posts under new ids never depend on band-bucket heat — and
+    texts too short to shingle (invisible to the signature path
+    entirely) still match exactly."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    fps = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("fp"))
+    return sigs.join(fps, id_col, "left")
 
 
 def lsh_probe_index(
@@ -671,6 +679,16 @@ def lsh_probe_index(
     probe pairs == the cross (new × indexed) slice of
     ``_banded_candidates`` over the union corpus — the incremental law
     is the batch law restricted to the increment.
+
+    Exact-identity law (when the index carries the ``fp`` digest column
+    — :func:`build_lsh_index` writes it): identical texts under
+    different ids pair via a digest equi-join with
+    ``n_agree = num_hashes`` / ``est_jaccard = 1.0`` (identical text ⇒
+    identical signatures, so the banded path produces the same row when
+    its buckets are cool — the digest path guarantees it when they are
+    NOT, and covers texts too short to shingle, which the signature
+    path cannot see at all).  Indexes stored before the column existed
+    keep working (the exact path is skipped).
     """
     import math
 
@@ -713,7 +731,7 @@ def lsh_probe_index(
         F.lit(0),
         lambda acc, v: acc + v,
     )
-    return (
+    out = (
         cand.withColumn("n_agree", n_agree.cast("int"))
         .filter(F.col("n_agree") >= F.lit(agree_min))
         .select(
@@ -722,3 +740,22 @@ def lsh_probe_index(
             .alias("est_jaccard"),
         )
     )
+    if "fp" in index_df.columns:
+        idx_fp = index_df.where(F.col("fp").isNotNull()).select(
+            F.col(id_col).alias("index_id"), "fp")
+        new_fp = new_df.select(
+            F.col(id_col).alias("new_id"),
+            F.md5(F.col(text_col)).alias("fp"),
+        ).where(F.col("fp").isNotNull())
+        exact = (
+            new_fp.join(idx_fp, "fp")
+            .filter(F.col("new_id") != F.col("index_id"))
+            .select(
+                "new_id", "index_id",
+                F.lit(num_hashes).cast("int").alias("n_agree"),
+                F.lit(1.0).alias("est_jaccard"),
+            )
+        )
+        out = out.unionByName(exact).dropDuplicates(
+            ["new_id", "index_id"])
+    return out

@@ -225,17 +225,35 @@ def _lsh_incremental_expected(
                 for m in members:
                     if m != d:
                         cand.add((d, m))
-    out = {"new_id": [], "index_id": [], "n_agree": [],
-           "est_jaccard_r": []}
+    rows: dict[tuple[int, int], tuple[int, float]] = {}
     for new, old in sorted(cand):
         n_agree = sum(
             1 for a, b in zip(sigs[new], sigs[old]) if a == b)
         if n_agree >= agree_min:
-            out["new_id"].append(new)
-            out["index_id"].append(old)
-            out["n_agree"].append(n_agree)
-            out["est_jaccard_r"].append(
-                spark_round(n_agree / float(num_hashes), 6))
+            rows[(new, old)] = (
+                n_agree, spark_round(n_agree / float(num_hashes), 6))
+    # exact-digest law (engine: fp equi-join): identical non-NULL texts
+    # across the split pair at (num_hashes, 1.0) regardless of bucket
+    # heat or shingleability — grouping on the text itself
+    by_text: dict[str, list[int]] = {}
+    for d, text in docs:
+        if text is not None:
+            by_text.setdefault(text, []).append(d)
+    for members in by_text.values():
+        for new in members:
+            if new % 2 != 1:
+                continue
+            for old in members:
+                if old % 2 == 0 and old != new:
+                    rows[(new, old)] = (num_hashes, 1.0)
+    out = {"new_id": [], "index_id": [], "n_agree": [],
+           "est_jaccard_r": []}
+    for (new, old) in sorted(rows):
+        n_agree, est = rows[(new, old)]
+        out["new_id"].append(new)
+        out["index_id"].append(old)
+        out["n_agree"].append(n_agree)
+        out["est_jaccard_r"].append(est)
     return out
 
 

@@ -132,20 +132,30 @@ class TestLshProbeIndex:
             lsh_probe_index,
         )
 
-        # 30 identical indexed docs form one hot bucket per band; with
-        # the guard below 30 nothing pairs, with it above they all do
+        # 30 identical indexed docs form one hot bucket per band.  On a
+        # LEGACY index (no fp column) the guard drops the bucket and
+        # nothing pairs — the pre-exact-law behavior, still honored for
+        # stored indexes that predate the digest column:
         rows = [(2 * i, "the same boilerplate text in every document")
                 for i in range(30)]
         rows.append((99, "the same boilerplate text in every document"))
         docs = spark.createDataFrame(rows, "doc_id long, text string")
         index = build_lsh_index(docs.filter("doc_id % 2 = 0"))
         new = docs.filter("doc_id % 2 = 1")
-        guarded = lsh_probe_index(new, index, max_bucket_size=10)
-        assert guarded.count() == 0
-        open_ = lsh_probe_index(new, index, max_bucket_size=100)
+        legacy = index.drop("fp")
+        assert lsh_probe_index(new, legacy, max_bucket_size=10).count() == 0
+        open_ = lsh_probe_index(new, legacy, max_bucket_size=100)
         assert open_.count() == 30
         # identical text -> full signature agreement
         assert all(r["n_agree"] == 64 for r in open_.collect())
+        # with the stored digest, EXACT identity no longer depends on
+        # bucket heat: the guarded probe still pairs every identical doc
+        # at (num_hashes, 1.0) via the fp equi-join
+        exact = lsh_probe_index(new, index, max_bucket_size=10)
+        got = exact.collect()
+        assert len(got) == 30
+        assert all(r["n_agree"] == 64 and r["est_jaccard"] == 1.0
+                   for r in got)
 
 
 def test_cross_source_dup_matrix(spark):
