@@ -52,7 +52,16 @@ def test_stream_dedup_matches_batch_across_microbatches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # drain fully before reading: a fixed await that returns early on a
+    # loaded host leaves the memory table partial (observed once in a
+    # full-suite run at 120 s) — loop to the deadline and REQUIRE the
+    # drain, so slowness is a visible timeout, never a wrong-rows flake
+    import time as _time
+
+    deadline = _time.time() + 300
+    while q.isActive and _time.time() < deadline:
+        q.awaitTermination(5)
+    assert not q.isActive, "availableNow drain did not finish in 300s"
     got = {
         r["k"]: r["payload"] for r in spark.sql("SELECT * FROM dedup_out").collect()
     }
