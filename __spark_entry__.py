@@ -3124,6 +3124,39 @@ def q_stream_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_audio_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental AUDIO near-dup (the audio analog of lsh_incremental):
+    the dup corpus split by pmod(xxhash64(clip_id), 2) — side 0 is the
+    STORED fingerprint index (fp arrays + exact digests, ~250 B/s of
+    audio, no payloads), side 1 is the day's increment, the only audio
+    decoded.  Candidates are NEW×INDEX bucket collisions under the
+    index-side guard; verify is the shared BER law over stored arrays;
+    identical fingerprints pair at ber 0.0 via the digest join
+    regardless of bucket heat.  Twin: from-spec XXH64 split + bucket
+    replay + popcount BER + tuple-grouped exact law."""
+    from data_quality_spark.operators.audio_dedup import (
+        audio_probe_index,
+        build_audio_index,
+    )
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_dup_corpus
+
+    ensure_expected("audio_dedup_incremental", sf_dir)
+    key = ("dup", 400, 42)
+    if key not in _CLIPS_CACHE:
+        _CLIPS_CACHE[key] = make_audio_dup_corpus(400, seed=42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(
+        _CLIPS_CACHE[key][cols], CLIPS_SCHEMA
+    ).repartition(8, "clip_id")
+    par = F.pmod(F.xxhash64("clip_id"), F.lit(2))
+    index = build_audio_index(clips.where(par == 0))
+    pairs = audio_probe_index(clips.where(par == 1), index)
+    return pairs.select(
+        "new_id", "index_id", F.round("ber", 6).alias("ber_r")
+    ).orderBy("new_id", "index_id")
+
+
 def q_content_hot_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The content-axis hot-bucket guard report as data (the channel
     axis already has one): fingerprint LSH buckets whose entry count
@@ -4832,6 +4865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_gate": q_clips_gate,
         "gate_f1": q_gate_f1,
         "content_hot_buckets": q_content_hot_buckets,
+        "audio_dedup_incremental": q_audio_dedup_incremental,
         "stream_gate": q_stream_gate,
         "clips_funnel": q_clips_funnel,
         "clips_gate_rollup": q_clips_gate_rollup,
@@ -7071,6 +7105,7 @@ FROM tot JOIN g USING (lang) ORDER BY tot.lang""",
         "eval_coverage": _expected_sql("eval_coverage"),
         "gate_f1": _expected_sql("gate_f1"),
         "content_hot_buckets": _expected_sql("content_hot_buckets"),
+        "audio_dedup_incremental": _expected_sql("audio_dedup_incremental"),
         "stream_gate": (
             "SELECT clip_id, decision, scrubbed FROM read_parquet('"
             + expected_path("clips_gate")

@@ -493,7 +493,7 @@ def main() -> None:
         "source_dup_matrix", "temperature_mixture", "length_outliers",
         "crop_schedule", "datacard_drift", "channel_hot_buckets",
         "temperature_a07", "eval_manifest", "gate_f1",
-        "content_hot_buckets", "stream_gate",
+        "content_hot_buckets", "stream_gate", "audio_dedup_incremental",
     ]
     # headline-only mode: just the gate pair + health scan (~90 s) — fits
     # inside the short quiet gaps this shared host actually has, where the

@@ -58,6 +58,8 @@ __all__ = [
     "fingerprint_exact_pairs",
     "fingerprint_hot_buckets",
     "fingerprint_near_dup",
+    "build_audio_index",
+    "audio_probe_index",
     "fingerprint_shift_match",
     "clip_landmarks",
     "landmark_match",
@@ -297,6 +299,107 @@ def fingerprint_near_dup(
         .filter(F.col("ber") <= F.lit(ber_max))
         .select("id_a", "id_b", "ber")
     )
+
+
+def build_audio_index(df: DataFrame, counter=None) -> DataFrame:
+    """(clip_id, n_frames, fp, fp_digest): the stored audio near-dup
+    index — the audio analog of ``dedup.build_lsh_index``.  A daily
+    dedup job stores this relation (~250 B per second of audio, 3
+    orders smaller than payloads) and appends the survivors' rows;
+    indexed AUDIO is never decoded again.  ``fp_digest`` (xxhash64 of
+    the fingerprint array; NULL for empty fingerprints) is the
+    exact-identity key, so identical re-uploads under new ids probe by
+    digest equi-join regardless of bucket heat."""
+    fps = clip_fingerprints(df, counter=counter)
+    return fps.withColumn(
+        "fp_digest",
+        F.when(F.size("fp") > 0, F.xxhash64(F.col("fp"))),
+    )
+
+
+def audio_probe_index(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    window: int = 3,
+    stride: int = 1,
+    ber_max: float = 0.30,
+    max_bucket_size: int = 64,
+    counter=None,
+) -> DataFrame:
+    """Incremental audio near-dup: NEW clips probed against a STORED
+    fingerprint index — the increment is the only audio decoded.
+
+    Returns (new_id, index_id, ber), one row per (new, indexed)
+    near-duplicate pair.  The law mirrors ``dedup.lsh_probe_index``:
+
+    - new fingerprints are computed (ONE mapInArrow decode pass — the
+      increment's only payload scan); the index side re-derives its
+      bucket keys from the STORED fp arrays (fingerprint bytes, never
+      audio — at a scale where even that rescan hurts, store the
+      (off, bh) entry relation beside the index);
+    - candidates are NEW×INDEX bucket collisions on the shared
+      ``_fp_bucket_entries`` key law — a join against the index keys,
+      never an index self-join; ``max_bucket_size`` guards by
+      INDEX-side population (the side whose size is known up front);
+    - verify is the shared ``ber_col`` law over the stored arrays
+      (zero decode);
+    - exact identity rides ``fp_digest`` when the index carries it
+      (``build_audio_index`` writes it): identical fingerprints pair
+      at ber 0.0 regardless of bucket heat — the
+      exact-never-depends-on-bucket-heat law, incremental-audio form.
+      Same-id re-ingests are excluded (re-ingest is exact dedup's
+      job).  Indexes stored without the column keep working.
+    """
+    new_fps = clip_fingerprints(new_df, counter=counter).persist()
+    idx = index_df
+    idx_e = _fp_bucket_entries(
+        idx.select(F.col("clip_id"), "fp"), window, stride
+    ).select(F.col("__id").alias("index_id"), "off", "bh")
+    small = (
+        idx_e.groupBy("off", "bh")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter(F.col("__bn") <= max_bucket_size)
+        .select("off", "bh")
+    )
+    idx_e = idx_e.join(small, ["off", "bh"])
+    new_e = _fp_bucket_entries(new_fps, window, stride).select(
+        F.col("__id").alias("new_id"), "off", "bh"
+    )
+    cand = (
+        new_e.join(idx_e, ["off", "bh"])
+        .filter(F.col("new_id") != F.col("index_id"))
+        .select("new_id", "index_id")
+        .distinct()
+    )
+    new_v = new_fps.select(
+        F.col("clip_id").alias("new_id"), F.col("fp").alias("__fa"))
+    idx_v = idx.select(
+        F.col("clip_id").alias("index_id"), F.col("fp").alias("__fb"))
+    n = F.least(F.size("__fa"), F.size("__fb"))
+    out = (
+        cand.join(new_v, "new_id")
+        .join(idx_v, "index_id")
+        .filter(n > 0)
+        .withColumn("ber", ber_col("__fa", "__fb"))
+        .filter(F.col("ber") <= F.lit(ber_max))
+        .select("new_id", "index_id", "ber")
+    )
+    if "fp_digest" in idx.columns:
+        new_d = new_fps.filter(F.size("fp") > 0).select(
+            F.col("clip_id").alias("new_id"),
+            F.xxhash64(F.col("fp")).alias("fp_digest"),
+        )
+        idx_d = idx.where(F.col("fp_digest").isNotNull()).select(
+            F.col("clip_id").alias("index_id"), "fp_digest"
+        )
+        exact = (
+            new_d.join(idx_d, "fp_digest")
+            .filter(F.col("new_id") != F.col("index_id"))
+            .select("new_id", "index_id", F.lit(0.0).alias("ber"))
+        )
+        out = out.unionByName(exact).dropDuplicates(
+            ["new_id", "index_id"])
+    return out
 
 
 def fingerprint_shift_match(

@@ -4284,6 +4284,85 @@ def _channel_hot_buckets_expected(
     return out
 
 
+def _audio_probe_expected(
+    n=400, seed=42, window=3, stride=1, ber_max=0.30, max_bucket=64,
+) -> dict:
+    """Twin of q_audio_dedup_incremental: the dup corpus split by
+    pmod(xxhash64(clip_id), 2) (index = 0, increment = 1); index-side
+    bucket guard; NEW×INDEX collisions only; popcount BER verify; the
+    exact fp-digest law replayed by grouping on the fingerprint tuple
+    (pairs at ber 0.0 regardless of bucket heat)."""
+    from .functions.audio import _decode_i16
+    from .functions.spectral import STABLE_MASK, STABLE_SHIFT
+    from .functions.spectral import fingerprint_i32
+    from .synth import make_audio_dup_corpus
+
+    pdf = make_audio_dup_corpus(n, seed=seed)
+    fps: dict[str, list[int]] = {}
+    for _, r in pdf.iterrows():
+        try:
+            x = _decode_i16(r["bytes"], r["codec"], r["sr_hz"])
+        except (ValueError, TypeError):
+            x = np.zeros(0, dtype=np.int16)
+        fps[r["clip_id"]] = [int(v) for v in fingerprint_i32(x)]
+    side = {c: xxh64_string(c, 42) % 2 for c in fps}
+    idx_ids = [c for c in fps if side[c] == 0]
+    new_ids = [c for c in fps if side[c] == 1]
+
+    def keys(fp):
+        if len(fp) < window:
+            return
+        sb = [(v >> STABLE_SHIFT) & STABLE_MASK for v in fp]
+        for wi in range((len(sb) - window) // stride + 1):
+            off = wi * stride
+            h = 42
+            for v in sb[off:off + window]:
+                h = xxh64_long(v, h)
+            yield (off, h)
+
+    buckets: dict[tuple[int, int], list[str]] = {}
+    for c in idx_ids:
+        for k in keys(fps[c]):
+            buckets.setdefault(k, []).append(c)
+    cand: set[tuple[str, str]] = set()
+    for c in new_ids:
+        for k in keys(fps[c]):
+            members = buckets.get(k, ())
+            if len(members) <= max_bucket:
+                for m in members:
+                    if m != c:
+                        cand.add((c, m))
+    rows: dict[tuple[str, str], float] = {}
+    for new, old in cand:
+        fa, fb = fps[new], fps[old]
+        m = min(len(fa), len(fb))
+        if m == 0:
+            continue
+        diff = 0
+        for va, vb in zip(fa[:m], fb[:m]):
+            diff += bin((va ^ vb) & 0x7FFF).count("1")
+        ber = diff / (15.0 * m)
+        if ber <= ber_max:
+            rows[(new, old)] = spark_round(ber, 6)
+    by_fp: dict[tuple, list[str]] = {}
+    for c, fp in fps.items():
+        if fp:
+            by_fp.setdefault(tuple(fp), []).append(c)
+    for members in by_fp.values():
+        for new in members:
+            if side[new] != 1:
+                continue
+            for old in members:
+                if side[old] == 0 and old != new:
+                    rows[(new, old)] = 0.0
+    out = {"new_id": [], "index_id": [], "ber_r": []}
+    for (new, old) in sorted(rows):
+        out["new_id"].append(new)
+        out["index_id"].append(old)
+        out["ber_r"].append(rows[(new, old)])
+    return out
+
+
 def _gate_consistency_expected(n=400, seed=42) -> dict:
     """Twin of the ``gate_consistency`` query: union-find closure of the
     verified audio near-dup pair graph composed with the pandas gate
@@ -7090,6 +7169,10 @@ _SCHEMAS: dict[str, pa.Schema] = {
          ("n_sel", pa.int64()), ("sel_weight", pa.int64()),
          ("filled", pa.bool_())]
     ),
+    "audio_dedup_incremental": pa.schema(
+        [("new_id", pa.string()), ("index_id", pa.string()),
+         ("ber_r", pa.float64())]
+    ),
     "content_hot_buckets": pa.schema(
         [("off", pa.int32()), ("bh", pa.int64()),
          ("n_members", pa.int64())]
@@ -8119,6 +8202,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _gate_f1_expected()
     elif name == "content_hot_buckets":
         data = _content_hot_buckets_expected()
+    elif name == "audio_dedup_incremental":
+        data = _audio_probe_expected()
     elif name == "eval_coverage":
         data = _eval_coverage_expected()
     elif name == "audio_multispeaker":

@@ -394,3 +394,67 @@ def test_fingerprint_hot_buckets_report(spark):
     # guard off -> nothing reported
     assert fingerprint_hot_buckets(
         fps, max_bucket_size=10_000).count() == 0
+
+
+class TestAudioProbeIndex:
+    """Incremental audio near-dup: stored-index probe laws."""
+
+    def _split(self, spark, pdf):
+        from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+
+        cols = [f.name for f in CLIPS_SCHEMA.fields]
+        clips = spark.createDataFrame(pdf[cols], CLIPS_SCHEMA)
+        par = F.pmod(F.xxhash64("clip_id"), F.lit(2))
+        return clips.where(par == 0), clips.where(par == 1)
+
+    def test_decodes_only_the_increment(self, spark, tmp_path):
+        """The index is stored fingerprints: a probe run must decode
+        exactly the NEW clips, zero index audio."""
+        from data_quality_spark.operators.audio_dedup import (
+            audio_probe_index,
+            build_audio_index,
+        )
+        from data_quality_spark.synth import make_audio_dup_corpus
+
+        pdf = make_audio_dup_corpus(120, seed=7)
+        idx_clips, new_clips = self._split(spark, pdf)
+        n_new = new_clips.count()
+        build_audio_index(idx_clips).write.mode("overwrite").parquet(
+            str(tmp_path / "audio_index"))
+        stored = spark.read.parquet(str(tmp_path / "audio_index"))
+        acc = spark.sparkContext.accumulator(0)
+        pairs = audio_probe_index(new_clips, stored, counter=acc)
+        assert pairs.count() > 0
+        assert acc.value == n_new
+
+    def test_exact_digest_survives_hot_buckets_and_legacy_index(
+            self, spark):
+        """max_bucket_size=0 drops EVERY index bucket: with the stored
+        digest identical fingerprints still pair at ber 0.0; a legacy
+        index (no fp_digest column) returns nothing — old stored
+        indexes keep working, minus the protection."""
+        import pandas as pd
+
+        from data_quality_spark.operators.audio_dedup import (
+            audio_probe_index,
+            build_audio_index,
+        )
+        from data_quality_spark.synth import generate_clips
+
+        base = generate_clips(6, seed=3)
+        rep = pd.concat([base.iloc[[0]]] * 8, ignore_index=True)
+        rep["clip_id"] = [f"idx{i:02d}" for i in range(8)]
+        new = base.iloc[[0]].copy()
+        new["clip_id"] = ["probe0"]
+        from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+
+        cols = [f.name for f in CLIPS_SCHEMA.fields]
+        index = build_audio_index(
+            spark.createDataFrame(rep[cols], CLIPS_SCHEMA))
+        new_df = spark.createDataFrame(new[cols], CLIPS_SCHEMA)
+        got = audio_probe_index(new_df, index, max_bucket_size=0).collect()
+        assert len(got) == 8
+        assert all(r["ber"] == 0.0 for r in got)
+        legacy = index.drop("fp_digest")
+        assert audio_probe_index(
+            new_df, legacy, max_bucket_size=0).count() == 0
