@@ -121,3 +121,49 @@ def test_gopher_flags_are_streaming_legal(spark, tmp_path):
         ).collect()
     }
     assert got == want == {0: True, 1: False}
+
+
+def test_stream_probe_matches_batch_probe(spark, tmp_path):
+    """The streaming incremental audio probe equals the one-shot batch
+    probe over the union of increments (NEW×INDEX pairs on both
+    paths), and each increment decodes exactly once."""
+    from pyspark.sql import functions as F
+
+    from data_quality_spark.operators.audio_dedup import (
+        audio_probe_index,
+        build_audio_index,
+    )
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.streaming.probe_stream import stream_probe_index
+    from data_quality_spark.synth import make_audio_dup_corpus
+
+    pdf = make_audio_dup_corpus(120, seed=7)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(pdf[cols], CLIPS_SCHEMA)
+    par = F.pmod(F.xxhash64("clip_id"), F.lit(2))
+    idx_clips, new_clips = clips.where(par == 0), clips.where(par == 1)
+    index_path = str(tmp_path / "index")
+    build_audio_index(idx_clips).write.parquet(index_path)
+    stored = spark.read.parquet(index_path)
+
+    src = str(tmp_path / "incoming")
+    new_clips.coalesce(3).write.parquet(src)  # 3 files → multiple batches
+    acc = spark.sparkContext.accumulator(0)
+    out_root = str(tmp_path / "out")
+    res = stream_probe_index(
+        spark, src, stored, out_root,
+        max_files_per_trigger=1, decode_counter=acc,
+    )
+    assert res["batches"] >= 2
+    assert acc.value == new_clips.count()  # one decode per increment row
+
+    streamed = sorted(
+        (r["new_id"], r["index_id"], round(r["ber"], 9))
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(f"{out_root}/probe_stream").collect()
+    )
+    batch = sorted(
+        (r["new_id"], r["index_id"], round(r["ber"], 9))
+        for r in audio_probe_index(new_clips, stored).collect()
+    )
+    assert streamed == batch and len(batch) > 0
