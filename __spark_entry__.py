@@ -3157,6 +3157,34 @@ def q_audio_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("new_id", "index_id")
 
 
+def q_image_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IMAGE near-dup, completing the incremental family
+    across all three modalities (text lsh_incremental, audio
+    audio_dedup_incremental): the image corpus split by
+    pmod(xxhash64(media_id), 2) — side 0 is the stored 8 B/image pHash
+    index, side 1 the increment (the only images decoded).  NEW×INDEX
+    chunk-band collisions under the index-side guard, bit_count verify,
+    equal hashes at hamming 0 via the exact join.  Twin: independent
+    BMP parse + fixed-point pHash + brute-force cross Hamming."""
+    from data_quality_spark.operators.image_dedup import (
+        build_image_index,
+        image_probe_index,
+    )
+    from data_quality_spark.synth import generate_image_corpus
+
+    ensure_expected("image_dedup_incremental", sf_dir)
+    pdf = generate_image_corpus(120, seed=42)
+    media = spark.createDataFrame(
+        pdf, "media_id string, payload binary"
+    ).repartition(4)
+    par = F.pmod(F.xxhash64("media_id"), F.lit(2))
+    index = build_image_index(media.where(par == 0))
+    pairs = image_probe_index(media.where(par == 1), index)
+    return pairs.select(
+        "new_id", "index_id", F.col("hamming").cast("int").alias("hamming")
+    ).orderBy("new_id", "index_id")
+
+
 def q_content_hot_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The content-axis hot-bucket guard report as data (the channel
     axis already has one): fingerprint LSH buckets whose entry count
@@ -4866,6 +4894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gate_f1": q_gate_f1,
         "content_hot_buckets": q_content_hot_buckets,
         "audio_dedup_incremental": q_audio_dedup_incremental,
+        "image_dedup_incremental": q_image_dedup_incremental,
         "stream_gate": q_stream_gate,
         "clips_funnel": q_clips_funnel,
         "clips_gate_rollup": q_clips_gate_rollup,
@@ -7106,6 +7135,7 @@ FROM tot JOIN g USING (lang) ORDER BY tot.lang""",
         "gate_f1": _expected_sql("gate_f1"),
         "content_hot_buckets": _expected_sql("content_hot_buckets"),
         "audio_dedup_incremental": _expected_sql("audio_dedup_incremental"),
+        "image_dedup_incremental": _expected_sql("image_dedup_incremental"),
         "stream_gate": (
             "SELECT clip_id, decision, scrubbed FROM read_parquet('"
             + expected_path("clips_gate")

@@ -494,6 +494,7 @@ def main() -> None:
         "crop_schedule", "datacard_drift", "channel_hot_buckets",
         "temperature_a07", "eval_manifest", "gate_f1",
         "content_hot_buckets", "stream_gate", "audio_dedup_incremental",
+        "image_dedup_incremental",
     ]
     # headline-only mode: just the gate pair + health scan (~90 s) — fits
     # inside the short quiet gaps this shared host actually has, where the

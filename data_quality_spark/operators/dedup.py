@@ -45,6 +45,7 @@ __all__ = [
     "lsh_candidates_multi",
     "simhash64",
     "simhash_near_pairs",
+    "simhash_probe_index",
     "winnow_fingerprints",
     "dedup_against_index",
     "build_dedup_index",
@@ -479,6 +480,83 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return votes.select(F.col("__id").alias(id_col), sig.alias("simhash"))
 
 
+def _simhash_chunks(sigs: DataFrame, id_col: str) -> DataFrame:
+    """(__id, simhash, ci, cv): the 4×16-bit chunk-key emission shared
+    by the self-join pair finder and the incremental index probe — the
+    ONE definition of the banding law."""
+    return sigs.select(
+        F.col(id_col).alias("__id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("ci"),
+                        F.shiftright(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cv"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("e"),
+    ).select("__id", "simhash", "e.ci", "e.cv")
+
+
+def simhash_probe_index(
+    new_sigs: DataFrame,
+    index_df: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """Incremental SimHash near-dup: NEW signatures probed against a
+    STORED signature relation (8 B per row — the simhash column IS the
+    index).  Returns (new_id, index_id, hamming), NEW×INDEX collisions
+    only under the INDEX-side bucket guard, verified by bit_count(xor)
+    ≤ ``max_hamming``.
+
+    Exact identity never depends on chunk-bucket heat: equal signatures
+    additionally join on the full 64-bit value at hamming 0 (a hash
+    equality is not byte-identity — it is the same *perceptual* class,
+    which is precisely what the signature family asserts).  Same-id
+    pairs are excluded (re-ingest is exact dedup's job)."""
+    new_c = _simhash_chunks(new_sigs, id_col).select(
+        F.col("__id").alias("new_id"),
+        F.col("simhash").alias("__sa"), "ci", "cv",
+    )
+    idx_c = _simhash_chunks(index_df, id_col).select(
+        F.col("__id").alias("index_id"),
+        F.col("simhash").alias("__sb"), "ci", "cv",
+    )
+    small = (
+        idx_c.groupBy("ci", "cv")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter(F.col("__bn") <= max_bucket_size)
+        .select("ci", "cv")
+    )
+    idx_c = idx_c.join(small, ["ci", "cv"])
+    ham = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
+    banded = (
+        new_c.join(idx_c, ["ci", "cv"])
+        .filter(F.col("new_id") != F.col("index_id"))
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= F.lit(max_hamming))
+        .select("new_id", "index_id", "hamming")
+        .distinct()
+    )
+    exact = (
+        new_sigs.select(F.col(id_col).alias("new_id"), "simhash")
+        .join(index_df.select(F.col(id_col).alias("index_id"), "simhash"),
+              "simhash")
+        .filter(F.col("new_id") != F.col("index_id"))
+        .select("new_id", "index_id",
+                F.lit(0).cast("int").alias("hamming"))
+    )
+    return banded.unionByName(exact).dropDuplicates(
+        ["new_id", "index_id"])
+
+
 def simhash_near_pairs(
     sigs: DataFrame, id_col: str, max_hamming: int = 3, max_bucket_size: int = 256,
     materialize: bool = True,
@@ -500,23 +578,7 @@ def simhash_near_pairs(
         from pyspark.storagelevel import StorageLevel
 
         sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
-    chunks = sigs.select(
-        F.col(id_col).alias("__id"),
-        F.col("simhash"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("ci"),
-                        F.shiftright(F.col("simhash"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("cv"),
-                    )
-                    for c in range(4)
-                ]
-            )
-        ).alias("e"),
-    ).select("__id", "simhash", "e.ci", "e.cv")
+    chunks = _simhash_chunks(sigs, id_col)
     small = (
         chunks.groupBy("ci", "cv")
         .agg(F.count(F.lit(1)).alias("__bn"))

@@ -25,7 +25,8 @@ from pyspark.sql import types as T
 
 from .dedup import simhash_near_pairs
 
-__all__ = ["image_hashes", "image_near_pairs"]
+__all__ = ["image_hashes", "image_near_pairs", "build_image_index",
+           "image_probe_index"]
 
 
 _HASH_METHODS = ("dhash", "ahash", "phash")
@@ -79,6 +80,49 @@ def image_hashes(
             yield pd.DataFrame({id_col: ids, method: hashes})
 
     return media.mapInPandas(run, out_schema)
+
+
+def build_image_index(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    method: str = "phash",
+    counter=None,
+) -> DataFrame:
+    """The stored image near-dup index: one 64-bit perceptual hash per
+    decodable image (8 B/row) — the image analog of
+    ``dedup.build_lsh_index`` / ``audio_dedup.build_audio_index``.  The
+    hash IS the exact-identity key (hamming 0), so there is nothing
+    extra to store."""
+    return image_hashes(media, id_col, payload_col, method, counter)
+
+
+def image_probe_index(
+    new_media: DataFrame,
+    index_df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    hash_col: str = "phash",
+    max_hamming: int = 3,
+    max_bucket_size: int = 256,
+    counter=None,
+) -> DataFrame:
+    """Incremental image near-dup: NEW images hashed (the increment's
+    only decode) and probed against a STORED hash index via the shared
+    SimHash chunk-band law — (new_id, index_id, hamming), NEW×INDEX
+    collisions only, index-side bucket guard, equal hashes pairing at
+    hamming 0 regardless of bucket heat
+    (``dedup.simhash_probe_index``)."""
+    from .dedup import simhash_probe_index
+
+    new_h = image_hashes(
+        new_media, id_col, payload_col, hash_col, counter
+    ).select(F.col(id_col), F.col(hash_col).alias("simhash"))
+    idx = index_df.select(F.col(id_col), F.col(hash_col).alias("simhash"))
+    return simhash_probe_index(
+        new_h, idx, id_col=id_col, max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
+    )
 
 
 def image_near_pairs(

@@ -3713,6 +3713,40 @@ def _image_hash_recall_expected(n=120, seed=42, max_hamming=3) -> dict:
     return out
 
 
+def _image_probe_expected(n=120, seed=42, max_hamming=3) -> dict:
+    """Twin of q_image_dedup_incremental: the image corpus split by
+    pmod(xxhash64(media_id), 2) (index = 0, increment = 1); independent
+    BMP parse + fixed-point pHash; brute-force NEW×INDEX Hamming
+    (banding recall ≤3 exact by pigeonhole; equal hashes pair at 0 by
+    the exact law either way)."""
+    from .synth import generate_image_corpus
+
+    pdf = generate_image_corpus(n, seed=seed)
+    sigs: dict[str, int] = {}
+    for _, r in pdf.iterrows():
+        try:
+            sigs[r["media_id"]] = _phash_py(_bmp_rgb_py(bytes(r["payload"])))
+        except ValueError:
+            continue
+    side = {m: xxh64_string(m, 42) % 2 for m in sigs}
+    out = {"new_id": [], "index_id": [], "hamming": []}
+    rows = []
+    for new, hn in sigs.items():
+        if side[new] != 1:
+            continue
+        for old, ho in sigs.items():
+            if side[old] != 0 or old == new:
+                continue
+            d = bin((hn ^ ho) & ((1 << 64) - 1)).count("1")
+            if d <= max_hamming:
+                rows.append((new, old, d))
+    for new, old, d in sorted(rows):
+        out["new_id"].append(new)
+        out["index_id"].append(old)
+        out["hamming"].append(d)
+    return out
+
+
 def _image_phash_near_dup_expected(n=120, seed=42) -> dict:
     """Twin of ``image_hashes(method='phash') → image_near_pairs``:
     independent BMP parse + independent fixed-point DCT hash +
@@ -7169,6 +7203,10 @@ _SCHEMAS: dict[str, pa.Schema] = {
          ("n_sel", pa.int64()), ("sel_weight", pa.int64()),
          ("filled", pa.bool_())]
     ),
+    "image_dedup_incremental": pa.schema(
+        [("new_id", pa.string()), ("index_id", pa.string()),
+         ("hamming", pa.int32())]
+    ),
     "audio_dedup_incremental": pa.schema(
         [("new_id", pa.string()), ("index_id", pa.string()),
          ("ber_r", pa.float64())]
@@ -8204,6 +8242,8 @@ def ensure_expected(name: str, sf_dir: str | None = None) -> bool:
         data = _content_hot_buckets_expected()
     elif name == "audio_dedup_incremental":
         data = _audio_probe_expected()
+    elif name == "image_dedup_incremental":
+        data = _image_probe_expected()
     elif name == "eval_coverage":
         data = _eval_coverage_expected()
     elif name == "audio_multispeaker":

@@ -178,3 +178,46 @@ def test_cross_source_dup_matrix(spark):
     got = {(r["source_a"], r["source_b"]): r["n_shared"]
            for r in cross_source_dup_matrix(df).collect()}
     assert got == {("A", "B"): 1, ("A", "C"): 1}
+
+
+class TestSimhashProbeIndex:
+    def test_exact_law_survives_hot_buckets_and_cross_only(self, spark):
+        """Equal signatures pair at hamming 0 even when every chunk
+        bucket is dropped; within-increment pairs never appear."""
+        from data_quality_spark.operators.dedup import simhash_probe_index
+
+        idx = spark.createDataFrame(
+            [(i, 0x1234567890ABCDEF) for i in range(20)]
+            + [(100, 0x0F0F0F0F0F0F0F0F)],
+            "doc_id long, simhash long",
+        )
+        new = spark.createDataFrame(
+            [(201, 0x1234567890ABCDEF), (202, 0x1234567890ABCDEF),
+             (203, 0x7777777777777777)],
+            "doc_id long, simhash long",
+        )
+        got = simhash_probe_index(new, idx, max_bucket_size=0).collect()
+        by_new = {}
+        for r in got:
+            by_new.setdefault(r["new_id"], []).append(
+                (r["index_id"], r["hamming"]))
+        # both identical new docs match all 20 identical index docs at 0
+        assert len(by_new[201]) == 20 and len(by_new[202]) == 20
+        assert all(h == 0 for pairs in by_new.values()
+                   for _, h in pairs)
+        # no new×new pair, no unrelated match
+        assert 202 not in [i for i, _ in by_new.get(201, [])]
+        assert 203 not in by_new
+
+    def test_banded_near_match_under_guard(self, spark):
+        from data_quality_spark.operators.dedup import simhash_probe_index
+
+        base = 0x1234567890ABCDEF
+        idx = spark.createDataFrame(
+            [(1, base)], "doc_id long, simhash long")
+        new = spark.createDataFrame(
+            [(2, base ^ 0b101)],  # hamming 2
+            "doc_id long, simhash long")
+        got = simhash_probe_index(new, idx).collect()
+        assert [(r["new_id"], r["index_id"], r["hamming"])
+                for r in got] == [(2, 1, 2)]
