@@ -59,6 +59,7 @@ __all__ = [
     "fingerprint_hot_buckets",
     "fingerprint_near_dup",
     "build_audio_index",
+    "audio_index_entries",
     "audio_probe_index",
     "fingerprint_shift_match",
     "clip_landmarks",
@@ -317,6 +318,18 @@ def build_audio_index(df: DataFrame, counter=None) -> DataFrame:
     )
 
 
+def audio_index_entries(index_df: DataFrame, window: int = 3,
+                        stride: int = 1) -> DataFrame:
+    """(index_id, off, bh): a stored index's bucket-key relation —
+    write it beside the index (it only ever grows by appending the
+    survivors' keys) and pass it to ``audio_probe_index`` so a probe
+    joins stored keys directly instead of re-deriving O(corpus
+    fingerprints) of them per run — the at-scale seam."""
+    return _fp_bucket_entries(
+        index_df.select(F.col("clip_id"), "fp"), window, stride
+    ).select(F.col("__id").alias("index_id"), "off", "bh")
+
+
 def audio_probe_index(
     new_df: DataFrame,
     index_df: DataFrame,
@@ -325,6 +338,7 @@ def audio_probe_index(
     ber_max: float = 0.30,
     max_bucket_size: int = 64,
     counter=None,
+    index_entries_df: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental audio near-dup: NEW clips probed against a STORED
     fingerprint index — the increment is the only audio decoded.
@@ -352,9 +366,8 @@ def audio_probe_index(
     """
     new_fps = clip_fingerprints(new_df, counter=counter).persist()
     idx = index_df
-    idx_e = _fp_bucket_entries(
-        idx.select(F.col("clip_id"), "fp"), window, stride
-    ).select(F.col("__id").alias("index_id"), "off", "bh")
+    idx_e = (index_entries_df if index_entries_df is not None
+             else audio_index_entries(idx, window, stride))
     small = (
         idx_e.groupBy("off", "bh")
         .agg(F.count(F.lit(1)).alias("__bn"))

@@ -45,6 +45,7 @@ __all__ = [
     "lsh_candidates_multi",
     "simhash64",
     "simhash_near_pairs",
+    "simhash_index_entries",
     "simhash_probe_index",
     "winnow_fingerprints",
     "dedup_against_index",
@@ -503,12 +504,25 @@ def _simhash_chunks(sigs: DataFrame, id_col: str) -> DataFrame:
     ).select("__id", "simhash", "e.ci", "e.cv")
 
 
+def simhash_index_entries(index_df: DataFrame,
+                          id_col: str = "doc_id") -> DataFrame:
+    """(index_id, simhash, ci, cv): a stored signature index's
+    chunk-key relation — store beside the index and pass to
+    ``simhash_probe_index`` to skip per-probe re-derivation (the
+    at-scale seam; it only grows by appending survivors' keys)."""
+    return _simhash_chunks(index_df, id_col).select(
+        F.col("__id").alias("index_id"),
+        F.col("simhash").alias("__sb"), "ci", "cv",
+    )
+
+
 def simhash_probe_index(
     new_sigs: DataFrame,
     index_df: DataFrame,
     id_col: str = "doc_id",
     max_hamming: int = 3,
     max_bucket_size: int = 256,
+    index_entries_df: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental SimHash near-dup: NEW signatures probed against a
     STORED signature relation (8 B per row — the simhash column IS the
@@ -525,10 +539,8 @@ def simhash_probe_index(
         F.col("__id").alias("new_id"),
         F.col("simhash").alias("__sa"), "ci", "cv",
     )
-    idx_c = _simhash_chunks(index_df, id_col).select(
-        F.col("__id").alias("index_id"),
-        F.col("simhash").alias("__sb"), "ci", "cv",
-    )
+    idx_c = (index_entries_df if index_entries_df is not None
+             else simhash_index_entries(index_df, id_col))
     small = (
         idx_c.groupBy("ci", "cv")
         .agg(F.count(F.lit(1)).alias("__bn"))

@@ -221,3 +221,48 @@ class TestSimhashProbeIndex:
         got = simhash_probe_index(new, idx).collect()
         assert [(r["new_id"], r["index_id"], r["hamming"])
                 for r in got] == [(2, 1, 2)]
+
+
+def test_stored_entries_equal_derived(spark, tmp_path):
+    """The at-scale seam: probing with a STORED bucket-key relation
+    (audio_index_entries / simhash_index_entries written beside the
+    index) is row-identical to the per-probe derivation."""
+    from pyspark.sql import functions as F
+
+    from data_quality_spark.operators.audio_dedup import (
+        audio_index_entries,
+        audio_probe_index,
+        build_audio_index,
+    )
+    from data_quality_spark.operators.dedup import (
+        simhash_index_entries,
+        simhash_probe_index,
+    )
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_dup_corpus
+
+    pdf = make_audio_dup_corpus(80, seed=7)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(pdf[cols], CLIPS_SCHEMA)
+    par = F.pmod(F.xxhash64("clip_id"), F.lit(2))
+    idx_clips, new_clips = clips.where(par == 0), clips.where(par == 1)
+    index = build_audio_index(idx_clips)
+    ents_path = str(tmp_path / "entries")
+    audio_index_entries(index).write.parquet(ents_path)
+    stored_entries = spark.read.parquet(ents_path)
+    derived = sorted(map(tuple, audio_probe_index(
+        new_clips, index).collect()))
+    stored = sorted(map(tuple, audio_probe_index(
+        new_clips, index, index_entries_df=stored_entries).collect()))
+    assert derived == stored and len(derived) > 0
+
+    sig_idx = spark.createDataFrame(
+        [(1, 0x1234567890ABCDEF), (2, 0x0F0F0F0F0F0F0F0F)],
+        "doc_id long, simhash long")
+    sig_new = spark.createDataFrame(
+        [(9, 0x1234567890ABCDEC)], "doc_id long, simhash long")
+    d2 = sorted(map(tuple, simhash_probe_index(sig_new, sig_idx).collect()))
+    s2 = sorted(map(tuple, simhash_probe_index(
+        sig_new, sig_idx,
+        index_entries_df=simhash_index_entries(sig_idx)).collect()))
+    assert d2 == s2 and len(d2) == 1
