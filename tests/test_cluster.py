@@ -380,3 +380,41 @@ def test_connected_components_reports_rounds(spark):
     comp = connected_components(edges, stats=stats)
     assert comp.select("component").distinct().count() == 1
     assert 1 <= stats["rounds"] <= 10
+
+
+def test_digest_chain_pairs_random_families(spark):
+    """Randomized differential: for random digest assignments, the chain
+    edges must close to exactly the digest families (plain-Python
+    grouping as the oracle), across several seeds and shapes."""
+    import random
+
+    from data_quality_spark.operators.cluster import (
+        connected_components,
+        digest_chain_pairs,
+    )
+
+    for seed in (1, 7, 23):
+        rng = random.Random(seed)
+        n = rng.randint(30, 120)
+        n_digests = rng.randint(3, 12)
+        rows = [(i, rng.randrange(n_digests)) for i in range(n)]
+        df = spark.createDataFrame(rows, "__id long, __d long")
+        edges = digest_chain_pairs(df)
+        fams: dict[int, list[int]] = {}
+        for i, d in rows:
+            fams.setdefault(d, []).append(i)
+        want_edges = sorted(
+            (min(m), x)
+            for m in fams.values() if len(m) > 1
+            for x in m if x != min(m)
+        )
+        got_edges = sorted(
+            (r["id_a"], r["id_b"]) for r in edges.collect())
+        assert got_edges == want_edges, seed
+        # closure: every multi-member family is one component labeled
+        # by its min id
+        comp = {r["node"]: r["component"]
+                for r in connected_components(edges).collect()}
+        for m in fams.values():
+            if len(m) > 1:
+                assert {comp[x] for x in m} == {min(m)}, seed
