@@ -224,3 +224,39 @@ class TestCliDatabaseUrl:
             "check", "--tables", "/nonexistent/dir",
         ])
         assert code == 3
+
+
+class TestCoercion:
+    def test_dynamic_cells_coerced_onto_affinity(self, spark, tmp_path):
+        """sqlite is dynamically typed per CELL: stray strings in an
+        INTEGER column coerce (or NULL out) instead of killing
+        createDataFrame at row 10^6."""
+        import sqlite3
+
+        p = str(tmp_path / "dyn.db")
+        con = sqlite3.connect(p)
+        con.execute("CREATE TABLE t (n INTEGER, x REAL, s TEXT)")
+        con.execute("INSERT INTO t VALUES ('42', '3.5', 7)")   # strs in num cols, int in text
+        con.execute("INSERT INTO t VALUES ('junk', 'junk', NULL)")
+        con.commit()
+        con.close()
+        rows = sorted(
+            load_sqlite(spark, p)["t"].collect(),
+            key=lambda r: (r["n"] is None, r["n"]),
+        )
+        assert (rows[0]["n"], rows[0]["x"], rows[0]["s"]) == (42, 3.5, "7")
+        assert rows[1]["n"] is None and rows[1]["x"] is None
+
+
+def test_exception_formatting():
+    from data_quality_spark.exceptions import (
+        OperationError,
+        ValidationError,
+    )
+
+    e = ValidationError("table", 42, "a table name", "use a string")
+    s = str(e)
+    assert "Invalid table" in s and "Details:" in s and "Suggestion: use a string" in s
+    assert e.code == "validation" and e.field == "table"
+    op = OperationError("scan", "timeout", retryable=True)
+    assert op.retryable and "Operation 'scan' failed: timeout" in str(op)

@@ -131,3 +131,43 @@ def test_parse_outermost_braces():
     text = "preamble {" + json.dumps(GOOD_JSON)[1:-1] + "} trailer"
     a = parse_provider_response(text)
     assert a.summary == "one null, one dup"
+
+
+def test_default_transport_request_shape(monkeypatch):
+    """The stdlib urllib transport: POST, JSON body, merged headers —
+    verified by intercepting urlopen (no network)."""
+    import json as _json
+
+    from data_quality_spark.plans import providers as P
+
+    seen = {}
+
+    class _Resp:
+        def read(self):
+            return b'{"ok": true}'
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def fake_urlopen(req, timeout=None):
+        seen["url"] = req.full_url
+        seen["method"] = req.get_method()
+        seen["headers"] = dict(req.header_items())
+        seen["body"] = _json.loads(req.data.decode())
+        seen["timeout"] = timeout
+        return _Resp()
+
+    monkeypatch.setattr("urllib.request.urlopen", fake_urlopen)
+    body = P._default_transport(
+        "https://api.example.com/v1/x", {"x-api-key": "k"},
+        {"model": "m"}, timeout_s=7.0)
+    assert body == '{"ok": true}'
+    assert seen["method"] == "POST"
+    assert seen["timeout"] == 7.0
+    assert seen["body"] == {"model": "m"}
+    hdrs = {k.lower(): v for k, v in seen["headers"].items()}
+    assert hdrs["x-api-key"] == "k"
+    assert hdrs["content-type"] == "application/json"
