@@ -137,15 +137,17 @@ def fingerprint_hot_buckets(
     stride: int = 1,
     max_bucket_size: int = 64,
 ) -> DataFrame:
-    """(off, bh, n_members, n_clips): the fingerprint buckets the
-    hot-bucket guard SKIPPED — the content-axis twin of
+    """(off, bh, n_members): the fingerprint buckets the hot-bucket
+    guard SKIPPED — the content-axis twin of
     ``audio_channel.hot_buckets``.  A populated row names an (offset,
     window-hash) family whose members were never candidate-paired by
     the LSH path, so NEAR-dup recall inside it is zero (EXACT identity
     is safe regardless — ``fingerprint_exact_pairs`` / the payload
     digest own it).  Empty on a healthy corpus; hold-music, test
     tones, and heavy replication populate it.  One aggregate over the
-    shared bucket-key emission."""
+    shared bucket-key emission.  ``n_members`` IS the per-bucket clip
+    count: ``_fp_bucket_entries`` emits exactly one entry per clip per
+    offset, so entries and distinct clips coincide by construction."""
     entries = _fp_bucket_entries(fp_df, window, stride)
     return (
         entries.groupBy("off", "bh")
@@ -412,6 +414,11 @@ def audio_probe_index(
         )
         out = out.unionByName(exact).dropDuplicates(
             ["new_id", "index_id"])
+    # materialize, then release the fingerprint cache: stream_probe_index
+    # calls this once per micro-batch, so a dangling persist would
+    # accumulate in executor storage for the life of the stream
+    out = out.localCheckpoint(eager=True)
+    new_fps.unpersist()
     return out
 
 

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import os
 import sqlite3
+from contextlib import closing
 from typing import Any, Mapping, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -51,6 +52,7 @@ __all__ = [
     "load_sqlite",
     "load_jdbc",
     "load_database",
+    "discovery_subquery",
 ]
 
 _JDBC_SCHEMES = {"mysql", "postgresql", "mariadb"}
@@ -101,21 +103,26 @@ def _connect_sqlite(path: str) -> sqlite3.Connection:
         raise ResourceError("database", f"cannot open {path!r}: {e}") from e
 
 
-def sqlite_tables(path: str, patterns: Sequence[str] | None = None
-                  ) -> list[str]:
-    """Table names from ``sqlite_master``, optionally filtered by the
-    reference's substring-pattern law (``%`` stripped,
-    quality_scanner.py:311-328)."""
-    with _connect_sqlite(path) as con:
-        rows = con.execute(
-            "SELECT name FROM sqlite_master WHERE type='table' "
-            "AND name NOT LIKE 'sqlite_%' ORDER BY name"
-        ).fetchall()
+def _tables_from_con(con: sqlite3.Connection,
+                     patterns: Sequence[str] | None) -> list[str]:
+    rows = con.execute(
+        "SELECT name FROM sqlite_master WHERE type='table' "
+        "AND name NOT LIKE 'sqlite_%' ORDER BY name"
+    ).fetchall()
     names = [r[0] for r in rows]
     if patterns:
         keys = [p.replace("%", "") for p in patterns]
         names = [t for t in names if any(k in t for k in keys)]
     return names
+
+
+def sqlite_tables(path: str, patterns: Sequence[str] | None = None
+                  ) -> list[str]:
+    """Table names from ``sqlite_master``, optionally filtered by the
+    reference's substring-pattern law (``%`` stripped,
+    quality_scanner.py:311-328)."""
+    with closing(_connect_sqlite(path)) as con:
+        return _tables_from_con(con, patterns)
 
 
 def _affinity_type(decltype: str | None) -> T.DataType:
@@ -132,11 +139,10 @@ def _affinity_type(decltype: str | None) -> T.DataType:
     return T.DoubleType()  # NUMERIC affinity
 
 
-def sqlite_schema(path: str, table: str) -> T.StructType:
-    with _connect_sqlite(path) as con:
-        cols = con.execute(
-            "SELECT name, type FROM pragma_table_info(?)", (table,)
-        ).fetchall()
+def _schema_from_con(con: sqlite3.Connection, table: str) -> T.StructType:
+    cols = con.execute(
+        "SELECT name, type FROM pragma_table_info(?)", (table,)
+    ).fetchall()
     if not cols:
         raise ValidationError("table", table, "an existing table name")
     return T.StructType(
@@ -144,23 +150,46 @@ def sqlite_schema(path: str, table: str) -> T.StructType:
     )
 
 
+def sqlite_schema(path: str, table: str) -> T.StructType:
+    with closing(_connect_sqlite(path)) as con:
+        return _schema_from_con(con, table)
+
+
+def _coercible(v: Any, dt: T.DataType) -> bool:
+    """Would ``_coerce`` preserve this cell's value under the declared
+    affinity?  sqlite is dynamically typed per CELL; a TEXT value in an
+    INTEGER column is data the reference's scanner *sees* — NULLing it
+    would make the null scan report present-but-mistyped values as
+    missing."""
+    if v is None:
+        return True
+    if isinstance(dt, T.LongType):
+        try:
+            return int(v) == float(v)  # lossless (3.5 in an INT col isn't)
+        except (TypeError, ValueError):
+            return False
+    if isinstance(dt, T.DoubleType):
+        try:
+            float(v)
+            return True
+        except (TypeError, ValueError):
+            return False
+    return True  # string/binary render everything
+
+
 def _coerce(v: Any, dt: T.DataType) -> Any:
-    """sqlite is dynamically typed per CELL; coerce stray values onto the
-    column's declared affinity instead of letting createDataFrame throw
-    on row 10^6."""
+    """Coerce a cell onto the column's (possibly widened) Spark type.
+    Only called after ``_coercible`` vetted numeric columns, so the
+    numeric paths never lose a value."""
     if v is None:
         return None
     if isinstance(dt, T.LongType):
-        try:
-            return int(v)
-        except (TypeError, ValueError):
-            return None
+        return int(v)
     if isinstance(dt, T.DoubleType):
-        try:
-            return float(v)
-        except (TypeError, ValueError):
-            return None
+        return float(v)
     if isinstance(dt, T.StringType):
+        if isinstance(v, (bytes, bytearray, memoryview)):
+            return bytes(v).decode("utf-8", "replace")
         return v if isinstance(v, str) else str(v)
     if isinstance(dt, T.BinaryType):
         if isinstance(v, (bytes, bytearray, memoryview)):
@@ -175,16 +204,37 @@ def load_sqlite(
     tables: Sequence[str] | None = None,
     patterns: Sequence[str] | None = None,
 ) -> dict[str, DataFrame]:
-    """Each table as a DataFrame with its affinity-derived schema."""
-    names = list(tables) if tables else sqlite_tables(path, patterns)
-    out: dict[str, DataFrame] = {}
-    with _connect_sqlite(path) as con:
+    """Each table as a DataFrame with its affinity-derived schema.
+
+    Type-stray cells (sqlite's per-cell dynamic typing, e.g. ``'junk'``
+    stored in an INTEGER column) widen their COLUMN to string rather
+    than silently becoming NULL, so the downstream null scan sees the
+    same present values the reference sees querying the live DB.  One
+    read-only connection serves discovery, schemas, and rows."""
+    with closing(_connect_sqlite(path)) as con:
+        names = list(tables) if tables else _tables_from_con(con, patterns)
+        out: dict[str, DataFrame] = {}
         for name in names:
-            schema = sqlite_schema(path, name)
+            schema = _schema_from_con(con, name)
             quoted = name.replace('"', '""')
             rows = con.execute(f'SELECT * FROM "{quoted}"').fetchall()
+            fields = list(schema.fields)
+            for i, f in enumerate(fields):
+                dt = f.dataType
+                if isinstance(dt, (T.LongType, T.DoubleType)) and any(
+                    not _coercible(r[i], dt) for r in rows
+                ):
+                    # widen as narrowly as truth allows: INT + real
+                    # strays -> double; non-numeric strays -> string
+                    wider: T.DataType = T.StringType()
+                    if isinstance(dt, T.LongType) and all(
+                        _coercible(r[i], T.DoubleType()) for r in rows
+                    ):
+                        wider = T.DoubleType()
+                    fields[i] = T.StructField(f.name, wider, True)
+            schema = T.StructType(fields)
             data = [
-                tuple(_coerce(v, f.dataType) for v, f in zip(r, schema.fields))
+                tuple(_coerce(v, f.dataType) for v, f in zip(r, fields))
                 for r in rows
             ]
             out[name] = spark.createDataFrame(data, schema)
@@ -200,7 +250,7 @@ def sqlite_fk_map(
     not in ``tables`` is dropped (nothing to join against)."""
     known = set(tables)
     fk_map: dict[str, list[tuple]] = {}
-    with _connect_sqlite(path) as con:
+    with closing(_connect_sqlite(path)) as con:
         for child in tables:
             rows = con.execute(
                 "SELECT id, seq, \"table\", \"from\", \"to\" "
@@ -243,23 +293,29 @@ def load_jdbc(
     tables: Sequence[str] | None = None,
     patterns: Sequence[str] | None = None,
     options: Mapping[str, str] | None = None,
+    reader: Any | None = None,
 ) -> dict[str, DataFrame]:
     """JDBC tables as DataFrames; discovery via ``information_schema``
     (the reference's primary path, quality_scanner.py:281-307) when no
     explicit list is given.  ``options`` pass straight through to the
     reader — set ``partitionColumn``/``lowerBound``/``upperBound``/
-    ``numPartitions`` there for partitioned scans of big tables."""
+    ``numPartitions`` there for partitioned scans of big tables.
+    ``reader`` (a ``dbtable -> DataFrame`` callable) is the test seam:
+    contract tests pin the exact subqueries this module sends without a
+    live server, so a real hookup is config, not code."""
     opts = dict(options or {})
 
     def _read(dbtable: str) -> DataFrame:
-        reader = (
+        if reader is not None:
+            return reader(dbtable)
+        rdr = (
             spark.read.format("jdbc").option("url", url)
             .option("dbtable", dbtable)
         )
         for k, v in opts.items():
-            reader = reader.option(k, str(v))
+            rdr = rdr.option(k, str(v))
         try:
-            return reader.load()
+            return rdr.load()
         except Exception as e:  # noqa: BLE001 - Py4J error classes vary
             msg = str(e)
             if "No suitable driver" in msg or "ClassNotFound" in msg:
@@ -274,19 +330,45 @@ def load_jdbc(
     if tables:
         names = list(tables)
     else:
-        where = ""
-        if patterns:
-            likes = " OR ".join(
-                "table_name LIKE '%" + p.replace("%", "").replace("'", "")
-                + "%'" for p in patterns
-            )
-            where = f" AND ({likes})"
-        disc = _read(
-            "(SELECT table_name FROM information_schema.tables "
-            f"WHERE table_schema = DATABASE(){where}) AS t"
-        )
+        disc = _read(discovery_subquery(url, patterns))
         names = [r[0] for r in disc.collect()]
     return {n: _read(n) for n in names}
+
+
+def discovery_subquery(url: str,
+                       patterns: Sequence[str] | None = None) -> str:
+    """The dialect-correct ``information_schema`` table-discovery
+    subquery for a JDBC URL — the current-database predicate differs
+    per engine (MySQL/MariaDB have ``DATABASE()``; Postgres uses
+    ``current_schema()``).  Unknown dialects raise a typed error asking
+    for an explicit table list rather than failing mid-read with a
+    vendor SQL error."""
+    sub = url[len("jdbc:"):] if url.startswith("jdbc:") else url
+    dialect = sub.split("://", 1)[0].split(":")[0].lower()
+    if dialect in ("mysql", "mariadb"):
+        schema_pred = "table_schema = DATABASE()"
+    elif dialect in ("postgresql", "postgres"):
+        schema_pred = (
+            "table_schema = current_schema() AND table_type = 'BASE TABLE'"
+        )
+    else:
+        raise ConfigurationError(
+            "jdbc.discovery",
+            f"no table-discovery query known for JDBC dialect {dialect!r}",
+            "pass an explicit tables=[...] list (or --tables on the CLI) "
+            "for this engine",
+        )
+    where = ""
+    if patterns:
+        likes = " OR ".join(
+            "table_name LIKE '%" + p.replace("%", "").replace("'", "")
+            + "%'" for p in patterns
+        )
+        where = f" AND ({likes})"
+    return (
+        "(SELECT table_name FROM information_schema.tables "
+        f"WHERE {schema_pred}{where}) AS t"
+    )
 
 
 def load_database(

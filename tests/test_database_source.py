@@ -228,24 +228,144 @@ class TestCliDatabaseUrl:
 
 class TestCoercion:
     def test_dynamic_cells_coerced_onto_affinity(self, spark, tmp_path):
-        """sqlite is dynamically typed per CELL: stray strings in an
-        INTEGER column coerce (or NULL out) instead of killing
-        createDataFrame at row 10^6."""
+        """sqlite is dynamically typed per CELL: coercible strays land
+        on the declared affinity ('42' in an INTEGER column -> 42)."""
         import sqlite3
 
         p = str(tmp_path / "dyn.db")
         con = sqlite3.connect(p)
         con.execute("CREATE TABLE t (n INTEGER, x REAL, s TEXT)")
         con.execute("INSERT INTO t VALUES ('42', '3.5', 7)")   # strs in num cols, int in text
-        con.execute("INSERT INTO t VALUES ('junk', 'junk', NULL)")
+        con.execute("INSERT INTO t VALUES (1, 2.0, NULL)")
         con.commit()
         con.close()
-        rows = sorted(
-            load_sqlite(spark, p)["t"].collect(),
-            key=lambda r: (r["n"] is None, r["n"]),
+        rows = sorted(load_sqlite(spark, p)["t"].collect(),
+                      key=lambda r: r["n"])
+        assert (rows[1]["n"], rows[1]["x"], rows[1]["s"]) == (42, 3.5, "7")
+
+    def test_noncoercible_strays_widen_column_not_null(self, spark,
+                                                       tmp_path):
+        """A present-but-mistyped cell must stay PRESENT: the reference
+        scanning the live DB sees 'junk' in an INTEGER column as data,
+        so NULLing it would drift the null scan.  The column widens to
+        string; a REAL stray in an INT column widens only to double."""
+        import sqlite3
+
+        p = str(tmp_path / "stray.db")
+        con = sqlite3.connect(p)
+        con.execute("CREATE TABLE t (n INTEGER, m INTEGER, x REAL)")
+        con.execute("INSERT INTO t VALUES (1, 1, 0.5)")
+        con.execute("INSERT INTO t VALUES ('junk', 3.5, 'junk')")
+        con.commit()
+        con.close()
+        df = load_sqlite(spark, p)["t"]
+        kinds = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        assert kinds == {"n": "string", "m": "double", "x": "string"}
+        rows = sorted(df.collect(), key=lambda r: r["n"])
+        assert rows[0]["n"] == "1" and rows[1]["n"] == "junk"
+        assert rows[1]["m"] == 3.5 and rows[1]["x"] == "junk"
+        # the null scan now counts zero nulls here — nothing was lost
+        assert df.filter("n IS NULL OR x IS NULL").count() == 0
+
+    def test_connections_are_closed(self, tmp_path, monkeypatch):
+        """sqlite3's context manager commits but never closes; every
+        helper must actually close (ADVICE r4)."""
+        import sqlite3 as sq
+
+        p = str(tmp_path / "close.db")
+        con = sq.connect(p)
+        con.execute("CREATE TABLE t (a INTEGER)")
+        con.commit()
+        con.close()
+        opened = []
+        real_connect = sq.connect
+
+        def tracking_connect(*a, **k):
+            c = real_connect(*a, **k)
+            opened.append(c)
+            return c
+
+        monkeypatch.setattr(
+            "data_quality_spark.sources.database.sqlite3.connect",
+            tracking_connect,
         )
-        assert (rows[0]["n"], rows[0]["x"], rows[0]["s"]) == (42, 3.5, "7")
-        assert rows[1]["n"] is None and rows[1]["x"] is None
+        sqlite_tables(p)
+        sqlite_schema(p, "t")
+        sqlite_fk_map(p, ["t"])
+        assert opened, "tracking hook never fired"
+        for c in opened:
+            with pytest.raises(sq.ProgrammingError):
+                c.execute("SELECT 1")  # raises iff closed
+
+
+class TestJdbcDialectContract:
+    """Pin the exact subqueries the JDBC path generates per dialect, via
+    the injectable reader seam — a live server hookup is then a config
+    change, not a code change (r4 VERDICT #9)."""
+
+    def test_mysql_discovery_subquery(self):
+        from data_quality_spark.sources.database import discovery_subquery
+
+        assert discovery_subquery("jdbc:mysql://h:3306/db") == (
+            "(SELECT table_name FROM information_schema.tables "
+            "WHERE table_schema = DATABASE()) AS t"
+        )
+        assert discovery_subquery(
+            "jdbc:mariadb://h/db", patterns=["song%", "art'ist"]
+        ) == (
+            "(SELECT table_name FROM information_schema.tables "
+            "WHERE table_schema = DATABASE() AND "
+            "(table_name LIKE '%song%' OR table_name LIKE '%artist%')) AS t"
+        )
+
+    def test_postgres_discovery_subquery(self):
+        from data_quality_spark.sources.database import discovery_subquery
+
+        assert discovery_subquery("jdbc:postgresql://h:5432/db") == (
+            "(SELECT table_name FROM information_schema.tables "
+            "WHERE table_schema = current_schema() "
+            "AND table_type = 'BASE TABLE') AS t"
+        )
+
+    def test_unknown_dialect_demands_explicit_tables(self):
+        from data_quality_spark.exceptions import ConfigurationError
+        from data_quality_spark.sources.database import discovery_subquery
+
+        with pytest.raises(ConfigurationError) as ei:
+            discovery_subquery("jdbc:oracle:thin:@//h:1521/db")
+        assert "explicit tables" in str(ei.value)
+
+    def test_injected_reader_sees_discovery_then_tables(self, spark):
+        from data_quality_spark.sources.database import load_jdbc
+
+        seen = []
+
+        def fake_reader(dbtable):
+            seen.append(dbtable)
+            if "information_schema" in dbtable:
+                return spark.createDataFrame(
+                    [("songs",), ("artists",)], "table_name string")
+            return spark.range(1).toDF("id")
+
+        out = load_jdbc(spark, "jdbc:postgresql://h/db", reader=fake_reader)
+        assert set(out) == {"songs", "artists"}
+        assert seen[0].startswith("(SELECT table_name")
+        assert "current_schema()" in seen[0]
+        assert sorted(seen[1:]) == ["artists", "songs"]
+
+    def test_injected_reader_explicit_tables_skips_discovery(self, spark):
+        from data_quality_spark.sources.database import load_jdbc
+
+        seen = []
+
+        def fake_reader(dbtable):
+            seen.append(dbtable)
+            return spark.range(1).toDF("id")
+
+        load_jdbc(spark, "jdbc:oracle:thin:@//h/db", tables=["t1"],
+                  reader=fake_reader)
+        # unknown dialect is fine WITH a table list: no discovery query
+        assert seen == ["t1"]
 
 
 def test_exception_formatting():
