@@ -2043,28 +2043,50 @@ def q_audio_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_leakage_audit(naive)
 
 
+_MANIFEST_BASE: dict[tuple, DataFrame] = {}
+
+
+def manifest_base(spark: SparkSession) -> DataFrame:
+    """The manifest family's ONE shared pass: per clip, gate decision ×
+    leakage-safe identity split × duration, materialized with
+    ``localCheckpoint`` and memoized per session.  This IS the
+    production shape the manifest docstrings promise — at scale both
+    halves run from checkpoints (silver table + identity features), so
+    every manifest/coverage query is a pure relational derivation.
+    Before this fusion, training_manifest / eval_manifest /
+    eval_coverage each re-ran gate() AND identity_split() (two decode
+    passes per query, six total on the identical corpus)."""
+    from data_quality_spark.operators.audio_identity import identity_split
+    from data_quality_spark.pipeline import gate
+
+    key = (spark.sparkContext.applicationId, 1200, 42)
+    if key not in _MANIFEST_BASE:
+        clips = _clips_df(spark)
+        decided = gate(clips).select("clip_id", "decision", "lang_pred")
+        assigned = identity_split(clips, val_frac=0.25, seed=11).select(
+            "clip_id", "split", "component"
+        )
+        _MANIFEST_BASE.clear()  # at most one live session's checkpoint
+        _MANIFEST_BASE[key] = (
+            clips.select("clip_id", "dur_ms")
+            .join(decided, "clip_id")
+            .join(assigned, "clip_id")
+            .localCheckpoint(eager=True)
+        )
+    return _MANIFEST_BASE[key]
+
+
 def q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pipeline's final deliverable in one relation: per clip, the
     GATE decision (quality filter) × the leakage-safe identity SPLIT ×
     duration accounting, with ``train_ready`` = keep ∧ train — what a
     training job actually reads.  Two independent machineries compose
     (the pandas gate oracle and the identity-axes replay verify each
-    half; the join is the new surface).  At scale both halves run from
-    checkpoints (silver table + identity features), so the manifest is
-    a pure relational join."""
-    from data_quality_spark.operators.audio_identity import identity_split
-    from data_quality_spark.pipeline import gate
-
+    half; the join is the new surface).  Derives from the family's one
+    shared checkpointed pass (``manifest_base``)."""
     ensure_expected("training_manifest", sf_dir)
-    clips = _clips_df(spark)
-    decided = gate(clips).select("clip_id", "decision")
-    assigned = identity_split(clips, val_frac=0.25, seed=11).select(
-        "clip_id", "split", "component"
-    )
     return (
-        clips.select("clip_id", "dur_ms")
-        .join(decided, "clip_id")
-        .join(assigned, "clip_id")
+        manifest_base(spark)
         .select(
             "clip_id", "decision", "split", "component",
             F.col("dur_ms").cast("long").alias("dur_ms"),
@@ -2083,22 +2105,13 @@ def q_eval_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation with ``in_eval=false`` — the audit surface.  Reconciles
     with training_manifest by construction: every row here is a
     keep∧val row there, and the two never share a train_ready clip.
-    Twin: manifest replay + explicit per-lang hashlib prefix."""
-    from data_quality_spark.operators.audio_identity import identity_split
+    Twin: manifest replay + explicit per-lang hashlib prefix.
+    Derives from the family's one shared checkpointed pass
+    (``manifest_base``)."""
     from data_quality_spark.operators.sampling import eval_manifest
-    from data_quality_spark.pipeline import gate
 
     ensure_expected("eval_manifest", sf_dir)
-    clips = _clips_df(spark)
-    decided = gate(clips).select("clip_id", "decision", "lang_pred")
-    assigned = identity_split(clips, val_frac=0.25, seed=11).select(
-        "clip_id", "split", "component"
-    )
-    m = (
-        clips.select("clip_id", "dur_ms")
-        .join(decided, "clip_id")
-        .join(assigned, "clip_id")
-    )
+    m = manifest_base(spark)
     return eval_manifest(m, 30_000, seed=5).select(
         "clip_id", "lang_pred", "component",
         F.col("dur_ms").cast("long").alias("dur_ms"),
@@ -2112,23 +2125,13 @@ def q_eval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap, and ``capped`` (the balance law actually cut this language) —
     the one-screen audit a release manager reads before shipping an
     eval set.  ONE partial/final aggregate over the manifest relation.
-    Twin: the eval-manifest replay aggregated independently."""
-    from data_quality_spark.operators.audio_identity import identity_split
+    Twin: the eval-manifest replay aggregated independently.
+    Derives from the family's one shared checkpointed pass
+    (``manifest_base``)."""
     from data_quality_spark.operators.sampling import eval_manifest
-    from data_quality_spark.pipeline import gate
 
     ensure_expected("eval_coverage", sf_dir)
-    clips = _clips_df(spark)
-    decided = gate(clips).select("clip_id", "decision", "lang_pred")
-    assigned = identity_split(clips, val_frac=0.25, seed=11).select(
-        "clip_id", "split", "component"
-    )
-    m = (
-        clips.select("clip_id", "dur_ms")
-        .join(decided, "clip_id")
-        .join(assigned, "clip_id")
-    )
-    em = eval_manifest(m, 30_000, seed=5)
+    em = eval_manifest(manifest_base(spark), 30_000, seed=5)
     sel_ms = F.when(F.col("in_eval"), F.col("dur_ms").cast("long")) \
         .otherwise(F.lit(0))
     return em.groupBy("lang_pred").agg(

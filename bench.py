@@ -504,6 +504,16 @@ def main() -> None:
 
     qs = entrymod.queries()
     for name in bench_queries:
+        if name == "training_manifest":
+            # the manifest family's one shared pass (gate × identity
+            # split, localCheckpointed): timed HERE as its own entry so
+            # the fusion doesn't hide the build cost — the per-query
+            # times below are then the honest post-checkpoint
+            # relational costs, which is the documented at-scale shape
+            t0 = time.perf_counter()
+            entrymod.manifest_base(spark).count()
+            timings["manifest_base"] = round(time.perf_counter() - t0, 3)
+            log(f"manifest_base (shared pass): {timings['manifest_base']}s")
         best = None
         # two passes, min: the first pay whole-stage-codegen JIT for the
         # generated classes (64-agg minhash etc.); steady state is what a
