@@ -49,8 +49,13 @@ def _grade(score: Column) -> Column:
 def clip_quality_score(featurized: DataFrame) -> DataFrame:
     """Adds ``q_score`` (int 0-100) and ``grade`` to a
     ``pipeline.featurize_v2`` + ``_text_heuristics`` featurized frame."""
-    from data_quality_spark.pipeline import rule_flags_v2
+    from data_quality_spark.pipeline import (
+        _drop_defaults,
+        rule_flags_v2,
+        with_metric_defaults,
+    )
 
+    featurized = with_metric_defaults(featurized, v2=True)
     flags = rule_flags_v2(featurized)
     weights = rule_weights()
     deductions = None
@@ -63,8 +68,10 @@ def clip_quality_score(featurized: DataFrame) -> DataFrame:
         .otherwise(F.greatest(raw, F.lit(0)))
         .cast("int")
     )
-    return featurized.withColumn("q_score", score).withColumn(
-        "grade", _grade(F.col("q_score"))
+    return _drop_defaults(
+        featurized.withColumn("q_score", score).withColumn(
+            "grade", _grade(F.col("q_score"))
+        )
     )
 
 

@@ -394,6 +394,60 @@ def _metric_default(name: str, default: float) -> Column:
     )
 
 
+# -- single-projection metric defaults -------------------------------
+# Each defaulted metric appears in several rule expressions (lufs twice,
+# every v2 metric once per flag AND once in the reason ladder the
+# decision builders expand), so inlining the nanvl/coalesce wrapper per
+# use widens the analyzed tree measurably (the utterance_audit ~1.4x
+# tripwire flag, r4).  ``with_metric_defaults`` computes each wrapper
+# ONCE as a ``__dqd_<name>`` projection column; the flag builders use
+# the plain attribute when it is present and fall back to the inline
+# wrapper otherwise, and the decision builders drop the helper columns
+# — outputs are bit-identical on both paths.
+
+_DEFAULT_PREFIX = "__dqd_"
+_METRIC_DEFAULTS_V1: dict[str, float] = {
+    "silence_frac": 1.0,
+    "clip_frac": 0.0,
+    "rms_db": -120.0,
+}
+
+
+def _metric_defaults_map(v2: bool = False) -> dict[str, float]:
+    m = dict(_METRIC_DEFAULTS_V1)
+    if v2:
+        from .operators.audio_audit import LUFS_MIN, SNR_MIN_DB
+        from .operators.audio_bandwidth import MAX_UPSAMPLED_HF_DB
+
+        m.update({
+            "snr_db": float(SNR_MIN_DB),
+            "lufs_i": float(LUFS_MIN),
+            "bw_rms": 0.0,
+            "hf_db": float(MAX_UPSAMPLED_HF_DB),
+        })
+    return m
+
+
+def with_metric_defaults(df: DataFrame, v2: bool = False) -> DataFrame:
+    """Project every metric's no-evidence default once (idempotent)."""
+    new = {
+        _DEFAULT_PREFIX + n: _metric_default(n, d)
+        for n, d in _metric_defaults_map(v2).items()
+        if n in df.columns and _DEFAULT_PREFIX + n not in df.columns
+    }
+    return df.withColumns(new) if new else df
+
+
+def _mdef(df: DataFrame, name: str, default: float) -> Column:
+    pre = _DEFAULT_PREFIX + name
+    return F.col(pre) if pre in df.columns else _metric_default(name, default)
+
+
+def _drop_defaults(df: DataFrame) -> DataFrame:
+    helpers = [c for c in df.columns if c.startswith(_DEFAULT_PREFIX)]
+    return df.drop(*helpers) if helpers else df
+
+
 def rule_flags(df: DataFrame) -> dict[str, Column]:
     """Per-rule violation predicates over a featurized frame — the same
     booleans drive the keep/drop decision AND the issue counts, so the two
@@ -419,10 +473,10 @@ def rule_flags(df: DataFrame) -> dict[str, Column]:
         # the intended defaults (NaN clip_frac counted as clipping, NaN
         # rms_db never too_quiet) — found by review, measured +60/-60 on
         # the 1200-clip corpus's undecodable class
-        "mostly_silence": _metric_default("silence_frac", 1.0)
+        "mostly_silence": _mdef(df, "silence_frac", 1.0)
         > th.SILENCE_MAX,
-        "clipping": _metric_default("clip_frac", 0.0) > th.CLIP_MAX,
-        "too_quiet": _metric_default("rms_db", -120.0) < th.RMS_MIN_DB,
+        "clipping": _mdef(df, "clip_frac", 0.0) > th.CLIP_MAX,
+        "too_quiet": _mdef(df, "rms_db", -120.0) < th.RMS_MIN_DB,
         "empty_transcript": F.col("token_count") == 0,
         "low_lang_confidence": F.col("lang_conf") < th.LANG_CONF_MIN,
         "high_perplexity": F.col("ppl") > th.PPL_MAX,
@@ -443,7 +497,7 @@ def _decide_with(df: DataFrame, flags: dict[str, Column]) -> DataFrame:
         reason = F.when(flags[name], F.lit(name)).otherwise(reason)
     for c in flags.values():
         drop = c if drop is None else (drop | c)
-    return (
+    return _drop_defaults(
         df.withColumn("decision", F.when(drop, "drop").otherwise("keep"))
         .withColumn("decision_reason", reason)
         .withColumn("scrubbed", scrub_col(F.col("transcript")))
@@ -456,6 +510,7 @@ def decide(df: DataFrame) -> DataFrame:
     reference's decision enum, checkpoints.py:216-252, collapses to binary
     keep/drop per the north rule; the reason column is the per-row audit
     trail the reference keeps only in aggregate issue counts.)"""
+    df = with_metric_defaults(df)
     return _decide_with(df, rule_flags(df))
 
 
@@ -474,7 +529,7 @@ def _decide3_with(
             crit = col if crit is None else (crit | col)
         else:
             warn = col if warn is None else (warn | col)
-    return (
+    return _drop_defaults(
         df.withColumn(
             "decision",
             F.when(crit, "reject").when(warn, "graylist").otherwise("accept"),
@@ -491,6 +546,7 @@ def decide3(df: DataFrame) -> DataFrame:
     north-rule gate is ``decide`` (graylist collapses into drop).  Carries
     the same first-violated ``decision_reason`` audit column as ``decide``
     so the runner's 3-way mode emits the identical output schema."""
+    df = with_metric_defaults(df)
     return _decide3_with(df, rule_flags(df), DROP_RULES)
 
 
@@ -548,6 +604,7 @@ def gate_issues(decided: DataFrame, table: str = "clips") -> DataFrame:
     (one fused agg pass — same machinery as operators.rules)."""
     from .operators.rules import Rule, compile_rules
 
+    decided = with_metric_defaults(decided)
     flags = rule_flags(decided)
     rules = [
         Rule(
@@ -790,10 +847,10 @@ def rule_flags_v2(df: DataFrame) -> dict[str, Column]:
         (F.col("speech_ms") >= F.lit(SPEAK_MIN_SPEECH_MS))
         & (F.col("nws_chars") > 0)
     )
-    snr = _metric_default("snr_db", SNR_MIN_DB)
-    lufs = _metric_default("lufs_i", LUFS_MIN)
-    bw_rms = _metric_default("bw_rms", 0.0)
-    hf_db = _metric_default("hf_db", MAX_UPSAMPLED_HF_DB)
+    snr = _mdef(df, "snr_db", SNR_MIN_DB)
+    lufs = _mdef(df, "lufs_i", LUFS_MIN)
+    bw_rms = _mdef(df, "bw_rms", 0.0)
+    hf_db = _mdef(df, "hf_db", MAX_UPSAMPLED_HF_DB)
     v2 = {
         "dropout": F.col("n_dropouts") > 0,
         "stuck_samples": F.col("max_const_run") >= F.lit(STUCK_MIN_DEFAULT),
@@ -815,12 +872,14 @@ def rule_flags_v2(df: DataFrame) -> dict[str, Column]:
 def decide_v2(df: DataFrame) -> DataFrame:
     """The v2 decision over a ``featurize_v2``-featurized frame: v1 ladder
     first (bit-stable reasons for v1 drops), audio-metric rules after."""
+    df = with_metric_defaults(df, v2=True)
     return _decide_with(df, rule_flags_v2(df))
 
 
 def decide3_v2(df: DataFrame) -> DataFrame:
     """3-way decision over the v2 rule set (same enum semantics as
     ``decide3``; v2 severities from DROP_RULES_V2)."""
+    df = with_metric_defaults(df, v2=True)
     return _decide3_with(df, rule_flags_v2(df), DROP_RULES_V2)
 
 
@@ -835,6 +894,7 @@ def gate_v2_issues(decided: DataFrame, table: str = "clips") -> DataFrame:
     """QualityIssue relation for the v2 rule set — one fused agg pass."""
     from .operators.rules import Rule, compile_rules
 
+    decided = with_metric_defaults(decided, v2=True)
     flags = rule_flags_v2(decided)
     rules = [
         Rule(
@@ -903,7 +963,7 @@ def utterance_gate(
         # "und"/0.0 and no transcript rule is in the ladder below)
         F.lit("").alias("transcript"),
     )
-    feats = featurize_v2(seg_clips)
+    feats = with_metric_defaults(featurize_v2(seg_clips), v2=True)
     all_flags = rule_flags_v2(feats)
     flags = {name: all_flags[name] for name in UTTERANCE_DROP_RULES}
     reason = F.lit(None).cast("string")
@@ -912,7 +972,7 @@ def utterance_gate(
     drop = None
     for c in flags.values():
         drop = c if drop is None else (drop | c)
-    return (
+    return _drop_defaults(
         feats.withColumn("decision", F.when(drop, "drop").otherwise("keep"))
         .withColumn("decision_reason", reason)
         .drop("transcript", "codec")
@@ -935,6 +995,7 @@ def clips_funnel(df: DataFrame, group_col: str = "codec") -> DataFrame:
     aggregate over the already-featurized frame: no extra scan, no extra
     shuffle beyond the ~#groups rollup.
     """
+    df = with_metric_defaults(df)
     flags = rule_flags(df)
     staged = [name for names in FUNNEL_STAGES.values() for name in names]
     assert sorted(staged) == sorted(DROP_RULES), (
