@@ -217,7 +217,9 @@ def load_sqlite(
         for name in names:
             schema = _schema_from_con(con, name)
             quoted = name.replace('"', '""')
-            rows = con.execute(f'SELECT * FROM "{quoted}"').fetchall()
+            rows = con.execute(  # sql-ok: identifier (table name), quote-escaped; values can't be parameterized here
+                f'SELECT * FROM "{quoted}"'
+            ).fetchall()
             fields = list(schema.fields)
             for i, f in enumerate(fields):
                 dt = f.dataType

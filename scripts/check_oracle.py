@@ -69,7 +69,7 @@ def main() -> int:
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
+        con.execute(  # sql-ok: identifiers from a fixed table list + local path, no user values
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
@@ -97,7 +97,7 @@ def main() -> int:
                    mode="rows_only")
             continue
         try:
-            res = con.execute(oracles[name])
+            res = con.execute(oracles[name])  # sql-ok: repo-owned oracle SQL under test, not user input
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
         except Exception as e:  # noqa: BLE001

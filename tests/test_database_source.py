@@ -59,7 +59,7 @@ REF_ROWS = [
 def _seed(path, extra_rows=()):
     con = sqlite3.connect(path)
     for stmt in REF_DDL + REF_ROWS + list(extra_rows):
-        con.execute(stmt)
+        con.execute(stmt)  # sql-ok: fixed DDL fixture literals
     con.commit()
     con.close()
 

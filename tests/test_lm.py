@@ -138,7 +138,7 @@ def test_libm_ln_parity_python_vs_duckdb():
         + [123456789, 987654321987, 2**40 + 7]
     )
     con = duckdb.connect()
-    con.execute(
+    con.execute(  # sql-ok: numeric literals rendered into a VALUES fixture
         "CREATE TABLE v AS SELECT * FROM (VALUES "
         + ",".join(f"({v})" for v in vals)
         + ") t(c)"
