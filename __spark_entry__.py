@@ -3127,6 +3127,62 @@ def q_stream_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_stream_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sequence packing, driver-hash-checked: documents split
+    into three single-file waves by ``doc_id % 3`` (mtimes spaced 60 s
+    so the file source's oldest-first order — and therefore the
+    micro-batch decomposition — is PINNED), drained through
+    ``stream_pack_sequences`` at one file per trigger, then the union
+    token grid read back WITH its batch_id.  The oracle is the naive
+    global-window law over ordering (wave, md5-hash, doc_id): the
+    append law says continuing per-stratum offsets across batches IS
+    packing the arrival-major concatenation, and batch_id == wave pins
+    that each wave landed in its own micro-batch.  Stream state lives
+    in a fresh temp dir per run."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from data_quality_spark.streaming.packing_stream import (
+        read_stream_segments,
+        stream_pack_sequences,
+    )
+
+    root = tempfile.mkdtemp(prefix="dq_stream_pack_")
+    src = os.path.join(root, "docs")
+    os.makedirs(src)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    t0 = _time.time() - 600
+    for wave in range(3):
+        wdir = os.path.join(root, f"w{wave}")
+        docs.filter(F.pmod("doc_id", F.lit(3)) == wave).coalesce(
+            1).write.mode("overwrite").parquet(wdir)
+        part = glob.glob(os.path.join(wdir, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"wave-{wave}.parquet")
+        shutil.copyfile(part, dst)
+        os.utime(dst, (t0 + wave * 60, t0 + wave * 60))
+    stream_pack_sequences(
+        spark, src, os.path.join(root, "out"), 256, strata=("lang",),
+        id_col="doc_id", text_col="text", seed=11,
+        max_files_per_trigger=1,
+    )
+    out = (
+        read_stream_segments(spark, os.path.join(root, "out"))
+        .select(
+            F.col("batch_id").cast("long").alias("batch_id"),
+            "lang", "seq_id", "pos_in_seq", "doc_id", "doc_offset",
+            "seg_len", "n_doc_tokens",
+        )
+        .orderBy("lang", "seq_id", "pos_in_seq")
+        # pin the slim grid rows before deleting the temp stream dirs
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def q_audio_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental AUDIO near-dup (the audio analog of lsh_incremental):
     the dup corpus split by pmod(xxhash64(clip_id), 2) — side 0 is the
@@ -4899,6 +4955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_dedup_incremental": q_audio_dedup_incremental,
         "image_dedup_incremental": q_image_dedup_incremental,
         "stream_gate": q_stream_gate,
+        "stream_pack": q_stream_pack,
         "clips_funnel": q_clips_funnel,
         "clips_gate_rollup": q_clips_gate_rollup,
         "gate_bias": q_gate_bias,
@@ -7144,6 +7201,39 @@ FROM tot JOIN g USING (lang) ORDER BY tot.lang""",
             + expected_path("clips_gate")
             + "') WHERE decision = 'keep' ORDER BY clip_id"
         ),
+        # the stream's append law == one global pack over arrival-major
+        # order (wave, hash, doc_id); batch_id == wave pins that each
+        # wave landed in its own micro-batch
+        "stream_pack": """
+WITH c AS (
+  SELECT lang, doc_id, doc_id % 3 AS wave,
+    CASE WHEN text IS NULL OR len(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS sz,
+    md5(coalesce(CAST(doc_id AS VARCHAR), '') || ':11') AS ord
+  FROM documents
+), w AS (
+  SELECT lang, doc_id, wave, sz,
+    sum(sz) OVER (PARTITION BY lang ORDER BY wave, ord, doc_id) AS cum
+  FROM c
+), s AS (
+  SELECT lang, doc_id, wave, sz, cum - sz AS st, cum AS en
+  FROM w WHERE sz > 0
+), seg AS (
+  SELECT lang, doc_id, wave, sz, st, en,
+    unnest(range(CAST(st // 256 AS BIGINT),
+                 CAST((en - 1) // 256 + 1 AS BIGINT))) AS seq_id
+  FROM s
+)
+SELECT CAST(wave AS BIGINT) AS batch_id, lang,
+  CAST(seq_id AS BIGINT) AS seq_id,
+  CAST(greatest(st, seq_id * 256) - seq_id * 256 AS BIGINT) AS pos_in_seq,
+  doc_id,
+  CAST(greatest(st, seq_id * 256) - st AS BIGINT) AS doc_offset,
+  CAST(least(en, (seq_id + 1) * 256) - greatest(st, seq_id * 256) AS BIGINT)
+    AS seg_len,
+  CAST(sz AS BIGINT) AS n_doc_tokens
+FROM seg ORDER BY lang, seq_id, pos_in_seq
+""",
         "voice_balance": _expected_sql("voice_balance"),
         "audio_augment": _expected_sql("audio_augment"),
         "audio_excerpt_match": _expected_sql("audio_excerpt_match"),
