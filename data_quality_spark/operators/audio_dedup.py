@@ -60,6 +60,7 @@ __all__ = [
     "fingerprint_near_dup",
     "build_audio_index",
     "audio_index_entries",
+    "audio_index_bucket_stats",
     "audio_probe_index",
     "fingerprint_shift_match",
     "clip_landmarks",
@@ -332,6 +333,17 @@ def audio_index_entries(index_df: DataFrame, window: int = 3,
     ).select(F.col("__id").alias("index_id"), "off", "bh")
 
 
+def audio_index_bucket_stats(entries_df: DataFrame) -> DataFrame:
+    """(off, bh, n_members): per-bucket population of a stored entries
+    relation — write it beside the index and pass it to
+    ``audio_probe_index`` so the hot-bucket guard reads a stored
+    ~#buckets relation instead of re-aggregating O(index entries) per
+    probe.  Appends to the index re-aggregate (or merge-add) this
+    relation in the same job that appends the entries."""
+    return entries_df.groupBy("off", "bh").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"))
+
+
 def audio_probe_index(
     new_df: DataFrame,
     index_df: DataFrame,
@@ -341,6 +353,7 @@ def audio_probe_index(
     max_bucket_size: int = 64,
     counter=None,
     index_entries_df: DataFrame | None = None,
+    index_stats_df: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental audio near-dup: NEW clips probed against a STORED
     fingerprint index — the increment is the only audio decoded.
@@ -351,8 +364,8 @@ def audio_probe_index(
     - new fingerprints are computed (ONE mapInArrow decode pass — the
       increment's only payload scan); the index side re-derives its
       bucket keys from the STORED fp arrays (fingerprint bytes, never
-      audio — at a scale where even that rescan hurts, store the
-      (off, bh) entry relation beside the index);
+      audio — at a scale where even that rescan hurts, pass the stored
+      (off, bh) entry relation via ``index_entries_df``);
     - candidates are NEW×INDEX bucket collisions on the shared
       ``_fp_bucket_entries`` key law — a join against the index keys,
       never an index self-join; ``max_bucket_size`` guards by
@@ -365,23 +378,49 @@ def audio_probe_index(
       exact-never-depends-on-bucket-heat law, incremental-audio form.
       Same-id re-ingests are excluded (re-ingest is exact dedup's
       job).  Indexes stored without the column keep working.
+
+    Probe-cost shape (the claim the 1M smoke measures,
+    ``scripts/incremental_probe_scale_smoke.py``): the hot-bucket
+    guard is an ANTI-join against the bucket list EXCEEDING
+    ``max_bucket_size`` — tiny by definition, so it broadcasts — and
+    the candidate join broadcasts the INCREMENT's keys, so the index
+    entry relation is scanned once and never shuffled; with
+    ``index_stats_df`` (``audio_index_bucket_stats``, stored beside
+    the index) the per-probe bucket-size aggregate disappears too.
+    The increment must be bounded (it is the broadcast side) — chunk
+    oversized backfills into probe-sized pieces.
     """
     new_fps = clip_fingerprints(new_df, counter=counter).persist()
     idx = index_df
     idx_e = (index_entries_df if index_entries_df is not None
              else audio_index_entries(idx, window, stride))
-    small = (
-        idx_e.groupBy("off", "bh")
-        .agg(F.count(F.lit(1)).alias("__bn"))
-        .filter(F.col("__bn") <= max_bucket_size)
-        .select("off", "bh")
-    )
-    idx_e = idx_e.join(small, ["off", "bh"])
     new_e = _fp_bucket_entries(new_fps, window, stride).select(
         F.col("__id").alias("new_id"), "off", "bh"
     )
+    if index_stats_df is not None:
+        # stored-index scale shape: the guard is an ANTI-join against
+        # the (tiny, by definition) hot-bucket list from the STORED
+        # stats, and the candidate join broadcasts the increment's
+        # keys — the entry relation is scanned once, never shuffled,
+        # and no per-probe aggregate runs over it
+        hot = index_stats_df.filter(
+            F.col("n_members") > max_bucket_size).select("off", "bh")
+        idx_e = idx_e.join(F.broadcast(hot), ["off", "bh"], "left_anti")
+        joined = idx_e.join(F.broadcast(new_e), ["off", "bh"])
+    else:
+        # hint-free shape for ad-hoc and per-micro-batch probes:
+        # Catalyst/AQE pick the strategy (forced broadcasts inside a
+        # foreachBatch hang the stream-execution thread in local mode)
+        small = (
+            idx_e.groupBy("off", "bh")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") <= max_bucket_size)
+            .select("off", "bh")
+        )
+        joined = new_e.join(idx_e.join(small, ["off", "bh"]),
+                            ["off", "bh"])
     cand = (
-        new_e.join(idx_e, ["off", "bh"])
+        joined
         .filter(F.col("new_id") != F.col("index_id"))
         .select("new_id", "index_id")
         .distinct()

@@ -256,6 +256,19 @@ def test_stored_entries_equal_derived(spark, tmp_path):
         new_clips, index, index_entries_df=stored_entries).collect()))
     assert derived == stored and len(derived) > 0
 
+    # stored bucket STATS (the zero-per-probe-aggregate scale shape:
+    # broadcast hot anti-join + broadcast increment) — same rows again
+    from data_quality_spark.operators.audio_dedup import (
+        audio_index_bucket_stats,
+    )
+
+    stats_path = str(tmp_path / "stats")
+    audio_index_bucket_stats(stored_entries).write.parquet(stats_path)
+    with_stats = sorted(map(tuple, audio_probe_index(
+        new_clips, index, index_entries_df=stored_entries,
+        index_stats_df=spark.read.parquet(stats_path)).collect()))
+    assert with_stats == derived
+
     sig_idx = spark.createDataFrame(
         [(1, 0x1234567890ABCDEF), (2, 0x0F0F0F0F0F0F0F0F)],
         "doc_id long, simhash long")
