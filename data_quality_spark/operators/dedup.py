@@ -46,11 +46,14 @@ __all__ = [
     "simhash64",
     "simhash_near_pairs",
     "simhash_index_entries",
+    "simhash_index_bucket_stats",
     "simhash_probe_index",
     "winnow_fingerprints",
     "dedup_against_index",
     "build_dedup_index",
     "build_lsh_index",
+    "lsh_index_entries",
+    "lsh_index_bucket_stats",
     "lsh_probe_index",
     "cross_source_dup_matrix",
 ]
@@ -516,6 +519,16 @@ def simhash_index_entries(index_df: DataFrame,
     )
 
 
+def simhash_index_bucket_stats(entries_df: DataFrame) -> DataFrame:
+    """(ci, cv, n_members): per-chunk-bucket population of a stored
+    simhash entries relation — store beside the index and pass to
+    ``simhash_probe_index`` so the hot-bucket guard reads ~#buckets
+    instead of re-aggregating the entries per probe (the audio path's
+    ``audio_index_bucket_stats``, simhash form)."""
+    return entries_df.groupBy("ci", "cv").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"))
+
+
 def simhash_probe_index(
     new_sigs: DataFrame,
     index_df: DataFrame,
@@ -523,6 +536,7 @@ def simhash_probe_index(
     max_hamming: int = 3,
     max_bucket_size: int = 256,
     index_entries_df: DataFrame | None = None,
+    index_stats_df: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental SimHash near-dup: NEW signatures probed against a
     STORED signature relation (8 B per row — the simhash column IS the
@@ -541,16 +555,27 @@ def simhash_probe_index(
     )
     idx_c = (index_entries_df if index_entries_df is not None
              else simhash_index_entries(index_df, id_col))
-    small = (
-        idx_c.groupBy("ci", "cv")
-        .agg(F.count(F.lit(1)).alias("__bn"))
-        .filter(F.col("__bn") <= max_bucket_size)
-        .select("ci", "cv")
-    )
-    idx_c = idx_c.join(small, ["ci", "cv"])
+    if index_stats_df is not None:
+        # stored-stats scale shape (see audio_probe_index): broadcast
+        # anti-join against the tiny hot list, broadcast the increment
+        # — the stored entries scan once, never shuffle, no per-probe
+        # aggregate
+        hot = index_stats_df.filter(
+            F.col("n_members") > max_bucket_size).select("ci", "cv")
+        idx_c = idx_c.join(F.broadcast(hot), ["ci", "cv"], "left_anti")
+        collided = idx_c.join(F.broadcast(new_c), ["ci", "cv"])
+    else:
+        small = (
+            idx_c.groupBy("ci", "cv")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") <= max_bucket_size)
+            .select("ci", "cv")
+        )
+        collided = new_c.join(idx_c.join(small, ["ci", "cv"]),
+                              ["ci", "cv"])
     ham = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
     banded = (
-        new_c.join(idx_c, ["ci", "cv"])
+        collided
         .filter(F.col("new_id") != F.col("index_id"))
         .withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= F.lit(max_hamming))
@@ -715,6 +740,31 @@ def build_lsh_index(
     return sigs.join(fps, id_col, "left")
 
 
+def lsh_index_entries(
+    index_df: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """(index_id, band, bh): a stored minhash index's band-bucket key
+    relation — slim (no signatures; the verify stage joins those back
+    from the index itself), append-only, written beside the index so a
+    probe never re-bands O(corpus) signatures."""
+    rows_per_band = num_hashes // bands
+    return index_df.select(
+        F.col(id_col).alias("index_id"), F.col("sig").alias("__sig")
+    ).select(
+        "index_id", _band_key_explode(bands, rows_per_band).alias("e")
+    ).select("index_id", "e.band", "e.bh")
+
+
+def lsh_index_bucket_stats(entries_df: DataFrame) -> DataFrame:
+    """(band, bh, n_members): stored per-bucket population for the
+    minhash probe's zero-aggregate hot guard."""
+    return entries_df.groupBy("band", "bh").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"))
+
+
 def lsh_probe_index(
     new_df: DataFrame,
     index_df: DataFrame,
@@ -725,6 +775,8 @@ def lsh_probe_index(
     shingle_k: int = 3,
     agree_threshold: float = 0.5,
     max_bucket_size: int = 64,
+    index_entries_df: DataFrame | None = None,
+    index_stats_df: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup: NEW documents probed against a STORED
     signature index, no re-LSH of the corpus.
@@ -782,21 +834,58 @@ def lsh_probe_index(
         new_df, id_col, text_col, num_hashes, shingle_k
     ).select(F.col(id_col).alias("__id"), F.col("sig").alias("__sig"))
 
-    idx_e = entries(idx, "index_id")
-    small = (
-        idx_e.groupBy("band", "bh")
-        .agg(F.count(F.lit(1)).alias("__bn"))
-        .filter(F.col("__bn") <= max_bucket_size)
-        .select("band", "bh")
-    )
-    idx_e = idx_e.join(small, ["band", "bh"])
-    new_e = entries(new, "new_id")
-    cand = (
-        new_e.join(idx_e, ["band", "bh"])
-        .filter(F.col("new_id") != F.col("index_id"))
-        .select("new_id", "index_id", "__sig_new_id", "__sig_index_id")
-        .dropDuplicates(["new_id", "index_id"])
-    )
+    if index_entries_df is not None:
+        # stored slim keys: collide ids first, join signatures back for
+        # the verify stage (entries never carry the 64-long arrays)
+        idx_k = index_entries_df
+        new_k = new.select(
+            F.col("__id").alias("new_id"),
+            _band_key_explode(bands, num_hashes // bands).alias("e"),
+        ).select("new_id", "e.band", "e.bh")
+        if index_stats_df is not None:
+            hot = index_stats_df.filter(
+                F.col("n_members") > max_bucket_size).select("band", "bh")
+            idx_k = idx_k.join(F.broadcast(hot), ["band", "bh"],
+                               "left_anti")
+            collided = idx_k.join(F.broadcast(new_k), ["band", "bh"])
+        else:
+            small = (
+                idx_k.groupBy("band", "bh")
+                .agg(F.count(F.lit(1)).alias("__bn"))
+                .filter(F.col("__bn") <= max_bucket_size)
+                .select("band", "bh")
+            )
+            collided = new_k.join(idx_k.join(small, ["band", "bh"]),
+                                  ["band", "bh"])
+        cand = (
+            collided
+            .filter(F.col("new_id") != F.col("index_id"))
+            .select("new_id", "index_id")
+            .dropDuplicates(["new_id", "index_id"])
+            .join(new.select(F.col("__id").alias("new_id"),
+                             F.col("__sig").alias("__sig_new_id")),
+                  "new_id")
+            .join(idx.select(F.col("__id").alias("index_id"),
+                             F.col("__sig").alias("__sig_index_id")),
+                  "index_id")
+        )
+    else:
+        idx_e = entries(idx, "index_id")
+        small = (
+            idx_e.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") <= max_bucket_size)
+            .select("band", "bh")
+        )
+        idx_e = idx_e.join(small, ["band", "bh"])
+        new_e = entries(new, "new_id")
+        cand = (
+            new_e.join(idx_e, ["band", "bh"])
+            .filter(F.col("new_id") != F.col("index_id"))
+            .select("new_id", "index_id", "__sig_new_id",
+                    "__sig_index_id")
+            .dropDuplicates(["new_id", "index_id"])
+        )
     n_agree = F.aggregate(
         F.zip_with(
             F.col("__sig_new_id"), F.col("__sig_index_id"),

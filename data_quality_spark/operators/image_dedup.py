@@ -106,13 +106,18 @@ def image_probe_index(
     max_hamming: int = 3,
     max_bucket_size: int = 256,
     counter=None,
+    index_entries_df: DataFrame | None = None,
+    index_stats_df: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental image near-dup: NEW images hashed (the increment's
     only decode) and probed against a STORED hash index via the shared
     SimHash chunk-band law — (new_id, index_id, hamming), NEW×INDEX
     collisions only, index-side bucket guard, equal hashes pairing at
     hamming 0 regardless of bucket heat
-    (``dedup.simhash_probe_index``)."""
+    (``dedup.simhash_probe_index``).  Stored entries/stats relations
+    (``dedup.simhash_index_entries`` / ``simhash_index_bucket_stats``
+    over the hash index) pass straight through for the
+    zero-per-probe-aggregate scale shape."""
     from .dedup import simhash_probe_index
 
     new_h = image_hashes(
@@ -122,6 +127,8 @@ def image_probe_index(
     return simhash_probe_index(
         new_h, idx, id_col=id_col, max_hamming=max_hamming,
         max_bucket_size=max_bucket_size,
+        index_entries_df=index_entries_df,
+        index_stats_df=index_stats_df,
     )
 
 

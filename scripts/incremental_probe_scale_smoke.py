@@ -32,6 +32,7 @@ import os
 import sys
 import tempfile
 import time
+import urllib.request
 
 sys.path.insert(0, "/root/repo")
 
@@ -99,6 +100,22 @@ def synth_index(spark, n: int, inject_fps, out_dir: str) -> None:
     ).write.mode("overwrite").parquet(os.path.join(out_dir, "stats"))
 
 
+def shuffle_totals(spark) -> tuple[int, int]:
+    """(read_bytes, write_bytes) over completed stages via the UI REST
+    API (the cluster_split_prune smoke's machine-readable evidence)."""
+    base = spark.sparkContext.uiWebUrl
+    with urllib.request.urlopen(f"{base}/api/v1/applications") as r:
+        app_id = json.load(r)[0]["id"]
+    with urllib.request.urlopen(
+        f"{base}/api/v1/applications/{app_id}/stages?status=complete"
+    ) as r:
+        stages = json.load(r)
+    return (
+        sum(s.get("shuffleReadBytes", 0) for s in stages),
+        sum(s.get("shuffleWriteBytes", 0) for s in stages),
+    )
+
+
 def probe(spark, inc_df, root: str, with_entries: bool = True):
     from data_quality_spark.operators.audio_dedup import audio_probe_index
 
@@ -109,11 +126,13 @@ def probe(spark, inc_df, root: str, with_entries: bool = True):
             os.path.join(root, "entries"))
         kw["index_stats_df"] = spark.read.parquet(
             os.path.join(root, "stats"))
+    rd0, wr0 = shuffle_totals(spark)
     t0 = time.perf_counter()
     pairs = audio_probe_index(inc_df, idx, **kw)
     rows = pairs.collect()
     dt = time.perf_counter() - t0
-    return rows, dt
+    rd1, wr1 = shuffle_totals(spark)
+    return rows, dt, round((wr1 - wr0) / 1e6, 1)
 
 
 def main() -> None:
@@ -150,7 +169,7 @@ def main() -> None:
         t0 = time.perf_counter()
         synth_index(spark, n, inject, root)
         build_s = time.perf_counter() - t0
-        rows, dt = probe(spark, inc, root)
+        rows, dt, shuf_mb = probe(spark, inc, root)
         exact_hits = {
             r["new_id"] for r in rows
             if r["index_id"].startswith("inj") and r["ber"] == 0.0
@@ -161,14 +180,16 @@ def main() -> None:
             "build_seconds": round(build_s, 1),
             "probe_seconds": round(dt, 1),
             "pairs": len(rows),
+            "probe_shuffle_write_mb": shuf_mb,
             "exact_injected_recovered":
                 len(exact_hits & expect_exact),
         }
     # legacy path: no stored entries/stats — index keys re-derived
-    rows_legacy, dt_legacy = probe(
+    rows_legacy, dt_legacy, shuf_legacy = probe(
         spark, inc, os.path.join(work, "small"), with_entries=False)
     res["legacy_no_entries_small"] = {
         "probe_seconds": round(dt_legacy, 1),
+        "probe_shuffle_write_mb": shuf_legacy,
         "pairs": len(rows_legacy),
         "identical_to_entries_path":
             {(r["new_id"], r["index_id"]) for r in rows_legacy}

@@ -279,3 +279,56 @@ def test_stored_entries_equal_derived(spark, tmp_path):
         sig_new, sig_idx,
         index_entries_df=simhash_index_entries(sig_idx)).collect()))
     assert d2 == s2 and len(d2) == 1
+    from data_quality_spark.operators.dedup import (
+        simhash_index_bucket_stats,
+    )
+
+    ents2 = simhash_index_entries(sig_idx)
+    st2 = sorted(map(tuple, simhash_probe_index(
+        sig_new, sig_idx, index_entries_df=ents2,
+        index_stats_df=simhash_index_bucket_stats(ents2)).collect()))
+    assert st2 == d2
+
+
+def test_lsh_stored_entries_and_stats_equal_derived(spark, tmp_path):
+    """Minhash probe: derived == stored-entries == stored-stats paths,
+    including the exact-fp join and a hot-bucket guard that actually
+    trims (boilerplate family over the guard size)."""
+    from data_quality_spark.operators.dedup import (
+        build_lsh_index,
+        lsh_index_bucket_stats,
+        lsh_index_entries,
+        lsh_probe_index,
+    )
+
+    idx_rows = [(i, f"alpha beta gamma delta{i % 7} epsilon zeta eta")
+                for i in range(60)]
+    # a 40-strong identical-text family: its band buckets exceed the
+    # guard, so only the digest path may pair into it
+    idx_rows += [(100 + i, "copy pasta boiler plate text here")
+                 for i in range(40)]
+    index_docs = spark.createDataFrame(idx_rows, "doc_id long, text string")
+    new_docs = spark.createDataFrame(
+        [(900, "alpha beta gamma delta3 epsilon zeta eta"),
+         (901, "copy pasta boiler plate text here"),
+         (902, "completely unrelated content nothing shared")],
+        "doc_id long, text string")
+    index = build_lsh_index(index_docs)
+    ents_path = str(tmp_path / "lsh_entries")
+    lsh_index_entries(index).write.parquet(ents_path)
+    ents = spark.read.parquet(ents_path)
+    stats = lsh_index_bucket_stats(ents)
+
+    kw = dict(max_bucket_size=16)
+    derived = sorted(map(tuple, lsh_probe_index(
+        new_docs, index, **kw).collect()))
+    stored = sorted(map(tuple, lsh_probe_index(
+        new_docs, index, index_entries_df=ents, **kw).collect()))
+    with_stats = sorted(map(tuple, lsh_probe_index(
+        new_docs, index, index_entries_df=ents, index_stats_df=stats,
+        **kw).collect()))
+    assert derived == stored == with_stats and len(derived) > 0
+    # the exact family pairs rode the digest join despite hot buckets
+    assert sum(1 for r in derived if r[0] == 900) >= 1
+    assert sum(1 for r in derived if r[0] == 901) == 40
+    assert not any(r[0] == 902 for r in derived)
