@@ -2435,6 +2435,36 @@ def q_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("new_id", "index_id")
 
 
+def q_lsh_incremental_stored(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """``lsh_incremental``'s at-scale execution shape under the SAME
+    oracle: the probe runs from the STORED slim entry relation + stored
+    bucket stats (broadcast hot anti-join, broadcast increment, verify
+    signatures joined back from the index — zero per-probe aggregate
+    over the entries).  Hash-equality with the derived-path expected
+    file IS the equivalence law, driver-checked."""
+    from data_quality_spark.operators.dedup import (
+        build_lsh_index,
+        lsh_index_bucket_stats,
+        lsh_index_entries,
+        lsh_probe_index,
+    )
+
+    ensure_expected("lsh_incremental", sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    index = build_lsh_index(docs.filter(F.col("doc_id") % 2 == 0))
+    ents = lsh_index_entries(index)
+    pairs = lsh_probe_index(
+        docs.filter(F.col("doc_id") % 2 == 1), index,
+        index_entries_df=ents,
+        index_stats_df=lsh_index_bucket_stats(ents),
+    )
+    return pairs.select(
+        "new_id", "index_id", "n_agree",
+        F.round("est_jaccard", 6).alias("est_jaccard_r"),
+    ).orderBy("new_id", "index_id")
+
+
 def q_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source duplication matrix (syndication detector): distinct
     contents shared by each source pair.  The synthetic corpus has only
@@ -3211,6 +3241,44 @@ def q_audio_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = F.pmod(F.xxhash64("clip_id"), F.lit(2))
     index = build_audio_index(clips.where(par == 0))
     pairs = audio_probe_index(clips.where(par == 1), index)
+    return pairs.select(
+        "new_id", "index_id", F.round("ber", 6).alias("ber_r")
+    ).orderBy("new_id", "index_id")
+
+
+def q_audio_dedup_incremental_stored(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """``audio_dedup_incremental``'s at-scale execution shape under the
+    SAME oracle: the probe runs from the stored (off, bh) entry
+    relation + stored bucket stats (broadcast hot anti-join, broadcast
+    increment keys — the entries scan once, never shuffle, zero
+    per-probe aggregate).  Hash-equality with the derived-path
+    expected file IS the equivalence law, driver-checked."""
+    from data_quality_spark.operators.audio_dedup import (
+        audio_index_bucket_stats,
+        audio_index_entries,
+        audio_probe_index,
+        build_audio_index,
+    )
+    from data_quality_spark.plans.schemas import CLIPS_SCHEMA
+    from data_quality_spark.synth import make_audio_dup_corpus
+
+    ensure_expected("audio_dedup_incremental", sf_dir)
+    key = ("dup", 400, 42)
+    if key not in _CLIPS_CACHE:
+        _CLIPS_CACHE[key] = make_audio_dup_corpus(400, seed=42)
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    clips = spark.createDataFrame(
+        _CLIPS_CACHE[key][cols], CLIPS_SCHEMA
+    ).repartition(8, "clip_id")
+    par = F.pmod(F.xxhash64("clip_id"), F.lit(2))
+    index = build_audio_index(clips.where(par == 0))
+    ents = audio_index_entries(index)
+    pairs = audio_probe_index(
+        clips.where(par == 1), index,
+        index_entries_df=ents,
+        index_stats_df=audio_index_bucket_stats(ents),
+    )
     return pairs.select(
         "new_id", "index_id", F.round("ber", 6).alias("ber_r")
     ).orderBy("new_id", "index_id")
@@ -4911,6 +4979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "voice_triplets": q_voice_triplets,
         "channel_hot_buckets": q_channel_hot_buckets,
         "lsh_incremental": q_lsh_incremental,
+        "lsh_incremental_stored": q_lsh_incremental_stored,
         "source_dup_matrix": q_source_dup_matrix,
         "temperature_mixture": q_temperature_mixture,
         "temperature_a07": q_temperature_a07,
@@ -4953,6 +5022,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gate_f1": q_gate_f1,
         "content_hot_buckets": q_content_hot_buckets,
         "audio_dedup_incremental": q_audio_dedup_incremental,
+        "audio_dedup_incremental_stored":
+            q_audio_dedup_incremental_stored,
         "image_dedup_incremental": q_image_dedup_incremental,
         "stream_gate": q_stream_gate,
         "stream_pack": q_stream_pack,
@@ -7091,6 +7162,7 @@ FROM ranked WHERE rnk <= 3""",
         "voice_triplets": _expected_sql("voice_triplets"),
         "channel_hot_buckets": _expected_sql("channel_hot_buckets"),
         "lsh_incremental": _expected_sql("lsh_incremental"),
+        "lsh_incremental_stored": _expected_sql("lsh_incremental"),
         "source_dup_matrix": """
 WITH t AS (
   SELECT source,
@@ -7195,6 +7267,8 @@ FROM tot JOIN g USING (lang) ORDER BY tot.lang""",
         "gate_f1": _expected_sql("gate_f1"),
         "content_hot_buckets": _expected_sql("content_hot_buckets"),
         "audio_dedup_incremental": _expected_sql("audio_dedup_incremental"),
+        "audio_dedup_incremental_stored":
+            _expected_sql("audio_dedup_incremental"),
         "image_dedup_incremental": _expected_sql("image_dedup_incremental"),
         "stream_gate": (
             "SELECT clip_id, decision, scrubbed FROM read_parquet('"

@@ -430,9 +430,17 @@ def audio_probe_index(
     idx_v = idx.select(
         F.col("clip_id").alias("index_id"), F.col("fp").alias("__fb"))
     n = F.least(F.size("__fa"), F.size("__fb"))
+    if index_stats_df is not None:
+        # scale shape, verify stage: the (pair, new-fp) side is
+        # increment-sized — broadcast it so the index fp arrays (the
+        # index's dominant bytes) are scanned, never shuffled (the 1M
+        # smoke measured 600 MB of shuffle here before this hint)
+        verify_in = idx_v.join(
+            F.broadcast(cand.join(new_v, "new_id")), "index_id")
+    else:
+        verify_in = cand.join(new_v, "new_id").join(idx_v, "index_id")
     out = (
-        cand.join(new_v, "new_id")
-        .join(idx_v, "index_id")
+        verify_in
         .filter(n > 0)
         .withColumn("ber", ber_col("__fa", "__fb"))
         .filter(F.col("ber") <= F.lit(ber_max))
@@ -446,8 +454,12 @@ def audio_probe_index(
         idx_d = idx.where(F.col("fp_digest").isNotNull()).select(
             F.col("clip_id").alias("index_id"), "fp_digest"
         )
+        if index_stats_df is not None:
+            matched = idx_d.join(F.broadcast(new_d), "fp_digest")
+        else:
+            matched = new_d.join(idx_d, "fp_digest")
         exact = (
-            new_d.join(idx_d, "fp_digest")
+            matched
             .filter(F.col("new_id") != F.col("index_id"))
             .select("new_id", "index_id", F.lit(0.0).alias("ber"))
         )

@@ -857,18 +857,24 @@ def lsh_probe_index(
             )
             collided = new_k.join(idx_k.join(small, ["band", "bh"]),
                                   ["band", "bh"])
-        cand = (
+        pair_ids = (
             collided
             .filter(F.col("new_id") != F.col("index_id"))
             .select("new_id", "index_id")
             .dropDuplicates(["new_id", "index_id"])
-            .join(new.select(F.col("__id").alias("new_id"),
-                             F.col("__sig").alias("__sig_new_id")),
-                  "new_id")
-            .join(idx.select(F.col("__id").alias("index_id"),
-                             F.col("__sig").alias("__sig_index_id")),
-                  "index_id")
         )
+        new_s = new.select(F.col("__id").alias("new_id"),
+                           F.col("__sig").alias("__sig_new_id"))
+        idx_s = idx.select(F.col("__id").alias("index_id"),
+                           F.col("__sig").alias("__sig_index_id"))
+        if index_stats_df is not None:
+            # verify stage, scale shape: broadcast the increment-sized
+            # (pair, new-sig) side so the index signature arrays are
+            # scanned, never shuffled
+            cand = idx_s.join(
+                F.broadcast(pair_ids.join(new_s, "new_id")), "index_id")
+        else:
+            cand = pair_ids.join(new_s, "new_id").join(idx_s, "index_id")
     else:
         idx_e = entries(idx, "index_id")
         small = (
@@ -910,6 +916,8 @@ def lsh_probe_index(
             F.col(id_col).alias("new_id"),
             F.md5(F.col(text_col)).alias("fp"),
         ).where(F.col("fp").isNotNull())
+        if index_stats_df is not None:
+            new_fp = F.broadcast(new_fp)
         exact = (
             new_fp.join(idx_fp, "fp")
             .filter(F.col("new_id") != F.col("index_id"))

@@ -148,7 +148,10 @@ def main() -> None:
     inc_path = bench.ensure_clips(n_inc)
     spark = get_spark(
         "incremental-probe-scale-smoke",
-        extra_confs={"spark.sql.parquet.columnarReaderBatchSize": "512"},
+        extra_confs={
+            "spark.sql.parquet.columnarReaderBatchSize": "512",
+            "spark.ui.enabled": "true",  # shuffle_totals reads the REST API
+        },
     )
     inc = spark.read.parquet(inc_path)
 
@@ -184,17 +187,20 @@ def main() -> None:
             "exact_injected_recovered":
                 len(exact_hits & expect_exact),
         }
-    # legacy path: no stored entries/stats — index keys re-derived
-    rows_legacy, dt_legacy, shuf_legacy = probe(
-        spark, inc, os.path.join(work, "small"), with_entries=False)
-    res["legacy_no_entries_small"] = {
-        "probe_seconds": round(dt_legacy, 1),
-        "probe_shuffle_write_mb": shuf_legacy,
-        "pairs": len(rows_legacy),
-        "identical_to_entries_path":
-            {(r["new_id"], r["index_id"]) for r in rows_legacy}
-            == pair_sets["small"],
-    }
+    # legacy path: no stored entries/stats — index keys re-derived and
+    # every verify relation shuffled; measured at BOTH sizes so the
+    # stored path's advantage is visible as a function of index size
+    for name in ("small", "big"):
+        rows_legacy, dt_legacy, shuf_legacy = probe(
+            spark, inc, os.path.join(work, name), with_entries=False)
+        res[f"legacy_no_entries_{name}"] = {
+            "probe_seconds": round(dt_legacy, 1),
+            "probe_shuffle_write_mb": shuf_legacy,
+            "pairs": len(rows_legacy),
+            "identical_to_entries_path":
+                {(r["new_id"], r["index_id"]) for r in rows_legacy}
+                == pair_sets[name],
+        }
     shared = {p for p in pair_sets["big"]
               if not p[1].startswith("ix") or int(p[1][2:]) < small}
     res["small_pairs_subset_of_big_restricted"] = (
