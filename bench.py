@@ -57,6 +57,17 @@ TRIPWIRE_ADJUDICATIONS: dict[str, tuple[str, str]] = {
         "writes and drains a real availableNow stream per run; the "
         "cost is the feature",
     ),
+    "code_switch": (
+        "noise",
+        "r5 quiet re-run mins 0.92-0.95 s (1.06-1.10x of the r4 "
+        "capture); r3 baseline was 1.22 s — the r4 0.865 s was a "
+        "fast-outlier capture (BENCH.md r5)",
+    ),
+    "corpus_overlap": (
+        "noise",
+        "r5 quiet re-run mins 1.10-1.22 s vs r3 0.90 / r4 0.76; "
+        "within the historic band, 0.3 s absolute (BENCH.md r5)",
+    ),
 }
 CACHE = os.path.join(REPO, ".bench_cache")
 BENCH_SEED = 42
