@@ -53,6 +53,8 @@ __all__ = [
     "load_jdbc",
     "load_database",
     "discovery_subquery",
+    "fk_discovery_subquery",
+    "jdbc_fk_map",
 ]
 
 _JDBC_SCHEMES = {"mysql", "postgresql", "mariadb"}
@@ -289,22 +291,15 @@ def sqlite_fk_map(
     return fk_map
 
 
-def load_jdbc(
+def _make_jdbc_reader(
     spark: SparkSession,
     url: str,
-    tables: Sequence[str] | None = None,
-    patterns: Sequence[str] | None = None,
-    options: Mapping[str, str] | None = None,
-    reader: Any | None = None,
-) -> dict[str, DataFrame]:
-    """JDBC tables as DataFrames; discovery via ``information_schema``
-    (the reference's primary path, quality_scanner.py:281-307) when no
-    explicit list is given.  ``options`` pass straight through to the
-    reader — set ``partitionColumn``/``lowerBound``/``upperBound``/
-    ``numPartitions`` there for partitioned scans of big tables.
-    ``reader`` (a ``dbtable -> DataFrame`` callable) is the test seam:
-    contract tests pin the exact subqueries this module sends without a
-    live server, so a real hookup is config, not code."""
+    options: Mapping[str, str] | None,
+    reader: Any | None,
+):
+    """The one ``dbtable -> DataFrame`` function every JDBC access path
+    shares (table reads, discovery, FK introspection); typed errors for
+    the missing-driver and failed-read cases."""
     opts = dict(options or {})
 
     def _read(dbtable: str) -> DataFrame:
@@ -329,6 +324,26 @@ def load_jdbc(
                 ) from e
             raise ResourceError("database", f"JDBC read failed: {msg}") from e
 
+    return _read
+
+
+def load_jdbc(
+    spark: SparkSession,
+    url: str,
+    tables: Sequence[str] | None = None,
+    patterns: Sequence[str] | None = None,
+    options: Mapping[str, str] | None = None,
+    reader: Any | None = None,
+) -> dict[str, DataFrame]:
+    """JDBC tables as DataFrames; discovery via ``information_schema``
+    (the reference's primary path, quality_scanner.py:281-307) when no
+    explicit list is given.  ``options`` pass straight through to the
+    reader — set ``partitionColumn``/``lowerBound``/``upperBound``/
+    ``numPartitions`` there for partitioned scans of big tables.
+    ``reader`` (a ``dbtable -> DataFrame`` callable) is the test seam:
+    contract tests pin the exact subqueries this module sends without a
+    live server, so a real hookup is config, not code."""
+    _read = _make_jdbc_reader(spark, url, options, reader)
     if tables:
         names = list(tables)
     else:
@@ -373,18 +388,118 @@ def discovery_subquery(url: str,
     )
 
 
+def fk_discovery_subquery(url: str) -> str:
+    """Dialect-correct ``information_schema`` FOREIGN-KEY introspection
+    subquery: one row per (child table, constraint, ordinal) with the
+    referenced table/column — the whole-database generalization of the
+    reference's per-table MySQL query (quality_scanner.py:421-445).
+    MySQL/MariaDB read ``key_column_usage`` directly (referenced_*
+    columns are non-NULL exactly for FKs, ordinal order preserved);
+    Postgres joins ``table_constraints`` × ``key_column_usage`` ×
+    ``constraint_column_usage``."""
+    sub = url[len("jdbc:"):] if url.startswith("jdbc:") else url
+    dialect = sub.split("://", 1)[0].split(":")[0].lower()
+    if dialect in ("mysql", "mariadb"):
+        return (
+            "(SELECT table_name AS child_table, "
+            "constraint_name AS fk_name, "
+            "ordinal_position AS ord, column_name AS child_col, "
+            "referenced_table_name AS parent_table, "
+            "referenced_column_name AS parent_col "
+            "FROM information_schema.key_column_usage "
+            "WHERE table_schema = DATABASE() "
+            "AND referenced_table_name IS NOT NULL) AS fk"
+        )
+    if dialect in ("postgresql", "postgres"):
+        return (
+            "(SELECT tc.table_name AS child_table, "
+            "tc.constraint_name AS fk_name, "
+            "kcu.ordinal_position AS ord, "
+            "kcu.column_name AS child_col, "
+            "ccu.table_name AS parent_table, "
+            "ccu.column_name AS parent_col "
+            "FROM information_schema.table_constraints tc "
+            "JOIN information_schema.key_column_usage kcu "
+            "ON tc.constraint_name = kcu.constraint_name "
+            "AND tc.table_schema = kcu.table_schema "
+            "JOIN information_schema.constraint_column_usage ccu "
+            "ON ccu.constraint_name = tc.constraint_name "
+            "AND ccu.table_schema = tc.table_schema "
+            "WHERE tc.constraint_type = 'FOREIGN KEY' "
+            "AND tc.table_schema = current_schema()) AS fk"
+        )
+    raise ConfigurationError(
+        "jdbc.fk_discovery",
+        f"no FK-introspection query known for JDBC dialect {dialect!r}",
+        "pass an explicit fk_map to health_check for this engine",
+    )
+
+
+def jdbc_fk_map(
+    spark: SparkSession,
+    url: str,
+    tables: Sequence[str],
+    options: Mapping[str, str] | None = None,
+    reader: Any | None = None,
+) -> dict[str, list[tuple]]:
+    """Declared FKs from ``information_schema`` in ``scan_orphans``
+    shape — the live-JDBC analog of :func:`sqlite_fk_map`: single
+    columns as ``(col, parent, parent_col)``, composite constraints
+    (same constraint name, ordinal order) as tuple entries; FKs whose
+    parent is not in ``tables`` are dropped.  Unknown dialects return
+    ``{}`` (health_check then runs without orphan scans, as before).
+
+    Postgres caveat: ``constraint_column_usage`` does not order the
+    referenced columns, so a MULTI-column Postgres FK's parent-column
+    tuple order follows the catalog's row order — verify composite
+    constraints against ``pg_constraint`` if order matters."""
+    try:
+        sub = fk_discovery_subquery(url)
+    except ConfigurationError:
+        return {}
+    _read = _make_jdbc_reader(spark, url, options, reader)
+    df = _read(sub)
+    df = df.toDF(*[c.lower() for c in df.columns])  # driver label case varies
+    rows = df.collect()
+    known = set(tables)
+    by_constraint: dict[tuple, list] = {}
+    for r in rows:
+        by_constraint.setdefault(
+            (r["child_table"], r["fk_name"]), []
+        ).append(r)
+    fk_map: dict[str, list[tuple]] = {}
+    for (child, _fk), cols in sorted(by_constraint.items()):
+        cols.sort(key=lambda r: int(r["ord"] or 0))
+        parent = cols[0]["parent_table"]
+        if child not in known or parent not in known:
+            continue
+        if len(cols) == 1:
+            entry: tuple = (
+                cols[0]["child_col"], parent, cols[0]["parent_col"])
+        else:
+            entry = (
+                tuple(c["child_col"] for c in cols), parent,
+                tuple(c["parent_col"] for c in cols),
+            )
+        fk_map.setdefault(child, []).append(entry)
+    return fk_map
+
+
 def load_database(
     spark: SparkSession,
     url: str,
     tables: Sequence[str] | None = None,
     patterns: Sequence[str] | None = None,
     options: Mapping[str, str] | None = None,
+    reader: Any | None = None,
 ) -> tuple[dict[str, DataFrame], dict[str, list[tuple]]]:
     """URL → (tables, declared fk_map) — everything ``health_check``
-    needs.  JDBC has no portable FK PRAGMA; its fk_map is empty (pass
-    your own to health_check, as the parquet path does)."""
+    needs.  sqlite reads ``PRAGMA foreign_key_list``; JDBC reads
+    ``information_schema`` FK constraints for known dialects (empty map
+    otherwise — pass your own, as the parquet path does)."""
     kind, rest = parse_database_url(url)
     if kind == "sqlite":
         loaded = load_sqlite(spark, rest, tables, patterns)
         return loaded, sqlite_fk_map(rest, list(loaded))
-    return load_jdbc(spark, rest, tables, patterns, options), {}
+    loaded = load_jdbc(spark, rest, tables, patterns, options, reader)
+    return loaded, jdbc_fk_map(spark, rest, list(loaded), options, reader)

@@ -368,6 +368,88 @@ class TestJdbcDialectContract:
         assert seen == ["t1"]
 
 
+class TestJdbcFkDiscovery:
+    """information_schema FK introspection — the live-JDBC analog of
+    sqlite's PRAGMA path, pinned per dialect via the reader seam
+    (whole-database generalization of the reference's per-table MySQL
+    query, quality_scanner.py:421-445)."""
+
+    FK_SCHEMA = ("child_table string, fk_name string, ord int, "
+                 "child_col string, parent_table string, "
+                 "parent_col string")
+
+    def test_mysql_fk_subquery_pinned(self):
+        from data_quality_spark.sources.database import (
+            fk_discovery_subquery,
+        )
+
+        q = fk_discovery_subquery("jdbc:mysql://h/db")
+        assert "key_column_usage" in q
+        assert "table_schema = DATABASE()" in q
+        assert "referenced_table_name IS NOT NULL" in q
+
+    def test_postgres_fk_subquery_pinned(self):
+        from data_quality_spark.sources.database import (
+            fk_discovery_subquery,
+        )
+
+        q = fk_discovery_subquery("jdbc:postgresql://h/db")
+        assert "constraint_type = 'FOREIGN KEY'" in q
+        assert "current_schema()" in q
+        assert "constraint_column_usage" in q
+
+    def test_fk_map_grouping_incl_composite(self, spark):
+        from data_quality_spark.sources.database import jdbc_fk_map
+
+        rows = [
+            ("songs", "fk_artist", 1, "artist_id", "artists", "id"),
+            # composite constraint, ordinals deliberately out of order
+            ("plays", "fk_song", 2, "song_b", "songs", "kb"),
+            ("plays", "fk_song", 1, "song_a", "songs", "ka"),
+            # parent outside the known table set -> dropped
+            ("songs", "fk_label", 1, "label_id", "labels", "id"),
+        ]
+
+        def fake_reader(dbtable):
+            assert "information_schema" in dbtable
+            return spark.createDataFrame(rows, self.FK_SCHEMA)
+
+        fk = jdbc_fk_map(spark, "jdbc:mysql://h/db",
+                         ["artists", "songs", "plays"],
+                         reader=fake_reader)
+        assert fk == {
+            "songs": [("artist_id", "artists", "id")],
+            "plays": [(("song_a", "song_b"), "songs", ("ka", "kb"))],
+        }
+
+    def test_unknown_dialect_returns_empty_map(self, spark):
+        from data_quality_spark.sources.database import jdbc_fk_map
+
+        def fake_reader(dbtable):  # pragma: no cover - must not be hit
+            raise AssertionError("no introspection for unknown dialect")
+
+        assert jdbc_fk_map(spark, "jdbc:oracle:thin:@//h/db", ["t"],
+                           reader=fake_reader) == {}
+
+    def test_load_database_jdbc_wires_fk_map(self, spark):
+        from data_quality_spark.sources.database import load_database
+
+        def fake_reader(dbtable):
+            if "information_schema.tables" in dbtable:
+                return spark.createDataFrame(
+                    [("artists",), ("songs",)], "table_name string")
+            if "key_column_usage" in dbtable:
+                return spark.createDataFrame(
+                    [("songs", "fk", 1, "artist_id", "artists", "id")],
+                    self.FK_SCHEMA)
+            return spark.range(1).toDF("id")
+
+        tables, fk = load_database(
+            spark, "mysql://h/db", reader=fake_reader)
+        assert set(tables) == {"artists", "songs"}
+        assert fk == {"songs": [("artist_id", "artists", "id")]}
+
+
 def test_exception_formatting():
     from data_quality_spark.exceptions import (
         OperationError,
