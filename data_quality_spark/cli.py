@@ -145,6 +145,13 @@ def build_parser() -> argparse.ArgumentParser:
     # ref cli_clean.py:124-130 schema
     sub.add_parser("schema", help="output JSON Schema for reports")
 
+    li = sub.add_parser(
+        "lint",
+        help="AST SQL-safety lint (sql_policy): flag f-string/format/"
+        "concat SQL construction in Python files",
+    )
+    li.add_argument("paths", nargs="+", help="Python files to lint")
+
     # deterministic corpus sampling (operators/sampling.py); the scale-out
     # analog of the reference's LIMIT row probes (ref cli.py:148-234)
     sa = sub.add_parser("sample", help="deterministic corpus sample")
@@ -496,6 +503,10 @@ def main(argv: list[str] | None = None) -> int:
             raise
         print(f"Error: {e}", file=sys.stderr)
         return CLI_ERROR_EXIT
+    if args.cmd == "lint":  # pure AST pass, no Spark session needed
+        from .sql_policy import main as lint_main
+
+        return lint_main(args.paths)
     if args.cmd == "schema":  # pure contract dump, no Spark session needed
         from .plans.report import get_json_schema
 

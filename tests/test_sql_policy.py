@@ -112,6 +112,20 @@ class TestFileApi:
         v = check_file_sql_security("/nonexistent/x.py")
         assert len(v) == 1 and v[0].code == "IO_ERROR"
 
+    def test_cli_lint_subcommand(self, tmp_path, capsys):
+        """`cli lint` runs pre-Spark: exit 1 + file:line:col on a
+        violation, exit 0 on clean input."""
+        import data_quality_spark.cli as cli
+
+        bad = tmp_path / "bad.py"
+        bad.write_text('con.execute(f"SELECT {x}")\n')
+        ok = tmp_path / "ok.py"
+        ok.write_text('con.execute("SELECT 1")\n')
+        assert cli.main(["lint", str(bad)]) == 1
+        out = capsys.readouterr().out
+        assert "SQL001" in out and "bad.py:1" in out
+        assert cli.main(["lint", str(ok)]) == 0
+
     def test_repo_lints_itself_clean(self):
         """The reference's 'documentation examples are valid' meta-test,
         applied to the whole codebase: every execute() in this repo is
