@@ -3312,6 +3312,43 @@ def q_image_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("new_id", "index_id")
 
 
+def q_image_dedup_incremental_stored(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """``image_dedup_incremental``'s at-scale execution shape under the
+    SAME oracle (completing the stored-path triad with text and audio):
+    the probe runs from stored chunk-key entries + bucket stats
+    (broadcast hot anti-join, broadcast increment; zero per-probe
+    aggregate).  Hash-equality with the derived-path expected file IS
+    the driver-checked equivalence law."""
+    from data_quality_spark.operators.dedup import (
+        simhash_index_bucket_stats,
+        simhash_index_entries,
+    )
+    from data_quality_spark.operators.image_dedup import (
+        build_image_index,
+        image_probe_index,
+    )
+    from data_quality_spark.synth import generate_image_corpus
+
+    ensure_expected("image_dedup_incremental", sf_dir)
+    pdf = generate_image_corpus(120, seed=42)
+    media = spark.createDataFrame(
+        pdf, "media_id string, payload binary"
+    ).repartition(4)
+    par = F.pmod(F.xxhash64("media_id"), F.lit(2))
+    index = build_image_index(media.where(par == 0))
+    sig_idx = index.select("media_id", F.col("phash").alias("simhash"))
+    ents = simhash_index_entries(sig_idx, "media_id")
+    pairs = image_probe_index(
+        media.where(par == 1), index,
+        index_entries_df=ents,
+        index_stats_df=simhash_index_bucket_stats(ents),
+    )
+    return pairs.select(
+        "new_id", "index_id", F.col("hamming").cast("int").alias("hamming")
+    ).orderBy("new_id", "index_id")
+
+
 def q_content_hot_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The content-axis hot-bucket guard report as data (the channel
     axis already has one): fingerprint LSH buckets whose entry count
@@ -5025,6 +5062,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_dedup_incremental_stored":
             q_audio_dedup_incremental_stored,
         "image_dedup_incremental": q_image_dedup_incremental,
+        "image_dedup_incremental_stored":
+            q_image_dedup_incremental_stored,
         "stream_gate": q_stream_gate,
         "stream_pack": q_stream_pack,
         "clips_funnel": q_clips_funnel,
@@ -7270,6 +7309,8 @@ FROM tot JOIN g USING (lang) ORDER BY tot.lang""",
         "audio_dedup_incremental_stored":
             _expected_sql("audio_dedup_incremental"),
         "image_dedup_incremental": _expected_sql("image_dedup_incremental"),
+        "image_dedup_incremental_stored":
+            _expected_sql("image_dedup_incremental"),
         "stream_gate": (
             "SELECT clip_id, decision, scrubbed FROM read_parquet('"
             + expected_path("clips_gate")

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from data_quality_spark.operators.docs import token_count_col
@@ -111,3 +113,23 @@ def test_stream_packing_laws(spark, tmp_path):
     seg_after["batch_id"] = seg_after["batch_id"].astype(int)
     assert sorted(map(tuple, seg_after.itertuples(index=False))) \
         == seg_before
+
+
+@pytest.mark.slow
+def test_stream_pack_query_deterministic(spark):
+    """q:stream_pack's whole premise is a PINNED micro-batch
+    decomposition (60 s-spaced file mtimes -> oldest-first file source
+    order): two full runs must produce identical rows, batch ids
+    included — if file ordering were ever nondeterministic this is the
+    test that catches it before the driver's hash gate does."""
+    import __spark_entry__ as e
+
+    def grab():
+        df = e.q_stream_pack(spark, "/root/testdata/sf0.001")
+        return sorted(map(tuple, df.collect()))
+
+    first = grab()
+    second = grab()
+    assert first == second and len(first) > 0
+    batches = {r[0] for r in first}
+    assert batches == {0, 1, 2}  # one wave per micro-batch, all waves
