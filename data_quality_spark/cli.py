@@ -534,13 +534,22 @@ def main(argv: list[str] | None = None) -> int:
                     "exactly one of --tables / --database-url",
                 )
             if args.database_url:
-                from .sources.database import load_database
+                from .sources.database import (
+                    load_database,
+                    parse_database_url,
+                    sqlite_stray_report,
+                )
 
                 patterns = [args.pattern] if args.pattern else None
                 tables, fk_map = load_database(
                     spark, args.database_url, patterns=patterns
                 )
                 source = args.database_url
+                kind, rest = parse_database_url(args.database_url)
+                strays = (
+                    sqlite_stray_report(rest, list(tables))
+                    if kind == "sqlite" else []
+                )
             else:
                 if not os.path.isdir(args.tables):
                     raise ResourceError(
@@ -555,9 +564,11 @@ def main(argv: list[str] | None = None) -> int:
                 }
                 fk_map = None
                 source = args.tables
+                strays = []
             rep = health_check(tables, fk_map)
             report = Report(
-                tool_version="1.0", source=source, issues=rep.issues
+                tool_version="1.0", source=source,
+                issues=rep.issues + strays
             )
             rendered = report.render(args.format)
             print(rendered)

@@ -48,6 +48,7 @@ __all__ = [
     "parse_database_url",
     "sqlite_tables",
     "sqlite_schema",
+    "sqlite_stray_report",
     "sqlite_fk_map",
     "load_sqlite",
     "load_jdbc",
@@ -242,6 +243,56 @@ def load_sqlite(
                 for r in rows
             ]
             out[name] = spark.createDataFrame(data, schema)
+    return out
+
+
+def sqlite_stray_report(
+    path: str, tables: Sequence[str] | None = None
+) -> list[dict]:
+    """Present-but-mistyped cells as ISSUE-shaped rows (the audit
+    surface of ``load_sqlite``'s column widening): one row per column
+    whose declared numeric affinity had non-coercible strays, with the
+    type it widened to.  The reference's live scanner sees these
+    values as data; silently NULLing them (the pre-r5 behavior) made
+    the null scan report present values as missing — this report makes
+    the mismatch itself a first-class warning instead."""
+    out: list[dict] = []
+    with closing(_connect_sqlite(path)) as con:
+        names = list(tables) if tables else _tables_from_con(con, None)
+        for name in names:
+            schema = _schema_from_con(con, name)
+            quoted = name.replace('"', '""')
+            rows = con.execute(  # sql-ok: identifier (table name), quote-escaped; values can't be parameterized here
+                f'SELECT * FROM "{quoted}"'
+            ).fetchall()
+            total = len(rows)
+            for i, f in enumerate(schema.fields):
+                if not isinstance(f.dataType, (T.LongType, T.DoubleType)):
+                    continue
+                n_stray = sum(
+                    1 for r in rows if not _coercible(r[i], f.dataType))
+                if not n_stray:
+                    continue
+                wider = "string"
+                if isinstance(f.dataType, T.LongType) and all(
+                    _coercible(r[i], T.DoubleType()) for r in rows
+                ):
+                    wider = "double"
+                decl = f.dataType.simpleString()
+                out.append({
+                    "table": name,
+                    "column": f.name,
+                    "issue_type": "type_stray",
+                    "count": n_stray,
+                    "total": total,
+                    "percent": round(100.0 * n_stray / total, 2)
+                    if total else 0.0,
+                    "severity": "warning",
+                    "description": (
+                        f"{n_stray} value(s) do not fit the declared "
+                        f"{decl} affinity; column loaded as {wider}"
+                    ),
+                })
     return out
 
 

@@ -267,6 +267,56 @@ class TestCoercion:
         # the null scan now counts zero nulls here — nothing was lost
         assert df.filter("n IS NULL OR x IS NULL").count() == 0
 
+    def test_stray_report_issue_rows(self, tmp_path):
+        """The widening's audit surface: one warning row per column
+        with non-coercible strays, naming the widened type."""
+        import sqlite3
+
+        from data_quality_spark.sources.database import (
+            sqlite_stray_report,
+        )
+
+        p = str(tmp_path / "stray2.db")
+        con = sqlite3.connect(p)
+        con.execute("CREATE TABLE t (n INTEGER, m INTEGER, ok INTEGER)")
+        con.execute("INSERT INTO t VALUES ('junk', 3.5, 1)")
+        con.execute("INSERT INTO t VALUES (2, 2, 2)")
+        con.commit()
+        con.close()
+        rows = sqlite_stray_report(p)
+        by = {r["column"]: r for r in rows}
+        assert set(by) == {"n", "m"}
+        assert by["n"]["count"] == 1 and by["n"]["total"] == 2
+        assert "loaded as string" in by["n"]["description"]
+        assert "loaded as double" in by["m"]["description"]
+        assert by["n"]["severity"] == "warning"
+        assert by["n"]["issue_type"] == "type_stray"
+
+    def test_cli_check_surfaces_type_strays(self, spark, tmp_path,
+                                            monkeypatch, capsys):
+        import json as _json
+        import sqlite3
+
+        import data_quality_spark.cli as cli
+
+        p = str(tmp_path / "strays.db")
+        con = sqlite3.connect(p)
+        con.execute("CREATE TABLE t (id INTEGER, n INTEGER)")
+        con.execute("INSERT INTO t VALUES (1, 'junk')")
+        con.commit()
+        con.close()
+        monkeypatch.setattr("pyspark.sql.SparkSession.stop",
+                            lambda self: None)
+        code = cli.main([
+            "check", "--database-url", f"sqlite:///{p}",
+            "--format", "json", "--fail-on", "none",
+        ])
+        payload = _json.loads(capsys.readouterr().out)
+        assert code == 0
+        strays = [i for i in payload["issues"]
+                  if i["issue_type"] == "type_stray"]
+        assert len(strays) == 1 and strays[0]["column"] == "n"
+
     def test_connections_are_closed(self, tmp_path, monkeypatch):
         """sqlite3's context manager commits but never closes; every
         helper must actually close (ADVICE r4)."""
