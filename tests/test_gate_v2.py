@@ -307,6 +307,57 @@ class TestV2NaNMetricDefaultLaw:
         ])
         assert got["all_null"] == ("keep", None)
 
+    def test_fallback_inline_defaults_match_projection(self, spark):
+        """rule_flags_v2 on a frame WITHOUT the __dqd_* projection (the
+        r5 fallback path no production caller exercises anymore) must
+        fire identically to the projected path — NaN, NULL, and
+        real-evidence rows all agree."""
+        from pyspark.sql import functions as F
+
+        from data_quality_spark.pipeline import (
+            rule_flags_v2,
+            with_metric_defaults,
+        )
+
+        nan = float("nan")
+        rows = [
+            self._row("all_nan", snr_db=nan, lufs_i=nan, bw_rms=nan,
+                      hf_db=nan),
+            self._row("all_null", snr_db=None, lufs_i=None, bw_rms=None,
+                      hf_db=None),
+            self._row("quiet_snr", snr_db=-40.0),
+            self._row("healthy"),
+        ]
+        df = spark.createDataFrame(
+            [tuple(r[k] for k in [f.split(" ")[0] for f in
+                                  self._SCHEMA.split(", ")])
+             for r in rows],
+            self._SCHEMA,
+        )
+
+        def fired(frame):
+            flags = rule_flags_v2(frame)
+            out = frame.select(
+                "clip_id",
+                *[F.coalesce(c, F.lit(False)).alias(n)
+                  for n, c in flags.items()],
+            ).collect()
+            return {
+                r["clip_id"]: {n for n in flags if r[n]} for r in out
+            }
+
+        plain = fired(df)
+        projected = fired(with_metric_defaults(df, v2=True))
+        assert plain == projected
+        assert "low_snr" in plain["quiet_snr"]
+        assert not any("loudness_range" in plain[c]
+                       for c in ("all_nan", "all_null", "healthy"))
+        # idempotence: projecting twice adds nothing and changes nothing
+        twice = with_metric_defaults(
+            with_metric_defaults(df, v2=True), v2=True)
+        assert twice.columns == with_metric_defaults(df, v2=True).columns
+        assert fired(twice) == plain
+
     def test_twin_mdef_agrees_on_nan(self):
         """The oracle twin's _mdef law, exercised directly on NaN: the
         defaulted values must sit exactly on each rule's non-firing
