@@ -542,6 +542,8 @@ def main() -> None:
         "temperature_a07", "eval_manifest", "gate_f1",
         "content_hot_buckets", "stream_gate", "audio_dedup_incremental",
         "image_dedup_incremental",
+        "eval_coverage", "lsh_incremental_stored",
+        "audio_dedup_incremental_stored", "image_dedup_incremental_stored",
     ]
     # headline-only mode: just the gate pair + health scan (~90 s) — fits
     # inside the short quiet gaps this shared host actually has, where the
