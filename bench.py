@@ -690,6 +690,12 @@ def main() -> None:
             "baseline": os.path.basename(prev_files[-1]),
             "threshold_ratio": 1.3,
             "min_prev_seconds": 0.3,
+            # a noisy host flags a scatter of small queries at 1.3-1.5x
+            # (measured: a loaded validation run flagged 11 disjoint
+            # sub-2s queries that two quiet captures the same day did
+            # not); the load average makes that failure mode
+            # self-evident in the record
+            "loadavg_1m": round(os.getloadavg()[0], 2),
             "n_compared": sum(
                 1 for n in timings
                 if prev_q.get(n) is not None and prev_q[n] >= 0.3),
