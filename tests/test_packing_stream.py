@@ -133,3 +133,53 @@ def test_stream_pack_query_deterministic(spark):
     assert first == second and len(first) > 0
     batches = {r[0] for r in first}
     assert batches == {0, 1, 2}  # one wave per micro-batch, all waves
+
+
+def test_multi_file_trigger_batches(spark, tmp_path):
+    """maxFilesPerTrigger=2 over six mtime-ordered single-file waves:
+    three micro-batches, each packing the UNION of its two files in
+    hash order from the prior offsets — the per-batch purity law at a
+    coarser decomposition, plus run-to-run determinism."""
+    import glob
+    import shutil
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    pdf = _docs_pdf()
+    sdf = spark.createDataFrame(pdf)
+    src = str(tmp_path / "docs6")
+    os.makedirs(src)
+    t0 = _time.time() - 3600
+    for w in range(6):
+        wdir = str(tmp_path / f"w{w}")
+        sdf.filter(F.col("doc_id") % 6 == w).coalesce(1) \
+            .write.parquet(wdir)
+        part = glob.glob(os.path.join(wdir, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"wave-{w}.parquet")
+        shutil.copyfile(part, dst)
+        os.utime(dst, (t0 + w * 60, t0 + w * 60))
+
+    out = str(tmp_path / "out6")
+    res = stream_pack_sequences(
+        spark, src, out, SEQ_LEN, strata=("lang",), seed=3,
+        max_files_per_trigger=2,
+    )
+    assert res["batches"] == 3 and res["docs_in"] == len(pdf)
+    seg = read_stream_segments(spark, out).toPandas()
+    seg["batch_id"] = seg["batch_id"].astype(int)
+    # each batch holds exactly its two waves' docs
+    for b in range(3):
+        got = set(seg[seg["batch_id"] == b]["doc_id"])
+        want = {i for i in range(90) if i % 6 in (2 * b, 2 * b + 1)}
+        assert got == want, b
+    # tokens conserved and the grid tiles per stratum
+    total = sum(3 + i % 17 for i in range(90))
+    assert int(seg["seg_len"].sum()) == total == res["tokens_in"]
+    for lang, g in seg.groupby("lang"):
+        g = g.sort_values(["seq_id", "pos_in_seq"])
+        pos = 0
+        for _, r in g.iterrows():
+            assert r["seq_id"] == pos // SEQ_LEN
+            assert r["pos_in_seq"] == pos % SEQ_LEN
+            pos += r["seg_len"]
